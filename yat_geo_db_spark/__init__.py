@@ -1,0 +1,18 @@
+"""yat_geo_db_spark — a PySpark-native analytics engine with the query and
+data-processing capabilities of the reference `yat_geo_db` geo database
+(fuzzy search / radius search / point lookups), re-expressed as lazy Spark
+DataFrame pipelines over Parquet, plus the large-scale training-data
+pipeline operators (dedup, similarity search, text analysis, multimodal
+columns) that a 100 TB corpus needs.
+
+Design stance (SURVEY.md §7): a thin library of composable DataFrame
+transformations — no custom execution engine, no Catalyst extensions.
+Everything is built-in `pyspark.sql.functions` expressions except a single
+vectorized pandas UDF (Damerau-Levenshtein). Data lives in Parquet; queries
+are lazy DataFrames; Catalyst/Tungsten/AQE pick the physical plan.
+"""
+
+from yat_geo_db_spark.session import get_spark
+
+__all__ = ["get_spark"]
+__version__ = "0.1.0"

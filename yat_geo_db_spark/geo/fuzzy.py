@@ -1,0 +1,285 @@
+"""Trigram fuzzy search — the reference's flagship pipeline
+(geo_manager.py:440-619, fuzzy.py:1-35) as one lazy DataFrame DAG:
+
+    query grams → postings probe → count → candidate top-k(500) →
+    join shapes → filters → Tversky/population scoring → dedupe by
+    clean_value → order by score → limit
+
+Scale design (SURVEY.md §3.1/§4): the inverted `postings(ngram, entity_id)`
+table is the data-layout optimization the reference ships as a JSON file; we
+derive it with `explode` and, at scale, persist it bucketed by `ngram`
+(geo.ingest) so the probe is a pruned scan. The probe filter
+(`ngram IN (...)`) is pushdown-able; the candidate cap bounds the expensive
+scoring join to ≤ max(num_results, 500) rows regardless of corpus size —
+that cap becomes a broadcast side for the shapes join. Only the
+Damerau-Levenshtein payload column needs Python (vectorized pandas UDF,
+computed AFTER the cap, on ≤500 rows — never on the full table; it is a
+payload, not a ranking signal: geo_manager.py:616-618 rank on `score` only).
+
+Determinism note (documented divergence, SURVEY.md §7): the reference's
+candidate cap and clean_value dedupe break ties by dict insertion order —
+unspecified. We define: cap ties → lowest entity id; dedupe keeps highest
+score then lowest id.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import Column, DataFrame
+import pyspark.sql.functions as F
+from pyspark.sql.types import IntegerType
+
+from yat_geo_db_spark.geo.radius import shape_filters_predicate
+
+#: oversampling floor "to address post result filtering" (geo_manager.py:552-555)
+CANDIDATE_FLOOR = 500
+
+
+# --------------------------------------------------------------------------
+# F1/F6: trigrams & cleaning — as expressions (index side) and Python (query side)
+# --------------------------------------------------------------------------
+
+def clean_entity(val: str) -> str:
+    """Query-side cleaning (geo_manager.py:445-449, lower_only=True)."""
+    return re.sub("[^0-9a-zA-Z ]+", "", val).lower()
+
+
+def ngrams_list(s: str, n: int = 3) -> list[str]:
+    """Query-side q-grams, no padding (fuzzy.py:5-6). Duplicates preserved."""
+    return [s[i:i + n] for i in range(len(s) - n + 1)]
+
+
+def clean_entity_col(col: Column) -> Column:
+    """Index-side cleaning as a built-in expression."""
+    return F.lower(F.regexp_replace(col, "[^0-9a-zA-Z ]+", ""))
+
+
+def ngrams_col(col: Column, n: int = 3) -> Column:
+    """Index-side q-grams as a built-in expression (duplicates preserved —
+    posting multiplicity feeds the candidate count, geo_manager.py:584-586).
+    Strings shorter than n yield an empty array."""
+    return F.when(
+        F.length(col) < n, F.array().cast("array<string>")
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.length(col) - (n - 1)),
+            lambda i: F.substring(col, i, n),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# F2/F8/F9: scoring expressions
+# --------------------------------------------------------------------------
+
+def tversky_index_col(query: str, source_grams: Column, source_nonempty: Column,
+                      a: float = 0.85, b: float = 0.15) -> Column:
+    """Asymmetric trigram-set similarity (fuzzy.py:9-31) of a query literal
+    vs a source trigram-set column. The reference's weight-renormalization
+    quirk (fuzzy.py:18-19) is identity for every call site (weights already
+    sum to 1), so plain weights are the faithful semantics."""
+    q_set = sorted(set(ngrams_list(query)))
+    if not query:
+        return F.lit(0.0)
+    q_arr = F.array(*[F.lit(g) for g in q_set])
+    inter = F.size(F.array_intersect(q_arr, source_grams)).cast("double")
+    v1 = F.lit(float(len(q_set))) - inter
+    v2 = F.size(F.array_distinct(source_grams)).cast("double") - inter
+    score = inter / (inter + F.lit(a) * v1 + F.lit(b) * v2)
+    # empty source (or 0/0) → 0, matching the reference's guard + except→0
+    return F.when(source_nonempty & (inter > 0), score).otherwise(F.lit(0.0))
+
+
+def entity_fuzzy_score_col(query: str, source: Column) -> Column:
+    """F8 (geo_manager.py:484-489): Tversky(.85/.15) with a 15% prefix boost."""
+    grams = ngrams_col(source)
+    base = tversky_index_col(query, grams, source != F.lit(""))
+    return F.when(source.startswith(F.lit(query)), base * 1.15).otherwise(base)
+
+
+def geo_search_score_col(query: str, source: Column, population: Column) -> Column:
+    """F9 (geo_manager.py:491-501): numeric queries score against the first
+    space-token only (zip-code mode); population-weighted unless the fuzzy
+    score is weak or population non-positive."""
+    target = (
+        F.element_at(F.split(source, " "), 1) if query.isnumeric() else source
+    )
+    fuzzy = entity_fuzzy_score_col(query, target)
+    return F.when(
+        (population <= 0) | (fuzzy <= 0.65), fuzzy * 0.9
+    ).otherwise(fuzzy * 0.9 + F.log(population.cast("double")) * 0.1)
+
+
+# --------------------------------------------------------------------------
+# F4: Damerau-Levenshtein (the single Python hot-path exception — vectorized,
+# and only ever applied to ≤ max(num_results, 500) capped candidates)
+# --------------------------------------------------------------------------
+
+def _damerau_levenshtein(s1: str, s2: str) -> int:
+    """Unrestricted Damerau-Levenshtein (Lowrance-Wagner), matching the
+    jellyfish function the reference uses (geo_manager.py:8, 28-32)."""
+    if s1 == s2:
+        return 0
+    len1, len2 = len(s1), len(s2)
+    if not len1:
+        return len2
+    if not len2:
+        return len1
+    inf = len1 + len2
+    da: dict[str, int] = {}
+    d = [[0] * (len2 + 2) for _ in range(len1 + 2)]
+    d[0][0] = inf
+    for i in range(len1 + 1):
+        d[i + 1][0] = inf
+        d[i + 1][1] = i
+    for j in range(len2 + 1):
+        d[0][j + 1] = inf
+        d[1][j + 1] = j
+    for i in range(1, len1 + 1):
+        db = 0
+        for j in range(1, len2 + 1):
+            i1 = da.get(s2[j - 1], 0)
+            j1 = db
+            if s1[i - 1] == s2[j - 1]:
+                cost = 0
+                db = j
+            else:
+                cost = 1
+            d[i + 1][j + 1] = min(
+                d[i][j] + cost,            # substitution
+                d[i + 1][j] + 1,           # insertion
+                d[i][j + 1] + 1,           # deletion
+                d[i1][j1] + (i - i1 - 1) + 1 + (j - j1 - 1),  # transposition
+            )
+        da[s1[i - 1]] = i
+    return d[len1 + 1][len2 + 1]
+
+
+def geo_damerau_distance_py(val1: str, val2: str) -> int:
+    """F4 (geo_manager.py:28-32): min of first-comma-token DL and full DL."""
+    return min(
+        _damerau_levenshtein(val1.split(",")[0], val2.split(",")[0]),
+        _damerau_levenshtein(val1, val2),
+    )
+
+
+def geo_damerau_distance_udf(query: str):
+    """Arrow-vectorized pandas UDF computing F4 against a fixed query."""
+
+    def _compute(source):
+        return source.map(
+            lambda s: geo_damerau_distance_py(query, s if s is not None else "")
+        )
+
+    return F.pandas_udf(_compute, IntegerType())
+
+
+# --------------------------------------------------------------------------
+# F10: postings (the inverted index as a derived table)
+# --------------------------------------------------------------------------
+
+def build_postings(shapes: DataFrame) -> DataFrame:
+    """Derive `postings(ngram, entity_id)` from shapes (reference ships this
+    precomputed as JSON, geo_manager.py:644; built by add_entity at
+    :468-476). Duplicate trigram occurrences are kept — they contribute to
+    candidate counts. At scale: write bucketed by ngram (geo.ingest)."""
+    return shapes.select(
+        F.explode(ngrams_col(F.col("clean_value"))).alias("ngram"),
+        F.col("id").alias("entity_id"),
+    )
+
+
+def add_entities(postings: DataFrame, new_shapes: DataFrame) -> DataFrame:
+    """Incremental index maintenance (reference add_entity, one record at a
+    time, geo_manager.py:451-476) — here a batch union; dedupe is not wanted
+    (multiplicity is semantic)."""
+    return postings.unionByName(build_postings(new_shapes))
+
+
+# --------------------------------------------------------------------------
+# F12/F13: the pipeline
+# --------------------------------------------------------------------------
+
+def fuzzy_search(
+    shapes: DataFrame,
+    search_entity: str,
+    num_results: int = 50,
+    filters: dict | None = None,
+    postings: DataFrame | None = None,
+    with_damerau: bool = True,
+) -> DataFrame:
+    """F12 (geo_manager.py:525-619). Returns the top `num_results` scored
+    matches: columns (id, value, clean_value, ngram_similarity, score
+    [, distance]).
+
+    `postings` may be a pre-materialized bucketed table; by default it is
+    derived on the fly (Catalyst fuses the explode into the scan).
+    """
+    query = clean_entity(search_entity)
+    q_grams = sorted(set(ngrams_list(query)))
+    cap = max(num_results, CANDIDATE_FLOOR)
+
+    if postings is None:
+        postings = build_postings(shapes)
+    if not q_grams:
+        # no trigrams → empty probe → no candidates (reference: Counter of [])
+        return (
+            shapes.select("id", "value", "clean_value")
+            .withColumns({"ngram_similarity": F.lit(0.0), "score": F.lit(0.0)})
+            .limit(0)
+        )
+
+    candidates = (
+        postings.filter(F.col("ngram").isin(q_grams))
+        .groupBy("entity_id")
+        .agg(F.count("*").alias("gram_hits"))
+        .orderBy(F.desc("gram_hits"), F.asc("entity_id"))
+        .limit(cap)
+    )
+
+    scored = (
+        shapes.join(F.broadcast(candidates), shapes["id"] == candidates["entity_id"])
+        .filter(shape_filters_predicate(filters))
+        .withColumns(
+            {
+                "ngram_similarity": entity_fuzzy_score_col(query, F.col("clean_value")),
+                "score": geo_search_score_col(
+                    query, F.col("clean_value"), F.col("population")
+                ),
+            }
+        )
+    )
+    if with_damerau:
+        scored = scored.withColumn(
+            "distance", geo_damerau_distance_udf(query)(F.col("clean_value"))
+        )
+
+    # dedupe by clean_value (reference dict-comprehension keyed on clean_value,
+    # geo_manager.py:587-612) with a deterministic winner: best score, then id
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("clean_value").orderBy(F.desc("score"), F.asc("id"))
+    cols = ["id", "value", "clean_value", "ngram_similarity", "score"] + (
+        ["distance"] if with_damerau else []
+    )
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(*cols)
+        .orderBy(F.desc("score"), F.asc("id"))
+        .limit(num_results)
+    )
+
+
+def best_fuzzy_search(
+    shapes: DataFrame,
+    search_entity: str,
+    score_threshold: float = 0.90,
+    filters: dict | None = None,
+    postings: DataFrame | None = None,
+) -> DataFrame:
+    """F13 (geo_manager.py:503-523): top-1 above threshold, else empty."""
+    return fuzzy_search(
+        shapes, search_entity, num_results=1, filters=filters, postings=postings
+    ).filter(F.col("score") >= F.lit(score_threshold))

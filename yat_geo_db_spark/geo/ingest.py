@@ -1,0 +1,156 @@
+"""Sources & sinks for the geo dataset (reference load_data family,
+geo_manager.py:671-763).
+
+The reference fetches two flat JSON files (optionally gzip'd) from a
+versioned object store and caches them on disk. Spark-first equivalent:
+
+- ingest: `spark.read.json` with an EXPLICIT schema + cast normalization
+  (the reference force-casts string lat/lng/bbox at load,
+  geo_manager.py:654-659 & 180-182 — so casts belong to ingest, not query),
+- storage: versioned Parquet layout `<root>/v=<version>/shapes/`,
+  written sorted by `reference_code` so point lookups prune to one
+  row-group, and the derived `postings` table bucketed by `ngram` so fuzzy
+  probes touch only matching buckets,
+- cache-hit path: plain `spark.read.parquet`.
+
+gzip JSON is handled natively by Spark's text datasource. HTTP fetch is out
+of scope for the engine (object stores mount as filesystems/S3A at scale).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+import pyspark.sql.functions as F
+import pyspark.sql.types as T
+
+from yat_geo_db_spark.geo.fuzzy import build_postings, clean_entity_col
+
+#: Raw JSON schema — everything the wire format may send as strings
+#: (README.md:81-106); normalization casts happen in `normalize_shapes`.
+RAW_SHAPE_SCHEMA = T.StructType(
+    [
+        T.StructField("value", T.StringType()),
+        T.StructField("clean_value", T.StringType()),
+        T.StructField("id", T.LongType()),
+        T.StructField("reference_code", T.StringType()),
+        T.StructField("latitude", T.StringType()),
+        T.StructField("longitude", T.StringType()),
+        T.StructField(
+            "bbox",
+            T.StructType(
+                [
+                    T.StructField("ll_latitude", T.StringType()),
+                    T.StructField("ur_latitude", T.StringType()),
+                    T.StructField("ll_longitude", T.StringType()),
+                    T.StructField("ur_longitude", T.StringType()),
+                ]
+            ),
+        ),
+        T.StructField("area", T.DoubleType()),
+        T.StructField("geo_type", T.StringType()),
+        T.StructField(
+            "ref_data",
+            T.StructType(
+                [
+                    T.StructField("city", T.StringType()),
+                    T.StructField("country", T.StringType()),
+                    T.StructField("zip_code", T.StringType()),
+                    T.StructField("state_prov", T.StringType()),
+                    T.StructField("metro", T.StringType()),
+                    T.StructField("metro_size", T.IntegerType()),
+                ]
+            ),
+        ),
+        T.StructField("population", T.LongType()),
+        T.StructField("is_aggregate", T.BooleanType()),
+        T.StructField("is_zip_code", T.BooleanType()),
+        T.StructField("is_three_digit_zip_code", T.BooleanType()),
+        T.StructField("long_display", T.StringType()),
+        T.StructField("short_display", T.StringType()),
+        T.StructField("primary_timezone", T.StringType()),
+        T.StructField("related_shape_id", T.LongType()),
+        T.StructField("primary_source", T.StringType()),
+        T.StructField("primary_source_id", T.LongType()),
+    ]
+)
+
+
+def normalize_shapes(raw: DataFrame) -> DataFrame:
+    """Ingest-time normalization: float casts for lat/lng/bbox
+    (geo_manager.py:654-659, 180-182), defaulted flags, derived clean_value
+    when absent (add_entity cleans on insert, geo_manager.py:455)."""
+    bbox = F.struct(
+        *[
+            F.coalesce(F.col(f"bbox.{f}").cast("double"), F.lit(None).cast("double")).alias(f)
+            for f in ("ll_latitude", "ur_latitude", "ll_longitude", "ur_longitude")
+        ]
+    )
+    return (
+        raw.withColumn("latitude", F.col("latitude").cast("double"))
+        .withColumn("longitude", F.col("longitude").cast("double"))
+        .withColumn("bbox", bbox)
+        .withColumn("is_aggregate", F.coalesce("is_aggregate", F.lit(False)))
+        .withColumn("population", F.coalesce("population", F.lit(0)))
+        .withColumn("area", F.coalesce("area", F.lit(0.0)))
+        .withColumn(
+            "clean_value",
+            F.coalesce("clean_value", clean_entity_col(F.col("value"))),
+        )
+    )
+
+
+def versioned_path(root: str, version: str | None, table: str) -> str:
+    """S4 (geo_manager.py:671-675): version-addressed layout; `current` when
+    unversioned."""
+    return os.path.join(root, f"v={version or 'current'}", table)
+
+
+def ingest_shapes_json(
+    spark: SparkSession, json_path: str, root: str, version: str | None = None
+) -> str:
+    """S1/S3 (geo_manager.py:677-763): JSON (possibly .gz) → normalized,
+    sorted Parquet. Returns the shapes dataset path.
+
+    Sort by reference_code gives Parquet min/max pruning for point gets;
+    `maxRecordsPerFile` keeps row-groups bounded at large scale.
+    """
+    raw = spark.read.schema(RAW_SHAPE_SCHEMA).json(json_path)
+    out = versioned_path(root, version, "shapes")
+    (
+        normalize_shapes(raw)
+        .repartitionByRange(max(spark.sparkContext.defaultParallelism, 1), "reference_code")
+        .sortWithinPartitions("reference_code")
+        .write.mode("overwrite")
+        .parquet(out)
+    )
+    return out
+
+
+def materialize_postings(
+    spark: SparkSession, shapes: DataFrame, root: str, version: str | None = None,
+    buckets: int = 64, table_name: str | None = None,
+) -> str:
+    """Persist the inverted trigram index. Bucketing by `ngram` co-locates
+    each posting list so a fuzzy probe reads only the buckets its query
+    grams hash to, and repeated probes join without a shuffle. Falls back to
+    ngram-hash-partitioned parquet when no catalog is available."""
+    out = versioned_path(root, version, "postings")
+    postings = build_postings(shapes)
+    if table_name:
+        (
+            postings.write.mode("overwrite")
+            .bucketBy(buckets, "ngram")
+            .sortBy("ngram")
+            .option("path", out)
+            .saveAsTable(table_name)
+        )
+    else:
+        postings.repartition(buckets, "ngram").write.mode("overwrite").parquet(out)
+    return out
+
+
+def read_shapes(spark: SparkSession, root: str, version: str | None = None) -> DataFrame:
+    """S2 cache-hit path (geo_manager.py:706-720)."""
+    return spark.read.parquet(versioned_path(root, version, "shapes"))

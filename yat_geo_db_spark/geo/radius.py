@@ -1,0 +1,243 @@
+"""Radius search family (reference geo_manager.py:218-437) as lazy DataFrame
+pipelines.
+
+Shape of the computation (SURVEY.md §3.2): the origin is a point lookup (a
+one-row DataFrame, broadcast — NOT collected to the driver, so the whole
+query stays one Spark job at any scale); the search itself is a single
+`filter()` scan with a cheap ellipse/bbox predicate — exactly the
+reference's staged design (approximate test first, exact haversine only for
+returned rows, geo_manager.py:190-199 comment).
+
+Scale: the predicate is pure column arithmetic → whole-stage codegen, and
+its bounding-box envelope is min/max-pushdown-friendly, so Parquet row-group
+pruning applies when `shapes` is sorted/partitioned by a space-filling order
+(see geo.ingest). No shuffle for id-results; `full_results` adds none either
+(hits already carry all columns).
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame
+import pyspark.sql.functions as F
+
+from yat_geo_db_spark.geo.geometry import (
+    haversine_miles,
+    latitude_delta_col,
+    longitude_delta_col,
+)
+
+#: sentinel for missing endpoints (geo_manager.py:374-378)
+MISSING_DISTANCE = 999.0
+
+
+def shape_filters_predicate(filters: dict | None) -> Column:
+    """Dynamic conjunctive equality filter (geo_manager.py:45-58).
+
+    Keys are dotted paths (`ref_data.state_prov`) — native struct-field
+    references in Spark, so Parquet pushdown + column pruning are free.
+    """
+    if not filters:
+        return F.lit(True)
+    return reduce(
+        Column.__and__,
+        [F.col(k).eqNullSafe(F.lit(v)) for k, v in filters.items()],
+    )
+
+
+def _ellipse_match(lat: Column, lng: Column, o_lat: Column, o_lng: Column,
+                  lat_delta: Column, lng_delta: Column) -> Column:
+    """Approximate within-radius test (geo_manager.py:190-199): ellipse in
+    degree space — 2 multiplies per row instead of haversine trig."""
+    return (
+        F.pow((o_lat - lat) / lat_delta, 2) + F.pow((o_lng - lng) / lng_delta, 2)
+    ) < 1
+
+
+def _bbox_contains(o_lat: Column, o_lng: Column) -> Column:
+    """Aggregate shapes match when the *origin point* falls inside their
+    bbox (geo_manager.py:201-215 — note the reference tests point-in-bbox,
+    not shape-in-radius; we preserve that). Null bbox fields (non-aggregate
+    or corrupt rows) evaluate NULL → treated as no-match, mirroring the
+    reference's except→False."""
+    return (
+        (F.col("bbox.ur_latitude") >= o_lat)
+        & (o_lat >= F.col("bbox.ll_latitude"))
+        & (F.col("bbox.ur_longitude") >= o_lng)
+        & (o_lng >= F.col("bbox.ll_longitude"))
+    )
+
+
+def radius_match(o_lat: Column, o_lng: Column, lat_delta: Column,
+                 lng_delta: Column, country_filter: Column | None = None) -> Column:
+    """Dispatch predicate (geo_manager.py:184-188): aggregates use bbox
+    containment, points use the ellipse test; optional country equality
+    guard (the reference's chained `!=` at :194 reduces to plain equality)."""
+    base = F.when(F.col("is_aggregate"), _bbox_contains(o_lat, o_lng)).otherwise(
+        _ellipse_match(F.col("latitude"), F.col("longitude"), o_lat, o_lng,
+                       lat_delta, lng_delta)
+    )
+    if country_filter is not None:
+        base = (F.col("ref_data.country").eqNullSafe(country_filter)) & base
+    return base
+
+
+def origin_df(shapes: DataFrame, reference_code: str) -> DataFrame:
+    """One-row origin projection for a PK (geo_manager.py:265-271)."""
+    return shapes.filter(F.col("reference_code") == F.lit(reference_code)).select(
+        F.col("latitude").alias("o_lat"),
+        F.col("longitude").alias("o_lng"),
+        F.col("is_aggregate").alias("o_is_aggregate"),
+        F.col("area").alias("o_area"),
+        F.col("ref_data.country").alias("o_country"),
+    )
+
+
+def radius_search(
+    shapes: DataFrame,
+    reference_code: str,
+    radius: float,
+    country_exact: bool = False,
+    full_results: bool = False,
+    filters: dict | None = None,
+) -> DataFrame:
+    """`radius_search` (geo_manager.py:237-281): PK lookup → radius filter.
+
+    Returns ids (default) or full shape rows with distance columns
+    (`full_results=True`). Missing reference_code → empty result (the
+    broadcast origin is empty ⇒ cross join yields no rows), matching the
+    reference's `[]`.
+    """
+    origin = F.broadcast(origin_df(shapes, reference_code))
+    radius_lit = F.lit(float(radius))
+    lat_delta = latitude_delta_col(radius_lit)
+    lng_delta = longitude_delta_col(F.col("o_lat"), radius_lit)
+    country = F.col("o_country") if country_exact else None
+
+    hits = (
+        shapes.crossJoin(origin)
+        .filter(radius_match(F.col("o_lat"), F.col("o_lng"), lat_delta, lng_delta, country))
+        .filter(shape_filters_predicate(filters))
+    )
+    if not full_results:
+        return hits.select("id")
+    return _attach_pair_distance(hits).drop(
+        "o_lat", "o_lng", "o_is_aggregate", "o_area", "o_country"
+    )
+
+
+def radius_search_lat_lng(
+    shapes: DataFrame,
+    latitude: float,
+    longitude: float,
+    radius: float,
+    country_filter: str | None = None,
+    full_results: bool = False,
+    filters: dict | None = None,
+    exclude_aggregates: bool = False,
+) -> DataFrame:
+    """`radius_search_lat_lng` / `radius_lat_lng_search`
+    (geo_manager.py:283-366): literal-origin variant. With
+    ``exclude_aggregates`` this is R4 (points only). ``full_results`` attaches
+    raw haversine distance (normalized == raw, aggregate flag True —
+    geo_manager.py:312-321)."""
+    o_lat, o_lng = F.lit(float(latitude)), F.lit(float(longitude))
+    radius_lit = F.lit(float(radius))
+    lat_delta = latitude_delta_col(radius_lit)
+    lng_delta = longitude_delta_col(o_lat, radius_lit)
+    country = F.lit(country_filter) if country_filter is not None else None
+
+    hits = shapes.filter(
+        radius_match(o_lat, o_lng, lat_delta, lng_delta, country)
+    ).filter(shape_filters_predicate(filters))
+    if exclude_aggregates:
+        hits = hits.filter(~F.col("is_aggregate"))
+    if not full_results:
+        return hits.select("id")
+    dist = F.round(
+        haversine_miles(o_lat, o_lng, F.col("latitude"), F.col("longitude")), 4
+    )
+    return hits.withColumns(
+        {
+            "distance": dist,
+            "normalized_distance": dist,
+            "distance_aggregate": F.lit(True),
+        }
+    )
+
+
+def _normalized_distance(dist: Column) -> Column:
+    """The reference's normalization ladder (geo_manager.py:386-426).
+
+    Divergence note (documented, SURVEY.md §7): the reference checks
+    `orig.is_aggregate` before `dest`, so its final "both aggregates" branch
+    (with the `mean(a, b)` arity bug at :424) is unreachable; we implement
+    the reachable semantics — origin's area wins, else destination's.
+    """
+    return (
+        F.when(~F.col("o_is_aggregate") & ~F.col("is_aggregate"), dist)
+        .when(F.col("o_is_aggregate"),
+              F.when(F.col("o_area") < 10, dist)
+              .otherwise(dist / F.log(F.greatest(F.col("o_area"), F.lit(1.0)))))
+        .otherwise(
+            F.when(F.col("area") < 10, dist)
+            .otherwise(dist / F.log(F.greatest(F.col("area"), F.lit(1.0)))))
+    )
+
+
+def _attach_pair_distance(hits: DataFrame) -> DataFrame:
+    dist = F.round(
+        haversine_miles(F.col("o_lat"), F.col("o_lng"),
+                        F.col("latitude"), F.col("longitude")), 4
+    )
+    return hits.withColumns(
+        {
+            "distance": dist,
+            "normalized_distance": _normalized_distance(dist),
+            "distance_aggregate": F.col("o_is_aggregate") | F.col("is_aggregate"),
+        }
+    )
+
+
+def pair_distances(shapes: DataFrame, pairs: DataFrame,
+                   orig_col: str = "orig_ref", dest_col: str = "dest_ref") -> DataFrame:
+    """`get_shape_pair_distance` (geo_manager.py:368-426) generalized to a
+    relation of (orig_ref, dest_ref) pairs — the scalable form: two hash
+    joins against `shapes` (broadcast when `pairs` or the key side is small),
+    then pure column math. Missing endpoints get the 999 sentinel
+    (geo_manager.py:374-378)."""
+    orig = shapes.select(
+        F.col("reference_code").alias(orig_col),
+        F.col("latitude").alias("o_lat"),
+        F.col("longitude").alias("o_lng"),
+        F.col("is_aggregate").alias("o_is_aggregate"),
+        F.col("area").alias("o_area"),
+    )
+    dest = shapes.select(
+        F.col("reference_code").alias(dest_col),
+        F.col("latitude").alias("latitude"),
+        F.col("longitude").alias("longitude"),
+        F.col("is_aggregate").alias("is_aggregate"),
+        F.col("area").alias("area"),
+    )
+    joined = (
+        pairs.join(orig, on=orig_col, how="left")
+        .join(dest, on=dest_col, how="left")
+    )
+    found = F.col("o_lat").isNotNull() & F.col("latitude").isNotNull()
+    dist = F.round(
+        haversine_miles(F.col("o_lat"), F.col("o_lng"),
+                        F.col("latitude"), F.col("longitude")), 4
+    )
+    return joined.select(
+        orig_col,
+        dest_col,
+        F.when(found, dist).otherwise(F.lit(MISSING_DISTANCE)).alias("distance"),
+        F.when(found, _normalized_distance(dist))
+        .otherwise(F.lit(MISSING_DISTANCE))
+        .alias("normalized_distance"),
+        F.when(found, F.col("o_is_aggregate") | F.col("is_aggregate"))
+        .otherwise(F.lit(False))
+        .alias("distance_aggregate"),
+    )
