@@ -1,10 +1,10 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+`entry(spark)` runs the flagship trigram fuzzy-search pipeline (the
+reference's marquee query, geo_manager.py:525-619) at sf0.001.
+`queries()` / `oracle_sql()` expose every implemented operator from
+SURVEY.md §2 plus the training-data pipeline extensions, each paired with
+a DuckDB oracle over the same parquet tables.
 """
 
 from __future__ import annotations
@@ -16,23 +16,24 @@ from pyspark.sql import DataFrame, SparkSession
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    from yat_geo_db_spark.queries.geo_queries import q_fuzzy_city
+    from yat_geo_db_spark.session import apply_runtime_conf
+
+    apply_runtime_conf(spark)
+    return q_fuzzy_city(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    """One entry per implemented operator from SURVEY.md §2."""
+    from yat_geo_db_spark.queries import all_queries
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {name: fn for name, (fn, _sql) in all_queries().items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-equivalent SQL for each query (omitted → rows-only check)."""
+    from yat_geo_db_spark.queries import all_queries
+
+    return {
+        name: sql for name, (_fn, sql) in all_queries().items() if sql is not None
+    }

@@ -1,0 +1,84 @@
+"""Mimics the driver's correctness gate: run every registry query through
+Spark AND its DuckDB oracle over the same parquet, compare row count +
+column names + order-insensitive canonicalized values.
+
+Run a single query: pytest tests/test_oracle_parity.py -k geo_fuzzy_city
+"""
+
+from __future__ import annotations
+
+import math
+import os
+
+import duckdb
+import pytest
+
+from yat_geo_db_spark.queries import all_queries
+from yat_geo_db_spark.testdata import TABLES
+
+SF_DIR = os.environ.get("PARITY_SF_DIR", "/root/testdata/sf0.001")
+
+REGISTRY = all_queries()
+ORACLE_CASES = sorted(n for n, (_f, sql) in REGISTRY.items() if sql is not None)
+ROWS_ONLY_CASES = sorted(n for n, (_f, sql) in REGISTRY.items() if sql is None)
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(
+            f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'"
+        )
+    yield con
+    con.close()
+
+
+def canon_cell(v):
+    if v is None:
+        return None
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        # driver-style tolerant float canon: queries pre-round, so repr of
+        # the rounded double is stable across engines
+        return repr(round(v, 9))
+    if isinstance(v, bool):
+        return bool(v)
+    if hasattr(v, "item"):  # numpy scalar
+        return canon_cell(v.item())
+    return v
+
+
+def canon(pdf):
+    cols = sorted(pdf.columns)
+    rows = [
+        tuple(canon_cell(v) for v in row)
+        for row in pdf[cols].itertuples(index=False, name=None)
+    ]
+    return cols, sorted(rows, key=repr)
+
+
+@pytest.mark.parametrize("name", ORACLE_CASES)
+def test_oracle_parity(name, spark, duck):
+    fn, sql = REGISTRY[name]
+    got = fn(spark, SF_DIR).toPandas()
+    want = duck.sql(sql).df()
+    got_cols, got_rows = canon(got)
+    want_cols, want_rows = canon(want)
+    assert got_cols == want_cols, f"{name}: columns {got_cols} != {want_cols}"
+    assert len(got_rows) == len(want_rows), (
+        f"{name}: {len(got_rows)} rows vs oracle {len(want_rows)}"
+    )
+    mismatches = [
+        (a, b) for a, b in zip(got_rows, want_rows) if a != b
+    ][:5]
+    assert not mismatches, f"{name}: first mismatches {mismatches}"
+
+
+@pytest.mark.parametrize("name", ROWS_ONLY_CASES)
+def test_rows_only(name, spark):
+    fn, _ = REGISTRY[name]
+    df = fn(spark, SF_DIR)
+    assert df.count() >= 0
+    assert len(df.columns) > 0

@@ -61,9 +61,9 @@ def _shapes_cte_body() -> str:
     'us__' || {st} || '__' || {city} || '_' || CAST(id AS VARCHAR(30)) AS reference_code,
     {value} AS value,
     lower(replace({value}, ',', '')) AS clean_value,
-    28.0 + ci * 1.1 + ((id * 13) % 100) * 0.003 AS latitude,
-    -122.0 + si * 6.5 + ((id * 17) % 100) * 0.003 AS longitude,
-    CASE WHEN gm IN (2, 3) THEN 5.0 + (id % 200) * 3.7 ELSE 0.0 END AS area,
+    CAST(28.0 + ci * 1.1 + ((id * 13) % 100) * 0.003 AS DOUBLE) AS latitude,
+    CAST(-122.0 + si * 6.5 + ((id * 17) % 100) * 0.003 AS DOUBLE) AS longitude,
+    CAST(CASE WHEN gm IN (2, 3) THEN 5.0 + (id % 200) * 3.7 ELSE 0.0 END AS DOUBLE) AS area,
     CASE gm WHEN 0 THEN 'City' WHEN 1 THEN 'ZipCode' WHEN 2 THEN 'MetroArea' ELSE 'County' END AS geo_type,
     CASE WHEN id % 7 = 0 THEN 0 ELSE 1000 + (id * 9176) % 2000000 END AS population,
     gm IN (2, 3) AS is_aggregate,
@@ -78,10 +78,10 @@ def _shapes_cte_body() -> str:
     upper({st}) AS rd_state_prov,
     CASE WHEN gm = 2 THEN {city} || ' metro area' ELSE NULL END AS rd_metro,
     CASE WHEN gm = 2 THEN id % 50 ELSE NULL END AS rd_metro_size,
-    CASE WHEN gm IN (2, 3) THEN 28.0 + ci * 1.1 + ((id * 13) % 100) * 0.003 - (0.15 + (id % 10) * 0.04) ELSE NULL END AS bb_ll_lat,
-    CASE WHEN gm IN (2, 3) THEN 28.0 + ci * 1.1 + ((id * 13) % 100) * 0.003 + (0.15 + (id % 10) * 0.04) ELSE NULL END AS bb_ur_lat,
-    CASE WHEN gm IN (2, 3) THEN -122.0 + si * 6.5 + ((id * 17) % 100) * 0.003 - (0.15 + (id % 10) * 0.04) * 1.3 ELSE NULL END AS bb_ll_lng,
-    CASE WHEN gm IN (2, 3) THEN -122.0 + si * 6.5 + ((id * 17) % 100) * 0.003 + (0.15 + (id % 10) * 0.04) * 1.3 ELSE NULL END AS bb_ur_lng
+    CAST(CASE WHEN gm IN (2, 3) THEN 28.0 + ci * 1.1 + ((id * 13) % 100) * 0.003 - (0.15 + (id % 10) * 0.04) ELSE NULL END AS DOUBLE) AS bb_ll_lat,
+    CAST(CASE WHEN gm IN (2, 3) THEN 28.0 + ci * 1.1 + ((id * 13) % 100) * 0.003 + (0.15 + (id % 10) * 0.04) ELSE NULL END AS DOUBLE) AS bb_ur_lat,
+    CAST(CASE WHEN gm IN (2, 3) THEN -122.0 + si * 6.5 + ((id * 17) % 100) * 0.003 - (0.15 + (id % 10) * 0.04) * 1.3 ELSE NULL END AS DOUBLE) AS bb_ll_lng,
+    CAST(CASE WHEN gm IN (2, 3) THEN -122.0 + si * 6.5 + ((id * 17) % 100) * 0.003 + (0.15 + (id % 10) * 0.04) * 1.3 ELSE NULL END AS DOUBLE) AS bb_ur_lng
   FROM (
     SELECT
       c_custkey AS id,

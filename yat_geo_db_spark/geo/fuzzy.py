@@ -256,10 +256,14 @@ def fuzzy_search(
         )
 
     # dedupe by clean_value (reference dict-comprehension keyed on clean_value,
-    # geo_manager.py:587-612) with a deterministic winner: best score, then id
+    # geo_manager.py:587-612) with a deterministic winner: best score, then id.
+    # Ordering keys use the score rounded to 6dp so rankings are stable across
+    # engines/libm implementations (raw fp near-ties are unspecified in the
+    # reference anyway).
     from pyspark.sql import Window
 
-    w = Window.partitionBy("clean_value").orderBy(F.desc("score"), F.asc("id"))
+    order_key = F.round(F.col("score"), 6)
+    w = Window.partitionBy("clean_value").orderBy(order_key.desc(), F.asc("id"))
     cols = ["id", "value", "clean_value", "ngram_similarity", "score"] + (
         ["distance"] if with_damerau else []
     )
@@ -267,7 +271,7 @@ def fuzzy_search(
         scored.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
         .select(*cols)
-        .orderBy(F.desc("score"), F.asc("id"))
+        .orderBy(order_key.desc(), F.asc("id"))
         .limit(num_results)
     )
 

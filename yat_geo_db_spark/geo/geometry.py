@@ -58,10 +58,22 @@ def longitude_delta_from_miles(lat: float, miles: float) -> float:
 
 
 def latitude_delta_col(miles: Column) -> Column:
-    """Column form, for when the radius comes from data (e.g. per-row radii)."""
-    return (miles / F.lit(EARTH_RADIUS_MILES)) * F.lit(180.0 / math.pi)
+    """Column form. Operation order mirrors the SQL fragment
+    `(m / R) * 180.0 / pi()` exactly so both engines produce the same double."""
+    return miles / F.lit(EARTH_RADIUS_MILES) * F.lit(180.0) / F.lit(math.pi)
 
 
 def longitude_delta_col(lat: Column, miles: Column) -> Column:
-    r = F.lit(EARTH_RADIUS_MILES) * F.cos(F.radians(lat))
-    return (miles / r) * F.lit(180.0 / math.pi)
+    r = F.lit(EARTH_RADIUS_MILES) * F.cos(lat * F.lit(math.pi) / F.lit(180.0))
+    return miles / r * F.lit(180.0) / F.lit(math.pi)
+
+
+def latitude_delta_sql(miles: float) -> str:
+    return f"({miles} / {EARTH_RADIUS_MILES} * 180.0 / pi())"
+
+
+def longitude_delta_sql(lat_expr: str, miles: float) -> str:
+    return (
+        f"({miles} / ({EARTH_RADIUS_MILES} * cos({lat_expr} * pi() / 180.0))"
+        f" * 180.0 / pi())"
+    )

@@ -1,0 +1,272 @@
+"""Deduplication for training corpora — exact, n-gram Jaccard, MinHash+LSH,
+SimHash, embedding-cosine. Generalizes the reference's trigram machinery
+(F1/F2/F10/F12) from interactive search to corpus-scale self-join.
+
+Scale shapes:
+- exact: one hash-aggregate shuffle on a digest — the cheapest possible form.
+- ngram-Jaccard: candidate generation MUST be blocked (here: language +
+  length bucket; at 100 TB: MinHash bands) — never a blind O(N²) cross join.
+- MinHash+LSH: shingle → K permuted min-hashes → band buckets → within-bucket
+  pairs → exact-Jaccard verify. Shuffles: one per band-bucket join; band
+  width trades recall vs candidate volume.
+- SimHash: 64-bit signature from token hashes; near-dup = small Hamming
+  distance within LSH-style prefix blocks.
+All signatures are pure Column expressions (deterministic, oracle-checkable);
+no Python in the row path.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import Column, DataFrame
+import pyspark.sql.functions as F
+
+from yat_geo_db_spark.pipelines.text import FNV_BASE, FNV_MOD, tokens_col
+
+#: MinHash permutation parameters — fixed seed so Spark & oracle SQL agree.
+_rng = random.Random(42)
+MINHASH_PERMS: list[tuple[int, int]] = [
+    (_rng.randrange(1, FNV_MOD - 1), _rng.randrange(0, FNV_MOD - 1))
+    for _ in range(16)
+]
+MINHASH_BANDS = 4  # 4 bands × 4 rows
+
+SIMHASH_BITS = 32
+
+
+def char_ngrams(col: Column, n: int = 3) -> Column:
+    """Character shingles (duplicates kept; wrap in array_distinct for sets)."""
+    return F.when(F.length(col) < n, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.length(col) - (n - 1)),
+            lambda i: F.substring(col, i, n),
+        )
+    )
+
+
+def shingle_hash(g: Column) -> Column:
+    """Polynomial hash of a short shingle string → long (same fold as
+    text.fingerprint_col; identical in DuckDB via list_reduce)."""
+    codes = F.transform(
+        F.sequence(F.lit(1), F.length(g)),
+        lambda i: F.ascii(F.substring(g, i, 1)).cast("long"),
+    )
+    return F.aggregate(
+        codes, F.lit(0).cast("long"), lambda acc, c: (acc * FNV_BASE + c) % FNV_MOD
+    )
+
+
+# --------------------------------------------------------------------------
+# exact dedup
+# --------------------------------------------------------------------------
+
+def exact_duplicates(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    """Map every doc to the canonical (minimum) doc_id of its exact-text
+    group. One shuffle on the md5 digest — never on the full text bytes."""
+    digested = documents.select(
+        "doc_id", F.md5(F.col(text_col)).alias("digest")
+    )
+    canon = digested.groupBy("digest").agg(
+        F.min("doc_id").alias("canonical_id"),
+        F.count(F.lit(1)).alias("group_size"),
+    )
+    return (
+        digested.join(canon, "digest")
+        .select("doc_id", "canonical_id", "group_size")
+    )
+
+
+# --------------------------------------------------------------------------
+# n-gram Jaccard near-dup (blocked pairwise)
+# --------------------------------------------------------------------------
+
+def ngram_jaccard_pairs(
+    documents: DataFrame,
+    threshold: float = 0.5,
+    n: int = 3,
+    text_col: str = "text",
+    block_cols: tuple[str, ...] = ("lang",),
+) -> DataFrame:
+    """Near-duplicate pairs by character-n-gram Jaccard within blocks.
+
+    The self-join is keyed on the blocking columns (equi-join → hash
+    partitioned, AQE handles skewed blocks); `id1 < id2` halves the pairs.
+    Output: (id1, id2, jaccard) for pairs ≥ threshold.
+    """
+    grams = F.array_distinct(char_ngrams(F.col(text_col), n))
+    docs = documents.select(
+        F.col("doc_id"), *[F.col(c) for c in block_cols], grams.alias("grams")
+    )
+    a = docs.select(
+        F.col("doc_id").alias("id1"),
+        *[F.col(c).alias(f"b1_{c}") for c in block_cols],
+        F.col("grams").alias("g1"),
+    )
+    b = docs.select(
+        F.col("doc_id").alias("id2"),
+        *[F.col(c).alias(f"b2_{c}") for c in block_cols],
+        F.col("grams").alias("g2"),
+    )
+    cond = F.col("id1") < F.col("id2")
+    for c in block_cols:
+        cond = cond & (F.col(f"b1_{c}") == F.col(f"b2_{c}"))
+    inter = F.size(F.array_intersect(F.col("g1"), F.col("g2"))).cast("double")
+    union = (
+        F.size(F.col("g1")).cast("double") + F.size(F.col("g2")).cast("double") - inter
+    )
+    jac = F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+    return (
+        a.join(b, cond)
+        .withColumn("jaccard", F.round(jac, 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id1", "id2", "jaccard")
+    )
+
+
+# --------------------------------------------------------------------------
+# MinHash + LSH
+# --------------------------------------------------------------------------
+
+def minhash_signature(col: Column, n: int = 3) -> Column:
+    """Array of K min-hashes over character-n-gram shingle hashes.
+    K linear permutations `(a·h + b) mod P` of one base hash — all inside
+    one expression tree, evaluated once per row."""
+    hashes = F.array_distinct(
+        F.transform(char_ngrams(col, n), lambda g: shingle_hash(g))
+    )
+    mins = [
+        F.when(
+            F.size(hashes) > 0,
+            F.array_min(
+                F.transform(hashes, lambda h: (h * a + b) % FNV_MOD)
+            ),
+        )
+        .otherwise(F.lit(FNV_MOD))
+        .alias(f"mh{j}")
+        for j, (a, b) in enumerate(MINHASH_PERMS)
+    ]
+    return F.array(*mins)
+
+
+def minhash_lsh_pairs(
+    documents: DataFrame,
+    threshold: float = 0.5,
+    n: int = 3,
+    text_col: str = "text",
+) -> DataFrame:
+    """Candidate pairs via LSH banding + exact-Jaccard verification.
+
+    Stages: signature (no shuffle) → explode bands (×B) → self-join on
+    (band, band-signature) → distinct candidate pairs → verify with exact
+    n-gram Jaccard. At 100 TB the band join dominates; salting the hottest
+    buckets or raising rows-per-band bounds it."""
+    rows_per_band = len(MINHASH_PERMS) // MINHASH_BANDS
+    sig = documents.select(
+        "doc_id",
+        F.array_distinct(char_ngrams(F.col(text_col), n)).alias("grams"),
+        minhash_signature(F.col(text_col), n).alias("sig"),
+    )
+    banded = sig.select(
+        "doc_id",
+        "grams",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band"),
+                        F.slice("sig", bi * rows_per_band + 1, rows_per_band).alias("bsig"),
+                    )
+                    for bi in range(MINHASH_BANDS)
+                ]
+            )
+        ).alias("b"),
+    ).select("doc_id", "grams", F.col("b.band").alias("band"),
+             F.col("b.bsig").cast("array<long>").alias("bsig"))
+
+    left = banded.select(
+        F.col("band"), F.col("bsig"),
+        F.col("doc_id").alias("id1"), F.col("grams").alias("g1"),
+    )
+    right = banded.select(
+        F.col("band").alias("band_r"), F.col("bsig").alias("bsig_r"),
+        F.col("doc_id").alias("id2"), F.col("grams").alias("g2"),
+    )
+    cand = (
+        left.join(
+            right,
+            (F.col("band") == F.col("band_r"))
+            & (F.col("bsig") == F.col("bsig_r"))
+            & (F.col("id1") < F.col("id2")),
+        )
+        .select("id1", "id2", "g1", "g2")
+        .dropDuplicates(["id1", "id2"])
+    )
+    inter = F.size(F.array_intersect(F.col("g1"), F.col("g2"))).cast("double")
+    union = F.size(F.col("g1")).cast("double") + F.size(F.col("g2")).cast("double") - inter
+    jac = F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+    return (
+        cand.withColumn("jaccard", F.round(jac, 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id1", "id2", "jaccard")
+    )
+
+
+# --------------------------------------------------------------------------
+# SimHash
+# --------------------------------------------------------------------------
+
+def simhash_col(text: Column) -> Column:
+    """SimHash signature over whitespace tokens: per-token polynomial hash,
+    per-bit vote, sign → bit. Pure expressions: for each bit j, count tokens
+    with bit j set vs total, set bit when votes > half."""
+    toks = F.array_distinct(tokens_col(text))
+    hashes = F.transform(toks, lambda t: shingle_hash(t))
+    n_tok = F.size(hashes)
+    bits = [
+        F.when(
+            F.size(F.filter(hashes, lambda h: (h.bitwiseAND(F.lit(1 << j))) > 0)) * 2
+            > n_tok,
+            F.lit(1 << j).cast("long"),
+        ).otherwise(F.lit(0).cast("long"))
+        for j in range(SIMHASH_BITS)
+    ]
+    out = bits[0]
+    for bcol in bits[1:]:
+        out = out + bcol
+    return out
+
+
+def simhash_pairs(
+    documents: DataFrame,
+    max_hamming: int = 6,
+    text_col: str = "text",
+    block_cols: tuple[str, ...] = ("lang",),
+) -> DataFrame:
+    """Near-dup pairs with SimHash Hamming distance ≤ max_hamming, blocked
+    like ngram_jaccard_pairs. (At scale, block on signature prefixes so each
+    pair shares a 16-bit prefix — standard SimHash chunking.)"""
+    sigs = documents.select(
+        "doc_id", *[F.col(c) for c in block_cols],
+        simhash_col(F.col(text_col)).alias("sig"),
+    )
+    a = sigs.select(
+        F.col("doc_id").alias("id1"),
+        *[F.col(c).alias(f"b1_{c}") for c in block_cols],
+        F.col("sig").alias("s1"),
+    )
+    b = sigs.select(
+        F.col("doc_id").alias("id2"),
+        *[F.col(c).alias(f"b2_{c}") for c in block_cols],
+        F.col("sig").alias("s2"),
+    )
+    cond = F.col("id1") < F.col("id2")
+    for c in block_cols:
+        cond = cond & (F.col(f"b1_{c}") == F.col(f"b2_{c}"))
+    hamming = F.bit_count(F.col("s1").bitwiseXOR(F.col("s2")))
+    return (
+        a.join(b, cond)
+        .withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id1", "id2", "hamming")
+    )

@@ -1,0 +1,132 @@
+"""Vector similarity search over an embedding column (`array<float>`).
+
+Generalizes the reference's metric-space ops (radius filter R3, top-k F12)
+to embedding space:
+
+- brute-force cosine top-k: exact baseline — broadcast the query, one
+  projection + TakeOrderedAndProject; no shuffle beyond the final top-k.
+- IVF-style bucketed search: sign-bit coarse quantizer → candidate bucket(s)
+  only; the 100 TB path (prunes ~2^b of the corpus per probe; the bucket id
+  is a partition key so probes become partition-pruned scans).
+- pairwise near-dup: blocked self-join on bucket, like dedup.
+
+Dot products fold LEFT-TO-RIGHT via `aggregate` over doubles, which makes
+values bit-identical to a DuckDB `list_reduce` oracle — and keeps everything
+in codegen; no UDF, no BLAS needed for correctness paths. (A Pandas-UDF
+matmul variant belongs in bench-land when batching wins; plumbing stays the
+same.)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+import pyspark.sql.functions as F
+
+
+def dot_col(a: Column, b: Column) -> Column:
+    """Deterministic sequential-fold dot product over double-cast arrays."""
+    prods = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
+    return F.aggregate(prods, F.lit(0.0), lambda acc, v: acc + v)
+
+
+def norm_col(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+def cosine_col(a: Column, b: Column) -> Column:
+    return dot_col(a, b) / (norm_col(a) * norm_col(b))
+
+
+def brute_force_topk(
+    embeddings: DataFrame, query_id: int, k: int = 10,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k neighbors of one stored vector. The query row is a
+    broadcast one-row dimension (never collected); result ordering is
+    (rounded cosine desc, id) for cross-engine stability."""
+    q = F.broadcast(
+        embeddings.filter(F.col(id_col) == query_id)
+        .select(F.col(vec_col).alias("q_vec"))
+    )
+    return (
+        embeddings.filter(F.col(id_col) != query_id)
+        .crossJoin(q)
+        .select(
+            F.col(id_col),
+            F.round(cosine_col(F.col(vec_col), F.col("q_vec")), 6).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def signbit_bucket(vec: Column, bits: int = 8) -> Column:
+    """Coarse quantizer: integer bucket from the sign of the first `bits`
+    components (a fixed random-hyperplane LSH with axis-aligned planes —
+    deterministic and oracle-expressible)."""
+    out = F.lit(0).cast("long")
+    for j in range(bits):
+        out = out + F.when(
+            F.element_at(vec, j + 1) > 0, F.lit(1 << j).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+    return out
+
+
+def ivf_topk(
+    embeddings: DataFrame, query_id: int, k: int = 10, bits: int = 8,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: search only the query's sign-bit bucket.
+    At scale, write the corpus partitioned by bucket → each probe is a
+    partition-pruned scan of ~N/2^bits vectors."""
+    bucketed = embeddings.withColumn("bucket", signbit_bucket(F.col(vec_col), bits))
+    q = F.broadcast(
+        bucketed.filter(F.col(id_col) == query_id)
+        .select(F.col(vec_col).alias("q_vec"), F.col("bucket").alias("q_bucket"))
+    )
+    return (
+        bucketed.crossJoin(q)
+        .filter((F.col("bucket") == F.col("q_bucket")) & (F.col(id_col) != query_id))
+        .select(
+            F.col(id_col),
+            F.round(cosine_col(F.col(vec_col), F.col("q_vec")), 6).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def cosine_near_dup_pairs(
+    embeddings: DataFrame, threshold: float = 0.8,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+    block_col: str = "label",
+) -> DataFrame:
+    """Embedding near-duplicate pairs within blocks (equi-join on the block
+    key — at 100 TB the block is the IVF bucket, making this
+    shuffle-bounded rather than O(N²))."""
+    docs = embeddings.select(
+        F.col(id_col), F.col(block_col), F.col(vec_col).alias("vec")
+    )
+    a = docs.select(
+        F.col(id_col).alias("id1"), F.col(block_col).alias("blk1"),
+        F.col("vec").alias("v1"),
+    )
+    b = docs.select(
+        F.col(id_col).alias("id2"), F.col(block_col).alias("blk2"),
+        F.col("vec").alias("v2"),
+    )
+    return (
+        a.join(b, (F.col("id1") < F.col("id2")) & (F.col("blk1") == F.col("blk2")))
+        .select(
+            "id1",
+            "id2",
+            F.round(cosine_col(F.col("v1"), F.col("v2")), 6).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )

@@ -1,0 +1,127 @@
+"""Text analysis over a document corpus — language-ID heuristic, quality
+scoring, token counting, fingerprinting. All pure Column expressions (no
+Python in the hot path): at 100 TB these run inside whole-stage codegen at
+scan speed, one pass, no shuffle.
+
+These generalize the reference's text machinery (clean_entity F6, ngrams F1)
+from one query string to a corpus-wide pipeline.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+import pyspark.sql.functions as F
+
+#: tiny per-language marker lexicons for the n-gram/stopword language-ID
+#: heuristic (deterministic, oracle-expressible: counts of exact token hits)
+LANG_MARKERS = {
+    "en": ("the", "and", "of", "to", "a"),
+    "es": ("el", "la", "de", "que", "y"),
+    "fr": ("le", "la", "et", "les", "des"),
+    "de": ("der", "die", "und", "das", "ist"),
+    "zh": ("de", "shi", "bu", "le", "wo"),
+}
+
+STOPWORDS = ("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
+
+FNV_MOD = 1_000_000_007
+FNV_BASE = 31
+
+
+def tokens_col(text: Column) -> Column:
+    """Whitespace tokenization."""
+    return F.split(text, " ")
+
+
+def token_count_col(text: Column) -> Column:
+    """Whitespace token count."""
+    return F.size(tokens_col(text))
+
+
+def bpe_ish_token_count_col(text: Column) -> Column:
+    """BPE-ish sub-word proxy: count of letter-runs and digit-runs (a cheap
+    stand-in for tokenizer-length used to budget LLM training samples)."""
+    return F.size(F.regexp_extract_all(text, F.lit("[a-z]+|[0-9]+"), 0))
+
+
+def marker_hits(text: Column, markers: tuple[str, ...]) -> Column:
+    """How many tokens of `text` are in the marker set (array built-ins)."""
+    toks = tokens_col(text)
+    arr = F.array(*[F.lit(m) for m in markers])
+    return F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+
+
+def lang_id_col(text: Column) -> Column:
+    """Heuristic language ID: argmax of marker-hit counts, ties resolved in
+    fixed key order, zero hits → 'und'. Deterministic and SQL-expressible."""
+    scores = [(lang, marker_hits(text, m)) for lang, m in LANG_MARKERS.items()]
+    best_lang = F.lit("und")
+    best_score = F.lit(0)
+    # in-order iteration + strict '>' ⇒ ties go to the EARLIEST language in
+    # LANG_MARKERS (matches the oracle's greatest()/first-match CASE)
+    for lang, s in scores:
+        better = s > best_score
+        best_lang = F.when(better, F.lit(lang)).otherwise(best_lang)
+        best_score = F.when(better, s).otherwise(best_score)
+    return best_lang
+
+
+def quality_features(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document quality signals used to filter training corpora:
+    lengths, token stats, stopword ratio, char-class ratios, plus a single
+    composite `quality_score` in [0,1]."""
+    text = F.col(text_col)
+    toks = tokens_col(text)
+    n_tok = F.size(toks).cast("double")
+    n_chars = F.length(text).cast("double")
+    stop = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop, t))).cast("double")
+    n_alpha = F.length(F.regexp_replace(text, "[^a-z]", "")).cast("double")
+    distinct_ratio = F.size(F.array_distinct(toks)).cast("double") / n_tok
+    avg_tok_len = F.round((n_chars - (n_tok - 1)) / n_tok, 6)
+    stop_ratio = F.round(n_stop / n_tok, 6)
+    alpha_ratio = F.round(n_alpha / n_chars, 6)
+    # composite: reward mid-length docs with diverse tokens and some stopwords
+    score = (
+        F.least(n_tok / 50.0, F.lit(1.0)) * 0.4
+        + F.least(distinct_ratio * 1.25, F.lit(1.0)) * 0.4
+        + F.least(n_stop / 5.0, F.lit(1.0)) * 0.2
+    )
+    return documents.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        bpe_ish_token_count_col(text).alias("n_subword_tokens"),
+        F.length(text).alias("len_chars"),
+        avg_tok_len.alias("avg_token_len"),
+        F.round(distinct_ratio, 6).alias("distinct_token_ratio"),
+        stop_ratio.alias("stopword_ratio"),
+        alpha_ratio.alias("alpha_ratio"),
+        F.round(score, 6).alias("quality_score"),
+    )
+
+
+def fingerprint_col(text: Column) -> Column:
+    """Deterministic 63-bit document fingerprint: left-fold polynomial
+    rolling hash over character codes, `acc*31 + code (mod 1e9+7)`.
+    Pure expression (sequence → transform → aggregate) — no UDF."""
+    codes = F.transform(
+        F.sequence(F.lit(1), F.length(text)),
+        lambda i: F.ascii(F.substring(text, i, 1)).cast("long"),
+    )
+    return F.aggregate(
+        codes,
+        F.lit(0).cast("long"),
+        lambda acc, c: (acc * FNV_BASE + c) % FNV_MOD,
+    )
+
+
+def document_fingerprints(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    return documents.select(
+        "doc_id", fingerprint_col(F.col(text_col)).alias("fingerprint")
+    )
+
+
+def lang_id(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    return documents.select(
+        "doc_id", "lang", lang_id_col(F.col(text_col)).alias("lang_pred")
+    )

@@ -1,0 +1,256 @@
+"""Geo operator registry — every geo family from SURVEY.md §2.2–2.5 as a
+named `(spark_fn, oracle_sql)` pair.
+
+The `shapes` input is the deterministic fixture (geo.fixture.SHAPES_CTE)
+derived from `customer`, so both engines read identical data at any scale
+factor. Spark-side wrappers round score/distance outputs exactly like the
+oracle SQL so the driver's value hash matches (SURVEY.md §7 float note).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+import pyspark.sql.functions as F
+
+from yat_geo_db_spark.geo import fuzzy, lookup, radius
+from yat_geo_db_spark.geo.fixture import SHAPES_CTE, shapes_df
+from yat_geo_db_spark.queries import ducksql
+from yat_geo_db_spark.testdata import register_views
+
+#: fixed query points — ids that exist at every scale factor (c_custkey ≥ 1)
+REF_NASHUA_1 = "us__tn__nashua_1"      # id=1: gm=1 ci=1 si=0
+REF_METRO_2 = "us__tn__ashland_2"      # id=2: gm=2 (MetroArea, aggregate)
+QUERY_CITY = "Nashville, TN"
+QUERY_ZIP = "17919"                     # numeric → zip-mode scoring (id=1's zip)
+ORIGIN_LAT, ORIGIN_LNG = 29.139, -121.949
+
+
+def _shapes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir, tables=("customer",))
+    return shapes_df(spark)
+
+
+def _fuzzy_out(df: DataFrame, with_distance: bool = True) -> DataFrame:
+    """Round scores like the oracle; distance → long for dtype parity."""
+    cols = [
+        F.col("id"),
+        F.col("value"),
+        F.col("clean_value"),
+        F.round("ngram_similarity", 6).alias("ngram_similarity"),
+        F.round("score", 6).alias("score"),
+    ]
+    if with_distance:
+        cols.append(F.col("distance").cast("long").alias("distance"))
+    return df.select(*cols)
+
+
+def _radius_full_out(df: DataFrame) -> DataFrame:
+    return df.select(
+        "id",
+        "reference_code",
+        "value",
+        "geo_type",
+        "distance",
+        F.round("normalized_distance", 6).alias("normalized_distance"),
+        "distance_aggregate",
+    )
+
+
+# --------------------------------------------------------------------------
+# Spark-side callables (driver signature: (spark, sf_dir) -> DataFrame)
+# --------------------------------------------------------------------------
+
+def q_fuzzy_city(spark, sf_dir):
+    """F12 flagship: trigram probe → candidate cap → score → dedupe → top-k."""
+    return _fuzzy_out(fuzzy.fuzzy_search(_shapes(spark, sf_dir), QUERY_CITY, 10))
+
+
+def q_fuzzy_filtered(spark, sf_dir):
+    """F12 + P12 dotted-path filters (post-cap, like the reference)."""
+    return _fuzzy_out(
+        fuzzy.fuzzy_search(
+            _shapes(spark, sf_dir),
+            QUERY_CITY,
+            10,
+            filters={"ref_data.state_prov": "TN", "geo_type": "City"},
+        )
+    )
+
+
+def q_fuzzy_zip(spark, sf_dir):
+    """F9 numeric branch: zip-mode scores against the first space-token."""
+    return _fuzzy_out(fuzzy.fuzzy_search(_shapes(spark, sf_dir), QUERY_ZIP, 10))
+
+
+def q_best_fuzzy(spark, sf_dir):
+    """F13: top-1 with a 0.90 score threshold."""
+    return _fuzzy_out(
+        fuzzy.best_fuzzy_search(_shapes(spark, sf_dir), QUERY_CITY, 0.90)
+    )
+
+
+def q_radius_ids(spark, sf_dir):
+    """R1-R7: PK origin → ellipse/bbox predicate scan → ids."""
+    return radius.radius_search(_shapes(spark, sf_dir), REF_NASHUA_1, 50.0)
+
+
+def q_radius_full(spark, sf_dir):
+    """R2 full_results + country_exact: hits enriched with distances."""
+    return _radius_full_out(
+        radius.radius_search(
+            _shapes(spark, sf_dir), REF_NASHUA_1, 50.0,
+            country_exact=True, full_results=True,
+        )
+    )
+
+
+def q_radius_latlng(spark, sf_dir):
+    """R4: literal origin, aggregates excluded, dotted-path filter."""
+    return radius.radius_search_lat_lng(
+        _shapes(spark, sf_dir), ORIGIN_LAT, ORIGIN_LNG, 75.0,
+        filters={"ref_data.state_prov": "TN"}, exclude_aggregates=True,
+    )
+
+
+def q_pair_distances(spark, sf_dir):
+    """R8/G1: all-pairs distance + normalization ladder over a small id set."""
+    shapes = _shapes(spark, sf_dir)
+    small = shapes.filter(F.col("id") < 24)
+    pairs = small.select(F.col("reference_code").alias("orig_ref")).crossJoin(
+        small.select(F.col("reference_code").alias("dest_ref"))
+    )
+    out = radius.pair_distances(shapes, pairs)
+    return out.select(
+        "orig_ref",
+        "dest_ref",
+        "distance",
+        F.round("normalized_distance", 6).alias("normalized_distance"),
+        "distance_aggregate",
+    )
+
+
+def q_point_lookup(spark, sf_dir):
+    """P1: full record by PK (flat projection for the oracle compare)."""
+    return lookup.shape_by_ref_code(_shapes(spark, sf_dir), REF_NASHUA_1).select(
+        "id", "reference_code", "value", "clean_value", "geo_type",
+        "latitude", "longitude", "population",
+        F.col("ref_data.state_prov").alias("state_prov"),
+        F.col("ref_data.country").alias("country"),
+    )
+
+
+def q_id_ref_map(spark, sf_dir):
+    """P3/P4: id ↔ reference_code projection (broadcast side for serving)."""
+    return lookup.id_ref_code_map(_shapes(spark, sf_dir)).filter(F.col("id") < 200)
+
+
+def q_quote_location(spark, sf_dir):
+    """P6: CASE-WHEN reshape (MetroArea rows expose metro fields)."""
+    return lookup.quote_location(_shapes(spark, sf_dir)).filter(F.col("id") < 400)
+
+
+def q_shape_display(spark, sf_dir):
+    """P8: geo_type-routed display projection (user_friendly)."""
+    return lookup.shape_display(
+        _shapes(spark, sf_dir), long_desc=True, user_friendly=True
+    )
+
+
+def q_local_time(spark, sf_dir):
+    """P10: tz-aware local time — non-deterministic ⇒ rows-only check."""
+    return lookup.shape_local_time(_shapes(spark, sf_dir)).filter(F.col("id") < 50)
+
+
+def q_num_shapes(spark, sf_dir):
+    """S6: corpus cardinality."""
+    shapes = _shapes(spark, sf_dir)
+    return shapes.agg(F.count(F.lit(1)).alias("n_shapes"))
+
+
+# --------------------------------------------------------------------------
+# Oracle SQL
+# --------------------------------------------------------------------------
+
+_QUOTE_LOCATION_SQL = f"""
+WITH {SHAPES_CTE}
+SELECT id, reference_code,
+  CASE WHEN geo_type = 'MetroArea' THEN NULL ELSE rd_zip_code END AS zip_code,
+  CASE WHEN geo_type = 'MetroArea' THEN NULL ELSE rd_city END AS city_name,
+  CASE WHEN geo_type = 'MetroArea' THEN NULL ELSE rd_state_prov END AS state_code,
+  CASE WHEN geo_type = 'MetroArea' THEN NULL ELSE rd_country END AS country_code,
+  CASE WHEN geo_type = 'MetroArea' THEN rd_city END AS namesake_city,
+  CASE WHEN geo_type = 'MetroArea' THEN rd_metro END AS metro_area_name,
+  CASE WHEN geo_type = 'MetroArea' THEN rd_metro_size END AS metro_area_size_rank,
+  CASE WHEN geo_type = 'MetroArea' THEN rd_state_prov END AS metro_area_primary_state_code,
+  CASE WHEN geo_type = 'MetroArea' THEN rd_country END AS metro_area_primary_country_code
+FROM shapes WHERE id < 400
+"""
+
+_SHAPE_DISPLAY_SQL = f"""
+WITH {SHAPES_CTE}
+SELECT reference_code,
+  CASE WHEN geo_type IN ('County', 'ZipCode') THEN long_display
+       WHEN geo_type = 'MetroArea' THEN short_display
+       ELSE long_display END AS display
+FROM shapes
+"""
+
+_POINT_LOOKUP_SQL = f"""
+WITH {SHAPES_CTE}
+SELECT id, reference_code, value, clean_value, geo_type,
+       latitude, longitude, population,
+       rd_state_prov AS state_prov, rd_country AS country
+FROM shapes WHERE reference_code = '{REF_NASHUA_1}'
+"""
+
+QUERIES: dict = {
+    "geo_fuzzy_city": (
+        q_fuzzy_city,
+        ducksql.fuzzy_search_oracle(QUERY_CITY, 10),
+    ),
+    "geo_fuzzy_filtered": (
+        q_fuzzy_filtered,
+        ducksql.fuzzy_search_oracle(
+            QUERY_CITY, 10,
+            where="rd_state_prov = 'TN' AND geo_type = 'City'",
+        ),
+    ),
+    "geo_fuzzy_zip": (
+        q_fuzzy_zip,
+        ducksql.fuzzy_search_oracle(QUERY_ZIP, 10),
+    ),
+    "geo_best_fuzzy": (
+        q_best_fuzzy,
+        f"SELECT * FROM ({ducksql.fuzzy_search_oracle(QUERY_CITY, 1)}) WHERE score >= 0.90",
+    ),
+    "geo_radius_ids": (
+        q_radius_ids,
+        ducksql.radius_search_oracle(REF_NASHUA_1, 50.0),
+    ),
+    "geo_radius_full": (
+        q_radius_full,
+        ducksql.radius_search_oracle(
+            REF_NASHUA_1, 50.0, country_exact=True, full_results=True
+        ),
+    ),
+    "geo_radius_latlng": (
+        q_radius_latlng,
+        ducksql.radius_latlng_oracle(
+            ORIGIN_LAT, ORIGIN_LNG, 75.0,
+            where="s.rd_state_prov = 'TN'", exclude_aggregates=True,
+        ),
+    ),
+    "geo_pair_distances": (q_pair_distances, ducksql.pair_distance_oracle(24)),
+    "geo_point_lookup": (q_point_lookup, _POINT_LOOKUP_SQL),
+    "geo_id_ref_map": (
+        q_id_ref_map,
+        f"WITH {SHAPES_CTE} SELECT id, reference_code FROM shapes WHERE id < 200",
+    ),
+    "geo_quote_location": (q_quote_location, _QUOTE_LOCATION_SQL),
+    "geo_shape_display": (q_shape_display, _SHAPE_DISPLAY_SQL),
+    "geo_local_time": (q_local_time, None),  # wall-clock ⇒ rows-only
+    "geo_num_shapes": (
+        q_num_shapes,
+        f"WITH {SHAPES_CTE} SELECT count(*) AS n_shapes FROM shapes",
+    ),
+}

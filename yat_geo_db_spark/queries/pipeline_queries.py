@@ -1,0 +1,393 @@
+"""Training-data pipeline registry — dedup (exact / n-gram Jaccard /
+MinHash+LSH / SimHash), vector similarity (brute-force + IVF top-k,
+near-dup pairs), text analysis, and multimodal plumbing, each with a DuckDB
+oracle generated from THE SAME constants the Spark expressions use
+(pipelines.dedup.MINHASH_PERMS etc.), so signatures match bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from yat_geo_db_spark.pipelines import dedup, multimodal, similarity, text
+from yat_geo_db_spark.pipelines.dedup import MINHASH_BANDS, MINHASH_PERMS, SIMHASH_BITS
+from yat_geo_db_spark.pipelines.text import FNV_BASE, FNV_MOD, LANG_MARKERS, STOPWORDS
+from yat_geo_db_spark.queries.ducksql import grams_sql, sql_str_list
+from yat_geo_db_spark.testdata import load_table
+
+#: thresholds shared by both engines
+JACCARD_T = 0.14
+MINHASH_T = 0.10
+SIMHASH_MAX_HAMMING = 10
+COSINE_T = 0.12
+TOPK_QUERY_ID = 1
+IVF_BITS = 6
+
+
+# --------------------------------------------------------------------------
+# SQL fragment builders (mirror the Column expressions 1:1)
+# --------------------------------------------------------------------------
+
+def _hash_fold(codes: str) -> str:
+    """Left fold `acc*31 + c (mod 1e9+7)` — mirror of text.fingerprint_col."""
+    return (
+        f"list_reduce(list_prepend(CAST(0 AS BIGINT), {codes}), "
+        f"(a, b) -> (a * {FNV_BASE} + b) % {FNV_MOD})"
+    )
+
+
+def _codes(t: str) -> str:
+    return (
+        f"list_transform(range(1, length({t}) + 1), "
+        f"i -> CAST(ascii(substr({t}, CAST(i AS INT), 1)) AS BIGINT))"
+    )
+
+
+def _sh(t: str) -> str:
+    """shingle/token hash — mirror of dedup.shingle_hash."""
+    return _hash_fold(_codes(t))
+
+
+def _dot(a: str, b: str) -> str:
+    """Sequential-fold dot product — mirror of similarity.dot_col."""
+    prods = (
+        f"list_transform(range(1, len({a}) + 1), "
+        f"i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE))"
+    )
+    return (
+        f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), {prods}), (x, y) -> x + y)"
+    )
+
+
+def _norm(a: str) -> str:
+    sq = (
+        f"list_transform(range(1, len({a}) + 1), "
+        f"i -> CAST({a}[i] AS DOUBLE) * CAST({a}[i] AS DOUBLE))"
+    )
+    return (
+        f"sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), {sq}), (x, y) -> x + y))"
+    )
+
+
+def _cos(a: str, b: str) -> str:
+    return f"({_dot(a, b)} / ({_norm(a)} * {_norm(b)}))"
+
+
+def _bucket(a: str, bits: int) -> str:
+    """Sign-bit coarse quantizer — mirror of similarity.signbit_bucket."""
+    terms = [
+        f"CASE WHEN {a}[{j + 1}] > 0 THEN CAST({1 << j} AS BIGINT) "
+        f"ELSE CAST(0 AS BIGINT) END"
+        for j in range(bits)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+def _jaccard_select(pairs_rel: str, threshold: float) -> str:
+    return f"""
+SELECT id1, id2, jaccard FROM (
+  SELECT id1, id2,
+    round(CASE WHEN la + lb - i > 0 THEN i / (la + lb - i) ELSE 0.0 END, 6)
+      AS jaccard
+  FROM (
+    SELECT id1, id2,
+      CAST(len(list_intersect(g1, g2)) AS DOUBLE) AS i,
+      CAST(len(g1) AS DOUBLE) AS la, CAST(len(g2) AS DOUBLE) AS lb
+    FROM {pairs_rel}
+  )
+) WHERE jaccard >= {threshold}
+"""
+
+
+# --------------------------------------------------------------------------
+# dedup
+# --------------------------------------------------------------------------
+
+def q_dedup_exact(spark, sf_dir):
+    return dedup.exact_duplicates(load_table(spark, sf_dir, "documents"))
+
+
+_DEDUP_EXACT_SQL = """
+WITH d AS (SELECT doc_id, md5(text) AS digest FROM documents),
+c AS (SELECT digest, min(doc_id) AS canonical_id, count(*) AS group_size
+      FROM d GROUP BY digest)
+SELECT doc_id, canonical_id, group_size FROM d JOIN c USING (digest)
+"""
+
+
+def q_dedup_jaccard(spark, sf_dir):
+    return dedup.ngram_jaccard_pairs(
+        load_table(spark, sf_dir, "documents"),
+        threshold=JACCARD_T, block_cols=("lang", "source"),
+    )
+
+
+_DEDUP_JACCARD_SQL = f"""
+WITH g AS (
+  SELECT doc_id, lang, source,
+         list_distinct({grams_sql('text', distinct=False)}) AS grams
+  FROM documents
+),
+p AS (
+  SELECT a.doc_id AS id1, b.doc_id AS id2, a.grams AS g1, b.grams AS g2
+  FROM g a JOIN g b
+    ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+)
+{_jaccard_select('p', JACCARD_T)}
+"""
+
+
+def q_dedup_minhash(spark, sf_dir):
+    return dedup.minhash_lsh_pairs(
+        load_table(spark, sf_dir, "documents"), threshold=MINHASH_T
+    )
+
+
+def _minhash_sql() -> str:
+    rows = len(MINHASH_PERMS) // MINHASH_BANDS
+    grams = grams_sql("text", distinct=False)
+    mins = ", ".join(
+        f"CASE WHEN len(hashes) > 0 THEN "
+        f"list_min(list_transform(hashes, h -> (h * {a} + {b}) % {FNV_MOD})) "
+        f"ELSE {FNV_MOD} END"
+        for a, b in MINHASH_PERMS
+    )
+    bands = "\n  UNION ALL ".join(
+        f"SELECT doc_id, {bi} AS band, sig[{bi * rows + 1}:{bi * rows + rows}] AS bsig FROM sig"
+        for bi in range(MINHASH_BANDS)
+    )
+    return f"""
+WITH base AS (
+  SELECT doc_id,
+         list_distinct({grams}) AS grams,
+         list_distinct(list_transform({grams}, g -> {_sh('g')})) AS hashes
+  FROM documents
+),
+sig AS (SELECT doc_id, grams, [{mins}] AS sig FROM base),
+banded AS (
+  {bands}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id
+),
+pairs AS (
+  SELECT c.id1, c.id2, ga.grams AS g1, gb.grams AS g2
+  FROM cand c
+  JOIN base ga ON ga.doc_id = c.id1
+  JOIN base gb ON gb.doc_id = c.id2
+)
+{_jaccard_select('pairs', MINHASH_T)}
+"""
+
+
+def q_dedup_simhash(spark, sf_dir):
+    out = dedup.simhash_pairs(
+        load_table(spark, sf_dir, "documents"),
+        max_hamming=SIMHASH_MAX_HAMMING, block_cols=("lang", "source"),
+    )
+    return out.withColumn("hamming", F.col("hamming").cast("int"))
+
+
+def _simhash_sql() -> str:
+    bits = " + ".join(
+        f"CASE WHEN 2 * len(list_filter(hashes, h -> (h & {1 << j}) > 0)) "
+        f"> len(hashes) THEN CAST({1 << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END"
+        for j in range(SIMHASH_BITS)
+    )
+    return f"""
+WITH h AS (
+  SELECT doc_id, lang, source,
+         list_transform(list_distinct(string_split(text, ' ')), t -> {_sh('t')})
+           AS hashes
+  FROM documents
+),
+s AS (SELECT doc_id, lang, source, ({bits}) AS sig FROM h)
+SELECT id1, id2, hamming FROM (
+  SELECT a.doc_id AS id1, b.doc_id AS id2,
+         CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS hamming
+  FROM s a JOIN s b
+    ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+) WHERE hamming <= {SIMHASH_MAX_HAMMING}
+"""
+
+
+# --------------------------------------------------------------------------
+# similarity search
+# --------------------------------------------------------------------------
+
+def q_topk_brute(spark, sf_dir):
+    return similarity.brute_force_topk(
+        load_table(spark, sf_dir, "embeddings"), TOPK_QUERY_ID, k=20
+    )
+
+
+_TOPK_BRUTE_SQL = f"""
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = {TOPK_QUERY_ID})
+SELECT vec_id, round({_cos('embedding', 'qv')}, 6) AS cosine
+FROM embeddings, q
+WHERE vec_id != {TOPK_QUERY_ID}
+ORDER BY cosine DESC, vec_id
+LIMIT 20
+"""
+
+
+def q_topk_ivf(spark, sf_dir):
+    return similarity.ivf_topk(
+        load_table(spark, sf_dir, "embeddings"), TOPK_QUERY_ID, k=10, bits=IVF_BITS
+    )
+
+
+_TOPK_IVF_SQL = f"""
+WITH b AS (
+  SELECT vec_id, embedding, {_bucket('embedding', IVF_BITS)} AS bucket
+  FROM embeddings
+),
+q AS (SELECT embedding AS qv, bucket AS qb FROM b WHERE vec_id = {TOPK_QUERY_ID})
+SELECT vec_id, round(c, 6) AS cosine FROM (
+  SELECT b.vec_id, {_cos('b.embedding', 'q.qv')} AS c
+  FROM b, q WHERE b.bucket = q.qb AND b.vec_id != {TOPK_QUERY_ID}
+)
+ORDER BY cosine DESC, vec_id
+LIMIT 10
+"""
+
+
+def q_cosine_near_dup(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 7 == 0)
+    return similarity.cosine_near_dup_pairs(emb, threshold=COSINE_T)
+
+
+_COSINE_NEAR_DUP_SQL = f"""
+WITH e AS (SELECT vec_id, label, embedding FROM embeddings WHERE vec_id % 7 = 0)
+SELECT id1, id2, cosine FROM (
+  SELECT a.vec_id AS id1, b.vec_id AS id2,
+         round({_cos('a.embedding', 'b.embedding')}, 6) AS cosine
+  FROM e a JOIN e b ON a.vec_id < b.vec_id AND a.label = b.label
+) WHERE cosine >= {COSINE_T}
+"""
+
+
+# --------------------------------------------------------------------------
+# text analysis
+# --------------------------------------------------------------------------
+
+def q_text_quality(spark, sf_dir):
+    return text.quality_features(load_table(spark, sf_dir, "documents"))
+
+
+_TEXT_QUALITY_SQL = f"""
+SELECT doc_id,
+  CAST(len(toks) AS INT) AS n_tokens,
+  CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+')) AS INT) AS n_subword_tokens,
+  CAST(length(text) AS INT) AS len_chars,
+  round((nchars - (ntok - 1)) / ntok, 6) AS avg_token_len,
+  round(CAST(len(list_distinct(toks)) AS DOUBLE) / ntok, 6) AS distinct_token_ratio,
+  round(nstop / ntok, 6) AS stopword_ratio,
+  round(nalpha / nchars, 6) AS alpha_ratio,
+  round(
+    least(ntok / 50.0, CAST(1.0 AS DOUBLE)) * 0.4
+    + least(CAST(len(list_distinct(toks)) AS DOUBLE) / ntok * 1.25,
+            CAST(1.0 AS DOUBLE)) * 0.4
+    + least(nstop / 5.0, CAST(1.0 AS DOUBLE)) * 0.2, 6) AS quality_score
+FROM (
+  SELECT doc_id, text, toks,
+    CAST(len(toks) AS DOUBLE) AS ntok,
+    CAST(length(text) AS DOUBLE) AS nchars,
+    CAST(len(list_filter(toks, t -> list_contains({sql_str_list(STOPWORDS)}, t)))
+         AS DOUBLE) AS nstop,
+    CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE) AS nalpha
+  FROM (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents)
+)
+"""
+
+
+def q_text_lang_id(spark, sf_dir):
+    return text.lang_id(load_table(spark, sf_dir, "documents"))
+
+
+def _lang_id_sql() -> str:
+    hits = ", ".join(
+        f"len(list_filter(toks, t -> list_contains({sql_str_list(m)}, t))) AS h_{lang}"
+        for lang, m in LANG_MARKERS.items()
+    )
+    langs = list(LANG_MARKERS)
+    m_expr = "greatest(" + ", ".join(f"h_{l}" for l in langs) + ")"
+    arms = " ".join(f"WHEN h_{l} = m THEN '{l}'" for l in langs[:-1])
+    return f"""
+WITH t AS (
+  SELECT doc_id, lang, {hits}
+  FROM (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents)
+),
+s AS (SELECT *, {m_expr} AS m FROM t)
+SELECT doc_id, lang,
+  CASE WHEN m <= 0 THEN 'und' {arms} ELSE '{langs[-1]}' END AS lang_pred
+FROM s
+"""
+
+
+def q_text_fingerprint(spark, sf_dir):
+    return text.document_fingerprints(load_table(spark, sf_dir, "documents"))
+
+
+_TEXT_FINGERPRINT_SQL = f"""
+SELECT doc_id, {_sh('text')} AS fingerprint FROM documents
+"""
+
+
+# --------------------------------------------------------------------------
+# multimodal
+# --------------------------------------------------------------------------
+
+def q_mm_features(spark, sf_dir):
+    media = multimodal.synthesize_media(load_table(spark, sf_dir, "documents"))
+    return multimodal.extract_features(media)
+
+
+_MM_FEATURES_SQL = f"""
+SELECT doc_id,
+  CAST(length(text) AS INT) AS n_bytes,
+  {_sh('text')} AS checksum,
+  CAST(doc_id % 640 + 16 AS INT) AS width,
+  CAST(doc_id % 480 + 16 AS INT) AS height,
+  CASE WHEN length(text) > 0
+       THEN CAST(s * 1000000 // length(text) AS DOUBLE) / 1000000
+       ELSE 0.0 END AS mean_intensity
+FROM (
+  SELECT doc_id, text,
+         list_reduce(list_prepend(CAST(0 AS BIGINT), {_codes('text')}),
+                     (a, b) -> a + b) AS s
+  FROM documents
+)
+"""
+
+
+def q_mm_frame_sample(spark, sf_dir):
+    media = multimodal.synthesize_media(load_table(spark, sf_dir, "documents"))
+    out = multimodal.frame_sample_plan(media, every_nth=10)
+    return out.withColumn("frame_idx", F.col("frame_idx").cast("long"))
+
+
+_MM_FRAME_SAMPLE_SQL = """
+SELECT doc_id,
+       unnest(range(0, CAST(floor(length(text) / 16) AS BIGINT) + 1, 10))
+         AS frame_idx
+FROM documents
+"""
+
+
+QUERIES: dict = {
+    "pipe_dedup_exact": (q_dedup_exact, _DEDUP_EXACT_SQL),
+    "pipe_dedup_ngram_jaccard": (q_dedup_jaccard, _DEDUP_JACCARD_SQL),
+    "pipe_dedup_minhash_lsh": (q_dedup_minhash, _minhash_sql()),
+    "pipe_dedup_simhash": (q_dedup_simhash, _simhash_sql()),
+    "pipe_sim_topk_brute": (q_topk_brute, _TOPK_BRUTE_SQL),
+    "pipe_sim_topk_ivf": (q_topk_ivf, _TOPK_IVF_SQL),
+    "pipe_sim_cosine_near_dup": (q_cosine_near_dup, _COSINE_NEAR_DUP_SQL),
+    "pipe_text_quality": (q_text_quality, _TEXT_QUALITY_SQL),
+    "pipe_text_lang_id": (q_text_lang_id, _lang_id_sql()),
+    "pipe_text_fingerprint": (q_text_fingerprint, _TEXT_FINGERPRINT_SQL),
+    "pipe_mm_features": (q_mm_features, _MM_FEATURES_SQL),
+    "pipe_mm_frame_sample": (q_mm_frame_sample, _MM_FRAME_SAMPLE_SQL),
+}

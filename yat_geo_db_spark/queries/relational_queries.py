@@ -1,0 +1,328 @@
+"""Relational operator registry — the generic Spark-SQL coverage the
+reference lacks entirely (SURVEY.md §2.7), exercised on the TPC-H-ish
+fixtures: joins (broadcast/shuffle/semi/anti/outer), aggregations, rollup,
+windows + frames, set ops, JSON/string/date/math functions, sessionization.
+
+Determinism contract with the DuckDB oracle (relational.queries docstring):
+double sums go through DECIMAL per-row casts, computed int columns are
+aligned to the same width on both sides, timestamps leave as strings or
+epoch integers — so the driver's order-insensitive value hash matches
+bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from yat_geo_db_spark.relational import queries as rq
+from yat_geo_db_spark.streaming.windows import batch_sessionize
+from yat_geo_db_spark.testdata import load_table
+
+
+def _t(spark, sf_dir, *names):
+    return [load_table(spark, sf_dir, n) for n in names]
+
+
+#: exact, engine-portable sum fragment (mirror of relational.queries.dsum)
+def _dsum(expr: str, scale: int) -> str:
+    return f"CAST(sum(CAST({expr} AS DECIMAL(30,{scale}))) AS DOUBLE)"
+
+
+# --------------------------------------------------------------------------
+# Spark callables
+# --------------------------------------------------------------------------
+
+def q1(spark, sf_dir):
+    (lineitem,) = _t(spark, sf_dir, "lineitem")
+    return rq.q1_pricing_summary(lineitem)
+
+
+def q3(spark, sf_dir):
+    customer, orders, lineitem = _t(spark, sf_dir, "customer", "orders", "lineitem")
+    return rq.q3_shipping_priority(customer, orders, lineitem)
+
+
+def q5(spark, sf_dir):
+    region, nation, customer, orders, lineitem, supplier = _t(
+        spark, sf_dir, "region", "nation", "customer", "orders", "lineitem", "supplier"
+    )
+    return rq.q5_local_supplier_volume(region, nation, customer, orders, lineitem, supplier)
+
+
+def top_orders(spark, sf_dir):
+    (orders,) = _t(spark, sf_dir, "orders")
+    return rq.top_orders_per_customer(orders, k=3)
+
+
+def running_total(spark, sf_dir):
+    (orders,) = _t(spark, sf_dir, "orders")
+    return rq.customer_running_total(orders)
+
+
+def rollup(spark, sf_dir):
+    (orders,) = _t(spark, sf_dir, "orders")
+    return rq.sales_rollup(orders)
+
+
+def set_ops(spark, sf_dir):
+    (customer,) = _t(spark, sf_dir, "customer")
+    return rq.segment_set_ops(customer)
+
+
+def json_stats(spark, sf_dir):
+    (events,) = _t(spark, sf_dir, "events")
+    return rq.events_json_stats(events).withColumn(
+        "sum_k", F.col("sum_k").cast("long")
+    )
+
+
+def time_buckets(spark, sf_dir):
+    (events,) = _t(spark, sf_dir, "events")
+    return rq.events_time_buckets(events)
+
+
+def string_funcs(spark, sf_dir):
+    (part,) = _t(spark, sf_dir, "part")
+    return rq.part_string_funcs(part)
+
+
+def math_funcs(spark, sf_dir):
+    (lineitem,) = _t(spark, sf_dir, "lineitem")
+    return rq.lineitem_math_funcs(lineitem)
+
+
+def join_flavors(spark, sf_dir):
+    customer, orders = _t(spark, sf_dir, "customer", "orders")
+    return rq.order_join_flavors(customer, orders)
+
+
+def sessionize(spark, sf_dir):
+    (events,) = _t(spark, sf_dir, "events")
+    out = batch_sessionize(events, gap_minutes=15)
+    return out.select(
+        "user_id",
+        "session_id",
+        "n_events",
+        F.unix_micros("session_start").alias("session_start_us"),
+        F.unix_micros("session_end").alias("session_end_us"),
+    )
+
+
+def tumbling(spark, sf_dir):
+    """Batch twin of streaming.tumbling_counts (same grouping semantics,
+    hour buckets as epoch seconds so the oracle compare is exact)."""
+    (events,) = _t(spark, sf_dir, "events")
+    bucket = (F.unix_micros("ts") / F.lit(3_600_000_000)).cast("long") * 3600
+    return (
+        events.groupBy(bucket.alias("window_start_s"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(30,2)")).cast("double").alias("total_value"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Oracle SQL
+# --------------------------------------------------------------------------
+
+_DISC = "l_extendedprice * (1 - l_discount)"
+_CHARGE = "l_extendedprice * (1 - l_discount) * (1 + l_tax)"
+
+_Q1_SQL = f"""
+SELECT l_returnflag, l_linestatus,
+  {_dsum('l_quantity', 2)} AS sum_qty,
+  {_dsum('l_extendedprice', 2)} AS sum_base_price,
+  {_dsum(_DISC, 6)} AS sum_disc_price,
+  {_dsum(_CHARGE, 8)} AS sum_charge,
+  round({_dsum('l_quantity', 2)} / count(*), 6) AS avg_qty,
+  round({_dsum('l_extendedprice', 2)} / count(*), 6) AS avg_price,
+  count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+_Q3_SQL = f"""
+SELECT l_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+       o_orderpriority,
+       {_dsum(_DISC, 6)} AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE l_shipdate > TIMESTAMP '1998-03-15'
+  AND o_orderdate < TIMESTAMP '1998-03-15'
+  AND c_mktsegment = 'BUILDING'
+GROUP BY 1, 2, 3
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+"""
+
+_Q5_SQL = f"""
+SELECT n_name, {_dsum(_DISC, 6)} AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'REGION_0'
+GROUP BY n_name
+ORDER BY revenue DESC, n_name
+"""
+
+_TOP_ORDERS_SQL = """
+SELECT o_custkey, o_orderkey, o_totalprice, CAST(rn AS INT) AS rn
+FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+  FROM orders
+) WHERE rn <= 3
+"""
+
+_RUNNING_TOTAL_SQL = """
+SELECT o_custkey, o_orderkey,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(30,2))) OVER (
+            PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+       AS running_total
+FROM orders
+"""
+
+_ROLLUP_SQL = f"""
+SELECT CAST(year(o_orderdate) AS INT) AS order_year, o_orderstatus,
+       count(*) AS n_orders, {_dsum('o_totalprice', 2)} AS total_sales
+FROM orders
+GROUP BY ROLLUP(order_year, o_orderstatus)
+"""
+
+_SET_OPS_SQL = """
+WITH rich AS (SELECT c_custkey FROM customer WHERE c_acctbal > 5000),
+     seg AS (SELECT c_custkey FROM customer WHERE c_mktsegment = 'MACHINERY')
+SELECT 'union' AS op,
+       (SELECT count(*) FROM (SELECT DISTINCT c_custkey
+          FROM (SELECT * FROM rich UNION ALL SELECT * FROM seg))) AS n_keys
+UNION ALL
+SELECT 'intersect',
+       (SELECT count(*) FROM (SELECT c_custkey FROM rich
+                              INTERSECT SELECT c_custkey FROM seg))
+UNION ALL
+SELECT 'except',
+       (SELECT count(*) FROM (SELECT c_custkey FROM rich
+                              EXCEPT ALL SELECT c_custkey FROM seg))
+"""
+
+_JSON_STATS_SQL = f"""
+SELECT event_type, count(*) AS n_events,
+       CAST(sum(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k,
+       {_dsum('value', 2)} AS sum_value,
+       round({_dsum('value', 2)} / count(*), 6) AS avg_value
+FROM events
+GROUP BY event_type
+"""
+
+_TIME_BUCKETS_SQL = f"""
+SELECT CAST(year(ts) AS INT) AS y, CAST(month(ts) AS INT) AS m,
+       CAST(day(ts) AS INT) AS d, CAST(hour(ts) AS INT) AS h,
+       count(*) AS n, {_dsum('value', 2)} AS v
+FROM events
+GROUP BY 1, 2, 3, 4
+"""
+
+_STRING_FUNCS_SQL = """
+SELECT p_partkey,
+       upper(p_name) AS name_upper,
+       CAST(length(p_name) AS INT) AS name_len,
+       substr(p_name, 1, 8) AS name_prefix,
+       replace(p_type, ' ', '_') AS type_snake,
+       CAST(len(string_split(p_type, ' ')) AS INT) AS type_words,
+       p_brand || '|' || p_type AS brand_type,
+       lpad(CAST(p_size AS VARCHAR(30)), 4, '0') AS size_padded
+FROM part
+"""
+
+_MATH_FUNCS_SQL = """
+SELECT l_orderkey, l_linenumber,
+       abs(l_discount - 0.05) AS disc_dev,
+       CAST(ceil(l_extendedprice) AS BIGINT) AS price_ceil,
+       CAST(floor(l_extendedprice) AS BIGINT) AS price_floor,
+       round(l_extendedprice * l_tax, 4) AS tax_amount,
+       round(pow(l_quantity, 2), 6) AS qty_sq,
+       round(sqrt(l_extendedprice), 6) AS price_sqrt,
+       round(ln(l_extendedprice + 1), 6) AS price_ln
+FROM lineitem
+"""
+
+_JOIN_FLAVORS_SQL = """
+WITH big AS (SELECT o_custkey FROM orders WHERE o_totalprice > 200000)
+SELECT 'semi' AS op,
+       (SELECT count(*) FROM customer
+        WHERE EXISTS (SELECT 1 FROM big WHERE o_custkey = c_custkey)) AS n
+UNION ALL
+SELECT 'anti',
+       (SELECT count(*) FROM customer
+        WHERE NOT EXISTS (SELECT 1 FROM big WHERE o_custkey = c_custkey))
+UNION ALL
+SELECT 'left_null',
+       (SELECT count(*) FROM customer
+        LEFT JOIN (SELECT DISTINCT o_custkey FROM big) b
+        ON c_custkey = b.o_custkey
+        WHERE b.o_custkey IS NULL)
+"""
+
+_SESSIONIZE_SQL = """
+WITH secs AS (
+  -- Spark's ts.cast("long") truncates to epoch seconds; mirror with //
+  SELECT user_id, event_id, ts,
+         epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 AS sec
+  FROM events
+),
+marked AS (
+  SELECT user_id, event_id, ts, sec,
+         CASE WHEN lag(sec) OVER w IS NULL
+              OR sec - lag(sec) OVER w > 15 * 60
+              THEN 1 ELSE 0 END AS new_session
+  FROM secs
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT user_id, event_id, ts,
+         CAST(sum(new_session) OVER (
+              PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS session_id
+  FROM marked
+)
+SELECT user_id, session_id, count(*) AS n_events,
+       min(epoch_us(CAST(ts AS TIMESTAMP))) AS session_start_us,
+       max(epoch_us(CAST(ts AS TIMESTAMP))) AS session_end_us
+FROM sess
+GROUP BY user_id, session_id
+"""
+
+_TUMBLING_SQL = f"""
+SELECT CAST(floor(epoch_us(CAST(ts AS TIMESTAMP)) / 3600000000) AS BIGINT) * 3600
+         AS window_start_s,
+       event_type, count(*) AS n, {_dsum('value', 2)} AS total_value
+FROM events
+GROUP BY 1, 2
+"""
+
+QUERIES: dict = {
+    "rel_q1_pricing_summary": (q1, _Q1_SQL),
+    "rel_q3_shipping_priority": (q3, _Q3_SQL),
+    "rel_q5_local_supplier_volume": (q5, _Q5_SQL),
+    "rel_top_orders_per_customer": (top_orders, _TOP_ORDERS_SQL),
+    "rel_running_total": (running_total, _RUNNING_TOTAL_SQL),
+    "rel_sales_rollup": (rollup, _ROLLUP_SQL),
+    "rel_set_ops": (set_ops, _SET_OPS_SQL),
+    "rel_events_json_stats": (json_stats, _JSON_STATS_SQL),
+    "rel_events_time_buckets": (time_buckets, _TIME_BUCKETS_SQL),
+    "rel_part_string_funcs": (string_funcs, _STRING_FUNCS_SQL),
+    "rel_lineitem_math_funcs": (math_funcs, _MATH_FUNCS_SQL),
+    "rel_join_flavors": (join_flavors, _JOIN_FLAVORS_SQL),
+    "rel_sessionize": (sessionize, _SESSIONIZE_SQL),
+    "rel_tumbling_hour": (tumbling, _TUMBLING_SQL),
+}

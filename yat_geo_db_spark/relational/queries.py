@@ -1,0 +1,245 @@
+"""TPC-H-style relational operators as DataFrame pipelines.
+
+Cross-engine determinism notes (these queries are hash-compared against a
+DuckDB oracle):
+
+- Sums of doubles are order-dependent; we cast each row's value to DECIMAL
+  first (exact, associative) and cast the exact sum back to double. Both
+  engines round the same double to the same decimal, so results match
+  bit-for-bit. This is also the *right* engineering at 100 TB: decimal sums
+  don't drift with partitioning.
+- Averages are computed as exact-sum / count, then rounded.
+- Every top-k orders by (rounded measure, unique key) so ties are stable.
+- Timestamps are emitted as 'yyyy-MM-dd' strings (session TZ pinned to UTC).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+import pyspark.sql.functions as F
+
+
+def dsum(col: Column, scale: int = 4) -> Column:
+    """Exact, engine-portable sum of a double column via decimal."""
+    return F.sum(col.cast(f"decimal(30,{scale})")).cast("double")
+
+
+def q1_pricing_summary(lineitem: DataFrame) -> DataFrame:
+    """TPC-H Q1 shape: scan-heavy filtered aggregation. One shuffle on the
+    4-value group key; partial aggregation (map-side combine) does nearly all
+    the work — the plan must show HashAggregate(partial)→Exchange→HashAggregate."""
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    agg = (
+        lineitem.filter(F.col("l_shipdate") <= F.lit("1998-09-01"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum(F.col("l_quantity"), 2).alias("sum_qty"),
+            dsum(F.col("l_extendedprice"), 2).alias("sum_base_price"),
+            dsum(disc_price, 6).alias("sum_disc_price"),
+            dsum(charge, 8).alias("sum_charge"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+    return agg.select(
+        "l_returnflag",
+        "l_linestatus",
+        "sum_qty",
+        "sum_base_price",
+        "sum_disc_price",
+        "sum_charge",
+        F.round(F.col("sum_qty") / F.col("count_order"), 6).alias("avg_qty"),
+        F.round(F.col("sum_base_price") / F.col("count_order"), 6).alias("avg_price"),
+        "count_order",
+    ).orderBy("l_returnflag", "l_linestatus")
+
+
+def q3_shipping_priority(customer: DataFrame, orders: DataFrame,
+                         lineitem: DataFrame, segment: str = "BUILDING",
+                         cutoff: str = "1998-03-15") -> DataFrame:
+    """TPC-H Q3 shape: selective dim filter → fact join → top-k. `customer`
+    is the small side → broadcast; lineitem join shuffles on orderkey."""
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        lineitem.filter(F.col("l_shipdate") > F.lit(cutoff))
+        .join(
+            orders.filter(F.col("o_orderdate") < F.lit(cutoff)),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(
+            F.broadcast(customer.filter(F.col("c_mktsegment") == segment)),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .groupBy(
+            "l_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            "o_orderpriority",
+        )
+        .agg(dsum(revenue, 6).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+def q5_local_supplier_volume(region: DataFrame, nation: DataFrame,
+                             customer: DataFrame, orders: DataFrame,
+                             lineitem: DataFrame, supplier: DataFrame,
+                             region_name: str = "REGION_0") -> DataFrame:
+    """TPC-H Q5 shape: snowflake join with a same-nation constraint.
+    region/nation/supplier are broadcast dims; the orders↔lineitem join is
+    the only big shuffle."""
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        lineitem
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(
+            F.broadcast(region.filter(F.col("r_name") == region_name)),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .groupBy("n_name")
+        .agg(dsum(revenue, 6).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("n_name"))
+    )
+
+
+def top_orders_per_customer(orders: DataFrame, k: int = 3) -> DataFrame:
+    """Window ranking: row_number per customer by totalprice. One shuffle on
+    o_custkey; no global sort."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+    )
+
+
+def customer_running_total(orders: DataFrame) -> DataFrame:
+    """Window frame: running sum of order value per customer in date order.
+    Decimal accumulation keeps the running values engine-exact."""
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(F.col("o_totalprice").cast("decimal(30,2)"))
+        .over(w)
+        .cast("double")
+        .alias("running_total"),
+    )
+
+
+def sales_rollup(orders: DataFrame) -> DataFrame:
+    """ROLLUP aggregation over (year, status) with grand total."""
+    return (
+        orders.rollup(F.year("o_orderdate").alias("order_year"), F.col("o_orderstatus"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum(F.col("o_totalprice"), 2).alias("total_sales"),
+        )
+        .orderBy(F.asc_nulls_first("order_year"), F.asc_nulls_first("o_orderstatus"))
+    )
+
+
+def segment_set_ops(customer: DataFrame) -> DataFrame:
+    """UNION / INTERSECT / EXCEPT coverage in one result: per-op row counts
+    over customer key sets (deterministic scalar outputs)."""
+    rich = customer.filter(F.col("c_acctbal") > 5000).select("c_custkey")
+    seg = customer.filter(F.col("c_mktsegment") == "MACHINERY").select("c_custkey")
+    spark = customer.sparkSession
+    return spark.createDataFrame(
+        [
+            ("union", rich.union(seg).distinct().count()),
+            ("intersect", rich.intersect(seg).count()),
+            ("except", rich.exceptAll(seg).count()),
+        ],
+        "op string, n_keys long",
+    )
+
+
+def events_json_stats(events: DataFrame) -> DataFrame:
+    """JSON extraction (`props` payload) + aggregation per event_type."""
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        events.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(k).alias("sum_k"),
+            dsum(F.col("value"), 2).alias("sum_value"),
+            F.round(dsum(F.col("value"), 2) / F.count(F.lit(1)), 6).alias("avg_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def events_time_buckets(events: DataFrame) -> DataFrame:
+    """Date/time function coverage: calendar breakdown + per-hour counts."""
+    return (
+        events.groupBy(
+            F.year("ts").alias("y"),
+            F.month("ts").alias("m"),
+            F.dayofmonth("ts").alias("d"),
+            F.hour("ts").alias("h"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"), dsum(F.col("value"), 2).alias("v"))
+        .orderBy("y", "m", "d", "h")
+    )
+
+
+def part_string_funcs(part: DataFrame) -> DataFrame:
+    """String function coverage over `part`."""
+    return part.select(
+        "p_partkey",
+        F.upper("p_name").alias("name_upper"),
+        F.length("p_name").alias("name_len"),
+        F.substring("p_name", 1, 8).alias("name_prefix"),
+        F.replace(F.col("p_type"), F.lit(" "), F.lit("_")).alias("type_snake"),
+        F.size(F.split("p_type", " ")).alias("type_words"),
+        F.concat_ws("|", "p_brand", "p_type").alias("brand_type"),
+        F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size_padded"),
+    )
+
+
+def lineitem_math_funcs(lineitem: DataFrame) -> DataFrame:
+    """Math function coverage (abs/ceil/floor/round/pow/sqrt/ln)."""
+    return lineitem.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.abs(F.col("l_discount") - 0.05).alias("disc_dev"),
+        F.ceil("l_extendedprice").alias("price_ceil"),
+        F.floor("l_extendedprice").alias("price_floor"),
+        F.round(F.col("l_extendedprice") * F.col("l_tax"), 4).alias("tax_amount"),
+        F.round(F.pow(F.col("l_quantity"), 2), 6).alias("qty_sq"),
+        F.round(F.sqrt("l_extendedprice"), 6).alias("price_sqrt"),
+        F.round(F.log(F.col("l_extendedprice") + 1), 6).alias("price_ln"),
+    )
+
+
+def order_join_flavors(customer: DataFrame, orders: DataFrame) -> DataFrame:
+    """Semi/anti/outer join coverage in one deterministic summary."""
+    big = orders.filter(F.col("o_totalprice") > 200000).select("o_custkey")
+    spark = customer.sparkSession
+    return spark.createDataFrame(
+        [
+            ("semi", customer.join(big, customer["c_custkey"] == big["o_custkey"],
+                                   "left_semi").count()),
+            ("anti", customer.join(big, customer["c_custkey"] == big["o_custkey"],
+                                   "left_anti").count()),
+            ("left_null", customer.join(
+                big.distinct(), customer["c_custkey"] == big["o_custkey"], "left"
+            ).filter(F.col("o_custkey").isNull()).count()),
+        ],
+        "op string, n long",
+    )
