@@ -1,0 +1,83 @@
+"""Benchmark harness — runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is forced end-to-end with the noop sink (full computation, no
+driver collect — the 100 TB-honest way to measure) except the intentionally
+driver-side scalar summaries, which are collected.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+#: headline queries: one per operator family, heaviest plans included
+HEADLINE = [
+    "rel_q1_pricing_summary",
+    "rel_q3_shipping_priority",
+    "rel_q5_local_supplier_volume",
+    "rel_top_orders_per_customer",
+    "rel_sessionize",
+    "geo_fuzzy_city",
+    "geo_radius_full",
+    "geo_pair_distances",
+    "pipe_dedup_exact",
+    "pipe_dedup_minhash_lsh",
+    "pipe_dedup_simhash",
+    "pipe_sim_topk_brute",
+    "pipe_text_quality",
+    "pipe_text_fingerprint",
+    "pipe_mm_features",
+]
+
+
+def force(df) -> None:
+    """Materialize the full result distributed-side (no collect)."""
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    from yat_geo_db_spark.queries import all_queries
+    from yat_geo_db_spark.session import get_spark
+
+    spark = get_spark(app_name="yat_geo_db_spark_bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    registry = all_queries()
+
+    # warm the JVM/codegen paths once so per-query numbers measure the
+    # pipelines, not first-job session setup
+    registry["rel_q1_pricing_summary"][0](spark, SF_DIR).limit(1).count()
+
+    timings: dict[str, float] = {}
+    total = 0.0
+    for name in HEADLINE:
+        fn, _sql = registry[name]
+        t0 = time.perf_counter()
+        force(fn(spark, SF_DIR))
+        dt = time.perf_counter() - t0
+        timings[name] = round(dt, 3)
+        total += dt
+        print(f"# {name}: {dt:.3f}s", file=sys.stderr)
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

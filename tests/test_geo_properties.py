@@ -1,0 +1,151 @@
+"""Property-style invariants from SURVEY.md §5: radius monotonicity,
+self-distance, symmetry, edge-case behavior of the fuzzy pipeline, and
+golden values for the scalar functions."""
+
+from __future__ import annotations
+
+import math
+
+import pyspark.sql.functions as F
+import pytest
+
+from yat_geo_db_spark.geo import fuzzy, radius
+from yat_geo_db_spark.geo.fuzzy import (
+    _damerau_levenshtein,
+    geo_damerau_distance_py,
+    ngrams_list,
+)
+from yat_geo_db_spark.geo.geometry import (
+    haversine_miles,
+    latitude_delta_from_miles,
+    longitude_delta_from_miles,
+)
+
+REF = "us__tn__nashua_1"
+
+
+def ids(df) -> set:
+    return {r["id"] for r in df.collect()}
+
+
+def test_radius_monotonicity(shapes):
+    small = ids(radius.radius_search(shapes, REF, 20.0))
+    large = ids(radius.radius_search(shapes, REF, 60.0))
+    assert small <= large
+    assert len(large) > 0
+
+
+def test_radius_missing_ref_is_empty(shapes):
+    assert radius.radius_search(shapes, "no__such__place", 100.0).count() == 0
+
+
+def test_radius_country_filter_subset(shapes):
+    all_ids = ids(radius.radius_search(shapes, REF, 60.0))
+    us_only = ids(radius.radius_search(shapes, REF, 60.0, country_exact=True))
+    assert us_only <= all_ids
+
+
+def test_radius_excludes_aggregates_when_asked(shapes):
+    got = radius.radius_search_lat_lng(
+        shapes, 29.139, -121.949, 60.0, exclude_aggregates=True, full_results=False
+    )
+    joined = got.join(shapes, "id").filter(F.col("is_aggregate"))
+    assert joined.count() == 0
+
+
+def test_fuzzy_empty_and_short_queries(shapes):
+    assert fuzzy.fuzzy_search(shapes, "", 10).count() == 0
+    assert fuzzy.fuzzy_search(shapes, "ab", 10).count() == 0  # < 3 chars, no grams
+    assert fuzzy.fuzzy_search(shapes, "!!!", 10).count() == 0  # cleans to empty
+
+
+def test_fuzzy_finds_exact_city_first(shapes):
+    top = fuzzy.fuzzy_search(shapes, "Nashville, TN", 5).first()
+    assert top["clean_value"] == "nashville tn"
+    assert top["distance"] == 0
+
+
+def test_fuzzy_filters_restrict(shapes):
+    unfiltered = fuzzy.fuzzy_search(shapes, "Nashville, TN", 50)
+    filtered = fuzzy.fuzzy_search(
+        shapes, "Nashville, TN", 50, filters={"geo_type": "City"}
+    )
+    got = filtered.join(shapes.select("id", "geo_type"), "id").collect()
+    assert all(r["geo_type"] == "City" for r in got)
+    assert filtered.count() <= unfiltered.count()
+
+
+def test_best_fuzzy_threshold(shapes):
+    hit = fuzzy.best_fuzzy_search(shapes, "Nashville, TN", 0.90)
+    assert hit.count() == 1
+    miss = fuzzy.best_fuzzy_search(shapes, "zzzqqqxxx", 0.90)
+    assert miss.count() == 0
+
+
+def test_pair_distance_self_zero_and_missing_sentinel(shapes, spark):
+    pairs = spark.createDataFrame(
+        [(REF, REF), (REF, "no__such__place")], "orig_ref string, dest_ref string"
+    )
+    rows = {
+        (r["orig_ref"], r["dest_ref"]): r
+        for r in radius.pair_distances(shapes, pairs).collect()
+    }
+    assert rows[(REF, REF)]["distance"] == 0.0
+    assert rows[(REF, "no__such__place")]["distance"] == radius.MISSING_DISTANCE
+
+
+def test_haversine_symmetry(spark):
+    df = spark.createDataFrame(
+        [(36.16, -86.78, 41.88, -87.63)], "a double, b double, c double, d double"
+    )
+    got = df.select(
+        haversine_miles(F.col("a"), F.col("b"), F.col("c"), F.col("d")).alias("ab"),
+        haversine_miles(F.col("c"), F.col("d"), F.col("a"), F.col("b")).alias("ba"),
+    ).first()
+    assert got["ab"] == pytest.approx(got["ba"], abs=1e-9)
+    # Nashville→Chicago ≈ 400 mi
+    assert 390 < got["ab"] < 420
+
+
+def test_delta_scalars_roundtrip():
+    # 1 degree of latitude ≈ 69.09 miles on the reference sphere
+    assert latitude_delta_from_miles(69.09) == pytest.approx(1.0, abs=1e-3)
+    # longitude degrees shrink with latitude
+    assert longitude_delta_from_miles(60.0, 10.0) > longitude_delta_from_miles(0.0, 10.0)
+    assert latitude_delta_from_miles(0.0) == 0.0
+
+
+def test_damerau_golden():
+    assert _damerau_levenshtein("ca", "abc") == 2  # unrestricted (not OSA's 3)
+    assert _damerau_levenshtein("nashville", "nashvlile") == 1
+    assert _damerau_levenshtein("", "abc") == 3
+    assert _damerau_levenshtein("same", "same") == 0
+    # min(DL of first-comma-tokens, DL of full strings): the comma split
+    # makes "nashville" vs "nashville" 0? no — second has no comma, so token
+    # compare is "nashville" vs "nashville usa" (4) and full is 4 → 4
+    assert geo_damerau_distance_py("nashville, tn", "nashville usa") == 4
+    assert geo_damerau_distance_py("nashville, tn", "nashville, tn x") == 0
+
+
+def test_ngrams_golden():
+    assert ngrams_list("nash") == ["nas", "ash"]
+    assert ngrams_list("ab") == []
+    assert fuzzy.clean_entity("Nashville, TN!") == "nashville tn"
+
+
+def test_tversky_matches_reference_formula(spark):
+    # tversky("nashville", "nashville tn"): q has 7 grams, all shared;
+    # source has 10 distinct grams → 7/(7 + .85*0 + .15*3)
+    df = spark.createDataFrame([("nashville tn",)], "s string")
+    got = df.select(
+        fuzzy.tversky_index_col(
+            "nashville", fuzzy.ngrams_col(F.col("s")), F.col("s") != F.lit("")
+        ).alias("t")
+    ).first()["t"]
+    assert got == pytest.approx(7 / (7 + 0.15 * 3), abs=1e-12)
+
+
+def test_candidate_cap_is_respected(shapes):
+    # num_results > CANDIDATE_FLOOR widens the cap
+    out = fuzzy.fuzzy_search(shapes, "ville", num_results=600)
+    assert out.count() <= 600

@@ -1,0 +1,93 @@
+"""Ingest path (S1-S5): JSON with wire-format string lat/lng/bbox →
+normalized, sorted Parquet; postings materialization; incremental index
+maintenance."""
+
+from __future__ import annotations
+
+import json
+
+import pyspark.sql.functions as F
+
+from yat_geo_db_spark.geo.fuzzy import add_entities, build_postings, ngrams_list
+from yat_geo_db_spark.geo.ingest import (
+    ingest_shapes_json,
+    materialize_postings,
+    read_shapes,
+    versioned_path,
+)
+
+RECORD = {
+    "value": "Nashville, TN",
+    "clean_value": "nashville tn",
+    "id": 1,
+    "reference_code": "us__tn__nashville",
+    "latitude": "36.174465",          # wire format: strings (reference
+    "longitude": "-86.767960",        # geo_manager.py:654-659)
+    "bbox": {
+        "ll_latitude": "35.9",
+        "ur_latitude": "36.4",
+        "ll_longitude": "-87.1",
+        "ur_longitude": "-86.5",
+    },
+    "area": 525.94,
+    "geo_type": "City",
+    "ref_data": {
+        "city": "nashville", "country": "US", "zip_code": None,
+        "state_prov": "TN", "metro": None, "metro_size": None,
+    },
+    "population": 715884,
+    "is_aggregate": True,
+    "is_zip_code": False,
+    "is_three_digit_zip_code": False,
+    "long_display": "Nashville, TN (City)",
+    "short_display": "nashville",
+    "primary_timezone": "America/Chicago",
+    "related_shape_id": None,
+    "primary_source": None,
+    "primary_source_id": None,
+}
+
+
+def _write_json(tmp_path, records):
+    p = tmp_path / "shapes.json"
+    p.write_text("\n".join(json.dumps(r) for r in records))
+    return str(p)
+
+
+def test_ingest_casts_and_versioned_layout(spark, tmp_path):
+    rec2 = dict(RECORD, id=2, reference_code="us__tn__memphis", value="Memphis, TN",
+                clean_value=None, latitude="35.15", longitude="-90.05",
+                is_aggregate=None, population=None, area=None)
+    path = _write_json(tmp_path, [RECORD, rec2])
+    root = str(tmp_path / "db")
+    out = ingest_shapes_json(spark, path, root, version="7")
+    assert out == versioned_path(root, "7", "shapes")
+
+    got = read_shapes(spark, root, version="7")
+    row = {r["reference_code"]: r for r in got.collect()}
+    nash = row["us__tn__nashville"]
+    assert isinstance(nash["latitude"], float) and nash["latitude"] == 36.174465
+    assert nash["bbox"]["ur_longitude"] == -86.5
+    mem = row["us__tn__memphis"]
+    assert mem["clean_value"] == "memphis tn"  # derived via clean_entity_col
+    assert mem["is_aggregate"] is False and mem["population"] == 0 and mem["area"] == 0.0
+
+
+def test_postings_materialize_and_incremental(spark, tmp_path):
+    path = _write_json(tmp_path, [RECORD])
+    root = str(tmp_path / "db")
+    ingest_shapes_json(spark, path, root, version="7")
+    shapes = read_shapes(spark, root, version="7")
+
+    out = materialize_postings(spark, shapes, root, version="7", buckets=4)
+    postings = spark.read.parquet(out)
+    grams = [r["ngram"] for r in postings.collect()]
+    assert sorted(grams) == sorted(ngrams_list("nashville tn"))
+
+    new = shapes.withColumn("id", F.lit(99)).withColumn(
+        "clean_value", F.lit("memphis")
+    )
+    updated = add_entities(build_postings(shapes), new)
+    assert updated.count() == len(ngrams_list("nashville tn")) + len(
+        ngrams_list("memphis")
+    )

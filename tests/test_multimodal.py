@@ -1,0 +1,53 @@
+"""Multimodal plumbing: binary payload columns + typed metadata through
+Arrow-batched mapInPandas; the decode itself is a clearly-stubbed fake."""
+
+from __future__ import annotations
+
+import pytest
+
+from yat_geo_db_spark.pipelines.multimodal import (
+    _fake_decode,
+    decode_image_stub,
+    extract_features,
+    frame_sample_plan,
+    synthesize_media,
+)
+from yat_geo_db_spark.testdata import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_extract_features_matches_local_decode(spark):
+    docs = load_table(spark, SF, "documents").limit(20)
+    media = synthesize_media(docs)
+    feats = {r["doc_id"]: r for r in extract_features(media).collect()}
+    local = {
+        r["doc_id"]: _fake_decode(
+            r["text"].encode(), int(r["doc_id"]) % 640 + 16, int(r["doc_id"]) % 480 + 16
+        )
+        for r in docs.collect()
+    }
+    assert feats.keys() == local.keys()
+    for doc_id, want in local.items():
+        got = feats[doc_id]
+        assert got["checksum"] == want["checksum"]
+        assert got["n_bytes"] == want["n_bytes"]
+        assert got["mean_intensity"] == pytest.approx(want["mean_intensity"])
+
+
+def test_decode_stub_is_honest():
+    assert decode_image_stub(b"abc", "image/fake")["n_bytes"] == 3
+    with pytest.raises(NotImplementedError):
+        decode_image_stub(b"\xff\xd8", "image/jpeg")
+
+
+def test_frame_sample_counts(spark):
+    docs = load_table(spark, SF, "documents").limit(5)
+    media = synthesize_media(docs)
+    out = frame_sample_plan(media, every_nth=10)
+    per_doc = {r["doc_id"]: r["cnt"] for r in
+               out.groupBy("doc_id").count().withColumnRenamed("count", "cnt").collect()}
+    for r in docs.collect():
+        n_frames = int(len(r["text"].encode()) / 16) + 1
+        expected = (n_frames - 1) // 10 + 1
+        assert per_doc[r["doc_id"]] == expected

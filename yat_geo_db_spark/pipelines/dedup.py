@@ -22,7 +22,12 @@ import random
 from pyspark.sql import Column, DataFrame
 import pyspark.sql.functions as F
 
-from yat_geo_db_spark.pipelines.text import FNV_BASE, FNV_MOD, tokens_col
+from yat_geo_db_spark.pipelines.text import (
+    FNV_BASE,
+    FNV_MOD,
+    token_shingles_col as tokens_shingles,
+    tokens_col,
+)
 
 #: MinHash permutation parameters — fixed seed so Spark & oracle SQL agree.
 _rng = random.Random(42)
@@ -32,7 +37,9 @@ MINHASH_PERMS: list[tuple[int, int]] = [
 ]
 MINHASH_BANDS = 4  # 4 bands × 4 rows
 
-SIMHASH_BITS = 32
+#: 48 bits: wide enough that same-language (shared-vocabulary) docs spread
+#: out — at 32 bits the fixture corpus collapses onto near-identical sigs
+SIMHASH_BITS = 48
 
 
 def char_ngrams(col: Column, n: int = 3) -> Column:
@@ -128,19 +135,19 @@ def ngram_jaccard_pairs(
 # MinHash + LSH
 # --------------------------------------------------------------------------
 
-def minhash_signature(col: Column, n: int = 3) -> Column:
-    """Array of K min-hashes over character-n-gram shingle hashes.
-    K linear permutations `(a·h + b) mod P` of one base hash — all inside
-    one expression tree, evaluated once per row."""
-    hashes = F.array_distinct(
-        F.transform(char_ngrams(col, n), lambda g: shingle_hash(g))
-    )
+def minhash_signature(hashes: Column) -> Column:
+    """Array of K min-hashes from a (materialized) array of shingle hashes:
+    K linear permutations `(a·h + b) mod P`, min of each.
+
+    Takes pre-computed hashes, NOT raw text: Spark evaluates lambda
+    higher-order functions interpreted with no common-subexpression
+    elimination, so folding the shingle hash inside each of the K branches
+    would recompute it K× per row. Hash once (see shingle_hash_table),
+    cross a shuffle, then run the K cheap permutations here."""
     mins = [
         F.when(
             F.size(hashes) > 0,
-            F.array_min(
-                F.transform(hashes, lambda h: (h * a + b) % FNV_MOD)
-            ),
+            F.array_min(F.transform(hashes, lambda h: (h * a + b) % FNV_MOD)),
         )
         .otherwise(F.lit(FNV_MOD))
         .alias(f"mh{j}")
@@ -149,23 +156,57 @@ def minhash_signature(col: Column, n: int = 3) -> Column:
     return F.array(*mins)
 
 
+def shingle_hash_table(
+    documents: DataFrame, w: int = 3, text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, grams, hashes): distinct w-token shingles and their hashes, with
+    the expensive per-shingle fold evaluated exactly once per shingle.
+
+    Shape: explode shingles → hash each once → groupBy id collect_set.
+    The aggregation shuffle doubles as the materialization barrier that
+    stops Catalyst's projection collapse from inlining (and re-running)
+    the fold into every downstream consumer. One extra shuffle of small
+    (id, hash) rows buys K×B fewer interpreted fold evaluations — the
+    right trade at any scale."""
+    shingled = documents.select(
+        F.col(id_col), F.explode(tokens_shingles(F.col(text_col), w)).alias("g")
+    )
+    hashed = shingled.select(
+        id_col, F.col("g"), shingle_hash(F.col("g")).alias("h")
+    )
+    agg = hashed.groupBy(id_col).agg(
+        F.collect_set("g").alias("grams"), F.collect_set("h").alias("hashes")
+    )
+    # docs with < w tokens have no shingle rows — reinstate with empty arrays
+    return (
+        documents.select(id_col)
+        .join(agg, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("grams", F.array().cast("array<string>")).alias("grams"),
+            F.coalesce("hashes", F.array().cast("array<long>")).alias("hashes"),
+        )
+    )
+
+
 def minhash_lsh_pairs(
     documents: DataFrame,
     threshold: float = 0.5,
-    n: int = 3,
+    w: int = 3,
     text_col: str = "text",
 ) -> DataFrame:
-    """Candidate pairs via LSH banding + exact-Jaccard verification.
+    """Candidate pairs via LSH banding + exact-Jaccard verification, over
+    w-token shingles.
 
     Stages: signature (no shuffle) → explode bands (×B) → self-join on
     (band, band-signature) → distinct candidate pairs → verify with exact
-    n-gram Jaccard. At 100 TB the band join dominates; salting the hottest
-    buckets or raising rows-per-band bounds it."""
+    shingle Jaccard. At 100 TB the band join dominates; salting the hottest
+    buckets or raising rows-per-band bounds it. Candidate volume stays
+    near-linear because random doc pairs share ~no token shingles."""
     rows_per_band = len(MINHASH_PERMS) // MINHASH_BANDS
-    sig = documents.select(
-        "doc_id",
-        F.array_distinct(char_ngrams(F.col(text_col), n)).alias("grams"),
-        minhash_signature(F.col(text_col), n).alias("sig"),
+    sig = shingle_hash_table(documents, w, text_col).select(
+        "doc_id", "grams", minhash_signature(F.col("hashes")).alias("sig")
     )
     banded = sig.select(
         "doc_id",
@@ -216,12 +257,12 @@ def minhash_lsh_pairs(
 # SimHash
 # --------------------------------------------------------------------------
 
-def simhash_col(text: Column) -> Column:
-    """SimHash signature over whitespace tokens: per-token polynomial hash,
-    per-bit vote, sign → bit. Pure expressions: for each bit j, count tokens
-    with bit j set vs total, set bit when votes > half."""
-    toks = F.array_distinct(tokens_col(text))
-    hashes = F.transform(toks, lambda t: shingle_hash(t))
+def simhash_col(hashes: Column) -> Column:
+    """SimHash signature from a (materialized) array of token hashes:
+    per-bit vote, sign → bit. For each bit j, count hashes with bit j set
+    vs total, set bit when votes > half. Takes pre-computed hashes for the
+    same no-CSE-in-HOFs reason as minhash_signature — the 32 bit-votes
+    would otherwise each re-run the token hash fold."""
     n_tok = F.size(hashes)
     bits = [
         F.when(
@@ -246,9 +287,22 @@ def simhash_pairs(
     """Near-dup pairs with SimHash Hamming distance ≤ max_hamming, blocked
     like ngram_jaccard_pairs. (At scale, block on signature prefixes so each
     pair shares a 16-bit prefix — standard SimHash chunking.)"""
-    sigs = documents.select(
+    # frequency-weighted simhash: every token OCCURRENCE votes (distinct
+    # token sets are near-identical across same-vocabulary docs — counts are
+    # what distinguishes them); the groupBy shuffle materializes the hash
+    # array before the bit-vote expressions consume it
+    toks = documents.select(
         "doc_id", *[F.col(c) for c in block_cols],
-        simhash_col(F.col(text_col)).alias("sig"),
+        F.explode(tokens_col(F.col(text_col))).alias("t"),
+    )
+    hashed = toks.withColumn("h", shingle_hash(F.col("t"))).drop("t")
+    sigs = (
+        hashed.groupBy("doc_id", *[F.col(c) for c in block_cols])
+        .agg(F.collect_list("h").alias("hashes"))
+        .select(
+            "doc_id", *[F.col(c) for c in block_cols],
+            simhash_col(F.col("hashes")).alias("sig"),
+        )
     )
     a = sigs.select(
         F.col("doc_id").alias("id1"),

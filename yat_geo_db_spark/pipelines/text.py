@@ -33,6 +33,22 @@ def tokens_col(text: Column) -> Column:
     return F.split(text, " ")
 
 
+def token_shingles_col(text: Column, w: int = 3) -> Column:
+    """w-token shingles ("a b c" strings) — the standard Broder unit for
+    corpus near-dup detection: random docs share almost none (J≈0.001 on the
+    fixture corpus) while near-dups share most, so MinHash bands stay sparse.
+    Char n-grams are the wrong unit here: any two same-language docs share
+    ~0.4 of their trigram set."""
+    toks = tokens_col(text)
+    n = F.size(toks)
+    return F.when(n < w, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), n - (w - 1)),
+            lambda i: F.array_join(F.slice(toks, i, w), " "),
+        )
+    )
+
+
 def token_count_col(text: Column) -> Column:
     """Whitespace token count."""
     return F.size(tokens_col(text))
@@ -97,6 +113,46 @@ def quality_features(documents: DataFrame, text_col: str = "text") -> DataFrame:
         stop_ratio.alias("stopword_ratio"),
         alpha_ratio.alias("alpha_ratio"),
         F.round(score, 6).alias("quality_score"),
+    )
+
+
+def tf_idf_top_terms(documents: DataFrame, k: int = 3,
+                     text_col: str = "text") -> DataFrame:
+    """Top-k terms per document by tf-idf over the whole corpus.
+
+    Plan shape (the scalable one): explode tokens once → three hash
+    aggregations (term-freq per doc, doc-length, doc-freq per token) →
+    joins keyed on their group keys → window top-k per doc. The corpus
+    size N is a broadcast one-row aggregate, never a driver collect.
+    tf-idf = (tf/doc_len) · (ln((N+1)/(df+1)) + 1) — smoothed idf.
+    """
+    from pyspark.sql import Window
+
+    tok = documents.select(
+        "doc_id", F.explode(tokens_col(F.col(text_col))).alias("token")
+    )
+    tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf_cnt"))
+    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("doc_len"))
+    dft = tok.groupBy("token").agg(
+        F.countDistinct("doc_id").alias("df_t")
+    )
+    n = documents.agg(F.count(F.lit(1)).alias("n_docs"))
+    tfidf = (
+        F.col("tf_cnt").cast("double") / F.col("doc_len")
+    ) * (
+        F.log((F.col("n_docs").cast("double") + 1) / (F.col("df_t") + 1)) + 1
+    )
+    scored = (
+        tf.join(dl, "doc_id")
+        .join(dft, "token")
+        .crossJoin(F.broadcast(n))
+        .select("doc_id", "token", F.round(tfidf, 6).alias("tfidf"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("token"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("doc_id", "token", "tfidf")
     )
 
 

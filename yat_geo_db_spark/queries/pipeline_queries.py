@@ -16,9 +16,12 @@ from yat_geo_db_spark.queries.ducksql import grams_sql, sql_str_list
 from yat_geo_db_spark.testdata import load_table
 
 #: thresholds shared by both engines
-JACCARD_T = 0.14
-MINHASH_T = 0.10
-SIMHASH_MAX_HAMMING = 10
+JACCARD_T = 0.5
+MINHASH_T = 0.5
+#: hamming ≤ 1 of 48 bits: on this corpus's short (~54-token) docs the
+#: in-block hamming distribution is dense from ~2 up (SimHash's known
+#: weakness on short text), so only the 0/1 band isolates true near-dups
+SIMHASH_MAX_HAMMING = 1
 COSINE_T = 0.12
 TOPK_QUERY_ID = 1
 IVF_BITS = 6
@@ -143,9 +146,20 @@ def q_dedup_minhash(spark, sf_dir):
     )
 
 
+def _shingles(t: str, w: int = 3) -> str:
+    """w-token shingles — mirror of text.token_shingles_col."""
+    toks = f"string_split({t}, ' ')"
+    return (
+        f"CASE WHEN len({toks}) >= {w} THEN "
+        f"list_transform(range(1, len({toks}) - {w - 2}), "
+        f"i -> array_to_string({toks}[i:i+{w - 1}], ' ')) "
+        f"ELSE CAST([] AS VARCHAR[]) END"
+    )
+
+
 def _minhash_sql() -> str:
     rows = len(MINHASH_PERMS) // MINHASH_BANDS
-    grams = grams_sql("text", distinct=False)
+    grams = _shingles("text")
     mins = ", ".join(
         f"CASE WHEN len(hashes) > 0 THEN "
         f"list_min(list_transform(hashes, h -> (h * {a} + {b}) % {FNV_MOD})) "
@@ -199,8 +213,7 @@ def _simhash_sql() -> str:
     return f"""
 WITH h AS (
   SELECT doc_id, lang, source,
-         list_transform(list_distinct(string_split(text, ' ')), t -> {_sh('t')})
-           AS hashes
+         list_transform(string_split(text, ' '), t -> {_sh('t')}) AS hashes
   FROM documents
 ),
 s AS (SELECT doc_id, lang, source, ({bits}) AS sig FROM h)
@@ -327,6 +340,31 @@ FROM s
 """
 
 
+def q_text_tfidf(spark, sf_dir):
+    return text.tf_idf_top_terms(load_table(spark, sf_dir, "documents"), k=3)
+
+
+_TEXT_TFIDF_SQL = """
+WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+tf AS (SELECT doc_id, token, count(*) AS tf_cnt FROM tok GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*) AS doc_len FROM tok GROUP BY 1),
+dft AS (SELECT token, count(DISTINCT doc_id) AS df_t FROM tok GROUP BY 1),
+n AS (SELECT count(*) AS n_docs FROM documents),
+s AS (
+  SELECT tf.doc_id, tf.token,
+         (CAST(tf_cnt AS DOUBLE) / doc_len)
+         * (ln((CAST(n_docs AS DOUBLE) + 1) / (df_t + 1)) + 1) AS raw
+  FROM tf JOIN dl USING (doc_id) JOIN dft USING (token) CROSS JOIN n
+)
+SELECT doc_id, token, tfidf FROM (
+  SELECT doc_id, token, round(raw, 6) AS tfidf,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY round(raw, 6) DESC, token) AS rn
+  FROM s
+) WHERE rn <= 3
+"""
+
+
 def q_text_fingerprint(spark, sf_dir):
     return text.document_fingerprints(load_table(spark, sf_dir, "documents"))
 
@@ -388,6 +426,7 @@ QUERIES: dict = {
     "pipe_text_quality": (q_text_quality, _TEXT_QUALITY_SQL),
     "pipe_text_lang_id": (q_text_lang_id, _lang_id_sql()),
     "pipe_text_fingerprint": (q_text_fingerprint, _TEXT_FINGERPRINT_SQL),
+    "pipe_text_tfidf": (q_text_tfidf, _TEXT_TFIDF_SQL),
     "pipe_mm_features": (q_mm_features, _MM_FEATURES_SQL),
     "pipe_mm_frame_sample": (q_mm_frame_sample, _MM_FRAME_SAMPLE_SQL),
 }

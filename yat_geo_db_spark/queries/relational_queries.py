@@ -64,6 +64,26 @@ def rollup(spark, sf_dir):
     return rq.sales_rollup(orders)
 
 
+def cube(spark, sf_dir):
+    (orders,) = _t(spark, sf_dir, "orders")
+    return rq.sales_cube(orders)
+
+
+def grouping_sets(spark, sf_dir):
+    (orders,) = _t(spark, sf_dir, "orders")
+    return rq.sales_grouping_sets(orders)
+
+
+def pivot(spark, sf_dir):
+    (orders,) = _t(spark, sf_dir, "orders")
+    return rq.sales_pivot(orders)
+
+
+def distinct_nations(spark, sf_dir):
+    (customer,) = _t(spark, sf_dir, "customer")
+    return rq.segment_distinct_nations(customer)
+
+
 def set_ops(spark, sf_dir):
     (customer,) = _t(spark, sf_dir, "customer")
     return rq.segment_set_ops(customer)
@@ -198,6 +218,39 @@ FROM orders
 GROUP BY ROLLUP(order_year, o_orderstatus)
 """
 
+_CUBE_SQL = f"""
+SELECT CAST(year(o_orderdate) AS INT) AS order_year, o_orderstatus,
+       count(*) AS n_orders, {_dsum('o_totalprice', 2)} AS total_sales
+FROM orders
+GROUP BY CUBE(order_year, o_orderstatus)
+"""
+
+_GROUPING_SETS_SQL = f"""
+SELECT CAST(year(o_orderdate) AS INT) AS order_year, o_orderstatus,
+       count(*) AS n_orders, {_dsum('o_totalprice', 2)} AS total_sales
+FROM orders
+GROUP BY GROUPING SETS ((order_year), (o_orderstatus), ())
+"""
+
+_PIVOT_SQL = """
+SELECT CAST(year(o_orderdate) AS INT) AS order_year,
+  CAST(sum(CASE WHEN o_orderstatus = 'F'
+            THEN CAST(o_totalprice AS DECIMAL(30,2)) END) AS DOUBLE) AS sales_f,
+  CAST(sum(CASE WHEN o_orderstatus = 'O'
+            THEN CAST(o_totalprice AS DECIMAL(30,2)) END) AS DOUBLE) AS sales_o,
+  CAST(sum(CASE WHEN o_orderstatus = 'P'
+            THEN CAST(o_totalprice AS DECIMAL(30,2)) END) AS DOUBLE) AS sales_p
+FROM orders
+GROUP BY 1
+"""
+
+_DISTINCT_NATIONS_SQL = """
+SELECT c_mktsegment, count(DISTINCT c_nationkey) AS n_nations,
+       count(*) AS n_customers
+FROM customer
+GROUP BY c_mktsegment
+"""
+
 _SET_OPS_SQL = """
 WITH rich AS (SELECT c_custkey FROM customer WHERE c_acctbal > 5000),
      seg AS (SELECT c_custkey FROM customer WHERE c_mktsegment = 'MACHINERY')
@@ -317,6 +370,10 @@ QUERIES: dict = {
     "rel_top_orders_per_customer": (top_orders, _TOP_ORDERS_SQL),
     "rel_running_total": (running_total, _RUNNING_TOTAL_SQL),
     "rel_sales_rollup": (rollup, _ROLLUP_SQL),
+    "rel_sales_cube": (cube, _CUBE_SQL),
+    "rel_grouping_sets": (grouping_sets, _GROUPING_SETS_SQL),
+    "rel_sales_pivot": (pivot, _PIVOT_SQL),
+    "rel_distinct_nations": (distinct_nations, _DISTINCT_NATIONS_SQL),
     "rel_set_ops": (set_ops, _SET_OPS_SQL),
     "rel_events_json_stats": (json_stats, _JSON_STATS_SQL),
     "rel_events_time_buckets": (time_buckets, _TIME_BUCKETS_SQL),

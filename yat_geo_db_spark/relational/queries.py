@@ -153,6 +153,60 @@ def sales_rollup(orders: DataFrame) -> DataFrame:
     )
 
 
+def sales_cube(orders: DataFrame) -> DataFrame:
+    """CUBE over (year, status): all four grouping combinations."""
+    return (
+        orders.cube(F.year("o_orderdate").alias("order_year"), F.col("o_orderstatus"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum(F.col("o_totalprice"), 2).alias("total_sales"),
+        )
+    )
+
+
+def sales_grouping_sets(orders: DataFrame) -> DataFrame:
+    """Explicit GROUPING SETS ((year), (status), ()) — the asymmetric subset
+    CUBE/ROLLUP can't express."""
+    spark = orders.sparkSession
+    orders.createOrReplaceTempView("_gs_orders")
+    return spark.sql(
+        """
+        SELECT CAST(year(o_orderdate) AS INT) AS order_year, o_orderstatus,
+               count(1) AS n_orders,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE)
+                 AS total_sales
+        FROM _gs_orders
+        GROUP BY GROUPING SETS ((order_year), (o_orderstatus), ())
+        """
+    )
+
+
+def sales_pivot(orders: DataFrame) -> DataFrame:
+    """Pivot order status into columns (explicit value list keeps the output
+    schema static — required for both Catalyst planning and oracle parity)."""
+    out = (
+        orders.groupBy(F.year("o_orderdate").alias("order_year"))
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(dsum(F.col("o_totalprice"), 2))
+    )
+    return out.select(
+        "order_year",
+        F.col("F").alias("sales_f"),
+        F.col("O").alias("sales_o"),
+        F.col("P").alias("sales_p"),
+    )
+
+
+def segment_distinct_nations(customer: DataFrame) -> DataFrame:
+    """Exact distinct aggregation (count-distinct expands to a two-phase
+    aggregate — at 100 TB prefer approx_count_distinct for sketches; exact
+    kept here because the oracle must match)."""
+    return customer.groupBy("c_mktsegment").agg(
+        F.countDistinct("c_nationkey").alias("n_nations"),
+        F.count(F.lit(1)).alias("n_customers"),
+    )
+
+
 def segment_set_ops(customer: DataFrame) -> DataFrame:
     """UNION / INTERSECT / EXCEPT coverage in one result: per-op row counts
     over customer key sets (deterministic scalar outputs)."""
