@@ -50,9 +50,15 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     registry = all_queries()
 
-    # warm the JVM/codegen paths once so per-query numbers measure the
-    # pipelines, not first-job session setup
+    # warm the JVM/codegen paths and the Python/Arrow worker pool once so
+    # per-query numbers measure the pipelines, not first-job session setup
     registry["rel_q1_pricing_summary"][0](spark, SF_DIR).limit(1).count()
+    from pyspark.sql import functions as F
+
+    _noop_udf = F.pandas_udf(lambda s: s, "long")
+    spark.range(64).select(_noop_udf(F.col("id"))).write.format("noop").mode(
+        "overwrite"
+    ).save()
 
     timings: dict[str, float] = {}
     total = 0.0

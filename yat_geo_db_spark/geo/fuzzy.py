@@ -98,6 +98,18 @@ def entity_fuzzy_score_col(query: str, source: Column) -> Column:
     return F.when(source.startswith(F.lit(query)), base * 1.15).otherwise(base)
 
 
+def tversky_compare(options: DataFrame, search: str,
+                    option_col: str = "option") -> DataFrame:
+    """F3 (fuzzy.py:34-35): score a search string against a relation of
+    option strings with symmetric weights (a=b=0.5, Dice-like). The
+    reference takes a Python list; the scalable form scores a column."""
+    src = F.col(option_col)
+    score = tversky_index_col(search, ngrams_col(src), src != F.lit(""),
+                              a=0.5, b=0.5)
+    return options.select(src.alias(option_col),
+                          F.round(score, 6).alias("score"))
+
+
 def geo_search_score_col(query: str, source: Column, population: Column) -> Column:
     """F9 (geo_manager.py:491-501): numeric queries score against the first
     space-token only (zip-code mode); population-weighted unless the fuzzy

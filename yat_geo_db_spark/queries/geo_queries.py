@@ -156,6 +156,24 @@ def q_shape_display(spark, sf_dir):
     )
 
 
+def q_tversky_compare(spark, sf_dir):
+    """F3: symmetric Tversky of a query vs the distinct City names."""
+    shapes = _shapes(spark, sf_dir)
+    options = (
+        shapes.filter((F.col("geo_type") == "City") & (F.col("id") < 200))
+        .select(F.col("clean_value").alias("option"))
+        .distinct()
+    )
+    return fuzzy.tversky_compare(options, "nashville tn")
+
+
+def q_geo_type_of(spark, sf_dir):
+    """P5: key-relation → geo_type (broadcast map-side join)."""
+    shapes = _shapes(spark, sf_dir)
+    keys = shapes.filter(F.col("id") < 100).select("reference_code")
+    return lookup.geo_type_of(shapes, keys)
+
+
 def q_local_time(spark, sf_dir):
     """P10: tz-aware local time — non-deterministic ⇒ rows-only check."""
     return lookup.shape_local_time(_shapes(spark, sf_dir)).filter(F.col("id") < 50)
@@ -203,6 +221,27 @@ SELECT id, reference_code, value, clean_value, geo_type,
 FROM shapes WHERE reference_code = '{REF_NASHUA_1}'
 """
 
+def _tversky_compare_sql() -> str:
+    from yat_geo_db_spark.geo.fuzzy import clean_entity, ngrams_list
+
+    query = clean_entity("nashville tn")
+    q_set = sorted(set(ngrams_list(query)))
+    return f"""
+WITH {SHAPES_CTE},
+opts AS (SELECT DISTINCT clean_value AS option FROM shapes
+         WHERE geo_type = 'City' AND id < 200),
+g AS (SELECT option, {ducksql.grams_sql('option')} AS og FROM opts),
+f AS (SELECT option,
+             len(list_intersect({ducksql.sql_str_list(q_set)}, og)) AS i,
+             len(og) AS sd
+      FROM g)
+SELECT option,
+       round({ducksql.tversky_sql('i', 'sd', len(q_set), 'option', 0.5, 0.5)}, 6)
+         AS score
+FROM f
+"""
+
+
 QUERIES: dict = {
     "geo_fuzzy_city": (
         q_fuzzy_city,
@@ -248,6 +287,14 @@ QUERIES: dict = {
     ),
     "geo_quote_location": (q_quote_location, _QUOTE_LOCATION_SQL),
     "geo_shape_display": (q_shape_display, _SHAPE_DISPLAY_SQL),
+    "geo_tversky_compare": (
+        q_tversky_compare,
+        _tversky_compare_sql(),
+    ),
+    "geo_type_of": (
+        q_geo_type_of,
+        f"WITH {SHAPES_CTE} SELECT reference_code, geo_type FROM shapes WHERE id < 100",
+    ),
     "geo_local_time": (q_local_time, None),  # wall-clock ⇒ rows-only
     "geo_num_shapes": (
         q_num_shapes,

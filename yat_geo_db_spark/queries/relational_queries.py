@@ -128,6 +128,21 @@ def sessionize(spark, sf_dir):
     )
 
 
+def sliding(spark, sf_dir):
+    """Batch twin of streaming.sliding_rates: each event lands in
+    width/slide windows (F.window works identically on batch input —
+    Structured Streaming's unified model). Output window starts as epoch
+    seconds for the oracle compare."""
+    (events,) = _t(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.window("ts", "30 minutes", "10 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("window_start_s"), "n"
+        )
+    )
+
+
 def tumbling(spark, sf_dir):
     """Batch twin of streaming.tumbling_counts (same grouping semantics,
     hour buckets as epoch seconds so the oracle compare is exact)."""
@@ -355,6 +370,19 @@ FROM sess
 GROUP BY user_id, session_id
 """
 
+_SLIDING_SQL = """
+WITH e AS (
+  SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 AS sec FROM events
+),
+w AS (
+  -- window starts are the multiples of slide(600) in (sec - width(1800), sec]
+  SELECT unnest(range(600 * ((sec - 1800) // 600 + 1),
+                      600 * (sec // 600) + 1, 600)) AS window_start_s
+  FROM e
+)
+SELECT window_start_s, count(*) AS n FROM w GROUP BY 1
+"""
+
 _TUMBLING_SQL = f"""
 SELECT CAST(floor(epoch_us(CAST(ts AS TIMESTAMP)) / 3600000000) AS BIGINT) * 3600
          AS window_start_s,
@@ -382,4 +410,5 @@ QUERIES: dict = {
     "rel_join_flavors": (join_flavors, _JOIN_FLAVORS_SQL),
     "rel_sessionize": (sessionize, _SESSIONIZE_SQL),
     "rel_tumbling_hour": (tumbling, _TUMBLING_SQL),
+    "rel_sliding_10min": (sliding, _SLIDING_SQL),
 }
