@@ -1,0 +1,43 @@
+"""IVF persisted-index path: partition-pruned probes must agree with the
+in-memory bucketed search, and the scan must actually prune partitions."""
+
+from __future__ import annotations
+
+import io
+from contextlib import redirect_stdout
+
+import pyspark.sql.functions as F
+
+from yat_geo_db_spark.pipelines.similarity import (
+    ivf_topk,
+    ivf_topk_indexed,
+    write_ivf_index,
+)
+from yat_geo_db_spark.testdata import load_table
+
+SF = "/root/testdata/sf0.001"
+BITS = 6
+QUERY_ID = 7
+
+
+def test_indexed_probe_matches_inmemory(spark, tmp_path):
+    emb = load_table(spark, SF, "embeddings")
+    root = str(tmp_path / "ivf")
+    write_ivf_index(emb, root, bits=BITS)
+
+    qvec = emb.filter(F.col("vec_id") == QUERY_ID).first()["embedding"]
+    got = ivf_topk_indexed(spark, root, list(qvec), k=11, bits=BITS)
+    got_rows = [
+        (r["vec_id"], r["cosine"]) for r in got.collect() if r["vec_id"] != QUERY_ID
+    ]
+    want = ivf_topk(emb, QUERY_ID, k=10, bits=BITS)
+    want_rows = [(r["vec_id"], r["cosine"]) for r in want.collect()]
+    assert got_rows[: len(want_rows)] == want_rows
+    assert len(want_rows) > 0
+
+    # the probe must prune at the partition level, not post-scan filter
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        ivf_topk_indexed(spark, root, list(qvec), k=5, bits=BITS).explain("formatted")
+    plan = buf.getvalue()
+    assert "PartitionFilters" in plan and "bucket" in plan

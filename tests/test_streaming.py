@@ -6,6 +6,7 @@ session windows."""
 from __future__ import annotations
 
 import pyspark.sql.functions as F
+import pytest
 
 from yat_geo_db_spark.streaming.windows import (
     batch_sessionize,
@@ -45,6 +46,39 @@ def test_tumbling_stream_matches_batch(spark, tmp_path):
     want = tumbling_counts(events).select("window_start", "event_type", "n")
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
     assert got.count() > 0
+
+
+def test_stateful_running_totals(spark, tmp_path):
+    import pyspark.sql.functions as F
+
+    from yat_geo_db_spark.streaming.stateful import running_user_totals
+
+    events, stream = _events_source(spark, tmp_path)
+    q = (
+        running_user_totals(stream)
+        .writeStream.format("memory")
+        .queryName("stateful_test")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # one micro-batch ⇒ the latest update row per user == the batch totals
+    got = {
+        r["user_id"]: r
+        for r in spark.sql("SELECT * FROM stateful_test").collect()
+    }
+    want = {
+        r["user_id"]: r
+        for r in events.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("v"))
+        .collect()
+    }
+    assert got.keys() == want.keys()
+    for uid, w in want.items():
+        assert got[uid]["n_events"] == w["n"]
+        assert got[uid]["total_value"] == pytest.approx(w["v"], rel=1e-9)
+        assert got[uid]["closed"] is False
 
 
 def test_session_stream_total_events_conserved(spark, tmp_path):

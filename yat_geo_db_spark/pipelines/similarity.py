@@ -102,6 +102,42 @@ def ivf_topk(
     )
 
 
+def write_ivf_index(embeddings: DataFrame, root: str, bits: int = 8,
+                    id_col: str = "vec_id", vec_col: str = "embedding") -> str:
+    """Persist the corpus partitioned by its sign-bit bucket — the 100 TB
+    layout: each probe reads ~N/2^bits vectors via Hive partition pruning
+    (`PartitionFilters` in the scan, zero rows read from other buckets)."""
+    (
+        embeddings.withColumn("bucket", signbit_bucket(F.col(vec_col), bits))
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(root)
+    )
+    return root
+
+
+def ivf_topk_indexed(
+    spark, root: str, query_vec: list[float], k: int = 10, bits: int = 8,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """Probe a persisted IVF index with a literal query vector.
+
+    The bucket is computed driver-side from the vector (it is a query
+    parameter, not data), so the `bucket = b` filter prunes at the
+    partition-directory level before any file is opened."""
+    bucket = sum(1 << j for j in range(bits) if float(query_vec[j]) > 0)
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    df = spark.read.parquet(root).filter(F.col("bucket") == bucket)
+    return (
+        df.select(
+            F.col(id_col),
+            F.round(cosine_col(F.col(vec_col), q), 6).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), F.asc(id_col))
+        .limit(k)
+    )
+
+
 def cosine_near_dup_pairs(
     embeddings: DataFrame, threshold: float = 0.8,
     id_col: str = "vec_id", vec_col: str = "embedding",

@@ -1,0 +1,82 @@
+"""Custom stateful streaming operator via applyInPandasWithState — the
+escape hatch for semantics the built-in window aggregations can't express
+(here: per-user lifetime running totals emitted every micro-batch, with an
+idle-timeout that finalizes a user's state).
+
+Scale notes: state is partitioned by the grouping key across the state
+store (one partition per shuffle partition); Arrow batches per group keep
+the Python boundary vectorized; the timeout bounds state growth exactly
+like a watermark bounds window state. Prefer RocksDB state store off-heap
+for 100 TB-class key cardinalities.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame
+import pyspark.sql.types as T
+
+OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("total_value", T.DoubleType()),
+        T.StructField("closed", T.BooleanType()),
+    ]
+)
+
+STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("n", T.LongType()),
+        T.StructField("v", T.DoubleType()),
+    ]
+)
+
+
+def running_user_totals(events: DataFrame, idle_timeout_ms: int | None = None) -> DataFrame:
+    """Per-user cumulative (count, value-sum) across micro-batches.
+
+    Emits one row per user per micro-batch in which the user appeared
+    (`closed=False`), plus a final row when the idle timeout fires
+    (`closed=True`). Input must be a streaming DataFrame grouped-able by
+    `user_id` with a `value` column.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs: Iterator, state: GroupState) -> Iterator:
+        import pandas as pd
+
+        (user_id,) = key
+        if state.hasTimedOut:
+            n, v = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {"user_id": [user_id], "n_events": [n],
+                 "total_value": [v], "closed": [True]}
+            )
+            return
+        n, v = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            v += float(pdf["value"].sum())
+        state.update((n, v))
+        if idle_timeout_ms is not None:
+            state.setTimeoutDuration(idle_timeout_ms)
+        yield pd.DataFrame(
+            {"user_id": [user_id], "n_events": [n],
+             "total_value": [v], "closed": [False]}
+        )
+
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if idle_timeout_ms is not None
+        else GroupStateTimeout.NoTimeout
+    )
+    return (
+        events.select("user_id", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update, OUTPUT_SCHEMA, STATE_SCHEMA, "update", timeout
+        )
+    )
