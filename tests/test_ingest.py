@@ -73,6 +73,20 @@ def test_ingest_casts_and_versioned_layout(spark, tmp_path):
     assert mem["is_aggregate"] is False and mem["population"] == 0 and mem["area"] == 0.0
 
 
+def test_fuzzy_over_materialized_postings(spark, shapes, tmp_path):
+    """The persisted inverted index must give identical fuzzy results to the
+    on-the-fly explode (same pipeline, different source for the probe)."""
+    from yat_geo_db_spark.geo.fuzzy import fuzzy_search
+
+    out = materialize_postings(spark, shapes, str(tmp_path / "db"), buckets=8)
+    postings = spark.read.parquet(out)
+    via_index = fuzzy_search(shapes, "Nashville, TN", 10, postings=postings)
+    on_the_fly = fuzzy_search(shapes, "Nashville, TN", 10)
+    assert sorted(map(tuple, via_index.collect())) == sorted(
+        map(tuple, on_the_fly.collect())
+    )
+
+
 def test_postings_materialize_and_incremental(spark, tmp_path):
     path = _write_json(tmp_path, [RECORD])
     root = str(tmp_path / "db")

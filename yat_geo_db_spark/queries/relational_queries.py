@@ -49,6 +49,11 @@ def q5(spark, sf_dir):
     return rq.q5_local_supplier_volume(region, nation, customer, orders, lineitem, supplier)
 
 
+def q18(spark, sf_dir):
+    customer, orders, lineitem = _t(spark, sf_dir, "customer", "orders", "lineitem")
+    return rq.q18_large_orders(customer, orders, lineitem)
+
+
 def top_orders(spark, sf_dir):
     (orders,) = _t(spark, sf_dir, "orders")
     return rq.top_orders_per_customer(orders, k=3)
@@ -205,6 +210,21 @@ JOIN region ON n_regionkey = r_regionkey
 WHERE r_name = 'REGION_0'
 GROUP BY n_name
 ORDER BY revenue DESC, n_name
+"""
+
+_Q18_SQL = f"""
+SELECT c_custkey, c_name, o_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+       o_totalprice, sum_qty
+FROM (
+  SELECT l_orderkey, {_dsum('l_quantity', 2)} AS sum_qty
+  FROM lineitem GROUP BY l_orderkey
+  HAVING {_dsum('l_quantity', 2)} > 200.0
+) big
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY sum_qty DESC, o_orderkey
+LIMIT 20
 """
 
 _TOP_ORDERS_SQL = """
@@ -395,6 +415,7 @@ QUERIES: dict = {
     "rel_q1_pricing_summary": (q1, _Q1_SQL),
     "rel_q3_shipping_priority": (q3, _Q3_SQL),
     "rel_q5_local_supplier_volume": (q5, _Q5_SQL),
+    "rel_q18_large_orders": (q18, _Q18_SQL),
     "rel_top_orders_per_customer": (top_orders, _TOP_ORDERS_SQL),
     "rel_running_total": (running_total, _RUNNING_TOTAL_SQL),
     "rel_sales_rollup": (rollup, _ROLLUP_SQL),

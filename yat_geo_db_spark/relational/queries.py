@@ -106,6 +106,29 @@ def q5_local_supplier_volume(region: DataFrame, nation: DataFrame,
     )
 
 
+def q18_large_orders(customer: DataFrame, orders: DataFrame,
+                     lineitem: DataFrame, threshold: float = 200.0) -> DataFrame:
+    """TPC-H Q18 shape: HAVING-filtered aggregation feeding a join. The
+    big aggregate (sum per orderkey) shuffles once; its survivors are few
+    → Catalyst/AQE turn the orders join into a broadcast at runtime."""
+    big = (
+        lineitem.groupBy("l_orderkey")
+        .agg(dsum(F.col("l_quantity"), 2).alias("sum_qty"))
+        .filter(F.col("sum_qty") > threshold)       # HAVING
+    )
+    return (
+        big.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_custkey", "c_name", "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            "o_totalprice", "sum_qty",
+        )
+        .orderBy(F.desc("sum_qty"), F.asc("o_orderkey"))
+        .limit(20)
+    )
+
+
 def top_orders_per_customer(orders: DataFrame, k: int = 3) -> DataFrame:
     """Window ranking: row_number per customer by totalprice. One shuffle on
     o_custkey; no global sort."""
