@@ -4,6 +4,7 @@ Arrow-batched mapInPandas; the decode itself is a clearly-stubbed fake."""
 from __future__ import annotations
 
 import pytest
+import pyspark.sql.functions as F
 
 from yat_geo_db_spark.pipelines.multimodal import (
     _fake_decode,
@@ -18,7 +19,10 @@ SF = "/root/testdata/sf0.001"
 
 
 def test_extract_features_matches_local_decode(spark):
-    docs = load_table(spark, SF, "documents").limit(20)
+    # deterministic subset: load_table's scan-compensator repartition makes
+    # row order arbitrary, so a bare limit() would pick different rows on
+    # each evaluation
+    docs = load_table(spark, SF, "documents").filter(F.col("doc_id") < 20)
     media = synthesize_media(docs)
     feats = {r["doc_id"]: r for r in extract_features(media).collect()}
     local = {
@@ -42,7 +46,7 @@ def test_decode_stub_is_honest():
 
 
 def test_frame_sample_counts(spark):
-    docs = load_table(spark, SF, "documents").limit(5)
+    docs = load_table(spark, SF, "documents").filter(F.col("doc_id") < 5)
     media = synthesize_media(docs)
     out = frame_sample_plan(media, every_nth=10)
     per_doc = {r["doc_id"]: r["cnt"] for r in

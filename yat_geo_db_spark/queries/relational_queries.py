@@ -23,9 +23,17 @@ def _t(spark, sf_dir, *names):
     return [load_table(spark, sf_dir, n) for n in names]
 
 
-#: exact, engine-portable sum fragment (mirror of relational.queries.dsum)
+#: exact, engine-portable sum fragment (mirror of relational.queries.dsum):
+#: per-row floor(x*10^s + 0.5) is pure IEEE arithmetic DuckDB and Spark
+#: execute identically; the BIGINT sum is exact (DuckDB widens to HUGEINT);
+#: the final hugeint→double cast and double division are correctly rounded
+#: in both engines. 1e{s} literals are DOUBLE in both SQL dialects.
 def _dsum(expr: str, scale: int) -> str:
-    return f"CAST(sum(CAST({expr} AS DECIMAL(30,{scale}))) AS DOUBLE)"
+    m = f"1e{scale}"
+    return (
+        f"(CAST(sum(CAST(floor(({expr}) * {m} + CAST(0.5 AS DOUBLE)) AS BIGINT))"
+        f" AS DOUBLE) / {m})"
+    )
 
 
 # --------------------------------------------------------------------------
@@ -157,7 +165,7 @@ def tumbling(spark, sf_dir):
         events.groupBy(bucket.alias("window_start_s"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum(F.col("value").cast("decimal(30,2)")).cast("double").alias("total_value"),
+            rq.dsum(F.col("value"), 2).alias("total_value"),
         )
     )
 
@@ -239,9 +247,10 @@ FROM (
 
 _RUNNING_TOTAL_SQL = """
 SELECT o_custkey, o_orderkey,
-       CAST(sum(CAST(o_totalprice AS DECIMAL(30,2))) OVER (
+       CAST(sum(CAST(floor(o_totalprice * 1e2 + CAST(0.5 AS DOUBLE)) AS BIGINT))
+            OVER (
             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) / 1e2
        AS running_total
 FROM orders
 """
@@ -267,14 +276,11 @@ FROM orders
 GROUP BY GROUPING SETS ((order_year), (o_orderstatus), ())
 """
 
-_PIVOT_SQL = """
+_PIVOT_SQL = f"""
 SELECT CAST(year(o_orderdate) AS INT) AS order_year,
-  CAST(sum(CASE WHEN o_orderstatus = 'F'
-            THEN CAST(o_totalprice AS DECIMAL(30,2)) END) AS DOUBLE) AS sales_f,
-  CAST(sum(CASE WHEN o_orderstatus = 'O'
-            THEN CAST(o_totalprice AS DECIMAL(30,2)) END) AS DOUBLE) AS sales_o,
-  CAST(sum(CASE WHEN o_orderstatus = 'P'
-            THEN CAST(o_totalprice AS DECIMAL(30,2)) END) AS DOUBLE) AS sales_p
+  {_dsum("CASE WHEN o_orderstatus = 'F' THEN o_totalprice END", 2)} AS sales_f,
+  {_dsum("CASE WHEN o_orderstatus = 'O' THEN o_totalprice END", 2)} AS sales_o,
+  {_dsum("CASE WHEN o_orderstatus = 'P' THEN o_totalprice END", 2)} AS sales_p
 FROM orders
 GROUP BY 1
 """

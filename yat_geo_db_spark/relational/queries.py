@@ -3,11 +3,11 @@
 Cross-engine determinism notes (these queries are hash-compared against a
 DuckDB oracle):
 
-- Sums of doubles are order-dependent; we cast each row's value to DECIMAL
-  first (exact, associative) and cast the exact sum back to double. Both
-  engines round the same double to the same decimal, so results match
-  bit-for-bit. This is also the *right* engineering at 100 TB: decimal sums
-  don't drift with partitioning.
+- Sums of doubles are order-dependent; we round each row's value to a
+  fixed-point integer (floor(x*10^s + 0.5), pure IEEE ops both engines run
+  identically) and sum exactly as DECIMAL(38,0). Exact and associative, so
+  results match bit-for-bit and don't drift with partitioning — the right
+  engineering at 100 TB, and ~free per row (no BigDecimal in the hot loop).
 - Averages are computed as exact-sum / count, then rounded.
 - Every top-k orders by (rounded measure, unique key) so ties are stable.
 - Timestamps are emitted as 'yyyy-MM-dd' strings (session TZ pinned to UTC).
@@ -19,9 +19,38 @@ from pyspark.sql import Column, DataFrame
 import pyspark.sql.functions as F
 
 
+def _scaled_long(col: Column, scale: int) -> Column:
+    """Round a double to `scale` places as a fixed-point integer using only
+    IEEE-754 ops (multiply, add, floor) that every engine executes
+    identically — so cross-engine parity holds by construction.
+
+    Deliberately NOT ``cast(decimal(30,s))``: the per-row double→decimal cast
+    goes through BigDecimal.setScale (divide-and-round) in the JVM — the one
+    hot-loop allocation in an otherwise codegen'd aggregate, and the first
+    decimal-heavy query after a Python-runner class-load pays a huge JIT
+    deopt penalty re-interpreting it. floor() is a single native op."""
+    m = float(10 ** scale)
+    return F.floor(col * F.lit(m) + F.lit(0.5)).cast("decimal(38,0)")
+
+
 def dsum(col: Column, scale: int = 4) -> Column:
-    """Exact, engine-portable sum of a double column via decimal."""
-    return F.sum(col.cast(f"decimal(30,{scale})")).cast("double")
+    """Exact, engine-portable sum of a double column via fixed-point longs.
+
+    Per row: ``floor(x*10^s + 0.5)`` (pure IEEE, identical in Spark and
+    DuckDB), accumulated as DECIMAL(38,0) — long-backed compact adds, no
+    overflow at any scale factor — then one decimal→double cast and one
+    double division at the end. Associative and partition-order-independent,
+    so results don't drift when partitioning changes (the 100 TB property),
+    and the DuckDB oracle mirror (queries.relational_queries._dsum) computes
+    bit-identical values."""
+    m = float(10 ** scale)
+    return F.sum(_scaled_long(col, scale)).cast("double") / F.lit(m)
+
+
+def dsum_over(col: Column, window, scale: int = 4) -> Column:
+    """Windowed variant of dsum (exact running/frame sums)."""
+    m = float(10 ** scale)
+    return F.sum(_scaled_long(col, scale)).over(window).cast("double") / F.lit(m)
 
 
 def q1_pricing_summary(lineitem: DataFrame) -> DataFrame:
@@ -146,7 +175,7 @@ def top_orders_per_customer(orders: DataFrame, k: int = 3) -> DataFrame:
 
 def customer_running_total(orders: DataFrame) -> DataFrame:
     """Window frame: running sum of order value per customer in date order.
-    Decimal accumulation keeps the running values engine-exact."""
+    Fixed-point accumulation keeps the running values engine-exact."""
     from pyspark.sql import Window
 
     w = (
@@ -157,10 +186,7 @@ def customer_running_total(orders: DataFrame) -> DataFrame:
     return orders.select(
         "o_custkey",
         "o_orderkey",
-        F.sum(F.col("o_totalprice").cast("decimal(30,2)"))
-        .over(w)
-        .cast("double")
-        .alias("running_total"),
+        dsum_over(F.col("o_totalprice"), w, 2).alias("running_total"),
     )
 
 
@@ -196,8 +222,8 @@ def sales_grouping_sets(orders: DataFrame) -> DataFrame:
         """
         SELECT CAST(year(o_orderdate) AS INT) AS order_year, o_orderstatus,
                count(1) AS n_orders,
-               CAST(sum(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE)
-                 AS total_sales
+               CAST(sum(CAST(floor(o_totalprice * 1e2 + 0.5D) AS DECIMAL(38,0)))
+                    AS DOUBLE) / 1e2 AS total_sales
         FROM _gs_orders
         GROUP BY GROUPING SETS ((order_year), (o_orderstatus), ())
         """

@@ -19,9 +19,26 @@ _DEFAULTS = {
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
     "spark.sql.session.timeZone": "UTC",
+    # Spark 4's ICU-backed case mappings build a full-Unicode title-case
+    # lookup table in a static initializer the first time upper()/lower()
+    # is evaluated — ~65 s of driver CPU per JVM (observed via jstack in
+    # CollationAwareUTF8String.<clinit>). JVM case mappings are identical
+    # for ASCII data; flip back on for non-ASCII corpora on long-lived
+    # cluster jobs where the one-time init amortizes.
+    "spark.sql.icu.caseMappings.enabled": "false",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
     "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
+    # Ask for at least one split per core on file scans. NOTE: this cannot
+    # parallelize the local fixture tables (one file, ONE row group — every
+    # extra split reads zero rows; testdata.load_table compensates with an
+    # explicit repartition), but at scale it keeps many-small-file scans from
+    # under-splitting below the core count.
+    "spark.sql.files.minPartitionNum": str(os.cpu_count() or 8),
+    # Explicitly keep AQE's coalescing from dropping post-shuffle stages
+    # below default parallelism (bytes are a bad proxy for compute cost).
+    # This is Spark's default; stated here because we rely on it.
+    "spark.sql.adaptive.coalescePartitions.parallelismFirst": "true",
     "spark.driver.memory": "8g",
     "spark.ui.enabled": "false",
     # avoid slow hostname lookups on boxes with odd DNS
@@ -60,6 +77,7 @@ def apply_runtime_conf(spark: SparkSession) -> SparkSession:
         "spark.sql.adaptive.enabled",
         "spark.sql.session.timeZone",
         "spark.sql.execution.arrow.pyspark.enabled",
+        "spark.sql.icu.caseMappings.enabled",
     ):
         try:
             spark.conf.set(k, _DEFAULTS[k])

@@ -14,6 +14,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 import pyspark.sql.functions as F
 
+from yat_geo_db_spark.relational.queries import dsum
+
 
 def events_stream(spark, source_dir: str, schema) -> DataFrame:
     """File-based stream of events parquet drops (the production analog is
@@ -30,7 +32,7 @@ def tumbling_counts(events: DataFrame, width: str = "1 hour",
         .groupBy(F.window("ts", width).alias("w"), F.col("event_type"))
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum(F.col("value").cast("decimal(30,2)")).cast("double").alias("total_value"),
+            dsum(F.col("value"), 2).alias("total_value"),
         )
         .select(
             F.col("w.start").alias("window_start"),

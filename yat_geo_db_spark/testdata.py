@@ -26,6 +26,20 @@ TABLES = (
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+#: The fixture tables are each ONE parquet file with ONE row group, so a
+#: Spark scan yields exactly one non-empty partition no matter how the file
+#: is split — and everything pipelined onto the scan (partial aggregation,
+#: interpreted higher-order functions) runs on one core of a 32-core box.
+#: jstack-verified: the wandering 40-120 s bench stalls were one RUNNABLE
+#: executor thread grinding a whole table while 31 threads idled. On a real
+#: cluster a 100 TB table has ~10^5 row groups and Spark parallelizes the
+#: scan natively; this round-robin repartition reintroduces locally the
+#: parallelism the fixture layout takes away. Costs one small exchange
+#: (these tables are ≤ tens of MB); disable with SPARK_GRAFT_SCAN_REPARTITION=0.
+_SCAN_COMPENSATE = os.environ.get("SPARK_GRAFT_SCAN_REPARTITION", "1") != "0"
+#: small dimensions where a broadcast-sized single partition is the point
+_NO_COMPENSATE = {"region", "nation"}
+
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
@@ -40,8 +54,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             df = spark.read.parquet(path)
         finally:
             spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "false")
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return spark.read.parquet(path)
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    else:
+        df = spark.read.parquet(path)
+    if _SCAN_COMPENSATE and name not in _NO_COMPENSATE:
+        df = df.repartition(spark.sparkContext.defaultParallelism)
+    return df
 
 
 def register_views(spark: SparkSession, sf_dir: str, tables=TABLES) -> None:
