@@ -24,6 +24,7 @@ HEADLINE = [
     "rel_q5_local_supplier_volume",
     "rel_top_orders_per_customer",
     "rel_sessionize",
+    "rel_asof_click_view",
     "geo_fuzzy_city",
     "geo_radius_full",
     "geo_pair_distances",

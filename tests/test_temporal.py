@@ -1,0 +1,84 @@
+"""As-of join and band join unit semantics (golden hand-computed cases).
+Cross-engine parity for the registry queries is covered by
+tests/test_oracle_parity.py; these pin the operator semantics themselves."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pyspark.sql.functions as F
+
+from yat_geo_db_spark.relational.temporal import asof_join, band_join
+
+
+def _ts(s: int):
+    return dt.datetime(2024, 1, 1, 0, 0, s)
+
+
+def test_asof_join_matches_latest_prior_right(spark):
+    left = spark.createDataFrame(
+        [(1, 100, _ts(10)), (1, 101, _ts(5)), (2, 102, _ts(10))],
+        "user_id long, event_id long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            (1, 900, _ts(3), 1.0),
+            (1, 901, _ts(10), 2.0),   # same instant as click 100 → matches (<=)
+            (1, 902, _ts(10), 3.0),   # tie at same ts → larger event_id wins
+            (3, 903, _ts(1), 4.0),    # other user — never matched
+        ],
+        "user_id long, event_id long, ts timestamp, value double",
+    )
+    out = {
+        r["event_id"]: (r["asof_event_id"], r["asof_value"])
+        for r in asof_join(
+            left, right, on=["user_id"], right_payload=("event_id", "value")
+        ).collect()
+    }
+    assert out[100] == (902, 3.0)   # same-ts ties: <=, then max event_id
+    assert out[101] == (900, 1.0)   # latest strictly-prior
+    assert out[102] == (None, None) # user 2 has no right rows
+
+
+def test_asof_payload_fields_come_from_same_row(spark):
+    # two right rows at distinct ts: the matched (event_id, value) pair must
+    # be internally consistent, never a mix of rows
+    left = spark.createDataFrame(
+        [(1, 10, _ts(20))], "user_id long, event_id long, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [(1, 800, _ts(1), 8.0), (1, 801, _ts(2), 9.0)],
+        "user_id long, event_id long, ts timestamp, value double",
+    )
+    row = asof_join(
+        left, right, on=["user_id"], right_payload=("event_id", "value")
+    ).collect()[0]
+    assert (row["asof_event_id"], row["asof_value"]) == (801, 9.0)
+
+
+def test_band_join_boundaries_half_open(spark):
+    facts = spark.createDataFrame(
+        [(0.0,), (9.99,), (10.0,), (24.9,), (25.0,), (59.9,), (60.0,)],
+        "q double",
+    )
+    bands = spark.createDataFrame(
+        [("small", 0.0, 10.0), ("mid", 10.0, 25.0), ("large", 25.0, 60.0)],
+        "band string, lo double, hi double",
+    )
+    got = {
+        r["q"]: r["band"]
+        for r in band_join(facts, bands, "q").collect()
+    }
+    assert got == {
+        0.0: "small", 9.99: "small",
+        10.0: "mid", 24.9: "mid",
+        25.0: "large", 59.9: "large",
+        # 60.0 outside every band → dropped by inner join
+    }
+
+
+def test_band_join_is_broadcast(spark):
+    facts = spark.createDataFrame([(1.0,)], "q double")
+    bands = spark.createDataFrame([("all", 0.0, 10.0)], "band string, lo double, hi double")
+    plan = band_join(facts, bands, "q")._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan

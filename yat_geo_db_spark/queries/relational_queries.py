@@ -15,7 +15,8 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from yat_geo_db_spark.relational import queries as rq
-from yat_geo_db_spark.streaming.windows import batch_sessionize
+from yat_geo_db_spark.relational.temporal import asof_join, band_join
+from yat_geo_db_spark.streaming.windows import batch_sessionize, session_windows
 from yat_geo_db_spark.testdata import load_table
 
 
@@ -138,6 +139,91 @@ def sessionize(spark, sf_dir):
         "n_events",
         F.unix_micros("session_start").alias("session_start_us"),
         F.unix_micros("session_end").alias("session_end_us"),
+    )
+
+
+def asof_click_view(spark, sf_dir):
+    """As-of join: every click paired with the user's latest prior (or
+    same-instant) view. Union+window form — one shuffle on user_id, no
+    range-join explosion (relational.temporal.asof_join)."""
+    (events,) = _t(spark, sf_dir, "events")
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "user_id", "event_id", "ts"
+    )
+    views = events.filter(F.col("event_type") == "view").select(
+        "user_id", "event_id", "ts", "value"
+    )
+    out = asof_join(
+        clicks,
+        views,
+        on=["user_id"],
+        ts_col="ts",
+        right_payload=("event_id", "ts", "value"),
+        prefix="view_",
+    )
+    return out.select(
+        "user_id",
+        F.col("event_id").alias("click_id"),
+        F.unix_micros("ts").alias("click_ts_us"),
+        F.col("view_event_id").alias("view_id"),
+        F.unix_micros("view_ts").alias("view_ts_us"),
+        F.round("view_value", 2).alias("view_value"),
+    )
+
+
+def quantity_band_join(spark, sf_dir):
+    """Non-equi band join: lineitem quantities bucketed into [lo, hi)
+    ranges via a broadcast nested-loop against a 3-row bands dim
+    (relational.temporal.band_join), then aggregated per band."""
+    (lineitem,) = _t(spark, sf_dir, "lineitem")
+    spark_bands = spark.createDataFrame(
+        [("small", 0.0, 10.0), ("mid", 10.0, 25.0), ("large", 25.0, 60.0)],
+        "band string, lo double, hi double",
+    )
+    joined = band_join(
+        lineitem.select("l_quantity", "l_extendedprice"), spark_bands, "l_quantity"
+    )
+    return joined.groupBy("band").agg(
+        F.count(F.lit(1)).alias("n"),
+        rq.dsum(F.col("l_extendedprice"), 2).alias("total_price"),
+    )
+
+
+def session_window_native(spark, sf_dir):
+    """Spark's built-in session_window on batch input (the streaming
+    operator's unified-model twin; streaming.windows.session_windows —
+    withWatermark is a no-op on batch). Oracle: gap-island SQL at
+    microsecond precision with the operator's exact boundary semantics
+    (event at ts == prev + gap starts a NEW session; end = last + gap)."""
+    (events,) = _t(spark, sf_dir, "events")
+    out = session_windows(events, gap="15 minutes")
+    return out.select(
+        "user_id",
+        F.unix_micros("session_start").alias("session_start_us"),
+        F.unix_micros("session_end").alias("session_end_us"),
+        "n_events",
+    )
+
+
+def approx_stats(spark, sf_dir):
+    """Sketch aggregates — HyperLogLog++ distinct users and approximate
+    value percentiles per event type. THE scale path for stats at 100 TB
+    (fixed-size sketches, map-side combinable, one tiny shuffle) but
+    algorithm-specific results → no DuckDB hash oracle; bounds vs exact
+    answers are pytest-checked (tests/test_sketches.py)."""
+    (events,) = _t(spark, sf_dir, "events")
+    return (
+        events.groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id").alias("approx_users"),
+            F.percentile_approx("value", [0.5, 0.95], 10000).alias("vp"),
+        )
+        .select(
+            "event_type",
+            "approx_users",
+            F.col("vp")[0].alias("p50"),
+            F.col("vp")[1].alias("p95"),
+        )
     )
 
 
@@ -417,7 +503,75 @@ FROM events
 GROUP BY 1, 2
 """
 
+#: mirror of relational.temporal.asof_join's union+window algorithm: views
+#: (tag 0) sort before clicks (tag 1) at equal ts → <= semantics; among
+#: equal view timestamps the largest event_id wins (same tiebreak as the
+#: Spark side's (_ts, _tag, _rid) order). View attrs re-fetched by the
+#: globally-unique event_id so all fields come from the one matched row.
+_ASOF_SQL = """
+WITH tagged AS (
+  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, 0 AS tag,
+         event_id AS rid, NULL::BIGINT AS click_id
+  FROM events WHERE event_type = 'view'
+  UNION ALL
+  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)), 1, NULL, event_id
+  FROM events WHERE event_type = 'click'
+),
+m AS (
+  SELECT *, last_value(rid IGNORE NULLS) OVER (
+      PARTITION BY user_id ORDER BY ts_us, tag, rid
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS view_id
+  FROM tagged
+)
+SELECT m.user_id, m.click_id, m.ts_us AS click_ts_us, m.view_id,
+       epoch_us(CAST(v.ts AS TIMESTAMP)) AS view_ts_us,
+       round(v.value, 2) AS view_value
+FROM m LEFT JOIN events v ON v.event_id = m.view_id
+WHERE m.tag = 1
+"""
+
+_BAND_JOIN_SQL = f"""
+WITH bands(band, lo, hi) AS (
+  VALUES ('small', 0.0, 10.0), ('mid', 10.0, 25.0), ('large', 25.0, 60.0)
+)
+SELECT band, count(*) AS n, {_dsum("l_extendedprice", 2)} AS total_price
+FROM lineitem JOIN bands ON l_quantity >= lo AND l_quantity < hi
+GROUP BY band
+"""
+
+#: session_window boundary semantics: an event at exactly prev + gap is
+#: OUTSIDE the previous [ts, ts+gap) window → >= starts a new session;
+#: session end = last event + gap. All at microsecond precision.
+_SESSION_WINDOW_SQL = """
+WITH us AS (
+  SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
+  FROM events
+),
+marked AS (
+  SELECT user_id, event_id, ts_us,
+         CASE WHEN lag(ts_us) OVER w IS NULL
+              OR ts_us - lag(ts_us) OVER w >= 900000000
+              THEN 1 ELSE 0 END AS new_s
+  FROM us
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+),
+sess AS (
+  SELECT user_id, ts_us,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM marked
+)
+SELECT user_id, min(ts_us) AS session_start_us,
+       max(ts_us) + 900000000 AS session_end_us,
+       count(*) AS n_events
+FROM sess GROUP BY user_id, sid
+"""
+
 QUERIES: dict = {
+    "rel_asof_click_view": (asof_click_view, _ASOF_SQL),
+    "rel_band_join": (quantity_band_join, _BAND_JOIN_SQL),
+    "rel_session_window_native": (session_window_native, _SESSION_WINDOW_SQL),
+    "rel_approx_stats": (approx_stats, None),
     "rel_q1_pricing_summary": (q1, _Q1_SQL),
     "rel_q3_shipping_priority": (q3, _Q3_SQL),
     "rel_q5_local_supplier_volume": (q5, _Q5_SQL),

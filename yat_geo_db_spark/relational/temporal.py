@@ -1,0 +1,100 @@
+"""Temporal joins — as-of and band (range) joins.
+
+Neither exists in the reference (SURVEY.md §2.7); both are bread-and-butter
+for training-data pipelines (align each sample with the latest prior
+snapshot / bucket a measure into ranges) and both need care at 100 TB:
+
+- An as-of join expressed naively is a range join (`r.ts <= l.ts` + argmax),
+  which Spark executes as a broadcast nested-loop or a cross-ish sort-merge
+  — quadratic blowup per key. The union+window form below is ONE shuffle on
+  the join keys and a linear per-partition sweep, the same shape a
+  time-series database uses.
+- A band join against a tiny bands table is fine as a broadcast non-equi
+  join: O(|facts| × |bands|) with |bands| constant and no shuffle at all.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+import pyspark.sql.functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    ts_col: str = "ts",
+    right_payload: tuple[str, ...] = ("event_id", "value"),
+    right_id_col: str = "event_id",
+    prefix: str = "asof_",
+) -> DataFrame:
+    """For every left row, attach the latest right row with
+    ``right.ts <= left.ts`` for the same `on` keys (ties at equal ts: the
+    right row wins — i.e. <= semantics — and among equal right timestamps
+    the largest `right_id_col` wins, which keeps the result deterministic).
+
+    Implementation: tag both sides, union, ONE shuffle on `on`, then a
+    running ``last(payload, ignorenulls=True)`` over
+    (ts, tag, right-id) order. The payload is carried as a single struct so
+    every output field comes from the SAME matched right row. Left rows
+    with no prior right row get nulls.
+
+    Scale shape: one hash-partitioned exchange + one in-partition sort —
+    identical cost to a window aggregate over the union; no range-join
+    explosion, skewed keys handled by AQE like any other shuffle.
+    """
+    lcols = [c for c in left.columns if c not in on and c != ts_col]
+    payload_struct = F.struct(*[F.col(c).alias(c) for c in right_payload])
+
+    r = right.select(
+        *on,
+        F.col(ts_col).alias("_ts"),
+        F.lit(0).alias("_tag"),
+        F.col(right_id_col).cast("long").alias("_rid"),
+        payload_struct.alias("_payload"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(f"_l_{c}") for c in lcols],
+    )
+    l = left.select(
+        *on,
+        F.col(ts_col).alias("_ts"),
+        F.lit(1).alias("_tag"),
+        F.lit(None).cast("long").alias("_rid"),
+        F.lit(None).cast(r.schema["_payload"].dataType).alias("_payload"),
+        *[F.col(c).alias(f"_l_{c}") for c in lcols],
+    )
+
+    w = (
+        Window.partitionBy(*on)
+        .orderBy(F.col("_ts"), F.col("_tag"), F.col("_rid"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    matched = (
+        r.unionByName(l)
+        .withColumn("_match", F.last("_payload", ignorenulls=True).over(w))
+        .filter(F.col("_tag") == 1)
+    )
+    out_cols = (
+        [F.col(c) for c in on]
+        + [F.col("_ts").alias(ts_col)]
+        + [F.col(f"_l_{c}").alias(c) for c in lcols]
+        + [F.col(f"_match.{p}").alias(f"{prefix}{p}") for p in right_payload]
+    )
+    return matched.select(*out_cols)
+
+
+def band_join(
+    facts: DataFrame,
+    bands: DataFrame,
+    value_col: str,
+    lo_col: str = "lo",
+    hi_col: str = "hi",
+) -> DataFrame:
+    """Non-equi join of a fact table against [lo, hi) bands. The bands side
+    is explicitly broadcast: a non-equi predicate cannot hash-partition, so
+    the ONLY scalable physical plan is broadcast-nested-loop with a tiny
+    build side — facts stream through untouched, no shuffle."""
+    return facts.join(
+        F.broadcast(bands),
+        (F.col(value_col) >= F.col(lo_col)) & (F.col(value_col) < F.col(hi_col)),
+        "inner",
+    )
