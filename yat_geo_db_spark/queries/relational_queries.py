@@ -142,6 +142,16 @@ def sessionize(spark, sf_dir):
     )
 
 
+def q17(spark, sf_dir):
+    lineitem, part = _t(spark, sf_dir, "lineitem", "part")
+    return rq.q17_small_quantity_revenue(lineitem, part)
+
+
+def value_deciles(spark, sf_dir):
+    (orders,) = _t(spark, sf_dir, "orders")
+    return rq.order_value_deciles(orders)
+
+
 def asof_click_view(spark, sf_dir):
     """As-of join: every click paired with the user's latest prior (or
     same-instant) view. Union+window form — one shuffle on user_id, no
@@ -567,7 +577,37 @@ SELECT user_id, min(ts_us) AS session_start_us,
 FROM sess GROUP BY user_id, sid
 """
 
+_Q17_SQL = f"""
+WITH thresholds AS (
+  SELECT l_partkey,
+         0.2 * {_dsum("l_quantity", 2)} / count(*) AS qty_threshold
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT round({_dsum("l_extendedprice", 2)} / 7.0, 6) AS avg_yearly,
+       count(*) AS n_lines
+FROM lineitem
+JOIN (SELECT p_partkey FROM part WHERE p_brand = 'Brand#23') p
+  ON l_partkey = p_partkey
+JOIN thresholds t USING (l_partkey)
+WHERE l_quantity < qty_threshold
+"""
+
+_DECILES_SQL = f"""
+WITH yearly AS (
+  SELECT CAST(year(o_orderdate) AS INT) AS order_year, o_orderkey,
+         o_totalprice,
+         ntile(10) OVER (PARTITION BY year(o_orderdate)
+                         ORDER BY o_totalprice, o_orderkey) AS decile
+  FROM orders
+)
+SELECT order_year, decile, count(*) AS n,
+       {_dsum("o_totalprice", 2)} AS decile_total
+FROM yearly GROUP BY order_year, decile
+"""
+
 QUERIES: dict = {
+    "rel_q17_small_quantity": (q17, _Q17_SQL),
+    "rel_value_deciles": (value_deciles, _DECILES_SQL),
     "rel_asof_click_view": (asof_click_view, _ASOF_SQL),
     "rel_band_join": (quantity_band_join, _BAND_JOIN_SQL),
     "rel_session_window_native": (session_window_native, _SESSION_WINDOW_SQL),

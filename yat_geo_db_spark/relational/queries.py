@@ -213,6 +213,62 @@ def sales_cube(orders: DataFrame) -> DataFrame:
     )
 
 
+def q17_small_quantity_revenue(
+    lineitem: DataFrame, part: DataFrame, brand: str = "Brand#23"
+) -> DataFrame:
+    """TPC-H Q17 shape: correlated scalar subquery — revenue from line items
+    whose quantity is below 20% of that part's average quantity.
+
+    Decorrelated Spark-first into groupBy(l_partkey) + join (the same
+    rewrite Catalyst applies to correlated scalar subqueries, written
+    explicitly so the plan is inspectable): one shuffle for the per-part
+    averages, the brand dimension broadcast. The threshold average is
+    exact-sum/count (dsum) so both engines compute the identical double and
+    the `<` comparison never straddles an ulp."""
+    thresholds = lineitem.groupBy("l_partkey").agg(
+        (F.lit(0.2) * dsum(F.col("l_quantity"), 2) / F.count(F.lit(1))).alias(
+            "qty_threshold"
+        )
+    )
+    brand_parts = part.filter(F.col("p_brand") == brand).select("p_partkey")
+    return (
+        lineitem.join(
+            F.broadcast(brand_parts),
+            lineitem["l_partkey"] == brand_parts["p_partkey"],
+        )
+        .join(thresholds, "l_partkey")
+        .filter(F.col("l_quantity") < F.col("qty_threshold"))
+        .agg(
+            F.round(dsum(F.col("l_extendedprice"), 2) / F.lit(7.0), 6).alias(
+                "avg_yearly"
+            ),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+def order_value_deciles(orders: DataFrame) -> DataFrame:
+    """Distribution windows: ntile(10) of order value WITHIN each order
+    year. Partitioning by year keeps the sort distributed — a
+    global ntile would funnel every row through one partition, the classic
+    window-function scale trap; per-partition distribution stats are the
+    100 TB-safe form."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(F.col("order_year")).orderBy(
+        F.col("o_totalprice"), F.col("o_orderkey")
+    )
+    yearly = orders.select(
+        F.year("o_orderdate").cast("int").alias("order_year"),
+        "o_orderkey",
+        "o_totalprice",
+    ).withColumn("decile", F.ntile(10).over(w))
+    return yearly.groupBy("order_year", "decile").agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum(F.col("o_totalprice"), 2).alias("decile_total"),
+    )
+
+
 def sales_grouping_sets(orders: DataFrame) -> DataFrame:
     """Explicit GROUPING SETS ((year), (status), ()) — the asymmetric subset
     CUBE/ROLLUP can't express."""
