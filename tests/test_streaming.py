@@ -89,3 +89,34 @@ def test_session_stream_total_events_conserved(spark, tmp_path):
     # batch sessionizer (window-function twin) conserves events too
     batch = batch_sessionize(events, gap_minutes=15)
     assert batch.agg(F.sum("n_events")).first()[0] == events.count()
+
+
+def test_interval_join_stream_matches_batch(spark, tmp_path):
+    from yat_geo_db_spark.streaming.joins import click_view_interval_join
+
+    events, stream = _events_source(spark, tmp_path)
+
+    def split(df):
+        return (
+            df.filter(F.col("event_type") == "click"),
+            df.filter(F.col("event_type") == "view"),
+        )
+
+    joined = click_view_interval_join(*split(stream))
+    # stream-stream joins emit append-only results (no result rewrite)
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("interval_join_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql(
+        "SELECT user_id, click_id, view_id FROM interval_join_test"
+    )
+    want = click_view_interval_join(*split(events)).select(
+        "user_id", "click_id", "view_id"
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+    assert got.count() > 0

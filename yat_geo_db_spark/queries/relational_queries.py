@@ -152,6 +152,24 @@ def value_deciles(spark, sf_dir):
     return rq.order_value_deciles(orders)
 
 
+def interval_join_batch(spark, sf_dir):
+    """Batch run of the stream-stream interval join (unified model —
+    streaming.joins.click_view_interval_join is stream/batch agnostic)."""
+    from yat_geo_db_spark.streaming.joins import click_view_interval_join
+
+    (events,) = _t(spark, sf_dir, "events")
+    clicks = events.filter(F.col("event_type") == "click")
+    views = events.filter(F.col("event_type") == "view")
+    out = click_view_interval_join(clicks, views)
+    return out.select(
+        "user_id",
+        "click_id",
+        F.unix_micros("click_ts").alias("click_ts_us"),
+        "view_id",
+        F.unix_micros("view_ts").alias("view_ts_us"),
+    )
+
+
 def asof_click_view(spark, sf_dir):
     """As-of join: every click paired with the user's latest prior (or
     same-instant) view. Union+window form — one shuffle on user_id, no
@@ -513,6 +531,17 @@ FROM events
 GROUP BY 1, 2
 """
 
+_INTERVAL_JOIN_SQL = """
+SELECT c.user_id, c.event_id AS click_id,
+       epoch_us(CAST(c.ts AS TIMESTAMP)) AS click_ts_us,
+       v.event_id AS view_id,
+       epoch_us(CAST(v.ts AS TIMESTAMP)) AS view_ts_us
+FROM events c JOIN events v
+  ON c.user_id = v.user_id
+ AND v.ts BETWEEN c.ts - INTERVAL 1 HOUR AND c.ts
+WHERE c.event_type = 'click' AND v.event_type = 'view'
+"""
+
 #: mirror of relational.temporal.asof_join's union+window algorithm: views
 #: (tag 0) sort before clicks (tag 1) at equal ts → <= semantics; among
 #: equal view timestamps the largest event_id wins (same tiebreak as the
@@ -608,6 +637,7 @@ FROM yearly GROUP BY order_year, decile
 QUERIES: dict = {
     "rel_q17_small_quantity": (q17, _Q17_SQL),
     "rel_value_deciles": (value_deciles, _DECILES_SQL),
+    "rel_interval_join": (interval_join_batch, _INTERVAL_JOIN_SQL),
     "rel_asof_click_view": (asof_click_view, _ASOF_SQL),
     "rel_band_join": (quantity_band_join, _BAND_JOIN_SQL),
     "rel_session_window_native": (session_window_native, _SESSION_WINDOW_SQL),
