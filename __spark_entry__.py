@@ -24,10 +24,23 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2."""
-    from yat_geo_db_spark.queries import all_queries
+    """One entry per implemented operator from SURVEY.md §2.
 
-    return {name: fn for name, (fn, _sql) in all_queries().items()}
+    Every callable first pins the runtime-settable session confs (UTC
+    session timezone above all — the driver owns the SparkSession, and a
+    non-UTC driver TZ would shift every date_format/window boundary out
+    from under the oracle)."""
+    from yat_geo_db_spark.queries import all_queries
+    from yat_geo_db_spark.session import apply_runtime_conf
+
+    def wrap(fn):
+        def run(spark, sf_dir, _fn=fn):
+            apply_runtime_conf(spark)
+            return _fn(spark, sf_dir)
+
+        return run
+
+    return {name: wrap(fn) for name, (fn, _sql) in all_queries().items()}
 
 
 def oracle_sql() -> dict[str, str]:
