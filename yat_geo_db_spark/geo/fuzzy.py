@@ -118,9 +118,12 @@ def geo_search_score_col(query: str, source: Column, population: Column) -> Colu
         F.element_at(F.split(source, " "), 1) if query.isnumeric() else source
     )
     fuzzy = entity_fuzzy_score_col(query, target)
+    # absent population counts as 0 (reference .get("population", 0),
+    # geo_manager.py:570, 602) — a NULL must not null out the whole score
+    pop = F.coalesce(population, F.lit(0))
     return F.when(
-        (population <= 0) | (fuzzy <= 0.65), fuzzy * 0.9
-    ).otherwise(fuzzy * 0.9 + F.log(population.cast("double")) * 0.1)
+        (pop <= 0) | (fuzzy <= 0.65), fuzzy * 0.9
+    ).otherwise(fuzzy * 0.9 + F.log(pop.cast("double")) * 0.1)
 
 
 # --------------------------------------------------------------------------

@@ -1,0 +1,357 @@
+"""`GeoManager` — a drop-in-style facade mirroring the reference API.
+
+The reference exposes everything through one `GeoManager` object
+(geo_manager.py:623-763 for load/state, ShapeManager :60-165 and
+GeoShapeSearchManager :237-619 for queries). A user switching engines keeps
+their call sites: method names, parameters, and return shapes (dicts /
+lists of dicts / scalars) match the reference — while every query body is
+the distributed DataFrame pipeline from `geo/` underneath. Only final
+results are collected to the driver (point lookups = one row, searches =
+top-k), so the same facade works whether `shapes` is 60 k rows or 6 B.
+
+Intentional divergences (all documented in SURVEY.md §2/§7):
+- `load_data` reads the engine's Parquet layout (versioned directories,
+  `geo.ingest`) instead of HTTP-fetched JSON; `force_db_fetch` /
+  `cache_local` / `compressed` don't apply to a Parquet store and are
+  accepted-and-ignored for signature compatibility.
+- `partition` arguments are accepted but only the default (unpartitioned)
+  store is served, matching the reference's own hard-disabled partitioning
+  (`assert not self.partitioned`, geo_manager.py:634).
+- The fuzzy `distance` field uses the same Damerau-Levenshtein definition
+  via a vectorized pandas UDF (geo_manager.py:28-32).
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+from typing import Dict, List, Optional, Union
+
+from pyspark.sql import DataFrame, SparkSession
+import pyspark.sql.functions as F
+
+from yat_geo_db_spark.geo import fuzzy as _fuzzy
+from yat_geo_db_spark.geo import ingest as _ingest
+from yat_geo_db_spark.geo import lookup as _lookup
+from yat_geo_db_spark.geo import radius as _radius
+
+_MISSING_PAIR = {"distance": 999, "normalized_distance": 999}
+
+
+class GeoManager:
+    """Reference-API facade over the Spark-native engine.
+
+    Construct with a SparkSession and either call :meth:`load_data` (Parquet
+    layout root) or pass a ready `shapes` DataFrame (e.g. the test fixture's
+    `geo.fixture.shapes_df`)."""
+
+    def __init__(self, spark: SparkSession, shapes: DataFrame | None = None):
+        self.spark = spark
+        self._shapes: DataFrame | None = None
+        self._postings: DataFrame | None = None
+        if shapes is not None:
+            self._set_shapes(shapes)
+
+    # ---------------------------------------------------------------- state
+
+    def _set_shapes(self, shapes: DataFrame) -> None:
+        self._shapes = shapes.cache()
+        self._postings = _fuzzy.build_postings(self._shapes)
+
+    @property
+    def shapes(self) -> DataFrame:
+        if self._shapes is None:
+            raise RuntimeError("call load_data() first (geo_manager.py:684)")
+        return self._shapes
+
+    def load_data(
+        self,
+        root: str | None = None,
+        version: str | None = None,
+        force_db_fetch: bool = False,  # noqa: ARG002 — signature parity
+        cache_local: bool = True,  # noqa: ARG002
+        compressed: bool = False,  # noqa: ARG002
+    ) -> "GeoManager":
+        """Load the shapes store (reference load_data, geo_manager.py:677-763).
+        `root` is the engine's versioned Parquet layout; `version=None`
+        serves `current` (geo_manager.py:671-675 path convention)."""
+        self._set_shapes(_ingest.read_shapes(self.spark, root, version))
+        return self
+
+    @property
+    def num_shapes(self) -> int:
+        """S6 (geo_manager.py:667-669)."""
+        return _lookup.num_shapes(self.shapes)
+
+    # ----------------------------------------------------- point lookups (P*)
+
+    def _first(self, df: DataFrame) -> Optional[dict]:
+        row = df.first()
+        return None if row is None else row.asDict(recursive=True)
+
+    def get_shape_by_ref_code(self, reference_code: str) -> Optional[Dict]:
+        """P1 (geo_manager.py:84-88)."""
+        return self._first(_lookup.shape_by_ref_code(self.shapes, reference_code))
+
+    def get_shape_by_id(self, shape_id: int) -> Optional[Dict]:
+        """P2 (geo_manager.py:90-95)."""
+        return self._first(_lookup.shape_by_id(self.shapes, shape_id))
+
+    def get_shape_ref_code(self, shape_id: int) -> Optional[str]:
+        """P3 (geo_manager.py:65-67)."""
+        rec = self.get_shape_by_id(shape_id)
+        return None if rec is None else rec["reference_code"]
+
+    def get_shape_id_by_ref_code(self, reference_code: str) -> Optional[int]:
+        """P4 (geo_manager.py:74-77)."""
+        rec = self.get_shape_by_ref_code(reference_code)
+        return None if rec is None else rec["id"]
+
+    def get_shape_geo_type(self, shape_id: int) -> Optional[str]:
+        """P5 (geo_manager.py:69-72)."""
+        rec = self.get_shape_by_id(shape_id)
+        return None if rec is None else rec["geo_type"]
+
+    def get_shape_geo_type_by_ref_code(self, reference_code: str) -> Optional[str]:
+        """P5 (geo_manager.py:79-82)."""
+        rec = self.get_shape_by_ref_code(reference_code)
+        return None if rec is None else rec["geo_type"]
+
+    def get_quote_location_by_id(self, shape_id: int) -> Optional[Dict]:
+        """P6 (geo_manager.py:97-116): CASE-WHEN reshape, metro vs city/zip."""
+        return self._first(
+            _lookup.quote_location(_lookup.shape_by_id(self.shapes, shape_id))
+        )
+
+    def get_quote_location_by_reference_code(
+        self, reference_code: str
+    ) -> Optional[Dict]:
+        """P7 (geo_manager.py:118-126)."""
+        return self._first(
+            _lookup.quote_location(
+                _lookup.shape_by_ref_code(self.shapes, reference_code)
+            )
+        )
+
+    def get_shape_display_by_ref_code(
+        self, reference_code: str, long_desc: bool = True, user_friendly: bool = False
+    ) -> Optional[str]:
+        """P8 (geo_manager.py:137-149)."""
+        row = _lookup.shape_display(
+            _lookup.shape_by_ref_code(self.shapes, reference_code),
+            long_desc=long_desc,
+            user_friendly=user_friendly,
+        ).first()
+        return None if row is None else row["display"]
+
+    def get_shape_display_by_id(
+        self, shape_id: int, long_desc: bool = True, user_friendly: bool = False
+    ) -> Optional[str]:
+        """P9 (geo_manager.py:128-135)."""
+        row = _lookup.shape_display(
+            _lookup.shape_by_id(self.shapes, shape_id),
+            long_desc=long_desc,
+            user_friendly=user_friendly,
+        ).first()
+        return None if row is None else row["display"]
+
+    def get_shape_time_by_ref_code(
+        self, reference_code: str
+    ) -> Optional[_dt.datetime]:
+        """P10 (geo_manager.py:151-158): wall-clock in the shape's tz."""
+        row = _lookup.shape_local_time(
+            _lookup.shape_by_ref_code(self.shapes, reference_code)
+        ).first()
+        return None if row is None else row["local_time"]
+
+    def get_shape_time_by_id(self, shape_id: int) -> Optional[_dt.datetime]:
+        """P11 (geo_manager.py:160-165)."""
+        row = _lookup.shape_local_time(
+            _lookup.shape_by_id(self.shapes, shape_id)
+        ).first()
+        return None if row is None else row["local_time"]
+
+    # ------------------------------------------------------- radius (R*)
+
+    def radius_search(
+        self,
+        reference_code: str,
+        radius: float,
+        country_exact: bool = False,
+        full_results: bool = False,
+        filters: Dict | None = None,
+    ) -> List[Union[int, Dict]]:
+        """R1 (geo_manager.py:237-281). Missing reference_code → []."""
+        res = _radius.radius_search(
+            self.shapes,
+            reference_code,
+            radius,
+            country_exact=country_exact,
+            full_results=full_results,
+            filters=filters,
+        )
+        if full_results:
+            return [r.asDict(recursive=True) for r in res.collect()]
+        return [r["id"] for r in res.collect()]
+
+    def radius_search_lat_lng(
+        self,
+        latitude: float,
+        longitude: float,
+        radius: float,
+        country_filter: str | None = None,
+        full_results: bool = False,
+        filters: Dict | None = None,
+    ) -> List[Union[int, Dict]]:
+        """R2/R3 (geo_manager.py:283-348)."""
+        res = _radius.radius_search_lat_lng(
+            self.shapes,
+            latitude,
+            longitude,
+            radius,
+            country_filter=country_filter,
+            full_results=full_results,
+            filters=filters,
+        )
+        if full_results:
+            return [r.asDict(recursive=True) for r in res.collect()]
+        return [r["id"] for r in res.collect()]
+
+    def radius_lat_lng_search(
+        self,
+        latitude: float,
+        longitude: float,
+        radius: float,
+        filters: Dict | None = None,
+    ) -> List[Dict]:
+        """R4 (geo_manager.py:350-366): point shapes only, full records."""
+        res = _radius.radius_search_lat_lng(
+            self.shapes,
+            latitude,
+            longitude,
+            radius,
+            full_results=True,
+            filters=filters,
+            exclude_aggregates=True,
+        )
+        return [r.asDict(recursive=True) for r in res.collect()]
+
+    def get_radius_shape_by_ref_code(self, reference_code: str) -> Optional[Dict]:
+        """R10 (geo_manager.py:220-226): the typed radius-view projection."""
+        rec = self.get_shape_by_ref_code(reference_code)
+        if rec is None:
+            return None
+        return {
+            k: rec.get(k)
+            for k in (
+                "id",
+                "reference_code",
+                "latitude",
+                "longitude",
+                "area",
+                "is_aggregate",
+                "bbox",
+            )
+        }
+
+    def get_radius_shape_by_id(self, shape_id: int) -> Optional[Dict]:
+        """R10 (geo_manager.py:228-235)."""
+        ref = self.get_shape_ref_code(shape_id)
+        return None if ref is None else self.get_radius_shape_by_ref_code(ref)
+
+    def get_shape_pair_distance(self, orig_shape_ref: str, dest_shape_ref: str) -> Dict:
+        """R8 (geo_manager.py:368-426): haversine + log-area normalization
+        ladder; missing endpoint → the reference's {999, 999} sentinel."""
+        pairs = self.spark.createDataFrame(
+            [(orig_shape_ref, dest_shape_ref)], "orig_ref string, dest_ref string"
+        )
+        row = _radius.pair_distances(self.shapes, pairs).first()
+        if row is None:
+            return dict(_MISSING_PAIR)
+        return {
+            "distance": row["distance"],
+            "normalized_distance": row["normalized_distance"],
+        }
+
+    def get_shape_pair_distance_id(self, shape_ref: str, shape_id: int):
+        """R9 (geo_manager.py:428-437): mixed-key wrapper returning
+        (distance_dict, dest reference_code)."""
+        dest_ref = self.get_shape_ref_code(shape_id)
+        if dest_ref is None:
+            return dict(_MISSING_PAIR), None
+        return self.get_shape_pair_distance(shape_ref, dest_ref), dest_ref
+
+    # -------------------------------------------------------- fuzzy (F*)
+
+    def clean_entity(self, val: str) -> str:
+        """F6 (geo_manager.py:445-449)."""
+        return _fuzzy.clean_entity(val)
+
+    def fuzzy_search(
+        self,
+        search_entity: str,
+        partition: str | None = None,  # noqa: ARG002 — parity; see module doc
+        num_results: int = 50,
+        filters: Dict | None = None,
+    ) -> List[Dict]:
+        """F12 (geo_manager.py:525-619): the flagship pipeline."""
+        res = _fuzzy.fuzzy_search(
+            self.shapes,
+            search_entity,
+            num_results=num_results,
+            filters=filters,
+            postings=self._postings,
+        )
+        return [r.asDict(recursive=True) for r in res.collect()]
+
+    def best_fuzzy_search(
+        self,
+        search_entity: str,
+        partition: str | None = None,  # noqa: ARG002
+        score_threshold: float = 0.90,
+        filters: Dict | None = None,
+    ) -> Optional[Dict]:
+        """F13 (geo_manager.py:503-523)."""
+        res = _fuzzy.best_fuzzy_search(
+            self.shapes,
+            search_entity,
+            score_threshold=score_threshold,
+            filters=filters,
+            postings=self._postings,
+        ).collect()
+        return res[0].asDict(recursive=True) if res else None
+
+    def add_entity(
+        self,
+        entity: str,
+        entity_id: int,
+        partition: str | None = None,  # noqa: ARG002
+        extra_entity: str | None = None,
+    ) -> None:
+        """F10 (geo_manager.py:451-476): upsert one searchable entity.
+        The reference mutates its in-memory dicts; here the shapes relation
+        and the derived postings are extended by union (the batch path for
+        bulk loads is `geo.ingest.materialize_postings`). `extra_entity`
+        contributes extra trigrams under the same id (geo_manager.py:465-472).
+        """
+        cleaned = _fuzzy.clean_entity(entity)
+        # absent numeric/flag fields default like the reference's .get()
+        # fallbacks (population 0, not an aggregate)
+        row = self.spark.createDataFrame(
+            [(entity_id, cleaned, entity, cleaned, 0, False)],
+            "id long, reference_code string, value string, clean_value string,"
+            " population long, is_aggregate boolean",
+        )
+        new_shape = row
+        for c in self.shapes.columns:
+            if c not in new_shape.columns:
+                new_shape = new_shape.withColumn(
+                    c, F.lit(None).cast(self.shapes.schema[c].dataType)
+                )
+        new_shape = new_shape.select(*self.shapes.columns)
+        self._shapes = self.shapes.unionByName(new_shape).cache()
+        self._postings = _fuzzy.add_entities(self._postings, new_shape)
+        if extra_entity:
+            extra = new_shape.withColumn(
+                "clean_value", F.lit(_fuzzy.clean_entity(extra_entity))
+            )
+            self._postings = _fuzzy.add_entities(self._postings, extra)
