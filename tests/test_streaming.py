@@ -120,3 +120,28 @@ def test_interval_join_stream_matches_batch(spark, tmp_path):
     )
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
     assert got.count() > 0
+
+
+def test_streaming_exact_dedup_bounded_state(spark, tmp_path):
+    from yat_geo_db_spark.pipelines.dedup import streaming_exact_dedup
+
+    events = load_table(spark, SF, "events")
+    # duplicate the whole feed: every event_id arrives twice
+    doubled = events.unionByName(events)
+    src = str(tmp_path / "dup_events_src")
+    doubled.write.mode("overwrite").parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = events_stream(spark, src, schema)
+
+    q = (
+        streaming_exact_dedup(stream)
+        .writeStream.format("memory")
+        .queryName("dedup_stream_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT event_id FROM dedup_stream_test")
+    assert got.count() == events.count()          # one row per key
+    assert got.distinct().count() == got.count()  # and no key twice

@@ -84,6 +84,21 @@ def exact_duplicates(documents: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def streaming_exact_dedup(
+    events, key_cols: tuple[str, ...] = ("event_id",),
+    ts_col: str = "ts", watermark: str = "1 hour",
+):
+    """Streaming twin of exact dedup: emit each key once, with state bounded
+    by the watermark (`dropDuplicatesWithinWatermark` drops state for keys
+    older than the watermark, so an endless stream doesn't accumulate an
+    endless key set — the property that makes ingest-time dedup viable on a
+    100 TB/day feed; duplicates arriving later than the watermark are the
+    accepted trade)."""
+    return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        list(key_cols)
+    )
+
+
 # --------------------------------------------------------------------------
 # n-gram Jaccard near-dup (blocked pairwise)
 # --------------------------------------------------------------------------
