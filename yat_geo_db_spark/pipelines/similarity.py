@@ -81,18 +81,26 @@ def signbit_bucket(vec: Column, bits: int = 8) -> Column:
 def ivf_topk(
     embeddings: DataFrame, query_id: int, k: int = 10, bits: int = 8,
     id_col: str = "vec_id", vec_col: str = "embedding",
+    hamming_probe: int = 0,
 ) -> DataFrame:
-    """Approximate top-k: search only the query's sign-bit bucket.
+    """Approximate top-k: search the query's sign-bit bucket, plus every
+    bucket within `hamming_probe` bit flips (multi-probe — the standard
+    recall lever for vectors that sit near a quantization plane; probing
+    radius 1 scans (1 + bits)/2^bits of the corpus instead of 1/2^bits).
     At scale, write the corpus partitioned by bucket → each probe is a
-    partition-pruned scan of ~N/2^bits vectors."""
+    partition-pruned scan (see write_ivf_index / ivf_topk_indexed)."""
     bucketed = embeddings.withColumn("bucket", signbit_bucket(F.col(vec_col), bits))
     q = F.broadcast(
         bucketed.filter(F.col(id_col) == query_id)
         .select(F.col(vec_col).alias("q_vec"), F.col("bucket").alias("q_bucket"))
     )
+    in_probe = (
+        F.bit_count(F.col("bucket").bitwiseXOR(F.col("q_bucket")))
+        <= F.lit(hamming_probe)
+    )
     return (
         bucketed.crossJoin(q)
-        .filter((F.col("bucket") == F.col("q_bucket")) & (F.col(id_col) != query_id))
+        .filter(in_probe & (F.col(id_col) != query_id))
         .select(
             F.col(id_col),
             F.round(cosine_col(F.col(vec_col), F.col("q_vec")), 6).alias("cosine"),
@@ -119,15 +127,21 @@ def write_ivf_index(embeddings: DataFrame, root: str, bits: int = 8,
 def ivf_topk_indexed(
     spark, root: str, query_vec: list[float], k: int = 10, bits: int = 8,
     id_col: str = "vec_id", vec_col: str = "embedding",
+    hamming_probe: int = 0,
 ) -> DataFrame:
     """Probe a persisted IVF index with a literal query vector.
 
-    The bucket is computed driver-side from the vector (it is a query
-    parameter, not data), so the `bucket = b` filter prunes at the
-    partition-directory level before any file is opened."""
+    The probe buckets are computed driver-side from the vector (it is a
+    query parameter, not data), so the `bucket IN (...)` filter prunes at
+    the partition-directory level before any file is opened — with
+    multi-probe (`hamming_probe=1`) that is 1 + bits directories out of
+    2^bits, still pruned."""
     bucket = sum(1 << j for j in range(bits) if float(query_vec[j]) > 0)
+    probes = {bucket}
+    for _ in range(hamming_probe):
+        probes |= {b ^ (1 << j) for b in probes for j in range(bits)}
     q = F.array(*[F.lit(float(x)) for x in query_vec])
-    df = spark.read.parquet(root).filter(F.col("bucket") == bucket)
+    df = spark.read.parquet(root).filter(F.col("bucket").isin(sorted(probes)))
     return (
         df.select(
             F.col(id_col),

@@ -267,6 +267,35 @@ LIMIT 10
 """
 
 
+def q_topk_ivf_multiprobe(spark, sf_dir):
+    """Multi-probe IVF: also scan buckets one bit-flip away (recall lever
+    for vectors near a quantization plane; still partition-prunable)."""
+    return similarity.ivf_topk(
+        load_table(spark, sf_dir, "embeddings"),
+        TOPK_QUERY_ID,
+        k=10,
+        bits=IVF_BITS,
+        hamming_probe=1,
+    )
+
+
+_TOPK_IVF_MULTIPROBE_SQL = f"""
+WITH b AS (
+  SELECT vec_id, embedding, {_bucket('embedding', IVF_BITS)} AS bucket
+  FROM embeddings
+),
+q AS (SELECT embedding AS qv, bucket AS qb FROM b WHERE vec_id = {TOPK_QUERY_ID})
+SELECT vec_id, round(c, 6) AS cosine FROM (
+  SELECT b.vec_id, {_cos('b.embedding', 'q.qv')} AS c
+  FROM b, q
+  WHERE bit_count(xor(CAST(b.bucket AS BIGINT), CAST(q.qb AS BIGINT))) <= 1
+    AND b.vec_id != {TOPK_QUERY_ID}
+)
+ORDER BY cosine DESC, vec_id
+LIMIT 10
+"""
+
+
 def q_cosine_near_dup(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 7 == 0)
     return similarity.cosine_near_dup_pairs(emb, threshold=COSINE_T)
@@ -422,6 +451,7 @@ QUERIES: dict = {
     "pipe_dedup_simhash": (q_dedup_simhash, _simhash_sql()),
     "pipe_sim_topk_brute": (q_topk_brute, _TOPK_BRUTE_SQL),
     "pipe_sim_topk_ivf": (q_topk_ivf, _TOPK_IVF_SQL),
+    "pipe_sim_topk_ivf_multiprobe": (q_topk_ivf_multiprobe, _TOPK_IVF_MULTIPROBE_SQL),
     "pipe_sim_cosine_near_dup": (q_cosine_near_dup, _COSINE_NEAR_DUP_SQL),
     "pipe_text_quality": (q_text_quality, _TEXT_QUALITY_SQL),
     "pipe_text_lang_id": (q_text_lang_id, _lang_id_sql()),
