@@ -255,6 +255,24 @@ def approx_stats(spark, sf_dir):
     )
 
 
+def exact_percentiles(spark, sf_dir):
+    """Exact interpolated percentiles (percentile_cont semantics) per event
+    type — the exact complement to rel_approx_stats' sketches. Exact
+    percentiles need a full sort per group (fine per-group; the sketch path
+    is the whole-table-at-scale answer)."""
+    (events,) = _t(spark, sf_dir, "events")
+    return (
+        events.groupBy("event_type")
+        .agg(F.expr("percentile(value, array(0.25, 0.5, 0.95))").alias("vp"))
+        .select(
+            "event_type",
+            F.round(F.col("vp")[0], 6).alias("p25"),
+            F.round(F.col("vp")[1], 6).alias("p50"),
+            F.round(F.col("vp")[2], 6).alias("p95"),
+        )
+    )
+
+
 def sliding(spark, sf_dir):
     """Batch twin of streaming.sliding_rates: each event lands in
     width/slide windows (F.window works identically on batch input —
@@ -531,6 +549,14 @@ FROM events
 GROUP BY 1, 2
 """
 
+_EXACT_PCTL_SQL = """
+SELECT event_type,
+       round(quantile_cont(value, 0.25), 6) AS p25,
+       round(quantile_cont(value, 0.5), 6) AS p50,
+       round(quantile_cont(value, 0.95), 6) AS p95
+FROM events GROUP BY event_type
+"""
+
 _INTERVAL_JOIN_SQL = """
 SELECT c.user_id, c.event_id AS click_id,
        epoch_us(CAST(c.ts AS TIMESTAMP)) AS click_ts_us,
@@ -642,6 +668,7 @@ QUERIES: dict = {
     "rel_band_join": (quantity_band_join, _BAND_JOIN_SQL),
     "rel_session_window_native": (session_window_native, _SESSION_WINDOW_SQL),
     "rel_approx_stats": (approx_stats, None),
+    "rel_exact_percentiles": (exact_percentiles, _EXACT_PCTL_SQL),
     "rel_q1_pricing_summary": (q1, _Q1_SQL),
     "rel_q3_shipping_priority": (q3, _Q3_SQL),
     "rel_q5_local_supplier_volume": (q5, _Q5_SQL),
