@@ -34,3 +34,27 @@ def test_approx_stats_within_tolerance(spark):
         # gap of tolerance
         assert abs(g["p50"] - e["vp"][0]) < 1.0
         assert abs(g["p95"] - e["vp"][1]) < 1.0
+
+
+def test_stratified_sample_reproducible_and_rate_accurate(spark):
+    from yat_geo_db_spark.pipelines.text import stratified_sample
+
+    docs = load_table(spark, SF, "documents")
+    rates = {"en": 0.5, "de": 1.0, "fr": 0.25, "es": 0.25}
+    a = sorted(r["doc_id"] for r in stratified_sample(docs, rates).collect())
+    b = sorted(r["doc_id"] for r in stratified_sample(docs, rates).collect())
+    assert a == b and len(a) > 0  # pure function of the key → identical runs
+
+    by_lang = {
+        r["lang"]: r["n"]
+        for r in stratified_sample(docs, rates)
+        .groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    totals = {
+        r["lang"]: r["n"]
+        for r in docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert "zh" not in by_lang                  # absent stratum dropped
+    assert by_lang["de"] == totals["de"]        # rate 1.0 keeps everything
+    frac_en = by_lang["en"] / totals["en"]
+    assert 0.3 < frac_en < 0.7                  # hash-uniformity sanity

@@ -28,6 +28,40 @@ FNV_MOD = 1_000_000_007
 FNV_BASE = 31
 
 
+def sample_hash_col(key: Column, mod: int = 1_000_003) -> Column:
+    """Deterministic per-key sampling hash in [0, 1): Knuth multiplicative
+    hash of the integer key, pure 64-bit arithmetic both Spark and DuckDB
+    execute identically. The reproducible-sampling primitive for corpus
+    curation at scale: membership is a pure function of the key, so a
+    sample is stable across runs, partitionings, engines, and incremental
+    re-ingests (unlike rand()/TABLESAMPLE, which are none of those)."""
+    return ((key.cast("long") * F.lit(2654435761)) % F.lit(mod)).cast(
+        "double"
+    ) / F.lit(float(mod))
+
+
+def stratified_sample(
+    documents, rates: dict[str, float], strata_col: str = "lang",
+    key_col: str = "doc_id",
+):
+    """Per-stratum reproducible sampling: keep a row iff its sampling hash
+    falls below its stratum's rate (strata absent from `rates` → dropped).
+    One broadcast join against the tiny rates dim, no shuffle of the corpus,
+    no RNG — the curation pattern for 'x% of each language' at 100 TB."""
+    import pyspark.sql.functions as _F
+
+    spark = documents.sparkSession
+    rates_df = spark.createDataFrame(
+        [(k, float(v)) for k, v in sorted(rates.items())],
+        f"{strata_col} string, rate double",
+    )
+    return (
+        documents.join(_F.broadcast(rates_df), strata_col)
+        .filter(sample_hash_col(_F.col(key_col)) < _F.col("rate"))
+        .drop("rate")
+    )
+
+
 def tokens_col(text: Column) -> Column:
     """Whitespace tokenization."""
     return F.split(text, " ")

@@ -315,6 +315,29 @@ SELECT id1, id2, cosine FROM (
 # text analysis
 # --------------------------------------------------------------------------
 
+#: per-language sampling rates for the stratified-sample query
+SAMPLE_RATES = {"en": 0.5, "de": 1.0, "fr": 0.25, "es": 0.25}  # zh dropped
+
+
+def q_sample_stratified(spark, sf_dir):
+    """Reproducible stratified sampling (text.stratified_sample): keep-set
+    is a pure function of doc_id, stable across engines/partitionings."""
+    out = text.stratified_sample(
+        load_table(spark, sf_dir, "documents"), SAMPLE_RATES
+    )
+    return out.select("doc_id", "lang")
+
+
+_SAMPLE_STRATIFIED_SQL = """
+WITH rates(lang, rate) AS (
+  VALUES ('de', 1.0), ('en', 0.5), ('es', 0.25), ('fr', 0.25)
+)
+SELECT doc_id, lang
+FROM documents JOIN rates USING (lang)
+WHERE CAST((doc_id * 2654435761) % 1000003 AS DOUBLE) / 1000003.0 < rate
+"""
+
+
 def q_text_quality(spark, sf_dir):
     return text.quality_features(load_table(spark, sf_dir, "documents"))
 
@@ -453,6 +476,7 @@ QUERIES: dict = {
     "pipe_sim_topk_ivf": (q_topk_ivf, _TOPK_IVF_SQL),
     "pipe_sim_topk_ivf_multiprobe": (q_topk_ivf_multiprobe, _TOPK_IVF_MULTIPROBE_SQL),
     "pipe_sim_cosine_near_dup": (q_cosine_near_dup, _COSINE_NEAR_DUP_SQL),
+    "pipe_sample_stratified": (q_sample_stratified, _SAMPLE_STRATIFIED_SQL),
     "pipe_text_quality": (q_text_quality, _TEXT_QUALITY_SQL),
     "pipe_text_lang_id": (q_text_lang_id, _lang_id_sql()),
     "pipe_text_fingerprint": (q_text_fingerprint, _TEXT_FINGERPRINT_SQL),
