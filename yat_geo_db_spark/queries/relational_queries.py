@@ -142,6 +142,11 @@ def sessionize(spark, sf_dir):
     )
 
 
+def q4(spark, sf_dir):
+    lineitem, orders = _t(spark, sf_dir, "lineitem", "orders")
+    return rq.q4_order_priority(lineitem, orders)
+
+
 def q17(spark, sf_dir):
     lineitem, part = _t(spark, sf_dir, "lineitem", "part")
     return rq.q17_small_quantity_revenue(lineitem, part)
@@ -632,6 +637,17 @@ SELECT user_id, min(ts_us) AS session_start_us,
 FROM sess GROUP BY user_id, sid
 """
 
+_Q4_SQL = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE o_orderdate >= DATE '1995-01-01' AND o_orderdate < DATE '1995-07-01'
+  AND EXISTS (
+    SELECT 1 FROM lineitem
+    WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate
+  )
+GROUP BY o_orderpriority
+"""
+
 _Q17_SQL = f"""
 WITH thresholds AS (
   SELECT l_partkey,
@@ -661,6 +677,7 @@ FROM yearly GROUP BY order_year, decile
 """
 
 QUERIES: dict = {
+    "rel_q4_order_priority": (q4, _Q4_SQL),
     "rel_q17_small_quantity": (q17, _Q17_SQL),
     "rel_value_deciles": (value_deciles, _DECILES_SQL),
     "rel_interval_join": (interval_join_batch, _INTERVAL_JOIN_SQL),

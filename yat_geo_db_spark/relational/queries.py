@@ -213,6 +213,28 @@ def sales_cube(orders: DataFrame) -> DataFrame:
     )
 
 
+def q4_order_priority(lineitem: DataFrame, orders: DataFrame) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS correlated subquery → LEFT SEMI join. Orders
+    in a date window counted per priority when at least one line item
+    shipped late (l_shipdate > o_orderdate here — the fixture lacks
+    commit/receipt dates; same plan shape). The semi join never duplicates
+    or widens rows — at scale it shuffles only the join keys' columns."""
+    late = F.col("l_shipdate") > F.col("o_orderdate")
+    window = (F.col("o_orderdate") >= F.lit("1995-01-01")) & (
+        F.col("o_orderdate") < F.lit("1995-07-01")
+    )
+    return (
+        orders.filter(window)
+        .join(
+            lineitem.select("l_orderkey", "l_shipdate"),
+            (F.col("o_orderkey") == F.col("l_orderkey")) & late,
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
 def q17_small_quantity_revenue(
     lineitem: DataFrame, part: DataFrame, brand: str = "Brand#23"
 ) -> DataFrame:
