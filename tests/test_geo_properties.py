@@ -149,3 +149,17 @@ def test_candidate_cap_is_respected(shapes):
     # num_results > CANDIDATE_FLOOR widens the cap
     out = fuzzy.fuzzy_search(shapes, "ville", num_results=600)
     assert out.count() <= 600
+
+
+def test_knn_prefix_consistency(spark):
+    from yat_geo_db_spark.geo.radius import knn_search
+    from yat_geo_db_spark.geo.fixture import shapes_df
+    from yat_geo_db_spark.testdata import register_views
+
+    register_views(spark, "/root/testdata/sf0.001", tables=("customer",))
+    shapes = shapes_df(spark)
+    k5 = [r["id"] for r in knn_search(shapes, 29.139, -121.949, k=5).collect()]
+    k10 = [r["id"] for r in knn_search(shapes, 29.139, -121.949, k=10).collect()]
+    assert k10[:5] == k5            # top-k is a prefix of top-(k+m)
+    d10 = [r["distance"] for r in knn_search(shapes, 29.139, -121.949, k=10).collect()]
+    assert d10 == sorted(d10)       # ascending by distance

@@ -167,6 +167,37 @@ def radius_search_lat_lng(
     )
 
 
+def knn_search(
+    shapes: DataFrame,
+    latitude: float,
+    longitude: float,
+    k: int = 10,
+    filters: dict | None = None,
+    exclude_aggregates: bool = True,
+) -> DataFrame:
+    """k-nearest shapes to a literal point by haversine distance — the
+    top-k generalization of radius search (no reference analog; same
+    metric-space shape as the vector top-k in pipelines.similarity).
+
+    Physical form: one scan + `TakeOrderedAndProject` — per-partition
+    top-k then a k-row merge on the driver, NO global sort and no shuffle
+    of anything but k rows per partition. At planet scale, bound the scan
+    first with an ellipse pre-filter at a generous radius (R6) and fall
+    back to the full scan only if fewer than k survive."""
+    o_lat, o_lng = F.lit(float(latitude)), F.lit(float(longitude))
+    dist = F.round(
+        haversine_miles(o_lat, o_lng, F.col("latitude"), F.col("longitude")), 4
+    )
+    hits = shapes.filter(shape_filters_predicate(filters))
+    if exclude_aggregates:
+        hits = hits.filter(~F.col("is_aggregate"))
+    return (
+        hits.select("id", "reference_code", "value", dist.alias("distance"))
+        .orderBy(F.asc("distance"), F.asc("id"))
+        .limit(k)
+    )
+
+
 def _normalized_distance(dist: Column) -> Column:
     """The reference's normalization ladder (geo_manager.py:386-426).
 

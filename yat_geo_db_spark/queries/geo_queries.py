@@ -112,6 +112,28 @@ def q_radius_latlng(spark, sf_dir):
     )
 
 
+def q_knn(spark, sf_dir):
+    """kNN: 10 nearest point shapes to a literal origin (top-k haversine —
+    TakeOrderedAndProject, no global sort)."""
+    return radius.knn_search(_shapes(spark, sf_dir), ORIGIN_LAT, ORIGIN_LNG, k=10)
+
+
+def _knn_oracle() -> str:
+    from yat_geo_db_spark.geo.geometry import haversine_sql
+
+    dist = (
+        "round("
+        + haversine_sql(str(ORIGIN_LAT), str(ORIGIN_LNG), "latitude", "longitude")
+        + ", 4)"
+    )
+    return (
+        f"WITH {SHAPES_CTE} "
+        f"SELECT id, reference_code, value, {dist} AS distance "
+        f"FROM shapes WHERE NOT is_aggregate "
+        f"ORDER BY distance, id LIMIT 10"
+    )
+
+
 def q_pair_distances(spark, sf_dir):
     """R8/G1: all-pairs distance + normalization ladder over a small id set."""
     shapes = _shapes(spark, sf_dir)
@@ -272,6 +294,7 @@ QUERIES: dict = {
             REF_NASHUA_1, 50.0, country_exact=True, full_results=True
         ),
     ),
+    "geo_knn": (q_knn, _knn_oracle()),
     "geo_radius_latlng": (
         q_radius_latlng,
         ducksql.radius_latlng_oracle(
