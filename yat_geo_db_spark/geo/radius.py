@@ -167,6 +167,31 @@ def radius_search_lat_lng(
     )
 
 
+def viewport_search(
+    shapes: DataFrame,
+    ll_lat: float,
+    ll_lng: float,
+    ur_lat: float,
+    ur_lng: float,
+    filters: dict | None = None,
+) -> DataFrame:
+    """Shapes whose point falls inside a lat/lng viewport (map-window
+    query — the R7 bbox predicate with the roles reversed: literal box,
+    data points). Pure range predicates → parquet min/max row-group
+    pruning on a lat-sorted layout; no shuffle."""
+    inside = (
+        (F.col("latitude") >= F.lit(ll_lat))
+        & (F.col("latitude") <= F.lit(ur_lat))
+        & (F.col("longitude") >= F.lit(ll_lng))
+        & (F.col("longitude") <= F.lit(ur_lng))
+    )
+    return (
+        shapes.filter(inside)
+        .filter(shape_filters_predicate(filters))
+        .select("id", "reference_code", "value", "geo_type")
+    )
+
+
 def knn_search(
     shapes: DataFrame,
     latitude: float,

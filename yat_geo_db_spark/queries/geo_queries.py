@@ -134,6 +134,25 @@ def _knn_oracle() -> str:
     )
 
 
+#: viewport covering the TN cluster at every scale factor
+VIEW_BOX = (28.0, -123.5, 31.5, -120.0)
+
+
+def q_viewport(spark, sf_dir):
+    """Map-window query: point-in-literal-bbox range predicates."""
+    return radius.viewport_search(_shapes(spark, sf_dir), *VIEW_BOX)
+
+
+def _viewport_oracle() -> str:
+    ll_lat, ll_lng, ur_lat, ur_lng = VIEW_BOX
+    return (
+        f"WITH {SHAPES_CTE} "
+        f"SELECT id, reference_code, value, geo_type FROM shapes "
+        f"WHERE latitude BETWEEN {ll_lat} AND {ur_lat} "
+        f"AND longitude BETWEEN {ll_lng} AND {ur_lng}"
+    )
+
+
 def q_pair_distances(spark, sf_dir):
     """R8/G1: all-pairs distance + normalization ladder over a small id set."""
     shapes = _shapes(spark, sf_dir)
@@ -295,6 +314,7 @@ QUERIES: dict = {
         ),
     ),
     "geo_knn": (q_knn, _knn_oracle()),
+    "geo_viewport": (q_viewport, _viewport_oracle()),
     "geo_radius_latlng": (
         q_radius_latlng,
         ducksql.radius_latlng_oracle(

@@ -260,6 +260,42 @@ def approx_stats(spark, sf_dir):
     )
 
 
+def array_funcs(spark, sf_dir):
+    """Higher-order array function coverage over the embedding vectors:
+    filter (positive components), transform (squares), exists, sort+slice.
+    All JVM-side Column expressions; the lambda HOFs run interpreted, so at
+    scale anything used K times gets materialized once first (PLANS.md)."""
+    (emb,) = _t(spark, sf_dir, "embeddings")
+    vec = F.col("embedding")
+    n_pos = F.size(F.filter(vec, lambda x: x > 0))
+    sum_sq = F.round(
+        F.aggregate(
+            F.transform(vec, lambda x: x * x),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+        6,
+    )
+    # emitted as a joined string of fixed-point micro-units: the driver's
+    # value hash canonicalizes scalar cells, not arrays, and double→string
+    # formatting differs between engines while integer strings don't
+    top3 = F.concat_ws(
+        ",",
+        F.transform(
+            F.slice(F.sort_array(vec, asc=False), 1, 3),
+            lambda x: F.floor(x * F.lit(1e6) + F.lit(0.5)).cast("long").cast("string"),
+        ),
+    )
+    any_big = F.exists(vec, lambda x: x > 2.0)
+    return emb.select(
+        "vec_id",
+        n_pos.alias("n_pos"),
+        sum_sq.alias("sum_sq"),
+        top3.alias("top3"),
+        any_big.alias("any_big"),
+    )
+
+
 def exact_percentiles(spark, sf_dir):
     """Exact interpolated percentiles (percentile_cont semantics) per event
     type — the exact complement to rel_approx_stats' sketches. Exact
@@ -554,6 +590,23 @@ FROM events
 GROUP BY 1, 2
 """
 
+#: DuckDB list_* twins of Spark's array HOFs; the fold is prepend-seeded so
+#: both engines reduce left-to-right from 0.0 (see parity playbook)
+_ARRAY_FUNCS_SQL = """
+SELECT vec_id,
+  CAST(len(list_filter(embedding, x -> x > 0)) AS INT) AS n_pos,
+  round(list_reduce(
+      list_prepend(CAST(0.0 AS DOUBLE),
+                   list_transform(embedding, x -> x * x)),
+      (acc, x) -> acc + x), 6) AS sum_sq,
+  list_aggregate(
+      list_transform(list_reverse_sort(embedding)[1:3],
+                     x -> CAST(CAST(floor(x * 1e6 + 0.5) AS BIGINT) AS VARCHAR)),
+      'string_agg', ',') AS top3,
+  CAST(len(list_filter(embedding, x -> x > 2.0)) > 0 AS BOOLEAN) AS any_big
+FROM embeddings
+"""
+
 _EXACT_PCTL_SQL = """
 SELECT event_type,
        round(quantile_cont(value, 0.25), 6) AS p25,
@@ -686,6 +739,7 @@ QUERIES: dict = {
     "rel_session_window_native": (session_window_native, _SESSION_WINDOW_SQL),
     "rel_approx_stats": (approx_stats, None),
     "rel_exact_percentiles": (exact_percentiles, _EXACT_PCTL_SQL),
+    "rel_array_funcs": (array_funcs, _ARRAY_FUNCS_SQL),
     "rel_q1_pricing_summary": (q1, _Q1_SQL),
     "rel_q3_shipping_priority": (q3, _Q3_SQL),
     "rel_q5_local_supplier_volume": (q5, _Q5_SQL),
