@@ -145,3 +145,31 @@ def test_streaming_exact_dedup_bounded_state(spark, tmp_path):
     got = spark.sql("SELECT event_id FROM dedup_stream_test")
     assert got.count() == events.count()          # one row per key
     assert got.distinct().count() == got.count()  # and no key twice
+
+
+def test_foreachbatch_sink_idempotent(spark, tmp_path):
+    from yat_geo_db_spark.streaming.sinks import (
+        batch_partitioned_parquet_sink,
+        read_sink,
+    )
+
+    events, stream = _events_source(spark, tmp_path)
+    target = str(tmp_path / "sink_target")
+    ckpt = str(tmp_path / "sink_ckpt")
+
+    def run():
+        q = (
+            stream.writeStream.foreachBatch(batch_partitioned_parquet_sink(target))
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run()
+    first = read_sink(spark, target).count()
+    assert first == events.count()
+    # same checkpoint, no new input → replay writes nothing new and the
+    # batch_id=N overwrite layout cannot duplicate what exists
+    run()
+    assert read_sink(spark, target).count() == first

@@ -1,0 +1,35 @@
+"""Streaming sinks — foreachBatch patterns.
+
+Structured Streaming's file sinks are append-only; anything resembling an
+upsert/maintenance write goes through ``foreachBatch``, which hands each
+micro-batch to arbitrary batch code exactly once per (checkpoint, batch_id).
+The pattern that survives retries at scale is IDEMPOTENT-BY-BATCH-ID: write
+each micro-batch to its own ``batch_id=N`` partition directory with
+overwrite semantics, so a replayed batch replaces its own output instead of
+duplicating it. Readers see the target as one partitioned dataset.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame
+
+
+def batch_partitioned_parquet_sink(target_dir: str):
+    """Return a foreachBatch function writing each micro-batch to
+    ``<target>/batch_id=N`` (overwrite → replay-idempotent). Compose with
+    any per-batch transformation before `.writeStream.foreachBatch(...)`."""
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        out = os.path.join(target_dir, f"batch_id={batch_id}")
+        batch_df.write.mode("overwrite").parquet(out)
+
+    return write_batch
+
+
+def read_sink(spark, target_dir: str) -> DataFrame:
+    """Read the sink back as one dataset (partition column = batch_id)."""
+    return spark.read.option("basePath", target_dir).parquet(
+        os.path.join(target_dir, "batch_id=*")
+    )
