@@ -25,6 +25,9 @@ HEADLINE = [
     "rel_top_orders_per_customer",
     "rel_sessionize",
     "rel_asof_click_view",
+    "rel_interval_join",
+    "geo_knn",
+    "pipe_sample_stratified",
     "geo_fuzzy_city",
     "geo_radius_full",
     "geo_pair_distances",

@@ -260,6 +260,22 @@ def approx_stats(spark, sf_dir):
     )
 
 
+def map_funcs(spark, sf_dir):
+    """Map-type function coverage: parse events.props JSON into a typed
+    map, then map_keys/values/filter/entry counting — all built-ins."""
+    (events,) = _t(spark, sf_dir, "events")
+    m = F.from_json(F.col("props"), "map<string,int>")
+    return events.select(
+        "event_id",
+        F.size(m).alias("n_entries"),
+        F.concat_ws(",", F.array_sort(F.map_keys(m))).alias("keys"),
+        F.coalesce(
+            F.aggregate(F.map_values(m), F.lit(0), lambda a, x: a + x), F.lit(0)
+        ).alias("value_sum"),
+        F.size(F.map_filter(m, lambda k, v: v > 50)).alias("n_big"),
+    )
+
+
 def array_funcs(spark, sf_dir):
     """Higher-order array function coverage over the embedding vectors:
     filter (positive components), transform (squares), exists, sort+slice.
@@ -590,6 +606,20 @@ FROM events
 GROUP BY 1, 2
 """
 
+#: DuckDB: JSON → MAP(VARCHAR, INT); the fixture props are flat {"k": int}
+_MAP_FUNCS_SQL = """
+WITH m AS (
+  SELECT event_id, CAST(json(props) AS MAP(VARCHAR, INTEGER)) AS pm
+  FROM events
+)
+SELECT event_id,
+  CAST(cardinality(pm) AS INT) AS n_entries,
+  list_aggregate(list_sort(map_keys(pm)), 'string_agg', ',') AS keys,
+  CAST(coalesce(list_sum(map_values(pm)), 0) AS INT) AS value_sum,
+  CAST(len(list_filter(map_values(pm), x -> x > 50)) AS INT) AS n_big
+FROM m
+"""
+
 #: DuckDB list_* twins of Spark's array HOFs; the fold is prepend-seeded so
 #: both engines reduce left-to-right from 0.0 (see parity playbook)
 _ARRAY_FUNCS_SQL = """
@@ -740,6 +770,7 @@ QUERIES: dict = {
     "rel_approx_stats": (approx_stats, None),
     "rel_exact_percentiles": (exact_percentiles, _EXACT_PCTL_SQL),
     "rel_array_funcs": (array_funcs, _ARRAY_FUNCS_SQL),
+    "rel_map_funcs": (map_funcs, _MAP_FUNCS_SQL),
     "rel_q1_pricing_summary": (q1, _Q1_SQL),
     "rel_q3_shipping_priority": (q3, _Q3_SQL),
     "rel_q5_local_supplier_volume": (q5, _Q5_SQL),
