@@ -105,3 +105,30 @@ def test_postings_materialize_and_incremental(spark, tmp_path):
     assert updated.count() == len(ngrams_list("nashville tn")) + len(
         ngrams_list("memphis")
     )
+
+
+def test_fuzzy_on_materialized_postings_matches_on_the_fly(spark, tmp_path):
+    """Production path: fuzzy_search over the persisted bucketed postings
+    table must return exactly the on-the-fly result, and the query's
+    trigram probe must push down into the postings scan."""
+    from yat_geo_db_spark.geo.fixture import shapes_df
+    from yat_geo_db_spark.geo.fuzzy import fuzzy_search
+    from yat_geo_db_spark.geo.ingest import materialize_postings
+    from yat_geo_db_spark.testdata import register_views
+
+    register_views(spark, "/root/testdata/sf0.001", tables=("customer",))
+    shapes = shapes_df(spark)
+    root = str(tmp_path / "db")
+    out = materialize_postings(spark, shapes, root, version="1", buckets=8)
+    persisted = spark.read.parquet(out)
+
+    live = fuzzy_search(shapes, "Nashville, TN", num_results=5)
+    indexed = fuzzy_search(shapes, "Nashville, TN", num_results=5,
+                           postings=persisted)
+    assert [tuple(r) for r in live.collect()] == [
+        tuple(r) for r in indexed.collect()
+    ]
+
+    plan = indexed._jdf.queryExecution().executedPlan().toString()
+    # the isin(q_grams) probe reaches the postings parquet scan
+    assert "PushedFilters: [In(ngram" in plan
