@@ -115,6 +115,22 @@ def time_buckets(spark, sf_dir):
     return rq.events_time_buckets(events)
 
 
+def date_arithmetic(spark, sf_dir):
+    """Date arithmetic coverage: diffs, offsets, truncation, month ends,
+    day-of-week — all built-in date expressions over orders."""
+    (orders,) = _t(spark, sf_dir, "orders")
+    d = F.col("o_orderdate")
+    return orders.select(
+        "o_orderkey",
+        F.datediff(d, F.lit("1995-01-01")).alias("days_since_epoch_start"),
+        F.date_format(F.date_add(d, 90), "yyyy-MM-dd").alias("due_date"),
+        F.date_format(F.date_trunc("month", d), "yyyy-MM-dd").alias("month_start"),
+        F.date_format(F.last_day(d), "yyyy-MM-dd").alias("month_end"),
+        F.dayofweek(d).alias("dow"),
+        F.quarter(d).alias("q"),
+    )
+
+
 def string_funcs(spark, sf_dir):
     (part,) = _t(spark, sf_dir, "part")
     return rq.part_string_funcs(part)
@@ -514,6 +530,19 @@ FROM events
 GROUP BY 1, 2, 3, 4
 """
 
+#: Spark dayofweek is 1=Sunday..7; DuckDB dayofweek is 0=Sunday..6
+_DATE_ARITH_SQL = """
+SELECT o_orderkey,
+       CAST(date_diff('day', DATE '1995-01-01', o_orderdate) AS INT)
+         AS days_since_epoch_start,
+       strftime(o_orderdate + INTERVAL 90 DAY, '%Y-%m-%d') AS due_date,
+       strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start,
+       strftime(last_day(o_orderdate), '%Y-%m-%d') AS month_end,
+       CAST(dayofweek(o_orderdate) + 1 AS INT) AS dow,
+       CAST(quarter(o_orderdate) AS INT) AS q
+FROM orders
+"""
+
 _STRING_FUNCS_SQL = """
 SELECT p_partkey,
        upper(p_name) AS name_upper,
@@ -785,6 +814,7 @@ QUERIES: dict = {
     "rel_set_ops": (set_ops, _SET_OPS_SQL),
     "rel_events_json_stats": (json_stats, _JSON_STATS_SQL),
     "rel_events_time_buckets": (time_buckets, _TIME_BUCKETS_SQL),
+    "rel_date_arithmetic": (date_arithmetic, _DATE_ARITH_SQL),
     "rel_part_string_funcs": (string_funcs, _STRING_FUNCS_SQL),
     "rel_lineitem_math_funcs": (math_funcs, _MATH_FUNCS_SQL),
     "rel_join_flavors": (join_flavors, _JOIN_FLAVORS_SQL),
