@@ -94,3 +94,25 @@ def test_add_entity_becomes_searchable(gm):
     res = gm.fuzzy_search("Zzyzx Springs", num_results=3)
     assert any(r["id"] == 999001 for r in res)
     assert gm.num_shapes > 0
+
+
+def test_preload_lookup_cache_serving_mode(spark):
+    import time
+
+    register_views(spark, "/root/testdata/sf0.001")
+    gm2 = GeoManager(spark, shapes=shapes_df(spark))
+    cold = gm2.get_shape_by_ref_code("us__tn__nashville_0")
+    gm2.preload_lookup_cache()
+    hot = gm2.get_shape_by_ref_code("us__tn__nashville_0")
+    assert hot == cold                      # identical record either path
+    assert gm2.get_shape_by_id(cold["id"]) == cold
+    assert gm2.get_shape_by_ref_code("zz__nope") is None
+
+    t0 = time.time()
+    for _ in range(200):
+        gm2.get_shape_by_ref_code("us__tn__nashville_0")
+    assert time.time() - t0 < 0.5           # dict-get latency, no Spark jobs
+
+    gm2.add_entity("Cacheville, KS", 999002)
+    assert gm2._lookup_cache is None        # mutation invalidates the cache
+    assert gm2.get_shape_by_id(999002) is not None

@@ -56,6 +56,22 @@ class GeoManager:
     def _set_shapes(self, shapes: DataFrame) -> None:
         self._shapes = shapes.cache()
         self._postings = _fuzzy.build_postings(self._shapes)
+        self._lookup_cache: dict | None = None
+
+    def preload_lookup_cache(self) -> "GeoManager":
+        """Opt-in serving mode: collect the shape records to driver dicts so
+        repeated point lookups are O(1) dict gets — the reference's own
+        serving model (geo_manager.py:643-653), appropriate exactly when the
+        reference itself is: a reference-data table that fits in RAM
+        (~hundreds of k rows). Search/radius queries stay distributed. For
+        tables that don't fit, skip this and every lookup is a pruned scan.
+        """
+        rows = [r.asDict(recursive=True) for r in self.shapes.collect()]
+        self._lookup_cache = {
+            "by_ref": {r["reference_code"]: r for r in rows},
+            "by_id": {r["id"]: r for r in rows},
+        }
+        return self
 
     @property
     def shapes(self) -> DataFrame:
@@ -90,10 +106,14 @@ class GeoManager:
 
     def get_shape_by_ref_code(self, reference_code: str) -> Optional[Dict]:
         """P1 (geo_manager.py:84-88)."""
+        if self._lookup_cache is not None:
+            return self._lookup_cache["by_ref"].get(reference_code)
         return self._first(_lookup.shape_by_ref_code(self.shapes, reference_code))
 
     def get_shape_by_id(self, shape_id: int) -> Optional[Dict]:
         """P2 (geo_manager.py:90-95)."""
+        if self._lookup_cache is not None:
+            return self._lookup_cache["by_id"].get(shape_id)
         return self._first(_lookup.shape_by_id(self.shapes, shape_id))
 
     def get_shape_ref_code(self, shape_id: int) -> Optional[str]:
@@ -349,6 +369,7 @@ class GeoManager:
                 )
         new_shape = new_shape.select(*self.shapes.columns)
         self._shapes = self.shapes.unionByName(new_shape).cache()
+        self._lookup_cache = None  # invalidated; preload again if serving
         self._postings = _fuzzy.add_entities(self._postings, new_shape)
         if extra_entity:
             extra = new_shape.withColumn(
