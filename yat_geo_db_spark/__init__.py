@@ -14,5 +14,15 @@ are lazy DataFrames; Catalyst/Tungsten/AQE pick the physical plan.
 
 from yat_geo_db_spark.session import get_spark
 
-__all__ = ["get_spark"]
+
+def __getattr__(name):
+    # lazy: manager pulls in the full geo stack; keep bare imports light
+    if name == "GeoManager":
+        from yat_geo_db_spark.manager import GeoManager
+
+        return GeoManager
+    raise AttributeError(name)
+
+
+__all__ = ["get_spark", "GeoManager"]
 __version__ = "0.1.0"
