@@ -55,3 +55,24 @@ def test_frame_sample_counts(spark):
         n_frames = int(len(r["text"].encode()) / 16) + 1
         expected = (n_frames - 1) // 10 + 1
         assert per_doc[r["doc_id"]] == expected
+
+
+def test_resize_media_rewrites_payload_and_meta(spark):
+    from yat_geo_db_spark.pipelines.multimodal import _fake_resize, resize_media
+
+    docs = load_table(spark, SF, "documents").filter(F.col("doc_id") < 10)
+    media = synthesize_media(docs)
+    out = {r["doc_id"]: r for r in resize_media(media, 32, 32).collect()}
+    src = {r["doc_id"]: r for r in media.collect()}
+    assert out.keys() == src.keys()
+    for doc_id, r in out.items():
+        s = src[doc_id]
+        want = _fake_resize(
+            bytes(s["media_bytes"]),
+            s["media_meta"]["width"], s["media_meta"]["height"], 32, 32,
+        )
+        assert bytes(r["media_bytes"]) == want          # deterministic kernel
+        assert r["media_meta"]["width"] == 32
+        assert r["media_meta"]["height"] == 32
+        assert r["media_meta"]["n_bytes"] == len(want)  # meta tracks payload
+        assert len(want) <= s["media_meta"]["n_bytes"]  # downsample shrinks

@@ -111,6 +111,72 @@ def decode_image_stub(payload: bytes, mime: str) -> dict:
     )
 
 
+#: schema of resized media rows — same layout as synthesize_media's output
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("media_bytes", T.BinaryType()),
+        T.StructField(
+            "media_meta",
+            T.StructType(
+                [
+                    T.StructField("mime", T.StringType()),
+                    T.StructField("n_bytes", T.IntegerType()),
+                    T.StructField("width", T.IntegerType()),
+                    T.StructField("height", T.IntegerType()),
+                ]
+            ),
+        ),
+    ]
+)
+
+
+def _fake_resize(payload: bytes, w: int, h: int, tw: int, th: int) -> bytes:
+    """STUB resize kernel: deterministic byte-stride subsample standing in
+    for a real interpolating resampler (swap for PIL.Image.resize). Output
+    length shrinks proportionally to the pixel-count ratio."""
+    if not payload or tw * th >= w * h:
+        return payload
+    stride = max(1, (w * h) // (tw * th))
+    return payload[::stride]
+
+
+def resize_media(media: DataFrame, target_w: int, target_h: int) -> DataFrame:
+    """Arrow-batched resize: binary in → binary out with the metadata struct
+    rewritten to the target dimensions. The payload never leaves the
+    executors and never converts to rows — the Spark-side shape of a real
+    image-resize stage (kernel stubbed; see module docstring)."""
+
+    def _resize(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for row in pdf.itertuples():
+                out = _fake_resize(
+                    bytes(row.media_bytes),
+                    int(row.media_meta["width"]),
+                    int(row.media_meta["height"]),
+                    target_w,
+                    target_h,
+                )
+                rows.append(
+                    {
+                        "doc_id": row.doc_id,
+                        "media_bytes": out,
+                        "media_meta": {
+                            "mime": row.media_meta["mime"],
+                            "n_bytes": len(out),
+                            "width": target_w,
+                            "height": target_h,
+                        },
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(_resize, RESIZED_SCHEMA)
+
+
 def frame_sample_plan(media: DataFrame, every_nth: int = 10) -> DataFrame:
     """Video-frame-sampling stand-in: shows the partition-friendly pattern
     (posexplode of a frame-index sequence derived from metadata, no data

@@ -453,6 +453,21 @@ FROM (
 """
 
 
+def q_mm_resize(spark, sf_dir):
+    """Resize stage (Python stride kernel inside mapInPandas — not
+    SQL-expressible → rows-only check); emit scalar columns only (binary
+    cells don't canonicalize in a value-hash harness)."""
+    media = multimodal.synthesize_media(load_table(spark, sf_dir, "documents"))
+    out = multimodal.resize_media(media, 32, 32)
+    return out.select(
+        "doc_id",
+        F.md5(F.col("media_bytes")).alias("payload_md5"),
+        F.col("media_meta.n_bytes").alias("n_bytes"),
+        F.col("media_meta.width").alias("width"),
+        F.col("media_meta.height").alias("height"),
+    )
+
+
 def q_mm_frame_sample(spark, sf_dir):
     media = multimodal.synthesize_media(load_table(spark, sf_dir, "documents"))
     out = multimodal.frame_sample_plan(media, every_nth=10)
@@ -483,4 +498,5 @@ QUERIES: dict = {
     "pipe_text_tfidf": (q_text_tfidf, _TEXT_TFIDF_SQL),
     "pipe_mm_features": (q_mm_features, _MM_FEATURES_SQL),
     "pipe_mm_frame_sample": (q_mm_frame_sample, _MM_FRAME_SAMPLE_SQL),
+    "pipe_mm_resize": (q_mm_resize, None),
 }
