@@ -177,6 +177,40 @@ def resize_media(media: DataFrame, target_w: int, target_h: int) -> DataFrame:
     return media.mapInPandas(_resize, RESIZED_SCHEMA)
 
 
+def audio_window_energy(
+    documents: DataFrame, window: int = 64, hop: int = 32,
+    text_col: str = "text", id_col: str = "doc_id",
+) -> DataFrame:
+    """Audio-style windowed feature extraction, fully declarative: treat the
+    payload bytes as PCM samples, frame into (window, hop) segments, emit
+    per-frame energy (sum of sample values) and peak. No Python in the row
+    path — the sample-code array is materialized ONCE per row, then each
+    frame aggregates an array slice (the hash-once pattern from
+    dedup.shingle_hash_table; never re-decode per frame). Swap the
+    byte-codes source for a real PCM decode and the frame math is unchanged.
+    """
+    codes = F.expr(
+        f"transform(sequence(1, length({text_col})), "
+        f"i -> ascii(substring({text_col}, i, 1)))"
+    )
+    n = F.length(text_col)
+    starts = F.when(
+        n >= window, F.sequence(F.lit(1), n - (window - 1), F.lit(hop))
+    ).otherwise(F.array().cast("array<int>"))
+    framed = documents.select(
+        id_col, codes.alias("codes"), F.explode(starts).alias("frame_start")
+    )
+    frame = F.slice(F.col("codes"), F.col("frame_start"), window)
+    return framed.select(
+        id_col,
+        F.col("frame_start"),
+        F.aggregate(frame, F.lit(0).cast("long"), lambda a, x: a + x).alias(
+            "energy"
+        ),
+        F.array_max(frame).alias("peak"),
+    )
+
+
 def frame_sample_plan(media: DataFrame, every_nth: int = 10) -> DataFrame:
     """Video-frame-sampling stand-in: shows the partition-friendly pattern
     (posexplode of a frame-index sequence derived from metadata, no data

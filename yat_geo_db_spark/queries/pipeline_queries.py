@@ -453,6 +453,32 @@ FROM (
 """
 
 
+def q_mm_audio_energy(spark, sf_dir):
+    """Audio-style framing: per-window energy/peak over payload samples."""
+    return multimodal.audio_window_energy(
+        load_table(spark, sf_dir, "documents"), window=64, hop=32
+    )
+
+
+_MM_AUDIO_SQL = f"""
+WITH c AS (
+  SELECT doc_id, {_codes('text')} AS codes, length(text) AS n
+  FROM documents
+),
+frames AS (
+  SELECT doc_id, codes,
+         unnest(range(1, n - 62, 32)) AS frame_start
+  FROM c WHERE n >= 64
+)
+SELECT doc_id, CAST(frame_start AS INT) AS frame_start,
+       list_reduce(list_prepend(CAST(0 AS BIGINT),
+                   codes[frame_start:frame_start+63]), (a, b) -> a + b)
+         AS energy,
+       CAST(list_max(codes[frame_start:frame_start+63]) AS INT) AS peak
+FROM frames
+"""
+
+
 def q_mm_resize(spark, sf_dir):
     """Resize stage (Python stride kernel inside mapInPandas — not
     SQL-expressible → rows-only check); emit scalar columns only (binary
@@ -499,4 +525,5 @@ QUERIES: dict = {
     "pipe_mm_features": (q_mm_features, _MM_FEATURES_SQL),
     "pipe_mm_frame_sample": (q_mm_frame_sample, _MM_FRAME_SAMPLE_SQL),
     "pipe_mm_resize": (q_mm_resize, None),
+    "pipe_mm_audio_energy": (q_mm_audio_energy, _MM_AUDIO_SQL),
 }
