@@ -375,6 +375,74 @@ def tumbling(spark, sf_dir):
     )
 
 
+def q6(spark, sf_dir):
+    (lineitem,) = _t(spark, sf_dir, "lineitem")
+    return rq.q6_forecast_revenue(lineitem)
+
+
+def q7(spark, sf_dir):
+    lineitem, orders, customer, supplier, nation = _t(
+        spark, sf_dir, "lineitem", "orders", "customer", "supplier", "nation"
+    )
+    return rq.q7_volume_shipping(lineitem, orders, customer, supplier, nation)
+
+
+def q8(spark, sf_dir):
+    lineitem, orders, customer, supplier, nation, region, part = _t(
+        spark, sf_dir, "lineitem", "orders", "customer", "supplier",
+        "nation", "region", "part"
+    )
+    return rq.q8_market_share(
+        lineitem, orders, customer, supplier, nation, region, part
+    )
+
+
+def q10(spark, sf_dir):
+    customer, orders, lineitem, nation = _t(
+        spark, sf_dir, "customer", "orders", "lineitem", "nation"
+    )
+    return rq.q10_returned_items(customer, orders, lineitem, nation)
+
+
+def q14(spark, sf_dir):
+    lineitem, part = _t(spark, sf_dir, "lineitem", "part")
+    return rq.q14_promo_revenue(lineitem, part)
+
+
+def q19(spark, sf_dir):
+    lineitem, part = _t(spark, sf_dir, "lineitem", "part")
+    return rq.q19_disjunctive_revenue(lineitem, part)
+
+
+def q22(spark, sf_dir):
+    customer, orders = _t(spark, sf_dir, "customer", "orders")
+    return rq.q22_idle_customers(customer, orders)
+
+
+def window_battery(spark, sf_dir):
+    (orders,) = _t(spark, sf_dir, "orders")
+    return rq.order_window_battery(orders)
+
+
+def lateral_tokens(spark, sf_dir):
+    """Lateral explode coverage: posexplode(split(text)) over a fixed
+    doc_id slice of `documents` (key-filtered, not limit — deterministic
+    regardless of partitioning). Spark's generator expression = DuckDB's
+    lateral unnest."""
+    from yat_geo_db_spark.testdata import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.filter(F.col("doc_id") < 20)
+        .select("doc_id", F.posexplode(F.split(F.col("text"), " ")))
+        .select(
+            "doc_id",
+            F.col("pos").alias("pos"),
+            F.col("col").alias("token"),
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # Oracle SQL
 # --------------------------------------------------------------------------
@@ -420,7 +488,7 @@ JOIN customer ON o_custkey = c_custkey
 JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
 JOIN nation ON c_nationkey = n_nationkey
 JOIN region ON n_regionkey = r_regionkey
-WHERE r_name = 'REGION_0'
+WHERE r_name = 'ASIA'
 GROUP BY n_name
 ORDER BY revenue DESC, n_name
 """
@@ -788,8 +856,143 @@ SELECT order_year, decile, count(*) AS n,
 FROM yearly GROUP BY order_year, decile
 """
 
+_Q6_SQL = f"""
+SELECT {_dsum('l_extendedprice * l_discount', 6)} AS revenue,
+       count(*) AS n_lines
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount >= 0.05 AND l_discount <= 0.07
+  AND l_quantity < 24
+"""
+
+_Q7_SQL = f"""
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(year(l_shipdate) AS INT) AS l_year,
+       {_dsum('l_extendedprice * (1 - l_discount)', 6)} AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1998-01-01'
+  AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+    OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+GROUP BY 1, 2, 3
+"""
+
+_Q8_SQL = f"""
+SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+  round({_dsum("CASE WHEN ns.n_name = 'NATION_2' "
+               "THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END", 6)}
+        / {_dsum('l_extendedprice * (1 - l_discount)', 6)}, 6) AS mkt_share,
+  {_dsum('l_extendedprice * (1 - l_discount)', 6)} AS total_vol
+FROM lineitem
+JOIN part ON l_partkey = p_partkey AND p_type = 'PROMO'
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation nc ON c_nationkey = nc.n_nationkey
+JOIN region ON nc.n_regionkey = r_regionkey AND r_name = 'AMERICA'
+JOIN nation ns ON s_nationkey = ns.n_nationkey
+GROUP BY 1
+"""
+
+_Q10_SQL = f"""
+SELECT c_custkey, c_name, c_acctbal, n_name,
+       {_dsum('l_extendedprice * (1 - l_discount)', 6)} AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1996-04-01'
+GROUP BY 1, 2, 3, 4
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
+
+_Q14_SQL = f"""
+SELECT round(100.0 * {_dsum("CASE WHEN p_type = 'PROMO' "
+                            "THEN l_extendedprice * (1 - l_discount) "
+                            "ELSE 0.0 END", 6)}
+             / {_dsum('l_extendedprice * (1 - l_discount)', 6)}, 6)
+         AS promo_pct,
+       {_dsum('l_extendedprice * (1 - l_discount)', 6)} AS total_rev
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1996-03-01'
+  AND l_shipdate < TIMESTAMP '1996-04-01'
+"""
+
+_Q19_SQL = f"""
+SELECT {_dsum('l_extendedprice * (1 - l_discount)', 6)} AS revenue,
+       count(*) AS n_lines
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+       AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+       AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 20 AND 30)
+"""
+
+#: the avg-balance scalar mirrors the Spark side exactly: exact fixed-point
+#: sum cast to double, divided by the count — both engines then compare
+#: c_acctbal against a bit-identical double threshold
+_Q22_SQL = f"""
+WITH avg_bal AS (
+  SELECT {_dsum('c_acctbal', 2)} / count(*) AS avg_bal
+  FROM customer WHERE c_acctbal > 0.0
+)
+SELECT CAST(c_custkey % 7 AS INT) AS cntrycode,
+       count(*) AS numcust,
+       {_dsum('c_acctbal', 2)} AS totacctbal
+FROM customer, avg_bal
+WHERE c_acctbal > avg_bal
+  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+GROUP BY 1
+"""
+
+_WINDOW_BATTERY_SQL = """
+SELECT o_custkey, o_orderkey,
+  round(lag(o_totalprice) OVER wt, 2) AS prev_price,
+  round(lead(o_totalprice) OVER wt, 2) AS next_price,
+  round(first_value(o_totalprice) OVER wt, 2) AS first_price,
+  CAST(dense_rank() OVER wp AS INT) AS price_rank,
+  round(percent_rank() OVER wp, 6) AS price_pctrank,
+  round(cume_dist() OVER wp, 6) AS price_cumedist
+FROM orders
+WINDOW wt AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+       wp AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+"""
+
+#: Spark split('a b', ' ') and DuckDB string_split both keep empty tokens;
+#: pos is 0-based in Spark → i-1 here (range is 1..len, end-exclusive +1)
+_LATERAL_TOKENS_SQL = """
+WITH d AS (
+  SELECT doc_id, string_split(text, ' ') AS toks
+  FROM documents WHERE doc_id < 20
+)
+SELECT doc_id, CAST(u.i - 1 AS INT) AS pos, toks[CAST(u.i AS INT)] AS token
+FROM d, unnest(range(1, len(toks) + 1)) AS u(i)
+"""
+
 QUERIES: dict = {
     "rel_q4_order_priority": (q4, _Q4_SQL),
+    "rel_q6_forecast_revenue": (q6, _Q6_SQL),
+    "rel_q7_volume_shipping": (q7, _Q7_SQL),
+    "rel_q8_market_share": (q8, _Q8_SQL),
+    "rel_q10_returned_items": (q10, _Q10_SQL),
+    "rel_q14_promo_revenue": (q14, _Q14_SQL),
+    "rel_q19_disjunctive": (q19, _Q19_SQL),
+    "rel_q22_idle_customers": (q22, _Q22_SQL),
+    "rel_window_battery": (window_battery, _WINDOW_BATTERY_SQL),
+    "rel_lateral_tokens": (lateral_tokens, _LATERAL_TOKENS_SQL),
     "rel_q17_small_quantity": (q17, _Q17_SQL),
     "rel_value_deciles": (value_deciles, _DECILES_SQL),
     "rel_interval_join": (interval_join_batch, _INTERVAL_JOIN_SQL),

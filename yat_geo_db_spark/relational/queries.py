@@ -113,7 +113,7 @@ def q3_shipping_priority(customer: DataFrame, orders: DataFrame,
 def q5_local_supplier_volume(region: DataFrame, nation: DataFrame,
                              customer: DataFrame, orders: DataFrame,
                              lineitem: DataFrame, supplier: DataFrame,
-                             region_name: str = "REGION_0") -> DataFrame:
+                             region_name: str = "ASIA") -> DataFrame:
     """TPC-H Q5 shape: snowflake join with a same-nation constraint.
     region/nation/supplier are broadcast dims; the orders↔lineitem join is
     the only big shuffle."""
@@ -423,4 +423,251 @@ def order_join_flavors(customer: DataFrame, orders: DataFrame) -> DataFrame:
             ).filter(F.col("o_custkey").isNull()).count()),
         ],
         "op string, n long",
+    )
+
+
+def q6_forecast_revenue(lineitem: DataFrame) -> DataFrame:
+    """TPC-H Q6 shape: the pure predicate-pushdown showcase — a filtered
+    single-group aggregate with zero joins. All three range predicates reach
+    the parquet scan (PushedFilters), ReadSchema is the 4 consumed columns,
+    and the single-row result needs one tiny final exchange after map-side
+    partial aggregation. At 100 TB this is a scan-bound query — the plan has
+    nothing else in it."""
+    return (
+        lineitem.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            dsum(F.col("l_extendedprice") * F.col("l_discount"), 6).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+def q7_volume_shipping(lineitem: DataFrame, orders: DataFrame,
+                       customer: DataFrame, supplier: DataFrame,
+                       nation: DataFrame, nation_a: str = "NATION_1",
+                       nation_b: str = "NATION_2") -> DataFrame:
+    """TPC-H Q7 shape: bidirectional nation-pair trade volume. The nation
+    dim joins twice under different roles (supplier side / customer side) —
+    both broadcast — with a disjunctive pair predicate applied after; the
+    only big shuffles are lineitem↔orders and ↔customer."""
+    n1 = nation.select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    )
+    pair = (
+        ((F.col("supp_nation") == nation_a) & (F.col("cust_nation") == nation_b))
+        | ((F.col("supp_nation") == nation_b) & (F.col("cust_nation") == nation_a))
+    )
+    return (
+        lineitem
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01"))
+        )
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
+        .filter(pair)
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").alias("l_year"),
+        )
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 6)
+            .alias("revenue")
+        )
+    )
+
+
+def q8_market_share(lineitem: DataFrame, orders: DataFrame,
+                    customer: DataFrame, supplier: DataFrame,
+                    nation: DataFrame, region: DataFrame, part: DataFrame,
+                    region_name: str = "AMERICA",
+                    share_nation: str = "NATION_2",
+                    part_type: str = "PROMO") -> DataFrame:
+    """TPC-H Q8 shape: market share — a conditional-sum ratio per year.
+    part is pre-filtered then broadcast (the classic selective-dim
+    broadcast); the share divides two fixed-point-exact sums, so the double
+    ratio is bit-identical across engines."""
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    n_cust = nation.select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_regionkey").alias("c_rk")
+    )
+    n_supp = nation.select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    return (
+        lineitem
+        .join(
+            F.broadcast(part.filter(F.col("p_type") == part_type)),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n_cust), F.col("c_nationkey") == F.col("c_nk"))
+        .join(
+            F.broadcast(
+                region.filter(F.col("r_name") == region_name)
+                .select(F.col("r_regionkey").alias("c_rk2"))
+            ),
+            F.col("c_rk") == F.col("c_rk2"),
+        )
+        .join(F.broadcast(n_supp), F.col("s_nationkey") == F.col("s_nk"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            dsum(F.when(F.col("supp_nation") == share_nation, vol)
+                 .otherwise(F.lit(0.0)), 6).alias("share_vol"),
+            dsum(vol, 6).alias("total_vol"),
+        )
+        .select(
+            "o_year",
+            F.round(F.col("share_vol") / F.col("total_vol"), 6).alias("mkt_share"),
+            "total_vol",
+        )
+    )
+
+
+def q10_returned_items(customer: DataFrame, orders: DataFrame,
+                       lineitem: DataFrame, nation: DataFrame) -> DataFrame:
+    """TPC-H Q10 shape: top-20 customers by revenue lost to returns in a
+    quarter. The returnflag + date filters push to the scans; nation
+    broadcasts; the final top-20 is TakeOrderedAndProject (no global sort)."""
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        lineitem.filter(F.col("l_returnflag") == "R")
+        .join(
+            orders.filter(
+                (F.col("o_orderdate") >= F.lit("1996-01-01"))
+                & (F.col("o_orderdate") < F.lit("1996-04-01"))
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(dsum(revenue, 6).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+def q14_promo_revenue(lineitem: DataFrame, part: DataFrame) -> DataFrame:
+    """TPC-H Q14 shape: promo-revenue percentage for one month — a
+    conditional-sum ratio over a selective date slice, part broadcast.
+    Single-row output; the ratio divides two exact sums."""
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        lineitem.filter(
+            (F.col("l_shipdate") >= F.lit("1996-03-01"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01"))
+        )
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            dsum(F.when(F.col("p_type") == "PROMO", disc).otherwise(F.lit(0.0)), 6)
+            .alias("promo_rev"),
+            dsum(disc, 6).alias("total_rev"),
+        )
+        .select(
+            F.round(F.lit(100.0) * F.col("promo_rev") / F.col("total_rev"), 6)
+            .alias("promo_pct"),
+            "total_rev",
+        )
+    )
+
+
+def q19_disjunctive_revenue(lineitem: DataFrame, part: DataFrame) -> DataFrame:
+    """TPC-H Q19 shape: OR-of-ANDs predicate spanning both join sides
+    (brand × size-band × quantity-band triples). Catalyst extracts the
+    common l_partkey equi-key so this stays a hash join (not a nested
+    loop), with the disjunction evaluated as a post-join filter; the
+    part-side brand/size disjunction is pushable to the part scan."""
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    triple = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 5)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(1, 10)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#34")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    return (
+        lineitem.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .filter(triple)
+        .agg(
+            dsum(disc, 6).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+def q22_idle_customers(customer: DataFrame, orders: DataFrame,
+                       n_codes: int = 7) -> DataFrame:
+    """TPC-H Q22 shape: positive-balance customers above the global average
+    balance who have never ordered, bucketed by a synthetic "country code"
+    (c_custkey % n_codes — the fixture has no phone column). The average is
+    a broadcast scalar (exact sum / count → bit-identical double in both
+    engines); never-ordered is a left-anti join."""
+    avg_bal = (
+        customer.filter(F.col("c_acctbal") > 0.0)
+        .agg((dsum(F.col("c_acctbal"), 2) / F.count(F.lit(1))).alias("avg_bal"))
+    )
+    return (
+        customer
+        .join(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(
+            orders.select("o_custkey").distinct(),
+            F.col("c_custkey") == F.col("o_custkey"),
+            "left_anti",
+        )
+        .groupBy((F.col("c_custkey") % n_codes).cast("int").alias("cntrycode"))
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            dsum(F.col("c_acctbal"), 2).alias("totacctbal"),
+        )
+    )
+
+
+def order_window_battery(orders: DataFrame) -> DataFrame:
+    """Analytic-window coverage in one pass: lag/lead, first_value,
+    dense_rank, percent_rank, cume_dist — two window specs, both partitioned
+    by o_custkey (ONE hash exchange feeds both sorts; Catalyst groups the
+    same-partition windows). Every ORDER BY carries the unique o_orderkey
+    tiebreak so rank-family outputs are deterministic."""
+    from pyspark.sql.window import Window
+
+    w_time = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    w_price = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.lag("o_totalprice").over(w_time), 2).alias("prev_price"),
+        F.round(F.lead("o_totalprice").over(w_time), 2).alias("next_price"),
+        F.round(F.first("o_totalprice").over(w_time), 2).alias("first_price"),
+        F.dense_rank().over(w_price).alias("price_rank"),
+        F.round(F.percent_rank().over(w_price), 6).alias("price_pctrank"),
+        F.round(F.cume_dist().over(w_price), 6).alias("price_cumedist"),
     )
