@@ -339,3 +339,104 @@ def simhash_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("id1", "id2", "hamming")
     )
+
+
+# --------------------------------------------------------------------------
+# Duplicate clusters: pairs → connected components → canonical survivors
+# --------------------------------------------------------------------------
+
+def connected_components(
+    pairs: DataFrame,
+    src: str = "id1",
+    dst: str = "id2",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components of the undirected near-duplicate pair graph —
+    the step that turns pairwise matches into dedup decisions (a doc can
+    match several others transitively; you drop per CLUSTER, not per pair).
+
+    Min-label propagation: every node starts labeled with itself; each
+    round it takes the min of its own and its neighbors' labels; fixpoint =
+    every node holds its component's min id. One equi-join shuffle per
+    round, converging in O(cluster diameter) rounds — near-dup clusters are
+    shallow (dups of a common source), so typically 2-4. Lineage is
+    truncated every round with localCheckpoint (an iterative join's plan
+    otherwise grows exponentially); on a real cluster prefer
+    ``spark.sparkContext.setCheckpointDir`` + ``.checkpoint()`` for
+    executor-loss resilience. For adversarially deep graphs swap in
+    alternating large-star/small-star contraction (Kiveris et al., "CC in
+    MapReduce and Beyond"), which converges in O(log² n) — the dedup shape
+    doesn't need it.
+
+    Convergence is detected with sum(label): labels only ever decrease, so
+    the sum strictly decreases until fixpoint — one cheap agg per round
+    instead of a join-and-compare.
+
+    Returns (node, component): component = min doc_id reachable. Nodes not
+    in any pair don't appear (they're their own singleton clusters).
+    """
+    e = pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    sym = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b"))).persist()
+    labels = (
+        sym.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("component", F.col("node"))
+        .localCheckpoint()
+    )
+    prev_sum = labels.agg(F.sum("component")).collect()[0][0]
+    for _ in range(max_iter):
+        nbr_min = (
+            sym.join(
+                labels.select(
+                    F.col("node").alias("b"), F.col("component").alias("nbr_comp")
+                ),
+                "b",
+            )
+            .groupBy("a")
+            .agg(F.min("nbr_comp").alias("nbr_min"))
+        )
+        labels = (
+            labels.join(nbr_min, labels["node"] == nbr_min["a"], "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("component"),
+                    F.coalesce(F.col("nbr_min"), F.col("component")),
+                ).alias("component"),
+            )
+            .localCheckpoint()
+        )
+        new_sum = labels.agg(F.sum("component")).collect()[0][0]
+        if new_sum == prev_sum:
+            break
+        prev_sum = new_sum
+    sym.unpersist()
+    return labels
+
+
+def duplicate_clusters(
+    pairs: DataFrame, src: str = "id1", dst: str = "id2"
+) -> DataFrame:
+    """(doc_id, cluster_id) for every doc that appears in a near-dup pair;
+    cluster_id = the smallest doc_id in the connected component."""
+    return connected_components(pairs, src, dst).select(
+        F.col("node").alias("doc_id"), F.col("component").alias("cluster_id")
+    )
+
+
+def dedup_keep_canonical(
+    documents: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    src: str = "id1",
+    dst: str = "id2",
+) -> DataFrame:
+    """The actual dedup: keep one doc per near-dup cluster (the min id —
+    deterministic) plus every doc in no pair. A left-anti join against the
+    non-canonical members; at scale the drop list is small relative to the
+    corpus, so AQE turns this into a broadcast anti join."""
+    comp = connected_components(pairs, src, dst)
+    drop = comp.filter(F.col("node") != F.col("component")).select(
+        F.col("node").alias(id_col)
+    )
+    return documents.join(drop, id_col, "left_anti")

@@ -140,6 +140,69 @@ p AS (
 """
 
 
+def q_dedup_clusters(spark, sf_dir):
+    """Near-dup pairs → connected components (doc_id, cluster_id). The
+    oracle closes the same pair graph with a recursive CTE — feasible at
+    oracle scale; the Spark side is the iterative label-propagation that
+    holds at corpus scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(
+        docs, threshold=JACCARD_T, block_cols=("lang", "source")
+    )
+    return dedup.duplicate_clusters(pairs)
+
+
+def q_dedup_canonical(spark, sf_dir):
+    """The end-to-end dedup decision: all surviving doc_ids after keeping
+    one doc (min id) per near-dup cluster."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(
+        docs, threshold=JACCARD_T, block_cols=("lang", "source")
+    )
+    return dedup.dedup_keep_canonical(docs, pairs).select("doc_id")
+
+
+#: shared CTE chain: jaccard pair graph → symmetric edges → recursive
+#: reachability closure → per-node min reachable id (= component id).
+#: Closure is O(component²) rows — fine at oracle scale, NOT the scale
+#: algorithm (that's the Spark side's label propagation).
+_COMPONENT_CTES = f"""
+g AS (
+  SELECT doc_id, lang, source,
+         list_distinct({grams_sql('text', distinct=False)}) AS grams
+  FROM documents
+),
+p AS (
+  SELECT a.doc_id AS id1, b.doc_id AS id2, a.grams AS g1, b.grams AS g2
+  FROM g a JOIN g b
+    ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+),
+jp AS ({_jaccard_select('p', JACCARD_T)}),
+edges AS (
+  SELECT id1 AS s, id2 AS d FROM jp
+  UNION
+  SELECT id2, id1 FROM jp
+),
+reach(n, r) AS (
+  SELECT s, s FROM (SELECT DISTINCT s FROM edges)
+  UNION
+  SELECT e.d, reach.r FROM edges e JOIN reach ON e.s = reach.n
+),
+comp AS (SELECT n AS doc_id, min(r) AS cluster_id FROM reach GROUP BY n)
+"""
+
+_DEDUP_CLUSTERS_SQL = f"""
+WITH RECURSIVE {_COMPONENT_CTES}
+SELECT doc_id, cluster_id FROM comp
+"""
+
+_DEDUP_CANONICAL_SQL = f"""
+WITH RECURSIVE {_COMPONENT_CTES}
+SELECT doc_id FROM documents
+WHERE doc_id NOT IN (SELECT doc_id FROM comp WHERE doc_id != cluster_id)
+"""
+
+
 def q_dedup_minhash(spark, sf_dir):
     return dedup.minhash_lsh_pairs(
         load_table(spark, sf_dir, "documents"), threshold=MINHASH_T
@@ -511,6 +574,8 @@ FROM documents
 QUERIES: dict = {
     "pipe_dedup_exact": (q_dedup_exact, _DEDUP_EXACT_SQL),
     "pipe_dedup_ngram_jaccard": (q_dedup_jaccard, _DEDUP_JACCARD_SQL),
+    "pipe_dedup_clusters": (q_dedup_clusters, _DEDUP_CLUSTERS_SQL),
+    "pipe_dedup_canonical": (q_dedup_canonical, _DEDUP_CANONICAL_SQL),
     "pipe_dedup_minhash_lsh": (q_dedup_minhash, _minhash_sql()),
     "pipe_dedup_simhash": (q_dedup_simhash, _simhash_sql()),
     "pipe_sim_topk_brute": (q_topk_brute, _TOPK_BRUTE_SQL),
