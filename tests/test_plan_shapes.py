@@ -1,0 +1,84 @@
+"""Physical-plan assertions for the TPC-H-shape queries: the scale
+guarantees PLANS.md claims (pushdown, broadcast, no-global-sort top-k) are
+asserted here, not just documented. Plans are inspected on direct parquet
+reads (no fixture repartition compensator) so scan-level pushdown is
+visible.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from yat_geo_db_spark.relational import queries as rq
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _raw(spark, name):
+    # bypass load_table's repartition compensator: plan-shape tests want
+    # the native scan (events isn't used here, so nanos are not an issue)
+    return spark.read.parquet(f"{SF_DIR}/{name}.parquet")
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _optimized(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_q6_filters_reach_scan(spark):
+    df = rq.q6_forecast_revenue(_raw(spark, "lineitem"))
+    plan = _plan(df)
+    # range predicates push into the parquet scan
+    assert "PushedFilters" in plan
+    assert "l_shipdate" in plan.split("PushedFilters")[1][:400]
+    # column pruning: the scan reads only the consumed columns
+    read_schema = plan.split("ReadSchema")[1][:200]
+    assert "l_extendedprice" in read_schema
+    assert "l_returnflag" not in read_schema
+
+
+def test_q10_topk_no_global_sort(spark):
+    df = rq.q10_returned_items(
+        _raw(spark, "customer"), _raw(spark, "orders"),
+        _raw(spark, "lineitem"), _raw(spark, "nation"),
+    )
+    plan = _plan(df)
+    assert "TakeOrderedAndProject" in plan
+    # l_returnflag = R is pushed to the lineitem scan
+    assert "EqualTo(l_returnflag,R)" in plan.replace(" ", "")
+
+
+def test_q7_nation_dims_broadcast(spark):
+    df = rq.q7_volume_shipping(
+        _raw(spark, "lineitem"), _raw(spark, "orders"), _raw(spark, "customer"),
+        _raw(spark, "supplier"), _raw(spark, "nation"),
+    )
+    plan = _plan(df)
+    assert plan.count("BroadcastHashJoin") >= 3  # supplier + both nation roles
+
+
+def test_q19_stays_hash_join(spark):
+    df = rq.q19_disjunctive_revenue(_raw(spark, "lineitem"), _raw(spark, "part"))
+    plan = _plan(df)
+    # the OR-of-ANDs must not force a nested loop: l_partkey = p_partkey is
+    # extracted as the equi-key
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q22_anti_join(spark):
+    df = rq.q22_idle_customers(_raw(spark, "customer"), _raw(spark, "orders"))
+    assert "LeftAnti" in _plan(df)
+
+
+def test_window_battery_single_exchange(spark):
+    df = rq.order_window_battery(_raw(spark, "orders"))
+    plan = _plan(df)
+    # both window specs partition by o_custkey → ONE hash exchange total
+    # (two sorts is fine; a second exchange would mean a wasted shuffle)
+    n_exchange = plan.count("Exchange hashpartitioning")
+    assert n_exchange == 1, plan
