@@ -215,3 +215,111 @@ def lang_id(documents: DataFrame, text_col: str = "text") -> DataFrame:
     return documents.select(
         "doc_id", "lang", lang_id_col(F.col(text_col)).alias("lang_pred")
     )
+
+
+# --------------------------------------------------------------------------
+# Cleaning / normalization (training-corpus preprocessing)
+# --------------------------------------------------------------------------
+
+#: RE2-compatible (no backrefs/lookaround) so the DuckDB oracle runs the
+#: SAME patterns; Java regex accepts them identically.
+URL_RE = r"https?://[^ ]+"
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+"
+ID_RE = r"[0-9]{6,}"
+
+
+def normalize_ws_col(text: Column) -> Column:
+    """Collapse whitespace runs to single spaces and trim — the first step
+    of every corpus-cleaning pipeline. Pure regexp_replace (codegen'd)."""
+    return F.trim(F.regexp_replace(text, r"\s+", " "))
+
+
+def redact_col(text: Column) -> Column:
+    """Replace URLs, emails, then long digit runs with typed placeholder
+    tokens (C4-style PII scrubbing). Order matters: the URL/email patterns
+    consume their own digits before the bare-ID pass runs."""
+    out = F.regexp_replace(text, URL_RE, "<URL>")
+    out = F.regexp_replace(out, EMAIL_RE, "<EMAIL>")
+    return F.regexp_replace(out, ID_RE, "<ID>")
+
+
+def token_entropy(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document unigram (token) entropy — the standard repetition
+    signal for corpus filtering (low entropy = templated/spammy text).
+
+    Closed form over grouped counts: H = ln(n) − (Σ c·ln c)/n, so the plan
+    is explode → (doc_id, token) count → one per-doc aggregate. No
+    per-row HOF over the token array — the explode shape map-side combines
+    and scales linearly with corpus size."""
+    tok = documents.select(
+        "doc_id", F.explode(tokens_col(F.col(text_col))).alias("token")
+    )
+    cnt = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("c"))
+    return (
+        cnt.groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_tokens"),
+            F.count(F.lit(1)).alias("distinct_tokens"),
+            F.sum(F.col("c").cast("double") * F.log(F.col("c").cast("double")))
+            .alias("s"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "distinct_tokens",
+            F.round(
+                F.log(F.col("n_tokens").cast("double"))
+                - F.col("s") / F.col("n_tokens"),
+                6,
+            ).alias("token_entropy"),
+        )
+    )
+
+
+def boilerplate_shingle_ratio(
+    documents: DataFrame,
+    min_docs: int = 3,
+    w: int = 3,
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document fraction of word shingles that are corpus-frequent
+    (appear in ≥ min_docs distinct docs) — the cross-document boilerplate
+    signal (nav bars, license headers, templates) that per-doc quality
+    features can't see.
+
+    Two hash aggregations over one exploded shingle table (doc-frequency,
+    then per-doc tally after an equi-join on the shingle). The doc-frequency
+    side is the corpus-global state; at 100 TB it's a shuffle on the shingle
+    key — bounded by distinct-shingle count, and AQE splits hot shingles."""
+    sh = documents.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(token_shingles_col(F.col(text_col), w))
+        ).alias("sh"),
+    )
+    dfreq = sh.groupBy("sh").agg(F.countDistinct("doc_id").alias("nd"))
+    per = (
+        sh.join(dfreq, "sh")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.count(F.when(F.col("nd") >= min_docs, 1)).alias("n_common"),
+        )
+    )
+    return (
+        documents.select("doc_id")
+        .join(per, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_shingles", F.lit(0)).alias("n_shingles"),
+            F.coalesce("n_common", F.lit(0)).alias("n_common"),
+            F.when(
+                F.coalesce("n_shingles", F.lit(0)) > 0,
+                F.round(
+                    F.col("n_common").cast("double") / F.col("n_shingles"), 6
+                ),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("boilerplate_ratio"),
+        )
+    )

@@ -455,6 +455,99 @@ FROM s
 """
 
 
+def q_text_clean(spark, sf_dir):
+    """Normalization + redaction driven over deterministically-synthesized
+    noisy input (the fixture corpus is clean, so the query injects a URL,
+    an email, and an id keyed on doc_id into each doc before scrubbing —
+    the regexes are exercised non-trivially and both engines build the
+    identical input)."""
+    docs = load_table(spark, sf_dir, "documents")
+    sid = F.col("doc_id").cast("string")
+    noisy = F.concat(
+        F.lit("  "), F.col("text"),
+        F.lit("  see https://ex"), sid, F.lit(".com/a?b=1 or mail user"),
+        sid, F.lit("@ex.org ref 12345678  "),
+    )
+    return docs.select(
+        "doc_id",
+        text.normalize_ws_col(text.redact_col(noisy)).alias("cleaned"),
+        F.regexp_count(noisy, F.lit(text.URL_RE)).alias("n_urls"),
+        F.regexp_count(noisy, F.lit(text.EMAIL_RE)).alias("n_emails"),
+    )
+
+
+_TEXT_CLEAN_SQL = f"""
+WITH noisy AS (
+  SELECT doc_id,
+         '  ' || text || '  see https://ex' || CAST(doc_id AS VARCHAR)
+         || '.com/a?b=1 or mail user' || CAST(doc_id AS VARCHAR)
+         || '@ex.org ref 12345678  ' AS t
+  FROM documents
+)
+SELECT doc_id,
+  trim(regexp_replace(
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(t, '{text.URL_RE}', '<URL>', 'g'),
+        '{text.EMAIL_RE}', '<EMAIL>', 'g'),
+      '{text.ID_RE}', '<ID>', 'g'),
+    '\\s+', ' ', 'g')) AS cleaned,
+  CAST(len(regexp_extract_all(t, '{text.URL_RE}')) AS INT) AS n_urls,
+  CAST(len(regexp_extract_all(t, '{text.EMAIL_RE}')) AS INT) AS n_emails
+FROM noisy
+"""
+
+
+def q_text_entropy(spark, sf_dir):
+    return text.token_entropy(load_table(spark, sf_dir, "documents"))
+
+
+#: H = ln(n) − (Σ c·ln c)/n over per-doc token counts; per-term ln is
+#: computed identically by both libms and the ≤100-term sum is rounded at 6
+_TEXT_ENTROPY_SQL = """
+WITH t AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+),
+c AS (SELECT doc_id, token, count(*) AS c FROM t GROUP BY 1, 2)
+SELECT doc_id,
+       CAST(sum(c) AS BIGINT) AS n_tokens,
+       count(*) AS distinct_tokens,
+       round(ln(CAST(sum(c) AS DOUBLE))
+             - sum(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))) / sum(c), 6)
+         AS token_entropy
+FROM c GROUP BY doc_id
+"""
+
+BOILERPLATE_MIN_DOCS = 3
+
+
+def q_text_boilerplate(spark, sf_dir):
+    return text.boilerplate_shingle_ratio(
+        load_table(spark, sf_dir, "documents"), min_docs=BOILERPLATE_MIN_DOCS
+    )
+
+
+_TEXT_BOILERPLATE_SQL = f"""
+WITH sh AS (
+  SELECT doc_id, unnest(list_distinct({_shingles('text')})) AS sh
+  FROM documents
+),
+dfreq AS (SELECT sh, count(DISTINCT doc_id) AS nd FROM sh GROUP BY sh),
+per AS (
+  SELECT s.doc_id, count(*) AS n_shingles,
+         count(CASE WHEN d.nd >= {BOILERPLATE_MIN_DOCS} THEN 1 END) AS n_common
+  FROM sh s JOIN dfreq d USING (sh) GROUP BY 1
+)
+SELECT d.doc_id,
+       CAST(coalesce(n_shingles, 0) AS BIGINT) AS n_shingles,
+       CAST(coalesce(n_common, 0) AS BIGINT) AS n_common,
+       CASE WHEN coalesce(n_shingles, 0) > 0
+            THEN round(CAST(n_common AS DOUBLE) / n_shingles, 6)
+            ELSE 0.0 END AS boilerplate_ratio
+FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
+"""
+
+
 def q_text_tfidf(spark, sf_dir):
     return text.tf_idf_top_terms(load_table(spark, sf_dir, "documents"), k=3)
 
@@ -587,6 +680,9 @@ QUERIES: dict = {
     "pipe_text_lang_id": (q_text_lang_id, _lang_id_sql()),
     "pipe_text_fingerprint": (q_text_fingerprint, _TEXT_FINGERPRINT_SQL),
     "pipe_text_tfidf": (q_text_tfidf, _TEXT_TFIDF_SQL),
+    "pipe_text_clean": (q_text_clean, _TEXT_CLEAN_SQL),
+    "pipe_text_entropy": (q_text_entropy, _TEXT_ENTROPY_SQL),
+    "pipe_text_boilerplate": (q_text_boilerplate, _TEXT_BOILERPLATE_SQL),
     "pipe_mm_features": (q_mm_features, _MM_FEATURES_SQL),
     "pipe_mm_frame_sample": (q_mm_frame_sample, _MM_FRAME_SAMPLE_SQL),
     "pipe_mm_resize": (q_mm_resize, None),
