@@ -180,3 +180,96 @@ def cosine_near_dup_pairs(
         )
         .filter(F.col("cosine") >= threshold)
     )
+
+
+# --------------------------------------------------------------------------
+# K-means (Lloyd) — deterministic, fully declarative
+# --------------------------------------------------------------------------
+
+def sq_dist_col(a: Column, b: Column) -> Column:
+    """Squared L2 distance, sequential fold (same association both engines)."""
+    d = F.zip_with(
+        a, b,
+        lambda x, y: (x.cast("double") - y.cast("double"))
+        * (x.cast("double") - y.cast("double")),
+    )
+    return F.aggregate(d, F.lit(0.0), lambda acc, v: acc + v)
+
+
+def kmeans_assign(embeddings: DataFrame, centroids: DataFrame,
+                  id_col: str = "vec_id",
+                  vec_col: str = "embedding") -> DataFrame:
+    """Assignment step: nearest centroid per vector, ties to the lowest cid.
+
+    centroids (cid, cvec) broadcast; argmin is min over a (dist, cid)
+    struct — lexicographic struct-min partial-aggregates map-side, so the
+    N×k expansion reduces to N rows BEFORE any shuffle (a per-vector
+    row_number window would shuffle all N×k rows). Returns
+    (id, cid, dist) with dist = exact double rounded at 6 for output."""
+    joined = embeddings.crossJoin(F.broadcast(centroids))
+    return (
+        joined
+        .select(
+            id_col,
+            F.struct(
+                sq_dist_col(F.col(vec_col), F.col("cvec")).alias("dist"),
+                F.col("cid"),
+            ).alias("dc"),
+        )
+        .groupBy(id_col)
+        .agg(F.min("dc").alias("m"))
+        .select(
+            id_col,
+            F.col("m.cid").alias("cid"),
+            F.round(F.col("m.dist"), 6).alias("dist"),
+        )
+    )
+
+
+def _kmeans_update(assign: DataFrame, embeddings: DataFrame,
+                   id_col: str, vec_col: str) -> DataFrame:
+    """Update step: element-wise mean per cluster. posexplode → per-(cid,
+    component) fixed-point-exact mean (floor(x·1e9+0.5) summed exactly —
+    partition-order-independent, so centroids are bit-stable across engines
+    and partitionings) → array rebuild via sorted collect."""
+    from yat_geo_db_spark.relational.queries import dsum
+
+    pts = (
+        assign.select(id_col, "cid")
+        .join(embeddings, id_col)
+        .select("cid", F.posexplode(F.col(vec_col)).alias("pos", "x"))
+    )
+    comp = pts.groupBy("cid", "pos").agg(
+        (dsum(F.col("x").cast("double"), 9) / F.count(F.lit(1))).alias("v")
+    )
+    return comp.groupBy("cid").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "v"))),
+            lambda s: s["v"],
+        ).alias("cvec")
+    )
+
+
+def kmeans_fit_assign(embeddings: DataFrame, k: int = 4, n_iter: int = 2,
+                      id_col: str = "vec_id",
+                      vec_col: str = "embedding") -> DataFrame:
+    """Lloyd's k-means, deterministic end to end: init = the vectors with
+    the k smallest ids (no RNG), n_iter (assign → update) rounds, then a
+    final assignment. Each round is one broadcast cross join + two hash
+    aggregations; centroids are localCheckpoint'd per round to truncate
+    the iterative plan (on a real cluster: setCheckpointDir + checkpoint).
+    Fixed iteration count — k-means converges monotonically, and a fixed
+    budget keeps the job graph static (the standard batch formulation)."""
+    centroids = (
+        embeddings.filter(F.col(id_col) < k)
+        .select(
+            F.col(id_col).cast("int").alias("cid"),
+            F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("cvec"),
+        )
+    )
+    for _ in range(n_iter):
+        assign = kmeans_assign(embeddings, centroids, id_col, vec_col)
+        centroids = _kmeans_update(
+            assign, embeddings, id_col, vec_col
+        ).localCheckpoint()
+    return kmeans_assign(embeddings, centroids, id_col, vec_col)

@@ -664,6 +664,75 @@ FROM documents
 """
 
 
+KMEANS_K = 4
+KMEANS_ITERS = 2
+
+
+def q_sim_kmeans(spark, sf_dir):
+    return similarity.kmeans_fit_assign(
+        load_table(spark, sf_dir, "embeddings"), k=KMEANS_K, n_iter=KMEANS_ITERS
+    )
+
+
+def _sqdist_sql(a: str, b: str) -> str:
+    """Sequential-fold squared L2 — mirror of similarity.sq_dist_col."""
+    diff = (
+        f"(CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE))"
+    )
+    sq = (
+        f"list_transform(range(1, len({a}) + 1), i -> {diff} * {diff})"
+    )
+    return (
+        f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), {sq}), (x, y) -> x + y)"
+    )
+
+
+def _kmeans_sql(k: int = KMEANS_K, n_iter: int = KMEANS_ITERS) -> str:
+    """Unrolled Lloyd iterations as chained CTEs — mirrors
+    similarity.kmeans_fit_assign round for round (same init, same
+    fixed-point centroid means, same (dist, cid) argmin)."""
+    fsum = (
+        "CAST(sum(CAST(floor(CAST(x AS DOUBLE) * 1e9 + CAST(0.5 AS DOUBLE)) "
+        "AS BIGINT)) AS DOUBLE) / 1e9"
+    )
+    ctes = [
+        f"""c0 AS (
+  SELECT CAST(vec_id AS INT) AS cid,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cvec
+  FROM embeddings WHERE vec_id < {k}
+)"""
+    ]
+    for t in range(n_iter + 1):
+        ctes.append(f"""a{t} AS (
+  SELECT vec_id, embedding, cid, dist,
+         row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+  FROM (
+    SELECT e.vec_id, e.embedding, c.cid,
+           {_sqdist_sql('e.embedding', 'c.cvec')} AS dist
+    FROM embeddings e CROSS JOIN c{t} c
+  )
+)""")
+        if t == n_iter:
+            break
+        ctes.append(f"""m{t} AS (
+  SELECT cid, u.i AS pos, {fsum} / count(*) AS v
+  FROM (SELECT cid, embedding FROM a{t} WHERE rn = 1) s,
+       unnest(range(1, len(embedding) + 1)) AS u(i),
+       LATERAL (SELECT s.embedding[u.i] AS x) q
+  GROUP BY cid, u.i
+)""")
+        ctes.append(
+            f"c{t + 1} AS (SELECT cid, list(v ORDER BY pos) AS cvec "
+            f"FROM m{t} GROUP BY cid)"
+        )
+    body = ",\n".join(ctes)
+    return (
+        f"WITH {body}\n"
+        f"SELECT vec_id, cid, round(dist, 6) AS dist "
+        f"FROM a{n_iter} WHERE rn = 1"
+    )
+
+
 QUERIES: dict = {
     "pipe_dedup_exact": (q_dedup_exact, _DEDUP_EXACT_SQL),
     "pipe_dedup_ngram_jaccard": (q_dedup_jaccard, _DEDUP_JACCARD_SQL),
@@ -675,6 +744,7 @@ QUERIES: dict = {
     "pipe_sim_topk_ivf": (q_topk_ivf, _TOPK_IVF_SQL),
     "pipe_sim_topk_ivf_multiprobe": (q_topk_ivf_multiprobe, _TOPK_IVF_MULTIPROBE_SQL),
     "pipe_sim_cosine_near_dup": (q_cosine_near_dup, _COSINE_NEAR_DUP_SQL),
+    "pipe_sim_kmeans": (q_sim_kmeans, _kmeans_sql()),
     "pipe_sample_stratified": (q_sample_stratified, _SAMPLE_STRATIFIED_SQL),
     "pipe_text_quality": (q_text_quality, _TEXT_QUALITY_SQL),
     "pipe_text_lang_id": (q_text_lang_id, _lang_id_sql()),
