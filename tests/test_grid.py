@@ -1,0 +1,79 @@
+"""Grid-cell spatial layout (geo.grid): gridded radius search must be
+row-identical to the full-scan operator, with PartitionFilters proving the
+pruning actually happens at the source.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from yat_geo_db_spark.geo import grid
+from yat_geo_db_spark.geo.radius import radius_search_lat_lng
+
+
+@pytest.fixture(scope="module")
+def gridded(spark, shapes, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("grid") / "shapes_gridded")
+    grid.write_gridded_shapes(shapes, path)
+    return grid.read_gridded_shapes(spark, path)
+
+
+# origins: fixture city band (see geo.fixture — lats ~30-48, lngs ~-120..-70)
+CASES = [
+    (36.16, -86.78, 50.0),
+    (36.16, -86.78, 250.0),   # multi-cell cover
+    (40.0, -100.0, 10.0),     # likely-empty area
+    (47.9, -70.1, 400.0),     # corner of the populated band
+]
+
+
+@pytest.mark.parametrize("lat,lng,radius", CASES)
+def test_gridded_matches_full_scan(spark, shapes, gridded, lat, lng, radius):
+    want = sorted(
+        r["id"] for r in radius_search_lat_lng(shapes, lat, lng, radius).collect()
+    )
+    got = sorted(
+        r["id"]
+        for r in grid.radius_search_gridded(gridded, lat, lng, radius).collect()
+    )
+    assert got == want
+
+
+def test_partition_filters_in_plan(gridded):
+    df = grid.radius_search_gridded(gridded, 36.16, -86.78, 50.0)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    assert "cell IN" in plan or "cell#" in plan.split("PartitionFilters")[1][:300]
+
+
+def test_cover_cells_contains_origin_and_grows(spark):
+    lat, lng = 36.16, -86.78
+    origin_cell = (
+        spark.range(1)
+        .select(grid.grid_cell_col(F.lit(lat), F.lit(lng)).alias("c"))
+        .collect()[0]["c"]
+    )
+    small = set(grid.cover_cells(lat, lng, 10.0))
+    big = set(grid.cover_cells(lat, lng, 300.0))
+    assert origin_cell in small
+    assert small <= big
+
+
+def test_aggregates_never_pruned(spark, shapes, gridded):
+    # an origin inside some aggregate's bbox but with a tiny radius: the
+    # aggregate must still be found even though its centroid cell may be
+    # outside the cover set
+    agg = shapes.filter(F.col("is_aggregate")).select(
+        "id", "bbox.ll_latitude", "bbox.ur_latitude",
+        "bbox.ll_longitude", "bbox.ur_longitude",
+    ).first()
+    if agg is None:
+        pytest.skip("fixture has no aggregates")
+    o_lat = (agg["ll_latitude"] + agg["ur_latitude"]) / 2
+    o_lng = (agg["ll_longitude"] + agg["ur_longitude"]) / 2
+    got = {
+        r["id"]
+        for r in grid.radius_search_gridded(gridded, o_lat, o_lng, 1.0).collect()
+    }
+    assert agg["id"] in got

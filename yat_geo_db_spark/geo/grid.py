@@ -1,0 +1,145 @@
+"""Grid-cell spatial layout — the scale upgrade SURVEY.md §4 sketches for
+radius search ("geohash bucketing for partition pruning").
+
+The reference scans all shapes per radius query (O(N) per query,
+geo_manager.py:327-348). At 100 TB that scan must be PRUNED, not just
+filtered: shapes are written `partitionBy("cell")` where `cell` is an
+integer lat/lng grid cell, and a radius query enumerates the few cells its
+search ellipse's bounding box can touch (pure driver-side scalar math on
+query parameters — no data access) into a `cell IN (...)` predicate.
+Catalyst turns that into PartitionFilters → only the matching directories
+are listed and scanned; everything else is never opened. The residual
+ellipse test runs unchanged on the survivors, so results are identical to
+the full-scan operators (asserted in tests/test_grid.py).
+
+Cell size trades pruning selectivity against directory count: 1° ≈ 69 mi of
+latitude per cell band — city-scale radii touch 1-9 cells of the 64,800.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame, SparkSession
+import pyspark.sql.functions as F
+
+from yat_geo_db_spark.geo.geometry import (
+    latitude_delta_from_miles,
+    longitude_delta_from_miles,
+)
+from yat_geo_db_spark.geo.radius import radius_match, shape_filters_predicate
+from yat_geo_db_spark.geo.geometry import latitude_delta_col, longitude_delta_col
+
+#: default cell edge in degrees
+CELL_DEG = 1.0
+
+
+def _n_lng_cells(cell_deg: float) -> int:
+    return int(round(360.0 / cell_deg))
+
+
+def grid_cell_col(lat: Column, lng: Column, cell_deg: float = CELL_DEG) -> Column:
+    """Integer grid cell id of a point: row-major over (lat band, lng band).
+    Pure arithmetic — usable at ingest (partition column) and query time."""
+    ny = _n_lng_cells(cell_deg)
+    return (
+        F.floor((lat + F.lit(90.0)) / F.lit(cell_deg)) * F.lit(ny)
+        + F.floor((lng + F.lit(180.0)) / F.lit(cell_deg))
+    ).cast("long")
+
+
+def cover_cells(
+    latitude: float, longitude: float, radius_miles: float,
+    cell_deg: float = CELL_DEG,
+) -> list[int]:
+    """All cell ids the search ellipse's bounding box can intersect.
+
+    Driver-side scalar math on the three query parameters (no data access,
+    no collect). The longitude delta is evaluated at the band edge with the
+    largest |lat| (cos is smallest there ⇒ delta widest), so coverage is
+    conservative. Latitudes clamp at the poles; longitude wrap at ±180 is
+    NOT handled (the reference's ellipse test doesn't wrap either — shapes
+    straddling the antimeridian are out of model for both engines)."""
+    dlat = latitude_delta_from_miles(radius_miles)
+    lat_lo = max(-90.0, latitude - dlat)
+    lat_hi = min(90.0, latitude + dlat)
+    worst_lat = max(abs(lat_lo), abs(lat_hi))
+    if worst_lat >= 89.0:  # cos → 0: a polar cap covers all longitudes
+        lng_lo, lng_hi = -180.0, 180.0
+    else:
+        dlng = longitude_delta_from_miles(worst_lat, radius_miles)
+        lng_lo = max(-180.0, longitude - dlng)
+        lng_hi = min(180.0, longitude + dlng)
+    ny = _n_lng_cells(cell_deg)
+    rows = range(
+        int(math.floor((lat_lo + 90.0) / cell_deg)),
+        int(math.floor((lat_hi + 90.0) / cell_deg)) + 1,
+    )
+    cols = range(
+        int(math.floor((lng_lo + 180.0) / cell_deg)),
+        int(math.floor((lng_hi + 180.0) / cell_deg)) + 1,
+    )
+    return sorted(r * ny + c for r in rows for c in cols)
+
+
+#: aggregates (metro/county bboxes) go to one always-scanned partition:
+#: they match when their BBOX CONTAINS THE ORIGIN, and a wide bbox's
+#: centroid cell can be far outside the search ellipse's cover set — cell
+#: pruning on the centroid would silently drop them. They are a tiny
+#: fraction of the corpus, so always scanning their partition costs ~nothing
+#: and keeps gridded results row-identical to the full scan.
+AGGREGATE_CELL = -1
+
+
+def write_gridded_shapes(
+    shapes: DataFrame, path: str, cell_deg: float = CELL_DEG
+) -> None:
+    """Materialize shapes partitioned by grid cell. One write-time shuffle
+    (repartition on the partition column so each cell directory is written
+    by one task — no small-file explosion from every task writing every
+    cell) amortized over all future pruned queries."""
+    cell = F.when(F.col("is_aggregate"), F.lit(AGGREGATE_CELL)).otherwise(
+        grid_cell_col(F.col("latitude"), F.col("longitude"), cell_deg)
+    )
+    (
+        shapes.withColumn("cell", cell.cast("long"))
+        .repartition("cell")
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(path)
+    )
+
+
+def read_gridded_shapes(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path)
+
+
+def radius_search_gridded(
+    gridded: DataFrame,
+    latitude: float,
+    longitude: float,
+    radius: float,
+    cell_deg: float = CELL_DEG,
+    country_filter: str | None = None,
+    filters: dict | None = None,
+    exclude_aggregates: bool = False,
+) -> DataFrame:
+    """radius_search_lat_lng over the gridded layout: identical semantics,
+    but a `cell IN (cover_cells(...))` pre-filter prunes partitions before
+    any row is read. The aggregate partition (AGGREGATE_CELL) is always
+    included — see its comment; the ellipse/bbox residual predicate is
+    unchanged, so results are row-identical to the full scan."""
+    cells = cover_cells(latitude, longitude, radius, cell_deg) + [AGGREGATE_CELL]
+    o_lat, o_lng = F.lit(float(latitude)), F.lit(float(longitude))
+    radius_lit = F.lit(float(radius))
+    lat_delta = latitude_delta_col(radius_lit)
+    lng_delta = longitude_delta_col(o_lat, radius_lit)
+    country = F.lit(country_filter) if country_filter is not None else None
+    hits = (
+        gridded.filter(F.col("cell").isin(cells))
+        .filter(radius_match(o_lat, o_lng, lat_delta, lng_delta, country))
+        .filter(shape_filters_predicate(filters))
+    )
+    if exclude_aggregates:
+        hits = hits.filter(~F.col("is_aggregate"))
+    return hits.select("id")
