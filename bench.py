@@ -38,6 +38,11 @@ HEADLINE = [
     "pipe_text_quality",
     "pipe_text_fingerprint",
     "pipe_mm_features",
+    "rel_q6_forecast_revenue",
+    "rel_window_battery",
+    "pipe_sim_kmeans",
+    "pipe_dedup_clusters",
+    "pipe_text_boilerplate",
 ]
 
 
