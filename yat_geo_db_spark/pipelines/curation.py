@@ -1,0 +1,76 @@
+"""End-to-end corpus curation — the composed training-data pipeline:
+
+    signals (quality + entropy + boilerplate)  →  threshold filter
+    →  near-dup pair graph over the SURVIVORS  →  connected components
+    →  keep one doc per cluster  →  curated corpus + per-doc signals
+
+Composes the individually-oracle-checked operators (pipelines.text,
+pipelines.dedup) in the canonical order: cheap per-doc signals first (three
+hash aggregations, map-side combinable), the expensive pairwise stage only
+over the docs that survive filtering — at 100 TB the filter typically
+removes a third of the corpus before anything quadratic-ish runs. Dedup is
+last because canonical-selection should never resurrect a filtered doc.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+import pyspark.sql.functions as F
+
+from yat_geo_db_spark.pipelines.dedup import (
+    dedup_keep_canonical,
+    ngram_jaccard_pairs,
+)
+from yat_geo_db_spark.pipelines.text import (
+    boilerplate_shingle_ratio,
+    quality_features,
+    token_entropy,
+)
+
+#: defaults sit inside the fixture corpus's signal distributions so each
+#: stage demonstrably drops documents (see COVERAGE.md)
+MIN_QUALITY = 0.6
+MIN_ENTROPY = 2.6
+MAX_BOILERPLATE = 0.5
+
+
+def corpus_signals(documents: DataFrame, min_docs: int = 3) -> DataFrame:
+    """Per-doc curation signals in one relation: quality_score, token
+    entropy, boilerplate ratio. Three independent aggregation pipelines
+    joined on doc_id (each is its own shuffle tree; nothing forces them
+    into one pass, and Catalyst reuses the shared scan)."""
+    q = quality_features(documents).select("doc_id", "quality_score")
+    e = token_entropy(documents).select("doc_id", "token_entropy")
+    b = boilerplate_shingle_ratio(documents, min_docs=min_docs).select(
+        "doc_id", "boilerplate_ratio"
+    )
+    return q.join(e, "doc_id").join(b, "doc_id")
+
+
+def curate_corpus(
+    documents: DataFrame,
+    min_quality: float = MIN_QUALITY,
+    min_entropy: float = MIN_ENTROPY,
+    max_boilerplate: float = MAX_BOILERPLATE,
+    jaccard_threshold: float = 0.5,
+    block_cols: tuple[str, ...] = ("lang", "source"),
+) -> DataFrame:
+    """The curated corpus: docs passing all three signal thresholds, then
+    one representative (min doc_id) per near-duplicate cluster among the
+    survivors. Returns (doc_id, quality_score, token_entropy,
+    boilerplate_ratio) — the signals ride along for downstream sampling."""
+    signals = corpus_signals(documents)
+    kept = (
+        documents.join(signals, "doc_id")
+        .filter(
+            (F.col("quality_score") >= min_quality)
+            & (F.col("token_entropy") >= min_entropy)
+            & (F.col("boilerplate_ratio") <= max_boilerplate)
+        )
+    )
+    pairs = ngram_jaccard_pairs(
+        kept, threshold=jaccard_threshold, block_cols=block_cols
+    )
+    return dedup_keep_canonical(kept, pairs).select(
+        "doc_id", "quality_score", "token_entropy", "boilerplate_ratio"
+    )

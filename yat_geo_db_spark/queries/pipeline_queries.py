@@ -664,6 +664,97 @@ FROM documents
 """
 
 
+def q_curate_corpus(spark, sf_dir):
+    """The composed curation flagship: signal thresholds → near-dup
+    clusters over survivors → one doc per cluster. Every stage reuses an
+    individually-oracle-checked operator; this query checks the
+    COMPOSITION (filter-before-dedup ordering, signal join fan-in,
+    canonical selection among survivors only)."""
+    from yat_geo_db_spark.pipelines.curation import curate_corpus
+
+    return curate_corpus(load_table(spark, sf_dir, "documents"))
+
+
+def _curate_sql() -> str:
+    from yat_geo_db_spark.pipelines import curation
+
+    return f"""
+WITH RECURSIVE
+tq AS (
+  SELECT doc_id,
+    round(least(ntok / 50.0, CAST(1.0 AS DOUBLE)) * 0.4
+      + least(CAST(len(list_distinct(toks)) AS DOUBLE) / ntok * 1.25,
+              CAST(1.0 AS DOUBLE)) * 0.4
+      + least(nstop / 5.0, CAST(1.0 AS DOUBLE)) * 0.2, 6) AS quality_score
+  FROM (
+    SELECT doc_id, toks, CAST(len(toks) AS DOUBLE) AS ntok,
+      CAST(len(list_filter(toks,
+           t -> list_contains({sql_str_list(STOPWORDS)}, t))) AS DOUBLE) AS nstop
+    FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+  )
+),
+tec AS (
+  SELECT doc_id, token, count(*) AS c
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+  GROUP BY 1, 2
+),
+te AS (
+  SELECT doc_id,
+         round(ln(CAST(sum(c) AS DOUBLE))
+               - sum(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))) / sum(c), 6)
+           AS token_entropy
+  FROM tec GROUP BY doc_id
+),
+shx AS (
+  SELECT doc_id, unnest(list_distinct({_shingles('text')})) AS sh FROM documents
+),
+dfreq AS (SELECT sh, count(DISTINCT doc_id) AS nd FROM shx GROUP BY sh),
+tb AS (
+  SELECT d.doc_id,
+    CASE WHEN coalesce(n_shingles, 0) > 0
+         THEN round(CAST(n_common AS DOUBLE) / n_shingles, 6)
+         ELSE 0.0 END AS boilerplate_ratio
+  FROM documents d LEFT JOIN (
+    SELECT s.doc_id, count(*) AS n_shingles,
+           count(CASE WHEN f.nd >= {BOILERPLATE_MIN_DOCS} THEN 1 END) AS n_common
+    FROM shx s JOIN dfreq f USING (sh) GROUP BY 1
+  ) per ON d.doc_id = per.doc_id
+),
+kept AS (
+  SELECT d.doc_id, d.text, d.lang, d.source,
+         tq.quality_score, te.token_entropy, tb.boilerplate_ratio
+  FROM documents d
+  JOIN tq USING (doc_id) JOIN te USING (doc_id) JOIN tb USING (doc_id)
+  WHERE tq.quality_score >= {curation.MIN_QUALITY}
+    AND te.token_entropy >= {curation.MIN_ENTROPY}
+    AND tb.boilerplate_ratio <= {curation.MAX_BOILERPLATE}
+),
+kg AS (
+  SELECT doc_id, lang, source,
+         list_distinct({grams_sql('text', distinct=False)}) AS grams
+  FROM kept
+),
+kp AS (
+  SELECT a.doc_id AS id1, b.doc_id AS id2, a.grams AS g1, b.grams AS g2
+  FROM kg a JOIN kg b
+    ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+),
+kjp AS ({_jaccard_select('kp', 0.5)}),
+kedges AS (
+  SELECT id1 AS s, id2 AS d FROM kjp UNION SELECT id2, id1 FROM kjp
+),
+kreach(n, r) AS (
+  SELECT s, s FROM (SELECT DISTINCT s FROM kedges)
+  UNION
+  SELECT e.d, kreach.r FROM kedges e JOIN kreach ON e.s = kreach.n
+),
+kcomp AS (SELECT n AS doc_id, min(r) AS cluster_id FROM kreach GROUP BY n)
+SELECT doc_id, quality_score, token_entropy, boilerplate_ratio
+FROM kept
+WHERE doc_id NOT IN (SELECT doc_id FROM kcomp WHERE doc_id != cluster_id)
+"""
+
+
 KMEANS_K = 4
 KMEANS_ITERS = 2
 
@@ -745,6 +836,7 @@ QUERIES: dict = {
     "pipe_sim_topk_ivf_multiprobe": (q_topk_ivf_multiprobe, _TOPK_IVF_MULTIPROBE_SQL),
     "pipe_sim_cosine_near_dup": (q_cosine_near_dup, _COSINE_NEAR_DUP_SQL),
     "pipe_sim_kmeans": (q_sim_kmeans, _kmeans_sql()),
+    "pipe_curate_corpus": (q_curate_corpus, _curate_sql()),
     "pipe_sample_stratified": (q_sample_stratified, _SAMPLE_STRATIFIED_SQL),
     "pipe_text_quality": (q_text_quality, _TEXT_QUALITY_SQL),
     "pipe_text_lang_id": (q_text_lang_id, _lang_id_sql()),
