@@ -375,7 +375,10 @@ def connected_components(
     Returns (node, component): component = min doc_id reachable. Nodes not
     in any pair don't appear (they're their own singleton clusters).
     """
-    e = pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    # persist the directed edges BEFORE the symmetrizing union: both union
+    # branches read `e`, and without the cache the (potentially expensive)
+    # pair-generation subtree would execute twice in the first job
+    e = pairs.select(F.col(src).alias("a"), F.col(dst).alias("b")).persist()
     sym = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b"))).persist()
     labels = (
         sym.select(F.col("a").alias("node"))
@@ -411,6 +414,7 @@ def connected_components(
             break
         prev_sum = new_sum
     sym.unpersist()
+    e.unpersist()
     return labels
 
 
