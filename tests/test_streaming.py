@@ -173,3 +173,30 @@ def test_foreachbatch_sink_idempotent(spark, tmp_path):
     # batch_id=N overwrite layout cannot duplicate what exists
     run()
     assert read_sink(spark, target).count() == first
+
+
+def test_quality_signals_stream_matches_batch(spark, tmp_path):
+    """The per-doc curation signals are stateless Column pipelines, so the
+    SAME operator runs on a document stream (append mode, no state) — the
+    streaming half of the corpus-curation story: score docs as they land,
+    filter on the scores, leave only dedup to the batch compactor."""
+    from yat_geo_db_spark.pipelines.text import quality_features
+
+    docs = load_table(spark, SF, "documents")
+    src = str(tmp_path / "docs_src")
+    docs.write.mode("overwrite").parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).parquet(src)
+    q = (
+        quality_features(stream)
+        .writeStream.format("memory")
+        .queryName("quality_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT * FROM quality_stream")
+    want = quality_features(docs)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+    assert got.count() == 500
