@@ -443,6 +443,43 @@ def lateral_tokens(spark, sf_dir):
     )
 
 
+def unpivot_part(spark, sf_dir):
+    """Wide→long reshaping (melt): the inverse of rel_sales_pivot. Spark's
+    native unpivot emits one row per (id, measure) — a generator, no
+    shuffle; value columns must share a type, so p_size casts to double."""
+    (part,) = _t(spark, sf_dir, "part")
+    return (
+        part.select(
+            "p_partkey",
+            F.col("p_size").cast("double").alias("size"),
+            F.col("p_retailprice").alias("retailprice"),
+        )
+        .unpivot(
+            ids=["p_partkey"],
+            values=["size", "retailprice"],
+            variableColumnName="metric",
+            valueColumnName="val",
+        )
+    )
+
+
+def null_funcs(spark, sf_dir):
+    """Null-handling surface: nullif / coalesce / ifnull-style defaults /
+    null-safe equality — the semantics corpus SQL leans on constantly."""
+    (customer,) = _t(spark, sf_dir, "customer")
+    seg_or_null = F.nullif(F.col("c_mktsegment"), F.lit("BUILDING"))
+    return customer.select(
+        "c_custkey",
+        seg_or_null.alias("seg_nullable"),
+        F.coalesce(seg_or_null, F.lit("<masked>")).alias("seg_defaulted"),
+        seg_or_null.isNull().alias("was_building"),
+        F.col("c_mktsegment").eqNullSafe(seg_or_null).alias("null_safe_eq"),
+        F.when(F.col("c_acctbal") < 0, None)
+        .otherwise(F.col("c_acctbal"))
+        .alias("bal_nonneg"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Oracle SQL
 # --------------------------------------------------------------------------
@@ -982,8 +1019,29 @@ SELECT doc_id, CAST(u.i - 1 AS INT) AS pos, toks[CAST(u.i AS INT)] AS token
 FROM d, unnest(range(1, len(toks) + 1)) AS u(i)
 """
 
+_UNPIVOT_SQL = """
+SELECT p_partkey, metric, val FROM (
+  UNPIVOT (SELECT p_partkey, CAST(p_size AS DOUBLE) AS size,
+                  p_retailprice AS retailprice FROM part)
+  ON size, retailprice INTO NAME metric VALUE val
+)
+"""
+
+_NULL_FUNCS_SQL = """
+SELECT c_custkey,
+       nullif(c_mktsegment, 'BUILDING') AS seg_nullable,
+       coalesce(nullif(c_mktsegment, 'BUILDING'), '<masked>') AS seg_defaulted,
+       nullif(c_mktsegment, 'BUILDING') IS NULL AS was_building,
+       c_mktsegment IS NOT DISTINCT FROM nullif(c_mktsegment, 'BUILDING')
+         AS null_safe_eq,
+       CASE WHEN c_acctbal < 0 THEN NULL ELSE c_acctbal END AS bal_nonneg
+FROM customer
+"""
+
 QUERIES: dict = {
     "rel_q4_order_priority": (q4, _Q4_SQL),
+    "rel_unpivot": (unpivot_part, _UNPIVOT_SQL),
+    "rel_null_funcs": (null_funcs, _NULL_FUNCS_SQL),
     "rel_q6_forecast_revenue": (q6, _Q6_SQL),
     "rel_q7_volume_shipping": (q7, _Q7_SQL),
     "rel_q8_market_share": (q8, _Q8_SQL),
