@@ -1019,6 +1019,76 @@ SELECT doc_id, CAST(u.i - 1 AS INT) AS pos, toks[CAST(u.i AS INT)] AS token
 FROM d, unnest(range(1, len(toks) + 1)) AS u(i)
 """
 
+def upsert(spark, sf_dir):
+    """Batch MERGE (relational.merge.upsert_latest): a deterministic
+    change set (every 10th order gets a repriced v1 row) applied over the
+    v0 base; latest version wins per key. Output = the merged table."""
+    from yat_geo_db_spark.relational.merge import upsert_latest
+
+    (orders,) = _t(spark, sf_dir, "orders")
+    base = orders.select(
+        "o_orderkey",
+        F.round("o_totalprice", 2).alias("price"),
+        F.lit(0).alias("version"),
+    )
+    updates = (
+        orders.filter(F.col("o_orderkey") % 10 == 0)
+        .select(
+            "o_orderkey",
+            F.round(F.col("o_totalprice") * 1.1, 2).alias("price"),
+            F.lit(1).alias("version"),
+        )
+    )
+    return upsert_latest(base, updates, ["o_orderkey"], "version")
+
+
+def range_frame(spark, sf_dir):
+    """RANGE-frame window: per customer, order value summed over the
+    trailing 30 days (value-based frame — peer rows at the same day all
+    included, unlike ROWS). Exact fixed-point inner sum."""
+    (orders,) = _t(spark, sf_dir, "orders")
+    from pyspark.sql import Window
+
+    d = F.datediff(F.col("o_orderdate"), F.lit("1995-01-01"))
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(d)
+        .rangeBetween(-30, Window.currentRow)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        d.alias("d"),
+        rq.dsum_over(F.col("o_totalprice"), w, 2).alias("trailing_30d"),
+    )
+
+
+_UPSERT_SQL = """
+WITH tagged AS (
+  SELECT o_orderkey, round(o_totalprice, 2) AS price, 0 AS version, 0 AS src
+  FROM orders
+  UNION ALL
+  SELECT o_orderkey, round(o_totalprice * 1.1, 2), 1, 1
+  FROM orders WHERE o_orderkey % 10 = 0
+)
+SELECT o_orderkey, price, CAST(version AS INT) AS version FROM (
+  SELECT *, row_number() OVER (PARTITION BY o_orderkey
+                               ORDER BY version DESC, src DESC) AS rn
+  FROM tagged
+) WHERE rn = 1
+"""
+
+_RANGE_FRAME_SQL = """
+SELECT o_custkey, o_orderkey,
+       CAST(date_diff('day', DATE '1995-01-01', o_orderdate) AS INT) AS d,
+       CAST(sum(CAST(floor(o_totalprice * 1e2 + CAST(0.5 AS DOUBLE)) AS BIGINT))
+            OVER (PARTITION BY o_custkey
+                  ORDER BY date_diff('day', DATE '1995-01-01', o_orderdate)
+                  RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) AS DOUBLE) / 1e2
+         AS trailing_30d
+FROM orders
+"""
+
 _UNPIVOT_SQL = """
 SELECT p_partkey, metric, val FROM (
   UNPIVOT (SELECT p_partkey, CAST(p_size AS DOUBLE) AS size,
@@ -1041,6 +1111,8 @@ FROM customer
 QUERIES: dict = {
     "rel_q4_order_priority": (q4, _Q4_SQL),
     "rel_unpivot": (unpivot_part, _UNPIVOT_SQL),
+    "rel_merge_upsert": (upsert, _UPSERT_SQL),
+    "rel_range_frame_30d": (range_frame, _RANGE_FRAME_SQL),
     "rel_null_funcs": (null_funcs, _NULL_FUNCS_SQL),
     "rel_q6_forecast_revenue": (q6, _Q6_SQL),
     "rel_q7_volume_shipping": (q7, _Q7_SQL),

@@ -1,0 +1,39 @@
+"""Batch MERGE / upsert — latest-wins per key without a table format.
+
+Parquet has no transactional MERGE (that's Delta/Iceberg territory); the
+portable batch pattern is union + per-key version rank + rewrite, which is
+exactly how periodic compaction jobs apply change sets at scale: one
+shuffle on the merge key, map-side nothing (row_number needs the full key
+group), output partitioned however the base table is laid out. The
+reference's closest analog is `add_entity`'s copy-append upsert
+(geo_manager.py:451-476) — this is its engine-grade generalization.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import Window
+import pyspark.sql.functions as F
+
+
+def upsert_latest(
+    base: DataFrame,
+    updates: DataFrame,
+    key_cols: list[str],
+    version_col: str,
+) -> DataFrame:
+    """Apply `updates` over `base`: for every key keep the row with the
+    highest version; on version ties the update wins (deterministic via a
+    source tag in the sort — never arbitrary). Columns must align
+    (unionByName). One hash shuffle on the key."""
+    tagged = base.withColumn("_src", F.lit(0)).unionByName(
+        updates.withColumn("_src", F.lit(1))
+    )
+    w = Window.partitionBy(*key_cols).orderBy(
+        F.desc(version_col), F.desc("_src")
+    )
+    return (
+        tagged.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_src", "_rn")
+    )
