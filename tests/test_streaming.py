@@ -200,3 +200,47 @@ def test_quality_signals_stream_matches_batch(spark, tmp_path):
     want = quality_features(docs)
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
     assert got.count() == 500
+
+
+def test_stream_decontamination_matches_batch(spark, tmp_path):
+    """Cross-corpus near-dup filtering on a document stream: the static
+    corpus band index joins against each micro-batch inside foreachBatch
+    (the anti-join needs batch semantics per batch; banding is stateless).
+    Survivors must equal the batch operator's output."""
+    from yat_geo_db_spark.pipelines.dedup import band_table, near_dup_filter
+
+    docs = load_table(spark, SF, "documents")
+    corpus = docs.filter(F.col("doc_id") < 250)
+    incoming = docs.filter(F.col("doc_id") >= 250)
+    corpus_bands = band_table(corpus).persist()
+
+    src = str(tmp_path / "incoming_src")
+    out = str(tmp_path / "kept_out")
+    # two files → at least two micro-batches worth of input available
+    incoming.repartition(2).write.mode("overwrite").parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src)
+
+    def apply_filter(batch_df, batch_id):
+        near_dup_filter(batch_df, corpus_bands).select("doc_id").write.mode(
+            "append"
+        ).parquet(out)
+
+    q = (
+        stream.writeStream.foreachBatch(apply_filter)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    got = sorted(r["doc_id"] for r in spark.read.parquet(out).collect())
+    want = sorted(
+        r["doc_id"]
+        for r in near_dup_filter(incoming, corpus_bands).select("doc_id").collect()
+    )
+    assert got == want
+    assert len(got) > 0
+    corpus_bands.unpersist()

@@ -205,6 +205,84 @@ def shingle_hash_table(
     )
 
 
+def band_table(
+    documents: DataFrame, w: int = 3, text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, grams, band, bsig): the LSH band index of a corpus — B rows per
+    doc, each carrying one band's sub-signature. The join key for every
+    MinHash candidate-generation variant (self-join for pair mining,
+    cross-corpus join for decontamination); persist/materialize it once per
+    corpus and reuse."""
+    rows_per_band = len(MINHASH_PERMS) // MINHASH_BANDS
+    sig = shingle_hash_table(documents, w, text_col, id_col).select(
+        id_col, "grams", minhash_signature(F.col("hashes")).alias("sig")
+    )
+    return sig.select(
+        id_col,
+        "grams",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band"),
+                        F.slice(
+                            "sig", bi * rows_per_band + 1, rows_per_band
+                        ).alias("bsig"),
+                    )
+                    for bi in range(MINHASH_BANDS)
+                ]
+            )
+        ).alias("b"),
+    ).select(id_col, "grams", F.col("b.band").alias("band"),
+             F.col("b.bsig").cast("array<long>").alias("bsig"))
+
+
+def near_dup_filter(
+    new_docs: DataFrame,
+    corpus_bands: DataFrame,
+    threshold: float = 0.5,
+    w: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cross-corpus near-dup filter: drop incoming docs that near-duplicate
+    a STATIC reference corpus (benchmark decontamination, incremental
+    ingest against an existing training set).
+
+    `corpus_bands` is a band_table() of the reference corpus — built once,
+    stored, reused across runs. Incoming docs band the same way, equi-join
+    on (band, bsig) — cross-corpus, so no id ordering constraint — then
+    exact-Jaccard verification, and survivors come out of a left-anti join.
+    Streaming wiring: run this inside foreachBatch per micro-batch (the
+    anti-join needs batch semantics); the banding itself is stateless."""
+    nb = band_table(new_docs, w, text_col, id_col)
+    cb = corpus_bands.select(
+        F.col("band").alias("c_band"),
+        F.col("bsig").alias("c_bsig"),
+        F.col("grams").alias("c_grams"),
+    )
+    inter = F.size(F.array_intersect(F.col("grams"), F.col("c_grams"))).cast(
+        "double"
+    )
+    union = (
+        F.size(F.col("grams")).cast("double")
+        + F.size(F.col("c_grams")).cast("double")
+        - inter
+    )
+    jac = F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+    matched = (
+        nb.join(
+            cb,
+            (F.col("band") == F.col("c_band")) & (F.col("bsig") == F.col("c_bsig")),
+        )
+        .filter(F.round(jac, 6) >= threshold)
+        .select(id_col)
+        .distinct()
+    )
+    return new_docs.join(matched, id_col, "left_anti")
+
+
 def minhash_lsh_pairs(
     documents: DataFrame,
     threshold: float = 0.5,
@@ -219,26 +297,7 @@ def minhash_lsh_pairs(
     shingle Jaccard. At 100 TB the band join dominates; salting the hottest
     buckets or raising rows-per-band bounds it. Candidate volume stays
     near-linear because random doc pairs share ~no token shingles."""
-    rows_per_band = len(MINHASH_PERMS) // MINHASH_BANDS
-    sig = shingle_hash_table(documents, w, text_col).select(
-        "doc_id", "grams", minhash_signature(F.col("hashes")).alias("sig")
-    )
-    banded = sig.select(
-        "doc_id",
-        "grams",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(bi).alias("band"),
-                        F.slice("sig", bi * rows_per_band + 1, rows_per_band).alias("bsig"),
-                    )
-                    for bi in range(MINHASH_BANDS)
-                ]
-            )
-        ).alias("b"),
-    ).select("doc_id", "grams", F.col("b.band").alias("band"),
-             F.col("b.bsig").cast("array<long>").alias("bsig"))
+    banded = band_table(documents, w, text_col)
 
     left = banded.select(
         F.col("band"), F.col("bsig"),
