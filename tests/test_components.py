@@ -64,3 +64,77 @@ def test_canonical_keeps_one_per_cluster(spark):
     ids = sorted(r["doc_id"] for r in kept.collect())
     # clusters {1,2,3}→keep 1, {6,7}→keep 6; singletons 0,4,5,8,9 all kept
     assert ids == [0, 1, 4, 5, 6, 8, 9]
+
+
+# --------------------------------------------------------------------------
+# Property checks vs a pure-python union-find model
+# --------------------------------------------------------------------------
+
+def _model_components(edges):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in parent}
+
+
+def test_random_graphs_match_union_find(spark):
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    edge = st.tuples(
+        st.integers(min_value=0, max_value=30),
+        st.integers(min_value=0, max_value=30),
+    ).filter(lambda e: e[0] != e[1])
+
+    @given(st.lists(edge, min_size=1, max_size=40))
+    @settings(max_examples=12, deadline=None)
+    def check(edges):
+        got = {
+            r["node"]: r["component"]
+            for r in connected_components(
+                _pairs(spark, [(a, b) for a, b in edges])
+            ).collect()
+        }
+        assert got == _model_components(edges)
+
+    check()
+
+
+def test_upsert_latest_properties(spark):
+    from yat_geo_db_spark.relational.merge import upsert_latest
+
+    base = spark.createDataFrame(
+        [(i, float(i), 0) for i in range(20)], "k long, v double, version int"
+    )
+    ups = spark.createDataFrame(
+        [(i, float(i) * 10, 1) for i in range(0, 20, 3)],
+        "k long, v double, version int",
+    )
+    merged = upsert_latest(base, ups, ["k"], "version")
+    rows = {r["k"]: (r["v"], r["version"]) for r in merged.collect()}
+    assert len(rows) == 20                       # keys never duplicate or vanish
+    for k in range(20):
+        if k % 3 == 0:
+            assert rows[k] == (k * 10.0, 1)      # update won
+        else:
+            assert rows[k] == (float(k), 0)      # base survives
+    # idempotent: re-applying the same change set changes nothing
+    again = upsert_latest(merged, ups, ["k"], "version")
+    assert {r["k"]: (r["v"], r["version"]) for r in again.collect()} == rows
+    # empty change set is a no-op
+    noop = upsert_latest(base, ups.filter(F.lit(False)), ["k"], "version")
+    assert noop.count() == 20
+    # same-version conflict: the update side wins deterministically
+    conflict = spark.createDataFrame([(5, 99.0, 0)], "k long, v double, version int")
+    won = upsert_latest(base, conflict, ["k"], "version")
+    assert {r["v"] for r in won.filter(F.col("k") == 5).collect()} == {99.0}
