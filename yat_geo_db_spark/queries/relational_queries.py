@@ -1063,6 +1063,104 @@ def range_frame(spark, sf_dir):
     )
 
 
+def cohort_retention(spark, sf_dir):
+    """Cohort retention matrix: users bucketed by first-seen week, counted
+    per activity-week offset. Two hash aggregations (first-seen per user,
+    distinct user-week activity) and one join — the standard shape; weeks
+    are integer epoch-day arithmetic so both engines bucket identically."""
+    (events,) = _t(spark, sf_dir, "events")
+    week = (F.datediff(F.col("ts").cast("date"), F.lit("1995-01-01")) / 7).cast(
+        "int"
+    )
+    activity = events.select("user_id", week.alias("week")).distinct()
+    first = activity.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    return (
+        activity.join(first, "user_id")
+        .groupBy(
+            "cohort_week",
+            (F.col("week") - F.col("cohort_week")).alias("week_offset"),
+        )
+        .agg(F.count_distinct("user_id").alias("n_users"))
+    )
+
+
+def funnel(spark, sf_dir):
+    """Two-step funnel: per user, first view → earliest click strictly
+    after it (within 1 hour = converted). One aggregation per step plus a
+    per-user join — no event-level self-join blowup."""
+    (events,) = _t(spark, sf_dir, "events")
+    views = (
+        events.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_view"))
+    )
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("click_ts")
+    )
+    clicks = clicks.withColumnRenamed("user_id", "c_user")
+    # the time predicate must live IN the join: as a post-filter it would
+    # drop users whose clicks all precede the view instead of null-extending
+    joined = (
+        views.join(
+            clicks,
+            (F.col("user_id") == F.col("c_user"))
+            & (F.col("click_ts") > F.col("first_view")),
+            "left",
+        )
+        .groupBy("user_id", "first_view")
+        .agg(F.min("click_ts").alias("first_click_after"))
+    )
+    converted = (
+        F.col("first_click_after").isNotNull()
+        & (
+            F.unix_micros("first_click_after") - F.unix_micros("first_view")
+            <= 3_600_000_000
+        )
+    )
+    return joined.select(
+        "user_id",
+        F.unix_micros("first_view").alias("first_view_us"),
+        F.unix_micros("first_click_after").alias("first_click_us"),
+        converted.alias("converted_1h"),
+    )
+
+
+_COHORT_SQL = """
+WITH activity AS (
+  SELECT DISTINCT user_id,
+         CAST(date_diff('day', DATE '1995-01-01', CAST(ts AS DATE)) // 7 AS INT)
+           AS week
+  FROM events
+),
+first AS (SELECT user_id, min(week) AS cohort_week FROM activity GROUP BY 1)
+SELECT cohort_week, week - cohort_week AS week_offset,
+       count(DISTINCT a.user_id) AS n_users
+FROM activity a JOIN first USING (user_id)
+GROUP BY 1, 2
+"""
+
+_FUNNEL_SQL = """
+WITH v AS (
+  SELECT user_id, min(ts) AS first_view FROM events
+  WHERE event_type = 'view' GROUP BY 1
+),
+j AS (
+  SELECT v.user_id, v.first_view, min(c.ts) AS first_click_after
+  FROM v LEFT JOIN events c
+    ON c.user_id = v.user_id AND c.event_type = 'click'
+   AND c.ts > v.first_view
+  GROUP BY 1, 2
+)
+SELECT user_id,
+       epoch_us(CAST(first_view AS TIMESTAMP)) AS first_view_us,
+       epoch_us(CAST(first_click_after AS TIMESTAMP)) AS first_click_us,
+       first_click_after IS NOT NULL
+         AND epoch_us(CAST(first_click_after AS TIMESTAMP))
+             - epoch_us(CAST(first_view AS TIMESTAMP)) <= 3600000000
+         AS converted_1h
+FROM j
+"""
+
 _UPSERT_SQL = """
 WITH tagged AS (
   SELECT o_orderkey, round(o_totalprice, 2) AS price, 0 AS version, 0 AS src
@@ -1113,6 +1211,8 @@ QUERIES: dict = {
     "rel_unpivot": (unpivot_part, _UNPIVOT_SQL),
     "rel_merge_upsert": (upsert, _UPSERT_SQL),
     "rel_range_frame_30d": (range_frame, _RANGE_FRAME_SQL),
+    "rel_cohort_retention": (cohort_retention, _COHORT_SQL),
+    "rel_funnel_view_click": (funnel, _FUNNEL_SQL),
     "rel_null_funcs": (null_funcs, _NULL_FUNCS_SQL),
     "rel_q6_forecast_revenue": (q6, _Q6_SQL),
     "rel_q7_volume_shipping": (q7, _Q7_SQL),
