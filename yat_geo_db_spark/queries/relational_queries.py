@@ -1026,16 +1026,24 @@ def upsert(spark, sf_dir):
     from yat_geo_db_spark.relational.merge import upsert_latest
 
     (orders,) = _t(spark, sf_dir, "orders")
+
+    # fixed-point floor rounding, NOT F.round: Spark rounds doubles via the
+    # shortest-decimal BigDecimal repr, DuckDB via float arithmetic — they
+    # disagree on half-way products like x*1.1. floor(x*100+0.5)/100 is the
+    # same IEEE op sequence in both engines.
+    def cents(col):
+        return F.floor(col * 100 + F.lit(0.5)) / F.lit(100.0)
+
     base = orders.select(
         "o_orderkey",
-        F.round("o_totalprice", 2).alias("price"),
+        cents(F.col("o_totalprice")).alias("price"),
         F.lit(0).alias("version"),
     )
     updates = (
         orders.filter(F.col("o_orderkey") % 10 == 0)
         .select(
             "o_orderkey",
-            F.round(F.col("o_totalprice") * 1.1, 2).alias("price"),
+            cents(F.col("o_totalprice") * 1.1).alias("price"),
             F.lit(1).alias("version"),
         )
     )
@@ -1163,10 +1171,14 @@ FROM j
 
 _UPSERT_SQL = """
 WITH tagged AS (
-  SELECT o_orderkey, round(o_totalprice, 2) AS price, 0 AS version, 0 AS src
+  SELECT o_orderkey,
+         floor(o_totalprice * 100 + CAST(0.5 AS DOUBLE)) / 100.0 AS price,
+         0 AS version, 0 AS src
   FROM orders
   UNION ALL
-  SELECT o_orderkey, round(o_totalprice * 1.1, 2), 1, 1
+  SELECT o_orderkey,
+         floor(o_totalprice * CAST(1.1 AS DOUBLE) * 100
+               + CAST(0.5 AS DOUBLE)) / 100.0, 1, 1
   FROM orders WHERE o_orderkey % 10 = 0
 )
 SELECT o_orderkey, price, CAST(version AS INT) AS version FROM (
