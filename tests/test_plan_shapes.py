@@ -82,3 +82,39 @@ def test_window_battery_single_exchange(spark):
     # (two sorts is fine; a second exchange would mean a wasted shuffle)
     n_exchange = plan.count("Exchange hashpartitioning")
     assert n_exchange == 1, plan
+
+
+def test_nested_struct_pruning_on_ingested_layout(spark, tmp_path):
+    """Dotted-path filters over the ingested parquet layout must prune the
+    nested ref_data struct to the consumed subfield and push the equality
+    down to the scan — the layout property the radius/fuzzy dynamic
+    filters (P12) rely on at scale."""
+    import json
+
+    from yat_geo_db_spark.geo.ingest import ingest_shapes_json, read_shapes
+    from tests.test_ingest import RECORD
+
+    recs = [
+        dict(RECORD, id=i, reference_code=f"us__tn__city_{i}")
+        for i in range(6)
+    ]
+    src = tmp_path / "shapes.json"
+    src.write_text("\n".join(json.dumps(r) for r in recs))
+    root = str(tmp_path / "store")
+    ingest_shapes_json(spark, str(src), root)
+
+    shapes = read_shapes(spark, root)
+    df = shapes.filter(F.col("ref_data.state_prov") == "TN").select(
+        "id", "ref_data.city"
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    read_schema = plan.split("ReadSchema")[1][:300]
+    # only the two consumed ref_data subfields are read...
+    assert "state_prov" in read_schema and "city" in read_schema
+    assert "zip_code" not in read_schema
+    # ...and no unrelated top-level column is
+    assert "population" not in read_schema
+    # the nested equality reaches the scan as a pushed filter
+    pushed = plan.split("PushedFilters")[1][:200]
+    assert "state_prov" in pushed
+    assert df.count() == 6
