@@ -1133,6 +1133,52 @@ def funnel(spark, sf_dir):
     )
 
 
+def division_all_late(spark, sf_dir):
+    """Relational division (TPC-H Q21 shape): orders where EVERY lineitem
+    shipped late (> 60 days after order date), as a semi join on the
+    late set and an anti join on the on-time set — the decorrelated
+    EXISTS / NOT EXISTS pair. Top customers by such orders."""
+    lineitem, orders = _t(spark, sf_dir, "lineitem", "orders")
+    joined = lineitem.join(
+        orders.select("o_orderkey", "o_orderdate", "o_custkey"),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+    )
+    late = F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 60)
+    late_set = joined.filter(late).select("l_orderkey").distinct()
+    ontime_set = joined.filter(~late).select("l_orderkey").distinct()
+    qualified = (
+        orders.join(
+            late_set, F.col("o_orderkey") == late_set["l_orderkey"], "left_semi"
+        )
+        .join(
+            ontime_set,
+            F.col("o_orderkey") == ontime_set["l_orderkey"],
+            "left_anti",
+        )
+    )
+    return (
+        qualified.groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_all_late_orders"))
+        .orderBy(F.desc("n_all_late_orders"), F.asc("o_custkey"))
+        .limit(10)
+    )
+
+
+_DIVISION_SQL = """
+WITH j AS (
+  SELECT l_orderkey, o_custkey,
+         l_shipdate > o_orderdate + INTERVAL 60 DAY AS late
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+)
+SELECT o_custkey, count(*) AS n_all_late_orders
+FROM orders
+WHERE EXISTS (SELECT 1 FROM j WHERE j.l_orderkey = o_orderkey AND late)
+  AND NOT EXISTS (SELECT 1 FROM j WHERE j.l_orderkey = o_orderkey AND NOT late)
+GROUP BY o_custkey
+ORDER BY n_all_late_orders DESC, o_custkey
+LIMIT 10
+"""
+
 _COHORT_SQL = """
 WITH activity AS (
   SELECT DISTINCT user_id,
@@ -1225,6 +1271,7 @@ QUERIES: dict = {
     "rel_range_frame_30d": (range_frame, _RANGE_FRAME_SQL),
     "rel_cohort_retention": (cohort_retention, _COHORT_SQL),
     "rel_funnel_view_click": (funnel, _FUNNEL_SQL),
+    "rel_division_all_late": (division_all_late, _DIVISION_SQL),
     "rel_null_funcs": (null_funcs, _NULL_FUNCS_SQL),
     "rel_q6_forecast_revenue": (q6, _Q6_SQL),
     "rel_q7_volume_shipping": (q7, _Q7_SQL),
