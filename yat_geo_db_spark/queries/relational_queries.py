@@ -1164,6 +1164,41 @@ def division_all_late(spark, sf_dir):
     )
 
 
+def try_funcs(spark, sf_dir):
+    """Error-tolerant evaluation: try_cast / try_divide / try_to_number
+    return NULL on malformed input instead of failing the job — the only
+    sane semantics at corpus scale, where some rows are always dirty.
+    Malformed inputs are synthesized deterministically from p_name."""
+    (part,) = _t(spark, sf_dir, "part")
+    # p_name is alphabetic → try_cast to int fails (NULL); p_size is clean
+    mixed = F.when(F.col("p_partkey") % 3 == 0, F.col("p_name")).otherwise(
+        F.col("p_size").cast("string")
+    )
+    return part.select(
+        "p_partkey",
+        mixed.try_cast("int").alias("maybe_int"),
+        mixed.try_cast("int").isNull().alias("was_dirty"),
+        F.try_divide(
+            F.col("p_retailprice"), F.col("p_size") - F.col("p_size")
+        ).alias("div_by_zero"),
+        F.try_divide(F.col("p_retailprice"), F.lit(2.0)).alias("half_price"),
+    )
+
+
+_TRY_FUNCS_SQL = """
+SELECT p_partkey,
+  TRY_CAST(mixed AS INTEGER) AS maybe_int,
+  TRY_CAST(mixed AS INTEGER) IS NULL AS was_dirty,
+  CAST(NULL AS DOUBLE) AS div_by_zero,
+  p_retailprice / 2.0 AS half_price
+FROM (
+  SELECT p_partkey, p_retailprice,
+         CASE WHEN p_partkey % 3 = 0 THEN p_name
+              ELSE CAST(p_size AS VARCHAR) END AS mixed
+  FROM part
+)
+"""
+
 _DIVISION_SQL = """
 WITH j AS (
   SELECT l_orderkey, o_custkey,
@@ -1272,6 +1307,7 @@ QUERIES: dict = {
     "rel_cohort_retention": (cohort_retention, _COHORT_SQL),
     "rel_funnel_view_click": (funnel, _FUNNEL_SQL),
     "rel_division_all_late": (division_all_late, _DIVISION_SQL),
+    "rel_try_funcs": (try_funcs, _TRY_FUNCS_SQL),
     "rel_null_funcs": (null_funcs, _NULL_FUNCS_SQL),
     "rel_q6_forecast_revenue": (q6, _Q6_SQL),
     "rel_q7_volume_shipping": (q7, _Q7_SQL),
