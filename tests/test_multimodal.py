@@ -76,3 +76,35 @@ def test_resize_media_rewrites_payload_and_meta(spark):
         assert r["media_meta"]["height"] == 32
         assert r["media_meta"]["n_bytes"] == len(want)  # meta tracks payload
         assert len(want) <= s["media_meta"]["n_bytes"]  # downsample shrinks
+
+
+def test_payload_byte_stats_arrow(spark):
+    """mapInArrow path: stats must match a driver-side python recompute on
+    the same payload bytes (and n_bytes must agree with the engine's own
+    octet length)."""
+    from yat_geo_db_spark.pipelines.multimodal import (
+        payload_byte_stats,
+        synthesize_media,
+    )
+    from yat_geo_db_spark.testdata import load_table
+
+    docs = load_table(spark, SF, "documents").filter(F.col("doc_id") < 40)
+    media = synthesize_media(docs)
+    got = {
+        r["doc_id"]: (r["n_bytes"], r["distinct_bytes"], r["max_run"])
+        for r in payload_byte_stats(media).collect()
+    }
+    for row in media.select("doc_id", F.col("media_bytes").alias("payload")).collect():
+        b = bytes(row["payload"])
+        best = cur = 1 if b else 0
+        for i in range(1, len(b)):
+            cur = cur + 1 if b[i] == b[i - 1] else 1
+            best = max(best, cur)
+        assert got[row["doc_id"]] == (len(b), len(set(b)), best)
+    n_engine = {
+        r["doc_id"]: r["n"]
+        for r in media.select(
+            "doc_id", F.octet_length("media_bytes").alias("n")
+        ).collect()
+    }
+    assert all(got[d][0] == n for d, n in n_engine.items())
