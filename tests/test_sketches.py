@@ -58,3 +58,32 @@ def test_stratified_sample_reproducible_and_rate_accurate(spark):
     assert by_lang["de"] == totals["de"]        # rate 1.0 keeps everything
     frac_en = by_lang["en"] / totals["en"]
     assert 0.3 < frac_en < 0.7                  # hash-uniformity sanity
+
+
+def test_hll_mergeable_rollup_accuracy(spark):
+    """Unioned per-day sketches must estimate per-type distinct users
+    within HLL error bounds of the exact answer, and match a direct
+    (no-rollup) sketch of the same data — mergeability is the property
+    that makes sketch tables re-aggregable at any grain."""
+    from yat_geo_db_spark.queries.relational_queries import hll_mergeable_rollup
+
+    got = {
+        r["event_type"]: r["approx_users"]
+        for r in hll_mergeable_rollup(spark, SF).collect()
+    }
+    events = load_table(spark, SF, "events")
+    exact = {
+        r["event_type"]: r["n"]
+        for r in events.groupBy("event_type")
+        .agg(F.count_distinct("user_id").alias("n"))
+        .collect()
+    }
+    direct = {
+        r["event_type"]: r["n"]
+        for r in events.groupBy("event_type")
+        .agg(F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("n"))
+        .collect()
+    }
+    for t, n in exact.items():
+        assert abs(got[t] - n) / n < 0.05          # default lgK=12: ~1.6% rse
+        assert got[t] == direct[t]                 # rollup ≡ direct sketch

@@ -1164,6 +1164,29 @@ def division_all_late(spark, sf_dir):
     )
 
 
+def hll_mergeable_rollup(spark, sf_dir):
+    """Mergeable-sketch rollup (DataSketches HLL): distinct users are
+    sketched once per (event_type, day) — the granularity you'd persist in
+    a metrics store — then RE-aggregated to per-type totals by unioning
+    sketches, never rescanning events. The 100 TB pattern: sketch at write
+    time, answer distinct-count queries at any coarser grain from the
+    sketch table. Estimates are algorithm-specific → rows-only check here;
+    accuracy bounds are pytest-asserted against exact counts
+    (tests/test_sketches.py)."""
+    (events,) = _t(spark, sf_dir, "events")
+    daily = events.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.hll_sketch_agg("user_id").alias("sk"))
+    return (
+        daily.groupBy("event_type")
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_users"),
+            F.count(F.lit(1)).alias("n_days"),
+        )
+        .orderBy("event_type")
+    )
+
+
 def try_funcs(spark, sf_dir):
     """Error-tolerant evaluation: try_cast / try_divide / try_to_number
     return NULL on malformed input instead of failing the job — the only
@@ -1308,6 +1331,7 @@ QUERIES: dict = {
     "rel_funnel_view_click": (funnel, _FUNNEL_SQL),
     "rel_division_all_late": (division_all_late, _DIVISION_SQL),
     "rel_try_funcs": (try_funcs, _TRY_FUNCS_SQL),
+    "rel_hll_mergeable_rollup": (hll_mergeable_rollup, None),
     "rel_null_funcs": (null_funcs, _NULL_FUNCS_SQL),
     "rel_q6_forecast_revenue": (q6, _Q6_SQL),
     "rel_q7_volume_shipping": (q7, _Q7_SQL),
