@@ -244,3 +244,49 @@ def test_stream_decontamination_matches_batch(spark, tmp_path):
     assert got == want
     assert len(got) > 0
     corpus_bands.unpersist()
+
+
+def test_tws_running_profile(spark, tmp_path):
+    """transformWithStateInPandas: after consuming the whole stream, the
+    latest emitted row per user must equal the batch profile (count +
+    distinct event types).
+
+    The TWS state-server protocol needs protobuf; this container ships a
+    broken google.protobuf (no descriptor module) and installs are out of
+    scope, so the test skips there — the operator follows the public API
+    and runs wherever protobuf is intact."""
+    pytest.importorskip("google.protobuf.descriptor")
+    from pyspark.sql.window import Window
+
+    from yat_geo_db_spark.streaming.stateful import running_user_profile_tws
+
+    events, stream = _events_source(spark, tmp_path)
+    q = (
+        running_user_profile_tws(stream)
+        .writeStream.format("memory")
+        .queryName("tws_profile")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "tws_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    # keep each user's final (largest n_events) emission
+    w = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
+    got = {
+        (r["user_id"]): (r["n_events"], r["n_types"])
+        for r in spark.sql("SELECT * FROM tws_profile")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .collect()
+    }
+    want = {
+        r["user_id"]: (r["n"], r["t"])
+        for r in events.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count_distinct("event_type").alias("t"),
+        )
+        .collect()
+    }
+    assert got == want
