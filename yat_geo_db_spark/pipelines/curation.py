@@ -74,3 +74,37 @@ def curate_corpus(
     return dedup_keep_canonical(kept, pairs).select(
         "doc_id", "quality_score", "token_entropy", "boilerplate_ratio"
     )
+
+
+def shard_assignment(df: DataFrame, n_shards: int,
+                     key_col: str = "doc_id") -> DataFrame:
+    """Deterministic shard + within-shard position for training export.
+
+    Shard = Knuth multiplicative hash of the key mod n_shards (stable
+    across runs and engines — no RNG, no partition dependence); position =
+    rank of the key within its shard. Downstream loaders get reproducible
+    shard membership AND a reproducible read order."""
+    from pyspark.sql import Window
+
+    shard = ((F.col(key_col) * F.lit(2654435761)) % F.lit(n_shards)).cast("int")
+    w = Window.partitionBy("shard").orderBy(key_col)
+    return df.withColumn("shard", shard).withColumn(
+        "pos", F.row_number().over(w) - 1
+    )
+
+
+def export_shards(df: DataFrame, path: str, n_shards: int,
+                  key_col: str = "doc_id") -> None:
+    """Write the curated corpus as n_shards reproducible parquet shards:
+    partitionBy("shard") with one file per shard directory (repartition on
+    the partition column first), rows sorted by key within each file so
+    byte-identical re-exports are possible. The sort is per-partition —
+    no global sort."""
+    (
+        shard_assignment(df, n_shards, key_col)
+        .repartition("shard")
+        .sortWithinPartitions("shard", key_col)
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(path)
+    )

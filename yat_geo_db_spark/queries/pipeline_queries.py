@@ -819,6 +819,27 @@ WHERE doc_id NOT IN (SELECT doc_id FROM kcomp WHERE doc_id != cluster_id)
 """
 
 
+N_SHARDS = 8
+
+
+def q_shard_assignment(spark, sf_dir):
+    """Deterministic training-export sharding over the documents table."""
+    from yat_geo_db_spark.pipelines.curation import shard_assignment
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return shard_assignment(docs, N_SHARDS)
+
+
+_SHARD_SQL = f"""
+SELECT doc_id,
+       CAST((doc_id * 2654435761) % {N_SHARDS} AS INT) AS shard,
+       CAST(row_number() OVER (
+         PARTITION BY (doc_id * 2654435761) % {N_SHARDS} ORDER BY doc_id
+       ) - 1 AS INT) AS pos
+FROM documents
+"""
+
+
 KMEANS_K = 4
 KMEANS_ITERS = 2
 
@@ -902,6 +923,7 @@ QUERIES: dict = {
     "pipe_sim_cosine_near_dup": (q_cosine_near_dup, _COSINE_NEAR_DUP_SQL),
     "pipe_sim_kmeans": (q_sim_kmeans, _kmeans_sql()),
     "pipe_curate_corpus": (q_curate_corpus, _curate_sql()),
+    "pipe_shard_assignment": (q_shard_assignment, _SHARD_SQL),
     "pipe_sample_stratified": (q_sample_stratified, _SAMPLE_STRATIFIED_SQL),
     "pipe_text_quality": (q_text_quality, _TEXT_QUALITY_SQL),
     "pipe_text_lang_id": (q_text_lang_id, _lang_id_sql()),

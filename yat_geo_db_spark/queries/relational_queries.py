@@ -1164,6 +1164,31 @@ def division_all_late(spark, sf_dir):
     )
 
 
+def variant_extract(spark, sf_dir):
+    """Semi-structured VARIANT coverage (Spark 4's open JSON-ish type):
+    parse once, extract typed paths with try_variant_get (NULL on missing
+    or type-mismatched paths — the error-tolerant corpus semantics).
+    VARIANT's binary encoding makes repeated path extraction much cheaper
+    than re-parsing JSON text per path at scale."""
+    (events,) = _t(spark, sf_dir, "events")
+    v = F.parse_json(F.col("props"))
+    return events.select(
+        "event_id",
+        F.try_variant_get(v, "$.k", "int").alias("k"),
+        F.try_variant_get(v, "$.missing", "int").alias("absent"),
+        F.is_variant_null(v).alias("is_null_doc"),
+    )
+
+
+_VARIANT_SQL = """
+SELECT event_id,
+       CAST(props->>'$.k' AS INTEGER) AS k,
+       CAST(NULL AS INTEGER) AS absent,
+       false AS is_null_doc
+FROM events
+"""
+
+
 def hll_mergeable_rollup(spark, sf_dir):
     """Mergeable-sketch rollup (DataSketches HLL): distinct users are
     sketched once per (event_type, day) — the granularity you'd persist in
@@ -1332,6 +1357,7 @@ QUERIES: dict = {
     "rel_division_all_late": (division_all_late, _DIVISION_SQL),
     "rel_try_funcs": (try_funcs, _TRY_FUNCS_SQL),
     "rel_hll_mergeable_rollup": (hll_mergeable_rollup, None),
+    "rel_variant_extract": (variant_extract, _VARIANT_SQL),
     "rel_null_funcs": (null_funcs, _NULL_FUNCS_SQL),
     "rel_q6_forecast_revenue": (q6, _Q6_SQL),
     "rel_q7_volume_shipping": (q7, _Q7_SQL),
