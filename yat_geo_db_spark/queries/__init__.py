@@ -12,6 +12,31 @@ from yat_geo_db_spark.queries.geo_queries import QUERIES as GEO_QUERIES
 from yat_geo_db_spark.queries.relational_queries import QUERIES as REL_QUERIES
 from yat_geo_db_spark.queries.pipeline_queries import QUERIES as PIPE_QUERIES
 
+#: Names that already have a green row in CORRECTNESS_r01.json. The round-1
+#: driver pass stopped after the first 50 registry entries, leaving the other
+#: 45 with no driver verdict at all. Iteration order is the only ordering
+#: signal the driver has, so `all_queries()` yields never-driver-checked
+#: entries FIRST; previously-green ones run last (they are the safest to lose
+#: to a time cap — their pass rows exist in the r01 record).
+_DRIVER_CHECKED_R01 = frozenset({
+    "geo_fuzzy_city", "geo_fuzzy_filtered", "geo_fuzzy_zip", "geo_best_fuzzy",
+    "geo_radius_ids", "geo_radius_full", "geo_knn", "geo_viewport",
+    "geo_radius_latlng", "geo_pair_distances", "geo_point_lookup",
+    "geo_id_ref_map", "geo_quote_location", "geo_shape_display",
+    "geo_tversky_compare", "geo_type_of", "geo_local_time", "geo_num_shapes",
+    "rel_q4_order_priority", "rel_unpivot", "rel_merge_upsert",
+    "rel_range_frame_30d", "rel_cohort_retention", "rel_funnel_view_click",
+    "rel_division_all_late", "rel_try_funcs", "rel_hll_mergeable_rollup",
+    "rel_variant_extract", "rel_null_funcs", "rel_q6_forecast_revenue",
+    "rel_q7_volume_shipping", "rel_q8_market_share", "rel_q10_returned_items",
+    "rel_q14_promo_revenue", "rel_q19_disjunctive", "rel_q22_idle_customers",
+    "rel_window_battery", "rel_lateral_tokens", "rel_q17_small_quantity",
+    "rel_value_deciles", "rel_interval_join", "rel_asof_click_view",
+    "rel_band_join", "rel_session_window_native", "rel_approx_stats",
+    "rel_exact_percentiles", "rel_array_funcs", "rel_map_funcs",
+    "rel_q1_pricing_summary", "rel_q3_shipping_priority",
+})
+
 
 def all_queries() -> dict:
     merged = {}
@@ -19,4 +44,6 @@ def all_queries() -> dict:
         overlap = merged.keys() & d.keys()
         assert not overlap, f"duplicate query names: {overlap}"
         merged.update(d)
-    return merged
+    ordered = {n: merged[n] for n in merged if n not in _DRIVER_CHECKED_R01}
+    ordered.update({n: merged[n] for n in merged if n in _DRIVER_CHECKED_R01})
+    return ordered

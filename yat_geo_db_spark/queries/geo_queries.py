@@ -25,9 +25,21 @@ QUERY_ZIP = "17919"                     # numeric → zip-mode scoring (id=1's z
 ORIGIN_LAT, ORIGIN_LNG = 29.139, -121.949
 
 
+#: shapes fixture cache — the CTE over `customer` is identical for every geo
+#: query at a given (session, sf_dir); deriving + caching it once removes the
+#: dominant per-query fixed cost in the driver's 95-query correctness pass.
+_SHAPES_CACHE: dict = {}
+
+
 def _shapes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (spark, sf_dir)
+    cached = _SHAPES_CACHE.get(key)
+    if cached is not None:
+        return cached
     register_views(spark, sf_dir, tables=("customer",))
-    return shapes_df(spark)
+    df = shapes_df(spark).cache()
+    _SHAPES_CACHE[key] = df
+    return df
 
 
 def _fuzzy_out(df: DataFrame, with_distance: bool = True) -> DataFrame:

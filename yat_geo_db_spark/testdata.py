@@ -40,10 +40,27 @@ _SCAN_COMPENSATE = os.environ.get("SPARK_GRAFT_SCAN_REPARTITION", "1") != "0"
 #: small dimensions where a broadcast-sized single partition is the point
 _NO_COMPENSATE = {"region", "nation"}
 
+#: Per-(session, sf_dir, table) DataFrame cache, `.cache()`-persisted.
+#: The driver's correctness pass runs ~95 queries against the SAME ~10 tiny
+#: fixture tables in one SparkSession; without this each query re-scans and
+#: re-repartitions its inputs, and the per-query fixed cost is what decides
+#: whether the whole registry fits the driver's time budget. At 100 TB this
+#: cache is irrelevant by construction (each table is read once per job and
+#:	would not fit memory); it is a fixture-serving optimization only.
+#: Disable with SPARK_GRAFT_TABLE_CACHE=0 (plan-shape tests that need to see
+#: raw scans bypass load_table entirely and are unaffected).
+_TABLE_CACHE: dict = {}
+_CACHE_ENABLED = os.environ.get("SPARK_GRAFT_TABLE_CACHE", "1") != "0"
+
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    key = (spark, os.path.abspath(sf_dir), name)
+    if _CACHE_ENABLED:
+        cached = _TABLE_CACHE.get(key)
+        if cached is not None:
+            return cached
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
         # events.ts is parquet TIMESTAMP(NANOS) which Spark cannot read
@@ -59,6 +76,9 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         df = spark.read.parquet(path)
     if _SCAN_COMPENSATE and name not in _NO_COMPENSATE:
         df = df.repartition(spark.sparkContext.defaultParallelism)
+    if _CACHE_ENABLED:
+        df = df.cache()
+        _TABLE_CACHE[key] = df
     return df
 
 
