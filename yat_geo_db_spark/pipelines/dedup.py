@@ -103,6 +103,35 @@ def streaming_exact_dedup(
 # n-gram Jaccard near-dup (blocked pairwise)
 # --------------------------------------------------------------------------
 
+def char_band_table(
+    documents: DataFrame,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    block_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """(id, *blocks, grams, band, bsig): the LSH band index over DISTINCT
+    character n-grams — the candidate-generation side of banded n-gram
+    Jaccard. Docs with no grams (shorter than n chars) are dropped: they
+    can never reach a positive Jaccard threshold, and keeping them would
+    put every empty doc into one identical all-FNV_MOD-signature band
+    bucket — an O(N²) empty-doc clique for no recall."""
+    tbl = gram_hash_table(
+        documents,
+        F.array_distinct(char_ngrams(F.col(text_col), n)),
+        id_col,
+        extra_cols=block_cols,
+    ).filter(F.size("grams") > 0)
+    return _explode_bands(
+        tbl.select(
+            id_col, *block_cols, "grams",
+            minhash_signature(F.col("hashes")).alias("sig"),
+        ),
+        id_col,
+        carry_cols=(*block_cols, "grams"),
+    )
+
+
 def ngram_jaccard_pairs(
     documents: DataFrame,
     threshold: float = 0.5,
@@ -110,37 +139,52 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     block_cols: tuple[str, ...] = ("lang",),
 ) -> DataFrame:
-    """Near-duplicate pairs by character-n-gram Jaccard within blocks.
+    """Near-duplicate pairs by character-n-gram Jaccard, with MinHash-band
+    candidate generation: each doc explodes into B (band, band-signature)
+    rows over its char-n-gram minhashes; candidates are the equi-join on
+    (band, bsig, *block_cols); survivors are verified with EXACT Jaccard.
 
-    The self-join is keyed on the blocking columns (equi-join → hash
-    partitioned, AQE handles skewed blocks); `id1 < id2` halves the pairs.
-    Output: (id1, id2, jaccard) for pairs ≥ threshold.
+    Candidate volume stays near-linear in N because unrelated docs share no
+    band signature — there is no block the size of a whole language (the
+    previous `lang`-keyed self-join was O(N²) within "en" at corpus scale).
+    `block_cols` remain as semantic partitions (pairs never cross them),
+    but they no longer carry the join — the band signature does. Recall is
+    the standard LSH s-curve: a pair at exactly `threshold` may be missed
+    (P(share a band) = 1-(1-t^r)^b); near-identical pairs are found w.h.p.
+    Output: (id1, id2, jaccard) for candidate pairs ≥ threshold.
     """
-    grams = F.array_distinct(char_ngrams(F.col(text_col), n))
-    docs = documents.select(
-        F.col("doc_id"), *[F.col(c) for c in block_cols], grams.alias("grams")
+    banded = char_band_table(
+        documents, n=n, text_col=text_col, block_cols=block_cols
     )
-    a = docs.select(
-        F.col("doc_id").alias("id1"),
+    a = banded.select(
+        F.col("band"), F.col("bsig"),
         *[F.col(c).alias(f"b1_{c}") for c in block_cols],
-        F.col("grams").alias("g1"),
+        F.col("doc_id").alias("id1"), F.col("grams").alias("g1"),
     )
-    b = docs.select(
-        F.col("doc_id").alias("id2"),
+    b = banded.select(
+        F.col("band").alias("band_r"), F.col("bsig").alias("bsig_r"),
         *[F.col(c).alias(f"b2_{c}") for c in block_cols],
-        F.col("grams").alias("g2"),
+        F.col("doc_id").alias("id2"), F.col("grams").alias("g2"),
     )
-    cond = F.col("id1") < F.col("id2")
+    cond = (
+        (F.col("band") == F.col("band_r"))
+        & (F.col("bsig") == F.col("bsig_r"))
+        & (F.col("id1") < F.col("id2"))
+    )
     for c in block_cols:
         cond = cond & (F.col(f"b1_{c}") == F.col(f"b2_{c}"))
+    cand = (
+        a.join(b, cond)
+        .select("id1", "id2", "g1", "g2")
+        .dropDuplicates(["id1", "id2"])
+    )
     inter = F.size(F.array_intersect(F.col("g1"), F.col("g2"))).cast("double")
     union = (
         F.size(F.col("g1")).cast("double") + F.size(F.col("g2")).cast("double") - inter
     )
     jac = F.when(union > 0, inter / union).otherwise(F.lit(0.0))
     return (
-        a.join(b, cond)
-        .withColumn("jaccard", F.round(jac, 6))
+        cand.withColumn("jaccard", F.round(jac, 6))
         .filter(F.col("jaccard") >= threshold)
         .select("id1", "id2", "jaccard")
     )
@@ -171,56 +215,64 @@ def minhash_signature(hashes: Column) -> Column:
     return F.array(*mins)
 
 
-def shingle_hash_table(
-    documents: DataFrame, w: int = 3, text_col: str = "text",
-    id_col: str = "doc_id",
+def gram_hash_table(
+    documents: DataFrame, grams: Column, id_col: str = "doc_id",
+    extra_cols: tuple[str, ...] = (),
 ) -> DataFrame:
-    """(id, grams, hashes): distinct w-token shingles and their hashes, with
-    the expensive per-shingle fold evaluated exactly once per shingle.
+    """(id, *extra, grams, hashes): distinct grams (any shingling — token
+    shingles or char n-grams, supplied as a Column over `documents`) and
+    their hashes, with the expensive per-gram fold evaluated exactly once.
 
-    Shape: explode shingles → hash each once → groupBy id collect_set.
+    Shape: explode grams → hash each once → groupBy id collect_set.
     The aggregation shuffle doubles as the materialization barrier that
     stops Catalyst's projection collapse from inlining (and re-running)
     the fold into every downstream consumer. One extra shuffle of small
     (id, hash) rows buys K×B fewer interpreted fold evaluations — the
     right trade at any scale."""
+    extras = [F.col(c) for c in extra_cols]
     shingled = documents.select(
-        F.col(id_col), F.explode(tokens_shingles(F.col(text_col), w)).alias("g")
+        F.col(id_col), *extras, F.explode(grams).alias("g")
     )
     hashed = shingled.select(
-        id_col, F.col("g"), shingle_hash(F.col("g")).alias("h")
+        id_col, *extra_cols, F.col("g"), shingle_hash(F.col("g")).alias("h")
     )
-    agg = hashed.groupBy(id_col).agg(
+    agg = hashed.groupBy(id_col, *extra_cols).agg(
         F.collect_set("g").alias("grams"), F.collect_set("h").alias("hashes")
     )
-    # docs with < w tokens have no shingle rows — reinstate with empty arrays
+    # docs with no grams (too short) have no exploded rows — reinstate with
+    # empty arrays so downstream left-join consumers see every doc
     return (
-        documents.select(id_col)
-        .join(agg, id_col, "left")
+        documents.select(id_col, *extras)
+        .join(agg.drop(*extra_cols) if extra_cols else agg, id_col, "left")
         .select(
             id_col,
+            *extra_cols,
             F.coalesce("grams", F.array().cast("array<string>")).alias("grams"),
             F.coalesce("hashes", F.array().cast("array<long>")).alias("hashes"),
         )
     )
 
 
-def band_table(
+def shingle_hash_table(
     documents: DataFrame, w: int = 3, text_col: str = "text",
     id_col: str = "doc_id",
 ) -> DataFrame:
-    """(id, grams, band, bsig): the LSH band index of a corpus — B rows per
-    doc, each carrying one band's sub-signature. The join key for every
-    MinHash candidate-generation variant (self-join for pair mining,
-    cross-corpus join for decontamination); persist/materialize it once per
-    corpus and reuse."""
-    rows_per_band = len(MINHASH_PERMS) // MINHASH_BANDS
-    sig = shingle_hash_table(documents, w, text_col, id_col).select(
-        id_col, "grams", minhash_signature(F.col("hashes")).alias("sig")
+    """gram_hash_table over w-token shingles (the MinHash/LSH input)."""
+    return gram_hash_table(
+        documents, tokens_shingles(F.col(text_col), w), id_col
     )
-    return sig.select(
+
+
+def _explode_bands(
+    sig_tbl: DataFrame, id_col: str = "doc_id",
+    carry_cols: tuple[str, ...] = ("grams",),
+) -> DataFrame:
+    """(id, *carry, band, bsig) from (id, *carry, sig): B rows per doc, each
+    carrying one band's sub-signature slice."""
+    rows_per_band = len(MINHASH_PERMS) // MINHASH_BANDS
+    return sig_tbl.select(
         id_col,
-        "grams",
+        *carry_cols,
         F.explode(
             F.array(
                 *[
@@ -234,8 +286,23 @@ def band_table(
                 ]
             )
         ).alias("b"),
-    ).select(id_col, "grams", F.col("b.band").alias("band"),
+    ).select(id_col, *carry_cols, F.col("b.band").alias("band"),
              F.col("b.bsig").cast("array<long>").alias("bsig"))
+
+
+def band_table(
+    documents: DataFrame, w: int = 3, text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, grams, band, bsig): the LSH band index of a corpus over w-token
+    shingles — B rows per doc, each carrying one band's sub-signature. The
+    join key for every MinHash candidate-generation variant (self-join for
+    pair mining, cross-corpus join for decontamination); persist/materialize
+    it once per corpus and reuse."""
+    sig = shingle_hash_table(documents, w, text_col, id_col).select(
+        id_col, "grams", minhash_signature(F.col("hashes")).alias("sig")
+    )
+    return _explode_bands(sig, id_col)
 
 
 def near_dup_filter(
