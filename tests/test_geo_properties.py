@@ -45,6 +45,22 @@ def test_radius_country_filter_subset(shapes):
     assert us_only <= all_ids
 
 
+def test_radius_null_origin_country_passes_through(shapes):
+    """country_exact with a NULL-country origin must not restrict results:
+    the reference sets country_filter=None and skips country filtering
+    (geo_manager.py:255-258)."""
+    nulled = shapes.withColumn(
+        "ref_data",
+        F.when(
+            F.col("reference_code") == REF,
+            F.col("ref_data").withField("country", F.lit(None).cast("string")),
+        ).otherwise(F.col("ref_data")),
+    )
+    plain = ids(radius.radius_search(nulled, REF, 60.0))
+    exact = ids(radius.radius_search(nulled, REF, 60.0, country_exact=True))
+    assert exact == plain and len(plain) > 0
+
+
 def test_radius_excludes_aggregates_when_asked(shapes):
     got = radius.radius_search_lat_lng(
         shapes, 29.139, -121.949, 60.0, exclude_aggregates=True, full_results=False

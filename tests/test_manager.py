@@ -62,25 +62,43 @@ def test_radius_family(gm):
 def test_pair_distance_and_sentinel(gm):
     d = gm.get_shape_pair_distance("us__tn__nashville_0", "us__tn__nashville_0")
     assert d["distance"] == 0.0
+    assert d["aggregate"] is False          # reference geo_manager.py:387
     missing = gm.get_shape_pair_distance("zz__a", "zz__b")
-    assert missing == {"distance": 999, "normalized_distance": 999}
+    assert missing == {
+        "distance": 999, "normalized_distance": 999, "aggregate": False,
+    }
     dd, ref = gm.get_shape_pair_distance_id(
         "us__tn__nashville_0", gm.get_shape_id_by_ref_code("us__tn__nashville_0")
     )
     assert ref == "us__tn__nashville_0" and dd["distance"] == 0.0
+    # either-endpoint-aggregate sets the flag (reference :396-426)
+    agg_rec = next(
+        r for r in gm.fuzzy_search("ashland metro", num_results=20)
+        if r["extra"]["is_aggregate"]
+    )
+    da = gm.get_shape_pair_distance(
+        "us__tn__nashville_0", agg_rec["extra"]["reference_code"]
+    )
+    assert da["aggregate"] is True
 
 
 def test_fuzzy_family(gm):
     res = gm.fuzzy_search("Nashville, TN", num_results=5)
     assert 0 < len(res) <= 5
     assert res[0]["clean_value"] == "nashville tn"
-    assert {"id", "value", "clean_value", "ngram_similarity", "score", "distance"} <= set(
-        res[0]
-    )
+    assert {
+        "id", "value", "clean_value", "ngram_similarity", "score", "distance",
+        "extra",
+    } <= set(res[0])
+    # `extra` is the full shape record (reference geo_manager.py:573/605)
+    assert res[0]["extra"]["reference_code"].startswith("us__")
+    assert res[0]["extra"]["id"] == res[0]["id"]
+    assert set(gm.shapes.columns) <= set(res[0]["extra"])
     assert res == sorted(res, key=lambda r: -r["score"])
 
     best = gm.best_fuzzy_search("Nashville, TN")
     assert best is not None and best["clean_value"] == "nashville tn"
+    assert best["extra"]["geo_type"] == "City"
     assert gm.best_fuzzy_search("qqqxyzzy") is None
 
     filtered = gm.fuzzy_search(
@@ -93,7 +111,45 @@ def test_add_entity_becomes_searchable(gm):
     gm.add_entity("Zzyzx Springs, CA", 999001)
     res = gm.fuzzy_search("Zzyzx Springs", num_results=3)
     assert any(r["id"] == 999001 for r in res)
+    # the stored record keeps the reference's cleaned value for BOTH value
+    # and clean_value (geo_manager.py:455-459)
+    rec = gm.get_shape_by_id(999001)
+    assert rec["value"] == rec["clean_value"] == "zzyzx springs ca"
     assert gm.num_shapes > 0
+
+
+def test_add_entity_extra_dict_merges_payload(gm):
+    """extra_entity is a dict merged into the stored record (reference
+    geo_manager.py:459-460); payload fields land in the shape row and
+    ngrams come only from the entity name."""
+    gm.add_entity(
+        "Dictville, KS",
+        999003,
+        extra_entity={
+            "population": 12345,
+            "geo_type": "City",
+            "not_a_column": "dropped",
+        },
+    )
+    rec = gm.get_shape_by_id(999003)
+    assert rec["population"] == 12345
+    assert rec["geo_type"] == "City"
+    assert "not_a_column" not in rec
+    # payload keys contribute no trigrams: population digits don't match
+    assert not any(
+        r["id"] == 999003 for r in gm.fuzzy_search("12345", num_results=10)
+    )
+    assert any(
+        r["id"] == 999003 for r in gm.fuzzy_search("Dictville", num_results=5)
+    )
+
+
+def test_unloaded_manager_raises_runtime_error(spark):
+    gm3 = GeoManager(spark)
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="load_data"):
+        gm3.get_shape_by_ref_code("us__tn__nashville_0")
 
 
 def test_preload_lookup_cache_serving_mode(spark):

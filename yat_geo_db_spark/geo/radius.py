@@ -73,13 +73,21 @@ def radius_match(o_lat: Column, o_lng: Column, lat_delta: Column,
                  lng_delta: Column, country_filter: Column | None = None) -> Column:
     """Dispatch predicate (geo_manager.py:184-188): aggregates use bbox
     containment, points use the ellipse test; optional country equality
-    guard (the reference's chained `!=` at :194 reduces to plain equality)."""
+    guard (the reference's chained `!=` at :194 reduces to plain equality).
+
+    A NULL `country_filter` value passes through: the reference sets
+    `country_filter = None` when the origin has no country
+    (geo_manager.py:255-258) and then skips country filtering entirely, so
+    an origin shape with NULL ref_data.country must not restrict results."""
     base = F.when(F.col("is_aggregate"), _bbox_contains(o_lat, o_lng)).otherwise(
         _ellipse_match(F.col("latitude"), F.col("longitude"), o_lat, o_lng,
                        lat_delta, lng_delta)
     )
     if country_filter is not None:
-        base = (F.col("ref_data.country").eqNullSafe(country_filter)) & base
+        guard = F.when(country_filter.isNull(), F.lit(True)).otherwise(
+            F.col("ref_data.country") == country_filter
+        )
+        base = guard & base
     return base
 
 

@@ -34,7 +34,27 @@ from yat_geo_db_spark.geo import ingest as _ingest
 from yat_geo_db_spark.geo import lookup as _lookup
 from yat_geo_db_spark.geo import radius as _radius
 
-_MISSING_PAIR = {"distance": 999, "normalized_distance": 999}
+_MISSING_PAIR = {"distance": 999, "normalized_distance": 999, "aggregate": False}
+
+
+def _nullable_schema(schema):
+    """Recursively nullable copy of a StructType — an upserted row leaves
+    unspecified fields NULL even where the base relation is non-nullable
+    (union relaxes the merged schema to nullable)."""
+    import pyspark.sql.types as T
+
+    def _nullable_type(dt):
+        if isinstance(dt, T.StructType):
+            return T.StructType(
+                [T.StructField(f.name, _nullable_type(f.dataType), True) for f in dt]
+            )
+        if isinstance(dt, T.ArrayType):
+            return T.ArrayType(_nullable_type(dt.elementType), True)
+        if isinstance(dt, T.MapType):
+            return T.MapType(dt.keyType, _nullable_type(dt.valueType), True)
+        return dt
+
+    return _nullable_type(schema)
 
 
 class GeoManager:
@@ -48,6 +68,10 @@ class GeoManager:
         self.spark = spark
         self._shapes: DataFrame | None = None
         self._postings: DataFrame | None = None
+        # initialized here (not only in _set_shapes) so lookups on an unloaded
+        # manager raise the intended RuntimeError from the `shapes` property
+        # instead of AttributeError
+        self._lookup_cache: dict | None = None
         if shapes is not None:
             self._set_shapes(shapes)
 
@@ -56,7 +80,7 @@ class GeoManager:
     def _set_shapes(self, shapes: DataFrame) -> None:
         self._shapes = shapes.cache()
         self._postings = _fuzzy.build_postings(self._shapes)
-        self._lookup_cache: dict | None = None
+        self._lookup_cache = None
 
     def preload_lookup_cache(self) -> "GeoManager":
         """Opt-in serving mode: collect the shape records to driver dicts so
@@ -280,16 +304,20 @@ class GeoManager:
 
     def get_shape_pair_distance(self, orig_shape_ref: str, dest_shape_ref: str) -> Dict:
         """R8 (geo_manager.py:368-426): haversine + log-area normalization
-        ladder; missing endpoint → the reference's {999, 999} sentinel."""
+        ladder; missing endpoint → the reference's {999, 999, aggregate:
+        False} sentinel. The `aggregate` key mirrors the reference's return
+        dicts at geo_manager.py:387-426 (True when either endpoint is an
+        aggregate shape)."""
         pairs = self.spark.createDataFrame(
             [(orig_shape_ref, dest_shape_ref)], "orig_ref string, dest_ref string"
         )
         row = _radius.pair_distances(self.shapes, pairs).first()
-        if row is None:
+        if row is None or row["distance"] == _radius.MISSING_DISTANCE:
             return dict(_MISSING_PAIR)
         return {
             "distance": row["distance"],
             "normalized_distance": row["normalized_distance"],
+            "aggregate": row["distance_aggregate"],
         }
 
     def get_shape_pair_distance_id(self, shape_ref: str, shape_id: int):
@@ -306,6 +334,21 @@ class GeoManager:
         """F6 (geo_manager.py:445-449)."""
         return _fuzzy.clean_entity(val)
 
+    def _attach_extra(self, res: DataFrame) -> DataFrame:
+        """Attach the reference's `extra` payload — the full shape record
+        (geo_manager.py:573/605 `'extra': self.geo_shape_dict.get(key)`) —
+        to a fuzzy result. The top-k result (≤ num_results rows) is the
+        broadcast side of one join back to `shapes`, so the enrichment costs
+        nothing at scale; ordering is re-established from the score."""
+        shapes = self.shapes
+        extra = F.struct(*[F.col(f"s.{c}").alias(c) for c in shapes.columns])
+        return (
+            F.broadcast(res).alias("r")
+            .join(shapes.alias("s"), F.col("r.id") == F.col("s.id"), "left")
+            .select("r.*", extra.alias("extra"))
+            .orderBy(F.round(F.col("score"), 6).desc(), F.asc("r.id"))
+        )
+
     def fuzzy_search(
         self,
         search_entity: str,
@@ -313,7 +356,9 @@ class GeoManager:
         num_results: int = 50,
         filters: Dict | None = None,
     ) -> List[Dict]:
-        """F12 (geo_manager.py:525-619): the flagship pipeline."""
+        """F12 (geo_manager.py:525-619): the flagship pipeline. Each result
+        dict carries the reference's full payload, including `extra` (the
+        complete shape record, geo_manager.py:573/605)."""
         res = _fuzzy.fuzzy_search(
             self.shapes,
             search_entity,
@@ -321,7 +366,7 @@ class GeoManager:
             filters=filters,
             postings=self._postings,
         )
-        return [r.asDict(recursive=True) for r in res.collect()]
+        return [r.asDict(recursive=True) for r in self._attach_extra(res).collect()]
 
     def best_fuzzy_search(
         self,
@@ -331,12 +376,14 @@ class GeoManager:
         filters: Dict | None = None,
     ) -> Optional[Dict]:
         """F13 (geo_manager.py:503-523)."""
-        res = _fuzzy.best_fuzzy_search(
-            self.shapes,
-            search_entity,
-            score_threshold=score_threshold,
-            filters=filters,
-            postings=self._postings,
+        res = self._attach_extra(
+            _fuzzy.best_fuzzy_search(
+                self.shapes,
+                search_entity,
+                score_threshold=score_threshold,
+                filters=filters,
+                postings=self._postings,
+            )
         ).collect()
         return res[0].asDict(recursive=True) if res else None
 
@@ -345,34 +392,39 @@ class GeoManager:
         entity: str,
         entity_id: int,
         partition: str | None = None,  # noqa: ARG002
-        extra_entity: str | None = None,
+        extra_entity: Dict | None = None,
     ) -> None:
         """F10 (geo_manager.py:451-476): upsert one searchable entity.
         The reference mutates its in-memory dicts; here the shapes relation
         and the derived postings are extended by union (the batch path for
-        bulk loads is `geo.ingest.materialize_postings`). `extra_entity`
-        contributes extra trigrams under the same id (geo_manager.py:465-472).
-        """
+        bulk loads is `geo.ingest.materialize_postings`).
+
+        Reference semantics (geo_manager.py:455-460): the stored record is
+        `{'value': cleaned, 'clean_value': cleaned}`; `extra_entity`, when a
+        dict, is merged into that record (payload fields like population,
+        geo_type, ref_data...) and is otherwise ignored; trigram postings come
+        ONLY from the cleaned entity string. Dict keys that are not columns of
+        the shapes schema are dropped (the relational store is schema'd where
+        the reference's dict store is not — documented divergence)."""
         cleaned = _fuzzy.clean_entity(entity)
-        # absent numeric/flag fields default like the reference's .get()
-        # fallbacks (population 0, not an aggregate)
-        row = self.spark.createDataFrame(
-            [(entity_id, cleaned, entity, cleaned, 0, False)],
-            "id long, reference_code string, value string, clean_value string,"
-            " population long, is_aggregate boolean",
-        )
-        new_shape = row
-        for c in self.shapes.columns:
-            if c not in new_shape.columns:
-                new_shape = new_shape.withColumn(
-                    c, F.lit(None).cast(self.shapes.schema[c].dataType)
-                )
-        new_shape = new_shape.select(*self.shapes.columns)
+        # the reference stores the CLEANED string as both value and
+        # clean_value (geo_manager.py:455-459 rebinds `entity` post-clean);
+        # absent numeric/flag fields default like its .get() fallbacks
+        record: dict = {
+            "id": entity_id,
+            "reference_code": cleaned,
+            "value": cleaned,
+            "clean_value": cleaned,
+            "population": 0,
+            "is_aggregate": False,
+        }
+        if isinstance(extra_entity, dict):
+            record.update(
+                {k: v for k, v in extra_entity.items() if k in self.shapes.columns}
+            )
+        new_shape = self.spark.createDataFrame(
+            [record], schema=_nullable_schema(self.shapes.schema)
+        ).select(*self.shapes.columns)
         self._shapes = self.shapes.unionByName(new_shape).cache()
         self._lookup_cache = None  # invalidated; preload again if serving
         self._postings = _fuzzy.add_entities(self._postings, new_shape)
-        if extra_entity:
-            extra = new_shape.withColumn(
-                "clean_value", F.lit(_fuzzy.clean_entity(extra_entity))
-            )
-            self._postings = _fuzzy.add_entities(self._postings, extra)

@@ -162,7 +162,9 @@ def radius_match_sql(o_lat: str, o_lng: str, radius: float,
         f"+ pow(({o_lng} - s.longitude) / {lng_d}, 2) < 1) END)"
     )
     if country is not None:
-        pred = f"(s.rd_country = {country}) AND {pred}"
+        # NULL filter value ⇒ pass-through (reference skips country filtering
+        # when the origin has no country, geo_manager.py:255-258)
+        pred = f"(({country} IS NULL) OR (s.rd_country = {country})) AND {pred}"
     return pred
 
 

@@ -63,15 +63,19 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             return cached
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS) which Spark cannot read
-        # natively; read nanos as long and truncate to microseconds (exactly
-        # what DuckDB's cast to timestamp does, keeping oracle parity).
+        # events.ts has shipped as parquet TIMESTAMP(NANOS) in some driver
+        # generations, which Spark cannot read natively: read with nanos-as-
+        # long and truncate to micros (what DuckDB's timestamp cast does,
+        # keeping oracle parity). Other generations ship TIMESTAMP(MICROS),
+        # where the flag is a no-op and ts arrives as a timestamp already —
+        # only convert when the read actually produced a long.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         try:
             df = spark.read.parquet(path)
         finally:
             spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "false")
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     else:
         df = spark.read.parquet(path)
     if _SCAN_COMPENSATE and name not in _NO_COMPENSATE:
