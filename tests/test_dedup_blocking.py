@@ -1,0 +1,97 @@
+"""Scale-safety of pairwise near-dup candidate generation: blocking must be
+(a) LOSSLESS for the promised band and (b) near-linear in candidate volume
+on a single-language corpus — no block the size of the whole corpus."""
+
+from __future__ import annotations
+
+import random
+
+import pyspark.sql.functions as F
+import pytest
+
+from yat_geo_db_spark.pipelines import dedup
+
+VOCAB = [f"tok{i}" for i in range(400)]
+
+
+def _corpus(spark, n=120, seed=7):
+    """Single-language corpus with a handful of planted near-dup pairs."""
+    rng = random.Random(seed)
+    rows = []
+    for i in range(n):
+        toks = [VOCAB[rng.randrange(len(VOCAB))] for _ in range(40)]
+        rows.append((i, " ".join(toks), "en", "web"))
+    # planted dups: exact copies (hamming 0 — always inside any band; a
+    # one-token edit on a 40-token doc flips several majority-boundary bits,
+    # SimHash's documented short-doc weakness, so it may leave the band)
+    for j, src in enumerate((3, 17, 42)):
+        rows.append((1000 + j, rows[src][1], "en", "web"))
+    return spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    )
+
+
+def _brute_force_pairs(spark, docs, max_hamming):
+    """The O(N²) definition the blocked path must reproduce exactly."""
+    sigs = dedup.simhash_table(docs, block_cols=("lang", "source"))
+    a = sigs.select(
+        F.col("doc_id").alias("id1"), F.col("lang").alias("l1"),
+        F.col("source").alias("src1"), F.col("sig").alias("s1"),
+    )
+    b = sigs.select(
+        F.col("doc_id").alias("id2"), F.col("lang").alias("l2"),
+        F.col("source").alias("src2"), F.col("sig").alias("s2"),
+    )
+    out = (
+        a.join(
+            b,
+            (F.col("id1") < F.col("id2"))
+            & (F.col("l1") == F.col("l2"))
+            & (F.col("src1") == F.col("src2")),
+        )
+        .withColumn("hamming", F.bit_count(F.col("s1").bitwiseXOR(F.col("s2"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id1", "id2", "hamming")
+    )
+    return sorted(map(tuple, out.collect()))
+
+
+@pytest.mark.parametrize("max_hamming", [1, 6])
+def test_simhash_segment_blocking_is_lossless(spark, max_hamming):
+    docs = _corpus(spark).cache()
+    blocked = sorted(
+        map(
+            tuple,
+            dedup.simhash_pairs(
+                docs, max_hamming=max_hamming, block_cols=("lang", "source")
+            ).collect(),
+        )
+    )
+    assert blocked == _brute_force_pairs(spark, docs, max_hamming)
+    assert len(blocked) >= 3  # the planted near-dups are found
+
+
+def test_simhash_candidate_volume_near_linear(spark):
+    """On a 123-doc SINGLE-language corpus the old lang-block generated
+    N(N-1)/2 = 7503 candidates; segment blocking must stay near-linear."""
+    docs = _corpus(spark).cache()
+    n = docs.count()
+    sigs = dedup.simhash_table(docs, block_cols=("lang", "source"))
+    cand = dedup.simhash_candidates(sigs, max_hamming=1, block_cols=("lang", "source"))
+    n_cand = cand.count()
+    assert n_cand < 4 * n  # near-linear, nowhere near N²/2
+    # and the candidates still contain every true ≤1-hamming pair
+    true_pairs = {(r[0], r[1]) for r in _brute_force_pairs(spark, docs, 1)}
+    cand_pairs = {(r["id1"], r["id2"]) for r in cand.collect()}
+    assert true_pairs <= cand_pairs
+
+
+def test_segment_starts_cover_all_bits():
+    for d in (0, 1, 3, 6, 15):
+        segs = dedup._simhash_segment_starts(d)
+        assert len(segs) == d + 1
+        assert sum(w for _, w in segs) == dedup.SIMHASH_BITS
+        pos = 0
+        for start, width in segs:
+            assert start == pos and width >= 1
+            pos += width

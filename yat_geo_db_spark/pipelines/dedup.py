@@ -41,6 +41,17 @@ MINHASH_BANDS = 4  # 4 bands × 4 rows
 #: out — at 32 bits the fixture corpus collapses onto near-identical sigs
 SIMHASH_BITS = 48
 
+#: Multiplicative scramble constants (Knuth/xxHash primes, reduced mod
+#: FNV_MOD). shingle_hash yields < FNV_MOD ≈ 2^30, so its raw bits can't
+#: fill 48 signature positions — and a polynomial hash has no avalanche, so
+#: near-identical tokens (shared prefixes) produce CONTIGUOUS hash values
+#: whose high bits are constant. Each simhash bit therefore votes on a bit
+#: of (h * K) % FNV_MOD instead of h itself: multiplication by a large odd
+#: constant mod M spreads contiguous inputs across the full range, and two
+#: independent constants yield 2 × 24 usable well-mixed bits.
+SIMHASH_SCRAMBLE_1 = 0x9E3779B1 % FNV_MOD
+SIMHASH_SCRAMBLE_2 = 0x85EBCA77 % FNV_MOD
+
 
 def char_ngrams(col: Column, n: int = 3) -> Column:
     """Character shingles (duplicates kept; wrap in array_distinct for sets)."""
@@ -398,17 +409,35 @@ def minhash_lsh_pairs(
 # SimHash
 # --------------------------------------------------------------------------
 
+def simhash_bit_source(h: Column, j: int) -> Column:
+    """The (scrambled-hash, bit-position) pair signature bit j votes on.
+    Bits 0-23 read (h·K1) mod M, bits 24-47 read (h·K2) mod M — see the
+    SIMHASH_SCRAMBLE_* note. h < 2^30 and K < 2^32 keep the product well
+    inside a 64-bit long in both engines."""
+    if j < SIMHASH_BITS // 2:
+        k, pos = SIMHASH_SCRAMBLE_1, j
+    else:
+        k, pos = SIMHASH_SCRAMBLE_2, j - SIMHASH_BITS // 2
+    return ((h * F.lit(k)) % F.lit(FNV_MOD)).bitwiseAND(F.lit(1 << pos))
+
+
 def simhash_col(hashes: Column) -> Column:
     """SimHash signature from a (materialized) array of token hashes:
-    per-bit vote, sign → bit. For each bit j, count hashes with bit j set
-    vs total, set bit when votes > half. Takes pre-computed hashes for the
-    same no-CSE-in-HOFs reason as minhash_signature — the 32 bit-votes
-    would otherwise each re-run the token hash fold."""
+    per-bit vote, sign → bit. For each bit j, count hashes whose scrambled
+    hash has the source bit set vs total, set bit when votes > half. Takes
+    pre-computed hashes for the same no-CSE-in-HOFs reason as
+    minhash_signature — the 48 bit-votes would otherwise each re-run the
+    token hash fold."""
     n_tok = F.size(hashes)
+
+    def _vote(j: int):
+        # one-arg lambda per bit (a two-arg lambda would make F.filter pass
+        # the element INDEX as the second argument)
+        return F.filter(hashes, lambda h: simhash_bit_source(h, j) > 0)
+
     bits = [
         F.when(
-            F.size(F.filter(hashes, lambda h: (h.bitwiseAND(F.lit(1 << j))) > 0)) * 2
-            > n_tok,
+            F.size(_vote(j)) * 2 > n_tok,
             F.lit(1 << j).cast("long"),
         ).otherwise(F.lit(0).cast("long"))
         for j in range(SIMHASH_BITS)
@@ -419,25 +448,23 @@ def simhash_col(hashes: Column) -> Column:
     return out
 
 
-def simhash_pairs(
+def simhash_table(
     documents: DataFrame,
-    max_hamming: int = 6,
     text_col: str = "text",
     block_cols: tuple[str, ...] = ("lang",),
 ) -> DataFrame:
-    """Near-dup pairs with SimHash Hamming distance ≤ max_hamming, blocked
-    like ngram_jaccard_pairs. (At scale, block on signature prefixes so each
-    pair shares a 16-bit prefix — standard SimHash chunking.)"""
-    # frequency-weighted simhash: every token OCCURRENCE votes (distinct
-    # token sets are near-identical across same-vocabulary docs — counts are
-    # what distinguishes them); the groupBy shuffle materializes the hash
-    # array before the bit-vote expressions consume it
+    """(doc_id, *blocks, sig): the SimHash signature table.
+
+    Frequency-weighted simhash: every token OCCURRENCE votes (distinct
+    token sets are near-identical across same-vocabulary docs — counts are
+    what distinguishes them); the groupBy shuffle materializes the hash
+    array before the bit-vote expressions consume it."""
     toks = documents.select(
         "doc_id", *[F.col(c) for c in block_cols],
         F.explode(tokens_col(F.col(text_col))).alias("t"),
     )
     hashed = toks.withColumn("h", shingle_hash(F.col("t"))).drop("t")
-    sigs = (
+    return (
         hashed.groupBy("doc_id", *[F.col(c) for c in block_cols])
         .agg(F.collect_list("h").alias("hashes"))
         .select(
@@ -445,23 +472,99 @@ def simhash_pairs(
             simhash_col(F.col("hashes")).alias("sig"),
         )
     )
-    a = sigs.select(
-        F.col("doc_id").alias("id1"),
+
+
+def _simhash_segment_starts(max_hamming: int, bits: int = SIMHASH_BITS):
+    """Split [0, bits) into max_hamming+1 contiguous segments (width as even
+    as possible). Pigeonhole: a pair at Hamming distance ≤ d differs in at
+    most d segments, so at least one of the d+1 segments matches EXACTLY —
+    joining on (segment index, segment value) is a lossless candidate
+    generator for the ≤ d band (Manku et al., WWW'07 chunking scheme)."""
+    n = max_hamming + 1
+    base, extra = divmod(bits, n)
+    starts, pos = [], 0
+    for i in range(n):
+        width = base + (1 if i < extra else 0)
+        starts.append((pos, width))
+        pos += width
+    return starts
+
+
+def simhash_candidates(
+    sigs: DataFrame,
+    max_hamming: int = 6,
+    block_cols: tuple[str, ...] = ("lang",),
+) -> DataFrame:
+    """Distinct candidate pairs (id1, id2, s1, s2) that share ≥ 1 signature
+    segment (and every block column). Blocking is the SEGMENT value — a
+    48-bit signature spreads same-language docs across 2^width buckets, so
+    no block is the size of a whole language (the previous `lang`-keyed
+    self-join was O(N²) within "en" at corpus scale); candidate volume is
+    near-linear in N because unrelated docs share no 24-bit (d=1) segment.
+    `block_cols` remain as semantic partitions on the join key — pairs
+    never cross them — and AQE's skew-join splitting handles any residual
+    hot segment value."""
+    segs = _simhash_segment_starts(max_hamming)
+    seg_struct = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(i).alias("seg"),
+                    F.shiftright(F.col("sig"), start)
+                    .bitwiseAND(F.lit((1 << width) - 1))
+                    .alias("segval"),
+                )
+                for i, (start, width) in enumerate(segs)
+            ]
+        )
+    ).alias("s")
+    banded = sigs.select(
+        "doc_id", *block_cols, "sig", seg_struct
+    ).select(
+        "doc_id", *block_cols, "sig",
+        F.col("s.seg").alias("seg"), F.col("s.segval").alias("segval"),
+    )
+    a = banded.select(
+        F.col("seg"), F.col("segval"),
         *[F.col(c).alias(f"b1_{c}") for c in block_cols],
-        F.col("sig").alias("s1"),
+        F.col("doc_id").alias("id1"), F.col("sig").alias("s1"),
     )
-    b = sigs.select(
-        F.col("doc_id").alias("id2"),
+    b = banded.select(
+        F.col("seg").alias("seg_r"), F.col("segval").alias("segval_r"),
         *[F.col(c).alias(f"b2_{c}") for c in block_cols],
-        F.col("sig").alias("s2"),
+        F.col("doc_id").alias("id2"), F.col("sig").alias("s2"),
     )
-    cond = F.col("id1") < F.col("id2")
+    cond = (
+        (F.col("seg") == F.col("seg_r"))
+        & (F.col("segval") == F.col("segval_r"))
+        & (F.col("id1") < F.col("id2"))
+    )
     for c in block_cols:
         cond = cond & (F.col(f"b1_{c}") == F.col(f"b2_{c}"))
-    hamming = F.bit_count(F.col("s1").bitwiseXOR(F.col("s2")))
     return (
         a.join(b, cond)
-        .withColumn("hamming", hamming)
+        .select("id1", "id2", "s1", "s2")
+        .dropDuplicates(["id1", "id2"])
+    )
+
+
+def simhash_pairs(
+    documents: DataFrame,
+    max_hamming: int = 6,
+    text_col: str = "text",
+    block_cols: tuple[str, ...] = ("lang",),
+) -> DataFrame:
+    """Near-dup pairs with SimHash Hamming distance ≤ max_hamming.
+
+    Candidate generation is segment-blocked (see simhash_candidates) and
+    LOSSLESS for the ≤ max_hamming band, so the result is exactly the pairs
+    a full pairwise comparison within `block_cols` would produce — same
+    semantics, near-linear candidate volume instead of O(N²) per block."""
+    sigs = simhash_table(documents, text_col, block_cols)
+    cand = simhash_candidates(sigs, max_hamming, block_cols)
+    hamming = F.bit_count(F.col("s1").bitwiseXOR(F.col("s2")))
+    return (
+        cand.withColumn("hamming", hamming)
         .filter(F.col("hamming") <= max_hamming)
         .select("id1", "id2", "hamming")
     )

@@ -332,8 +332,21 @@ def q_dedup_simhash(spark, sf_dir):
 
 
 def _simhash_sql() -> str:
+    from yat_geo_db_spark.pipelines.dedup import (
+        SIMHASH_SCRAMBLE_1,
+        SIMHASH_SCRAMBLE_2,
+    )
+
+    def src(j: int) -> str:
+        # mirror of dedup.simhash_bit_source: two multiplicative scrambles
+        # of the 30-bit token hash supply 24 well-mixed bits each
+        half = SIMHASH_BITS // 2
+        k = SIMHASH_SCRAMBLE_1 if j < half else SIMHASH_SCRAMBLE_2
+        pos = j if j < half else j - half
+        return f"(((h * {k}) % {FNV_MOD}) & {1 << pos})"
+
     bits = " + ".join(
-        f"CASE WHEN 2 * len(list_filter(hashes, h -> (h & {1 << j}) > 0)) "
+        f"CASE WHEN 2 * len(list_filter(hashes, h -> {src(j)} > 0)) "
         f"> len(hashes) THEN CAST({1 << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END"
         for j in range(SIMHASH_BITS)
     )
