@@ -86,6 +86,60 @@ def test_simhash_candidate_volume_near_linear(spark):
     assert true_pairs <= cand_pairs
 
 
+def _emb_corpus(spark, n=80, dim=8, seed=11):
+    """Single-label embeddings with planted near-identical pairs."""
+    rng = random.Random(seed)
+    rows = []
+    for i in range(n):
+        v = [rng.uniform(-1, 1) for _ in range(dim)]
+        rows.append((i, "same_label", v))
+    for j, src in enumerate((2, 9, 31)):
+        v = [x + rng.uniform(-1e-4, 1e-4) for x in rows[src][2]]
+        rows.append((2000 + j, "same_label", v))
+    return spark.createDataFrame(
+        rows, "vec_id long, label string, embedding array<double>"
+    )
+
+
+def test_cosine_bucket_blocking_volume_and_recall(spark):
+    """The block key is the sign-bit bucket, not the label: on a single-label
+    corpus the label block would compare all N(N-1)/2 pairs; bucket blocking
+    compares only same/adjacent-bucket pairs and still finds every planted
+    near-identical pair (their buckets agree — perturbation ≪ |components|)."""
+    from yat_geo_db_spark.pipelines import similarity
+
+    docs = _emb_corpus(spark).cache()
+    n = docs.count()
+    got = similarity.cosine_near_dup_pairs(
+        docs, threshold=0.999, bits=8, hamming_probe=1
+    )
+    pairs = {(r["id1"], r["id2"]) for r in got.collect()}
+    assert {(2, 2000), (9, 2001), (31, 2002)} <= pairs
+
+    # candidate volume: count the joined pairs pre-threshold via cosine -1
+    cand = similarity.cosine_near_dup_pairs(
+        docs, threshold=-1.0, bits=8, hamming_probe=1
+    ).count()
+    assert cand < n * (n - 1) / 2 / 4  # well under the all-pairs block
+
+
+def test_kmeans_init_non_contiguous_ids(spark):
+    """Init must be the k SMALLEST ids (sort+limit), not `id < k` — on
+    sparse ids the latter yields fewer than k centroids."""
+    from yat_geo_db_spark.pipelines import similarity
+
+    rng = random.Random(3)
+    rows = [
+        (100 + 17 * i, [rng.uniform(-1, 1) for _ in range(6)]) for i in range(40)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = similarity.kmeans_fit_assign(emb, k=4, n_iter=1).cache()
+    assert out.count() == 40                      # every vector assigned
+    cids = {r["cid"] for r in out.select("cid").distinct().collect()}
+    assert cids <= {100, 117, 134, 151}           # the 4 smallest ids
+    assert len(cids) >= 2                         # real clustering happened
+
+
 def test_segment_starts_cover_all_bits():
     for d in (0, 1, 3, 6, 15):
         segs = dedup._simhash_segment_starts(d)

@@ -155,24 +155,59 @@ def ivf_topk_indexed(
 def cosine_near_dup_pairs(
     embeddings: DataFrame, threshold: float = 0.8,
     id_col: str = "vec_id", vec_col: str = "embedding",
-    block_col: str = "label",
+    bits: int = 8, hamming_probe: int = 1,
+    block_col: str | None = None,
 ) -> DataFrame:
-    """Embedding near-duplicate pairs within blocks (equi-join on the block
-    key — at 100 TB the block is the IVF bucket, making this
-    shuffle-bounded rather than O(N²))."""
-    docs = embeddings.select(
-        F.col(id_col), F.col(block_col), F.col(vec_col).alias("vec")
+    """Embedding near-duplicate pairs, blocked on the sign-bit bucket (the
+    IVF coarse quantizer, signbit_bucket) instead of a semantic column.
+
+    A semantic block (label, lang) is a constant-cardinality partition — one
+    block ≈ the whole corpus at scale, reviving the O(N²) self-join. The
+    bucket key is data-adaptive: 2^bits blocks of ~N/2^bits vectors each,
+    and `bits` grows with the corpus. Near-identical vectors agree on sign
+    bits except components near a quantization plane, so one side explodes
+    into its bucket plus every bucket within `hamming_probe` bit flips (the
+    same multi-probe recall lever as ivf_topk); candidates are the plain
+    equi-join on the probed bucket — shuffle-bounded, AQE-splittable.
+    Recall is LSH-style by design: pairs whose buckets differ in more than
+    `hamming_probe` bits are not compared.
+
+    `block_col`, when given, is an ADDITIONAL semantic equality on the join
+    (pairs never cross it); it no longer carries the join volume."""
+    bucketed = embeddings.select(
+        F.col(id_col), *( [F.col(block_col)] if block_col else [] ),
+        F.col(vec_col).alias("vec"),
+        signbit_bucket(F.col(vec_col), bits).alias("bucket"),
     )
-    a = docs.select(
-        F.col(id_col).alias("id1"), F.col(block_col).alias("blk1"),
+    flips = [F.col("bucket").cast("long")]
+    if hamming_probe >= 1:
+        flips += [
+            F.col("bucket").bitwiseXOR(F.lit(1 << j)).cast("long")
+            for j in range(bits)
+        ]
+    if hamming_probe >= 2:
+        raise NotImplementedError("probe radius > 1 not needed yet")
+    a = bucketed.select(
+        F.col(id_col).alias("id1"),
+        *( [F.col(block_col).alias("blk1")] if block_col else [] ),
         F.col("vec").alias("v1"),
+        F.explode(F.array(*flips)).alias("probe_bucket"),
     )
-    b = docs.select(
-        F.col(id_col).alias("id2"), F.col(block_col).alias("blk2"),
+    b = bucketed.select(
+        F.col(id_col).alias("id2"),
+        *( [F.col(block_col).alias("blk2")] if block_col else [] ),
         F.col("vec").alias("v2"),
+        F.col("bucket").alias("bucket2"),
     )
+    cond = (F.col("probe_bucket") == F.col("bucket2")) & (
+        F.col("id1") < F.col("id2")
+    )
+    if block_col:
+        cond = cond & (F.col("blk1") == F.col("blk2"))
+    # no pair-dedup needed: a pair's bucket-xor is one fixed value, so it can
+    # match at most ONE probe flip — the join emits each candidate once
     return (
-        a.join(b, (F.col("id1") < F.col("id2")) & (F.col("blk1") == F.col("blk2")))
+        a.join(b, cond)
         .select(
             "id1",
             "id2",
@@ -260,8 +295,12 @@ def kmeans_fit_assign(embeddings: DataFrame, k: int = 4, n_iter: int = 2,
     the iterative plan (on a real cluster: setCheckpointDir + checkpoint).
     Fixed iteration count — k-means converges monotonically, and a fixed
     budget keeps the job graph static (the standard batch formulation)."""
+    # init = the k smallest ids via sort+limit (NOT `id < k`, which yields
+    # fewer than k centroids when ids are sparse/non-contiguous); cid keeps
+    # the vector's own id — deterministic and oracle-expressible
     centroids = (
-        embeddings.filter(F.col(id_col) < k)
+        embeddings.orderBy(F.asc(id_col))
+        .limit(k)
         .select(
             F.col(id_col).cast("int").alias("cid"),
             F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("cvec"),

@@ -437,16 +437,26 @@ LIMIT 10
 
 
 def q_cosine_near_dup(spark, sf_dir):
+    """Bucket-blocked near-dup pairs: the block key is the sign-bit bucket
+    (data-adaptive, 2^bits blocks) with a 1-bit-flip probe — never a
+    semantic column that collapses to one corpus-sized block at scale."""
     emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 7 == 0)
-    return similarity.cosine_near_dup_pairs(emb, threshold=COSINE_T)
+    return similarity.cosine_near_dup_pairs(
+        emb, threshold=COSINE_T, bits=IVF_BITS, hamming_probe=1
+    )
 
 
 _COSINE_NEAR_DUP_SQL = f"""
-WITH e AS (SELECT vec_id, label, embedding FROM embeddings WHERE vec_id % 7 = 0)
+WITH e AS (
+  SELECT vec_id, embedding, {_bucket('embedding', IVF_BITS)} AS bucket
+  FROM embeddings WHERE vec_id % 7 = 0
+)
 SELECT id1, id2, cosine FROM (
   SELECT a.vec_id AS id1, b.vec_id AS id2,
          round({_cos('a.embedding', 'b.embedding')}, 6) AS cosine
-  FROM e a JOIN e b ON a.vec_id < b.vec_id AND a.label = b.label
+  FROM e a JOIN e b
+    ON a.vec_id < b.vec_id
+   AND bit_count(xor(CAST(a.bucket AS BIGINT), CAST(b.bucket AS BIGINT))) <= 1
 ) WHERE cosine >= {COSINE_T}
 """
 
@@ -888,7 +898,7 @@ def _kmeans_sql(k: int = KMEANS_K, n_iter: int = KMEANS_ITERS) -> str:
         f"""c0 AS (
   SELECT CAST(vec_id AS INT) AS cid,
          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cvec
-  FROM embeddings WHERE vec_id < {k}
+  FROM embeddings ORDER BY vec_id LIMIT {k}
 )"""
     ]
     for t in range(n_iter + 1):
