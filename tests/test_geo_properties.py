@@ -167,6 +167,36 @@ def test_candidate_cap_is_respected(shapes):
     assert out.count() <= 600
 
 
+def test_knn_prefilter_exactness_and_fallback(shapes):
+    """The bounded kNN (ellipse pre-filter) must return EXACTLY the
+    unbounded top-k, across small radii (escalation path) and huge k
+    (full-scan fallback when the disk can't hold k validated rows)."""
+    from yat_geo_db_spark.geo.radius import knn_search
+
+    def rows(df):
+        return [tuple(r) for r in df.collect()]
+
+    exact = rows(knn_search(shapes, 29.139, -121.949, k=10, prefilter_radius=None))
+    for r0 in (1.0, 50.0, 250.0):   # 1.0 forces escalation/fallback
+        got = rows(knn_search(shapes, 29.139, -121.949, k=10, prefilter_radius=r0))
+        assert got == exact, f"prefilter_radius={r0}"
+    # k larger than the corpus → fallback returns everything, still exact
+    n = shapes.filter(~F.col("is_aggregate")).count()
+    allr = rows(knn_search(shapes, 29.139, -121.949, k=n + 50))
+    assert len(allr) == n
+
+
+def test_knn_prefilter_prunes_plan(shapes):
+    """The validated plan carries the ellipse pre-filter (bounded scan),
+    not just the top-k."""
+    from yat_geo_db_spark.geo.radius import knn_search
+
+    plan = knn_search(
+        shapes, 29.139, -121.949, k=10, prefilter_radius=250.0
+    )._jdf.queryExecution().optimizedPlan().toString()
+    assert "POWER" in plan.upper() or "pow(" in plan  # ellipse arithmetic present
+
+
 def test_knn_prefix_consistency(spark):
     from yat_geo_db_spark.geo.radius import knn_search
     from yat_geo_db_spark.geo.fixture import shapes_df

@@ -207,16 +207,26 @@ def knn_search(
     k: int = 10,
     filters: dict | None = None,
     exclude_aggregates: bool = True,
+    prefilter_radius: float | None = 250.0,
+    max_expansions: int = 2,
 ) -> DataFrame:
     """k-nearest shapes to a literal point by haversine distance — the
     top-k generalization of radius search (no reference analog; same
     metric-space shape as the vector top-k in pipelines.similarity).
 
-    Physical form: one scan + `TakeOrderedAndProject` — per-partition
-    top-k then a k-row merge on the driver, NO global sort and no shuffle
-    of anything but k rows per partition. At planet scale, bound the scan
-    first with an ellipse pre-filter at a generous radius (R6) and fall
-    back to the full scan only if fewer than k survive."""
+    Physical form: the ellipse pre-filter (R6, geo_manager.py:190-199
+    semantics) bounds the scan to a disk of `prefilter_radius` miles, then
+    one filtered scan + `TakeOrderedAndProject` — per-partition top-k and a
+    k-row merge, NO global sort. The pre-filter's range predicates prune
+    parquet row groups on a lat-sorted layout, so at planet scale the trig
+    runs over the neighborhood, not the planet.
+
+    Exactness: the ellipse approximates the disk of radius r in local
+    degree metric, so the pre-filtered top-k equals the global top-k when
+    the k-th distance lands safely inside (≤ 0.9·r, absorbing the
+    flat-vs-sphere error). That is validated with a k-row probe; on a miss
+    the radius escalates ×4 up to `max_expansions` times, then falls back
+    to the unbounded scan. `prefilter_radius=None` disables the bound."""
     o_lat, o_lng = F.lit(float(latitude)), F.lit(float(longitude))
     dist = F.round(
         haversine_miles(o_lat, o_lng, F.col("latitude"), F.col("longitude")), 4
@@ -224,11 +234,30 @@ def knn_search(
     hits = shapes.filter(shape_filters_predicate(filters))
     if exclude_aggregates:
         hits = hits.filter(~F.col("is_aggregate"))
-    return (
-        hits.select("id", "reference_code", "value", dist.alias("distance"))
-        .orderBy(F.asc("distance"), F.asc("id"))
-        .limit(k)
-    )
+
+    def _topk(df: DataFrame) -> DataFrame:
+        return (
+            df.select("id", "reference_code", "value", dist.alias("distance"))
+            .orderBy(F.asc("distance"), F.asc("id"))
+            .limit(k)
+        )
+
+    if prefilter_radius is not None:
+        r = float(prefilter_radius)
+        for _ in range(max_expansions + 1):
+            radius_lit = F.lit(r)
+            pre = hits.filter(
+                _ellipse_match(
+                    F.col("latitude"), F.col("longitude"), o_lat, o_lng,
+                    latitude_delta_col(radius_lit),
+                    longitude_delta_col(o_lat, radius_lit),
+                )
+            )
+            probe = _topk(pre).collect()  # ≤ k rows to the driver
+            if len(probe) == k and probe[-1]["distance"] <= 0.9 * r:
+                return _topk(pre)
+            r *= 4.0
+    return _topk(hits)
 
 
 def _normalized_distance(dist: Column) -> Column:
