@@ -132,3 +132,57 @@ def test_fuzzy_on_materialized_postings_matches_on_the_fly(spark, tmp_path):
     plan = indexed._jdf.queryExecution().executedPlan().toString()
     # the isin(q_grams) probe reaches the postings parquet scan
     assert "PushedFilters: [In(ngram" in plan
+
+
+def test_partition_scoped_fuzzy_prunes_partitions(spark, shapes, tmp_path):
+    """F14 (reference geo_manager.py:544-580): a partition-scoped search on
+    the partitionBy layout must (a) equal the same search over a pre-filtered
+    DataFrame and (b) prune at the partition-directory level."""
+    from yat_geo_db_spark.geo.fuzzy import fuzzy_search
+    from yat_geo_db_spark.geo.ingest import write_shapes_partitioned
+
+    out = write_shapes_partitioned(
+        shapes, str(tmp_path / "db"), "ref_data.state_prov", version="1"
+    )
+    part = spark.read.parquet(out)
+
+    scoped = fuzzy_search(part, "Nashville, TN", 10, partition=("partition", "TN"))
+    expected = fuzzy_search(
+        shapes.filter(F.col("ref_data.state_prov") == "TN"), "Nashville, TN", 10
+    )
+    assert [tuple(r) for r in scoped.collect()] == [
+        tuple(r) for r in expected.collect()
+    ]
+
+    import re
+
+    plan = scoped._jdf.queryExecution().executedPlan().toString()
+    # the scan carries directory-level PartitionFilters pinned to TN
+    assert re.search(
+        r"PartitionFilters: \[[^\]]*partition#\d+ = TN\)", plan
+    ), plan[:2000]
+
+
+def test_gzip_json_ingest_roundtrip(spark, tmp_path):
+    """Reference load_data reads gzip'd JSON (compressed=True path,
+    geo_manager.py:724-749); Spark's text source decompresses .json.gz
+    natively — the ingested table must be identical to the plain-JSON one."""
+    import gzip
+
+    rec2 = dict(
+        RECORD, id=2, reference_code="us__tn__memphis", value="Memphis, TN",
+        clean_value=None, latitude="35.15", longitude="-90.05",
+    )
+    payload = "\n".join(json.dumps(r) for r in [RECORD, rec2])
+    plain = tmp_path / "shapes.json"
+    plain.write_text(payload)
+    gz = tmp_path / "shapes.json.gz"
+    with gzip.open(gz, "wt") as f:
+        f.write(payload)
+
+    root_a, root_b = str(tmp_path / "db_plain"), str(tmp_path / "db_gz")
+    ingest_shapes_json(spark, str(plain), root_a, version="1")
+    ingest_shapes_json(spark, str(gz), root_b, version="1")
+    a = sorted(map(tuple, read_shapes(spark, root_a, version="1").collect()))
+    b = sorted(map(tuple, read_shapes(spark, root_b, version="1").collect()))
+    assert a == b and len(a) == 2

@@ -144,6 +144,25 @@ def test_add_entity_extra_dict_merges_payload(gm):
     )
 
 
+def test_partition_scoped_fuzzy_search(spark):
+    """F14: partition= scopes the search when partition_col is configured;
+    unknown partitions return [] (reference geo_manager.py:545-547);
+    without partition_col the argument is ignored (reference's own
+    unpartitioned default, `assert not self.partitioned` :634)."""
+    register_views(spark, "/root/testdata/sf0.001")
+    gmp = GeoManager(
+        spark, shapes=shapes_df(spark), partition_col="ref_data.state_prov"
+    )
+    assert "TN" in gmp.partitions
+    res = gmp.fuzzy_search("Nashville", num_results=10, partition="TN")
+    assert len(res) > 0
+    assert all(r["extra"]["ref_data"]["state_prov"] == "TN" for r in res)
+    assert gmp.fuzzy_search("Nashville", partition="ZZ") == []
+    assert gmp.best_fuzzy_search("Nashville, TN", partition="ZZ") is None
+    best = gmp.best_fuzzy_search("Nashville, TN", partition="TN")
+    assert best is not None and best["extra"]["ref_data"]["state_prov"] == "TN"
+
+
 def test_unloaded_manager_raises_runtime_error(spark):
     gm3 = GeoManager(spark)
     import pytest as _pytest

@@ -194,22 +194,29 @@ def geo_damerau_distance_udf(query: str):
 # F10: postings (the inverted index as a derived table)
 # --------------------------------------------------------------------------
 
-def build_postings(shapes: DataFrame) -> DataFrame:
-    """Derive `postings(ngram, entity_id)` from shapes (reference ships this
-    precomputed as JSON, geo_manager.py:644; built by add_entity at
-    :468-476). Duplicate trigram occurrences are kept — they contribute to
-    candidate counts. At scale: write bucketed by ngram (geo.ingest)."""
+def build_postings(shapes: DataFrame, extra_cols: tuple[str, ...] = ()) -> DataFrame:
+    """Derive `postings(ngram, entity_id, *extra)` from shapes (reference
+    ships this precomputed as JSON, geo_manager.py:644; built by add_entity
+    at :468-476). Duplicate trigram occurrences are kept — they contribute
+    to candidate counts. At scale: write bucketed by ngram (geo.ingest);
+    pass a partition column in `extra_cols` to make the postings table
+    partition-scopable (F14)."""
     return shapes.select(
         F.explode(ngrams_col(F.col("clean_value"))).alias("ngram"),
         F.col("id").alias("entity_id"),
+        *[F.col(c).alias(c.replace(".", "_")) for c in extra_cols],
     )
 
 
-def add_entities(postings: DataFrame, new_shapes: DataFrame) -> DataFrame:
+def add_entities(
+    postings: DataFrame, new_shapes: DataFrame,
+    extra_cols: tuple[str, ...] = (),
+) -> DataFrame:
     """Incremental index maintenance (reference add_entity, one record at a
     time, geo_manager.py:451-476) — here a batch union; dedupe is not wanted
-    (multiplicity is semantic)."""
-    return postings.unionByName(build_postings(new_shapes))
+    (multiplicity is semantic). `extra_cols` must match the columns the base
+    postings were built with (e.g. the partition column)."""
+    return postings.unionByName(build_postings(new_shapes, extra_cols=extra_cols))
 
 
 # --------------------------------------------------------------------------
@@ -223,6 +230,7 @@ def fuzzy_search(
     filters: dict | None = None,
     postings: DataFrame | None = None,
     with_damerau: bool = True,
+    partition: tuple[str, object] | None = None,
 ) -> DataFrame:
     """F12 (geo_manager.py:525-619). Returns the top `num_results` scored
     matches: columns (id, value, clean_value, ngram_similarity, score
@@ -230,11 +238,27 @@ def fuzzy_search(
 
     `postings` may be a pre-materialized bucketed table; by default it is
     derived on the fly (Catalyst fuses the explode into the scan).
-    """
+
+    `partition` = (column, value) is F14 (reference geo_manager.py:544-580):
+    the search runs against the partition's SUB-INDEX — shapes AND postings
+    are restricted BEFORE candidate generation, so candidate counts and the
+    top-500 cap are partition-local (unlike `filters`, which apply after the
+    cap, geo_manager.py:578-580 vs :556). On a layout written partitionBy
+    the filter is directory-level partition pruning; a pre-materialized
+    `postings` table is rebuilt from the filtered shapes unless it carries
+    the partition column itself."""
     query = clean_entity(search_entity)
     q_grams = sorted(set(ngrams_list(query)))
     cap = max(num_results, CANDIDATE_FLOOR)
 
+    if partition is not None:
+        part_col, part_val = partition
+        shapes = shapes.filter(F.col(part_col) == F.lit(part_val))
+        flat = part_col.replace(".", "_")  # build_postings flattens dotted paths
+        if postings is not None and flat in postings.columns:
+            postings = postings.filter(F.col(flat) == F.lit(part_val))
+        else:
+            postings = None  # rebuild below from the partition's shapes
     if postings is None:
         postings = build_postings(shapes)
     if not q_grams:
@@ -297,8 +321,10 @@ def best_fuzzy_search(
     score_threshold: float = 0.90,
     filters: dict | None = None,
     postings: DataFrame | None = None,
+    partition: tuple[str, object] | None = None,
 ) -> DataFrame:
     """F13 (geo_manager.py:503-523): top-1 above threshold, else empty."""
     return fuzzy_search(
-        shapes, search_entity, num_results=1, filters=filters, postings=postings
+        shapes, search_entity, num_results=1, filters=filters,
+        postings=postings, partition=partition,
     ).filter(F.col("score") >= F.lit(score_threshold))

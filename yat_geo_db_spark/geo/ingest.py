@@ -154,3 +154,25 @@ def materialize_postings(
 def read_shapes(spark: SparkSession, root: str, version: str | None = None) -> DataFrame:
     """S2 cache-hit path (geo_manager.py:706-720)."""
     return spark.read.parquet(versioned_path(root, version, "shapes"))
+
+
+def write_shapes_partitioned(
+    shapes: DataFrame, root: str, partition_expr: str,
+    version: str | None = None, partition_name: str = "partition",
+) -> str:
+    """F14 storage layout (reference's scaffolded-but-disabled partitions,
+    geo_manager.py:629-644): shapes written `partitionBy` a derived
+    top-level partition column, so a partition-scoped fuzzy/radius query is
+    directory-level partition pruning — the scan never opens other
+    partitions' files. Within each partition the sort by reference_code
+    keeps point-lookup row-group pruning."""
+    out = versioned_path(root, version, "shapes_partitioned")
+    (
+        shapes.withColumn(partition_name, F.expr(partition_expr))
+        .repartition(partition_name)
+        .sortWithinPartitions(partition_name, "reference_code")
+        .write.mode("overwrite")
+        .partitionBy(partition_name)
+        .parquet(out)
+    )
+    return out

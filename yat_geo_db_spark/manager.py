@@ -64,7 +64,12 @@ class GeoManager:
     layout root) or pass a ready `shapes` DataFrame (e.g. the test fixture's
     `geo.fixture.shapes_df`)."""
 
-    def __init__(self, spark: SparkSession, shapes: DataFrame | None = None):
+    def __init__(
+        self,
+        spark: SparkSession,
+        shapes: DataFrame | None = None,
+        partition_col: str | None = None,
+    ):
         self.spark = spark
         self._shapes: DataFrame | None = None
         self._postings: DataFrame | None = None
@@ -72,6 +77,13 @@ class GeoManager:
         # manager raise the intended RuntimeError from the `shapes` property
         # instead of AttributeError
         self._lookup_cache: dict | None = None
+        #: F14: when set, `partition=` arguments scope fuzzy searches to
+        #: `shapes[partition_col] == partition` BEFORE candidate generation
+        #: (the reference's per-partition sub-index, geo_manager.py:544-580).
+        #: None keeps the reference's own default: partitioning disabled
+        #: (`assert not self.partitioned`, geo_manager.py:634).
+        self.partition_col = partition_col
+        self._partitions: set | None = None
         if shapes is not None:
             self._set_shapes(shapes)
 
@@ -79,8 +91,27 @@ class GeoManager:
 
     def _set_shapes(self, shapes: DataFrame) -> None:
         self._shapes = shapes.cache()
-        self._postings = _fuzzy.build_postings(self._shapes)
+        # postings carry the partition column when configured, so a
+        # partition-scoped probe filters the SAME pre-materialized index
+        # (directory/bucket pruning at scale) instead of rebuilding it
+        extra = (self.partition_col,) if self.partition_col else ()
+        self._postings = _fuzzy.build_postings(self._shapes, extra_cols=extra)
         self._lookup_cache = None
+        self._partitions = None
+
+    @property
+    def partitions(self) -> set:
+        """Distinct partition values (reference `self.partitions`,
+        geo_manager.py:629-636) — empty when partitioning is off. One small
+        distinct-scan, cached."""
+        if self.partition_col is None:
+            return set()
+        if self._partitions is None:
+            self._partitions = {
+                r[0]
+                for r in self.shapes.select(self.partition_col).distinct().collect()
+            }
+        return self._partitions
 
     def preload_lookup_cache(self) -> "GeoManager":
         """Opt-in serving mode: collect the shape records to driver dicts so
@@ -349,33 +380,54 @@ class GeoManager:
             .orderBy(F.round(F.col("score"), 6).desc(), F.asc("r.id"))
         )
 
+    def _partition_arg(self, partition):
+        """Map a facade `partition=` value to the engine's (col, value) pair.
+        Returns (resolved, is_missing): missing partitions short-circuit to
+        the reference's `return []` (geo_manager.py:545-547). With no
+        partition_col configured the argument is ignored — the reference's
+        own unpartitioned default."""
+        if partition is None or self.partition_col is None:
+            return None, False
+        if partition not in self.partitions:
+            return None, True
+        return (self.partition_col, partition), False
+
     def fuzzy_search(
         self,
         search_entity: str,
-        partition: str | None = None,  # noqa: ARG002 — parity; see module doc
+        partition: str | None = None,
         num_results: int = 50,
         filters: Dict | None = None,
     ) -> List[Dict]:
         """F12 (geo_manager.py:525-619): the flagship pipeline. Each result
         dict carries the reference's full payload, including `extra` (the
-        complete shape record, geo_manager.py:573/605)."""
+        complete shape record, geo_manager.py:573/605). F14: `partition=`
+        scopes the search to that partition's sub-index when the manager was
+        constructed with `partition_col`; an unknown partition returns []."""
+        part, missing = self._partition_arg(partition)
+        if missing:
+            return []
         res = _fuzzy.fuzzy_search(
             self.shapes,
             search_entity,
             num_results=num_results,
             filters=filters,
             postings=self._postings,
+            partition=part,
         )
         return [r.asDict(recursive=True) for r in self._attach_extra(res).collect()]
 
     def best_fuzzy_search(
         self,
         search_entity: str,
-        partition: str | None = None,  # noqa: ARG002
+        partition: str | None = None,
         score_threshold: float = 0.90,
         filters: Dict | None = None,
     ) -> Optional[Dict]:
-        """F13 (geo_manager.py:503-523)."""
+        """F13 (geo_manager.py:503-523); partition-scoped like fuzzy_search."""
+        part, missing = self._partition_arg(partition)
+        if missing:
+            return None
         res = self._attach_extra(
             _fuzzy.best_fuzzy_search(
                 self.shapes,
@@ -383,6 +435,7 @@ class GeoManager:
                 score_threshold=score_threshold,
                 filters=filters,
                 postings=self._postings,
+                partition=part,
             )
         ).collect()
         return res[0].asDict(recursive=True) if res else None
@@ -427,4 +480,8 @@ class GeoManager:
         ).select(*self.shapes.columns)
         self._shapes = self.shapes.unionByName(new_shape).cache()
         self._lookup_cache = None  # invalidated; preload again if serving
-        self._postings = _fuzzy.add_entities(self._postings, new_shape)
+        self._partitions = None
+        extra = (self.partition_col,) if self.partition_col else ()
+        self._postings = _fuzzy.add_entities(
+            self._postings, new_shape, extra_cols=extra
+        )

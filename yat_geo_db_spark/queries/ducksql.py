@@ -73,8 +73,14 @@ def damerau_sql(query: str, t: str) -> str:
 
 
 def fuzzy_search_oracle(search_entity: str, num_results: int = 50,
-                        where: str = "", with_distance: bool = True) -> str:
-    """Full F12 pipeline oracle (mirrors fuzzy.fuzzy_search stage by stage)."""
+                        where: str = "", with_distance: bool = True,
+                        pre_where: str = "") -> str:
+    """Full F12 pipeline oracle (mirrors fuzzy.fuzzy_search stage by stage).
+
+    `where` applies AFTER the candidate cap (P12 filters semantics);
+    `pre_where` scopes the index BEFORE candidate generation (F14 partition
+    scoping — candidate counts and the top-500 cap become partition-local).
+    """
     query = clean_entity(search_entity)
     q_set = sorted(set(ngrams_list(query)))
     qn = len(q_set)
@@ -82,6 +88,7 @@ def fuzzy_search_oracle(search_entity: str, num_results: int = 50,
     numeric = query.isnumeric()
     target = "split_part(clean_value, ' ', 1)" if numeric else "clean_value"
     where_clause = f"WHERE {where}" if where else ""
+    pre_where_clause = f"WHERE {pre_where}" if pre_where else ""
     dist_col = (
         f", {damerau_sql(query, 'clean_value')} AS distance" if with_distance else ""
     )
@@ -94,7 +101,7 @@ def fuzzy_search_oracle(search_entity: str, num_results: int = 50,
 WITH {SHAPES_CTE},
 postings AS (
   SELECT id AS entity_id, unnest({grams_sql('clean_value', distinct=False)}) AS gram
-  FROM shapes
+  FROM shapes {pre_where_clause}
 ),
 cand AS (
   SELECT entity_id, count(*) AS cnt

@@ -89,6 +89,20 @@ def q_fuzzy_filtered(spark, sf_dir):
     )
 
 
+def q_fuzzy_partitioned(spark, sf_dir):
+    """F14: partition-scoped search — the index is restricted to one
+    partition BEFORE candidate generation (partition-local counts and cap),
+    unlike geo_fuzzy_filtered whose filters apply after the cap."""
+    return _fuzzy_out(
+        fuzzy.fuzzy_search(
+            _shapes(spark, sf_dir),
+            QUERY_CITY,
+            10,
+            partition=("ref_data.state_prov", "TN"),
+        )
+    )
+
+
 def q_fuzzy_zip(spark, sf_dir):
     """F9 numeric branch: zip-mode scores against the first space-token."""
     return _fuzzy_out(fuzzy.fuzzy_search(_shapes(spark, sf_dir), QUERY_ZIP, 10))
@@ -305,6 +319,12 @@ QUERIES: dict = {
         ducksql.fuzzy_search_oracle(
             QUERY_CITY, 10,
             where="rd_state_prov = 'TN' AND geo_type = 'City'",
+        ),
+    ),
+    "geo_fuzzy_partitioned": (
+        q_fuzzy_partitioned,
+        ducksql.fuzzy_search_oracle(
+            QUERY_CITY, 10, pre_where="rd_state_prov = 'TN'"
         ),
     ),
     "geo_fuzzy_zip": (
