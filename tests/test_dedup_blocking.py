@@ -140,6 +140,55 @@ def test_kmeans_init_non_contiguous_ids(spark):
     assert len(cids) >= 2                         # real clustering happened
 
 
+def test_lsh_band_join_aqe_splits_hot_band(spark):
+    """An adversarially hot LSH band (hundreds of near-identical docs → one
+    band bucket holding most of the corpus) must be handled by AQE's
+    skew-join split, not ground through one straggler partition. Thresholds
+    are lowered to make the toy corpus cross the skew bar; at 100 TB the
+    defaults (256 MB) trigger the same mechanism."""
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        # sub-KB thresholds: MapStatus reports COMPRESSED partition bytes,
+        # and an adversarial hot band is maximally repetitive — lz4 shrinks
+        # MBs of identical rows to a few KB. At 100 TB the same mechanism
+        # trips the default 256 MB bar because real dup clusters carry
+        # real entropy.
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "1KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "512b",
+        "spark.sql.adaptive.coalescePartitions.minPartitionSize": "256b",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1.2",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        rng = random.Random(5)
+        base = " ".join(VOCAB[rng.randrange(len(VOCAB))] for _ in range(30))
+        rows = [(i, base + f" tail{i % 3}", "en", "web") for i in range(800)]
+        docs = spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string"
+        )
+        pairs = dedup.minhash_lsh_pairs(docs, threshold=0.9).agg(
+            F.count(F.lit(1)).alias("n")
+        )
+        # collect() executes THIS dataset's QueryExecution, so its AQE plan
+        # is final (an aggregate keeps the driver-side result tiny — the hot
+        # band yields ~N²/2 pairs by construction)
+        assert pairs.collect()[0]["n"] > 0
+        plan = pairs._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        # the band self-join splits the hot partition on BOTH sides
+        assert "SortMergeJoin(skew=true)" in plan, plan[:3000]
+        assert "AQEShuffleRead skewed" in plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
 def test_segment_starts_cover_all_bits():
     for d in (0, 1, 3, 6, 15):
         segs = dedup._simhash_segment_starts(d)

@@ -107,6 +107,24 @@ def versioned_path(root: str, version: str | None, table: str) -> str:
     return os.path.join(root, f"v={version or 'current'}", table)
 
 
+def write_shapes(shapes: DataFrame, root: str, version: str | None = None) -> str:
+    """S3: persist an already-typed shapes DataFrame in the engine's layout —
+    range-partitioned and sorted by reference_code, so point gets prune to
+    one row-group via Parquet min/max stats and the PK filter reaches the
+    scan as a PushedFilter."""
+    out = versioned_path(root, version, "shapes")
+    spark = shapes.sparkSession
+    (
+        shapes.repartitionByRange(
+            max(spark.sparkContext.defaultParallelism, 1), "reference_code"
+        )
+        .sortWithinPartitions("reference_code")
+        .write.mode("overwrite")
+        .parquet(out)
+    )
+    return out
+
+
 def ingest_shapes_json(
     spark: SparkSession, json_path: str, root: str, version: str | None = None
 ) -> str:
@@ -117,15 +135,7 @@ def ingest_shapes_json(
     `maxRecordsPerFile` keeps row-groups bounded at large scale.
     """
     raw = spark.read.schema(RAW_SHAPE_SCHEMA).json(json_path)
-    out = versioned_path(root, version, "shapes")
-    (
-        normalize_shapes(raw)
-        .repartitionByRange(max(spark.sparkContext.defaultParallelism, 1), "reference_code")
-        .sortWithinPartitions("reference_code")
-        .write.mode("overwrite")
-        .parquet(out)
-    )
-    return out
+    return write_shapes(normalize_shapes(raw), root, version)
 
 
 def materialize_postings(

@@ -150,13 +150,34 @@ def radius_search_lat_lng(
     ``exclude_aggregates`` this is R4 (points only). ``full_results`` attaches
     raw haversine distance (normalized == raw, aggregate flag True —
     geo_manager.py:312-321)."""
+    from yat_geo_db_spark.geo.geometry import (
+        latitude_delta_from_miles,
+        longitude_delta_from_miles,
+    )
+
     o_lat, o_lng = F.lit(float(latitude)), F.lit(float(longitude))
     radius_lit = F.lit(float(radius))
     lat_delta = latitude_delta_col(radius_lit)
     lng_delta = longitude_delta_col(o_lat, radius_lit)
     country = F.lit(country_filter) if country_filter is not None else None
 
-    hits = shapes.filter(
+    # Redundant LITERAL envelope implied by the ellipse ((Δlat/latΔ)² ≤ sum
+    # < 1 ⇒ |Δlat| < latΔ): the ellipse itself is arithmetic Parquet can't
+    # push, but these plain range comparisons reach the scan as
+    # PushedFilters and prune row groups on a lat-sorted layout. Aggregates
+    # pass through (their branch is bbox containment, and a big shape's
+    # centroid may sit outside the point envelope); the exact predicate
+    # still decides membership — results are unchanged.
+    lat_d = latitude_delta_from_miles(float(radius))
+    lng_d = longitude_delta_from_miles(float(latitude), float(radius))
+    envelope = F.col("is_aggregate") | (
+        (F.col("latitude") >= F.lit(float(latitude) - lat_d))
+        & (F.col("latitude") <= F.lit(float(latitude) + lat_d))
+        & (F.col("longitude") >= F.lit(float(longitude) - lng_d))
+        & (F.col("longitude") <= F.lit(float(longitude) + lng_d))
+    )
+
+    hits = shapes.filter(envelope).filter(
         radius_match(o_lat, o_lng, lat_delta, lng_delta, country)
     ).filter(shape_filters_predicate(filters))
     if exclude_aggregates:

@@ -18,6 +18,13 @@ _DEFAULTS = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Split skewed join partitions even when the join output feeds another
+    # shuffle (the default rule skips the split if it would add an exchange).
+    # Every dedup candidate join here IS followed by a shuffle (pair dedupe /
+    # verification aggregation), and a straggler partition grinding a hot LSH
+    # band costs far more than the extra small exchange — asserted in
+    # tests/test_dedup_blocking.py.
+    "spark.sql.adaptive.forceOptimizeSkewedJoin": "true",
     "spark.sql.session.timeZone": "UTC",
     # Spark 4's ICU-backed case mappings build a full-Unicode title-case
     # lookup table in a static initializer the first time upper()/lower()
