@@ -140,6 +140,90 @@ def test_kmeans_init_non_contiguous_ids(spark):
     assert len(cids) >= 2                         # real clustering happened
 
 
+def test_ngram_jaccard_prefix_filter_is_exact(spark):
+    """The prefix-filtered set-similarity join must return EXACTLY the
+    all-pairs-within-blocks result (prefix filtering is lossless, unlike
+    LSH banding), with near-linear candidate volume."""
+    docs = _corpus(spark).cache()
+    got = sorted(
+        map(
+            tuple,
+            dedup.ngram_jaccard_pairs(
+                docs, threshold=0.5, block_cols=("lang", "source")
+            ).collect(),
+        )
+    )
+    # brute force: all pairs within (lang, source), exact jaccard
+    g = docs.select(
+        "doc_id", "lang", "source",
+        F.array_distinct(dedup.char_ngrams(F.col("text"))).alias("grams"),
+    )
+    a = g.select(
+        F.col("doc_id").alias("id1"), F.col("lang").alias("l1"),
+        F.col("source").alias("s1"), F.col("grams").alias("g1"),
+    )
+    b = g.select(
+        F.col("doc_id").alias("id2"), F.col("lang").alias("l2"),
+        F.col("source").alias("s2"), F.col("grams").alias("g2"),
+    )
+    inter = F.size(F.array_intersect("g1", "g2")).cast("double")
+    union = F.size("g1") + F.size("g2") - inter
+    brute = (
+        a.join(
+            b,
+            (F.col("id1") < F.col("id2"))
+            & (F.col("l1") == F.col("l2"))
+            & (F.col("s1") == F.col("s2")),
+        )
+        .withColumn("jaccard", F.round(inter / union, 6))
+        .filter(F.col("jaccard") >= 0.5)
+        .select("id1", "id2", "jaccard")
+    )
+    assert got == sorted(map(tuple, brute.collect()))
+    assert len(got) >= 3  # planted exact copies (jaccard 1.0) found
+
+def test_ngram_jaccard_prefix_candidate_volume(spark):
+    """Prefix-filter candidate volume tracks ACTUAL gram sharing, not the
+    block size: on a single-language corpus of mostly-disjoint docs (rich
+    gram space, like real text) candidates collapse to ~the true near-dup
+    pairs, where the old lang-block compared all N(N-1)/2."""
+    import string
+
+    rng = random.Random(13)
+    letters = string.ascii_lowercase
+
+    def word():
+        return "".join(rng.choice(letters) for _ in range(7))
+
+    rows = [(i, " ".join(word() for _ in range(8)), "en", "web") for i in range(150)]
+    for j, src in enumerate((4, 40, 77)):           # planted exact copies
+        rows.append((3000 + j, rows[src][1], "en", "web"))
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    ).cache()
+    n = docs.count()
+    prefix = dedup.jaccard_prefix_table(docs, 0.5, block_cols=("lang", "source"))
+    cand = (
+        prefix.alias("x")
+        .join(
+            prefix.alias("y"),
+            (F.col("x.g") == F.col("y.g"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(F.col("x.doc_id"), F.col("y.doc_id"))
+        .distinct()
+        .count()
+    )
+    assert cand < 4 * n                             # near-linear, not N²/2
+    pairs = {
+        (r["id1"], r["id2"])
+        for r in dedup.ngram_jaccard_pairs(
+            docs, threshold=0.5, block_cols=("lang", "source")
+        ).collect()
+    }
+    assert {(4, 3000), (40, 3001), (77, 3002)} <= pairs
+
+
 def test_lsh_band_join_aqe_splits_hot_band(spark):
     """An adversarially hot LSH band (hundreds of near-identical docs → one
     band bucket holding most of the corpus) must be handled by AQE's

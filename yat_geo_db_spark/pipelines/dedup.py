@@ -114,32 +114,46 @@ def streaming_exact_dedup(
 # n-gram Jaccard near-dup (blocked pairwise)
 # --------------------------------------------------------------------------
 
-def char_band_table(
+def jaccard_prefix_table(
     documents: DataFrame,
+    threshold: float,
     n: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
     block_cols: tuple[str, ...] = (),
 ) -> DataFrame:
-    """(id, *blocks, grams, band, bsig): the LSH band index over DISTINCT
-    character n-grams — the candidate-generation side of banded n-gram
-    Jaccard. Docs with no grams (shorter than n chars) are dropped: they
-    can never reach a positive Jaccard threshold, and keeping them would
-    put every empty doc into one identical all-FNV_MOD-signature band
-    bucket — an O(N²) empty-doc clique for no recall."""
-    tbl = gram_hash_table(
-        documents,
-        F.array_distinct(char_ngrams(F.col(text_col), n)),
-        id_col,
-        extra_cols=block_cols,
+    """(id, *blocks, g): the PREFIX-FILTER index over distinct character
+    n-grams — the lossless candidate generator for exact Jaccard ≥ t
+    (AllPairs / PPJoin prefix filtering: Bayardo et al. WWW'07, Vernica et
+    al. SIGMOD'10 for the MapReduce formulation).
+
+    Grams are globally ordered rarest-first (document frequency, then gram);
+    each doc keeps only its first |g| - ⌈t·|g|⌉ + 1 grams. The prefix-
+    filtering principle guarantees any pair with J ≥ t shares ≥ 1 prefix
+    gram (for a feasible pair the required overlap α = ⌈t/(1+t)·(|x|+|y|)⌉
+    is ≥ ⌈t·|x|⌉ on both sides, and a prefix of length |x| - ⌈t·|x|⌉ + 1 is
+    at least the |x| - α + 1 the principle needs) — so the equi-join on the
+    prefix gram is EXACT, unlike LSH banding. Rare-first ordering is what
+    keeps candidate volume near-linear: stop-gram-like shingles shared by
+    everything land in suffixes and never generate candidates."""
+    from pyspark.sql import Window
+
+    tbl = documents.select(
+        F.col(id_col), *block_cols,
+        F.array_distinct(char_ngrams(F.col(text_col), n)).alias("grams"),
     ).filter(F.size("grams") > 0)
-    return _explode_bands(
-        tbl.select(
-            id_col, *block_cols, "grams",
-            minhash_signature(F.col("hashes")).alias("sig"),
-        ),
-        id_col,
-        carry_cols=(*block_cols, "grams"),
+    exploded = tbl.select(
+        id_col, *block_cols, F.size("grams").alias("sz"),
+        F.explode("grams").alias("g"),
+    )
+    freq = exploded.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy(id_col).orderBy("df", "g")
+    prefix_len = F.col("sz") - F.ceil(F.lit(float(threshold)) * F.col("sz")) + 1
+    return (
+        exploded.join(freq, "g")
+        .withColumn("_rnk", F.row_number().over(w))
+        .filter(F.col("_rnk") <= prefix_len)
+        .select(id_col, *block_cols, "g")
     )
 
 
@@ -150,44 +164,46 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     block_cols: tuple[str, ...] = ("lang",),
 ) -> DataFrame:
-    """Near-duplicate pairs by character-n-gram Jaccard, with MinHash-band
-    candidate generation: each doc explodes into B (band, band-signature)
-    rows over its char-n-gram minhashes; candidates are the equi-join on
-    (band, bsig, *block_cols); survivors are verified with EXACT Jaccard.
+    """Near-duplicate pairs by character-n-gram Jaccard — EXACT (all pairs
+    with J ≥ threshold, nothing lossy), via the prefix-filter
+    set-similarity self-join (see jaccard_prefix_table).
 
-    Candidate volume stays near-linear in N because unrelated docs share no
-    band signature — there is no block the size of a whole language (the
-    previous `lang`-keyed self-join was O(N²) within "en" at corpus scale).
-    `block_cols` remain as semantic partitions (pairs never cross them),
-    but they no longer carry the join — the band signature does. Recall is
-    the standard LSH s-curve: a pair at exactly `threshold` may be missed
-    (P(share a band) = 1-(1-t^r)^b); near-identical pairs are found w.h.p.
-    Output: (id1, id2, jaccard) for candidate pairs ≥ threshold.
+    Shape: prefix explode → equi-join on (prefix gram, *block_cols) →
+    distinct candidate pairs → join grams back → exact-Jaccard verify.
+    Candidate volume is near-linear in N because only RARE grams live in
+    prefixes — there is no block the size of a whole language (the original
+    `lang`-keyed self-join was O(N²) within "en" at corpus scale), and the
+    gram-frequency ordering is recomputed per corpus, so selectivity adapts
+    to the data. `block_cols` remain semantic partitions on the join key.
+    Output: (id1, id2, jaccard) for ALL pairs ≥ threshold.
     """
-    banded = char_band_table(
-        documents, n=n, text_col=text_col, block_cols=block_cols
+    grams_tbl = documents.select(
+        F.col("doc_id"), *block_cols,
+        F.array_distinct(char_ngrams(F.col(text_col), n)).alias("grams"),
+    ).filter(F.size("grams") > 0)
+    prefix = jaccard_prefix_table(
+        documents, threshold, n=n, text_col=text_col, block_cols=block_cols
     )
-    a = banded.select(
-        F.col("band"), F.col("bsig"),
+    a = prefix.select(
+        F.col("g"),
         *[F.col(c).alias(f"b1_{c}") for c in block_cols],
-        F.col("doc_id").alias("id1"), F.col("grams").alias("g1"),
+        F.col("doc_id").alias("id1"),
     )
-    b = banded.select(
-        F.col("band").alias("band_r"), F.col("bsig").alias("bsig_r"),
+    b = prefix.select(
+        F.col("g").alias("g_r"),
         *[F.col(c).alias(f"b2_{c}") for c in block_cols],
-        F.col("doc_id").alias("id2"), F.col("grams").alias("g2"),
+        F.col("doc_id").alias("id2"),
     )
-    cond = (
-        (F.col("band") == F.col("band_r"))
-        & (F.col("bsig") == F.col("bsig_r"))
-        & (F.col("id1") < F.col("id2"))
-    )
+    cond = (F.col("g") == F.col("g_r")) & (F.col("id1") < F.col("id2"))
     for c in block_cols:
         cond = cond & (F.col(f"b1_{c}") == F.col(f"b2_{c}"))
-    cand = (
-        a.join(b, cond)
-        .select("id1", "id2", "g1", "g2")
-        .dropDuplicates(["id1", "id2"])
+    cand = a.join(b, cond).select("id1", "id2").dropDuplicates(["id1", "id2"])
+    paired = cand.join(
+        grams_tbl.select(F.col("doc_id").alias("id1"), F.col("grams").alias("g1")),
+        "id1",
+    ).join(
+        grams_tbl.select(F.col("doc_id").alias("id2"), F.col("grams").alias("g2")),
+        "id2",
     )
     inter = F.size(F.array_intersect(F.col("g1"), F.col("g2"))).cast("double")
     union = (
@@ -195,7 +211,7 @@ def ngram_jaccard_pairs(
     )
     jac = F.when(union > 0, inter / union).otherwise(F.lit(0.0))
     return (
-        cand.withColumn("jaccard", F.round(jac, 6))
+        paired.withColumn("jaccard", F.round(jac, 6))
         .filter(F.col("jaccard") >= threshold)
         .select("id1", "id2", "jaccard")
     )

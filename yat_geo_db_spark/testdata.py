@@ -74,8 +74,14 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             df = spark.read.parquet(path)
         finally:
             spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "false")
-        if dict(df.dtypes).get("ts") == "bigint":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_type == "timestamp_ntz":
+            # micros generations read as TIMESTAMP_NTZ, which watermarks
+            # reject; the session tz is pinned to UTC so this cast is the
+            # identity wall-clock mapping (same instants DuckDB sees)
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     else:
         df = spark.read.parquet(path)
     if _SCAN_COMPENSATE and name not in _NO_COMPENSATE:
