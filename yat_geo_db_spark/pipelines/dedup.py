@@ -151,9 +151,9 @@ def jaccard_prefix_table(
     prefix_len = F.col("sz") - F.ceil(F.lit(float(threshold)) * F.col("sz")) + 1
     return (
         exploded.join(freq, "g")
-        .withColumn("_rnk", F.row_number().over(w))
-        .filter(F.col("_rnk") <= prefix_len)
-        .select(id_col, *block_cols, "g")
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= prefix_len)
+        .select(id_col, *block_cols, "g", "rnk", "sz")
     )
 
 
@@ -188,13 +188,33 @@ def ngram_jaccard_pairs(
         F.col("g"),
         *[F.col(c).alias(f"b1_{c}") for c in block_cols],
         F.col("doc_id").alias("id1"),
+        F.col("rnk").alias("p1"), F.col("sz").alias("sz1"),
     )
     b = prefix.select(
         F.col("g").alias("g_r"),
         *[F.col(c).alias(f"b2_{c}") for c in block_cols],
         F.col("doc_id").alias("id2"),
+        F.col("rnk").alias("p2"), F.col("sz").alias("sz2"),
     )
-    cond = (F.col("g") == F.col("g_r")) & (F.col("id1") < F.col("id2"))
+    t = float(threshold)
+    # PPJoin pruning (both LOSSLESS, evaluated inside the join so pruned
+    # rows never reach the pair-dedup shuffle):
+    # - length filter: J ≥ t forces t·|x| ≤ |y| ≤ |x|/t
+    # - positional filter: via the FIRST shared prefix gram, the overlap is
+    #   bounded by min(|x|-p1, |y|-p2)+1; a true pair needs overlap
+    #   α = ⌈t/(1+t)·(|x|+|y|)⌉, and for its first shared gram the bound
+    #   holds, so rows failing it can be dropped without losing the pair
+    alpha = F.ceil(F.lit(t / (1.0 + t)) * (F.col("sz1") + F.col("sz2")))
+    ubound = F.least(
+        F.col("sz1") - F.col("p1"), F.col("sz2") - F.col("p2")
+    ) + F.lit(1)
+    cond = (
+        (F.col("g") == F.col("g_r"))
+        & (F.col("id1") < F.col("id2"))
+        & (F.col("sz2") >= F.ceil(F.lit(t) * F.col("sz1")))
+        & (F.col("sz2") <= F.floor(F.col("sz1") / F.lit(t)))
+        & (ubound >= alpha)
+    )
     for c in block_cols:
         cond = cond & (F.col(f"b1_{c}") == F.col(f"b2_{c}"))
     cand = a.join(b, cond).select("id1", "id2").dropDuplicates(["id1", "id2"])
@@ -425,31 +445,27 @@ def minhash_lsh_pairs(
 # SimHash
 # --------------------------------------------------------------------------
 
-def simhash_bit_source(h: Column, j: int) -> Column:
-    """The (scrambled-hash, bit-position) pair signature bit j votes on.
-    Bits 0-23 read (h·K1) mod M, bits 24-47 read (h·K2) mod M — see the
-    SIMHASH_SCRAMBLE_* note. h < 2^30 and K < 2^32 keep the product well
-    inside a 64-bit long in both engines."""
-    if j < SIMHASH_BITS // 2:
-        k, pos = SIMHASH_SCRAMBLE_1, j
-    else:
-        k, pos = SIMHASH_SCRAMBLE_2, j - SIMHASH_BITS // 2
-    return ((h * F.lit(k)) % F.lit(FNV_MOD)).bitwiseAND(F.lit(1 << pos))
+def simhash_col(scrambled_lo: Column, scrambled_hi: Column) -> Column:
+    """SimHash signature from two (materialized) arrays of SCRAMBLED token
+    hashes: per-bit vote, sign → bit. Bit j < 24 counts elements of
+    `scrambled_lo` = (h·K1) mod M with bit j set; bit j ≥ 24 reads bit
+    j-24 of `scrambled_hi` = (h·K2) mod M (see the SIMHASH_SCRAMBLE_*
+    note — raw polynomial hashes can't fill 48 well-mixed positions).
 
-
-def simhash_col(hashes: Column) -> Column:
-    """SimHash signature from a (materialized) array of token hashes:
-    per-bit vote, sign → bit. For each bit j, count hashes whose scrambled
-    hash has the source bit set vs total, set bit when votes > half. Takes
-    pre-computed hashes for the same no-CSE-in-HOFs reason as
-    minhash_signature — the 48 bit-votes would otherwise each re-run the
-    token hash fold."""
-    n_tok = F.size(hashes)
+    Takes PRE-SCRAMBLED arrays for the no-CSE-in-HOFs reason (module doc):
+    lambda HOFs re-evaluate their input expression per consumer, so folding
+    the multiply-mod into each of the 48 bit-vote filters would run it 48×
+    per token. Scramble once per token before the aggregation shuffle
+    (simhash_table), then each vote is a bare bitwise test."""
+    n_tok = F.size(scrambled_lo)
+    half = SIMHASH_BITS // 2
 
     def _vote(j: int):
         # one-arg lambda per bit (a two-arg lambda would make F.filter pass
         # the element INDEX as the second argument)
-        return F.filter(hashes, lambda h: simhash_bit_source(h, j) > 0)
+        arr = scrambled_lo if j < half else scrambled_hi
+        pos = j if j < half else j - half
+        return F.filter(arr, lambda h: h.bitwiseAND(F.lit(1 << pos)) > 0)
 
     bits = [
         F.when(
@@ -479,13 +495,22 @@ def simhash_table(
         "doc_id", *[F.col(c) for c in block_cols],
         F.explode(tokens_col(F.col(text_col))).alias("t"),
     )
-    hashed = toks.withColumn("h", shingle_hash(F.col("t"))).drop("t")
+    # scramble ONCE per token occurrence, before the aggregation shuffle —
+    # the 48 bit votes then test bare bits of the materialized arrays
+    hashed = toks.withColumn("h", shingle_hash(F.col("t"))).select(
+        "doc_id", *block_cols,
+        ((F.col("h") * F.lit(SIMHASH_SCRAMBLE_1)) % F.lit(FNV_MOD)).alias("h1"),
+        ((F.col("h") * F.lit(SIMHASH_SCRAMBLE_2)) % F.lit(FNV_MOD)).alias("h2"),
+    )
     return (
         hashed.groupBy("doc_id", *[F.col(c) for c in block_cols])
-        .agg(F.collect_list("h").alias("hashes"))
+        .agg(
+            F.collect_list("h1").alias("s_lo"),
+            F.collect_list("h2").alias("s_hi"),
+        )
         .select(
             "doc_id", *[F.col(c) for c in block_cols],
-            simhash_col(F.col("hashes")).alias("sig"),
+            simhash_col(F.col("s_lo"), F.col("s_hi")).alias("sig"),
         )
     )
 
