@@ -39,3 +39,30 @@ def test_export_shards_layout(spark, tmp_path):
     back = spark.read.parquet(out)
     assert back.count() == docs.count()
     assert back.select("doc_id").distinct().count() == docs.count()
+
+
+def test_pack_chunks_invariants(spark):
+    """Concatenate-and-chunk packing: per stream the token ranges tile
+    [0, total) with no gaps or overlaps, chunk ids match the offsets, and
+    boundary-spanning is exactly offset_in_chunk + n_tokens > seq_len."""
+    from yat_geo_db_spark.pipelines.curation import pack_chunks
+
+    docs = load_table(spark, SF, "documents")
+    seq_len = 128
+    out = pack_chunks(docs, seq_len=seq_len, n_streams=8).collect()
+    assert len(out) == docs.count()
+    by_stream: dict = {}
+    for r in out:
+        by_stream.setdefault(r["stream"], []).append(r)
+    assert len(by_stream) == 8
+    for rows in by_stream.values():
+        rows.sort(key=lambda r: r["start_offset"])
+        expect = 0
+        for r in rows:
+            assert r["start_offset"] == expect          # gapless tiling
+            expect = r["start_offset"] + r["n_tokens"]
+            assert r["chunk_first"] == r["start_offset"] // seq_len
+            assert r["chunk_last"] == (expect - 1) // seq_len
+            assert r["offset_in_chunk"] == r["start_offset"] % seq_len
+            spans = r["offset_in_chunk"] + r["n_tokens"] > seq_len
+            assert (r["chunk_last"] > r["chunk_first"]) == spans

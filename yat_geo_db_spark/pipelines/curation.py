@@ -93,6 +93,63 @@ def shard_assignment(df: DataFrame, n_shards: int,
     )
 
 
+def pack_chunks(
+    documents: DataFrame,
+    seq_len: int = 2048,
+    n_streams: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Concatenate-and-chunk sequence packing — the standard LM-pretraining
+    data-prep step: documents are concatenated in a deterministic order and
+    cut into fixed `seq_len`-token chunks; a document may span a chunk
+    boundary. Returns per doc:
+
+        (doc_id, stream, n_tokens, start_offset, chunk_first, chunk_last,
+         offset_in_chunk)
+
+    where `start_offset` is the document's token offset within its stream's
+    concatenation, chunk_first/last the chunk indices it touches, and
+    `offset_in_chunk` its position inside chunk_first — everything a loader
+    needs to materialize packed sequences without re-tokenizing.
+
+    Scale shape: a single global concatenation order would serialize the
+    window into one partition, so documents are first split into
+    `n_streams` independent streams by a deterministic multiplicative hash
+    of the id (same constant as shard_assignment — stable across runs and
+    engines), and the running-offset window runs PER STREAM: n_streams-way
+    parallel, one shuffle. Chunk ids are stream-local; (stream, chunk) is
+    the global chunk key. Token counts are whitespace tokens (swap in
+    bpe_ish_token_count_col for subword budgeting)."""
+    from pyspark.sql import Window
+
+    from yat_geo_db_spark.pipelines.text import token_count_col
+
+    stream = ((F.col(id_col) * F.lit(2654435761)) % F.lit(n_streams)).cast("int")
+    toks = F.greatest(token_count_col(F.col(text_col)), F.lit(1))
+    w = (
+        Window.partitionBy("stream")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    with_off = (
+        documents.select(
+            F.col(id_col), stream.alias("stream"), toks.alias("n_tokens")
+        )
+        .withColumn("end_offset", F.sum("n_tokens").over(w))
+        .withColumn("start_offset", F.col("end_offset") - F.col("n_tokens"))
+    )
+    return with_off.select(
+        id_col,
+        "stream",
+        "n_tokens",
+        "start_offset",
+        F.floor(F.col("start_offset") / seq_len).cast("long").alias("chunk_first"),
+        F.floor((F.col("end_offset") - 1) / seq_len).cast("long").alias("chunk_last"),
+        (F.col("start_offset") % seq_len).cast("long").alias("offset_in_chunk"),
+    )
+
+
 def export_shards(df: DataFrame, path: str, n_shards: int,
                   key_col: str = "doc_id") -> None:
     """Write the curated corpus as n_shards reproducible parquet shards:

@@ -469,6 +469,49 @@ SELECT id1, id2, cosine FROM (
 SAMPLE_RATES = {"en": 0.5, "de": 1.0, "fr": 0.25, "es": 0.25}  # zh dropped
 
 
+PACK_SEQ_LEN = 512
+PACK_STREAMS = 16
+
+
+def q_pack_chunks(spark, sf_dir):
+    """LM-pretraining sequence packing (concatenate-and-chunk): per-stream
+    running token offsets → fixed seq_len chunk assignment. Streams are the
+    parallelism unit — no global window."""
+    from yat_geo_db_spark.pipelines.curation import pack_chunks
+
+    out = pack_chunks(
+        load_table(spark, sf_dir, "documents"),
+        seq_len=PACK_SEQ_LEN,
+        n_streams=PACK_STREAMS,
+    )
+    return out.withColumn("n_tokens", F.col("n_tokens").cast("long")).withColumn(
+        "start_offset", F.col("start_offset").cast("long")
+    )
+
+
+_PACK_CHUNKS_SQL = f"""
+WITH t AS (
+  SELECT doc_id,
+         CAST((doc_id * 2654435761) % {PACK_STREAMS} AS INT) AS stream,
+         greatest(len(string_split(text, ' ')), 1) AS n_tokens
+  FROM documents
+),
+o AS (
+  SELECT doc_id, stream, n_tokens,
+         sum(n_tokens) OVER (PARTITION BY stream ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS end_offset
+  FROM t
+)
+SELECT doc_id, stream,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(end_offset - n_tokens AS BIGINT) AS start_offset,
+       CAST(floor((end_offset - n_tokens) / {PACK_SEQ_LEN}) AS BIGINT) AS chunk_first,
+       CAST(floor((end_offset - 1) / {PACK_SEQ_LEN}) AS BIGINT) AS chunk_last,
+       CAST((end_offset - n_tokens) % {PACK_SEQ_LEN} AS BIGINT) AS offset_in_chunk
+FROM o
+"""
+
+
 def q_sample_stratified(spark, sf_dir):
     """Reproducible stratified sampling (text.stratified_sample): keep-set
     is a pure function of doc_id, stable across engines/partitionings."""
@@ -947,6 +990,7 @@ QUERIES: dict = {
     "pipe_sim_kmeans": (q_sim_kmeans, _kmeans_sql()),
     "pipe_curate_corpus": (q_curate_corpus, _curate_sql()),
     "pipe_shard_assignment": (q_shard_assignment, _SHARD_SQL),
+    "pipe_pack_chunks": (q_pack_chunks, _PACK_CHUNKS_SQL),
     "pipe_sample_stratified": (q_sample_stratified, _SAMPLE_STRATIFIED_SQL),
     "pipe_text_quality": (q_text_quality, _TEXT_QUALITY_SQL),
     "pipe_text_lang_id": (q_text_lang_id, _lang_id_sql()),
