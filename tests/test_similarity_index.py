@@ -83,3 +83,42 @@ def test_indexed_multiprobe_matches_inmemory(spark, tmp_path):
     got_ids = [(r["vec_id"], r["cosine"]) for r in got if r["vec_id"] != 1]
     want_ids = [(r["vec_id"], r["cosine"]) for r in want]
     assert got_ids[: len(want_ids) - 1] == want_ids[: len(want_ids) - 1]
+
+
+def test_kmeans_ivf_index_probe(spark, tmp_path):
+    """Learned-quantizer IVF: probing ALL cells equals brute force exactly
+    (IVF partitions the corpus, loses nothing); a few-cell probe prunes at
+    the partition-directory level and still finds the true neighbor of a
+    stored vector (its own cell is always the nearest probe)."""
+    from yat_geo_db_spark.pipelines.similarity import (
+        brute_force_topk,
+        kmeans_ivf_topk,
+        write_kmeans_ivf_index,
+    )
+
+    emb = load_table(spark, SF, "embeddings")
+    root = str(tmp_path / "kivf")
+    n_cells = 8
+    write_kmeans_ivf_index(emb, root, k=n_cells, n_iter=2)
+
+    qvec = list(emb.filter(F.col("vec_id") == QUERY_ID).first()["embedding"])
+    # nprobe = all cells ⇒ identical to brute force (modulo the query row)
+    got_all = [
+        (r["vec_id"], r["cosine"])
+        for r in kmeans_ivf_topk(spark, root, qvec, k=11, nprobe=n_cells).collect()
+        if r["vec_id"] != QUERY_ID
+    ]
+    want = [
+        (r["vec_id"], r["cosine"])
+        for r in brute_force_topk(emb, QUERY_ID, k=10).collect()
+    ]
+    assert got_all[: len(want)] == want and len(want) == 10
+
+    # narrow probe: the stored query vector itself must surface (cosine 1.0
+    # with itself ⇒ its own cell is the nearest centroid)
+    narrow = kmeans_ivf_topk(spark, root, qvec, k=3, nprobe=1)
+    rows = narrow.collect()
+    assert rows and rows[0]["vec_id"] == QUERY_ID and rows[0]["cosine"] == 1.0
+    plan = narrow._jdf.queryExecution().executedPlan().toString()
+    part_filters = plan.split("PartitionFilters")[1][:160]
+    assert "cid" in part_filters            # directory-level pruning

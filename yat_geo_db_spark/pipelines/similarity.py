@@ -285,16 +285,16 @@ def _kmeans_update(assign: DataFrame, embeddings: DataFrame,
     )
 
 
-def kmeans_fit_assign(embeddings: DataFrame, k: int = 4, n_iter: int = 2,
-                      id_col: str = "vec_id",
-                      vec_col: str = "embedding") -> DataFrame:
-    """Lloyd's k-means, deterministic end to end: init = the vectors with
-    the k smallest ids (no RNG), n_iter (assign → update) rounds, then a
-    final assignment. Each round is one broadcast cross join + two hash
-    aggregations; centroids are localCheckpoint'd per round to truncate
-    the iterative plan (on a real cluster: setCheckpointDir + checkpoint).
-    Fixed iteration count — k-means converges monotonically, and a fixed
-    budget keeps the job graph static (the standard batch formulation)."""
+def kmeans_fit(embeddings: DataFrame, k: int = 4, n_iter: int = 2,
+               id_col: str = "vec_id",
+               vec_col: str = "embedding") -> DataFrame:
+    """Lloyd's k-means fit, deterministic end to end: init = the vectors
+    with the k smallest ids (no RNG), n_iter (assign → update) rounds.
+    Each round is one broadcast cross join + two hash aggregations;
+    centroids are localCheckpoint'd per round to truncate the iterative
+    plan (on a real cluster: setCheckpointDir + checkpoint). Fixed
+    iteration count — k-means converges monotonically, and a fixed budget
+    keeps the job graph static. Returns (cid, cvec)."""
     # init = the k smallest ids via sort+limit (NOT `id < k`, which yields
     # fewer than k centroids when ids are sparse/non-contiguous); cid keeps
     # the vector's own id — deterministic and oracle-expressible
@@ -311,4 +311,76 @@ def kmeans_fit_assign(embeddings: DataFrame, k: int = 4, n_iter: int = 2,
         centroids = _kmeans_update(
             assign, embeddings, id_col, vec_col
         ).localCheckpoint()
-    return kmeans_assign(embeddings, centroids, id_col, vec_col)
+    return centroids
+
+
+def kmeans_fit_assign(embeddings: DataFrame, k: int = 4, n_iter: int = 2,
+                      id_col: str = "vec_id",
+                      vec_col: str = "embedding") -> DataFrame:
+    """Fit (kmeans_fit) then a final assignment pass."""
+    return kmeans_assign(
+        embeddings, kmeans_fit(embeddings, k, n_iter, id_col, vec_col),
+        id_col, vec_col,
+    )
+
+
+# --------------------------------------------------------------------------
+# Learned IVF: k-means centroids as the coarse quantizer
+# --------------------------------------------------------------------------
+
+def write_kmeans_ivf_index(
+    embeddings: DataFrame, root: str, k: int = 16, n_iter: int = 2,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> str:
+    """Persist a LEARNED IVF index: Lloyd centroids as the coarse quantizer
+    (adapts cell boundaries to the data distribution, unlike the
+    data-oblivious sign-bit quantizer — the fix for signbit's skew risk on
+    biased embeddings). Layout:
+
+        <root>/centroids/   k rows (cid, cvec) — the probe dictionary
+        <root>/vectors/     corpus partitionBy(cid)
+
+    Each probe reads ~N/k vectors via directory-level partition pruning;
+    k scales with corpus size (k ≈ sqrt(N) is the classical IVF sizing)."""
+    centroids = kmeans_fit(embeddings, k=k, n_iter=n_iter,
+                           id_col=id_col, vec_col=vec_col)
+    centroids.write.mode("overwrite").parquet(f"{root}/centroids")
+    assign = kmeans_assign(embeddings, centroids, id_col, vec_col)
+    (
+        embeddings.join(assign.select(id_col, "cid"), id_col)
+        .repartition("cid")
+        .write.mode("overwrite")
+        .partitionBy("cid")
+        .parquet(f"{root}/vectors")
+    )
+    return root
+
+
+def kmeans_ivf_topk(
+    spark, root: str, query_vec: list[float], k: int = 10, nprobe: int = 2,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """Probe a persisted k-means IVF index: nearest `nprobe` centroids are
+    chosen DRIVER-side (the centroid table is k rows — a query parameter
+    lookup, not a data scan), then one partition-pruned scan of those
+    cells ranked by exact cosine. `nprobe` is the recall lever, same as
+    ivf_topk's hamming_probe."""
+    cents = spark.read.parquet(f"{root}/centroids").collect()
+    q = [float(x) for x in query_vec]
+
+    def sqd(c):
+        return sum((float(a) - b) * (float(a) - b) for a, b in zip(c, q))
+
+    probes = [
+        r["cid"] for r in sorted(cents, key=lambda r: (sqd(r["cvec"]), r["cid"]))
+    ][:nprobe]
+    qcol = F.array(*[F.lit(x) for x in q])
+    df = spark.read.parquet(f"{root}/vectors").filter(F.col("cid").isin(probes))
+    return (
+        df.select(
+            F.col(id_col),
+            F.round(cosine_col(F.col(vec_col), qcol), 6).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), F.asc(id_col))
+        .limit(k)
+    )

@@ -62,6 +62,21 @@ def stratified_sample(
     )
 
 
+def quality_weighted_sample(
+    documents, score_col: Column, floor: float = 0.0, ceiling: float = 1.0,
+    key_col: str = "doc_id",
+):
+    """Score-proportional reproducible sampling: keep a row iff its
+    deterministic sampling hash falls below its (clamped) per-row score —
+    high-quality docs are kept with high probability, low-quality docs
+    rarely, and membership stays a pure function of (key, score): stable
+    across runs, partitionings, and engines. The standard quality-curriculum
+    downsampling step between scoring and export; pure column predicate,
+    no shuffle, no RNG."""
+    p = F.least(F.greatest(score_col, F.lit(float(floor))), F.lit(float(ceiling)))
+    return documents.filter(sample_hash_col(F.col(key_col)) < p)
+
+
 def tokens_col(text: Column) -> Column:
     """Whitespace tokenization."""
     return F.split(text, " ")

@@ -531,6 +531,26 @@ WHERE CAST((doc_id * 2654435761) % 1000003 AS DOUBLE) / 1000003.0 < rate
 """
 
 
+def q_sample_quality(spark, sf_dir):
+    """Score-proportional reproducible sampling: acceptance probability =
+    the doc's (clamped) quality score, membership a pure function of
+    (doc_id, score) — the quality-curriculum downsampling step."""
+    scored = text.quality_features(load_table(spark, sf_dir, "documents"))
+    out = text.quality_weighted_sample(
+        scored, F.col("quality_score"), ceiling=0.9
+    )
+    return out.select("doc_id", "quality_score")
+
+
+def _sample_quality_sql() -> str:
+    return f"""
+WITH q AS ({_TEXT_QUALITY_SQL})
+SELECT doc_id, quality_score FROM q
+WHERE CAST((doc_id * 2654435761) % 1000003 AS DOUBLE) / 1000003.0
+      < least(greatest(quality_score, CAST(0.0 AS DOUBLE)), CAST(0.9 AS DOUBLE))
+"""
+
+
 def q_text_quality(spark, sf_dir):
     return text.quality_features(load_table(spark, sf_dir, "documents"))
 
@@ -992,6 +1012,7 @@ QUERIES: dict = {
     "pipe_shard_assignment": (q_shard_assignment, _SHARD_SQL),
     "pipe_pack_chunks": (q_pack_chunks, _PACK_CHUNKS_SQL),
     "pipe_sample_stratified": (q_sample_stratified, _SAMPLE_STRATIFIED_SQL),
+    "pipe_sample_quality": (q_sample_quality, _sample_quality_sql()),
     "pipe_text_quality": (q_text_quality, _TEXT_QUALITY_SQL),
     "pipe_text_lang_id": (q_text_lang_id, _lang_id_sql()),
     "pipe_text_fingerprint": (q_text_fingerprint, _TEXT_FINGERPRINT_SQL),
