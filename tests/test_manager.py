@@ -163,6 +163,37 @@ def test_partition_scoped_fuzzy_search(spark):
     assert best is not None and best["extra"]["ref_data"]["state_prov"] == "TN"
 
 
+def test_load_data_roundtrip_and_compaction(spark, tmp_path):
+    """S1-S4 through the facade: a manager serving from the written layout
+    answers identically to one serving the in-memory fixture; after
+    incremental add_entity upserts, compact_shapes rewrites the store and
+    the upserted rows survive the reload."""
+    from yat_geo_db_spark.geo.ingest import compact_shapes, write_shapes
+
+    register_views(spark, "/root/testdata/sf0.001")
+    root = str(tmp_path / "store")
+    write_shapes(shapes_df(spark), root, version="7")
+
+    gml = GeoManager(spark).load_data(root, version="7")
+    assert gml.num_shapes == shapes_df(spark).count()
+    direct = GeoManager(spark, shapes=shapes_df(spark))
+    ref = "us__tn__nashville_0"
+    assert gml.get_shape_by_ref_code(ref) == direct.get_shape_by_ref_code(ref)
+    assert [r["id"] for r in gml.fuzzy_search("Nashville, TN", num_results=5)] == [
+        r["id"] for r in direct.fuzzy_search("Nashville, TN", num_results=5)
+    ]
+
+    n0 = gml.num_shapes
+    gml.add_entity("Compactown, KS", 999100)
+    out = compact_shapes(gml, root, version="8")
+    assert out.endswith("v=8/shapes")
+    assert gml.num_shapes == n0 + 1
+    assert gml.get_shape_by_id(999100)["clean_value"] == "compactown ks"
+    assert any(
+        r["id"] == 999100 for r in gml.fuzzy_search("Compactown", num_results=5)
+    )
+
+
 def test_unloaded_manager_raises_runtime_error(spark):
     gm3 = GeoManager(spark)
     import pytest as _pytest

@@ -166,6 +166,23 @@ def read_shapes(spark: SparkSession, root: str, version: str | None = None) -> D
     return spark.read.parquet(versioned_path(root, version, "shapes"))
 
 
+def compact_shapes(
+    manager, root: str, version: str | None = None
+) -> str:
+    """Compaction for the incremental upsert path: `GeoManager.add_entity`
+    extends the shapes relation by per-row unions (fine for serving, but N
+    upserts = N union branches in the plan and N tiny in-memory blocks).
+    Compacting writes the CURRENT relation back as the sorted Parquet
+    layout (one range-partitioned, reference_code-sorted dataset — the
+    same layout ingest produces) and reloads the manager from it, so point
+    gets regain row-group pruning and the plan resets to a single scan.
+    The Delta/Iceberg OPTIMIZE analog for this engine's plain-Parquet
+    store."""
+    out = write_shapes(manager.shapes, root, version)
+    manager.load_data(root, version)
+    return out
+
+
 def write_shapes_partitioned(
     shapes: DataFrame, root: str, partition_expr: str,
     version: str | None = None, partition_name: str = "partition",
