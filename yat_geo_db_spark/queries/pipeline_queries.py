@@ -18,10 +18,14 @@ from yat_geo_db_spark.testdata import load_table
 #: thresholds shared by both engines
 JACCARD_T = 0.5
 MINHASH_T = 0.5
-#: hamming ≤ 1 of 48 bits: on this corpus's short (~54-token) docs the
-#: in-block hamming distribution is dense from ~2 up (SimHash's known
-#: weakness on short text), so only the 0/1 band isolates true near-dups
-SIMHASH_MAX_HAMMING = 1
+#: hamming ≤ 3 of 48 well-mixed bits (the classical Manku web-dedup band,
+#: scaled from 64-bit): on this corpus near-IDENTICAL docs (jaccard ≥ .8)
+#: land at h ≤ 2 while random same-block pairs bottom out at h ≈ 7
+#: (measured), so the ≤ 3 band is selective and non-empty. Moderate
+#: near-dups (jaccard .5-.7 on ~54-token docs) spread to h 7-20 — SimHash's
+#: known short-text weakness; the Jaccard/MinHash ops own that regime.
+#: Candidate generation uses max_hamming+1 = 4 segments of 12 bits.
+SIMHASH_MAX_HAMMING = 3
 COSINE_T = 0.12
 TOPK_QUERY_ID = 1
 IVF_BITS = 6
