@@ -991,7 +991,9 @@ SELECT CAST(c_custkey % 7 AS INT) AS cntrycode,
        {_dsum('c_acctbal', 2)} AS totacctbal
 FROM customer, avg_bal
 WHERE c_acctbal > avg_bal
-  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate >= TIMESTAMP '2000-01-01')
 GROUP BY 1
 """
 

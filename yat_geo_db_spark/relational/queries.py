@@ -622,12 +622,16 @@ def q19_disjunctive_revenue(lineitem: DataFrame, part: DataFrame) -> DataFrame:
 
 
 def q22_idle_customers(customer: DataFrame, orders: DataFrame,
-                       n_codes: int = 7) -> DataFrame:
+                       n_codes: int = 7,
+                       idle_since: str = "2000-01-01") -> DataFrame:
     """TPC-H Q22 shape: positive-balance customers above the global average
-    balance who have never ordered, bucketed by a synthetic "country code"
-    (c_custkey % n_codes — the fixture has no phone column). The average is
-    a broadcast scalar (exact sum / count → bit-identical double in both
-    engines); never-ordered is a left-anti join."""
+    balance with no order since `idle_since`, bucketed by a synthetic
+    "country code" (c_custkey % n_codes — the fixture has no phone column).
+    The average is a broadcast scalar (exact sum / count → bit-identical
+    double in both engines); no-recent-order is a left-anti join whose date
+    filter pushes into the orders scan. (TPC-H's literal "never ordered" is
+    vacuous on this fixture — every customer has orders — so idleness is
+    recency-based; the plan shape is identical.)"""
     avg_bal = (
         customer.filter(F.col("c_acctbal") > 0.0)
         .agg((dsum(F.col("c_acctbal"), 2) / F.count(F.lit(1))).alias("avg_bal"))
@@ -637,7 +641,9 @@ def q22_idle_customers(customer: DataFrame, orders: DataFrame,
         .join(F.broadcast(avg_bal))
         .filter(F.col("c_acctbal") > F.col("avg_bal"))
         .join(
-            orders.select("o_custkey").distinct(),
+            orders.filter(F.col("o_orderdate") >= F.lit(idle_since))
+            .select("o_custkey")
+            .distinct(),
             F.col("c_custkey") == F.col("o_custkey"),
             "left_anti",
         )
