@@ -82,6 +82,7 @@ def apply_runtime_conf(spark: SparkSession) -> SparkSession:
     deterministic (UTC timestamps) and plans adaptive."""
     for k in (
         "spark.sql.adaptive.enabled",
+        "spark.sql.adaptive.forceOptimizeSkewedJoin",
         "spark.sql.session.timeZone",
         "spark.sql.execution.arrow.pyspark.enabled",
         "spark.sql.icu.caseMappings.enabled",
@@ -90,4 +91,15 @@ def apply_runtime_conf(spark: SparkSession) -> SparkSession:
             spark.conf.set(k, _DEFAULTS[k])
         except Exception:
             pass  # conf may be locked; results then depend on driver settings
+    # a foreign session often carries the stock 200 shuffle partitions —
+    # on the fixture tables that is 200 near-empty tasks per exchange, pure
+    # scheduler overhead across a ~100-query correctness pass (results are
+    # partition-count-independent; see the fixed-point-sum note)
+    try:
+        spark.conf.set(
+            "spark.sql.shuffle.partitions",
+            os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "32"),
+        )
+    except Exception:
+        pass
     return spark
