@@ -205,6 +205,31 @@ def tf_idf_top_terms(documents: DataFrame, k: int = 3,
     )
 
 
+def repetition_signals(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style repetition metrics (Rae et al. 2021 §A1.1, adapted to
+    token shingles): per doc, the fraction of all n-gram occurrences taken
+    by the single most frequent n-gram, for n = 2 and 3. High values flag
+    machine-generated / boilerplate-looping text that length or entropy
+    alone miss. Shape: explode shingles → (doc, gram) counts → max/sum per
+    doc — two hash aggregations per n, map-side combinable, no window.
+    Docs too short for an n-gram score 0.0 (nothing repeats)."""
+    base = documents.select("doc_id")
+    for n, name in ((2, "top_bigram_frac"), (3, "top_trigram_frac")):
+        sh = documents.select(
+            "doc_id", F.explode(token_shingles_col(F.col(text_col), n)).alias("g")
+        )
+        per = sh.groupBy("doc_id", "g").agg(F.count(F.lit(1)).alias("c"))
+        agg = per.groupBy("doc_id").agg(
+            F.round(
+                F.max("c").cast("double") / F.sum("c").cast("double"), 6
+            ).alias(name)
+        )
+        base = base.join(agg, "doc_id", "left").withColumn(
+            name, F.coalesce(F.col(name), F.lit(0.0))
+        )
+    return base
+
+
 def fingerprint_col(text: Column) -> Column:
     """Deterministic 63-bit document fingerprint: left-fold polynomial
     rolling hash over character codes, `acc*31 + code (mod 1e9+7)`.

@@ -555,6 +555,35 @@ WHERE CAST((doc_id * 2654435761) % 1000003 AS DOUBLE) / 1000003.0
 """
 
 
+def q_text_repetition(spark, sf_dir):
+    """Gopher-style top-n-gram repetition fractions (machine-generated /
+    boilerplate-loop detector)."""
+    return text.repetition_signals(load_table(spark, sf_dir, "documents"))
+
+
+def _repetition_sql() -> str:
+    def frac(w: int) -> str:
+        return f"""
+  SELECT doc_id,
+         round(CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE), 6) AS v
+  FROM (
+    SELECT doc_id, g, count(*) AS c
+    FROM (SELECT doc_id, unnest({_shingles('text', w)}) AS g FROM documents)
+    GROUP BY doc_id, g
+  ) GROUP BY doc_id
+"""
+
+    return f"""
+WITH b AS ({frac(2)}), t AS ({frac(3)})
+SELECT d.doc_id,
+       coalesce(b.v, 0.0) AS top_bigram_frac,
+       coalesce(t.v, 0.0) AS top_trigram_frac
+FROM documents d
+LEFT JOIN b ON d.doc_id = b.doc_id
+LEFT JOIN t ON d.doc_id = t.doc_id
+"""
+
+
 def q_text_quality(spark, sf_dir):
     return text.quality_features(load_table(spark, sf_dir, "documents"))
 
@@ -1018,6 +1047,7 @@ QUERIES: dict = {
     "pipe_sample_stratified": (q_sample_stratified, _SAMPLE_STRATIFIED_SQL),
     "pipe_sample_quality": (q_sample_quality, _sample_quality_sql()),
     "pipe_text_quality": (q_text_quality, _TEXT_QUALITY_SQL),
+    "pipe_text_repetition": (q_text_repetition, _repetition_sql()),
     "pipe_text_lang_id": (q_text_lang_id, _lang_id_sql()),
     "pipe_text_fingerprint": (q_text_fingerprint, _TEXT_FINGERPRINT_SQL),
     "pipe_text_tfidf": (q_text_tfidf, _TEXT_TFIDF_SQL),
