@@ -78,3 +78,59 @@ def test_rolling_hash_matches_duckdb(s):
         params=[s, s],
     ).fetchone()[0]
     assert acc == (want if want is not None else 0)
+
+
+# --------------------------------------------------------------------------
+# Prefix-filter losslessness (the math behind dedup.ngram_jaccard_pairs):
+# for ANY corpus and threshold, every pair with J >= t must survive the
+# candidate join — including the length and positional filters. This mirrors
+# the Spark join condition exactly (rare-first global order, per-doc prefix
+# |g| - ceil(t|g|) + 1, t|x| <= |y| <= |x|/t, overlap upper bound >= alpha).
+# --------------------------------------------------------------------------
+
+import math as _math
+from collections import Counter as _Counter
+
+_gram = st.sampled_from([f"g{i}" for i in range(18)])
+_doc = st.frozensets(_gram, min_size=1, max_size=12)
+_corpus = st.lists(_doc, min_size=2, max_size=10)
+_threshold = st.sampled_from([0.3, 0.5, 0.6, 0.8])
+
+
+def _prefix_candidates(docs, t):
+    """Pure-python mirror of jaccard_prefix_table + the join condition."""
+    df = _Counter(g for d in docs for g in set(d))
+    order = {g: (df[g], g) for g in df}
+    ranked = [
+        {g: r + 1 for r, g in enumerate(sorted(d, key=order.__getitem__))}
+        for d in docs
+    ]
+    prefixes = []
+    for d, rnk in zip(docs, ranked):
+        plen = len(d) - _math.ceil(t * len(d)) + 1
+        prefixes.append({g for g, r in rnk.items() if r <= plen})
+    cands = set()
+    for i in range(len(docs)):
+        for j in range(i + 1, len(docs)):
+            szx, szy = len(docs[i]), len(docs[j])
+            if not (szy >= _math.ceil(t * szx) and szy <= _math.floor(szx / t)):
+                continue
+            alpha = _math.ceil(t / (1 + t) * (szx + szy))
+            for g in prefixes[i] & prefixes[j]:
+                ub = min(szx - ranked[i][g], szy - ranked[j][g]) + 1
+                if ub >= alpha:
+                    cands.add((i, j))
+                    break
+    return cands
+
+
+@given(_corpus, _threshold)
+@settings(max_examples=250, deadline=None)
+def test_prefix_filter_is_lossless(docs, t):
+    cands = _prefix_candidates(docs, t)
+    for i in range(len(docs)):
+        for j in range(i + 1, len(docs)):
+            inter = len(docs[i] & docs[j])
+            union = len(docs[i] | docs[j])
+            if union and inter / union >= t:
+                assert (i, j) in cands, (docs[i], docs[j], t)

@@ -122,3 +122,22 @@ def test_kmeans_ivf_index_probe(spark, tmp_path):
     plan = narrow._jdf.queryExecution().executedPlan().toString()
     part_filters = plan.split("PartitionFilters")[1][:160]
     assert "cid" in part_filters            # directory-level pruning
+
+
+def test_recall_at_k_orders_probe_settings(spark):
+    """recall@k vs brute force: multi-probe IVF >= single-probe IVF (the
+    recall lever works), and both are measurable with the utility."""
+    from yat_geo_db_spark.pipelines.similarity import (
+        brute_force_topk,
+        ivf_topk,
+        recall_at_k,
+    )
+
+    emb = load_table(spark, SF, "embeddings")
+    exact = brute_force_topk(emb, QUERY_ID, k=10)
+    r1 = recall_at_k(ivf_topk(emb, QUERY_ID, k=10, bits=BITS), exact)
+    r2 = recall_at_k(
+        ivf_topk(emb, QUERY_ID, k=10, bits=BITS, hamming_probe=1), exact
+    )
+    assert 0.0 <= r1 <= r2 <= 1.0
+    assert r2 > 0.0                      # probing finds at least something

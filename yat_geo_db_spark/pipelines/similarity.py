@@ -217,6 +217,18 @@ def cosine_near_dup_pairs(
     )
 
 
+def recall_at_k(approx: DataFrame, exact: DataFrame,
+                id_col: str = "vec_id") -> float:
+    """Standard ANN quality metric: |approx ∩ exact| / |exact| over the two
+    top-k id sets. Both inputs are k-row results (collect is k rows to the
+    driver — the metric, not the search, is driver-side). Use to calibrate
+    bits/nprobe: recall(multi-probe) ≥ recall(single-probe) by
+    construction; pick the cheapest setting above the target."""
+    a = {r[id_col] for r in approx.collect()}
+    e = [r[id_col] for r in exact.collect()]
+    return len(a.intersection(e)) / len(e) if e else 1.0
+
+
 # --------------------------------------------------------------------------
 # K-means (Lloyd) — deterministic, fully declarative
 # --------------------------------------------------------------------------
