@@ -310,6 +310,8 @@ def kmeans_fit(embeddings: DataFrame, k: int = 4, n_iter: int = 2,
     # init = the k smallest ids via sort+limit (NOT `id < k`, which yields
     # fewer than k centroids when ids are sparse/non-contiguous); cid keeps
     # the vector's own id — deterministic and oracle-expressible
+    # localCheckpoint the k-row init so the TakeOrdered subtree runs once
+    # instead of re-executing under every consumer of round 1's plan
     centroids = (
         embeddings.orderBy(F.asc(id_col))
         .limit(k)
@@ -317,6 +319,7 @@ def kmeans_fit(embeddings: DataFrame, k: int = 4, n_iter: int = 2,
             F.col(id_col).cast("int").alias("cid"),
             F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("cvec"),
         )
+        .localCheckpoint()
     )
     for _ in range(n_iter):
         assign = kmeans_assign(embeddings, centroids, id_col, vec_col)
