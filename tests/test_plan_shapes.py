@@ -163,6 +163,31 @@ def test_radius_latlng_envelope_pushdown_on_ingested_layout(spark, ingested_shap
     assert df.count() > 0
 
 
+def test_dynamic_partition_pruning_on_partitioned_layout(spark, tmp_path):
+    """A join between the partitionBy shapes layout and a filtered dimension
+    prunes partitions at RUNTIME via Spark's dynamic partition pruning —
+    the scan's partition filter is a dynamicpruning subquery on the dim,
+    so at 100 TB only the dim-selected state directories are read even
+    though the selected set isn't known at plan time."""
+    from yat_geo_db_spark.geo.fixture import shapes_df
+    from yat_geo_db_spark.geo.ingest import write_shapes_partitioned
+    from yat_geo_db_spark.testdata import register_views
+
+    register_views(spark, SF_DIR, tables=("customer",))
+    out = write_shapes_partitioned(
+        shapes_df(spark), str(tmp_path / "db"), "ref_data.state_prov"
+    )
+    part = spark.read.parquet(out)
+    dim = spark.createDataFrame(
+        [("TN", 1), ("CA", 2)], "partition string, w int"
+    ).filter(F.col("w") >= 0)
+    j = part.join(dim, "partition").groupBy("partition").count()
+    rows = {r["partition"]: r["count"] for r in j.collect()}
+    assert set(rows) == {"TN", "CA"} and all(v > 0 for v in rows.values())
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan[:2000]
+
+
 def test_viewport_pushdown_on_ingested_layout(spark, ingested_shapes):
     from yat_geo_db_spark.geo import radius
 
