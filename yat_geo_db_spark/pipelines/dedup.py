@@ -352,6 +352,49 @@ def band_table(
     return _explode_bands(sig, id_col)
 
 
+def near_dup_matches(
+    new_docs: DataFrame,
+    corpus_bands: DataFrame,
+    threshold: float = 0.5,
+    w: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Contamination REPORT — the auditable counterpart of near_dup_filter:
+    every (incoming doc, reference-corpus doc, jaccard) match above the
+    threshold, so a decontamination run can show its work (which benchmark
+    items leaked, from where, how strongly) instead of silently dropping.
+    Same banded candidate generation; a pair matching via several bands is
+    emitted once (distinct over the identical verified jaccard)."""
+    nb = band_table(new_docs, w, text_col, id_col)
+    cb = corpus_bands.select(
+        F.col("band").alias("c_band"),
+        F.col("bsig").alias("c_bsig"),
+        F.col(id_col).alias("corpus_doc_id"),
+        F.col("grams").alias("c_grams"),
+    )
+    inter = F.size(F.array_intersect(F.col("grams"), F.col("c_grams"))).cast(
+        "double"
+    )
+    union = (
+        F.size(F.col("grams")).cast("double")
+        + F.size(F.col("c_grams")).cast("double")
+        - inter
+    )
+    jac = F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+    return (
+        nb.join(
+            cb,
+            (F.col("band") == F.col("c_band")) & (F.col("bsig") == F.col("c_bsig")),
+        )
+        .select(
+            id_col, "corpus_doc_id", F.round(jac, 6).alias("jaccard")
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .distinct()
+    )
+
+
 def near_dup_filter(
     new_docs: DataFrame,
     corpus_bands: DataFrame,

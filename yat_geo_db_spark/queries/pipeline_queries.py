@@ -281,6 +281,66 @@ def q_dedup_decontaminate(spark, sf_dir):
     return kept.select("doc_id")
 
 
+def q_dedup_contamination_report(spark, sf_dir):
+    """The decontamination audit: every (incoming, corpus) match pair with
+    its verified jaccard — shows WHAT leaked and from where, instead of
+    silently dropping."""
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") < DECON_SPLIT)
+    incoming = docs.filter(F.col("doc_id") >= DECON_SPLIT)
+    return dedup.near_dup_matches(
+        incoming, dedup.band_table(corpus), threshold=MINHASH_T
+    ).withColumnRenamed("doc_id", "incoming_doc_id")
+
+
+def _contamination_report_sql() -> str:
+    rows = len(MINHASH_PERMS) // MINHASH_BANDS
+    grams = _shingles("text")
+    mins = ", ".join(
+        f"CASE WHEN len(hashes) > 0 THEN "
+        f"list_min(list_transform(hashes, h -> (h * {a} + {b}) % {FNV_MOD})) "
+        f"ELSE {FNV_MOD} END"
+        for a, b in MINHASH_PERMS
+    )
+    bands = "\n  UNION ALL ".join(
+        f"SELECT doc_id, {bi} AS band, sig[{bi * rows + 1}:{bi * rows + rows}]"
+        f" AS bsig FROM sig"
+        for bi in range(MINHASH_BANDS)
+    )
+    return f"""
+WITH base AS (
+  SELECT doc_id,
+         list_distinct({grams}) AS grams,
+         list_distinct(list_transform({grams}, g -> {_sh('g')})) AS hashes
+  FROM documents
+),
+sig AS (SELECT doc_id, grams, [{mins}] AS sig FROM base),
+banded AS (
+  {bands}
+)
+SELECT DISTINCT n.doc_id AS incoming_doc_id, c.doc_id AS corpus_doc_id,
+       round(
+         CASE WHEN len(gn.grams) + len(gc.grams)
+                   - len(list_intersect(gn.grams, gc.grams)) > 0
+              THEN CAST(len(list_intersect(gn.grams, gc.grams)) AS DOUBLE)
+                   / (len(gn.grams) + len(gc.grams)
+                      - len(list_intersect(gn.grams, gc.grams)))
+              ELSE 0.0 END, 6) AS jaccard
+FROM banded n
+JOIN banded c ON n.band = c.band AND n.bsig = c.bsig
+JOIN base gn ON gn.doc_id = n.doc_id
+JOIN base gc ON gc.doc_id = c.doc_id
+WHERE n.doc_id >= {DECON_SPLIT} AND c.doc_id < {DECON_SPLIT}
+  AND round(
+    CASE WHEN len(gn.grams) + len(gc.grams)
+              - len(list_intersect(gn.grams, gc.grams)) > 0
+         THEN CAST(len(list_intersect(gn.grams, gc.grams)) AS DOUBLE)
+              / (len(gn.grams) + len(gc.grams)
+                 - len(list_intersect(gn.grams, gc.grams)))
+         ELSE 0.0 END, 6) >= {MINHASH_T}
+"""
+
+
 def _decontaminate_sql() -> str:
     rows = len(MINHASH_PERMS) // MINHASH_BANDS
     grams = _shingles("text")
@@ -1035,6 +1095,10 @@ QUERIES: dict = {
     "pipe_dedup_canonical": (q_dedup_canonical, _DEDUP_CANONICAL_SQL),
     "pipe_dedup_minhash_lsh": (q_dedup_minhash, _minhash_sql()),
     "pipe_dedup_decontaminate": (q_dedup_decontaminate, _decontaminate_sql()),
+    "pipe_dedup_contamination_report": (
+        q_dedup_contamination_report,
+        _contamination_report_sql(),
+    ),
     "pipe_dedup_simhash": (q_dedup_simhash, _simhash_sql()),
     "pipe_sim_topk_brute": (q_topk_brute, _TOPK_BRUTE_SQL),
     "pipe_sim_topk_ivf": (q_topk_ivf, _TOPK_IVF_SQL),
