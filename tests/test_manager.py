@@ -222,3 +222,52 @@ def test_preload_lookup_cache_serving_mode(spark):
     gm2.add_entity("Cacheville, KS", 999002)
     assert gm2._lookup_cache is None        # mutation invalidates the cache
     assert gm2.get_shape_by_id(999002) is not None
+
+
+def test_add_entity_upsert_replaces_existing_id(spark):
+    """Re-adding an id REPLACES the record (the reference's dict assignment,
+    geo_manager.py:461): one shape row survives, lookups are unambiguous,
+    fuzzy results don't fan out past num_results, and the OLD postings are
+    gone (searching the old name no longer finds the id)."""
+    register_views(spark, "/root/testdata/sf0.001")
+    gmu = GeoManager(spark, shapes=shapes_df(spark))
+    gmu.add_entity("Upserton Old, KS", 999200)
+    assert any(
+        r["id"] == 999200 for r in gmu.fuzzy_search("Upserton Old", num_results=5)
+    )
+    gmu.add_entity("Replaceville New, OR", 999200)
+    # exactly one row for the id — and it is the NEW record
+    assert gmu.shapes.filter("id = 999200").count() == 1
+    assert gmu.get_shape_by_id(999200)["clean_value"] == "replaceville new or"
+    # old postings removed: the old name no longer reaches the id
+    assert not any(
+        r["id"] == 999200 for r in gmu.fuzzy_search("Upserton Old", num_results=10)
+    )
+    res = gmu.fuzzy_search("Replaceville New", num_results=5)
+    assert [r["id"] for r in res].count(999200) == 1
+
+
+def test_add_entity_partition_routing(spark):
+    """F10+F14 (reference geo_manager.py:463-472): `partition=` routes the
+    record into that partition's sub-index — found when searching that
+    partition, absent from other partitions; unpartitioned managers reject
+    the argument instead of silently ignoring it."""
+    register_views(spark, "/root/testdata/sf0.001")
+    gmp = GeoManager(
+        spark, shapes=shapes_df(spark), partition_col="ref_data.state_prov"
+    )
+    gmp.add_entity("Routetown Junction", 999300, partition="TN")
+    assert gmp.get_shape_by_id(999300)["ref_data"]["state_prov"] == "TN"
+    assert any(
+        r["id"] == 999300
+        for r in gmp.fuzzy_search("Routetown Junction", partition="TN")
+    )
+    other = next(p for p in sorted(gmp.partitions) if p != "TN")
+    assert not any(
+        r["id"] == 999300
+        for r in gmp.fuzzy_search("Routetown Junction", partition=other)
+    )
+    # unpartitioned manager: explicit partition must raise, not no-op
+    gm_flat = GeoManager(spark, shapes=shapes_df(spark))
+    with pytest.raises(ValueError, match="partition_col"):
+        gm_flat.add_entity("Nowhere", 999301, partition="TN")

@@ -31,6 +31,11 @@ from yat_geo_db_spark.geo.geometry import (
 #: sentinel for missing endpoints (geo_manager.py:374-378)
 MISSING_DISTANCE = 999.0
 
+#: beyond this radius (miles) the equirectangular ellipse no longer
+#: approximates the haversine disk within the kNN probe's 10% acceptance
+#: margin — fall through to the exact unbounded scan instead of escalating
+_FLAT_EARTH_MAX_RADIUS = 500.0
+
 
 def shape_filters_predicate(filters: dict | None) -> Column:
     """Dynamic conjunctive equality filter (geo_manager.py:45-58).
@@ -247,7 +252,17 @@ def knn_search(
     the k-th distance lands safely inside (≤ 0.9·r, absorbing the
     flat-vs-sphere error). That is validated with a k-row probe; on a miss
     the radius escalates ×4 up to `max_expansions` times, then falls back
-    to the unbounded scan. `prefilter_radius=None` disables the bound."""
+    to the unbounded scan. The equirectangular ellipse only approximates
+    the haversine disk to within the 10% margin at local scale, so
+    escalated radii beyond ``_FLAT_EARTH_MAX_RADIUS`` miles skip straight
+    to the exact unbounded scan rather than trust the probe's acceptance
+    test. `prefilter_radius=None` disables the bound.
+
+    NOTE this function probes EAGERLY: the ≤ k-row validation probe runs
+    Spark jobs at call time (unlike the rest of this module's lazy
+    DataFrame builders), and the accepted result is returned as a
+    `createDataFrame` of the probe's rows — the winning scan executes
+    once, not again at caller materialization."""
     o_lat, o_lng = F.lit(float(latitude)), F.lit(float(longitude))
     dist = F.round(
         haversine_miles(o_lat, o_lng, F.col("latitude"), F.col("longitude")), 4
@@ -264,8 +279,11 @@ def knn_search(
         )
 
     if prefilter_radius is not None:
+        spark = shapes.sparkSession
         r = float(prefilter_radius)
         for _ in range(max_expansions + 1):
+            if r > _FLAT_EARTH_MAX_RADIUS:
+                break  # flat-earth error exceeds the 0.9 acceptance margin
             radius_lit = F.lit(r)
             pre = hits.filter(
                 _ellipse_match(
@@ -274,9 +292,13 @@ def knn_search(
                     longitude_delta_col(o_lat, radius_lit),
                 )
             )
-            probe = _topk(pre).collect()  # ≤ k rows to the driver
+            shaped = _topk(pre)
+            probe = shaped.collect()  # ≤ k rows to the driver
             if len(probe) == k and probe[-1]["distance"] <= 0.9 * r:
-                return _topk(pre)
+                # the probe already holds the exact answer — return its rows
+                # instead of a plan that would re-run the scan when the
+                # caller materializes
+                return spark.createDataFrame(probe, shaped.schema)
             r *= 4.0
     return _topk(hits)
 
@@ -320,7 +342,10 @@ def pair_distances(shapes: DataFrame, pairs: DataFrame,
     relation of (orig_ref, dest_ref) pairs — the scalable form: two hash
     joins against `shapes` (broadcast when `pairs` or the key side is small),
     then pure column math. Missing endpoints get the 999 sentinel
-    (geo_manager.py:374-378)."""
+    (geo_manager.py:374-378) — plus an explicit `found` boolean so callers
+    can distinguish a missing endpoint from a real pair whose rounded
+    distance happens to equal 999.0 miles (the sentinel is kept for
+    reference parity, but it is not the discriminator)."""
     orig = shapes.select(
         F.col("reference_code").alias(orig_col),
         F.col("latitude").alias("o_lat"),
@@ -354,4 +379,5 @@ def pair_distances(shapes: DataFrame, pairs: DataFrame,
         F.when(found, F.col("o_is_aggregate") | F.col("is_aggregate"))
         .otherwise(F.lit(False))
         .alias("distance_aggregate"),
+        found.alias("found"),
     )

