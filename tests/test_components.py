@@ -110,6 +110,29 @@ def test_random_graphs_match_union_find(spark):
     check()
 
 
+def test_distributed_loop_matches_local_fast_path(spark):
+    """The size gate must be invisible to results: forcing the distributed
+    label-propagation loop (local_max_edges=0) yields EXACTLY the driver
+    union-find's labels on chains (multi-round convergence), cycles, merges
+    through shared nodes, and isolated islands."""
+    edges = (
+        [(i, i + 1) for i in range(12)]      # 13-node chain, deep converge
+        + [(30, 31), (31, 32), (32, 30)]     # cycle
+        + [(40, 45), (45, 41)]               # merge through shared node
+        + [(50, 51)]                         # island
+    )
+    pairs = _pairs(spark, edges)
+    dist = {
+        r["node"]: r["component"]
+        for r in connected_components(pairs, local_max_edges=0).collect()
+    }
+    local = {
+        r["node"]: r["component"]
+        for r in connected_components(pairs).collect()
+    }
+    assert dist == local == _model_components(edges)
+
+
 def test_upsert_latest_properties(spark):
     from yat_geo_db_spark.relational.merge import upsert_latest
 

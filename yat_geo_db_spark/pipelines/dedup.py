@@ -119,6 +119,25 @@ def streaming_exact_dedup(
 # n-gram Jaccard near-dup (blocked pairwise)
 # --------------------------------------------------------------------------
 
+def distinct_grams_table(
+    documents: DataFrame,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    block_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """(id, *blocks, grams): one row per doc with its DISTINCT char n-gram
+    set — the shared input of the prefix index, the candidate join, and the
+    exact-Jaccard verify. Computing the shingle transform is the single most
+    expensive per-row expression in the Jaccard pipeline (interpreted HOF ×
+    text length), so callers persist THIS table once and derive everything
+    else from it instead of re-shingling per consumer."""
+    return documents.select(
+        F.col(id_col), *block_cols,
+        F.array_distinct(char_ngrams(F.col(text_col), n)).alias("grams"),
+    ).filter(F.size("grams") > 0)
+
+
 def jaccard_prefix_table(
     documents: DataFrame,
     threshold: float,
@@ -126,6 +145,7 @@ def jaccard_prefix_table(
     text_col: str = "text",
     id_col: str = "doc_id",
     block_cols: tuple[str, ...] = (),
+    grams_tbl: DataFrame | None = None,
 ) -> DataFrame:
     """(id, *blocks, g): the PREFIX-FILTER index over distinct character
     n-grams — the lossless candidate generator for exact Jaccard ≥ t
@@ -140,18 +160,27 @@ def jaccard_prefix_table(
     at least the |x| - α + 1 the principle needs) — so the equi-join on the
     prefix gram is EXACT, unlike LSH banding. Rare-first ordering is what
     keeps candidate volume near-linear: stop-gram-like shingles shared by
-    everything land in suffixes and never generate candidates."""
+    everything land in suffixes and never generate candidates.
+
+    Pass a (persisted) `grams_tbl` from distinct_grams_table to share the
+    shingle computation with other consumers. The document-frequency table
+    is small (bounded by the gram vocabulary, not the corpus) and is
+    broadcast into the exploded rows, so the only shuffle here is the
+    per-doc ranking window."""
     from pyspark.sql import Window
 
-    tbl = documents.select(
-        F.col(id_col), *block_cols,
-        F.array_distinct(char_ngrams(F.col(text_col), n)).alias("grams"),
-    ).filter(F.size("grams") > 0)
-    exploded = tbl.select(
+    if grams_tbl is None:
+        grams_tbl = distinct_grams_table(
+            documents, n=n, text_col=text_col, id_col=id_col,
+            block_cols=block_cols,
+        )
+    exploded = grams_tbl.select(
         id_col, *block_cols, F.size("grams").alias("sz"),
         F.explode("grams").alias("g"),
     )
-    freq = exploded.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
+    freq = F.broadcast(
+        exploded.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
+    )
     w = Window.partitionBy(id_col).orderBy("df", "g")
     # FP-safe ceil: for thresholds with no exact binary representation
     # (0.7, 0.1, ...) t·|g| can land a hair ABOVE a mathematically-integer
@@ -191,14 +220,21 @@ def ngram_jaccard_pairs(
     gram-frequency ordering is recomputed per corpus, so selectivity adapts
     to the data. `block_cols` remain semantic partitions on the join key.
     Output: (id1, id2, jaccard) for ALL pairs ≥ threshold.
+
+    Reuse: the gram table feeds THREE consumers (the prefix index and both
+    verify sides) and the prefix table feeds BOTH sides of the candidate
+    self-join — each is persisted so the expensive shingle transform and
+    the rank window each execute once per corpus, not once per consumer
+    (Catalyst's ReusedExchange only dedups identical exchanges within one
+    stage graph; a cache survives across the join's independent subtrees).
     """
-    grams_tbl = documents.select(
-        F.col("doc_id"), *block_cols,
-        F.array_distinct(char_ngrams(F.col(text_col), n)).alias("grams"),
-    ).filter(F.size("grams") > 0)
+    grams_tbl = distinct_grams_table(
+        documents, n=n, text_col=text_col, block_cols=block_cols
+    ).persist()
     prefix = jaccard_prefix_table(
-        documents, threshold, n=n, text_col=text_col, block_cols=block_cols
-    )
+        documents, threshold, n=n, text_col=text_col, block_cols=block_cols,
+        grams_tbl=grams_tbl,
+    ).persist()
     a = prefix.select(
         F.col("g"),
         *[F.col(c).alias(f"b1_{c}") for c in block_cols],
@@ -680,15 +716,56 @@ def simhash_pairs(
 # Duplicate clusters: pairs → connected components → canonical survivors
 # --------------------------------------------------------------------------
 
+#: edge-count gate for the driver-local union-find fast path in
+#: connected_components: a pair graph this small (~30 MB collected) is a
+#: CONTRACTION of the corpus — solving it locally replaces ~2 Spark jobs per
+#: propagation round with one collect, the same smallness-triggered local
+#: strategy Spark applies when it broadcasts a small join side. Graphs above
+#: the gate take the distributed label-propagation loop.
+LOCAL_CC_MAX_EDGES = 2_000_000
+
+
+def _local_union_find(edges: list[tuple[int, int]]) -> dict[int, int]:
+    """Union-find with path compression + union by min root — the exact
+    min-label semantics of the distributed loop, O(E·α(E)) driver-side."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        root = x
+        while parent.setdefault(root, root) != root:
+            root = parent[root]
+        while parent[x] != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # union by MIN id so the component label is the min node id,
+            # matching the distributed min-label fixpoint
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    return {node: find(node) for node in parent}
+
+
 def connected_components(
     pairs: DataFrame,
     src: str = "id1",
     dst: str = "id2",
     max_iter: int = 25,
+    local_max_edges: int = LOCAL_CC_MAX_EDGES,
 ) -> DataFrame:
     """Connected components of the undirected near-duplicate pair graph —
     the step that turns pairwise matches into dedup decisions (a doc can
     match several others transitively; you drop per CLUSTER, not per pair).
+
+    Strategy is size-gated like a broadcast join: the edge list is counted
+    (one scalar job on the persisted edges), and a graph at or under
+    `local_max_edges` is solved with driver-side union-find — the pair
+    graph is a contraction of the corpus, so even a 100 TB dedup run often
+    lands here, and the local solve replaces ~2 Spark jobs per propagation
+    round with one collect. Larger graphs run the distributed loop below.
+    Pass ``local_max_edges=0`` to force the distributed path.
 
     Min-label propagation: every node starts labeled with itself; each
     round it takes the min of its own and its neighbors' labels; fixpoint =
@@ -714,40 +791,77 @@ def connected_components(
     # branches read `e`, and without the cache the (potentially expensive)
     # pair-generation subtree would execute twice in the first job
     e = pairs.select(F.col(src).alias("a"), F.col(dst).alias("b")).persist()
-    sym = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b"))).persist()
-    labels = (
-        sym.select(F.col("a").alias("node"))
-        .distinct()
-        .withColumn("component", F.col("node"))
-        .localCheckpoint()
-    )
-    prev_sum = labels.agg(F.sum("component")).collect()[0][0]
-    for _ in range(max_iter):
-        nbr_min = (
-            sym.join(
-                labels.select(
-                    F.col("node").alias("b"), F.col("component").alias("nbr_comp")
-                ),
-                "b",
-            )
-            .groupBy("a")
-            .agg(F.min("nbr_comp").alias("nbr_min"))
+    spark = pairs.sparkSession
+    n_edges = e.count()  # materializes the persist; also sizes the strategy
+    if n_edges <= local_max_edges:
+        import pyspark.sql.types as T
+
+        comp = _local_union_find(
+            [(r["a"], r["b"]) for r in e.collect()]
         )
+        e.unpersist()
+        node_type = e.schema["a"].dataType
+        out_schema = T.StructType(
+            [
+                T.StructField("node", node_type, False),
+                T.StructField("component", node_type, False),
+            ]
+        )
+        return spark.createDataFrame(sorted(comp.items()), out_schema)
+    sym = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b"))).persist()
+    # The pair graph is a CONTRACTION of the corpus (only docs in ≥1 pair),
+    # typically orders of magnitude smaller than the input — but AQE's
+    # parallelism-first coalescing keeps every per-round shuffle at core-count
+    # partitions, so a 100k-edge graph pays dozens of near-empty scheduler
+    # slots per round. For the duration of the (already-eager) loop, size the
+    # tiny iterative shuffles by BYTES instead (coalesce as small as the data
+    # says); the caller's setting is restored before returning.
+    pf_key = "spark.sql.adaptive.coalescePartitions.parallelismFirst"
+    try:
+        pf_prev = spark.conf.get(pf_key)
+    except Exception:
+        pf_prev = None
+    try:
+        spark.conf.set(pf_key, "false")
         labels = (
-            labels.join(nbr_min, labels["node"] == nbr_min["a"], "left")
-            .select(
-                "node",
-                F.least(
-                    F.col("component"),
-                    F.coalesce(F.col("nbr_min"), F.col("component")),
-                ).alias("component"),
-            )
+            sym.select(F.col("a").alias("node"))
+            .distinct()
+            .withColumn("component", F.col("node"))
             .localCheckpoint()
         )
-        new_sum = labels.agg(F.sum("component")).collect()[0][0]
-        if new_sum == prev_sum:
-            break
-        prev_sum = new_sum
+        prev_sum = labels.agg(F.sum("component")).collect()[0][0]
+        for _ in range(max_iter):
+            nbr_min = (
+                sym.join(
+                    labels.select(
+                        F.col("node").alias("b"),
+                        F.col("component").alias("nbr_comp"),
+                    ),
+                    "b",
+                )
+                .groupBy("a")
+                .agg(F.min("nbr_comp").alias("nbr_min"))
+            )
+            labels = (
+                labels.join(nbr_min, labels["node"] == nbr_min["a"], "left")
+                .select(
+                    "node",
+                    F.least(
+                        F.col("component"),
+                        F.coalesce(F.col("nbr_min"), F.col("component")),
+                    ).alias("component"),
+                )
+                .localCheckpoint()
+            )
+            new_sum = labels.agg(F.sum("component")).collect()[0][0]
+            if new_sum == prev_sum:
+                break
+            prev_sum = new_sum
+    finally:
+        if pf_prev is not None:
+            spark.conf.set(pf_key, pf_prev)
+        else:
+            spark.conf.unset(pf_key)
     sym.unpersist()
     e.unpersist()
     return labels
