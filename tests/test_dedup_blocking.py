@@ -282,3 +282,84 @@ def test_segment_starts_cover_all_bits():
         for start, width in segs:
             assert start == pos and width >= 1
             pos += width
+
+
+def test_simhash_short_text_regime_split(spark):
+    """Pins the SimHash short-text boundary that justifies curation's
+    length routing (curation.SIMHASH_MIN_TOKENS): on ~54-token docs,
+    near-IDENTICAL pairs land within the hamming ≤ 3 band but MODERATE
+    near-dups (char-gram jaccard .5-.7) spread far outside it — SimHash's
+    known short-text weakness — while on 300-token docs the band works.
+    near_dup_pairs therefore routes short docs to exact Jaccard and long
+    docs to SimHash, and the union catches everything the band misses."""
+    import random
+
+    from yat_geo_db_spark.pipelines.curation import near_dup_pairs
+    from yat_geo_db_spark.pipelines.dedup import (
+        ngram_jaccard_pairs,
+        simhash_pairs,
+        simhash_table,
+    )
+
+    vocab = [
+        f"w{chr(97 + i)}{chr(97 + j)}{k}"
+        for i in range(6) for j in range(6) for k in range(3)
+    ]
+
+    def doc(n, seed):
+        r = random.Random(seed)
+        return " ".join(r.choice(vocab) for _ in range(n))
+
+    def mutate(text, frac, seed):
+        r = random.Random(seed)
+        words = text.split()
+        for i in r.sample(range(len(words)), int(len(words) * frac)):
+            words[i] = r.choice(vocab)
+        return " ".join(words)
+
+    base54 = doc(54, 1)
+    base300 = doc(300, 4)
+    docs = spark.createDataFrame(
+        [
+            (1, base54, "en", "s"),
+            (2, mutate(base54, 0.04, 2), "en", "s"),   # near-identical short
+            (3, mutate(base54, 0.45, 3), "en", "s"),   # moderate near-dup short
+            (10, base300, "en", "s"),
+            (11, mutate(base300, 0.03, 5), "en", "s"),  # near-identical long
+        ],
+        "doc_id long, text string, lang string, source string",
+    )
+
+    sigs = {r["doc_id"]: r["sig"] for r in simhash_table(docs).collect()}
+
+    def ham(a, b):
+        return bin(sigs[a] ^ sigs[b]).count("1")
+
+    # the regime split itself
+    assert ham(1, 2) <= 2, "near-identical short docs must sit in the band"
+    assert ham(10, 11) <= 2, "near-identical long docs must sit in the band"
+    assert ham(1, 3) > 3, "moderate short near-dups fall OUT of the band"
+    # the moderate pair is a true near-dup by the exact metric
+    jacc = {
+        (r["id1"], r["id2"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(
+            docs, threshold=0.5, block_cols=("lang", "source")
+        ).collect()
+    }
+    assert jacc[(1, 3)] >= 0.5
+    # the raw band join misses it; the routed graph does not
+    sim = {
+        (r["id1"], r["id2"])
+        for r in simhash_pairs(
+            docs, max_hamming=3, block_cols=("lang", "source")
+        ).collect()
+    }
+    assert (1, 3) not in sim and (10, 11) in sim
+    routed = {
+        (r["id1"], r["id2"])
+        for r in near_dup_pairs(docs, block_cols=("lang", "source")).collect()
+    }
+    assert {(1, 2), (1, 3), (2, 3), (10, 11)} <= routed
+    # long docs never enter the (quadratic-ish) Jaccard side: every routed
+    # pair involving them came from the signature join
+    assert all(a >= 10 and b >= 10 for a, b in routed if a >= 10 or b >= 10)

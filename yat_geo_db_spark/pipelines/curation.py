@@ -20,6 +20,7 @@ import pyspark.sql.functions as F
 from yat_geo_db_spark.pipelines.dedup import (
     dedup_keep_canonical,
     ngram_jaccard_pairs,
+    simhash_pairs,
 )
 from yat_geo_db_spark.pipelines.text import (
     boilerplate_shingle_ratio,
@@ -32,6 +33,48 @@ from yat_geo_db_spark.pipelines.text import (
 MIN_QUALITY = 0.6
 MIN_ENTROPY = 2.6
 MAX_BOILERPLATE = 0.5
+
+#: SimHash's short-text boundary (tokens): below this, per-bit majority
+#: votes are too noisy for the tight hamming band to catch moderate
+#: near-dups (measured on ~54-token docs: near-IDENTICAL pairs land at
+#: h ≤ 2 but jaccard .5-.7 pairs spread to h 7-20 — pinned by
+#: tests/test_dedup_blocking.py::test_simhash_short_text_regime_split),
+#: so short docs are routed to the exact Jaccard path. Above it, votes
+#: stabilize and the cheap signature join owns the regime.
+SIMHASH_MIN_TOKENS = 128
+
+
+def near_dup_pairs(
+    documents: DataFrame,
+    jaccard_threshold: float = 0.5,
+    max_hamming: int = 3,
+    simhash_min_tokens: int = SIMHASH_MIN_TOKENS,
+    block_cols: tuple[str, ...] = ("lang", "source"),
+) -> DataFrame:
+    """(id1, id2): the near-dup pair graph with the SimHash short-text
+    division of labor expressed IN CODE, not as a tuning comment:
+
+    - docs under ``2 × simhash_min_tokens`` tokens → exact n-gram Jaccard
+      (prefix-filter join; correct at any length, costlier per doc)
+    - docs of ``simhash_min_tokens``+ tokens → SimHash hamming band
+      (cheap signature equi-join; reliable only once votes stabilize)
+
+    The bands OVERLAP on [min_tokens, 2·min_tokens): Jaccard ≥ t bounds a
+    true pair's sizes within a factor 1/t, so with t ≥ 0.5 any short↔long
+    true pair has both ends inside the Jaccard band — routing loses no
+    cross-regime pair; duplicates from the overlap dedupe once."""
+    from yat_geo_db_spark.pipelines.text import token_count_col
+
+    with_tok = documents.withColumn("_ntok", token_count_col(F.col("text")))
+    short = with_tok.filter(F.col("_ntok") < 2 * simhash_min_tokens).drop("_ntok")
+    long_docs = with_tok.filter(F.col("_ntok") >= simhash_min_tokens).drop("_ntok")
+    pj = ngram_jaccard_pairs(
+        short, threshold=jaccard_threshold, block_cols=block_cols
+    ).select("id1", "id2")
+    ps = simhash_pairs(
+        long_docs, max_hamming=max_hamming, block_cols=block_cols
+    ).select("id1", "id2")
+    return pj.union(ps).dropDuplicates(["id1", "id2"])
 
 
 def corpus_signals(documents: DataFrame, min_docs: int = 3) -> DataFrame:
@@ -58,7 +101,10 @@ def curate_corpus(
     """The curated corpus: docs passing all three signal thresholds, then
     one representative (min doc_id) per near-duplicate cluster among the
     survivors. Returns (doc_id, quality_score, token_entropy,
-    boilerplate_ratio) — the signals ride along for downstream sampling."""
+    boilerplate_ratio) — the signals ride along for downstream sampling.
+    The pair graph routes short docs to exact Jaccard and long docs to
+    SimHash (near_dup_pairs); on an all-short corpus this is byte-identical
+    to the pure Jaccard graph (the DuckDB oracle's form)."""
     signals = corpus_signals(documents)
     kept = (
         documents.join(signals, "doc_id")
@@ -68,8 +114,8 @@ def curate_corpus(
             & (F.col("boilerplate_ratio") <= max_boilerplate)
         )
     )
-    pairs = ngram_jaccard_pairs(
-        kept, threshold=jaccard_threshold, block_cols=block_cols
+    pairs = near_dup_pairs(
+        kept, jaccard_threshold=jaccard_threshold, block_cols=block_cols
     )
     return dedup_keep_canonical(kept, pairs).select(
         "doc_id", "quality_score", "token_entropy", "boilerplate_ratio"

@@ -1,11 +1,16 @@
 """Multimodal column plumbing: image/audio/video as opaque `binary` columns
 with typed metadata structs, processed via Arrow-batched `mapInPandas`.
 
-The decode step itself (JPEG/PNG/audio codecs) is STUBBED — the libraries
-are not in this container — behind `decode_image_stub`, a clearly-marked
-deterministic fake. Everything around it is real and tested: schema,
-binary payloads, batch iteration, UDF signatures, partition-size control.
-Swap `_fake_decode` for PIL/libav and the pipeline is production-shaped.
+IMAGE decode (JPEG/PNG) is STUBBED — Pillow/cv2/imageio are not importable
+in this container (probed: `import PIL` → ModuleNotFoundError; recorded in
+tests/test_multimodal.py) — behind `decode_image_stub`, a clearly-marked
+deterministic fake. AUDIO decode is REAL: `decode_wav` parses genuine
+RIFF/WAVE containers with the stdlib `wave` module + NumPy PCM frames
+(`synthesize_wav` builds real WAV payloads to feed it, and `wav_features`
+is the distributed mapInPandas kernel). Everything around the stubs is
+real and tested: schema, binary payloads, batch iteration, UDF signatures,
+partition-size control. Swap `_fake_decode` for PIL/libav and the image
+pipeline is production-shaped.
 
 Scale notes: binary payloads dominate row size → keep
 `spark.sql.files.maxPartitionBytes` low for these tables, select metadata
@@ -101,13 +106,157 @@ def extract_features(media: DataFrame) -> DataFrame:
 
 
 def decode_image_stub(payload: bytes, mime: str) -> dict:
-    """The honest decode entry point: real codecs are not available in this
-    environment."""
+    """The honest decode entry point: real IMAGE codecs are not available
+    in this environment (audio/wav has a real path — see decode_wav)."""
     if mime == "image/fake":
         return _fake_decode(payload, 0, 0)
     raise NotImplementedError(
-        f"decoding {mime!r} requires an image/audio codec library not present "
-        "in this environment; wire PIL/torchvision/libav here"
+        f"decoding {mime!r} requires an image codec library not present "
+        "in this environment (PIL/cv2/imageio all fail to import); wire "
+        "PIL/torchvision/libav here. audio/wav decodes for real via "
+        "decode_wav/wav_features."
+    )
+
+
+# --------------------------------------------------------------------------
+# REAL audio codec: RIFF/WAVE (stdlib `wave` container parse + NumPy PCM)
+# --------------------------------------------------------------------------
+
+#: synthesized-WAV defaults
+WAV_SAMPLE_RATE = 8000
+
+#: schema of decoded-WAV feature rows — all integers, so the features are
+#: exactly reproducible by an oracle that derives the same samples
+WAV_FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("n_samples", T.IntegerType()),
+        T.StructField("peak", T.IntegerType()),
+        T.StructField("total", T.LongType()),
+    ]
+)
+
+
+def synthesize_wav(
+    documents: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sample_rate: int = WAV_SAMPLE_RATE,
+) -> DataFrame:
+    """(doc_id, media_bytes, media_meta): GENUINE RIFF/WAVE payloads — a
+    44-byte canonical header plus 16-bit little-endian mono PCM frames,
+    written by the stdlib `wave` encoder. Samples are the text's per-char
+    code points (mod 2^15 to fit int16), which keeps every downstream
+    decoded feature SQL-derivable from the text for oracle checks while the
+    bytes themselves are a real container any audio tool can open."""
+
+    def _encode(batches: Iterator) -> Iterator:
+        import io
+        import wave as wave_mod
+
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = []
+            metas = []
+            for text in pdf[text_col].fillna(""):
+                samples = np.array(
+                    [ord(c) % 32768 for c in text], dtype="<i2"
+                )
+                buf = io.BytesIO()
+                with wave_mod.open(buf, "wb") as w:
+                    w.setnchannels(1)
+                    w.setsampwidth(2)
+                    w.setframerate(sample_rate)
+                    w.writeframes(samples.tobytes())
+                payload = buf.getvalue()
+                payloads.append(payload)
+                metas.append(
+                    {
+                        "mime": "audio/wav",
+                        "n_bytes": len(payload),
+                        "sample_rate": sample_rate,
+                        "n_samples": int(samples.size),
+                    }
+                )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].values,
+                    "media_bytes": payloads,
+                    "media_meta": metas,
+                }
+            )
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("media_bytes", T.BinaryType()),
+            T.StructField(
+                "media_meta",
+                T.StructType(
+                    [
+                        T.StructField("mime", T.StringType()),
+                        T.StructField("n_bytes", T.IntegerType()),
+                        T.StructField("sample_rate", T.IntegerType()),
+                        T.StructField("n_samples", T.IntegerType()),
+                    ]
+                ),
+            ),
+        ]
+    )
+    return documents.select(id_col, text_col).mapInPandas(_encode, schema)
+
+
+def decode_wav(payload: bytes):
+    """REAL WAV decode: parse the RIFF/WAVE container with the stdlib
+    `wave` module and return (sample_rate, samples) with samples a NumPy
+    int16 array. Raises on malformed containers — this is an actual codec
+    path, not a deterministic fake (only 16-bit mono is wired; extend the
+    reshape for multi-channel)."""
+    import io
+    import wave as wave_mod
+
+    import numpy as np
+
+    with wave_mod.open(io.BytesIO(payload), "rb") as w:
+        if w.getsampwidth() != 2 or w.getnchannels() != 1:
+            raise NotImplementedError(
+                "only 16-bit mono PCM wired; got "
+                f"width={w.getsampwidth()} channels={w.getnchannels()}"
+            )
+        rate = w.getframerate()
+        frames = w.readframes(w.getnframes())
+    return rate, np.frombuffer(frames, dtype="<i2")
+
+
+def wav_features(media: DataFrame) -> DataFrame:
+    """Distributed WAV feature extraction — the real-codec counterpart of
+    extract_features: Arrow-batched mapInPandas, `decode_wav` per payload,
+    integer features (peak amplitude, sample sum) so results are exactly
+    oracle-checkable. The payload bytes never leave the executors."""
+
+    def _extract(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for row in pdf.itertuples():
+                rate, samples = decode_wav(bytes(row.media_bytes))
+                rows.append(
+                    {
+                        "doc_id": row.doc_id,
+                        "sample_rate": rate,
+                        "n_samples": int(samples.size),
+                        "peak": int(samples.max()) if samples.size else 0,
+                        "total": int(samples.sum()) if samples.size else 0,
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return media.select("doc_id", "media_bytes").mapInPandas(
+        _extract, WAV_FEATURE_SCHEMA
     )
 
 

@@ -878,6 +878,35 @@ FROM frames
 """
 
 
+def q_mm_wav_decode(spark, sf_dir):
+    """REAL audio codec path: synthesize genuine RIFF/WAVE payloads (16-bit
+    mono PCM, stdlib `wave` encoder), decode them with the actual `wave`
+    parser in executors, and emit integer features. The oracle re-derives
+    the features from the text the samples encode — so a header/endianness/
+    framing bug in either codec direction breaks the hash match."""
+    media = multimodal.synthesize_wav(load_table(spark, sf_dir, "documents"))
+    return multimodal.wav_features(media)
+
+
+_MM_WAV_SQL = f"""
+WITH s AS (
+  SELECT doc_id,
+         list_transform(range(1, length(text) + 1),
+           i -> CAST(ascii(substr(text, CAST(i AS INT), 1)) % 32768 AS BIGINT))
+           AS samples
+  FROM documents
+)
+SELECT doc_id,
+  CAST({multimodal.WAV_SAMPLE_RATE} AS INT) AS sample_rate,
+  CAST(length(samples) AS INT) AS n_samples,
+  CAST(CASE WHEN length(samples) > 0 THEN list_max(samples) ELSE 0 END AS INT)
+    AS peak,
+  CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), samples), (a, b) -> a + b)
+    AS BIGINT) AS total
+FROM s
+"""
+
+
 def q_mm_resize(spark, sf_dir):
     """Resize stage (Python stride kernel inside mapInPandas — not
     SQL-expressible → rows-only check); emit scalar columns only (binary
@@ -1122,4 +1151,5 @@ QUERIES: dict = {
     "pipe_mm_frame_sample": (q_mm_frame_sample, _MM_FRAME_SAMPLE_SQL),
     "pipe_mm_resize": (q_mm_resize, None),
     "pipe_mm_audio_energy": (q_mm_audio_energy, _MM_AUDIO_SQL),
+    "pipe_mm_wav_decode": (q_mm_wav_decode, _MM_WAV_SQL),
 }
