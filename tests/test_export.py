@@ -66,3 +66,57 @@ def test_pack_chunks_invariants(spark):
             assert r["offset_in_chunk"] == r["start_offset"] % seq_len
             spans = r["offset_in_chunk"] + r["n_tokens"] > seq_len
             assert (r["chunk_last"] > r["chunk_first"]) == spans
+
+
+def test_leakage_safe_split_never_straddles_pairs(spark):
+    """The defining property: for EVERY near-dup pair, both docs land in
+    the same split — and the assignment is a pure function of the cluster
+    key (re-running yields identical splits)."""
+    from yat_geo_db_spark.pipelines.curation import leakage_safe_split
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(40)], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 25), (25, 39)], "id1 long, id2 long"
+    )
+    out = leakage_safe_split(docs, pairs).collect()
+    split = {r["doc_id"]: r["split"] for r in out}
+    key = {r["doc_id"]: r["split_key"] for r in out}
+    assert len(split) == 40
+    for a, b in [(1, 2), (2, 3), (1, 3), (10, 11), (20, 25), (25, 39), (20, 39)]:
+        assert split[a] == split[b], (a, b)
+        assert key[a] == key[b]
+    # singletons key on themselves
+    assert key[5] == 5
+    # deterministic re-run
+    again = {
+        r["doc_id"]: r["split"]
+        for r in leakage_safe_split(docs, pairs).collect()
+    }
+    assert again == split
+    # all three splits materialize over a modest id range
+    assert {"train", "val", "test"} == set(split.values())
+
+
+def test_length_bucket_batches_invariants(spark):
+    """Every batch is homogeneous in bucket, holds at most batch_size docs,
+    positions are dense in id order, and bucket = floor(n_tokens/width)."""
+    from yat_geo_db_spark.pipelines.curation import length_bucket_batches
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(["w"] * (3 + i % 37))) for i in range(100)],
+        "doc_id long, text string",
+    )
+    rows = length_bucket_batches(docs, batch_size=8, bucket_width=16).collect()
+    assert len(rows) == 100
+    by_batch: dict = {}
+    for r in rows:
+        assert r["bucket"] == r["n_tokens"] // 16
+        by_batch.setdefault((r["bucket"], r["batch_idx"]), []).append(r)
+    for (_, _), members in by_batch.items():
+        assert len(members) <= 8
+        poss = sorted(m["pos_in_batch"] for m in members)
+        assert poss == list(range(len(poss)))          # dense positions
+        ids = [m["doc_id"] for m in sorted(members, key=lambda m: m["pos_in_batch"])]
+        assert ids == sorted(ids)                      # id-ordered within batch

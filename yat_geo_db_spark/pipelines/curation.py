@@ -211,3 +211,78 @@ def export_shards(df: DataFrame, path: str, n_shards: int,
         .partitionBy("shard")
         .parquet(path)
     )
+
+
+def leakage_safe_split(
+    documents: DataFrame,
+    pairs: DataFrame,
+    val_pct: int = 10,
+    test_pct: int = 10,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Train/val/test assignment that can't leak near-duplicates across
+    splits: the split is a pure hash of the doc's near-dup CLUSTER id (min
+    doc id in the connected component; singletons use their own id), so
+    every member of a cluster lands in the same split — hashing raw doc ids
+    would put a train doc's near-twin in test, the classic eval
+    contamination bug.
+
+    One component pass over the pair graph + a left join back to the
+    corpus; the split hash is the same multiplicative scheme as
+    shard_assignment (stable across runs, partitionings, engines).
+    Returns (doc_id, split_key, split)."""
+    from yat_geo_db_spark.pipelines.dedup import connected_components
+
+    comp = connected_components(pairs, src="id1", dst="id2").select(
+        F.col("node").alias(id_col), F.col("component").alias("cluster_id")
+    )
+    keyed = documents.select(id_col).join(comp, id_col, "left").select(
+        id_col,
+        F.coalesce(F.col("cluster_id"), F.col(id_col)).alias("split_key"),
+    )
+    bucket = (F.col("split_key") * F.lit(2654435761)) % F.lit(100)
+    return keyed.select(
+        id_col,
+        "split_key",
+        F.when(bucket < test_pct, F.lit("test"))
+        .when(bucket < test_pct + val_pct, F.lit("val"))
+        .otherwise(F.lit("train"))
+        .alias("split"),
+    )
+
+
+def length_bucket_batches(
+    documents: DataFrame,
+    batch_size: int = 8,
+    bucket_width: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Length-bucketed batch assignment — the padding-waste killer for
+    sequence training: docs are bucketed by token count (fixed-width
+    buckets) and batched WITHIN a bucket in deterministic id order, so
+    every batch holds similarly-sized sequences and pad-to-longest wastes
+    ~bucket_width tokens instead of ~max-corpus-length.
+
+    One window per bucket (partitionBy bucket — parallel across buckets,
+    no global sort). Returns (doc_id, n_tokens, bucket, batch_idx,
+    pos_in_batch)."""
+    from pyspark.sql import Window
+
+    from yat_geo_db_spark.pipelines.text import token_count_col
+
+    sized = documents.select(
+        F.col(id_col),
+        token_count_col(F.col(text_col)).alias("n_tokens"),
+    ).withColumn(
+        "bucket", F.floor(F.col("n_tokens") / F.lit(bucket_width)).cast("int")
+    )
+    w = Window.partitionBy("bucket").orderBy(id_col)
+    rn = F.row_number().over(w) - 1
+    return sized.select(
+        id_col,
+        "n_tokens",
+        "bucket",
+        F.floor(rn / F.lit(batch_size)).cast("long").alias("batch_idx"),
+        (rn % F.lit(batch_size)).cast("long").alias("pos_in_batch"),
+    )

@@ -403,11 +403,33 @@ def band_table(
     shingles — B rows per doc, each carrying one band's sub-signature. The
     join key for every MinHash candidate-generation variant (self-join for
     pair mining, cross-corpus join for decontamination); persist/materialize
-    it once per corpus and reuse."""
-    sig = shingle_hash_table(documents, w, text_col, id_col).select(
-        id_col, "grams", minhash_signature(F.col("hashes")).alias("sig")
+    it once per corpus and reuse.
+
+    The K permutation minima are AGGREGATES (`min((h·a+b) mod P)` per doc)
+    computed in the same hash aggregation that collects the gram set — one
+    whole-stage-codegen shuffle, no per-element interpreted HOFs and no
+    second pass over materialized hash arrays. Docs with no shingles
+    (shorter than w tokens) carry no bands: they can never verify ≥ any
+    positive Jaccard threshold, so dropping them changes no result while
+    keeping empty-signature docs from band-colliding with each other."""
+    shingled = documents.select(
+        F.col(id_col), F.explode(tokens_shingles(F.col(text_col), w)).alias("g")
     )
-    return _explode_bands(sig, id_col)
+    hashed = shingled.select(id_col, "g", shingle_hash(F.col("g")).alias("h"))
+    mins = [
+        F.min((F.col("h") * F.lit(a) + F.lit(b)) % F.lit(FNV_MOD)).alias(f"mh{j}")
+        for j, (a, b) in enumerate(MINHASH_PERMS)
+    ]
+    agg = hashed.groupBy(id_col).agg(
+        F.collect_set("g").alias("grams"), *mins
+    )
+    sig_tbl = agg.select(
+        id_col, "grams",
+        F.array(*[F.col(f"mh{j}") for j in range(len(MINHASH_PERMS))]).alias(
+            "sig"
+        ),
+    )
+    return _explode_bands(sig_tbl, id_col)
 
 
 def near_dup_matches(
@@ -511,8 +533,9 @@ def minhash_lsh_pairs(
     (band, band-signature) → distinct candidate pairs → verify with exact
     shingle Jaccard. At 100 TB the band join dominates; salting the hottest
     buckets or raising rows-per-band bounds it. Candidate volume stays
-    near-linear because random doc pairs share ~no token shingles."""
-    banded = band_table(documents, w, text_col)
+    near-linear because random doc pairs share ~no token shingles. The band
+    index feeds both sides of the self-join → persisted, built once."""
+    banded = band_table(documents, w, text_col).persist()
 
     left = banded.select(
         F.col("band"), F.col("bsig"),
@@ -590,29 +613,50 @@ def simhash_table(
 
     Frequency-weighted simhash: every token OCCURRENCE votes (distinct
     token sets are near-identical across same-vocabulary docs — counts are
-    what distinguishes them); the groupBy shuffle materializes the hash
-    array before the bit-vote expressions consume it."""
+    what distinguishes them).
+
+    The 48 per-bit majority votes are CONDITIONAL AGGREGATES, not array
+    HOFs: each bit is `sum(bit test)` over the token rows, so the whole
+    signature is one hash aggregation in whole-stage codegen with map-side
+    partial aggregation — the shuffle carries 49 longs per (doc, block)
+    group instead of a collect_list of every token hash, and nothing is
+    interpreted per element. (simhash_col keeps the array form for callers
+    that already hold materialized hash arrays.)"""
     toks = documents.select(
         "doc_id", *[F.col(c) for c in block_cols],
         F.explode(tokens_col(F.col(text_col))).alias("t"),
     )
-    # scramble ONCE per token occurrence, before the aggregation shuffle —
-    # the 48 bit votes then test bare bits of the materialized arrays
+    # scramble ONCE per token occurrence, before the aggregation —
+    # each bit vote then tests one bare bit of h1/h2
     hashed = toks.withColumn("h", shingle_hash(F.col("t"))).select(
         "doc_id", *block_cols,
         ((F.col("h") * F.lit(SIMHASH_SCRAMBLE_1)) % F.lit(FNV_MOD)).alias("h1"),
         ((F.col("h") * F.lit(SIMHASH_SCRAMBLE_2)) % F.lit(FNV_MOD)).alias("h2"),
     )
-    return (
-        hashed.groupBy("doc_id", *[F.col(c) for c in block_cols])
-        .agg(
-            F.collect_list("h1").alias("s_lo"),
-            F.collect_list("h2").alias("s_hi"),
-        )
-        .select(
-            "doc_id", *[F.col(c) for c in block_cols],
-            simhash_col(F.col("s_lo"), F.col("s_hi")).alias("sig"),
-        )
+    half = SIMHASH_BITS // 2
+    votes = [
+        F.sum(
+            (
+                F.col("h1" if j < half else "h2")
+                .bitwiseAND(F.lit(1 << (j % half)))
+                > 0
+            ).cast("long")
+        ).alias(f"v{j}")
+        for j in range(SIMHASH_BITS)
+    ]
+    agg = hashed.groupBy("doc_id", *[F.col(c) for c in block_cols]).agg(
+        F.count(F.lit(1)).alias("n_tok"), *votes
+    )
+    bits = [
+        F.when(F.col(f"v{j}") * 2 > F.col("n_tok"), F.lit(1 << j).cast("long"))
+        .otherwise(F.lit(0).cast("long"))
+        for j in range(SIMHASH_BITS)
+    ]
+    sig = bits[0]
+    for bcol in bits[1:]:
+        sig = sig + bcol
+    return agg.select(
+        "doc_id", *[F.col(c) for c in block_cols], sig.alias("sig")
     )
 
 
@@ -701,8 +745,10 @@ def simhash_pairs(
     Candidate generation is segment-blocked (see simhash_candidates) and
     LOSSLESS for the ≤ max_hamming band, so the result is exactly the pairs
     a full pairwise comparison within `block_cols` would produce — same
-    semantics, near-linear candidate volume instead of O(N²) per block."""
-    sigs = simhash_table(documents, text_col, block_cols)
+    semantics, near-linear candidate volume instead of O(N²) per block.
+    The signature table feeds both sides of the segment self-join, so it is
+    persisted — one signature aggregation per corpus, not two."""
+    sigs = simhash_table(documents, text_col, block_cols).persist()
     cand = simhash_candidates(sigs, max_hamming, block_cols)
     hamming = F.bit_count(F.col("s1").bitwiseXOR(F.col("s2")))
     return (

@@ -363,3 +363,89 @@ def boilerplate_shingle_ratio(
             .alias("boilerplate_ratio"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# C4-style line filters (Raffel et al. 2020, §2.2 heuristics — public)
+# --------------------------------------------------------------------------
+
+#: phrases whose presence disqualifies a line (C4 uses a longer list; the
+#: rule shape, not the lexicon, is the operator)
+C4_BAD_PHRASES = ("lorem ipsum", "javascript", "cookie policy")
+C4_MIN_LINE_TOKENS = 3
+C4_TERMINAL_PUNCT = (".", "!", "?", '"')
+
+
+def _c4_line_ok(line: Column) -> Column:
+    """One line passes when it ends in terminal punctuation, has at least
+    C4_MIN_LINE_TOKENS whitespace tokens, contains no curly brace (code
+    smell) and none of the bad phrases (case-insensitive)."""
+    trimmed = F.trim(line)
+    lowered = F.lower(trimmed)
+    ok = F.size(F.split(trimmed, " ")) >= C4_MIN_LINE_TOKENS
+    term = F.lit(False)
+    for p in C4_TERMINAL_PUNCT:
+        term = term | trimmed.endswith(F.lit(p))
+    ok = ok & term & ~trimmed.contains(F.lit("{")) & ~trimmed.contains(F.lit("}"))
+    for phrase in C4_BAD_PHRASES:
+        ok = ok & ~lowered.contains(F.lit(phrase))
+    return ok
+
+
+def c4_line_filters(
+    documents: DataFrame, min_kept_lines: int = 1, text_col: str = "text"
+) -> DataFrame:
+    """C4's per-line cleaning pass as one declarative projection: split the
+    doc on newlines, keep lines passing `_c4_line_ok`, rejoin. Returns
+    (doc_id, n_lines, n_kept, clean_text, keep_doc) — `keep_doc` is C4's
+    document-level drop (too few surviving lines). Everything is built-in
+    array/string expressions: at 100 TB this is a scan-speed map with no
+    shuffle, and the filter predicates are exactly mirrorable in SQL."""
+    lines = F.split(F.col(text_col), "\n")
+    kept = F.filter(lines, _c4_line_ok)
+    return documents.select(
+        "doc_id",
+        F.size(lines).alias("n_lines"),
+        F.size(kept).alias("n_kept"),
+        F.array_join(kept, "\n").alias("clean_text"),
+        (F.size(kept) >= min_kept_lines).alias("keep_doc"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Corpus unigram LM surprisal (CCNet-style quality signal — public method)
+# --------------------------------------------------------------------------
+
+def unigram_surprisal(
+    documents: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """Per-document mean unigram surprisal −(1/n)·Σ ln p(tokenᵢ) under the
+    CORPUS unigram LM p(w) = count(w)/total — the CCNet-flavored "does this
+    look like the corpus" quality signal (high = rare-token soup / noise,
+    low = common-token boilerplate; the useful middle band is corpus-typical
+    prose).
+
+    Plan: one exploded token pass builds the LM (groupBy token — the
+    corpus-global state, map-side combinable, vocabulary-bounded); the
+    total token count rides a 1-row cross join (broadcast); scoring is the
+    same exploded table joined back to the LM on the token (broadcast when
+    the vocabulary is small, shuffle equi-join otherwise) and a per-doc
+    average. Returns (doc_id, n_tokens, surprisal)."""
+    tok = documents.select(
+        "doc_id", F.explode(tokens_col(F.col(text_col))).alias("token")
+    )
+    lm = tok.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
+    total = lm.agg(F.sum("c").alias("total"))
+    scored = (
+        tok.join(lm, "token")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "doc_id",
+            (F.log(F.col("total").cast("double"))
+             - F.log(F.col("c").cast("double"))).alias("nll"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.round(F.avg("nll"), 6).alias("surprisal"),
+    )

@@ -829,6 +829,119 @@ SELECT doc_id, {_sh('text')} AS fingerprint FROM documents
 # multimodal
 # --------------------------------------------------------------------------
 
+def q_text_c4_filters(spark, sf_dir):
+    """C4-style per-line cleaning (Raffel et al. 2020 heuristics): line
+    survives on terminal punctuation + min tokens + no code braces + no
+    bad phrases; doc survives with ≥1 kept line."""
+    return text.c4_line_filters(load_table(spark, sf_dir, "documents"))
+
+
+def _c4_sql() -> str:
+    from yat_geo_db_spark.pipelines.text import (
+        C4_BAD_PHRASES,
+        C4_MIN_LINE_TOKENS,
+        C4_TERMINAL_PUNCT,
+    )
+
+    punct = ", ".join("'" + p.replace("'", "''") + "'" for p in C4_TERMINAL_PUNCT)
+    bad = " AND ".join(
+        f"NOT contains(lower(trim(x)), '{p}')" for p in C4_BAD_PHRASES
+    )
+    ok = (
+        f"len(string_split(trim(x), ' ')) >= {C4_MIN_LINE_TOKENS}"
+        f" AND right(trim(x), 1) IN ({punct})"
+        " AND NOT contains(trim(x), '{') AND NOT contains(trim(x), '}')"
+        f" AND {bad}"
+    )
+    return f"""
+WITH l AS (
+  SELECT doc_id, string_split(text, chr(10)) AS lines FROM documents
+),
+k AS (
+  SELECT doc_id, lines, list_filter(lines, x -> {ok}) AS kept FROM l
+)
+SELECT doc_id,
+  CAST(len(lines) AS INT) AS n_lines,
+  CAST(len(kept) AS INT) AS n_kept,
+  coalesce(array_to_string(kept, chr(10)), '') AS clean_text,
+  len(kept) >= 1 AS keep_doc
+FROM k
+"""
+
+
+def q_text_surprisal(spark, sf_dir):
+    """Corpus-unigram-LM mean surprisal per doc (CCNet-style typicality)."""
+    return text.unigram_surprisal(load_table(spark, sf_dir, "documents"))
+
+
+_TEXT_SURPRISAL_SQL = """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+),
+lm AS (SELECT token, count(*) AS c FROM tok GROUP BY token),
+tot AS (SELECT sum(c) AS total FROM lm)
+SELECT doc_id,
+  count(*) AS n_tokens,
+  round(avg(ln(CAST(total AS DOUBLE)) - ln(CAST(c AS DOUBLE))), 6) AS surprisal
+FROM tok JOIN lm USING (token) CROSS JOIN tot
+GROUP BY doc_id
+"""
+
+
+def q_curate_split(spark, sf_dir):
+    """Leakage-safe train/val/test split: hash of near-dup CLUSTER id, so a
+    doc and its near-twin can never straddle splits."""
+    from yat_geo_db_spark.pipelines import curation
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(
+        docs, threshold=JACCARD_T, block_cols=("lang", "source")
+    )
+    return curation.leakage_safe_split(docs, pairs)
+
+
+_CURATE_SPLIT_SQL = f"""
+WITH RECURSIVE {_COMPONENT_CTES},
+keyed AS (
+  SELECT d.doc_id, coalesce(comp.cluster_id, d.doc_id) AS split_key
+  FROM documents d LEFT JOIN comp ON d.doc_id = comp.doc_id
+)
+SELECT doc_id, split_key,
+  CASE WHEN (split_key * 2654435761) % 100 < 10 THEN 'test'
+       WHEN (split_key * 2654435761) % 100 < 20 THEN 'val'
+       ELSE 'train' END AS split
+FROM keyed
+"""
+
+
+def q_pack_length_buckets(spark, sf_dir):
+    """Length-bucketed batch assignment (padding-waste reduction)."""
+    from yat_geo_db_spark.pipelines import curation
+
+    return curation.length_bucket_batches(load_table(spark, sf_dir, "documents"))
+
+
+_PACK_LENGTH_BUCKETS_SQL = """
+WITH s AS (
+  SELECT doc_id, CAST(len(string_split(text, ' ')) AS INT) AS n_tokens
+  FROM documents
+),
+b AS (
+  SELECT doc_id, n_tokens,
+         CAST(floor(n_tokens / 16) AS INT) AS bucket
+  FROM s
+),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY bucket ORDER BY doc_id) - 1 AS rn
+  FROM b
+)
+SELECT doc_id, n_tokens, bucket,
+  CAST(floor(rn / 8) AS BIGINT) AS batch_idx,
+  CAST(rn % 8 AS BIGINT) AS pos_in_batch
+FROM r
+"""
+
+
 def q_mm_features(spark, sf_dir):
     media = multimodal.synthesize_media(load_table(spark, sf_dir, "documents"))
     return multimodal.extract_features(media)
@@ -1147,6 +1260,10 @@ QUERIES: dict = {
     "pipe_text_clean": (q_text_clean, _TEXT_CLEAN_SQL),
     "pipe_text_entropy": (q_text_entropy, _TEXT_ENTROPY_SQL),
     "pipe_text_boilerplate": (q_text_boilerplate, _TEXT_BOILERPLATE_SQL),
+    "pipe_text_c4_filters": (q_text_c4_filters, _c4_sql()),
+    "pipe_text_surprisal": (q_text_surprisal, _TEXT_SURPRISAL_SQL),
+    "pipe_curate_split": (q_curate_split, _CURATE_SPLIT_SQL),
+    "pipe_pack_length_buckets": (q_pack_length_buckets, _PACK_LENGTH_BUCKETS_SQL),
     "pipe_mm_features": (q_mm_features, _MM_FEATURES_SQL),
     "pipe_mm_frame_sample": (q_mm_frame_sample, _MM_FRAME_SAMPLE_SQL),
     "pipe_mm_resize": (q_mm_resize, None),
