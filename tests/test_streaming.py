@@ -290,3 +290,40 @@ def test_tws_running_profile(spark, tmp_path):
         .collect()
     }
     assert got == want
+
+
+def test_streaming_decontamination_matches_batch(spark, tmp_path):
+    """foreachBatch decontamination: documents streamed from files, filtered
+    per micro-batch against a static corpus band index, written to the
+    idempotent batch-partitioned sink — surviving doc set must equal the
+    batch near_dup_filter run on the same inputs (unified model)."""
+    from yat_geo_db_spark.pipelines.dedup import band_table, near_dup_filter
+    from yat_geo_db_spark.streaming.sinks import decontaminating_sink, read_sink
+
+    docs = load_table(spark, SF, "documents")
+    # reference corpus = half the docs; incoming stream = all docs (so some
+    # incoming docs near-duplicate the corpus and must be dropped)
+    corpus = docs.filter(F.col("doc_id") % 2 == 0)
+    bands = band_table(corpus).persist()
+    bands.count()
+
+    src = str(tmp_path / "docs_src")
+    docs.write.mode("overwrite").parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).parquet(src)
+
+    target = str(tmp_path / "decontaminated")
+    q = (
+        stream.writeStream.foreachBatch(decontaminating_sink(bands, target))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = sorted(r["doc_id"] for r in read_sink(spark, target).collect())
+    want = sorted(
+        r["doc_id"] for r in near_dup_filter(docs, bands).collect()
+    )
+    assert got == want
+    assert 0 < len(got) < docs.count()  # some dropped, some survive

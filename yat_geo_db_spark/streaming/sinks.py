@@ -33,3 +33,28 @@ def read_sink(spark, target_dir: str) -> DataFrame:
     return spark.read.option("basePath", target_dir).parquet(
         os.path.join(target_dir, "batch_id=*")
     )
+
+
+def decontaminating_sink(corpus_bands: DataFrame, target_dir: str,
+                         threshold: float = 0.5, w: int = 3):
+    """foreachBatch decontamination: each micro-batch of incoming documents
+    is filtered against a STATIC reference-corpus band index
+    (dedup.band_table, built once and persisted by the caller) before the
+    idempotent batch-partitioned write — the ingest-time shape of benchmark
+    decontamination on a streaming feed.
+
+    The anti-join needs batch semantics (stream-stream anti joins with this
+    shape aren't expressible), which is exactly what foreachBatch provides:
+    the banding of the incoming batch is stateless, the corpus index is a
+    constant relation, and replays rewrite their own batch_id partition.
+    """
+    from yat_geo_db_spark.pipelines.dedup import near_dup_filter
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        survivors = near_dup_filter(
+            batch_df, corpus_bands, threshold=threshold, w=w
+        )
+        out = os.path.join(target_dir, f"batch_id={batch_id}")
+        survivors.write.mode("overwrite").parquet(out)
+
+    return write_batch
