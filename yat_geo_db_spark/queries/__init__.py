@@ -8,35 +8,43 @@ Each entry maps a query name to a `(spark_fn, oracle_sql)` pair:
 
 from __future__ import annotations
 
+import glob
+import json
+import os
+import re
+
 from yat_geo_db_spark.queries.geo_queries import QUERIES as GEO_QUERIES
 from yat_geo_db_spark.queries.relational_queries import QUERIES as REL_QUERIES
 from yat_geo_db_spark.queries.pipeline_queries import QUERIES as PIPE_QUERIES
 
-#: Names whose driver verdicts are the OLDEST (green in CORRECTNESS_r01.json;
-#: the round-2 pass covered the complementary set). The driver regenerates
-#: /root/testdata between rounds, so the r1 rows are evidence about r1's data
-#: generation only. Iteration order is the only ordering signal the driver
-#: has, so `all_queries()` yields the STALEST-checked entries FIRST each
-#: round — round 3 refreshes the r1 set; the r2-checked set (freshest rows)
-#: runs last and is the safest to lose to a time cap.
-_STALEST_CHECKED = frozenset({
-    "geo_fuzzy_city", "geo_fuzzy_filtered", "geo_fuzzy_zip", "geo_best_fuzzy",
-    "geo_radius_ids", "geo_radius_full", "geo_knn", "geo_viewport",
-    "geo_radius_latlng", "geo_pair_distances", "geo_point_lookup",
-    "geo_id_ref_map", "geo_quote_location", "geo_shape_display",
-    "geo_tversky_compare", "geo_type_of", "geo_local_time", "geo_num_shapes",
-    "rel_q4_order_priority", "rel_unpivot", "rel_merge_upsert",
-    "rel_range_frame_30d", "rel_cohort_retention", "rel_funnel_view_click",
-    "rel_division_all_late", "rel_try_funcs", "rel_hll_mergeable_rollup",
-    "rel_variant_extract", "rel_null_funcs", "rel_q6_forecast_revenue",
-    "rel_q7_volume_shipping", "rel_q8_market_share", "rel_q10_returned_items",
-    "rel_q14_promo_revenue", "rel_q19_disjunctive", "rel_q22_idle_customers",
-    "rel_window_battery", "rel_lateral_tokens", "rel_q17_small_quantity",
-    "rel_value_deciles", "rel_interval_join", "rel_asof_click_view",
-    "rel_band_join", "rel_session_window_native", "rel_approx_stats",
-    "rel_exact_percentiles", "rel_array_funcs", "rel_map_funcs",
-    "rel_q1_pricing_summary", "rel_q3_shipping_priority",
-})
+
+def _last_checked_round() -> dict[str, int]:
+    """name → most recent round with a driver CORRECTNESS row for it.
+
+    The per-round driver checks the FIRST ~50 registry entries and records
+    them in CORRECTNESS_r{N}.json, and it REGENERATES the testdata between
+    rounds — so a verdict's evidential value decays with age. Reading the
+    record files (committed at the repo root) lets `all_queries()` order
+    STALEST-FIRST automatically each round: never-checked queries run
+    first, then the oldest-checked, and the freshest rows — safest to lose
+    to a time cap — run last. No hand-maintained round list to rotate."""
+    root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    last: dict[str, int] = {}
+    for path in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
+        m = re.search(r"r(\d+)", os.path.basename(path))
+        if m is None:
+            continue
+        rnd = int(m.group(1))
+        try:
+            with open(path) as f:
+                rows = json.load(f)
+        except (OSError, ValueError):
+            continue
+        if not isinstance(rows, dict):
+            continue
+        for name in rows:
+            last[name] = max(last.get(name, 0), rnd)
+    return last
 
 
 def all_queries() -> dict:
@@ -45,6 +53,8 @@ def all_queries() -> dict:
         overlap = merged.keys() & d.keys()
         assert not overlap, f"duplicate query names: {overlap}"
         merged.update(d)
-    ordered = {n: merged[n] for n in merged if n in _STALEST_CHECKED}
-    ordered.update({n: merged[n] for n in merged if n not in _STALEST_CHECKED})
-    return ordered
+    last = _last_checked_round()
+    # stalest-first; deterministic name tiebreak (never-checked sort at -1)
+    return dict(
+        sorted(merged.items(), key=lambda kv: (last.get(kv[0], -1), kv[0]))
+    )
