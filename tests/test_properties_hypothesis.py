@@ -134,3 +134,29 @@ def test_prefix_filter_is_lossless(docs, t):
             union = len(docs[i] | docs[j])
             if union and inter / union >= t:
                 assert (i, j) in cands, (docs[i], docs[j], t)
+
+
+def test_wav_codec_round_trip_property():
+    """encode_wav ∘ decode_wav is the identity on arbitrary int16 sample
+    vectors and rates — the property a real codec pair must satisfy (no
+    Spark involved; the distributed path reuses exactly these kernels)."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from yat_geo_db_spark.pipelines.multimodal import decode_wav, encode_wav
+
+    @given(
+        st.lists(
+            st.integers(min_value=-32768, max_value=32767), max_size=300
+        ),
+        st.sampled_from([8000, 16000, 44100]),
+    )
+    @settings(max_examples=60, deadline=None)
+    def check(samples, rate):
+        got_rate, got = decode_wav(encode_wav(samples, rate))
+        assert got_rate == rate
+        assert got.tolist() == samples
+        assert np.asarray(got).dtype == np.dtype("<i2") or got.dtype == np.int16
+
+    check()

@@ -138,6 +138,24 @@ WAV_FEATURE_SCHEMA = T.StructType(
 )
 
 
+def encode_wav(samples, sample_rate: int = WAV_SAMPLE_RATE) -> bytes:
+    """REAL WAV encode: 16-bit little-endian mono PCM through the stdlib
+    `wave` writer. `samples` is any int sequence fitting int16."""
+    import io
+    import wave as wave_mod
+
+    import numpy as np
+
+    arr = np.asarray(samples, dtype="<i2")
+    buf = io.BytesIO()
+    with wave_mod.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sample_rate)
+        w.writeframes(arr.tobytes())
+    return buf.getvalue()
+
+
 def synthesize_wav(
     documents: DataFrame,
     text_col: str = "text",
@@ -152,33 +170,21 @@ def synthesize_wav(
     bytes themselves are a real container any audio tool can open."""
 
     def _encode(batches: Iterator) -> Iterator:
-        import io
-        import wave as wave_mod
-
-        import numpy as np
         import pandas as pd
 
         for pdf in batches:
             payloads = []
             metas = []
             for text in pdf[text_col].fillna(""):
-                samples = np.array(
-                    [ord(c) % 32768 for c in text], dtype="<i2"
-                )
-                buf = io.BytesIO()
-                with wave_mod.open(buf, "wb") as w:
-                    w.setnchannels(1)
-                    w.setsampwidth(2)
-                    w.setframerate(sample_rate)
-                    w.writeframes(samples.tobytes())
-                payload = buf.getvalue()
+                samples = [ord(c) % 32768 for c in text]
+                payload = encode_wav(samples, sample_rate)
                 payloads.append(payload)
                 metas.append(
                     {
                         "mime": "audio/wav",
                         "n_bytes": len(payload),
                         "sample_rate": sample_rate,
-                        "n_samples": int(samples.size),
+                        "n_samples": len(samples),
                     }
                 )
             yield pd.DataFrame(
