@@ -1349,7 +1349,46 @@ SELECT c_custkey,
 FROM customer
 """
 
+def q13(spark, sf_dir):
+    customer, orders = _t(spark, sf_dir, "customer", "orders")
+    return rq.q13_order_count_distribution(customer, orders)
+
+
+_Q13_SQL = """
+SELECT c_count, count(*) AS custdist FROM (
+  SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+  FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+  GROUP BY c.c_custkey
+)
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+
+def q15(spark, sf_dir):
+    lineitem, supplier = _t(spark, sf_dir, "lineitem", "supplier")
+    return rq.q15_top_supplier(lineitem, supplier)
+
+
+_Q15_SQL = f"""
+WITH revenue AS (
+  SELECT l_suppkey,
+         {_dsum('l_extendedprice * (1 - l_discount)', 4)} AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, round(total_revenue, 2) AS total_revenue
+FROM revenue JOIN supplier ON l_suppkey = s_suppkey
+WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+ORDER BY s_suppkey
+"""
+
+
 QUERIES: dict = {
+    "rel_q13_order_count_distribution": (q13, _Q13_SQL),
+    "rel_q15_top_supplier": (q15, _Q15_SQL),
     "rel_q4_order_priority": (q4, _Q4_SQL),
     "rel_unpivot": (unpivot_part, _UNPIVOT_SQL),
     "rel_merge_upsert": (upsert, _UPSERT_SQL),

@@ -704,3 +704,60 @@ def order_window_battery(orders: DataFrame) -> DataFrame:
         F.round(F.percent_rank().over(w_price), 6).alias("price_pctrank"),
         F.round(F.cume_dist().over(w_price), 6).alias("price_cumedist"),
     )
+
+
+def q13_order_count_distribution(
+    customer: DataFrame, orders: DataFrame
+) -> DataFrame:
+    """TPC-H Q13 shape (adapted to the reduced schema — no o_comment
+    filter): histogram of per-customer order counts, INCLUDING zero-order
+    customers (the left join is the point of the query).
+
+    Aggregation-of-aggregation: left join → per-customer count → per-count
+    count. Two shuffles, both map-side combinable; the second aggregates a
+    customer-cardinality input down to a handful of histogram rows."""
+    per_cust = (
+        customer.join(
+            orders, customer["c_custkey"] == orders["o_custkey"], "left"
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+def q15_top_supplier(
+    lineitem: DataFrame, supplier: DataFrame
+) -> DataFrame:
+    """TPC-H Q15 shape: revenue per supplier over a 3-month shipping
+    window, return the supplier(s) achieving the MAX revenue (scalar
+    subquery against an aggregate; ties kept, per spec).
+
+    The max rides a 1-row broadcast cross join back onto the revenue
+    relation — no second scan of lineitem, no driver round-trip."""
+    revenue = (
+        lineitem.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01"))
+        )
+        .groupBy("l_suppkey")
+        .agg(
+            dsum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), 4
+            ).alias("total_revenue")
+        )
+    )
+    top = revenue.agg(F.max("total_revenue").alias("max_revenue"))
+    return (
+        revenue.crossJoin(F.broadcast(top))
+        .filter(F.col("total_revenue") == F.col("max_revenue"))
+        .join(supplier, revenue["l_suppkey"] == supplier["s_suppkey"])
+        .select(
+            "s_suppkey", "s_name", F.round("total_revenue", 2).alias("total_revenue")
+        )
+        .orderBy("s_suppkey")
+    )
