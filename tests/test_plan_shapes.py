@@ -197,3 +197,59 @@ def test_viewport_pushdown_on_ingested_layout(spark, ingested_shapes):
     assert "GreaterThanOrEqual(latitude,28.0)" in pushed
     assert "IsNotNull(longitude)" in pushed
     assert df.count() > 0
+
+
+def test_c4_filters_is_shuffle_free_scan(spark):
+    """C4 line cleaning must be a pure scan-speed map: no Exchange of any
+    kind in the plan — the property that makes it free at 100 TB."""
+    from yat_geo_db_spark.pipelines.text import c4_line_filters
+
+    plan = _plan(c4_line_filters(_raw(spark, "documents")))
+    assert "Exchange" not in plan, plan
+
+
+def test_length_buckets_single_partial_shuffle(spark):
+    """Length-bucketed batching: exactly one Exchange (the per-bucket
+    window's hashpartitioning on bucket) — no global sort, no extra
+    shuffles."""
+    from yat_geo_db_spark.pipelines.curation import length_bucket_batches
+
+    plan = _plan(length_bucket_batches(_raw(spark, "documents")))
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "rangepartitioning" not in plan, plan
+
+
+def test_surprisal_lm_join_no_corpus_broadcast(spark):
+    """Unigram surprisal: the token relation must NEVER be the broadcast
+    side (it is corpus-sized); only the vocabulary-bounded LM or the 1-row
+    total may broadcast."""
+    from yat_geo_db_spark.pipelines.text import unigram_surprisal
+
+    df = unigram_surprisal(_raw(spark, "documents"))
+    df.count()  # final AQE plan
+    plan = _plan(df)
+    # the corpus side reaches the join via explode(split(text)); a broadcast
+    # exchange whose subtree contains the explode would ship the corpus
+    import re
+
+    for m in re.finditer(r"BroadcastExchange", plan):
+        seg = plan[m.start():m.start() + 2000]
+        assert "explode" not in seg.split("BroadcastExchange")[0], plan[:3000]
+    assert df.schema.simpleString().count("surprisal") == 1
+
+
+def test_q15_single_lineitem_scan(spark):
+    """Q15's max-revenue comparison must NOT re-execute the lineitem
+    scan+aggregate (the scalar-subquery form does — Catalyst doesn't
+    reuse the exchange across the subquery boundary): exactly one
+    lineitem scan in the final plan."""
+    import re
+
+    li, su = _raw(spark, "lineitem"), _raw(spark, "supplier")
+    df = rq.q15_top_supplier(li, su)
+    df.collect()  # final AQE plan belongs to the collected dataset
+    # the AQE dump appends the pre-adaptive "Initial Plan" — count scans
+    # only in the executed final section
+    plan = _plan(df).split("== Initial Plan ==")[0]
+    scans = len(re.findall(r"FileScan parquet \[[^\]]*l_extendedprice", plan))
+    assert scans == 1, plan[:4000]

@@ -737,8 +737,16 @@ def q15_top_supplier(
     window, return the supplier(s) achieving the MAX revenue (scalar
     subquery against an aggregate; ties kept, per spec).
 
-    The max rides a 1-row broadcast cross join back onto the revenue
-    relation — no second scan of lineitem, no driver round-trip."""
+    The max is a GLOBAL WINDOW over the revenue aggregate, not a scalar-
+    subquery self-join: the self-join form re-executes the whole
+    lineitem scan+aggregate on both sides (Catalyst does not reuse the
+    exchange across the subquery boundary — observed in the final AQE
+    plan), while the window form scans lineitem ONCE and funnels only the
+    supplier-cardinality aggregate through a single-partition window —
+    rows there are #suppliers, orders of magnitude below #lineitems, the
+    classical Q15 trade. Asserted in test_plan_shapes."""
+    from pyspark.sql import Window
+
     revenue = (
         lineitem.filter(
             (F.col("l_shipdate") >= F.lit("1996-01-01"))
@@ -751,9 +759,9 @@ def q15_top_supplier(
             ).alias("total_revenue")
         )
     )
-    top = revenue.agg(F.max("total_revenue").alias("max_revenue"))
+    w = Window.partitionBy()
     return (
-        revenue.crossJoin(F.broadcast(top))
+        revenue.withColumn("max_revenue", F.max("total_revenue").over(w))
         .filter(F.col("total_revenue") == F.col("max_revenue"))
         .join(supplier, revenue["l_suppkey"] == supplier["s_suppkey"])
         .select(
