@@ -363,3 +363,37 @@ def test_simhash_short_text_regime_split(spark):
     # long docs never enter the (quadratic-ish) Jaccard side: every routed
     # pair involving them came from the signature join
     assert all(a >= 10 and b >= 10 for a, b in routed if a >= 10 or b >= 10)
+
+
+def test_routed_pairs_catch_cross_boundary_near_dups(spark):
+    """The routing overlap-band argument, exercised: a true near-dup pair
+    straddling the short/long boundary (one doc under SIMHASH_MIN_TOKENS,
+    one over) must still be found — Jaccard ≥ 0.5 bounds pair sizes within
+    2×, so both ends sit inside the Jaccard band [0, 2·min_tokens)."""
+    import random
+
+    from yat_geo_db_spark.pipelines.curation import near_dup_pairs
+    from yat_geo_db_spark.pipelines.dedup import ngram_jaccard_pairs
+
+    r = random.Random(11)
+    vocab = [f"tok{i:03d}" for i in range(400)]
+    short_words = [r.choice(vocab) for _ in range(100)]   # < 128 tokens
+    # long doc = the short doc plus a suffix → high char-gram overlap,
+    # 180 tokens (>= 128, so it ALSO enters the simhash side)
+    long_words = short_words + [r.choice(vocab) for _ in range(80)]
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(short_words), "en", "s"),
+            (2, " ".join(long_words), "en", "s"),
+        ],
+        "doc_id long, text string, lang string, source string",
+    )
+    # the pair is a true near-dup by the exact metric
+    exact = ngram_jaccard_pairs(docs, threshold=0.5,
+                                block_cols=("lang", "source")).collect()
+    assert [(r_["id1"], r_["id2"]) for r_ in exact] == [(1, 2)]
+    routed = {
+        (r_["id1"], r_["id2"])
+        for r_ in near_dup_pairs(docs, block_cols=("lang", "source")).collect()
+    }
+    assert (1, 2) in routed
