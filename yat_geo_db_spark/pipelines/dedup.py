@@ -223,18 +223,26 @@ def ngram_jaccard_pairs(
 
     Reuse: the gram table feeds THREE consumers (the prefix index and both
     verify sides) and the prefix table feeds BOTH sides of the candidate
-    self-join — each is persisted so the expensive shingle transform and
-    the rank window each execute once per corpus, not once per consumer
-    (Catalyst's ReusedExchange only dedups identical exchanges within one
-    stage graph; a cache survives across the join's independent subtrees).
+    self-join — each is persisted AND eagerly materialized (one count()
+    job apiece) before the join is assembled. persist() alone is not
+    enough: the self-join's two shuffle-map stages are scheduled
+    CONCURRENTLY, and two stages racing to fill the same cold cache each
+    recompute the expensive shingle/rank subtree (~2× the whole index
+    build, measured). Catalyst's ReusedExchange can't help either — it
+    only dedups identical exchanges, and the two sides project different
+    aliases. The eager counts are deliberate lazy-API exceptions,
+    documented here: this function builds an INDEX (like an ML fit step),
+    and materializing it once is what makes the downstream plan cheap.
     """
     grams_tbl = distinct_grams_table(
         documents, n=n, text_col=text_col, block_cols=block_cols
     ).persist()
+    grams_tbl.count()  # materialize before prefix derives from it
     prefix = jaccard_prefix_table(
         documents, threshold, n=n, text_col=text_col, block_cols=block_cols,
         grams_tbl=grams_tbl,
     ).persist()
+    prefix.count()  # materialize before both self-join sides read it
     a = prefix.select(
         F.col("g"),
         *[F.col(c).alias(f"b1_{c}") for c in block_cols],
@@ -534,8 +542,12 @@ def minhash_lsh_pairs(
     shingle Jaccard. At 100 TB the band join dominates; salting the hottest
     buckets or raising rows-per-band bounds it. Candidate volume stays
     near-linear because random doc pairs share ~no token shingles. The band
-    index feeds both sides of the self-join → persisted, built once."""
+    index feeds both sides of the self-join → persisted AND eagerly
+    materialized (the join's two map stages race a cold cache and would
+    each recompute the signature aggregation otherwise — see
+    ngram_jaccard_pairs)."""
     banded = band_table(documents, w, text_col).persist()
+    banded.count()
 
     left = banded.select(
         F.col("band"), F.col("bsig"),
@@ -747,8 +759,11 @@ def simhash_pairs(
     a full pairwise comparison within `block_cols` would produce — same
     semantics, near-linear candidate volume instead of O(N²) per block.
     The signature table feeds both sides of the segment self-join, so it is
-    persisted — one signature aggregation per corpus, not two."""
+    persisted and eagerly materialized — one signature aggregation per
+    corpus, not two (the join's concurrent map stages would otherwise race
+    the cold cache and each recompute it — see ngram_jaccard_pairs)."""
     sigs = simhash_table(documents, text_col, block_cols).persist()
+    sigs.count()
     cand = simhash_candidates(sigs, max_hamming, block_cols)
     hamming = F.bit_count(F.col("s1").bitwiseXOR(F.col("s2")))
     return (
