@@ -1386,6 +1386,107 @@ ORDER BY s_suppkey
 """
 
 
+
+
+def q9(spark, sf_dir):
+    lineitem, orders, supplier, nation, part = _t(
+        spark, sf_dir, "lineitem", "orders", "supplier", "nation", "part"
+    )
+    return rq.q9_product_profit(lineitem, orders, supplier, nation, part)
+
+
+def q11(spark, sf_dir):
+    lineitem, supplier, nation = _t(spark, sf_dir, "lineitem", "supplier", "nation")
+    return rq.q11_important_parts(lineitem, supplier, nation)
+
+
+def q12(spark, sf_dir):
+    lineitem, orders = _t(spark, sf_dir, "lineitem", "orders")
+    return rq.q12_shipmode_priority(lineitem, orders)
+
+
+def q21(spark, sf_dir):
+    lineitem, orders, supplier, nation = _t(
+        spark, sf_dir, "lineitem", "orders", "supplier", "nation"
+    )
+    return rq.q21_waiting_suppliers(lineitem, orders, supplier, nation)
+
+
+_Q9_SQL = f"""
+SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year,
+       {_dsum("l_extendedprice * (1 - l_discount)"
+              " - 0.6 * p_retailprice * l_quantity", 4)} AS sum_profit
+FROM lineitem
+JOIN part ON l_partkey = p_partkey AND contains(p_name, 'red')
+JOIN orders ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+GROUP BY 1, 2
+"""
+
+_Q11_SQL = """
+WITH per_part AS (
+  SELECT l_partkey,
+         sum(CAST(floor(l_extendedprice * (1 - l_discount) * 1e4
+                        + CAST(0.5 AS DOUBLE)) AS BIGINT)) AS pv_scaled
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey AND n_name = 'NATION_1'
+  GROUP BY 1
+),
+tot AS (SELECT sum(pv_scaled) AS tv_scaled FROM per_part)
+SELECT l_partkey,
+       CAST(pv_scaled AS DOUBLE) / 1e4 AS part_value,
+       CAST(tv_scaled AS DOUBLE) / 1e4 AS total_value
+FROM per_part, tot
+WHERE CAST(pv_scaled AS DOUBLE) > 0.001 * CAST(tv_scaled AS DOUBLE)
+"""
+
+_Q12_SQL = """
+SELECT CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY
+            THEN 'LATE' ELSE 'ONTIME' END AS lateness,
+       count(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                  THEN 1 END) AS high_line_count,
+       count(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                  THEN 1 END) AS low_line_count
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+GROUP BY 1
+"""
+
+_Q21_SQL = """
+WITH li AS (
+  SELECT DISTINCT l_orderkey, l_suppkey,
+         l_shipdate > o_orderdate + INTERVAL 90 DAY AS is_late
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey AND o_orderstatus = 'F'
+),
+per_os AS (
+  SELECT l_orderkey, l_suppkey, max(CAST(is_late AS INT)) AS me_late
+  FROM li GROUP BY 1, 2
+),
+per_o AS (
+  SELECT l_orderkey,
+         count(DISTINCT l_suppkey) AS n_supp,
+         count(DISTINCT CASE WHEN is_late THEN l_suppkey END) AS n_late_supp
+  FROM li GROUP BY 1
+)
+SELECT s_suppkey, s_name, numwait
+FROM (
+  SELECT l_suppkey, count(*) AS numwait
+  FROM per_os JOIN per_o USING (l_orderkey)
+  WHERE me_late = 1 AND n_supp > 1 AND n_late_supp = 1
+  GROUP BY 1
+) w
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey AND n_name = 'NATION_1'
+ORDER BY numwait DESC, s_suppkey
+LIMIT 20
+"""
+
+
 QUERIES: dict = {
     "rel_q13_order_count_distribution": (q13, _Q13_SQL),
     "rel_q15_top_supplier": (q15, _Q15_SQL),
@@ -1440,4 +1541,8 @@ QUERIES: dict = {
     "rel_sessionize": (sessionize, _SESSIONIZE_SQL),
     "rel_tumbling_hour": (tumbling, _TUMBLING_SQL),
     "rel_sliding_10min": (sliding, _SLIDING_SQL),
+    "rel_q9_product_profit": (q9, _Q9_SQL),
+    "rel_q11_important_parts": (q11, _Q11_SQL),
+    "rel_q12_lateness_priority": (q12, _Q12_SQL),
+    "rel_q21_waiting_suppliers": (q21, _Q21_SQL),
 }

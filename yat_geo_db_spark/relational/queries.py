@@ -769,3 +769,186 @@ def q15_top_supplier(
         )
         .orderBy("s_suppkey")
     )
+
+
+def q9_product_profit(lineitem: DataFrame, orders: DataFrame,
+                      supplier: DataFrame, nation: DataFrame,
+                      part: DataFrame, name_frag: str = "red") -> DataFrame:
+    """TPC-H Q9 shape: profit by supplier nation × order year for parts
+    matching a name fragment. The fixture has no partsupp table, so unit
+    cost is proxied by 0.6 × p_retailprice (same expression arity and join
+    shape; documented divergence — TESTDATA.md ships no ps_supplycost).
+
+    Plan: the name-filtered part dim is broadcast into the lineitem scan
+    (most selective first), supplier+nation broadcast, orders is the one
+    big shuffle join; year extraction happens pre-aggregation so the
+    group key is (nation, int)."""
+    profit = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - F.lit(0.6) * F.col("p_retailprice") * F.col("l_quantity")
+    )
+    return (
+        lineitem.join(
+            F.broadcast(
+                part.filter(F.col("p_name").contains(name_frag))
+                .select("p_partkey", "p_retailprice")
+            ),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .join(orders.select("o_orderkey", "o_orderdate"),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(supplier.select("s_suppkey", "s_nationkey")),
+              F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation.select("n_nationkey", "n_name")),
+              F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("int").alias("o_year"),
+        )
+        .agg(dsum(profit, 4).alias("sum_profit"))
+    )
+
+
+def q11_important_parts(lineitem: DataFrame, supplier: DataFrame,
+                        nation: DataFrame, nation_name: str = "NATION_1",
+                        fraction: float = 0.001) -> DataFrame:
+    """TPC-H Q11 shape: groupBy + HAVING against a scalar aggregate over
+    the same relation (parts whose revenue from one nation's suppliers
+    exceeds `fraction` of that nation's total). partsupp is absent from
+    the fixture, so "value" is lineitem revenue restricted to the nation's
+    suppliers — identical decorrelation problem and plan shape.
+
+    Spark-first: the scalar total is a global-window max-style aggregate
+    over the grouped result (one extra exchange of #parts rows), NOT a
+    scalar-subquery self-join that would scan lineitem twice — the same
+    rewrite as q15_top_supplier."""
+    from pyspark.sql import Window
+
+    nat_supp = (
+        supplier.join(
+            F.broadcast(nation.filter(F.col("n_name") == nation_name)),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        ).select("s_suppkey")
+    )
+    # keep the SCALED DECIMAL sum alongside the double: the global window
+    # total must be summed in exact fixed-point (decimal adds are
+    # associative; a double window-sum would drift with partition order)
+    per_part = (
+        lineitem.join(F.broadcast(nat_supp),
+                      F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("l_partkey")
+        .agg(
+            F.sum(
+                _scaled_long(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount")), 4
+                )
+            ).alias("pv_scaled")
+        )
+    )
+    w = Window.partitionBy()
+    m = F.lit(1e4)
+    return (
+        per_part.withColumn("tv_scaled", F.sum("pv_scaled").over(w))
+        .filter(
+            F.col("pv_scaled").cast("double")
+            > F.lit(fraction) * F.col("tv_scaled").cast("double")
+        )
+        .select(
+            "l_partkey",
+            (F.col("pv_scaled").cast("double") / m).alias("part_value"),
+            (F.col("tv_scaled").cast("double") / m).alias("total_value"),
+        )
+    )
+
+
+def q12_shipmode_priority(lineitem: DataFrame, orders: DataFrame,
+                          late_days: int = 60) -> DataFrame:
+    """TPC-H Q12 shape: two conditional counts per category over a joined
+    date-window slice. The fixture has no l_shipmode/commitdate/receiptdate,
+    so the category is the lateness band (shipped ≤/> `late_days` after
+    order) and the counted split is urgent vs non-urgent priority — same
+    two-way conditional aggregation over the lineitem⋈orders join, with the
+    ship-date window pushed into the lineitem scan."""
+    lateness = F.when(
+        F.col("l_shipdate") > F.timestamp_add("DAY", F.lit(late_days),
+                                              F.col("o_orderdate")),
+        F.lit("LATE"),
+    ).otherwise(F.lit("ONTIME"))
+    urgent = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        lineitem.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01"))
+        )
+        .select("l_orderkey", "l_shipdate")
+        .join(orders.select("o_orderkey", "o_orderdate", "o_orderpriority"),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(lateness.alias("lateness"))
+        .agg(
+            F.count(F.when(urgent, 1)).alias("high_line_count"),
+            F.count(F.when(~urgent, 1)).alias("low_line_count"),
+        )
+    )
+
+
+def q21_waiting_suppliers(lineitem: DataFrame, orders: DataFrame,
+                          supplier: DataFrame, nation: DataFrame,
+                          nation_name: str = "NATION_1",
+                          late_days: int = 90, k: int = 20) -> DataFrame:
+    """TPC-H Q21 shape: suppliers who were the SOLE late shipper on a
+    multi-supplier order — an EXISTS (another supplier on the order) plus a
+    NOT EXISTS (another LATE supplier on the order), both correlated on
+    (orderkey, ≠ suppkey). Lateness = shipped > `late_days` after the order
+    date (fixture has no commit/receipt dates; same correlation shape).
+
+    Spark-first decorrelation: ONE aggregate per (order, supplier) row
+    (did this supplier ship late), then the per-order supplier counts ride
+    a window over the SAME rows — the lineitem⋈orders subtree is scanned
+    once (a separate per-order groupBy joined back would scan it twice),
+    and both the aggregate and the window shuffle on the narrow
+    (l_orderkey[, l_suppkey]) keys. No correlated self-join, no O(N²)."""
+    from pyspark.sql import Window
+
+    late = F.col("l_shipdate") > F.timestamp_add(
+        "DAY", F.lit(late_days), F.col("o_orderdate")
+    )
+    li = (
+        lineitem.select("l_orderkey", "l_suppkey", "l_shipdate")
+        .join(
+            orders.filter(F.col("o_orderstatus") == "F")
+            .select("o_orderkey", "o_orderdate"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .select("l_orderkey", "l_suppkey", late.alias("is_late"))
+    )
+    # per (order, supplier): did THIS supplier ship late; then per order,
+    # supplier / late-supplier counts as window aggregates over those rows
+    per_os = li.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max(F.col("is_late").cast("int")).alias("me_late")
+    )
+    w_o = Window.partitionBy("l_orderkey")
+    waiting = (
+        per_os.withColumn("n_supp", F.count(F.lit(1)).over(w_o))
+        .withColumn("n_late_supp", F.sum("me_late").over(w_o))
+        .filter(
+            (F.col("me_late") == 1)
+            & (F.col("n_supp") > 1)          # EXISTS another supplier
+            & (F.col("n_late_supp") == 1)    # NOT EXISTS another late one
+        )
+        .groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+    return (
+        waiting.join(
+            F.broadcast(
+                supplier.join(
+                    F.broadcast(nation.filter(F.col("n_name") == nation_name)),
+                    F.col("s_nationkey") == F.col("n_nationkey"),
+                ).select("s_suppkey", "s_name")
+            ),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .select("s_suppkey", "s_name", "numwait")
+        .orderBy(F.desc("numwait"), F.asc("s_suppkey"))
+        .limit(k)
+    )
