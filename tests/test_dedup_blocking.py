@@ -397,3 +397,55 @@ def test_routed_pairs_catch_cross_boundary_near_dups(spark):
         for r_ in near_dup_pairs(docs, block_cols=("lang", "source")).collect()
     }
     assert (1, 2) in routed
+
+
+def test_exact_ngram_decontamination_and_broadcast(spark):
+    """A doc embedding one verbatim benchmark 13-gram is dropped even
+    though it is globally dissimilar; clean docs survive. The benchmark
+    gram index must be on the broadcast side of the join (the corpus side
+    is the 100 TB side — it must not shuffle)."""
+    from yat_geo_db_spark.pipelines.dedup import (
+        exact_ngram_decontaminate,
+        exact_ngram_matches,
+    )
+
+    bench_sentence = " ".join(f"b{i}" for i in range(13))
+    corpus = spark.createDataFrame(
+        [
+            # 13 verbatim benchmark tokens inside an otherwise-unique doc
+            (10, "x1 x2 " + bench_sentence + " x3 x4"),
+            (11, " ".join(f"c{i}" for i in range(40))),  # clean
+            (12, "too short"),                            # < 13 tokens: clean
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(1, bench_sentence + " tail1 tail2")], "doc_id long, text string"
+    )
+    hits = exact_ngram_matches(corpus, bench, w=13)
+    assert [(r["doc_id"], r["bench_doc_id"]) for r in hits.collect()] == [(10, 1)]
+    kept = sorted(
+        r["doc_id"] for r in exact_ngram_decontaminate(corpus, bench).collect()
+    )
+    assert kept == [11, 12]
+    plan = hits._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
+def test_remove_duplicate_lines_first_occurrence_wins(spark):
+    """Repeated lines keep exactly the (min doc_id, min pos) occurrence;
+    unique lines are untouched; a doc of only repeats comes back empty."""
+    from yat_geo_db_spark.pipelines.dedup import remove_duplicate_lines
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha\nshared line\nbeta"),
+            (2, "shared line\ngamma\nshared line"),
+            (3, "shared line"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["text"] for r in remove_duplicate_lines(docs).collect()}
+    assert out[1] == "alpha\nshared line\nbeta"
+    assert out[2] == "gamma"          # both repeats dropped, order kept
+    assert out[3] == ""               # only-repeats doc survives, empty

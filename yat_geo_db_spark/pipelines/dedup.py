@@ -954,3 +954,124 @@ def dedup_keep_canonical(
         F.col("node").alias(id_col)
     )
     return documents.join(drop, id_col, "left_anti")
+
+
+# --------------------------------------------------------------------------
+# exact n-gram decontamination (GPT-3 appendix C / PaLM style)
+# --------------------------------------------------------------------------
+
+def exact_ngram_matches(
+    documents: DataFrame,
+    benchmark: DataFrame,
+    w: int = 13,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, bench_doc_id, n_shared_grams): training docs that share at
+    least one EXACT w-token n-gram with a benchmark/eval document — the
+    GPT-3-style decontamination test (13-gram overlap), the exact-match
+    complement of the MinHash near-dup filter (near_dup_filter): a doc can
+    embed one verbatim benchmark sentence while being globally dissimilar.
+
+    Scale shape: the benchmark side is SMALL by definition (eval sets are
+    thousands of docs, the corpus is the 100 TB side) — its exploded
+    distinct (gram, bench_doc_id) index is BROADCAST, so the corpus side
+    streams through a broadcast hash join with NO shuffle of corpus grams;
+    the only exchange is the final per-(doc, bench) count aggregation on
+    matched rows (rare). Joining on the gram STRING keeps it exact — and
+    costs nothing extra here because the broadcast build side holds the
+    strings driver-free either way."""
+    def explode_grams(df: DataFrame, out_id: str) -> DataFrame:
+        return df.select(
+            F.col(id_col).alias(out_id),
+            F.explode(
+                F.array_distinct(tokens_shingles(F.col(text_col), w))
+            ).alias("g"),
+        )
+
+    corpus_grams = explode_grams(documents, "doc_id_t")
+    bench_grams = F.broadcast(explode_grams(benchmark, "bench_doc_id"))
+    return (
+        corpus_grams.join(bench_grams, "g")
+        .groupBy("doc_id_t", "bench_doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared_grams"))
+        .select(
+            F.col("doc_id_t").alias(id_col), "bench_doc_id", "n_shared_grams"
+        )
+    )
+
+
+def exact_ngram_decontaminate(
+    documents: DataFrame,
+    benchmark: DataFrame,
+    w: int = 13,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus docs that survive exact w-gram decontamination: drop any doc
+    sharing ≥1 exact w-token n-gram with the benchmark set. Anti join on
+    the matched id set (small), so AQE broadcasts the drop list."""
+    hit = (
+        exact_ngram_matches(documents, benchmark, w, text_col, id_col)
+        .select(id_col)
+        .distinct()
+    )
+    return documents.join(hit, id_col, "left_anti")
+
+
+# --------------------------------------------------------------------------
+# duplicate-line removal (C4 / RefinedWeb-style repeated-span cleanup)
+# --------------------------------------------------------------------------
+
+def remove_duplicate_lines(
+    documents: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lines: Column | None = None,
+    delim: str = "\n",
+) -> DataFrame:
+    """(doc_id, text): the corpus with every REPEATED line removed except
+    its first occurrence — C4's "discard duplicate three-sentence spans" /
+    RefinedWeb line-dedup generalized to any segmentation. "First" is the
+    globally deterministic (min doc_id, min position) occurrence, so the
+    result is independent of partitioning. Docs whose every line was a
+    repeat come out with empty text (kept — dropping is the caller's
+    policy decision).
+
+    `lines` overrides the segmentation (default: split on `delim`); pass
+    e.g. a fixed-width token chunker for corpora without line structure.
+
+    Scale shape: ONE shuffle keyed by the line content ranks all
+    occurrences (window row_number over (line) ordered by (doc, pos) — an
+    equi-shuffle on the dedup key, the same key an exact-dedup groupBy
+    would use), then one shuffle back on doc_id reassembles surviving
+    lines in order. No self-join, no collect; skewed hot lines (boilerplate
+    repeated millions of times) are exactly the rows the rank FILTERS, and
+    AQE skew-split handles their sort."""
+    from pyspark.sql import Window
+
+    if lines is None:
+        lines = F.split(F.col(text_col), delim)
+    exploded = documents.select(
+        F.col(id_col), F.posexplode(lines).alias("pos", "line")
+    )
+    w_line = Window.partitionBy("line").orderBy(id_col, "pos")
+    kept = (
+        exploded.withColumn("occ", F.row_number().over(w_line))
+        .filter(F.col("occ") == 1)
+    )
+    reassembled = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s["line"],
+            ),
+            delim,
+        ).alias(text_col)
+    )
+    # docs whose every line was dropped need reinstating with empty text
+    return (
+        documents.select(id_col)
+        .join(reassembled, id_col, "left")
+        .select(id_col, F.coalesce(text_col, F.lit("")).alias(text_col))
+    )

@@ -387,6 +387,107 @@ WHERE doc_id >= {DECON_SPLIT}
 """
 
 
+
+
+def q_decon_exact_ngram(spark, sf_dir):
+    """GPT-3-style exact decontamination: upper-half docs surviving after
+    dropping any doc that shares an exact 13-token n-gram with the
+    lower-half 'benchmark' set (the exact-match complement of the MinHash
+    filter above — catches one verbatim embedded sentence that global
+    similarity misses)."""
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") < DECON_SPLIT)
+    corpus = docs.filter(F.col("doc_id") >= DECON_SPLIT)
+    return dedup.exact_ngram_decontaminate(corpus, bench, w=13).select("doc_id")
+
+
+def q_decon_exact_report(spark, sf_dir):
+    """The exact-overlap audit: (doc, benchmark doc, #shared 13-grams) for
+    every contaminated pair."""
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") < DECON_SPLIT)
+    corpus = docs.filter(F.col("doc_id") >= DECON_SPLIT)
+    return dedup.exact_ngram_matches(corpus, bench, w=13)
+
+
+_DECON_EXACT_CTE = f"""
+sh AS (
+  SELECT doc_id, unnest(list_distinct({_shingles('text', 13)})) AS g
+  FROM documents
+),
+hits AS (
+  SELECT c.doc_id AS doc_id, b.doc_id AS bench_doc_id,
+         count(*) AS n_shared_grams
+  FROM sh c JOIN sh b ON c.g = b.g
+  WHERE c.doc_id >= {DECON_SPLIT} AND b.doc_id < {DECON_SPLIT}
+  GROUP BY 1, 2
+)
+"""
+
+_DECON_EXACT_NGRAM_SQL = f"""
+WITH {_DECON_EXACT_CTE}
+SELECT doc_id FROM documents
+WHERE doc_id >= {DECON_SPLIT}
+  AND doc_id NOT IN (SELECT doc_id FROM hits)
+"""
+
+_DECON_EXACT_REPORT_SQL = f"""
+WITH {_DECON_EXACT_CTE}
+SELECT doc_id, bench_doc_id, n_shared_grams FROM hits
+"""
+
+
+#: fixed-width token chunk used as the "line" unit on the fixture corpus
+#: (its texts have no newline structure); real corpora pass the default
+#: split-on-newline. Same plan either way.
+LINE_CHUNK_TOKENS = 12
+
+
+def q_dedup_lines(spark, sf_dir):
+    """C4/RefinedWeb-style duplicate-line removal: every repeated line
+    (here: 12-token chunk) keeps only its globally-first occurrence;
+    docs are reassembled in position order."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    k = LINE_CHUNK_TOKENS
+    chunks = F.transform(
+        F.sequence(
+            F.lit(0), F.floor((F.size(toks) - 1) / F.lit(k)).cast("int")
+        ),
+        lambda i: F.array_join(F.slice(toks, i * k + 1, k), " "),
+    )
+    return dedup.remove_duplicate_lines(docs, lines=chunks)
+
+
+_DEDUP_LINES_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+),
+lines AS (
+  SELECT doc_id, CAST(i AS INT) AS pos,
+         array_to_string(
+           t[CAST(i * {LINE_CHUNK_TOKENS} + 1 AS INT)
+             : CAST(i * {LINE_CHUNK_TOKENS} + {LINE_CHUNK_TOKENS} AS INT)],
+           ' ') AS line
+  FROM toks,
+       UNNEST(range(0, CAST(floor((len(t) - 1) / {LINE_CHUNK_TOKENS})
+                            AS BIGINT) + 1)) AS r(i)
+),
+ranked AS (
+  SELECT doc_id, pos, line,
+         row_number() OVER (PARTITION BY line ORDER BY doc_id, pos) AS occ
+  FROM lines
+),
+rejoined AS (
+  SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text
+  FROM ranked WHERE occ = 1 GROUP BY doc_id
+)
+SELECT d.doc_id, coalesce(r.text, '') AS text
+FROM documents d LEFT JOIN rejoined r ON d.doc_id = r.doc_id
+"""
+
+
+
 def q_dedup_simhash(spark, sf_dir):
     out = dedup.simhash_pairs(
         load_table(spark, sf_dir, "documents"),
@@ -1235,6 +1336,9 @@ QUERIES: dict = {
     "pipe_dedup_ngram_jaccard": (q_dedup_jaccard, _DEDUP_JACCARD_SQL),
     "pipe_dedup_clusters": (q_dedup_clusters, _DEDUP_CLUSTERS_SQL),
     "pipe_dedup_canonical": (q_dedup_canonical, _DEDUP_CANONICAL_SQL),
+    "pipe_decon_exact_ngram": (q_decon_exact_ngram, _DECON_EXACT_NGRAM_SQL),
+    "pipe_decon_exact_report": (q_decon_exact_report, _DECON_EXACT_REPORT_SQL),
+    "pipe_dedup_lines": (q_dedup_lines, _DEDUP_LINES_SQL),
     "pipe_dedup_minhash_lsh": (q_dedup_minhash, _minhash_sql()),
     "pipe_dedup_decontaminate": (q_dedup_decontaminate, _decontaminate_sql()),
     "pipe_dedup_contamination_report": (
