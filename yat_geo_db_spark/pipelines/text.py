@@ -449,3 +449,103 @@ def unigram_surprisal(
         F.count(F.lit(1)).alias("n_tokens"),
         F.round(F.avg("nll"), 6).alias("surprisal"),
     )
+
+
+# --------------------------------------------------------------------------
+# DSIR-style importance weighting (Xie et al., "Data Selection for LMs via
+# Importance Resampling", NeurIPS 2023): hashed n-gram bag-of-words
+# likelihood ratio between a target distribution and the raw corpus.
+# --------------------------------------------------------------------------
+
+DSIR_BUCKETS = 1024
+
+
+def dsir_bucket_table(
+    target: DataFrame,
+    raw: DataFrame,
+    n_buckets: int = DSIR_BUCKETS,
+    text_col: str = "text",
+) -> DataFrame:
+    """(bucket, log_ratio): per-hash-bucket log-likelihood ratio
+    ln p_target(b) / p_raw(b) with add-one smoothing, over token unigrams
+    hashed into `n_buckets` buckets. This is the trained "model" of DSIR —
+    a table bounded by n_buckets (1024 rows), NOT the corpus, so it
+    broadcasts everywhere and can be persisted and reused across runs.
+
+    The ratio is quantized to 6 decimals here, once, so downstream per-doc
+    sums can run in exact fixed-point (sum of scaled longs — associative,
+    partition-order-independent) instead of accumulating raw doubles.
+
+    Both count passes are explode → groupBy(bucket) — map-side combinable,
+    shuffling at most n_buckets rows per partition."""
+    def bucket_counts(df: DataFrame, name: str) -> DataFrame:
+        tok = df.select(F.explode(tokens_col(F.col(text_col))).alias("t"))
+        b = (fingerprint_col(F.col("t")) % n_buckets).alias("bucket")
+        return tok.select(b).groupBy("bucket").agg(
+            F.count(F.lit(1)).alias(name)
+        )
+
+    t = bucket_counts(target, "tc")
+    r = bucket_counts(raw, "rc")
+    joined = (
+        r.join(t, "bucket", "full")
+        .select(
+            "bucket",
+            F.coalesce("tc", F.lit(0)).alias("tc"),
+            F.coalesce("rc", F.lit(0)).alias("rc"),
+        )
+    )
+    totals = joined.agg(
+        F.sum("tc").alias("tt"), F.sum("rc").alias("rt")
+    )
+    # ln[(tc+1)/(tt+B)] - ln[(rc+1)/(rt+B)]; every operand is an exact
+    # integer below 2^53, so the doubles fed to ln are bit-identical in
+    # any engine
+    lr = (
+        F.log((F.col("tc") + 1).cast("double"))
+        - F.log((F.col("tt") + F.lit(n_buckets)).cast("double"))
+        - F.log((F.col("rc") + 1).cast("double"))
+        + F.log((F.col("rt") + F.lit(n_buckets)).cast("double"))
+    )
+    return joined.crossJoin(F.broadcast(totals)).select(
+        "bucket", F.round(lr, 6).alias("log_ratio")
+    )
+
+
+def dsir_importance(
+    documents: DataFrame,
+    bucket_weights: DataFrame,
+    n_buckets: int = DSIR_BUCKETS,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, n_tokens, importance): per-document log importance weight
+    ln w(x) = Σᵢ ln p_target(bucketᵢ)/p_raw(bucketᵢ) over token
+    occurrences — the DSIR score (the paper's weight is the SUM of feature
+    log-ratios, not a mean); resample/filter on it (e.g.
+    quality_weighted_sample on the exponentiated, length-normalized score)
+    to shift the corpus toward the target distribution.
+
+    Scale shape: one corpus explode, the 1024-row weight table broadcast
+    into it, one groupBy(doc). The per-token contributions are the
+    6-decimal-quantized ratios scaled to exact longs, so the per-doc sum
+    is fixed-point-exact and independent of partitioning — and the output
+    double (scaled-sum / 1e6, one correctly-rounded division) is
+    bit-identical across engines with NO final rounding step (a rounded
+    mean would land exactly on .5e-6 boundaries whenever n_tokens divides
+    the quantized sum — the one place engine round() conventions differ)."""
+    tok = documents.select(
+        F.col(id_col), F.explode(tokens_col(F.col(text_col))).alias("t")
+    ).select(
+        id_col, (fingerprint_col(F.col("t")) % n_buckets).alias("bucket")
+    )
+    scored = tok.join(F.broadcast(bucket_weights), "bucket", "left").select(
+        id_col,
+        F.floor(
+            F.coalesce("log_ratio", F.lit(0.0)) * F.lit(1e6) + F.lit(0.5)
+        ).cast("long").alias("lr_scaled"),
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        (F.sum("lr_scaled").cast("double") / F.lit(1e6)).alias("importance"),
+    )

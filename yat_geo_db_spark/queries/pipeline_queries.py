@@ -488,6 +488,53 @@ FROM documents d LEFT JOIN rejoined r ON d.doc_id = r.doc_id
 
 
 
+
+
+def q_text_dsir(spark, sf_dir):
+    """DSIR importance weights: hashed-unigram log-likelihood ratio of
+    every doc against the lang='en' target slice (add-one smoothing,
+    1024 buckets). High scores = looks like the target distribution."""
+    docs = load_table(spark, sf_dir, "documents")
+    target = docs.filter(F.col("lang") == "en")
+    weights = text.dsir_bucket_table(target, docs)
+    return text.dsir_importance(docs, weights)
+
+
+_DSIR_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS t FROM documents
+),
+b AS (
+  SELECT doc_id, lang, ({_sh('t')}) % {text.DSIR_BUCKETS} AS bucket FROM tok
+),
+rc AS (SELECT bucket, count(*) AS rc FROM b GROUP BY 1),
+tcx AS (SELECT bucket, count(*) AS tc FROM b WHERE lang = 'en' GROUP BY 1),
+j AS (
+  SELECT rc.bucket, coalesce(tc, 0) AS tc, rc
+  FROM rc LEFT JOIN tcx USING (bucket)
+),
+tot AS (SELECT sum(tc) AS tt, sum(rc) AS rt FROM j),
+w AS (
+  SELECT bucket,
+         round(ln(CAST(tc + 1 AS DOUBLE))
+               - ln(CAST(tt + {text.DSIR_BUCKETS} AS DOUBLE))
+               - ln(CAST(rc + 1 AS DOUBLE))
+               + ln(CAST(rt + {text.DSIR_BUCKETS} AS DOUBLE)), 6) AS log_ratio
+  FROM j, tot
+),
+s AS (
+  SELECT doc_id,
+         CAST(floor(coalesce(log_ratio, 0.0) * 1e6 + CAST(0.5 AS DOUBLE))
+              AS BIGINT) AS lr
+  FROM b LEFT JOIN w USING (bucket)
+)
+SELECT doc_id, count(*) AS n_tokens,
+       CAST(sum(lr) AS DOUBLE) / 1e6 AS importance
+FROM s GROUP BY 1
+"""
+
+
+
 def q_dedup_simhash(spark, sf_dir):
     out = dedup.simhash_pairs(
         load_table(spark, sf_dir, "documents"),
@@ -1339,6 +1386,7 @@ QUERIES: dict = {
     "pipe_decon_exact_ngram": (q_decon_exact_ngram, _DECON_EXACT_NGRAM_SQL),
     "pipe_decon_exact_report": (q_decon_exact_report, _DECON_EXACT_REPORT_SQL),
     "pipe_dedup_lines": (q_dedup_lines, _DEDUP_LINES_SQL),
+    "pipe_text_dsir_importance": (q_text_dsir, _DSIR_SQL),
     "pipe_dedup_minhash_lsh": (q_dedup_minhash, _minhash_sql()),
     "pipe_dedup_decontaminate": (q_dedup_decontaminate, _decontaminate_sql()),
     "pipe_dedup_contamination_report": (
