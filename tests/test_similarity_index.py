@@ -141,3 +141,55 @@ def test_recall_at_k_orders_probe_settings(spark):
     )
     assert 0.0 <= r1 <= r2 <= 1.0
     assert r2 > 0.0                      # probing finds at least something
+
+
+def test_pq_roundtrip_exact_on_centroid_aligned_corpus(spark):
+    """PQ is exact when every vector IS one of its subspace centroids:
+    8 distinct vectors repeated 5x, codebooks of ksub=8 -> the ADC
+    distance equals the true squared L2 distance, so the ADC top-k ids
+    match the brute-force ordering."""
+    import random
+    from yat_geo_db_spark.pipelines.similarity import (
+        pq_adc_topk, pq_encode, pq_fit, sq_dist_col,
+    )
+    import pyspark.sql.functions as F
+
+    r = random.Random(7)
+    base = [[round(r.uniform(-1, 1), 3) for _ in range(16)] for _ in range(8)]
+    rows = [(i, base[i]) for i in range(8)]
+    rows += [(8 + i, base[i % 8]) for i in range(32)]  # repeats, higher ids
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    books = pq_fit(emb, m=4, ksub=8, n_iter=3, dim=16)
+    codes = pq_encode(emb, books, m=4, dim=16)
+    got = codes.collect()
+    assert all(len(c["codes"]) == 4 for c in got)
+    assert all(0 <= v < 8 for c in got for v in c["codes"])
+    # identical vectors must encode identically
+    by_id = {c["vec_id"]: tuple(c["codes"]) for c in got}
+    for i in range(32):
+        assert by_id[8 + i] == by_id[i % 8]
+
+    q = base[3]
+    top = pq_adc_topk(codes, books, q, k=5, m=4).collect()
+    # every copy of base[3] has ADC distance ~0 and fills the top ranks
+    expect = sorted([3] + [8 + i for i in range(32) if i % 8 == 3])[:5]
+    assert sorted(r_["vec_id"] for r_ in top) == expect
+    assert all(abs(r_["approx_dist"]) < 1e-6 for r_ in top)
+
+
+def test_pq_codes_deterministic_across_runs(spark):
+    from yat_geo_db_spark.pipelines.similarity import pq_encode, pq_fit
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    books1 = pq_fit(emb, m=4, ksub=8, n_iter=2)
+    books2 = pq_fit(emb, m=4, ksub=8, n_iter=2)
+    c1 = sorted(
+        (r["vec_id"], tuple(r["codes"]))
+        for r in pq_encode(emb, books1, m=4).collect()
+    )
+    c2 = sorted(
+        (r["vec_id"], tuple(r["codes"]))
+        for r in pq_encode(emb, books2, m=4).collect()
+    )
+    assert c1 == c2

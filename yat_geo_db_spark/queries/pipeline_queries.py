@@ -1313,6 +1313,27 @@ KMEANS_K = 4
 KMEANS_ITERS = 2
 
 
+
+
+def q_sim_pq_topk(spark, sf_dir):
+    """Product-quantized ANN: per-subspace k-means codebooks (m=4 x
+    ksub=16 over the 64-dim embeddings), corpus compressed to 4 codes per
+    vector, query scored via the asymmetric-distance LUT — the corpus scan
+    reads ONLY the codes. Deterministic end to end (Lloyd fit is), but the
+    unrolled SQL oracle would be m x n_iter k-means expansions — checked
+    by exactness/determinism pytest instead (test_similarity_index)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    books = similarity.pq_fit(emb, m=4, ksub=16, n_iter=2, dim=64)
+    codes = similarity.pq_encode(emb, books, m=4, dim=64)
+    qv = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == TOPK_QUERY_ID)
+        .select("embedding").first()[0]
+    ]
+    return similarity.pq_adc_topk(codes, books, qv, k=20, m=4)
+
+
+
 def q_sim_kmeans(spark, sf_dir):
     return similarity.kmeans_fit_assign(
         load_table(spark, sf_dir, "embeddings"), k=KMEANS_K, n_iter=KMEANS_ITERS
@@ -1399,6 +1420,7 @@ QUERIES: dict = {
     "pipe_sim_topk_ivf_multiprobe": (q_topk_ivf_multiprobe, _TOPK_IVF_MULTIPROBE_SQL),
     "pipe_sim_cosine_near_dup": (q_cosine_near_dup, _COSINE_NEAR_DUP_SQL),
     "pipe_sim_kmeans": (q_sim_kmeans, _kmeans_sql()),
+    "pipe_sim_pq_topk": (q_sim_pq_topk, None),
     "pipe_curate_corpus": (q_curate_corpus, _curate_sql()),
     "pipe_shard_assignment": (q_shard_assignment, _SHARD_SQL),
     "pipe_pack_chunks": (q_pack_chunks, _PACK_CHUNKS_SQL),
