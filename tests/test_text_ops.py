@@ -34,3 +34,31 @@ def test_dsir_importance_prefers_target_like_docs(spark):
     target_scores = [imp[i] for i in range(20)]
     off_scores = [imp[i] for i in range(20, 40)]
     assert min(target_scores) > max(off_scores)
+
+
+def test_mixture_resample_multiplicity(spark):
+    """Weight w: every doc appears floor(w) or ceil(w) times; the stratum's
+    total output mass is within one doc of w x input; weight 0 drops."""
+    from yat_geo_db_spark.pipelines.text import mixture_resample
+
+    docs = spark.createDataFrame(
+        [(i, "s" + str(i % 3)) for i in range(300)],
+        "doc_id long, source string",
+    )
+    out = mixture_resample(docs, {"s0": 2.5, "s1": 0.0}, strata_col="source")
+    rows = out.collect()
+    per_doc = {}
+    for r in rows:
+        per_doc.setdefault((r["doc_id"], r["source"]), []).append(r["copy_idx"])
+    # s1 dropped entirely
+    assert not any(s == "s1" for (_, s) in per_doc)
+    # s2 (unlisted) defaults to exactly 1 copy
+    s2 = [k for k in per_doc if k[1] == "s2"]
+    assert len(s2) == 100 and all(per_doc[k] == [0] for k in s2)
+    # s0: every doc 2 or 3 copies, contiguous copy_idx, total ~2.5x
+    s0_counts = [len(v) for k, v in per_doc.items() if k[1] == "s0"]
+    assert all(c in (2, 3) for c in s0_counts)
+    total = sum(s0_counts)
+    assert abs(total - 250) <= 15  # hash-gated fraction ~ 0.5
+    for k, v in per_doc.items():
+        assert sorted(v) == list(range(len(v)))

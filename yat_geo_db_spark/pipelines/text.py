@@ -549,3 +549,53 @@ def dsir_importance(
         F.count(F.lit(1)).alias("n_tokens"),
         (F.sum("lr_scaled").cast("double") / F.lit(1e6)).alias("importance"),
     )
+
+
+def mixture_resample(
+    documents,
+    weights: dict[str, float],
+    strata_col: str = "source",
+    key_col: str = "doc_id",
+):
+    """Mixture reweighting with OVERsampling (The Pile's per-source epoch
+    factors; DoReMi-style domain weights): a stratum with weight w emits
+    every doc ⌊w⌋ times, plus one more copy iff the doc's deterministic
+    sampling hash falls below frac(w) — so the stratum's expected output
+    mass is exactly w× its input, membership/multiplicity are pure
+    functions of (key, w), and no RNG or cross-run instability exists.
+    Strata absent from `weights` default to 1.0 (pass 0.0 to drop).
+
+    Output = input columns + `copy_idx` (0-based replica index — distinct
+    rows per copy so downstream global shuffle/packing treats replicas as
+    independent sequence members).
+
+    Scale shape: the weights dim broadcasts; replication is a per-row
+    generator (explode of a ≤⌈w⌉-element sequence) — no shuffle, and the
+    blow-up factor is the caller-chosen mixture mass, visible in the plan
+    as a Generate node."""
+    import math
+
+    spark = documents.sparkSession
+    rows = [
+        (k, int(math.floor(v)), float(v - math.floor(v)))
+        for k, v in sorted(weights.items())
+    ]
+    wdf = spark.createDataFrame(
+        rows, f"{strata_col} string, n_full int, frac double"
+    )
+    n_copies = (
+        F.coalesce(F.col("n_full"), F.lit(1))
+        + (
+            sample_hash_col(F.col(key_col))
+            < F.coalesce(F.col("frac"), F.lit(0.0))
+        ).cast("int")
+    )
+    # sequence(0, n-1) DESCENDS for n=0 (Spark generates [0, -1]) — gate it
+    copies = F.when(
+        n_copies >= 1, F.sequence(F.lit(0), n_copies - 1)
+    ).otherwise(F.array().cast("array<int>"))
+    return (
+        documents.join(F.broadcast(wdf), strata_col, "left")
+        .withColumn("copy_idx", F.explode(copies))
+        .drop("n_full", "frac")
+    )

@@ -743,6 +743,38 @@ WHERE CAST((doc_id * 2654435761) % 1000003 AS DOUBLE) / 1000003.0 < rate
 """
 
 
+
+
+def q_sample_mixture(spark, sf_dir):
+    """Mixture reweighting with oversampling (Pile epoch factors /
+    DoReMi domain weights): src0 at 2.5x (2 full copies + hash-gated
+    half), src1 halved, src2 dropped, everything else 1.0x. Replicas
+    carry copy_idx."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = text.mixture_resample(
+        docs, {"src0": 2.5, "src1": 0.5, "src2": 0.0}, strata_col="source"
+    )
+    return out.select("doc_id", "source", "copy_idx")
+
+
+_SAMPLE_MIXTURE_SQL = """
+WITH w(source, n_full, frac) AS (
+  VALUES ('src0', 2, 0.5), ('src1', 0, 0.5), ('src2', 0, 0.0)
+),
+j AS (
+  SELECT d.doc_id, d.source,
+         coalesce(n_full, 1)
+         + CASE WHEN CAST((d.doc_id * 2654435761) % 1000003 AS DOUBLE)
+                     / 1000003.0 < coalesce(frac, 0.0)
+                THEN 1 ELSE 0 END AS n_copies
+  FROM documents d LEFT JOIN w USING (source)
+)
+SELECT doc_id, source, CAST(i AS INT) AS copy_idx
+FROM j, UNNEST(range(0, n_copies)) AS r(i)
+"""
+
+
+
 def q_sample_quality(spark, sf_dir):
     """Score-proportional reproducible sampling: acceptance probability =
     the doc's (clamped) quality score, membership a pure function of
@@ -1425,6 +1457,7 @@ QUERIES: dict = {
     "pipe_shard_assignment": (q_shard_assignment, _SHARD_SQL),
     "pipe_pack_chunks": (q_pack_chunks, _PACK_CHUNKS_SQL),
     "pipe_sample_stratified": (q_sample_stratified, _SAMPLE_STRATIFIED_SQL),
+    "pipe_sample_mixture": (q_sample_mixture, _SAMPLE_MIXTURE_SQL),
     "pipe_sample_quality": (q_sample_quality, _sample_quality_sql()),
     "pipe_text_quality": (q_text_quality, _TEXT_QUALITY_SQL),
     "pipe_text_repetition": (q_text_repetition, _repetition_sql()),
