@@ -46,7 +46,12 @@ _DEFAULTS = {
     # below default parallelism (bytes are a bad proxy for compute cost).
     # This is Spark's default; stated here because we rely on it.
     "spark.sql.adaptive.coalescePartitions.parallelismFirst": "true",
-    "spark.driver.memory": "8g",
+    # local mode runs everything in the driver JVM; the bench accumulates
+    # cached indexes + localCheckpoint blocks across ~24 queries, and an
+    # 8g heap's ~2.3g storage pool evicts them between a query's two bench
+    # runs (observed: pipe_dedup_clusters min-of-2 at 8.7s mid-bench vs
+    # 3.3s isolated). 16g keeps the working set resident on the 128 GiB box.
+    "spark.driver.memory": "16g",
     "spark.ui.enabled": "false",
     # avoid slow hostname lookups on boxes with odd DNS
     "spark.driver.host": "127.0.0.1",
