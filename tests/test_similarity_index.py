@@ -193,3 +193,42 @@ def test_pq_codes_deterministic_across_runs(spark):
         for r in pq_encode(emb, books2, m=4).collect()
     )
     assert c1 == c2
+
+
+def test_ivfpq_exact_on_centroid_aligned_corpus(spark):
+    """IVF-PQ is exact when sub-codebooks can represent every residual
+    exactly (8 distinct repeated vectors, ksub=8): probing ALL cells, the
+    ADC distances equal true squared L2, so the top-k matches brute
+    force."""
+    import random
+    from yat_geo_db_spark.pipelines.similarity import (
+        ivfpq_fit_encode, ivfpq_topk, sq_dist_col,
+    )
+    import pyspark.sql.functions as F
+
+    r = random.Random(11)
+    base = [[round(r.uniform(-1, 1), 3) for _ in range(16)] for _ in range(8)]
+    rows = [(i, base[i]) for i in range(8)]
+    rows += [(8 + i, base[i % 8]) for i in range(24)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    cents, books, encoded = ivfpq_fit_encode(
+        emb, n_cells=2, m=4, ksub=8, n_iter=3, dim=16
+    )
+    assert cents.count() == 2
+    assert books.count() == 2 * 0 + 4 * 8  # m x ksub
+    got = encoded.collect()
+    assert all(len(c["codes"]) == 4 for c in got)
+
+    q = base[5]
+    top = ivfpq_topk(encoded, cents, books, q, k=4, nprobe=2, m=4).collect()
+    expect = sorted([5] + [8 + i for i in range(24) if i % 8 == 5])[:4]
+    assert sorted(t["vec_id"] for t in top) == expect
+    assert all(abs(t["approx_dist"]) < 1e-6 for t in top)
+
+    # nprobe=1 only scans the query's own cell — every returned id must
+    # decode from that cell
+    top1 = ivfpq_topk(encoded, cents, books, q, k=4, nprobe=1, m=4).collect()
+    by_id = {c["vec_id"]: c["cid"] for c in got}
+    cells1 = {by_id[t["vec_id"]] for t in top1}
+    assert len(cells1) == 1

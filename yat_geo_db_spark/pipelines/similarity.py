@@ -551,3 +551,133 @@ def pq_adc_topk(
         .orderBy(F.asc("approx_dist"), F.asc(id_col))
         .limit(k)
     )
+
+
+# --------------------------------------------------------------------------
+# IVF-PQ (IVFADC, Jégou et al. TPAMI 2011 §V): coarse k-means cells +
+# product quantization of the RESIDUAL vector — the canonical
+# billion-scale ANN layout (FAISS IndexIVFPQ). The coarse cell prunes the
+# scan; the residual codes compress what remains; one LUT per (query,
+# probed cell) scores candidates without touching raw vectors.
+# --------------------------------------------------------------------------
+
+def residuals(
+    embeddings: DataFrame, centroids: DataFrame,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, cid, rvec): each vector's coarse cell and residual
+    (vec − centroid). Assignment reuses kmeans_assign's broadcast
+    struct-min; the subtraction is one zip_with — no UDF, no shuffle
+    beyond the assignment aggregation."""
+    assign = kmeans_assign(embeddings, centroids, id_col, vec_col)
+    return (
+        embeddings.join(assign.select(id_col, "cid"), id_col)
+        .join(F.broadcast(centroids), "cid")
+        .select(
+            id_col,
+            "cid",
+            F.zip_with(
+                F.col(vec_col), F.col("cvec"),
+                lambda x, c: x.cast("double") - c,
+            ).alias("rvec"),
+        )
+    )
+
+
+def ivfpq_fit_encode(
+    embeddings: DataFrame, n_cells: int = 8, m: int = 4, ksub: int = 16,
+    n_iter: int = 2, id_col: str = "vec_id", vec_col: str = "embedding",
+    dim: int | None = None,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """(centroids, codebooks, encoded): train the coarse quantizer on the
+    vectors, the PQ codebooks on the RESIDUALS (they are what gets
+    encoded — training PQ on raw vectors wastes its precision re-encoding
+    the cell offset), and compress the corpus to (id, cid, codes).
+
+    At scale: centroids are n_cells rows, codebooks m×ksub rows — both
+    broadcast/driver-size forever; the corpus becomes one int + m codes
+    per vector. Training runs on the full input here; sample upstream for
+    a 100 TB corpus (the estimator only needs a representative slice)."""
+    cents = kmeans_fit(embeddings, k=n_cells, n_iter=n_iter,
+                       id_col=id_col, vec_col=vec_col)
+    res = residuals(embeddings, cents, id_col, vec_col).localCheckpoint()
+    books = pq_fit(res, m=m, ksub=ksub, n_iter=n_iter,
+                   id_col=id_col, vec_col="rvec", dim=dim)
+    codes = pq_encode(res, books, m=m, id_col=id_col, vec_col="rvec",
+                      dim=dim)
+    encoded = res.select(id_col, "cid").join(codes, id_col)
+    return cents, books, encoded
+
+
+def ivfpq_topk(
+    encoded: DataFrame, centroids: DataFrame, codebooks: DataFrame,
+    query_vec: list[float], k: int = 10, nprobe: int = 2, m: int = 4,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """ADC top-k over an IVF-PQ index: probe the `nprobe` nearest coarse
+    cells, score their members as ‖(q − centroid) − pq_decode(codes)‖²
+    via the residual LUT — i.e. the PQ LUT is built per probed cell
+    against the query's RESIDUAL in that cell.
+
+    Scale shape: cell selection is a driver-side n_cells-row lookup (a
+    query parameter, like kmeans_ivf_topk); the per-cell LUTs are
+    nprobe × m × ksub rows, broadcast; the corpus scan reads (cid, codes)
+    only and is partition-prunable on cid when the encoded table is
+    written partitionBy(cid). One groupBy(id) of exact fixed-point sums,
+    then TakeOrderedAndProject."""
+    q = [float(x) for x in query_vec]
+    cents = centroids.collect()  # n_cells rows — the probe dictionary
+
+    def sqd(c):
+        return sum((float(a) - b) ** 2 for a, b in zip(c, q))
+
+    probe_cids = [
+        r["cid"]
+        for r in sorted(cents, key=lambda r: (sqd(r["cvec"]), r["cid"]))
+    ][:nprobe]
+    cent_map = {r["cid"]: [float(x) for x in r["cvec"]] for r in cents}
+    dim = len(q)
+    sub_dim = dim // m
+
+    # residual query per probed cell, as literal subvector arrays
+    def qsub_for(cid: int, j: int) -> Column:
+        c = cent_map[cid]
+        return F.array(
+            *[
+                F.lit(q[j * sub_dim + t] - c[j * sub_dim + t])
+                for t in range(sub_dim)
+            ]
+        )
+
+    luts = []
+    for cid in probe_cids:
+        qsub = F.element_at(
+            F.array(*[qsub_for(cid, j) for j in range(m)]),
+            F.col("subspace") + 1,
+        )
+        luts.append(
+            codebooks.select(
+                F.lit(cid).alias("cid"),
+                "subspace",
+                F.col("cid").alias("code"),
+                F.floor(
+                    sq_dist_col(qsub, F.col("cvec")) * F.lit(1e9) + F.lit(0.5)
+                ).cast("long").alias("d_scaled"),
+            )
+        )
+    lut = luts[0]
+    for other in luts[1:]:
+        lut = lut.unionByName(other)
+    lut = F.broadcast(lut)
+
+    exploded = (
+        encoded.filter(F.col("cid").isin(probe_cids))
+        .select(F.col(id_col), "cid", F.posexplode("codes").alias("subspace", "code"))
+    )
+    return (
+        exploded.join(lut, ["cid", "subspace", "code"])
+        .groupBy(id_col)
+        .agg((F.sum("d_scaled").cast("double") / F.lit(1e9)).alias("approx_dist"))
+        .orderBy(F.asc("approx_dist"), F.asc(id_col))
+        .limit(k)
+    )

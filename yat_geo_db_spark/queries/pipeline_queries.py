@@ -1366,6 +1366,27 @@ def q_sim_pq_topk(spark, sf_dir):
 
 
 
+
+
+def q_sim_ivfpq_topk(spark, sf_dir):
+    """IVF-PQ (IVFADC) ANN: 8 coarse k-means cells + PQ of the residuals
+    (m=4 x ksub=16); query probes the 2 nearest cells and scores codes
+    via per-cell residual LUTs - the FAISS IndexIVFPQ layout. Rows-only
+    for the same reason as pipe_sim_pq_topk; exactness pinned in
+    test_similarity_index."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents, books, encoded = similarity.ivfpq_fit_encode(
+        emb, n_cells=8, m=4, ksub=16, n_iter=2, dim=64
+    )
+    qv = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == TOPK_QUERY_ID)
+        .select("embedding").first()[0]
+    ]
+    return similarity.ivfpq_topk(encoded, cents, books, qv, k=20, nprobe=2, m=4)
+
+
+
 def q_sim_kmeans(spark, sf_dir):
     return similarity.kmeans_fit_assign(
         load_table(spark, sf_dir, "embeddings"), k=KMEANS_K, n_iter=KMEANS_ITERS
@@ -1453,6 +1474,7 @@ QUERIES: dict = {
     "pipe_sim_cosine_near_dup": (q_cosine_near_dup, _COSINE_NEAR_DUP_SQL),
     "pipe_sim_kmeans": (q_sim_kmeans, _kmeans_sql()),
     "pipe_sim_pq_topk": (q_sim_pq_topk, None),
+    "pipe_sim_ivfpq_topk": (q_sim_ivfpq_topk, None),
     "pipe_curate_corpus": (q_curate_corpus, _curate_sql()),
     "pipe_shard_assignment": (q_shard_assignment, _SHARD_SQL),
     "pipe_pack_chunks": (q_pack_chunks, _PACK_CHUNKS_SQL),
