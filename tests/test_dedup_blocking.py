@@ -449,3 +449,23 @@ def test_remove_duplicate_lines_first_occurrence_wins(spark):
     assert out[1] == "alpha\nshared line\nbeta"
     assert out[2] == "gamma"          # both repeats dropped, order kept
     assert out[3] == ""               # only-repeats doc survives, empty
+
+
+def test_remove_duplicate_lines_within_doc_scope(spark):
+    """within_doc=True: a doc repeating its own line keeps one copy;
+    identical lines in OTHER docs are untouched."""
+    from yat_geo_db_spark.pipelines.dedup import remove_duplicate_lines
+
+    docs = spark.createDataFrame(
+        [
+            (1, "nav\nbody one\nnav"),
+            (2, "nav\nbody two"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r["text"]
+        for r in remove_duplicate_lines(docs, within_doc=True).collect()
+    }
+    assert out[1] == "nav\nbody one"
+    assert out[2] == "nav\nbody two"

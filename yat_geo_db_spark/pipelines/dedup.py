@@ -1029,6 +1029,7 @@ def remove_duplicate_lines(
     id_col: str = "doc_id",
     lines: Column | None = None,
     delim: str = "\n",
+    within_doc: bool = False,
 ) -> DataFrame:
     """(doc_id, text): the corpus with every REPEATED line removed except
     its first occurrence — C4's "discard duplicate three-sentence spans" /
@@ -1037,6 +1038,12 @@ def remove_duplicate_lines(
     result is independent of partitioning. Docs whose every line was a
     repeat come out with empty text (kept — dropping is the caller's
     policy decision).
+
+    ``within_doc=True`` scopes the dedup to each document (the
+    intra-document repetition cleanup step — a generated page repeating
+    its own nav block): the rank partitions by (doc, line), other docs'
+    identical lines are untouched, and the dedup shuffle key gains the
+    doc id — which also removes the cross-corpus hot-line skew entirely.
 
     `lines` overrides the segmentation (default: split on `delim`); pass
     e.g. a fixed-width token chunker for corpora without line structure.
@@ -1055,7 +1062,8 @@ def remove_duplicate_lines(
     exploded = documents.select(
         F.col(id_col), F.posexplode(lines).alias("pos", "line")
     )
-    w_line = Window.partitionBy("line").orderBy(id_col, "pos")
+    part = (id_col, "line") if within_doc else ("line",)
+    w_line = Window.partitionBy(*part).orderBy(id_col, "pos")
     kept = (
         exploded.withColumn("occ", F.row_number().over(w_line))
         .filter(F.col("occ") == 1)

@@ -486,6 +486,33 @@ SELECT d.doc_id, coalesce(r.text, '') AS text
 FROM documents d LEFT JOIN rejoined r ON d.doc_id = r.doc_id
 """
 
+_DEDUP_LINES_INTRA_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+),
+lines AS (
+  SELECT doc_id, CAST(i AS INT) AS pos,
+         array_to_string(
+           t[CAST(i * {LINE_CHUNK_TOKENS} + 1 AS INT)
+             : CAST(i * {LINE_CHUNK_TOKENS} + {LINE_CHUNK_TOKENS} AS INT)],
+           ' ') AS line
+  FROM toks,
+       UNNEST(range(0, CAST(floor((len(t) - 1) / {LINE_CHUNK_TOKENS})
+                            AS BIGINT) + 1)) AS r(i)
+),
+ranked AS (
+  SELECT doc_id, pos, line,
+         row_number() OVER (PARTITION BY doc_id, line ORDER BY doc_id, pos) AS occ
+  FROM lines
+),
+rejoined AS (
+  SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text
+  FROM ranked WHERE occ = 1 GROUP BY doc_id
+)
+SELECT d.doc_id, coalesce(r.text, '') AS text
+FROM documents d LEFT JOIN rejoined r ON d.doc_id = r.doc_id
+"""
+
 
 
 
@@ -532,6 +559,25 @@ SELECT doc_id, count(*) AS n_tokens,
        CAST(sum(lr) AS DOUBLE) / 1e6 AS importance
 FROM s GROUP BY 1
 """
+
+
+
+
+
+def q_dedup_lines_intra(spark, sf_dir):
+    """Intra-document repetition cleanup: the same chunk segmentation, but
+    repeats are removed only WITHIN each doc (cross-doc identical chunks
+    untouched) - the generated-page-repeating-its-nav-block case."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    k = LINE_CHUNK_TOKENS
+    chunks = F.transform(
+        F.sequence(
+            F.lit(0), F.floor((F.size(toks) - 1) / F.lit(k)).cast("int")
+        ),
+        lambda i: F.array_join(F.slice(toks, i * k + 1, k), " "),
+    )
+    return dedup.remove_duplicate_lines(docs, lines=chunks, within_doc=True)
 
 
 
@@ -1460,6 +1506,7 @@ QUERIES: dict = {
     "pipe_decon_exact_ngram": (q_decon_exact_ngram, _DECON_EXACT_NGRAM_SQL),
     "pipe_decon_exact_report": (q_decon_exact_report, _DECON_EXACT_REPORT_SQL),
     "pipe_dedup_lines": (q_dedup_lines, _DEDUP_LINES_SQL),
+    "pipe_dedup_lines_intra": (q_dedup_lines_intra, _DEDUP_LINES_INTRA_SQL),
     "pipe_text_dsir_importance": (q_text_dsir, _DSIR_SQL),
     "pipe_dedup_minhash_lsh": (q_dedup_minhash, _minhash_sql()),
     "pipe_dedup_decontaminate": (q_dedup_decontaminate, _decontaminate_sql()),
