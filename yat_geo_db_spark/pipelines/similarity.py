@@ -424,33 +424,89 @@ def pq_fit(
     subspace (dense codes, stable across engines) rather than keeping the
     seed vector ids.
 
-    The training loop is m small k-means runs — driver-side loop, but each
-    iteration is a distributed job over the (usually sampled) training
-    slice; the result is m×ksub rows, broadcastable forever after."""
+    All m subspaces train FUSED in one keyed Lloyd loop: the corpus
+    explodes once into (id, subspace, subvector) rows, and every
+    iteration is ONE assignment pass (broadcast m×ksub centroids joined
+    on subspace, struct-min argmin per (id, subspace) — map-side
+    combinable) plus ONE update pass (fixed-point component means per
+    (subspace, cid, pos)). m sequential per-subspace k-means runs would
+    scan the training slice m times per iteration — at 100 TB that is
+    m× the I/O for identical results. Deterministic: seeds are the ksub
+    smallest ids (the same ids in every subspace), cid = dense seed rank
+    0..ksub-1."""
     from pyspark.sql import Window
+
+    from yat_geo_db_spark.relational.queries import dsum
 
     if dim is None:
         dim = len(embeddings.select(vec_col).first()[0])
     assert dim % m == 0, f"dim {dim} not divisible by m {m}"
     sub_dim = dim // m
-    books = []
-    for j in range(m):
-        sub = embeddings.select(
+    subs = embeddings.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("subspace"),
+                        F.transform(
+                            subvector_col(F.col(vec_col), j, sub_dim),
+                            lambda x: x.cast("double"),
+                        ).alias("sv"),
+                    )
+                    for j in range(m)
+                ]
+            )
+        ).alias("s"),
+    ).select(
+        id_col, F.col("s.subspace").alias("subspace"), F.col("s.sv").alias("sv")
+    ).localCheckpoint()  # reused by every iteration's two passes
+
+    seed_rank = F.broadcast(
+        embeddings.select(id_col).orderBy(F.asc(id_col)).limit(ksub)
+        .select(
             F.col(id_col),
-            subvector_col(F.col(vec_col), j, sub_dim).alias(vec_col),
+            (F.row_number().over(Window.orderBy(F.asc(id_col))) - 1).alias(
+                "cid"
+            ),
         )
-        cb = kmeans_fit(sub, k=ksub, n_iter=n_iter,
-                        id_col=id_col, vec_col=vec_col)
-        books.append(cb.select(F.lit(j).alias("subspace"), "cid", "cvec"))
-    out = books[0]
-    for b in books[1:]:
-        out = out.unionByName(b)
-    w = Window.partitionBy("subspace").orderBy("cid")
-    return out.select(
-        "subspace",
-        (F.row_number().over(w) - 1).alias("cid"),
-        "cvec",
-    ).localCheckpoint()
+    )
+    centroids = (
+        subs.join(seed_rank, id_col)
+        .select("subspace", "cid", F.col("sv").alias("cvec"))
+        .localCheckpoint()
+    )
+    for _ in range(n_iter):
+        assign = (
+            subs.join(F.broadcast(centroids), "subspace")
+            .select(
+                id_col, "subspace",
+                F.struct(
+                    sq_dist_col(F.col("sv"), F.col("cvec")).alias("dist"),
+                    F.col("cid"),
+                ).alias("dc"),
+            )
+            .groupBy(id_col, "subspace")
+            .agg(F.min("dc").alias("best"))
+            .select(id_col, "subspace", F.col("best.cid").alias("cid"))
+        )
+        comp = (
+            assign.join(subs, [id_col, "subspace"])
+            .select("subspace", "cid", F.posexplode("sv").alias("pos", "x"))
+            .groupBy("subspace", "cid", "pos")
+            .agg((dsum(F.col("x"), 9) / F.count(F.lit(1))).alias("v"))
+        )
+        centroids = (
+            comp.groupBy("subspace", "cid")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "v"))),
+                    lambda s: s["v"],
+                ).alias("cvec")
+            )
+            .localCheckpoint()
+        )
+    return centroids
 
 
 def pq_encode(
