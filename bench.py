@@ -49,6 +49,11 @@ HEADLINE = [
     "pipe_sim_kmeans",
     "pipe_dedup_clusters",
     "pipe_text_boilerplate",
+    # round-3 additions (kept at the tail so earlier rounds' per-query
+    # numbers stay comparable; the total now covers 27 queries)
+    "pipe_text_dsir_importance",
+    "pipe_decon_exact_ngram",
+    "pipe_dedup_lines",
 ]
 
 

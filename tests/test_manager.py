@@ -271,3 +271,46 @@ def test_add_entity_partition_routing(spark):
     gm_flat = GeoManager(spark, shapes=shapes_df(spark))
     with pytest.raises(ValueError, match="partition_col"):
         gm_flat.add_entity("Nowhere", 999301, partition="TN")
+
+
+def test_scalar_scoring_and_helper_parity(spark, gm):
+    """F7/F8/F9 scalar facade methods match the reference formulas, and the
+    scalar F8/F9 agree with the Column-expression twins used in search."""
+    import pyspark.sql.functions as F
+    from yat_geo_db_spark.geo.fuzzy import entity_fuzzy_score_col
+
+    # F7: counts of repeated trigrams, cleaning strips non-alnum AND spaces
+    cnt = gm.clean_ngram_cnt("ab-ab'aB")  # cleans to "ababab"
+    assert cnt == {"aba": 2, "bab": 2}
+
+    # F8 scalar == Column twin on a handful of strings
+    pairs = [("nashville", "nashville metro"), ("nash", "nashville"),
+             ("york", "new york"), ("", "x"), ("abc", "")]
+    df = spark.createDataFrame([(s,) for _, s in pairs], "source string")
+    for q, s in pairs:
+        col_val = (
+            spark.createDataFrame([(s,)], "source string")
+            .select(entity_fuzzy_score_col(q, F.col("source")).alias("v"))
+            .first()["v"]
+        )
+        assert abs(gm.entity_fuzzy_score(q, s) - col_val) < 1e-9, (q, s)
+
+    # F9: zip mode splits on first token; weak scores skip the pop boost
+    import math
+    s_num = gm.geo_search_score("37203", "37203 nashville", 0)
+    assert abs(s_num - gm.entity_fuzzy_score("37203", "37203") * 0.9) < 1e-9
+    strong = gm.entity_fuzzy_score("nashville", "nashville")
+    assert abs(
+        gm.geo_search_score("nashville", "nashville", 1000)
+        - (strong * 0.9 + math.log(1000) * 0.1)
+    ) < 1e-9
+
+    # R3 id-list facade: subset relation vs the full search, same ids
+    ids = gm.get_radius_lat_lng_shape_ids(29.139, -121.949, 150.0)
+    assert ids
+    full = gm.radius_lat_lng_search(29.139, -121.949, 150.0)
+    assert {r["id"] for r in full} <= set(ids)  # R4 excludes aggregates
+
+    # S4 path convention
+    assert gm.get_base_url().rstrip("/").endswith("v=current")
+    assert "v=2024" in gm.get_base_url(version="2024", root="/tmp/store")

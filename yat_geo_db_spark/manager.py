@@ -148,6 +148,14 @@ class GeoManager:
         self._set_shapes(_ingest.read_shapes(self.spark, root, version))
         return self
 
+    def get_base_url(self, version: str | None = None, root: str = "") -> str:
+        """S4 (geo_manager.py:671-675): the version-addressed store prefix.
+        The reference prefixes a fixed remote BASE_STORE_URL; the engine's
+        store is whatever (object-store) root the caller mounts — the
+        version path convention (`v=<ver>/`, `current` when unversioned)
+        is the same one load_data/read_shapes resolve."""
+        return _ingest.versioned_path(root, version, "")
+
     @property
     def num_shapes(self) -> int:
         """S6 (geo_manager.py:667-669)."""
@@ -361,11 +369,83 @@ class GeoManager:
             return dict(_MISSING_PAIR), None
         return self.get_shape_pair_distance(shape_ref, dest_ref), dest_ref
 
+    def get_radius_lat_lng_shape_ids(
+        self,
+        latitude: float,
+        longitude: float,
+        radius: float,
+        country_filter: str | None = None,
+        filters: Dict | None = None,
+    ) -> List[int]:
+        """R3 (geo_manager.py:327-349): matching shape ids only — the
+        reference's list comprehension over radius_match + filters as one
+        pruned scan projecting the id column."""
+        res = _radius.radius_search_lat_lng(
+            self.shapes,
+            latitude,
+            longitude,
+            radius,
+            country_filter=country_filter,
+            filters=filters,
+        )
+        return [r["id"] for r in res.select("id").collect()]
+
     # -------------------------------------------------------- fuzzy (F*)
 
     def clean_entity(self, val: str) -> str:
         """F6 (geo_manager.py:445-449)."""
         return _fuzzy.clean_entity(val)
+
+    def clean_ngram_cnt(self, word: str, n: int = 3) -> Dict[str, int]:
+        """F7 (geo_manager.py:441-443): trigram → count dict of the
+        no-spaces cleaned word. Pure query-side helper (the index side
+        derives posting multiplicity relationally)."""
+        import collections
+        import re as _re
+
+        w = _re.sub("[^0-9a-zA-Z]+", "", word).lower()
+        return dict(collections.Counter(_fuzzy.ngrams_list(w, n)))
+
+    def entity_fuzzy_score(self, search_str: str, source_str: str) -> float:
+        """F8 (geo_manager.py:484-489), scalar query-side twin of
+        fuzzy.entity_fuzzy_score_col: Tversky(.85/.15) with the 15% prefix
+        boost. (The reference's weight renormalization is identity at
+        these call-site weights — documented divergence, SURVEY §2.5.)"""
+        score = self._tversky(search_str, source_str, 0.85, 0.15)
+        if source_str.startswith(search_str):
+            score += score * 0.15
+        return score
+
+    def geo_search_score(
+        self, search_str: str, source_str: str, population: int
+    ) -> float:
+        """F9 (geo_manager.py:491-501), scalar twin of
+        fuzzy.geo_search_score_col: numeric queries score against the
+        first space-token (zip mode); population-weighted unless the
+        fuzzy score is weak."""
+        import math
+
+        if search_str.isnumeric():
+            score = self.entity_fuzzy_score(
+                search_str, source_str.split(" ")[0]
+            )
+        else:
+            score = self.entity_fuzzy_score(search_str, source_str)
+        if population <= 0 or score <= 0.65:
+            return score * 0.9
+        return (score * 0.9) + (math.log(population) * 0.1)
+
+    @staticmethod
+    def _tversky(text1: str, text2: str, a: float, b: float) -> float:
+        """Scalar Tversky over trigram sets (reference fuzzy.py:9-31; the
+        empty-string and 0/0 guards both return 0)."""
+        if not text1 or not text2:
+            return 0.0
+        g1 = set(_fuzzy.ngrams_list(text1))
+        g2 = set(_fuzzy.ngrams_list(text2))
+        inter = len(g1 & g2)
+        denom = inter + a * (len(g1) - inter) + b * (len(g2) - inter)
+        return float(inter) / denom if denom else 0.0
 
     def _attach_extra(self, res: DataFrame) -> DataFrame:
         """Attach the reference's `extra` payload — the full shape record
