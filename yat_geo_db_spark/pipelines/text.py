@@ -460,11 +460,35 @@ def unigram_surprisal(
 DSIR_BUCKETS = 1024
 
 
-def dsir_bucket_table(
-    target: DataFrame,
-    raw: DataFrame,
+def dsir_token_buckets(
+    documents: DataFrame,
     n_buckets: int = DSIR_BUCKETS,
     text_col: str = "text",
+    id_col: str = "doc_id",
+    extra_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """(id, *extra, bucket): one row per token OCCURRENCE with its hash
+    bucket — the shared input of both DSIR passes. Tokenizing + hashing
+    is the expensive per-row work (interpreted fold per token); the model
+    build and the scoring pass both consume THIS table, so persist it
+    once per corpus instead of re-scanning and re-hashing per consumer
+    (at 100 TB that is one corpus scan, not two)."""
+    return documents.select(
+        F.col(id_col), *[F.col(c) for c in extra_cols],
+        F.explode(tokens_col(F.col(text_col))).alias("t"),
+    ).select(
+        id_col, *extra_cols,
+        (fingerprint_col(F.col("t")) % n_buckets).alias("bucket"),
+    )
+
+
+def dsir_bucket_table(
+    target: DataFrame | None,
+    raw: DataFrame | None,
+    n_buckets: int = DSIR_BUCKETS,
+    text_col: str = "text",
+    target_buckets: DataFrame | None = None,
+    raw_buckets: DataFrame | None = None,
 ) -> DataFrame:
     """(bucket, log_ratio): per-hash-bucket log-likelihood ratio
     ln p_target(b) / p_raw(b) with add-one smoothing, over token unigrams
@@ -472,21 +496,23 @@ def dsir_bucket_table(
     a table bounded by n_buckets (1024 rows), NOT the corpus, so it
     broadcasts everywhere and can be persisted and reused across runs.
 
+    Pass `target_buckets` / `raw_buckets` (from dsir_token_buckets,
+    typically one persisted table filtered two ways) to share the
+    tokenize+hash pass with the scoring side; the `target`/`raw`
+    document-frame arguments are the convenience path that derives them.
+
     The ratio is quantized to 6 decimals here, once, so downstream per-doc
     sums can run in exact fixed-point (sum of scaled longs — associative,
     partition-order-independent) instead of accumulating raw doubles.
 
-    Both count passes are explode → groupBy(bucket) — map-side combinable,
+    Both count passes are groupBy(bucket) — map-side combinable,
     shuffling at most n_buckets rows per partition."""
-    def bucket_counts(df: DataFrame, name: str) -> DataFrame:
-        tok = df.select(F.explode(tokens_col(F.col(text_col))).alias("t"))
-        b = (fingerprint_col(F.col("t")) % n_buckets).alias("bucket")
-        return tok.select(b).groupBy("bucket").agg(
-            F.count(F.lit(1)).alias(name)
-        )
-
-    t = bucket_counts(target, "tc")
-    r = bucket_counts(raw, "rc")
+    if target_buckets is None:
+        target_buckets = dsir_token_buckets(target, n_buckets, text_col)
+    if raw_buckets is None:
+        raw_buckets = dsir_token_buckets(raw, n_buckets, text_col)
+    t = target_buckets.groupBy("bucket").agg(F.count(F.lit(1)).alias("tc"))
+    r = raw_buckets.groupBy("bucket").agg(F.count(F.lit(1)).alias("rc"))
     joined = (
         r.join(t, "bucket", "full")
         .select(
@@ -518,6 +544,7 @@ def dsir_importance(
     n_buckets: int = DSIR_BUCKETS,
     text_col: str = "text",
     id_col: str = "doc_id",
+    token_buckets: DataFrame | None = None,
 ) -> DataFrame:
     """(doc_id, n_tokens, importance): per-document log importance weight
     ln w(x) = Σᵢ ln p_target(bucketᵢ)/p_raw(bucketᵢ) over token
@@ -525,6 +552,9 @@ def dsir_importance(
     log-ratios, not a mean); resample/filter on it (e.g.
     quality_weighted_sample on the exponentiated, length-normalized score)
     to shift the corpus toward the target distribution.
+
+    Pass `token_buckets` (a persisted dsir_token_buckets table — usually
+    the same one the model trained from) to skip re-tokenizing.
 
     Scale shape: one corpus explode, the 1024-row weight table broadcast
     into it, one groupBy(doc). The per-token contributions are the
@@ -534,11 +564,10 @@ def dsir_importance(
     bit-identical across engines with NO final rounding step (a rounded
     mean would land exactly on .5e-6 boundaries whenever n_tokens divides
     the quantized sum — the one place engine round() conventions differ)."""
-    tok = documents.select(
-        F.col(id_col), F.explode(tokens_col(F.col(text_col))).alias("t")
-    ).select(
-        id_col, (fingerprint_col(F.col("t")) % n_buckets).alias("bucket")
-    )
+    if token_buckets is None:
+        tok = dsir_token_buckets(documents, n_buckets, text_col, id_col)
+    else:
+        tok = token_buckets.select(id_col, "bucket")
     scored = tok.join(F.broadcast(bucket_weights), "bucket", "left").select(
         id_col,
         F.floor(

@@ -522,9 +522,15 @@ def q_text_dsir(spark, sf_dir):
     every doc against the lang='en' target slice (add-one smoothing,
     1024 buckets). High scores = looks like the target distribution."""
     docs = load_table(spark, sf_dir, "documents")
-    target = docs.filter(F.col("lang") == "en")
-    weights = text.dsir_bucket_table(target, docs)
-    return text.dsir_importance(docs, weights)
+    # one persisted tokenize+hash pass feeds the model build (both count
+    # sides) and the scoring join — one corpus scan, not three
+    tb = text.dsir_token_buckets(docs, extra_cols=("lang",)).persist()
+    weights = text.dsir_bucket_table(
+        None, None,
+        target_buckets=tb.filter(F.col("lang") == "en"),
+        raw_buckets=tb,
+    )
+    return text.dsir_importance(docs, weights, token_buckets=tb)
 
 
 _DSIR_SQL = f"""
