@@ -253,3 +253,48 @@ def test_q15_single_lineitem_scan(spark):
     plan = _plan(df).split("== Initial Plan ==")[0]
     scans = len(re.findall(r"FileScan parquet \[[^\]]*l_extendedprice", plan))
     assert scans == 1, plan[:4000]
+
+
+def test_q21_single_lineitem_scan_and_narrow_shuffles(spark):
+    """The EXISTS/NOT-EXISTS pair is decorrelated to one aggregate plus a
+    per-order window over the SAME rows: exactly one lineitem scan in the
+    plan (a per-order groupBy joined back would scan it twice), and the
+    supplier/nation dims broadcast."""
+    df = rq.q21_waiting_suppliers(
+        _raw(spark, "lineitem"), _raw(spark, "orders"),
+        _raw(spark, "supplier"), _raw(spark, "nation"),
+    )
+    plan = _plan(df)
+    assert plan.count("Scan parquet") == 4  # lineitem, orders, supplier, nation
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_q11_single_scan_global_window(spark):
+    """The HAVING-vs-total decorrelates to a window over the grouped
+    result — one lineitem scan (a scalar subquery would re-scan) and the
+    window total summed as DECIMAL (exact), not double."""
+    df = rq.q11_important_parts(
+        _raw(spark, "lineitem"), _raw(spark, "supplier"), _raw(spark, "nation")
+    )
+    plan = _plan(df)
+    assert plan.count("Scan parquet") == 3  # lineitem, supplier, nation
+    assert "Window" in plan
+
+
+def test_q12_shipdate_window_pushed(spark):
+    df = rq.q12_shipmode_priority(_raw(spark, "lineitem"), _raw(spark, "orders"))
+    plan = _plan(df)
+    pushed = plan.split("PushedFilters")[1][:400]
+    assert "l_shipdate" in pushed
+
+
+def test_q9_part_filter_broadcast(spark):
+    df = rq.q9_product_profit(
+        _raw(spark, "lineitem"), _raw(spark, "orders"),
+        _raw(spark, "supplier"), _raw(spark, "nation"), _raw(spark, "part"),
+    )
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan
+    # name-fragment filter prunes the part scan before the broadcast
+    assert "p_name" in plan.split("PushedFilters")[1][:800] or "Contains" in plan
