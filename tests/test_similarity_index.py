@@ -232,3 +232,32 @@ def test_ivfpq_exact_on_centroid_aligned_corpus(spark):
     by_id = {c["vec_id"]: c["cid"] for c in got}
     cells1 = {by_id[t["vec_id"]] for t in top1}
     assert len(cells1) == 1
+
+
+def test_semdedup_normalization_colocates_scaled_copies(spark):
+    """A vector and its 10x-scaled copy are the same direction - SemDeDup
+    must pair them (unit-sphere clustering puts them in one cell) and
+    semdedup_keep must drop one of the two."""
+    import random
+    from yat_geo_db_spark.pipelines.similarity import (
+        semdedup_keep, semdedup_pairs,
+    )
+
+    r = random.Random(3)
+    rows = []
+    for i in range(12):
+        v = [round(r.uniform(-1, 1), 3) for _ in range(8)]
+        rows.append((2 * i, v))
+        rows.append((2 * i + 1, [10.0 * x for x in v]))  # scaled duplicate
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    pairs = semdedup_pairs(emb, k=3, threshold=0.999, n_iter=2).collect()
+    got = {(p["id1"], p["id2"]) for p in pairs}
+    for i in range(12):
+        assert (2 * i, 2 * i + 1) in got, f"scaled pair {i} missed"
+
+    kept = {r_["vec_id"] for r_ in semdedup_keep(
+        emb, k=3, threshold=0.999, n_iter=2
+    ).collect()}
+    for i in range(12):
+        assert (2 * i in kept) and (2 * i + 1 not in kept)  # min id survives

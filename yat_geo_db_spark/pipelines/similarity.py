@@ -737,3 +737,90 @@ def ivfpq_topk(
         .orderBy(F.asc("approx_dist"), F.asc(id_col))
         .limit(k)
     )
+
+
+def l2_normalized(
+    embeddings: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, vec/‖vec‖): unit-sphere projection — cosine becomes L2, so
+    k-means cells align with cosine similarity (the SemDeDup premise; on
+    raw magnitudes a high-cosine pair can land in different L2 cells —
+    observed on the fixture). The norm is projected as its own column
+    FIRST so the per-element division reads it once (a norm_col call
+    inside the transform lambda would re-run the whole fold per element:
+    HOFs get no common-subexpression elimination). Zero vectors map to
+    zero vectors."""
+    return embeddings.select(
+        F.col(id_col), F.col(vec_col).alias("_raw"),
+        norm_col(F.col(vec_col)).alias("_n"),
+    ).select(
+        id_col,
+        F.transform(
+            "_raw",
+            lambda x: F.when(
+                F.col("_n") > 0, x.cast("double") / F.col("_n")
+            ).otherwise(F.lit(0.0)),
+        ).alias(vec_col),
+    )
+
+
+# --------------------------------------------------------------------------
+# SemDeDup (Abbas et al., "SemDeDup: Data-efficient learning at web-scale
+# through semantic deduplication", 2023): embedding-space near-duplicate
+# removal with k-means cells as the blocking structure — pairs are only
+# compared INSIDE a cell, and one representative per duplicate group
+# survives.
+# --------------------------------------------------------------------------
+
+def semdedup_pairs(
+    embeddings: DataFrame, k: int = 16, threshold: float = 0.8,
+    n_iter: int = 2, id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """(id1, id2, cosine): within-cluster cosine near-dup pairs. The
+    learned k-means cells replace the data-oblivious sign-bit buckets of
+    cosine_near_dup_pairs — the paper's observation is that semantic
+    duplicates co-locate in embedding-space clusters, so the self-join is
+    blocked on the cell id (k blocks of ~N/k, k grows with the corpus)
+    and never crosses cells. Recall is bounded by the clustering, like
+    every SemDeDup deployment; raise k for smaller cells or fall back to
+    the multi-probe bucket blocking for recall-critical passes."""
+    unit = l2_normalized(embeddings, id_col, vec_col)
+    assign = kmeans_fit_assign(
+        unit, k=k, n_iter=n_iter, id_col=id_col, vec_col=vec_col
+    ).select(id_col, "cid")
+    vecs = unit.join(assign, id_col)
+    a = vecs.select(
+        F.col("cid"), F.col(id_col).alias("id1"), F.col(vec_col).alias("v1")
+    )
+    b = vecs.select(
+        F.col("cid").alias("cid_r"), F.col(id_col).alias("id2"),
+        F.col(vec_col).alias("v2"),
+    )
+    return (
+        a.join(
+            b,
+            (F.col("cid") == F.col("cid_r")) & (F.col("id1") < F.col("id2")),
+        )
+        .select(
+            "id1", "id2",
+            F.round(cosine_col(F.col("v1"), F.col("v2")), 6).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
+def semdedup_keep(
+    embeddings: DataFrame, k: int = 16, threshold: float = 0.8,
+    n_iter: int = 2, id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """Surviving ids after SemDeDup: one representative (min id — the
+    deterministic stand-in for the paper's keep-lowest-similarity-to-
+    centroid choice) per within-cluster duplicate group, plus every
+    unpaired vector. Reuses the dedup connected-components machinery on
+    the pair graph."""
+    from yat_geo_db_spark.pipelines.dedup import dedup_keep_canonical
+
+    pairs = semdedup_pairs(embeddings, k, threshold, n_iter, id_col, vec_col)
+    return dedup_keep_canonical(
+        embeddings.select(id_col), pairs, id_col=id_col
+    )

@@ -1439,6 +1439,20 @@ def q_sim_ivfpq_topk(spark, sf_dir):
 
 
 
+
+
+def q_sim_semdedup(spark, sf_dir):
+    """SemDeDup (Abbas et al. 2023): within-k-means-cluster cosine
+    near-dup pairs - the learned-cell blocking for semantic dedup. Same
+    k/n_iter as pipe_sim_kmeans, so the assignment subplan is the proven
+    bit-identical one."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.semdedup_pairs(
+        emb, k=KMEANS_K, threshold=COSINE_T, n_iter=KMEANS_ITERS
+    )
+
+
+
 def q_sim_kmeans(spark, sf_dir):
     return similarity.kmeans_fit_assign(
         load_table(spark, sf_dir, "embeddings"), k=KMEANS_K, n_iter=KMEANS_ITERS
@@ -1504,6 +1518,42 @@ def _kmeans_sql(k: int = KMEANS_K, n_iter: int = KMEANS_ITERS) -> str:
     )
 
 
+def _semdedup_sql(k: int = KMEANS_K, n_iter: int = KMEANS_ITERS,
+                  threshold: float = COSINE_T) -> str:
+    """SemDeDup oracle: the kmeans assignment CTE chain (identical, so
+    assignments are the proven bit-identical ones), then a within-cluster
+    self-join filtered by cosine — mirrors similarity.semdedup_pairs."""
+    base = _kmeans_sql(k, n_iter)
+    # cluster (and score) the L2-NORMALIZED vectors — mirror of
+    # similarity.l2_normalized (cosine ≡ L2 on the unit sphere)
+    norm_cte = (
+        "unit AS (SELECT vec_id, list_transform(embedding, "
+        "x -> CASE WHEN n > 0 THEN CAST(x AS DOUBLE) / n "
+        "ELSE CAST(0.0 AS DOUBLE) END) AS embedding "
+        f"FROM (SELECT vec_id, embedding, {_norm('embedding')} AS n "
+        "FROM embeddings)), "
+    )
+    base = base.replace("FROM embeddings", "FROM unit").replace(
+        "WITH c0 AS", "WITH " + norm_cte + "c0 AS", 1
+    )
+    marker = "SELECT vec_id, cid, round(dist, 6) AS dist "
+    assert marker in base
+    head = base[: base.index(marker)]
+    tail_from = base[base.index(marker) + len(marker):]  # "FROM aN WHERE rn = 1"
+    return (
+        head
+        + ", assign AS (SELECT vec_id, embedding, cid "
+        + tail_from
+        + f""")
+SELECT a.vec_id AS id1, b.vec_id AS id2,
+       round({_cos('a.embedding', 'b.embedding')}, 6) AS cosine
+FROM assign a JOIN assign b
+  ON a.cid = b.cid AND a.vec_id < b.vec_id
+WHERE round({_cos('a.embedding', 'b.embedding')}, 6) >= {threshold}
+"""
+    )
+
+
 QUERIES: dict = {
     "pipe_dedup_exact": (q_dedup_exact, _DEDUP_EXACT_SQL),
     "pipe_dedup_ngram_jaccard": (q_dedup_jaccard, _DEDUP_JACCARD_SQL),
@@ -1528,6 +1578,7 @@ QUERIES: dict = {
     "pipe_sim_kmeans": (q_sim_kmeans, _kmeans_sql()),
     "pipe_sim_pq_topk": (q_sim_pq_topk, None),
     "pipe_sim_ivfpq_topk": (q_sim_ivfpq_topk, None),
+    "pipe_sim_semdedup": (q_sim_semdedup, _semdedup_sql()),
     "pipe_curate_corpus": (q_curate_corpus, _curate_sql()),
     "pipe_shard_assignment": (q_shard_assignment, _SHARD_SQL),
     "pipe_pack_chunks": (q_pack_chunks, _PACK_CHUNKS_SQL),
