@@ -381,3 +381,57 @@ def pair_distances(shapes: DataFrame, pairs: DataFrame,
         .alias("distance_aggregate"),
         found.alias("found"),
     )
+
+
+def radius_join(
+    shapes: DataFrame,
+    origins: DataFrame,
+    radius: float,
+    origin_id_col: str = "origin_id",
+    lat_col: str = "latitude",
+    lng_col: str = "longitude",
+    filters: dict | None = None,
+) -> DataFrame:
+    """Batch radius search — the spatial theta-join: every (origin, shape)
+    pair whose shape matches the reference's radius predicate around that
+    origin (R5 dispatch: ellipse for points, origin-in-bbox for
+    aggregates). One corpus scan amortized over the whole origin table,
+    where per-origin radius_search calls would each re-scan.
+
+    Scale shape: `origins` is broadcast (a query batch, small by
+    definition), the predicate evaluates inside the join condition of a
+    BroadcastNestedLoopJoin — shapes stream through once, nothing
+    shuffles. The per-origin longitude delta is a Column over the origin's
+    latitude, so each origin gets its own correctly-scaled ellipse. For
+    origin tables too big to broadcast, pre-grid both sides
+    (geo.grid.write_gridded_shapes) and equi-join on covering cells.
+
+    Returns (origin_id, id, reference_code, distance) with exact
+    haversine distance attached post-predicate (rounded at 4 like R1)."""
+    from yat_geo_db_spark.geo.geometry import haversine_miles
+
+    radius_lit = F.lit(float(radius))
+    o = F.broadcast(
+        origins.select(
+            F.col(origin_id_col),
+            F.col(lat_col).alias("o_lat"),
+            F.col(lng_col).alias("o_lng"),
+        )
+    )
+    lat_delta = latitude_delta_col(radius_lit)
+    lng_delta = longitude_delta_col(F.col("o_lat"), radius_lit)
+    pred = radius_match(F.col("o_lat"), F.col("o_lng"), lat_delta, lng_delta)
+    hits = (
+        shapes.filter(shape_filters_predicate(filters))
+        .crossJoin(o)
+        .filter(pred)
+    )
+    dist = F.round(
+        haversine_miles(
+            F.col("o_lat"), F.col("o_lng"), F.col("latitude"), F.col("longitude")
+        ),
+        4,
+    )
+    return hits.select(
+        origin_id_col, "id", "reference_code", dist.alias("distance")
+    )

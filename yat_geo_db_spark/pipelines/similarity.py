@@ -824,3 +824,60 @@ def semdedup_keep(
     return dedup_keep_canonical(
         embeddings.select(id_col), pairs, id_col=id_col
     )
+
+
+def brute_force_topk_batch(
+    embeddings: DataFrame, queries: DataFrame, k: int = 10,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+    query_id_col: str = "query_id", query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """(query_id, vec_id, cosine, rank): exact cosine top-k for a BATCH of
+    query vectors — the serving shape (one query at a time wastes a corpus
+    scan per query; a batch amortizes one scan across all of them).
+
+    Scale shape: the query table broadcasts (batches are small by
+    definition); scoring is corpus-scan × Q in one pass. The per-query
+    top-k is TWO-PHASE — a partial top-k per input partition (groupBy
+    (query, partition-id) → sorted-slice aggregate, map-side bounded at
+    k·partitions·Q rows) feeding a k-row final slice per query — so no
+    window ever sorts Q full corpus copies on a Q-partition shuffle (the
+    classic per-group-top-k scale trap: Q ≪ cores means idle executors
+    and unbounded sort spill). Ties break by ascending id."""
+    q = F.broadcast(
+        queries.select(
+            F.col(query_id_col), F.col(query_vec_col).alias("_qv")
+        )
+    )
+    scored = embeddings.crossJoin(q).select(
+        query_id_col,
+        F.col(id_col),
+        F.round(cosine_col(F.col(vec_col), F.col("_qv")), 6).alias("cosine"),
+        F.spark_partition_id().alias("_part"),
+    )
+    # phase 1: bounded local top-k per (query, input partition)
+    local = scored.groupBy(query_id_col, "_part").agg(
+        F.slice(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        (-F.col("cosine")).alias("neg"), F.col(id_col).alias("id")
+                    )
+                )
+            ),
+            1, k,
+        ).alias("top")
+    )
+    # phase 2: merge the ≤ k·partitions candidates per query, final slice
+    merged = (
+        local.select(query_id_col, F.explode("top").alias("t"))
+        .groupBy(query_id_col)
+        .agg(F.slice(F.array_sort(F.collect_list("t")), 1, k).alias("top"))
+    )
+    return merged.select(
+        query_id_col, F.posexplode("top").alias("_rnk", "t")
+    ).select(
+        query_id_col,
+        F.col("t.id").alias(id_col),
+        (-F.col("t.neg")).alias("cosine"),
+        (F.col("_rnk") + 1).alias("rank"),
+    )

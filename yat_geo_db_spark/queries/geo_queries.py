@@ -309,6 +309,38 @@ FROM f
 """
 
 
+
+
+def q_radius_join(spark, sf_dir):
+    """Batch radius search (spatial theta-join): 5 point origins x shapes
+    within 100 miles, one corpus scan amortized over the batch. Origins
+    broadcast; the per-origin ellipse scales its longitude delta to that
+    origin's latitude."""
+    shapes = _shapes(spark, sf_dir)
+    origins = (
+        shapes.filter((F.col("id") < 10) & ~F.col("is_aggregate"))
+        .select(
+            F.col("id").alias("origin_id"), "latitude", "longitude"
+        )
+    )
+    return radius.radius_join(shapes, origins, 100.0)
+
+
+def _radius_join_oracle(radius_mi: float = 100.0) -> str:
+    from yat_geo_db_spark.geo.geometry import haversine_sql
+
+    match = ducksql.radius_match_sql("o.o_lat", "o.o_lng", radius_mi)
+    dist = haversine_sql("o.o_lat", "o.o_lng", "s.latitude", "s.longitude")
+    return (
+        f"WITH {SHAPES_CTE}, "
+        "o AS (SELECT id AS origin_id, latitude AS o_lat, longitude AS o_lng "
+        "FROM shapes WHERE id < 10 AND NOT is_aggregate) "
+        f"SELECT o.origin_id, s.id, s.reference_code, "
+        f"round({dist}, 4) AS distance "
+        f"FROM shapes s CROSS JOIN o WHERE {match}"
+    )
+
+
 QUERIES: dict = {
     "geo_fuzzy_city": (
         q_fuzzy_city,
@@ -355,6 +387,7 @@ QUERIES: dict = {
         ),
     ),
     "geo_pair_distances": (q_pair_distances, ducksql.pair_distance_oracle(24)),
+    "geo_radius_join": (q_radius_join, _radius_join_oracle()),
     "geo_point_lookup": (q_point_lookup, _POINT_LOOKUP_SQL),
     "geo_id_ref_map": (
         q_id_ref_map,

@@ -1441,6 +1441,40 @@ def q_sim_ivfpq_topk(spark, sf_dir):
 
 
 
+
+
+def q_sim_topk_batch(spark, sf_dir):
+    """Batched exact ANN: one corpus scan amortized over 5 query vectors,
+    per-query top-20 via the two-phase partial-top-k (no Q-partition
+    window sort). Self-matches rank first by construction (cosine 1.0)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return similarity.brute_force_topk_batch(emb, queries, k=20)
+
+
+_TOPK_BATCH_SQL = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5
+),
+s AS (
+  SELECT query_id, e.vec_id,
+         round({_cos('e.embedding', 'qv')}, 6) AS cosine
+  FROM embeddings e CROSS JOIN q
+),
+r AS (
+  SELECT query_id, vec_id, cosine,
+         CAST(row_number() OVER (
+           PARTITION BY query_id ORDER BY cosine DESC, vec_id
+         ) AS INT) AS rank
+  FROM s
+)
+SELECT query_id, vec_id, cosine, rank FROM r WHERE rank <= 20
+"""
+
+
+
 def q_sim_semdedup(spark, sf_dir):
     """SemDeDup (Abbas et al. 2023): within-k-means-cluster cosine
     near-dup pairs - the learned-cell blocking for semantic dedup. Same
@@ -1579,6 +1613,7 @@ QUERIES: dict = {
     "pipe_sim_pq_topk": (q_sim_pq_topk, None),
     "pipe_sim_ivfpq_topk": (q_sim_ivfpq_topk, None),
     "pipe_sim_semdedup": (q_sim_semdedup, _semdedup_sql()),
+    "pipe_sim_topk_batch": (q_sim_topk_batch, _TOPK_BATCH_SQL),
     "pipe_curate_corpus": (q_curate_corpus, _curate_sql()),
     "pipe_shard_assignment": (q_shard_assignment, _SHARD_SQL),
     "pipe_pack_chunks": (q_pack_chunks, _PACK_CHUNKS_SQL),
