@@ -228,3 +228,27 @@ def test_knn_prefix_consistency(spark):
     assert k10[:5] == k5            # top-k is a prefix of top-(k+m)
     d10 = [r["distance"] for r in knn_search(shapes, 29.139, -121.949, k=10).collect()]
     assert d10 == sorted(d10)       # ascending by distance
+
+
+def test_radius_join_agrees_with_single_origin_search(shapes):
+    """Each origin's slice of the batch radius join = the single-origin
+    literal search's id set at the same radius."""
+    import pyspark.sql.functions as F
+    from yat_geo_db_spark.geo.radius import radius_join, radius_search_lat_lng
+
+    origins = (
+        shapes.filter((F.col("id") < 10) & ~F.col("is_aggregate"))
+        .select(F.col("id").alias("origin_id"), "latitude", "longitude")
+    )
+    batch = radius_join(shapes, origins, 100.0).collect()
+    by_o = {}
+    for r in batch:
+        by_o.setdefault(r["origin_id"], set()).add(r["id"])
+    for o in origins.collect():
+        want = {
+            r["id"]
+            for r in radius_search_lat_lng(
+                shapes, o["latitude"], o["longitude"], 100.0
+            ).select("id").collect()
+        }
+        assert by_o.get(o["origin_id"], set()) == want, o["origin_id"]

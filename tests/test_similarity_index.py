@@ -261,3 +261,31 @@ def test_semdedup_normalization_colocates_scaled_copies(spark):
     ).collect()}
     for i in range(12):
         assert (2 * i in kept) and (2 * i + 1 not in kept)  # min id survives
+
+
+def test_batch_topk_agrees_with_single_query(spark):
+    """Each query's batch rows (minus the self-match) must equal the
+    single-query brute-force top-k over the same corpus."""
+    from yat_geo_db_spark.pipelines.similarity import (
+        brute_force_topk, brute_force_topk_batch,
+    )
+    import pyspark.sql.functions as F
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    batch = brute_force_topk_batch(emb, queries, k=11).collect()
+    by_q = {}
+    for r in batch:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for qid in (0, 1, 2):
+        rows = sorted(by_q[qid], key=lambda r: r["rank"])
+        # self-match ranks first at cosine 1.0
+        assert rows[0]["vec_id"] == qid and abs(rows[0]["cosine"] - 1.0) < 1e-6
+        got = [(r["vec_id"], r["cosine"]) for r in rows[1:]]
+        want = [
+            (r["vec_id"], r["cosine"])
+            for r in brute_force_topk(emb, qid, k=10).collect()
+        ]
+        assert got == want, qid
