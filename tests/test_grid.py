@@ -77,3 +77,36 @@ def test_aggregates_never_pruned(spark, shapes, gridded):
         for r in grid.radius_search_gridded(gridded, o_lat, o_lng, 1.0).collect()
     }
     assert agg["id"] in got
+
+
+def test_radius_join_gridded_row_identical_to_broadcast_join(spark, tmp_path):
+    """The equi-join-on-cells batch form returns exactly the broadcast
+    BNLJ batch form's rows, and no SortMergeJoin of two big sides appears
+    without a cell equi-key (the plan carries the cell join)."""
+    import pyspark.sql.functions as F
+    from yat_geo_db_spark.geo.fixture import shapes_df
+    from yat_geo_db_spark.geo.grid import (
+        radius_join_gridded, read_gridded_shapes, write_gridded_shapes,
+    )
+    from yat_geo_db_spark.geo.radius import radius_join
+    from yat_geo_db_spark.testdata import register_views
+
+    register_views(spark, "/root/testdata/sf0.001", tables=("customer",))
+    shapes = shapes_df(spark)
+    path = str(tmp_path / "gridded")
+    write_gridded_shapes(shapes, path)
+    gridded = read_gridded_shapes(spark, path)
+
+    origins = (
+        shapes.filter((F.col("id") < 12) & ~F.col("is_aggregate"))
+        .select(F.col("id").alias("origin_id"), "latitude", "longitude")
+    )
+    want = {
+        (r["origin_id"], r["id"], r["distance"])
+        for r in radius_join(shapes, origins, 120.0).collect()
+    }
+    got = {
+        (r["origin_id"], r["id"], r["distance"])
+        for r in radius_join_gridded(gridded, origins, 120.0).collect()
+    }
+    assert got == want and want  # identical and non-vacuous

@@ -143,3 +143,99 @@ def radius_search_gridded(
     if exclude_aggregates:
         hits = hits.filter(~F.col("is_aggregate"))
     return hits.select("id")
+
+
+def cover_cells_col(
+    lat: Column, lng: Column, radius_miles: float, cell_deg: float = CELL_DEG,
+) -> Column:
+    """Column twin of cover_cells: the array of cell ids an origin's search
+    ellipse bbox can touch, as pure expressions over the origin's
+    coordinates — the explode key of the gridded radius JOIN (cover_cells
+    itself is driver-side scalar math; a TABLE of origins needs this).
+    Same conservative longitude delta at the widest band edge, same pole
+    clamp and ≥89° polar-cap fallback, no antimeridian wrap."""
+    ny = _n_lng_cells(cell_deg)
+    dlat = F.lit(latitude_delta_from_miles(radius_miles))
+    lat_lo = F.greatest(lat - dlat, F.lit(-90.0))
+    lat_hi = F.least(lat + dlat, F.lit(90.0))
+    worst = F.greatest(F.abs(lat_lo), F.abs(lat_hi))
+    # longitude_delta at the worst band edge (cos smallest ⇒ delta widest)
+    dlng = longitude_delta_col(worst, F.lit(float(radius_miles)))
+    lng_lo = F.greatest(lng - dlng, F.lit(-180.0))
+    lng_hi = F.least(lng + dlng, F.lit(180.0))
+    row_lo = F.floor((lat_lo + 90.0) / F.lit(cell_deg)).cast("long")
+    row_hi = F.floor((lat_hi + 90.0) / F.lit(cell_deg)).cast("long")
+    col_lo = F.when(worst >= 89.0, F.lit(0)).otherwise(
+        F.floor((lng_lo + 180.0) / F.lit(cell_deg))
+    ).cast("long")
+    col_hi = F.when(worst >= 89.0, F.lit(ny - 1)).otherwise(
+        F.floor((lng_hi + 180.0) / F.lit(cell_deg))
+    ).cast("long")
+    return F.flatten(
+        F.transform(
+            F.sequence(row_lo, row_hi),
+            lambda r: F.transform(
+                F.sequence(col_lo, col_hi), lambda c: r * ny + c
+            ),
+        )
+    )
+
+
+def radius_join_gridded(
+    gridded: DataFrame,
+    origins: DataFrame,
+    radius: float,
+    cell_deg: float = CELL_DEG,
+    origin_id_col: str = "origin_id",
+    lat_col: str = "latitude",
+    lng_col: str = "longitude",
+    filters: dict | None = None,
+) -> DataFrame:
+    """Batch radius search for origin tables TOO BIG TO BROADCAST — the
+    100 TB form of radius_join: each origin explodes into its covering
+    cells (cover_cells_col), shapes already carry their single cell
+    (write_gridded_shapes), and candidates come from a plain EQUI-join on
+    the cell id — shuffle-partitioned, AQE-splittable, no nested-loop
+    join of two large tables. The exact dispatch predicate (ellipse /
+    origin-in-bbox, per-origin longitude delta) then decides membership,
+    so results are row-identical to radius_join (asserted in test_grid).
+
+    A shape lives in exactly ONE cell, so a pair can match at most one
+    probe row — no dedup shuffle. Aggregates live in AGGREGATE_CELL,
+    which every origin probes (their wide bboxes can't be cell-pruned on
+    a centroid; see AGGREGATE_CELL's note).
+
+    Returns (origin_id, id, reference_code, distance)."""
+    from yat_geo_db_spark.geo.geometry import haversine_miles
+
+    radius_lit = F.lit(float(radius))
+    probes = origins.select(
+        F.col(origin_id_col),
+        F.col(lat_col).alias("o_lat"),
+        F.col(lng_col).alias("o_lng"),
+        F.explode(
+            F.array_union(
+                cover_cells_col(
+                    F.col(lat_col), F.col(lng_col), radius, cell_deg
+                ),
+                F.array(F.lit(AGGREGATE_CELL).cast("long")),
+            )
+        ).alias("cell"),
+    )
+    lat_delta = latitude_delta_col(radius_lit)
+    lng_delta = longitude_delta_col(F.col("o_lat"), radius_lit)
+    pred = radius_match(F.col("o_lat"), F.col("o_lng"), lat_delta, lng_delta)
+    hits = (
+        gridded.filter(shape_filters_predicate(filters))
+        .join(probes, "cell")
+        .filter(pred)
+    )
+    dist = F.round(
+        haversine_miles(
+            F.col("o_lat"), F.col("o_lng"), F.col("latitude"), F.col("longitude")
+        ),
+        4,
+    )
+    return hits.select(
+        origin_id_col, "id", "reference_code", dist.alias("distance")
+    )
