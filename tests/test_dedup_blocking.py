@@ -469,3 +469,24 @@ def test_remove_duplicate_lines_within_doc_scope(spark):
     }
     assert out[1] == "nav\nbody one"
     assert out[2] == "nav\nbody two"
+
+
+def test_remove_repeated_spans_quote_level_dedup(spark):
+    """A doc embedding another doc's 9-token span loses exactly the quote
+    and keeps its own prose; the source doc (globally first) is untouched;
+    an exact duplicate doc empties entirely."""
+    from yat_geo_db_spark.pipelines.dedup import remove_repeated_spans
+
+    quote = " ".join(f"q{i}" for i in range(9))
+    a = "a1 a2 " + quote + " a3 a4"
+    b = "b1 b2 b3 b4 " + quote + " b5 b6"
+    docs = spark.createDataFrame(
+        [(1, a), (2, b), (3, a)], "doc_id long, text string"
+    )
+    out = {
+        r["doc_id"]: r["text"]
+        for r in remove_repeated_spans(docs, span_tokens=8).collect()
+    }
+    assert out[1] == a                              # first occurrence intact
+    assert out[2] == "b1 b2 b3 b4 b5 b6"            # quote removed, prose kept
+    assert out[3] == ""                             # exact dup emptied

@@ -1083,3 +1083,83 @@ def remove_duplicate_lines(
         .join(reassembled, id_col, "left")
         .select(id_col, F.coalesce(text_col, F.lit("")).alias(text_col))
     )
+
+
+# --------------------------------------------------------------------------
+# Repeated-span removal (Lee et al., "Deduplicating Training Data Makes
+# Language Models Better", ACL 2022 — the ExactSubstr deduplicator),
+# re-expressed relationally: the paper builds a suffix array and removes
+# every substring ≥ L that repeats anywhere in the corpus; here every
+# sliding L-TOKEN window is the repeat unit, which removes the same spans
+# at token granularity without a distributed suffix array.
+# --------------------------------------------------------------------------
+
+def remove_repeated_spans(
+    documents: DataFrame,
+    span_tokens: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, text): every repeated ≥`span_tokens`-token span keeps only
+    its globally-first occurrence (min (doc, start)); all other
+    occurrences have their tokens removed and the doc is reassembled from
+    the surviving tokens in order. Exact-duplicate docs collapse to one
+    full copy + empty twins; a doc quoting a paragraph of another keeps
+    its own prose around the removed quote — the behavior that motivates
+    span-level (not doc-level) dedup.
+
+    Plan: sliding L-gram explode → ONE rank shuffle keyed by the gram
+    (row_number over (gram) by (doc, start) — first occurrence wins,
+    deterministic) → repeat occurrences explode to their covered token
+    positions (distinct) → anti-join against the token table → per-doc
+    ordered reassembly. Every shuffle is equi-keyed (gram, (doc,pos),
+    doc); hot boilerplate grams are precisely the rows the rank drops,
+    and AQE splits their sort. No suffix array, no Python in the row
+    path."""
+    from pyspark.sql import Window
+
+    toks = F.split(F.col(text_col), " ")
+    n = F.size(toks)
+    L = span_tokens
+    tok_tbl = documents.select(
+        F.col(id_col), F.posexplode(toks).alias("pos", "tok")
+    )
+    grams = documents.select(
+        F.col(id_col),
+        F.explode(
+            F.when(n < L, F.array().cast("array<struct<s:int,g:string>>"))
+            .otherwise(
+                F.transform(
+                    F.sequence(F.lit(0), n - L),
+                    lambda s: F.struct(
+                        s.cast("int").alias("s"),
+                        F.array_join(F.slice(toks, s + 1, L), " ").alias("g"),
+                    ),
+                )
+            )
+        ).alias("sg"),
+    ).select(id_col, F.col("sg.s").alias("s"), F.col("sg.g").alias("g"))
+    w_g = Window.partitionBy("g").orderBy(id_col, "s")
+    repeats = (
+        grams.withColumn("occ", F.row_number().over(w_g))
+        .filter(F.col("occ") > 1)
+    )
+    covered = repeats.select(
+        id_col,
+        F.explode(F.sequence(F.col("s"), F.col("s") + F.lit(L - 1))).alias("pos"),
+    ).distinct()
+    kept = tok_tbl.join(covered, [id_col, "pos"], "left_anti")
+    reassembled = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                lambda s: s["tok"],
+            ),
+            " ",
+        ).alias(text_col)
+    )
+    return (
+        documents.select(id_col)
+        .join(reassembled, id_col, "left")
+        .select(id_col, F.coalesce(text_col, F.lit("")).alias(text_col))
+    )

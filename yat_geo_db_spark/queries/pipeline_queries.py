@@ -587,6 +587,60 @@ def q_dedup_lines_intra(spark, sf_dir):
 
 
 
+
+
+#: repeated-span window (tokens) for the ExactSubstr-style dedup query
+SPAN_L = 8
+
+
+def q_dedup_spans(spark, sf_dir):
+    """ExactSubstr-style span dedup (Lee et al. ACL'22, token-granular):
+    every repeated 8-token sliding window keeps its globally-first
+    occurrence; other occurrences lose those tokens and docs reassemble
+    from the survivors."""
+    return dedup.remove_repeated_spans(
+        load_table(spark, sf_dir, "documents"), span_tokens=SPAN_L
+    )
+
+
+_DEDUP_SPANS_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+),
+tok AS (
+  SELECT doc_id, CAST(i - 1 AS INT) AS pos, t[CAST(i AS INT)] AS tok
+  FROM toks, UNNEST(range(1, len(t) + 1)) AS r(i)
+),
+grams AS (
+  SELECT doc_id, CAST(i - 1 AS INT) AS s,
+         array_to_string(t[CAST(i AS INT) : CAST(i + {SPAN_L} - 1 AS INT)], ' ') AS g
+  FROM toks, UNNEST(range(1, len(t) - {SPAN_L} + 2)) AS r(i)
+  WHERE len(t) >= {SPAN_L}
+),
+ranked AS (
+  SELECT doc_id, s,
+         row_number() OVER (PARTITION BY g ORDER BY doc_id, s) AS occ
+  FROM grams
+),
+covered AS (
+  SELECT DISTINCT doc_id, CAST(p AS INT) AS pos
+  FROM ranked, UNNEST(range(s, s + {SPAN_L})) AS u(p)
+  WHERE occ > 1
+),
+kept AS (
+  SELECT tok.doc_id, tok.pos, tok.tok
+  FROM tok ANTI JOIN covered USING (doc_id, pos)
+),
+rejoined AS (
+  SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS text
+  FROM kept GROUP BY doc_id
+)
+SELECT d.doc_id, coalesce(r.text, '') AS text
+FROM documents d LEFT JOIN rejoined r USING (doc_id)
+"""
+
+
+
 def q_dedup_simhash(spark, sf_dir):
     out = dedup.simhash_pairs(
         load_table(spark, sf_dir, "documents"),
@@ -1597,6 +1651,7 @@ QUERIES: dict = {
     "pipe_decon_exact_report": (q_decon_exact_report, _DECON_EXACT_REPORT_SQL),
     "pipe_dedup_lines": (q_dedup_lines, _DEDUP_LINES_SQL),
     "pipe_dedup_lines_intra": (q_dedup_lines_intra, _DEDUP_LINES_INTRA_SQL),
+    "pipe_dedup_spans": (q_dedup_spans, _DEDUP_SPANS_SQL),
     "pipe_text_dsir_importance": (q_text_dsir, _DSIR_SQL),
     "pipe_dedup_minhash_lsh": (q_dedup_minhash, _minhash_sql()),
     "pipe_dedup_decontaminate": (q_dedup_decontaminate, _decontaminate_sql()),
