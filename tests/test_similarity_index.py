@@ -314,3 +314,52 @@ def test_ivf_batch_agrees_with_single_query_ivf(spark):
             for r in ivf_topk(emb, qid, k=8, hamming_probe=1).collect()
         ]
         assert got == want, qid
+
+
+def test_arrow_batch_scores_match_fold_path(spark):
+    """The vectorized matmul scorer agrees with the oracle-exact fold
+    cosine within fp tolerance, for every (vector, query) pair."""
+    import pyspark.sql.functions as F
+    from yat_geo_db_spark.pipelines.similarity import (
+        batch_cosine_scores_arrow, cosine_col,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qs = [r["embedding"] for r in emb.filter(F.col("vec_id") < 2).orderBy("vec_id").collect()]
+    got = {
+        (r["vec_id"], r["query_id"]): r["cosine"]
+        for r in batch_cosine_scores_arrow(emb, [list(map(float, q)) for q in qs]).collect()
+    }
+    for qi, qv in enumerate(qs):
+        qcol = F.array(*[F.lit(float(x)) for x in qv])
+        want = emb.select(
+            "vec_id", cosine_col(F.col("embedding"), qcol).alias("c")
+        ).collect()
+        for r in want:
+            assert abs(got[(r["vec_id"], qi)] - r["c"]) < 1e-9, (r["vec_id"], qi)
+
+
+def test_arrow_topk_batch_matches_fold_topk_batch(spark):
+    """The Arrow in-batch top-k returns the same ranked rows as the
+    fold-based two-phase batch top-k."""
+    import pyspark.sql.functions as F
+    from yat_geo_db_spark.pipelines.similarity import (
+        brute_force_topk_batch, brute_force_topk_batch_arrow,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qrows = emb.filter(F.col("vec_id") < 4).orderBy("vec_id").collect()
+    qvecs = [list(map(float, r["embedding"])) for r in qrows]
+    queries = spark.createDataFrame(
+        [(i, qvecs[i]) for i in range(4)],
+        "query_id int, query_vec array<float>",
+    )
+    want = sorted(
+        (r["query_id"], r["rank"], r["vec_id"], r["cosine"])
+        for r in brute_force_topk_batch(emb, queries, k=7).collect()
+    )
+    got = sorted(
+        (r["query_id"], r["rank"], r["vec_id"], r["cosine"])
+        for r in brute_force_topk_batch_arrow(emb, qvecs, k=7).collect()
+    )
+    assert got == want
