@@ -110,3 +110,39 @@ def test_radius_join_gridded_row_identical_to_broadcast_join(spark, tmp_path):
         for r in radius_join_gridded(gridded, origins, 120.0).collect()
     }
     assert got == want and want  # identical and non-vacuous
+
+
+def test_cover_cells_col_matches_driver_side_twin(spark):
+    """The Column cover-cells math must equal the driver-side cover_cells
+    for randomized origins/radii (one batched comparison job), including
+    pole-clamped latitudes."""
+    import random
+    import pyspark.sql.functions as F
+    from yat_geo_db_spark.geo.grid import cover_cells, cover_cells_col
+
+    r = random.Random(5)
+    cases = [
+        (round(r.uniform(-88.0, 88.0), 3), round(r.uniform(-179.0, 179.0), 3),
+         round(r.uniform(1.0, 400.0), 1))
+        for _ in range(60)
+    ] + [(89.5, 10.0, 100.0), (-89.9, -170.0, 50.0)]  # polar caps
+    df = spark.createDataFrame(
+        [(i, la, ln, rad) for i, (la, ln, rad) in enumerate(cases)],
+        "i int, lat double, lng double, radius double",
+    )
+    # one radius per row isn't expressible with the scalar-radius Column
+    # helper, so group cases by radius and run one select per radius value
+    by_radius = {}
+    for i, (la, ln, rad) in enumerate(cases):
+        by_radius.setdefault(rad, []).append((i, la, ln))
+    for rad, rows_ in by_radius.items():
+        sub = df.filter(F.col("radius") == rad)
+        got = {
+            row["i"]: sorted(row["cells"])
+            for row in sub.select(
+                "i",
+                cover_cells_col(F.col("lat"), F.col("lng"), rad).alias("cells"),
+            ).collect()
+        }
+        for i, la, ln in rows_:
+            assert got[i] == cover_cells(la, ln, rad), (la, ln, rad)

@@ -40,12 +40,20 @@ def _n_lng_cells(cell_deg: float) -> int:
 
 def grid_cell_col(lat: Column, lng: Column, cell_deg: float = CELL_DEG) -> Column:
     """Integer grid cell id of a point: row-major over (lat band, lng band).
-    Pure arithmetic — usable at ingest (partition column) and query time."""
+    Pure arithmetic — usable at ingest (partition column) and query time.
+    The exact boundary points lat=90 / lng=180 clamp into the last band
+    (a raw floor would mint a row/column index one past the grid, and the
+    ny'th column's row-major id COLLIDES with the next row's column 0 —
+    a phantom cell a cover set would then have to probe)."""
     ny = _n_lng_cells(cell_deg)
-    return (
-        F.floor((lat + F.lit(90.0)) / F.lit(cell_deg)) * F.lit(ny)
-        + F.floor((lng + F.lit(180.0)) / F.lit(cell_deg))
-    ).cast("long")
+    n_lat = int(round(180.0 / cell_deg))
+    row = F.least(
+        F.floor((lat + F.lit(90.0)) / F.lit(cell_deg)), F.lit(n_lat - 1)
+    )
+    col = F.least(
+        F.floor((lng + F.lit(180.0)) / F.lit(cell_deg)), F.lit(ny - 1)
+    )
+    return (row * F.lit(ny) + col).cast("long")
 
 
 def cover_cells(
@@ -71,13 +79,17 @@ def cover_cells(
         lng_lo = max(-180.0, longitude - dlng)
         lng_hi = min(180.0, longitude + dlng)
     ny = _n_lng_cells(cell_deg)
+    n_lat = int(round(180.0 / cell_deg))
+    # clamp like grid_cell_col: the boundary values 90 / 180 floor to an
+    # index one past the grid, and the phantom ny'th column's row-major id
+    # collides with the next row's column 0
     rows = range(
         int(math.floor((lat_lo + 90.0) / cell_deg)),
-        int(math.floor((lat_hi + 90.0) / cell_deg)) + 1,
+        min(int(math.floor((lat_hi + 90.0) / cell_deg)), n_lat - 1) + 1,
     )
     cols = range(
         int(math.floor((lng_lo + 180.0) / cell_deg)),
-        int(math.floor((lng_hi + 180.0) / cell_deg)) + 1,
+        min(int(math.floor((lng_hi + 180.0) / cell_deg)), ny - 1) + 1,
     )
     return sorted(r * ny + c for r in rows for c in cols)
 
@@ -163,13 +175,16 @@ def cover_cells_col(
     dlng = longitude_delta_col(worst, F.lit(float(radius_miles)))
     lng_lo = F.greatest(lng - dlng, F.lit(-180.0))
     lng_hi = F.least(lng + dlng, F.lit(180.0))
+    n_lat = int(round(180.0 / cell_deg))
     row_lo = F.floor((lat_lo + 90.0) / F.lit(cell_deg)).cast("long")
-    row_hi = F.floor((lat_hi + 90.0) / F.lit(cell_deg)).cast("long")
+    row_hi = F.least(
+        F.floor((lat_hi + 90.0) / F.lit(cell_deg)), F.lit(n_lat - 1)
+    ).cast("long")
     col_lo = F.when(worst >= 89.0, F.lit(0)).otherwise(
         F.floor((lng_lo + 180.0) / F.lit(cell_deg))
     ).cast("long")
     col_hi = F.when(worst >= 89.0, F.lit(ny - 1)).otherwise(
-        F.floor((lng_hi + 180.0) / F.lit(cell_deg))
+        F.least(F.floor((lng_hi + 180.0) / F.lit(cell_deg)), F.lit(ny - 1))
     ).cast("long")
     return F.flatten(
         F.transform(
