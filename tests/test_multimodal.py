@@ -209,3 +209,104 @@ def test_wav_features_round_trip_and_handcrafted_sine(spark):
         w.writeframes(b"\x00\x00\x00\x00")
     with pytest.raises(NotImplementedError, match="mono"):
         decode_wav(buf2.getvalue())
+
+
+def test_png_codec_round_trip_all_filters():
+    """encode->decode is the identity, and decode handles ALL five PNG
+    filter types (hand-built filtered scanlines with correct CRCs) - the
+    real-codec bar, not just reading our own filter-0 output."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from yat_geo_db_spark.pipelines.multimodal import decode_png, encode_png
+
+    rng = np.random.RandomState(9)
+    for shape in [(5, 7), (1, 1), (4, 3, 3), (16, 16)]:
+        img = rng.randint(0, 256, size=shape).astype(np.uint8)
+        assert np.array_equal(decode_png(encode_png(img)), img)
+
+    # hand-encode one image using every filter type (cycled per row)
+    img = rng.randint(0, 256, size=(10, 6)).astype(np.uint8)
+
+    def chunk(tag, body):
+        return (struct.pack(">I", len(body)) + tag + body
+                + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF))
+
+    h, w = img.shape
+    lines = []
+    prev = np.zeros(w, dtype=np.int32)
+    for y in range(h):
+        cur = img[y].astype(np.int32)
+        ftype = y % 5
+        if ftype == 0:
+            filt = cur
+        elif ftype == 1:   # Sub
+            filt = np.array([cur[i] - (cur[i - 1] if i else 0) for i in range(w)])
+        elif ftype == 2:   # Up
+            filt = cur - prev
+        elif ftype == 3:   # Average
+            filt = np.array(
+                [cur[i] - (((cur[i - 1] if i else 0) + prev[i]) // 2)
+                 for i in range(w)]
+            )
+        else:              # Paeth
+            out = []
+            for i in range(w):
+                a = int(cur[i - 1]) if i else 0
+                b = int(prev[i])
+                c = int(prev[i - 1]) if i else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                out.append(int(cur[i]) - pred)
+            filt = np.array(out)
+        lines.append(bytes([ftype]) + (filt % 256).astype(np.uint8).tobytes())
+        prev = cur
+    payload = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(b"".join(lines)))
+        + chunk(b"IEND", b"")
+    )
+    assert np.array_equal(decode_png(payload), img)
+
+
+def test_png_pipeline_features_and_real_resize(spark):
+    """synthesize_png emits genuine PNGs; png_features decodes them back to
+    text-derivable integers; resize_png actually resamples pixels (checked
+    against numpy nearest-neighbor on the decoded source)."""
+    import numpy as np
+
+    from yat_geo_db_spark.pipelines.multimodal import (
+        decode_png, png_features, resize_png, synthesize_png,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "hello png world, this is a real codec path"),
+         (2, "short"), (3, "x" * 100)],
+        "doc_id long, text string",
+    )
+    media = synthesize_png(docs, width=16)
+    rows = {r["doc_id"]: r for r in media.collect()}
+    assert bytes(rows[1]["media_bytes"])[:8] == b"\x89PNG\r\n\x1a\n"
+
+    feats = {r["doc_id"]: r for r in png_features(media).collect()}
+    for did, text in [(1, "hello png world, this is a real codec path"),
+                      (2, "short"), (3, "x" * 100)]:
+        codes = np.frombuffer(text.encode(), dtype=np.uint8)
+        assert feats[did]["pixel_sum"] == int(codes.sum())
+        assert feats[did]["pixel_max"] == int(codes.max())
+        assert feats[did]["width"] == 16
+        assert feats[did]["n_pixels"] % 16 == 0
+
+    small = {r["doc_id"]: r for r in resize_png(media, 8, 4).collect()}
+    src = decode_png(bytes(rows[3]["media_bytes"]))
+    h, w = src.shape
+    ys = (np.arange(4) * h) // 4
+    xs = (np.arange(8) * w) // 8
+    want = src[ys][:, xs]
+    got = decode_png(bytes(small[3]["media_bytes"]))
+    assert np.array_equal(got, want)
+    assert small[3]["media_meta"]["width"] == 8

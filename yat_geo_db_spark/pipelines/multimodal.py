@@ -1,16 +1,19 @@
 """Multimodal column plumbing: image/audio/video as opaque `binary` columns
 with typed metadata structs, processed via Arrow-batched `mapInPandas`.
 
-IMAGE decode (JPEG/PNG) is STUBBED — Pillow/cv2/imageio are not importable
-in this container (probed: `import PIL` → ModuleNotFoundError; recorded in
-tests/test_multimodal.py) — behind `decode_image_stub`, a clearly-marked
-deterministic fake. AUDIO decode is REAL: `decode_wav` parses genuine
-RIFF/WAVE containers with the stdlib `wave` module + NumPy PCM frames
-(`synthesize_wav` builds real WAV payloads to feed it, and `wav_features`
-is the distributed mapInPandas kernel). Everything around the stubs is
-real and tested: schema, binary payloads, batch iteration, UDF signatures,
-partition-size control. Swap `_fake_decode` for PIL/libav and the image
-pipeline is production-shaped.
+PNG image decode is REAL: `decode_png`/`encode_png` implement the 8-bit
+greyscale/RGB non-interlaced subset with pure stdlib zlib + NumPy —
+CRC-validated chunk parsing and ALL five scanline filter types on decode
+(so it reads external encoders' output, not just its own), with
+`synthesize_png`/`png_features`/`resize_png` as the distributed pipeline.
+AUDIO decode is REAL too: `decode_wav` parses genuine RIFF/WAVE containers
+with the stdlib `wave` module + NumPy PCM frames. JPEG (and other DCT
+codecs) remain STUBBED — Pillow/cv2/imageio are not importable in this
+container (probed: `import PIL` → ModuleNotFoundError; recorded in
+tests/test_multimodal.py) and a DCT entropy decoder is out of scope —
+behind `decode_image_stub`, a clearly-marked deterministic fake. The
+plumbing around every path is real and tested: schema, binary payloads,
+batch iteration, UDF signatures, partition-size control.
 
 Scale notes: binary payloads dominate row size → keep
 `spark.sql.files.maxPartitionBytes` low for these tables, select metadata
@@ -106,15 +109,28 @@ def extract_features(media: DataFrame) -> DataFrame:
 
 
 def decode_image_stub(payload: bytes, mime: str) -> dict:
-    """The honest decode entry point: real IMAGE codecs are not available
-    in this environment (audio/wav has a real path — see decode_wav)."""
+    """The honest decode entry point: image/png decodes for REAL via
+    decode_png (and audio/wav via decode_wav); DCT codecs (JPEG) are not
+    available in this environment."""
+    if mime == "image/png":
+        img = decode_png(payload)
+        return {
+            "n_bytes": len(payload),
+            "checksum": int(img.sum()),
+            "width": int(img.shape[1]),
+            "height": int(img.shape[0]),
+            "mean_intensity": (
+                (int(img.sum()) * 1_000_000 // img.size) / 1e6
+                if img.size else 0.0
+            ),
+        }
     if mime == "image/fake":
         return _fake_decode(payload, 0, 0)
     raise NotImplementedError(
-        f"decoding {mime!r} requires an image codec library not present "
-        "in this environment (PIL/cv2/imageio all fail to import); wire "
-        "PIL/torchvision/libav here. audio/wav decodes for real via "
-        "decode_wav/wav_features."
+        f"decoding {mime!r} requires a codec library not present in this "
+        "environment (PIL/cv2/imageio all fail to import); wire "
+        "PIL/torchvision/libav here. image/png decodes for real via "
+        "decode_png/png_features; audio/wav via decode_wav/wav_features."
     )
 
 
@@ -432,3 +448,256 @@ def payload_byte_stats(media: DataFrame) -> DataFrame:
     return media.select("doc_id", "media_bytes").mapInArrow(
         _stats, BYTE_STATS_SCHEMA
     )
+
+
+# --------------------------------------------------------------------------
+# REAL image codec: PNG (pure stdlib zlib + NumPy — no Pillow needed).
+# Greyscale (color type 0) and RGB (color type 2), 8-bit, non-interlaced:
+# the standard subset. Encode writes filter-0 scanlines; decode implements
+# ALL five PNG filter types (None/Sub/Up/Average/Paeth), so it reads PNGs
+# produced by real encoders, not just its own output. CRCs are validated.
+# --------------------------------------------------------------------------
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def encode_png(pixels) -> bytes:
+    """REAL PNG encode: (h, w) uint8 greyscale or (h, w, 3) uint8 RGB →
+    a standards-conformant PNG byte string (8-bit, non-interlaced,
+    filter 0 per scanline, one zlib IDAT, CRC'd chunks)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    arr = np.asarray(pixels, dtype=np.uint8)
+    if arr.ndim == 2:
+        color_type, channels = 0, 1
+        h, w = arr.shape
+    elif arr.ndim == 3 and arr.shape[2] == 3:
+        color_type, channels = 2, 3
+        h, w = arr.shape[:2]
+    else:
+        raise ValueError(f"unsupported pixel shape {arr.shape}")
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body))
+            + tag
+            + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    raw = b"".join(
+        b"\x00" + arr[y].tobytes() for y in range(h)
+    )  # filter 0 per scanline
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw, 6))
+        + chunk(b"IEND", b"")
+    )
+
+
+def decode_png(payload: bytes):
+    """REAL PNG decode: parse the chunk stream (CRC-validated), inflate
+    IDAT, reverse the per-scanline filter (all five types), return an
+    (h, w) or (h, w, 3) uint8 array. Supports the 8-bit greyscale/RGB
+    non-interlaced subset; raises on anything else — an actual codec
+    path with actual error behavior, not a deterministic fake."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG (bad signature)")
+    pos, ihdr, idat = 8, None, b""
+    while pos < len(payload):
+        (length,) = struct.unpack(">I", payload[pos:pos + 4])
+        tag = payload[pos + 4:pos + 8]
+        body = payload[pos + 8:pos + 8 + length]
+        (crc,) = struct.unpack(
+            ">I", payload[pos + 8 + length:pos + 12 + length]
+        )
+        if zlib.crc32(tag + body) & 0xFFFFFFFF != crc:
+            raise ValueError(f"bad CRC in {tag!r} chunk")
+        if tag == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", body)
+        elif tag == b"IDAT":
+            idat += body
+        elif tag == b"IEND":
+            break
+        pos += 12 + length
+    if ihdr is None:
+        raise ValueError("missing IHDR")
+    w, h, depth, color_type, comp, filt, interlace = ihdr
+    if depth != 8 or color_type not in (0, 2) or comp or filt or interlace:
+        raise NotImplementedError(
+            f"only 8-bit grey/RGB non-interlaced wired; IHDR={ihdr}"
+        )
+    ch = 1 if color_type == 0 else 3
+    stride = w * ch
+    raw = zlib.decompress(idat)
+    if len(raw) != h * (stride + 1):
+        raise ValueError("IDAT length mismatch")
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int32)
+    for y in range(h):
+        ftype = raw[y * (stride + 1)]
+        line = np.frombuffer(
+            raw, np.uint8, stride, y * (stride + 1) + 1
+        ).astype(np.int32)
+        if ftype == 0:          # None
+            rec = line
+        elif ftype == 2:        # Up
+            rec = (line + prev) % 256
+        elif ftype in (1, 3, 4):  # Sub / Average / Paeth: left-sequential
+            rec = np.zeros(stride, dtype=np.int32)
+            for i in range(stride):
+                a = rec[i - ch] if i >= ch else 0
+                b = prev[i]
+                if ftype == 1:
+                    pred = a
+                elif ftype == 3:
+                    pred = (a + b) // 2
+                else:
+                    c = prev[i - ch] if i >= ch else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                rec[i] = (line[i] + pred) % 256
+        else:
+            raise ValueError(f"bad filter type {ftype}")
+        out[y] = rec.astype(np.uint8)
+        prev = rec
+    return out.reshape((h, w)) if ch == 1 else out.reshape((h, w, 3))
+
+
+def synthesize_png(
+    documents: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    width: int = 16,
+) -> DataFrame:
+    """(doc_id, media_bytes, media_meta): GENUINE PNG payloads — 8-bit
+    greyscale images whose pixels are the text's byte codes laid out
+    row-major (zero-padded to fill the last row), written by encode_png.
+    Any image tool opens these; every decoded feature stays SQL-derivable
+    from the text for oracle checks (the WAV pattern, synthesize_wav)."""
+
+    def _encode(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        import numpy as np
+
+        for pdf in batches:
+            payloads, metas = [], []
+            for text in pdf[text_col].fillna(""):
+                codes = np.frombuffer(
+                    text.encode("utf-8"), dtype=np.uint8
+                )
+                h = max(1, -(-len(codes) // width))
+                img = np.zeros((h, width), dtype=np.uint8)
+                img.flat[: len(codes)] = codes
+                payload = encode_png(img)
+                payloads.append(payload)
+                metas.append(
+                    {
+                        "mime": "image/png",
+                        "n_bytes": len(payload),
+                        "width": width,
+                        "height": h,
+                    }
+                )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].values,
+                    "media_bytes": payloads,
+                    "media_meta": metas,
+                }
+            )
+
+    return documents.select(id_col, text_col).mapInPandas(
+        _encode, RESIZED_SCHEMA
+    )
+
+
+#: schema of decoded-PNG feature rows — integers only, SQL-reproducible
+PNG_FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_pixels", T.IntegerType()),
+        T.StructField("pixel_sum", T.LongType()),
+        T.StructField("pixel_max", T.IntegerType()),
+    ]
+)
+
+
+def png_features(media: DataFrame) -> DataFrame:
+    """Distributed PNG feature extraction through the REAL codec:
+    Arrow-batched mapInPandas, decode_png per payload, integer features
+    (dims, pixel sum/max) so an oracle that re-derives the pixels from
+    the source text checks the whole decode path bit-for-bit."""
+
+    def _extract(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for row in pdf.itertuples():
+                img = decode_png(bytes(row.media_bytes))
+                rows.append(
+                    {
+                        "doc_id": row.doc_id,
+                        "width": int(img.shape[1]),
+                        "height": int(img.shape[0]),
+                        "n_pixels": int(img.size),
+                        "pixel_sum": int(img.sum()),
+                        "pixel_max": int(img.max()) if img.size else 0,
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return media.select("doc_id", "media_bytes").mapInPandas(
+        _extract, PNG_FEATURE_SCHEMA
+    )
+
+
+def resize_png(media: DataFrame, target_w: int, target_h: int) -> DataFrame:
+    """REAL image resize through the real codec: decode_png → nearest-
+    neighbor resample (index mapping, the deterministic kernel) →
+    encode_png, per Arrow batch. Replaces the byte-stride stub for
+    image/png payloads; binary in, binary out, payloads never leave the
+    executors."""
+
+    def _resize(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for row in pdf.itertuples():
+                img = decode_png(bytes(row.media_bytes))
+                h, w = img.shape[:2]
+                ys = (np.arange(target_h) * h) // target_h
+                xs = (np.arange(target_w) * w) // target_w
+                resized = img[ys][:, xs]
+                out = encode_png(resized)
+                rows.append(
+                    {
+                        "doc_id": row.doc_id,
+                        "media_bytes": out,
+                        "media_meta": {
+                            "mime": "image/png",
+                            "n_bytes": len(out),
+                            "width": target_w,
+                            "height": target_h,
+                        },
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(_resize, RESIZED_SCHEMA)

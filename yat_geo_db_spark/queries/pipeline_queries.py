@@ -1306,6 +1306,41 @@ FROM s
 """
 
 
+
+
+def q_mm_png_decode(spark, sf_dir):
+    """REAL image codec path: synthesize genuine PNGs (8-bit greyscale,
+    pure stdlib zlib encoder - pixels are the text's byte codes), decode
+    them with the actual chunk/inflate/unfilter parser in executors, and
+    emit integer features. The oracle re-derives the features from the
+    text, so a chunk/CRC/filter bug in either codec direction breaks the
+    hash match (the WAV pattern, applied to images)."""
+    media = multimodal.synthesize_png(load_table(spark, sf_dir, "documents"))
+    return multimodal.png_features(media)
+
+
+_MM_PNG_SQL = """
+WITH s AS (
+  SELECT doc_id,
+         list_transform(range(1, length(text) + 1),
+           i -> CAST(ascii(substr(text, CAST(i AS INT), 1)) AS BIGINT))
+           AS codes,
+         GREATEST(1, CAST(ceil(length(text) / 16.0) AS INT)) AS h
+  FROM documents
+)
+SELECT doc_id,
+  CAST(16 AS INT) AS width,
+  h AS height,
+  CAST(h * 16 AS INT) AS n_pixels,
+  CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), codes), (a, b) -> a + b)
+    AS BIGINT) AS pixel_sum,
+  CAST(CASE WHEN length(codes) > 0 THEN list_max(codes) ELSE 0 END AS INT)
+    AS pixel_max
+FROM s
+"""
+
+
+
 def q_mm_resize(spark, sf_dir):
     """Resize stage (Python stride kernel inside mapInPandas — not
     SQL-expressible → rows-only check); emit scalar columns only (binary
@@ -1692,4 +1727,5 @@ QUERIES: dict = {
     "pipe_mm_resize": (q_mm_resize, None),
     "pipe_mm_audio_energy": (q_mm_audio_energy, _MM_AUDIO_SQL),
     "pipe_mm_wav_decode": (q_mm_wav_decode, _MM_WAV_SQL),
+    "pipe_mm_png_decode": (q_mm_png_decode, _MM_PNG_SQL),
 }
