@@ -1341,6 +1341,52 @@ FROM s
 
 
 
+
+
+def q_mm_png_resize(spark, sf_dir):
+    """REAL resize through the real codec, end to end: synthesize genuine
+    PNGs, nearest-neighbor-resample them to 8x4 (decode -> index-map ->
+    re-encode), decode the RESULT and emit its integer features. The
+    oracle recomputes the resampled pixels from the text with pure index
+    arithmetic - so the whole encode/decode/resample/re-encode chain is
+    hash-checked, not just the metadata."""
+    media = multimodal.synthesize_png(load_table(spark, sf_dir, "documents"))
+    return multimodal.png_features(multimodal.resize_png(media, 8, 4))
+
+
+#: mirrors synthesize_png(width=16) + nearest-neighbor to (8, 4):
+#: resized(r, c) = img[(r*h)//4][(c*16)//8] with img = row-major codes
+#: zero-padded to h rows of 16
+_MM_PNG_RESIZE_SQL = """
+WITH s AS (
+  SELECT doc_id,
+         list_transform(range(1, length(text) + 1),
+           i -> CAST(ascii(substr(text, CAST(i AS INT), 1)) AS BIGINT))
+           AS codes,
+         GREATEST(1, CAST(ceil(length(text) / 16.0) AS INT)) AS h
+  FROM documents
+),
+px AS (
+  SELECT doc_id,
+         flatten(list_transform(range(0, 4), r ->
+           list_transform(range(0, 8), c ->
+             coalesce(
+               codes[CAST(((r * h) // 4) * 16 + ((c * 16) // 8) + 1 AS INT)],
+               CAST(0 AS BIGINT))))) AS rp
+  FROM s
+)
+SELECT doc_id,
+  CAST(8 AS INT) AS width,
+  CAST(4 AS INT) AS height,
+  CAST(32 AS INT) AS n_pixels,
+  CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), rp), (a, b) -> a + b)
+    AS BIGINT) AS pixel_sum,
+  CAST(list_max(rp) AS INT) AS pixel_max
+FROM px
+"""
+
+
+
 def q_mm_resize(spark, sf_dir):
     """Resize stage (Python stride kernel inside mapInPandas — not
     SQL-expressible → rows-only check); emit scalar columns only (binary
@@ -1728,4 +1774,5 @@ QUERIES: dict = {
     "pipe_mm_audio_energy": (q_mm_audio_energy, _MM_AUDIO_SQL),
     "pipe_mm_wav_decode": (q_mm_wav_decode, _MM_WAV_SQL),
     "pipe_mm_png_decode": (q_mm_png_decode, _MM_PNG_SQL),
+    "pipe_mm_png_resize": (q_mm_png_resize, _MM_PNG_RESIZE_SQL),
 }
