@@ -327,3 +327,42 @@ def test_streaming_decontamination_matches_batch(spark, tmp_path):
     )
     assert got == want
     assert 0 < len(got) < docs.count()  # some dropped, some survive
+
+
+def test_streaming_exact_decontamination_matches_batch(spark, tmp_path):
+    """foreachBatch exact 13-gram decontamination: the streamed surviving
+    doc set equals the batch exact_ngram_decontaminate on the same inputs
+    (unified model), with real drops."""
+    from yat_geo_db_spark.pipelines.dedup import exact_ngram_decontaminate
+    from yat_geo_db_spark.streaming.sinks import (
+        exact_decontaminating_sink, read_sink,
+    )
+
+    docs = load_table(spark, SF, "documents")
+    bench = docs.filter(F.col("doc_id") < 250).persist()
+    bench.count()
+
+    src = str(tmp_path / "docs_src")
+    docs.write.mode("overwrite").parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).parquet(src)
+
+    target = str(tmp_path / "exact_decon")
+    q = (
+        stream.writeStream.foreachBatch(
+            exact_decontaminating_sink(bench, target)
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = sorted(r["doc_id"] for r in read_sink(spark, target).collect())
+    want = sorted(
+        r["doc_id"]
+        for r in exact_ngram_decontaminate(docs, bench).collect()
+    )
+    assert got == want
+    assert 0 < len(got) < docs.count()
+    bench.unpersist()

@@ -58,3 +58,22 @@ def decontaminating_sink(corpus_bands: DataFrame, target_dir: str,
         survivors.write.mode("overwrite").parquet(out)
 
     return write_batch
+
+
+def exact_decontaminating_sink(benchmark: DataFrame, target_dir: str,
+                               w: int = 13):
+    """foreachBatch EXACT decontamination: each micro-batch is filtered by
+    the GPT-3-style verbatim w-gram test (dedup.exact_ngram_decontaminate)
+    against a static benchmark set before the idempotent write — the
+    exact-match complement of decontaminating_sink's MinHash filter, for
+    the leak mode where one verbatim benchmark sentence hides inside an
+    otherwise-dissimilar incoming doc. The benchmark gram index broadcasts
+    inside the batch join; pass the benchmark relation persisted."""
+    from yat_geo_db_spark.pipelines.dedup import exact_ngram_decontaminate
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        survivors = exact_ngram_decontaminate(batch_df, benchmark, w=w)
+        out = os.path.join(target_dir, f"batch_id={batch_id}")
+        survivors.write.mode("overwrite").parquet(out)
+
+    return write_batch
