@@ -1612,12 +1612,13 @@ SELECT query_id, vec_id, cosine, rank FROM r WHERE rank <= 20
 
 def q_sim_semdedup(spark, sf_dir):
     """SemDeDup (Abbas et al. 2023): within-k-means-cluster cosine
-    near-dup pairs - the learned-cell blocking for semantic dedup. Same
-    k/n_iter as pipe_sim_kmeans, so the assignment subplan is the proven
-    bit-identical one."""
+    near-dup pairs - the learned-cell blocking for semantic dedup
+    (k=16 cells; the paper sizes cells well above kmeans-demo scale -
+    candidate volume drops ~k-fold with cell count). The oracle unrolls
+    the same Lloyd chain at k=16."""
     emb = load_table(spark, sf_dir, "embeddings")
     return similarity.semdedup_pairs(
-        emb, k=KMEANS_K, threshold=COSINE_T, n_iter=KMEANS_ITERS
+        emb, k=16, threshold=COSINE_T, n_iter=KMEANS_ITERS
     )
 
 
@@ -1715,10 +1716,10 @@ def _semdedup_sql(k: int = KMEANS_K, n_iter: int = KMEANS_ITERS,
         + tail_from
         + f""")
 SELECT a.vec_id AS id1, b.vec_id AS id2,
-       round({_cos('a.embedding', 'b.embedding')}, 6) AS cosine
+       round({_dot('a.embedding', 'b.embedding')}, 6) AS cosine
 FROM assign a JOIN assign b
   ON a.cid = b.cid AND a.vec_id < b.vec_id
-WHERE round({_cos('a.embedding', 'b.embedding')}, 6) >= {threshold}
+WHERE round({_dot('a.embedding', 'b.embedding')}, 6) >= {threshold}
 """
     )
 
@@ -1748,7 +1749,7 @@ QUERIES: dict = {
     "pipe_sim_kmeans": (q_sim_kmeans, _kmeans_sql()),
     "pipe_sim_pq_topk": (q_sim_pq_topk, None),
     "pipe_sim_ivfpq_topk": (q_sim_ivfpq_topk, None),
-    "pipe_sim_semdedup": (q_sim_semdedup, _semdedup_sql()),
+    "pipe_sim_semdedup": (q_sim_semdedup, _semdedup_sql(k=16)),
     "pipe_sim_topk_batch": (q_sim_topk_batch, _TOPK_BATCH_SQL),
     "pipe_curate_corpus": (q_curate_corpus, _curate_sql()),
     "pipe_shard_assignment": (q_shard_assignment, _SHARD_SQL),
