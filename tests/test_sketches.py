@@ -87,3 +87,33 @@ def test_hll_mergeable_rollup_accuracy(spark):
     for t, n in exact.items():
         assert abs(got[t] - n) / n < 0.05          # default lgK=12: ~1.6% rse
         assert got[t] == direct[t]                 # rollup ≡ direct sketch
+
+
+def test_cms_rollup_bounds_and_merge_equivalence(spark):
+    """Count-min guarantees: merged-daily estimates are >= exact counts
+    and <= exact + eps*N; merging daily sketches equals sketching the
+    whole table directly (same seed)."""
+    from yat_geo_db_spark.queries.relational_queries import cms_heavy_hitters
+    from yat_geo_db_spark.testdata import load_table
+    import pyspark.sql.functions as F
+
+    sf = "/root/testdata/sf0.001"
+    out = {r["event_type"]: r["approx_count"]
+           for r in cms_heavy_hitters(spark, sf).collect()}
+    events = load_table(spark, sf, "events")
+    exact = {r["event_type"]: r["n"]
+             for r in events.groupBy("event_type").agg(
+                 F.count(F.lit(1)).alias("n")).collect()}
+    n_total = sum(exact.values())
+    for t, e in exact.items():
+        assert out[t] >= e, (t, out[t], e)
+        assert out[t] <= e + 0.001 * n_total + 1, (t, out[t], e)
+
+    # merge-of-daily == whole-table sketch (same seed/params)
+    whole = events.agg(
+        F.expr("count_min_sketch(event_type, 0.001d, 0.99d, 42)").alias("sk")
+    ).first()["sk"]
+    jvm = spark._jvm
+    sk = jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(bytes(whole))
+    for t in exact:
+        assert out[t] == int(sk.estimateCount(t)), t

@@ -1214,6 +1214,41 @@ def hll_mergeable_rollup(spark, sf_dir):
     )
 
 
+
+
+def cms_heavy_hitters(spark, sf_dir):
+    """Mergeable COUNT-MIN rollup (the frequency twin of the HLL rollup):
+    a count-min sketch of event_type is built per DAY (the grain a
+    metrics store persists), the daily sketches are merged — never
+    rescanning events — and the merged sketch answers per-type frequency
+    probes. The merge/probe runs driver-side over n_days sketch blobs (a
+    metrics-store read, like the documented lookup-cache serving mode);
+    the scan-side sketching is fully distributed. CMS guarantees
+    est ≥ exact and est ≤ exact + ε·N — pytest asserts both bounds
+    against exact counts; values are algorithm-specific → rows-only."""
+    (events,) = _t(spark, sf_dir, "events")
+    daily = events.groupBy(F.to_date("ts").alias("day")).agg(
+        F.expr(
+            "count_min_sketch(event_type, 0.001d, 0.99d, 42)"
+        ).alias("sk")
+    )
+    blobs = [bytes(r["sk"]) for r in daily.collect()]
+    jvm = spark._jvm
+    merged = None
+    for b in blobs:
+        sk = jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(b)
+        if merged is None:
+            merged = sk
+        else:
+            merged.mergeInPlace(sk)
+    types = sorted(
+        r["event_type"]
+        for r in events.select("event_type").distinct().collect()
+    )
+    rows = [(t, int(merged.estimateCount(t))) for t in types]
+    return spark.createDataFrame(rows, "event_type string, approx_count long")
+
+
 def try_funcs(spark, sf_dir):
     """Error-tolerant evaluation: try_cast / try_divide / try_to_number
     return NULL on malformed input instead of failing the job — the only
@@ -1499,6 +1534,7 @@ QUERIES: dict = {
     "rel_division_all_late": (division_all_late, _DIVISION_SQL),
     "rel_try_funcs": (try_funcs, _TRY_FUNCS_SQL),
     "rel_hll_mergeable_rollup": (hll_mergeable_rollup, None),
+    "rel_cms_heavy_hitters": (cms_heavy_hitters, None),
     "rel_variant_extract": (variant_extract, _VARIANT_SQL),
     "rel_null_funcs": (null_funcs, _NULL_FUNCS_SQL),
     "rel_q6_forecast_revenue": (q6, _Q6_SQL),
