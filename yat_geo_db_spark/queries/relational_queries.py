@@ -1249,6 +1249,57 @@ def cms_heavy_hitters(spark, sf_dir):
     return spark.createDataFrame(rows, "event_type string, approx_count long")
 
 
+
+
+def hypertable_rollup(spark, sf_dir):
+    """Continuous-aggregate (hypertable) rollup: events pre-aggregate to
+    an HOURLY table — the grain a metrics store persists — and the daily
+    answer re-aggregates the HOURLY rows, never rescanning events.
+    Correct because every measure is mergeable: counts and fixed-point
+    sums compose associatively, min/max compose, and the daily average is
+    re-derived as merged-sum / merged-count (NOT an average of hourly
+    averages). The oracle computes the daily numbers DIRECTLY from raw
+    events, so the hash match proves two-level rollup ≡ direct — the
+    property that makes pre-aggregation safe at 100 TB."""
+    (events,) = _t(spark, sf_dir, "events")
+    hourly = events.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("hour")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(rq._scaled_long(F.col("value"), 4)).alias("v_scaled"),
+        F.min("value").alias("v_min"),
+        F.max("value").alias("v_max"),
+    )
+    return (
+        hourly.groupBy(F.to_date("hour").alias("day"))
+        .agg(
+            F.sum("n").alias("n_events"),
+            (F.sum("v_scaled").cast("double") / F.lit(1e4)).alias("sum_value"),
+            F.min("v_min").alias("min_value"),
+            F.max("v_max").alias("max_value"),
+            F.round(
+                F.sum("v_scaled").cast("double") / F.lit(1e4) / F.sum("n"), 6
+            ).alias("avg_value"),
+        )
+        .select(
+            F.col("day").cast("string").alias("day"),
+            "n_events", "sum_value", "min_value", "max_value", "avg_value",
+        )
+    )
+
+
+_HYPERTABLE_SQL = f"""
+SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+       count(*) AS n_events,
+       {_dsum('"value"', 4)} AS sum_value,
+       min("value") AS min_value,
+       max("value") AS max_value,
+       round({_dsum('"value"', 4)} / count(*), 6) AS avg_value
+FROM events
+GROUP BY 1
+"""
+
+
 def try_funcs(spark, sf_dir):
     """Error-tolerant evaluation: try_cast / try_divide / try_to_number
     return NULL on malformed input instead of failing the job — the only
@@ -1535,6 +1586,7 @@ QUERIES: dict = {
     "rel_try_funcs": (try_funcs, _TRY_FUNCS_SQL),
     "rel_hll_mergeable_rollup": (hll_mergeable_rollup, None),
     "rel_cms_heavy_hitters": (cms_heavy_hitters, None),
+    "rel_hypertable_rollup": (hypertable_rollup, _HYPERTABLE_SQL),
     "rel_variant_extract": (variant_extract, _VARIANT_SQL),
     "rel_null_funcs": (null_funcs, _NULL_FUNCS_SQL),
     "rel_q6_forecast_revenue": (q6, _Q6_SQL),
