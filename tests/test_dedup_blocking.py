@@ -490,3 +490,34 @@ def test_remove_repeated_spans_quote_level_dedup(spark):
     assert out[1] == a                              # first occurrence intact
     assert out[2] == "b1 b2 b3 b4 b5 b6"            # quote removed, prose kept
     assert out[3] == ""                             # exact dup emptied
+
+
+def test_line_and_span_dedup_under_hot_key_skew(spark):
+    """Adversarial hot key: ONE line/span repeated 5000 times across docs
+    (the boilerplate worst case — every occurrence lands in a single rank
+    partition). Results stay exact: the first occurrence survives, all
+    other repeats drop."""
+    from yat_geo_db_spark.pipelines.dedup import (
+        remove_duplicate_lines, remove_repeated_spans,
+    )
+
+    hot = "x " * 7 + "x"  # 8 identical tokens — also a single 8-token span
+    rows = [(0, "unique zero\n" + hot)]
+    rows += [(i, hot + "\ntail " + str(i)) for i in range(1, 5001)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    out = remove_duplicate_lines(docs)
+    kept_hot = out.filter(out.text.contains(hot)).count()
+    assert kept_hot == 1  # only doc 0 keeps the hot line
+    assert out.count() == 5001
+
+    # span skew: pure space-separated docs (newlines would merge into
+    # tokens and change the window content per doc)
+    sdocs = spark.createDataFrame(
+        [(i, f"p{i} " + hot) for i in range(5000)],
+        "doc_id long, text string",
+    )
+    spans = remove_repeated_spans(sdocs, span_tokens=8)
+    still = spans.filter(spans.text.contains(hot)).count()
+    assert still == 1  # doc 0 (globally first) keeps the hot span
+    assert spans.filter(spans.text == "p17").count() == 1  # prose survives
