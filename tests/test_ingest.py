@@ -186,3 +186,31 @@ def test_gzip_json_ingest_roundtrip(spark, tmp_path):
     a = sorted(map(tuple, read_shapes(spark, root_a, version="1").collect()))
     b = sorted(map(tuple, read_shapes(spark, root_b, version="1").collect()))
     assert a == b and len(a) == 2
+
+
+def test_jsonl_ingest_quarantines_dirty_lines(spark, tmp_path):
+    """PERMISSIVE JSONL ingest: well-formed docs parse clean; malformed
+    JSON and rows missing required keys quarantine with their raw line
+    preserved; the job never fails."""
+    from yat_geo_db_spark.pipelines.curation import read_documents_jsonl
+
+    src = tmp_path / "docs.jsonl"
+    src.write_text(
+        "\n".join(
+            [
+                '{"doc_id": 1, "text": "good one", "lang": "en", "source": "s0"}',
+                '{"doc_id": 2, "text": "also fine", "lang": "de", "source": "s1"}',
+                "{not json at all",
+                '{"doc_id": 3, "lang": "en", "source": "s0"}',
+                '{"doc_id": 4, "text": "trailing ok", "lang": "fr", "source": "s2"}',
+            ]
+        )
+    )
+    clean, quarantine = read_documents_jsonl(spark, str(src))
+    got = sorted(r["doc_id"] for r in clean.collect())
+    assert got == [1, 2, 4]
+    assert "_corrupt_record" not in clean.columns
+    qlines = [r["raw_line"] for r in quarantine.collect()]
+    assert len(qlines) == 2
+    assert any("not json" in (l or "") for l in qlines)      # malformed
+    assert any('"doc_id":3' in (l or "").replace(" ", "") for l in qlines)  # missing text

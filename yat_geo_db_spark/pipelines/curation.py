@@ -286,3 +286,52 @@ def length_bucket_batches(
         F.floor(rn / F.lit(batch_size)).cast("long").alias("batch_idx"),
         (rn % F.lit(batch_size)).cast("long").alias("pos_in_batch"),
     )
+
+
+# --------------------------------------------------------------------------
+# Dirty-JSONL ingest — the real entry point of a web-scale text pipeline:
+# crawler output always contains malformed lines, and a 100 TB job must
+# quarantine them, not die (FAILFAST) or silently null them out.
+# --------------------------------------------------------------------------
+
+#: explicit document schema for JSONL ingest (schema inference would scan
+#: the data twice and lock in whatever the first sample happened to contain)
+import pyspark.sql.types as _T
+
+DOCUMENT_JSONL_SCHEMA = _T.StructType(
+    [
+        _T.StructField("doc_id", _T.LongType()),
+        _T.StructField("text", _T.StringType()),
+        _T.StructField("lang", _T.StringType()),
+        _T.StructField("source", _T.StringType()),
+        _T.StructField("_corrupt_record", _T.StringType()),
+    ]
+)
+
+
+def read_documents_jsonl(spark, path: str):
+    """(clean, quarantine): read newline-delimited JSON documents with an
+    explicit schema in PERMISSIVE mode — malformed lines land intact in
+    `_corrupt_record` instead of failing the job — and split the result
+    into the clean relation (corrupt column dropped) and a quarantine
+    relation (the raw offending lines, for repair/audit). Also quarantines
+    structurally-valid rows missing the required keys (doc_id/text), which
+    PERMISSIVE parses as nulls.
+
+    Scale notes: JSONL splits on line boundaries so the read parallelizes
+    per block like any text source; keep the quarantine output — at corpus
+    scale its VOLUME is a data-quality metric worth alerting on."""
+    raw = spark.read.schema(DOCUMENT_JSONL_SCHEMA).option(
+        "mode", "PERMISSIVE"
+    ).option("columnNameOfCorruptRecord", "_corrupt_record").json(path)
+    bad = F.col("_corrupt_record").isNotNull() | F.col("doc_id").isNull() | F.col(
+        "text"
+    ).isNull()
+    clean = raw.filter(~bad).drop("_corrupt_record")
+    quarantine = raw.filter(bad).select(
+        F.coalesce(
+            F.col("_corrupt_record"),
+            F.to_json(F.struct("doc_id", "text", "lang", "source")),
+        ).alias("raw_line")
+    )
+    return clean, quarantine
