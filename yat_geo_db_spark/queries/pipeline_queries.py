@@ -641,6 +641,9 @@ FROM documents d LEFT JOIN rejoined r USING (doc_id)
 
 
 
+
+
+
 def q_dedup_simhash(spark, sf_dir):
     out = dedup.simhash_pairs(
         load_table(spark, sf_dir, "documents"),
@@ -1724,6 +1727,134 @@ WHERE round({_dot('a.embedding', 'b.embedding')}, 6) >= {threshold}
     )
 
 
+def q_curate_pretrain(spark, sf_dir):
+    """The composed PRE-TRAINING curation pipeline over the round-3
+    operator set, in canonical order: quality gate -> repeated-span
+    removal over the survivors -> DSIR importance scoring of the cleaned
+    text (target lang='en') -> mixture resampling by source (src0 at 2x,
+    src1 halved). Output: one row per emitted training copy with its DSIR
+    score. Every stage is the individually-oracle-checked operator; the
+    composition oracle chains the same CTEs, so stage-boundary bugs
+    (filter-before-dedup order, empty-doc handling, weight-table joins)
+    break the hash."""
+    docs = load_table(spark, sf_dir, "documents")
+    scored = text.quality_features(docs).select("doc_id", "quality_score")
+    kept = docs.join(
+        scored.filter(F.col("quality_score") >= 0.6), "doc_id"
+    ).select("doc_id", "text", "lang", "source")
+    cleaned = (
+        dedup.remove_repeated_spans(kept, span_tokens=SPAN_L)
+        .filter(F.length("text") > 0)
+        .join(kept.select("doc_id", "lang", "source"), "doc_id")
+    )
+    tb = text.dsir_token_buckets(cleaned, extra_cols=("lang",)).persist()
+    weights = text.dsir_bucket_table(
+        None, None,
+        target_buckets=tb.filter(F.col("lang") == "en"),
+        raw_buckets=tb,
+    )
+    imp = text.dsir_importance(cleaned, weights, token_buckets=tb)
+    mixed = text.mixture_resample(
+        cleaned.select("doc_id", "source"),
+        {"src0": 2.0, "src1": 0.5},
+        strata_col="source",
+    )
+    return mixed.join(imp, "doc_id").select(
+        "doc_id", "source", "copy_idx", "n_tokens", "importance"
+    )
+
+
+_CURATE_PRETRAIN_SQL = f"""
+WITH q AS ({_TEXT_QUALITY_SQL}),
+surv AS (
+  SELECT d.doc_id, d.text, d.lang, d.source
+  FROM documents d JOIN q USING (doc_id)
+  WHERE q.quality_score >= 0.6
+),
+stoks AS (SELECT doc_id, string_split(text, ' ') AS t FROM surv),
+stok AS (
+  SELECT doc_id, CAST(i - 1 AS INT) AS pos, t[CAST(i AS INT)] AS tok
+  FROM stoks, UNNEST(range(1, len(t) + 1)) AS r(i)
+),
+sgrams AS (
+  SELECT doc_id, CAST(i - 1 AS INT) AS s,
+         array_to_string(t[CAST(i AS INT) : CAST(i + {SPAN_L} - 1 AS INT)], ' ') AS g
+  FROM stoks, UNNEST(range(1, len(t) - {SPAN_L} + 2)) AS r(i)
+  WHERE len(t) >= {SPAN_L}
+),
+sranked AS (
+  SELECT doc_id, s,
+         row_number() OVER (PARTITION BY g ORDER BY doc_id, s) AS occ
+  FROM sgrams
+),
+scovered AS (
+  SELECT DISTINCT doc_id, CAST(p AS INT) AS pos
+  FROM sranked, UNNEST(range(s, s + {SPAN_L})) AS u(p)
+  WHERE occ > 1
+),
+skept AS (
+  SELECT stok.doc_id, stok.pos, stok.tok
+  FROM stok ANTI JOIN scovered USING (doc_id, pos)
+),
+srejoined AS (
+  SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS text
+  FROM skept GROUP BY doc_id
+),
+cleaned AS (
+  SELECT s.doc_id, coalesce(r.text, '') AS text, s.lang, s.source
+  FROM surv s LEFT JOIN srejoined r USING (doc_id)
+),
+ne AS (SELECT * FROM cleaned WHERE length(text) > 0),
+dtok AS (
+  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS t FROM ne
+),
+db AS (
+  SELECT doc_id, lang, ({_sh('t')}) % {text.DSIR_BUCKETS} AS bucket FROM dtok
+),
+drc AS (SELECT bucket, count(*) AS rc FROM db GROUP BY 1),
+dtc AS (SELECT bucket, count(*) AS tc FROM db WHERE lang = 'en' GROUP BY 1),
+dj AS (
+  SELECT drc.bucket, coalesce(tc, 0) AS tc, rc
+  FROM drc LEFT JOIN dtc USING (bucket)
+),
+dtot AS (SELECT sum(tc) AS tt, sum(rc) AS rt FROM dj),
+dw AS (
+  SELECT bucket,
+         round(ln(CAST(tc + 1 AS DOUBLE))
+               - ln(CAST(tt + {text.DSIR_BUCKETS} AS DOUBLE))
+               - ln(CAST(rc + 1 AS DOUBLE))
+               + ln(CAST(rt + {text.DSIR_BUCKETS} AS DOUBLE)), 6) AS log_ratio
+  FROM dj, dtot
+),
+ds AS (
+  SELECT doc_id,
+         CAST(floor(coalesce(log_ratio, 0.0) * 1e6 + CAST(0.5 AS DOUBLE))
+              AS BIGINT) AS lr
+  FROM db LEFT JOIN dw USING (bucket)
+),
+imp AS (
+  SELECT doc_id, count(*) AS n_tokens,
+         CAST(sum(lr) AS DOUBLE) / 1e6 AS importance
+  FROM ds GROUP BY 1
+),
+wts(source, n_full, frac) AS (VALUES ('src0', 2, 0.0), ('src1', 0, 0.5)),
+m AS (
+  SELECT n.doc_id, n.source,
+         coalesce(n_full, 1)
+         + CASE WHEN CAST((n.doc_id * 2654435761) % 1000003 AS DOUBLE)
+                     / 1000003.0 < coalesce(frac, 0.0)
+                THEN 1 ELSE 0 END AS n_copies
+  FROM ne n LEFT JOIN wts USING (source)
+)
+, copies AS (
+  SELECT m.doc_id, m.source, CAST(i AS INT) AS copy_idx
+  FROM m, UNNEST(range(0, n_copies)) AS r(i)
+)
+SELECT c.doc_id, c.source, c.copy_idx, imp.n_tokens, imp.importance
+FROM copies c JOIN imp USING (doc_id)
+"""
+
+
 QUERIES: dict = {
     "pipe_dedup_exact": (q_dedup_exact, _DEDUP_EXACT_SQL),
     "pipe_dedup_ngram_jaccard": (q_dedup_jaccard, _DEDUP_JACCARD_SQL),
@@ -1756,6 +1887,7 @@ QUERIES: dict = {
     "pipe_pack_chunks": (q_pack_chunks, _PACK_CHUNKS_SQL),
     "pipe_sample_stratified": (q_sample_stratified, _SAMPLE_STRATIFIED_SQL),
     "pipe_sample_mixture": (q_sample_mixture, _SAMPLE_MIXTURE_SQL),
+    "pipe_curate_pretrain": (q_curate_pretrain, _CURATE_PRETRAIN_SQL),
     "pipe_sample_quality": (q_sample_quality, _sample_quality_sql()),
     "pipe_text_quality": (q_text_quality, _TEXT_QUALITY_SQL),
     "pipe_text_repetition": (q_text_repetition, _repetition_sql()),
