@@ -363,3 +363,31 @@ def test_arrow_topk_batch_matches_fold_topk_batch(spark):
         for r in brute_force_topk_batch_arrow(emb, qvecs, k=7).collect()
     )
     assert got == want
+
+
+def test_pq_persisted_index_matches_in_memory(spark, tmp_path):
+    """Probing the persisted PQ index returns exactly the in-memory
+    fit+encode+topk rows, and the probe's scan reads only the codes
+    column (ReadSchema excludes any raw vector)."""
+    import pyspark.sql.functions as F
+    from yat_geo_db_spark.pipelines.similarity import (
+        pq_adc_topk, pq_adc_topk_indexed, pq_encode, pq_fit, write_pq_index,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 1).first()["embedding"]]
+
+    books = pq_fit(emb, m=4, ksub=8, n_iter=2)
+    codes = pq_encode(emb, books, m=4)
+    want = [(r["vec_id"], r["approx_dist"])
+            for r in pq_adc_topk(codes, books, qv, k=9, m=4).collect()]
+
+    root = str(tmp_path / "pq")
+    write_pq_index(emb, root, m=4, ksub=8, n_iter=2)
+    got_df = pq_adc_topk_indexed(spark, root, qv, k=9, m=4)
+    got = [(r["vec_id"], r["approx_dist"]) for r in got_df.collect()]
+    assert got == want
+
+    plan = got_df._jdf.queryExecution().executedPlan().toString()
+    scan_part = plan[plan.index("codes"):]
+    assert "embedding" not in scan_part  # codes-only scan

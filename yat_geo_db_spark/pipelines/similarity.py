@@ -1079,3 +1079,37 @@ def brute_force_topk_batch_arrow(
         (-F.col("t.neg")).alias("cosine"),
         (F.col("_rnk") + 1).alias("rank"),
     )
+
+
+def write_pq_index(
+    embeddings: DataFrame, root: str, m: int = 4, ksub: int = 16,
+    n_iter: int = 2, id_col: str = "vec_id", vec_col: str = "embedding",
+    dim: int | None = None,
+) -> str:
+    """Persist a PQ index — the build-once/probe-many layout (the fit +
+    encode cost amortizes across every future query, like
+    write_ivf_index):
+
+        <root>/codebooks/   m×ksub rows (subspace, cid, cvec)
+        <root>/codes/       (id, codes) — the m-int compressed corpus
+
+    The codes table is the ONLY thing a query scans, at m ints per vector
+    instead of d floats."""
+    books = pq_fit(embeddings, m=m, ksub=ksub, n_iter=n_iter,
+                   id_col=id_col, vec_col=vec_col, dim=dim)
+    books.write.mode("overwrite").parquet(f"{root}/codebooks")
+    codes = pq_encode(embeddings, books, m=m, id_col=id_col,
+                      vec_col=vec_col, dim=dim)
+    codes.write.mode("overwrite").parquet(f"{root}/codes")
+    return root
+
+
+def pq_adc_topk_indexed(
+    spark, root: str, query_vec: list[float], k: int = 10, m: int = 4,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """ADC top-k against a persisted PQ index: read the m×ksub codebooks
+    (broadcast into the per-query LUT) and scan only the codes table."""
+    books = spark.read.parquet(f"{root}/codebooks")
+    codes = spark.read.parquet(f"{root}/codes")
+    return pq_adc_topk(codes, books, query_vec, k=k, m=m, id_col=id_col)
