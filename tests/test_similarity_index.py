@@ -391,3 +391,31 @@ def test_pq_persisted_index_matches_in_memory(spark, tmp_path):
     plan = got_df._jdf.queryExecution().executedPlan().toString()
     scan_part = plan[plan.index("codes"):]
     assert "embedding" not in scan_part  # codes-only scan
+
+
+def test_ivfpq_persisted_index_partition_pruned(spark, tmp_path):
+    """Persisted IVF-PQ probing equals the in-memory path and the codes
+    scan carries PartitionFilters on cid (directory-level pruning)."""
+    import pyspark.sql.functions as F
+    from yat_geo_db_spark.pipelines.similarity import (
+        ivfpq_fit_encode, ivfpq_topk, ivfpq_topk_indexed, write_ivfpq_index,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 2).first()["embedding"]]
+
+    cents, books, encoded = ivfpq_fit_encode(
+        emb, n_cells=4, m=4, ksub=8, n_iter=2
+    )
+    want = [(r["vec_id"], r["approx_dist"])
+            for r in ivfpq_topk(encoded, cents, books, qv, k=9, nprobe=2,
+                                m=4).collect()]
+
+    root = str(tmp_path / "ivfpq")
+    write_ivfpq_index(emb, root, n_cells=4, m=4, ksub=8, n_iter=2)
+    got_df = ivfpq_topk_indexed(spark, root, qv, k=9, nprobe=2, m=4)
+    got = [(r["vec_id"], r["approx_dist"]) for r in got_df.collect()]
+    assert got == want
+
+    plan = got_df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cid" in plan.split("PartitionFilters")[1][:200]

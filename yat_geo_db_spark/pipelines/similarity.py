@@ -1113,3 +1113,47 @@ def pq_adc_topk_indexed(
     books = spark.read.parquet(f"{root}/codebooks")
     codes = spark.read.parquet(f"{root}/codes")
     return pq_adc_topk(codes, books, query_vec, k=k, m=m, id_col=id_col)
+
+
+def write_ivfpq_index(
+    embeddings: DataFrame, root: str, n_cells: int = 8, m: int = 4,
+    ksub: int = 16, n_iter: int = 2,
+    id_col: str = "vec_id", vec_col: str = "embedding", dim: int | None = None,
+) -> str:
+    """Persist an IVF-PQ index — the full FAISS-style layout on Parquet:
+
+        <root>/centroids/   n_cells coarse centroids (probe dictionary)
+        <root>/codebooks/   m×ksub residual sub-codebooks
+        <root>/codes/       (id, cid, codes) partitionBy(cid)
+
+    A probe lists only its nprobe cell DIRECTORIES (PartitionFilters) and
+    reads m ints per vector — coarse pruning AND code compression stack."""
+    cents, books, encoded = ivfpq_fit_encode(
+        embeddings, n_cells=n_cells, m=m, ksub=ksub, n_iter=n_iter,
+        id_col=id_col, vec_col=vec_col, dim=dim,
+    )
+    cents.write.mode("overwrite").parquet(f"{root}/centroids")
+    books.write.mode("overwrite").parquet(f"{root}/codebooks")
+    (
+        encoded.repartition("cid")
+        .write.mode("overwrite")
+        .partitionBy("cid")
+        .parquet(f"{root}/codes")
+    )
+    return root
+
+
+def ivfpq_topk_indexed(
+    spark, root: str, query_vec: list[float], k: int = 10, nprobe: int = 2,
+    m: int = 4, id_col: str = "vec_id",
+) -> DataFrame:
+    """ADC top-k against a persisted IVF-PQ index: the cid filter inside
+    ivfpq_topk prunes at the partition-directory level before any file
+    opens (the layout from write_ivfpq_index)."""
+    cents = spark.read.parquet(f"{root}/centroids")
+    books = spark.read.parquet(f"{root}/codebooks")
+    encoded = spark.read.parquet(f"{root}/codes")
+    return ivfpq_topk(
+        encoded, cents, books, query_vec, k=k, nprobe=nprobe, m=m,
+        id_col=id_col,
+    )
