@@ -7,9 +7,13 @@ columns) that a 100 TB corpus needs.
 
 Design stance (SURVEY.md §7): a thin library of composable DataFrame
 transformations — no custom execution engine, no Catalyst extensions.
-Everything is built-in `pyspark.sql.functions` expressions except a single
-vectorized pandas UDF (Damerau-Levenshtein). Data lives in Parquet; queries
-are lazy DataFrames; Catalyst/Tungsten/AQE pick the physical plan.
+Correctness paths are built-in `pyspark.sql.functions` expressions
+(oracle-exact, whole-stage codegen); Python appears only where it earns
+its place — one bounded pandas UDF (Damerau-Levenshtein, post-cap ≤500
+rows), Arrow-batched mapInPandas/mapInArrow for binary media codecs
+(real PNG and WAV) and the vectorized batch-ANN bench path. Data lives
+in Parquet; queries are lazy DataFrames; Catalyst/Tungsten/AQE pick the
+physical plan.
 """
 
 from yat_geo_db_spark.session import get_spark
