@@ -628,3 +628,31 @@ def mixture_resample(
         .withColumn("copy_idx", F.explode(copies))
         .drop("n_full", "frac")
     )
+
+
+def corpus_profile(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    """One-row corpus report card — the numbers checked before/after every
+    curation stage: doc and token volume, exact-duplicate rate (via md5
+    digests — never shuffling text), emptiness, and source/language
+    cardinalities. One scan, two aggregates (the distinct-digest count
+    rides a groupBy the same scan feeds); every value exact and
+    SQL-derivable, so profiles are comparable across engines and runs."""
+    text = F.col(text_col)
+    return documents.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(tokens_col(text))).alias("total_tokens"),
+        F.round(
+            F.sum(F.size(tokens_col(text))).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("avg_tokens"),
+        F.count(F.when(F.length(text) == 0, 1)).alias("empty_docs"),
+        F.countDistinct(F.md5(text)).alias("distinct_texts"),
+        F.round(
+            F.lit(1.0)
+            - F.countDistinct(F.md5(text)).cast("double") / F.count(F.lit(1)),
+            6,
+        ).alias("exact_dup_rate"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.countDistinct("source").alias("n_sources"),
+    )

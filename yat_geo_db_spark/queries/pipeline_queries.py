@@ -644,6 +644,30 @@ FROM documents d LEFT JOIN rejoined r USING (doc_id)
 
 
 
+
+
+def q_corpus_profile(spark, sf_dir):
+    """The corpus report card: volume, duplication, emptiness, and
+    stratum cardinalities in one exact row."""
+    return text.corpus_profile(load_table(spark, sf_dir, "documents"))
+
+
+_CORPUS_PROFILE_SQL = """
+SELECT count(*) AS n_docs,
+  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+  round(CAST(sum(len(string_split(text, ' '))) AS DOUBLE) / count(*), 6)
+    AS avg_tokens,
+  count(CASE WHEN length(text) = 0 THEN 1 END) AS empty_docs,
+  count(DISTINCT md5(text)) AS distinct_texts,
+  round(1.0 - CAST(count(DISTINCT md5(text)) AS DOUBLE) / count(*), 6)
+    AS exact_dup_rate,
+  count(DISTINCT lang) AS n_langs,
+  count(DISTINCT source) AS n_sources
+FROM documents
+"""
+
+
+
 def q_dedup_simhash(spark, sf_dir):
     out = dedup.simhash_pairs(
         load_table(spark, sf_dir, "documents"),
@@ -1888,6 +1912,7 @@ QUERIES: dict = {
     "pipe_sample_stratified": (q_sample_stratified, _SAMPLE_STRATIFIED_SQL),
     "pipe_sample_mixture": (q_sample_mixture, _SAMPLE_MIXTURE_SQL),
     "pipe_curate_pretrain": (q_curate_pretrain, _CURATE_PRETRAIN_SQL),
+    "pipe_corpus_profile": (q_corpus_profile, _CORPUS_PROFILE_SQL),
     "pipe_sample_quality": (q_sample_quality, _sample_quality_sql()),
     "pipe_text_quality": (q_text_quality, _TEXT_QUALITY_SQL),
     "pipe_text_repetition": (q_text_repetition, _repetition_sql()),
