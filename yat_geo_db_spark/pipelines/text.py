@@ -451,6 +451,73 @@ def unigram_surprisal(
     )
 
 
+def bigram_lm_surprisal(
+    documents: DataFrame, lam: float = 0.75, text_col: str = "text"
+) -> DataFrame:
+    """Per-document mean surprisal under an INTERPOLATED corpus bigram LM
+    (Jelinek-Mercer smoothing, the classic n-gram LM form behind the
+    KenLM-style perplexity filters of CCNet / LLaMA data prep):
+
+        p(w2 | w1) = lam * c(w1,w2)/c(w1) + (1 - lam) * c(w2)/N
+
+    Low = predictable corpus-typical prose, high = token soup; vs the
+    unigram signal this also catches *shuffled* common tokens (right words,
+    wrong order) — the failure mode a bag-of-words score can't see.
+    c(w1) is the unigram count (the standard history-marginal
+    approximation; the interpolation keeps every probability > 0 so the
+    log never sees a zero). Docs with < 2 tokens have no bigram events and
+    drop out, exactly as 0-token docs drop from `unigram_surprisal`.
+
+    Plan: tokenize once; the bigram stream is arrays_zip(toks[:-1],
+    toks[1:]) exploded — a Generate at scan speed. Two vocabulary-bounded
+    aggregations build the LM (map-side combinable groupBys); scoring
+    re-joins the stream to the bigram table on (w1,w2) and the unigram
+    table on each side (broadcast when the vocab is small — fixture-true —
+    shuffle equi-joins otherwise), then one per-doc average. Nothing in
+    the pipeline is O(vocab^2): only OBSERVED bigrams are ever
+    materialized. Returns (doc_id, n_bigrams, bigram_surprisal)."""
+    toks = tokens_col(F.col(text_col))
+    big = (
+        documents.select("doc_id", toks.alias("t"))
+        .filter(F.size("t") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.arrays_zip(
+                    F.slice(F.col("t"), 1, F.size("t") - 1).alias("w1"),
+                    F.slice(F.col("t"), 2, F.size("t") - 1).alias("w2"),
+                )
+            ).alias("bg"),
+        )
+        .select("doc_id", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    )
+    tok = documents.select(
+        "doc_id", F.explode(tokens_col(F.col(text_col))).alias("w")
+    )
+    uni = tok.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    bi = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    total = uni.agg(F.sum("c").alias("total"))
+    scored = (
+        big.join(bi, ["w1", "w2"])
+        .join(uni.select(F.col("w").alias("w1"), F.col("c").alias("c1")), "w1")
+        .join(uni.select(F.col("w").alias("w2"), F.col("c").alias("c2")), "w2")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "doc_id",
+            (
+                -F.log(
+                    F.lit(lam) * F.col("c12") / F.col("c1")
+                    + F.lit(1.0 - lam) * F.col("c2") / F.col("total")
+                )
+            ).alias("nll"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.round(F.avg("nll"), 6).alias("bigram_surprisal"),
+    )
+
+
 # --------------------------------------------------------------------------
 # DSIR-style importance weighting (Xie et al., "Data Selection for LMs via
 # Importance Resampling", NeurIPS 2023): hashed n-gram bag-of-words

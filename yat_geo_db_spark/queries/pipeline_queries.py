@@ -1201,6 +1201,37 @@ GROUP BY doc_id
 """
 
 
+def q_text_bigram_lm(spark, sf_dir):
+    """Interpolated corpus bigram-LM mean surprisal per doc (Jelinek-Mercer
+    lambda=0.75) — the n-gram-perplexity quality filter of CCNet-style
+    pipelines, sensitive to token ORDER where the unigram signal is not."""
+    return text.bigram_lm_surprisal(load_table(spark, sf_dir, "documents"))
+
+
+_TEXT_BIGRAM_LM_SQL = """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+big AS (
+  SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+  FROM toks, unnest(range(1, len(t))) AS r(i)
+  WHERE len(t) >= 2
+),
+tok AS (SELECT doc_id, unnest(t) AS w FROM toks),
+uni AS (SELECT w, count(*) AS c FROM tok GROUP BY w),
+bi AS (SELECT w1, w2, count(*) AS c12 FROM big GROUP BY w1, w2),
+tot AS (SELECT sum(c) AS total FROM uni)
+SELECT doc_id,
+  count(*) AS n_bigrams,
+  round(avg(-ln(0.75 * c12 / u1.c + 0.25 * u2.c / total)), 6)
+    AS bigram_surprisal
+FROM big
+JOIN bi USING (w1, w2)
+JOIN uni u1 ON big.w1 = u1.w
+JOIN uni u2 ON big.w2 = u2.w
+CROSS JOIN tot
+GROUP BY doc_id
+"""
+
+
 def q_curate_split(spark, sf_dir):
     """Leakage-safe train/val/test split: hash of near-dup CLUSTER id, so a
     doc and its near-twin can never straddle splits."""
@@ -1924,6 +1955,7 @@ QUERIES: dict = {
     "pipe_text_boilerplate": (q_text_boilerplate, _TEXT_BOILERPLATE_SQL),
     "pipe_text_c4_filters": (q_text_c4_filters, _c4_sql()),
     "pipe_text_surprisal": (q_text_surprisal, _TEXT_SURPRISAL_SQL),
+    "pipe_text_bigram_lm": (q_text_bigram_lm, _TEXT_BIGRAM_LM_SQL),
     "pipe_curate_split": (q_curate_split, _CURATE_SPLIT_SQL),
     "pipe_pack_length_buckets": (q_pack_length_buckets, _PACK_LENGTH_BUCKETS_SQL),
     "pipe_mm_features": (q_mm_features, _MM_FEATURES_SQL),
