@@ -68,6 +68,41 @@ def test_pack_chunks_invariants(spark):
             assert (r["chunk_last"] > r["chunk_first"]) == spans
 
 
+def test_chunk_overlap_reconstructs_documents(spark):
+    """The defining property of overlap chunking: dropping each chunk's
+    first (chunk_len - stride) overlap tokens (except chunk 0) and
+    concatenating in chunk order reproduces the original token stream
+    exactly — no token lost or duplicated at window boundaries. Also: the
+    window grid is the HF overflow convention (start = i*stride, >= 1
+    chunk per doc, short tail kept)."""
+    from yat_geo_db_spark.pipelines.curation import chunk_overlap
+
+    docs = load_table(spark, SF, "documents")
+    chunk_len, stride = 16, 12
+    out = chunk_overlap(docs, chunk_len=chunk_len, stride=stride).collect()
+    texts = {r["doc_id"]: r["text"] for r in docs.collect()}
+    by_doc: dict = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert set(by_doc) == set(texts)                    # every doc chunked
+    for doc_id, rows in by_doc.items():
+        rows.sort(key=lambda r: r["chunk_id"])
+        toks = texts[doc_id].split(" ")
+        rebuilt: list = []
+        for r in rows:
+            ctoks = r["chunk_text"].split(" ") if r["chunk_text"] else []
+            assert r["start_tok"] == r["chunk_id"] * stride
+            assert len(ctoks) == r["n_chunk_tokens"] == min(
+                chunk_len, len(toks) - r["start_tok"]
+            )
+            rebuilt.extend(ctoks if r["chunk_id"] == 0
+                           else ctoks[chunk_len - stride:])
+        assert rebuilt == toks
+        n = len(toks)
+        want = 1 if n <= chunk_len else -(-(n - chunk_len) // stride) + 1
+        assert len(rows) == want
+
+
 def test_leakage_safe_split_never_straddles_pairs(spark):
     """The defining property: for EVERY near-dup pair, both docs land in
     the same split — and the assignment is a pure function of the cluster

@@ -196,6 +196,60 @@ def pack_chunks(
     )
 
 
+def chunk_overlap(
+    documents: DataFrame,
+    chunk_len: int = 32,
+    stride: int = 24,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document sliding-window chunking with overlap — the
+    context-window prep step for long-doc pretraining and retrieval
+    indexing (the `return_overflowing_tokens` convention): windows of
+    `chunk_len` tokens starting every `stride` tokens, so consecutive
+    chunks share `chunk_len - stride` tokens and no token span is lost at
+    a window boundary. A doc with n tokens yields
+    ceil((n - chunk_len)/stride) + 1 chunks (one short-tail window when
+    the grid overshoots; always ≥ 1 so no doc silently vanishes).
+
+    Complements `pack_chunks`: that op packs WHOLE docs into fixed
+    sequences (offsets only); this op SPLITS each doc, emitting the chunk
+    text itself. Plan: tokenize once, explode a per-row chunk-index
+    sequence (a Generate — scan-speed, no shuffle, no window function;
+    chunk rows land on their doc's partition so downstream per-chunk ops
+    start co-located). Returns
+    (doc_id, chunk_id, start_tok, n_chunk_tokens, chunk_text)."""
+    from yat_geo_db_spark.pipelines.text import tokens_col
+
+    n = F.size("t")
+    n_chunks = F.when(n <= chunk_len, F.lit(1).cast("long")).otherwise(
+        F.floor((n - chunk_len + stride - 1) / stride) + 1
+    )
+    start = F.col("chunk_id") * stride
+    return (
+        documents.select(F.col(id_col), tokens_col(F.col(text_col)).alias("t"))
+        .select(
+            id_col,
+            "t",
+            n.alias("n"),
+            F.explode(F.sequence(F.lit(0).cast("long"), n_chunks - 1)).alias(
+                "chunk_id"
+            ),
+        )
+        .select(
+            id_col,
+            F.col("chunk_id"),
+            start.cast("long").alias("start_tok"),
+            F.least(F.lit(chunk_len), F.col("n") - start)
+            .cast("long")
+            .alias("n_chunk_tokens"),
+            F.array_join(
+                F.slice(F.col("t"), start + 1, F.lit(chunk_len)), " "
+            ).alias("chunk_text"),
+        )
+    )
+
+
 def export_shards(df: DataFrame, path: str, n_shards: int,
                   key_col: str = "doc_id") -> None:
     """Write the curated corpus as n_shards reproducible parquet shards:

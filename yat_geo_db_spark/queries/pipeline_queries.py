@@ -857,6 +857,47 @@ FROM o
 """
 
 
+CHUNK_LEN = 32
+CHUNK_STRIDE = 24
+
+
+def q_chunk_overlap(spark, sf_dir):
+    """Sliding-window chunking with overlap (context-window prep /
+    retrieval indexing): chunk_len-token windows every stride tokens,
+    short tail kept, every doc yields >= 1 chunk."""
+    from yat_geo_db_spark.pipelines.curation import chunk_overlap
+
+    return chunk_overlap(
+        load_table(spark, sf_dir, "documents"),
+        chunk_len=CHUNK_LEN,
+        stride=CHUNK_STRIDE,
+    )
+
+
+_CHUNK_OVERLAP_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t,
+         len(string_split(text, ' ')) AS n
+  FROM documents
+),
+ch AS (
+  SELECT doc_id, t, n,
+         unnest(range(0, CASE WHEN n <= {CHUNK_LEN} THEN 1
+             ELSE (n - {CHUNK_LEN} + {CHUNK_STRIDE} - 1) // {CHUNK_STRIDE} + 1
+             END)) AS chunk_id
+  FROM toks
+)
+SELECT doc_id, chunk_id,
+       CAST(chunk_id * {CHUNK_STRIDE} AS BIGINT) AS start_tok,
+       CAST(least({CHUNK_LEN}, n - chunk_id * {CHUNK_STRIDE}) AS BIGINT)
+         AS n_chunk_tokens,
+       array_to_string(
+         t[chunk_id * {CHUNK_STRIDE} + 1 : chunk_id * {CHUNK_STRIDE} + {CHUNK_LEN}],
+         ' ') AS chunk_text
+FROM ch
+"""
+
+
 def q_sample_stratified(spark, sf_dir):
     """Reproducible stratified sampling (text.stratified_sample): keep-set
     is a pure function of doc_id, stable across engines/partitionings."""
@@ -1940,6 +1981,7 @@ QUERIES: dict = {
     "pipe_curate_corpus": (q_curate_corpus, _curate_sql()),
     "pipe_shard_assignment": (q_shard_assignment, _SHARD_SQL),
     "pipe_pack_chunks": (q_pack_chunks, _PACK_CHUNKS_SQL),
+    "pipe_chunk_overlap": (q_chunk_overlap, _CHUNK_OVERLAP_SQL),
     "pipe_sample_stratified": (q_sample_stratified, _SAMPLE_STRATIFIED_SQL),
     "pipe_sample_mixture": (q_sample_mixture, _SAMPLE_MIXTURE_SQL),
     "pipe_curate_pretrain": (q_curate_pretrain, _CURATE_PRETRAIN_SQL),
