@@ -432,6 +432,46 @@ def test_exact_ngram_decontamination_and_broadcast(spark):
     assert "BroadcastHashJoin" in plan
 
 
+def test_bloom_decon_no_false_negatives_and_fp_accounting(spark, monkeypatch):
+    """The Bloom probe's one-sided error, demonstrated both ways: at the
+    production bitset size every exactly-contaminated doc is flagged (no
+    false negatives — the guarantee decontamination rests on) with zero
+    false positives on this corpus; under a deliberately tiny bitset
+    (m=64) collisions are forced and flagged docs must be a SUPERSET of
+    the exact matches — never a subset. The probe side must stay
+    shuffle-free: the one-row bitset broadcasts."""
+    from yat_geo_db_spark.pipelines import dedup as d
+
+    bench_sentence = " ".join(f"b{i}" for i in range(13))
+    corpus = spark.createDataFrame(
+        [(10, "x1 x2 " + bench_sentence + " x3 x4")]
+        + [(20 + i, " ".join(f"c{i}_{j}" for j in range(30))) for i in range(8)],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(1, bench_sentence + " tail1 tail2")], "doc_id long, text string"
+    )
+    exact = {r["doc_id"] for r in d.exact_ngram_matches(corpus, bench).collect()}
+
+    out = {r["doc_id"]: r for r in d.bloom_contamination(corpus, bench).collect()}
+    flagged = {i for i, r in out.items() if r["contaminated"]}
+    assert exact <= flagged            # no false negatives
+    assert flagged == exact == {10}    # and no FPs at m=2^20 here
+    assert out[10]["n_flagged_grams"] == 1   # exactly the b0..b12 window
+
+    monkeypatch.setattr(d, "BLOOM_BITS", 1)  # one bit: every probe collides
+    tiny = {r["doc_id"]: r for r in d.bloom_contamination(corpus, bench).collect()}
+    assert exact <= {i for i, r in tiny.items() if r["contaminated"]}
+    for r in tiny.values():                  # saturated filter: all-FP, but
+        assert r["contaminated"]             # still NEVER a false negative
+        assert r["n_flagged_grams"] == r["n_grams"]
+
+    probe = d.bloom_contamination(corpus, bench)
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan   # 1-row bitset broadcast
+    assert "SortMergeJoin" not in plan
+
+
 def test_remove_duplicate_lines_first_occurrence_wins(spark):
     """Repeated lines keep exactly the (min doc_id, min pos) occurrence;
     unique lines are untouched; a doc of only repeats comes back empty."""

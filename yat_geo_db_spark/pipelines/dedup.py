@@ -1020,6 +1020,117 @@ def exact_ngram_decontaminate(
 
 
 # --------------------------------------------------------------------------
+# Bloom-filter decontamination (the sketch-sized variant of the exact path)
+# --------------------------------------------------------------------------
+
+#: Bloom geometry: m bits, k salted hashes per gram. 2^20 bits packs into
+#: a <= 32k-entry sparse word map (~512 KB worst case) — broadcastable no
+#: matter how large the corpus side grows, which is the point: the exact
+#: path broadcasts the benchmark's GRAM STRINGS, whose size grows with the
+#: eval set; the Bloom bitset is capped by construction.
+BLOOM_BITS = 1 << 20
+BLOOM_K = 3
+
+_brng = random.Random(4242)
+#: salted affine probes over the portable shingle hash — fixed seed so the
+#: Spark plan and the DuckDB oracle set/test IDENTICAL bits (the oracle
+#: reproduces the sketch bit-for-bit, false positives included).
+BLOOM_SALTS: list[tuple[int, int]] = [
+    (_brng.randrange(1, FNV_MOD - 1), _brng.randrange(0, FNV_MOD - 1))
+    for _ in range(BLOOM_K)
+]
+
+
+def _bloom_positions(h: Column) -> Column:
+    """array<long> of the k bit positions for one gram hash."""
+    return F.array(
+        *[
+            (((F.lit(a) * h + F.lit(b)) % FNV_MOD) % BLOOM_BITS).cast("long")
+            for a, b in BLOOM_SALTS
+        ]
+    )
+
+
+def bloom_bitset(
+    benchmark: DataFrame, w: int = 13, text_col: str = "text"
+) -> DataFrame:
+    """One-row (wm: map<long,long>) sparse Bloom bitset over the benchmark
+    set's distinct w-token grams: bit p lives at bit (p % 32) of word
+    (p div 32); only non-zero words are stored. The build is two
+    map-side-combinable distincts plus a bit_or aggregation — fully
+    distributed, merged to one row only at the end (the bitwise-OR of
+    per-partition partial masks IS the Bloom merge, which is what makes
+    the sketch unionable across corpus shards)."""
+    grams = benchmark.select(
+        F.explode(F.array_distinct(tokens_shingles(F.col(text_col), w))).alias("g")
+    ).distinct()
+    pos = (
+        grams.select(shingle_hash(F.col("g")).alias("h"))
+        .select(F.explode(_bloom_positions(F.col("h"))).alias("p"))
+        .distinct()
+    )
+    words = (
+        pos.select(
+            F.floor(F.col("p") / 32).alias("w"),
+            (F.col("p") % 32).cast("int").alias("b"),
+        )
+        .groupBy("w")
+        .agg(F.bit_or(F.expr("shiftleft(CAST(1 AS BIGINT), b)")).alias("m"))
+    )
+    return words.agg(
+        F.map_from_entries(F.collect_list(F.struct("w", "m"))).alias("wm")
+    )
+
+
+def bloom_contamination(
+    documents: DataFrame,
+    benchmark: DataFrame | None = None,
+    w: int = 13,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bitset: DataFrame | None = None,
+) -> DataFrame:
+    """(doc_id, n_grams, n_flagged_grams, contaminated): per-doc Bloom
+    probe of every distinct w-gram against the benchmark bitset — the
+    sketch-sized complement of `exact_ngram_matches` for when even the
+    benchmark gram index is too big to broadcast (or must be shipped to
+    another team as a fixed-size artifact). One-sided error by
+    construction: a gram exactly present is ALWAYS flagged (no false
+    negatives — the property decontamination needs); a false positive
+    over-drops with probability ~(set_bits/m)^k. Deterministic given the
+    salts, so the DuckDB oracle reproduces every answer including the
+    false positives.
+
+    Plan: the corpus side is one scan — gram explode, k affine probes,
+    and a `forall` bit test against the BROADCAST one-row word map (no
+    per-gram shuffle; the only exchange is the per-doc count agg). Docs
+    with no w-gram (shorter than w tokens) have nothing to probe and drop
+    out, as in the exact path."""
+    wm = bitset if bitset is not None else bloom_bitset(benchmark, w, text_col)
+    grams = documents.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(tokens_shingles(F.col(text_col), w))).alias("g"),
+    )
+    probed = (
+        grams.select(id_col, shingle_hash(F.col("g")).alias("h"))
+        .select(id_col, _bloom_positions(F.col("h")).alias("ps"))
+        .crossJoin(F.broadcast(wm))
+        .select(
+            id_col,
+            F.expr(
+                "forall(ps, p -> (shiftright(coalesce(element_at(wm, p div 32),"
+                " CAST(0 AS BIGINT)), CAST(p % 32 AS INT)) & 1) = 1)"
+            ).alias("hit"),
+        )
+    )
+    return probed.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_grams"),
+        F.sum(F.col("hit").cast("long")).alias("n_flagged_grams"),
+        (F.sum(F.col("hit").cast("long")) > 0).alias("contaminated"),
+    )
+
+
+# --------------------------------------------------------------------------
 # duplicate-line removal (C4 / RefinedWeb-style repeated-span cleanup)
 # --------------------------------------------------------------------------
 

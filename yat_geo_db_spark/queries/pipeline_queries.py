@@ -437,6 +437,62 @@ SELECT doc_id, bench_doc_id, n_shared_grams FROM hits
 """
 
 
+def q_decon_bloom(spark, sf_dir):
+    """Bloom-filter decontamination probe: per corpus doc, how many of its
+    distinct 13-grams hit the benchmark set's Bloom bitset (m=2^20, k=3).
+    The oracle rebuilds the identical bitset in SQL, so the hash match
+    covers the sketch's exact behavior — false positives included."""
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") < DECON_SPLIT)
+    corpus = docs.filter(F.col("doc_id") >= DECON_SPLIT)
+    return dedup.bloom_contamination(corpus, bench, w=13)
+
+
+def _bloom_ps(h_expr: str) -> str:
+    """k salted probe positions — mirror of dedup._bloom_positions."""
+    from yat_geo_db_spark.pipelines.dedup import BLOOM_BITS, BLOOM_SALTS
+
+    return (
+        "["
+        + ", ".join(
+            f"((({a} * ({h_expr})) + {b}) % {FNV_MOD}) % {BLOOM_BITS}"
+            for a, b in BLOOM_SALTS
+        )
+        + "]"
+    )
+
+
+_DECON_BLOOM_SQL = f"""
+WITH bsh AS (
+  SELECT DISTINCT unnest(list_distinct({_shingles('text', 13)})) AS g
+  FROM documents WHERE doc_id < {DECON_SPLIT}
+),
+bpos AS (
+  SELECT DISTINCT unnest({_bloom_ps(_sh('g'))}) AS p FROM bsh
+),
+words AS (
+  SELECT p // 32 AS w,
+         bit_or(CAST(1 AS BIGINT) << CAST(p % 32 AS INT)) AS m
+  FROM bpos GROUP BY 1
+),
+bloom AS (SELECT map(list(w), list(m)) AS wm FROM words),
+probe AS (
+  SELECT doc_id,
+    len(list_filter({_bloom_ps(_sh('g'))}, p ->
+      ((coalesce((wm[p // 32])[1], 0) >> CAST(p % 32 AS INT)) & 1) = 0)) = 0
+      AS hit
+  FROM (
+    SELECT doc_id, unnest(list_distinct({_shingles('text', 13)})) AS g
+    FROM documents WHERE doc_id >= {DECON_SPLIT}
+  ) CROSS JOIN bloom
+)
+SELECT doc_id, count(*) AS n_grams,
+       CAST(sum(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged_grams,
+       sum(CASE WHEN hit THEN 1 ELSE 0 END) > 0 AS contaminated
+FROM probe GROUP BY doc_id
+"""
+
+
 #: fixed-width token chunk used as the "line" unit on the fixture corpus
 #: (its texts have no newline structure); real corpora pass the default
 #: split-on-newline. Same plan either way.
@@ -1958,6 +2014,7 @@ QUERIES: dict = {
     "pipe_dedup_canonical": (q_dedup_canonical, _DEDUP_CANONICAL_SQL),
     "pipe_decon_exact_ngram": (q_decon_exact_ngram, _DECON_EXACT_NGRAM_SQL),
     "pipe_decon_exact_report": (q_decon_exact_report, _DECON_EXACT_REPORT_SQL),
+    "pipe_decon_bloom": (q_decon_bloom, _DECON_BLOOM_SQL),
     "pipe_dedup_lines": (q_dedup_lines, _DEDUP_LINES_SQL),
     "pipe_dedup_lines_intra": (q_dedup_lines_intra, _DEDUP_LINES_INTRA_SQL),
     "pipe_dedup_spans": (q_dedup_spans, _DEDUP_SPANS_SQL),
