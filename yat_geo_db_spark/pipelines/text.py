@@ -723,3 +723,59 @@ def corpus_profile(documents: DataFrame, text_col: str = "text") -> DataFrame:
         F.countDistinct("lang").alias("n_langs"),
         F.countDistinct("source").alias("n_sources"),
     )
+
+
+def source_quality_profile(
+    documents: DataFrame,
+    min_docs: int = 10,
+    min_avg_quality: float = 0.55,
+    max_dup_rate: float = 0.05,
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-SOURCE quality report + keep/drop verdict — the domain-level
+    filtering stage of RefinedWeb/C4-style pipelines (a source whose docs
+    are chronically low-quality or self-duplicating gets dropped
+    wholesale, catching generated/mirror sites that per-doc thresholds
+    miss one doc at a time). Returns (source, n_docs, n_tokens,
+    avg_quality, avg_doc_tokens, dup_rate, keep_source).
+
+    avg_quality aggregates the per-doc composite from `quality_features`
+    through an exact fixed-point sum (the per-doc score is already
+    6-dp-rounded, so floor(score*1e6 + .5) is lossless) — partition-order
+    independent, cross-engine stable. One groupBy on the source key; the
+    per-doc feature pass is the same scan. Source counts are naturally
+    skewed (one giant crawl domain) but each source reduces to one row of
+    partial aggregates map-side, so the shuffle carries sources, not
+    docs."""
+    q = quality_features(documents, text_col=text_col)
+    joined = documents.select(
+        "doc_id", "source", F.md5(F.col(text_col)).alias("dg")
+    ).join(q.select("doc_id", "n_tokens", "quality_score"), "doc_id")
+    qs = F.floor(F.col("quality_score") * 1e6 + F.lit(0.5)).cast("long")
+    agg = joined.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("n_tokens"),
+        F.sum(qs).alias("_qs"),
+        F.countDistinct("dg").alias("_distinct"),
+    )
+    avg_quality = F.round(
+        F.col("_qs").cast("double") / 1e6 / F.col("n_docs"), 6
+    )
+    dup_rate = F.round(
+        F.lit(1.0) - F.col("_distinct").cast("double") / F.col("n_docs"), 6
+    )
+    return agg.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        avg_quality.alias("avg_quality"),
+        F.round(F.col("n_tokens").cast("double") / F.col("n_docs"), 6).alias(
+            "avg_doc_tokens"
+        ),
+        dup_rate.alias("dup_rate"),
+        (
+            (F.col("n_docs") >= min_docs)
+            & (avg_quality >= min_avg_quality)
+            & (dup_rate <= max_dup_rate)
+        ).alias("keep_source"),
+    )

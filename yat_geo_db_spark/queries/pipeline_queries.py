@@ -1084,6 +1084,50 @@ FROM (
 """
 
 
+def q_source_quality_profile(spark, sf_dir):
+    """Per-source quality report card + wholesale keep/drop verdict
+    (RefinedWeb-style domain filtering over the doc-level signals).
+    min_avg_quality is pinned at 0.71 — inside the synthetic corpus's
+    0.68-0.73 per-source band — so BOTH verdict branches are exercised
+    and hash-checked (the library default would keep everything here)."""
+    return text.source_quality_profile(
+        load_table(spark, sf_dir, "documents"), min_avg_quality=0.71
+    )
+
+
+_SOURCE_PROFILE_SQL = f"""
+WITH perdoc AS (
+  SELECT source, md5(text) AS dg,
+    CAST(len(toks) AS INT) AS n_tokens,
+    round(
+      least(ntok / 50.0, CAST(1.0 AS DOUBLE)) * 0.4
+      + least(CAST(len(list_distinct(toks)) AS DOUBLE) / ntok * 1.25,
+              CAST(1.0 AS DOUBLE)) * 0.4
+      + least(nstop / 5.0, CAST(1.0 AS DOUBLE)) * 0.2, 6) AS q
+  FROM (
+    SELECT source, text, toks,
+      CAST(len(toks) AS DOUBLE) AS ntok,
+      CAST(len(list_filter(toks, t ->
+          list_contains({sql_str_list(STOPWORDS)}, t))) AS DOUBLE) AS nstop
+    FROM (SELECT source, text, string_split(text, ' ') AS toks FROM documents)
+  )
+),
+agg AS (
+  SELECT source, count(*) AS n_docs,
+    CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+    round(CAST(sum(CAST(floor(q * 1e6 + 0.5) AS BIGINT)) AS DOUBLE)
+          / 1e6 / count(*), 6) AS avg_quality,
+    round(CAST(sum(n_tokens) AS DOUBLE) / count(*), 6) AS avg_doc_tokens,
+    round(1.0 - CAST(count(DISTINCT dg) AS DOUBLE) / count(*), 6) AS dup_rate
+  FROM perdoc GROUP BY source
+)
+SELECT source, n_docs, n_tokens, avg_quality, avg_doc_tokens, dup_rate,
+       n_docs >= 10 AND avg_quality >= 0.71 AND dup_rate <= 0.05
+         AS keep_source
+FROM agg
+"""
+
+
 def q_text_lang_id(spark, sf_dir):
     return text.lang_id(load_table(spark, sf_dir, "documents"))
 
@@ -2042,6 +2086,10 @@ QUERIES: dict = {
     "pipe_sample_stratified": (q_sample_stratified, _SAMPLE_STRATIFIED_SQL),
     "pipe_sample_mixture": (q_sample_mixture, _SAMPLE_MIXTURE_SQL),
     "pipe_curate_pretrain": (q_curate_pretrain, _CURATE_PRETRAIN_SQL),
+    "pipe_source_quality_profile": (
+        q_source_quality_profile,
+        _SOURCE_PROFILE_SQL,
+    ),
     "pipe_corpus_profile": (q_corpus_profile, _CORPUS_PROFILE_SQL),
     "pipe_sample_quality": (q_sample_quality, _sample_quality_sql()),
     "pipe_text_quality": (q_text_quality, _TEXT_QUALITY_SQL),

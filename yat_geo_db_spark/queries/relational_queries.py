@@ -1300,6 +1300,60 @@ GROUP BY 1
 """
 
 
+#: discrete decay half-life: weights are exact powers of two (0.5^k with
+#: integer k), so value * weight is a pure IEEE exponent shift — bit-exact
+#: in every engine — and the fixed-point sum stays cross-engine stable.
+DECAY_HALF_LIFE_DAYS = 7
+
+
+def time_decay_totals(spark, sf_dir):
+    """Time-decayed totals per event type — the metrics-store freshness
+    weighting (recent activity counts more): each event contributes
+    value * 0.5^floor(age_days / half_life), anchored to the newest event
+    DATE in the table (data-derived, not wall clock — run-stable).
+
+    Discrete (stepped) decay rather than continuous exp(-λ·age) is a
+    deliberate exactness choice: 0.5^k for integer k is an exact double,
+    so per-row terms are bit-identical across engines and the aggregate
+    can use the fixed-point sum; exp() differs in the last ulp between
+    libms, which poisons a hash-compared aggregate. Plan: one-row anchor
+    broadcast + one scan + one groupBy — mergeable, rollup-safe (the
+    per-(day,type) partial sums compose as long as they share the
+    anchor)."""
+    (events,) = _t(spark, sf_dir, "events")
+    anchor = events.agg(F.max(F.to_date("ts")).alias("anchor"))
+    k = F.floor(
+        F.datediff(F.col("anchor"), F.to_date("ts")) / DECAY_HALF_LIFE_DAYS
+    )
+    term = F.col("value") * F.pow(F.lit(0.5), k)
+    return (
+        events.crossJoin(F.broadcast(anchor))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.sum(rq._scaled_long(term, 4)).cast("double") / F.lit(1e4)).alias(
+                "decayed_sum"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
+_DECAY_TERM = (
+    '"value" * power(0.5, '
+    f"date_diff('day', CAST(ts AS DATE), anchor) // {DECAY_HALF_LIFE_DAYS})"
+)
+
+_TIME_DECAY_SQL = f"""
+WITH a AS (SELECT max(CAST(ts AS DATE)) AS anchor FROM events)
+SELECT event_type, count(*) AS n_events,
+       {_dsum(_DECAY_TERM, 4)} AS decayed_sum
+FROM events CROSS JOIN a
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
 def try_funcs(spark, sf_dir):
     """Error-tolerant evaluation: try_cast / try_divide / try_to_number
     return NULL on malformed input instead of failing the job — the only
@@ -1587,6 +1641,7 @@ QUERIES: dict = {
     "rel_hll_mergeable_rollup": (hll_mergeable_rollup, None),
     "rel_cms_heavy_hitters": (cms_heavy_hitters, None),
     "rel_hypertable_rollup": (hypertable_rollup, _HYPERTABLE_SQL),
+    "rel_time_decay_totals": (time_decay_totals, _TIME_DECAY_SQL),
     "rel_variant_extract": (variant_extract, _VARIANT_SQL),
     "rel_null_funcs": (null_funcs, _NULL_FUNCS_SQL),
     "rel_q6_forecast_revenue": (q6, _Q6_SQL),
