@@ -9,7 +9,7 @@ from one query string to a corpus-wide pipeline.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 import pyspark.sql.functions as F
 
 #: tiny per-language marker lexicons for the n-gram/stopword language-ID
@@ -779,3 +779,46 @@ def source_quality_profile(
             & (dup_rate <= max_dup_rate)
         ).alias("keep_source"),
     )
+
+
+def cap_per_source(
+    documents: DataFrame,
+    cap: int,
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """Keep at most `cap` documents per source, highest `quality_score`
+    first (ties → lowest doc_id) — RefinedWeb-style domain balancing, so
+    one giant crawl domain can't dominate the training mixture.
+
+    Skew is the whole problem here: source cardinality follows a power
+    law, and a naive row_number() window sorts EVERY source's docs,
+    with the hottest source's full row set in one task. This splits the
+    work: a per-source count (map-side combinable, one tiny row per
+    source) finds the over-cap sources; the typically-tiny over-cap
+    list broadcasts; under-cap sources bypass ranking entirely
+    (broadcast anti-join — no sort, no shuffle of their rows); only
+    over-cap docs pay the rank window, and only their (id, score) pair
+    rides that shuffle, never the text. Returns (doc_id, source,
+    quality_score, src_rank) with src_rank = the kept doc's 1-based
+    quality rank inside its source (under-cap sources rank too — over
+    their full, already-small group)."""
+    q = quality_features(documents, text_col=text_col).select(
+        "doc_id", "quality_score"
+    )
+    slim = documents.select("doc_id", source_col).join(q, "doc_id")
+    counts = slim.groupBy(source_col).agg(F.count(F.lit(1)).alias("n"))
+    hot = counts.filter(F.col("n") > cap).select(source_col)
+    w = Window.partitionBy(source_col).orderBy(
+        F.col("quality_score").desc(), F.col("doc_id").asc()
+    )
+    ranked_hot = (
+        slim.join(F.broadcast(hot), source_col, "left_semi")
+        .withColumn("src_rank", F.row_number().over(w))
+        .filter(F.col("src_rank") <= cap)
+    )
+    ranked_cold = slim.join(
+        F.broadcast(hot), source_col, "left_anti"
+    ).withColumn("src_rank", F.row_number().over(w))
+    cols = ["doc_id", source_col, "quality_score", "src_rank"]
+    return ranked_hot.select(*cols).unionByName(ranked_cold.select(*cols))

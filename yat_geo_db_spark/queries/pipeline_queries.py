@@ -1128,6 +1128,43 @@ FROM agg
 """
 
 
+def q_source_caps(spark, sf_dir):
+    """Domain balancing: cap English docs at 11 per source, best quality
+    kept first. The synthetic corpus's en-only per-source counts span
+    6-16 at every SF, so cap=11 exercises BOTH paths — hot sources go
+    through the rank-and-cut window, under-cap sources take the no-sort
+    broadcast-anti-join bypass — and the hash check covers the union."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("lang") == "en")
+    return text.cap_per_source(docs, cap=11)
+
+
+_SOURCE_CAPS_SQL = f"""
+WITH perdoc AS (
+  SELECT doc_id, source,
+    round(
+      least(ntok / 50.0, CAST(1.0 AS DOUBLE)) * 0.4
+      + least(CAST(len(list_distinct(toks)) AS DOUBLE) / ntok * 1.25,
+              CAST(1.0 AS DOUBLE)) * 0.4
+      + least(nstop / 5.0, CAST(1.0 AS DOUBLE)) * 0.2, 6) AS quality_score
+  FROM (
+    SELECT doc_id, source, toks,
+      CAST(len(toks) AS DOUBLE) AS ntok,
+      CAST(len(list_filter(toks, t ->
+          list_contains({sql_str_list(STOPWORDS)}, t))) AS DOUBLE) AS nstop
+    FROM (SELECT doc_id, source, string_split(text, ' ') AS toks
+          FROM documents WHERE lang = 'en')
+  )
+)
+SELECT doc_id, source, quality_score, CAST(rn AS INT) AS src_rank
+FROM (
+  SELECT doc_id, source, quality_score,
+    row_number() OVER (PARTITION BY source
+        ORDER BY quality_score DESC, doc_id) AS rn
+  FROM perdoc
+) WHERE rn <= 11
+"""
+
+
 def q_text_lang_id(spark, sf_dir):
     return text.lang_id(load_table(spark, sf_dir, "documents"))
 
@@ -2091,6 +2128,7 @@ QUERIES: dict = {
         _SOURCE_PROFILE_SQL,
     ),
     "pipe_corpus_profile": (q_corpus_profile, _CORPUS_PROFILE_SQL),
+    "pipe_source_caps": (q_source_caps, _SOURCE_CAPS_SQL),
     "pipe_sample_quality": (q_sample_quality, _sample_quality_sql()),
     "pipe_text_quality": (q_text_quality, _TEXT_QUALITY_SQL),
     "pipe_text_repetition": (q_text_repetition, _repetition_sql()),
