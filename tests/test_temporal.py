@@ -110,3 +110,45 @@ def test_band_join_binned_row_identical_to_broadcast(spark):
         )
         assert got == want, bw
     assert want  # non-vacuous
+
+
+def test_scd2_intervals_semantics_and_single_exchange(spark):
+    from yat_geo_db_spark.relational.temporal import scd2_intervals
+
+    events = spark.createDataFrame(
+        [
+            # user 1: a, a, b, a  -> 3 runs (a, b, a)
+            (10, 1, "a", _ts(1)),
+            (11, 1, "a", _ts(2)),
+            (12, 1, "b", _ts(3)),
+            (13, 1, "a", _ts(4)),
+            # user 2: single run; equal-ts rows break ties by event_id
+            (21, 2, "x", _ts(5)),
+            (20, 2, "x", _ts(5)),
+        ],
+        "event_id long, user_id long, event_type string, ts timestamp",
+    )
+    out = scd2_intervals(events)
+    rows = {
+        (r.user_id, r.version): r for r in out.collect()
+    }
+    assert len(rows) == 4  # 3 runs for user 1, 1 for user 2
+    assert rows[(1, 1)].event_type == "a" and rows[(1, 1)].valid_to == _ts(3)
+    assert rows[(1, 2)].event_type == "b" and rows[(1, 2)].valid_to == _ts(4)
+    assert rows[(1, 3)].event_type == "a" and rows[(1, 3)].is_current
+    assert rows[(1, 3)].valid_to is None
+    # intervals tile: each run's valid_to is the next run's valid_from
+    assert rows[(1, 1)].valid_to == rows[(1, 2)].valid_from
+    assert rows[(2, 1)].valid_from == _ts(5) and rows[(2, 1)].is_current
+    # exactly one current row per key
+    assert out.filter("is_current").count() == 2
+    # all three windows share one (key, ts, id) sort: a single shuffle
+    # (split off AQE's "Initial Plan" echo, which repeats the tree)
+    plan = (
+        out._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+        .split("== Initial Plan ==")[0]
+    )
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert plan.count("Sort ") == 1

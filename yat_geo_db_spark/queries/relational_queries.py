@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from yat_geo_db_spark.relational import queries as rq
-from yat_geo_db_spark.relational.temporal import asof_join, band_join
+from yat_geo_db_spark.relational.temporal import asof_join, band_join, scd2_intervals
 from yat_geo_db_spark.streaming.windows import batch_sessionize, session_windows
 from yat_geo_db_spark.testdata import load_table
 
@@ -156,6 +156,45 @@ def sessionize(spark, sf_dir):
         F.unix_micros("session_start").alias("session_start_us"),
         F.unix_micros("session_end").alias("session_end_us"),
     )
+
+
+def scd2(spark, sf_dir):
+    """Type-2 SCD build: each user's consecutive runs of the same
+    event_type collapse to one validity-interval row (valid_to = next
+    run's start, NULL while current). One shuffle on user_id; the lag /
+    lead / row_number windows share a single (ts, event_id) sort
+    (relational.temporal.scd2_intervals)."""
+    (events,) = _t(spark, sf_dir, "events")
+    out = scd2_intervals(events)
+    return out.select(
+        "user_id",
+        "event_type",
+        F.unix_micros("valid_from").alias("valid_from_us"),
+        F.unix_micros("valid_to").alias("valid_to_us"),
+        "version",
+        "is_current",
+    )
+
+
+_SCD2_SQL = """
+WITH ordered AS (
+  SELECT user_id, event_type, ts, event_id,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev
+  FROM events
+),
+starts AS (
+  SELECT user_id, event_type, ts, event_id FROM ordered
+  WHERE prev IS NULL OR prev IS DISTINCT FROM event_type
+)
+SELECT user_id, event_type,
+       epoch_us(CAST(ts AS TIMESTAMP)) AS valid_from_us,
+       epoch_us(CAST(lead(ts) OVER w AS TIMESTAMP)) AS valid_to_us,
+       CAST(row_number() OVER w AS INT) AS version,
+       lead(ts) OVER w IS NULL AS is_current
+FROM starts
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
 
 
 def q4(spark, sf_dir):
@@ -1682,6 +1721,7 @@ QUERIES: dict = {
     "rel_lineitem_math_funcs": (math_funcs, _MATH_FUNCS_SQL),
     "rel_join_flavors": (join_flavors, _JOIN_FLAVORS_SQL),
     "rel_sessionize": (sessionize, _SESSIONIZE_SQL),
+    "rel_scd2_intervals": (scd2, _SCD2_SQL),
     "rel_tumbling_hour": (tumbling, _TUMBLING_SQL),
     "rel_sliding_10min": (sliding, _SLIDING_SQL),
     "rel_q9_product_profit": (q9, _Q9_SQL),

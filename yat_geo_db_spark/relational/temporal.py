@@ -141,3 +141,44 @@ def band_join_binned(
         )
         .drop("_bin")
     )
+
+
+def scd2_intervals(
+    events: DataFrame,
+    key_col: str = "user_id",
+    attr_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Build a type-2 slowly-changing dimension from a change-event log:
+    collapse each key's consecutive runs of the same attribute value into
+    one row with a validity interval — (key, attr, valid_from, valid_to,
+    version, is_current), `valid_to` = the next run's start (NULL while
+    current), `version` = the run's 1-based sequence number.
+
+    The warehouse pattern for turning an append-only CDC/event stream
+    into a point-in-time-joinable dimension. Plan shape: ONE shuffle on
+    the key; the run-start detection (lag), interval close (lead), and
+    version number (row_number) are all windows over the SAME
+    (key, ts, id) sort, so Catalyst plans a single exchange + sort and
+    the per-key sweep is linear. Ordering is made total by the unique
+    `id_col` tiebreak, so the output is deterministic under equal
+    timestamps."""
+    w = Window.partitionBy(key_col).orderBy(ts_col, id_col)
+    prev = F.lag(attr_col).over(w)
+    starts = (
+        events.select(key_col, attr_col, ts_col, id_col)
+        .withColumn("_chg", ~F.col(attr_col).eqNullSafe(prev))
+        .filter(F.col("_chg"))
+    )
+    # run starts keep their original (ts, id) order, so the same window
+    # spec re-sorts only the surviving rows
+    valid_to = F.lead(ts_col).over(w)
+    return starts.select(
+        key_col,
+        attr_col,
+        F.col(ts_col).alias("valid_from"),
+        valid_to.alias("valid_to"),
+        F.row_number().over(w).alias("version"),
+        valid_to.isNull().alias("is_current"),
+    )
