@@ -298,3 +298,24 @@ def test_q9_part_filter_broadcast(spark):
     assert "BroadcastHashJoin" in plan
     # name-fragment filter prunes the part scan before the broadcast
     assert "p_name" in plan.split("PushedFilters")[1][:800] or "Contains" in plan
+
+
+def test_filtered_topk_predicate_pushed_and_semi_join(spark):
+    """Attribute-filtered ANN pre-filters: the metadata predicate reaches
+    the documents parquet scan (PushedFilters), the vector side is pruned
+    through a semi join, and the top-k is TakeOrderedAndProject (no global
+    sort)."""
+    from yat_geo_db_spark.pipelines.similarity import filtered_topk
+
+    df = filtered_topk(
+        _raw(spark, "embeddings"),
+        _raw(spark, "documents"),
+        (F.col("lang") == "en") & (F.col("n_chars") >= 200),
+        query_id=1,
+        k=15,
+    )
+    plan = _plan(df)
+    pushed = plan.split("PushedFilters")[1][:400]
+    assert "lang" in pushed and "n_chars" in pushed
+    assert "LeftSemi" in plan
+    assert "TakeOrderedAndProject" in plan

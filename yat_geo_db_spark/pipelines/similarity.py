@@ -66,6 +66,52 @@ def brute_force_topk(
     )
 
 
+def filtered_topk(
+    embeddings: DataFrame,
+    attributes: DataFrame,
+    predicate: Column,
+    query_id: int,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    attr_id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact cosine top-k restricted to vectors whose attribute row (the
+    `attributes` table keyed by `attr_id_col`, e.g. documents metadata)
+    satisfies `predicate` — attribute-filtered vector search, the
+    retrieval shape RAG serving and targeted curation both need
+    ("nearest English docs over 200 chars", not nearest-then-filter).
+
+    PRE-filters: the predicate is applied to the attribute scan (plain
+    Column comparisons → parquet-pushable), the surviving keys prune the
+    vector side through a LEFT SEMI key join BEFORE any distance
+    arithmetic, and only then does the scan compute cosines and feed
+    TakeOrderedAndProject. Post-filtering an approximate top-k can
+    return fewer than k (or miss qualifying neighbors entirely) when
+    the filter is selective; filter-then-search keeps the exactness
+    guarantee at exactly one key-join shuffle, and the join is
+    broadcast-sized whenever the predicate is selective enough to
+    matter."""
+    keep = attributes.filter(predicate).select(
+        F.col(attr_id_col).alias(id_col)
+    )
+    q = F.broadcast(
+        embeddings.filter(F.col(id_col) == query_id)
+        .select(F.col(vec_col).alias("q_vec"))
+    )
+    return (
+        embeddings.join(keep, id_col, "left_semi")
+        .filter(F.col(id_col) != query_id)
+        .crossJoin(q)
+        .select(
+            F.col(id_col),
+            F.round(cosine_col(F.col(vec_col), F.col("q_vec")), 6).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), F.asc(id_col))
+        .limit(k)
+    )
+
+
 def signbit_bucket(vec: Column, bits: int = 8) -> Column:
     """Coarse quantizer: integer bucket from the sign of the first `bits`
     components (a fixed random-hyperplane LSH with axis-aligned planes —

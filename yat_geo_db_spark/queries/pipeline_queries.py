@@ -787,6 +787,32 @@ LIMIT 20
 """
 
 
+def q_sim_filtered_topk(spark, sf_dir):
+    """Attribute-filtered vector search: exact top-15 cosine neighbors
+    among vectors whose document row is English and >= 200 chars
+    (filter-then-search — the predicate prunes the vector side through
+    a semi join BEFORE any distance arithmetic)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return similarity.filtered_topk(
+        load_table(spark, sf_dir, "embeddings"),
+        docs,
+        (F.col("lang") == "en") & (F.col("n_chars") >= 200),
+        TOPK_QUERY_ID,
+        k=15,
+    )
+
+
+_FILTERED_TOPK_SQL = f"""
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = {TOPK_QUERY_ID})
+SELECT e.vec_id, round({_cos('e.embedding', 'q.qv')}, 6) AS cosine
+FROM embeddings e
+JOIN documents d ON e.vec_id = d.doc_id, q
+WHERE d.lang = 'en' AND d.n_chars >= 200 AND e.vec_id != {TOPK_QUERY_ID}
+ORDER BY cosine DESC, e.vec_id
+LIMIT 15
+"""
+
+
 def q_topk_ivf(spark, sf_dir):
     return similarity.ivf_topk(
         load_table(spark, sf_dir, "embeddings"), TOPK_QUERY_ID, k=10, bits=IVF_BITS
@@ -2108,6 +2134,7 @@ QUERIES: dict = {
     ),
     "pipe_dedup_simhash": (q_dedup_simhash, _simhash_sql()),
     "pipe_sim_topk_brute": (q_topk_brute, _TOPK_BRUTE_SQL),
+    "pipe_sim_filtered_topk": (q_sim_filtered_topk, _FILTERED_TOPK_SQL),
     "pipe_sim_topk_ivf": (q_topk_ivf, _TOPK_IVF_SQL),
     "pipe_sim_topk_ivf_multiprobe": (q_topk_ivf_multiprobe, _TOPK_IVF_MULTIPROBE_SQL),
     "pipe_sim_cosine_near_dup": (q_cosine_near_dup, _COSINE_NEAR_DUP_SQL),
