@@ -419,3 +419,65 @@ def test_ivfpq_persisted_index_partition_pruned(spark, tmp_path):
 
     plan = got_df._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and "cid" in plan.split("PartitionFilters")[1][:200]
+
+
+# ---------------------------------------------------------------------------
+# PCA: distributed fit must equal a local NumPy fit of the same data
+# ---------------------------------------------------------------------------
+
+def _local_pca(X, r):
+    import numpy as np
+
+    mean = X.mean(0)
+    cov = np.cov(X, rowvar=False, ddof=1)
+    evals, evecs = np.linalg.eigh(cov)
+    order = np.argsort(evals)[::-1][:r]
+    comps = evecs[:, order].T
+    for i in range(comps.shape[0]):
+        j = int(np.argmax(np.abs(comps[i])))
+        if comps[i, j] < 0:
+            comps[i] = -comps[i]
+    ev = np.maximum(evals[order], 0.0)
+    return mean, comps, ev / (np.maximum(evals, 0.0).sum() or 1.0)
+
+
+def test_pca_fit_matches_local_numpy(spark):
+    import numpy as np
+
+    from yat_geo_db_spark.pipelines.similarity import pca_fit, pca_project
+
+    emb = load_table(spark, SF, "embeddings")
+    X = np.vstack(
+        [np.asarray(r["embedding"], dtype=np.float64) for r in emb.collect()]
+    )
+    mean, comps, evr = pca_fit(emb, n_components=4)
+    lmean, lcomps, levr = _local_pca(X, 4)
+    assert np.allclose(mean, lmean, atol=1e-9)
+    assert np.allclose(comps, lcomps, atol=1e-7)
+    assert np.allclose(evr, levr, atol=1e-9)
+    # orthonormal axes
+    assert np.allclose(comps @ comps.T, np.eye(4), atol=1e-9)
+    # variance shares sorted descending, in (0, 1]
+    assert all(a >= b for a, b in zip(evr, evr[1:])) and 0 < evr[0] <= 1
+    # distributed projection == local projection
+    proj = {
+        r["vec_id"]: np.asarray(r["proj"])
+        for r in pca_project(emb, mean, comps).collect()
+    }
+    ids = [r["vec_id"] for r in emb.select("vec_id").collect()]
+    local = (X - lmean) @ lcomps.T
+    got = np.vstack([proj[i] for i in ids])
+    assert np.allclose(got, local, atol=1e-7)
+
+
+def test_pca_fit_partition_invariant(spark):
+    import numpy as np
+
+    from yat_geo_db_spark.pipelines.similarity import pca_fit
+
+    emb = load_table(spark, SF, "embeddings")
+    m1, c1, e1 = pca_fit(emb.repartition(3), n_components=3)
+    m2, c2, e2 = pca_fit(emb.repartition(11), n_components=3)
+    assert np.allclose(m1, m2, atol=1e-12)
+    assert np.allclose(c1, c2, atol=1e-8)
+    assert np.allclose(e1, e2, atol=1e-10)

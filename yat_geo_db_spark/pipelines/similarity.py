@@ -1203,3 +1203,107 @@ def ivfpq_topk_indexed(
         encoded, cents, books, query_vec, k=k, nprobe=nprobe, m=m,
         id_col=id_col,
     )
+
+
+# --------------------------------------------------------------------------
+# PCA — distributed covariance, driver-side eigensolve, distributed project
+# --------------------------------------------------------------------------
+
+def pca_fit(
+    embeddings: DataFrame,
+    n_components: int = 4,
+    vec_col: str = "embedding",
+):
+    """Fit PCA over an embedding column at cluster scale. Returns
+    ``(mean, components, explained_variance_ratio)`` as NumPy arrays
+    (components is (r, d), rows = principal axes, orthonormal).
+
+    The only thing that ever leaves the executors is one (count, sum,
+    Gram) triple PER PARTITION — d + d*d doubles, ~33 KB at d=64 —
+    regardless of row count, so the driver step is O(partitions * d^2)
+    collect + one d×d `eigh`: the textbook split for covariance-family
+    fits (same shape a parameter server or tree-reduce would use; at
+    extreme partition counts swap the collect for a two-level
+    treeAggregate, the partial math is identical). No row-level data is
+    centered before the Gram pass — covariance comes from
+    E[xxᵀ] − μμᵀ at the driver, keeping the executor pass one matmul
+    over the raw batch.
+
+    Determinism: eigenvector SIGN is pinned by making each component's
+    largest-|coordinate| entry positive (eigh is sign-ambiguous);
+    eigenvalue ties keep eigh's ascending order, reversed. Float
+    partial-sum order still varies with partitioning at ~1e-12 — tests
+    compare with tolerances, and the registry entry is rows-only (no
+    SQL engine exposes an eigensolve for a value-hash oracle)."""
+    import numpy as np
+    import pandas as pd
+
+    def _partials(batches):
+        n = 0
+        s = None
+        g = None
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+            n += x.shape[0]
+            s = x.sum(0) if s is None else s + x.sum(0)
+            gg = x.T @ x
+            g = gg if g is None else g + gg
+        if n:
+            yield pd.DataFrame(
+                {"n": [n], "s": [s.tolist()], "g": [g.ravel().tolist()]}
+            )
+
+    parts = (
+        embeddings.select(vec_col)
+        .mapInPandas(_partials, "n long, s array<double>, g array<double>")
+        .collect()
+    )
+    n = sum(r["n"] for r in parts)
+    if n < 2:
+        raise ValueError("pca_fit needs at least 2 vectors")
+    s = np.sum([np.asarray(r["s"]) for r in parts], axis=0)
+    d = s.shape[0]
+    g = np.sum([np.asarray(r["g"]).reshape(d, d) for r in parts], axis=0)
+    mean = s / n
+    cov = (g - n * np.outer(mean, mean)) / (n - 1)
+    evals, evecs = np.linalg.eigh(cov)  # ascending
+    order = np.argsort(evals)[::-1][:n_components]
+    comps = evecs[:, order].T  # (r, d)
+    evals_top = np.maximum(evals[order], 0.0)
+    # sign convention: largest-|coordinate| entry of each axis positive
+    for i in range(comps.shape[0]):
+        j = int(np.argmax(np.abs(comps[i])))
+        if comps[i, j] < 0:
+            comps[i] = -comps[i]
+    total_var = float(np.maximum(evals, 0.0).sum()) or 1.0
+    return mean, comps, evals_top / total_var
+
+
+def pca_project(
+    embeddings: DataFrame,
+    mean,
+    components,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    out_col: str = "proj",
+) -> DataFrame:
+    """Project each embedding onto fitted principal axes:
+    (id, proj array<double> of length r). The (r, d) component matrix
+    ships to executors inside the Arrow-batched pandas UDF closure
+    (broadcast-by-value — it is r*d doubles), and each batch is ONE
+    NumPy matmul: no shuffle, no per-row Python, the same scan-speed
+    shape as any derived-column pass."""
+    import numpy as np
+    import pandas as pd
+
+    mu = np.asarray(mean, dtype=np.float64)
+    w = np.asarray(components, dtype=np.float64).T  # (d, r)
+
+    def _proj_batch(v):
+        x = np.vstack(v.to_numpy()).astype(np.float64) - mu
+        return pd.Series(list(x @ w))
+
+    _proj = F.pandas_udf(_proj_batch, "array<double>")
+    return embeddings.select(F.col(id_col), _proj(F.col(vec_col)).alias(out_col))

@@ -813,6 +813,21 @@ LIMIT 15
 """
 
 
+def q_emb_pca(spark, sf_dir):
+    """Distributed PCA (fit r=4 via per-partition Gram partials + driver
+    eigh, project via one Arrow-batched matmul). Rows-only: no SQL engine
+    exposes an eigensolve, and eigenvector floats are not cross-engine
+    hashable — exactness vs a local NumPy fit and partition-invariance
+    are pinned in tests/test_similarity_index.py instead."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    mean, comps, _evr = similarity.pca_fit(emb, n_components=4)
+    out = similarity.pca_project(emb, mean, comps)
+    return out.select(
+        "vec_id",
+        F.transform(F.col("proj"), lambda x: F.round(x, 6)).alias("proj"),
+    )
+
+
 def q_topk_ivf(spark, sf_dir):
     return similarity.ivf_topk(
         load_table(spark, sf_dir, "embeddings"), TOPK_QUERY_ID, k=10, bits=IVF_BITS
@@ -2135,6 +2150,7 @@ QUERIES: dict = {
     "pipe_dedup_simhash": (q_dedup_simhash, _simhash_sql()),
     "pipe_sim_topk_brute": (q_topk_brute, _TOPK_BRUTE_SQL),
     "pipe_sim_filtered_topk": (q_sim_filtered_topk, _FILTERED_TOPK_SQL),
+    "pipe_emb_pca": (q_emb_pca, None),
     "pipe_sim_topk_ivf": (q_topk_ivf, _TOPK_IVF_SQL),
     "pipe_sim_topk_ivf_multiprobe": (q_topk_ivf_multiprobe, _TOPK_IVF_MULTIPROBE_SQL),
     "pipe_sim_cosine_near_dup": (q_cosine_near_dup, _COSINE_NEAR_DUP_SQL),
