@@ -1,0 +1,68 @@
+"""Distributed logistic regression: exactness and learning behavior.
+Cross-engine parity of the full training loop is covered by
+tests/test_oracle_parity.py::pipe_quality_logreg; these pin the operator
+semantics themselves."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from yat_geo_db_spark.pipelines.learn import logreg_fit_history, logreg_score
+
+
+def _toy(spark, n_parts):
+    # linearly separable in x1: y = 1 iff x1 > 0.5
+    rows = [
+        (i, 1.0, (i % 100) / 100.0, ((i * 7) % 100) / 100.0,
+         1.0 if (i % 100) / 100.0 > 0.5 else 0.0)
+        for i in range(400)
+    ]
+    return spark.createDataFrame(
+        rows, "id long, bias double, x1 double, x2 double, y double"
+    ).repartition(n_parts)
+
+
+def test_logreg_learns_separable_boundary(spark):
+    hist = logreg_fit_history(
+        _toy(spark, 4), ["bias", "x1", "x2"], "y", n_iter=8, lr=4.0
+    )
+    # loss decreases overall, accuracy beats the 0.51 majority floor
+    assert hist[-1]["loss"] < hist[0]["loss"]
+    assert hist[-1]["acc"] > 0.8
+    # the separating feature carries the dominant positive weight
+    w = hist[-1]["weights"]
+    assert w[1] > 0 and abs(w[1]) > abs(w[2])
+
+
+def test_logreg_weights_partition_invariant(spark):
+    """The exact fixed-point gradient sums make fitted weights BIT-equal
+    across partitionings — the property that lets the oracle reproduce
+    the loop (float sums would drift with partition order)."""
+    h3 = logreg_fit_history(_toy(spark, 3), ["bias", "x1", "x2"], "y", n_iter=4)
+    h11 = logreg_fit_history(_toy(spark, 11), ["bias", "x1", "x2"], "y", n_iter=4)
+    for a, b in zip(h3, h11):
+        assert a["weights"] == b["weights"]  # exact, not approx
+        assert a["loss"] == b["loss"] and a["acc"] == b["acc"]
+
+
+def test_logreg_score_matches_training_probabilities(spark):
+    df = _toy(spark, 2)
+    hist = logreg_fit_history(df, ["bias", "x1", "x2"], "y", n_iter=2, lr=1.0)
+    scored = logreg_score(df, ["bias", "x1", "x2"], hist[-1]["weights"])
+    out = scored.select("y", "p").collect()
+    assert all(0.0 <= r["p"] <= 1.0 for r in out)
+    # scoring with the fitted weights reproduces the accuracy the NEXT
+    # iteration would report (same margin fold, same rounding)
+    hist3 = logreg_fit_history(df, ["bias", "x1", "x2"], "y", n_iter=3, lr=1.0)
+    acc = (
+        scored.select(
+            F.round(
+                F.sum(
+                    (((F.col("p") >= 0.5) & (F.col("y") == 1.0))
+                     | ((F.col("p") < 0.5) & (F.col("y") == 0.0))).cast("long")
+                ) / F.count(F.lit(1)),
+                6,
+            ).alias("acc")
+        ).collect()[0]["acc"]
+    )
+    assert acc == hist3[-1]["acc"]

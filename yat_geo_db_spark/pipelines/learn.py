@@ -1,0 +1,114 @@
+"""Distributed model fitting with engine-exact arithmetic.
+
+The corpus-curation stack wants small learned models fit ON the cluster
+(quality classifiers a la fasttext/DSIR, not imported ones). The fits here
+follow the same discipline as `similarity.kmeans_fit`: every cross-row
+reduction is an exact fixed-point sum (`relational.queries.dsum`), so the
+fitted parameters are bit-stable across partitionings AND reproducible by
+the DuckDB oracle, which unrolls the training loop as chained CTEs — the
+training loop itself is hash-checked, not just the final predictions.
+
+Scale shape of one logistic-regression iteration: one scan computing
+per-row sigmoid + gradient contributions, ONE hash aggregation with
+map-side partial combine reducing to a single k+3-column row (k = number
+of features), one driver-side weight update of k doubles. No shuffle of
+rows, no N×k explosion; iterations stream over the cached feature table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+import pyspark.sql.functions as F
+
+from yat_geo_db_spark.relational.queries import dsum
+
+#: probability clamp keeping log-loss finite after 6-dp rounding
+P_EPS = 1e-6
+
+
+def sigmoid6(margin: Column) -> Column:
+    """Sigmoid rounded to 6 dp. The rounding is load-bearing for
+    cross-engine parity: libm exp() and java.lang.Math.exp() may differ
+    in the last ulp, and a raw p would leak that into the gradient sums;
+    6-dp rounding collapses both to the same value (a p landing within
+    one ulp of a 0.5e-6 boundary is the measure-zero residual risk)."""
+    return F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-margin)), 6)
+
+
+def logreg_fit_history(
+    features: DataFrame,
+    feature_cols: list[str],
+    label_col: str,
+    n_iter: int = 3,
+    lr: float = 0.5,
+) -> list[dict]:
+    """Batch gradient-descent logistic regression from zero weights.
+    Returns one dict per iteration: {"iter", "weights" (post-update),
+    "loss", "acc"} — loss/accuracy are computed with the PRE-update
+    weights, i.e. they describe the model the iteration started from.
+
+    Engine-exact by construction: the margin is an explicit left-to-right
+    fold over (weight, feature) products, p is `sigmoid6`, per-row
+    gradient contributions and the per-row 6-dp-rounded log-loss are
+    summed with `dsum` (fixed-point, partition-order-independent), and
+    the weight update `w - lr * (gsum / n)` is plain IEEE arithmetic the
+    SQL oracle repeats verbatim. Weights therefore match DuckDB
+    bit-for-bit at every iteration."""
+    w = [0.0] * len(feature_cols)
+    y = F.col(label_col).cast("double")
+    history: list[dict] = []
+    for it in range(1, n_iter + 1):
+        margin = F.lit(w[0]) * F.col(feature_cols[0])
+        for wj, c in zip(w[1:], feature_cols[1:]):
+            margin = margin + F.lit(wj) * F.col(c)
+        p = sigmoid6(margin)
+        pc = F.least(
+            F.greatest(p, F.lit(P_EPS)), F.lit(1.0 - P_EPS)
+        )
+        resid = p - y
+        loss_row = F.round(
+            -(y * F.log(pc) + (F.lit(1.0) - y) * F.log(F.lit(1.0) - pc)), 6
+        )
+        correct = (
+            ((p >= F.lit(0.5)) & (y == F.lit(1.0)))
+            | ((p < F.lit(0.5)) & (y == F.lit(0.0)))
+        ).cast("long")
+        n_rows = F.count(F.lit(1))
+        # loss/acc round INSIDE the engine (F.round), not in Python —
+        # Python's round() is banker's and would diverge from the SQL
+        # oracle's round() on exact halves
+        row = features.agg(
+            n_rows.alias("n"),
+            F.round(dsum(loss_row, 9) / n_rows, 6).alias("loss"),
+            F.round(F.sum(correct) / n_rows, 6).alias("acc"),
+            *[
+                dsum(resid * F.col(c), 9).alias(f"g{j}")
+                for j, c in enumerate(feature_cols)
+            ],
+        ).collect()[0]
+        n = row["n"]
+        w = [w[j] - lr * (row[f"g{j}"] / n) for j in range(len(feature_cols))]
+        history.append(
+            {
+                "iter": it,
+                "weights": list(w),
+                "loss": row["loss"],
+                "acc": row["acc"],
+            }
+        )
+    return history
+
+
+def logreg_score(
+    features: DataFrame,
+    feature_cols: list[str],
+    weights: list[float],
+    out_col: str = "p",
+) -> DataFrame:
+    """Score rows with fitted weights: adds `out_col` = sigmoid6(margin),
+    the same fold order as training — a pure derived-column pass that
+    runs at scan speed (no shuffle, no UDF)."""
+    margin = F.lit(weights[0]) * F.col(feature_cols[0])
+    for wj, c in zip(weights[1:], feature_cols[1:]):
+        margin = margin + F.lit(wj) * F.col(c)
+    return features.withColumn(out_col, sigmoid6(margin))

@@ -1125,6 +1125,144 @@ FROM (
 """
 
 
+def q_quality_logreg(spark, sf_dir):
+    """Distributed logistic-regression quality classifier (predict
+    long-form docs, n_chars >= 300, from a capped length feature +
+    stopword/distinct ratios), 4 batch-GD iterations from zero weights,
+    lr=2.0 — the boundary IS learnable from these features, so the
+    trajectory shows loss falling and accuracy climbing off the
+    majority-class floor. The whole TRAINING LOOP is hash-checked:
+    gradients are exact fixed-point sums and the sigmoid is 6-dp
+    rounded, so per-iteration weights match the oracle's unrolled-CTE
+    reproduction bit-for-bit. Output: one row per iteration
+    (post-update weights, pre-update loss/accuracy)."""
+    from yat_geo_db_spark.pipelines import learn
+
+    docs = load_table(spark, sf_dir, "documents")
+    feats = (
+        text.quality_features(docs)
+        .select(
+            "doc_id",
+            F.round(
+                F.least(
+                    F.col("n_tokens").cast("double") / F.lit(50.0), F.lit(1.0)
+                ),
+                6,
+            ).alias("len_feat"),
+            "stopword_ratio",
+            "distinct_token_ratio",
+        )
+        .join(
+            docs.select(
+                "doc_id", (F.col("n_chars") >= 300).cast("double").alias("y")
+            ),
+            "doc_id",
+        )
+        .withColumn("bias", F.lit(1.0))
+        .persist()
+    )
+    try:
+        hist = learn.logreg_fit_history(
+            feats,
+            ["bias", "len_feat", "stopword_ratio", "distinct_token_ratio"],
+            "y",
+            n_iter=4,
+            lr=2.0,
+        )
+    finally:
+        feats.unpersist()
+    rows = [
+        (h["iter"], *h["weights"], h["loss"], h["acc"]) for h in hist
+    ]
+    out = spark.createDataFrame(
+        rows,
+        "iter int, w_bias double, w_len double, w_stop double, "
+        "w_distinct double, loss double, acc double",
+    )
+    return out.select(
+        "iter",
+        *[
+            F.round(F.col(c), 6).alias(c)
+            for c in ("w_bias", "w_len", "w_stop", "w_distinct")
+        ],
+        "loss",
+        "acc",
+    )
+
+
+def _logreg_sql(n_iter: int = 4, lr: float = 2.0) -> str:
+    """Unrolled training loop: one (scored, aggregated, updated) CTE
+    triple per iteration, weights flowing between them as computed
+    doubles — every IEEE op written in the same order the Spark side
+    executes it (see pipelines.learn.logreg_fit_history)."""
+    from yat_geo_db_spark.queries.relational_queries import _dsum
+
+    ctes = [
+        f"""feats AS (
+  SELECT q.doc_id,
+         CASE WHEN d.n_chars >= 300 THEN CAST(1.0 AS DOUBLE)
+              ELSE CAST(0.0 AS DOUBLE) END AS y,
+         CAST(1.0 AS DOUBLE) AS bias,
+         round(least(CAST(q.n_tokens AS DOUBLE) / 50.0,
+                     CAST(1.0 AS DOUBLE)), 6) AS f1,
+         q.stopword_ratio AS f2,
+         q.distinct_token_ratio AS f3
+  FROM ({_TEXT_QUALITY_SQL}) q JOIN documents d ON q.doc_id = d.doc_id
+)""",
+        "it0 AS (SELECT CAST(0.0 AS DOUBLE) AS w0, CAST(0.0 AS DOUBLE) AS w1,"
+        " CAST(0.0 AS DOUBLE) AS w2, CAST(0.0 AS DOUBLE) AS w3)",
+    ]
+    margin = "(w.w0 * f.bias + w.w1 * f.f1 + w.w2 * f.f2 + w.w3 * f.f3)"
+    p = (
+        f"round(CAST(1.0 AS DOUBLE) / (CAST(1.0 AS DOUBLE) + exp(-{margin})), 6)"
+    )
+    # the clamp bound is COMPUTED (1.0 - 1e-6), never a decimal literal:
+    # the literal 0.999999 parses to a different double
+    pc = "least(greatest(p, 1e-6), CAST(1.0 AS DOUBLE) - 1e-6)"
+    lrow = (
+        f"round(-(y * ln({pc}) + (CAST(1.0 AS DOUBLE) - y) "
+        f"* ln(CAST(1.0 AS DOUBLE) - {pc})), 6)"
+    )
+    for i in range(1, n_iter + 1):
+        ctes.append(
+            f"""s{i} AS (
+  SELECT f.y, f.bias, f.f1, f.f2, f.f3, w.w0, w.w1, w.w2, w.w3, {p} AS p
+  FROM feats f CROSS JOIN it{i - 1} w
+)"""
+        )
+        ctes.append(
+            f"""a{i} AS (
+  SELECT count(*) AS n,
+         round({_dsum(lrow, 9)} / count(*), 6) AS loss,
+         round(sum(CASE WHEN (p >= 0.5 AND y = CAST(1.0 AS DOUBLE))
+                          OR (p < 0.5 AND y = CAST(0.0 AS DOUBLE))
+                        THEN 1 ELSE 0 END) / count(*), 6) AS acc,
+         {_dsum('(p - y) * bias', 9)} AS g0,
+         {_dsum('(p - y) * f1', 9)} AS g1,
+         {_dsum('(p - y) * f2', 9)} AS g2,
+         {_dsum('(p - y) * f3', 9)} AS g3,
+         any_value(w0) AS w0, any_value(w1) AS w1,
+         any_value(w2) AS w2, any_value(w3) AS w3
+  FROM s{i}
+)"""
+        )
+        ctes.append(
+            f"""it{i} AS (
+  SELECT w0 - {lr} * (g0 / n) AS w0, w1 - {lr} * (g1 / n) AS w1,
+         w2 - {lr} * (g2 / n) AS w2, w3 - {lr} * (g3 / n) AS w3,
+         loss, acc
+  FROM a{i}
+)"""
+        )
+    final = "\nUNION ALL\n".join(
+        f"SELECT {i} AS iter, round(w0, 6) AS w_bias, round(w1, 6) AS w_len,"
+        f" round(w2, 6) AS w_stop, round(w3, 6) AS w_distinct, loss, acc"
+        f" FROM it{i}"
+        for i in range(1, n_iter + 1)
+    )
+    return "WITH " + ",\n".join(ctes) + "\n" + final
+
+
 def q_source_quality_profile(spark, sf_dir):
     """Per-source quality report card + wholesale keep/drop verdict
     (RefinedWeb-style domain filtering over the doc-level signals).
@@ -2151,6 +2289,7 @@ QUERIES: dict = {
     "pipe_sim_topk_brute": (q_topk_brute, _TOPK_BRUTE_SQL),
     "pipe_sim_filtered_topk": (q_sim_filtered_topk, _FILTERED_TOPK_SQL),
     "pipe_emb_pca": (q_emb_pca, None),
+    "pipe_quality_logreg": (q_quality_logreg, _logreg_sql()),
     "pipe_sim_topk_ivf": (q_topk_ivf, _TOPK_IVF_SQL),
     "pipe_sim_topk_ivf_multiprobe": (q_topk_ivf_multiprobe, _TOPK_IVF_MULTIPROBE_SQL),
     "pipe_sim_cosine_near_dup": (q_cosine_near_dup, _COSINE_NEAR_DUP_SQL),
