@@ -93,6 +93,10 @@ def main() -> None:
         timings[name] = round(best, 3)
         total += best
         print(f"# {name}: {best:.3f}s", file=sys.stderr)
+        # a query's persisted indexes help ITS second run, then become
+        # dead weight that evicts later queries' working sets (observed:
+        # kmeans 2.0 s isolated vs 4.8 s late in the bench) — drop them
+        spark.catalog.clearCache()
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(

@@ -1274,3 +1274,49 @@ def remove_repeated_spans(
         .join(reassembled, id_col, "left")
         .select(id_col, F.coalesce(text_col, F.lit("")).alias(text_col))
     )
+
+
+def incremental_corpus_merge(
+    corpus: DataFrame,
+    batch: DataFrame,
+    threshold: float = 0.5,
+    w: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Daily-increment corpus update: return ``corpus UNION (batch docs
+    that survive dedup)``, flagged with ``is_new``. A batch doc survives
+    iff it near-duplicates (verified shingle-Jaccard >= threshold)
+    neither any corpus doc NOR any lower-id batch doc — so re-ingesting
+    overlapping crawls never grows the corpus with near-twins, without
+    ever re-deduplicating the existing corpus against itself.
+
+    The intra-batch rule is the PAIRWISE one (drop the higher id of any
+    qualifying pair, whether or not the lower id itself survives):
+    deterministic, one band self-join, no iteration. Component-canonical
+    semantics (keep one per connected near-dup cluster) are available by
+    composing `connected_components` — the pairwise rule is the
+    scale-cheapest and the difference only shows on chains A~B~C where
+    A!~C.
+
+    Scale shape: the corpus band index is built once (persist it across
+    days — see band_table/near_dup_filter); each day's cost is banding
+    the BATCH (small), one batch self-join, and one batch-vs-index
+    equi-join. The corpus text never reshuffles; it flows straight to
+    the output union."""
+    intra_drop = (
+        minhash_lsh_pairs(batch, threshold, w, text_col)
+        .select(F.col("id2").alias(id_col))
+        .distinct()
+    )
+    survivors = near_dup_filter(
+        batch.join(intra_drop, id_col, "left_anti"),
+        band_table(corpus, w, text_col, id_col),
+        threshold,
+        w,
+        text_col,
+        id_col,
+    )
+    return corpus.withColumn("is_new", F.lit(False)).unionByName(
+        survivors.withColumn("is_new", F.lit(True))
+    )

@@ -389,6 +389,69 @@ WHERE doc_id >= {DECON_SPLIT}
 
 
 
+def q_dedup_merge_increment(spark, sf_dir):
+    """Daily-increment corpus merge: lower-half docs are the standing
+    corpus, upper-half the incoming batch; a batch doc joins the corpus
+    iff it near-dups neither the corpus nor a lower-id batch doc.
+    Output = the updated corpus with provenance flags."""
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") < DECON_SPLIT)
+    batch = docs.filter(F.col("doc_id") >= DECON_SPLIT)
+    merged = dedup.incremental_corpus_merge(
+        corpus, batch, threshold=MINHASH_T
+    )
+    return merged.select("doc_id", "is_new")
+
+
+def _merge_increment_sql() -> str:
+    rows = len(MINHASH_PERMS) // MINHASH_BANDS
+    grams = _shingles("text")
+    mins = ", ".join(
+        f"CASE WHEN len(hashes) > 0 THEN "
+        f"list_min(list_transform(hashes, h -> (h * {a} + {b}) % {FNV_MOD})) "
+        f"ELSE {FNV_MOD} END"
+        for a, b in MINHASH_PERMS
+    )
+    bands = "\n  UNION ALL ".join(
+        f"SELECT doc_id, {bi} AS band, sig[{bi * rows + 1}:{bi * rows + rows}]"
+        f" AS bsig FROM sig"
+        for bi in range(MINHASH_BANDS)
+    )
+    jac_ok = """round(
+      CASE WHEN len(ga.grams) + len(gb.grams)
+                - len(list_intersect(ga.grams, gb.grams)) > 0
+           THEN CAST(len(list_intersect(ga.grams, gb.grams)) AS DOUBLE)
+                / (len(ga.grams) + len(gb.grams)
+                   - len(list_intersect(ga.grams, gb.grams)))
+           ELSE 0.0 END, 6)"""
+    return f"""
+WITH base AS (
+  SELECT doc_id,
+         list_distinct({grams}) AS grams,
+         list_distinct(list_transform({grams}, g -> {_sh('g')})) AS hashes
+  FROM documents
+),
+sig AS (SELECT doc_id, grams, [{mins}] AS sig FROM base),
+banded AS (
+  {bands}
+),
+dropped AS (
+  SELECT DISTINCT a.doc_id
+  FROM banded a
+  JOIN banded b ON a.band = b.band AND a.bsig = b.bsig
+  JOIN base ga ON ga.doc_id = a.doc_id
+  JOIN base gb ON gb.doc_id = b.doc_id
+  WHERE a.doc_id >= {DECON_SPLIT}
+    AND (b.doc_id < {DECON_SPLIT}
+         OR (b.doc_id >= {DECON_SPLIT} AND b.doc_id < a.doc_id))
+    AND {jac_ok} >= {MINHASH_T}
+)
+SELECT doc_id, doc_id >= {DECON_SPLIT} AS is_new FROM documents
+WHERE doc_id < {DECON_SPLIT}
+   OR doc_id NOT IN (SELECT doc_id FROM dropped)
+"""
+
+
 def q_decon_exact_ngram(spark, sf_dir):
     """GPT-3-style exact decontamination: upper-half docs surviving after
     dropping any doc that shares an exact 13-token n-gram with the
@@ -2281,6 +2344,7 @@ QUERIES: dict = {
     "pipe_text_dsir_importance": (q_text_dsir, _DSIR_SQL),
     "pipe_dedup_minhash_lsh": (q_dedup_minhash, _minhash_sql()),
     "pipe_dedup_decontaminate": (q_dedup_decontaminate, _decontaminate_sql()),
+    "pipe_dedup_merge_increment": (q_dedup_merge_increment, _merge_increment_sql()),
     "pipe_dedup_contamination_report": (
         q_dedup_contamination_report,
         _contamination_report_sql(),
