@@ -62,3 +62,32 @@ def test_mixture_resample_multiplicity(spark):
     assert abs(total - 250) <= 15  # hash-gated fraction ~ 0.5
     for k, v in per_doc.items():
         assert sorted(v) == list(range(len(v)))
+
+
+def test_keyword_search_scan_equals_indexed(spark):
+    """The inverted-index serving form returns exactly the pure-scan
+    form's rows (ids AND scores), including multi-occurrence terms."""
+    from yat_geo_db_spark.pipelines.text import (
+        keyword_search_indexed,
+        keyword_search_scan,
+        postings_table,
+    )
+    from yat_geo_db_spark.testdata import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    terms = ["data", "table", "join"]
+    scan = {
+        (r["doc_id"], r["score"])
+        for r in keyword_search_scan(docs, terms).collect()
+    }
+    idx = {
+        (r["doc_id"], r["score"])
+        for r in keyword_search_indexed(postings_table(docs), terms).collect()
+    }
+    assert scan == idx and scan  # identical and non-vacuous
+    # duplicate query terms don't change AND semantics
+    dup = {
+        (r["doc_id"], r["score"])
+        for r in keyword_search_scan(docs, ["data", "data", "table", "join"]).collect()
+    }
+    assert dup == scan

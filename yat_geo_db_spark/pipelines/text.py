@@ -822,3 +822,74 @@ def cap_per_source(
     ).withColumn("src_rank", F.row_number().over(w))
     cols = ["doc_id", source_col, "quality_score", "src_rank"]
     return ranked_hot.select(*cols).unionByName(ranked_cold.select(*cols))
+
+
+def postings_table(
+    documents: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Corpus inverted index: (token, doc_id, tf). The generalization of
+    the reference's fuzzy postings (geo_manager.py:455-460 builds
+    trigram→entity postings) from one search table to the whole corpus.
+    Built with one explode + one hash aggregation; at scale, write it
+    partitioned/bucketed BY TOKEN so a query's term lookups are pruned
+    scans and the per-term posting lists arrive co-located."""
+    toks = tokens_col(F.col(text_col))
+    return (
+        documents.select(F.col(id_col), F.explode(toks).alias("token"))
+        .groupBy("token", id_col)
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+
+
+def keyword_search_scan(
+    documents: DataFrame,
+    terms: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Boolean AND keyword search as a PURE SCAN: a doc matches iff every
+    term occurs; score = total occurrences of all query terms. No
+    shuffle, no index — the right form for one-off queries (the whole
+    corpus streams through codegen once). Returns (id, score)."""
+    toks = tokens_col(F.col(text_col))
+    terms_arr = F.array(*[F.lit(t) for t in sorted(terms)])
+    hits = F.filter(toks, lambda t: F.array_contains(terms_arr, t))
+    return (
+        documents.select(
+            F.col(id_col),
+            F.size(hits).cast("long").alias("score"),
+            F.size(F.array_distinct(hits)).alias("_nterms"),
+        )
+        .filter(F.col("_nterms") == len(set(terms)))
+        .drop("_nterms")
+    )
+
+
+def keyword_search_indexed(
+    postings: DataFrame,
+    terms: list[str],
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The same AND query against a prebuilt `postings_table` — the
+    serving form when the corpus is static and queries are many: the
+    tiny term list broadcasts into the postings scan (with a
+    token-partitioned layout the non-matching partitions are pruned
+    before any file opens), only the matching postings rows shuffle to
+    the per-doc count, and the AND is `count(distinct matched terms) ==
+    |terms|`. Row-identical to `keyword_search_scan` (asserted in
+    test_text_ops)."""
+    uniq = sorted(set(terms))
+    spark = postings.sparkSession
+    t = F.broadcast(
+        spark.createDataFrame([(x,) for x in uniq], "token string")
+    )
+    return (
+        postings.join(t, "token")
+        .groupBy(id_col)
+        .agg(
+            F.sum("tf").alias("score"),
+            F.count(F.lit(1)).alias("_nterms"),
+        )
+        .filter(F.col("_nterms") == len(uniq))
+        .drop("_nterms")
+    )

@@ -1407,6 +1407,32 @@ FROM (
 """
 
 
+KW_TERMS = ("data", "table", "join")
+
+
+def q_text_keyword_search(spark, sf_dir):
+    """Boolean AND keyword search served from the corpus inverted index
+    (postings built in the same job here; persisted token-partitioned at
+    scale). Score = total occurrences of all query terms. The scan form
+    is row-identical (asserted in test_text_ops)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.keyword_search_indexed(
+        text.postings_table(docs), list(KW_TERMS)
+    )
+
+
+_KEYWORD_SEARCH_SQL = f"""
+SELECT doc_id,
+       CAST(len(list_filter(toks, t ->
+           list_contains({sql_str_list(sorted(KW_TERMS))}, t))) AS BIGINT)
+         AS score
+FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+WHERE len(list_distinct(list_filter(toks, t ->
+          list_contains({sql_str_list(sorted(KW_TERMS))}, t))))
+      = {len(set(KW_TERMS))}
+"""
+
+
 def q_text_lang_id(spark, sf_dir):
     return text.lang_id(load_table(spark, sf_dir, "documents"))
 
@@ -2379,6 +2405,7 @@ QUERIES: dict = {
     "pipe_text_quality": (q_text_quality, _TEXT_QUALITY_SQL),
     "pipe_text_repetition": (q_text_repetition, _repetition_sql()),
     "pipe_text_lang_id": (q_text_lang_id, _lang_id_sql()),
+    "pipe_text_keyword_search": (q_text_keyword_search, _KEYWORD_SEARCH_SQL),
     "pipe_text_fingerprint": (q_text_fingerprint, _TEXT_FINGERPRINT_SQL),
     "pipe_text_tfidf": (q_text_tfidf, _TEXT_TFIDF_SQL),
     "pipe_text_clean": (q_text_clean, _TEXT_CLEAN_SQL),
