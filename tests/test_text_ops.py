@@ -91,3 +91,44 @@ def test_keyword_search_scan_equals_indexed(spark):
         for r in keyword_search_scan(docs, ["data", "data", "table", "join"]).collect()
     }
     assert dup == scan
+
+
+def test_winnowing_guarantee_and_edges(spark):
+    """The winnowing guarantee: docs sharing a substring of length >=
+    w + k - 1 share at least one fingerprint, wherever the substring
+    sits. Plus the short-doc edge cases."""
+    import random
+
+    from yat_geo_db_spark.pipelines.text import winnowing_fingerprints
+
+    k, w = 5, 4
+    rng = random.Random(42)
+    alpha = "abcdefghijklmnopqrstuvwxyz"
+    rows, expect_pairs = [], []
+    did = 0
+    for case in range(10):
+        shared = "".join(rng.choice(alpha) for _ in range(w + k - 1))
+        pre1 = "".join(rng.choice(alpha) for _ in range(rng.randint(0, 20)))
+        suf1 = "".join(rng.choice(alpha) for _ in range(rng.randint(0, 20)))
+        pre2 = "".join(rng.choice(alpha) for _ in range(rng.randint(0, 20)))
+        suf2 = "".join(rng.choice(alpha) for _ in range(rng.randint(0, 20)))
+        rows += [(did, pre1 + shared + suf1), (did + 1, pre2 + shared + suf2)]
+        expect_pairs.append((did, did + 1))
+        did += 2
+    # edges: shorter than k -> empty; k <= len < k + w - 1 -> one window
+    rows += [(900, "abc"), (901, "abcdefg")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: set(r["fingerprints"])
+        for r in winnowing_fingerprints(docs, k=k, w=w).collect()
+    }
+    for a, b in expect_pairs:
+        assert out[a] & out[b], f"docs {a},{b} share an 8-char substring"
+    assert out[900] == set()
+    assert len(out[901]) == 1
+    # density: winnowing keeps ~2/(w+1) of positions, far fewer than all
+    long_doc = rows[0][1] * 5
+    dense = spark.createDataFrame([(0, long_doc)], "doc_id long, text string")
+    row = winnowing_fingerprints(dense, k=k, w=w).collect()[0]
+    n_positions = len(long_doc) - k + 1
+    assert row["n_fp"] < n_positions / 2

@@ -893,3 +893,64 @@ def keyword_search_indexed(
         .filter(F.col("_nterms") == len(uniq))
         .drop("_nterms")
     )
+
+
+def winnowing_fingerprints(
+    documents: DataFrame,
+    k: int = 5,
+    w: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
+    SIGMOD'03 — the MOSS algorithm): hash every char k-gram, slide a
+    w-hash window, keep each window's minimum. The selected set carries
+    the winnowing GUARANTEE: any substring two docs share of length >=
+    w + k - 1 chars contributes at least one common fingerprint, while
+    only ~2/(w+1) of positions are kept — local, position-robust
+    fingerprints for plagiarism-style overlap detection where global
+    (whole-doc) fingerprints break on any edit.
+
+    Plan: posexplode k-grams → hash each ONCE → groupBy(id) rebuilds the
+    positional hash sequence (the aggregation shuffle is the
+    materialization barrier that keeps the per-gram fold out of the
+    sliding-window lambdas — see dedup.gram_hash_table); the window mins
+    are then array ops over the materialized sequence, O(w) per
+    position. Docs shorter than one window keep min(all hashes); docs
+    shorter than k get an empty set."""
+    from yat_geo_db_spark.pipelines.dedup import char_ngrams, shingle_hash
+
+    g = char_ngrams(F.col(text_col), k)
+    hashed = documents.select(
+        F.col(id_col), F.posexplode(g).alias("pos", "g")
+    ).select(id_col, "pos", shingle_hash(F.col("g")).alias("h"))
+    seq = hashed.groupBy(id_col).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "h"))),
+            lambda s: s["h"],
+        ).alias("hs")
+    )
+    seq = (
+        documents.select(id_col)
+        .join(seq, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("hs", F.array().cast("array<long>")).alias("hs"),
+        )
+    )
+    h = F.col("hs")
+    nh = F.size(h)
+    mins = F.transform(
+        F.sequence(F.lit(1), nh - (w - 1)),
+        lambda i: F.array_min(F.slice(h, i, w)),
+    )
+    fps = F.array_sort(
+        F.array_distinct(
+            F.when(nh == 0, F.array().cast("array<long>"))
+            .when(nh < w, F.array(F.array_min(h)))
+            .otherwise(mins)
+        )
+    )
+    return seq.select(
+        id_col, fps.alias("fingerprints"), F.size(fps).alias("n_fp")
+    )

@@ -1433,6 +1433,55 @@ WHERE len(list_distinct(list_filter(toks, t ->
 """
 
 
+#: winnowing parameters: char 5-grams, window of 4 → guarantee threshold
+#: w + k - 1 = 8 shared chars
+WINNOW_K = 5
+WINNOW_W = 4
+
+
+def q_text_winnowing(spark, sf_dir):
+    """MOSS-style winnowing fingerprints per document (k=5 char-grams,
+    w=4 windows): the local-overlap detection primitive — any 8+-char
+    shared substring guarantees a shared fingerprint. Output folds the
+    sorted fingerprint set into a scalar digest (array columns don't
+    survive the driver's value canonicalizer), so the hash check still
+    covers every selected fingerprint."""
+    out = text.winnowing_fingerprints(
+        load_table(spark, sf_dir, "documents"), k=WINNOW_K, w=WINNOW_W
+    )
+    digest = F.aggregate(
+        F.col("fingerprints"),
+        F.lit(0).cast("long"),
+        lambda acc, v: (acc * FNV_BASE + v) % FNV_MOD,
+    )
+    return out.select("doc_id", "n_fp", digest.alias("fp_digest"))
+
+
+def _winnowing_sql() -> str:
+    k, w = WINNOW_K, WINNOW_W
+    grams = grams_sql("text", distinct=False, n=k)
+    return f"""
+WITH hs AS (
+  SELECT doc_id, list_transform({grams}, g -> {_sh('g')}) AS h
+  FROM documents
+),
+fp AS (
+  SELECT doc_id,
+    CASE WHEN len(h) = 0 THEN CAST([] AS BIGINT[])
+         WHEN len(h) < {w} THEN [list_min(h)]
+         ELSE list_sort(list_distinct(
+           list_transform(range(1, len(h) - {w - 2}),
+                          i -> list_min(h[i:i + {w - 1}]))))
+    END AS fingerprints
+  FROM hs
+)
+SELECT doc_id, CAST(len(fingerprints) AS INT) AS n_fp,
+  list_reduce(list_prepend(CAST(0 AS BIGINT), fingerprints),
+              (a, b) -> (a * {FNV_BASE} + b) % {FNV_MOD}) AS fp_digest
+FROM fp
+"""
+
+
 def q_text_lang_id(spark, sf_dir):
     return text.lang_id(load_table(spark, sf_dir, "documents"))
 
@@ -2406,6 +2455,7 @@ QUERIES: dict = {
     "pipe_text_repetition": (q_text_repetition, _repetition_sql()),
     "pipe_text_lang_id": (q_text_lang_id, _lang_id_sql()),
     "pipe_text_keyword_search": (q_text_keyword_search, _KEYWORD_SEARCH_SQL),
+    "pipe_text_winnowing": (q_text_winnowing, _winnowing_sql()),
     "pipe_text_fingerprint": (q_text_fingerprint, _TEXT_FINGERPRINT_SQL),
     "pipe_text_tfidf": (q_text_tfidf, _TEXT_TFIDF_SQL),
     "pipe_text_clean": (q_text_clean, _TEXT_CLEAN_SQL),
