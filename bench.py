@@ -54,6 +54,12 @@ HEADLINE = [
     "pipe_text_dsir_importance",
     "pipe_decon_exact_ngram",
     "pipe_dedup_lines",
+    # round-3 session-2 additions (tail, same comparability rule)
+    "pipe_sim_filtered_topk",
+    "pipe_quality_logreg",
+    "pipe_dedup_merge_increment",
+    "pipe_text_winnowing",
+    "pipe_text_bm25",
 ]
 
 

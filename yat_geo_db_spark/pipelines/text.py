@@ -954,3 +954,78 @@ def winnowing_fingerprints(
     return seq.select(
         id_col, fps.alias("fingerprints"), F.size(fps).alias("n_fp")
     )
+
+
+def bm25_topk(
+    documents: DataFrame,
+    terms: list[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """BM25 ranked retrieval (Robertson/Sparck Jones; OR semantics): every
+    doc containing at least one query term, top-k by
+    ``sum_t idf(t) * tf*(k1+1) / (tf + k1*(1-b+b*dl/avgdl))`` with
+    idf(t) = ln(1 + (N-df+0.5)/(df+0.5)) — the standard search-engine
+    scoring baseline, served from the same explode the inverted index
+    builds on.
+
+    Plan: one token explode feeds three hash aggregations — per-(doc,
+    term) tf RESTRICTED to the broadcast query terms, per-doc length,
+    per-query-term df — plus a one-row (N, avgdl) aggregate that
+    broadcasts; joins are keyed on their group keys and the final top-k
+    is TakeOrderedAndProject. Cross-engine exactness: idf rounds at 6 dp
+    (ln differs in the last ulp across libms), the ≤|terms| per-doc
+    contributions combine through an exact fixed-point sum (float
+    addition order would otherwise depend on partitioning), and derived
+    constants like k1+1 are COMPUTED from the base literals on both
+    engines, never re-parsed from a decimal string."""
+    uniq = sorted(set(terms))
+    spark = documents.sparkSession
+    tdf = F.broadcast(
+        spark.createDataFrame([(x,) for x in uniq], "token string")
+    )
+    tok = documents.select(
+        F.col(id_col), F.explode(tokens_col(F.col(text_col))).alias("token")
+    )
+    tf = (
+        tok.join(tdf, "token")
+        .groupBy(id_col, "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dl = tok.groupBy(id_col).agg(F.count(F.lit(1)).alias("dl"))
+    df_t = (
+        tok.join(tdf, "token")
+        .groupBy("token")
+        .agg(F.countDistinct(id_col).alias("df"))
+    )
+    stats = documents.agg(F.count(F.lit(1)).alias("n_docs")).crossJoin(
+        dl.agg((F.sum("dl") / F.count(F.lit(1))).alias("avgdl"))
+    )
+    idf = F.round(
+        F.log(
+            F.lit(1.0)
+            + (F.col("n_docs") - F.col("df") + F.lit(0.5))
+            / (F.col("df") + F.lit(0.5))
+        ),
+        6,
+    )
+    norm = (F.lit(1.0) - F.lit(b)) + F.lit(b) * (
+        F.col("dl") / F.col("avgdl")
+    )
+    contrib = idf * (
+        (F.col("tf") * (F.lit(k1) + F.lit(1.0)))
+        / (F.col("tf") + F.lit(k1) * norm)
+    )
+    from yat_geo_db_spark.relational.queries import dsum
+
+    scored = (
+        tf.join(dl, id_col)
+        .join(F.broadcast(df_t), "token")
+        .crossJoin(F.broadcast(stats))
+        .groupBy(id_col)
+        .agg(F.round(dsum(contrib, 9), 6).alias("score"))
+    )
+    return scored.orderBy(F.desc("score"), F.asc(id_col)).limit(k)

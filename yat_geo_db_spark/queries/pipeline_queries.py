@@ -1482,6 +1482,52 @@ FROM fp
 """
 
 
+def q_text_bm25(spark, sf_dir):
+    """BM25 top-15 for the 3-term query (OR semantics) — ranked
+    retrieval over the corpus, exact to the oracle via 6-dp idf and
+    fixed-point per-doc term sums."""
+    return text.bm25_topk(
+        load_table(spark, sf_dir, "documents"), list(KW_TERMS), k=15
+    )
+
+
+def _bm25_sql(k: int = 15, k1: float = 1.2, b: float = 0.75) -> str:
+    from yat_geo_db_spark.queries.relational_queries import _dsum
+
+    terms = sql_str_list(sorted(set(KW_TERMS)))
+    idf = (
+        "round(ln(CAST(1.0 AS DOUBLE) + (n_docs - df + 0.5) / (df + 0.5)), 6)"
+    )
+    norm = f"((CAST(1.0 AS DOUBLE) - {b}) + {b} * (dl / avgdl))"
+    contrib = (
+        f"{idf} * ((tf * ({k1} + CAST(1.0 AS DOUBLE)))"
+        f" / (tf + {k1} * {norm}))"
+    )
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+),
+tf AS (
+  SELECT doc_id, token, count(*) AS tf FROM tok
+  WHERE list_contains({terms}, token) GROUP BY doc_id, token
+),
+dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+dft AS (
+  SELECT token, count(DISTINCT doc_id) AS df FROM tok
+  WHERE list_contains({terms}, token) GROUP BY token
+),
+stats AS (
+  SELECT (SELECT count(*) FROM documents) AS n_docs,
+         (SELECT sum(dl) / count(*) FROM dl) AS avgdl
+)
+SELECT doc_id, round({_dsum(contrib, 9)}, 6) AS score
+FROM tf JOIN dl USING (doc_id) JOIN dft USING (token) CROSS JOIN stats
+GROUP BY doc_id
+ORDER BY score DESC, doc_id
+LIMIT {k}
+"""
+
+
 def q_text_lang_id(spark, sf_dir):
     return text.lang_id(load_table(spark, sf_dir, "documents"))
 
@@ -2456,6 +2502,7 @@ QUERIES: dict = {
     "pipe_text_lang_id": (q_text_lang_id, _lang_id_sql()),
     "pipe_text_keyword_search": (q_text_keyword_search, _KEYWORD_SEARCH_SQL),
     "pipe_text_winnowing": (q_text_winnowing, _winnowing_sql()),
+    "pipe_text_bm25": (q_text_bm25, _bm25_sql()),
     "pipe_text_fingerprint": (q_text_fingerprint, _TEXT_FINGERPRINT_SQL),
     "pipe_text_tfidf": (q_text_tfidf, _TEXT_TFIDF_SQL),
     "pipe_text_clean": (q_text_clean, _TEXT_CLEAN_SQL),
