@@ -132,3 +132,44 @@ def test_winnowing_guarantee_and_edges(spark):
     row = winnowing_fingerprints(dense, k=k, w=w).collect()[0]
     n_positions = len(long_doc) - k + 1
     assert row["n_fp"] < n_positions / 2
+
+
+def test_phrase_search_scan_equals_indexed(spark):
+    from yat_geo_db_spark.pipelines.text import (
+        phrase_search_indexed,
+        phrase_search_scan,
+        positional_postings,
+    )
+    from yat_geo_db_spark.testdata import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    phrase = ["agg", "row"]
+    scan = {
+        (r["doc_id"], r["n_occurrences"])
+        for r in phrase_search_scan(docs, phrase).collect()
+    }
+    idx = {
+        (r["doc_id"], r["n_occurrences"])
+        for r in phrase_search_indexed(
+            positional_postings(docs), phrase
+        ).collect()
+    }
+    assert scan == idx and scan
+    assert any(n > 1 for _, n in scan)  # occurrence counting is exercised
+    # overlapping occurrences count per starting position ("a a a" has 2 "a a")
+    tiny = spark.createDataFrame(
+        [(1, "a a a b"), (2, "b a b"), (3, "a b a b a")],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["doc_id"], r["n_occurrences"])
+        for r in phrase_search_scan(tiny, ["a", "a"]).collect()
+    }
+    assert got == {(1, 2)}
+    got3 = {
+        (r["doc_id"], r["n_occurrences"])
+        for r in phrase_search_indexed(
+            positional_postings(tiny), ["a", "b", "a"]
+        ).collect()
+    }
+    assert got3 == {(3, 2)}

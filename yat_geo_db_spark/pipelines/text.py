@@ -1029,3 +1029,57 @@ def bm25_topk(
         .agg(F.round(dsum(contrib, 9), 6).alias("score"))
     )
     return scored.orderBy(F.desc("score"), F.asc(id_col)).limit(k)
+
+
+def positional_postings(
+    documents: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Positional inverted index: (token, doc_id, pos) — the phrase-query
+    extension of `postings_table`. At scale, store partitioned BY TOKEN
+    (like the plain postings): a phrase query then opens only its own
+    terms' partitions."""
+    toks = tokens_col(F.col(text_col))
+    return documents.select(
+        F.col(id_col), F.posexplode(toks).alias("pos", "token")
+    ).select("token", id_col, "pos")
+
+
+def phrase_search_scan(
+    documents: DataFrame,
+    phrase: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact-phrase search as a pure scan: occurrences of the consecutive
+    token sequence = count of w-token shingles equal to the joined
+    phrase (w = len(phrase)). One codegen pass, no shuffle. Returns
+    (id, n_occurrences) for matching docs."""
+    w = len(phrase)
+    target = " ".join(phrase)
+    sh = token_shingles_col(F.col(text_col), w)
+    n = F.size(F.filter(sh, lambda s: s == F.lit(target)))
+    return (
+        documents.select(F.col(id_col), n.cast("long").alias("n_occurrences"))
+        .filter(F.col("n_occurrences") > 0)
+    )
+
+
+def phrase_search_indexed(
+    postings: DataFrame, phrase: list[str], id_col: str = "doc_id"
+) -> DataFrame:
+    """The same phrase query against a `positional_postings` index: the
+    classic positional-intersection plan — term i's postings shift to
+    (doc, pos - i) and the phrase's occurrences are the (doc, pos) keys
+    surviving every join. Only the PHRASE TERMS' posting lists ever
+    shuffle (keyed on (doc, pos), AQE-splittable); with a
+    token-partitioned layout each term list is a pruned scan.
+    Row-identical to `phrase_search_scan` (asserted in test_text_ops)."""
+    cur = None
+    for i, t in enumerate(phrase):
+        pi = postings.filter(F.col("token") == t).select(
+            id_col, (F.col("pos") - F.lit(i)).alias("pos")
+        )
+        cur = pi if cur is None else cur.join(pi, [id_col, "pos"])
+    return cur.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_occurrences")
+    )

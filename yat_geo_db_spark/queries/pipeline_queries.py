@@ -1528,6 +1528,34 @@ LIMIT {k}
 """
 
 
+PHRASE = ("agg", "row")
+
+
+def q_text_phrase_search(spark, sf_dir):
+    """Exact-phrase search served from the positional inverted index
+    (positional-intersection joins); the pure-scan shingle form is
+    row-identical (asserted in test_text_ops). The fixture phrase has
+    multi-occurrence docs at every SF, so occurrence counts are
+    exercised, not just membership."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.phrase_search_indexed(
+        text.positional_postings(docs), list(PHRASE)
+    )
+
+
+#: the shingle construction below is written for the 2-token fixture
+#: phrase; phrase_search_* themselves are length-generic
+_PHRASE_SEARCH_SQL = f"""
+SELECT doc_id, n_occurrences FROM (
+  SELECT doc_id, CAST(len(list_filter(
+           list_transform(range(1, len(toks)),
+                          i -> toks[i] || ' ' || toks[i + 1]),
+           s -> s = '{" ".join(PHRASE)}')) AS BIGINT) AS n_occurrences
+  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+) WHERE n_occurrences > 0
+"""
+
+
 def q_text_lang_id(spark, sf_dir):
     return text.lang_id(load_table(spark, sf_dir, "documents"))
 
@@ -2503,6 +2531,7 @@ QUERIES: dict = {
     "pipe_text_keyword_search": (q_text_keyword_search, _KEYWORD_SEARCH_SQL),
     "pipe_text_winnowing": (q_text_winnowing, _winnowing_sql()),
     "pipe_text_bm25": (q_text_bm25, _bm25_sql()),
+    "pipe_text_phrase_search": (q_text_phrase_search, _PHRASE_SEARCH_SQL),
     "pipe_text_fingerprint": (q_text_fingerprint, _TEXT_FINGERPRINT_SQL),
     "pipe_text_tfidf": (q_text_tfidf, _TEXT_TFIDF_SQL),
     "pipe_text_clean": (q_text_clean, _TEXT_CLEAN_SQL),
