@@ -1556,6 +1556,21 @@ SELECT doc_id, n_occurrences FROM (
 """
 
 
+def q_text_bpe(spark, sf_dir):
+    """Real BPE end-to-end: train 8 merge rules on the corpus (one
+    corpus-scale word-freq pass, then vocabulary-bounded iterations),
+    encode every doc with them. Output (doc_id, n_bpe_tokens,
+    token_digest) — the digest folds the full subword sequence, so any
+    tokenization drift shows. Rows-only: DuckDB's list ops can't replay
+    the nested merge loop; the trainer and encoder are instead pinned
+    against a pure-Python reference in tests/test_tokenize.py."""
+    from yat_geo_db_spark.pipelines import tokenize
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = tokenize.bpe_train(docs, n_merges=8)
+    return tokenize.bpe_encode(docs, merges)
+
+
 def q_text_lang_id(spark, sf_dir):
     return text.lang_id(load_table(spark, sf_dir, "documents"))
 
@@ -2532,6 +2547,7 @@ QUERIES: dict = {
     "pipe_text_winnowing": (q_text_winnowing, _winnowing_sql()),
     "pipe_text_bm25": (q_text_bm25, _bm25_sql()),
     "pipe_text_phrase_search": (q_text_phrase_search, _PHRASE_SEARCH_SQL),
+    "pipe_text_bpe": (q_text_bpe, None),
     "pipe_text_fingerprint": (q_text_fingerprint, _TEXT_FINGERPRINT_SQL),
     "pipe_text_tfidf": (q_text_tfidf, _TEXT_TFIDF_SQL),
     "pipe_text_clean": (q_text_clean, _TEXT_CLEAN_SQL),
