@@ -319,3 +319,19 @@ def test_filtered_topk_predicate_pushed_and_semi_join(spark):
     assert "lang" in pushed and "n_chars" in pushed
     assert "LeftSemi" in plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_bm25_single_corpus_scan(spark):
+    """BM25 reads the corpus ONCE: per-term tfs are conditional sums in
+    the same per-doc aggregation as doc length, corpus stats (N, avgdl,
+    dfs) derive from that narrow table and broadcast back (one-row BNLJ),
+    and the top-k is TakeOrderedAndProject."""
+    from yat_geo_db_spark.pipelines.text import bm25_topk
+
+    df = bm25_topk(_raw(spark, "documents"), ["data", "table", "join"], k=15)
+    df.collect()  # the stats branch dedupes onto the per-doc exchange
+    # only at execution (AQE ReusedExchange) — assert the FINAL plan
+    plan = _plan(df).split("== Initial")[0]
+    assert plan.count("Scan parquet") == 1
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("Exchange hashpartitioning") <= 2

@@ -972,61 +972,69 @@ def bm25_topk(
     scoring baseline, served from the same explode the inverted index
     builds on.
 
-    Plan: one token explode feeds three hash aggregations — per-(doc,
-    term) tf RESTRICTED to the broadcast query terms, per-doc length,
-    per-query-term df — plus a one-row (N, avgdl) aggregate that
-    broadcasts; joins are keyed on their group keys and the final top-k
-    is TakeOrderedAndProject. Cross-engine exactness: idf rounds at 6 dp
-    (ln differs in the last ulp across libms), the ≤|terms| per-doc
-    contributions combine through an exact fixed-point sum (float
-    addition order would otherwise depend on partitioning), and derived
-    constants like k1+1 are COMPUTED from the base literals on both
-    engines, never re-parsed from a decimal string."""
+    Plan — ONE corpus pass total: the token explode feeds a single
+    per-doc hash aggregation computing doc length AND one conditional-sum
+    tf column per query term (terms are a query parameter, so the
+    columns are static); every corpus-level statistic (N, avgdl, each
+    term's df) then derives from a one-row aggregate of that narrow
+    per-doc table, which broadcasts back. No per-term rows, no second
+    scan, one shuffle. Final top-k is TakeOrderedAndProject.
+
+    Cross-engine exactness: idf rounds at 6 dp (ln differs in the last
+    ulp across libms); the per-doc term contributions combine as a
+    HORIZONTAL left-to-right expression (fixed order — nothing depends
+    on partitioning); derived constants like k1+1 are COMPUTED from the
+    base literals on both engines, never re-parsed from a decimal
+    string."""
     uniq = sorted(set(terms))
-    spark = documents.sparkSession
-    tdf = F.broadcast(
-        spark.createDataFrame([(x,) for x in uniq], "token string")
-    )
     tok = documents.select(
         F.col(id_col), F.explode(tokens_col(F.col(text_col))).alias("token")
     )
-    tf = (
-        tok.join(tdf, "token")
-        .groupBy(id_col, "token")
-        .agg(F.count(F.lit(1)).alias("tf"))
+    perdoc = tok.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("dl"),
+        *[
+            F.sum((F.col("token") == F.lit(t)).cast("long")).alias(f"tf_{i}")
+            for i, t in enumerate(uniq)
+        ],
     )
-    dl = tok.groupBy(id_col).agg(F.count(F.lit(1)).alias("dl"))
-    df_t = (
-        tok.join(tdf, "token")
-        .groupBy("token")
-        .agg(F.countDistinct(id_col).alias("df"))
-    )
-    stats = documents.agg(F.count(F.lit(1)).alias("n_docs")).crossJoin(
-        dl.agg((F.sum("dl") / F.count(F.lit(1))).alias("avgdl"))
-    )
-    idf = F.round(
-        F.log(
-            F.lit(1.0)
-            + (F.col("n_docs") - F.col("df") + F.lit(0.5))
-            / (F.col("df") + F.lit(0.5))
-        ),
-        6,
+    stats = perdoc.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("dl") / F.count(F.lit(1))).alias("avgdl"),
+        *[
+            F.sum((F.col(f"tf_{i}") > 0).cast("long")).alias(f"df_{i}")
+            for i in range(len(uniq))
+        ],
     )
     norm = (F.lit(1.0) - F.lit(b)) + F.lit(b) * (
         F.col("dl") / F.col("avgdl")
     )
-    contrib = idf * (
-        (F.col("tf") * (F.lit(k1) + F.lit(1.0)))
-        / (F.col("tf") + F.lit(k1) * norm)
-    )
-    from yat_geo_db_spark.relational.queries import dsum
-
+    score = None
+    for i in range(len(uniq)):
+        idf = F.round(
+            F.log(
+                F.lit(1.0)
+                + (F.col("n_docs") - F.col(f"df_{i}") + F.lit(0.5))
+                / (F.col(f"df_{i}") + F.lit(0.5))
+            ),
+            6,
+        )
+        contrib = F.when(
+            F.col(f"tf_{i}") > 0,
+            idf
+            * (
+                (F.col(f"tf_{i}") * (F.lit(k1) + F.lit(1.0)))
+                / (F.col(f"tf_{i}") + F.lit(k1) * norm)
+            ),
+        ).otherwise(F.lit(0.0))
+        score = contrib if score is None else score + contrib
+    any_match = None
+    for i in range(len(uniq)):
+        cond = F.col(f"tf_{i}") > 0
+        any_match = cond if any_match is None else (any_match | cond)
     scored = (
-        tf.join(dl, id_col)
-        .join(F.broadcast(df_t), "token")
-        .crossJoin(F.broadcast(stats))
-        .groupBy(id_col)
-        .agg(F.round(dsum(contrib, 9), 6).alias("score"))
+        perdoc.crossJoin(F.broadcast(stats))
+        .filter(any_match)
+        .select(F.col(id_col), F.round(score, 6).alias("score"))
     )
     return scored.orderBy(F.desc("score"), F.asc(id_col)).limit(k)
 

@@ -1492,37 +1492,46 @@ def q_text_bm25(spark, sf_dir):
 
 
 def _bm25_sql(k: int = 15, k1: float = 1.2, b: float = 0.75) -> str:
-    from yat_geo_db_spark.queries.relational_queries import _dsum
-
-    terms = sql_str_list(sorted(set(KW_TERMS)))
-    idf = (
-        "round(ln(CAST(1.0 AS DOUBLE) + (n_docs - df + 0.5) / (df + 0.5)), 6)"
+    uniq = sorted(set(KW_TERMS))
+    tf_cols = ",\n    ".join(
+        f"sum(CASE WHEN token = '{t}' THEN 1 ELSE 0 END) AS tf_{i}"
+        for i, t in enumerate(uniq)
+    )
+    df_cols = ",\n    ".join(
+        f"sum(CASE WHEN tf_{i} > 0 THEN 1 ELSE 0 END) AS df_{i}"
+        for i in range(len(uniq))
     )
     norm = f"((CAST(1.0 AS DOUBLE) - {b}) + {b} * (dl / avgdl))"
-    contrib = (
-        f"{idf} * ((tf * ({k1} + CAST(1.0 AS DOUBLE)))"
-        f" / (tf + {k1} * {norm}))"
-    )
+
+    def contrib(i: int) -> str:
+        idf = (
+            f"round(ln(CAST(1.0 AS DOUBLE)"
+            f" + (n_docs - df_{i} + 0.5) / (df_{i} + 0.5)), 6)"
+        )
+        return (
+            f"CASE WHEN tf_{i} > 0 THEN {idf}"
+            f" * ((tf_{i} * ({k1} + CAST(1.0 AS DOUBLE)))"
+            f" / (tf_{i} + {k1} * {norm}))"
+            f" ELSE CAST(0.0 AS DOUBLE) END"
+        )
+
+    score = " + ".join(contrib(i) for i in range(len(uniq)))
+    any_match = " OR ".join(f"tf_{i} > 0" for i in range(len(uniq)))
     return f"""
-WITH tok AS (
-  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
-),
-tf AS (
-  SELECT doc_id, token, count(*) AS tf FROM tok
-  WHERE list_contains({terms}, token) GROUP BY doc_id, token
-),
-dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
-dft AS (
-  SELECT token, count(DISTINCT doc_id) AS df FROM tok
-  WHERE list_contains({terms}, token) GROUP BY token
+WITH perdoc AS (
+  SELECT doc_id, count(*) AS dl,
+    {tf_cols}
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+  GROUP BY doc_id
 ),
 stats AS (
-  SELECT (SELECT count(*) FROM documents) AS n_docs,
-         (SELECT sum(dl) / count(*) FROM dl) AS avgdl
+  SELECT count(*) AS n_docs, sum(dl) / count(*) AS avgdl,
+    {df_cols}
+  FROM perdoc
 )
-SELECT doc_id, round({_dsum(contrib, 9)}, 6) AS score
-FROM tf JOIN dl USING (doc_id) JOIN dft USING (token) CROSS JOIN stats
-GROUP BY doc_id
+SELECT doc_id, round({score}, 6) AS score
+FROM perdoc CROSS JOIN stats
+WHERE {any_match}
 ORDER BY score DESC, doc_id
 LIMIT {k}
 """
