@@ -1304,18 +1304,54 @@ def incremental_corpus_merge(
     the BATCH (small), one batch self-join, and one batch-vs-index
     equi-join. The corpus text never reshuffles; it flows straight to
     the output union."""
+    # band the batch ONCE; the same persisted table feeds both sides of
+    # the intra-batch self-join AND the batch-vs-corpus probe (banding is
+    # the expensive part — shingle + signature computation)
+    bb = band_table(batch, w, text_col, id_col).persist()
+    bb.count()
+
+    def _jac(g1, g2):
+        inter = F.size(F.array_intersect(g1, g2)).cast("double")
+        union = F.size(g1).cast("double") + F.size(g2).cast("double") - inter
+        return F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+
+    left = bb.select(
+        "band", "bsig", F.col(id_col).alias("id1"), F.col("grams").alias("g1")
+    )
+    right = bb.select(
+        F.col("band").alias("band_r"), F.col("bsig").alias("bsig_r"),
+        F.col(id_col).alias("id2"), F.col("grams").alias("g2"),
+    )
     intra_drop = (
-        minhash_lsh_pairs(batch, threshold, w, text_col)
+        left.join(
+            right,
+            (F.col("band") == F.col("band_r"))
+            & (F.col("bsig") == F.col("bsig_r"))
+            & (F.col("id1") < F.col("id2")),
+        )
+        .dropDuplicates(["id1", "id2"])
+        .filter(F.round(_jac(F.col("g1"), F.col("g2")), 6) >= threshold)
         .select(F.col("id2").alias(id_col))
         .distinct()
     )
-    survivors = near_dup_filter(
-        batch.join(intra_drop, id_col, "left_anti"),
-        band_table(corpus, w, text_col, id_col),
-        threshold,
-        w,
-        text_col,
-        id_col,
+    cb = band_table(corpus, w, text_col, id_col).select(
+        F.col("band").alias("c_band"), F.col("bsig").alias("c_bsig"),
+        F.col("grams").alias("c_grams"),
+    )
+    cross_drop = (
+        bb.join(
+            cb,
+            (F.col("band") == F.col("c_band"))
+            & (F.col("bsig") == F.col("c_bsig")),
+        )
+        .filter(
+            F.round(_jac(F.col("grams"), F.col("c_grams")), 6) >= threshold
+        )
+        .select(id_col)
+        .distinct()
+    )
+    survivors = batch.join(
+        intra_drop.unionByName(cross_drop), id_col, "left_anti"
     )
     return corpus.withColumn("is_new", F.lit(False)).unionByName(
         survivors.withColumn("is_new", F.lit(True))
