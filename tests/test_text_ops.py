@@ -173,3 +173,50 @@ def test_phrase_search_scan_equals_indexed(spark):
         ).collect()
     }
     assert got3 == {(3, 2)}
+
+
+def test_cap_per_source_invariants(spark):
+    """Per-source cap semantics: no source exceeds the cap, kept docs are
+    the quality-top of their source (nothing dropped outranks anything
+    kept), ranks are 1..n_kept dense, and under-cap sources keep
+    everything."""
+    from yat_geo_db_spark.pipelines.text import cap_per_source, quality_features
+    from yat_geo_db_spark.testdata import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").filter(
+        F.col("lang") == "en"
+    )
+    cap = 11
+    out = cap_per_source(docs, cap=cap).collect()
+    by_src: dict = {}
+    for r in out:
+        by_src.setdefault(r["source"], []).append(r)
+    q = {
+        r["doc_id"]: r["quality_score"]
+        for r in quality_features(docs).collect()
+    }
+    src_sizes = {
+        r["source"]: r["n"]
+        for r in docs.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    kept_ids = {r["doc_id"] for r in out}
+    for src, rows in by_src.items():
+        assert len(rows) <= cap
+        assert sorted(r["src_rank"] for r in rows) == list(
+            range(1, len(rows) + 1)
+        )
+        if src_sizes[src] <= cap:
+            assert len(rows) == src_sizes[src]
+        else:
+            # nothing dropped outranks anything kept: every dropped doc's
+            # (quality, -id) must not beat the weakest kept doc's
+            weakest = min((r["quality_score"], -r["doc_id"]) for r in rows)
+            dropped = [
+                d
+                for d in docs.filter(F.col("source") == src)
+                .select("doc_id")
+                .collect()
+                if d["doc_id"] not in kept_ids
+            ]
+            for d in dropped:
+                assert (q[d["doc_id"]], -d["doc_id"]) < weakest

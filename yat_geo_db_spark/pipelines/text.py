@@ -940,9 +940,14 @@ def winnowing_fingerprints(
     )
     h = F.col("hs")
     nh = F.size(h)
+    # per-window min as least() over w direct lookups — no per-window
+    # array materialization (array_min(slice(...)) allocates w elements
+    # per position; least() is a flat comparison chain in codegen)
     mins = F.transform(
         F.sequence(F.lit(1), nh - (w - 1)),
-        lambda i: F.array_min(F.slice(h, i, w)),
+        lambda i: F.least(
+            *[F.element_at(h, i + F.lit(j)) for j in range(w)]
+        ),
     )
     fps = F.array_sort(
         F.array_distinct(
