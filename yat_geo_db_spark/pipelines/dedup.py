@@ -1356,3 +1356,70 @@ def incremental_corpus_merge(
     return corpus.withColumn("is_new", F.lit(False)).unionByName(
         survivors.withColumn("is_new", F.lit(True))
     )
+
+
+def lsh_recall_eval(
+    documents: DataFrame,
+    sample_mod: int = 2,
+    threshold: float = 0.5,
+    w: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Measure the MinHash-LSH banding's recall against EXACT ground truth
+    on a deterministic sample — the pipeline evaluating its own
+    approximation instead of asserting it. Returns ONE row:
+    (n_sample_docs, n_exact_pairs, n_lsh_pairs, n_common, recall,
+    precision). Precision is 1.0 by construction (banded candidates are
+    exact-verified); recall < 1 exposes band misses — re-run with more
+    bands/rows when it drops below target.
+
+    The ground truth is an all-pairs join OVER THE SAMPLE ONLY —
+    O(s²) BY DESIGN: at corpus scale you cannot brute-force the full
+    pair set (that's why LSH exists); sampling k docs and measuring on
+    the sample is the honest evaluation pattern. `sample_mod` picks
+    every m-th id deterministically so the oracle sees the same
+    sample."""
+    from yat_geo_db_spark.pipelines.text import token_shingles_col
+
+    sample = documents.filter(F.col(id_col) % sample_mod == 0)
+    shing = sample.select(
+        F.col(id_col),
+        F.array_distinct(
+            token_shingles_col(F.col(text_col), w)
+        ).alias("grams"),
+    )
+    a = shing.select(F.col(id_col).alias("id1"), F.col("grams").alias("g1"))
+    b = shing.select(F.col(id_col).alias("id2"), F.col("grams").alias("g2"))
+    inter = F.size(F.array_intersect(F.col("g1"), F.col("g2"))).cast("double")
+    union = (
+        F.size(F.col("g1")).cast("double")
+        + F.size(F.col("g2")).cast("double")
+        - inter
+    )
+    jac = F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+    exact = (
+        a.join(b, F.col("id1") < F.col("id2"))
+        .filter(F.round(jac, 6) >= threshold)
+        .select("id1", "id2", F.lit(1).alias("in_exact"))
+    )
+    lsh = minhash_lsh_pairs(sample, threshold, w, text_col).select(
+        "id1", "id2", F.lit(1).alias("in_lsh")
+    )
+    merged = exact.join(lsh, ["id1", "id2"], "full_outer")
+    counts = merged.agg(
+        F.count("in_exact").alias("n_exact_pairs"),
+        F.count("in_lsh").alias("n_lsh_pairs"),
+        F.count(
+            F.when(F.col("in_exact").isNotNull() & F.col("in_lsh").isNotNull(), 1)
+        ).alias("n_common"),
+    )
+    n_docs = sample.agg(F.count(F.lit(1)).alias("n_sample_docs"))
+    return n_docs.crossJoin(counts).select(
+        "n_sample_docs",
+        "n_exact_pairs",
+        "n_lsh_pairs",
+        "n_common",
+        F.round(F.col("n_common") / F.col("n_exact_pairs"), 6).alias("recall"),
+        F.round(F.col("n_common") / F.col("n_lsh_pairs"), 6).alias("precision"),
+    )

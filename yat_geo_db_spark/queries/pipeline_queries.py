@@ -263,6 +263,81 @@ pairs AS (
 """
 
 
+def q_dedup_lsh_recall(spark, sf_dir):
+    """The LSH pipeline evaluating itself: banding recall vs EXACT
+    all-pairs ground truth on a deterministic half-sample (even doc
+    ids). One metrics row; precision is 1.0 by construction (banded
+    candidates are exact-verified), recall exposes band misses."""
+    return dedup.lsh_recall_eval(
+        load_table(spark, sf_dir, "documents"),
+        sample_mod=2,
+        threshold=MINHASH_T,
+    )
+
+
+def _lsh_recall_sql(sample_mod: int = 2) -> str:
+    rows = len(MINHASH_PERMS) // MINHASH_BANDS
+    grams = _shingles("text")
+    mins = ", ".join(
+        f"CASE WHEN len(hashes) > 0 THEN "
+        f"list_min(list_transform(hashes, h -> (h * {a} + {b}) % {FNV_MOD})) "
+        f"ELSE {FNV_MOD} END"
+        for a, b in MINHASH_PERMS
+    )
+    bands = "\n  UNION ALL ".join(
+        f"SELECT doc_id, {bi} AS band, sig[{bi * rows + 1}:{bi * rows + rows}]"
+        f" AS bsig FROM sig"
+        for bi in range(MINHASH_BANDS)
+    )
+    jac = """round(
+      CASE WHEN len(ga) + len(gb) - len(list_intersect(ga, gb)) > 0
+           THEN CAST(len(list_intersect(ga, gb)) AS DOUBLE)
+                / (len(ga) + len(gb) - len(list_intersect(ga, gb)))
+           ELSE 0.0 END, 6)"""
+    return f"""
+WITH base AS (
+  SELECT doc_id,
+         list_distinct({grams}) AS grams,
+         list_distinct(list_transform({grams}, g -> {_sh('g')})) AS hashes
+  FROM documents WHERE doc_id % {sample_mod} = 0
+),
+sig AS (SELECT doc_id, grams, [{mins}] AS sig FROM base),
+banded AS (
+  {bands}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id
+),
+lsh AS (
+  SELECT id1, id2 FROM (
+    SELECT c.id1, c.id2, x.grams AS ga, y.grams AS gb
+    FROM cand c
+    JOIN base x ON x.doc_id = c.id1
+    JOIN base y ON y.doc_id = c.id2
+  ) WHERE {jac} >= {MINHASH_T}
+),
+exact AS (
+  SELECT id1, id2 FROM (
+    SELECT a.doc_id AS id1, b.doc_id AS id2,
+           a.grams AS ga, b.grams AS gb
+    FROM base a JOIN base b ON a.doc_id < b.doc_id
+  ) WHERE {jac} >= {MINHASH_T}
+)
+SELECT
+  (SELECT count(*) FROM documents WHERE doc_id % {sample_mod} = 0)
+    AS n_sample_docs,
+  (SELECT count(*) FROM exact) AS n_exact_pairs,
+  (SELECT count(*) FROM lsh) AS n_lsh_pairs,
+  (SELECT count(*) FROM exact e JOIN lsh p USING (id1, id2)) AS n_common,
+  round((SELECT count(*) FROM exact e JOIN lsh p USING (id1, id2))
+        / (SELECT count(*) FROM exact), 6) AS recall,
+  round((SELECT count(*) FROM exact e JOIN lsh p USING (id1, id2))
+        / (SELECT count(*) FROM lsh), 6) AS precision
+"""
+
+
 #: corpus/incoming split key for the decontamination query (250 < the
 #: 500-doc corpus at both parity scale factors)
 DECON_SPLIT = 250
@@ -2518,6 +2593,7 @@ QUERIES: dict = {
     "pipe_dedup_minhash_lsh": (q_dedup_minhash, _minhash_sql()),
     "pipe_dedup_decontaminate": (q_dedup_decontaminate, _decontaminate_sql()),
     "pipe_dedup_merge_increment": (q_dedup_merge_increment, _merge_increment_sql()),
+    "pipe_dedup_lsh_recall": (q_dedup_lsh_recall, _lsh_recall_sql()),
     "pipe_dedup_contamination_report": (
         q_dedup_contamination_report,
         _contamination_report_sql(),
