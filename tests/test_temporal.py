@@ -152,3 +152,39 @@ def test_scd2_intervals_semantics_and_single_exchange(spark):
     )
     assert plan.count("Exchange hashpartitioning") == 1
     assert plan.count("Sort ") == 1
+
+
+def test_scd2_apply_increment_equals_full_rebuild(spark):
+    from yat_geo_db_spark.relational.temporal import (
+        scd2_apply_increment,
+        scd2_intervals,
+    )
+
+    # covers: cross-boundary collapse (user 1's increment starts with the
+    # SAME attr as their last run — no new version), a plain transition
+    # (user 2), an untouched key (user 3), and a brand-new key (user 4)
+    base_rows = [
+        (10, 1, "a", _ts(1)), (11, 1, "b", _ts(3)),
+        (20, 2, "x", _ts(2)),
+        (30, 3, "z", _ts(1)), (31, 3, "w", _ts(5)),
+    ]
+    incr_rows = [
+        (12, 1, "b", _ts(10)), (13, 1, "c", _ts(12)),
+        (21, 2, "y", _ts(11)),
+        (40, 4, "q", _ts(10)),
+    ]
+    schema = "event_id long, user_id long, event_type string, ts timestamp"
+    base = spark.createDataFrame(base_rows, schema)
+    incr = spark.createDataFrame(incr_rows, schema)
+    full = spark.createDataFrame(base_rows + incr_rows, schema)
+
+    inc = scd2_apply_increment(scd2_intervals(base), incr)
+    want = scd2_intervals(full)
+    key = lambda r: (r["user_id"], r["version"])
+    got_m = {key(r): (r["event_type"], r["valid_from"], r["valid_to"], r["is_current"]) for r in inc.collect()}
+    want_m = {key(r): (r["event_type"], r["valid_from"], r["valid_to"], r["is_current"]) for r in want.collect()}
+    assert got_m == want_m
+    # user 1 kept exactly 3 versions (a, b, c) — the boundary "b" collapsed
+    assert max(v for (u, v) in got_m if u == 1) == 3
+    # untouched user 3 still closed/current as before
+    assert got_m[(3, 2)][3] is True

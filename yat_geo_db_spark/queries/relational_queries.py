@@ -197,6 +197,37 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 """
 
 
+def scd2_upsert(spark, sf_dir):
+    """Incremental SCD2 maintenance, hash-checked against the FULL
+    rebuild: build the dimension from the first half of event time,
+    apply the second half as a CDC increment, and the oracle rebuilds
+    from scratch over all events — row equality proves the
+    incremental-view-maintenance contract. The time split is the exact
+    midpoint of the event-time range in epoch micros (deterministic,
+    engine-portable), which also guarantees the append-only
+    precondition."""
+    from yat_geo_db_spark.relational.temporal import scd2_apply_increment
+
+    (events,) = _t(spark, sf_dir, "events")
+    stats = events.agg(
+        ((F.min(F.unix_micros("ts")) + F.max(F.unix_micros("ts"))) / 2)
+        .cast("long")
+        .alias("mid_us")
+    )
+    ev = events.crossJoin(F.broadcast(stats))
+    base = ev.filter(F.unix_micros("ts") < F.col("mid_us")).drop("mid_us")
+    incr = ev.filter(F.unix_micros("ts") >= F.col("mid_us")).drop("mid_us")
+    out = scd2_apply_increment(scd2_intervals(base), incr)
+    return out.select(
+        "user_id",
+        "event_type",
+        F.unix_micros("valid_from").alias("valid_from_us"),
+        F.unix_micros("valid_to").alias("valid_to_us"),
+        "version",
+        "is_current",
+    )
+
+
 def q4(spark, sf_dir):
     lineitem, orders = _t(spark, sf_dir, "lineitem", "orders")
     return rq.q4_order_priority(lineitem, orders)
@@ -1722,6 +1753,7 @@ QUERIES: dict = {
     "rel_join_flavors": (join_flavors, _JOIN_FLAVORS_SQL),
     "rel_sessionize": (sessionize, _SESSIONIZE_SQL),
     "rel_scd2_intervals": (scd2, _SCD2_SQL),
+    "rel_scd2_upsert": (scd2_upsert, _SCD2_SQL),
     "rel_tumbling_hour": (tumbling, _TUMBLING_SQL),
     "rel_sliding_10min": (sliding, _SLIDING_SQL),
     "rel_q9_product_profit": (q9, _Q9_SQL),

@@ -182,3 +182,53 @@ def scd2_intervals(
         F.row_number().over(w).alias("version"),
         valid_to.isNull().alias("is_current"),
     )
+
+
+def scd2_apply_increment(
+    dim: DataFrame,
+    new_events: DataFrame,
+    key_col: str = "user_id",
+    attr_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Incrementally maintain an SCD2 dimension built by `scd2_intervals`:
+    apply a batch of NEW change events without rebuilding untouched keys.
+    Returns the updated dimension, row-identical to a full rebuild over
+    (original events ∪ increment) — the incremental-view-maintenance
+    contract, hash-checked by the registry oracle.
+
+    PRECONDITION (standard for CDC appliers): the increment is
+    append-only per key — no new event is earlier than an affected key's
+    last already-applied event. A late event landing inside an
+    already-collapsed run could split it in ways the dimension rows no
+    longer carry enough information to replay (the raw events between
+    run starts are gone). Late data ⇒ rebuild the affected keys from
+    the source log instead.
+
+    Plan shape: keys absent from the increment stream straight through
+    (broadcast anti-join when the increment's key set is small — the
+    common case); only AFFECTED keys re-run the run-collapse, seeded by
+    their existing run-start rows (each dim row IS its run's first
+    event), so the work is proportional to the increment's key set, not
+    the dimension."""
+    affected = new_events.select(key_col).distinct()
+    untouched = dim.join(affected, key_col, "left_anti")
+    seed = dim.join(affected, key_col, "left_semi").select(
+        F.col(key_col),
+        F.col(attr_col),
+        F.col("valid_from").alias(ts_col),
+        # seed ids rank below any real event id, so on an exact ts tie
+        # the existing run start wins (matching the original ordering)
+        F.lit(-1).cast("long").alias(id_col),
+    )
+    evts = seed.unionByName(
+        new_events.select(
+            F.col(key_col),
+            F.col(attr_col),
+            F.col(ts_col),
+            F.col(id_col).cast("long"),
+        )
+    )
+    rebuilt = scd2_intervals(evts, key_col, attr_col, ts_col, id_col)
+    return untouched.unionByName(rebuilt)
