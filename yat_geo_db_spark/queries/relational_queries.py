@@ -228,6 +228,36 @@ def scd2_upsert(spark, sf_dir):
     )
 
 
+def gap_fill(spark, sf_dir):
+    """Hourly densification + forward fill per user (explicit gap flag).
+    Exact per-bucket sums; per-key spine bounded by key lifetime."""
+    (events,) = _t(spark, sf_dir, "events")
+    return rq.gap_fill_hourly(events)
+
+
+_GAP_FILL_SQL = f"""
+WITH obs AS (
+  SELECT user_id,
+         CAST(floor(epoch_us(CAST(ts AS TIMESTAMP)) / 3600000000) AS BIGINT)
+           AS h,
+         {_dsum('value', 2)} AS v
+  FROM events GROUP BY 1, 2
+),
+span AS (SELECT user_id, min(h) AS mn, max(h) AS mx FROM obs GROUP BY 1),
+spine AS (SELECT user_id, unnest(range(mn, mx + 1)) AS h FROM span),
+j AS (
+  SELECT s.user_id, s.h, o.v
+  FROM spine s LEFT JOIN obs o ON s.user_id = o.user_id AND s.h = o.h
+)
+SELECT user_id, h AS hour_bucket, v AS value,
+  last_value(v IGNORE NULLS) OVER (
+    PARTITION BY user_id ORDER BY h
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value,
+  v IS NULL AS is_gap
+FROM j
+"""
+
+
 def q4(spark, sf_dir):
     lineitem, orders = _t(spark, sf_dir, "lineitem", "orders")
     return rq.q4_order_priority(lineitem, orders)
@@ -1754,6 +1784,7 @@ QUERIES: dict = {
     "rel_sessionize": (sessionize, _SESSIONIZE_SQL),
     "rel_scd2_intervals": (scd2, _SCD2_SQL),
     "rel_scd2_upsert": (scd2_upsert, _SCD2_SQL),
+    "rel_gap_fill": (gap_fill, _GAP_FILL_SQL),
     "rel_tumbling_hour": (tumbling, _TUMBLING_SQL),
     "rel_sliding_10min": (sliding, _SLIDING_SQL),
     "rel_q9_product_profit": (q9, _Q9_SQL),

@@ -952,3 +952,51 @@ def q21_waiting_suppliers(lineitem: DataFrame, orders: DataFrame,
         .orderBy(F.desc("numwait"), F.asc("s_suppkey"))
         .limit(k)
     )
+
+
+def gap_fill_hourly(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Per-key hourly time series with gaps made explicit and
+    forward-filled — the time-series-warehouse densification op (a
+    downstream ML join needs a row per hour, not a row per event).
+
+    Steps: per-(key, hour) exact-fixed-point sums → per-key hour SPINE
+    via sequence(min_hour, max_hour) (each key densifies only its own
+    active span, so spine size is bounded by key lifetime, not global
+    range) → left join observations onto the spine (equi-join on
+    (key, hour)) → last(ignorenulls) window forward-fills. One shuffle
+    on the key carries the window AND the join; the first bucket per
+    key is observed by construction, so filled_value is never null.
+    Returns (key, hour_bucket, value — null on gaps, filled_value,
+    is_gap)."""
+    from pyspark.sql import Window
+
+    hour = F.floor(
+        F.unix_micros(F.col(ts_col)) / F.lit(3_600_000_000)
+    ).cast("long")
+    obs = events.groupBy(
+        F.col(key_col), hour.alias("h")
+    ).agg(dsum(F.col(value_col), 2).alias("v"))
+    span = obs.groupBy(key_col).agg(
+        F.min("h").alias("mn"), F.max("h").alias("mx")
+    )
+    spine = span.select(
+        key_col, F.explode(F.sequence(F.col("mn"), F.col("mx"))).alias("h")
+    )
+    j = spine.join(obs, [key_col, "h"], "left")
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return j.select(
+        F.col(key_col),
+        F.col("h").alias("hour_bucket"),
+        F.col("v").alias("value"),
+        F.last("v", ignorenulls=True).over(w).alias("filled_value"),
+        F.col("v").isNull().alias("is_gap"),
+    )
