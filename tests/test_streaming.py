@@ -366,3 +366,66 @@ def test_streaming_exact_decontamination_matches_batch(spark, tmp_path):
     assert got == want
     assert 0 < len(got) < docs.count()
     bench.unpersist()
+
+
+def test_stream_incremental_merge_grows_corpus(spark, tmp_path):
+    """The CONTINUOUS-corpus story end-to-end: a stream of crawl batches
+    folds into a growing deduped corpus via incremental_corpus_merge
+    inside foreachBatch, each micro-batch merging against the corpus
+    version the previous batch produced. The final corpus must equal a
+    batch-mode sequential merge of the same batches (order of the two
+    micro-batches is decided by the file source, so either order is
+    accepted; both are computed)."""
+    from yat_geo_db_spark.pipelines.dedup import incremental_corpus_merge
+
+    docs = load_table(spark, SF, "documents")
+    corpus0 = docs.filter(F.col("doc_id") < 200)
+    b1 = docs.filter((F.col("doc_id") >= 200) & (F.col("doc_id") < 350))
+    b2 = docs.filter(F.col("doc_id") >= 350)
+
+    def merge_ids(corpus_df, batch_df):
+        kept = incremental_corpus_merge(corpus_df, batch_df).select("doc_id")
+        return docs.join(kept, "doc_id", "left_semi")
+
+    def ids(df):
+        return {r["doc_id"] for r in df.select("doc_id").collect()}
+
+    exp_12 = ids(merge_ids(merge_ids(corpus0, b1), b2))
+    exp_21 = ids(merge_ids(merge_ids(corpus0, b2), b1))
+
+    root = str(tmp_path / "corpus")
+    v0 = f"{root}/v0"
+    corpus0.write.parquet(v0)
+    state = {"path": v0}
+
+    src = str(tmp_path / "batches_src")
+    b1.coalesce(1).write.mode("append").parquet(src)
+    b2.coalesce(1).write.mode("append").parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+
+    def apply(batch_df, batch_id):
+        cur = spark.read.parquet(state["path"])
+        nxt = f"{root}/v{batch_id + 1}"
+        incremental_corpus_merge(cur, batch_df).drop("is_new").write.parquet(
+            nxt
+        )
+        state["path"] = nxt
+
+    q = (
+        stream.writeStream.foreachBatch(apply)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    got = ids(spark.read.parquet(state["path"]))
+    assert got in (exp_12, exp_21)
+    # the stream really deduped: some batch docs were dropped, corpus grew
+    assert ids(corpus0) < got
+    assert len(got) < docs.count()
