@@ -1096,3 +1096,59 @@ def phrase_search_indexed(
     return cur.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("n_occurrences")
     )
+
+
+def winnowing_near_dup_pairs(
+    documents: DataFrame,
+    min_containment: float = 0.7,
+    k: int = 5,
+    w: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Local-overlap near-dup pairs from winnowing fingerprints: doc
+    pairs whose shared-fingerprint CONTAINMENT (shared / smaller set)
+    reaches the threshold — the MOSS/plagiarism-detection pairing, which
+    catches a short doc embedded in a long one (every shared substring
+    of w+k-1 chars contributes a shared fingerprint) where whole-doc
+    Jaccard/SimHash dilute below their thresholds. Containment, not an
+    absolute count, because shared-vocabulary corpora share many common
+    fingerprints baseline-wide — the ratio is what separates "quotes a
+    passage" from "same language".
+
+    Scale shape: explode each doc's fingerprint set (already ~2/(w+1)
+    of positions) → self-equi-join on the fingerprint value (the same
+    near-linear blocked-join shape as LSH banding; a globally-common
+    fingerprint is a hot key — AQE skew split applies) → count shared
+    per pair. Returns (id1, id2, n_shared, containment), id1 < id2."""
+    base = winnowing_fingerprints(
+        documents, k=k, w=w, text_col=text_col, id_col=id_col
+    ).select(id_col, "fingerprints", "n_fp")
+    fps = base.select(
+        id_col, "n_fp", F.explode("fingerprints").alias("fp")
+    )
+    a = fps.select(
+        F.col(id_col).alias("id1"), F.col("n_fp").alias("nf1"), "fp"
+    )
+    b = fps.select(
+        F.col(id_col).alias("id2"), F.col("n_fp").alias("nf2"), "fp"
+    )
+    pairs = (
+        a.join(b, ["fp"])
+        .filter(F.col("id1") < F.col("id2"))
+        .groupBy("id1", "id2")
+        .agg(
+            F.count(F.lit(1)).alias("n_shared"),
+            F.min("nf1").alias("nf1"),
+            F.min("nf2").alias("nf2"),
+        )
+    )
+    containment = F.round(
+        F.col("n_shared") / F.least(F.col("nf1"), F.col("nf2")), 6
+    )
+    return (
+        pairs.select(
+            "id1", "id2", "n_shared", containment.alias("containment")
+        )
+        .filter(F.col("containment") >= min_containment)
+    )

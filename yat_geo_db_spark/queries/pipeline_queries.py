@@ -1532,7 +1532,8 @@ def q_text_winnowing(spark, sf_dir):
     return out.select("doc_id", "n_fp", digest.alias("fp_digest"))
 
 
-def _winnowing_sql() -> str:
+def _winnowing_fp_cte() -> str:
+    """Shared CTE prefix computing per-doc winnowing fingerprint sets."""
     k, w = WINNOW_K, WINNOW_W
     grams = grams_sql("text", distinct=False, n=k)
     return f"""
@@ -1549,11 +1550,47 @@ fp AS (
                           i -> list_min(h[i:i + {w - 1}]))))
     END AS fingerprints
   FROM hs
-)
+)"""
+
+
+def _winnowing_sql() -> str:
+    return f"""{_winnowing_fp_cte()}
 SELECT doc_id, CAST(len(fingerprints) AS INT) AS n_fp,
   list_reduce(list_prepend(CAST(0 AS BIGINT), fingerprints),
               (a, b) -> (a * {FNV_BASE} + b) % {FNV_MOD}) AS fp_digest
 FROM fp
+"""
+
+
+def q_text_winnowing_pairs(spark, sf_dir):
+    """MOSS-style local-overlap pairs: shared-fingerprint containment
+    (shared / smaller set) >= 0.7 — the passage-borrowing detector the
+    whole-doc similarity ops dilute away on long documents."""
+    return text.winnowing_near_dup_pairs(
+        load_table(spark, sf_dir, "documents"),
+        min_containment=0.7,
+        k=WINNOW_K,
+        w=WINNOW_W,
+    )
+
+
+def _winnowing_pairs_sql(min_containment: float = 0.7) -> str:
+    return f"""{_winnowing_fp_cte()},
+sizes AS (SELECT doc_id, CAST(len(fingerprints) AS INT) AS nf FROM fp),
+shared AS (
+  SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS n_shared
+  FROM (SELECT doc_id, unnest(fingerprints) AS fpv FROM fp) a
+  JOIN (SELECT doc_id, unnest(fingerprints) AS fpv FROM fp) b USING (fpv)
+  WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id1, id2, n_shared, containment FROM (
+  SELECT s.id1, s.id2, s.n_shared,
+         round(s.n_shared / least(sa.nf, sb.nf), 6) AS containment
+  FROM shared s
+  JOIN sizes sa ON s.id1 = sa.doc_id
+  JOIN sizes sb ON s.id2 = sb.doc_id
+) WHERE containment >= {min_containment}
 """
 
 
@@ -2630,6 +2667,7 @@ QUERIES: dict = {
     "pipe_text_lang_id": (q_text_lang_id, _lang_id_sql()),
     "pipe_text_keyword_search": (q_text_keyword_search, _KEYWORD_SEARCH_SQL),
     "pipe_text_winnowing": (q_text_winnowing, _winnowing_sql()),
+    "pipe_text_winnowing_pairs": (q_text_winnowing_pairs, _winnowing_pairs_sql()),
     "pipe_text_bm25": (q_text_bm25, _bm25_sql()),
     "pipe_text_phrase_search": (q_text_phrase_search, _PHRASE_SEARCH_SQL),
     "pipe_text_bpe": (q_text_bpe, None),
