@@ -1101,54 +1101,67 @@ def phrase_search_indexed(
 def winnowing_near_dup_pairs(
     documents: DataFrame,
     min_containment: float = 0.7,
+    max_df: int = 25,
     k: int = 5,
     w: int = 4,
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> DataFrame:
     """Local-overlap near-dup pairs from winnowing fingerprints: doc
-    pairs whose shared-fingerprint CONTAINMENT (shared / smaller set)
-    reaches the threshold — the MOSS/plagiarism-detection pairing, which
-    catches a short doc embedded in a long one (every shared substring
-    of w+k-1 chars contributes a shared fingerprint) where whole-doc
-    Jaccard/SimHash dilute below their thresholds. Containment, not an
-    absolute count, because shared-vocabulary corpora share many common
-    fingerprints baseline-wide — the ratio is what separates "quotes a
-    passage" from "same language".
+    pairs whose shared-RARE-fingerprint containment (shared / smaller
+    rare set) reaches the threshold — the MOSS/plagiarism pairing,
+    which catches a short doc embedded in a long one (every shared
+    substring of w+k-1 chars contributes a shared fingerprint) where
+    whole-doc Jaccard/SimHash dilute below their thresholds.
 
-    Scale shape: explode each doc's fingerprint set (already ~2/(w+1)
-    of positions) → self-equi-join on the fingerprint value (the same
-    near-linear blocked-join shape as LSH banding; a globally-common
-    fingerprint is a hot key — AQE skew split applies) → count shared
-    per pair. Returns (id1, id2, n_shared, containment), id1 < id2."""
-    base = winnowing_fingerprints(
-        documents, k=k, w=w, text_col=text_col, id_col=id_col
-    ).select(id_col, "fingerprints", "n_fp")
-    fps = base.select(
-        id_col, "n_fp", F.explode("fingerprints").alias("fp")
+    TWO guards make this scale-safe and meaningful, both load-bearing:
+    - `max_df`: fingerprints appearing in more than `max_df` docs are
+      corpus BOILERPLATE and are excluded from numerator AND
+      denominator (the idf idea, and the same rare-first principle as
+      the PPJoin prefix filter). Without it the self-join is quadratic
+      — measured sum(df²) ≈ 678M candidate rows on the 5,000-doc
+      fixture, because a shared-vocabulary corpus concentrates most
+      positions onto a few hundred common fingerprints.
+    - containment, not absolute count: the ratio separates "quotes a
+      passage" from "long doc".
+
+    Plan: explode → broadcast document-frequency filter (df table is
+    vocabulary-bounded) → self-equi-join on the rare fingerprint value
+    (near-linear: every join key now has df ≤ max_df) → per-pair count.
+    Returns (id1, id2, n_shared, containment), id1 < id2; docs whose
+    fingerprints are all boilerplate drop out."""
+    # the winnowing subtree (hash + positional rebuild + window mins)
+    # feeds the df table AND the join sides — persist the small exploded
+    # (id, fp) table once, like the dedup band tables
+    fps = (
+        winnowing_fingerprints(
+            documents, k=k, w=w, text_col=text_col, id_col=id_col
+        )
+        .select(id_col, F.explode("fingerprints").alias("fp"))
+        .persist()
     )
-    a = fps.select(
-        F.col(id_col).alias("id1"), F.col("n_fp").alias("nf1"), "fp"
+    fps.count()
+    dfreq = fps.groupBy("fp").agg(F.count(F.lit(1)).alias("df"))
+    rare = fps.join(
+        F.broadcast(dfreq.filter(F.col("df") <= max_df).select("fp")), "fp"
     )
-    b = fps.select(
-        F.col(id_col).alias("id2"), F.col("n_fp").alias("nf2"), "fp"
-    )
+    sizes = rare.groupBy(id_col).agg(F.count(F.lit(1)).alias("nf"))
+    a = rare.select(F.col(id_col).alias("id1"), "fp")
+    b = rare.select(F.col(id_col).alias("id2"), "fp")
     pairs = (
         a.join(b, ["fp"])
         .filter(F.col("id1") < F.col("id2"))
         .groupBy("id1", "id2")
-        .agg(
-            F.count(F.lit(1)).alias("n_shared"),
-            F.min("nf1").alias("nf1"),
-            F.min("nf2").alias("nf2"),
-        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
     )
+    sa = sizes.select(F.col(id_col).alias("id1"), F.col("nf").alias("nf1"))
+    sb = sizes.select(F.col(id_col).alias("id2"), F.col("nf").alias("nf2"))
     containment = F.round(
         F.col("n_shared") / F.least(F.col("nf1"), F.col("nf2")), 6
     )
     return (
-        pairs.select(
-            "id1", "id2", "n_shared", containment.alias("containment")
-        )
+        pairs.join(sa, "id1")
+        .join(sb, "id2")
+        .select("id1", "id2", "n_shared", containment.alias("containment"))
         .filter(F.col("containment") >= min_containment)
     )

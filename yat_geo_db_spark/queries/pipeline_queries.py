@@ -1563,24 +1563,34 @@ FROM fp
 
 
 def q_text_winnowing_pairs(spark, sf_dir):
-    """MOSS-style local-overlap pairs: shared-fingerprint containment
-    (shared / smaller set) >= 0.7 — the passage-borrowing detector the
-    whole-doc similarity ops dilute away on long documents."""
+    """MOSS-style local-overlap pairs: shared-RARE-fingerprint
+    containment >= 0.7 with a df<=25 boilerplate cap — the
+    passage-borrowing detector the whole-doc similarity ops dilute
+    away; the df cap is also what keeps the fingerprint self-join
+    near-linear (see winnowing_near_dup_pairs)."""
     return text.winnowing_near_dup_pairs(
         load_table(spark, sf_dir, "documents"),
         min_containment=0.7,
+        max_df=25,
         k=WINNOW_K,
         w=WINNOW_W,
     )
 
 
-def _winnowing_pairs_sql(min_containment: float = 0.7) -> str:
+def _winnowing_pairs_sql(
+    min_containment: float = 0.7, max_df: int = 25
+) -> str:
     return f"""{_winnowing_fp_cte()},
-sizes AS (SELECT doc_id, CAST(len(fingerprints) AS INT) AS nf FROM fp),
+ex AS (SELECT doc_id, unnest(fingerprints) AS fpv FROM fp),
+dfreq AS (SELECT fpv, count(*) AS df FROM ex GROUP BY 1),
+rare AS (
+  SELECT e.doc_id, e.fpv FROM ex e
+  JOIN dfreq d USING (fpv) WHERE d.df <= {max_df}
+),
+sizes AS (SELECT doc_id, count(*) AS nf FROM rare GROUP BY 1),
 shared AS (
   SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS n_shared
-  FROM (SELECT doc_id, unnest(fingerprints) AS fpv FROM fp) a
-  JOIN (SELECT doc_id, unnest(fingerprints) AS fpv FROM fp) b USING (fpv)
+  FROM rare a JOIN rare b USING (fpv)
   WHERE a.doc_id < b.doc_id
   GROUP BY 1, 2
 )
