@@ -25,8 +25,12 @@ def __getattr__(name):
         from yat_geo_db_spark.manager import GeoManager
 
         return GeoManager
+    if name == "CorpusManager":
+        from yat_geo_db_spark.corpus import CorpusManager
+
+        return CorpusManager
     raise AttributeError(name)
 
 
-__all__ = ["get_spark", "GeoManager"]
+__all__ = ["get_spark", "GeoManager", "CorpusManager"]
 __version__ = "0.1.0"

@@ -1,0 +1,216 @@
+"""CorpusManager — one façade over the training-data pipeline surface.
+
+The usability counterpart of :class:`yat_geo_db_spark.manager.GeoManager`:
+where GeoManager mirrors the reference's geo API, CorpusManager bundles the
+LLM-data-pipeline extensions (quality, dedup, decontamination, retrieval,
+sampling, packing, splits) behind one object so a pipeline reads as a
+sequence of intent-level calls instead of a dozen module imports. Every
+method is a thin delegation to the operator modules — semantics, scale
+shapes, and oracles live there; nothing here adds logic beyond wiring.
+
+All methods are LAZY (return DataFrames) except `bpe_train`/`fit_pca`,
+which are fits that return driver-side parameters (documented on the
+underlying functions).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+
+import pyspark.sql.functions as F
+
+
+class CorpusManager:
+    """Wrap a documents DataFrame (doc_id, text, ... metadata) and expose
+    the curation/retrieval surface. Optionally wrap an embeddings
+    DataFrame (vec_id, embedding) for the vector ops."""
+
+    def __init__(
+        self,
+        documents: DataFrame,
+        embeddings: DataFrame | None = None,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+    ):
+        self.documents = documents
+        self._embeddings = embeddings
+        self.text_col = text_col
+        self.id_col = id_col
+
+    @property
+    def embeddings(self) -> DataFrame:
+        if self._embeddings is None:
+            raise RuntimeError("CorpusManager was built without embeddings")
+        return self._embeddings
+
+    # -- signals ----------------------------------------------------------
+    def quality(self) -> DataFrame:
+        from yat_geo_db_spark.pipelines.text import quality_features
+
+        return quality_features(self.documents, text_col=self.text_col)
+
+    def lang_id(self) -> DataFrame:
+        from yat_geo_db_spark.pipelines.text import lang_id
+
+        return lang_id(self.documents, text_col=self.text_col)
+
+    def profile(self) -> DataFrame:
+        from yat_geo_db_spark.pipelines.text import corpus_profile
+
+        return corpus_profile(self.documents, text_col=self.text_col)
+
+    def source_profile(self, **kw) -> DataFrame:
+        from yat_geo_db_spark.pipelines.text import source_quality_profile
+
+        return source_quality_profile(
+            self.documents, text_col=self.text_col, **kw
+        )
+
+    # -- dedup / decontamination -----------------------------------------
+    def exact_duplicates(self) -> DataFrame:
+        from yat_geo_db_spark.pipelines.dedup import exact_duplicates
+
+        return exact_duplicates(self.documents, text_col=self.text_col)
+
+    def near_dup_pairs(self, threshold: float = 0.5) -> DataFrame:
+        from yat_geo_db_spark.pipelines.dedup import minhash_lsh_pairs
+
+        return minhash_lsh_pairs(
+            self.documents, threshold, text_col=self.text_col
+        )
+
+    def near_dup_clusters(self, threshold: float = 0.5) -> DataFrame:
+        from yat_geo_db_spark.pipelines.dedup import (
+            connected_components,
+            minhash_lsh_pairs,
+        )
+
+        return connected_components(
+            minhash_lsh_pairs(self.documents, threshold, text_col=self.text_col)
+        )
+
+    def decontaminate(self, benchmark: DataFrame, threshold: float = 0.5) -> DataFrame:
+        from yat_geo_db_spark.pipelines.dedup import band_table, near_dup_filter
+
+        return near_dup_filter(
+            self.documents,
+            band_table(benchmark, text_col=self.text_col, id_col=self.id_col),
+            threshold,
+            text_col=self.text_col,
+            id_col=self.id_col,
+        )
+
+    def merge_increment(self, batch: DataFrame, threshold: float = 0.5) -> DataFrame:
+        from yat_geo_db_spark.pipelines.dedup import incremental_corpus_merge
+
+        return incremental_corpus_merge(
+            self.documents, batch, threshold,
+            text_col=self.text_col, id_col=self.id_col,
+        )
+
+    def passage_overlap_pairs(self, min_containment: float = 0.7) -> DataFrame:
+        from yat_geo_db_spark.pipelines.text import winnowing_near_dup_pairs
+
+        return winnowing_near_dup_pairs(
+            self.documents, min_containment,
+            text_col=self.text_col, id_col=self.id_col,
+        )
+
+    # -- retrieval --------------------------------------------------------
+    def search(self, terms: list[str]) -> DataFrame:
+        from yat_geo_db_spark.pipelines.text import keyword_search_scan
+
+        return keyword_search_scan(
+            self.documents, terms, text_col=self.text_col, id_col=self.id_col
+        )
+
+    def bm25(self, terms: list[str], k: int = 10) -> DataFrame:
+        from yat_geo_db_spark.pipelines.text import bm25_topk
+
+        return bm25_topk(
+            self.documents, terms, k=k,
+            text_col=self.text_col, id_col=self.id_col,
+        )
+
+    def phrase(self, phrase: list[str]) -> DataFrame:
+        from yat_geo_db_spark.pipelines.text import phrase_search_scan
+
+        return phrase_search_scan(
+            self.documents, phrase,
+            text_col=self.text_col, id_col=self.id_col,
+        )
+
+    def topk_similar(self, query_id: int, k: int = 10,
+                     predicate: Column | None = None) -> DataFrame:
+        from yat_geo_db_spark.pipelines.similarity import (
+            brute_force_topk,
+            filtered_topk,
+        )
+
+        if predicate is None:
+            return brute_force_topk(self.embeddings, query_id, k=k)
+        return filtered_topk(
+            self.embeddings, self.documents, predicate, query_id, k=k,
+            attr_id_col=self.id_col,
+        )
+
+    # -- sampling / balancing / splits -----------------------------------
+    def stratified_sample(self, rates: dict[str, float],
+                          strata_col: str = "lang") -> DataFrame:
+        from yat_geo_db_spark.pipelines.text import stratified_sample
+
+        return stratified_sample(
+            self.documents, rates, strata_col=strata_col, key_col=self.id_col
+        )
+
+    def cap_per_source(self, cap: int, source_col: str = "source") -> DataFrame:
+        from yat_geo_db_spark.pipelines.text import cap_per_source
+
+        return cap_per_source(
+            self.documents, cap, text_col=self.text_col, source_col=source_col
+        )
+
+    def leakage_safe_split(self, **kw) -> DataFrame:
+        from yat_geo_db_spark.pipelines.curation import leakage_safe_split
+
+        return leakage_safe_split(self.documents, **kw)
+
+    # -- export -----------------------------------------------------------
+    def pack(self, seq_len: int = 128) -> DataFrame:
+        from yat_geo_db_spark.pipelines.curation import pack_chunks
+
+        return pack_chunks(self.documents, seq_len=seq_len)
+
+    def shards(self, n_shards: int) -> DataFrame:
+        from yat_geo_db_spark.pipelines.curation import shard_assignment
+
+        return shard_assignment(self.documents, n_shards)
+
+    # -- fits (driver-side parameters; training runs on the cluster) -----
+    def bpe_train(self, n_merges: int = 8):
+        from yat_geo_db_spark.pipelines.tokenize import bpe_train
+
+        return bpe_train(self.documents, n_merges=n_merges,
+                         text_col=self.text_col)
+
+    def bpe_encode(self, merges) -> DataFrame:
+        from yat_geo_db_spark.pipelines.tokenize import bpe_encode
+
+        return bpe_encode(self.documents, merges,
+                          text_col=self.text_col, id_col=self.id_col)
+
+    def fit_pca(self, n_components: int = 4):
+        from yat_geo_db_spark.pipelines.similarity import pca_fit
+
+        return pca_fit(self.embeddings, n_components=n_components)
+
+    def project_pca(self, mean, components) -> DataFrame:
+        from yat_geo_db_spark.pipelines.similarity import pca_project
+
+        return pca_project(self.embeddings, mean, components)
+
+    def fit_quality_classifier(self, label_col: str,
+                               feature_cols: list[str], **kw):
+        from yat_geo_db_spark.pipelines.learn import logreg_fit_history
+
+        return logreg_fit_history(self.documents, feature_cols, label_col, **kw)
