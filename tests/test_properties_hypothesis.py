@@ -160,3 +160,44 @@ def test_wav_codec_round_trip_property():
         assert np.asarray(got).dtype == np.dtype("<i2") or got.dtype == np.int16
 
     check()
+
+
+# ---------------------------------------------------------------------------
+# BPE merge-pass law: the Column fold == the sequential Python pass
+# ---------------------------------------------------------------------------
+
+_bpe_word = st.text(alphabet="ab", min_size=0, max_size=12)
+
+
+@given(
+    st.lists(_bpe_word, min_size=1, max_size=8),
+    st.sampled_from([("a", "a"), ("a", "b"), ("b", "a"), ("aa", "b"),
+                     ("ab", "ab"), ("a", "</w>")]),
+)
+@settings(max_examples=60, deadline=None)
+def test_bpe_apply_merge_fold_matches_python(spark, words, merge):
+    """Randomized over adversarial two-letter words (overlap runs like
+    'aaaa' included): one _apply_merge Column pass over char+EOW symbols
+    must equal bpe_apply_py's sequential single-merge pass."""
+    import pyspark.sql.functions as F
+
+    from yat_geo_db_spark.pipelines.tokenize import (
+        _apply_merge,
+        _chars_with_eow,
+        bpe_apply_py,
+    )
+
+    left, right = merge
+    df = spark.createDataFrame([(i, w) for i, w in enumerate(words)],
+                               "i long, w string")
+    got = {
+        r["i"]: list(r["out"])
+        for r in df.select(
+            "i",
+            _apply_merge(
+                _chars_with_eow(F.col("w")), left, right
+            ).alias("out"),
+        ).collect()
+    }
+    for i, w in enumerate(words):
+        assert got[i] == bpe_apply_py(w, [(left, right, 0)]), (w, merge)
