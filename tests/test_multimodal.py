@@ -310,3 +310,51 @@ def test_png_pipeline_features_and_real_resize(spark):
     got = decode_png(bytes(small[3]["media_bytes"]))
     assert np.array_equal(got, want)
     assert small[3]["media_meta"]["width"] == 8
+
+
+def test_phash_perceptual_properties(spark):
+    """pHash through the real PNG decode + DCT: identical images hash
+    identically; a lightly perturbed image lands at small Hamming
+    distance; a structurally different image lands far; global
+    brightness shift barely moves the hash (DC excluded from the
+    median)."""
+    import numpy as np
+
+    from yat_geo_db_spark.pipelines.multimodal import (
+        encode_png,
+        phash64,
+        png_phash,
+    )
+
+    rng = np.random.default_rng(7)
+    base = (rng.integers(0, 255, (64, 64))).astype(np.uint8)
+    light = base.copy()
+    light[:4, :4] = 255 - light[:4, :4]  # tiny local perturbation
+    bright = np.clip(base.astype(int) + 40, 0, 255).astype(np.uint8)
+    other = (rng.integers(0, 255, (64, 64))).astype(np.uint8)
+
+    def ham(a, b):
+        return bin(a ^ b).count("1")
+
+    h_base = phash64(base)
+    assert phash64(base.copy()) == h_base
+    assert ham(h_base, phash64(light)) <= 10
+    assert ham(h_base, phash64(bright)) <= 10
+    assert ham(h_base, phash64(other)) >= 20
+    # distributed path returns the same values as the driver-side kernel
+    media = spark.createDataFrame(
+        [
+            (0, bytearray(encode_png(base))),
+            (1, bytearray(encode_png(light))),
+            (2, bytearray(encode_png(other))),
+        ],
+        "doc_id long, media_bytes binary",
+    )
+    got = {r["doc_id"]: r["phash"] for r in png_phash(media).collect()}
+
+    def signed(x):
+        return x - (1 << 64) if x >= 1 << 63 else x
+
+    assert got[0] == signed(h_base)
+    assert got[1] == signed(phash64(light))
+    assert got[2] == signed(phash64(other))

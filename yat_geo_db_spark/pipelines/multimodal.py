@@ -701,3 +701,64 @@ def resize_png(media: DataFrame, target_w: int, target_h: int) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return media.mapInPandas(_resize, RESIZED_SCHEMA)
+
+
+def phash64(img) -> int:
+    """Classic 64-bit perceptual hash through a REAL 2-D DCT: nearest-
+    neighbor resample to 32×32 greyscale (same index-mapping kernel as
+    resize_png), orthonormal DCT-II via explicit basis matmul (NumPy
+    float64 — deterministic), keep the 8×8 low-frequency block, set each
+    bit by comparison against the block's median with the DC term
+    excluded from the median (the standard pHash recipe: DC is overall
+    brightness and would swamp the threshold). Perceptually-close images
+    land at small Hamming distance; brightness/scale shifts mostly
+    cancel."""
+    import numpy as np
+
+    arr = np.asarray(img, dtype=np.float64)
+    if arr.ndim == 3:
+        arr = arr.mean(axis=2)
+    h, w = arr.shape
+    ys = (np.arange(32) * h) // 32
+    xs = (np.arange(32) * w) // 32
+    small = arr[np.ix_(ys, xs)]
+    n = 32
+    k = np.arange(n).reshape(-1, 1)
+    m = np.arange(n).reshape(1, -1)
+    basis = np.cos(np.pi * (2 * m + 1) * k / (2 * n))
+    basis[0] *= np.sqrt(0.5)
+    basis *= np.sqrt(2.0 / n)
+    dct = basis @ small @ basis.T
+    block = dct[:8, :8].ravel()
+    med = np.median(block[1:])  # exclude DC
+    bits = 0
+    for i, v in enumerate(block):
+        if v > med:
+            bits |= 1 << i
+    return bits
+
+
+def png_phash(media: DataFrame) -> DataFrame:
+    """(doc_id, phash): perceptual hashes of PNG payloads through the
+    real decode + DCT path — the image near-dup primitive (join on small
+    Hamming distance downstream, e.g. with the SimHash pigeonhole
+    blocking, which is hash-width-agnostic). Arrow-batched mapInPandas;
+    payloads never leave the executors."""
+
+    def _hash(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for row in pdf.itertuples():
+                img = decode_png(bytes(row.media_bytes))
+                ph = phash64(img)
+                # two's-complement into a signed 64-bit column
+                if ph >= 1 << 63:
+                    ph -= 1 << 64
+                rows.append((row.doc_id, ph))
+            yield pd.DataFrame(rows, columns=["doc_id", "phash"])
+
+    return media.select("doc_id", "media_bytes").mapInPandas(
+        _hash, "doc_id long, phash long"
+    )

@@ -2081,6 +2081,16 @@ FROM s
 
 
 
+def q_mm_phash(spark, sf_dir):
+    """Perceptual image hashes through the real PNG decode + 2-D DCT —
+    the image near-dup primitive. Rows-only (no SQL DCT exists); the
+    perceptual properties (identity, locality under perturbation,
+    separation, brightness invariance) and driver==executor value
+    equality are pinned in tests/test_multimodal.py."""
+    media = multimodal.synthesize_png(load_table(spark, sf_dir, "documents"))
+    return multimodal.png_phash(media)
+
+
 def q_mm_png_decode(spark, sf_dir):
     """REAL image codec path: synthesize genuine PNGs (8-bit greyscale,
     pure stdlib zlib encoder - pixels are the text's byte codes), decode
@@ -2694,6 +2704,7 @@ QUERIES: dict = {
     "pipe_mm_features": (q_mm_features, _MM_FEATURES_SQL),
     "pipe_mm_frame_sample": (q_mm_frame_sample, _MM_FRAME_SAMPLE_SQL),
     "pipe_mm_resize": (q_mm_resize, None),
+    "pipe_mm_phash": (q_mm_phash, None),
     "pipe_mm_audio_energy": (q_mm_audio_energy, _MM_AUDIO_SQL),
     "pipe_mm_wav_decode": (q_mm_wav_decode, _MM_WAV_SQL),
     "pipe_mm_png_decode": (q_mm_png_decode, _MM_PNG_SQL),
