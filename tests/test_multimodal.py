@@ -358,3 +358,51 @@ def test_phash_perceptual_properties(spark):
     assert got[0] == signed(h_base)
     assert got[1] == signed(phash64(light))
     assert got[2] == signed(phash64(other))
+
+
+def test_phash_near_dup_pairs_lossless_vs_brute(spark):
+    """The 64-bit pigeonhole blocking finds EXACTLY the pairs a full
+    pairwise Hamming comparison would — on a set with planted near-dups
+    (light perturbations of two base images) and unrelated images."""
+    import numpy as np
+
+    from yat_geo_db_spark.pipelines.multimodal import (
+        encode_png,
+        phash64,
+        phash_near_dup_pairs,
+    )
+
+    rng = np.random.default_rng(11)
+    imgs = {}
+    for base_id in (0, 100):
+        base = rng.integers(0, 255, (48, 48)).astype(np.uint8)
+        imgs[base_id] = base
+        for j in (1, 2):
+            pert = base.copy()
+            pert[:3, 3 * j : 3 * j + 3] = 255 - pert[:3, 3 * j : 3 * j + 3]
+            imgs[base_id + j] = pert
+    for i in range(200, 208):
+        imgs[i] = rng.integers(0, 255, (48, 48)).astype(np.uint8)
+
+    media = spark.createDataFrame(
+        [(i, bytearray(encode_png(a))) for i, a in imgs.items()],
+        "doc_id long, media_bytes binary",
+    )
+    H = 10
+    got = {
+        (r["id1"], r["id2"]): r["hamming"]
+        for r in phash_near_dup_pairs(media, max_hamming=H).collect()
+    }
+    hashes = {i: phash64(a) for i, a in imgs.items()}
+    want = {}
+    ids = sorted(imgs)
+    for x in range(len(ids)):
+        for y in range(x + 1, len(ids)):
+            d = bin(hashes[ids[x]] ^ hashes[ids[y]]).count("1")
+            if d <= H:
+                want[(ids[x], ids[y])] = d
+    assert got == want
+    # planted perturbations were actually found within each family
+    assert any(a // 100 == b // 100 for a, b in got)
+    # and no cross-family (unrelated) pair sneaked in
+    assert all(a // 100 == b // 100 for a, b in got)

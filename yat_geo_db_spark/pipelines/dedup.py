@@ -692,6 +692,7 @@ def simhash_candidates(
     sigs: DataFrame,
     max_hamming: int = 6,
     block_cols: tuple[str, ...] = ("lang",),
+    bits: int = SIMHASH_BITS,
 ) -> DataFrame:
     """Distinct candidate pairs (id1, id2, s1, s2) that share ≥ 1 signature
     segment (and every block column). Blocking is the SEGMENT value — a
@@ -702,7 +703,7 @@ def simhash_candidates(
     `block_cols` remain as semantic partitions on the join key — pairs
     never cross them — and AQE's skew-join splitting handles any residual
     hot segment value."""
-    segs = _simhash_segment_starts(max_hamming)
+    segs = _simhash_segment_starts(max_hamming, bits=bits)
     seg_struct = F.explode(
         F.array(
             *[

@@ -762,3 +762,26 @@ def png_phash(media: DataFrame) -> DataFrame:
     return media.select("doc_id", "media_bytes").mapInPandas(
         _hash, "doc_id long, phash long"
     )
+
+
+def phash_near_dup_pairs(media: DataFrame, max_hamming: int = 10) -> DataFrame:
+    """Image near-dup pairs: pHash the PNG payloads, then find every pair
+    within `max_hamming` of 64 bits through the SAME lossless pigeonhole
+    segment blocking the text SimHash path uses (the blocker is
+    hash-width-agnostic — max_hamming+1 segments of 64 bits, a pair
+    within the band matches at least one segment exactly). Returns
+    (id1, id2, hamming), exactly the pairs a full pairwise comparison
+    would produce, at near-linear candidate volume."""
+    from yat_geo_db_spark.pipelines.dedup import simhash_candidates
+
+    sigs = png_phash(media).select(
+        "doc_id", F.col("phash").alias("sig")
+    )
+    cand = simhash_candidates(
+        sigs, max_hamming=max_hamming, block_cols=(), bits=64
+    )
+    ham = F.bit_count(F.col("s1").bitwiseXOR(F.col("s2")))
+    return (
+        cand.select("id1", "id2", ham.alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+    )

@@ -2091,6 +2091,15 @@ def q_mm_phash(spark, sf_dir):
     return multimodal.png_phash(media)
 
 
+def q_mm_phash_pairs(spark, sf_dir):
+    """Image near-dup pairs via pHash + the width-agnostic pigeonhole
+    segment blocking (lossless for the Hamming band — asserted vs brute
+    force in test_multimodal). Rows-only (no SQL DCT). The synthetic
+    text-derived PNGs of near-identical docs land within the band."""
+    media = multimodal.synthesize_png(load_table(spark, sf_dir, "documents"))
+    return multimodal.phash_near_dup_pairs(media, max_hamming=10)
+
+
 def q_mm_png_decode(spark, sf_dir):
     """REAL image codec path: synthesize genuine PNGs (8-bit greyscale,
     pure stdlib zlib encoder - pixels are the text's byte codes), decode
@@ -2705,6 +2714,7 @@ QUERIES: dict = {
     "pipe_mm_frame_sample": (q_mm_frame_sample, _MM_FRAME_SAMPLE_SQL),
     "pipe_mm_resize": (q_mm_resize, None),
     "pipe_mm_phash": (q_mm_phash, None),
+    "pipe_mm_phash_pairs": (q_mm_phash_pairs, None),
     "pipe_mm_audio_energy": (q_mm_audio_energy, _MM_AUDIO_SQL),
     "pipe_mm_wav_decode": (q_mm_wav_decode, _MM_WAV_SQL),
     "pipe_mm_png_decode": (q_mm_png_decode, _MM_PNG_SQL),
