@@ -406,3 +406,49 @@ def test_phash_near_dup_pairs_lossless_vs_brute(spark):
     assert any(a // 100 == b // 100 for a, b in got)
     # and no cross-family (unrelated) pair sneaked in
     assert all(a // 100 == b // 100 for a, b in got)
+
+
+def test_spectral_fingerprint_pure_tones(spark):
+    """Physics golden: a pure sine at frequency f puts every frame's FFT
+    peak at round(f * n_fft / sr); different tones separate; the digest
+    is order-sensitive."""
+    import numpy as np
+
+    from yat_geo_db_spark.pipelines.multimodal import (
+        WAV_SAMPLE_RATE,
+        encode_wav,
+        spectral_peaks,
+        wav_spectral_fingerprint,
+    )
+
+    sr, n_fft = WAV_SAMPLE_RATE, 256
+    t = np.arange(sr)  # 1 second
+
+    def tone(f, amp=10000):
+        return (amp * np.sin(2 * np.pi * f * t / sr)).astype(np.int16)
+
+    f1, f2 = 500.0, 1375.0
+    peaks1 = spectral_peaks(tone(f1), n_fft=n_fft)
+    assert len(peaks1) > 0
+    assert all(p == round(f1 * n_fft / sr) for p in peaks1)
+    peaks2 = spectral_peaks(tone(f2), n_fft=n_fft)
+    assert all(p == round(f2 * n_fft / sr) for p in peaks2)
+
+    # chirp (f1 then f2) vs reverse: same bins, different ORDER -> the
+    # sequence digest separates them
+    a = np.concatenate([tone(f1), tone(f2)])
+    b = np.concatenate([tone(f2), tone(f1)])
+    media = spark.createDataFrame(
+        [
+            (1, bytearray(encode_wav(tone(f1)))),
+            (2, bytearray(encode_wav(tone(f2)))),
+            (3, bytearray(encode_wav(a))),
+            (4, bytearray(encode_wav(b))),
+        ],
+        "doc_id long, media_bytes binary",
+    )
+    got = {r["doc_id"]: r for r in wav_spectral_fingerprint(media).collect()}
+    assert got[1]["dominant_bin"] == round(f1 * n_fft / sr)
+    assert got[2]["dominant_bin"] == round(f2 * n_fft / sr)
+    assert got[1]["fp_digest"] != got[2]["fp_digest"]
+    assert got[3]["fp_digest"] != got[4]["fp_digest"]

@@ -785,3 +785,63 @@ def phash_near_dup_pairs(media: DataFrame, max_hamming: int = 10) -> DataFrame:
         cand.select("id1", "id2", ham.alias("hamming"))
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def spectral_peaks(samples, n_fft: int = 256, hop: int = 128):
+    """REAL spectral analysis: frame the signal (length n_fft, stride
+    hop, tail dropped), rFFT each frame (NumPy float64 — deterministic),
+    return the per-frame dominant frequency bin with DC excluded. The
+    constellation-of-peaks primitive audio fingerprinting (Shazam-style)
+    builds on; a pure tone at frequency f lands every frame's peak at
+    round(f * n_fft / sample_rate)."""
+    import numpy as np
+
+    x = np.asarray(samples, dtype=np.float64)
+    n_frames = max(0, (len(x) - n_fft) // hop + 1)
+    if n_frames == 0:
+        return np.zeros(0, dtype=np.int64)
+    idx = np.arange(n_fft)[None, :] + hop * np.arange(n_frames)[:, None]
+    frames = x[idx]
+    mags = np.abs(np.fft.rfft(frames, axis=1))
+    mags[:, 0] = 0.0  # exclude DC
+    return mags.argmax(axis=1).astype(np.int64)
+
+
+def wav_spectral_fingerprint(
+    media: DataFrame, n_fft: int = 256, hop: int = 128
+) -> DataFrame:
+    """(doc_id, n_frames, dominant_bin, fp_digest): frame-level spectral
+    fingerprints of WAV payloads through the real codec + FFT —
+    `fp_digest` is the polynomial fold of the peak-bin SEQUENCE (order
+    matters: two clips with the same bins in different order differ),
+    `dominant_bin` the most frequent peak bin (ties → lowest bin).
+    Arrow-batched mapInPandas; payloads never leave the executors."""
+
+    def _fp(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        from yat_geo_db_spark.pipelines.text import FNV_BASE, FNV_MOD
+
+        for pdf in batches:
+            rows = []
+            for row in pdf.itertuples():
+                _sr, samples = decode_wav(bytes(row.media_bytes))
+                peaks = spectral_peaks(samples, n_fft=n_fft, hop=hop)
+                d = 0
+                for p in peaks:
+                    d = (d * FNV_BASE + int(p)) % FNV_MOD
+                if len(peaks):
+                    vals, counts = np.unique(peaks, return_counts=True)
+                    dom = int(vals[np.argmax(counts)])
+                else:
+                    dom = -1
+                rows.append((row.doc_id, int(len(peaks)), dom, d))
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "n_frames", "dominant_bin", "fp_digest"],
+            )
+
+    return media.select("doc_id", "media_bytes").mapInPandas(
+        _fp, "doc_id long, n_frames int, dominant_bin int, fp_digest long"
+    )

@@ -2091,6 +2091,15 @@ def q_mm_phash(spark, sf_dir):
     return multimodal.png_phash(media)
 
 
+def q_mm_audio_fingerprint(spark, sf_dir):
+    """Spectral audio fingerprints through the real WAV codec + FFT —
+    per-frame peak-bin sequence digested in order. Rows-only (no SQL
+    FFT); the physics golden (pure tones land at round(f*n_fft/sr)) and
+    order sensitivity are pinned in tests/test_multimodal.py."""
+    media = multimodal.synthesize_wav(load_table(spark, sf_dir, "documents"))
+    return multimodal.wav_spectral_fingerprint(media)
+
+
 def q_mm_phash_pairs(spark, sf_dir):
     """Image near-dup pairs via pHash + the width-agnostic pigeonhole
     segment blocking (lossless for the Hamming band — asserted vs brute
@@ -2715,6 +2724,7 @@ QUERIES: dict = {
     "pipe_mm_resize": (q_mm_resize, None),
     "pipe_mm_phash": (q_mm_phash, None),
     "pipe_mm_phash_pairs": (q_mm_phash_pairs, None),
+    "pipe_mm_audio_fingerprint": (q_mm_audio_fingerprint, None),
     "pipe_mm_audio_energy": (q_mm_audio_energy, _MM_AUDIO_SQL),
     "pipe_mm_wav_decode": (q_mm_wav_decode, _MM_WAV_SQL),
     "pipe_mm_png_decode": (q_mm_png_decode, _MM_PNG_SQL),
