@@ -188,3 +188,51 @@ def test_scd2_apply_increment_equals_full_rebuild(spark):
     assert max(v for (u, v) in got_m if u == 1) == 3
     # untouched user 3 still closed/current as before
     assert got_m[(3, 2)][3] is True
+
+
+def test_scd2_null_attr_leading_run_kept(spark):
+    """Review regression: a key whose FIRST events have a NULL attribute
+    keeps that leading run (SQL-oracle semantics: prev IS NULL OR
+    prev IS DISTINCT FROM attr — every row after a NULL-attr row starts
+    a run)."""
+    from yat_geo_db_spark.relational.temporal import scd2_intervals
+
+    events = spark.createDataFrame(
+        [(1, 1, None, _ts(1)), (2, 1, None, _ts(2)), (3, 1, "a", _ts(3))],
+        "event_id long, user_id long, event_type string, ts timestamp",
+    )
+    rows = {r["version"]: r for r in scd2_intervals(events).collect()}
+    # null rows each start a run (vers 1, 2), then 'a' (ver 3)
+    assert len(rows) == 3
+    assert rows[1].event_type is None and rows[1].valid_from == _ts(1)
+    assert rows[2].event_type is None and rows[2].valid_from == _ts(2)
+    assert rows[3].event_type == "a" and rows[3].is_current
+
+
+def test_scd2_apply_increment_equal_ts_seeds_keep_order(spark):
+    """Review regression: two existing run starts sharing an exact
+    timestamp must keep their original relative order through the seed
+    ids (a constant seed id would make the rebuilt order
+    nondeterministic)."""
+    from yat_geo_db_spark.relational.temporal import (
+        scd2_apply_increment,
+        scd2_intervals,
+    )
+
+    schema = "event_id long, user_id long, event_type string, ts timestamp"
+    base = spark.createDataFrame(
+        [(10, 1, "a", _ts(5)), (11, 1, "b", _ts(5))], schema
+    )
+    incr = spark.createDataFrame([(12, 1, "c", _ts(9))], schema)
+    full = spark.createDataFrame(
+        [(10, 1, "a", _ts(5)), (11, 1, "b", _ts(5)), (12, 1, "c", _ts(9))],
+        schema,
+    )
+    inc = {
+        r["version"]: r["event_type"]
+        for r in scd2_apply_increment(scd2_intervals(base), incr).collect()
+    }
+    want = {
+        r["version"]: r["event_type"] for r in scd2_intervals(full).collect()
+    }
+    assert inc == want == {1: "a", 2: "b", 3: "c"}

@@ -220,3 +220,30 @@ def test_cap_per_source_invariants(spark):
             ]
             for d in dropped:
                 assert (q[d["doc_id"]], -d["doc_id"]) < weakest
+
+
+def test_search_ops_degenerate_inputs(spark):
+    """Review regressions: empty term lists return empty results from
+    BOTH keyword forms and bm25 (not all-docs, not a crash); empty
+    phrases raise in both phrase forms."""
+    import pytest
+
+    from yat_geo_db_spark.pipelines.text import (
+        bm25_topk,
+        keyword_search_indexed,
+        keyword_search_scan,
+        phrase_search_indexed,
+        phrase_search_scan,
+        positional_postings,
+        postings_table,
+    )
+    from yat_geo_db_spark.testdata import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").limit(20)
+    assert keyword_search_scan(docs, []).count() == 0
+    assert keyword_search_indexed(postings_table(docs), []).count() == 0
+    assert bm25_topk(docs, []).count() == 0
+    with pytest.raises(ValueError, match="non-empty"):
+        phrase_search_scan(docs, [])
+    with pytest.raises(ValueError, match="non-empty"):
+        phrase_search_indexed(positional_postings(docs), [])

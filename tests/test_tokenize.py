@@ -95,3 +95,17 @@ def test_bpe_encode_matches_python_and_is_reversible_on_counts(spark):
         n_words = len(r["text"].split(" "))
         chars = sum(len(t) for t in toks) - n_words * len(EOW)
         assert chars == len(r["text"]) - (n_words - 1)
+
+
+def test_bpe_train_survives_empty_and_collapsed_words(spark):
+    """Review regression: single-symbol rows (['</w>'] from empty words,
+    or fully-collapsed short words) must not crash the pair explode
+    (sequence(1,0) steps backward)."""
+    docs = spark.createDataFrame(
+        [(1, "a  b"), (2, "aa aa aa"), (3, ""), (4, "a a a a")],
+        "doc_id long, text string",
+    )
+    merges = bpe_train(docs, n_merges=6)
+    assert merges  # trained through collapses without error
+    out = bpe_encode(docs, merges).collect()
+    assert {r["doc_id"] for r in out} == {1, 2, 3, 4}

@@ -43,6 +43,17 @@ class CorpusManager:
             raise RuntimeError("CorpusManager was built without embeddings")
         return self._embeddings
 
+    def _require_default_id(self, op: str) -> None:
+        """Some dedup delegates key on the literal 'doc_id' column; fail
+        loudly instead of silently pairing on the wrong column when the
+        facade was configured with a different id column."""
+        if self.id_col != "doc_id":
+            raise ValueError(
+                f"{op} requires id_col='doc_id' (the dedup operators key "
+                f"on that column); got {self.id_col!r} — rename the column "
+                "or call the pipelines.dedup functions directly"
+            )
+
     # -- signals ----------------------------------------------------------
     def quality(self) -> DataFrame:
         from yat_geo_db_spark.pipelines.text import quality_features
@@ -70,11 +81,13 @@ class CorpusManager:
     def exact_duplicates(self) -> DataFrame:
         from yat_geo_db_spark.pipelines.dedup import exact_duplicates
 
+        self._require_default_id("exact_duplicates")
         return exact_duplicates(self.documents, text_col=self.text_col)
 
     def near_dup_pairs(self, threshold: float = 0.5) -> DataFrame:
         from yat_geo_db_spark.pipelines.dedup import minhash_lsh_pairs
 
+        self._require_default_id("near_dup_pairs")
         return minhash_lsh_pairs(
             self.documents, threshold, text_col=self.text_col
         )
@@ -85,6 +98,7 @@ class CorpusManager:
             minhash_lsh_pairs,
         )
 
+        self._require_default_id("near_dup_clusters")
         return connected_components(
             minhash_lsh_pairs(self.documents, threshold, text_col=self.text_col)
         )
@@ -170,21 +184,29 @@ class CorpusManager:
             self.documents, cap, text_col=self.text_col, source_col=source_col
         )
 
-    def leakage_safe_split(self, **kw) -> DataFrame:
+    def leakage_safe_split(self, pairs: DataFrame | None = None,
+                           threshold: float = 0.5, **kw) -> DataFrame:
         from yat_geo_db_spark.pipelines.curation import leakage_safe_split
 
-        return leakage_safe_split(self.documents, **kw)
+        if pairs is None:
+            pairs = self.near_dup_pairs(threshold)
+        return leakage_safe_split(
+            self.documents, pairs, id_col=self.id_col, **kw
+        )
 
     # -- export -----------------------------------------------------------
     def pack(self, seq_len: int = 128) -> DataFrame:
         from yat_geo_db_spark.pipelines.curation import pack_chunks
 
-        return pack_chunks(self.documents, seq_len=seq_len)
+        return pack_chunks(
+            self.documents, seq_len=seq_len,
+            text_col=self.text_col, id_col=self.id_col,
+        )
 
     def shards(self, n_shards: int) -> DataFrame:
         from yat_geo_db_spark.pipelines.curation import shard_assignment
 
-        return shard_assignment(self.documents, n_shards)
+        return shard_assignment(self.documents, n_shards, key_col=self.id_col)
 
     # -- fits (driver-side parameters; training runs on the cluster) -----
     def bpe_train(self, n_merges: int = 8):

@@ -791,37 +791,32 @@ def cap_per_source(
     first (ties → lowest doc_id) — RefinedWeb-style domain balancing, so
     one giant crawl domain can't dominate the training mixture.
 
-    Skew is the whole problem here: source cardinality follows a power
-    law, and a naive row_number() window sorts EVERY source's docs,
-    with the hottest source's full row set in one task. This splits the
-    work: a per-source count (map-side combinable, one tiny row per
-    source) finds the over-cap sources; the typically-tiny over-cap
-    list broadcasts; under-cap sources bypass ranking entirely
-    (broadcast anti-join — no sort, no shuffle of their rows); only
-    over-cap docs pay the rank window, and only their (id, score) pair
-    rides that shuffle, never the text. Returns (doc_id, source,
-    quality_score, src_rank) with src_rank = the kept doc's 1-based
-    quality rank inside its source (under-cap sources rank too — over
-    their full, already-small group)."""
+    Returns (doc_id, source, quality_score, src_rank), src_rank = the
+    kept doc's 1-based quality rank inside its source (under-cap
+    sources keep all rows, ranked over their full group — their ranks
+    are <= cap by construction, so one window + one filter IS the whole
+    operator; an earlier hot/cold split added a count, two broadcast
+    joins, and a second window for zero pruning, because the output
+    contract needs ranks for under-cap sources anyway).
+
+    Skew note: ONLY the (id, source, score) triple rides the rank
+    shuffle, never the text, and source cardinality's power law means
+    the hottest source's triples sort in one task — that cost is
+    inherent to exact per-key ranking with dense ranks; if a use case
+    needs only the cap (no ranks), pre-aggregate counts and anti-join
+    the under-cap sources around the window."""
     q = quality_features(documents, text_col=text_col).select(
         "doc_id", "quality_score"
     )
     slim = documents.select("doc_id", source_col).join(q, "doc_id")
-    counts = slim.groupBy(source_col).agg(F.count(F.lit(1)).alias("n"))
-    hot = counts.filter(F.col("n") > cap).select(source_col)
     w = Window.partitionBy(source_col).orderBy(
         F.col("quality_score").desc(), F.col("doc_id").asc()
     )
-    ranked_hot = (
-        slim.join(F.broadcast(hot), source_col, "left_semi")
-        .withColumn("src_rank", F.row_number().over(w))
+    return (
+        slim.withColumn("src_rank", F.row_number().over(w))
         .filter(F.col("src_rank") <= cap)
+        .select("doc_id", source_col, "quality_score", "src_rank")
     )
-    ranked_cold = slim.join(
-        F.broadcast(hot), source_col, "left_anti"
-    ).withColumn("src_rank", F.row_number().over(w))
-    cols = ["doc_id", source_col, "quality_score", "src_rank"]
-    return ranked_hot.select(*cols).unionByName(ranked_cold.select(*cols))
 
 
 def postings_table(
@@ -851,6 +846,12 @@ def keyword_search_scan(
     term occurs; score = total occurrences of all query terms. No
     shuffle, no index — the right form for one-off queries (the whole
     corpus streams through codegen once). Returns (id, score)."""
+    if not terms:
+        # contract shared with keyword_search_indexed: an empty query
+        # matches nothing (the indexed form joins an empty term table)
+        return documents.select(
+            F.col(id_col), F.lit(0).cast("long").alias("score")
+        ).limit(0)
     toks = tokens_col(F.col(text_col))
     terms_arr = F.array(*[F.lit(t) for t in sorted(terms)])
     hits = F.filter(toks, lambda t: F.array_contains(terms_arr, t))
@@ -992,6 +993,10 @@ def bm25_topk(
     base literals on both engines, never re-parsed from a decimal
     string."""
     uniq = sorted(set(terms))
+    if not uniq:
+        return documents.select(
+            F.col(id_col), F.lit(0.0).alias("score")
+        ).limit(0)
     tok = documents.select(
         F.col(id_col), F.explode(tokens_col(F.col(text_col))).alias("token")
     )
@@ -1067,6 +1072,8 @@ def phrase_search_scan(
     token sequence = count of w-token shingles equal to the joined
     phrase (w = len(phrase)). One codegen pass, no shuffle. Returns
     (id, n_occurrences) for matching docs."""
+    if not phrase:
+        raise ValueError("phrase must be non-empty")
     w = len(phrase)
     target = " ".join(phrase)
     sh = token_shingles_col(F.col(text_col), w)
@@ -1087,6 +1094,8 @@ def phrase_search_indexed(
     shuffle (keyed on (doc, pos), AQE-splittable); with a
     token-partitioned layout each term list is a pruned scan.
     Row-identical to `phrase_search_scan` (asserted in test_text_ops)."""
+    if not phrase:
+        raise ValueError("phrase must be non-empty")
     cur = None
     for i, t in enumerate(phrase):
         pi = postings.filter(F.col("token") == t).select(

@@ -94,7 +94,11 @@ def bpe_train(
     ).localCheckpoint(eager=True)
     merges: list[tuple[str, str, int]] = []
     for _ in range(n_merges):
-        pairs = state.select(
+        # single-symbol rows contribute no pairs AND would crash the
+        # explode: sequence(1, 0) steps BACKWARD to [1, 0] and
+        # element_at(syms, 0/2) is out of bounds. Hit by empty words
+        # (['</w>']) and by any word a merge fully collapses.
+        pairs = state.filter(F.size("syms") > 1).select(
             "freq",
             F.explode(
                 F.transform(

@@ -166,9 +166,18 @@ def scd2_intervals(
     timestamps."""
     w = Window.partitionBy(key_col).orderBy(ts_col, id_col)
     prev = F.lag(attr_col).over(w)
+    # run start = first row OR attribute differs from the predecessor's.
+    # prev.isNull() covers BOTH "first row" and "predecessor attr was
+    # NULL" — matching SQL's `prev IS NULL OR prev IS DISTINCT FROM
+    # attr` exactly (a bare ~eqNullSafe would swallow a key's LEADING
+    # null-attribute run: first row has prev=NULL, attr=NULL,
+    # eqNullSafe true).
     starts = (
         events.select(key_col, attr_col, ts_col, id_col)
-        .withColumn("_chg", ~F.col(attr_col).eqNullSafe(prev))
+        .withColumn(
+            "_chg",
+            prev.isNull() | ~prev.eqNullSafe(F.col(attr_col)),
+        )
         .filter(F.col("_chg"))
     )
     # run starts keep their original (ts, id) order, so the same window
@@ -218,9 +227,12 @@ def scd2_apply_increment(
         F.col(key_col),
         F.col(attr_col),
         F.col("valid_from").alias(ts_col),
-        # seed ids rank below any real event id, so on an exact ts tie
-        # the existing run start wins (matching the original ordering)
-        F.lit(-1).cast("long").alias(id_col),
+        # seed ids rank below any real event id (so on an exact ts tie
+        # with a NEW event the existing run start wins) AND preserve the
+        # runs' original relative order through the version offset — two
+        # equal-ts run starts of one key would otherwise sort
+        # nondeterministically and break full-rebuild equality
+        (F.col("version").cast("long") - F.lit(1 << 62)).alias(id_col),
     )
     evts = seed.unionByName(
         new_events.select(
