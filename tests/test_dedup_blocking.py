@@ -561,3 +561,25 @@ def test_line_and_span_dedup_under_hot_key_skew(spark):
     still = spans.filter(spans.text.contains(hot)).count()
     assert still == 1  # doc 0 (globally first) keeps the hot span
     assert spans.filter(spans.text == "p17").count() == 1  # prose survives
+
+
+def test_routed_pairs_catch_degenerate_repetition(spark):
+    """Review regression: token-count routing alone loses a pair whose
+    gram sets are identical but token counts straddle both bands
+    ('x '*100 vs 'x '*300 — J=1.0, 100 tokens vs 300). The
+    degenerate-gram-floor guard routes both to the Jaccard band."""
+    from yat_geo_db_spark.pipelines.curation import near_dup_pairs
+
+    docs = spark.createDataFrame(
+        [
+            (1, ("x " * 100).strip(), "en", "s"),
+            (2, ("x " * 300).strip(), "en", "s"),
+            (3, "completely different content here", "en", "s"),
+        ],
+        "doc_id long, text string, lang string, source string",
+    )
+    routed = {
+        (r["id1"], r["id2"])
+        for r in near_dup_pairs(docs, block_cols=("lang", "source")).collect()
+    }
+    assert (1, 2) in routed

@@ -155,3 +155,39 @@ def test_length_bucket_batches_invariants(spark):
         assert poss == list(range(len(poss)))          # dense positions
         ids = [m["doc_id"] for m in sorted(members, key=lambda m: m["pos_in_batch"])]
         assert ids == sorted(ids)                      # id-ordered within batch
+
+
+def test_bucket_hash_sane_on_64bit_and_structured_ids(spark):
+    """Review regression: (key*C) % n overflowed past |key| ~ 3.5e9
+    (negative shards) and was a pure function of key mod n (all-even ids
+    -> one of 2 shards). The mixed bucket hash must stay in range for
+    64-bit/negative keys and spread structured id patterns."""
+    import pyspark.sql.functions as F
+
+    from yat_geo_db_spark.pipelines.curation import shard_assignment
+    from yat_geo_db_spark.pipelines.text import bucket_hash_col
+
+    big = spark.createDataFrame(
+        [(2**62 + i,) for i in range(50)]
+        + [(-(2**61) + 7 * i,) for i in range(50)],
+        "doc_id long",
+    )
+    out = shard_assignment(big, 8)
+    shards = [r["shard"] for r in out.collect()]
+    assert all(0 <= s < 8 for s in shards)
+    assert len(set(shards)) > 1
+    # structured ids: all even, stepping by 100 — must still hit many
+    # buckets (the old low-residue form collapsed them onto one)
+    even = spark.createDataFrame([(100 * i,) for i in range(200)], "k long")
+    buckets = {
+        r["b"]
+        for r in even.select(bucket_hash_col(F.col("k"), 2).alias("b")).collect()
+    }
+    assert buckets == {0, 1}
+    b10 = {
+        r["b"]
+        for r in even.select(
+            bucket_hash_col(F.col("k"), 10).alias("b")
+        ).collect()
+    }
+    assert len(b10) >= 8

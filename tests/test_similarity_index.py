@@ -481,3 +481,25 @@ def test_pca_fit_partition_invariant(spark):
     assert np.allclose(m1, m2, atol=1e-12)
     assert np.allclose(c1, c2, atol=1e-8)
     assert np.allclose(e1, e2, atol=1e-10)
+
+
+def test_kmeans_empty_cluster_keeps_previous_centroid(spark):
+    """Review regression: a cluster that attracts no members (here: a
+    duplicate seed vector — argmin ties go to the lower cid, starving
+    the higher one) must keep its previous centroid instead of silently
+    vanishing from the fit."""
+    from yat_geo_db_spark.pipelines.similarity import kmeans_fit
+
+    rows = [
+        (0, [0.0, 0.0]),
+        (1, [10.0, 10.0]),
+        (2, [0.0, 0.0]),  # duplicate of seed 0 -> cluster 2 starves
+        (3, [0.5, 0.0]),
+        (4, [10.0, 9.5]),
+        (5, [0.0, 0.5]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = kmeans_fit(emb, k=3, n_iter=2)
+    got = {r["cid"]: r["cvec"] for r in cents.collect()}
+    assert set(got) == {0, 1, 2}  # all three clusters survive
+    assert got[2] == [0.0, 0.0]  # starved cluster froze at its seed

@@ -43,6 +43,11 @@ MAX_BOILERPLATE = 0.5
 #: stabilize and the cheap signature join owns the regime.
 SIMHASH_MIN_TOKENS = 128
 
+#: docs with fewer than 2x this many distinct char trigrams join the
+#: Jaccard band regardless of token count (degenerate-repetition guard —
+#: see near_dup_pairs)
+DEGENERATE_GRAM_FLOOR = 32
+
 
 def near_dup_pairs(
     documents: DataFrame,
@@ -59,15 +64,40 @@ def near_dup_pairs(
     - docs of ``simhash_min_tokens``+ tokens → SimHash hamming band
       (cheap signature equi-join; reliable only once votes stabilize)
 
-    The bands OVERLAP on [min_tokens, 2·min_tokens): Jaccard ≥ t bounds a
-    true pair's sizes within a factor 1/t, so with t ≥ 0.5 any short↔long
-    true pair has both ends inside the Jaccard band — routing loses no
-    cross-regime pair; duplicates from the overlap dedupe once."""
+    The bands OVERLAP on [min_tokens, 2·min_tokens): Jaccard ≥ t bounds
+    a true pair's DISTINCT-GRAM-set sizes within a factor 1/t, and for
+    non-degenerate text token count tracks gram mass, so with t ≥ 0.5
+    any short↔long true pair has both ends inside the Jaccard band —
+    routing loses no cross-regime pair; duplicates from the overlap
+    dedupe once.
+
+    PREMISE + safety net: the formal bound is on gram-set sizes, and
+    adversarially repetitive text decouples the two ("x "×300 has 300
+    tokens but 2 distinct grams — token-identical gram set to "x "×100,
+    J = 1.0, yet the pair would straddle the token bands). Docs whose
+    distinct-gram count is under 2·DEGENERATE_GRAM_FLOOR therefore ALSO
+    join the Jaccard band (cheap there — tiny gram sets), which closes
+    every pair with an end under the floor (its partner's gram count is
+    within 1/t = 2×). The residual: pairs where both ends exceed the
+    floor yet token counts decouple by >2× — repetition ratios the
+    curate_corpus entropy gate removes upstream; when running
+    near_dup_pairs standalone on unfiltered data, filter with
+    repetition_signals first."""
+    from yat_geo_db_spark.pipelines.dedup import char_ngrams
     from yat_geo_db_spark.pipelines.text import token_count_col
 
-    with_tok = documents.withColumn("_ntok", token_count_col(F.col("text")))
-    short = with_tok.filter(F.col("_ntok") < 2 * simhash_min_tokens).drop("_ntok")
-    long_docs = with_tok.filter(F.col("_ntok") >= simhash_min_tokens).drop("_ntok")
+    with_tok = documents.withColumn(
+        "_ntok", token_count_col(F.col("text"))
+    ).withColumn(
+        "_ngrams", F.size(F.array_distinct(char_ngrams(F.col("text"), 3)))
+    )
+    short = with_tok.filter(
+        (F.col("_ntok") < 2 * simhash_min_tokens)
+        | (F.col("_ngrams") < 2 * DEGENERATE_GRAM_FLOOR)
+    ).drop("_ntok", "_ngrams")
+    long_docs = with_tok.filter(
+        F.col("_ntok") >= simhash_min_tokens
+    ).drop("_ntok", "_ngrams")
     pj = ngram_jaccard_pairs(
         short, threshold=jaccard_threshold, block_cols=block_cols
     ).select("id1", "id2")
@@ -126,13 +156,17 @@ def shard_assignment(df: DataFrame, n_shards: int,
                      key_col: str = "doc_id") -> DataFrame:
     """Deterministic shard + within-shard position for training export.
 
-    Shard = Knuth multiplicative hash of the key mod n_shards (stable
-    across runs and engines — no RNG, no partition dependence); position =
+    Shard = mixed multiplicative hash of the key folded mod n_shards
+    (bucket_hash_col: reduce-mod-prime-first — overflow-safe for 64-bit
+    ids, non-negative, and actually mixing, unlike a raw (key*C) % n,
+    which is a pure function of key mod n); position =
     rank of the key within its shard. Downstream loaders get reproducible
     shard membership AND a reproducible read order."""
     from pyspark.sql import Window
 
-    shard = ((F.col(key_col) * F.lit(2654435761)) % F.lit(n_shards)).cast("int")
+    from yat_geo_db_spark.pipelines.text import bucket_hash_col
+
+    shard = bucket_hash_col(F.col(key_col), n_shards).cast("int")
     w = Window.partitionBy("shard").orderBy(key_col)
     return df.withColumn("shard", shard).withColumn(
         "pos", F.row_number().over(w) - 1
@@ -171,7 +205,9 @@ def pack_chunks(
 
     from yat_geo_db_spark.pipelines.text import token_count_col
 
-    stream = ((F.col(id_col) * F.lit(2654435761)) % F.lit(n_streams)).cast("int")
+    from yat_geo_db_spark.pipelines.text import bucket_hash_col
+
+    stream = bucket_hash_col(F.col(id_col), n_streams).cast("int")
     toks = F.greatest(token_count_col(F.col(text_col)), F.lit(1))
     w = (
         Window.partitionBy("stream")
@@ -208,7 +244,9 @@ def chunk_overlap(
     indexing (the `return_overflowing_tokens` convention): windows of
     `chunk_len` tokens starting every `stride` tokens, so consecutive
     chunks share `chunk_len - stride` tokens and no token span is lost at
-    a window boundary. A doc with n tokens yields
+    a window boundary (requires 1 <= stride <= chunk_len — a larger
+    stride would leave uncovered gaps, contradicting the lossless-tiling
+    contract, and is rejected). A doc with n tokens yields
     ceil((n - chunk_len)/stride) + 1 chunks (one short-tail window when
     the grid overshoots; always ≥ 1 so no doc silently vanishes).
 
@@ -225,6 +263,11 @@ def chunk_overlap(
     n_chunks = F.when(n <= chunk_len, F.lit(1).cast("long")).otherwise(
         F.floor((n - chunk_len + stride - 1) / stride) + 1
     )
+    if not 1 <= stride <= chunk_len:
+        raise ValueError(
+            f"stride must be in [1, chunk_len]; got stride={stride}, "
+            f"chunk_len={chunk_len} (stride > chunk_len loses token spans)"
+        )
     start = F.col("chunk_id") * stride
     return (
         documents.select(F.col(id_col), tokens_col(F.col(text_col)).alias("t"))
@@ -294,7 +337,9 @@ def leakage_safe_split(
         id_col,
         F.coalesce(F.col("cluster_id"), F.col(id_col)).alias("split_key"),
     )
-    bucket = (F.col("split_key") * F.lit(2654435761)) % F.lit(100)
+    from yat_geo_db_spark.pipelines.text import bucket_hash_col
+
+    bucket = bucket_hash_col(F.col("split_key"), 100)
     return keyed.select(
         id_col,
         "split_key",

@@ -362,16 +362,25 @@ def kmeans_fit(embeddings: DataFrame, k: int = 4, n_iter: int = 2,
         embeddings.orderBy(F.asc(id_col))
         .limit(k)
         .select(
-            F.col(id_col).cast("int").alias("cid"),
+            # long, not int: 64-bit (hash-derived) seed ids must not wrap
+            # — a low-32-bit collision would merge two initial centroids
+            F.col(id_col).cast("long").alias("cid"),
             F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("cvec"),
         )
         .localCheckpoint()
     )
     for _ in range(n_iter):
         assign = kmeans_assign(embeddings, centroids, id_col, vec_col)
-        centroids = _kmeans_update(
-            assign, embeddings, id_col, vec_col
-        ).localCheckpoint()
+        updated = _kmeans_update(assign, embeddings, id_col, vec_col)
+        # a cluster that lost every member keeps its previous centroid
+        # (standard Lloyd guard) — without this the cid silently vanishes
+        # and the fit returns fewer than k centroids
+        centroids = (
+            centroids.select("cid", F.col("cvec").alias("_prev"))
+            .join(updated, "cid", "left")
+            .select("cid", F.coalesce("cvec", "_prev").alias("cvec"))
+            .localCheckpoint()
+        )
     return centroids
 
 
@@ -569,6 +578,8 @@ def pq_encode(
     groupBy(vector) rebuilds the code array in subspace order. No UDF."""
     if dim is None:
         dim = len(embeddings.select(vec_col).first()[0])
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
     sub_dim = dim // m
     subs = embeddings.select(
         F.col(id_col),
@@ -623,6 +634,8 @@ def pq_adc_topk(
     exact fixed-point sum → TakeOrderedAndProject. Returns
     (id, approx_dist) ascending."""
     dim = len(query_vec)
+    if dim % m != 0:
+        raise ValueError(f"query dim {dim} not divisible by m {m}")
     sub_dim = dim // m
     qsubs = [
         F.array(*[F.lit(float(query_vec[j * sub_dim + t])) for t in range(sub_dim)])
@@ -739,6 +752,8 @@ def ivfpq_topk(
     ][:nprobe]
     cent_map = {r["cid"]: [float(x) for x in r["cvec"]] for r in cents}
     dim = len(q)
+    if dim % m != 0:
+        raise ValueError(f"query dim {dim} not divisible by m {m}")
     sub_dim = dim // m
 
     # residual query per probed cell, as literal subvector arrays
@@ -880,6 +895,46 @@ def semdedup_keep(
     )
 
 
+
+def _ranked_topk(scored: DataFrame, k: int, query_id_col: str,
+                 id_col: str, score_col: str = "cosine") -> DataFrame:
+    """Final per-query top-k with dense rank: one sort-based window
+    (spill-safe) over (score desc, id asc) ties."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.desc(score_col), F.asc(id_col)
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, score_col, "rank")
+    )
+
+
+def _two_phase_topk(scored: DataFrame, k: int, query_id_col: str,
+                    id_col: str, score_col: str = "cosine",
+                    part_col: str = "_part") -> DataFrame:
+    """Spill-safe per-query top-k over corpus-scale scored rows. Phase 1
+    ranks within (query, input partition) through a SORT-based window —
+    it spills gracefully, where a collect_list aggregation would buffer
+    every scored row of the group in one task's hash-aggregate memory
+    before any slice could truncate it (partial aggregation cannot bound
+    a collect_list — the earlier 'bounded' phase-1 wasn't). Phase 2
+    ranks the <= k x partitions survivors per query."""
+    from pyspark.sql import Window
+
+    w1 = Window.partitionBy(query_id_col, part_col).orderBy(
+        F.desc(score_col), F.asc(id_col)
+    )
+    local = (
+        scored.withColumn("_r1", F.row_number().over(w1))
+        .filter(F.col("_r1") <= k)
+        .drop("_r1", part_col)
+    )
+    return _ranked_topk(local, k, query_id_col, id_col, score_col)
+
+
 def brute_force_topk_batch(
     embeddings: DataFrame, queries: DataFrame, k: int = 10,
     id_col: str = "vec_id", vec_col: str = "embedding",
@@ -891,12 +946,13 @@ def brute_force_topk_batch(
 
     Scale shape: the query table broadcasts (batches are small by
     definition); scoring is corpus-scan × Q in one pass. The per-query
-    top-k is TWO-PHASE — a partial top-k per input partition (groupBy
-    (query, partition-id) → sorted-slice aggregate, map-side bounded at
-    k·partitions·Q rows) feeding a k-row final slice per query — so no
-    window ever sorts Q full corpus copies on a Q-partition shuffle (the
-    classic per-group-top-k scale trap: Q ≪ cores means idle executors
-    and unbounded sort spill). Ties break by ascending id."""
+    top-k is TWO-PHASE — rank within (query, input partition) first,
+    then rank the ≤ k·partitions survivors per query — so the final
+    per-query sort never sees Q full corpus copies on a Q-partition
+    shuffle (the classic per-group-top-k scale trap: Q ≪ cores means
+    idle executors). Both phases are SORT-based windows, which spill
+    gracefully; see _two_phase_topk for why an aggregation-based
+    "bounded" phase 1 wasn't. Ties break by ascending id."""
     q = F.broadcast(
         queries.select(
             F.col(query_id_col), F.col(query_vec_col).alias("_qv")
@@ -908,33 +964,7 @@ def brute_force_topk_batch(
         F.round(cosine_col(F.col(vec_col), F.col("_qv")), 6).alias("cosine"),
         F.spark_partition_id().alias("_part"),
     )
-    # phase 1: bounded local top-k per (query, input partition)
-    local = scored.groupBy(query_id_col, "_part").agg(
-        F.slice(
-            F.array_sort(
-                F.collect_list(
-                    F.struct(
-                        (-F.col("cosine")).alias("neg"), F.col(id_col).alias("id")
-                    )
-                )
-            ),
-            1, k,
-        ).alias("top")
-    )
-    # phase 2: merge the ≤ k·partitions candidates per query, final slice
-    merged = (
-        local.select(query_id_col, F.explode("top").alias("t"))
-        .groupBy(query_id_col)
-        .agg(F.slice(F.array_sort(F.collect_list("t")), 1, k).alias("top"))
-    )
-    return merged.select(
-        query_id_col, F.posexplode("top").alias("_rnk", "t")
-    ).select(
-        query_id_col,
-        F.col("t.id").alias(id_col),
-        (-F.col("t.neg")).alias("cosine"),
-        (F.col("_rnk") + 1).alias("rank"),
-    )
+    return _two_phase_topk(scored, k, query_id_col, id_col)
 
 
 def ivf_topk_batch(
@@ -948,8 +978,8 @@ def ivf_topk_batch(
     bucket id — the batch form of ivf_topk, and the scale shape when the
     query batch itself is large: candidates per query are ~N·(1+bits)/2^bits
     rows riding a shuffle-partitioned join (AQE-splittable), not a
-    Q×N cross join. Per-query top-k is the same two-phase bounded
-    partial top-k as brute_force_topk_batch. A corpus vector sits in ONE
+    Q×N cross join. Per-query top-k is the same two-phase windowed
+    top-k as brute_force_topk_batch (_two_phase_topk). A corpus vector sits in ONE
     bucket, so it meets a query through at most one probe row — no dedup.
 
     Returns (query_id, vec_id, cosine, rank); self-matches are not
@@ -981,31 +1011,7 @@ def ivf_topk_batch(
         F.round(cosine_col(F.col("_v"), F.col("_qv")), 6).alias("cosine"),
         F.spark_partition_id().alias("_part"),
     )
-    local = scored.groupBy(query_id_col, "_part").agg(
-        F.slice(
-            F.array_sort(
-                F.collect_list(
-                    F.struct(
-                        (-F.col("cosine")).alias("neg"), F.col(id_col).alias("id")
-                    )
-                )
-            ),
-            1, k,
-        ).alias("top")
-    )
-    merged = (
-        local.select(query_id_col, F.explode("top").alias("t"))
-        .groupBy(query_id_col)
-        .agg(F.slice(F.array_sort(F.collect_list("t")), 1, k).alias("top"))
-    )
-    return merged.select(
-        query_id_col, F.posexplode("top").alias("_rnk", "t")
-    ).select(
-        query_id_col,
-        F.col("t.id").alias(id_col),
-        (-F.col("t.neg")).alias("cosine"),
-        (F.col("_rnk") + 1).alias("rank"),
-    )
+    return _two_phase_topk(scored, k, query_id_col, id_col)
 
 
 def batch_cosine_scores_arrow(
@@ -1031,7 +1037,9 @@ def batch_cosine_scores_arrow(
     import pandas as pd
 
     q = np.asarray(query_vecs, dtype=np.float64)          # (Q, d)
-    qn = q / np.linalg.norm(q, axis=1, keepdims=True)
+    qnorm = np.linalg.norm(q, axis=1, keepdims=True)
+    qnorm[qnorm == 0.0] = 1.0  # zero query vector → zero cosines, not NaN
+    qn = q / qnorm
 
     def score(batches):
         for pdf in batches:
@@ -1072,7 +1080,9 @@ def brute_force_topk_batch_arrow(
     import pandas as pd
 
     q = np.asarray(query_vecs, dtype=np.float64)
-    qn = q / np.linalg.norm(q, axis=1, keepdims=True)
+    qnorm = np.linalg.norm(q, axis=1, keepdims=True)
+    qnorm[qnorm == 0.0] = 1.0  # zero query vector → zero cosines, not NaN
+    qn = q / qnorm
     nq = qn.shape[0]
 
     def score(batches):
@@ -1105,26 +1115,9 @@ def brute_force_topk_batch_arrow(
     local = embeddings.select(id_col, vec_col).mapInPandas(
         score, schema=f"{id_col} long, query_id int, cosine double"
     )
-    merged = local.groupBy("query_id").agg(
-        F.slice(
-            F.array_sort(
-                F.collect_list(
-                    F.struct(
-                        (-F.col("cosine")).alias("neg"), F.col(id_col).alias("id")
-                    )
-                )
-            ),
-            1, k,
-        ).alias("top")
-    )
-    return merged.select(
-        "query_id", F.posexplode("top").alias("_rnk", "t")
-    ).select(
-        "query_id",
-        F.col("t.id").alias(id_col),
-        (-F.col("t.neg")).alias("cosine"),
-        (F.col("_rnk") + 1).alias("rank"),
-    )
+    # the mapInPandas stage already bounded each batch to k rows/query;
+    # one final ranked merge per query finishes the job
+    return _ranked_topk(local, k, "query_id", id_col)
 
 
 def write_pq_index(

@@ -28,16 +28,45 @@ FNV_MOD = 1_000_000_007
 FNV_BASE = 31
 
 
-def sample_hash_col(key: Column, mod: int = 1_000_003) -> Column:
+#: shared mixing-hash constants: a large odd multiplier and a large prime
+#: modulus. Reducing the KEY mod P BEFORE multiplying is load-bearing
+#: twice over: (a) the product is bounded by (P-1)·C ≈ 2.7e15 < 2^63, so
+#: 64-bit ids (xxhash-derived, negative, anything) never overflow — a raw
+#: key*C wraps past |key| ≈ 3.5e9 and Spark's sign-preserving % then
+#: yields NEGATIVE buckets; (b) residues mod the LARGE prime equidistribute
+#: for any key stride, unlike `(key*C) % n` for small n, which is a pure
+#: function of key mod n (zero mixing: all-even ids → one of 2 shards).
+MIX_PRIME = 1_000_003
+MIX_MULT = 2654435761
+
+
+def mix_hash_col(key: Column) -> Column:
+    """Well-mixed non-negative residue of an integer key in [0, MIX_PRIME):
+    ``((key pmod P) * C) mod P``. Pure 64-bit arithmetic both Spark and
+    DuckDB execute identically; mathematically equal to the old
+    ``(key*C) mod P`` wherever that didn't overflow."""
+    return (
+        F.pmod(key.cast("long"), F.lit(MIX_PRIME)) * F.lit(MIX_MULT)
+    ) % F.lit(MIX_PRIME)
+
+
+def bucket_hash_col(key: Column, n: int) -> Column:
+    """Deterministic bucket in [0, n): the mixed residue folded mod n —
+    the shard/stream/split primitive (never ``(key*C) % n`` directly;
+    see MIX_PRIME notes)."""
+    return mix_hash_col(key) % F.lit(n)
+
+
+def sample_hash_col(key: Column, mod: int = MIX_PRIME) -> Column:
     """Deterministic per-key sampling hash in [0, 1): Knuth multiplicative
     hash of the integer key, pure 64-bit arithmetic both Spark and DuckDB
     execute identically. The reproducible-sampling primitive for corpus
     curation at scale: membership is a pure function of the key, so a
     sample is stable across runs, partitionings, engines, and incremental
     re-ingests (unlike rand()/TABLESAMPLE, which are none of those)."""
-    return ((key.cast("long") * F.lit(2654435761)) % F.lit(mod)).cast(
-        "double"
-    ) / F.lit(float(mod))
+    return (
+        (F.pmod(key.cast("long"), F.lit(mod)) * F.lit(MIX_MULT)) % F.lit(mod)
+    ).cast("double") / F.lit(float(mod))
 
 
 def stratified_sample(

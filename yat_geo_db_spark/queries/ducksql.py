@@ -253,3 +253,19 @@ SELECT orig_ref, dest_ref, distance,
        (o_agg OR is_aggregate) AS distance_aggregate
 FROM d
 """
+
+
+def mix_sql(expr: str, mod: int = 1_000_003) -> str:
+    """Mirror of text.mix_hash_col / sample_hash_col's residue: reduce the
+    key mod the prime FIRST (pmod — DuckDB's % is sign-preserving like
+    Spark's), then multiply and reduce again. Overflow-free for 64-bit
+    keys; value-identical to the old (key*C) % mod wherever that didn't
+    overflow."""
+    return (
+        f"((({expr}) % {mod} + {mod}) % {mod} * 2654435761) % {mod}"
+    )
+
+
+def bucket_sql(expr: str, n: int) -> str:
+    """Mirror of text.bucket_hash_col: the mixed residue folded mod n."""
+    return f"({mix_sql(expr)} % {n})"

@@ -12,7 +12,7 @@ from pyspark.sql import functions as F
 from yat_geo_db_spark.pipelines import dedup, multimodal, similarity, text
 from yat_geo_db_spark.pipelines.dedup import MINHASH_BANDS, MINHASH_PERMS, SIMHASH_BITS
 from yat_geo_db_spark.pipelines.text import FNV_BASE, FNV_MOD, LANG_MARKERS, STOPWORDS
-from yat_geo_db_spark.queries.ducksql import grams_sql, sql_str_list
+from yat_geo_db_spark.queries.ducksql import bucket_sql, grams_sql, mix_sql, sql_str_list
 from yat_geo_db_spark.testdata import load_table
 
 #: thresholds shared by both engines
@@ -1072,7 +1072,7 @@ def q_pack_chunks(spark, sf_dir):
 _PACK_CHUNKS_SQL = f"""
 WITH t AS (
   SELECT doc_id,
-         CAST((doc_id * 2654435761) % {PACK_STREAMS} AS INT) AS stream,
+         CAST({bucket_sql("doc_id", PACK_STREAMS)} AS INT) AS stream,
          greatest(len(string_split(text, ' ')), 1) AS n_tokens
   FROM documents
 ),
@@ -1142,13 +1142,13 @@ def q_sample_stratified(spark, sf_dir):
     return out.select("doc_id", "lang")
 
 
-_SAMPLE_STRATIFIED_SQL = """
+_SAMPLE_STRATIFIED_SQL = f"""
 WITH rates(lang, rate) AS (
   VALUES ('de', 1.0), ('en', 0.5), ('es', 0.25), ('fr', 0.25)
 )
 SELECT doc_id, lang
 FROM documents JOIN rates USING (lang)
-WHERE CAST((doc_id * 2654435761) % 1000003 AS DOUBLE) / 1000003.0 < rate
+WHERE CAST({mix_sql("doc_id")} AS DOUBLE) / 1000003.0 < rate
 """
 
 
@@ -1166,14 +1166,14 @@ def q_sample_mixture(spark, sf_dir):
     return out.select("doc_id", "source", "copy_idx")
 
 
-_SAMPLE_MIXTURE_SQL = """
+_SAMPLE_MIXTURE_SQL = f"""
 WITH w(source, n_full, frac) AS (
   VALUES ('src0', 2, 0.5), ('src1', 0, 0.5), ('src2', 0, 0.0)
 ),
 j AS (
   SELECT d.doc_id, d.source,
          coalesce(n_full, 1)
-         + CASE WHEN CAST((d.doc_id * 2654435761) % 1000003 AS DOUBLE)
+         + CASE WHEN CAST({mix_sql("d.doc_id")} AS DOUBLE)
                      / 1000003.0 < coalesce(frac, 0.0)
                 THEN 1 ELSE 0 END AS n_copies
   FROM documents d LEFT JOIN w USING (source)
@@ -1199,7 +1199,7 @@ def _sample_quality_sql() -> str:
     return f"""
 WITH q AS ({_TEXT_QUALITY_SQL})
 SELECT doc_id, quality_score FROM q
-WHERE CAST((doc_id * 2654435761) % 1000003 AS DOUBLE) / 1000003.0
+WHERE CAST({mix_sql("doc_id")} AS DOUBLE) / 1000003.0
       < least(greatest(quality_score, CAST(0.0 AS DOUBLE)), CAST(0.9 AS DOUBLE))
 """
 
@@ -1966,8 +1966,8 @@ keyed AS (
   FROM documents d LEFT JOIN comp ON d.doc_id = comp.doc_id
 )
 SELECT doc_id, split_key,
-  CASE WHEN (split_key * 2654435761) % 100 < 10 THEN 'test'
-       WHEN (split_key * 2654435761) % 100 < 20 THEN 'val'
+  CASE WHEN {bucket_sql("split_key", 100)} < 10 THEN 'test'
+       WHEN {bucket_sql("split_key", 100)} < 20 THEN 'val'
        ELSE 'train' END AS split
 FROM keyed
 """
@@ -2321,9 +2321,9 @@ def q_shard_assignment(spark, sf_dir):
 
 _SHARD_SQL = f"""
 SELECT doc_id,
-       CAST((doc_id * 2654435761) % {N_SHARDS} AS INT) AS shard,
+       CAST({bucket_sql("doc_id", N_SHARDS)} AS INT) AS shard,
        CAST(row_number() OVER (
-         PARTITION BY (doc_id * 2654435761) % {N_SHARDS} ORDER BY doc_id
+         PARTITION BY {bucket_sql("doc_id", N_SHARDS)} ORDER BY doc_id
        ) - 1 AS INT) AS pos
 FROM documents
 """
@@ -2453,7 +2453,7 @@ def _kmeans_sql(k: int = KMEANS_K, n_iter: int = KMEANS_ITERS) -> str:
     )
     ctes = [
         f"""c0 AS (
-  SELECT CAST(vec_id AS INT) AS cid,
+  SELECT CAST(vec_id AS BIGINT) AS cid,
          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cvec
   FROM embeddings ORDER BY vec_id LIMIT {k}
 )"""
@@ -2478,8 +2478,11 @@ def _kmeans_sql(k: int = KMEANS_K, n_iter: int = KMEANS_ITERS) -> str:
   GROUP BY cid, u.i
 )""")
         ctes.append(
-            f"c{t + 1} AS (SELECT cid, list(v ORDER BY pos) AS cvec "
-            f"FROM m{t} GROUP BY cid)"
+            # empty clusters keep their previous centroid (left join +
+            # coalesce — mirror of kmeans_fit's Lloyd guard)
+            f"c{t + 1} AS (SELECT c.cid, coalesce(m.cvec, c.cvec) AS cvec "
+            f"FROM c{t} c LEFT JOIN (SELECT cid, list(v ORDER BY pos) "
+            f"AS cvec FROM m{t} GROUP BY cid) m ON c.cid = m.cid)"
         )
     body = ",\n".join(ctes)
     return (
@@ -2639,7 +2642,7 @@ wts(source, n_full, frac) AS (VALUES ('src0', 2, 0.0), ('src1', 0, 0.5)),
 m AS (
   SELECT n.doc_id, n.source,
          coalesce(n_full, 1)
-         + CASE WHEN CAST((n.doc_id * 2654435761) % 1000003 AS DOUBLE)
+         + CASE WHEN CAST({mix_sql("n.doc_id")} AS DOUBLE)
                      / 1000003.0 < coalesce(frac, 0.0)
                 THEN 1 ELSE 0 END AS n_copies
   FROM ne n LEFT JOIN wts USING (source)
