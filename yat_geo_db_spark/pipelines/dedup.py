@@ -80,6 +80,18 @@ def shingle_hash(g: Column) -> Column:
     )
 
 
+def jaccard_col(g1: Column, g2: Column) -> Column:
+    """Exact set Jaccard of two gram arrays, 6-dp rounded — THE verify
+    expression every candidate generator funnels into (one definition so
+    the rounding/empty-set policy can never silently diverge between the
+    oracle-checked variants)."""
+    inter = F.size(F.array_intersect(g1, g2)).cast("double")
+    union = F.size(g1).cast("double") + F.size(g2).cast("double") - inter
+    return F.round(
+        F.when(union > 0, inter / union).otherwise(F.lit(0.0)), 6
+    )
+
+
 # --------------------------------------------------------------------------
 # exact dedup
 # --------------------------------------------------------------------------
@@ -291,13 +303,8 @@ def ngram_jaccard_pairs(
         grams_tbl.select(F.col("doc_id").alias("id2"), F.col("grams").alias("g2")),
         "id2",
     )
-    inter = F.size(F.array_intersect(F.col("g1"), F.col("g2"))).cast("double")
-    union = (
-        F.size(F.col("g1")).cast("double") + F.size(F.col("g2")).cast("double") - inter
-    )
-    jac = F.when(union > 0, inter / union).otherwise(F.lit(0.0))
     return (
-        paired.withColumn("jaccard", F.round(jac, 6))
+        paired.withColumn("jaccard", jaccard_col(F.col("g1"), F.col("g2")))
         .filter(F.col("jaccard") >= threshold)
         .select("id1", "id2", "jaccard")
     )
@@ -306,75 +313,6 @@ def ngram_jaccard_pairs(
 # --------------------------------------------------------------------------
 # MinHash + LSH
 # --------------------------------------------------------------------------
-
-def minhash_signature(hashes: Column) -> Column:
-    """Array of K min-hashes from a (materialized) array of shingle hashes:
-    K linear permutations `(a·h + b) mod P`, min of each.
-
-    Takes pre-computed hashes, NOT raw text: Spark evaluates lambda
-    higher-order functions interpreted with no common-subexpression
-    elimination, so folding the shingle hash inside each of the K branches
-    would recompute it K× per row. Hash once (see shingle_hash_table),
-    cross a shuffle, then run the K cheap permutations here."""
-    mins = [
-        F.when(
-            F.size(hashes) > 0,
-            F.array_min(F.transform(hashes, lambda h: (h * a + b) % FNV_MOD)),
-        )
-        .otherwise(F.lit(FNV_MOD))
-        .alias(f"mh{j}")
-        for j, (a, b) in enumerate(MINHASH_PERMS)
-    ]
-    return F.array(*mins)
-
-
-def gram_hash_table(
-    documents: DataFrame, grams: Column, id_col: str = "doc_id",
-    extra_cols: tuple[str, ...] = (),
-) -> DataFrame:
-    """(id, *extra, grams, hashes): distinct grams (any shingling — token
-    shingles or char n-grams, supplied as a Column over `documents`) and
-    their hashes, with the expensive per-gram fold evaluated exactly once.
-
-    Shape: explode grams → hash each once → groupBy id collect_set.
-    The aggregation shuffle doubles as the materialization barrier that
-    stops Catalyst's projection collapse from inlining (and re-running)
-    the fold into every downstream consumer. One extra shuffle of small
-    (id, hash) rows buys K×B fewer interpreted fold evaluations — the
-    right trade at any scale."""
-    extras = [F.col(c) for c in extra_cols]
-    shingled = documents.select(
-        F.col(id_col), *extras, F.explode(grams).alias("g")
-    )
-    hashed = shingled.select(
-        id_col, *extra_cols, F.col("g"), shingle_hash(F.col("g")).alias("h")
-    )
-    agg = hashed.groupBy(id_col, *extra_cols).agg(
-        F.collect_set("g").alias("grams"), F.collect_set("h").alias("hashes")
-    )
-    # docs with no grams (too short) have no exploded rows — reinstate with
-    # empty arrays so downstream left-join consumers see every doc
-    return (
-        documents.select(id_col, *extras)
-        .join(agg.drop(*extra_cols) if extra_cols else agg, id_col, "left")
-        .select(
-            id_col,
-            *extra_cols,
-            F.coalesce("grams", F.array().cast("array<string>")).alias("grams"),
-            F.coalesce("hashes", F.array().cast("array<long>")).alias("hashes"),
-        )
-    )
-
-
-def shingle_hash_table(
-    documents: DataFrame, w: int = 3, text_col: str = "text",
-    id_col: str = "doc_id",
-) -> DataFrame:
-    """gram_hash_table over w-token shingles (the MinHash/LSH input)."""
-    return gram_hash_table(
-        documents, tokens_shingles(F.col(text_col), w), id_col
-    )
-
 
 def _explode_bands(
     sig_tbl: DataFrame, id_col: str = "doc_id",
@@ -461,22 +399,14 @@ def near_dup_matches(
         F.col(id_col).alias("corpus_doc_id"),
         F.col("grams").alias("c_grams"),
     )
-    inter = F.size(F.array_intersect(F.col("grams"), F.col("c_grams"))).cast(
-        "double"
-    )
-    union = (
-        F.size(F.col("grams")).cast("double")
-        + F.size(F.col("c_grams")).cast("double")
-        - inter
-    )
-    jac = F.when(union > 0, inter / union).otherwise(F.lit(0.0))
     return (
         nb.join(
             cb,
             (F.col("band") == F.col("c_band")) & (F.col("bsig") == F.col("c_bsig")),
         )
         .select(
-            id_col, "corpus_doc_id", F.round(jac, 6).alias("jaccard")
+            id_col, "corpus_doc_id",
+            jaccard_col(F.col("grams"), F.col("c_grams")).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= threshold)
         .distinct()
@@ -507,21 +437,12 @@ def near_dup_filter(
         F.col("bsig").alias("c_bsig"),
         F.col("grams").alias("c_grams"),
     )
-    inter = F.size(F.array_intersect(F.col("grams"), F.col("c_grams"))).cast(
-        "double"
-    )
-    union = (
-        F.size(F.col("grams")).cast("double")
-        + F.size(F.col("c_grams")).cast("double")
-        - inter
-    )
-    jac = F.when(union > 0, inter / union).otherwise(F.lit(0.0))
     matched = (
         nb.join(
             cb,
             (F.col("band") == F.col("c_band")) & (F.col("bsig") == F.col("c_bsig")),
         )
-        .filter(F.round(jac, 6) >= threshold)
+        .filter(jaccard_col(F.col("grams"), F.col("c_grams")) >= threshold)
         .select(id_col)
         .distinct()
     )
@@ -533,6 +454,7 @@ def minhash_lsh_pairs(
     threshold: float = 0.5,
     w: int = 3,
     text_col: str = "text",
+    id_col: str = "doc_id",
 ) -> DataFrame:
     """Candidate pairs via LSH banding + exact-Jaccard verification, over
     w-token shingles.
@@ -546,16 +468,16 @@ def minhash_lsh_pairs(
     materialized (the join's two map stages race a cold cache and would
     each recompute the signature aggregation otherwise — see
     ngram_jaccard_pairs)."""
-    banded = band_table(documents, w, text_col).persist()
+    banded = band_table(documents, w, text_col, id_col).persist()
     banded.count()
 
     left = banded.select(
         F.col("band"), F.col("bsig"),
-        F.col("doc_id").alias("id1"), F.col("grams").alias("g1"),
+        F.col(id_col).alias("id1"), F.col("grams").alias("g1"),
     )
     right = banded.select(
         F.col("band").alias("band_r"), F.col("bsig").alias("bsig_r"),
-        F.col("doc_id").alias("id2"), F.col("grams").alias("g2"),
+        F.col(id_col).alias("id2"), F.col("grams").alias("g2"),
     )
     cand = (
         left.join(
@@ -567,11 +489,8 @@ def minhash_lsh_pairs(
         .select("id1", "id2", "g1", "g2")
         .dropDuplicates(["id1", "id2"])
     )
-    inter = F.size(F.array_intersect(F.col("g1"), F.col("g2"))).cast("double")
-    union = F.size(F.col("g1")).cast("double") + F.size(F.col("g2")).cast("double") - inter
-    jac = F.when(union > 0, inter / union).otherwise(F.lit(0.0))
     return (
-        cand.withColumn("jaccard", F.round(jac, 6))
+        cand.withColumn("jaccard", jaccard_col(F.col("g1"), F.col("g2")))
         .filter(F.col("jaccard") >= threshold)
         .select("id1", "id2", "jaccard")
     )
@@ -580,41 +499,6 @@ def minhash_lsh_pairs(
 # --------------------------------------------------------------------------
 # SimHash
 # --------------------------------------------------------------------------
-
-def simhash_col(scrambled_lo: Column, scrambled_hi: Column) -> Column:
-    """SimHash signature from two (materialized) arrays of SCRAMBLED token
-    hashes: per-bit vote, sign → bit. Bit j < 24 counts elements of
-    `scrambled_lo` = (h·K1) mod M with bit j set; bit j ≥ 24 reads bit
-    j-24 of `scrambled_hi` = (h·K2) mod M (see the SIMHASH_SCRAMBLE_*
-    note — raw polynomial hashes can't fill 48 well-mixed positions).
-
-    Takes PRE-SCRAMBLED arrays for the no-CSE-in-HOFs reason (module doc):
-    lambda HOFs re-evaluate their input expression per consumer, so folding
-    the multiply-mod into each of the 48 bit-vote filters would run it 48×
-    per token. Scramble once per token before the aggregation shuffle
-    (simhash_table), then each vote is a bare bitwise test."""
-    n_tok = F.size(scrambled_lo)
-    half = SIMHASH_BITS // 2
-
-    def _vote(j: int):
-        # one-arg lambda per bit (a two-arg lambda would make F.filter pass
-        # the element INDEX as the second argument)
-        arr = scrambled_lo if j < half else scrambled_hi
-        pos = j if j < half else j - half
-        return F.filter(arr, lambda h: h.bitwiseAND(F.lit(1 << pos)) > 0)
-
-    bits = [
-        F.when(
-            F.size(_vote(j)) * 2 > n_tok,
-            F.lit(1 << j).cast("long"),
-        ).otherwise(F.lit(0).cast("long"))
-        for j in range(SIMHASH_BITS)
-    ]
-    out = bits[0]
-    for bcol in bits[1:]:
-        out = out + bcol
-    return out
-
 
 def simhash_table(
     documents: DataFrame,
@@ -632,7 +516,7 @@ def simhash_table(
     signature is one hash aggregation in whole-stage codegen with map-side
     partial aggregation — the shuffle carries 49 longs per (doc, block)
     group instead of a collect_list of every token hash, and nothing is
-    interpreted per element. (simhash_col keeps the array form for callers
+    interpreted per element. (an array-form variant would keep it for callers
     that already hold materialized hash arrays.)"""
     toks = documents.select(
         "doc_id", *[F.col(c) for c in block_cols],
@@ -917,8 +801,20 @@ def connected_components(
             )
             new_sum = labels.agg(F.sum("component")).collect()[0][0]
             if new_sum == prev_sum:
+                converged = True
                 break
             prev_sum = new_sum
+        else:
+            converged = False
+        if not converged:
+            # silent non-convergence would split one real cluster into
+            # several "canonical" copies downstream — fail loudly (label
+            # propagation needs rounds ~ the longest min-id path; raise
+            # max_iter, or pre-contract with the local union-find gate)
+            raise RuntimeError(
+                f"connected_components did not converge in {max_iter} "
+                "propagation rounds; raise max_iter"
+            )
     finally:
         if pf_prev is not None:
             spark.conf.set(pf_key, pf_prev)
@@ -1170,7 +1066,9 @@ def remove_duplicate_lines(
     from pyspark.sql import Window
 
     if lines is None:
-        lines = F.split(F.col(text_col), delim)
+        # F.split takes a REGEX; \Q...\E quotes the delimiter so '|'
+        # or '.' segment literally (array_join below is literal already)
+        lines = F.split(F.col(text_col), "\\Q" + delim + "\\E")
     exploded = documents.select(
         F.col(id_col), F.posexplode(lines).alias("pos", "line")
     )
@@ -1284,6 +1182,7 @@ def incremental_corpus_merge(
     w: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
+    corpus_bands: DataFrame | None = None,
 ) -> DataFrame:
     """Daily-increment corpus update: return ``corpus UNION (batch docs
     that survive dedup)``, flagged with ``is_new``. A batch doc survives
@@ -1311,11 +1210,6 @@ def incremental_corpus_merge(
     bb = band_table(batch, w, text_col, id_col).persist()
     bb.count()
 
-    def _jac(g1, g2):
-        inter = F.size(F.array_intersect(g1, g2)).cast("double")
-        union = F.size(g1).cast("double") + F.size(g2).cast("double") - inter
-        return F.when(union > 0, inter / union).otherwise(F.lit(0.0))
-
     left = bb.select(
         "band", "bsig", F.col(id_col).alias("id1"), F.col("grams").alias("g1")
     )
@@ -1331,11 +1225,16 @@ def incremental_corpus_merge(
             & (F.col("id1") < F.col("id2")),
         )
         .dropDuplicates(["id1", "id2"])
-        .filter(F.round(_jac(F.col("g1"), F.col("g2")), 6) >= threshold)
+        .filter(jaccard_col(F.col("g1"), F.col("g2")) >= threshold)
         .select(F.col("id2").alias(id_col))
         .distinct()
     )
-    cb = band_table(corpus, w, text_col, id_col).select(
+    if corpus_bands is None:
+        # built inline as a convenience; a DAILY pipeline should build
+        # the corpus index once, persist it (e.g. band_table(...).write),
+        # and pass it here so each increment pays only batch-side banding
+        corpus_bands = band_table(corpus, w, text_col, id_col)
+    cb = corpus_bands.select(
         F.col("band").alias("c_band"), F.col("bsig").alias("c_bsig"),
         F.col("grams").alias("c_grams"),
     )
@@ -1346,7 +1245,7 @@ def incremental_corpus_merge(
             & (F.col("bsig") == F.col("c_bsig")),
         )
         .filter(
-            F.round(_jac(F.col("grams"), F.col("c_grams")), 6) >= threshold
+            jaccard_col(F.col("grams"), F.col("c_grams")) >= threshold
         )
         .select(id_col)
         .distinct()
@@ -1392,19 +1291,12 @@ def lsh_recall_eval(
     )
     a = shing.select(F.col(id_col).alias("id1"), F.col("grams").alias("g1"))
     b = shing.select(F.col(id_col).alias("id2"), F.col("grams").alias("g2"))
-    inter = F.size(F.array_intersect(F.col("g1"), F.col("g2"))).cast("double")
-    union = (
-        F.size(F.col("g1")).cast("double")
-        + F.size(F.col("g2")).cast("double")
-        - inter
-    )
-    jac = F.when(union > 0, inter / union).otherwise(F.lit(0.0))
     exact = (
         a.join(b, F.col("id1") < F.col("id2"))
-        .filter(F.round(jac, 6) >= threshold)
+        .filter(jaccard_col(F.col("g1"), F.col("g2")) >= threshold)
         .select("id1", "id2", F.lit(1).alias("in_exact"))
     )
-    lsh = minhash_lsh_pairs(sample, threshold, w, text_col).select(
+    lsh = minhash_lsh_pairs(sample, threshold, w, text_col, id_col).select(
         "id1", "id2", F.lit(1).alias("in_lsh")
     )
     merged = exact.join(lsh, ["id1", "id2"], "full_outer")

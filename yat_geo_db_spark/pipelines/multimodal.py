@@ -357,7 +357,7 @@ def audio_window_energy(
     per-frame energy (sum of sample values) and peak. No Python in the row
     path — the sample-code array is materialized ONCE per row, then each
     frame aggregates an array slice (the hash-once pattern from
-    dedup.shingle_hash_table; never re-decode per frame). Swap the
+    dedup.band_table; never re-decode per frame). Swap the
     byte-codes source for a real PCM decode and the frame math is unchanged.
     """
     codes = F.expr(
@@ -774,9 +774,13 @@ def phash_near_dup_pairs(media: DataFrame, max_hamming: int = 10) -> DataFrame:
     would produce, at near-linear candidate volume."""
     from yat_geo_db_spark.pipelines.dedup import simhash_candidates
 
+    # the pHash stage (full decode + DCT per image) feeds BOTH sides of
+    # the segment self-join — persist and materialize once, like every
+    # band table in dedup (ReusedExchange can't dedup aliased sides)
     sigs = png_phash(media).select(
         "doc_id", F.col("phash").alias("sig")
-    )
+    ).persist()
+    sigs.count()
     cand = simhash_candidates(
         sigs, max_hamming=max_hamming, block_cols=(), bits=64
     )

@@ -944,7 +944,7 @@ def winnowing_fingerprints(
     Plan: posexplode k-grams → hash each ONCE → groupBy(id) rebuilds the
     positional hash sequence (the aggregation shuffle is the
     materialization barrier that keeps the per-gram fold out of the
-    sliding-window lambdas — see dedup.gram_hash_table); the window mins
+    sliding-window lambdas — the dedup band tables use the same trick); the window mins
     are then array ops over the materialized sequence, O(w) per
     position. Docs shorter than one window keep min(all hashes); docs
     shorter than k get an empty set."""

@@ -877,7 +877,7 @@ def _simhash_sql() -> str:
     )
 
     def src(j: int) -> str:
-        # mirror of dedup.simhash_table/simhash_col: two multiplicative
+        # mirror of dedup.simhash_table: two multiplicative
         # scrambles of the 30-bit token hash supply 24 well-mixed bits each
         half = SIMHASH_BITS // 2
         k = SIMHASH_SCRAMBLE_1 if j < half else SIMHASH_SCRAMBLE_2
