@@ -77,16 +77,14 @@ def stratified_sample(
     falls below its stratum's rate (strata absent from `rates` → dropped).
     One broadcast join against the tiny rates dim, no shuffle of the corpus,
     no RNG — the curation pattern for 'x% of each language' at 100 TB."""
-    import pyspark.sql.functions as _F
-
     spark = documents.sparkSession
     rates_df = spark.createDataFrame(
         [(k, float(v)) for k, v in sorted(rates.items())],
         f"{strata_col} string, rate double",
     )
     return (
-        documents.join(_F.broadcast(rates_df), strata_col)
-        .filter(sample_hash_col(_F.col(key_col)) < _F.col("rate"))
+        documents.join(F.broadcast(rates_df), strata_col)
+        .filter(sample_hash_col(F.col(key_col)) < F.col("rate"))
         .drop("rate")
     )
 
@@ -174,7 +172,12 @@ def quality_features(documents: DataFrame, text_col: str = "text") -> DataFrame:
     distinct_ratio = F.size(F.array_distinct(toks)).cast("double") / n_tok
     avg_tok_len = F.round((n_chars - (n_tok - 1)) / n_tok, 6)
     stop_ratio = F.round(n_stop / n_tok, 6)
-    alpha_ratio = F.round(n_alpha / n_chars, 6)
+    # empty text ⇒ n_chars = 0, and the project's Spark 4 sessions run
+    # ANSI-default: an unguarded 0/0 ABORTS the job (n_tok is safe —
+    # split('') yields [''], size 1)
+    alpha_ratio = F.round(
+        F.when(n_chars > 0, n_alpha / n_chars).otherwise(F.lit(0.0)), 6
+    )
     # composite: reward mid-length docs with diverse tokens and some stopwords
     score = (
         F.least(n_tok / 50.0, F.lit(1.0)) * 0.4
@@ -204,8 +207,6 @@ def tf_idf_top_terms(documents: DataFrame, k: int = 3,
     size N is a broadcast one-row aggregate, never a driver collect.
     tf-idf = (tf/doc_len) · (ln((N+1)/(df+1)) + 1) — smoothed idf.
     """
-    from pyspark.sql import Window
-
     tok = documents.select(
         "doc_id", F.explode(tokens_col(F.col(text_col))).alias("token")
     )
@@ -260,9 +261,16 @@ def repetition_signals(documents: DataFrame, text_col: str = "text") -> DataFram
 
 
 def fingerprint_col(text: Column) -> Column:
-    """Deterministic 63-bit document fingerprint: left-fold polynomial
-    rolling hash over character codes, `acc*31 + code (mod 1e9+7)`.
-    Pure expression (sequence → transform → aggregate) — no UDF."""
+    """Deterministic document fingerprint: left-fold polynomial rolling
+    hash over character codes, `acc*31 + code (mod 1e9+7)`. Pure
+    expression (sequence → transform → aggregate) — no UDF.
+
+    RANGE CAVEAT: values live in [0, 1e9+7) — a ~2^30 space, chosen for
+    engine-portable 64-bit arithmetic (a larger modulus would overflow
+    the fold's multiply), NOT a collision-free identity: birthday math
+    expects collisions from ~50k docs. Use it as a cheap similarity/
+    change signal; exact-duplicate identity uses md5 digests
+    (exact_duplicates, corpus_profile)."""
     codes = F.transform(
         F.sequence(F.lit(1), F.length(text)),
         lambda i: F.ascii(F.substring(text, i, 1)).cast("long"),
@@ -505,10 +513,14 @@ def bigram_lm_surprisal(
     shuffle equi-joins otherwise), then one per-doc average. Nothing in
     the pipeline is O(vocab^2): only OBSERVED bigrams are ever
     materialized. Returns (doc_id, n_bigrams, bigram_surprisal)."""
-    toks = tokens_col(F.col(text_col))
+    # tokenize ONCE: the token-array projection feeds both the bigram
+    # stream and the unigram LM (two separate aggregation trees would
+    # otherwise re-split the text — doubling the most expensive stage)
+    toks_tbl = documents.select(
+        "doc_id", tokens_col(F.col(text_col)).alias("t")
+    ).persist()
     big = (
-        documents.select("doc_id", toks.alias("t"))
-        .filter(F.size("t") >= 2)
+        toks_tbl.filter(F.size("t") >= 2)
         .select(
             "doc_id",
             F.explode(
@@ -520,9 +532,7 @@ def bigram_lm_surprisal(
         )
         .select("doc_id", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
     )
-    tok = documents.select(
-        "doc_id", F.explode(tokens_col(F.col(text_col))).alias("w")
-    )
+    tok = toks_tbl.select("doc_id", F.explode("t").alias("w"))
     uni = tok.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
     bi = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
     total = uni.agg(F.sum("c").alias("total"))
@@ -609,8 +619,16 @@ def dsir_bucket_table(
         raw_buckets = dsir_token_buckets(raw, n_buckets, text_col)
     t = target_buckets.groupBy("bucket").agg(F.count(F.lit(1)).alias("tc"))
     r = raw_buckets.groupBy("bucket").agg(F.count(F.lit(1)).alias("rc"))
+    # DENSE spine over all n_buckets: buckets unseen in BOTH corpora get
+    # their smoothed ratio ln((rt+B)/(tt+B)) like any other bucket — a
+    # sparse table would make dsir_importance score novel-token docs
+    # with a discontinuous 0.0 fallback instead of the model's own
+    # smoothing (the table stays n_buckets rows either way)
+    spark = target_buckets.sparkSession
+    spine = spark.range(n_buckets).select(F.col("id").cast("long").alias("bucket"))
     joined = (
-        r.join(t, "bucket", "full")
+        spine.join(r, "bucket", "left")
+        .join(t, "bucket", "left")
         .select(
             "bucket",
             F.coalesce("tc", F.lit(0)).alias("tc"),
@@ -734,19 +752,26 @@ def corpus_profile(documents: DataFrame, text_col: str = "text") -> DataFrame:
     rides a groupBy the same scan feeds); every value exact and
     SQL-derivable, so profiles are comparable across engines and runs."""
     text = F.col(text_col)
+    # profiling an EMPTY corpus (a filter that matched nothing) is a
+    # normal pre/post-curation check — the ratios guard n_docs = 0
+    # (ANSI Spark raises DIVIDE_BY_ZERO even for double/count divisions)
+    n = F.count(F.lit(1))
     return documents.agg(
-        F.count(F.lit(1)).alias("n_docs"),
+        n.alias("n_docs"),
         F.sum(F.size(tokens_col(text))).alias("total_tokens"),
         F.round(
-            F.sum(F.size(tokens_col(text))).cast("double")
-            / F.count(F.lit(1)),
+            F.when(
+                n > 0, F.sum(F.size(tokens_col(text))).cast("double") / n
+            ),
             6,
         ).alias("avg_tokens"),
         F.count(F.when(F.length(text) == 0, 1)).alias("empty_docs"),
         F.countDistinct(F.md5(text)).alias("distinct_texts"),
         F.round(
-            F.lit(1.0)
-            - F.countDistinct(F.md5(text)).cast("double") / F.count(F.lit(1)),
+            F.when(
+                n > 0,
+                F.lit(1.0) - F.countDistinct(F.md5(text)).cast("double") / n,
+            ),
             6,
         ).alias("exact_dup_rate"),
         F.countDistinct("lang").alias("n_langs"),

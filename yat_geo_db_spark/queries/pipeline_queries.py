@@ -737,8 +737,10 @@ b AS (
 rc AS (SELECT bucket, count(*) AS rc FROM b GROUP BY 1),
 tcx AS (SELECT bucket, count(*) AS tc FROM b WHERE lang = 'en' GROUP BY 1),
 j AS (
-  SELECT rc.bucket, coalesce(tc, 0) AS tc, rc
-  FROM rc LEFT JOIN tcx USING (bucket)
+  -- dense spine over all buckets (mirror of dsir_bucket_table)
+  SELECT sp.bucket, coalesce(tc, 0) AS tc, coalesce(rc, 0) AS rc
+  FROM (SELECT unnest(range(0, {text.DSIR_BUCKETS})) AS bucket) sp
+  LEFT JOIN rc USING (bucket) LEFT JOIN tcx USING (bucket)
 ),
 tot AS (SELECT sum(tc) AS tt, sum(rc) AS rt FROM j),
 w AS (
@@ -849,12 +851,14 @@ def q_corpus_profile(spark, sf_dir):
 _CORPUS_PROFILE_SQL = """
 SELECT count(*) AS n_docs,
   CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
-  round(CAST(sum(len(string_split(text, ' '))) AS DOUBLE) / count(*), 6)
-    AS avg_tokens,
+  round(CASE WHEN count(*) > 0
+             THEN CAST(sum(len(string_split(text, ' '))) AS DOUBLE) / count(*)
+        END, 6) AS avg_tokens,
   count(CASE WHEN length(text) = 0 THEN 1 END) AS empty_docs,
   count(DISTINCT md5(text)) AS distinct_texts,
-  round(1.0 - CAST(count(DISTINCT md5(text)) AS DOUBLE) / count(*), 6)
-    AS exact_dup_rate,
+  round(CASE WHEN count(*) > 0
+             THEN 1.0 - CAST(count(DISTINCT md5(text)) AS DOUBLE) / count(*)
+        END, 6) AS exact_dup_rate,
   count(DISTINCT lang) AS n_langs,
   count(DISTINCT source) AS n_sources
 FROM documents
@@ -1245,7 +1249,8 @@ SELECT doc_id,
   round((nchars - (ntok - 1)) / ntok, 6) AS avg_token_len,
   round(CAST(len(list_distinct(toks)) AS DOUBLE) / ntok, 6) AS distinct_token_ratio,
   round(nstop / ntok, 6) AS stopword_ratio,
-  round(nalpha / nchars, 6) AS alpha_ratio,
+  round(CASE WHEN nchars > 0 THEN nalpha / nchars
+             ELSE CAST(0.0 AS DOUBLE) END, 6) AS alpha_ratio,
   round(
     least(ntok / 50.0, CAST(1.0 AS DOUBLE)) * 0.4
     + least(CAST(len(list_distinct(toks)) AS DOUBLE) / ntok * 1.25,

@@ -791,15 +791,16 @@ SELECT 'left_null',
 
 _SESSIONIZE_SQL = """
 WITH secs AS (
-  -- Spark's ts.cast("long") truncates to epoch seconds; mirror with //
+  -- exact microsecond gaps (the engine compares unix_micros, not
+  -- second-truncated casts)
   SELECT user_id, event_id, ts,
-         epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 AS sec
+         epoch_us(CAST(ts AS TIMESTAMP)) AS us
   FROM events
 ),
 marked AS (
-  SELECT user_id, event_id, ts, sec,
-         CASE WHEN lag(sec) OVER w IS NULL
-              OR sec - lag(sec) OVER w > 15 * 60
+  SELECT user_id, event_id, ts, us,
+         CASE WHEN lag(us) OVER w IS NULL
+              OR us - lag(us) OVER w > 15 * 60 * 1000000
               THEN 1 ELSE 0 END AS new_session
   FROM secs
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)

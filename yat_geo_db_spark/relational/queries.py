@@ -293,18 +293,22 @@ def order_value_deciles(orders: DataFrame) -> DataFrame:
 
 def sales_grouping_sets(orders: DataFrame) -> DataFrame:
     """Explicit GROUPING SETS ((year), (status), ()) — the asymmetric subset
-    CUBE/ROLLUP can't express."""
-    spark = orders.sparkSession
-    orders.createOrReplaceTempView("_gs_orders")
-    return spark.sql(
-        """
-        SELECT CAST(year(o_orderdate) AS INT) AS order_year, o_orderstatus,
-               count(1) AS n_orders,
-               CAST(sum(CAST(floor(o_totalprice * 1e2 + 0.5D) AS DECIMAL(38,0)))
-                    AS DOUBLE) / 1e2 AS total_sales
-        FROM _gs_orders
-        GROUP BY GROUPING SETS ((order_year), (o_orderstatus), ())
-        """
+    CUBE/ROLLUP can't express. Uses the Spark 4 DataFrame groupingSets
+    API, not a session temp view: createOrReplaceTempView on a fixed
+    name mutates the SHARED catalog, and two concurrent callers would
+    silently compute over each other's input."""
+    year = F.year("o_orderdate").cast("int").alias("order_year")
+    base = orders.select(year, "o_orderstatus", "o_totalprice")
+    return (
+        base.groupingSets(
+            [["order_year"], ["o_orderstatus"], []],
+            "order_year", "o_orderstatus",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum(F.col("o_totalprice"), 2).alias("total_sales"),
+        )
+        .select("order_year", "o_orderstatus", "n_orders", "total_sales")
     )
 
 

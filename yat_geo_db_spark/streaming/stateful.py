@@ -111,7 +111,7 @@ def running_user_profile_tws(events: DataFrame) -> DataFrame:
     state_schema = T.StructType(
         [
             T.StructField("n", T.LongType()),
-            T.StructField("types", T.StringType()),  # '|'-joined seen set
+            T.StructField("types", T.StringType()),  # JSON array (see below)
         ]
     )
 
@@ -122,16 +122,21 @@ def running_user_profile_tws(events: DataFrame) -> DataFrame:
         def handleInputRows(self, key, rows, timerValues):
             import pandas as pd
 
+            import json
+
             (user_id,) = key
             n, seen = 0, set()
             if self._state.exists():
                 prev_n, prev_types = self._state.get()
                 n = prev_n
-                seen = set(prev_types.split("|")) if prev_types else set()
+                # JSON array, not a '|'-join: a separator-joined string
+                # loses the empty type ('' is falsy) and miscounts any
+                # type containing the separator
+                seen = set(json.loads(prev_types))
             for pdf in rows:
                 n += len(pdf)
                 seen.update(pdf["event_type"].unique().tolist())
-            self._state.update((n, "|".join(sorted(seen))))
+            self._state.update((n, json.dumps(sorted(seen))))
             yield pd.DataFrame(
                 {
                     "user_id": [user_id],

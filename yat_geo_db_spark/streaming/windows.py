@@ -80,8 +80,14 @@ def batch_sessionize(events: DataFrame, gap_minutes: int = 15) -> DataFrame:
     from pyspark.sql import Window
 
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
-    new_session = (gap.isNull() | (gap > gap_minutes * 60)).cast("long")
+    # micros, not ts.cast("long"): the cast truncates to whole SECONDS,
+    # silently merging sessions whose sub-second gap is just over the
+    # threshold — diverging from session_window's exact semantics
+    us = F.unix_micros(F.col("ts"))
+    gap = us - F.lag(us).over(w)
+    new_session = (
+        gap.isNull() | (gap > gap_minutes * 60 * 1_000_000)
+    ).cast("long")
     sess = F.sum(new_session).over(
         Window.partitionBy("user_id").orderBy("ts", "event_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
