@@ -583,3 +583,20 @@ def test_routed_pairs_catch_degenerate_repetition(spark):
         for r in near_dup_pairs(docs, block_cols=("lang", "source")).collect()
     }
     assert (1, 2) in routed
+
+
+def test_lsh_recall_eval_zero_pair_corpus_no_ansi_abort(spark):
+    """ADVICE regression (round 4): a clean corpus sample with ZERO exact
+    (and zero LSH) near-dup pairs used to abort the whole job with ANSI
+    DIVIDE_BY_ZERO on the recall/precision ratios. Guarded ratios emit
+    NULL ("undefined"), counts stay exact."""
+    from yat_geo_db_spark.pipelines.dedup import lsh_recall_eval
+
+    docs = spark.createDataFrame(
+        [(i, f"totally unique text number {i} with body {i * 17}")
+         for i in range(10)],
+        "doc_id long, text string",
+    )
+    row = lsh_recall_eval(docs, sample_mod=1).collect()[0]
+    assert row["n_exact_pairs"] == 0 and row["n_lsh_pairs"] == 0
+    assert row["recall"] is None and row["precision"] is None

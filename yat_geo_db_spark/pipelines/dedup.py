@@ -1313,6 +1313,21 @@ def lsh_recall_eval(
         "n_exact_pairs",
         "n_lsh_pairs",
         "n_common",
-        F.round(F.col("n_common") / F.col("n_exact_pairs"), 6).alias("recall"),
-        F.round(F.col("n_common") / F.col("n_lsh_pairs"), 6).alias("precision"),
+        # ANSI guard: a clean corpus sample has zero exact (or zero LSH)
+        # near-dup pairs — unguarded division aborts the job with
+        # DIVIDE_BY_ZERO under Spark 4's ANSI default. NULL recall on an
+        # empty denominator is the honest answer ("undefined"), not 0.
+        F.round(
+            F.when(
+                F.col("n_exact_pairs") > 0,
+                F.col("n_common") / F.col("n_exact_pairs"),
+            ),
+            6,
+        ).alias("recall"),
+        F.round(
+            F.when(
+                F.col("n_lsh_pairs") > 0, F.col("n_common") / F.col("n_lsh_pairs")
+            ),
+            6,
+        ).alias("precision"),
     )

@@ -519,6 +519,12 @@ def bigram_lm_surprisal(
     toks_tbl = documents.select(
         "doc_id", tokens_col(F.col(text_col)).alias("t")
     ).persist()
+    # eager materialization closes the cold-cache race (two consumers
+    # racing a lazy persist both recompute); the cache lives for the
+    # returned DataFrame's lifetime — callers that loop over corpora
+    # should spark.catalog.clearCache() between runs, same contract as
+    # the winnowing-pairs fp table below.
+    toks_tbl.count()
     big = (
         toks_tbl.filter(F.size("t") >= 2)
         .select(

@@ -19,7 +19,7 @@ from yat_geo_db_spark.queries.pipeline_queries import QUERIES as PIPE_QUERIES
 
 
 def _last_checked_round() -> dict[str, int]:
-    """name → most recent round with a driver CORRECTNESS row for it.
+    """name → most recent round with a GOOD driver CORRECTNESS row for it.
 
     The per-round driver checks the FIRST ~50 registry entries and records
     them in CORRECTNESS_r{N}.json, and it REGENERATES the testdata between
@@ -27,7 +27,14 @@ def _last_checked_round() -> dict[str, int]:
     record files (committed at the repo root) lets `all_queries()` order
     STALEST-FIRST automatically each round: never-checked queries run
     first, then the oldest-checked, and the freshest rows — safest to lose
-    to a time cap — run last. No hand-maintained round list to rotate."""
+    to a time cap — run last. No hand-maintained round list to rotate.
+
+    A sampled-but-FAILED row (error, or hash mismatch) does NOT count as
+    checked: the fixed query must re-enter the driver's window next round
+    to flip green (r3: pipe_emb_pca crashed the canonicalizer; without
+    this it would have sat at idx 115 for two rounds). Rows-only successes
+    (err == "no_oracle" with a recorded spark_rows count) DO count —
+    they re-sort first forever otherwise, squatting the window."""
     root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     last: dict[str, int] = {}
     for path in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
@@ -42,8 +49,15 @@ def _last_checked_round() -> dict[str, int]:
             continue
         if not isinstance(rows, dict):
             continue
-        for name in rows:
-            last[name] = max(last.get(name, 0), rnd)
+        for name, row in rows.items():
+            if not isinstance(row, dict):
+                continue
+            err = row.get("err")
+            good = (err is None and row.get("hash_match") is True) or (
+                err == "no_oracle" and row.get("spark_rows") is not None
+            )
+            if good:
+                last[name] = max(last.get(name, 0), rnd)
     return last
 
 

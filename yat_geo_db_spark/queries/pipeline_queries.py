@@ -331,10 +331,12 @@ SELECT
   (SELECT count(*) FROM exact) AS n_exact_pairs,
   (SELECT count(*) FROM lsh) AS n_lsh_pairs,
   (SELECT count(*) FROM exact e JOIN lsh p USING (id1, id2)) AS n_common,
-  round((SELECT count(*) FROM exact e JOIN lsh p USING (id1, id2))
-        / (SELECT count(*) FROM exact), 6) AS recall,
-  round((SELECT count(*) FROM exact e JOIN lsh p USING (id1, id2))
-        / (SELECT count(*) FROM lsh), 6) AS precision
+  round(CASE WHEN (SELECT count(*) FROM exact) > 0 THEN
+        (SELECT count(*) FROM exact e JOIN lsh p USING (id1, id2))
+        / (SELECT count(*) FROM exact) END, 6) AS recall,
+  round(CASE WHEN (SELECT count(*) FROM lsh) > 0 THEN
+        (SELECT count(*) FROM exact e JOIN lsh p USING (id1, id2))
+        / (SELECT count(*) FROM lsh) END, 6) AS precision
 """
 
 
@@ -960,13 +962,27 @@ def q_emb_pca(spark, sf_dir):
     eigh, project via one Arrow-batched matmul). Rows-only: no SQL engine
     exposes an eigensolve, and eigenvector floats are not cross-engine
     hashable — exactness vs a local NumPy fit and partition-invariance
-    are pinned in tests/test_similarity_index.py instead."""
+    are pinned in tests/test_similarity_index.py instead.
+
+    The registry row emits a per-row scalar digest of the rounded
+    components (NOT the raw array<double>): the driver's canonicalizer
+    sorts column values with pandas and dies on unhashable ndarray cells.
+    The library API (`pca_project`) keeps the array form."""
     emb = load_table(spark, sf_dir, "embeddings")
     mean, comps, _evr = similarity.pca_fit(emb, n_components=4)
     out = similarity.pca_project(emb, mean, comps)
     return out.select(
         "vec_id",
-        F.transform(F.col("proj"), lambda x: F.round(x, 6)).alias("proj"),
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.col("proj"),
+                # round-then-format: %.6f alone keeps sub-ulp noise; round
+                # first so partition-order float drift can't flip a digit.
+                # (format_number would insert locale grouping commas.)
+                lambda x: F.format_string("%.6f", F.round(x, 6)),
+            ),
+        ).alias("proj_digest"),
     )
 
 
@@ -1453,9 +1469,10 @@ FROM agg
 def q_source_caps(spark, sf_dir):
     """Domain balancing: cap English docs at 11 per source, best quality
     kept first. The synthetic corpus's en-only per-source counts span
-    6-16 at every SF, so cap=11 exercises BOTH paths — hot sources go
-    through the rank-and-cut window, under-cap sources take the no-sort
-    broadcast-anti-join bypass — and the hash check covers the union."""
+    6-16 at every SF, so cap=11 exercises both over- and under-cap
+    sources through cap_per_source's single rank-and-cut window path
+    (the earlier hot/cold broadcast-anti-join bypass was removed — it
+    added two joins for zero pruning), and the hash check covers both."""
     docs = load_table(spark, sf_dir, "documents").filter(F.col("lang") == "en")
     return text.cap_per_source(docs, cap=11)
 
