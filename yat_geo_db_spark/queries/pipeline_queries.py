@@ -2361,9 +2361,11 @@ def q_sim_pq_topk(spark, sf_dir):
     """Product-quantized ANN: per-subspace k-means codebooks (m=4 x
     ksub=16 over the 64-dim embeddings), corpus compressed to 4 codes per
     vector, query scored via the asymmetric-distance LUT — the corpus scan
-    reads ONLY the codes. Deterministic end to end (Lloyd fit is), but the
-    unrolled SQL oracle would be m x n_iter k-means expansions — checked
-    by exactness/determinism pytest instead (test_similarity_index)."""
+    reads ONLY the codes. Deterministic end to end (Lloyd fit is), and the
+    oracle unrolls the FUSED per-subspace Lloyd loop as chained CTEs with
+    a subspace key (same technique as _kmeans_sql, proven bit-identical
+    there): same seed ranks, same fixed-point component means, same
+    (dist, cid) argmin, same scaled-long ADC LUT."""
     emb = load_table(spark, sf_dir, "embeddings")
     books = similarity.pq_fit(emb, m=4, ksub=16, n_iter=2, dim=64)
     codes = similarity.pq_encode(emb, books, m=4, dim=64)
@@ -2375,15 +2377,109 @@ def q_sim_pq_topk(spark, sf_dir):
     return similarity.pq_adc_topk(codes, books, qv, k=20, m=4)
 
 
+def _pq_topk_sql(m: int = 4, ksub: int = 16, n_iter: int = 2,
+                 k: int = 20, dim: int = 64) -> str:
+    """Unrolled PQ-ADC oracle: the fused per-subspace Lloyd loop of
+    similarity.pq_fit as chained CTEs keyed by (subspace, cid) — the
+    _kmeans_sql unroll with one extra key column — then pq_encode's final
+    argmin and pq_adc_topk's scaled-long LUT sum. Every arithmetic step
+    mirrors the Spark operator: float→double casts are exact, centroid
+    means are fixed-point at 1e-9, LUT entries are floor(d*1e9+0.5)
+    longs so the per-vector sum is associative in both engines."""
+    sub_dim = dim // m
+    fsum = (
+        "CAST(sum(CAST(floor(CAST(x AS DOUBLE) * 1e9 + CAST(0.5 AS DOUBLE)) "
+        "AS BIGINT)) AS BIGINT)"
+    )
+    subspaces = ", ".join(str(j) for j in range(m))
+    ctes = [
+        # one row per (vector, subspace): the double-cast sub_dim slice
+        f"""subs AS (
+  SELECT vec_id, j.subspace AS subspace,
+         list_transform(range(1, {sub_dim} + 1),
+                        i -> CAST(embedding[j.subspace * {sub_dim} + i]
+                                  AS DOUBLE)) AS sv
+  FROM embeddings, unnest([{subspaces}]) AS j(subspace)
+)""",
+        # seeds: the ksub smallest vec_ids, cid = dense rank 0..ksub-1,
+        # the SAME ids in every subspace (mirror of pq_fit's seed_rank)
+        f"""seed AS (
+  SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS cid
+  FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {ksub})
+)""",
+        """c0 AS (
+  SELECT s.subspace, d.cid, s.sv AS cvec
+  FROM subs s JOIN seed d USING (vec_id)
+)""",
+    ]
+    for t in range(n_iter + 1):
+        ctes.append(f"""a{t} AS (
+  SELECT vec_id, subspace, sv, cid, dist,
+         row_number() OVER (PARTITION BY vec_id, subspace
+                            ORDER BY dist, cid) AS rn
+  FROM (
+    SELECT s.vec_id, s.subspace, s.sv, c.cid,
+           {_sqdist_sql('s.sv', 'c.cvec')} AS dist
+    FROM subs s JOIN c{t} c ON s.subspace = c.subspace
+  )
+)""")
+        if t == n_iter:
+            break
+        ctes.append(f"""m{t} AS (
+  SELECT subspace, cid, u.i AS pos,
+         CAST({fsum} AS DOUBLE) / 1e9 / count(*) AS v
+  FROM (SELECT subspace, cid, sv FROM a{t} WHERE rn = 1) s,
+       unnest(range(1, len(sv) + 1)) AS u(i),
+       LATERAL (SELECT s.sv[u.i] AS x) q
+  GROUP BY subspace, cid, u.i
+)""")
+        ctes.append(
+            # empty clusters keep their previous centroid (mirror of the
+            # Lloyd guard; with the shared-seed init this is a no-op at
+            # fixture scale but keeps the unroll shape-identical)
+            f"c{t + 1} AS (SELECT c.subspace, c.cid, "
+            f"coalesce(m.cvec, c.cvec) AS cvec FROM c{t} c LEFT JOIN "
+            f"(SELECT subspace, cid, list(v ORDER BY pos) AS cvec "
+            f"FROM m{t} GROUP BY subspace, cid) m "
+            f"ON c.subspace = m.subspace AND c.cid = m.cid)"
+        )
+    ctes.append(
+        # ADC LUT: per (subspace, cid), scaled-long distance from the
+        # query's sub_dim slice to the final codebook entry
+        f"""lut AS (
+  SELECT c.subspace, c.cid,
+         CAST(floor({_sqdist_sql('q.qs', 'c.cvec')} * 1e9
+                    + CAST(0.5 AS DOUBLE)) AS BIGINT) AS d_scaled
+  FROM c{n_iter} c JOIN (
+    SELECT j.subspace AS subspace,
+           list_transform(range(1, {sub_dim} + 1),
+                          i -> CAST(embedding[j.subspace * {sub_dim} + i]
+                                    AS DOUBLE)) AS qs
+    FROM embeddings, unnest([{subspaces}]) AS j(subspace)
+    WHERE vec_id = {TOPK_QUERY_ID}
+  ) q ON c.subspace = q.subspace
+)""",
+    )
+    body = ",\n".join(ctes)
+    return f"""WITH {body}
+SELECT vec_id, CAST(sum(d_scaled) AS DOUBLE) / 1e9 AS approx_dist
+FROM (SELECT vec_id, subspace, cid FROM a{n_iter} WHERE rn = 1) e
+JOIN lut USING (subspace, cid)
+GROUP BY vec_id
+ORDER BY approx_dist, vec_id
+LIMIT {k}"""
+
+
 
 
 
 def q_sim_ivfpq_topk(spark, sf_dir):
     """IVF-PQ (IVFADC) ANN: 8 coarse k-means cells + PQ of the residuals
     (m=4 x ksub=16); query probes the 2 nearest cells and scores codes
-    via per-cell residual LUTs - the FAISS IndexIVFPQ layout. Rows-only
-    for the same reason as pipe_sim_pq_topk; exactness pinned in
-    test_similarity_index."""
+    via per-cell residual LUTs - the FAISS IndexIVFPQ layout. The oracle
+    chains the coarse _kmeans_sql-style unroll, a residual projection,
+    the fused-subspace PQ unroll, and the per-probed-cell scaled-long
+    LUT — every arithmetic step mirrored (see _ivfpq_topk_sql)."""
     emb = load_table(spark, sf_dir, "embeddings")
     cents, books, encoded = similarity.ivfpq_fit_encode(
         emb, n_cells=8, m=4, ksub=16, n_iter=2, dim=64
@@ -2394,6 +2490,160 @@ def q_sim_ivfpq_topk(spark, sf_dir):
         .select("embedding").first()[0]
     ]
     return similarity.ivfpq_topk(encoded, cents, books, qv, k=20, nprobe=2, m=4)
+
+
+def _ivfpq_topk_sql(n_cells: int = 8, m: int = 4, ksub: int = 16,
+                    n_iter: int = 2, k: int = 20, nprobe: int = 2,
+                    dim: int = 64) -> str:
+    """Unrolled IVFADC oracle, four mirrored stages:
+
+    1. coarse Lloyd (kmeans_fit: seed cid = the n_cells smallest vec_ids,
+       fixed-point means, (dist, cid) argmin) — the _kmeans_sql unroll,
+       CTEs prefixed g;
+    2. residuals: double-cast vector minus assigned final centroid
+       (similarity.residuals' zip_with);
+    3. PQ on the residuals — the _pq_topk_sql unroll keyed by
+       (subspace, cid), CTEs prefixed r (pq_fit trains on rvec; seeds
+       are the ksub smallest vec_ids, dense cid ranks);
+    4. probe + ADC: rank cells by squared distance to the query
+       (ivfpq_topk's driver-side sort key (dist, cid)), build one
+       scaled-long LUT per probed cell against the query's per-cell
+       RESIDUAL subvectors, score (cid, subspace, code) joins summed
+       per vector.
+
+    Python driver floats and DuckDB doubles run the same IEEE ops in the
+    same order, so probe selection and LUT entries are bit-identical."""
+    sub_dim = dim // m
+    fsum = (
+        "CAST(sum(CAST(floor(CAST(x AS DOUBLE) * 1e9 + CAST(0.5 AS DOUBLE)) "
+        "AS BIGINT)) AS BIGINT)"
+    )
+    subspaces = ", ".join(str(j) for j in range(m))
+    ctes = [
+        # ---- stage 1: coarse k-means over the double-cast vectors ----
+        f"""vecs AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+)""",
+        f"""g0 AS (
+  SELECT CAST(vec_id AS BIGINT) AS cid, v AS cvec
+  FROM vecs ORDER BY vec_id LIMIT {n_cells}
+)""",
+    ]
+    for t in range(n_iter + 1):
+        ctes.append(f"""ga{t} AS (
+  SELECT vec_id, v, cid, dist,
+         row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+  FROM (
+    SELECT e.vec_id, e.v, c.cid, {_sqdist_sql('e.v', 'c.cvec')} AS dist
+    FROM vecs e CROSS JOIN g{t} c
+  )
+)""")
+        if t == n_iter:
+            break
+        ctes.append(f"""gm{t} AS (
+  SELECT cid, u.i AS pos, CAST({fsum} AS DOUBLE) / 1e9 / count(*) AS v
+  FROM (SELECT cid, v AS sv FROM ga{t} WHERE rn = 1) s,
+       unnest(range(1, len(sv) + 1)) AS u(i),
+       LATERAL (SELECT s.sv[u.i] AS x) q
+  GROUP BY cid, u.i
+)""")
+        ctes.append(
+            f"g{t + 1} AS (SELECT c.cid, coalesce(m.cvec, c.cvec) AS cvec "
+            f"FROM g{t} c LEFT JOIN (SELECT cid, list(v ORDER BY pos) "
+            f"AS cvec FROM gm{t} GROUP BY cid) m ON c.cid = m.cid)"
+        )
+    ctes.append(
+        # ---- stage 2: residual vectors vs the FINAL centroids ----
+        f"""res AS (
+  SELECT a.vec_id, a.cid,
+         list_transform(range(1, {dim} + 1), i -> a.v[i] - c.cvec[i]) AS rvec
+  FROM (SELECT vec_id, v, cid FROM ga{n_iter} WHERE rn = 1) a
+  JOIN g{n_iter} c USING (cid)
+)"""
+    )
+    # ---- stage 3: fused-subspace PQ Lloyd over the residuals ----
+    ctes.append(f"""rsubs AS (
+  SELECT vec_id, j.subspace AS subspace,
+         list_transform(range(1, {sub_dim} + 1),
+                        i -> rvec[j.subspace * {sub_dim} + i]) AS sv
+  FROM res, unnest([{subspaces}]) AS j(subspace)
+)""")
+    ctes.append(f"""rseed AS (
+  SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS cid
+  FROM (SELECT vec_id FROM res ORDER BY vec_id LIMIT {ksub})
+)""")
+    ctes.append("""rc0 AS (
+  SELECT s.subspace, d.cid, s.sv AS cvec
+  FROM rsubs s JOIN rseed d USING (vec_id)
+)""")
+    for t in range(n_iter + 1):
+        ctes.append(f"""ra{t} AS (
+  SELECT vec_id, subspace, sv, cid, dist,
+         row_number() OVER (PARTITION BY vec_id, subspace
+                            ORDER BY dist, cid) AS rn
+  FROM (
+    SELECT s.vec_id, s.subspace, s.sv, c.cid,
+           {_sqdist_sql('s.sv', 'c.cvec')} AS dist
+    FROM rsubs s JOIN rc{t} c ON s.subspace = c.subspace
+  )
+)""")
+        if t == n_iter:
+            break
+        ctes.append(f"""rm{t} AS (
+  SELECT subspace, cid, u.i AS pos,
+         CAST({fsum} AS DOUBLE) / 1e9 / count(*) AS v
+  FROM (SELECT subspace, cid, sv FROM ra{t} WHERE rn = 1) s,
+       unnest(range(1, len(sv) + 1)) AS u(i),
+       LATERAL (SELECT s.sv[u.i] AS x) q
+  GROUP BY subspace, cid, u.i
+)""")
+        ctes.append(
+            f"rc{t + 1} AS (SELECT c.subspace, c.cid, "
+            f"coalesce(m.cvec, c.cvec) AS cvec FROM rc{t} c LEFT JOIN "
+            f"(SELECT subspace, cid, list(v ORDER BY pos) AS cvec "
+            f"FROM rm{t} GROUP BY subspace, cid) m "
+            f"ON c.subspace = m.subspace AND c.cid = m.cid)"
+        )
+    # ---- stage 4: probe the nprobe nearest cells, per-cell LUTs ----
+    ctes.append(
+        f"qv AS (SELECT v AS q FROM vecs WHERE vec_id = {TOPK_QUERY_ID})"
+    )
+    ctes.append(f"""probe AS (
+  SELECT cid FROM (
+    SELECT g.cid,
+           row_number() OVER (ORDER BY {_sqdist_sql('g.cvec', 'q.q')},
+                              g.cid) AS rnk
+    FROM g{n_iter} g, qv q
+  ) WHERE rnk <= {nprobe}
+)""")
+    ctes.append(f"""qres AS (
+  SELECT p.cid, j.subspace AS subspace,
+         list_transform(range(1, {sub_dim} + 1),
+                        i -> q.q[j.subspace * {sub_dim} + i]
+                             - g.cvec[j.subspace * {sub_dim} + i]) AS qs
+  FROM probe p JOIN g{n_iter} g USING (cid), qv q,
+       unnest([{subspaces}]) AS j(subspace)
+)""")
+    ctes.append(f"""lut AS (
+  SELECT r.cid, b.subspace, b.cid AS code,
+         CAST(floor({_sqdist_sql('r.qs', 'b.cvec')} * 1e9
+                    + CAST(0.5 AS DOUBLE)) AS BIGINT) AS d_scaled
+  FROM qres r JOIN rc{n_iter} b ON r.subspace = b.subspace
+)""")
+    body = ",\n".join(ctes)
+    return f"""WITH {body}
+SELECT vec_id, CAST(sum(d_scaled) AS DOUBLE) / 1e9 AS approx_dist
+FROM (
+  SELECT e.vec_id, r.cid, e.subspace, e.cid AS code
+  FROM (SELECT vec_id, subspace, cid FROM ra{n_iter} WHERE rn = 1) e
+  JOIN res r USING (vec_id)
+  JOIN probe p ON r.cid = p.cid
+)
+JOIN lut USING (cid, subspace, code)
+GROUP BY vec_id
+ORDER BY approx_dist, vec_id
+LIMIT {k}"""
 
 
 
@@ -2707,8 +2957,8 @@ QUERIES: dict = {
     "pipe_sim_topk_ivf_multiprobe": (q_topk_ivf_multiprobe, _TOPK_IVF_MULTIPROBE_SQL),
     "pipe_sim_cosine_near_dup": (q_cosine_near_dup, _COSINE_NEAR_DUP_SQL),
     "pipe_sim_kmeans": (q_sim_kmeans, _kmeans_sql()),
-    "pipe_sim_pq_topk": (q_sim_pq_topk, None),
-    "pipe_sim_ivfpq_topk": (q_sim_ivfpq_topk, None),
+    "pipe_sim_pq_topk": (q_sim_pq_topk, _pq_topk_sql()),
+    "pipe_sim_ivfpq_topk": (q_sim_ivfpq_topk, _ivfpq_topk_sql()),
     "pipe_sim_semdedup": (q_sim_semdedup, _semdedup_sql(k=16)),
     "pipe_sim_topk_batch": (q_sim_topk_batch, _TOPK_BATCH_SQL),
     "pipe_curate_corpus": (q_curate_corpus, _curate_sql()),
