@@ -1728,7 +1728,119 @@ LIMIT 20
 """
 
 
+
+
+def q2(spark, sf_dir):
+    part, supplier, nation, region = _t(
+        spark, sf_dir, "part", "supplier", "nation", "region"
+    )
+    ps = rq.synth_partsupp(part, supplier)
+    return rq.q2_min_cost_supplier(part, supplier, nation, region, ps)
+
+
+def q16(spark, sf_dir):
+    part, supplier = _t(spark, sf_dir, "part", "supplier")
+    ps = rq.synth_partsupp(part, supplier)
+    return rq.q16_supplier_part_counts(part, supplier, ps)
+
+
+def q20(spark, sf_dir):
+    part, supplier, nation, region, lineitem = _t(
+        spark, sf_dir, "part", "supplier", "nation", "region", "lineitem"
+    )
+    ps = rq.synth_partsupp(part, supplier)
+    return rq.q20_excess_stock(part, supplier, nation, region, ps, lineitem)
+
+
+#: the synthetic partsupp as a shared oracle CTE fragment — byte-for-byte
+#: the same integer congruences as relational.queries.synth_partsupp
+#: (dense supplier index, not raw suppkey; exact-cents supplycost)
+_PARTSUPP_CTE = """sidx AS (
+  SELECT s_suppkey, row_number() OVER (ORDER BY s_suppkey) - 1 AS idx
+  FROM supplier
+),
+partsupp AS (
+  SELECT p.p_partkey AS ps_partkey, s.s_suppkey AS ps_suppkey,
+         CAST((p.p_partkey * 31 + i.i * 17) % 9999 + 1 AS INTEGER)
+           AS ps_availqty,
+         CAST((p.p_partkey * 997 + i.i * 131) % 99900 + 100 AS DOUBLE)
+           / 100.0 AS ps_supplycost
+  FROM part p
+  CROSS JOIN unnest([0, 1, 2, 3]) AS i(i)
+  CROSS JOIN (SELECT count(*) AS n_supp FROM supplier) n
+  JOIN sidx s ON s.idx = (p.p_partkey * 7 + i.i * 13) % n.n_supp
+)"""
+
+
+_Q2_SQL = f"""
+WITH {_PARTSUPP_CTE},
+eligible AS (
+  SELECT ps.ps_partkey, ps.ps_supplycost, s.s_acctbal, s.s_name, n.n_name
+  FROM partsupp ps
+  JOIN supplier s ON ps.ps_suppkey = s.s_suppkey
+  JOIN nation n ON s.s_nationkey = n.n_nationkey
+  JOIN region r ON n.n_regionkey = r.r_regionkey AND r.r_name = 'EUROPE'
+),
+mc AS (
+  SELECT *, min(ps_supplycost) OVER (PARTITION BY ps_partkey) AS min_cost
+  FROM eligible
+)
+SELECT s_acctbal, s_name, n_name, p_partkey, p_type,
+       ps_supplycost AS supplycost
+FROM mc JOIN part p ON mc.ps_partkey = p.p_partkey
+WHERE ps_supplycost = min_cost AND p.p_size >= 15 AND p.p_type LIKE '%D'
+ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+LIMIT 100
+"""
+
+
+_Q16_SQL = f"""
+WITH {_PARTSUPP_CTE}
+SELECT p_brand, p_type, p_size, count(DISTINCT ps_suppkey) AS supplier_cnt
+FROM partsupp ps JOIN part p ON ps.ps_partkey = p.p_partkey
+WHERE p.p_brand <> 'Brand#4' AND p.p_type NOT LIKE 'PRO%'
+  AND p.p_size IN (1, 5, 10, 15, 20, 25, 30, 35)
+  AND ps.ps_suppkey NOT IN
+      (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+"""
+
+
+_Q20_SQL = f"""
+WITH {_PARTSUPP_CTE},
+shipped AS (
+  SELECT l_partkey, l_suppkey, 0.5 * {_dsum("l_quantity", 2)} AS half_qty
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1997-01-01'
+  GROUP BY l_partkey, l_suppkey
+),
+q AS (
+  SELECT DISTINCT ps.ps_suppkey
+  FROM partsupp ps
+  JOIN shipped sh
+    ON ps.ps_partkey = sh.l_partkey AND ps.ps_suppkey = sh.l_suppkey
+  WHERE ps.ps_partkey IN
+        (SELECT p_partkey FROM part WHERE p_name LIKE 'red%')
+    AND ps.ps_availqty > sh.half_qty
+)
+SELECT s.s_name, s.s_acctbal
+FROM supplier s
+JOIN q ON s.s_suppkey = q.ps_suppkey
+WHERE s.s_nationkey IN (
+  SELECT n_nationkey FROM nation n
+  JOIN region r ON n.n_regionkey = r.r_regionkey
+  WHERE r.r_name = 'ASIA')
+ORDER BY s_name
+"""
+
+
+
 QUERIES: dict = {
+    "rel_q2_min_cost_supplier": (q2, _Q2_SQL),
+    "rel_q16_supplier_part_counts": (q16, _Q16_SQL),
+    "rel_q20_excess_stock": (q20, _Q20_SQL),
     "rel_q13_order_count_distribution": (q13, _Q13_SQL),
     "rel_q15_top_supplier": (q15, _Q15_SQL),
     "rel_q4_order_priority": (q4, _Q4_SQL),

@@ -1004,3 +1004,228 @@ def gap_fill_hourly(
         F.last("v", ignorenulls=True).over(w).alias("filled_value"),
         F.col("v").isNull().alias("is_gap"),
     )
+
+
+# --------------------------------------------------------------------------
+# TPC-H q2/q16/q20 — the partsupp trio. The driver fixture ships no
+# partsupp relation, so one is SYNTHESIZED deterministically from
+# part × supplier with integer arithmetic only: Spark and the DuckDB
+# oracle CTE derive bit-identical rows at every scale factor, closing the
+# last three TPC-H shapes (COVERAGE.md §2.7 note).
+# --------------------------------------------------------------------------
+
+PARTSUPP_PER_PART = 4
+
+
+def synth_partsupp(part: DataFrame, supplier: DataFrame,
+                   n_per_part: int = PARTSUPP_PER_PART) -> DataFrame:
+    """Deterministic partsupp: each part gets `n_per_part` suppliers
+    chosen by dense supplier index (p_partkey*7 + i*13) mod n_supp —
+    index, not raw suppkey, so no contiguity assumption — with availqty
+    and supplycost from integer congruences (supplycost is exact cents
+    over 100: the double is identical in both engines, so Q2's
+    cost-equality join is safe).
+
+    Plan shape: supplier is dim-sized (its count and dense index come
+    from one tiny single-partition window, broadcast); the output is
+    part-partitioned — n_per_part rows per part, no shuffle of the part
+    table beyond the projection. At 100 TB-scale part counts this stays
+    a map-side generate + two broadcast joins."""
+    from pyspark.sql import Window
+
+    sidx = supplier.select(
+        F.col("s_suppkey"),
+        (F.row_number().over(Window.orderBy(F.asc("s_suppkey"))) - 1).alias(
+            "idx"
+        ),
+    )
+    nsup = sidx.agg(F.count(F.lit(1)).alias("n_supp"))
+    exploded = (
+        part.select("p_partkey")
+        .crossJoin(F.broadcast(nsup))
+        .select(
+            "p_partkey",
+            "n_supp",
+            F.explode(
+                F.array(*[F.lit(i) for i in range(n_per_part)])
+            ).alias("i"),
+        )
+        .select(
+            "p_partkey",
+            ((F.col("p_partkey") * 7 + F.col("i") * 13) % F.col("n_supp"))
+            .alias("idx"),
+            ((F.col("p_partkey") * 31 + F.col("i") * 17) % 9999 + 1)
+            .cast("int")
+            .alias("ps_availqty"),
+            (
+                ((F.col("p_partkey") * 997 + F.col("i") * 131) % 99900 + 100)
+                .cast("double")
+                / F.lit(100.0)
+            ).alias("ps_supplycost"),
+        )
+    )
+    return exploded.join(F.broadcast(sidx), "idx").select(
+        F.col("p_partkey").alias("ps_partkey"),
+        F.col("s_suppkey").alias("ps_suppkey"),
+        "ps_availqty",
+        "ps_supplycost",
+    )
+
+
+def q2_min_cost_supplier(
+    part: DataFrame, supplier: DataFrame, nation: DataFrame,
+    region: DataFrame, partsupp: DataFrame,
+    region_name: str = "EUROPE", min_size: int = 15,
+    type_suffix: str = "D",
+) -> DataFrame:
+    """TPC-H Q2 shape: for qualifying parts, the supplier(s) achieving
+    the MINIMUM supplycost among suppliers of one region (correlated
+    min-subquery; ties kept, per spec).
+
+    Decorrelated to a per-part window min over the region-eligible
+    partsupp rows — the correlated-subquery form would re-execute the
+    partsupp⋈supplier⋈nation⋈region tree on both sides. All three dims
+    broadcast; the only shuffle is the window partition on ps_partkey,
+    and the part filter prunes BEFORE the window via the join. Returns
+    (s_acctbal, s_name, n_name, p_partkey, p_type, supplycost), top 100
+    by acctbal desc."""
+    from pyspark.sql import Window
+
+    eligible = (
+        partsupp.join(
+            F.broadcast(supplier.select("s_suppkey", "s_name", "s_acctbal",
+                                        "s_nationkey")),
+            F.col("ps_suppkey") == F.col("s_suppkey"),
+        )
+        .join(
+            F.broadcast(nation),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            F.broadcast(
+                region.filter(F.col("r_name") == region_name)
+            ),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+    )
+    qual = eligible.join(
+        F.broadcast(
+            part.filter(
+                (F.col("p_size") >= min_size)
+                & F.col("p_type").like(f"%{type_suffix}")
+            ).select("p_partkey", "p_type")
+        ),
+        F.col("ps_partkey") == F.col("p_partkey"),
+    )
+    w = Window.partitionBy("ps_partkey")
+    return (
+        qual.withColumn("min_cost", F.min("ps_supplycost").over(w))
+        .filter(F.col("ps_supplycost") == F.col("min_cost"))
+        .select(
+            "s_acctbal", "s_name", "n_name", "p_partkey", "p_type",
+            F.col("ps_supplycost").alias("supplycost"),
+        )
+        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+def q16_supplier_part_counts(
+    part: DataFrame, supplier: DataFrame, partsupp: DataFrame,
+    excl_brand: str = "Brand#4", excl_type_prefix: str = "PRO",
+    sizes: tuple[int, ...] = (1, 5, 10, 15, 20, 25, 30, 35),
+) -> DataFrame:
+    """TPC-H Q16 shape: distinct-supplier counts per (brand, type, size)
+    with a NOT-LIKE part exclusion and a NOT-IN supplier exclusion (the
+    fixture has no s_comment, so 'complaints' suppliers are proxied by
+    s_acctbal < 0 — same anti-join shape).
+
+    Plan: both exclusions broadcast (complaints is a handful of rows, the
+    filtered part dim is dim-sized); the distinct-count shuffles once on
+    the 3-column group key. Returns (p_brand, p_type, p_size,
+    supplier_cnt) ordered cnt desc."""
+    complaints = supplier.filter(F.col("s_acctbal") < 0).select(
+        F.col("s_suppkey").alias("ps_suppkey")
+    )
+    kept_parts = part.filter(
+        (F.col("p_brand") != excl_brand)
+        & ~F.col("p_type").startswith(excl_type_prefix)
+        & F.col("p_size").isin(list(sizes))
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    return (
+        partsupp.join(F.broadcast(complaints), "ps_suppkey", "left_anti")
+        .join(
+            F.broadcast(kept_parts),
+            F.col("ps_partkey") == F.col("p_partkey"),
+        )
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("ps_suppkey").alias("supplier_cnt"))
+        .orderBy(
+            F.desc("supplier_cnt"), "p_brand", "p_type", "p_size"
+        )
+    )
+
+
+def q20_excess_stock(
+    part: DataFrame, supplier: DataFrame, nation: DataFrame,
+    region: DataFrame, partsupp: DataFrame, lineitem: DataFrame,
+    name_prefix: str = "red", region_name: str = "ASIA",
+    year: int = 1996,
+) -> DataFrame:
+    """TPC-H Q20 shape: suppliers in one region holding EXCESS STOCK of
+    name-matched parts — ps_availqty > 50% of the quantity they shipped
+    of that part in one year (correlated sum-subquery; pairs with no
+    shipments drop out, per the spec's NULL-comparison semantics → the
+    decorrelated form is an INNER join on the aggregated pairs).
+
+    Plan: lineitem aggregates once on (partkey, suppkey) after the
+    pushed date filter — the only big shuffle; the name-filtered part
+    set is a broadcast semi-join; the qualifying suppkey set and the
+    region nation keys are broadcast semi-joins into the supplier dim.
+    dsum keeps the shipped-quantity sum partition-order-exact. Returns
+    (s_name, s_acctbal) ordered by name."""
+    shipped = (
+        lineitem.filter(
+            (F.col("l_shipdate") >= F.lit(f"{year}-01-01"))
+            & (F.col("l_shipdate") < F.lit(f"{year + 1}-01-01"))
+        )
+        .groupBy("l_partkey", "l_suppkey")
+        .agg((F.lit(0.5) * dsum(F.col("l_quantity"), 2)).alias("half_qty"))
+    )
+    qualifying = (
+        partsupp.join(
+            F.broadcast(
+                part.filter(F.col("p_name").startswith(name_prefix)).select(
+                    "p_partkey"
+                )
+            ),
+            F.col("ps_partkey") == F.col("p_partkey"),
+            "left_semi",
+        )
+        .join(
+            shipped,
+            (F.col("ps_partkey") == F.col("l_partkey"))
+            & (F.col("ps_suppkey") == F.col("l_suppkey")),
+        )
+        .filter(F.col("ps_availqty") > F.col("half_qty"))
+        .select("ps_suppkey")
+        .distinct()
+    )
+    region_nations = nation.join(
+        F.broadcast(region.filter(F.col("r_name") == region_name)),
+        F.col("n_regionkey") == F.col("r_regionkey"),
+    ).select("n_nationkey")
+    return (
+        supplier.join(
+            qualifying,
+            F.col("s_suppkey") == F.col("ps_suppkey"),
+            "left_semi",
+        )
+        .join(
+            F.broadcast(region_nations),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+            "left_semi",
+        )
+        .select("s_name", "s_acctbal")
+        .orderBy("s_name")
+    )
