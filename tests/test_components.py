@@ -161,3 +161,51 @@ def test_upsert_latest_properties(spark):
     conflict = spark.createDataFrame([(5, 99.0, 0)], "k long, v double, version int")
     won = upsert_latest(base, conflict, ["k"], "version")
     assert {r["v"] for r in won.filter(F.col("k") == 5).collect()} == {99.0}
+
+
+def test_star_contraction_matches_union_find_random_graphs(spark):
+    """deep_graph=True (alternating large-star/small-star) must be
+    label-identical to the min-label/union-find semantics on arbitrary
+    graphs — property-tested, plus the adversarial case it exists for."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    edge = st.tuples(
+        st.integers(min_value=0, max_value=30),
+        st.integers(min_value=0, max_value=30),
+    ).filter(lambda e: e[0] != e[1])
+
+    @given(st.lists(edge, min_size=1, max_size=40))
+    @settings(max_examples=8, deadline=None)
+    def check(edges):
+        got = {
+            r["node"]: r["component"]
+            for r in connected_components(
+                _pairs(spark, [(a, b) for a, b in edges]),
+                local_max_edges=0,
+                deep_graph=True,
+            ).collect()
+        }
+        assert got == _model_components(edges)
+
+    check()
+
+
+def test_star_contraction_deep_chain_beats_propagation_rounds(spark):
+    """The raison d'etre: a 60-node path has min-id-propagation depth 59
+    (propagation with max_iter=10 must RAISE), while star contraction
+    converges within its O(log^2 n) bound and still labels every node
+    with the chain minimum."""
+    import pytest as _pytest
+
+    edges = [(i, i + 1) for i in range(59)]
+    pairs = _pairs(spark, edges)
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(pairs, max_iter=10, local_max_edges=0)
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components(
+            pairs, max_iter=10, local_max_edges=0, deep_graph=True
+        ).collect()
+    }
+    assert got == {i: 0 for i in range(60)}

@@ -694,12 +694,110 @@ def _local_union_find(edges: list[tuple[int, int]]) -> dict[int, int]:
     return {node: find(node) for node in parent}
 
 
+def _star_contraction_labels(
+    e: DataFrame, max_iter: int
+) -> DataFrame:
+    """Alternating large-star/small-star contraction (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", SOCC 2014) — the
+    O(log² n)-round alternative to min-label propagation for
+    adversarially DEEP graphs (propagation needs rounds ~ the longest
+    min-id path; a 10⁶-node chain is 10⁶ driver-synced rounds there,
+    ~40 here).
+
+    Per round, the edge set is REWRITTEN twice:
+    - large-star(u): every neighbor v > u connects to
+      m = min(Γ(u) ∪ {u});
+    - small-star over (larger→smaller)-directed edges: every smaller
+      neighbor AND u itself connect to m = min of u's smaller
+      neighborhood.
+    Both emit strictly-decreasing attachments, so the fixpoint is a
+    forest of stars centered at each component's MINIMUM id — the same
+    labels min-label propagation produces. Convergence is detected with
+    one (count, xxhash-sum) agg over the canonical edge set; self-loops
+    and duplicate edges are dropped each rewrite, which is what keeps
+    round cost shrinking as components contract.
+
+    Input `e` is the raw (a, b) pair frame; returns (node, component)
+    for every node appearing in ≥1 pair (self-paired isolates label
+    themselves)."""
+    nodes0 = (
+        e.select(F.col("a").alias("node"))
+        .union(e.select(F.col("b").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    edges = (
+        e.select(F.greatest("a", "b").alias("u"), F.least("a", "b").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+    sig_prev = None
+    for _ in range(max_iter):
+        # ---- large-star ----
+        sym = edges.union(
+            edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        mins = (
+            sym.groupBy("u")
+            .agg(F.min("v").alias("mn"))
+            .select("u", F.least(F.col("u"), F.col("mn")).alias("m"))
+        )
+        edges = (
+            sym.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint()
+        )
+        # ---- small-star (edges are (larger u → smaller v)) ----
+        mins2 = edges.groupBy("u").agg(F.min("v").alias("m"))
+        attach = edges.join(mins2, "u").select(
+            F.col("v").alias("n"), F.col("m")
+        )
+        selfa = mins2.select(F.col("u").alias("n"), F.col("m"))
+        edges = (
+            attach.union(selfa)
+            .select(
+                F.greatest("n", "m").alias("u"), F.least("n", "m").alias("v")
+            )
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint()
+        )
+        sig = tuple(
+            edges.agg(
+                F.count(F.lit(1)),
+                # decimal(38,0) accumulator: a long sum of xxhash64 values
+                # overflows (ANSI abort) on graphs of any real size
+                F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")),
+            ).collect()[0]
+        )
+        if sig == sig_prev:
+            break
+        sig_prev = sig
+    else:
+        raise RuntimeError(
+            f"star-contraction did not converge in {max_iter} rounds "
+            "(theoretical bound is O(log^2 n) — raise max_iter)"
+        )
+    # fixpoint = stars (u → component-min v); centers appear only as v
+    labels = edges.groupBy("u").agg(F.min("v").alias("component"))
+    return nodes0.join(
+        labels.select(F.col("u").alias("node"), "component"), "node", "left"
+    ).select(
+        "node", F.coalesce("component", F.col("node")).alias("component")
+    )
+
+
 def connected_components(
     pairs: DataFrame,
     src: str = "id1",
     dst: str = "id2",
     max_iter: int = 25,
     local_max_edges: int = LOCAL_CC_MAX_EDGES,
+    deep_graph: bool = False,
 ) -> DataFrame:
     """Connected components of the undirected near-duplicate pair graph —
     the step that turns pairwise matches into dedup decisions (a doc can
@@ -721,10 +819,11 @@ def connected_components(
     truncated every round with localCheckpoint (an iterative join's plan
     otherwise grows exponentially); on a real cluster prefer
     ``spark.sparkContext.setCheckpointDir`` + ``.checkpoint()`` for
-    executor-loss resilience. For adversarially deep graphs swap in
-    alternating large-star/small-star contraction (Kiveris et al., "CC in
-    MapReduce and Beyond"), which converges in O(log² n) — the dedup shape
-    doesn't need it.
+    executor-loss resilience. For adversarially DEEP graphs pass
+    ``deep_graph=True``: the distributed path switches to alternating
+    large-star/small-star contraction (Kiveris et al., "CC in MapReduce
+    and Beyond"), O(log² n) rounds instead of O(diameter) —
+    property-tested label-identical to this path in test_components.
 
     Convergence is detected with sum(label): labels only ever decrease, so
     the sum strictly decreases until fixpoint — one cheap agg per round
@@ -754,6 +853,10 @@ def connected_components(
             ]
         )
         return spark.createDataFrame(sorted(comp.items()), out_schema)
+    if deep_graph:
+        labels = _star_contraction_labels(e, max_iter)
+        e.unpersist()
+        return labels
     sym = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b"))).persist()
     # The pair graph is a CONTRACTION of the corpus (only docs in ≥1 pair),
     # typically orders of magnitude smaller than the input — but AQE's
