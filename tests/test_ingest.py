@@ -214,3 +214,59 @@ def test_jsonl_ingest_quarantines_dirty_lines(spark, tmp_path):
     assert len(qlines) == 2
     assert any("not json" in (l or "") for l in qlines)      # malformed
     assert any('"doc_id":3' in (l or "").replace(" ", "") for l in qlines)  # missing text
+
+
+def test_force_db_fetch_remote_flow_parity(spark, tmp_path):
+    """S1 remote branch (reference load_data, geo_manager.py:697-763):
+    fetch (gz'd) dumps from a store prefix via the pluggable opener
+    (file:// here — the sandbox has no network), ingest, cache as the
+    versioned Parquet layout, and serve identically on the cache-hit
+    reload. cache_local=False must serve WITHOUT writing the cache."""
+    import gzip
+    import os
+
+    from yat_geo_db_spark.geo.ingest import (
+        SEARCH_FILE_NAME,
+        SHAPE_FILE_NAME,
+    )
+    from yat_geo_db_spark.manager import GeoManager
+
+    rec2 = dict(RECORD, id=2, reference_code="us__tn__memphis",
+                value="Memphis, TN", clean_value="memphis tn",
+                latitude="35.15", longitude="-90.05")
+    store = tmp_path / "remote_store"
+    store.mkdir()
+    payload = "\n".join(json.dumps(r) for r in [RECORD, rec2])
+    (store / (SHAPE_FILE_NAME + ".gz")).write_bytes(
+        gzip.compress(payload.encode())
+    )
+    (store / (SEARCH_FILE_NAME + ".gz")).write_bytes(
+        gzip.compress(b'{"nas": {"1": 1}}')
+    )
+    base_url = f"file://{store}/"
+    root = str(tmp_path / "cache_root")
+
+    m = GeoManager(spark).load_data(
+        root, version="9", force_db_fetch=True, compressed=True,
+        base_url=base_url,
+    )
+    assert m.num_shapes == 2
+    assert m.get_shape_by_ref_code("us__tn__memphis")["latitude"] == 35.15
+    # cache was written: a fresh manager serves the LOCAL branch
+    assert os.path.exists(os.path.join(root, "v=9", "shapes"))
+    m2 = GeoManager(spark).load_data(root, version="9")
+    assert m2.num_shapes == 2
+
+    # cache_local=False: served from the fetched JSON, no parquet written
+    root2 = str(tmp_path / "nocache_root")
+    m3 = GeoManager(spark).load_data(
+        root2, version="9", force_db_fetch=True, compressed=True,
+        cache_local=False, base_url=base_url,
+    )
+    assert m3.num_shapes == 2
+    assert not os.path.exists(os.path.join(root2, "v=9", "shapes"))
+
+    # no base_url with force_db_fetch: loud, actionable failure
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="base_url"):
+        GeoManager(spark).load_data(root, version="9", force_db_fetch=True)

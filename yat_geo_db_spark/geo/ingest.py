@@ -13,8 +13,12 @@ versioned object store and caches them on disk. Spark-first equivalent:
   probes touch only matching buckets,
 - cache-hit path: plain `spark.read.parquet`.
 
-gzip JSON is handled natively by Spark's text datasource. HTTP fetch is out
-of scope for the engine (object stores mount as filesystems/S3A at scale).
+gzip JSON is handled natively by Spark's text datasource. The reference's
+remote-fetch branch (force_db_fetch → requests.get → optional gunzip →
+cache) is `fetch_shape_files`: a pluggable `opener(url) -> bytes` (stdlib
+urllib default — http(s):// and file://) stages the dumps locally before
+the same ingest; at real scale prefer mounting the object store (S3A) and
+reading directly.
 """
 
 from __future__ import annotations
@@ -99,6 +103,53 @@ def normalize_shapes(raw: DataFrame) -> DataFrame:
             F.coalesce("clean_value", clean_entity_col(F.col("value"))),
         )
     )
+
+
+#: canonical dump names (reference load_data, geo_manager.py:696-703)
+SEARCH_FILE_NAME = "geo_manager_ngram_search.json"
+SHAPE_FILE_NAME = "geo_manager_shape.json"
+
+
+def fetch_shape_files(
+    base_url: str,
+    dest_dir: str,
+    compressed: bool = False,
+    opener=None,
+) -> tuple[str, str]:
+    """S1 remote-fetch branch (reference load_data with force_db_fetch,
+    geo_manager.py:697-756): download the two JSON dumps from the
+    versioned store prefix, transparently gunzip when `compressed`, and
+    stage the DECOMPRESSED files in `dest_dir` under their canonical
+    names, ready for `ingest_shapes_json`.
+
+    `opener(url) -> bytes` is pluggable; the default is stdlib
+    urllib.request.urlopen (http(s)://, and file:// — which is what the
+    no-network test environment exercises; the reference uses `requests`).
+    A failed fetch raises ValueError naming the file, mirroring the
+    reference's status-code guard. Returns (search_path, shape_path)."""
+    import gzip as _gzip
+    import urllib.request
+
+    if opener is None:
+        def opener(url: str) -> bytes:  # noqa: F811 — intentional default
+            with urllib.request.urlopen(url) as resp:
+                return resp.read()
+
+    os.makedirs(dest_dir, exist_ok=True)
+    staged = []
+    for name in (SEARCH_FILE_NAME, SHAPE_FILE_NAME):
+        url = f"{base_url}{name}{'.gz' if compressed else ''}"
+        try:
+            blob = opener(url)
+        except Exception as exc:
+            raise ValueError(f"Unable to load {name} reason={exc}") from exc
+        if compressed:
+            blob = _gzip.decompress(blob)
+        path = os.path.join(dest_dir, name)
+        with open(path, "wb") as f:
+            f.write(blob)
+        staged.append(path)
+    return staged[0], staged[1]
 
 
 def versioned_path(root: str, version: str | None, table: str) -> str:

@@ -10,10 +10,12 @@ results are collected to the driver (point lookups = one row, searches =
 top-k), so the same facade works whether `shapes` is 60 k rows or 6 B.
 
 Intentional divergences (all documented in SURVEY.md §2/§7):
-- `load_data` reads the engine's Parquet layout (versioned directories,
-  `geo.ingest`) instead of HTTP-fetched JSON; `force_db_fetch` /
-  `cache_local` / `compressed` don't apply to a Parquet store and are
-  accepted-and-ignored for signature compatibility.
+- `load_data`'s local cache is the engine's Parquet layout (versioned
+  directories, `geo.ingest`) instead of raw JSON files; the remote
+  branch (`force_db_fetch` / `cache_local` / `compressed`) fetches the
+  reference's two JSON dumps via a pluggable opener and ingests them
+  (geo.ingest.fetch_shape_files) — the ngram search index is re-derived
+  from shapes rather than deserialized from the search dump.
 - `partition` arguments are accepted but only the default (unpartitioned)
   store is served, matching the reference's own hard-disabled partitioning
   (`assert not self.partitioned`, geo_manager.py:634).
@@ -138,14 +140,57 @@ class GeoManager:
         self,
         root: str | None = None,
         version: str | None = None,
-        force_db_fetch: bool = False,  # noqa: ARG002 — signature parity
-        cache_local: bool = True,  # noqa: ARG002
-        compressed: bool = False,  # noqa: ARG002
+        force_db_fetch: bool = False,
+        cache_local: bool = True,
+        compressed: bool = False,
+        base_url: str | None = None,
+        opener=None,
     ) -> "GeoManager":
         """Load the shapes store (reference load_data, geo_manager.py:677-763).
         `root` is the engine's versioned Parquet layout; `version=None`
-        serves `current` (geo_manager.py:671-675 path convention)."""
-        self._set_shapes(_ingest.read_shapes(self.spark, root, version))
+        serves `current` (geo_manager.py:671-675 path convention).
+
+        Full reference-flow parity: the Parquet layout under `root` is the
+        LOCAL CACHE. When it exists and `force_db_fetch` is False, it is
+        served directly (the reference's load-local branch). Otherwise the
+        two JSON dumps are fetched from `base_url` (the get_base_url store
+        prefix; `opener(url) -> bytes` pluggable, stdlib urllib default —
+        geo_manager.py:724-749, gz handled when `compressed`), the shapes
+        dump is ingested (normalize casts → sorted Parquet when
+        `cache_local`, in-memory DataFrame otherwise — mirroring the
+        reference's cache_local switch), and the ngram search index is
+        DERIVED from the shapes (`build_postings`) rather than
+        deserialized: the engine's postings layout is the scale-correct
+        form of the reference's search_dict; the fetched search dump is
+        staged alongside for audit parity only."""
+        import os as _os
+
+        local = _ingest.versioned_path(root, version, "shapes")
+        if _os.path.exists(local) and not force_db_fetch:
+            self._set_shapes(_ingest.read_shapes(self.spark, root, version))
+            return self
+        if base_url is None:
+            if force_db_fetch:
+                raise ValueError(
+                    "force_db_fetch=True needs base_url= (the engine has no "
+                    "baked-in BASE_STORE_URL; pass your store prefix)"
+                )
+            # missing cache, no remote configured: keep the original
+            # behavior (read raises with the missing path)
+            self._set_shapes(_ingest.read_shapes(self.spark, root, version))
+            return self
+        staging = _ingest.versioned_path(root, version, "_fetched")
+        _search_path, shape_path = _ingest.fetch_shape_files(
+            base_url, staging, compressed=compressed, opener=opener
+        )
+        if cache_local:
+            _ingest.ingest_shapes_json(self.spark, shape_path, root, version)
+            self._set_shapes(_ingest.read_shapes(self.spark, root, version))
+        else:
+            raw = self.spark.read.schema(_ingest.RAW_SHAPE_SCHEMA).json(
+                shape_path
+            )
+            self._set_shapes(_ingest.normalize_shapes(raw))
         return self
 
     def get_base_url(self, version: str | None = None, root: str = "") -> str:
