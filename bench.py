@@ -60,6 +60,15 @@ HEADLINE = [
     "pipe_dedup_merge_increment",
     "pipe_text_winnowing",
     "pipe_text_bm25",
+    # round-4 additions (tail, same comparability rule): the round-3
+    # heavy operators the verdict asked to track, plus the partsupp trio
+    "pipe_sim_semdedup",
+    "pipe_text_winnowing_pairs",
+    "pipe_dedup_spans",
+    "rel_scd2_intervals",
+    "rel_q2_min_cost_supplier",
+    "rel_q16_supplier_part_counts",
+    "rel_q20_excess_stock",
 ]
 
 

@@ -41,8 +41,12 @@ def test_extract_features_matches_local_decode(spark):
 
 def test_decode_stub_is_honest():
     assert decode_image_stub(b"abc", "image/fake")["n_bytes"] == 3
-    with pytest.raises(NotImplementedError):
+    # jpeg now decodes for REAL (round 4) — a truncated stream is a loud
+    # codec error, not a fake; codecs we truly lack still refuse
+    with pytest.raises(ValueError):
         decode_image_stub(b"\xff\xd8", "image/jpeg")
+    with pytest.raises(NotImplementedError):
+        decode_image_stub(b"\x00\x00\x00 ftypmp4", "video/mp4")
 
 
 def test_frame_sample_counts(spark):
@@ -452,3 +456,71 @@ def test_spectral_fingerprint_pure_tones(spark):
     assert got[2]["dominant_bin"] == round(f2 * n_fft / sr)
     assert got[1]["fp_digest"] != got[2]["fp_digest"]
     assert got[3]["fp_digest"] != got[4]["fp_digest"]
+
+
+def test_jpeg_codec_round_trip_bounds():
+    """REAL baseline JPEG: lossy by definition, so the contract is
+    bounded reconstruction error (Annex-K Q50 tables keep a smooth
+    gradient within a few grey levels and a flat field within 1), exact
+    dimensions at non-multiple-of-8 sizes (padding cropped), and loud
+    failures on the unimplemented subset and corrupt streams."""
+    import numpy as np
+    import pytest
+
+    from yat_geo_db_spark.pipelines.multimodal import (
+        decode_jpeg_baseline,
+        encode_jpeg_baseline,
+    )
+
+    x = np.linspace(0, 255, 64)
+    grad = np.clip(np.add.outer(x, x) / 2, 0, 255).astype(np.uint8)
+    dec = decode_jpeg_baseline(encode_jpeg_baseline(grad))
+    assert dec.shape == grad.shape
+    assert np.abs(dec.astype(int) - grad.astype(int)).max() <= 4
+
+    flat = np.full((24, 40), 77, np.uint8)
+    dflat = decode_jpeg_baseline(encode_jpeg_baseline(flat))
+    assert np.abs(dflat.astype(int) - 77).max() <= 1
+
+    odd = np.arange(17 * 23, dtype=np.uint64).reshape(17, 23) % 256
+    blob = encode_jpeg_baseline(odd.astype(np.uint8))
+    assert decode_jpeg_baseline(blob).shape == (17, 23)  # padding cropped
+    assert blob[:2] == b"\xff\xd8" and blob[-2:] == b"\xff\xd9"
+
+    with pytest.raises(ValueError, match="SOI"):
+        decode_jpeg_baseline(b"not a jpeg")
+    with pytest.raises(ValueError, match="truncated|marker|SOF|EOI"):
+        decode_jpeg_baseline(blob[:-40])
+    # progressive SOF2 must refuse, not garble
+    prog = bytearray(blob)
+    sof_at = bytes(prog).find(b"\xff\xc0")
+    prog[sof_at + 1] = 0xC2
+    with pytest.raises(NotImplementedError, match="baseline"):
+        decode_jpeg_baseline(bytes(prog))
+
+
+def test_jpeg_pipeline_distributed_features(spark):
+    """synthesize_jpeg → jpeg_features end to end through mapInPandas:
+    dims are exact (lossless metadata), pixel_sum is within the lossy
+    tolerance of the PNG (exact) twin's sum on the same documents."""
+    from yat_geo_db_spark.pipelines.multimodal import (
+        jpeg_features,
+        png_features,
+        synthesize_jpeg,
+        synthesize_png,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"document body {i} " * (i + 1)) for i in range(8)],
+        "doc_id long, text string",
+    )
+    jf = {r["doc_id"]: r for r in jpeg_features(synthesize_jpeg(docs)).collect()}
+    pf = {r["doc_id"]: r for r in png_features(synthesize_png(docs)).collect()}
+    assert set(jf) == set(pf) == set(range(8))
+    for i in range(8):
+        assert (jf[i]["width"], jf[i]["height"]) == (
+            pf[i]["width"], pf[i]["height"],
+        )
+        assert jf[i]["n_pixels"] == pf[i]["n_pixels"]
+        # mean abs per-pixel drift under Q50 on byte-code imagery
+        assert abs(jf[i]["pixel_sum"] - pf[i]["pixel_sum"]) <= 16 * jf[i]["n_pixels"]

@@ -7,13 +7,16 @@ CRC-validated chunk parsing and ALL five scanline filter types on decode
 (so it reads external encoders' output, not just its own), with
 `synthesize_png`/`png_features`/`resize_png` as the distributed pipeline.
 AUDIO decode is REAL too: `decode_wav` parses genuine RIFF/WAVE containers
-with the stdlib `wave` module + NumPy PCM frames. JPEG (and other DCT
-codecs) remain STUBBED — Pillow/cv2/imageio are not importable in this
-container (probed: `import PIL` → ModuleNotFoundError; recorded in
-tests/test_multimodal.py) and a DCT entropy decoder is out of scope —
-behind `decode_image_stub`, a clearly-marked deterministic fake. The
-plumbing around every path is real and tested: schema, binary payloads,
-batch iteration, UDF signatures, partition-size control.
+with the stdlib `wave` module + NumPy PCM frames. JPEG is REAL for the
+greyscale baseline-sequential subset: `encode_jpeg_baseline` /
+`decode_jpeg_baseline` implement the full ITU-T T.81 path (marker stream,
+Annex K tables read FROM the file's DHT/DQT on decode, Huffman entropy
+coding with byte stuffing, DCT/IDCT) in pure stdlib + NumPy —
+progressive / multi-component / restart-interval inputs raise
+NotImplementedError (Pillow/cv2/imageio are not importable in this
+container — probed in tests/test_multimodal.py). The plumbing around
+every path is real and tested: schema, binary payloads, batch iteration,
+UDF signatures, partition-size control.
 
 Scale notes: binary payloads dominate row size → keep
 `spark.sql.files.maxPartitionBytes` low for these tables, select metadata
@@ -110,10 +113,14 @@ def extract_features(media: DataFrame) -> DataFrame:
 
 def decode_image_stub(payload: bytes, mime: str) -> dict:
     """The honest decode entry point: image/png decodes for REAL via
-    decode_png (and audio/wav via decode_wav); DCT codecs (JPEG) are not
-    available in this environment."""
-    if mime == "image/png":
-        img = decode_png(payload)
+    decode_png, image/jpeg via decode_jpeg_baseline (greyscale baseline
+    sequential subset), audio/wav via decode_wav."""
+    if mime in ("image/png", "image/jpeg"):
+        img = (
+            decode_png(payload)
+            if mime == "image/png"
+            else decode_jpeg_baseline(payload)
+        )
         return {
             "n_bytes": len(payload),
             "checksum": int(img.sum()),
@@ -130,7 +137,8 @@ def decode_image_stub(payload: bytes, mime: str) -> dict:
         f"decoding {mime!r} requires a codec library not present in this "
         "environment (PIL/cv2/imageio all fail to import); wire "
         "PIL/torchvision/libav here. image/png decodes for real via "
-        "decode_png/png_features; audio/wav via decode_wav/wav_features."
+        "decode_png/png_features; image/jpeg (greyscale baseline) via "
+        "decode_jpeg_baseline; audio/wav via decode_wav/wav_features."
     )
 
 
@@ -848,4 +856,463 @@ def wav_spectral_fingerprint(
 
     return media.select("doc_id", "media_bytes").mapInPandas(
         _fp, "doc_id long, n_frames int, dominant_bin int, fp_digest long"
+    )
+
+
+# --------------------------------------------------------------------------
+# REAL baseline JPEG (ITU-T T.81 / JFIF): greyscale, 8-bit, sequential DCT,
+# Huffman entropy coding — pure stdlib + NumPy, same honesty bar as the
+# PNG/WAV codecs above (parse the actual container, do the actual
+# transform; raise on the unimplemented subset instead of faking it).
+# Retires the decode_image_stub NotImplementedError for image/jpeg.
+# --------------------------------------------------------------------------
+
+#: Annex K.1 luminance quantization table (natural row-major order)
+JPEG_QTABLE = [
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99,
+]
+
+#: Annex K.3 luminance DC: (BITS counts for code lengths 1..16, values)
+JPEG_DC_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+JPEG_DC_VALS = list(range(12))
+
+#: Annex K.3 luminance AC
+JPEG_AC_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+JPEG_AC_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+    0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+    0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+    0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0,
+    0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+    0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+    0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+    0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+    0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+    0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7,
+    0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+    0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+    0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4,
+    0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+    0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA,
+    0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+    0xF9, 0xFA,
+]
+
+
+def _jpeg_zigzag() -> list[tuple[int, int]]:
+    """Standard 8×8 zigzag scan as (row, col) pairs: anti-diagonals s =
+    r+c, odd s row-increasing, even s row-decreasing."""
+    order = []
+    for s in range(15):
+        rows = range(max(0, s - 7), min(s, 7) + 1)
+        for r in (rows if s % 2 == 1 else reversed(list(rows))):
+            order.append((r, s - r))
+    return order
+
+
+def _dct_matrix():
+    """Orthonormal 8-point DCT-II matrix (forward: T·B·Tᵀ)."""
+    import numpy as np
+
+    t = np.zeros((8, 8))
+    for i in range(8):
+        for j in range(8):
+            t[i, j] = (
+                (1 / (2 * np.sqrt(2)))
+                if i == 0
+                else 0.5 * np.cos((2 * j + 1) * i * np.pi / 16)
+            ) * (np.sqrt(2) if i == 0 else 1.0)
+    # rows: k=0 constant 1/sqrt(8); k>0 amplitude 1/2
+    t[0, :] = 1 / np.sqrt(8)
+    return t
+
+
+def _huff_encode_table(bits: list[int], vals: list[int]) -> dict:
+    """value → (code, length) per T.81 C.2 canonical code assignment."""
+    out, code, k = {}, 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+def _huff_decode_table(bits: list[int], vals: list[int]) -> dict:
+    """(length, code) → value — the reader tries lengths 1..16."""
+    enc = _huff_encode_table(bits, vals)
+    return {(ln, cd): v for v, (cd, ln) in enc.items()}
+
+
+class _BitWriter:
+    """MSB-first bit accumulator with JPEG 0xFF byte stuffing."""
+
+    def __init__(self) -> None:
+        self.buf = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def write(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.n += length
+        while self.n >= 8:
+            byte = (self.acc >> (self.n - 8)) & 0xFF
+            self.buf.append(byte)
+            if byte == 0xFF:
+                self.buf.append(0x00)
+            self.n -= 8
+
+    def flush(self) -> bytes:
+        if self.n:
+            pad = 8 - self.n
+            self.write((1 << pad) - 1, pad)  # 1-pad per spec F.1.2.3
+        return bytes(self.buf)
+
+
+class _BitReader:
+    """MSB-first bit reader that unstuffs 0xFF 0x00 and stops at markers."""
+
+    def __init__(self, data: bytes) -> None:
+        self.data = data
+        self.pos = 0
+        self.acc = 0
+        self.n = 0
+
+    def _fill(self) -> None:
+        if self.pos >= len(self.data):
+            raise ValueError("JPEG entropy stream truncated")
+        byte = self.data[self.pos]
+        self.pos += 1
+        if byte == 0xFF:
+            if self.pos >= len(self.data):
+                raise ValueError("JPEG entropy stream truncated at 0xFF")
+            nxt = self.data[self.pos]
+            if nxt == 0x00:
+                self.pos += 1  # stuffed
+            else:
+                raise ValueError(
+                    f"unexpected marker 0xFF{nxt:02X} inside scan "
+                    "(restart intervals not wired)"
+                )
+        self.acc = (self.acc << 8) | byte
+        self.n += 8
+
+    def read_bit(self) -> int:
+        if self.n == 0:
+            self._fill()
+        self.n -= 1
+        return (self.acc >> self.n) & 1
+
+    def read_bits(self, length: int) -> int:
+        v = 0
+        for _ in range(length):
+            v = (v << 1) | self.read_bit()
+        return v
+
+
+def _jpeg_magnitude(v: int) -> tuple[int, int]:
+    """(category, appended bits) per T.81 F.1.2.1: negatives code as
+    v + 2^cat − 1."""
+    cat, a = 0, abs(v)
+    while a:
+        cat += 1
+        a >>= 1
+    return cat, (v if v >= 0 else v + (1 << cat) - 1)
+
+
+def _jpeg_extend(bits: int, cat: int) -> int:
+    """Inverse of _jpeg_magnitude (T.81 F.2.2.1 EXTEND)."""
+    if cat == 0:
+        return 0
+    return bits if bits >= (1 << (cat - 1)) else bits - (1 << cat) + 1
+
+
+def encode_jpeg_baseline(pixels) -> bytes:
+    """REAL baseline JPEG encode: (h, w) uint8 greyscale → a
+    standards-conformant JFIF byte string (SOI/APP0/DQT/SOF0/DHT/SOS,
+    Annex K tables, sequential DCT, Huffman, byte stuffing). Lossy like
+    every JPEG — round-trip exactness is NOT the contract; spectral
+    closeness is (tested)."""
+    import struct
+
+    import numpy as np
+
+    arr = np.asarray(pixels, dtype=np.uint8)
+    if arr.ndim != 2:
+        raise ValueError("baseline greyscale only: expected (h, w) uint8")
+    h, w = arr.shape
+    if h == 0 or w == 0:
+        raise ValueError("empty image")
+    ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
+    padded = np.pad(arr, ((0, ph - h), (0, pw - w)), mode="edge")
+    t = _dct_matrix()
+    q = np.array(JPEG_QTABLE, dtype=np.float64).reshape(8, 8)
+    zz = _jpeg_zigzag()
+    dc_tab = _huff_encode_table(JPEG_DC_BITS, JPEG_DC_VALS)
+    ac_tab = _huff_encode_table(JPEG_AC_BITS, JPEG_AC_VALS)
+
+    bw = _BitWriter()
+    prev_dc = 0
+    for by in range(0, ph, 8):
+        for bx in range(0, pw, 8):
+            block = padded[by:by + 8, bx:bx + 8].astype(np.float64) - 128.0
+            coef = t @ block @ t.T
+            quant = np.round(coef / q).astype(np.int64)
+            seq = [int(quant[r, c]) for r, c in zz]
+            # DC (DPCM)
+            diff = seq[0] - prev_dc
+            prev_dc = seq[0]
+            cat, bits = _jpeg_magnitude(diff)
+            code, ln = dc_tab[cat]
+            bw.write(code, ln)
+            if cat:
+                bw.write(bits, cat)
+            # AC (run-length of zeros + magnitude)
+            run = 0
+            for v in seq[1:]:
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    code, ln = ac_tab[0xF0]  # ZRL
+                    bw.write(code, ln)
+                    run -= 16
+                cat, bits = _jpeg_magnitude(v)
+                code, ln = ac_tab[(run << 4) | cat]
+                bw.write(code, ln)
+                bw.write(bits, cat)
+                run = 0
+            if run:
+                code, ln = ac_tab[0x00]  # EOB
+                bw.write(code, ln)
+    scan = bw.flush()
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(body) + 2) + body
+
+    qz = bytes(JPEG_QTABLE[r * 8 + c] for r, c in zz)  # DQT is zigzag order
+    out = b"\xff\xd8"  # SOI
+    out += seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += seg(0xFFDB, b"\x00" + qz)
+    out += seg(0xFFC0, struct.pack(">BHHB", 8, h, w, 1) + b"\x01\x11\x00")
+    out += seg(
+        0xFFC4, b"\x00" + bytes(JPEG_DC_BITS) + bytes(JPEG_DC_VALS)
+    )
+    out += seg(
+        0xFFC4, b"\x10" + bytes(JPEG_AC_BITS) + bytes(JPEG_AC_VALS)
+    )
+    out += seg(0xFFDA, b"\x01\x01\x00\x00\x3f\x00")
+    out += scan
+    out += b"\xff\xd9"  # EOI
+    return out
+
+
+def decode_jpeg_baseline(payload: bytes):
+    """REAL baseline JPEG decode: parse the marker stream, build the
+    Huffman tables FROM THE FILE's DHT segments (so any conformant
+    encoder's greyscale baseline output decodes, not just ours),
+    entropy-decode, dequantize, inverse-DCT, return an (h, w) uint8
+    array. Supports the 8-bit single-component sequential subset; raises
+    NotImplementedError on progressive/multi-component/12-bit input and
+    ValueError on corrupt streams."""
+    import struct
+
+    import numpy as np
+
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (missing SOI)")
+    pos = 2
+    qtables: dict[int, list[int]] = {}
+    huff: dict[tuple[int, int], dict] = {}
+    sof = None
+    scan_data = None
+    comp_tables = None
+    while pos < len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError(f"marker sync lost at byte {pos}")
+        marker = payload[pos + 1]
+        if marker == 0xD9:  # EOI
+            break
+        (length,) = struct.unpack(">H", payload[pos + 2:pos + 4])
+        body = payload[pos + 4:pos + 2 + length]
+        pos += 2 + length
+        if marker == 0xDB:  # DQT (possibly several tables per segment)
+            b = body
+            while b:
+                pq, tq = b[0] >> 4, b[0] & 0x0F
+                if pq != 0:
+                    raise NotImplementedError("16-bit quant tables")
+                qtables[tq] = list(b[1:65])
+                b = b[65:]
+        elif marker == 0xC4:  # DHT
+            b = body
+            while b:
+                tc, th = b[0] >> 4, b[0] & 0x0F
+                bits = list(b[1:17])
+                nv = sum(bits)
+                vals = list(b[17:17 + nv])
+                huff[(tc, th)] = _huff_decode_table(bits, vals)
+                b = b[17 + nv:]
+        elif marker == 0xC0:  # SOF0 baseline
+            depth, h, w, ncomp = struct.unpack(">BHHB", body[:6])
+            if depth != 8:
+                raise NotImplementedError(f"{depth}-bit precision")
+            if ncomp != 1:
+                raise NotImplementedError(
+                    f"{ncomp}-component JPEG (greyscale subset wired)"
+                )
+            sampling, tq = body[7], body[8]
+            if sampling != 0x11:
+                raise NotImplementedError("subsampled single component")
+            sof = (h, w, tq)
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+                        0xCB, 0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                f"SOF marker 0xFF{marker:02X}: only baseline sequential "
+                "(SOF0) is wired"
+            )
+        elif marker == 0xDD:
+            raise NotImplementedError("restart intervals (DRI)")
+        elif marker == 0xDA:  # SOS — entropy data follows to EOI
+            comp_tables = (body[2] >> 4, body[2] & 0x0F)
+            end = payload.rfind(b"\xff\xd9")
+            if end < 0:
+                raise ValueError("missing EOI")
+            scan_data = payload[pos:end]
+            break
+    if sof is None or scan_data is None:
+        raise ValueError("missing SOF0/SOS")
+    h, w, tq = sof
+    q = np.array(qtables[tq], dtype=np.float64)
+    zz = _jpeg_zigzag()
+    dc = huff[(0, comp_tables[0])]
+    ac = huff[(1, comp_tables[1])]
+    t = _dct_matrix()
+
+    br = _BitReader(scan_data)
+
+    def read_code(table: dict) -> int:
+        code, length = 0, 0
+        while length < 16:
+            code = (code << 1) | br.read_bit()
+            length += 1
+            if (length, code) in table:
+                return table[(length, code)]
+        raise ValueError("invalid Huffman code in scan")
+
+    ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
+    out = np.zeros((ph, pw), dtype=np.float64)
+    prev_dc = 0
+    for by in range(0, ph, 8):
+        for bx in range(0, pw, 8):
+            seq = np.zeros(64, dtype=np.float64)
+            cat = read_code(dc)
+            diff = _jpeg_extend(br.read_bits(cat), cat) if cat else 0
+            prev_dc += diff
+            seq[0] = prev_dc
+            k = 1
+            while k < 64:
+                rs = read_code(ac)
+                run, cat = rs >> 4, rs & 0x0F
+                if cat == 0:
+                    if run == 15:  # ZRL
+                        k += 16
+                        continue
+                    break  # EOB
+                k += run
+                if k > 63:
+                    raise ValueError("AC run past end of block")
+                seq[k] = _jpeg_extend(br.read_bits(cat), cat)
+                k += 1
+            dq = seq * q
+            block = np.zeros((8, 8))
+            for i, (r, c) in enumerate(zz):
+                block[r, c] = dq[i]
+            out[by:by + 8, bx:bx + 8] = t.T @ block @ t
+    return np.clip(np.round(out + 128.0), 0, 255).astype(np.uint8)[:h, :w]
+
+
+def synthesize_jpeg(
+    documents: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    width: int = 16,
+) -> DataFrame:
+    """(doc_id, media_bytes, media_meta): GENUINE baseline JPEG payloads —
+    greyscale images whose pixels are the text's byte codes laid out
+    row-major (the synthesize_png layout), written by
+    encode_jpeg_baseline. Any JPEG tool opens these. Unlike the PNG twin
+    the pixels are NOT SQL-derivable after the round trip (JPEG is
+    lossy), so correctness evidence lives in the codec tests, not a
+    value oracle."""
+
+    def _encode(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        import numpy as np
+
+        for pdf in batches:
+            payloads, metas = [], []
+            for text in pdf[text_col].fillna(""):
+                codes = np.frombuffer(text.encode("utf-8"), dtype=np.uint8)
+                h = max(1, -(-len(codes) // width))
+                img = np.zeros((h, width), dtype=np.uint8)
+                img.flat[: len(codes)] = codes
+                payload = encode_jpeg_baseline(img)
+                payloads.append(payload)
+                metas.append(
+                    {
+                        "mime": "image/jpeg",
+                        "n_bytes": len(payload),
+                        "width": width,
+                        "height": h,
+                    }
+                )
+            out = pd.DataFrame(
+                {"media_bytes": payloads, "media_meta": metas}
+            )
+            out.insert(0, "doc_id", pdf[id_col].values)
+            yield out
+
+    return documents.select(id_col, text_col).mapInPandas(
+        _encode, RESIZED_SCHEMA
+    )
+
+
+def jpeg_features(media: DataFrame) -> DataFrame:
+    """Distributed JPEG feature extraction through the REAL baseline
+    codec: Arrow-batched mapInPandas, decode_jpeg_baseline per payload,
+    same integer feature row as png_features."""
+
+    def _extract(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for row in pdf.itertuples():
+                img = decode_jpeg_baseline(bytes(row.media_bytes))
+                rows.append(
+                    {
+                        "doc_id": row.doc_id,
+                        "width": int(img.shape[1]),
+                        "height": int(img.shape[0]),
+                        "n_pixels": int(img.size),
+                        "pixel_sum": int(img.sum()),
+                        "pixel_max": int(img.max()) if img.size else 0,
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return media.select("doc_id", "media_bytes").mapInPandas(
+        _extract, PNG_FEATURE_SCHEMA
     )
