@@ -335,3 +335,47 @@ def test_bm25_single_corpus_scan(spark):
     assert plan.count("Scan parquet") == 1
     assert "TakeOrderedAndProject" in plan
     assert plan.count("Exchange hashpartitioning") <= 2
+
+
+def test_q2_dims_broadcast_and_single_window_shuffle(spark):
+    """Q2's min-cost decorrelation: every dim (supplier/nation/region/
+    filtered part) broadcasts — the only SortMergeJoin-free shuffles are
+    partsupp's window partition — and the top-100 is
+    TakeOrderedAndProject, not a global sort."""
+    part, supp = _raw(spark, "part"), _raw(spark, "supplier")
+    nat, reg = _raw(spark, "nation"), _raw(spark, "region")
+    ps = rq.synth_partsupp(part, supp)
+    plan = _plan(rq.q2_min_cost_supplier(part, supp, nat, reg, ps))
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert "SortMergeJoin" not in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_q20_shipdate_pushdown_and_semi_joins(spark):
+    """Q20: the year filter reaches the lineitem parquet scan; the red-
+    part and nation restrictions stay semi-joins (no payload columns
+    dragged through); supplier output needs no global sort exchange
+    beyond the final ordering."""
+    part, supp = _raw(spark, "part"), _raw(spark, "supplier")
+    nat, reg = _raw(spark, "nation"), _raw(spark, "region")
+    li = _raw(spark, "lineitem")
+    ps = rq.synth_partsupp(part, supp)
+    df = rq.q20_excess_stock(part, supp, nat, reg, ps, li)
+    plan = _plan(df)
+    # the lineitem scan (not the first scan in the plan) carries the
+    # pushed year-range predicate
+    assert any(
+        "l_shipdate" in seg[:400] for seg in plan.split("PushedFilters")[1:]
+    )
+    assert "LeftSemi" in plan
+
+
+def test_q16_anti_join_and_one_group_shuffle(spark):
+    """Q16: the complaints exclusion is a broadcast ANTI join (never a
+    shuffle of partsupp against a 6-row dim), and the distinct-count
+    groups through hash aggregation."""
+    part, supp = _raw(spark, "part"), _raw(spark, "supplier")
+    ps = rq.synth_partsupp(part, supp)
+    plan = _plan(rq.q16_supplier_part_counts(part, supp, ps))
+    assert "LeftAnti" in plan and "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
