@@ -115,7 +115,7 @@ def fetch_shape_files(
     dest_dir: str,
     compressed: bool = False,
     opener=None,
-) -> tuple[str, str]:
+) -> tuple[str | None, str]:
     """S1 remote-fetch branch (reference load_data with force_db_fetch,
     geo_manager.py:697-756): download the two JSON dumps from the
     versioned store prefix, transparently gunzip when `compressed`, and
@@ -125,8 +125,12 @@ def fetch_shape_files(
     `opener(url) -> bytes` is pluggable; the default is stdlib
     urllib.request.urlopen (http(s)://, and file:// — which is what the
     no-network test environment exercises; the reference uses `requests`).
-    A failed fetch raises ValueError naming the file, mirroring the
-    reference's status-code guard. Returns (search_path, shape_path)."""
+    A failed SHAPES fetch raises ValueError naming the file (mirror of
+    the reference's status-code guard). The SEARCH dump is best-effort —
+    the engine re-derives its ngram index from the shapes (build_postings)
+    and never deserializes search_dict, so a store that publishes only
+    the shapes dump still loads (documented divergence; the reference
+    hard-requires both). Returns (search_path_or_None, shape_path)."""
     import gzip as _gzip
     import urllib.request
 
@@ -136,8 +140,8 @@ def fetch_shape_files(
                 return resp.read()
 
     os.makedirs(dest_dir, exist_ok=True)
-    staged = []
-    for name in (SEARCH_FILE_NAME, SHAPE_FILE_NAME):
+
+    def _fetch_one(name: str) -> str:
         url = f"{base_url}{name}{'.gz' if compressed else ''}"
         try:
             blob = opener(url)
@@ -148,8 +152,13 @@ def fetch_shape_files(
         path = os.path.join(dest_dir, name)
         with open(path, "wb") as f:
             f.write(blob)
-        staged.append(path)
-    return staged[0], staged[1]
+        return path
+
+    try:
+        search_path = _fetch_one(SEARCH_FILE_NAME)
+    except ValueError:
+        search_path = None  # audit-parity only; postings derive from shapes
+    return search_path, _fetch_one(SHAPE_FILE_NAME)
 
 
 def versioned_path(root: str, version: str | None, table: str) -> str:

@@ -163,10 +163,8 @@ class GeoManager:
         deserialized: the engine's postings layout is the scale-correct
         form of the reference's search_dict; the fetched search dump is
         staged alongside for audit parity only."""
-        import os as _os
-
         local = _ingest.versioned_path(root, version, "shapes")
-        if _os.path.exists(local) and not force_db_fetch:
+        if self._cache_exists(local) and not force_db_fetch:
             self._set_shapes(_ingest.read_shapes(self.spark, root, version))
             return self
         if base_url is None:
@@ -179,7 +177,16 @@ class GeoManager:
             # behavior (read raises with the missing path)
             self._set_shapes(_ingest.read_shapes(self.spark, root, version))
             return self
-        staging = _ingest.versioned_path(root, version, "_fetched")
+        if cache_local:
+            # staged dumps live NEXT TO the Parquet cache they produced —
+            # the reference keeps its JSON cache files the same way
+            staging = _ingest.versioned_path(root, version, "_fetched")
+        else:
+            # no-cache contract: root must stay pristine (it may be
+            # read-only) — stage in a tempdir instead
+            import tempfile
+
+            staging = tempfile.mkdtemp(prefix="yat_geo_fetch_")
         _search_path, shape_path = _ingest.fetch_shape_files(
             base_url, staging, compressed=compressed, opener=opener
         )
@@ -190,8 +197,27 @@ class GeoManager:
             raw = self.spark.read.schema(_ingest.RAW_SHAPE_SCHEMA).json(
                 shape_path
             )
+            # eagerly pin the relation before the tempdir can be reaped:
+            # _set_shapes caches, and the count materializes that cache
             self._set_shapes(_ingest.normalize_shapes(raw))
+            self._shapes.count()
         return self
+
+    def _cache_exists(self, path: str) -> bool:
+        """Cache-hit probe through the Hadoop filesystem of the path's
+        scheme — `os.path.exists` would answer False for every
+        object-store root (s3a://...), silently re-fetching on each load."""
+        try:
+            jvm = self.spark._jvm
+            hpath = jvm.org.apache.hadoop.fs.Path(path)
+            fs = hpath.getFileSystem(
+                self.spark._jsc.hadoopConfiguration()
+            )
+            return bool(fs.exists(hpath))
+        except Exception:
+            import os as _os
+
+            return _os.path.exists(path)
 
     def get_base_url(self, version: str | None = None, root: str = "") -> str:
         """S4 (geo_manager.py:671-675): the version-addressed store prefix.

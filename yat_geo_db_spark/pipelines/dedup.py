@@ -854,9 +854,12 @@ def connected_components(
         )
         return spark.createDataFrame(sorted(comp.items()), out_schema)
     if deep_graph:
-        labels = _star_contraction_labels(e, max_iter)
-        e.unpersist()
-        return labels
+        try:
+            # unpersist in finally: the non-convergence raise must not
+            # leave `e` pinned in executor storage for the session
+            return _star_contraction_labels(e, max_iter)
+        finally:
+            e.unpersist()
     sym = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b"))).persist()
     # The pair graph is a CONTRACTION of the corpus (only docs in ≥1 pair),
     # typically orders of magnitude smaller than the input — but AQE's
@@ -923,8 +926,10 @@ def connected_components(
             spark.conf.set(pf_key, pf_prev)
         else:
             spark.conf.unset(pf_key)
-    sym.unpersist()
-    e.unpersist()
+        # also on the non-convergence raise: don't leak the persisted
+        # edge frames into session storage
+        sym.unpersist()
+        e.unpersist()
     return labels
 
 
@@ -1373,9 +1378,12 @@ def lsh_recall_eval(
     on a deterministic sample — the pipeline evaluating its own
     approximation instead of asserting it. Returns ONE row:
     (n_sample_docs, n_exact_pairs, n_lsh_pairs, n_common, recall,
-    precision). Precision is 1.0 by construction (banded candidates are
-    exact-verified); recall < 1 exposes band misses — re-run with more
-    bands/rows when it drops below target.
+    precision). recall and precision are NULL when their denominator is
+    zero (a clean sample with no near-dup pairs — "undefined", not 0;
+    guard consumers accordingly). When pairs exist, precision is 1.0 by
+    construction (banded candidates are exact-verified); recall < 1
+    exposes band misses — re-run with more bands/rows when it drops
+    below target.
 
     The ground truth is an all-pairs join OVER THE SAMPLE ONLY —
     O(s²) BY DESIGN: at corpus scale you cannot brute-force the full

@@ -926,15 +926,10 @@ def _dct_matrix():
     import numpy as np
 
     t = np.zeros((8, 8))
-    for i in range(8):
+    t[0, :] = 1 / np.sqrt(8)  # DC row: constant 1/sqrt(8)
+    for i in range(1, 8):
         for j in range(8):
-            t[i, j] = (
-                (1 / (2 * np.sqrt(2)))
-                if i == 0
-                else 0.5 * np.cos((2 * j + 1) * i * np.pi / 16)
-            ) * (np.sqrt(2) if i == 0 else 1.0)
-    # rows: k=0 constant 1/sqrt(8); k>0 amplitude 1/2
-    t[0, :] = 1 / np.sqrt(8)
+            t[i, j] = 0.5 * np.cos((2 * j + 1) * i * np.pi / 16)
     return t
 
 
@@ -973,6 +968,10 @@ class _BitWriter:
             if byte == 0xFF:
                 self.buf.append(0x00)
             self.n -= 8
+        # truncate the accumulator to the residual bits: without this it
+        # grows into an unbounded bignum and encode cost turns quadratic
+        # in image size (measured 14× time at 4× pixels)
+        self.acc &= (1 << self.n) - 1
 
     def flush(self) -> bytes:
         if self.n:
@@ -1013,7 +1012,11 @@ class _BitReader:
         if self.n == 0:
             self._fill()
         self.n -= 1
-        return (self.acc >> self.n) & 1
+        bit = (self.acc >> self.n) & 1
+        # keep the accumulator bounded (same quadratic-bignum hazard as
+        # the writer — consumed high bits must not accumulate)
+        self.acc &= (1 << self.n) - 1
+        return bit
 
     def read_bits(self, length: int) -> int:
         v = 0
@@ -1142,15 +1145,26 @@ def decode_jpeg_baseline(payload: bytes):
     while pos < len(payload):
         if payload[pos] != 0xFF:
             raise ValueError(f"marker sync lost at byte {pos}")
+        # T.81 B.1.1.2: any number of 0xFF fill bytes may precede a marker
+        while pos + 1 < len(payload) and payload[pos + 1] == 0xFF:
+            pos += 1
+        if pos + 2 > len(payload):
+            raise ValueError("JPEG marker stream truncated")
         marker = payload[pos + 1]
         if marker == 0xD9:  # EOI
             break
+        if pos + 4 > len(payload):
+            raise ValueError("JPEG marker stream truncated")
         (length,) = struct.unpack(">H", payload[pos + 2:pos + 4])
+        if pos + 2 + length > len(payload):
+            raise ValueError("JPEG segment truncated")
         body = payload[pos + 4:pos + 2 + length]
         pos += 2 + length
         if marker == 0xDB:  # DQT (possibly several tables per segment)
             b = body
             while b:
+                if len(b) < 65:
+                    raise ValueError("DQT segment truncated")
                 pq, tq = b[0] >> 4, b[0] & 0x0F
                 if pq != 0:
                     raise NotImplementedError("16-bit quant tables")
@@ -1159,13 +1173,19 @@ def decode_jpeg_baseline(payload: bytes):
         elif marker == 0xC4:  # DHT
             b = body
             while b:
+                if len(b) < 17:
+                    raise ValueError("DHT segment truncated")
                 tc, th = b[0] >> 4, b[0] & 0x0F
                 bits = list(b[1:17])
                 nv = sum(bits)
+                if len(b) < 17 + nv:
+                    raise ValueError("DHT segment truncated")
                 vals = list(b[17:17 + nv])
                 huff[(tc, th)] = _huff_decode_table(bits, vals)
                 b = b[17 + nv:]
         elif marker == 0xC0:  # SOF0 baseline
+            if len(body) < 9:
+                raise ValueError("SOF0 segment truncated")
             depth, h, w, ncomp = struct.unpack(">BHHB", body[:6])
             if depth != 8:
                 raise NotImplementedError(f"{depth}-bit precision")
@@ -1186,6 +1206,8 @@ def decode_jpeg_baseline(payload: bytes):
         elif marker == 0xDD:
             raise NotImplementedError("restart intervals (DRI)")
         elif marker == 0xDA:  # SOS — entropy data follows to EOI
+            if len(body) < 3:
+                raise ValueError("SOS segment truncated")
             comp_tables = (body[2] >> 4, body[2] & 0x0F)
             end = payload.rfind(b"\xff\xd9")
             if end < 0:
