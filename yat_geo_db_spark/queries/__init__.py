@@ -18,7 +18,7 @@ from yat_geo_db_spark.queries.relational_queries import QUERIES as REL_QUERIES
 from yat_geo_db_spark.queries.pipeline_queries import QUERIES as PIPE_QUERIES
 
 
-def _last_checked_round() -> dict[str, int]:
+def _last_checked_round() -> tuple[dict[str, int], set[str]]:
     """name → most recent round with a GOOD driver CORRECTNESS row for it.
 
     The per-round driver checks the FIRST ~50 registry entries and records
@@ -34,9 +34,13 @@ def _last_checked_round() -> dict[str, int]:
     to flip green (r3: pipe_emb_pca crashed the canonicalizer; without
     this it would have sat at idx 115 for two rounds). Rows-only successes
     (err == "no_oracle" with a recorded spark_rows count) DO count —
-    they re-sort first forever otherwise, squatting the window."""
+    they re-sort first forever otherwise, squatting the window — but the
+    second return value reports the names whose LATEST good check was
+    rows-only, so all_queries() can resurface a query that has since
+    GAINED an oracle (its hash has never been driver-verified)."""
     root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     last: dict[str, int] = {}
+    rows_only_at: dict[str, int] = {}
     for path in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
         m = re.search(r"r(\d+)", os.path.basename(path))
         if m is None:
@@ -53,12 +57,15 @@ def _last_checked_round() -> dict[str, int]:
             if not isinstance(row, dict):
                 continue
             err = row.get("err")
-            good = (err is None and row.get("hash_match") is True) or (
-                err == "no_oracle" and row.get("spark_rows") is not None
-            )
-            if good:
+            if err is None and row.get("hash_match") is True:
                 last[name] = max(last.get(name, 0), rnd)
-    return last
+            elif err == "no_oracle" and row.get("spark_rows") is not None:
+                last[name] = max(last.get(name, 0), rnd)
+                rows_only_at[name] = max(rows_only_at.get(name, 0), rnd)
+    rows_only_latest = {
+        n for n, rnd in rows_only_at.items() if last.get(n) == rnd
+    }
+    return last, rows_only_latest
 
 
 def all_queries() -> dict:
@@ -67,8 +74,16 @@ def all_queries() -> dict:
         overlap = merged.keys() & d.keys()
         assert not overlap, f"duplicate query names: {overlap}"
         merged.update(d)
-    last = _last_checked_round()
+    last, rows_only_latest = _last_checked_round()
+
+    def key(name: str) -> tuple[int, str]:
+        rnd = last.get(name, -1)
+        # a query whose only driver evidence is rows-only but which NOW
+        # carries an oracle has never had its hash verified — treat as
+        # never-checked so it enters the next driver window
+        if name in rows_only_latest and merged[name][1] is not None:
+            rnd = -1
+        return (rnd, name)
+
     # stalest-first; deterministic name tiebreak (never-checked sort at -1)
-    return dict(
-        sorted(merged.items(), key=lambda kv: (last.get(kv[0], -1), kv[0]))
-    )
+    return dict(sorted(merged.items(), key=lambda kv: key(kv[0])))
