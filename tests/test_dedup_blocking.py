@@ -600,3 +600,34 @@ def test_lsh_recall_eval_zero_pair_corpus_no_ansi_abort(spark):
     row = lsh_recall_eval(docs, sample_mod=1).collect()[0]
     assert row["n_exact_pairs"] == 0 and row["n_lsh_pairs"] == 0
     assert row["recall"] is None and row["precision"] is None
+
+
+def test_dedup_keep_best_prefers_quality_over_min_id(spark):
+    """dedup_keep_best keeps the max-score cluster member (min id only on
+    ties), unpaired docs always survive, and with a constant score it
+    degrades to exactly dedup_keep_canonical's min-id rule."""
+    from yat_geo_db_spark.pipelines.dedup import (
+        dedup_keep_best,
+        dedup_keep_canonical,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a", 10), (2, "a", 30), (3, "a", 20),   # cluster: best=2
+            (7, "b", 5), (8, "b", 5),                   # tie: min id 7
+            (9, "c", 1),                                # unpaired
+        ],
+        "doc_id long, text string, score long",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (7, 8)], "id1 long, id2 long"
+    )
+    kept = {
+        r["doc_id"]
+        for r in dedup_keep_best(docs, pairs, "score").collect()
+    }
+    assert kept == {2, 7, 9}
+    const = docs.withColumn("score", docs.score * 0)
+    kb = {r["doc_id"] for r in dedup_keep_best(const, pairs, "score").collect()}
+    kc = {r["doc_id"] for r in dedup_keep_canonical(const, pairs).collect()}
+    assert kb == kc == {1, 7, 9}

@@ -961,6 +961,48 @@ def dedup_keep_canonical(
     return documents.join(drop, id_col, "left_anti")
 
 
+def dedup_keep_best(
+    documents: DataFrame,
+    pairs: DataFrame,
+    score_col: str,
+    id_col: str = "doc_id",
+    src: str = "id1",
+    dst: str = "id2",
+    deep_graph: bool = False,
+) -> DataFrame:
+    """Quality-priority canonical keep: per near-dup cluster, keep the
+    member MAXIMIZING `score_col` (min id breaks ties — deterministic),
+    plus every doc in no pair. Production dedup keeps the best copy, not
+    the lowest id: the near-dups of a document differ in boilerplate,
+    truncation, and OCR noise, and dropping the high-quality copy because
+    a mangled twin has a smaller id throws away exactly the data the
+    pipeline exists to keep (dedup_keep_canonical remains the
+    score-free special case).
+
+    Plan shape: components run on the pair graph (a contraction of the
+    corpus); only PAIRED docs join their (id, score) projection back —
+    dimension-sized relative to the corpus — one window per cluster ranks
+    them, and the losers anti-join out of the full corpus (AQE turns the
+    small drop list into a broadcast anti join, same as the canonical
+    keep)."""
+    from pyspark.sql import Window
+
+    comp = connected_components(pairs, src, dst, deep_graph=deep_graph)
+    scored = comp.join(
+        documents.select(F.col(id_col).alias("node"), F.col(score_col)),
+        "node",
+    )
+    w = Window.partitionBy("component").orderBy(
+        F.desc(score_col), F.asc("node")
+    )
+    drop = (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") > 1)
+        .select(F.col("node").alias(id_col))
+    )
+    return documents.join(drop, id_col, "left_anti")
+
+
 # --------------------------------------------------------------------------
 # exact n-gram decontamination (GPT-3 appendix C / PaLM style)
 # --------------------------------------------------------------------------

@@ -207,6 +207,35 @@ WHERE doc_id NOT IN (SELECT doc_id FROM comp WHERE doc_id != cluster_id)
 """
 
 
+def q_dedup_keep_best(spark, sf_dir):
+    """Quality-priority dedup decision: per near-dup cluster keep the
+    LONGEST member (n_chars score, min-id tiebreak) instead of the min
+    id — the production keep rule (the best copy survives, not the
+    lowest-id copy). Same pair graph and component closure as
+    pipe_dedup_canonical, so the oracle reuses the proven recursive CTE
+    plus one ranking window."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(
+        docs, threshold=JACCARD_T, block_cols=("lang", "source")
+    )
+    return dedup.dedup_keep_best(docs, pairs, score_col="n_chars").select(
+        "doc_id"
+    )
+
+
+_DEDUP_KEEP_BEST_SQL = f"""
+WITH RECURSIVE {_COMPONENT_CTES},
+ranked AS (
+  SELECT c.doc_id,
+         row_number() OVER (PARTITION BY c.cluster_id
+                            ORDER BY d.n_chars DESC, c.doc_id) AS rk
+  FROM comp c JOIN documents d USING (doc_id)
+)
+SELECT doc_id FROM documents
+WHERE doc_id NOT IN (SELECT doc_id FROM ranked WHERE rk > 1)
+"""
+
+
 def q_dedup_minhash(spark, sf_dir):
     return dedup.minhash_lsh_pairs(
         load_table(spark, sf_dir, "documents"), threshold=MINHASH_T
@@ -2933,6 +2962,7 @@ QUERIES: dict = {
     "pipe_dedup_ngram_jaccard": (q_dedup_jaccard, _DEDUP_JACCARD_SQL),
     "pipe_dedup_clusters": (q_dedup_clusters, _DEDUP_CLUSTERS_SQL),
     "pipe_dedup_canonical": (q_dedup_canonical, _DEDUP_CANONICAL_SQL),
+    "pipe_dedup_keep_best": (q_dedup_keep_best, _DEDUP_KEEP_BEST_SQL),
     "pipe_decon_exact_ngram": (q_decon_exact_ngram, _DECON_EXACT_NGRAM_SQL),
     "pipe_decon_exact_report": (q_decon_exact_report, _DECON_EXACT_REPORT_SQL),
     "pipe_decon_bloom": (q_decon_bloom, _DECON_BLOOM_SQL),
