@@ -631,3 +631,26 @@ def test_dedup_keep_best_prefers_quality_over_min_id(spark):
     kb = {r["doc_id"] for r in dedup_keep_best(const, pairs, "score").collect()}
     kc = {r["doc_id"] for r in dedup_keep_canonical(const, pairs).collect()}
     assert kb == kc == {1, 7, 9}
+
+
+def test_url_canonicalization_merges_crawl_variants(spark):
+    """url_canonical_col collapses scheme/case/www/query/fragment/
+    trailing-slash variants to one key; dedup_by_url keeps the min id
+    per key with the right group size; distinct pages stay distinct."""
+    from yat_geo_db_spark.pipelines.curation import dedup_by_url
+
+    docs = spark.createDataFrame(
+        [
+            (1, "https://WWW.Example.com/a/b?utm_source=x&ref=y"),
+            (2, "http://example.com/a/b/"),
+            (3, "https://example.com/a/b#frag"),
+            (4, "https://example.com/a/c"),
+            (5, "https://sub.example.com/a/b"),
+        ],
+        "doc_id long, url string",
+    )
+    out = {r["url_canonical"]: r for r in dedup_by_url(docs).collect()}
+    assert out["example.com/a/b"]["doc_id"] == 1
+    assert out["example.com/a/b"]["url_group_size"] == 3
+    assert out["example.com/a/c"]["url_group_size"] == 1
+    assert out["sub.example.com/a/b"]["url_group_size"] == 1

@@ -14,7 +14,7 @@ last because canonical-selection should never resurrect a filtered doc.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 import pyspark.sql.functions as F
 
 from yat_geo_db_spark.pipelines.dedup import (
@@ -434,3 +434,47 @@ def read_documents_jsonl(spark, path: str):
         ).alias("raw_line")
     )
     return clean, quarantine
+
+
+# --------------------------------------------------------------------------
+# URL-keyed dedup (C4 / RefinedWeb first-stage): canonicalize the crawl
+# URL, keep one document per canonical URL. Runs BEFORE any content
+# dedup at real scale — it is a pure string-key groupBy, orders of
+# magnitude cheaper than shingling, and removes the bulk re-crawl
+# duplicates (http/https, www, tracking-query, trailing-slash variants).
+# --------------------------------------------------------------------------
+
+def url_canonical_col(url: Column) -> Column:
+    """Canonical form of a crawl URL, built from engine-portable regex
+    steps (identical semantics in Spark's Java regex and DuckDB's RE2 —
+    the oracle runs the same patterns): lowercase → drop the query
+    string and fragment entirely (the RefinedWeb choice; tracking params
+    make per-param allowlists churn forever) → strip the scheme → strip
+    one leading 'www.' → strip one trailing slash."""
+    c = F.lower(url)
+    c = F.regexp_replace(c, r"[?#].*$", "")
+    c = F.regexp_replace(c, r"^https?://", "")
+    c = F.regexp_replace(c, r"^www\.", "")
+    return F.regexp_replace(c, r"/$", "")
+
+
+def dedup_by_url(
+    documents: DataFrame, url_col: str = "url", id_col: str = "doc_id"
+) -> DataFrame:
+    """One row per surviving document: the min-id doc per canonical URL,
+    with the canonical key and its duplicate-group size. Plan: one
+    projection (the canonicalizer is whole-stage-codegen string work, no
+    UDF) and ONE shuffle on the canonical key — groupBy struct-min picks
+    the keeper and counts the group map-side-combinably, exactly the
+    exact-dedup digest shape (dedup.py) with the URL as the digest."""
+    canon = documents.select(
+        F.col(id_col), url_canonical_col(F.col(url_col)).alias("url_canonical")
+    )
+    return (
+        canon.groupBy("url_canonical")
+        .agg(
+            F.min(F.col(id_col)).alias(id_col),
+            F.count(F.lit(1)).alias("url_group_size"),
+        )
+        .select(id_col, "url_canonical", "url_group_size")
+    )

@@ -1738,6 +1738,59 @@ SELECT doc_id, n_occurrences FROM (
 """
 
 
+def q_dedup_url(spark, sf_dir):
+    """URL-keyed dedup (C4/RefinedWeb first stage) over deterministically
+    synthesized crawl URLs: the fixture has no url column, so each doc
+    gets one keyed on (doc_id, source) with scheme/www/query/trailing-
+    slash variants injected by doc_id residues — `doc_id % 97` collides
+    pages across those variants, so canonicalization genuinely merges
+    groups. Both engines build the identical input; the canonicalizer is
+    the same regex chain in both."""
+    from yat_geo_db_spark.pipelines import curation
+
+    docs = load_table(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    url = F.concat(
+        F.when(did % 2 == 0, F.lit("https://")).otherwise(F.lit("http://")),
+        F.when(did % 3 == 0, F.lit("WWW.")).otherwise(F.lit("")),
+        F.col("source"), F.lit(".example.com/docs/"),
+        (did % 97).cast("string"),
+        F.when(did % 5 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.when(did % 4 == 0, F.lit("?utm_source=feed&ref=rss")).otherwise(
+            F.lit("")
+        ),
+    )
+    return curation.dedup_by_url(docs.select("doc_id", url.alias("url")))
+
+
+_DEDUP_URL_SQL = """
+WITH u AS (
+  SELECT doc_id,
+         (CASE WHEN doc_id % 2 = 0 THEN 'https://' ELSE 'http://' END)
+         || (CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END)
+         || source || '.example.com/docs/' || CAST(doc_id % 97 AS VARCHAR)
+         || (CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END)
+         || (CASE WHEN doc_id % 4 = 0 THEN '?utm_source=feed&ref=rss'
+             ELSE '' END) AS url
+  FROM documents
+),
+c AS (
+  SELECT doc_id,
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(lower(url), '[?#].*$', ''),
+               '^https?://', ''),
+             '^www\\.', ''),
+           '/$', '') AS url_canonical
+  FROM u
+)
+SELECT min(doc_id) AS doc_id, url_canonical,
+       count(*) AS url_group_size
+FROM c GROUP BY url_canonical
+"""
+
+
 def q_text_bpe(spark, sf_dir):
     """Real BPE end-to-end: train 8 merge rules on the corpus (one
     corpus-scale word-freq pass, then vocabulary-bounded iterations),
@@ -2963,6 +3016,7 @@ QUERIES: dict = {
     "pipe_dedup_clusters": (q_dedup_clusters, _DEDUP_CLUSTERS_SQL),
     "pipe_dedup_canonical": (q_dedup_canonical, _DEDUP_CANONICAL_SQL),
     "pipe_dedup_keep_best": (q_dedup_keep_best, _DEDUP_KEEP_BEST_SQL),
+    "pipe_dedup_url": (q_dedup_url, _DEDUP_URL_SQL),
     "pipe_decon_exact_ngram": (q_decon_exact_ngram, _DECON_EXACT_NGRAM_SQL),
     "pipe_decon_exact_report": (q_decon_exact_report, _DECON_EXACT_REPORT_SQL),
     "pipe_decon_bloom": (q_decon_bloom, _DECON_BLOOM_SQL),
