@@ -103,6 +103,31 @@ class CorpusManager:
             minhash_lsh_pairs(self.documents, threshold, text_col=self.text_col)
         )
 
+    def dedup_keep_best(
+        self, score_col: str, threshold: float = 0.5
+    ) -> DataFrame:
+        """Quality-priority dedup: surviving docs after keeping the
+        max-`score_col` member per near-dup cluster (min-id ties)."""
+        from yat_geo_db_spark.pipelines.dedup import (
+            dedup_keep_best,
+            minhash_lsh_pairs,
+        )
+
+        self._require_default_id("dedup_keep_best")
+        return dedup_keep_best(
+            self.documents,
+            minhash_lsh_pairs(self.documents, threshold, text_col=self.text_col),
+            score_col=score_col,
+        )
+
+    def dedup_by_url(self, url_col: str = "url") -> DataFrame:
+        """URL-keyed first-stage dedup: one (keeper id, canonical url,
+        group size) row per canonical URL."""
+        from yat_geo_db_spark.pipelines.curation import dedup_by_url
+
+        self._require_default_id("dedup_by_url")
+        return dedup_by_url(self.documents, url_col=url_col)
+
     def decontaminate(self, benchmark: DataFrame, threshold: float = 0.5) -> DataFrame:
         from yat_geo_db_spark.pipelines.dedup import band_table, near_dup_filter
 
