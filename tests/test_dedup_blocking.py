@@ -654,3 +654,32 @@ def test_url_canonicalization_merges_crawl_variants(spark):
     assert out["example.com/a/b"]["url_group_size"] == 3
     assert out["example.com/a/c"]["url_group_size"] == 1
     assert out["sub.example.com/a/b"]["url_group_size"] == 1
+
+
+def test_url_dedup_null_and_empty_keys_pass_through(spark):
+    """Review regression: docs with NO usable key (NULL url, scheme-only,
+    whitespace) must each survive as their own group — one NULL-key
+    group would keep a single doc out of thousands of unrelated
+    metadata-less ones. Embedded newlines are stripped pre-regex (the
+    Java-vs-RE2 '$' divergence), so the noisy twin still merges."""
+    from yat_geo_db_spark.pipelines.curation import dedup_by_url
+
+    docs = spark.createDataFrame(
+        [
+            (1, None),
+            (2, "https://"),
+            (3, "   "),
+            (4, "https://example.com/a?x=1\ntrail"),
+            (5, "https://example.com/a?x=1trail"),
+        ],
+        "doc_id long, url string",
+    )
+    rows = dedup_by_url(docs).collect()
+    kept = {r["doc_id"]: r for r in rows}
+    assert {1, 2, 3} <= set(kept)  # each no-key doc survives alone
+    for i in (1, 2, 3):
+        assert kept[i]["url_canonical"] is None
+        assert kept[i]["url_group_size"] == 1
+    # newline stripped → 4 and 5 canonicalize identically and merge
+    assert kept[4]["url_canonical"] == "example.com/a"
+    assert kept[4]["url_group_size"] == 2 and 5 not in kept

@@ -447,11 +447,15 @@ def read_documents_jsonl(spark, path: str):
 def url_canonical_col(url: Column) -> Column:
     """Canonical form of a crawl URL, built from engine-portable regex
     steps (identical semantics in Spark's Java regex and DuckDB's RE2 —
-    the oracle runs the same patterns): lowercase → drop the query
-    string and fragment entirely (the RefinedWeb choice; tracking params
-    make per-param allowlists churn forever) → strip the scheme → strip
-    one leading 'www.' → strip one trailing slash."""
-    c = F.lower(url)
+    the oracle runs the same patterns): strip ALL whitespace first
+    (literal whitespace is illegal in a URL and, crucially, an embedded
+    newline would split the two engines — Java's '.'/'$' stop at '\\n',
+    RE2's '$' does not; on newline-free input the remaining anchored
+    patterns agree) → lowercase → drop the query string and fragment
+    entirely (the RefinedWeb choice; tracking params make per-param
+    allowlists churn forever) → strip the scheme → strip one leading
+    'www.' → strip one trailing slash."""
+    c = F.lower(F.regexp_replace(url, r"\s", ""))
     c = F.regexp_replace(c, r"[?#].*$", "")
     c = F.regexp_replace(c, r"^https?://", "")
     c = F.regexp_replace(c, r"^www\.", "")
@@ -462,19 +466,37 @@ def dedup_by_url(
     documents: DataFrame, url_col: str = "url", id_col: str = "doc_id"
 ) -> DataFrame:
     """One row per surviving document: the min-id doc per canonical URL,
-    with the canonical key and its duplicate-group size. Plan: one
-    projection (the canonicalizer is whole-stage-codegen string work, no
-    UDF) and ONE shuffle on the canonical key — groupBy struct-min picks
-    the keeper and counts the group map-side-combinably, exactly the
-    exact-dedup digest shape (dedup.py) with the URL as the digest."""
+    with the canonical key and its duplicate-group size. Documents with
+    NO usable key — NULL url, or one that canonicalizes to the empty
+    string ('https://', '/', whitespace) — are NOT dedupable and pass
+    through one-per-doc with url_canonical NULL and group size 1:
+    folding them into one NULL-key group would silently discard every
+    metadata-less document but one.
+
+    Plan: one projection (the canonicalizer is codegen string work, no
+    UDF) and ONE shuffle — non-dedupable rows group on their own id via
+    a (dedupable, key) composite, so the pass-through costs no second
+    scan of the corpus; F.min picks the keeper and the count is
+    map-side combinable, the exact-dedup digest shape (dedup.py) with
+    the URL as the digest."""
     canon = documents.select(
         F.col(id_col), url_canonical_col(F.col(url_col)).alias("url_canonical")
     )
+    dedupable = F.col("url_canonical").isNotNull() & (
+        F.col("url_canonical") != F.lit("")
+    )
+    key = F.when(dedupable, F.col("url_canonical")).otherwise(
+        F.col(id_col).cast("string")
+    )
     return (
-        canon.groupBy("url_canonical")
+        canon.groupBy(dedupable.alias("dedupable"), key.alias("k"))
         .agg(
             F.min(F.col(id_col)).alias(id_col),
             F.count(F.lit(1)).alias("url_group_size"),
         )
-        .select(id_col, "url_canonical", "url_group_size")
+        .select(
+            id_col,
+            F.when(F.col("dedupable"), F.col("k")).alias("url_canonical"),
+            "url_group_size",
+        )
     )

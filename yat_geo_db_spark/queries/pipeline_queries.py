@@ -1779,7 +1779,9 @@ c AS (
          regexp_replace(
            regexp_replace(
              regexp_replace(
-               regexp_replace(lower(url), '[?#].*$', ''),
+               regexp_replace(
+                 lower(regexp_replace(url, '\\s', '', 'g')),
+                 '[?#].*$', ''),
                '^https?://', ''),
              '^www\\.', ''),
            '/$', '') AS url_canonical
