@@ -247,3 +247,31 @@ def test_search_ops_degenerate_inputs(spark):
         phrase_search_scan(docs, [])
     with pytest.raises(ValueError, match="non-empty"):
         phrase_search_indexed(positional_postings(docs), [])
+
+
+def test_temperature_weights_math_and_mixture_handoff(spark):
+    """alpha=1 is the identity (q == p, boost == 1); alpha=0 is uniform
+    (q == 1/n_sources); alpha in (0,1) boosts the tail source above 1
+    and damps the head below 1; and the boost dict feeds
+    mixture_resample with expected mass q*total."""
+    from yat_geo_db_spark.pipelines.text import temperature_sampling_weights
+
+    docs = spark.createDataFrame(
+        [(i, ("tok " * (90 if i % 10 else 10)).strip(),
+          "head" if i % 10 else "tail")
+         for i in range(100)],
+        "doc_id long, text string, source string",
+    )
+    w1 = {r["source"]: r for r in
+          temperature_sampling_weights(docs, alpha=1.0).collect()}
+    for s in ("head", "tail"):
+        assert abs(w1[s]["q_share"] - w1[s]["p_share"]) < 1e-6
+        assert abs(w1[s]["boost"] - 1.0) < 1e-6
+    w0 = {r["source"]: r for r in
+          temperature_sampling_weights(docs, alpha=0.0).collect()}
+    assert abs(w0["head"]["q_share"] - 0.5) < 1e-6
+    assert abs(w0["tail"]["q_share"] - 0.5) < 1e-6
+    wa = {r["source"]: r for r in
+          temperature_sampling_weights(docs, alpha=0.3).collect()}
+    assert wa["tail"]["boost"] > 1.0 > wa["head"]["boost"]
+    assert abs(wa["head"]["q_share"] + wa["tail"]["q_share"] - 1.0) < 2e-6

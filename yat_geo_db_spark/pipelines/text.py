@@ -1234,3 +1234,53 @@ def winnowing_near_dup_pairs(
         .select("id1", "id2", "n_shared", containment.alias("containment"))
         .filter(F.col("containment") >= min_containment)
     )
+
+
+def temperature_sampling_weights(
+    documents: DataFrame,
+    alpha: float = 0.3,
+    strata_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Temperature-scaled mixture weights (XLM-R / mT5 α-sampling,
+    Conneau et al. 2020 §3.1): per-source sampling share
+    qᵢ = pᵢ^α / Σⱼ pⱼ^α over the token-mass shares pᵢ — α < 1 upsamples
+    the tail sources and damps the head, the standard fix for a
+    head-heavy corpus. `boost = q/p` is the per-source multiplier ready
+    to feed `mixture_resample` as its weights dict.
+
+    Determinism across engines: pᵢ is a long-over-long double division;
+    the transcendental pow is snapped to fixed-point (floor(x·1e9+0.5))
+    BEFORE the normalizing sum, so qᵢ is a ratio of exact longs — the
+    only cross-engine float hazard left is pow itself (1-ulp libm skew,
+    absorbed by the 6-dp output rounds, same stance as the log-based
+    scores). Plan: one corpus scan (count + token-size sum, map-side
+    combinable), then source-cardinality arithmetic with two broadcast
+    1-row totals. Returns (source, n_docs, n_tokens, p_share, q_share,
+    boost)."""
+    per = documents.groupBy(strata_col).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(tokens_col(F.col(text_col)))).alias("n_tokens"),
+    )
+    tot = per.agg(F.sum("n_tokens").alias("tot_tokens"))
+    p = F.col("n_tokens").cast("double") / F.col("tot_tokens").cast("double")
+    shared = per.crossJoin(F.broadcast(tot)).withColumn(
+        "pow_scaled",
+        F.floor(F.pow(p, F.lit(alpha)) * F.lit(1e9) + F.lit(0.5)).cast(
+            "long"
+        ),
+    )
+    denom = shared.agg(F.sum("pow_scaled").alias("pow_tot"))
+    q = F.col("pow_scaled").cast("double") / F.col("pow_tot").cast("double")
+    return (
+        shared.crossJoin(F.broadcast(denom))
+        .select(
+            strata_col,
+            "n_docs",
+            "n_tokens",
+            F.round(p, 6).alias("p_share"),
+            F.round(q, 6).alias("q_share"),
+            F.round(q / p, 6).alias("boost"),
+        )
+        .orderBy(strata_col)
+    )

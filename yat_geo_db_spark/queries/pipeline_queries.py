@@ -1233,6 +1233,43 @@ FROM j, UNNEST(range(0, n_copies)) AS r(i)
 
 
 
+def q_sample_temperature(spark, sf_dir):
+    """Temperature-scaled mixture weights (XLM-R/mT5 α=0.3 sampling):
+    per-source token-mass shares p, temperature shares q = p^α/Σp^α,
+    and the q/p boost ready to feed mixture_resample. The transcendental
+    pow is snapped to fixed-point BEFORE the normalizing sum, so q is a
+    ratio of exact longs in both engines."""
+    return text.temperature_sampling_weights(
+        load_table(spark, sf_dir, "documents"), alpha=0.3
+    )
+
+
+_SAMPLE_TEMPERATURE_SQL = """
+WITH per AS (
+  SELECT source, count(*) AS n_docs,
+         CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source
+),
+tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS tot_tokens FROM per),
+s AS (
+  SELECT per.*, tot.tot_tokens,
+         CAST(floor(pow(CAST(n_tokens AS DOUBLE) / CAST(tot_tokens AS DOUBLE),
+                        CAST(0.3 AS DOUBLE)) * 1e9
+                    + CAST(0.5 AS DOUBLE)) AS BIGINT) AS pow_scaled
+  FROM per, tot
+),
+d AS (SELECT CAST(sum(pow_scaled) AS BIGINT) AS pow_tot FROM s)
+SELECT source, n_docs, n_tokens,
+  round(CAST(n_tokens AS DOUBLE) / CAST(tot_tokens AS DOUBLE), 6) AS p_share,
+  round(CAST(pow_scaled AS DOUBLE) / CAST(pow_tot AS DOUBLE), 6) AS q_share,
+  round((CAST(pow_scaled AS DOUBLE) / CAST(pow_tot AS DOUBLE))
+        / (CAST(n_tokens AS DOUBLE) / CAST(tot_tokens AS DOUBLE)), 6)
+    AS boost
+FROM s, d
+ORDER BY source
+"""
+
+
 def q_sample_quality(spark, sf_dir):
     """Score-proportional reproducible sampling: acceptance probability =
     the doc's (clamped) quality score, membership a pure function of
@@ -3053,6 +3090,7 @@ QUERIES: dict = {
     "pipe_chunk_overlap": (q_chunk_overlap, _CHUNK_OVERLAP_SQL),
     "pipe_sample_stratified": (q_sample_stratified, _SAMPLE_STRATIFIED_SQL),
     "pipe_sample_mixture": (q_sample_mixture, _SAMPLE_MIXTURE_SQL),
+    "pipe_sample_temperature": (q_sample_temperature, _SAMPLE_TEMPERATURE_SQL),
     "pipe_curate_pretrain": (q_curate_pretrain, _CURATE_PRETRAIN_SQL),
     "pipe_source_quality_profile": (
         q_source_quality_profile,
