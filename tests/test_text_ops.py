@@ -275,3 +275,24 @@ def test_temperature_weights_math_and_mixture_handoff(spark):
           temperature_sampling_weights(docs, alpha=0.3).collect()}
     assert wa["tail"]["boost"] > 1.0 > wa["head"]["boost"]
     assert abs(wa["head"]["q_share"] + wa["tail"]["q_share"] - 1.0) < 2e-6
+
+
+def test_ngram_novelty_separates_original_from_recombined(spark):
+    """An original doc scores 1.0, a doc stitched from another doc's
+    phrases scores 0.0 for the shared grams, and a too-short doc gets
+    NULL novelty with zero counts (ANSI-safe)."""
+    from yat_geo_db_spark.pipelines.text import ngram_novelty
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon"),
+            (2, "alpha beta gamma delta epsilon"),   # exact twin of 1
+            (3, "completely fresh original sentence here"),
+            (4, "too short"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in ngram_novelty(docs, w=3).collect()}
+    assert out[1]["novelty"] == 0.0 and out[2]["novelty"] == 0.0  # all shared
+    assert out[3]["novelty"] == 1.0
+    assert out[4]["n_grams"] == 0 and out[4]["novelty"] is None

@@ -1284,3 +1284,57 @@ def temperature_sampling_weights(
         )
         .orderBy(strata_col)
     )
+
+
+def ngram_novelty(
+    documents: DataFrame,
+    w: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document novelty: the fraction of the doc's distinct w-token
+    shingles that appear in NO other document — the unique-content ratio
+    curation uses to separate original material from recombined
+    boilerplate (a doc stitched from corpus-common phrases scores ~0, an
+    original one ~1). Complements the intra-doc repetition signals and
+    the pairwise winnowing/jaccard measures: this is a corpus-global,
+    per-doc scalar.
+
+    Plan: explode the distinct shingles once; ONE shuffle keyed on the
+    gram builds the document-frequency table; the join back is on the
+    same key (no re-shuffle of the gram stream); one per-doc aggregate.
+    Nothing is O(corpus²) — the gram df table is vocabulary-bounded.
+    Docs with fewer than w tokens have no shingles: novelty NULL
+    (undefined, ANSI-safe), counts 0."""
+    grams = documents.select(
+        F.col(id_col),
+        F.explode(
+            F.array_distinct(token_shingles_col(F.col(text_col), w))
+        ).alias("g"),
+    )
+    dfreq = grams.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
+    per = (
+        grams.join(dfreq, "g")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.count(F.when(F.col("df") == 1, 1)).alias("n_unique"),
+        )
+    )
+    return (
+        documents.select(id_col)
+        .join(per, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
+            F.coalesce("n_unique", F.lit(0)).alias("n_unique"),
+            F.round(
+                F.when(
+                    F.col("n_grams") > 0,
+                    F.col("n_unique").cast("double")
+                    / F.col("n_grams").cast("double"),
+                ),
+                6,
+            ).alias("novelty"),
+        )
+    )

@@ -1830,6 +1830,38 @@ FROM c GROUP BY url_canonical
 """
 
 
+def q_text_novelty(spark, sf_dir):
+    """Per-doc unique-content ratio: fraction of the doc's distinct
+    3-token shingles appearing in no other document (corpus-global
+    novelty — boilerplate recombinations score ~0). Docs too short for
+    a shingle emit NULL novelty with zero counts."""
+    return text.ngram_novelty(load_table(spark, sf_dir, "documents"), w=3)
+
+
+_TEXT_NOVELTY_SQL = f"""
+WITH g AS (
+  SELECT doc_id, g
+  FROM (
+    SELECT doc_id, list_distinct({_shingles('text')}) AS grams
+    FROM documents
+  ), UNNEST(grams) AS u(g)
+),
+dfreq AS (SELECT g, count(*) AS df FROM g GROUP BY g),
+per AS (
+  SELECT doc_id, count(*) AS n_grams,
+         count(CASE WHEN df = 1 THEN 1 END) AS n_unique
+  FROM g JOIN dfreq USING (g) GROUP BY doc_id
+)
+SELECT d.doc_id,
+       coalesce(n_grams, 0) AS n_grams,
+       coalesce(n_unique, 0) AS n_unique,
+       round(CASE WHEN n_grams > 0 THEN
+             CAST(n_unique AS DOUBLE) / CAST(n_grams AS DOUBLE) END, 6)
+         AS novelty
+FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
+"""
+
+
 def q_text_bpe(spark, sf_dir):
     """Real BPE end-to-end: train 8 merge rules on the corpus (one
     corpus-scale word-freq pass, then vocabulary-bounded iterations),
@@ -3109,6 +3141,7 @@ QUERIES: dict = {
     "pipe_text_phrase_search": (q_text_phrase_search, _PHRASE_SEARCH_SQL),
     "pipe_text_bpe": (q_text_bpe, None),
     "pipe_text_fingerprint": (q_text_fingerprint, _TEXT_FINGERPRINT_SQL),
+    "pipe_text_novelty": (q_text_novelty, _TEXT_NOVELTY_SQL),
     "pipe_text_tfidf": (q_text_tfidf, _TEXT_TFIDF_SQL),
     "pipe_text_clean": (q_text_clean, _TEXT_CLEAN_SQL),
     "pipe_text_entropy": (q_text_entropy, _TEXT_ENTROPY_SQL),
