@@ -103,6 +103,23 @@ class CorpusManager:
             minhash_lsh_pairs(self.documents, threshold, text_col=self.text_col)
         )
 
+    def temperature_weights(self, alpha: float = 0.3) -> DataFrame:
+        """Per-source XLM-R/mT5 α-sampling weights (p, q, q/p boost)."""
+        from yat_geo_db_spark.pipelines.text import (
+            temperature_sampling_weights,
+        )
+
+        return temperature_sampling_weights(
+            self.documents, alpha=alpha, text_col=self.text_col
+        )
+
+    def novelty(self, w: int = 3) -> DataFrame:
+        """Per-doc unique-content ratio over w-token shingles."""
+        from yat_geo_db_spark.pipelines.text import ngram_novelty
+
+        self._require_default_id("novelty")
+        return ngram_novelty(self.documents, w=w, text_col=self.text_col)
+
     def dedup_keep_best(
         self, score_col: str, threshold: float = 0.5
     ) -> DataFrame:
