@@ -180,6 +180,10 @@ def write_shapes(shapes: DataFrame, root: str, version: str | None = None) -> st
         )
         .sortWithinPartitions("reference_code")
         .write.mode("overwrite")
+        # bound file size independently of executor count: a skewed range
+        # partition at 100 TB otherwise produces one multi-GB file whose
+        # row groups blow the scan-side memory budget
+        .option("maxRecordsPerFile", 5_000_000)
         .parquet(out)
     )
     return out
