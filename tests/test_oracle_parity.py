@@ -80,5 +80,19 @@ def test_oracle_parity(name, spark, duck):
 def test_rows_only(name, spark):
     fn, _ = REGISTRY[name]
     df = fn(spark, SF_DIR)
+    # the driver's rows-only canonicalizer pandas-sorts EVERY column, and
+    # dies on array/map/struct cells (r3: pipe_emb_pca) — registry rows
+    # must emit scalar digests instead (library APIs keep rich types)
+    import pyspark.sql.types as T
+
+    nested = [
+        f.name
+        for f in df.schema.fields
+        if isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType))
+    ]
+    assert not nested, (
+        f"{name}: non-scalar output columns {nested} would crash the "
+        "driver canonicalizer — emit a scalar digest"
+    )
     assert df.count() >= 0
     assert len(df.columns) > 0
