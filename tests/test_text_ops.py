@@ -296,3 +296,94 @@ def test_ngram_novelty_separates_original_from_recombined(spark):
     assert out[1]["novelty"] == 0.0 and out[2]["novelty"] == 0.0  # all shared
     assert out[3]["novelty"] == 1.0
     assert out[4]["n_grams"] == 0 and out[4]["novelty"] is None
+
+
+def test_pii_scrub_patterns_and_stage_order(spark):
+    """Each PII type is detected with word-boundary discipline, counts are
+    per-type with n_pii the sum, and the scrub order means a card's digit
+    groups never double-count as phones."""
+    from yat_geo_db_spark.pipelines.text import pii_scrub
+
+    docs = spark.createDataFrame(
+        [
+            (0, "mail bob@corp.example now"),
+            (1, "card 4111-1111-1111-1111 and 4111 1111 1111 1111"),
+            (2, "ssn 123-45-6789 inline"),
+            (3, "host 10.0.0.1 but version 1.2.3 stays"),
+            (4, "call (415) 555-0123 or 415-555-0123 or +1 415.555.0123"),
+            (5, "serialx4111-1111-1111-1111 glued stays"),
+            (6, "clean text no pii at all"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in pii_scrub(docs).collect()}
+    assert rows[0]["n_email"] == 1 and "<EMAIL>" in rows[0]["scrubbed"]
+    assert rows[1]["n_card"] == 2 and rows[1]["n_phone"] == 0
+    assert rows[2]["n_ssn"] == 1 and "<SSN>" in rows[2]["scrubbed"]
+    assert rows[3]["n_ipv4"] == 1 and "1.2.3 stays" in rows[3]["scrubbed"]
+    assert rows[4]["n_phone"] == 3
+    # a digit run glued to a word char fails \b — not a card
+    assert rows[5]["n_card"] == 0 or "<CARD>" not in rows[5]["scrubbed"]
+    assert rows[6]["n_pii"] == 0
+    assert rows[6]["scrubbed"] == "clean text no pii at all"
+    for r in rows.values():
+        assert r["n_pii"] == (
+            r["n_email"] + r["n_card"] + r["n_ssn"] + r["n_ipv4"] + r["n_phone"]
+        )
+
+
+def test_pii_report_per_source_rates(spark):
+    from yat_geo_db_spark.pipelines.text import pii_report, pii_scrub
+
+    docs = spark.createDataFrame(
+        [
+            (0, "write to a@b.co", "web"),
+            (1, "nothing here", "web"),
+            (2, "all clean", "books"),
+            (3, "also clean", "books"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    rep = {r["source"]: r for r in pii_report(pii_scrub(docs), docs).collect()}
+    assert rep["web"]["n_docs"] == 2 and rep["web"]["n_docs_with_pii"] == 1
+    assert abs(rep["web"]["pii_doc_rate"] - 0.5) < 1e-9
+    assert rep["web"]["total_email"] == 1
+    assert rep["books"]["n_docs_with_pii"] == 0
+    assert rep["books"]["pii_doc_rate"] == 0.0
+
+
+def test_vocab_coverage_ranks_and_mass(spark):
+    """Known counts -> deterministic ranks (count desc, token asc) and an
+    exact cumulative-share curve ending at 1.0."""
+    from yat_geo_db_spark.pipelines.text import vocab_coverage
+
+    docs = spark.createDataFrame(
+        [(0, "a a a b b c"), (1, "a b z")],
+        "doc_id long, text string",
+    )
+    # counts: a=4, b=3, c=1, z=1 (total 9); tie c<z alphabetically
+    rows = {r["token"]: r for r in vocab_coverage(docs).collect()}
+    assert [rows[t]["rank"] for t in "abcz"] == [1, 2, 3, 4]
+    assert abs(rows["a"]["cum_share"] - round(4 / 9, 6)) < 1e-9
+    assert abs(rows["b"]["cum_share"] - round(7 / 9, 6)) < 1e-9
+    assert abs(rows["z"]["cum_share"] - 1.0) < 1e-9
+
+
+def test_split_leakage_audit_counts(spark):
+    """Hand-built splits: val shares exactly one 3-gram with train, test
+    shares none."""
+    from yat_geo_db_spark.pipelines.curation import split_leakage_audit
+
+    docs = spark.createDataFrame(
+        [(0, "a b c d"), (1, "a b c x"), (2, "p q r s")],
+        "doc_id long, text string",
+    )
+    splits = spark.createDataFrame(
+        [(0, "train"), (1, "val"), (2, "test")],
+        "doc_id long, split string",
+    )
+    out = {r["split"]: r for r in
+           split_leakage_audit(docs, splits, w=3).collect()}
+    assert out["val"]["n_grams"] == 2 and out["val"]["n_shared"] == 1
+    assert abs(out["val"]["leak_rate"] - 0.5) < 1e-9
+    assert out["test"]["n_grams"] == 2 and out["test"]["n_shared"] == 0

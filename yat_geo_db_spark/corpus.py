@@ -120,6 +120,46 @@ class CorpusManager:
         self._require_default_id("novelty")
         return ngram_novelty(self.documents, w=w, text_col=self.text_col)
 
+    def pii_scrub(self) -> DataFrame:
+        """Typed PII scrub (per-type counts + placeholder substitution)."""
+        from yat_geo_db_spark.pipelines.text import pii_scrub
+
+        return pii_scrub(
+            self.documents, text_col=self.text_col, id_col=self.id_col
+        )
+
+    def pii_report(self, source_col: str = "source") -> DataFrame:
+        """Per-source PII governance report over the scrub output."""
+        from yat_geo_db_spark.pipelines.text import pii_report, pii_scrub
+
+        scrubbed = pii_scrub(
+            self.documents, text_col=self.text_col, id_col=self.id_col
+        )
+        return pii_report(
+            scrubbed, self.documents,
+            source_col=source_col, id_col=self.id_col,
+        )
+
+    def vocab_coverage(self) -> DataFrame:
+        """Corpus token frequency/rank/cumulative-mass curve."""
+        from yat_geo_db_spark.pipelines.text import vocab_coverage
+
+        return vocab_coverage(self.documents, text_col=self.text_col)
+
+    def split_leakage_audit(
+        self, splits: DataFrame | None = None, w: int = 13, **kw
+    ) -> DataFrame:
+        """Cross-split w-gram contamination audit; derives the split via
+        leakage_safe_split when none is given."""
+        from yat_geo_db_spark.pipelines.curation import split_leakage_audit
+
+        if splits is None:
+            splits = self.leakage_safe_split(**kw)
+        return split_leakage_audit(
+            self.documents, splits, w=w,
+            text_col=self.text_col, id_col=self.id_col,
+        )
+
     def dedup_keep_best(
         self, score_col: str, threshold: float = 0.5
     ) -> DataFrame:

@@ -26,6 +26,7 @@ from yat_geo_db_spark.pipelines.text import (
     boilerplate_shingle_ratio,
     quality_features,
     token_entropy,
+    token_shingles_col,
 )
 
 #: defaults sit inside the fixture corpus's signal distributions so each
@@ -498,5 +499,62 @@ def dedup_by_url(
             id_col,
             F.when(F.col("dedupable"), F.col("k")).alias("url_canonical"),
             "url_group_size",
+        )
+    )
+
+
+def split_leakage_audit(
+    documents: DataFrame,
+    splits: DataFrame,
+    w: int = 13,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cross-split contamination audit: for each held-out split, how many
+    of its distinct w-token shingles also occur in train (the standard
+    exact-13-gram eval-contamination test, turned inward on your own
+    train/val/test assignment). Run it after `leakage_safe_split` to
+    PROVE the cluster-keyed split worked — residual overlap is corpus
+    boilerplate, not near-duplicate leakage.
+
+    Plan: one shingle explode over the corpus (distinct per split), then
+    an equi-join on the gram against the train-side gram set and one
+    tiny groupBy(split). The gram tables are vocabulary-bounded; nothing
+    is O(corpus²). Train grams would broadcast at dictionary scale but
+    the join key is an equi-join either way, so AQE picks.
+
+    Returns one row per held-out split:
+    (split, n_grams, n_shared, leak_rate)."""
+    grams = (
+        documents.select(id_col, text_col)
+        .join(splits.select(id_col, "split"), id_col)
+        .select(
+            "split",
+            F.explode(
+                F.array_distinct(token_shingles_col(F.col(text_col), w))
+            ).alias("g"),
+        )
+        .distinct()
+    )
+    train = grams.filter(F.col("split") == "train").select("g")
+    held = grams.filter(F.col("split") != "train")
+    flagged = held.join(
+        train.withColumn("in_train", F.lit(1)), "g", "left"
+    )
+    return (
+        flagged.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.count(F.when(F.col("in_train") == 1, 1)).alias("n_shared"),
+        )
+        .select(
+            "split",
+            "n_grams",
+            "n_shared",
+            F.round(
+                F.col("n_shared").cast("double")
+                / F.col("n_grams").cast("double"),
+                6,
+            ).alias("leak_rate"),
         )
     )

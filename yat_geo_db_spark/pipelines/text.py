@@ -1338,3 +1338,127 @@ def ngram_novelty(
             ).alias("novelty"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# PII detection / scrubbing (pre-training privacy pass)
+# --------------------------------------------------------------------------
+
+#: RE2-compatible (no backrefs/lookaround; `\b` is the ASCII word boundary
+#: in both RE2 and Java) so the DuckDB oracle runs the SAME patterns.
+#: Scrub ORDER is part of the contract: each stage counts and replaces on
+#: the output of the previous stage, so a credit card's digit groups can
+#: never double-count as phone numbers regardless of pattern overlap.
+PII_PATTERNS: tuple[tuple[str, str], ...] = (
+    ("email", EMAIL_RE),
+    # 16 digits in 4-4-4-4 groups separated by '-' or ' '
+    ("card", r"\b[0-9]{4}([- ][0-9]{4}){3}\b"),
+    # US SSN shape 3-2-4
+    ("ssn", r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b"),
+    # dotted quad (no octet-range check — scrubbing favours recall)
+    ("ipv4", r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"),
+    # optional +CC, optional (area), 3-3-4 with -/./space separators
+    ("phone", r"\+?[0-9]{0,2}[-. ]?\(?[0-9]{3}\)?[-. ][0-9]{3}[-. ][0-9]{4}"),
+)
+
+
+def pii_scrub(
+    documents: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Typed PII scrub — the privacy pass every pre-training pipeline runs
+    before tokenization (emails, credit cards, SSNs, IPs, phone numbers →
+    typed placeholder tokens, per-type hit counts kept for auditing).
+
+    One narrow projection: the five regex stages chain inside a single
+    whole-stage-codegen'd select (regexp_count + regexp_replace are JVM
+    built-ins), so the pass is a pure map — no shuffle, no Python, reads
+    only (id, text). At 100 TB this is scan-bound, which is the floor.
+
+    Returns (id, scrubbed, n_email, n_card, n_ssn, n_ipv4, n_phone, n_pii).
+    """
+    cur = F.col(text_col)
+    counts = []
+    for name, pat in PII_PATTERNS:
+        counts.append(F.regexp_count(cur, F.lit(pat)).alias(f"n_{name}"))
+        cur = F.regexp_replace(cur, pat, f"<{name.upper()}>")
+    inner = documents.select(F.col(id_col), cur.alias("scrubbed"), *counts)
+    names = [f"n_{name}" for name, _ in PII_PATTERNS]
+    total_col = sum((F.col(n) for n in names[1:]), F.col(names[0]))
+    return inner.select(
+        id_col, "scrubbed", *names, total_col.alias("n_pii")
+    )
+
+
+def pii_report(
+    scrubbed: DataFrame,
+    documents: DataFrame,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-source PII audit over `pii_scrub` output: document counts, share
+    of documents carrying any PII, and total hits per type. The governance
+    artifact reviewers ask for ("which sources leak emails?").
+
+    One equi-join on the id (broadcastable when the scrub ran on a slice)
+    + one groupBy(source) — all counts map-side combine."""
+    names = [f"n_{name}" for name, _ in PII_PATTERNS]
+    joined = scrubbed.join(documents.select(id_col, source_col), id_col)
+    aggs = [F.sum(n).cast("bigint").alias(f"total_{n[2:]}") for n in names]
+    return (
+        joined.groupBy(source_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count(F.when(F.col("n_pii") > 0, 1)).alias("n_docs_with_pii"),
+            *aggs,
+        )
+        .select(
+            source_col,
+            "n_docs",
+            "n_docs_with_pii",
+            F.round(
+                F.col("n_docs_with_pii").cast("double")
+                / F.col("n_docs").cast("double"),
+                6,
+            ).alias("pii_doc_rate"),
+            *[f"total_{n[2:]}" for n in names],
+        )
+    )
+
+
+def vocab_coverage(
+    documents: DataFrame,
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus vocabulary frequency table with rank and cumulative mass
+    share — the tokenizer-design curve ("the top-k types cover p% of all
+    tokens"). Zipfian corpora saturate fast; the curve's shape is how you
+    size a vocabulary before training a tokenizer on 100 TB.
+
+    Plan: explode → groupBy(token) count (map-side combinable, the only
+    corpus-scale stage) → ONE global window for rank + running mass. The
+    window is single-partition by construction but runs on the COUNTED
+    table, which is vocabulary-bounded (Heaps' law: ~1M types at 100 TB),
+    not corpus-bounded — the same justified-global-sort shape as
+    jaccard_prefix_table's gram ranking. Ties broken (count DESC, token
+    ASC) so rank is total and engine-independent.
+
+    Returns (token, cnt, rank, cum_share)."""
+    toks = documents.select(
+        F.explode(tokens_col(F.col(text_col))).alias("token")
+    )
+    counts = toks.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    order = Window.orderBy(F.desc("cnt"), F.asc("token"))
+    running = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    everything = Window.partitionBy()
+    return counts.select(
+        "token",
+        "cnt",
+        F.row_number().over(order).alias("rank"),
+        F.round(
+            F.sum("cnt").over(running).cast("double")
+            / F.sum("cnt").over(everything).cast("double"),
+            6,
+        ).alias("cum_share"),
+    )

@@ -3081,7 +3081,180 @@ FROM copies c JOIN imp USING (doc_id)
 """
 
 
+def _pii_noisy_col():
+    """Deterministic PII injection keyed on doc_id (the fixture corpus is
+    clean): every doc gets an email; SSN/card/IP/phone land on disjoint
+    modulus classes so per-type counts vary per row. The DuckDB oracle
+    builds the IDENTICAL string (`_PII_NOISY_EXPR`)."""
+    sid = F.col("doc_id").cast("string")
+    pad4 = F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0")
+    return F.concat(
+        F.col("text"),
+        F.lit(" contact user"), sid, F.lit("@ex.org"),
+        F.when(
+            F.col("doc_id") % 3 == 0, F.concat(F.lit(" ssn 123-45-"), pad4)
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 5 == 0, F.lit(" card 4111-1111-1111-1111")
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(F.lit(" ip 10.0.0."), (F.col("doc_id") % 256).cast("string")),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 2 == 0, F.concat(F.lit(" call (415) 555-"), pad4)
+        ).otherwise(F.lit("")),
+    )
+
+
+_PII_NOISY_EXPR = (
+    "text || ' contact user' || CAST(doc_id AS VARCHAR) || '@ex.org'"
+    " || CASE WHEN doc_id % 3 = 0 THEN ' ssn 123-45-' ||"
+    " lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END"
+    " || CASE WHEN doc_id % 5 = 0 THEN ' card 4111-1111-1111-1111' ELSE '' END"
+    " || CASE WHEN doc_id % 4 = 0 THEN ' ip 10.0.0.' ||"
+    " CAST(doc_id % 256 AS VARCHAR) ELSE '' END"
+    " || CASE WHEN doc_id % 2 = 0 THEN ' call (415) 555-' ||"
+    " lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END"
+)
+
+
+def q_pii_scrub(spark, sf_dir):
+    """Typed PII scrub (email/card/SSN/IP/phone → placeholders, per-type
+    counts) over deterministically-injected PII — same synthesis trick as
+    pipe_text_clean, since the fixture corpus is clean. One codegen'd
+    projection, no shuffle (pipelines/text.py pii_scrub)."""
+    docs = load_table(spark, sf_dir, "documents")
+    noisy = docs.select("doc_id", _pii_noisy_col().alias("text"), "source")
+    return text.pii_scrub(noisy)
+
+
+def _pii_stage_ctes() -> tuple[str, str, str]:
+    """Chained scrub CTEs generated from text.PII_PATTERNS so order and
+    patterns can never drift from the Spark expressions. Returns
+    (cte_sql_after_noisy, final_cte_name, final_text_col)."""
+    ctes = []
+    prev, cur = "noisy", "t0"
+    for i, (name, pat) in enumerate(text.PII_PATTERNS, 1):
+        ctes.append(
+            f"s{i} AS (SELECT *,"
+            f" CAST(len(regexp_extract_all({cur}, '{pat}')) AS INT) AS n_{name},"
+            f" regexp_replace({cur}, '{pat}', '<{name.upper()}>', 'g') AS t{i}"
+            f" FROM {prev})"
+        )
+        prev, cur = f"s{i}", f"t{i}"
+    return ",\n".join(ctes), prev, cur
+
+
+def _pii_scrub_sql() -> str:
+    stages, last, last_t = _pii_stage_ctes()
+    names = [f"n_{n}" for n, _ in text.PII_PATTERNS]
+    return f"""
+WITH noisy AS (SELECT doc_id, source, {_PII_NOISY_EXPR} AS t0 FROM documents),
+{stages}
+SELECT doc_id, {last_t} AS scrubbed, {', '.join(names)},
+       {' + '.join(names)} AS n_pii
+FROM {last}
+"""
+
+
+def q_pii_report(spark, sf_dir):
+    """Per-source PII governance report over the scrub output: document
+    counts, share of docs carrying any PII, total hits per type."""
+    docs = load_table(spark, sf_dir, "documents")
+    noisy = docs.select("doc_id", _pii_noisy_col().alias("text"), "source")
+    return text.pii_report(text.pii_scrub(noisy), noisy)
+
+
+def _pii_report_sql() -> str:
+    stages, last, _ = _pii_stage_ctes()
+    names = [f"n_{n}" for n, _ in text.PII_PATTERNS]
+    totals = ",\n       ".join(
+        f"CAST(sum(n_{n}) AS BIGINT) AS total_{n}" for n, _ in text.PII_PATTERNS
+    )
+    return f"""
+WITH noisy AS (SELECT doc_id, source, {_PII_NOISY_EXPR} AS t0 FROM documents),
+{stages},
+scrubbed AS (SELECT source, {' + '.join(names)} AS n_pii, {', '.join(names)}
+             FROM {last})
+SELECT source, count(*) AS n_docs,
+       count(CASE WHEN n_pii > 0 THEN 1 END) AS n_docs_with_pii,
+       round(CAST(count(CASE WHEN n_pii > 0 THEN 1 END) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE), 6) AS pii_doc_rate,
+       {totals}
+FROM scrubbed GROUP BY source
+"""
+
+
+def q_text_vocab_coverage(spark, sf_dir):
+    """Corpus vocabulary frequency/rank/cumulative-mass curve (tokenizer
+    sizing). Global window over the vocabulary-bounded counted table."""
+    return text.vocab_coverage(load_table(spark, sf_dir, "documents"))
+
+
+_VOCAB_COVERAGE_SQL = """
+WITH t AS (
+  SELECT unnest(string_split(text, ' ')) AS token FROM documents
+),
+c AS (SELECT token, count(*) AS cnt FROM t GROUP BY token)
+SELECT token, cnt,
+  CAST(row_number() OVER (ORDER BY cnt DESC, token ASC) AS INT) AS rank,
+  round(CAST(sum(cnt) OVER (ORDER BY cnt DESC, token ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+        / CAST(sum(cnt) OVER () AS DOUBLE), 6) AS cum_share
+FROM c
+"""
+
+
+def q_curate_leakage(spark, sf_dir):
+    """Train/val/test contamination audit: distinct 13-gram overlap of
+    each held-out split against train, over the SAME cluster-keyed split
+    pipe_curate_split produces. Residual overlap is boilerplate, not
+    near-dup leakage — the audit is the proof the split worked."""
+    from yat_geo_db_spark.pipelines import curation
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(
+        docs, threshold=JACCARD_T, block_cols=("lang", "source")
+    )
+    splits = curation.leakage_safe_split(docs, pairs)
+    return curation.split_leakage_audit(docs, splits, w=13)
+
+
+_CURATE_LEAKAGE_SQL = f"""
+WITH RECURSIVE {_COMPONENT_CTES},
+keyed AS (
+  SELECT d.doc_id, coalesce(comp.cluster_id, d.doc_id) AS split_key
+  FROM documents d LEFT JOIN comp ON d.doc_id = comp.doc_id
+),
+sp AS (
+  SELECT doc_id,
+    CASE WHEN {bucket_sql("split_key", 100)} < 10 THEN 'test'
+         WHEN {bucket_sql("split_key", 100)} < 20 THEN 'val'
+         ELSE 'train' END AS split
+  FROM keyed
+),
+lg AS (
+  SELECT DISTINCT sp.split, u.g
+  FROM documents d JOIN sp USING (doc_id),
+       UNNEST(list_distinct({_shingles("text", 13)})) AS u(g)
+),
+tr AS (SELECT g FROM lg WHERE split = 'train'),
+held AS (SELECT split, g FROM lg WHERE split <> 'train')
+SELECT h.split, count(*) AS n_grams,
+       count(CASE WHEN t.g IS NOT NULL THEN 1 END) AS n_shared,
+       round(CAST(count(CASE WHEN t.g IS NOT NULL THEN 1 END) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE), 6) AS leak_rate
+FROM held h LEFT JOIN tr t ON h.g = t.g
+GROUP BY h.split
+"""
+
+
 QUERIES: dict = {
+    "pipe_pii_scrub": (q_pii_scrub, _pii_scrub_sql()),
+    "pipe_pii_report": (q_pii_report, _pii_report_sql()),
+    "pipe_text_vocab_coverage": (q_text_vocab_coverage, _VOCAB_COVERAGE_SQL),
+    "pipe_curate_leakage": (q_curate_leakage, _CURATE_LEAKAGE_SQL),
     "pipe_dedup_exact": (q_dedup_exact, _DEDUP_EXACT_SQL),
     "pipe_dedup_ngram_jaccard": (q_dedup_jaccard, _DEDUP_JACCARD_SQL),
     "pipe_dedup_clusters": (q_dedup_clusters, _DEDUP_CLUSTERS_SQL),
