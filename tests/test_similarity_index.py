@@ -503,3 +503,27 @@ def test_kmeans_empty_cluster_keeps_previous_centroid(spark):
     got = {r["cid"]: r["cvec"] for r in cents.collect()}
     assert set(got) == {0, 1, 2}  # all three clusters survive
     assert got[2] == [0.0, 0.0]  # starved cluster froze at its seed
+
+
+def test_hard_negative_mining_excludes_dup_band(spark):
+    """Self-match and a planted near-duplicate fall above dup_threshold and
+    are excluded; the survivors rank contiguously from 1."""
+    from yat_geo_db_spark.pipelines.similarity import hard_negative_mining
+    import math
+
+    rows = [
+        (0, [1.0, 0.0]),            # the query itself
+        (1, [0.99, 0.141]),         # near-dup (cos ~ .990)
+        (2, [0.7, 0.714]),          # hard negative (cos ~ .700)
+        (3, [0.0, 1.0]),            # easy negative (cos 0)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    qs = spark.createDataFrame(
+        [(0, [1.0, 0.0])], "query_id long, query_vec array<double>"
+    )
+    got = hard_negative_mining(emb, qs, k=10, dup_threshold=0.95).collect()
+    ids = [(r["vec_id"], r["rank"]) for r in
+           sorted(got, key=lambda r: r["rank"])]
+    assert [i for i, _ in ids] == [2, 3]
+    assert [r for _, r in ids] == [1, 2]
+    assert all(r["cosine"] < 0.95 for r in got)

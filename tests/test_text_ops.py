@@ -387,3 +387,21 @@ def test_split_leakage_audit_counts(spark):
     assert out["val"]["n_grams"] == 2 and out["val"]["n_shared"] == 1
     assert abs(out["val"]["leak_rate"] - 0.5) < 1e-9
     assert out["test"]["n_grams"] == 2 and out["test"]["n_shared"] == 0
+
+
+def test_blocklist_filter_counts_occurrences(spark):
+    """Counts token OCCURRENCES (not distinct types) and keeps on the <=
+    boundary."""
+    from yat_geo_db_spark.pipelines.text import blocklist_filter
+
+    docs = spark.createDataFrame(
+        [(0, "bad bad bad ok"), (1, "bad ok ok"), (2, "clean words only"),
+         (3, "badge ok")],  # substrings must NOT match
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in
+           blocklist_filter(docs, ("bad",), max_hits=1).collect()}
+    assert out[0]["n_blocked"] == 3 and not out[0]["keep"]
+    assert out[1]["n_blocked"] == 1 and out[1]["keep"]
+    assert out[2]["n_blocked"] == 0 and out[2]["keep"]
+    assert out[3]["n_blocked"] == 0 and out[3]["keep"]

@@ -140,6 +140,27 @@ class CorpusManager:
             source_col=source_col, id_col=self.id_col,
         )
 
+    def blocklist(
+        self, blockwords: tuple[str, ...], max_hits: int = 0
+    ) -> DataFrame:
+        """C4-style bad-word filter audit (n_blocked, keep per doc)."""
+        from yat_geo_db_spark.pipelines.text import blocklist_filter
+
+        return blocklist_filter(
+            self.documents, blockwords, max_hits=max_hits,
+            text_col=self.text_col, id_col=self.id_col,
+        )
+
+    def hard_negatives(
+        self, queries: DataFrame, k: int = 10, dup_threshold: float = 0.95
+    ) -> DataFrame:
+        """Contrastive hard negatives over the wrapped embeddings."""
+        from yat_geo_db_spark.pipelines.similarity import hard_negative_mining
+
+        return hard_negative_mining(
+            self.embeddings, queries, k=k, dup_threshold=dup_threshold
+        )
+
     def vocab_coverage(self) -> DataFrame:
         """Corpus token frequency/rank/cumulative-mass curve."""
         from yat_geo_db_spark.pipelines.text import vocab_coverage

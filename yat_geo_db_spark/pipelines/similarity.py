@@ -1300,3 +1300,36 @@ def pca_project(
 
     _proj = F.pandas_udf(_proj_batch, "array<double>")
     return embeddings.select(F.col(id_col), _proj(F.col(vec_col)).alias(out_col))
+
+
+def hard_negative_mining(
+    embeddings: DataFrame, queries: DataFrame, k: int = 10,
+    dup_threshold: float = 0.95,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+    query_id_col: str = "query_id", query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Hard negatives for contrastive training: per query, the top-k most
+    similar corpus vectors whose cosine is still BELOW `dup_threshold` —
+    close enough to be hard, far enough to be true negatives. The
+    positive band (near-duplicates, cosine >= threshold) is excluded,
+    which also drops self-matches (cosine 1.0) without any id coupling
+    between the query and corpus id spaces.
+
+    Same scale shape as brute_force_topk_batch: broadcast query batch,
+    one corpus scan scores all queries, the dup filter prunes BEFORE the
+    two-phase windowed top-k, so near-dup-heavy corpora don't pay rank
+    work for rows the filter kills. Returns (query_id, vec_id, cosine,
+    rank)."""
+    q = F.broadcast(
+        queries.select(
+            F.col(query_id_col), F.col(query_vec_col).alias("_qv")
+        )
+    )
+    scored = embeddings.crossJoin(q).select(
+        query_id_col,
+        F.col(id_col),
+        F.round(cosine_col(F.col(vec_col), F.col("_qv")), 6).alias("cosine"),
+        F.spark_partition_id().alias("_part"),
+    )
+    hard = scored.filter(F.col("cosine") < dup_threshold)
+    return _two_phase_topk(hard, k, query_id_col, id_col)

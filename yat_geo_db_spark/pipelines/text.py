@@ -1462,3 +1462,27 @@ def vocab_coverage(
             6,
         ).alias("cum_share"),
     )
+
+
+def blocklist_filter(
+    documents: DataFrame,
+    blockwords: tuple[str, ...],
+    max_hits: int = 0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """C4-style bad-word filter: count tokens that appear in the blocklist
+    and flag documents exceeding `max_hits` (C4 itself drops on ANY hit —
+    max_hits=0). Returns the audit columns (id, n_blocked, keep) rather
+    than silently dropping rows, so the drop rate is reviewable.
+
+    One codegen'd projection, no shuffle. The blocklist rides in the plan
+    as a literal array (the real C4 list is ~400 words — fine); a
+    dictionary-scale blocklist should instead broadcast-join against the
+    exploded token stream like keyword_search_indexed does."""
+    hits = marker_hits(F.col(text_col), tuple(blockwords))
+    return documents.select(
+        F.col(id_col),
+        hits.alias("n_blocked"),
+        (hits <= max_hits).alias("keep"),
+    )

@@ -3250,8 +3250,78 @@ GROUP BY h.split
 """
 
 
+#: corpus words used as the demo blocklist (the fixture text is synthetic,
+#: so the "bad" words are just frequent vocabulary — the FILTER mechanics
+#: are what's under test); max_hits=2 exercises both keep outcomes
+BLOCKLIST_WORDS = ("spark", "merge", "vector")
+BLOCKLIST_MAX_HITS = 2
+
+
+def q_text_blocklist(spark, sf_dir):
+    """C4-style bad-word filter audit: per-doc blocked-token count + keep
+    flag at max_hits=2. Pure projection — no shuffle."""
+    return text.blocklist_filter(
+        load_table(spark, sf_dir, "documents"),
+        BLOCKLIST_WORDS,
+        max_hits=BLOCKLIST_MAX_HITS,
+    )
+
+
+_TEXT_BLOCKLIST_SQL = f"""
+SELECT doc_id,
+  CAST(len(list_filter(string_split(text, ' '),
+           t -> list_contains({sql_str_list(BLOCKLIST_WORDS)}, t))) AS INT)
+    AS n_blocked,
+  CAST(len(list_filter(string_split(text, ' '),
+           t -> list_contains({sql_str_list(BLOCKLIST_WORDS)}, t))) AS INT)
+    <= {BLOCKLIST_MAX_HITS} AS keep
+FROM documents
+"""
+
+#: hard-negative band: below the fixture's planted-near-dup/self band
+#: (top non-self cosines run ~0.39) so the dup filter excludes a VARYING
+#: number of rows per query — the filter itself is exercised, not just
+#: self-exclusion
+HARD_NEG_DUP_T = 0.33
+
+
+def q_sim_hard_negatives(spark, sf_dir):
+    """Contrastive hard-negative mining: per query, top-20 most-similar
+    vectors with cosine < dup_threshold (self-matches and near-dup
+    positives excluded by the band, not by id)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return similarity.hard_negative_mining(
+        emb, queries, k=20, dup_threshold=HARD_NEG_DUP_T
+    )
+
+
+_HARD_NEGATIVES_SQL = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5
+),
+s AS (
+  SELECT query_id, e.vec_id,
+         round({_cos('e.embedding', 'qv')}, 6) AS cosine
+  FROM embeddings e CROSS JOIN q
+),
+r AS (
+  SELECT query_id, vec_id, cosine,
+         CAST(row_number() OVER (
+           PARTITION BY query_id ORDER BY cosine DESC, vec_id
+         ) AS INT) AS rank
+  FROM s WHERE cosine < {HARD_NEG_DUP_T}
+)
+SELECT query_id, vec_id, cosine, rank FROM r WHERE rank <= 20
+"""
+
+
 QUERIES: dict = {
     "pipe_pii_scrub": (q_pii_scrub, _pii_scrub_sql()),
+    "pipe_text_blocklist": (q_text_blocklist, _TEXT_BLOCKLIST_SQL),
+    "pipe_sim_hard_negatives": (q_sim_hard_negatives, _HARD_NEGATIVES_SQL),
     "pipe_pii_report": (q_pii_report, _pii_report_sql()),
     "pipe_text_vocab_coverage": (q_text_vocab_coverage, _VOCAB_COVERAGE_SQL),
     "pipe_curate_leakage": (q_curate_leakage, _CURATE_LEAKAGE_SQL),
