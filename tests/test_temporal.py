@@ -236,3 +236,33 @@ def test_scd2_apply_increment_equal_ts_seeds_keep_order(spark):
         r["version"]: r["event_type"] for r in scd2_intervals(full).collect()
     }
     assert inc == want == {1: "a", 2: "b", 3: "c"}
+
+
+def test_dq_audit_rules(spark):
+    """Every rule kind fires on crafted violations and stays quiet on
+    clean data; NULLs violate only not_null (SQL FK semantics)."""
+    from yat_geo_db_spark.relational.dq import dq_audit
+
+    child = spark.createDataFrame(
+        [(1, 5.0, "A"), (1, -1.0, "B"), (None, 2.0, "A"), (9, 200.0, "A")],
+        "k int, v double, flag string",
+    )
+    parent = spark.createDataFrame([(1,), (2,)], "pk int")
+    out = {(r["rule"], r["column"]): r for r in dq_audit(
+        child,
+        not_null=("k",),
+        unique=("k",),
+        ranges={"v": (0.0, 100.0)},
+        accepted={"flag": ("A",)},
+        refs=(("k", parent, "pk"),),
+    ).collect()}
+    assert out[("not_null", "k")]["n_violations"] == 1  # the None
+    assert out[("unique", "k")]["n_violations"] == 1    # k=1 twice (NULL ignored)
+    assert out[("range[0.0,100.0]", "v")]["n_violations"] == 2  # -1 and 200
+    assert out[("accepted_values", "flag")]["n_violations"] == 1  # "B"
+    # k=9 is the only orphan; NULL child key doesn't violate the FK
+    r = out[("referential", "k")]
+    assert r["n_violations"] == 1 and r["n_rows"] == 4 and not r["ok"]
+    assert all(r["n_rows"] == 4 for r in out.values())
+    clean = dq_audit(parent, not_null=("pk",), unique=("pk",)).collect()
+    assert all(r["ok"] for r in clean)

@@ -1837,7 +1837,70 @@ ORDER BY s_name
 
 
 
+def dq_audit_battery(spark, sf_dir):
+    """Declarative data-quality audit over lineitem (+orders for the FK
+    rule): not-null, range, accepted-values, uniqueness, and referential
+    rules — one conditional-count aggregate over one scan for every
+    row-level rule, one anti-join for the FK. Rule constants chosen so
+    both outcomes (ok and violated) appear in the result."""
+    from yat_geo_db_spark.relational.dq import dq_audit
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    return dq_audit(
+        li,
+        not_null=("l_orderkey", "l_shipdate"),
+        unique=("l_orderkey",),
+        ranges={"l_discount": (0.0, 0.05), "l_quantity": (1.0, 50.0)},
+        accepted={"l_returnflag": ("A", "N", "R"), "l_linestatus": ("O",)},
+        refs=(("l_orderkey", orders, "o_orderkey"),),
+    )
+
+
+_DQ_AUDIT_SQL = """
+WITH agg AS (
+  SELECT count(*) AS n,
+    count(CASE WHEN l_orderkey IS NULL THEN 1 END) AS nn_orderkey,
+    count(CASE WHEN l_shipdate IS NULL THEN 1 END) AS nn_shipdate,
+    count(CASE WHEN l_discount IS NOT NULL
+               AND (l_discount < 0.0 OR l_discount > 0.05) THEN 1 END)
+      AS rg_discount,
+    count(CASE WHEN l_quantity IS NOT NULL
+               AND (l_quantity < 1.0 OR l_quantity > 50.0) THEN 1 END)
+      AS rg_quantity,
+    count(CASE WHEN l_returnflag IS NOT NULL
+               AND l_returnflag NOT IN ('A', 'N', 'R') THEN 1 END)
+      AS av_returnflag,
+    count(CASE WHEN l_linestatus IS NOT NULL
+               AND l_linestatus NOT IN ('O') THEN 1 END) AS av_linestatus,
+    count(l_orderkey) - count(DISTINCT l_orderkey) AS uq_orderkey
+  FROM lineitem
+),
+fk AS (
+  SELECT count(*) AS n_viol FROM lineitem l
+  WHERE l.l_orderkey IS NOT NULL
+    AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+),
+rules AS (
+  SELECT 'not_null' AS rule, 'l_orderkey' AS "column",
+         nn_orderkey AS n_violations, n FROM agg
+  UNION ALL SELECT 'not_null', 'l_shipdate', nn_shipdate, n FROM agg
+  UNION ALL SELECT 'range[0.0,0.05]', 'l_discount', rg_discount, n FROM agg
+  UNION ALL SELECT 'range[1.0,50.0]', 'l_quantity', rg_quantity, n FROM agg
+  UNION ALL SELECT 'accepted_values', 'l_returnflag', av_returnflag, n FROM agg
+  UNION ALL SELECT 'accepted_values', 'l_linestatus', av_linestatus, n FROM agg
+  UNION ALL SELECT 'unique', 'l_orderkey', uq_orderkey, n FROM agg
+  UNION ALL SELECT 'referential', 'l_orderkey', fk.n_viol, agg.n
+            FROM fk, agg
+)
+SELECT rule, "column", CAST(n_violations AS BIGINT) AS n_violations,
+       CAST(n AS BIGINT) AS n_rows, n_violations = 0 AS ok
+FROM rules
+"""
+
+
 QUERIES: dict = {
+    "rel_dq_audit": (dq_audit_battery, _DQ_AUDIT_SQL),
     "rel_q2_min_cost_supplier": (q2, _Q2_SQL),
     "rel_q16_supplier_part_counts": (q16, _Q16_SQL),
     "rel_q20_excess_stock": (q20, _Q20_SQL),

@@ -1,0 +1,122 @@
+"""Declarative data-quality audit (dbt-tests / Great-Expectations style):
+not-null, uniqueness, range, accepted-values, and referential-integrity
+rules evaluated over a table in as few passes as the rule mix allows.
+
+Scale shape: every ROW-LEVEL rule (not_null / range / accepted values)
+is a conditional count inside ONE aggregation over ONE scan — auditing
+30 columns costs the same scan as auditing one. Uniqueness rides the
+same aggregate via count(col) - count(DISTINCT col). Referential
+integrity is the only rule needing a second relation: one left-anti
+join per (child, parent) pair, parent side broadcast when it's a
+dimension. Nothing collects to the driver; the result is one row per
+rule."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+import pyspark.sql.functions as F
+
+
+def dq_audit(
+    df: DataFrame,
+    not_null: tuple[str, ...] = (),
+    unique: tuple[str, ...] = (),
+    ranges: dict[str, tuple[float, float]] | None = None,
+    accepted: dict[str, tuple] | None = None,
+    refs: tuple[tuple[str, DataFrame, str], ...] = (),
+) -> DataFrame:
+    """Evaluate the given rules; return one row per rule:
+    (rule, column, n_violations, n_rows, ok).
+
+    - not_null: columns that must not contain NULL
+    - unique: columns whose non-null values must be distinct
+      (violations = count(col) - count(DISTINCT col), the duplicate surplus)
+    - ranges: col -> (lo, hi) inclusive bounds; NULLs don't violate range
+      (they're not_null's job)
+    - accepted: col -> allowed literal values; NULLs don't violate
+    - refs: (child_col, parent_df, parent_col) — child keys must exist in
+      the parent (anti-join count; NULL child keys don't violate,
+      matching SQL FK semantics)
+    """
+    ranges = ranges or {}
+    accepted = accepted or {}
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    labels: list[tuple[str, str, str]] = []  # (agg_alias, rule, column)
+
+    def add(alias: str, cond, rule: str, col: str) -> None:
+        aggs.append(F.count(F.when(cond, 1)).alias(alias))
+        labels.append((alias, rule, col))
+
+    for c in not_null:
+        add(f"_nn_{c}", F.col(c).isNull(), "not_null", c)
+    for c, (lo, hi) in ranges.items():
+        add(
+            f"_rg_{c}",
+            F.col(c).isNotNull() & ((F.col(c) < lo) | (F.col(c) > hi)),
+            f"range[{lo},{hi}]",
+            c,
+        )
+    for c, vals in accepted.items():
+        add(
+            f"_av_{c}",
+            F.col(c).isNotNull() & ~F.col(c).isin(*vals),
+            "accepted_values",
+            c,
+        )
+    for c in unique:
+        aggs.append(
+            (F.count(F.col(c)) - F.count_distinct(F.col(c))).alias(f"_uq_{c}")
+        )
+        labels.append((f"_uq_{c}", "unique", c))
+
+    row = df.agg(*aggs)
+    # unpivot the single stats row into one row per rule — a driver-free
+    # stack() over a 1-row frame
+    stack_args = ", ".join(
+        f"'{rule}', '{col}', {alias}" for alias, rule, col in labels
+    )
+    stacked = row.select(
+        F.col("_n"),
+        F.expr(
+            f"stack({len(labels)}, {stack_args})"
+            " AS (rule, column, n_violations)"
+        ),
+    ).select(
+        "rule",
+        "column",
+        F.col("n_violations").cast("bigint").alias("n_violations"),
+        F.col("_n").alias("n_rows"),
+        (F.col("n_violations") == 0).alias("ok"),
+    )
+
+    parts = [stacked]
+    # the 1-row stats frame carries n_rows to the ref rules via a
+    # broadcast cross join — no driver-side count action
+    n_rows_frame = F.broadcast(row.select(F.col("_n")))
+    for child_col, parent_df, parent_col in refs:
+        orphans = (
+            df.select(F.col(child_col))
+            .filter(F.col(child_col).isNotNull())
+            .join(
+                parent_df.select(F.col(parent_col).alias(child_col)),
+                child_col,
+                "left_anti",
+            )
+        )
+        parts.append(
+            orphans.agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_violations")
+            )
+            .crossJoin(n_rows_frame)
+            .select(
+                F.lit("referential").alias("rule"),
+                F.lit(child_col).alias("column"),
+                "n_violations",
+                F.col("_n").alias("n_rows"),
+                (F.col("n_violations") == 0).alias("ok"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
