@@ -209,3 +209,38 @@ def test_star_contraction_deep_chain_beats_propagation_rounds(spark):
         ).collect()
     }
     assert got == {i: 0 for i in range(60)}
+
+
+def test_pagerank_matches_numpy_and_conserves_mass(spark):
+    """3 iterations on a 5-node graph with a dangling+isolated node equal
+    a local NumPy replay exactly; total rank mass stays 1 (the dangling
+    correction conserves it)."""
+    import numpy as np
+
+    from yat_geo_db_spark.pipelines.graph import pagerank
+
+    edges = [(0, 1), (0, 2), (1, 2), (2, 0), (3, 2)]
+    nodes = spark.createDataFrame([(i,) for i in range(5)], "node long")
+    e = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"]: r["rank"]
+           for r in pagerank(e, nodes, n_iter=3).collect()}
+
+    N, d = 5, 0.85
+    r = np.full(N, 1 / N)
+    out = {0: [1, 2], 1: [2], 2: [0], 3: [2], 4: []}
+    for _ in range(3):
+        contrib = np.zeros(N)
+        dm = 0.0
+        for u, vs in out.items():
+            if not vs:
+                dm += r[u]
+                continue
+            for v in vs:
+                contrib[v] += r[u] / len(vs)
+        r = (1 - d) / N + d * (contrib + dm / N)
+    for i in range(N):
+        assert abs(got[i] - r[i]) < 1e-9
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+    # node universe defaults to src+dst when nodes isn't given
+    got2 = pagerank(e, n_iter=1).collect()
+    assert {r["node"] for r in got2} == {0, 1, 2, 3}

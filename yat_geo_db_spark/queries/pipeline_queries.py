@@ -3318,8 +3318,103 @@ SELECT query_id, vec_id, cosine, rank FROM r WHERE rank <= 20
 """
 
 
+#: PageRank demo constants (shared by query + oracle)
+PAGERANK_ITERS = 3
+PAGERANK_DAMPING = 0.85
+
+
+def q_source_pagerank(spark, sf_dir):
+    """Source-authority PageRank (the RefinedWeb/FineWeb-style centrality
+    quality prior) over a deterministic synthetic source link graph —
+    same synth-relation technique as synth_partsupp: sources indexed by
+    name order, edges by integer congruences, the last source left
+    edge-less so the dangling-mass correction is exercised."""
+    from pyspark.sql import Window
+
+    from yat_geo_db_spark.pipelines.graph import pagerank
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.orderBy("source")
+    idx = (
+        docs.select("source")
+        .distinct()
+        .select(
+            "source", (F.row_number().over(w) - 1).cast("long").alias("i")
+        )
+    )
+    n_frame = F.broadcast(idx.agg(F.count(F.lit(1)).alias("n")))
+    base = idx.crossJoin(n_frame).filter(F.col("i") < F.col("n") - 1)
+    e1 = base.select(
+        F.col("i").alias("src"), ((F.col("i") * 7 + 3) % F.col("n")).alias("dst")
+    )
+    e2 = base.select(
+        F.col("i").alias("src"), ((F.col("i") * 13 + 1) % F.col("n")).alias("dst")
+    )
+    edges = e1.union(e2).filter(F.col("src") != F.col("dst")).distinct()
+    pr = pagerank(
+        edges,
+        nodes=idx.select(F.col("i").alias("node")),
+        n_iter=PAGERANK_ITERS,
+        damping=PAGERANK_DAMPING,
+    )
+    return idx.join(pr, idx["i"] == pr["node"]).select(
+        "source", F.round("rank", 9).alias("rank")
+    )
+
+
+def _pagerank_sql(n_iter: int = PAGERANK_ITERS,
+                  damping: float = PAGERANK_DAMPING) -> str:
+    from yat_geo_db_spark.queries.relational_queries import _dsum
+    from yat_geo_db_spark.pipelines.graph import PAGERANK_SCALE
+
+    s = PAGERANK_SCALE
+    ctes = [
+        "srcs AS (SELECT DISTINCT source FROM documents)",
+        "idx AS (SELECT source, CAST(row_number() OVER (ORDER BY source) - 1"
+        " AS BIGINT) AS i FROM srcs)",
+        "ns AS (SELECT count(*) AS n FROM idx)",
+        "base AS (SELECT i, n FROM idx, ns WHERE i < n - 1)",
+        """edges AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT i AS src, (i*7+3) % n AS dst FROM base
+    UNION ALL
+    SELECT i AS src, (i*13+1) % n AS dst FROM base
+  ) WHERE src <> dst
+)""",
+        "outdeg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src)",
+        "r0 AS (SELECT i, 1.0 / CAST(n AS DOUBLE) AS r FROM idx, ns)",
+    ]
+    prev = "r0"
+    for k in range(1, n_iter + 1):
+        ctes.append(
+            f"c{k} AS (SELECT e.dst, {_dsum('r.r / CAST(o.deg AS DOUBLE)', s)}"
+            f" AS c FROM edges e JOIN {prev} r ON e.src = r.i"
+            f" JOIN outdeg o ON e.src = o.src GROUP BY e.dst)"
+        )
+        ctes.append(
+            f"d{k} AS (SELECT coalesce({_dsum('r.r', s)}, 0.0) AS dm"
+            f" FROM {prev} r LEFT JOIN outdeg o ON r.i = o.src"
+            f" WHERE o.src IS NULL)"
+        )
+        ctes.append(
+            f"r{k} AS (SELECT idx.i,"
+            f" (1.0 - {damping}) / CAST(n AS DOUBLE)"
+            f" + {damping} * (coalesce(c.c, 0.0) + d{k}.dm / CAST(n AS DOUBLE))"
+            f" AS r"
+            f" FROM idx CROSS JOIN ns CROSS JOIN d{k}"
+            f" LEFT JOIN c{k} c ON idx.i = c.dst)"
+        )
+        prev = f"r{k}"
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT idx.source, round(r.r, 9) AS rank"
+        f" FROM idx JOIN {prev} r ON idx.i = r.i"
+    )
+
+
 QUERIES: dict = {
     "pipe_pii_scrub": (q_pii_scrub, _pii_scrub_sql()),
+    "pipe_source_pagerank": (q_source_pagerank, _pagerank_sql()),
     "pipe_text_blocklist": (q_text_blocklist, _TEXT_BLOCKLIST_SQL),
     "pipe_sim_hard_negatives": (q_sim_hard_negatives, _HARD_NEGATIVES_SQL),
     "pipe_pii_report": (q_pii_report, _pii_report_sql()),
