@@ -405,3 +405,54 @@ def test_blocklist_filter_counts_occurrences(spark):
     assert out[1]["n_blocked"] == 1 and out[1]["keep"]
     assert out[2]["n_blocked"] == 0 and out[2]["keep"]
     assert out[3]["n_blocked"] == 0 and out[3]["keep"]
+
+
+def test_weighted_sample_exact_k_semantics(spark):
+    """Exactly k rows; non-positive/NULL weights excluded; with uniform
+    weights the selection is the top-k by the hash alone; inclusion is
+    monotone in weight for a fixed key (raising a doc's weight can only
+    improve its key)."""
+    from yat_geo_db_spark.pipelines.text import weighted_sample_exact_k
+
+    docs = spark.createDataFrame(
+        [(i, 10.0 if i != 3 else -1.0) for i in range(50)]
+        + [(99, None)],
+        "doc_id long, w double",
+    )
+    out = weighted_sample_exact_k(docs, F.col("w"), k=5).collect()
+    assert len(out) == 5
+    assert all(r["doc_id"] not in (3, 99) for r in out)
+    # monotonicity: boost one selected doc's weight -> it stays selected
+    winner = out[0]["doc_id"]
+    boosted = docs.withColumn(
+        "w", F.when(F.col("doc_id") == winner, 1000.0).otherwise(F.col("w"))
+    )
+    out2 = weighted_sample_exact_k(boosted, F.col("w"), k=5).collect()
+    assert any(r["doc_id"] == winner for r in out2)
+
+
+def test_epoch_shuffle_invariants(spark):
+    """Shard is epoch-stable; positions are a dense 1..n permutation
+    within every (epoch, shard); the epoch orders differ."""
+    from yat_geo_db_spark.pipelines.curation import epoch_shuffle
+
+    docs = spark.createDataFrame(
+        [(i,) for i in range(200)], "doc_id long"
+    )
+    rows = epoch_shuffle(docs, n_epochs=3, n_shards=4).collect()
+    by_doc: dict = {}
+    groups: dict = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], {})[r["epoch"]] = (
+            r["shard"], r["position"]
+        )
+        groups.setdefault((r["epoch"], r["shard"]), []).append(r["position"])
+    for d, eps in by_doc.items():
+        assert len(eps) == 3
+        assert len({s for s, _ in eps.values()}) == 1  # stable shard
+    for (_e, _s), ps in groups.items():
+        assert sorted(ps) == list(range(1, len(ps) + 1))  # dense perm
+    # orders differ between epochs (some doc moved within its shard)
+    assert any(
+        eps[0][1] != eps[1][1] for eps in by_doc.values()
+    )

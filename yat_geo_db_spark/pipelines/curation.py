@@ -558,3 +558,45 @@ def split_leakage_audit(
             ).alias("leak_rate"),
         )
     )
+
+
+def epoch_shuffle(
+    documents: DataFrame,
+    n_epochs: int = 2,
+    n_shards: int = 8,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic per-epoch training order: every document gets, for
+    each epoch, a (shard, position) — the shard is epoch-STABLE (data is
+    sharded once; what changes per epoch is the order within a shard),
+    the position re-permutes every epoch via a mixed hash of (id, epoch).
+    This is how you reshuffle 100 TB between epochs without RNG state or
+    a global sort: the only wide op is a row_number window per
+    (epoch, shard), whose sort is shard-local.
+
+    Ties in the 1e6-resolution sort key break by id ascending, so the
+    order is total and engine-independent. Returns
+    (id, epoch, shard, position)."""
+    from yat_geo_db_spark.pipelines.text import bucket_hash_col, mix_hash_col
+
+    from pyspark.sql import Window
+
+    epochs = documents.select(F.col(id_col)).withColumn(
+        "epoch", F.explode(F.sequence(F.lit(0), F.lit(n_epochs - 1)))
+    )
+    keyed = epochs.select(
+        id_col,
+        "epoch",
+        bucket_hash_col(F.col(id_col), n_shards).alias("shard"),
+        # re-mix the epoch-stable residue with the epoch: inner residue
+        # < MIX_PRIME so the +epoch*7919 stays far from 64-bit overflow
+        mix_hash_col(
+            mix_hash_col(F.col(id_col)) + F.col("epoch") * F.lit(7919)
+        ).alias("_sort_key"),
+    )
+    w = Window.partitionBy("epoch", "shard").orderBy(
+        F.asc("_sort_key"), F.asc(id_col)
+    )
+    return keyed.select(
+        id_col, "epoch", "shard", F.row_number().over(w).alias("position")
+    )

@@ -1486,3 +1486,34 @@ def blocklist_filter(
         hits.alias("n_blocked"),
         (hits <= max_hits).alias("keep"),
     )
+
+
+def weighted_sample_exact_k(
+    documents: DataFrame,
+    weight_col: Column,
+    k: int,
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Exactly-k weighted sampling without replacement (Efraimidis-
+    Spirakis A-ES): each row gets es_key = ln(u)/w for a deterministic
+    per-key uniform u, and the k largest keys win — inclusion probability
+    proportional to weight, membership a pure function of (key, weight).
+    The ln(u)/w form is the monotone twin of the textbook u^(1/w) that
+    avoids cross-libm pow; the key is rounded at 6 dp (the repo's
+    transcendental convention) with id-ascending tie-break.
+
+    Scale shape: a pure projection + global top-k = TakeOrderedAndProject
+    (each partition keeps its local k, the driver merges k·partitions
+    candidates) — no global sort, no RNG state. Rows with NULL or
+    non-positive weight are excluded, per A-ES. Returns (key, weight,
+    es_key) of the winners."""
+    u = F.greatest(
+        sample_hash_col(F.col(key_col)), F.lit(0.5 / MIX_PRIME)
+    )
+    w = weight_col.cast("double")
+    keyed = documents.filter(w.isNotNull() & (w > 0)).select(
+        F.col(key_col),
+        w.alias("weight"),
+        F.round(F.log(u) / w, 6).alias("es_key"),
+    )
+    return keyed.orderBy(F.desc("es_key"), F.asc(key_col)).limit(k)

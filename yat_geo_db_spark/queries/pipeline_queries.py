@@ -3412,8 +3412,71 @@ def _pagerank_sql(n_iter: int = PAGERANK_ITERS,
     )
 
 
+WEIGHTED_SAMPLE_K = 100
+
+
+def q_sample_weighted_topk(spark, sf_dir):
+    """Exactly-k weighted sampling without replacement (A-ES over the
+    deterministic per-key uniform; weight = n_chars so longer docs are
+    proportionally likelier). Global top-k = TakeOrderedAndProject."""
+    return text.weighted_sample_exact_k(
+        load_table(spark, sf_dir, "documents"),
+        F.col("n_chars"),
+        k=WEIGHTED_SAMPLE_K,
+    )
+
+
+_WEIGHTED_TOPK_SQL = f"""
+WITH s AS (
+  SELECT doc_id, CAST(n_chars AS DOUBLE) AS weight,
+         round(ln(greatest(
+                 CAST({mix_sql("doc_id")} AS DOUBLE) / 1000003.0,
+                 0.5 / 1000003)) / CAST(n_chars AS DOUBLE), 6) AS es_key
+  FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0
+)
+SELECT doc_id, weight, es_key FROM s
+ORDER BY es_key DESC, doc_id LIMIT {WEIGHTED_SAMPLE_K}
+"""
+
+EPOCH_SHUFFLE_EPOCHS = 2
+EPOCH_SHUFFLE_SHARDS = 8
+
+
+def q_epoch_shuffle(spark, sf_dir):
+    """Deterministic per-epoch training order: epoch-stable shard,
+    per-epoch re-permuted position; the only wide op is a shard-local
+    row_number window."""
+    from yat_geo_db_spark.pipelines import curation
+
+    return curation.epoch_shuffle(
+        load_table(spark, sf_dir, "documents"),
+        n_epochs=EPOCH_SHUFFLE_EPOCHS,
+        n_shards=EPOCH_SHUFFLE_SHARDS,
+    )
+
+
+_EPOCH_SHUFFLE_SQL = f"""
+WITH e AS (
+  SELECT doc_id, CAST(epoch AS INT) AS epoch
+  FROM documents, UNNEST(range(0, {EPOCH_SHUFFLE_EPOCHS})) AS u(epoch)
+),
+k AS (
+  SELECT doc_id, epoch,
+         {bucket_sql("doc_id", EPOCH_SHUFFLE_SHARDS)} AS shard,
+         {mix_sql(f"{mix_sql('doc_id')} + epoch * 7919")} AS sk
+  FROM e
+)
+SELECT doc_id, epoch, shard,
+       CAST(row_number() OVER (
+         PARTITION BY epoch, shard ORDER BY sk, doc_id) AS INT) AS position
+FROM k
+"""
+
+
 QUERIES: dict = {
     "pipe_pii_scrub": (q_pii_scrub, _pii_scrub_sql()),
+    "pipe_sample_weighted_topk": (q_sample_weighted_topk, _WEIGHTED_TOPK_SQL),
+    "pipe_epoch_shuffle": (q_epoch_shuffle, _EPOCH_SHUFFLE_SQL),
     "pipe_source_pagerank": (q_source_pagerank, _pagerank_sql()),
     "pipe_text_blocklist": (q_text_blocklist, _TEXT_BLOCKLIST_SQL),
     "pipe_sim_hard_negatives": (q_sim_hard_negatives, _HARD_NEGATIVES_SQL),
