@@ -69,7 +69,7 @@ HEADLINE = [
     "rel_q2_min_cost_supplier",
     "rel_q16_supplier_part_counts",
     "rel_q20_excess_stock",
-    # round-4 session-2 additions (tail): this session's new operator
+    # round-4 session-3 additions (tail): this session's new operator
     # families — scan-bound PII scrub, batched hard-negative ANN, the
     # one-scan DQ rule battery, and iterative PageRank
     "pipe_pii_scrub",

@@ -266,3 +266,21 @@ def test_dq_audit_rules(spark):
     assert all(r["n_rows"] == 4 for r in out.values())
     clean = dq_audit(parent, not_null=("pk",), unique=("pk",)).collect()
     assert all(r["ok"] for r in clean)
+
+
+def test_dq_audit_fk_only_and_no_rules(spark):
+    """An FK-only audit (no row-level rules) works — the stack() unpivot
+    is skipped, not parsed as stack(0) — and a rule-less call refuses."""
+    import pytest
+
+    from yat_geo_db_spark.relational.dq import dq_audit
+
+    child = spark.createDataFrame([(1,), (9,), (None,)], "k int")
+    parent = spark.createDataFrame([(1,), (2,)], "pk int")
+    rows = dq_audit(child, refs=(("k", parent, "pk"),)).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["rule"] == "referential" and r["n_violations"] == 1
+    assert r["n_rows"] == 3 and not r["ok"]
+    with pytest.raises(ValueError):
+        dq_audit(child)

@@ -313,6 +313,7 @@ def test_pii_scrub_patterns_and_stage_order(spark):
             (4, "call (415) 555-0123 or 415-555-0123 or +1 415.555.0123"),
             (5, "serialx4111-1111-1111-1111 glued stays"),
             (6, "clean text no pii at all"),
+            (7, "serial x415-555-01234 glued stays too"),
         ],
         "doc_id long, text string",
     )
@@ -326,6 +327,9 @@ def test_pii_scrub_patterns_and_stage_order(spark):
     assert rows[5]["n_card"] == 0 or "<CARD>" not in rows[5]["scrubbed"]
     assert rows[6]["n_pii"] == 0
     assert rows[6]["scrubbed"] == "clean text no pii at all"
+    # phone has the same boundary discipline: glued digits stay intact
+    assert rows[7]["n_phone"] == 0
+    assert rows[7]["scrubbed"] == "serial x415-555-01234 glued stays too"
     for r in rows.values():
         assert r["n_pii"] == (
             r["n_email"] + r["n_card"] + r["n_ssn"] + r["n_ipv4"] + r["n_phone"]
@@ -456,3 +460,8 @@ def test_epoch_shuffle_invariants(spark):
     assert any(
         eps[0][1] != eps[1][1] for eps in by_doc.values()
     )
+    # degenerate n_epochs would sequence() BACKWARD — must refuse
+    import pytest
+
+    with pytest.raises(ValueError):
+        epoch_shuffle(docs, n_epochs=0)

@@ -560,6 +560,10 @@ def split_leakage_audit(
     )
 
 
+#: epoch-shuffle sort-key modulus (~1e9; see epoch_shuffle docstring)
+EPOCH_SHUFFLE_PRIME = 1_000_000_007
+
+
 def epoch_shuffle(
     documents: DataFrame,
     n_epochs: int = 2,
@@ -574,12 +578,26 @@ def epoch_shuffle(
     a global sort: the only wide op is a row_number window per
     (epoch, shard), whose sort is shard-local.
 
-    Ties in the 1e6-resolution sort key break by id ascending, so the
-    order is total and engine-independent. Returns
+    The sort key is drawn mod EPOCH_SHUFFLE_PRIME (~1e9, deliberately
+    NOT the 1e6 MIX_PRIME: with a 1e6-resolution key, corpora past a
+    million docs per shard would resolve mostly by the id tie-break and
+    repeat the same id-sorted runs every epoch). Residual ties break by
+    id ascending, so the order is total and engine-independent. Returns
     (id, epoch, shard, position)."""
-    from yat_geo_db_spark.pipelines.text import bucket_hash_col, mix_hash_col
+    from yat_geo_db_spark.pipelines.text import bucket_hash_col
 
     from pyspark.sql import Window
+
+    if n_epochs < 1 or n_shards < 1:
+        # sequence(0, n_epochs-1) would step BACKWARD for n_epochs=0
+        # (the bpe sequence(1,0) lesson) — refuse instead
+        raise ValueError("n_epochs and n_shards must be >= 1")
+
+    P = F.lit(EPOCH_SHUFFLE_PRIME)
+    mult = F.lit(2654435761)
+
+    def mixp(col):
+        return (F.pmod(col.cast("long"), P) * mult) % P
 
     epochs = documents.select(F.col(id_col)).withColumn(
         "epoch", F.explode(F.sequence(F.lit(0), F.lit(n_epochs - 1)))
@@ -589,10 +607,10 @@ def epoch_shuffle(
         "epoch",
         bucket_hash_col(F.col(id_col), n_shards).alias("shard"),
         # re-mix the epoch-stable residue with the epoch: inner residue
-        # < MIX_PRIME so the +epoch*7919 stays far from 64-bit overflow
-        mix_hash_col(
-            mix_hash_col(F.col(id_col)) + F.col("epoch") * F.lit(7919)
-        ).alias("_sort_key"),
+        # < ~1e9 so the +epoch*7919 stays far from 64-bit overflow
+        mixp(mixp(F.col(id_col)) + F.col("epoch") * F.lit(7919)).alias(
+            "_sort_key"
+        ),
     )
     w = Window.partitionBy("epoch", "shard").orderBy(
         F.asc("_sort_key"), F.asc(id_col)

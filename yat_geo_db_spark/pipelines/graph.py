@@ -22,8 +22,10 @@ import pyspark.sql.functions as F
 from yat_geo_db_spark.relational.queries import dsum
 
 #: fixed-point scale for rank-mass sums. 10^12 keeps ~1e-12 resolution;
-#: sums accumulate as 64-bit longs, so graphs above ~10^6 nodes should
-#: drop to scale 9 to keep the dangling-mass sum under 2^63.
+#: dsum accumulates as DECIMAL(38,0) (HUGEINT in the DuckDB mirror), and
+#: per-row scaled values are bounded by rank ≤ 1 → ≤ 10^12, so the sum
+#: only nears the accumulator limit beyond ~10^26 rows — no practical
+#: overflow at any graph size.
 PAGERANK_SCALE = 12
 
 

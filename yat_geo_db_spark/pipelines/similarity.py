@@ -935,6 +935,27 @@ def _two_phase_topk(scored: DataFrame, k: int, query_id_col: str,
     return _ranked_topk(local, k, query_id_col, id_col, score_col)
 
 
+def _score_query_batch(
+    embeddings, queries, id_col: str, vec_col: str,
+    query_id_col: str, query_vec_col: str,
+):
+    """Broadcast the query batch and score every (corpus row, query)
+    cosine in one pass — the shared front half of brute_force_topk_batch
+    and hard_negative_mining (one rounding/_part convention, one place
+    to change it)."""
+    q = F.broadcast(
+        queries.select(
+            F.col(query_id_col), F.col(query_vec_col).alias("_qv")
+        )
+    )
+    return embeddings.crossJoin(q).select(
+        query_id_col,
+        F.col(id_col),
+        F.round(cosine_col(F.col(vec_col), F.col("_qv")), 6).alias("cosine"),
+        F.spark_partition_id().alias("_part"),
+    )
+
+
 def brute_force_topk_batch(
     embeddings: DataFrame, queries: DataFrame, k: int = 10,
     id_col: str = "vec_id", vec_col: str = "embedding",
@@ -953,16 +974,8 @@ def brute_force_topk_batch(
     idle executors). Both phases are SORT-based windows, which spill
     gracefully; see _two_phase_topk for why an aggregation-based
     "bounded" phase 1 wasn't. Ties break by ascending id."""
-    q = F.broadcast(
-        queries.select(
-            F.col(query_id_col), F.col(query_vec_col).alias("_qv")
-        )
-    )
-    scored = embeddings.crossJoin(q).select(
-        query_id_col,
-        F.col(id_col),
-        F.round(cosine_col(F.col(vec_col), F.col("_qv")), 6).alias("cosine"),
-        F.spark_partition_id().alias("_part"),
+    scored = _score_query_batch(
+        embeddings, queries, id_col, vec_col, query_id_col, query_vec_col
     )
     return _two_phase_topk(scored, k, query_id_col, id_col)
 
@@ -1320,16 +1333,8 @@ def hard_negative_mining(
     two-phase windowed top-k, so near-dup-heavy corpora don't pay rank
     work for rows the filter kills. Returns (query_id, vec_id, cosine,
     rank)."""
-    q = F.broadcast(
-        queries.select(
-            F.col(query_id_col), F.col(query_vec_col).alias("_qv")
-        )
-    )
-    scored = embeddings.crossJoin(q).select(
-        query_id_col,
-        F.col(id_col),
-        F.round(cosine_col(F.col(vec_col), F.col("_qv")), 6).alias("cosine"),
-        F.spark_partition_id().alias("_part"),
+    scored = _score_query_batch(
+        embeddings, queries, id_col, vec_col, query_id_col, query_vec_col
     )
     hard = scored.filter(F.col("cosine") < dup_threshold)
     return _two_phase_topk(hard, k, query_id_col, id_col)

@@ -1357,8 +1357,12 @@ PII_PATTERNS: tuple[tuple[str, str], ...] = (
     ("ssn", r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b"),
     # dotted quad (no octet-range check — scrubbing favours recall)
     ("ipv4", r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"),
-    # optional +CC, optional (area), 3-3-4 with -/./space separators
-    ("phone", r"\+?[0-9]{0,2}[-. ]?\(?[0-9]{3}\)?[-. ][0-9]{3}[-. ][0-9]{4}"),
+    # optional +CC, optional (area), 3-3-4 with -/./space separators.
+    # The \b sits BEFORE the area digits (a leading \b would reject
+    # " +1 ..." — space|+ is not a boundary) and after the last digit,
+    # so digit runs glued to word chars are refused like card/ssn/ipv4.
+    ("phone",
+     r"\+?[0-9]{0,2}[-. ]?\(?\b[0-9]{3}\)?[-. ][0-9]{3}[-. ][0-9]{4}\b"),
 )
 
 
@@ -1488,6 +1492,12 @@ def blocklist_filter(
     )
 
 
+#: uniform-draw modulus for A-ES sampling: ~1e9 (vs the 1e6 MIX_PRIME)
+#: so es keys stay distinct on billion-doc pools. (p % P) * MIX_MULT
+#: peaks at ~2.7e18 — still inside int64.
+ES_SAMPLE_PRIME = 1_000_000_007
+
+
 def weighted_sample_exact_k(
     documents: DataFrame,
     weight_col: Column,
@@ -1506,14 +1516,21 @@ def weighted_sample_exact_k(
     (each partition keeps its local k, the driver merges k·partitions
     candidates) — no global sort, no RNG state. Rows with NULL or
     non-positive weight are excluded, per A-ES. Returns (key, weight,
-    es_key) of the winners."""
+    es_key) of the winners.
+
+    Resolution: the uniform is drawn mod ES_SAMPLE_PRIME (~1e9, not the
+    ~1e6 default — keys collide only past a billion docs per pool) and
+    the transcendental ln is rounded at 12 dp, fine enough that large
+    weights (ln(u)/w spans ~1e-4/w) don't collapse onto the id
+    tie-break while still absorbing cross-libm ULP differences."""
     u = F.greatest(
-        sample_hash_col(F.col(key_col)), F.lit(0.5 / MIX_PRIME)
+        sample_hash_col(F.col(key_col), ES_SAMPLE_PRIME),
+        F.lit(0.5 / ES_SAMPLE_PRIME),
     )
     w = weight_col.cast("double")
     keyed = documents.filter(w.isNotNull() & (w > 0)).select(
         F.col(key_col),
         w.alias("weight"),
-        F.round(F.log(u) / w, 6).alias("es_key"),
+        F.round(F.log(u) / w, 12).alias("es_key"),
     )
     return keyed.orderBy(F.desc("es_key"), F.asc(key_col)).limit(k)

@@ -3430,8 +3430,10 @@ _WEIGHTED_TOPK_SQL = f"""
 WITH s AS (
   SELECT doc_id, CAST(n_chars AS DOUBLE) AS weight,
          round(ln(greatest(
-                 CAST({mix_sql("doc_id")} AS DOUBLE) / 1000003.0,
-                 0.5 / 1000003)) / CAST(n_chars AS DOUBLE), 6) AS es_key
+                 CAST({mix_sql("doc_id", text.ES_SAMPLE_PRIME)} AS DOUBLE)
+                   / {float(text.ES_SAMPLE_PRIME)},
+                 0.5 / {text.ES_SAMPLE_PRIME}))
+               / CAST(n_chars AS DOUBLE), 12) AS es_key
   FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0
 )
 SELECT doc_id, weight, es_key FROM s
@@ -3455,6 +3457,14 @@ def q_epoch_shuffle(spark, sf_dir):
     )
 
 
+def _epoch_sk_sql() -> str:
+    """Mirror of epoch_shuffle's big-prime (id, epoch) mix."""
+    from yat_geo_db_spark.pipelines.curation import EPOCH_SHUFFLE_PRIME
+
+    inner = mix_sql("doc_id", EPOCH_SHUFFLE_PRIME)
+    return mix_sql(f"{inner} + epoch * 7919", EPOCH_SHUFFLE_PRIME)
+
+
 _EPOCH_SHUFFLE_SQL = f"""
 WITH e AS (
   SELECT doc_id, CAST(epoch AS INT) AS epoch
@@ -3463,7 +3473,7 @@ WITH e AS (
 k AS (
   SELECT doc_id, epoch,
          {bucket_sql("doc_id", EPOCH_SHUFFLE_SHARDS)} AS shard,
-         {mix_sql(f"{mix_sql('doc_id')} + epoch * 7919")} AS sk
+         {_epoch_sk_sql()} AS sk
   FROM e
 )
 SELECT doc_id, epoch, shard,

@@ -70,26 +70,29 @@ def dq_audit(
         labels.append((f"_uq_{c}", "unique", c))
 
     row = df.agg(*aggs)
-    # unpivot the single stats row into one row per rule — a driver-free
-    # stack() over a 1-row frame
-    stack_args = ", ".join(
-        f"'{rule}', '{col}', {alias}" for alias, rule, col in labels
-    )
-    stacked = row.select(
-        F.col("_n"),
-        F.expr(
-            f"stack({len(labels)}, {stack_args})"
-            " AS (rule, column, n_violations)"
-        ),
-    ).select(
-        "rule",
-        "column",
-        F.col("n_violations").cast("bigint").alias("n_violations"),
-        F.col("_n").alias("n_rows"),
-        (F.col("n_violations") == 0).alias("ok"),
-    )
-
-    parts = [stacked]
+    parts = []
+    if labels:
+        # unpivot the single stats row into one row per rule — a
+        # driver-free stack() over a 1-row frame (stack(0) won't parse,
+        # hence the guard: an FK-only audit has no row-level rules)
+        stack_args = ", ".join(
+            f"'{rule}', '{col}', {alias}" for alias, rule, col in labels
+        )
+        parts.append(
+            row.select(
+                F.col("_n"),
+                F.expr(
+                    f"stack({len(labels)}, {stack_args})"
+                    " AS (rule, column, n_violations)"
+                ),
+            ).select(
+                "rule",
+                "column",
+                F.col("n_violations").cast("bigint").alias("n_violations"),
+                F.col("_n").alias("n_rows"),
+                (F.col("n_violations") == 0).alias("ok"),
+            )
+        )
     # the 1-row stats frame carries n_rows to the ref rules via a
     # broadcast cross join — no driver-side count action
     n_rows_frame = F.broadcast(row.select(F.col("_n")))
@@ -116,6 +119,8 @@ def dq_audit(
                 (F.col("n_violations") == 0).alias("ok"),
             )
         )
+    if not parts:
+        raise ValueError("dq_audit called with no rules")
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
