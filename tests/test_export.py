@@ -191,3 +191,30 @@ def test_bucket_hash_sane_on_64bit_and_structured_ids(spark):
         ).collect()
     }
     assert len(b10) >= 8
+
+
+def test_right_to_forget_cascades_to_cluster(spark):
+    """Requesting one member of a near-dup cluster drops the whole
+    cluster with the right reasons; singletons drop alone; unknown
+    request ids are ignored."""
+    import pyspark.sql.functions as F
+
+    from yat_geo_db_spark.pipelines.curation import right_to_forget
+
+    docs = spark.createDataFrame(
+        [(i,) for i in range(6)], "doc_id long"
+    )
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (4, 5)], "id1 long, id2 long"
+    )
+    requests = spark.createDataFrame([(1,), (3,), (99,)], "doc_id long")
+    out = {r["doc_id"]: r["reason"]
+           for r in right_to_forget(docs, requests, pairs).collect()}
+    # cluster {0,1,2} dropped via request on 1; singleton 3 requested;
+    # cluster {4,5} untouched; 99 not in corpus -> ignored
+    assert out == {
+        0: "near_dup_of_requested",
+        1: "requested",
+        2: "near_dup_of_requested",
+        3: "requested",
+    }

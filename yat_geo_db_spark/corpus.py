@@ -181,6 +181,21 @@ class CorpusManager:
             text_col=self.text_col, id_col=self.id_col,
         )
 
+    def forget(
+        self, requests: DataFrame, pairs: DataFrame | None = None,
+        threshold: float = 0.5,
+    ) -> DataFrame:
+        """Right-to-be-forgotten drop audit: requests cascade to each
+        doc's whole near-dup cluster (derives the pair graph when none
+        is given)."""
+        from yat_geo_db_spark.pipelines.curation import right_to_forget
+
+        if pairs is None:
+            pairs = self.near_dup_pairs(threshold)
+        return right_to_forget(
+            self.documents, requests, pairs, id_col=self.id_col
+        )
+
     def dedup_keep_best(
         self, score_col: str, threshold: float = 0.5
     ) -> DataFrame:

@@ -618,3 +618,50 @@ def epoch_shuffle(
     return keyed.select(
         id_col, "epoch", "shard", F.row_number().over(w).alias("position")
     )
+
+
+def right_to_forget(
+    documents: DataFrame,
+    requests: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deletion-request propagation (GDPR/right-to-be-forgotten for a
+    training corpus): dropping only the requested doc ids would leave
+    their near-duplicate copies in the corpus — the data survives its
+    own deletion. This cascades each request to the doc's whole near-dup
+    CLUSTER (same component pass the leakage-safe split uses).
+
+    Returns the drop AUDIT — (id, cluster, reason) with reason
+    'requested' or 'near_dup_of_requested' — rather than silently
+    shrinking the corpus; anti-join the corpus against it to materialize
+    the retained set. One component pass over the pair graph + one
+    equi-join cascade; the request list is broadcast-sized by nature.
+
+    `requests` carries one column named `id_col`; requested ids absent
+    from the corpus are ignored (nothing to drop)."""
+    from yat_geo_db_spark.pipelines.dedup import connected_components
+
+    comp = connected_components(pairs, src="id1", dst="id2").select(
+        F.col("node").alias(id_col), F.col("component").alias("cluster")
+    )
+    keyed = documents.select(id_col).join(comp, id_col, "left").select(
+        id_col, F.coalesce("cluster", F.col(id_col)).alias("cluster")
+    )
+    req = F.broadcast(
+        requests.select(F.col(id_col)).distinct().withColumn("_req", F.lit(1))
+    )
+    flagged = keyed.join(req, id_col, "left")
+    bad_clusters = F.broadcast(
+        flagged.filter(F.col("_req") == 1).select("cluster").distinct()
+    )
+    return (
+        flagged.join(bad_clusters, "cluster", "left_semi")
+        .select(
+            id_col,
+            "cluster",
+            F.when(F.col("_req") == 1, F.lit("requested"))
+            .otherwise(F.lit("near_dup_of_requested"))
+            .alias("reason"),
+        )
+    )

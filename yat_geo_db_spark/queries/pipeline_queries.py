@@ -3483,8 +3483,39 @@ FROM k
 """
 
 
+def q_curate_forget(spark, sf_dir):
+    """Right-to-be-forgotten cascade: deletion requests (deterministic
+    subset doc_id % 97 == 0) propagate to each requested doc's whole
+    near-dup cluster — dropping only the requested ids would leave their
+    copies training. Returns the drop audit (doc_id, cluster, reason)."""
+    from yat_geo_db_spark.pipelines import curation
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(
+        docs, threshold=JACCARD_T, block_cols=("lang", "source")
+    )
+    requests = docs.filter(F.col("doc_id") % 97 == 0).select("doc_id")
+    return curation.right_to_forget(docs, requests, pairs)
+
+
+_CURATE_FORGET_SQL = f"""
+WITH RECURSIVE {_COMPONENT_CTES},
+keyed AS (
+  SELECT d.doc_id, coalesce(comp.cluster_id, d.doc_id) AS cluster
+  FROM documents d LEFT JOIN comp ON d.doc_id = comp.doc_id
+),
+req AS (SELECT doc_id FROM documents WHERE doc_id % 97 = 0),
+bad AS (SELECT DISTINCT cluster FROM keyed JOIN req USING (doc_id))
+SELECT k.doc_id, k.cluster,
+  CASE WHEN r.doc_id IS NOT NULL THEN 'requested'
+       ELSE 'near_dup_of_requested' END AS reason
+FROM keyed k JOIN bad USING (cluster) LEFT JOIN req r ON k.doc_id = r.doc_id
+"""
+
+
 QUERIES: dict = {
     "pipe_pii_scrub": (q_pii_scrub, _pii_scrub_sql()),
+    "pipe_curate_forget": (q_curate_forget, _CURATE_FORGET_SQL),
     "pipe_sample_weighted_topk": (q_sample_weighted_topk, _WEIGHTED_TOPK_SQL),
     "pipe_epoch_shuffle": (q_epoch_shuffle, _EPOCH_SHUFFLE_SQL),
     "pipe_source_pagerank": (q_source_pagerank, _pagerank_sql()),
