@@ -429,3 +429,36 @@ def test_stream_incremental_merge_grows_corpus(spark, tmp_path):
     # the stream really deduped: some batch docs were dropped, corpus grew
     assert ids(corpus0) < got
     assert len(got) < docs.count()
+
+
+def test_pii_scrub_stream_matches_batch(spark, tmp_path):
+    """The PII scrub is a stateless projection, so the SAME operator runs
+    unchanged on a document stream (append mode, no state) — scrub docs
+    as they land, before anything downstream persists raw text."""
+    from yat_geo_db_spark.pipelines.text import pii_scrub
+
+    docs = load_table(spark, SF, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" mail user"), F.col("doc_id").cast("string"),
+            F.lit("@ex.org"),
+        ).alias("text"),
+    )
+    src = str(tmp_path / "pii_src")
+    docs.write.mode("overwrite").parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).parquet(src)
+    q = (
+        pii_scrub(stream)
+        .writeStream.format("memory")
+        .queryName("pii_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT * FROM pii_stream")
+    want = pii_scrub(docs)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+    assert got.count() == 500
