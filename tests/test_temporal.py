@@ -284,3 +284,27 @@ def test_dq_audit_fk_only_and_no_rules(spark):
     assert r["n_rows"] == 3 and not r["ok"]
     with pytest.raises(ValueError):
         dq_audit(child)
+
+
+def test_cdc_apply_semantics(spark):
+    """Deletes suppress lower-version upserts; the latest upsert wins
+    per key; stream ties beat the snapshot; inserts of new keys land."""
+    from yat_geo_db_spark.relational.merge import cdc_apply
+
+    snap = spark.createDataFrame(
+        [(1, "a", 0), (2, "b", 0), (3, "c", 0)],
+        "k long, v string, version int",
+    )
+    changes = spark.createDataFrame(
+        [
+            (1, "a2", 1, "U"),   # plain update
+            (2, "x", 1, "U"),    # update...
+            (2, "gone", 2, "D"), # ...then deleted at higher version
+            (3, "tie", 0, "U"),  # version tie -> stream beats snapshot
+            (4, "new", 1, "I"),  # brand-new key
+        ],
+        "k long, v string, version int, op string",
+    )
+    got = {r["k"]: (r["v"], r["version"])
+           for r in cdc_apply(snap, changes, ["k"], "version").collect()}
+    assert got == {1: ("a2", 1), 3: ("tie", 0), 4: ("new", 1)}

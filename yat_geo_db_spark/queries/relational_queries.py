@@ -1899,8 +1899,75 @@ FROM rules
 """
 
 
+def cdc_apply_changes(spark, sf_dir):
+    """CDC apply (relational.merge.cdc_apply): a deterministic Debezium-
+    shaped change stream over the orders snapshot — every 10th key gets a
+    v1 repriced update, every 15th a v1 delete, keys ≡ 0 mod 30 get BOTH
+    (the delete carries the higher version and must win); plus inserts of
+    brand-new keys. Output = the compacted table."""
+    from yat_geo_db_spark.relational.merge import cdc_apply
+
+    (orders,) = _t(spark, sf_dir, "orders")
+
+    def cents(col):
+        return F.floor(col * 100 + F.lit(0.5)) / F.lit(100.0)
+
+    base = orders.select(
+        "o_orderkey",
+        cents(F.col("o_totalprice")).alias("price"),
+        F.lit(0).alias("version"),
+    )
+    upd = orders.filter(F.col("o_orderkey") % 10 == 0).select(
+        "o_orderkey",
+        cents(F.col("o_totalprice") * 1.1).alias("price"),
+        F.lit(1).alias("version"),
+        F.lit("U").alias("op"),
+    )
+    dele = orders.filter(F.col("o_orderkey") % 15 == 0).select(
+        "o_orderkey",
+        F.lit(0.0).alias("price"),
+        F.lit(2).alias("version"),
+        F.lit("D").alias("op"),
+    )
+    ins = orders.filter(F.col("o_orderkey") % 7 == 0).select(
+        (F.col("o_orderkey") + 10_000_000).alias("o_orderkey"),
+        cents(F.col("o_totalprice")).alias("price"),
+        F.lit(1).alias("version"),
+        F.lit("I").alias("op"),
+    )
+    changes = upd.unionByName(dele).unionByName(ins)
+    return cdc_apply(base, changes, ["o_orderkey"], "version")
+
+
+_CDC_APPLY_SQL = """
+WITH tagged AS (
+  SELECT o_orderkey,
+         floor(o_totalprice * 100 + CAST(0.5 AS DOUBLE)) / 100.0 AS price,
+         0 AS version, 'U' AS op, 0 AS src
+  FROM orders
+  UNION ALL
+  SELECT o_orderkey,
+         floor(o_totalprice * CAST(1.1 AS DOUBLE) * 100
+               + CAST(0.5 AS DOUBLE)) / 100.0, 1, 'U', 1
+  FROM orders WHERE o_orderkey % 10 = 0
+  UNION ALL
+  SELECT o_orderkey, 0.0, 2, 'D', 1 FROM orders WHERE o_orderkey % 15 = 0
+  UNION ALL
+  SELECT o_orderkey + 10000000,
+         floor(o_totalprice * 100 + CAST(0.5 AS DOUBLE)) / 100.0, 1, 'I', 1
+  FROM orders WHERE o_orderkey % 7 = 0
+)
+SELECT o_orderkey, price, CAST(version AS INT) AS version FROM (
+  SELECT *, row_number() OVER (PARTITION BY o_orderkey
+                               ORDER BY version DESC, src DESC) AS rn
+  FROM tagged
+) WHERE rn = 1 AND op <> 'D'
+"""
+
+
 QUERIES: dict = {
     "rel_dq_audit": (dq_audit_battery, _DQ_AUDIT_SQL),
+    "rel_cdc_apply": (cdc_apply_changes, _CDC_APPLY_SQL),
     "rel_q2_min_cost_supplier": (q2, _Q2_SQL),
     "rel_q16_supplier_part_counts": (q16, _Q16_SQL),
     "rel_q20_excess_stock": (q20, _Q20_SQL),

@@ -37,3 +37,35 @@ def upsert_latest(
         .filter(F.col("_rn") == 1)
         .drop("_src", "_rn")
     )
+
+
+def cdc_apply(
+    snapshot: DataFrame,
+    changes: DataFrame,
+    key_cols: list[str],
+    version_col: str,
+    op_col: str = "op",
+) -> DataFrame:
+    """Apply a CDC change stream (op ∈ 'I'/'U'/'D') to a snapshot — the
+    Debezium-shaped compaction every lakehouse runs without a table
+    format: per key, the highest-version record decides; if that record
+    is a delete the key disappears, otherwise its payload wins (inserts
+    and updates are deliberately not distinguished — late/replayed
+    streams blur them, and last-writer-wins is the portable semantics).
+
+    Same scale shape as upsert_latest: one union + ONE hash shuffle on
+    the key for the version rank, deletes filtered after the rank (a
+    delete must still outrank older upserts to suppress them). Snapshot
+    rows act as version-tagged upserts; change-stream ties beat snapshot
+    ties. `changes` carries the snapshot's columns plus `op_col`."""
+    tagged = snapshot.withColumn(op_col, F.lit("U")).withColumn(
+        "_src", F.lit(0)
+    ).unionByName(changes.withColumn("_src", F.lit(1)))
+    w = Window.partitionBy(*key_cols).orderBy(
+        F.desc(version_col), F.desc("_src")
+    )
+    return (
+        tagged.withColumn("_rn", F.row_number().over(w))
+        .filter((F.col("_rn") == 1) & (F.col(op_col) != "D"))
+        .drop("_src", "_rn", op_col)
+    )
