@@ -1538,7 +1538,7 @@ def weighted_sample_exact_k(
 
 def sample_to_token_budget(
     documents: DataFrame,
-    budgets: dict[str, int],
+    budgets: dict[str, int] | DataFrame,
     group_col: str = "source",
     text_col: str = "text",
     id_col: str = "doc_id",
@@ -1557,13 +1557,20 @@ def sample_to_token_budget(
     window per group: the running token sum orders by the sampling key —
     group-local sort, no global sort, no RNG. Returns
     (id, group, n_tokens, cum_tokens) of the admitted docs."""
-    spark = documents.sparkSession
-    budgets_df = F.broadcast(
-        spark.createDataFrame(
-            [(k, int(v)) for k, v in sorted(budgets.items())],
-            f"{group_col} string, _budget long",
+    if isinstance(budgets, DataFrame):
+        # declarative form: (group_col, _budget) — lets a pipeline derive
+        # budgets (e.g. temperature q_share × total) without a collect
+        budgets_df = F.broadcast(
+            budgets.select(group_col, F.col("_budget").cast("long"))
         )
-    )
+    else:
+        spark = documents.sparkSession
+        budgets_df = F.broadcast(
+            spark.createDataFrame(
+                [(k, int(v)) for k, v in sorted(budgets.items())],
+                f"{group_col} string, _budget long",
+            )
+        )
     from pyspark.sql import Window
 
     if weight_col is not None:

@@ -3555,8 +3555,63 @@ FROM c WHERE cum_tokens - n_tokens < budget
 """
 
 
+#: total token budget for the end-to-end mix pipeline: sized so every SF
+#: selects a strict subset per source (sf0.001 has ~1.3k tokens/source,
+#: sf0.01 ~13.5k — a ~1k/source budget exercises the cut at both)
+MIX_TOTAL_TOKENS = 20_000
+
+
+def q_mix_pipeline(spark, sf_dir):
+    """END-TO-END mix construction — the composed form of the sampling
+    family: temperature weights (α=0.3) set each source's share of a
+    global token budget, then the budgets are filled in deterministic
+    order. Fully declarative: the budget frame flows from the weights
+    aggregation into the broadcast join, no driver collect between
+    stages."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = text.temperature_sampling_weights(docs, alpha=0.3)
+    budgets = w.select(
+        "source",
+        F.floor(F.col("q_share") * F.lit(float(MIX_TOTAL_TOKENS)) + F.lit(0.5))
+        .cast("long")
+        .alias("_budget"),
+    )
+    return text.sample_to_token_budget(docs, budgets)
+
+
+def _mix_pipeline_sql() -> str:
+    u = (
+        f"CAST({mix_sql('doc_id', text.ES_SAMPLE_PRIME)} AS DOUBLE)"
+        f" / {float(text.ES_SAMPLE_PRIME)}"
+    )
+    return f"""
+WITH tw AS ({_SAMPLE_TEMPERATURE_SQL}),
+b AS (
+  SELECT source,
+         CAST(floor(q_share * {float(MIX_TOTAL_TOKENS)} + 0.5) AS BIGINT)
+           AS budget
+  FROM tw
+),
+keyed AS (
+  SELECT doc_id, d.source, budget,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         {u} AS k
+  FROM documents d JOIN b ON d.source = b.source
+),
+c AS (
+  SELECT doc_id, source, budget, n_tokens,
+         sum(n_tokens) OVER (PARTITION BY source ORDER BY k, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+  FROM keyed
+)
+SELECT doc_id, source, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens
+FROM c WHERE cum_tokens - n_tokens < budget
+"""
+
+
 QUERIES: dict = {
     "pipe_pii_scrub": (q_pii_scrub, _pii_scrub_sql()),
+    "pipe_mix_pipeline": (q_mix_pipeline, _mix_pipeline_sql()),
     "pipe_sample_token_budget": (q_sample_token_budget, _token_budget_sql()),
     "pipe_curate_forget": (q_curate_forget, _CURATE_FORGET_SQL),
     "pipe_sample_weighted_topk": (q_sample_weighted_topk, _WEIGHTED_TOPK_SQL),
