@@ -76,6 +76,8 @@ HEADLINE = [
     "pipe_sim_hard_negatives",
     "rel_dq_audit",
     "pipe_source_pagerank",
+    "rel_cdc_apply",
+    "pipe_mix_pipeline",
 ]
 
 

@@ -379,3 +379,33 @@ def test_q16_anti_join_and_one_group_shuffle(spark):
     plan = _plan(rq.q16_supplier_part_counts(part, supp, ps))
     assert "LeftAnti" in plan and "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_pii_scrub_scan_bound(spark):
+    """The PII scrub's 100 TB claim, asserted: zero exchanges (pure
+    projection pipelined onto the scan) and a ReadSchema pruned to
+    exactly (doc_id, text)."""
+    from yat_geo_db_spark.pipelines.text import pii_scrub
+
+    df = pii_scrub(_raw(spark, "documents"))
+    plan = _plan(df)
+    assert "Exchange" not in plan
+    read_schema = plan.split("ReadSchema")[1][:200]
+    assert "doc_id" in read_schema and "text" in read_schema
+    assert "source" not in read_schema and "lang" not in read_schema
+
+
+def test_token_budget_single_group_window(spark):
+    """sample_to_token_budget: ONE shuffle (the per-source window's hash
+    partitioning) plus the broadcast budgets join — no global sort."""
+    from yat_geo_db_spark.pipelines.text import sample_to_token_budget
+
+    df = sample_to_token_budget(
+        _raw(spark, "documents"), {f"src{i}": 1000 for i in range(20)}
+    )
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+    # exactly one hash-partitioned shuffle feeds the window; allow AQE
+    # wrappers but no second data shuffle and no global range sort
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "rangepartitioning" not in plan
