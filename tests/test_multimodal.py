@@ -524,3 +524,81 @@ def test_jpeg_pipeline_distributed_features(spark):
         assert jf[i]["n_pixels"] == pf[i]["n_pixels"]
         # mean abs per-pixel drift under Q50 on byte-code imagery
         assert abs(jf[i]["pixel_sum"] - pf[i]["pixel_sum"]) <= 16 * jf[i]["n_pixels"]
+
+
+def test_jpeg_rgb_roundtrip_both_samplings():
+    """3-component baseline JPEG: solid colors recover near-exactly
+    (constant blocks quantize to DC only) and gradients stay close, at
+    both 4:2:0 and 4:4:4; output is (h, w, 3) with odd dims cropped."""
+    import numpy as np
+
+    from yat_geo_db_spark.pipelines.multimodal import (
+        decode_jpeg_baseline,
+        encode_jpeg_baseline,
+    )
+
+    solid = np.zeros((16, 16, 3), np.uint8)
+    solid[:] = (200, 60, 120)
+    for ss in (True, False):
+        dec = decode_jpeg_baseline(encode_jpeg_baseline(solid, subsample=ss))
+        assert dec.shape == (16, 16, 3)
+        assert np.abs(dec.astype(int) - solid.astype(int)).max() <= 4
+
+    h, w = 37, 29  # odd dims force MCU padding + crop
+    grad = np.zeros((h, w, 3), np.uint8)
+    grad[..., 0] = np.linspace(0, 255, w, dtype=np.uint8)[None, :]
+    grad[..., 1] = np.linspace(255, 0, h, dtype=np.uint8)[:, None]
+    grad[..., 2] = 128
+    for ss in (True, False):
+        dec = decode_jpeg_baseline(encode_jpeg_baseline(grad, subsample=ss))
+        assert dec.shape == (h, w, 3)
+        assert np.abs(dec.astype(int) - grad.astype(int)).mean() < 8
+
+
+def test_jpeg_rgb_chroma_is_subsampled():
+    """4:2:0 really halves the chroma planes: a 1-pixel red/blue
+    checker's chroma averages out under 4:2:0 (both colors converge to
+    their mean) but survives 4:4:4 — observable proof the MCU layout is
+    2x2 luma + subsampled chroma rather than a silent 4:4:4."""
+    import numpy as np
+
+    from yat_geo_db_spark.pipelines.multimodal import (
+        decode_jpeg_baseline,
+        encode_jpeg_baseline,
+    )
+
+    img = np.zeros((16, 16, 3), np.uint8)
+    img[::2, ::2] = (255, 0, 0)
+    img[1::2, 1::2] = (255, 0, 0)
+    img[::2, 1::2] = (0, 0, 255)
+    img[1::2, ::2] = (0, 0, 255)
+    d420 = decode_jpeg_baseline(encode_jpeg_baseline(img, subsample=True))
+    d444 = decode_jpeg_baseline(encode_jpeg_baseline(img, subsample=False))
+    # chroma spread across the image: 4:4:4 keeps far more of the
+    # red/blue separation than 4:2:0 (which averages each 2x2 cell)
+    def chroma_spread(d):
+        r = d[..., 0].astype(int)
+        b = d[..., 2].astype(int)
+        return float(np.abs(r - b).mean())
+
+    assert chroma_spread(d444) > chroma_spread(d420) + 30
+
+
+def test_jpeg_greyscale_output_unchanged():
+    """The 1-component path still returns (h, w) greyscale (no RGB
+    promotion) and byte-compatible structure (regression for the
+    multi-component extension)."""
+    import numpy as np
+
+    from yat_geo_db_spark.pipelines.multimodal import (
+        decode_jpeg_baseline,
+        encode_jpeg_baseline,
+    )
+
+    img = (np.arange(24 * 17).reshape(24, 17) * 7 % 256).astype(np.uint8)
+    payload = encode_jpeg_baseline(img)
+    out = decode_jpeg_baseline(payload)
+    assert out.shape == (24, 17) and out.ndim == 2
+    # SOF0 declares exactly one component
+    sof = payload.find(b"\xff\xc0")
+    assert payload[sof + 9] == 1

@@ -8,12 +8,13 @@ CRC-validated chunk parsing and ALL five scanline filter types on decode
 `synthesize_png`/`png_features`/`resize_png` as the distributed pipeline.
 AUDIO decode is REAL too: `decode_wav` parses genuine RIFF/WAVE containers
 with the stdlib `wave` module + NumPy PCM frames. JPEG is REAL for the
-greyscale baseline-sequential subset: `encode_jpeg_baseline` /
-`decode_jpeg_baseline` implement the full ITU-T T.81 path (marker stream,
-Annex K tables read FROM the file's DHT/DQT on decode, Huffman entropy
-coding with byte stuffing, DCT/IDCT) in pure stdlib + NumPy —
-progressive / multi-component / restart-interval inputs raise
-NotImplementedError (Pillow/cv2/imageio are not importable in this
+baseline-sequential subset, greyscale AND 3-component YCbCr (4:4:4 /
+4:2:2 / 4:2:0 sampling): `encode_jpeg_baseline` / `decode_jpeg_baseline`
+implement the full ITU-T T.81 path (marker stream, Annex K tables read
+FROM the file's DHT/DQT on decode, interleaved MCU scan, Huffman entropy
+coding with byte stuffing, DCT/IDCT, chroma upsample + JFIF color
+conversion) in pure stdlib + NumPy — progressive / 12-bit /
+restart-interval inputs raise NotImplementedError (Pillow/cv2/imageio are not importable in this
 container — probed in tests/test_multimodal.py). The plumbing around
 every path is real and tested: schema, binary payloads, batch iteration,
 UDF signatures, partition-size control.
@@ -113,8 +114,8 @@ def extract_features(media: DataFrame) -> DataFrame:
 
 def decode_image_stub(payload: bytes, mime: str) -> dict:
     """The honest decode entry point: image/png decodes for REAL via
-    decode_png, image/jpeg via decode_jpeg_baseline (greyscale baseline
-    sequential subset), audio/wav via decode_wav."""
+    decode_png, image/jpeg via decode_jpeg_baseline (baseline sequential,
+    greyscale and 3-component YCbCr), audio/wav via decode_wav."""
     if mime in ("image/png", "image/jpeg"):
         img = (
             decode_png(payload)
@@ -137,7 +138,7 @@ def decode_image_stub(payload: bytes, mime: str) -> dict:
         f"decoding {mime!r} requires a codec library not present in this "
         "environment (PIL/cv2/imageio all fail to import); wire "
         "PIL/torchvision/libav here. image/png decodes for real via "
-        "decode_png/png_features; image/jpeg (greyscale baseline) via "
+        "decode_png/png_features; image/jpeg (baseline sequential) via "
         "decode_jpeg_baseline; audio/wav via decode_wav/wav_features."
     )
 
@@ -1042,64 +1043,144 @@ def _jpeg_extend(bits: int, cat: int) -> int:
     return bits if bits >= (1 << (cat - 1)) else bits - (1 << cat) + 1
 
 
-def encode_jpeg_baseline(pixels) -> bytes:
-    """REAL baseline JPEG encode: (h, w) uint8 greyscale → a
-    standards-conformant JFIF byte string (SOI/APP0/DQT/SOF0/DHT/SOS,
-    Annex K tables, sequential DCT, Huffman, byte stuffing). Lossy like
-    every JPEG — round-trip exactness is NOT the contract; spectral
-    closeness is (tested)."""
+def _rgb_to_ycbcr(rgb):
+    """JFIF (BT.601 full-range) RGB → YCbCr, float64 planes."""
+    import numpy as np
+
+    r = rgb[..., 0].astype(np.float64)
+    g = rgb[..., 1].astype(np.float64)
+    b = rgb[..., 2].astype(np.float64)
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
+    cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
+    return y, cb, cr
+
+
+def _ycbcr_to_rgb(y, cb, cr):
+    """Inverse of _rgb_to_ycbcr, clipped uint8 (h, w, 3)."""
+    import numpy as np
+
+    cb = cb - 128.0
+    cr = cr - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    b = y + 1.772 * cb
+    return np.clip(
+        np.round(np.stack([r, g, b], axis=-1)), 0, 255
+    ).astype(np.uint8)
+
+
+def _encode_plane_blocks(bw, plane, q, t, zz, dc_tab, ac_tab, prev_dc, by, bx):
+    """Entropy-encode ONE 8×8 block of `plane` at (by, bx); returns the
+    updated DC predictor (shared helper of the grey and MCU paths)."""
+    import numpy as np
+
+    block = plane[by:by + 8, bx:bx + 8].astype(np.float64) - 128.0
+    coef = t @ block @ t.T
+    quant = np.round(coef / q).astype(np.int64)
+    seq = [int(quant[r, c]) for r, c in zz]
+    diff = seq[0] - prev_dc
+    prev_dc = seq[0]
+    cat, bits = _jpeg_magnitude(diff)
+    code, ln = dc_tab[cat]
+    bw.write(code, ln)
+    if cat:
+        bw.write(bits, cat)
+    run = 0
+    for v in seq[1:]:
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, ln = ac_tab[0xF0]  # ZRL
+            bw.write(code, ln)
+            run -= 16
+        cat, bits = _jpeg_magnitude(v)
+        code, ln = ac_tab[(run << 4) | cat]
+        bw.write(code, ln)
+        bw.write(bits, cat)
+        run = 0
+    if run:
+        code, ln = ac_tab[0x00]  # EOB
+        bw.write(code, ln)
+    return prev_dc
+
+
+def encode_jpeg_baseline(pixels, subsample: bool = True) -> bytes:
+    """REAL baseline JPEG encode: (h, w) uint8 greyscale OR (h, w, 3)
+    uint8 RGB → a standards-conformant JFIF byte string (SOI/APP0/DQT/
+    SOF0/DHT/SOS, Annex K tables, sequential DCT, Huffman, byte
+    stuffing). RGB goes through JFIF YCbCr; `subsample` picks 4:2:0
+    (2×2 box-averaged chroma, the web default) vs 4:4:4. One quant and
+    one Huffman table pair serve all components (legal — the decoder
+    reads whatever tables the file declares). Lossy like every JPEG —
+    round-trip exactness is NOT the contract; spectral closeness is
+    (tested)."""
     import struct
 
     import numpy as np
 
     arr = np.asarray(pixels, dtype=np.uint8)
-    if arr.ndim != 2:
-        raise ValueError("baseline greyscale only: expected (h, w) uint8")
-    h, w = arr.shape
+    if arr.ndim not in (2, 3) or (arr.ndim == 3 and arr.shape[2] != 3):
+        raise ValueError("expected (h, w) greyscale or (h, w, 3) RGB uint8")
+    h, w = arr.shape[:2]
     if h == 0 or w == 0:
         raise ValueError("empty image")
-    ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
-    padded = np.pad(arr, ((0, ph - h), (0, pw - w)), mode="edge")
     t = _dct_matrix()
     q = np.array(JPEG_QTABLE, dtype=np.float64).reshape(8, 8)
     zz = _jpeg_zigzag()
     dc_tab = _huff_encode_table(JPEG_DC_BITS, JPEG_DC_VALS)
     ac_tab = _huff_encode_table(JPEG_AC_BITS, JPEG_AC_VALS)
-
     bw = _BitWriter()
-    prev_dc = 0
-    for by in range(0, ph, 8):
-        for bx in range(0, pw, 8):
-            block = padded[by:by + 8, bx:bx + 8].astype(np.float64) - 128.0
-            coef = t @ block @ t.T
-            quant = np.round(coef / q).astype(np.int64)
-            seq = [int(quant[r, c]) for r, c in zz]
-            # DC (DPCM)
-            diff = seq[0] - prev_dc
-            prev_dc = seq[0]
-            cat, bits = _jpeg_magnitude(diff)
-            code, ln = dc_tab[cat]
-            bw.write(code, ln)
-            if cat:
-                bw.write(bits, cat)
-            # AC (run-length of zeros + magnitude)
-            run = 0
-            for v in seq[1:]:
-                if v == 0:
-                    run += 1
-                    continue
-                while run > 15:
-                    code, ln = ac_tab[0xF0]  # ZRL
-                    bw.write(code, ln)
-                    run -= 16
-                cat, bits = _jpeg_magnitude(v)
-                code, ln = ac_tab[(run << 4) | cat]
-                bw.write(code, ln)
-                bw.write(bits, cat)
-                run = 0
-            if run:
-                code, ln = ac_tab[0x00]  # EOB
-                bw.write(code, ln)
+
+    if arr.ndim == 2:
+        ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
+        padded = np.pad(arr, ((0, ph - h), (0, pw - w)), mode="edge")
+        prev_dc = 0
+        for by in range(0, ph, 8):
+            for bx in range(0, pw, 8):
+                prev_dc = _encode_plane_blocks(
+                    bw, padded, q, t, zz, dc_tab, ac_tab, prev_dc, by, bx
+                )
+        ncomp = 1
+        sof_comps = b"\x01\x11\x00"
+        sos_comps = b"\x01\x00"
+    else:
+        y, cb, cr = _rgb_to_ycbcr(arr)
+        if subsample:
+            # luma MCU is 16×16: pad luma to ×16, box-average chroma 2×2
+            ph, pw = -(-h // 16) * 16, -(-w // 16) * 16
+            y = np.pad(y, ((0, ph - h), (0, pw - w)), mode="edge")
+            cb = np.pad(cb, ((0, ph - h), (0, pw - w)), mode="edge")
+            cr = np.pad(cr, ((0, ph - h), (0, pw - w)), mode="edge")
+            cb = cb.reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
+            cr = cr.reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
+            planes = [y, cb, cr]
+            samp = [(2, 2), (1, 1), (1, 1)]
+            sof_comps = b"\x01\x22\x00\x02\x11\x00\x03\x11\x00"
+        else:
+            ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
+            planes = [
+                np.pad(p_, ((0, ph - h), (0, pw - w)), mode="edge")
+                for p_ in (y, cb, cr)
+            ]
+            samp = [(1, 1), (1, 1), (1, 1)]
+            sof_comps = b"\x01\x11\x00\x02\x11\x00\x03\x11\x00"
+        hmax = max(s[0] for s in samp)
+        vmax = max(s[1] for s in samp)
+        prev = [0, 0, 0]
+        for my in range(0, ph // (8 * vmax)):
+            for mx in range(0, pw // (8 * hmax)):
+                for ci, (plane, (sh, sv)) in enumerate(zip(planes, samp)):
+                    for byi in range(sv):
+                        for bxi in range(sh):
+                            prev[ci] = _encode_plane_blocks(
+                                bw, plane, q, t, zz, dc_tab, ac_tab,
+                                prev[ci],
+                                (my * sv + byi) * 8, (mx * sh + bxi) * 8,
+                            )
+        ncomp = 3
+        sos_comps = b"\x01\x00\x02\x00\x03\x00"
     scan = bw.flush()
 
     def seg(marker: int, body: bytes) -> bytes:
@@ -1109,14 +1190,14 @@ def encode_jpeg_baseline(pixels) -> bytes:
     out = b"\xff\xd8"  # SOI
     out += seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
     out += seg(0xFFDB, b"\x00" + qz)
-    out += seg(0xFFC0, struct.pack(">BHHB", 8, h, w, 1) + b"\x01\x11\x00")
+    out += seg(0xFFC0, struct.pack(">BHHB", 8, h, w, ncomp) + sof_comps)
     out += seg(
         0xFFC4, b"\x00" + bytes(JPEG_DC_BITS) + bytes(JPEG_DC_VALS)
     )
     out += seg(
         0xFFC4, b"\x10" + bytes(JPEG_AC_BITS) + bytes(JPEG_AC_VALS)
     )
-    out += seg(0xFFDA, b"\x01\x01\x00\x00\x3f\x00")
+    out += seg(0xFFDA, bytes([ncomp]) + sos_comps + b"\x00\x3f\x00")
     out += scan
     out += b"\xff\xd9"  # EOI
     return out
@@ -1125,11 +1206,13 @@ def encode_jpeg_baseline(pixels) -> bytes:
 def decode_jpeg_baseline(payload: bytes):
     """REAL baseline JPEG decode: parse the marker stream, build the
     Huffman tables FROM THE FILE's DHT segments (so any conformant
-    encoder's greyscale baseline output decodes, not just ours),
-    entropy-decode, dequantize, inverse-DCT, return an (h, w) uint8
-    array. Supports the 8-bit single-component sequential subset; raises
-    NotImplementedError on progressive/multi-component/12-bit input and
-    ValueError on corrupt streams."""
+    encoder's baseline output decodes, not just ours), entropy-decode
+    the interleaved MCU scan, dequantize, inverse-DCT, upsample chroma,
+    and convert JFIF YCbCr → RGB. Returns (h, w) uint8 for greyscale
+    input and (h, w, 3) uint8 for 3-component input; supports 8-bit
+    sequential with any h/v sampling in {1, 2} (4:4:4, 4:2:2, 4:2:0).
+    Raises NotImplementedError on progressive/12-bit/restart-interval
+    input and ValueError on corrupt streams."""
     import struct
 
     import numpy as np
@@ -1184,19 +1267,27 @@ def decode_jpeg_baseline(payload: bytes):
                 huff[(tc, th)] = _huff_decode_table(bits, vals)
                 b = b[17 + nv:]
         elif marker == 0xC0:  # SOF0 baseline
-            if len(body) < 9:
+            if len(body) < 6:
                 raise ValueError("SOF0 segment truncated")
             depth, h, w, ncomp = struct.unpack(">BHHB", body[:6])
             if depth != 8:
                 raise NotImplementedError(f"{depth}-bit precision")
-            if ncomp != 1:
-                raise NotImplementedError(
-                    f"{ncomp}-component JPEG (greyscale subset wired)"
-                )
-            sampling, tq = body[7], body[8]
-            if sampling != 0x11:
+            if ncomp not in (1, 3):
+                raise NotImplementedError(f"{ncomp}-component JPEG")
+            if len(body) < 6 + 3 * ncomp:
+                raise ValueError("SOF0 segment truncated")
+            comps = []
+            for ci in range(ncomp):
+                cid, hv, tq = body[6 + 3 * ci:9 + 3 * ci]
+                sh, sv = hv >> 4, hv & 0x0F
+                if sh not in (1, 2) or sv not in (1, 2):
+                    raise NotImplementedError(
+                        f"sampling factor {sh}x{sv} (1 and 2 wired)"
+                    )
+                comps.append((cid, sh, sv, tq))
+            if ncomp == 1 and comps[0][1:3] != (1, 1):
                 raise NotImplementedError("subsampled single component")
-            sof = (h, w, tq)
+            sof = (h, w, comps)
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
                         0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
@@ -1206,9 +1297,16 @@ def decode_jpeg_baseline(payload: bytes):
         elif marker == 0xDD:
             raise NotImplementedError("restart intervals (DRI)")
         elif marker == 0xDA:  # SOS — entropy data follows to EOI
-            if len(body) < 3:
+            if len(body) < 1:
                 raise ValueError("SOS segment truncated")
-            comp_tables = (body[2] >> 4, body[2] & 0x0F)
+            ns = body[0]
+            if len(body) < 1 + 2 * ns:
+                raise ValueError("SOS segment truncated")
+            # scan component order: (cid, dc table, ac table) per entry
+            comp_tables = {}
+            for si in range(ns):
+                cid, tt = body[1 + 2 * si], body[2 + 2 * si]
+                comp_tables[cid] = (tt >> 4, tt & 0x0F)
             end = payload.rfind(b"\xff\xd9")
             if end < 0:
                 raise ValueError("missing EOI")
@@ -1216,13 +1314,9 @@ def decode_jpeg_baseline(payload: bytes):
             break
     if sof is None or scan_data is None:
         raise ValueError("missing SOF0/SOS")
-    h, w, tq = sof
-    q = np.array(qtables[tq], dtype=np.float64)
+    h, w, comps = sof
     zz = _jpeg_zigzag()
-    dc = huff[(0, comp_tables[0])]
-    ac = huff[(1, comp_tables[1])]
     t = _dct_matrix()
-
     br = _BitReader(scan_data)
 
     def read_code(table: dict) -> int:
@@ -1234,36 +1328,77 @@ def decode_jpeg_baseline(payload: bytes):
                 return table[(length, code)]
         raise ValueError("invalid Huffman code in scan")
 
-    ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
-    out = np.zeros((ph, pw), dtype=np.float64)
-    prev_dc = 0
-    for by in range(0, ph, 8):
-        for bx in range(0, pw, 8):
-            seq = np.zeros(64, dtype=np.float64)
-            cat = read_code(dc)
-            diff = _jpeg_extend(br.read_bits(cat), cat) if cat else 0
-            prev_dc += diff
-            seq[0] = prev_dc
-            k = 1
-            while k < 64:
-                rs = read_code(ac)
-                run, cat = rs >> 4, rs & 0x0F
-                if cat == 0:
-                    if run == 15:  # ZRL
-                        k += 16
-                        continue
-                    break  # EOB
-                k += run
-                if k > 63:
-                    raise ValueError("AC run past end of block")
-                seq[k] = _jpeg_extend(br.read_bits(cat), cat)
-                k += 1
-            dq = seq * q
-            block = np.zeros((8, 8))
-            for i, (r, c) in enumerate(zz):
-                block[r, c] = dq[i]
-            out[by:by + 8, bx:bx + 8] = t.T @ block @ t
-    return np.clip(np.round(out + 128.0), 0, 255).astype(np.uint8)[:h, :w]
+    def read_block(dc_t: dict, ac_t: dict, q: "np.ndarray",
+                   prev_dc: int) -> tuple["np.ndarray", int]:
+        seq = np.zeros(64, dtype=np.float64)
+        cat = read_code(dc_t)
+        diff = _jpeg_extend(br.read_bits(cat), cat) if cat else 0
+        prev_dc += diff
+        seq[0] = prev_dc
+        k = 1
+        while k < 64:
+            rs = read_code(ac_t)
+            run, cat = rs >> 4, rs & 0x0F
+            if cat == 0:
+                if run == 15:  # ZRL
+                    k += 16
+                    continue
+                break  # EOB
+            k += run
+            if k > 63:
+                raise ValueError("AC run past end of block")
+            seq[k] = _jpeg_extend(br.read_bits(cat), cat)
+            k += 1
+        dq = seq * q
+        block = np.zeros((8, 8))
+        for i, (r, c) in enumerate(zz):
+            block[r, c] = dq[i]
+        return t.T @ block @ t, prev_dc
+
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+    planes = []
+    tables = []
+    for cid, sh, sv, tq in comps:
+        planes.append(np.zeros((mcus_y * sv * 8, mcus_x * sh * 8)))
+        if cid not in comp_tables:
+            raise ValueError(f"SOS lists no tables for component {cid}")
+        dc_id, ac_id = comp_tables[cid]
+        tables.append(
+            (
+                huff[(0, dc_id)],
+                huff[(1, ac_id)],
+                np.array(qtables[tq], dtype=np.float64),
+            )
+        )
+    prev = [0] * len(comps)
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            for ci, (cid, sh, sv, tq) in enumerate(comps):
+                dc_t, ac_t, q = tables[ci]
+                for byi in range(sv):
+                    for bxi in range(sh):
+                        block, prev[ci] = read_block(
+                            dc_t, ac_t, q, prev[ci]
+                        )
+                        by = (my * sv + byi) * 8
+                        bx = (mx * sh + bxi) * 8
+                        planes[ci][by:by + 8, bx:bx + 8] = block
+
+    if len(comps) == 1:
+        out = planes[0] + 128.0
+        return np.clip(np.round(out), 0, 255).astype(np.uint8)[:h, :w]
+    # upsample each component to full resolution by pixel replication,
+    # crop to (h, w), then JFIF YCbCr -> RGB
+    full = []
+    for (cid, sh, sv, tq), plane in zip(comps, planes):
+        up = np.repeat(
+            np.repeat(plane + 128.0, vmax // sv, axis=0), hmax // sh, axis=1
+        )
+        full.append(up[:h, :w])
+    return _ycbcr_to_rgb(full[0], full[1], full[2])
 
 
 def synthesize_jpeg(
