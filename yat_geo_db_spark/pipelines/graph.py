@@ -62,11 +62,20 @@ def pagerank(
         )
     nd = nodes.select(F.col(node_col).alias("_node"))
     n_frame = F.broadcast(nd.agg(F.count(F.lit(1)).alias("_n")))
-    # carry N as a broadcast column — no driver-side count action
-    ranks = nd.crossJoin(n_frame).select(
-        "_node", "_n", (F.lit(1.0) / F.col("_n").cast("double")).alias("_r")
-    )
     outdeg = e.groupBy("_src").agg(F.count(F.lit(1)).alias("_deg"))
+    # the dangling SET is static — resolve it once into a carried flag
+    # (one anti-join total) so each round's dangling mass is a plain
+    # filter + aggregate instead of a fresh anti-join of V against E
+    ranks = (
+        nd.join(outdeg, nd["_node"] == outdeg["_src"], "left")
+        .crossJoin(n_frame)
+        .select(
+            "_node",
+            "_n",
+            F.col("_deg").isNull().alias("_dangling"),
+            (F.lit(1.0) / F.col("_n").cast("double")).alias("_r"),
+        )
+    )
 
     for _ in range(n_iter):
         contrib = (
@@ -77,16 +86,17 @@ def pagerank(
                  .alias("_c"))
         )
         dangling = F.broadcast(
-            ranks.join(outdeg, ranks["_node"] == outdeg["_src"], "left_anti")
+            ranks.filter(F.col("_dangling"))
             .agg(F.coalesce(dsum(F.col("_r"), scale), F.lit(0.0)).alias("_dm"))
         )
         ranks = (
-            ranks.select("_node", "_n")
+            ranks.select("_node", "_n", "_dangling")
             .join(contrib, ranks["_node"] == contrib["_dst"], "left")
             .crossJoin(dangling)
             .select(
                 "_node",
                 "_n",
+                "_dangling",
                 (
                     F.lit(1.0 - damping) / F.col("_n").cast("double")
                     + F.lit(damping)
