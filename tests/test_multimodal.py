@@ -549,7 +549,7 @@ def test_jpeg_rgb_roundtrip_both_samplings():
     grad[..., 0] = np.linspace(0, 255, w, dtype=np.uint8)[None, :]
     grad[..., 1] = np.linspace(255, 0, h, dtype=np.uint8)[:, None]
     grad[..., 2] = 128
-    for ss in (True, False):
+    for ss in ("420", "422", "444"):
         dec = decode_jpeg_baseline(encode_jpeg_baseline(grad, subsample=ss))
         assert dec.shape == (h, w, 3)
         assert np.abs(dec.astype(int) - grad.astype(int)).mean() < 8

@@ -1110,8 +1110,9 @@ def encode_jpeg_baseline(pixels, subsample: bool = True) -> bytes:
     """REAL baseline JPEG encode: (h, w) uint8 greyscale OR (h, w, 3)
     uint8 RGB → a standards-conformant JFIF byte string (SOI/APP0/DQT/
     SOF0/DHT/SOS, Annex K tables, sequential DCT, Huffman, byte
-    stuffing). RGB goes through JFIF YCbCr; `subsample` picks 4:2:0
-    (2×2 box-averaged chroma, the web default) vs 4:4:4. One quant and
+    stuffing). RGB goes through JFIF YCbCr; `subsample` picks the
+    chroma layout — True/"420" (2×2 box-averaged, the web default),
+    "422" (horizontal halving), False/"444". One quant and
     one Huffman table pair serve all components (legal — the decoder
     reads whatever tables the file declares). Lossy like every JPEG —
     round-trip exactness is NOT the contract; spectral closeness is
@@ -1146,8 +1147,11 @@ def encode_jpeg_baseline(pixels, subsample: bool = True) -> bytes:
         sof_comps = b"\x01\x11\x00"
         sos_comps = b"\x01\x00"
     else:
+        mode = {True: "420", False: "444"}.get(subsample, subsample)
+        if mode not in ("420", "422", "444"):
+            raise ValueError(f"subsample mode {mode!r}: 420/422/444")
         y, cb, cr = _rgb_to_ycbcr(arr)
-        if subsample:
+        if mode == "420":
             # luma MCU is 16×16: pad luma to ×16, box-average chroma 2×2
             ph, pw = -(-h // 16) * 16, -(-w // 16) * 16
             y = np.pad(y, ((0, ph - h), (0, pw - w)), mode="edge")
@@ -1158,6 +1162,17 @@ def encode_jpeg_baseline(pixels, subsample: bool = True) -> bytes:
             planes = [y, cb, cr]
             samp = [(2, 2), (1, 1), (1, 1)]
             sof_comps = b"\x01\x22\x00\x02\x11\x00\x03\x11\x00"
+        elif mode == "422":
+            # luma MCU is 16×8: chroma halved horizontally only
+            ph, pw = -(-h // 8) * 8, -(-w // 16) * 16
+            y = np.pad(y, ((0, ph - h), (0, pw - w)), mode="edge")
+            cb = np.pad(cb, ((0, ph - h), (0, pw - w)), mode="edge")
+            cr = np.pad(cr, ((0, ph - h), (0, pw - w)), mode="edge")
+            cb = cb.reshape(ph, pw // 2, 2).mean(axis=2)
+            cr = cr.reshape(ph, pw // 2, 2).mean(axis=2)
+            planes = [y, cb, cr]
+            samp = [(2, 1), (1, 1), (1, 1)]
+            sof_comps = b"\x01\x21\x00\x02\x11\x00\x03\x11\x00"
         else:
             ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
             planes = [
