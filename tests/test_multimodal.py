@@ -602,3 +602,36 @@ def test_jpeg_greyscale_output_unchanged():
     # SOF0 declares exactly one component
     sof = payload.find(b"\xff\xc0")
     assert payload[sof + 9] == 1
+
+
+def test_jpeg_multiscan_refused_loudly():
+    """A 3-component file whose scan interleaves only one component
+    (the non-interleaved multi-scan baseline form) must raise
+    NotImplementedError, not silently mis-decode."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from yat_geo_db_spark.pipelines.multimodal import (
+        decode_jpeg_baseline,
+        encode_jpeg_baseline,
+    )
+
+    img = np.zeros((16, 16, 3), np.uint8)
+    img[:] = (10, 200, 90)
+    payload = bytearray(encode_jpeg_baseline(img, subsample=False))
+    i = payload.find(b"\xff\xda")
+    assert i >= 0
+    (seg_len,) = struct.unpack(">H", payload[i + 2:i + 4])
+    # rewrite SOS: ns=1, keep only component 1's entry + spectral bytes
+    body = payload[i + 4:i + 2 + seg_len]
+    new_body = bytes([1]) + bytes(body[1:3]) + bytes(body[-3:])
+    patched = (
+        bytes(payload[:i + 2])
+        + struct.pack(">H", len(new_body) + 2)
+        + new_body
+        + bytes(payload[i + 2 + seg_len:])
+    )
+    with pytest.raises(NotImplementedError, match="multi-scan"):
+        decode_jpeg_baseline(patched)

@@ -302,6 +302,8 @@ def test_cdc_apply_semantics(spark):
             (2, "gone", 2, "D"), # ...then deleted at higher version
             (3, "tie", 0, "U"),  # version tie -> stream beats snapshot
             (4, "new", 1, "I"),  # brand-new key
+            (5, "up", 3, "U"),   # same-version U and D ...
+            (5, "del", 3, "D"),  # ... the DELETE wins, deterministically
         ],
         "k long, v string, version int, op string",
     )

@@ -489,3 +489,13 @@ def test_sample_to_token_budget_semantics(spark):
     # b: under budget -> all 3 kept
     assert len(by_src["b"]) == 3
     assert "unlisted" not in by_src
+    # weighted path: NULL/non-positive weights are excluded (a negative
+    # weight would flip ln(u)/w positive and outrank every valid doc)
+    weighted = sample_to_token_budget(
+        docs.withColumn(
+            "w", F.when(F.col("doc_id") == 0, -5.0).otherwise(1.0)
+        ),
+        {"a": 35, "b": 1000},
+        weight_col=F.col("w"),
+    ).collect()
+    assert all(r["doc_id"] != 0 for r in weighted)

@@ -648,7 +648,9 @@ def png_features(media: DataFrame) -> DataFrame:
     """Distributed PNG feature extraction through the REAL codec:
     Arrow-batched mapInPandas, decode_png per payload, integer features
     (dims, pixel sum/max) so an oracle that re-derives the pixels from
-    the source text checks the whole decode path bit-for-bit."""
+    the source text checks the whole decode path bit-for-bit. For RGB
+    images n_pixels/pixel_sum count SAMPLES (h*w*3 subpixels), the
+    numpy `size`/`sum` convention — shared with jpeg_features."""
 
     def _extract(batches: Iterator) -> Iterator:
         import pandas as pd
@@ -1317,11 +1319,15 @@ def decode_jpeg_baseline(payload: bytes):
             ns = body[0]
             if len(body) < 1 + 2 * ns:
                 raise ValueError("SOS segment truncated")
-            # scan component order: (cid, dc table, ac table) per entry
+            # scan component order: (cid, dc table, ac table) per entry.
+            # T.81 interleaves MCUs in SOS order (which may differ from
+            # SOF order) — preserved in sos_order.
             comp_tables = {}
+            sos_order = []
             for si in range(ns):
                 cid, tt = body[1 + 2 * si], body[2 + 2 * si]
                 comp_tables[cid] = (tt >> 4, tt & 0x0F)
+                sos_order.append(cid)
             end = payload.rfind(b"\xff\xd9")
             if end < 0:
                 raise ValueError("missing EOI")
@@ -1370,47 +1376,57 @@ def decode_jpeg_baseline(payload: bytes):
             block[r, c] = dq[i]
         return t.T @ block @ t, prev_dc
 
+    if len(sos_order) != len(comps):
+        # T.81 also allows one scan per component (non-interleaved);
+        # this decoder wires the interleaved-single-scan form only
+        raise NotImplementedError(
+            f"scan interleaves {len(sos_order)} of {len(comps)} "
+            "components (multi-scan baseline not wired)"
+        )
+    by_cid = {c[0]: c for c in comps}
+    if set(sos_order) != set(by_cid):
+        raise ValueError("SOS component ids do not match SOF0")
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
     mcus_x = -(-w // (8 * hmax))
     mcus_y = -(-h // (8 * vmax))
-    planes = []
-    tables = []
-    for cid, sh, sv, tq in comps:
-        planes.append(np.zeros((mcus_y * sv * 8, mcus_x * sh * 8)))
-        if cid not in comp_tables:
-            raise ValueError(f"SOS lists no tables for component {cid}")
+    # MCU interleave follows SOS order (may differ from SOF order)
+    scan_comps = [by_cid[cid] for cid in sos_order]
+    planes: dict[int, "np.ndarray"] = {}
+    tables: dict[int, tuple] = {}
+    for cid, sh, sv, tq in scan_comps:
+        planes[cid] = np.zeros((mcus_y * sv * 8, mcus_x * sh * 8))
         dc_id, ac_id = comp_tables[cid]
-        tables.append(
-            (
-                huff[(0, dc_id)],
-                huff[(1, ac_id)],
-                np.array(qtables[tq], dtype=np.float64),
-            )
+        tables[cid] = (
+            huff[(0, dc_id)],
+            huff[(1, ac_id)],
+            np.array(qtables[tq], dtype=np.float64),
         )
-    prev = [0] * len(comps)
+    prev = {cid: 0 for cid in sos_order}
     for my in range(mcus_y):
         for mx in range(mcus_x):
-            for ci, (cid, sh, sv, tq) in enumerate(comps):
-                dc_t, ac_t, q = tables[ci]
+            for cid, sh, sv, tq in scan_comps:
+                dc_t, ac_t, q = tables[cid]
                 for byi in range(sv):
                     for bxi in range(sh):
-                        block, prev[ci] = read_block(
-                            dc_t, ac_t, q, prev[ci]
+                        block, prev[cid] = read_block(
+                            dc_t, ac_t, q, prev[cid]
                         )
                         by = (my * sv + byi) * 8
                         bx = (mx * sh + bxi) * 8
-                        planes[ci][by:by + 8, bx:bx + 8] = block
+                        planes[cid][by:by + 8, bx:bx + 8] = block
 
     if len(comps) == 1:
-        out = planes[0] + 128.0
+        out = planes[comps[0][0]] + 128.0
         return np.clip(np.round(out), 0, 255).astype(np.uint8)[:h, :w]
     # upsample each component to full resolution by pixel replication,
-    # crop to (h, w), then JFIF YCbCr -> RGB
+    # crop to (h, w), then JFIF YCbCr -> RGB. Channel roles follow SOF
+    # order (Y first per JFIF), independent of the scan interleave order.
     full = []
-    for (cid, sh, sv, tq), plane in zip(comps, planes):
+    for cid, sh, sv, tq in comps:
         up = np.repeat(
-            np.repeat(plane + 128.0, vmax // sv, axis=0), hmax // sh, axis=1
+            np.repeat(planes[cid] + 128.0, vmax // sv, axis=0),
+            hmax // sh, axis=1,
         )
         full.append(up[:h, :w])
     return _ycbcr_to_rgb(full[0], full[1], full[2])
@@ -1464,7 +1480,9 @@ def synthesize_jpeg(
 def jpeg_features(media: DataFrame) -> DataFrame:
     """Distributed JPEG feature extraction through the REAL baseline
     codec: Arrow-batched mapInPandas, decode_jpeg_baseline per payload,
-    same integer feature row as png_features."""
+    same integer feature row as png_features — including its
+    sample-count convention: for 3-component JPEGs n_pixels/pixel_sum
+    cover h*w*3 subpixels, not h*w."""
 
     def _extract(batches: Iterator) -> Iterator:
         import pandas as pd

@@ -1578,8 +1578,13 @@ def sample_to_token_budget(
             sample_hash_col(F.col(id_col), ES_SAMPLE_PRIME),
             F.lit(0.5 / ES_SAMPLE_PRIME),
         )
-        key = F.round(F.log(u) / weight_col.cast("double"), 12)
+        w = weight_col.cast("double")
+        key = F.round(F.log(u) / w, 12)
         order = [F.desc("_key"), F.asc(id_col)]
+        # same A-ES domain contract as weighted_sample_exact_k: NULL or
+        # non-positive weights are excluded (ln(u)<0, so a negative w
+        # would flip the key POSITIVE and outrank every valid doc)
+        documents = documents.filter(w.isNotNull() & (w > 0))
     else:
         key = sample_hash_col(F.col(id_col), ES_SAMPLE_PRIME)
         order = [F.asc("_key"), F.asc(id_col)]

@@ -1959,7 +1959,7 @@ WITH tagged AS (
 )
 SELECT o_orderkey, price, CAST(version AS INT) AS version FROM (
   SELECT *, row_number() OVER (PARTITION BY o_orderkey
-                               ORDER BY version DESC, src DESC) AS rn
+                               ORDER BY version DESC, src DESC, op ASC) AS rn
   FROM tagged
 ) WHERE rn = 1 AND op <> 'D'
 """

@@ -16,6 +16,26 @@ from pyspark.sql import Window
 import pyspark.sql.functions as F
 
 
+def _latest_rows(
+    base: DataFrame,
+    updates: DataFrame,
+    key_cols: list[str],
+    order_cols,
+) -> DataFrame:
+    """Union base (tagged _src=0) with updates (_src=1) and keep the
+    first row per key under `order_cols` — the shared version-rank core
+    of upsert_latest and cdc_apply (one hash shuffle on the key)."""
+    tagged = base.withColumn("_src", F.lit(0)).unionByName(
+        updates.withColumn("_src", F.lit(1))
+    )
+    w = Window.partitionBy(*key_cols).orderBy(*order_cols)
+    return (
+        tagged.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_src", "_rn")
+    )
+
+
 def upsert_latest(
     base: DataFrame,
     updates: DataFrame,
@@ -26,16 +46,8 @@ def upsert_latest(
     highest version; on version ties the update wins (deterministic via a
     source tag in the sort — never arbitrary). Columns must align
     (unionByName). One hash shuffle on the key."""
-    tagged = base.withColumn("_src", F.lit(0)).unionByName(
-        updates.withColumn("_src", F.lit(1))
-    )
-    w = Window.partitionBy(*key_cols).orderBy(
-        F.desc(version_col), F.desc("_src")
-    )
-    return (
-        tagged.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .drop("_src", "_rn")
+    return _latest_rows(
+        base, updates, key_cols, [F.desc(version_col), F.desc("_src")]
     )
 
 
@@ -53,19 +65,21 @@ def cdc_apply(
     and updates are deliberately not distinguished — late/replayed
     streams blur them, and last-writer-wins is the portable semantics).
 
-    Same scale shape as upsert_latest: one union + ONE hash shuffle on
-    the key for the version rank, deletes filtered after the rank (a
-    delete must still outrank older upserts to suppress them). Snapshot
-    rows act as version-tagged upserts; change-stream ties beat snapshot
-    ties. `changes` carries the snapshot's columns plus `op_col`."""
-    tagged = snapshot.withColumn(op_col, F.lit("U")).withColumn(
-        "_src", F.lit(0)
-    ).unionByName(changes.withColumn("_src", F.lit(1)))
-    w = Window.partitionBy(*key_cols).orderBy(
-        F.desc(version_col), F.desc("_src")
+    Same scale shape as upsert_latest (shared _latest_rows core): one
+    union + ONE hash shuffle on the key for the version rank, deletes
+    filtered after the rank (a delete must still outrank older upserts
+    to suppress them). Snapshot rows act as version-tagged upserts;
+    change-stream ties beat snapshot ties, and among change-stream rows
+    tied on version the DELETE wins ('D' < 'I' < 'U' ascending — the
+    conservative outcome for a replayed stream; never partition-order
+    dependent). Two same-version upserts with different payloads remain
+    ambiguous by construction — real CDC streams version uniquely per
+    key, which is the documented precondition. `changes` carries the
+    snapshot's columns plus `op_col`."""
+    kept = _latest_rows(
+        snapshot.withColumn(op_col, F.lit("U")),
+        changes,
+        key_cols,
+        [F.desc(version_col), F.desc("_src"), F.asc(op_col)],
     )
-    return (
-        tagged.withColumn("_rn", F.row_number().over(w))
-        .filter((F.col("_rn") == 1) & (F.col(op_col) != "D"))
-        .drop("_src", "_rn", op_col)
-    )
+    return kept.filter(F.col(op_col) != "D").drop(op_col)
