@@ -499,3 +499,31 @@ def test_sample_to_token_budget_semantics(spark):
         weight_col=F.col("w"),
     ).collect()
     assert all(r["doc_id"] != 0 for r in weighted)
+
+
+def test_curriculum_order_buckets_monotone(spark):
+    """Percentile buckets are score-monotone (max of bucket i <= min of
+    bucket i+1), all n_buckets appear on a spread distribution, and
+    positions are dense 1..k permutations per bucket."""
+    from yat_geo_db_spark.pipelines.curation import curriculum_order
+
+    docs = spark.createDataFrame(
+        [(i, float(i)) for i in range(100)], "doc_id long, s double"
+    )
+    rows = curriculum_order(docs, F.col("s"), n_buckets=4).collect()
+    by_bucket: dict = {}
+    for r in rows:
+        by_bucket.setdefault(r["bucket"], []).append(r)
+    assert set(by_bucket) == {0, 1, 2, 3}
+    for b in range(3):
+        assert max(r["score"] for r in by_bucket[b]) <= min(
+            r["score"] for r in by_bucket[b + 1]
+        )
+    for b, rs in by_bucket.items():
+        assert sorted(r["position"] for r in rs) == list(
+            range(1, len(rs) + 1)
+        )
+    import pytest
+
+    with pytest.raises(ValueError):
+        curriculum_order(docs, F.col("s"), n_buckets=1)

@@ -181,6 +181,15 @@ class CorpusManager:
             text_col=self.text_col, id_col=self.id_col,
         )
 
+    def curriculum(self, score_col, n_buckets: int = 4):
+        """Percentile-bucketed curriculum order over the corpus."""
+        from yat_geo_db_spark.pipelines.curation import curriculum_order
+
+        return curriculum_order(
+            self.documents, score_col, n_buckets=n_buckets,
+            id_col=self.id_col,
+        )
+
     def sample_to_token_budget(
         self, budgets: dict[str, int], group_col: str = "source",
         weight_col=None,

@@ -665,3 +665,51 @@ def right_to_forget(
             .alias("reason"),
         )
     )
+
+
+def curriculum_order(
+    documents: DataFrame,
+    score_col: Column,
+    n_buckets: int = 4,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Curriculum-learning order: documents bucketed by exact score
+    percentile (bucket 0 = lowest quartile ... consumed easy→hard or
+    hard→easy by the trainer), with a deterministic pseudo-random
+    position inside each bucket.
+
+    Scale shape: the percentile boundaries are ONE aggregation row
+    broadcast back (no global sort of the corpus — the classic ntile()
+    window would be one); bucket assignment is a per-row comparison
+    chain; the only wide op is a row_number window per bucket. The
+    boundaries are rounded at 6 dp before comparison so the bucket edge
+    is the same literal in both engines. Returns
+    (id, score, bucket, position)."""
+    if n_buckets < 2:
+        raise ValueError("n_buckets must be >= 2")
+    from yat_geo_db_spark.pipelines.text import sample_hash_col
+    from pyspark.sql import Window
+
+    qs = [i / n_buckets for i in range(1, n_buckets)]
+    score = score_col.cast("double")
+    bounds = F.broadcast(
+        documents.agg(
+            F.percentile(score, F.array(*[F.lit(q) for q in qs])).alias("_bs")
+        )
+    )
+    bucket = F.lit(0)
+    for j in range(len(qs)):
+        bucket = bucket + F.when(
+            score > F.round(F.col("_bs")[j], 6), 1
+        ).otherwise(0)
+    keyed = documents.crossJoin(bounds).select(
+        F.col(id_col),
+        score.alias("score"),
+        bucket.cast("int").alias("bucket"),
+        sample_hash_col(F.col(id_col), 1_000_000_007).alias("_k"),
+    )
+    w = Window.partitionBy("bucket").orderBy(F.asc("_k"), F.asc(id_col))
+    return keyed.select(
+        id_col, "score", "bucket",
+        F.row_number().over(w).alias("position"),
+    )

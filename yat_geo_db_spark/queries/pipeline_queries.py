@@ -3609,8 +3609,49 @@ FROM c WHERE cum_tokens - n_tokens < budget
 """
 
 
+CURRICULUM_BUCKETS = 4
+
+
+def q_curriculum_order(spark, sf_dir):
+    """Curriculum order over doc length: exact-percentile buckets
+    (broadcast boundary row — NO corpus-wide ntile sort) + deterministic
+    within-bucket positions."""
+    from yat_geo_db_spark.pipelines import curation
+
+    return curation.curriculum_order(
+        load_table(spark, sf_dir, "documents"),
+        F.col("n_chars"),
+        n_buckets=CURRICULUM_BUCKETS,
+    )
+
+
+def _curriculum_sql() -> str:
+    qs = [i / CURRICULUM_BUCKETS for i in range(1, CURRICULUM_BUCKETS)]
+    arms = " + ".join(
+        f"CASE WHEN CAST(n_chars AS DOUBLE) > round(bs[{j + 1}], 6) "
+        "THEN 1 ELSE 0 END"
+        for j in range(len(qs))
+    )
+    u = f"CAST({mix_sql('doc_id', 1_000_000_007)} AS DOUBLE) / 1000000007.0"
+    return f"""
+WITH b AS (
+  SELECT quantile_cont(CAST(n_chars AS DOUBLE), {qs}) AS bs FROM documents
+),
+k AS (
+  SELECT doc_id, CAST(n_chars AS DOUBLE) AS score,
+         CAST({arms} AS INT) AS bucket, {u} AS u
+  FROM documents, b
+)
+SELECT doc_id, score, bucket,
+       CAST(row_number() OVER (
+         PARTITION BY bucket ORDER BY u, doc_id) AS INT) AS position
+FROM k
+"""
+
+
 QUERIES: dict = {
     "pipe_pii_scrub": (q_pii_scrub, _pii_scrub_sql()),
+    "pipe_curriculum_order": (q_curriculum_order, _curriculum_sql()),
     "pipe_mix_pipeline": (q_mix_pipeline, _mix_pipeline_sql()),
     "pipe_sample_token_budget": (q_sample_token_budget, _token_budget_sql()),
     "pipe_curate_forget": (q_curate_forget, _CURATE_FORGET_SQL),
