@@ -527,3 +527,31 @@ def test_curriculum_order_buckets_monotone(spark):
 
     with pytest.raises(ValueError):
         curriculum_order(docs, F.col("s"), n_buckets=1)
+
+
+def test_html_to_text_extraction(spark):
+    """Script/style/comment interiors never leak (even when they contain
+    markup or '<'), entities decode exactly one level, counts are right,
+    and pathological markup degrades to whitespace, not an exception."""
+    from yat_geo_db_spark.pipelines.text import html_to_text
+
+    docs = spark.createDataFrame(
+        [
+            (0, "<html><body><script>var a = '<p>fake</p>';</script>"
+                "<STYLE>h1 {x: 1 < 2}</STYLE><h1>Real</h1>"
+                "<!-- <b>ghost</b> --><p>body &amp; soul &lt;tag&gt;</p>"
+                "</body></html>"),
+            (1, "no markup at all"),
+            (2, "broken <unclosed and &amp;lt; double"),
+        ],
+        "doc_id long, html string",
+    )
+    out = {r["doc_id"]: r for r in html_to_text(docs).collect()}
+    assert out[0]["extracted"] == "Real body & soul <tag>"
+    assert out[0]["n_dropped_blocks"] == 2
+    assert "fake" not in out[0]["extracted"]
+    assert "ghost" not in out[0]["extracted"]
+    assert out[1]["extracted"] == "no markup at all"
+    assert out[1]["n_tags"] == 0 and out[1]["n_dropped_blocks"] == 0
+    # entity-of-entity decodes ONE level (&amp;lt; -> &lt;, not <)
+    assert "&lt;" in out[2]["extracted"]

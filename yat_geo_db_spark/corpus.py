@@ -181,6 +181,14 @@ class CorpusManager:
             text_col=self.text_col, id_col=self.id_col,
         )
 
+    def html_extract(self, html_col: str = "html") -> DataFrame:
+        """WARC→WET HTML → visible-text extraction."""
+        from yat_geo_db_spark.pipelines.text import html_to_text
+
+        return html_to_text(
+            self.documents, html_col=html_col, id_col=self.id_col
+        )
+
     def curriculum(self, score_col, n_buckets: int = 4):
         """Percentile-bucketed curriculum order over the corpus."""
         from yat_geo_db_spark.pipelines.curation import curriculum_order

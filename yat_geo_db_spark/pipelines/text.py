@@ -1602,3 +1602,60 @@ def sample_to_token_budget(
     return cum.filter(
         F.col("cum_tokens") - F.col("n_tokens") < F.col("_budget")
     ).select(id_col, group_col, "n_tokens", "cum_tokens")
+
+
+#: HTML-extraction regex chain — RE2∩Java like PII_PATTERNS ((?is) inline
+#: flags, lazy quantifiers, no lookaround/backrefs), applied IN ORDER:
+#: comments and script/style blocks must vanish before the generic tag
+#: strip, or their inner text would leak into the extraction.
+HTML_STRIP_PATTERNS: tuple[tuple[str, str], ...] = (
+    ("comment", r"(?s)<!--.*?-->"),
+    ("script", r"(?is)<script[^>]*>.*?</script>"),
+    ("style", r"(?is)<style[^>]*>.*?</style>"),
+    ("tag", r"(?s)<[^>]*>"),
+)
+
+#: minimal entity ladder (the ones that survive into body text)
+HTML_ENTITIES: tuple[tuple[str, str], ...] = (
+    ("&nbsp;", " "),
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&amp;", "&"),  # LAST — else &amp;lt; would double-decode
+)
+
+
+def html_to_text(
+    documents: DataFrame,
+    html_col: str = "html",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """HTML → visible text — the WARC→WET step at the head of every web
+    pre-training pipeline: drop comments and script/style blocks, strip
+    the remaining markup, decode the common entities, collapse
+    whitespace. Counts tags/blocks removed for auditing.
+
+    Deliberately regex-scoped (like C4/WET extraction, not a DOM
+    parser): pathological markup degrades to extra whitespace, never to
+    an exception. One codegen'd projection — scan-bound like pii_scrub;
+    the patterns are RE2∩Java so the DuckDB oracle replays them.
+
+    Returns (id, extracted, n_tags, n_dropped_blocks)."""
+    cur = F.col(html_col)
+    n_blocks = (
+        F.regexp_count(cur, F.lit(HTML_STRIP_PATTERNS[1][1]))
+        + F.regexp_count(cur, F.lit(HTML_STRIP_PATTERNS[2][1]))
+    )
+    for _, pat in HTML_STRIP_PATTERNS[:3]:
+        cur = F.regexp_replace(cur, pat, " ")
+    n_tags = F.regexp_count(cur, F.lit(HTML_STRIP_PATTERNS[3][1]))
+    cur = F.regexp_replace(cur, HTML_STRIP_PATTERNS[3][1], " ")
+    for ent, repl in HTML_ENTITIES:
+        cur = F.replace(cur, F.lit(ent), F.lit(repl))
+    return documents.select(
+        F.col(id_col),
+        normalize_ws_col(cur).alias("extracted"),
+        n_tags.cast("int").alias("n_tags"),
+        n_blocks.cast("int").alias("n_dropped_blocks"),
+    )

@@ -3649,8 +3649,65 @@ FROM k
 """
 
 
+def q_html_extract(spark, sf_dir):
+    """WARC→WET HTML extraction over deterministically-synthesized markup
+    (the fixture corpus is plain text, so the query wraps each doc in a
+    page skeleton with script/style/comment noise keyed on doc_id)."""
+    docs = load_table(spark, sf_dir, "documents")
+    sid = F.col("doc_id").cast("string")
+    html = F.concat(
+        F.lit("<html><head><title>d"), sid,
+        F.lit("</title><style>p {color: red}</style>"
+              "<script>var x = 1 < 2;</script></head><body><h1>Doc "),
+        sid,
+        F.lit("</h1><!-- hidden comment --><p class=\"b\">"),
+        F.col("text"),
+        F.lit(" &amp; more</p></body></html>"),
+    )
+    return text.html_to_text(docs.select("doc_id", html.alias("html")))
+
+
+def _html_extract_sql() -> str:
+    c, s, st, tag = (p for _, p in text.HTML_STRIP_PATTERNS)
+    synth = (
+        "'<html><head><title>d' || CAST(doc_id AS VARCHAR)"
+        " || '</title><style>p {color: red}</style>"
+        "<script>var x = 1 < 2;</script></head><body><h1>Doc '"
+        " || CAST(doc_id AS VARCHAR)"
+        " || '</h1><!-- hidden comment --><p class=\"b\">' || text"
+        " || ' &amp; more</p></body></html>'"
+    )
+    ent_chain = "stripped"
+    for ent, repl in text.HTML_ENTITIES:
+        r = repl.replace("'", "''")
+        ent_chain = f"replace({ent_chain}, '{ent}', '{r}')"
+    return f"""
+WITH h AS (SELECT doc_id, {synth} AS html FROM documents),
+deblocked AS (
+  SELECT doc_id,
+    CAST(len(regexp_extract_all(html, '{s}')) AS INT)
+      + CAST(len(regexp_extract_all(html, '{st}')) AS INT)
+      AS n_dropped_blocks,
+    regexp_replace(regexp_replace(regexp_replace(html,
+      '{c}', ' ', 'g'), '{s}', ' ', 'g'), '{st}', ' ', 'g') AS detagged
+  FROM h
+),
+stripped_t AS (
+  SELECT doc_id, n_dropped_blocks,
+    CAST(len(regexp_extract_all(detagged, '{tag}')) AS INT) AS n_tags,
+    regexp_replace(detagged, '{tag}', ' ', 'g') AS stripped
+  FROM deblocked
+)
+SELECT doc_id,
+  trim(regexp_replace({ent_chain}, '\\s+', ' ', 'g')) AS extracted,
+  n_tags, n_dropped_blocks
+FROM stripped_t
+"""
+
+
 QUERIES: dict = {
     "pipe_pii_scrub": (q_pii_scrub, _pii_scrub_sql()),
+    "pipe_html_extract": (q_html_extract, _html_extract_sql()),
     "pipe_curriculum_order": (q_curriculum_order, _curriculum_sql()),
     "pipe_mix_pipeline": (q_mix_pipeline, _mix_pipeline_sql()),
     "pipe_sample_token_budget": (q_sample_token_budget, _token_budget_sql()),
