@@ -78,6 +78,7 @@ HEADLINE = [
     "pipe_source_pagerank",
     "rel_cdc_apply",
     "pipe_mix_pipeline",
+    "pipe_html_extract",
 ]
 
 
