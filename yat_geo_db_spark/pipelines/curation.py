@@ -683,7 +683,9 @@ def curriculum_order(
     window would be one); bucket assignment is a per-row comparison
     chain; the only wide op is a row_number window per bucket. The
     boundaries are rounded at 6 dp before comparison so the bucket edge
-    is the same literal in both engines. Returns
+    is the same literal in both engines. NULL scores don't enter the
+    percentile (standard aggregate semantics) and land in bucket 0 —
+    pre-filter them if "unscored" shouldn't mean "easiest". Returns
     (id, score, bucket, position)."""
     if n_buckets < 2:
         raise ValueError("n_buckets must be >= 2")
