@@ -527,3 +527,26 @@ def test_hard_negative_mining_excludes_dup_band(spark):
     assert [i for i, _ in ids] == [2, 3]
     assert [r for _, r in ids] == [1, 2]
     assert all(r["cosine"] < 0.95 for r in got)
+
+
+def test_group_centroid_stats_cohesion(spark):
+    """A duplicated group scores cohesion ~1, an orthogonal-spread group
+    scores markedly lower; zero vectors are excluded from the cosine
+    mean but counted in n_vecs."""
+    from yat_geo_db_spark.pipelines.similarity import group_centroid_stats
+
+    rows = (
+        [(i, [1.0, 0.0, 0.0], 0) for i in range(4)]          # collapsed
+        + [(10, [1.0, 0.0, 0.0], 1), (11, [0.0, 1.0, 0.0], 1),
+           (12, [0.0, 0.0, 1.0], 1)]                          # orthogonal
+        + [(20, [0.5, 0.5, 0.0], 2), (21, [0.0, 0.0, 0.0], 2)]  # w/ zero vec
+    )
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int"
+    )
+    out = {r["label"]: r for r in group_centroid_stats(emb).collect()}
+    assert abs(out[0]["mean_cos"] - 1.0) < 1e-6
+    assert abs(out[0]["centroid_norm"] - 1.0) < 1e-6
+    assert out[1]["mean_cos"] < 0.7  # orthogonal members vs mean centroid
+    assert out[2]["n_vecs"] == 2
+    assert abs(out[2]["mean_cos"] - 1.0) < 1e-6  # only the nonzero vec

@@ -151,6 +151,12 @@ class CorpusManager:
             text_col=self.text_col, id_col=self.id_col,
         )
 
+    def embedding_health(self, group_col: str = "label"):
+        """Per-group centroid norm + cohesion over the wrapped embeddings."""
+        from yat_geo_db_spark.pipelines.similarity import group_centroid_stats
+
+        return group_centroid_stats(self.embeddings, group_col=group_col)
+
     def hard_negatives(
         self, queries: DataFrame, k: int = 10, dup_threshold: float = 0.95
     ) -> DataFrame:

@@ -1338,3 +1338,79 @@ def hard_negative_mining(
     )
     hard = scored.filter(F.col("cosine") < dup_threshold)
     return _two_phase_topk(hard, k, query_id_col, id_col)
+
+
+def group_centroid_stats(
+    embeddings: DataFrame,
+    group_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 12,
+) -> DataFrame:
+    """Embedding-space corpus diagnostics per group: the group centroid's
+    norm and the mean cosine of members to their centroid (cohesion).
+    Collapsed or duplicated sources show up as cohesion ≈ 1; a group of
+    unrelated vectors sits near the random-cosine baseline — the cheap
+    health check before trusting per-source embedding pipelines.
+
+    Plan: one posexplode → (group, pos) fixed-point mean (map-side
+    combinable, dimension-bounded output) → join the exploded stream
+    back on (group, pos) for per-vector dots → one per-group aggregate.
+    All mass sums go through dsum, so the chain is partition-order-
+    independent and the DuckDB oracle matches bit-for-bit. Nothing is
+    O(N²) and no vector leaves the executors.
+
+    Returns (group, n_vecs, centroid_norm, mean_cos); zero vectors are
+    excluded from the cosine mean (NULL cosine), counted in n_vecs."""
+    from yat_geo_db_spark.relational.queries import dsum
+
+    v = embeddings.select(
+        F.col(group_col).alias("_g"),
+        F.col(id_col).alias("_id"),
+        F.posexplode(F.col(vec_col)).alias("_pos", "_valf"),
+    ).select("_g", "_id", "_pos", F.col("_valf").cast("double").alias("_val"))
+    per = v.groupBy("_g", "_pos").agg(
+        dsum(F.col("_val"), scale).alias("_s"), F.count(F.lit(1)).alias("_n")
+    )
+    cent = per.select(
+        "_g", "_pos", (F.col("_s") / F.col("_n").cast("double")).alias("_c")
+    )
+    cn = cent.groupBy("_g").agg(
+        dsum(F.col("_c") * F.col("_c"), scale).alias("_cn2")
+    )
+    d = (
+        v.join(cent, ["_g", "_pos"])
+        .groupBy("_g", "_id")
+        .agg(
+            dsum(F.col("_val") * F.col("_c"), scale).alias("_dot"),
+            dsum(F.col("_val") * F.col("_val"), scale).alias("_vn2"),
+        )
+    )
+    cos = d.join(cn, "_g").select(
+        "_g",
+        F.when(
+            (F.col("_vn2") > 0) & (F.col("_cn2") > 0),
+            F.col("_dot") / (F.sqrt("_vn2") * F.sqrt("_cn2")),
+        ).alias("_cos"),
+        "_cn2",
+    )
+    return (
+        cos.groupBy("_g")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            # ANSI guard: a group of only zero vectors has no cosines
+            F.round(
+                F.when(
+                    F.count(F.col("_cos")) > 0,
+                    dsum(F.col("_cos"), scale)
+                    / F.count(F.col("_cos")).cast("double"),
+                ),
+                6,
+            ).alias("mean_cos"),
+            F.round(F.sqrt(F.first("_cn2")), 6).alias("centroid_norm"),
+        )
+        .select(
+            F.col("_g").alias(group_col), "n_vecs", "centroid_norm",
+            "mean_cos",
+        )
+    )

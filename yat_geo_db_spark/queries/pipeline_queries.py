@@ -3705,8 +3705,54 @@ FROM stripped_t
 """
 
 
+def q_emb_centroids(spark, sf_dir):
+    """Per-label embedding centroid diagnostics (centroid norm + member
+    cohesion) — fixed-point mass sums make the whole chain bit-portable."""
+    return similarity.group_centroid_stats(
+        load_table(spark, sf_dir, "embeddings")
+    )
+
+
+def _emb_centroids_sql() -> str:
+    from yat_geo_db_spark.queries.relational_queries import _dsum
+
+    s = 12
+    return f"""
+WITH v AS (
+  SELECT label, vec_id, u.i AS pos,
+         CAST(embedding[u.i] AS DOUBLE) AS val
+  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS u(i)
+),
+per AS (
+  SELECT label, pos, {_dsum('val', s)} AS sv, count(*) AS n
+  FROM v GROUP BY 1, 2
+),
+cent AS (SELECT label, pos, sv / CAST(n AS DOUBLE) AS c FROM per),
+cn AS (SELECT label, {_dsum('c * c', s)} AS cn2 FROM cent GROUP BY 1),
+d AS (
+  SELECT v.label, v.vec_id,
+         {_dsum('val * c', s)} AS dot, {_dsum('val * val', s)} AS vn2
+  FROM v JOIN cent ON v.label = cent.label AND v.pos = cent.pos
+  GROUP BY 1, 2
+),
+cs AS (
+  SELECT d.label, cn.cn2,
+         CASE WHEN vn2 > 0 AND cn2 > 0
+              THEN dot / (sqrt(vn2) * sqrt(cn2)) END AS cosv
+  FROM d JOIN cn ON d.label = cn.label
+)
+SELECT label, count(*) AS n_vecs,
+       round(sqrt(any_value(cn2)), 6) AS centroid_norm,
+       round(CASE WHEN count(cosv) > 0 THEN
+             {_dsum('cosv', s)} / CAST(count(cosv) AS DOUBLE) END, 6)
+         AS mean_cos
+FROM cs GROUP BY label
+"""
+
+
 QUERIES: dict = {
     "pipe_pii_scrub": (q_pii_scrub, _pii_scrub_sql()),
+    "pipe_emb_centroids": (q_emb_centroids, _emb_centroids_sql()),
     "pipe_html_extract": (q_html_extract, _html_extract_sql()),
     "pipe_curriculum_order": (q_curriculum_order, _curriculum_sql()),
     "pipe_mix_pipeline": (q_mix_pipeline, _mix_pipeline_sql()),
