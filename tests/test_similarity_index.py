@@ -540,6 +540,8 @@ def test_group_centroid_stats_cohesion(spark):
         + [(10, [1.0, 0.0, 0.0], 1), (11, [0.0, 1.0, 0.0], 1),
            (12, [0.0, 0.0, 1.0], 1)]                          # orthogonal
         + [(20, [0.5, 0.5, 0.0], 2), (21, [0.0, 0.0, 0.0], 2)]  # w/ zero vec
+        + [(30, [1.0, 0.0, 0.0], 3), (31, None, 3), (32, [], 3)]  # missing
+        + [(40, None, 4)]                                     # ALL missing
     )
     emb = spark.createDataFrame(
         rows, "vec_id long, embedding array<double>, label int"
@@ -548,5 +550,9 @@ def test_group_centroid_stats_cohesion(spark):
     assert abs(out[0]["mean_cos"] - 1.0) < 1e-6
     assert abs(out[0]["centroid_norm"] - 1.0) < 1e-6
     assert out[1]["mean_cos"] < 0.7  # orthogonal members vs mean centroid
-    assert out[2]["n_vecs"] == 2
+    assert out[2]["n_vecs"] == 2 and out[2]["n_missing"] == 0
     assert abs(out[2]["mean_cos"] - 1.0) < 1e-6  # only the nonzero vec
+    # NULL/empty vectors are VISIBLE, not silently dropped
+    assert out[3]["n_vecs"] == 3 and out[3]["n_missing"] == 2
+    assert out[4]["n_vecs"] == 1 and out[4]["n_missing"] == 1
+    assert out[4]["mean_cos"] is None and out[4]["centroid_norm"] is None

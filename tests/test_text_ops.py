@@ -519,10 +519,13 @@ def test_curriculum_order_buckets_monotone(spark):
         assert max(r["score"] for r in by_bucket[b]) <= min(
             r["score"] for r in by_bucket[b + 1]
         )
-    for b, rs in by_bucket.items():
-        assert sorted(r["position"] for r in rs) == list(
-            range(1, len(rs) + 1)
+    by_cell: dict = {}
+    for r in rows:
+        by_cell.setdefault((r["bucket"], r["shard"]), []).append(
+            r["position"]
         )
+    for cell, ps in by_cell.items():
+        assert sorted(ps) == list(range(1, len(ps) + 1))
     import pytest
 
     with pytest.raises(ValueError):
@@ -555,3 +558,21 @@ def test_html_to_text_extraction(spark):
     assert out[1]["n_tags"] == 0 and out[1]["n_dropped_blocks"] == 0
     # entity-of-entity decodes ONE level (&amp;lt; -> &lt;, not <)
     assert "&lt;" in out[2]["extracted"]
+    # script-before-comment order: an unbalanced '<!--' inside a script
+    # string must not swallow visible text up to a later real comment
+    tricky = spark.createDataFrame(
+        [(0, "<script>var s='<!--';</script>Visible text<!-- footer -->")],
+        "doc_id long, html string",
+    )
+    row = html_to_text(tricky).collect()[0]
+    assert row["extracted"] == "Visible text"
+    assert row["n_dropped_blocks"] == 1
+    # stage-wise audit: a commented-out script counts as a comment, not
+    # as a dropped block (nothing was removed BY the script stage)
+    commented = spark.createDataFrame(
+        [(0, "<!-- <script>x</script> --><p>hi</p>")],
+        "doc_id long, html string",
+    )
+    row2 = html_to_text(commented).collect()[0]
+    assert row2["extracted"] == "hi"
+    assert row2["n_dropped_blocks"] == 1  # the <script>x</script> stage hit

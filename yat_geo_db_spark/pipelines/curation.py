@@ -671,6 +671,7 @@ def curriculum_order(
     documents: DataFrame,
     score_col: Column,
     n_buckets: int = 4,
+    n_shards: int = 64,
     id_col: str = "doc_id",
 ) -> DataFrame:
     """Curriculum-learning order: documents bucketed by exact score
@@ -679,17 +680,28 @@ def curriculum_order(
     position inside each bucket.
 
     Scale shape: the percentile boundaries are ONE aggregation row
-    broadcast back (no global sort of the corpus — the classic ntile()
-    window would be one); bucket assignment is a per-row comparison
-    chain; the only wide op is a row_number window per bucket. The
-    boundaries are rounded at 6 dp before comparison so the bucket edge
-    is the same literal in both engines. NULL scores don't enter the
-    percentile (standard aggregate semantics) and land in bucket 0 —
-    pre-filter them if "unscored" shouldn't mean "easiest". Returns
-    (id, score, bucket, position)."""
+    broadcast back (no global sort of the corpus); bucket assignment is
+    a per-row comparison chain; positions come from a row_number window
+    per (bucket, shard) — NOT per bucket alone, which would funnel a
+    corpus quarter into one sort task (the classic low-cardinality
+    window trap; see relational.queries.order_value_deciles). The
+    trainer consumes (bucket asc, shard, position). Boundaries are
+    rounded at 6 dp before comparison so the bucket edge is the same
+    literal in both engines.
+
+    Caveats: NULL scores don't enter the percentile (standard aggregate
+    semantics) and land in bucket 0 — pre-filter them if "unscored"
+    shouldn't mean "easiest". On heavily tied score distributions
+    (>1/n_buckets of the corpus sharing one value) adjacent boundaries
+    coincide and the comparison chain skips bucket ids: buckets stay
+    ORDINAL (lower id = lower score) but not equal-mass, and some may
+    be empty. Returns (id, score, bucket, shard, position)."""
     if n_buckets < 2:
         raise ValueError("n_buckets must be >= 2")
-    from yat_geo_db_spark.pipelines.text import sample_hash_col
+    from yat_geo_db_spark.pipelines.text import (
+        bucket_hash_col,
+        sample_hash_col,
+    )
     from pyspark.sql import Window
 
     qs = [i / n_buckets for i in range(1, n_buckets)]
@@ -708,10 +720,13 @@ def curriculum_order(
         F.col(id_col),
         score.alias("score"),
         bucket.cast("int").alias("bucket"),
+        bucket_hash_col(F.col(id_col), n_shards).cast("int").alias("shard"),
         sample_hash_col(F.col(id_col), 1_000_000_007).alias("_k"),
     )
-    w = Window.partitionBy("bucket").orderBy(F.asc("_k"), F.asc(id_col))
+    w = Window.partitionBy("bucket", "shard").orderBy(
+        F.asc("_k"), F.asc(id_col)
+    )
     return keyed.select(
-        id_col, "score", "bucket",
+        id_col, "score", "bucket", "shard",
         F.row_number().over(w).alias("position"),
     )

@@ -1360,10 +1360,22 @@ def group_centroid_stats(
     independent and the DuckDB oracle matches bit-for-bit. Nothing is
     O(N²) and no vector leaves the executors.
 
-    Returns (group, n_vecs, centroid_norm, mean_cos); zero vectors are
-    excluded from the cosine mean (NULL cosine), counted in n_vecs."""
+    Returns (group, n_vecs, n_missing, centroid_norm, mean_cos):
+    n_vecs counts EVERY row of the group (from the un-exploded input),
+    n_missing the rows whose vector is NULL or empty — the most common
+    encoder failure, surfaced instead of silently shrinking the stats;
+    zero (but present) vectors are excluded from the cosine mean (NULL
+    cosine) while still counting toward n_vecs."""
     from yat_geo_db_spark.relational.queries import dsum
 
+    base = embeddings.groupBy(F.col(group_col).alias("_g")).agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.count(
+            F.when(
+                F.col(vec_col).isNull() | (F.size(vec_col) == 0), 1
+            )
+        ).alias("n_missing"),
+    )
     v = embeddings.select(
         F.col(group_col).alias("_g"),
         F.col(id_col).alias("_id"),
@@ -1394,23 +1406,21 @@ def group_centroid_stats(
         ).alias("_cos"),
         "_cn2",
     )
-    return (
-        cos.groupBy("_g")
-        .agg(
-            F.count(F.lit(1)).alias("n_vecs"),
-            # ANSI guard: a group of only zero vectors has no cosines
-            F.round(
-                F.when(
-                    F.count(F.col("_cos")) > 0,
-                    dsum(F.col("_cos"), scale)
-                    / F.count(F.col("_cos")).cast("double"),
-                ),
-                6,
-            ).alias("mean_cos"),
-            F.round(F.sqrt(F.first("_cn2")), 6).alias("centroid_norm"),
-        )
-        .select(
-            F.col("_g").alias(group_col), "n_vecs", "centroid_norm",
-            "mean_cos",
-        )
+    stats = cos.groupBy("_g").agg(
+        # ANSI guard: a group of only zero vectors has no cosines
+        F.round(
+            F.when(
+                F.count(F.col("_cos")) > 0,
+                dsum(F.col("_cos"), scale)
+                / F.count(F.col("_cos")).cast("double"),
+            ),
+            6,
+        ).alias("mean_cos"),
+        F.round(F.sqrt(F.first("_cn2")), 6).alias("centroid_norm"),
+    )
+    # LEFT join from the row-level counts: a group whose every vector is
+    # missing still reports (n_vecs, n_missing) with NULL stats
+    return base.join(stats, "_g", "left").select(
+        F.col("_g").alias(group_col), "n_vecs", "n_missing",
+        "centroid_norm", "mean_cos",
     )

@@ -1606,12 +1606,18 @@ def sample_to_token_budget(
 
 #: HTML-extraction regex chain — RE2∩Java like PII_PATTERNS ((?is) inline
 #: flags, lazy quantifiers, no lookaround/backrefs), applied IN ORDER:
-#: comments and script/style blocks must vanish before the generic tag
-#: strip, or their inner text would leak into the extraction.
+#: script/style interiors go FIRST (they routinely contain string
+#: literals like '<!--' that would otherwise let the comment pattern
+#: swallow visible text up to the next real '-->'), then comments, then
+#: the generic tag strip. Counts are taken stage-wise on the
+#: already-stripped string, so each count equals the replacements that
+#: stage actually performed. Residual regex-scoped blind spot: a stray
+#:   '</script>' AFTER a commented-out '<script>' can still over-match
+#: — the DOM-free tradeoff, shared with C4/WET-style extractors.
 HTML_STRIP_PATTERNS: tuple[tuple[str, str], ...] = (
-    ("comment", r"(?s)<!--.*?-->"),
     ("script", r"(?is)<script[^>]*>.*?</script>"),
     ("style", r"(?is)<style[^>]*>.*?</style>"),
+    ("comment", r"(?s)<!--.*?-->"),
     ("tag", r"(?s)<[^>]*>"),
 )
 
@@ -1643,19 +1649,17 @@ def html_to_text(
 
     Returns (id, extracted, n_tags, n_dropped_blocks)."""
     cur = F.col(html_col)
-    n_blocks = (
-        F.regexp_count(cur, F.lit(HTML_STRIP_PATTERNS[1][1]))
-        + F.regexp_count(cur, F.lit(HTML_STRIP_PATTERNS[2][1]))
-    )
-    for _, pat in HTML_STRIP_PATTERNS[:3]:
+    counts = {}
+    for name, pat in HTML_STRIP_PATTERNS:
+        # stage-wise count on the CURRENT string = replacements performed
+        counts[name] = F.regexp_count(cur, F.lit(pat))
         cur = F.regexp_replace(cur, pat, " ")
-    n_tags = F.regexp_count(cur, F.lit(HTML_STRIP_PATTERNS[3][1]))
-    cur = F.regexp_replace(cur, HTML_STRIP_PATTERNS[3][1], " ")
     for ent, repl in HTML_ENTITIES:
         cur = F.replace(cur, F.lit(ent), F.lit(repl))
     return documents.select(
         F.col(id_col),
         normalize_ws_col(cur).alias("extracted"),
-        n_tags.cast("int").alias("n_tags"),
-        n_blocks.cast("int").alias("n_dropped_blocks"),
+        counts["tag"].cast("int").alias("n_tags"),
+        (counts["script"] + counts["style"]).cast("int")
+        .alias("n_dropped_blocks"),
     )

@@ -3622,7 +3622,11 @@ def q_curriculum_order(spark, sf_dir):
         load_table(spark, sf_dir, "documents"),
         F.col("n_chars"),
         n_buckets=CURRICULUM_BUCKETS,
+        n_shards=CURRICULUM_SHARDS,
     )
+
+
+CURRICULUM_SHARDS = 64
 
 
 def _curriculum_sql() -> str:
@@ -3639,12 +3643,14 @@ WITH b AS (
 ),
 k AS (
   SELECT doc_id, CAST(n_chars AS DOUBLE) AS score,
-         CAST({arms} AS INT) AS bucket, {u} AS u
+         CAST({arms} AS INT) AS bucket,
+         CAST({bucket_sql("doc_id", CURRICULUM_SHARDS)} AS INT) AS shard,
+         {u} AS u
   FROM documents, b
 )
-SELECT doc_id, score, bucket,
+SELECT doc_id, score, bucket, shard,
        CAST(row_number() OVER (
-         PARTITION BY bucket ORDER BY u, doc_id) AS INT) AS position
+         PARTITION BY bucket, shard ORDER BY u, doc_id) AS INT) AS position
 FROM k
 """
 
@@ -3668,7 +3674,6 @@ def q_html_extract(spark, sf_dir):
 
 
 def _html_extract_sql() -> str:
-    c, s, st, tag = (p for _, p in text.HTML_STRIP_PATTERNS)
     synth = (
         "'<html><head><title>d' || CAST(doc_id AS VARCHAR)"
         " || '</title><style>p {color: red}</style>"
@@ -3677,31 +3682,29 @@ def _html_extract_sql() -> str:
         " || '</h1><!-- hidden comment --><p class=\"b\">' || text"
         " || ' &amp; more</p></body></html>'"
     )
-    ent_chain = "stripped"
+    # stage chain generated FROM text.HTML_STRIP_PATTERNS (order and
+    # stage-wise counting can't drift from the Spark expressions)
+    ctes = [f"h0 AS (SELECT doc_id, {synth} AS t0 FROM documents)"]
+    prev, cur = "h0", "t0"
+    for i, (name, pat) in enumerate(text.HTML_STRIP_PATTERNS, 1):
+        ctes.append(
+            f"h{i} AS (SELECT *,"
+            f" CAST(len(regexp_extract_all({cur}, '{pat}')) AS INT)"
+            f" AS n_{name},"
+            f" regexp_replace({cur}, '{pat}', ' ', 'g') AS t{i}"
+            f" FROM {prev})"
+        )
+        prev, cur = f"h{i}", f"t{i}"
+    ent_chain = cur
     for ent, repl in text.HTML_ENTITIES:
         r = repl.replace("'", "''")
         ent_chain = f"replace({ent_chain}, '{ent}', '{r}')"
     return f"""
-WITH h AS (SELECT doc_id, {synth} AS html FROM documents),
-deblocked AS (
-  SELECT doc_id,
-    CAST(len(regexp_extract_all(html, '{s}')) AS INT)
-      + CAST(len(regexp_extract_all(html, '{st}')) AS INT)
-      AS n_dropped_blocks,
-    regexp_replace(regexp_replace(regexp_replace(html,
-      '{c}', ' ', 'g'), '{s}', ' ', 'g'), '{st}', ' ', 'g') AS detagged
-  FROM h
-),
-stripped_t AS (
-  SELECT doc_id, n_dropped_blocks,
-    CAST(len(regexp_extract_all(detagged, '{tag}')) AS INT) AS n_tags,
-    regexp_replace(detagged, '{tag}', ' ', 'g') AS stripped
-  FROM deblocked
-)
+WITH {','.join(ctes)}
 SELECT doc_id,
   trim(regexp_replace({ent_chain}, '\\s+', ' ', 'g')) AS extracted,
-  n_tags, n_dropped_blocks
-FROM stripped_t
+  n_tag AS n_tags, n_script + n_style AS n_dropped_blocks
+FROM {prev}
 """
 
 
@@ -3740,13 +3743,23 @@ cs AS (
          CASE WHEN vn2 > 0 AND cn2 > 0
               THEN dot / (sqrt(vn2) * sqrt(cn2)) END AS cosv
   FROM d JOIN cn ON d.label = cn.label
+),
+stats AS (
+  SELECT label,
+         round(sqrt(any_value(cn2)), 6) AS centroid_norm,
+         round(CASE WHEN count(cosv) > 0 THEN
+               {_dsum('cosv', s)} / CAST(count(cosv) AS DOUBLE) END, 6)
+           AS mean_cos
+  FROM cs GROUP BY label
+),
+base AS (
+  SELECT label, count(*) AS n_vecs,
+         count(CASE WHEN embedding IS NULL OR len(embedding) = 0
+               THEN 1 END) AS n_missing
+  FROM embeddings GROUP BY label
 )
-SELECT label, count(*) AS n_vecs,
-       round(sqrt(any_value(cn2)), 6) AS centroid_norm,
-       round(CASE WHEN count(cosv) > 0 THEN
-             {_dsum('cosv', s)} / CAST(count(cosv) AS DOUBLE) END, 6)
-         AS mean_cos
-FROM cs GROUP BY label
+SELECT b.label, b.n_vecs, b.n_missing, st.centroid_norm, st.mean_cos
+FROM base b LEFT JOIN stats st ON b.label = st.label
 """
 
 
