@@ -270,3 +270,44 @@ def test_force_db_fetch_remote_flow_parity(spark, tmp_path):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="base_url"):
         GeoManager(spark).load_data(root, version="9", force_db_fetch=True)
+
+
+def test_nocache_staging_dirs_are_reaped(spark, tmp_path):
+    """cache_local=False stages fetched dumps in a tempdir; repeated
+    no-cache loads must not leak one tempdir per load — the NEWER load
+    reaps the previous dir (its DataFrame was just replaced) and the
+    last dir is registered for atexit cleanup."""
+    import gzip
+    import os
+
+    from yat_geo_db_spark.geo.ingest import (
+        SEARCH_FILE_NAME,
+        SHAPE_FILE_NAME,
+    )
+    from yat_geo_db_spark.manager import GeoManager
+
+    store = tmp_path / "remote_store"
+    store.mkdir()
+    (store / (SHAPE_FILE_NAME + ".gz")).write_bytes(
+        gzip.compress(json.dumps(RECORD).encode())
+    )
+    (store / (SEARCH_FILE_NAME + ".gz")).write_bytes(
+        gzip.compress(b"{}")
+    )
+    base_url = f"file://{store}/"
+    root = str(tmp_path / "nocache_root")
+
+    m = GeoManager(spark)
+    kwargs = dict(
+        version="9", force_db_fetch=True, compressed=True,
+        cache_local=False, base_url=base_url,
+    )
+    m.load_data(root, **kwargs)
+    first = m._nocache_staging
+    assert first is not None and os.path.isdir(first)
+    m.load_data(root, **kwargs)
+    second = m._nocache_staging
+    assert second is not None and os.path.isdir(second)
+    assert first != second
+    assert not os.path.exists(first)  # reaped by the newer load
+    assert m.num_shapes == 1  # still served from the live staging dir

@@ -635,3 +635,23 @@ def test_jpeg_multiscan_refused_loudly():
     )
     with pytest.raises(NotImplementedError, match="multi-scan"):
         decode_jpeg_baseline(patched)
+
+
+def test_jpeg_standalone_markers_refused_by_name():
+    """Length-less markers (TEM 0xFF01, RSTn 0xFFD0-D7) in the header
+    stream must raise a ValueError NAMING the marker — not be parsed as
+    length-bearing segments and desync into a confusing 'segment
+    truncated' error."""
+    import numpy as np
+    import pytest
+
+    from yat_geo_db_spark.pipelines.multimodal import (
+        decode_jpeg_baseline,
+        encode_jpeg_baseline,
+    )
+
+    base = encode_jpeg_baseline(np.full((8, 8), 128, np.uint8))
+    for stray, name in ((b"\xff\x01", "TEM"), (b"\xff\xd3", "RST3")):
+        patched = base[:2] + stray + base[2:]  # right after SOI
+        with pytest.raises(ValueError, match=name):
+            decode_jpeg_baseline(patched)

@@ -310,3 +310,38 @@ def test_cdc_apply_semantics(spark):
     got = {r["k"]: (r["v"], r["version"])
            for r in cdc_apply(snap, changes, ["k"], "version").collect()}
     assert got == {1: ("a2", 1), 3: ("tie", 0), 4: ("new", 1)}
+
+
+def test_cdc_apply_rejects_malformed_op(spark):
+    """The op ∈ {I,U,D} domain is enforced at execution: a NULL (or
+    unknown) op would otherwise sort FIRST under asc (NULLs-first),
+    outrank same-version real ops, then vanish through the op != 'D'
+    filter — silently deleting the key with no delete record."""
+    import pytest
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    from yat_geo_db_spark.relational.merge import cdc_apply
+
+    snap = spark.createDataFrame([(1, "a", 0)], "k long, v string, version int")
+    for bad_op in (None, "X"):
+        changes = spark.createDataFrame(
+            [(1, "z", 5, bad_op)], "k long, v string, version int, op string"
+        )
+        with pytest.raises(SparkRuntimeException, match="cdc_apply: op"):
+            cdc_apply(snap, changes, ["k"], "version").collect()
+
+
+def test_dq_audit_hostile_column_names(spark):
+    """Rule labels and column names pass through the generated stack()
+    SQL as escaped literals, and agg aliases are positional — a column
+    named with a quote/backtick (legal in Spark) must not break or
+    mis-parse the unpivot."""
+    from yat_geo_db_spark.relational.dq import dq_audit
+
+    df = spark.createDataFrame([(1,), (None,)], ["it's a col"])
+    rows = dq_audit(df, not_null=("it's a col",)).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["column"] == "it's a col"
+    assert r["rule"] == "not_null"
+    assert r["n_violations"] == 1 and r["n_rows"] == 2 and not r["ok"]

@@ -86,8 +86,30 @@ class GeoManager:
         #: (`assert not self.partitioned`, geo_manager.py:634).
         self.partition_col = partition_col
         self._partitions: set | None = None
+        #: staging tempdir of the CURRENT no-cache load (cache_local=False);
+        #: reaped when a newer load replaces it and at interpreter exit —
+        #: without this, repeated no-cache loads leak one tempdir each for
+        #: the process lifetime
+        self._nocache_staging: str | None = None
         if shapes is not None:
             self._set_shapes(shapes)
+
+    def _swap_nocache_staging(self, staging: str | None) -> None:
+        """Adopt `staging` as the live no-cache staging dir, deleting the
+        previous one (its DataFrame was just replaced; only the pinned
+        Spark cache referenced those files — an external handle to the OLD
+        frame would recompute against deleted JSON on cache eviction, which
+        is the documented trade of cache_local=False). Each adopted dir is
+        also registered atexit (rmtree is idempotent under ignore_errors)
+        so the last one doesn't outlive the process."""
+        import atexit
+        import shutil
+
+        prev, self._nocache_staging = self._nocache_staging, staging
+        if prev is not None:
+            shutil.rmtree(prev, ignore_errors=True)
+        if staging is not None:
+            atexit.register(shutil.rmtree, staging, ignore_errors=True)
 
     # ---------------------------------------------------------------- state
 
@@ -201,6 +223,10 @@ class GeoManager:
             # _set_shapes caches, and the count materializes that cache
             self._set_shapes(_ingest.normalize_shapes(raw))
             self._shapes.count()
+            # adopt the tempdir (deletes the previous no-cache load's dir,
+            # registers atexit cleanup) — repeated no-cache loads no longer
+            # leak one staging dir each for the process lifetime
+            self._swap_nocache_staging(staging)
         return self
 
     def _cache_exists(self, path: str) -> bool:

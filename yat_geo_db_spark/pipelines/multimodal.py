@@ -1253,6 +1253,21 @@ def decode_jpeg_baseline(payload: bytes):
         marker = payload[pos + 1]
         if marker == 0xD9:  # EOI
             break
+        # length-LESS markers (T.81 B.1.1.3): TEM and RSTn carry no
+        # 2-byte length; parsing them as length-bearing would desync the
+        # stream and surface as a confusing "segment truncated" — refuse
+        # loudly by name instead (they're only valid inside entropy data,
+        # which this pre-SOS loop never is; a stray SOI likewise)
+        if marker == 0x01 or 0xD0 <= marker <= 0xD8:
+            name = (
+                "TEM" if marker == 0x01
+                else "SOI" if marker == 0xD8
+                else f"RST{marker - 0xD0}"
+            )
+            raise ValueError(
+                f"standalone marker 0xFF{marker:02X} ({name}) in the "
+                "header segment stream: not valid baseline JPEG input"
+            )
         if pos + 4 > len(payload):
             raise ValueError("JPEG marker stream truncated")
         (length,) = struct.unpack(">H", payload[pos + 2:pos + 4])

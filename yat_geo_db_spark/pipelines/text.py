@@ -1509,8 +1509,9 @@ def weighted_sample_exact_k(
     per-key uniform u, and the k largest keys win — inclusion probability
     proportional to weight, membership a pure function of (key, weight).
     The ln(u)/w form is the monotone twin of the textbook u^(1/w) that
-    avoids cross-libm pow; the key is rounded at 6 dp (the repo's
-    transcendental convention) with id-ascending tie-break.
+    avoids cross-libm pow; the key is rounded at 12 dp (see Resolution
+    below — NOT the 6-dp transcendental convention, which would collapse
+    large-weight keys onto the tie-break) with id-ascending tie-break.
 
     Scale shape: a pure projection + global top-k = TakeOrderedAndProject
     (each partition keeps its local k, the driver merges k·partitions

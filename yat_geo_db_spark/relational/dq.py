@@ -43,31 +43,41 @@ def dq_audit(
     aggs = [F.count(F.lit(1)).alias("_n")]
     labels: list[tuple[str, str, str]] = []  # (agg_alias, rule, column)
 
-    def add(alias: str, cond, rule: str, col: str) -> None:
-        aggs.append(F.count(F.when(cond, 1)).alias(alias))
+    def add(cond_or_agg, rule: str, col: str) -> None:
+        # aliases are POSITIONAL (_r0, _r1, ...) — always valid
+        # identifiers inside the stack() expr regardless of what the
+        # user's column is named (backtick/quote column names are legal
+        # in Spark and must not be spliced into generated SQL)
+        alias = f"_r{len(labels)}"
+        aggs.append(cond_or_agg.alias(alias))
         labels.append((alias, rule, col))
 
     for c in not_null:
-        add(f"_nn_{c}", F.col(c).isNull(), "not_null", c)
+        add(F.count(F.when(F.col(c).isNull(), 1)), "not_null", c)
     for c, (lo, hi) in ranges.items():
         add(
-            f"_rg_{c}",
-            F.col(c).isNotNull() & ((F.col(c) < lo) | (F.col(c) > hi)),
+            F.count(
+                F.when(
+                    F.col(c).isNotNull() & ((F.col(c) < lo) | (F.col(c) > hi)),
+                    1,
+                )
+            ),
             f"range[{lo},{hi}]",
             c,
         )
     for c, vals in accepted.items():
         add(
-            f"_av_{c}",
-            F.col(c).isNotNull() & ~F.col(c).isin(*vals),
+            F.count(F.when(F.col(c).isNotNull() & ~F.col(c).isin(*vals), 1)),
             "accepted_values",
             c,
         )
     for c in unique:
-        aggs.append(
-            (F.count(F.col(c)) - F.count_distinct(F.col(c))).alias(f"_uq_{c}")
-        )
-        labels.append((f"_uq_{c}", "unique", c))
+        add(F.count(F.col(c)) - F.count_distinct(F.col(c)), "unique", c)
+
+    def lit_str(s: str) -> str:
+        """SQL single-quoted literal with quote/backslash escaping — rule
+        labels and user column names pass through generated SQL safely."""
+        return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
 
     row = df.agg(*aggs)
     parts = []
@@ -76,7 +86,8 @@ def dq_audit(
         # driver-free stack() over a 1-row frame (stack(0) won't parse,
         # hence the guard: an FK-only audit has no row-level rules)
         stack_args = ", ".join(
-            f"'{rule}', '{col}', {alias}" for alias, rule, col in labels
+            f"{lit_str(rule)}, {lit_str(col)}, {alias}"
+            for alias, rule, col in labels
         )
         parts.append(
             row.select(

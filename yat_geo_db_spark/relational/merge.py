@@ -75,10 +75,27 @@ def cdc_apply(
     dependent). Two same-version upserts with different payloads remain
     ambiguous by construction — real CDC streams version uniquely per
     key, which is the documented precondition. `changes` carries the
-    snapshot's columns plus `op_col`."""
+    snapshot's columns plus `op_col`.
+
+    The op ∈ {I,U,D} domain is ENFORCED, not just documented: a change
+    row with any other op (including NULL — a malformed upstream record)
+    raises at execution. Without the guard, Spark's asc sort puts NULL
+    first, so a NULL-op row at the top version would outrank same-version
+    D/I/U rows and then be silently dropped by the `op != 'D'` filter
+    (NULL comparison) — deleting the key with no delete record."""
+    guarded_op = F.when(
+        F.col(op_col).isin("I", "U", "D"), F.col(op_col)
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit("cdc_apply: op must be one of 'I','U','D', got "),
+                F.coalesce(F.col(op_col), F.lit("NULL")),
+            )
+        )
+    )
     kept = _latest_rows(
         snapshot.withColumn(op_col, F.lit("U")),
-        changes,
+        changes.withColumn(op_col, guarded_op),
         key_cols,
         [F.desc(version_col), F.desc("_src"), F.asc(op_col)],
     )
