@@ -12,6 +12,12 @@ cold run carries large run-to-run variance (first-touch codegen, JIT,
 shuffle-file page cache — observed 1.6× spread between a driver run and a
 same-box re-run in round 2); min-of-2 measures the pipeline, not the warmup
 lottery, while keeping total bench runtime bounded (~2× one pass).
+
+SHORT queries (best-of-2 under SHORT_QUERY_SEC) get a THIRD run: their
+scheduler-latency noise floor is ±0.2-0.3 s, which reads as a fake ±15-25%
+"regression" between rounds on min-of-2 (observed round 3→4: three
+sub-second queries moved ±10-25% with no code change). The extra run costs
+little precisely because the query is short.
 """
 
 from __future__ import annotations
@@ -108,13 +114,21 @@ def main() -> None:
     timings: dict[str, float] = {}
     total = 0.0
     runs_per_query = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
+    short_query_sec = float(os.environ.get("SPARK_GRAFT_SHORT_SEC", "2.0"))
     for name in HEADLINE:
         fn, _sql = registry[name]
         best = float("inf")
-        for _ in range(runs_per_query):
+        runs = runs_per_query
+        done = 0
+        while done < runs:
             t0 = time.perf_counter()
             force(fn(spark, SF_DIR))
             best = min(best, time.perf_counter() - t0)
+            done += 1
+            # short queries get one extra run: their ±0.2-0.3 s scheduler
+            # noise floor otherwise reads as a fake cross-round regression
+            if done == runs_per_query and best < short_query_sec:
+                runs = runs_per_query + 1
         timings[name] = round(best, 3)
         total += best
         print(f"# {name}: {best:.3f}s", file=sys.stderr)

@@ -395,6 +395,81 @@ def test_pii_scrub_scan_bound(spark):
     assert "source" not in read_schema and "lang" not in read_schema
 
 
+def test_cdc_apply_single_shuffle(spark):
+    """cdc_apply: union + ONE hash shuffle on the key (the version-rank
+    window) — no second exchange, no global range sort, and the op-domain
+    guard stays a projection."""
+    from yat_geo_db_spark.relational.merge import cdc_apply
+
+    snap = spark.createDataFrame([(1, "a", 0)], "k long, v string, version int")
+    ch = spark.createDataFrame(
+        [(1, "b", 1, "U")], "k long, v string, version int, op string"
+    )
+    plan = _plan(cdc_apply(snap, ch, ["k"], "version"))
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "rangepartitioning" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_semdedup_join_blocked_on_cell(spark):
+    """SemDeDup's pair join is keyed on the k-means cell id — never a
+    cross-cell cartesian/nested-loop over the vectors. The only
+    BroadcastNestedLoopJoins in the plan are the kmeans broadcast-centroid
+    assignment crosses (tiny build side, by design: one per Lloyd round
+    plus the final assign)."""
+    import re
+
+    from yat_geo_db_spark.pipelines.similarity import semdedup_pairs
+
+    n_iter = 2
+    df = semdedup_pairs(_raw(spark, "embeddings"), k=8, n_iter=n_iter)
+    plan = _plan(df)
+    # the pair self-join is an equi-join on (cid, cid_r)
+    assert re.search(
+        r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)\w* \[cid#\d+L?\], \[cid_r#\d+L?\]",
+        plan,
+    ), plan
+    assert "CartesianProduct" not in plan
+    # centroid-assignment crosses only: one per Lloyd round + final assign
+    assert plan.count("BroadcastNestedLoopJoin") <= n_iter + 1, plan
+
+
+def test_pagerank_per_iteration_cost_is_flat(spark):
+    """PageRank's production shape, asserted two ways. (1) Structure: one
+    iteration's lineage (checkpoint=False so the plan is visible) contains
+    only hash shuffles — no range sort, no cartesian. (2) Runtime
+    linearity: with the per-round checkpoint, each extra iteration adds a
+    CONSTANT number of jobs (equi-join + groupBy(dst) + dangling broadcast
+    + checkpoint materialization) — iteration k never re-executes
+    iterations 1..k-1."""
+    from yat_geo_db_spark.pipelines.graph import pagerank
+
+    sc = spark.sparkContext
+    edges = spark.createDataFrame(
+        [(i, (i * 7) % 20) for i in range(60)], "src long, dst long"
+    ).cache()
+    edges.count()
+
+    plan = _plan(pagerank(edges, n_iter=1, checkpoint=False))
+    assert "rangepartitioning" not in plan
+    assert "CartesianProduct" not in plan
+
+    def n_jobs(n_iter: int) -> int:
+        group = f"pr_probe_{n_iter}"
+        sc.setJobGroup(group, "plan-shape probe")
+        try:
+            pagerank(edges, n_iter=n_iter).write.format("noop").mode(
+                "overwrite"
+            ).save()
+        finally:
+            sc.setLocalProperty("spark.jobGroup.id", None)
+        return len(sc.statusTracker().getJobIdsForGroup(group))
+
+    j1, j2, j3 = n_jobs(1), n_jobs(2), n_jobs(3)
+    assert j2 - j1 == j3 - j2, (j1, j2, j3)
+    edges.unpersist()
+
+
 def test_token_budget_single_group_window(spark):
     """sample_to_token_budget: ONE shuffle (the per-source window's hash
     partitioning) plus the broadcast budgets join — no global sort."""

@@ -263,6 +263,49 @@ def test_semdedup_normalization_colocates_scaled_copies(spark):
         assert (2 * i in kept) and (2 * i + 1 not in kept)  # min id survives
 
 
+def test_semdedup_auto_k_bounds_cell_work(spark):
+    """k=None sizes the clustering to the corpus: average cell stays ≤
+    SEMDEDUP_TARGET_CELL at ANY corpus size (10× the vectors → ~10× the
+    cells, flat per-cell O(cell²) join work — a fixed k would grow it
+    100×), and the auto path is the same computation as the equivalent
+    explicit k."""
+    import random
+
+    from yat_geo_db_spark.pipelines.similarity import (
+        SEMDEDUP_MIN_K,
+        SEMDEDUP_TARGET_CELL,
+        semdedup_auto_k,
+        semdedup_pairs,
+    )
+
+    # average-cell bound and linear growth, from the floor to web scale
+    for n in (10, 5_000, 100_000, 1_000_000, 10_000_000, 1_000_000_000):
+        k = semdedup_auto_k(n)
+        assert k >= SEMDEDUP_MIN_K
+        assert n / k <= SEMDEDUP_TARGET_CELL or k == SEMDEDUP_MIN_K
+    big = semdedup_auto_k(10_000_000)
+    assert semdedup_auto_k(100_000_000) >= 9 * big  # 10× data → ~10× cells
+
+    # the auto path computes the same result as the explicit k it derives
+    r = random.Random(7)
+    rows = [
+        (i, [round(r.uniform(-1, 1), 3) for _ in range(8)])
+        for i in range(40)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    auto = {
+        (p["id1"], p["id2"], p["cosine"])
+        for p in semdedup_pairs(emb, threshold=0.9, n_iter=2).collect()
+    }
+    explicit = {
+        (p["id1"], p["id2"], p["cosine"])
+        for p in semdedup_pairs(
+            emb, k=semdedup_auto_k(40), threshold=0.9, n_iter=2
+        ).collect()
+    }
+    assert auto == explicit
+
+
 def test_batch_topk_agrees_with_single_query(spark):
     """Each query's batch rows (minus the self-match) must equal the
     single-query brute-force top-k over the same corpus."""

@@ -38,6 +38,7 @@ def pagerank(
     dst: str = "dst",
     node_col: str = "node",
     scale: int = PAGERANK_SCALE,
+    checkpoint: bool = True,
 ) -> DataFrame:
     """Deterministic PageRank: rank_{k+1}(v) = (1-d)/N + d·(Σ_{u→v}
     rank_k(u)/outdeg(u) + dangling_mass_k/N). Returns (node, rank) after
@@ -52,7 +53,13 @@ def pagerank(
     `nodes` (one column named `node_col`) fixes the node universe;
     defaults to distinct src ∪ dst of the edge list. Dangling nodes
     (no out-edges) redistribute their mass uniformly — the standard
-    correction, exercised whenever `nodes` includes sinks."""
+    correction, exercised whenever `nodes` includes sinks.
+
+    `checkpoint=False` skips the per-iteration lineage cut — results are
+    identical; used by the plan-shape test to make the FULL iteration
+    lineage inspectable (the checkpoint truncates the visible plan to a
+    scan) and reasonable for small graphs where re-execution on failure
+    is cheaper than checkpoint I/O."""
     e = edges.select(F.col(src).alias("_src"), F.col(dst).alias("_dst"))
     if nodes is None:
         nodes = (
@@ -106,8 +113,9 @@ def pagerank(
                     )
                 ).alias("_r"),
             )
-            .localCheckpoint(eager=False)
         )
+        if checkpoint:
+            ranks = ranks.localCheckpoint(eager=False)
     return ranks.select(
         F.col("_node").alias(node_col), F.col("_r").alias("rank")
     )

@@ -833,22 +833,57 @@ def l2_normalized(
 # survives.
 # --------------------------------------------------------------------------
 
+#: auto-k target cell size: the within-cell self-join does ~(N/k)²/2
+#: comparisons per cell, so holding N/k ≈ constant keeps per-cell work
+#: flat as the corpus grows (k grows linearly with N — the SemDeDup
+#: paper's own deployment shape: tens of thousands of cells at web scale)
+SEMDEDUP_TARGET_CELL = 1024
+
+#: auto-k floor — below ~16 cells the blocking stops paying for the
+#: kmeans fit even on small corpora
+SEMDEDUP_MIN_K = 16
+
+
+def semdedup_auto_k(
+    n_rows: int, target_cell: int = SEMDEDUP_TARGET_CELL
+) -> int:
+    """Cell count for a corpus of n_rows: ceil(n/target) with a floor of
+    SEMDEDUP_MIN_K — average cell size is bounded by target_cell at any
+    corpus size (10× the data → 10× the cells, same per-cell work)."""
+    return max(SEMDEDUP_MIN_K, -(-n_rows // target_cell))
+
+
 def semdedup_pairs(
-    embeddings: DataFrame, k: int = 16, threshold: float = 0.8,
+    embeddings: DataFrame, k: int | None = None, threshold: float = 0.8,
     n_iter: int = 2, id_col: str = "vec_id", vec_col: str = "embedding",
 ) -> DataFrame:
     """(id1, id2, cosine): within-cluster cosine near-dup pairs. The
     learned k-means cells replace the data-oblivious sign-bit buckets of
     cosine_near_dup_pairs — the paper's observation is that semantic
     duplicates co-locate in embedding-space clusters, so the self-join is
-    blocked on the cell id (k blocks of ~N/k, k grows with the corpus)
-    and never crosses cells. Recall is bounded by the clustering, like
-    every SemDeDup deployment; raise k for smaller cells or fall back to
-    the multi-probe bucket blocking for recall-critical passes."""
+    blocked on the cell id (k blocks of ~N/k) and never crosses cells.
+
+    k=None (the default) SIZES ITSELF: k = semdedup_auto_k(N), i.e. cells
+    hold ≈SEMDEDUP_TARGET_CELL vectors on average regardless of corpus
+    size — the within-cell join is O((N/k)²) per cell, so a FIXED k would
+    grow per-cell work quadratically with the corpus. The count that
+    feeds it is one cheap job over the already-checkpointed normalized
+    table. Pass an explicit k to pin the clustering (the registry oracle
+    does, k is part of the unrolled Lloyd chain). Average cell size is
+    bounded by construction; a pathologically skewed EMBEDDING
+    distribution can still produce one hot cell (kmeans makes no balance
+    guarantee — same caveat as the paper), which AQE's skew-join split
+    handles at execution.
+
+    Recall is bounded by the clustering, like every SemDeDup deployment;
+    raise k for smaller cells or fall back to the multi-probe bucket
+    blocking for recall-critical passes."""
     # the normalized table feeds every kmeans iteration AND both sides of
     # the pair self-join — materialize it once (each consumer would
     # otherwise re-run the per-element norm-divide transform)
     unit = l2_normalized(embeddings, id_col, vec_col).localCheckpoint()
+    if k is None:
+        k = semdedup_auto_k(unit.count())
     assign = kmeans_fit_assign(
         unit, k=k, n_iter=n_iter, id_col=id_col, vec_col=vec_col
     ).select(id_col, "cid")
@@ -879,7 +914,7 @@ def semdedup_pairs(
 
 
 def semdedup_keep(
-    embeddings: DataFrame, k: int = 16, threshold: float = 0.8,
+    embeddings: DataFrame, k: int | None = None, threshold: float = 0.8,
     n_iter: int = 2, id_col: str = "vec_id", vec_col: str = "embedding",
 ) -> DataFrame:
     """Surviving ids after SemDeDup: one representative (min id — the

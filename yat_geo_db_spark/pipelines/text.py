@@ -364,36 +364,51 @@ def boilerplate_shingle_ratio(
     signal (nav bars, license headers, templates) that per-doc quality
     features can't see.
 
-    Two hash aggregations over one exploded shingle table (doc-frequency,
-    then per-doc tally after an equi-join on the shingle). The doc-frequency
-    side is the corpus-global state; at 100 TB it's a shuffle on the shingle
-    key — bounded by distinct-shingle count, and AQE splits hot shingles."""
+    The denominator (per-doc distinct-shingle count) is a pure projection
+    — no shuffle, no join. Only the numerator touches corpus-global state:
+    doc-frequency over one exploded shingle table, FILTERED to nd >=
+    min_docs BEFORE the join — the build side carries only the
+    boilerplate shingles (a small fraction of the vocabulary), so at
+    100 TB the probe explode equi-joins a far smaller (often
+    broadcastable) table and AQE splits hot shingles. Previous shape
+    (join against the unfiltered vocabulary, count both sides of the
+    tally from the join) computed the explode twice and shuffled the
+    whole vocabulary through the join for no extra information."""
     sh = documents.select(
         "doc_id",
         F.explode(
             F.array_distinct(token_shingles_col(F.col(text_col), w))
         ).alias("sh"),
     )
-    dfreq = sh.groupBy("sh").agg(F.countDistinct("doc_id").alias("nd"))
+    # (doc_id, sh) pairs are distinct by construction (array_distinct per
+    # doc), so plain count(*) IS the doc-frequency — no distinct machinery
+    common = (
+        sh.groupBy("sh")
+        .agg(F.count(F.lit(1)).alias("nd"))
+        .filter(F.col("nd") >= min_docs)
+        .select("sh")
+    )
     per = (
-        sh.join(dfreq, "sh")
+        sh.join(common, "sh")
         .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_shingles"),
-            F.count(F.when(F.col("nd") >= min_docs, 1)).alias("n_common"),
-        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    n_shingles = F.size(
+        F.array_distinct(token_shingles_col(F.col(text_col), w))
     )
     return (
-        documents.select("doc_id")
+        documents.select("doc_id", n_shingles.alias("n_shingles"))
         .join(per, "doc_id", "left")
         .select(
             "doc_id",
-            F.coalesce("n_shingles", F.lit(0)).alias("n_shingles"),
+            F.col("n_shingles").cast("long").alias("n_shingles"),
             F.coalesce("n_common", F.lit(0)).alias("n_common"),
             F.when(
-                F.coalesce("n_shingles", F.lit(0)) > 0,
+                F.col("n_shingles") > 0,
                 F.round(
-                    F.col("n_common").cast("double") / F.col("n_shingles"), 6
+                    F.coalesce("n_common", F.lit(0)).cast("double")
+                    / F.col("n_shingles"),
+                    6,
                 ),
             )
             .otherwise(F.lit(0.0))

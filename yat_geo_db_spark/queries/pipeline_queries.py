@@ -1978,19 +1978,29 @@ WITH sh AS (
   SELECT doc_id, unnest(list_distinct({_shingles('text')})) AS sh
   FROM documents
 ),
-dfreq AS (SELECT sh, count(DISTINCT doc_id) AS nd FROM sh GROUP BY sh),
+common AS (
+  -- (doc_id, sh) pairs are distinct (list_distinct per doc): count(*)
+  -- IS the doc-frequency
+  SELECT sh FROM sh GROUP BY sh
+  HAVING count(*) >= {BOILERPLATE_MIN_DOCS}
+),
 per AS (
-  SELECT s.doc_id, count(*) AS n_shingles,
-         count(CASE WHEN d.nd >= {BOILERPLATE_MIN_DOCS} THEN 1 END) AS n_common
-  FROM sh s JOIN dfreq d USING (sh) GROUP BY 1
+  SELECT s.doc_id, count(*) AS n_common
+  FROM sh s JOIN common c USING (sh) GROUP BY 1
+),
+base AS (
+  SELECT doc_id,
+         CAST(len(list_distinct({_shingles('text')})) AS BIGINT)
+           AS n_shingles
+  FROM documents
 )
-SELECT d.doc_id,
-       CAST(coalesce(n_shingles, 0) AS BIGINT) AS n_shingles,
-       CAST(coalesce(n_common, 0) AS BIGINT) AS n_common,
-       CASE WHEN coalesce(n_shingles, 0) > 0
-            THEN round(CAST(n_common AS DOUBLE) / n_shingles, 6)
+SELECT b.doc_id,
+       b.n_shingles,
+       CAST(coalesce(p.n_common, 0) AS BIGINT) AS n_common,
+       CASE WHEN b.n_shingles > 0
+            THEN round(CAST(coalesce(p.n_common, 0) AS DOUBLE) / b.n_shingles, 6)
             ELSE 0.0 END AS boilerplate_ratio
-FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
+FROM base b LEFT JOIN per p ON b.doc_id = p.doc_id
 """
 
 
