@@ -251,26 +251,43 @@ def test_tws_running_profile(spark, tmp_path):
     latest emitted row per user must equal the batch profile (count +
     distinct event types).
 
-    The TWS state-server protocol needs protobuf; this container ships a
-    broken google.protobuf (no descriptor module) and installs are out of
-    scope, so the test skips there — the operator follows the public API
-    and runs wherever protobuf is intact."""
+    The TWS state-server protocol needs protobuf (conftest.py shims a
+    vendored copy when the interpreter ships none) and the RocksDB state
+    store provider (multiple column families); the test sets the provider
+    for this query only and restores the prior conf after."""
     pytest.importorskip("google.protobuf.descriptor")
     from pyspark.sql.window import Window
 
     from yat_geo_db_spark.streaming.stateful import running_user_profile_tws
 
     events, stream = _events_source(spark, tmp_path)
-    q = (
-        running_user_profile_tws(stream)
-        .writeStream.format("memory")
-        .queryName("tws_profile")
-        .outputMode("append")
-        .option("checkpointLocation", str(tmp_path / "tws_ckpt"))
-        .trigger(availableNow=True)
-        .start()
+    # transformWithState needs multiple column families per state store —
+    # only the RocksDB provider supports that (the default HDFS-backed one
+    # raises STATE_STORE_MULTIPLE_COLUMN_FAMILIES). Scoped to this query:
+    # the conf is snapshotted at .start(), restored after.
+    _PROVIDER_KEY = "spark.sql.streaming.stateStore.providerClass"
+    _ROCKSDB = (
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider"
     )
-    q.awaitTermination(180)
+    prev_provider = spark.conf.get(_PROVIDER_KEY, None)
+    spark.conf.set(_PROVIDER_KEY, _ROCKSDB)
+    try:
+        q = (
+            running_user_profile_tws(stream)
+            .writeStream.format("memory")
+            .queryName("tws_profile")
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "tws_ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+    finally:
+        if prev_provider is None:
+            spark.conf.unset(_PROVIDER_KEY)
+        else:
+            spark.conf.set(_PROVIDER_KEY, prev_provider)
     # keep each user's final (largest n_events) emission
     w = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
     got = {
