@@ -464,6 +464,77 @@ def test_ivfpq_persisted_index_partition_pruned(spark, tmp_path):
     assert "PartitionFilters" in plan and "cid" in plan.split("PartitionFilters")[1][:200]
 
 
+def test_ivfpq_index_append_equals_frozen_rebuild(spark, tmp_path):
+    """Encode-only append: build the index on a base slice, append the
+    held-out slice with frozen codebooks — every appended row's (cid,
+    codes) must equal a full re-encode of the union under the SAME frozen
+    centroids/codebooks, and a probe against the appended index must
+    return held-out vectors (they are reachable) with scores identical to
+    the in-memory frozen-codebook path."""
+    import pyspark.sql.functions as F
+    from yat_geo_db_spark.pipelines.similarity import (
+        ivfpq_encode, ivfpq_fit_encode, ivfpq_index_append, ivfpq_topk,
+        ivfpq_topk_indexed, write_ivfpq_index,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    base = emb.filter(F.col("vec_id") % 4 != 0)
+    new = emb.filter(F.col("vec_id") % 4 == 0)
+
+    root = str(tmp_path / "ivfpq")
+    write_ivfpq_index(base, root, n_cells=4, m=4, ksub=8, n_iter=2)
+    ivfpq_index_append(spark, root, new, m=4)
+
+    cents = spark.read.parquet(f"{root}/centroids")
+    books = spark.read.parquet(f"{root}/codebooks")
+
+    # 1) on-disk rows for the appended ids == frozen re-encode of them
+    on_disk = {
+        r["vec_id"]: (r["cid"], tuple(r["codes"]))
+        for r in spark.read.parquet(f"{root}/codes")
+        .filter(F.col("vec_id") % 4 == 0).collect()
+    }
+    want_rows = {
+        r["vec_id"]: (r["cid"], tuple(r["codes"]))
+        for r in ivfpq_encode(new, cents, books, m=4).collect()
+    }
+    assert on_disk == want_rows and len(on_disk) > 0
+
+    # 2) whole-index rows == one-shot frozen encode of the union
+    all_disk = {
+        r["vec_id"]: (r["cid"], tuple(r["codes"]))
+        for r in spark.read.parquet(f"{root}/codes").collect()
+    }
+    union_enc = {
+        r["vec_id"]: (r["cid"], tuple(r["codes"]))
+        for r in ivfpq_encode(emb, cents, books, m=4).collect()
+    }
+    assert all_disk == union_enc
+
+    # 3) probing the appended index == in-memory frozen path, and the
+    # result can contain appended ids
+    qv = [float(x)
+          for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    _, _, enc_base = ivfpq_fit_encode(base, n_cells=4, m=4, ksub=8, n_iter=2)
+    mem = enc_base.unionByName(ivfpq_encode(new, cents, books, m=4))
+    want = [(r["vec_id"], r["approx_dist"])
+            for r in ivfpq_topk(mem, cents, books, qv, k=9, nprobe=2,
+                                m=4).collect()]
+    got = [(r["vec_id"], r["approx_dist"])
+           for r in ivfpq_topk_indexed(spark, root, qv, k=9, nprobe=2,
+                                       m=4).collect()]
+    assert got == want
+    assert any(v % 4 == 0 for v, _ in got)
+
+    # 4) idempotent re-append via skip_existing: no duplicate ids
+    ivfpq_index_append(spark, root, new, m=4, skip_existing=True)
+    counts = (
+        spark.read.parquet(f"{root}/codes").groupBy("vec_id").count()
+        .filter(F.col("count") > 1).count()
+    )
+    assert counts == 0
+
+
 # ---------------------------------------------------------------------------
 # PCA: distributed fit must equal a local NumPy fit of the same data
 # ---------------------------------------------------------------------------

@@ -1230,6 +1230,62 @@ def write_ivfpq_index(
     return root
 
 
+def ivfpq_encode(
+    embeddings: DataFrame, centroids: DataFrame, codebooks: DataFrame,
+    m: int = 4, id_col: str = "vec_id", vec_col: str = "embedding",
+    dim: int | None = None,
+) -> DataFrame:
+    """(id, cid, codes) under FROZEN coarse centroids + residual
+    codebooks — the encode-only half of ivfpq_fit_encode, factored out so
+    new vectors can join an existing index without retraining (the vector
+    analog of the reference's incremental add_entity,
+    geo_manager.py:451-476, which appends postings under the frozen
+    trigram vocabulary).
+
+    Scale shape: identical to the fit-time encode — one broadcast
+    centroid assignment, one zip_with residual, one broadcast codebook
+    argmin, one groupBy(id); the new batch never touches the existing
+    corpus."""
+    res = residuals(embeddings, centroids, id_col, vec_col)
+    codes = pq_encode(res, codebooks, m=m, id_col=id_col, vec_col="rvec",
+                      dim=dim)
+    return res.select(id_col, "cid").join(codes, id_col)
+
+
+def ivfpq_index_append(
+    spark, root: str, new_embeddings: DataFrame, m: int = 4,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+    dim: int | None = None, skip_existing: bool = False,
+) -> str:
+    """Encode-only append into a persisted IVF-PQ index (the
+    write_ivfpq_index layout): read the frozen centroids + codebooks,
+    encode the new batch, and append its (id, cid, codes) rows into the
+    partitionBy(cid) codes table. The daily operation of a production
+    embedding store — O(batch) work, never O(corpus); the codebooks stay
+    driver-size and the append lands only in the cid directories the
+    batch actually hits.
+
+    Appended rows score identically to a full re-encode of the union
+    under the same frozen codebooks (property-tested); ids are assumed
+    new — pass skip_existing=True to anti-join against the index's id
+    column first (a column-pruned scan of codes, the one O(corpus) step,
+    so it is opt-in)."""
+    cents = spark.read.parquet(f"{root}/centroids")
+    books = spark.read.parquet(f"{root}/codebooks")
+    enc = ivfpq_encode(new_embeddings, cents, books, m=m, id_col=id_col,
+                       vec_col=vec_col, dim=dim)
+    if skip_existing:
+        existing = spark.read.parquet(f"{root}/codes").select(id_col)
+        enc = enc.join(existing, id_col, "left_anti")
+    (
+        enc.repartition("cid")
+        .write.mode("append")
+        .partitionBy("cid")
+        .parquet(f"{root}/codes")
+    )
+    return root
+
+
 def ivfpq_topk_indexed(
     spark, root: str, query_vec: list[float], k: int = 10, nprobe: int = 2,
     m: int = 4, id_col: str = "vec_id",

@@ -2657,7 +2657,7 @@ def q_sim_ivfpq_topk(spark, sf_dir):
 
 def _ivfpq_topk_sql(n_cells: int = 8, m: int = 4, ksub: int = 16,
                     n_iter: int = 2, k: int = 20, nprobe: int = 2,
-                    dim: int = 64) -> str:
+                    dim: int = 64, train_pred: str | None = None) -> str:
     """Unrolled IVFADC oracle, four mirrored stages:
 
     1. coarse Lloyd (kmeans_fit: seed cid = the n_cells smallest vec_ids,
@@ -2682,24 +2682,35 @@ def _ivfpq_topk_sql(n_cells: int = 8, m: int = 4, ksub: int = 16,
         "AS BIGINT)) AS BIGINT)"
     )
     subspaces = ", ".join(str(j) for j in range(m))
+    # frozen-codebook append mode: training CTEs see only the rows
+    # matching train_pred (the base slice the index was fitted on);
+    # the FINAL assignment/encode pass always covers every vector —
+    # exactly ivfpq_fit_encode(base) + ivfpq_encode(new, frozen).
+    tv = "tvecs" if train_pred else "vecs"
+    trs = "trsubs" if train_pred else "rsubs"
     ctes = [
         # ---- stage 1: coarse k-means over the double-cast vectors ----
         f"""vecs AS (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
   FROM embeddings
 )""",
-        f"""g0 AS (
-  SELECT CAST(vec_id AS BIGINT) AS cid, v AS cvec
-  FROM vecs ORDER BY vec_id LIMIT {n_cells}
-)""",
     ]
+    if train_pred:
+        ctes.append(
+            f"tvecs AS (SELECT * FROM vecs WHERE {train_pred})"
+        )
+    ctes.append(f"""g0 AS (
+  SELECT CAST(vec_id AS BIGINT) AS cid, v AS cvec
+  FROM {tv} ORDER BY vec_id LIMIT {n_cells}
+)""")
     for t in range(n_iter + 1):
+        src = "vecs" if t == n_iter else tv
         ctes.append(f"""ga{t} AS (
   SELECT vec_id, v, cid, dist,
          row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
   FROM (
     SELECT e.vec_id, e.v, c.cid, {_sqdist_sql('e.v', 'c.cvec')} AS dist
-    FROM vecs e CROSS JOIN g{t} c
+    FROM {src} e CROSS JOIN g{t} c
   )
 )""")
         if t == n_iter:
@@ -2732,15 +2743,22 @@ def _ivfpq_topk_sql(n_cells: int = 8, m: int = 4, ksub: int = 16,
                         i -> rvec[j.subspace * {sub_dim} + i]) AS sv
   FROM res, unnest([{subspaces}]) AS j(subspace)
 )""")
+    if train_pred:
+        ctes.append(
+            f"trsubs AS (SELECT * FROM rsubs WHERE {train_pred})"
+        )
     ctes.append(f"""rseed AS (
   SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS cid
-  FROM (SELECT vec_id FROM res ORDER BY vec_id LIMIT {ksub})
+  FROM (SELECT vec_id FROM res
+        {f'WHERE {train_pred} ' if train_pred else ''}ORDER BY vec_id
+        LIMIT {ksub})
 )""")
-    ctes.append("""rc0 AS (
+    ctes.append(f"""rc0 AS (
   SELECT s.subspace, d.cid, s.sv AS cvec
-  FROM rsubs s JOIN rseed d USING (vec_id)
+  FROM {trs} s JOIN rseed d USING (vec_id)
 )""")
     for t in range(n_iter + 1):
+        rsrc = "rsubs" if t == n_iter else trs
         ctes.append(f"""ra{t} AS (
   SELECT vec_id, subspace, sv, cid, dist,
          row_number() OVER (PARTITION BY vec_id, subspace
@@ -2748,7 +2766,7 @@ def _ivfpq_topk_sql(n_cells: int = 8, m: int = 4, ksub: int = 16,
   FROM (
     SELECT s.vec_id, s.subspace, s.sv, c.cid,
            {_sqdist_sql('s.sv', 'c.cvec')} AS dist
-    FROM rsubs s JOIN rc{t} c ON s.subspace = c.subspace
+    FROM {rsrc} s JOIN rc{t} c ON s.subspace = c.subspace
   )
 )""")
         if t == n_iter:
@@ -2812,6 +2830,31 @@ LIMIT {k}"""
 
 
 
+
+
+def q_sim_ivfpq_append(spark, sf_dir):
+    """Incremental IVF-PQ maintenance: fit the index on the base slice
+    (vec_id % 4 != 0), encode-only append the held-out slice under the
+    FROZEN centroids + codebooks (similarity.ivfpq_encode — the vector
+    analog of the reference's incremental add_entity,
+    geo_manager.py:451-476), then probe the union. The oracle is the
+    IVFADC unroll with its training CTEs restricted to the base slice
+    (train_pred) while the final assignment/encode pass covers every
+    vector — exactly the frozen-codebook append semantics."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.filter(F.col("vec_id") % 4 != 0)
+    new = emb.filter(F.col("vec_id") % 4 == 0)
+    cents, books, enc_base = similarity.ivfpq_fit_encode(
+        base, n_cells=8, m=4, ksub=16, n_iter=2, dim=64
+    )
+    appended = similarity.ivfpq_encode(new, cents, books, m=4, dim=64)
+    full = enc_base.unionByName(appended)
+    qv = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == TOPK_QUERY_ID)
+        .select("embedding").first()[0]
+    ]
+    return similarity.ivfpq_topk(full, cents, books, qv, k=20, nprobe=2, m=4)
 
 
 def q_sim_topk_batch(spark, sf_dir):
@@ -3821,6 +3864,10 @@ QUERIES: dict = {
     "pipe_sim_kmeans": (q_sim_kmeans, _kmeans_sql()),
     "pipe_sim_pq_topk": (q_sim_pq_topk, _pq_topk_sql()),
     "pipe_sim_ivfpq_topk": (q_sim_ivfpq_topk, _ivfpq_topk_sql()),
+    "pipe_sim_ivfpq_append": (
+        q_sim_ivfpq_append,
+        _ivfpq_topk_sql(train_pred="vec_id % 4 != 0"),
+    ),
     "pipe_sim_semdedup": (q_sim_semdedup, _semdedup_sql(k=16)),
     "pipe_sim_topk_batch": (q_sim_topk_batch, _TOPK_BATCH_SQL),
     "pipe_curate_corpus": (q_curate_corpus, _curate_sql()),
