@@ -2374,18 +2374,75 @@ FROM px
 
 
 def q_mm_resize(spark, sf_dir):
-    """Resize stage (Python stride kernel inside mapInPandas — not
-    SQL-expressible → rows-only check); emit scalar columns only (binary
-    cells don't canonicalize in a value-hash harness)."""
+    """Resize stage through the stride kernel (mapInPandas), now
+    DIGEST-checked: the fake-codec payload is the doc's ASCII text, so
+    the resized bytes decode back to a string JVM-side and reduce to
+    exact integer features (length, sum, max, ×31-rolling checksum) that
+    the oracle re-derives with pure stride arithmetic — the kernel's
+    actual output bytes are value-hashed, not just row counts."""
     media = multimodal.synthesize_media(load_table(spark, sf_dir, "documents"))
     out = multimodal.resize_media(media, 32, 32)
-    return out.select(
+    step = out.select(
         "doc_id",
-        F.md5(F.col("media_bytes")).alias("payload_md5"),
-        F.col("media_meta.n_bytes").alias("n_bytes"),
+        F.decode(F.col("media_bytes"), "UTF-8").alias("s"),
         F.col("media_meta.width").alias("width"),
         F.col("media_meta.height").alias("height"),
     )
+    codes = F.expr(
+        "CASE WHEN length(s) > 0 THEN "
+        "transform(sequence(1, length(s)), "
+        "i -> CAST(ascii(substring(s, i, 1)) AS BIGINT)) "
+        "ELSE CAST(array() AS array<bigint>) END"
+    )
+    zero = F.lit(0).cast("long")
+    return step.select(
+        "doc_id",
+        "width",
+        "height",
+        F.length("s").cast("int").alias("n_bytes"),
+        F.aggregate(codes, zero, lambda a, x: a + x).alias("byte_sum"),
+        F.coalesce(F.array_max(codes), zero).alias("byte_max"),
+        F.aggregate(
+            codes, zero, lambda a, x: (a * 31 + x) % 1_000_000_007
+        ).alias("checksum"),
+    )
+
+
+#: mirrors synthesize_media (payload = ASCII text bytes, width/height from
+#: doc_id) + _fake_resize to 32x32: stride = (w*h)//1024 when w*h > 1024,
+#: resized = payload[::stride] — ceil(n/stride) elements at k*stride.
+_MM_RESIZE_SQL = """
+WITH s AS (
+  SELECT doc_id,
+         list_transform(range(1, length(text) + 1),
+           i -> CAST(ascii(substr(text, CAST(i AS INT), 1)) AS BIGINT))
+           AS codes,
+         (doc_id % 640 + 16) * (doc_id % 480 + 16) AS px,
+         length(text) AS n
+  FROM documents
+),
+r AS (
+  SELECT doc_id,
+         CASE WHEN n = 0 OR 1024 >= px THEN codes
+              ELSE list_transform(
+                     range(0, (n + (px // 1024) - 1) // (px // 1024)),
+                     k -> codes[CAST(k * (px // 1024) + 1 AS INT)])
+         END AS rc
+  FROM s
+)
+SELECT doc_id,
+  CAST(32 AS INT) AS width,
+  CAST(32 AS INT) AS height,
+  CAST(len(rc) AS INT) AS n_bytes,
+  CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), rc), (a, b) -> a + b)
+    AS BIGINT) AS byte_sum,
+  CAST(CASE WHEN len(rc) > 0 THEN list_max(rc) ELSE 0 END AS BIGINT)
+    AS byte_max,
+  CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), rc),
+                   (a, b) -> (a * 31 + b) % 1000000007)
+    AS BIGINT) AS checksum
+FROM r
+"""
 
 
 def q_mm_frame_sample(spark, sf_dir):
@@ -3907,7 +3964,7 @@ QUERIES: dict = {
     "pipe_pack_length_buckets": (q_pack_length_buckets, _PACK_LENGTH_BUCKETS_SQL),
     "pipe_mm_features": (q_mm_features, _MM_FEATURES_SQL),
     "pipe_mm_frame_sample": (q_mm_frame_sample, _MM_FRAME_SAMPLE_SQL),
-    "pipe_mm_resize": (q_mm_resize, None),
+    "pipe_mm_resize": (q_mm_resize, _MM_RESIZE_SQL),
     "pipe_mm_phash": (q_mm_phash, None),
     "pipe_mm_phash_pairs": (q_mm_phash_pairs, None),
     "pipe_mm_audio_fingerprint": (q_mm_audio_fingerprint, None),
