@@ -1317,6 +1317,58 @@ def hll_mergeable_rollup(spark, sf_dir):
 
 
 
+def hll_rollup_error(spark, sf_dir):
+    """Hash-checkable twin of hll_mergeable_rollup: the merged per-type
+    HLL estimate is joined against the exact count(DISTINCT user_id) and
+    reduced to a BOUNDED-ERROR boolean (|approx − exact| / exact ≤ 5%,
+    generous vs the ~1.6% theoretical RSE of the default lgConfigK=12).
+    The oracle computes the exact side and asserts `true` — so the hash
+    match demonstrates sketch-merge correctness without pretending DuckDB
+    has Spark's HLL implementation. The estimate itself stays rows-only
+    in the twin's parent."""
+    (events,) = _t(spark, sf_dir, "events")
+    daily = events.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.hll_sketch_agg("user_id").alias("sk"))
+    merged = daily.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_users"),
+        F.count(F.lit(1)).alias("n_days"),
+    )
+    exact = events.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("exact_users")
+    )
+    return (
+        merged.join(exact, "event_type")
+        .select(
+            "event_type",
+            "exact_users",
+            "n_days",
+            (
+                F.abs(F.col("approx_users") - F.col("exact_users"))
+                / F.col("exact_users")
+                <= F.lit(0.05)
+            ).alias("within_5pct"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_HLL_ERROR_SQL = """
+WITH d AS (
+  SELECT event_type, CAST(ts AS DATE) AS day
+  FROM events GROUP BY event_type, CAST(ts AS DATE)
+),
+nd AS (SELECT event_type, count(*) AS n_days FROM d GROUP BY event_type),
+ex AS (
+  SELECT event_type, count(DISTINCT user_id) AS exact_users
+  FROM events GROUP BY event_type
+)
+SELECT ex.event_type, exact_users, n_days, true AS within_5pct
+FROM ex JOIN nd USING (event_type)
+ORDER BY event_type
+"""
+
+
 def cms_heavy_hitters(spark, sf_dir):
     """Mergeable COUNT-MIN rollup (the frequency twin of the HLL rollup):
     a count-min sketch of event_type is built per DAY (the grain a
@@ -1982,6 +2034,7 @@ QUERIES: dict = {
     "rel_division_all_late": (division_all_late, _DIVISION_SQL),
     "rel_try_funcs": (try_funcs, _TRY_FUNCS_SQL),
     "rel_hll_mergeable_rollup": (hll_mergeable_rollup, None),
+    "rel_hll_rollup_error": (hll_rollup_error, _HLL_ERROR_SQL),
     "rel_cms_heavy_hitters": (cms_heavy_hitters, None),
     "rel_hypertable_rollup": (hypertable_rollup, _HYPERTABLE_SQL),
     "rel_time_decay_totals": (time_decay_totals, _TIME_DECAY_SQL),
