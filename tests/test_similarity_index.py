@@ -464,6 +464,51 @@ def test_ivfpq_persisted_index_partition_pruned(spark, tmp_path):
     assert "PartitionFilters" in plan and "cid" in plan.split("PartitionFilters")[1][:200]
 
 
+def test_kmeans_ivf_index_append_routes_by_frozen_centroids(spark, tmp_path):
+    """Assign-only append into the k-means IVF layout: appended rows land
+    in the cell the FROZEN centroids assign them to, the probe sees them,
+    and skip_existing re-append adds nothing."""
+    import pyspark.sql.functions as F
+    from yat_geo_db_spark.pipelines.similarity import (
+        kmeans_assign, kmeans_ivf_index_append, kmeans_ivf_topk,
+        write_kmeans_ivf_index,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    base = emb.filter(F.col("vec_id") % 4 != 0)
+    new = emb.filter(F.col("vec_id") % 4 == 0)
+
+    root = str(tmp_path / "kivf")
+    write_kmeans_ivf_index(base, root, k=4, n_iter=2)
+    kmeans_ivf_index_append(spark, root, new)
+
+    cents = spark.read.parquet(f"{root}/centroids")
+    want_cells = {
+        r["vec_id"]: r["cid"]
+        for r in kmeans_assign(new, cents).select("vec_id", "cid").collect()
+    }
+    got_cells = {
+        r["vec_id"]: r["cid"]
+        for r in spark.read.parquet(f"{root}/vectors")
+        .filter(F.col("vec_id") % 4 == 0).select("vec_id", "cid").collect()
+    }
+    assert got_cells == want_cells and len(got_cells) > 0
+
+    # probe the appended index with an appended vector's own embedding —
+    # exact-cosine scoring must rank it first
+    row0 = emb.filter(F.col("vec_id") == 0).first()
+    qv = [float(x) for x in row0["embedding"]]
+    top = kmeans_ivf_topk(spark, root, qv, k=3, nprobe=2).collect()
+    assert top[0]["vec_id"] == 0 and top[0]["cosine"] == 1.0
+
+    kmeans_ivf_index_append(spark, root, new, skip_existing=True)
+    dup = (
+        spark.read.parquet(f"{root}/vectors").groupBy("vec_id").count()
+        .filter(F.col("count") > 1).count()
+    )
+    assert dup == 0
+
+
 def test_ivfpq_index_append_equals_frozen_rebuild(spark, tmp_path):
     """Encode-only append: build the index on a base slice, append the
     held-out slice with frozen codebooks — every appended row's (cid,

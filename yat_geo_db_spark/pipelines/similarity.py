@@ -426,6 +426,32 @@ def write_kmeans_ivf_index(
     return root
 
 
+def kmeans_ivf_index_append(
+    spark, root: str, new_embeddings: DataFrame,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+    skip_existing: bool = False,
+) -> str:
+    """Assign-only append into a persisted k-means IVF index: the frozen
+    centroid table routes the new batch into its cells and the rows land
+    in the existing partitionBy(cid) layout via mode('append') — O(batch)
+    work, no retraining, the uncompressed sibling of ivfpq_index_append.
+    ids are assumed new; skip_existing anti-joins the index's id column
+    (column-pruned corpus scan, opt-in)."""
+    cents = spark.read.parquet(f"{root}/centroids")
+    assign = kmeans_assign(new_embeddings, cents, id_col, vec_col)
+    enc = new_embeddings.join(assign.select(id_col, "cid"), id_col)
+    if skip_existing:
+        existing = spark.read.parquet(f"{root}/vectors").select(id_col)
+        enc = enc.join(existing, id_col, "left_anti")
+    (
+        enc.repartition("cid")
+        .write.mode("append")
+        .partitionBy("cid")
+        .parquet(f"{root}/vectors")
+    )
+    return root
+
+
 def kmeans_ivf_topk(
     spark, root: str, query_vec: list[float], k: int = 10, nprobe: int = 2,
     id_col: str = "vec_id", vec_col: str = "embedding",
