@@ -479,3 +479,55 @@ def test_pii_scrub_stream_matches_batch(spark, tmp_path):
     want = pii_scrub(docs)
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
     assert got.count() == 500
+
+
+def test_streaming_ann_index_append_matches_batch(spark, tmp_path):
+    """foreachBatch ANN maintenance: build an IVF-PQ index on a base
+    slice, stream the held-out vectors through ann_index_append_sink,
+    and the index must equal a frozen-codebook encode of the union; a
+    second pass over the same files (fresh checkpoint = full replay)
+    must append nothing thanks to skip_existing."""
+    from yat_geo_db_spark.pipelines.similarity import (
+        ivfpq_encode, write_ivfpq_index,
+    )
+    from yat_geo_db_spark.streaming.sinks import ann_index_append_sink
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    base = emb.filter(F.col("vec_id") % 4 != 0)
+    new = emb.filter(F.col("vec_id") % 4 == 0)
+
+    root = str(tmp_path / "ivfpq")
+    write_ivfpq_index(base, root, n_cells=4, m=4, ksub=8, n_iter=2)
+
+    src = str(tmp_path / "vec_src")
+    new.write.mode("overwrite").parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    def run_stream(ckpt: str) -> None:
+        q = (
+            spark.readStream.schema(schema).parquet(src)
+            .writeStream.foreachBatch(ann_index_append_sink(root, m=4))
+            .option("checkpointLocation", str(tmp_path / ckpt))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    run_stream("ckpt1")
+
+    cents = spark.read.parquet(f"{root}/centroids")
+    books = spark.read.parquet(f"{root}/codebooks")
+    got = {
+        r["vec_id"]: (r["cid"], tuple(r["codes"]))
+        for r in spark.read.parquet(f"{root}/codes").collect()
+    }
+    want = {
+        r["vec_id"]: (r["cid"], tuple(r["codes"]))
+        for r in ivfpq_encode(emb, cents, books, m=4).collect()
+    }
+    assert got == want
+
+    # full replay (fresh checkpoint): skip_existing makes it a no-op
+    run_stream("ckpt2")
+    n_after = spark.read.parquet(f"{root}/codes").count()
+    assert n_after == len(want)

@@ -77,3 +77,37 @@ def exact_decontaminating_sink(benchmark: DataFrame, target_dir: str,
         survivors.write.mode("overwrite").parquet(out)
 
     return write_batch
+
+
+def ann_index_append_sink(root: str, kind: str = "ivfpq", m: int = 4,
+                          dim: int | None = None, id_col: str = "vec_id",
+                          vec_col: str = "embedding"):
+    """foreachBatch maintenance of a persisted ANN index: each micro-batch
+    of (id, embedding) rows is encode-only appended under the index's
+    FROZEN centroids/codebooks (ivfpq_index_append / the k-means IVF
+    twin) — the streaming half of a production embedding store: train
+    once offline, keep ingesting online.
+
+    Replay safety: foreachBatch is at-least-once, and the codes layout is
+    partitionBy(cid) (no batch_id dirs), so the sink passes
+    skip_existing=True — a replayed batch anti-joins against the ids
+    already in the index and appends nothing. That anti-join scans only
+    the index's id column (column-pruned); for very hot streams, dedupe
+    upstream and swap in skip_existing=False."""
+    if kind not in ("ivfpq", "kmeans_ivf"):
+        raise ValueError(f"unknown index kind {kind!r}")
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        from yat_geo_db_spark.pipelines.similarity import (
+            ivfpq_index_append, kmeans_ivf_index_append,
+        )
+
+        spark = batch_df.sparkSession
+        if kind == "ivfpq":
+            ivfpq_index_append(spark, root, batch_df, m=m, id_col=id_col,
+                               vec_col=vec_col, dim=dim, skip_existing=True)
+        else:
+            kmeans_ivf_index_append(spark, root, batch_df, id_col=id_col,
+                                    vec_col=vec_col, skip_existing=True)
+
+    return write_batch
