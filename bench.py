@@ -93,8 +93,6 @@ def _semdedup_autok(spark, sf_dir):
     default auto-sizes the cell count (one extra count job over the
     checkpointed normalized table) — this line measures THAT path, while
     the registry query pins explicit k for its unrolled-Lloyd oracle."""
-    from pyspark.sql import functions as F
-
     from yat_geo_db_spark.pipelines import similarity
     from yat_geo_db_spark.queries.pipeline_queries import (
         COSINE_T, KMEANS_ITERS,

@@ -580,6 +580,89 @@ def test_ivfpq_index_append_equals_frozen_rebuild(spark, tmp_path):
     assert counts == 0
 
 
+def test_index_append_guards(spark, tmp_path):
+    """The append paths fail fast on bad input instead of corrupting the
+    index: empty batches no-op (dim resolves from the FROZEN centroids,
+    not a .first() on the batch), wrong-dim vectors raise executor-side,
+    and a column-set mismatch on the uncompressed layout raises before
+    any write (heterogeneous parquet schemas in one dir are unreadable)."""
+    import pyspark.sql.functions as F
+    import pytest
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import PySparkException
+    from yat_geo_db_spark.pipelines.similarity import (
+        ivfpq_index_append, kmeans_ivf_index_append, write_ivfpq_index,
+        write_kmeans_ivf_index,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    base = emb.filter(F.col("vec_id") % 4 != 0)
+
+    pq_root = str(tmp_path / "ivfpq")
+    kv_root = str(tmp_path / "kivf")
+    write_ivfpq_index(base, pq_root, n_cells=4, m=4, ksub=8, n_iter=2)
+    write_kmeans_ivf_index(base, kv_root, k=4, n_iter=2)
+
+    # empty batch: clean no-op on both layouts
+    empty = emb.filter(F.lit(False))
+    n0 = spark.read.parquet(f"{pq_root}/codes").count()
+    ivfpq_index_append(spark, pq_root, empty, m=4, skip_existing=True)
+    assert spark.read.parquet(f"{pq_root}/codes").count() == n0
+    v0 = spark.read.parquet(f"{kv_root}/vectors").count()
+    kmeans_ivf_index_append(spark, kv_root, empty, skip_existing=True)
+    assert spark.read.parquet(f"{kv_root}/vectors").count() == v0
+
+    # wrong-dim vectors: raise, never silently mis-route
+    bad_dim = emb.filter(F.col("vec_id") % 4 == 0).withColumn(
+        "embedding", F.slice(F.col("embedding"), 1, 3)
+    )
+    with pytest.raises((Py4JJavaError, PySparkException),
+                       match="vector dim != index dim"):
+        ivfpq_index_append(spark, pq_root, bad_dim, m=4)
+    with pytest.raises((Py4JJavaError, PySparkException),
+                       match="vector dim != index dim"):
+        kmeans_ivf_index_append(spark, kv_root, bad_dim)
+
+    # column-set mismatch vs the persisted uncompressed layout: refused
+    extra = emb.filter(F.col("vec_id") % 4 == 0).withColumn(
+        "stray", F.lit(1)
+    )
+    with pytest.raises(ValueError, match="column set"):
+        kmeans_ivf_index_append(spark, kv_root, extra)
+
+
+def test_ann_sink_dedupes_within_batch(spark, tmp_path):
+    """ann_index_append_sink's replay anti-join only sees ids already on
+    disk — intra-batch duplicates (producer retries inside one poll) must
+    be collapsed by the sink itself, and an all-duplicate/empty batch
+    must no-op rather than kill the query."""
+    import pyspark.sql.functions as F
+    from yat_geo_db_spark.pipelines.similarity import write_ivfpq_index
+    from yat_geo_db_spark.streaming.sinks import ann_index_append_sink
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    base = emb.filter(F.col("vec_id") % 4 != 0)
+    new = emb.filter(F.col("vec_id") % 4 == 0)
+
+    root = str(tmp_path / "ivfpq")
+    write_ivfpq_index(base, root, n_cells=4, m=4, ksub=8, n_iter=2)
+
+    sink = ann_index_append_sink(root, m=4)
+    doubled = new.unionByName(new)  # same ids twice in ONE batch
+    sink(doubled, 0)
+    dup = (
+        spark.read.parquet(f"{root}/codes").groupBy("vec_id").count()
+        .filter(F.col("count") > 1).count()
+    )
+    assert dup == 0
+    n = spark.read.parquet(f"{root}/codes").count()
+    assert n == emb.count()
+
+    # empty micro-batch through the sink: no-op, no exception
+    sink(emb.filter(F.lit(False)), 1)
+    assert spark.read.parquet(f"{root}/codes").count() == n
+
+
 # ---------------------------------------------------------------------------
 # PCA: distributed fit must equal a local NumPy fit of the same data
 # ---------------------------------------------------------------------------

@@ -436,8 +436,24 @@ def kmeans_ivf_index_append(
     in the existing partitionBy(cid) layout via mode('append') — O(batch)
     work, no retraining, the uncompressed sibling of ivfpq_index_append.
     ids are assumed new; skip_existing anti-joins the index's id column
-    (column-pruned corpus scan, opt-in)."""
+    (column-pruned corpus scan, opt-in).
+
+    Fail-fast guards (cheap, driver/projection-level — silent corruption
+    is the alternative): batch vectors must match the frozen centroid
+    dim (wrong-dim null-pads through zip_with into an arbitrary cell),
+    and the batch's column set must match the persisted vectors layout
+    (parquet append with a different column set writes heterogeneous
+    file schemas that a later read resolves arbitrarily)."""
     cents = spark.read.parquet(f"{root}/centroids")
+    dim = _frozen_index_dim(cents)
+    new_embeddings = _require_dim(new_embeddings, vec_col, dim)
+    existing_cols = set(spark.read.parquet(f"{root}/vectors").columns)
+    batch_cols = set(new_embeddings.columns) | {"cid"}
+    if batch_cols != existing_cols:
+        raise ValueError(
+            f"append column set {sorted(batch_cols)} != index layout "
+            f"{sorted(existing_cols)}"
+        )
     assign = kmeans_assign(new_embeddings, cents, id_col, vec_col)
     enc = new_embeddings.join(assign.select(id_col, "cid"), id_col)
     if skip_existing:
@@ -1256,6 +1272,36 @@ def write_ivfpq_index(
     return root
 
 
+def _frozen_index_dim(centroids: DataFrame) -> int:
+    """Vector dim as recorded by a frozen index's centroid table (k tiny
+    rows — a driver-side parameter lookup, never a corpus/batch scan).
+    Lets encode-only append paths resolve dim without running a job on
+    the incoming batch, so an EMPTY micro-batch is a clean no-op instead
+    of a .first()→None crash."""
+    row = centroids.select("cvec").first()
+    if row is None:
+        raise ValueError("centroid table is empty — not a trained index")
+    return len(row[0])
+
+
+def _require_dim(df: DataFrame, vec_col: str, dim: int) -> DataFrame:
+    """Executor-side fail-fast on vector-length mismatch: a wrong-dim
+    vector would otherwise null-pad through zip_with and route to an
+    arbitrary cell SILENTLY. Pure projection (no extra job); the error
+    surfaces in the first action that touches the bad row."""
+    return df.withColumn(
+        vec_col,
+        F.when(F.size(F.col(vec_col)) == F.lit(dim), F.col(vec_col)).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(f"vector dim != index dim {dim}: got "),
+                    F.size(F.col(vec_col)).cast("string"),
+                )
+            )
+        ),
+    )
+
+
 def ivfpq_encode(
     embeddings: DataFrame, centroids: DataFrame, codebooks: DataFrame,
     m: int = 4, id_col: str = "vec_id", vec_col: str = "embedding",
@@ -1271,8 +1317,16 @@ def ivfpq_encode(
     Scale shape: identical to the fit-time encode — one broadcast
     centroid assignment, one zip_with residual, one broadcast codebook
     argmin, one groupBy(id); the new batch never touches the existing
-    corpus."""
-    res = residuals(embeddings, centroids, id_col, vec_col)
+    corpus. dim resolves from the FROZEN centroids (k-row lookup, not a
+    batch job) and mismatched input vectors raise instead of silently
+    mis-routing; the residual subtree is checkpointed once because it
+    feeds both pq_encode and the final (id, cid) join — without it every
+    micro-batch of a streaming append pays the assignment twice."""
+    if dim is None:
+        dim = _frozen_index_dim(centroids)
+    res = residuals(
+        _require_dim(embeddings, vec_col, dim), centroids, id_col, vec_col
+    ).localCheckpoint()
     codes = pq_encode(res, codebooks, m=m, id_col=id_col, vec_col="rvec",
                       dim=dim)
     return res.select(id_col, "cid").join(codes, id_col)

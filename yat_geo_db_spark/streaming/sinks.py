@@ -91,9 +91,16 @@ def ann_index_append_sink(root: str, kind: str = "ivfpq", m: int = 4,
     Replay safety: foreachBatch is at-least-once, and the codes layout is
     partitionBy(cid) (no batch_id dirs), so the sink passes
     skip_existing=True — a replayed batch anti-joins against the ids
-    already in the index and appends nothing. That anti-join scans only
-    the index's id column (column-pruned); for very hot streams, dedupe
-    upstream and swap in skip_existing=False."""
+    already in the index and appends nothing. That anti-join only
+    protects against ids ALREADY ON DISK, so the sink also dedupes
+    within the micro-batch (dropDuplicates on id — an at-least-once
+    source can deliver the same id twice in ONE batch, e.g. producer
+    retries in a single poll); that one keyed shuffle is the price of
+    the 'no duplicate vec_ids in the index' invariant. The anti-join
+    scans only the index's id column (column-pruned); for very hot
+    streams, dedupe upstream and swap in skip_existing=False. Empty
+    micro-batches (a restart, or an upstream filter dropping every row)
+    are a no-op rather than a query-killing encode of zero rows."""
     if kind not in ("ivfpq", "kmeans_ivf"):
         raise ValueError(f"unknown index kind {kind!r}")
 
@@ -102,6 +109,9 @@ def ann_index_append_sink(root: str, kind: str = "ivfpq", m: int = 4,
             ivfpq_index_append, kmeans_ivf_index_append,
         )
 
+        if batch_df.isEmpty():
+            return
+        batch_df = batch_df.dropDuplicates([id_col])
         spark = batch_df.sparkSession
         if kind == "ivfpq":
             ivfpq_index_append(spark, root, batch_df, m=m, id_col=id_col,
