@@ -163,6 +163,53 @@ def test_upsert_latest_properties(spark):
     assert {r["v"] for r in won.filter(F.col("k") == 5).collect()} == {99.0}
 
 
+def test_partial_aggregate_merge_is_exactly_associative(spark):
+    """merge_partial_aggregates over ANY split of the rows must equal a
+    one-shot partial_aggregate of everything BIT-FOR-BIT (the fixed-point
+    sums make double addition associative) — the property that lets a
+    rollup table be maintained from per-batch increments without
+    rescanning history. Checked over several adversarial splits,
+    including batches with disjoint and with empty key sets; merged
+    output is re-merged to show the state stays closed under merge."""
+    import random
+
+    from yat_geo_db_spark.relational.merge import (
+        merge_partial_aggregates, partial_aggregate,
+    )
+
+    rng = random.Random(7)
+    rows = [
+        (i % 17, round(rng.uniform(-100, 100), 2), rng.randint(0, 10**6))
+        for i in range(2000)
+    ]
+    df = spark.createDataFrame(rows, "k long, x double, m long")
+    kw = dict(key_cols=["k"], sum_cols=["x"], min_cols=["m"],
+              max_cols=["m"], scale=2)
+
+    def snap(frame):
+        return sorted(
+            (r["k"], r["n_rows"], r["sum_x"], r["min_m"], r["max_m"])
+            for r in frame.collect()
+        )
+
+    want = snap(partial_aggregate(df, **kw))
+
+    splits = [
+        [df.filter(F.col("m") % 3 == i) for i in range(3)],     # by value
+        [df.filter(F.col("k") < 9), df.filter(F.col("k") >= 9)],  # by key
+        [df, df.filter(F.lit(False))],                           # empty batch
+    ]
+    for parts in splits:
+        states = [partial_aggregate(p, **kw) for p in parts]
+        merged = merge_partial_aggregates(states, **kw)
+        assert snap(merged) == want
+        # closure: merging a merged state with an empty state is a no-op
+        again = merge_partial_aggregates(
+            [merged, partial_aggregate(df.filter(F.lit(False)), **kw)], **kw
+        )
+        assert snap(again) == want
+
+
 def test_star_contraction_matches_union_find_random_graphs(spark):
     """deep_graph=True (alternating large-star/small-star) must be
     label-identical to the min-label/union-find semantics on arbitrary

@@ -2017,7 +2017,50 @@ SELECT o_orderkey, price, CAST(version AS INT) AS version FROM (
 """
 
 
+def incr_agg_merge(spark, sf_dir):
+    """Incrementally-maintained rollup (relational.merge.partial_aggregate
+    + merge_partial_aggregates): lineitem arrives as three disjoint
+    batches (orderkey mod 4 ∈ {0,1} | {2} | {3}); each batch is reduced
+    to per-supplier mergeable state and the states are merged WITHOUT
+    rescanning rows. The fixed-point sums make the merge exactly equal a
+    one-shot aggregation of the union — which is what the oracle
+    computes, so the hash match IS the associativity proof."""
+    from yat_geo_db_spark.relational.merge import (
+        merge_partial_aggregates, partial_aggregate,
+    )
+
+    (lineitem,) = _t(spark, sf_dir, "lineitem")
+    batches = [
+        lineitem.filter(F.col("l_orderkey") % 4 <= 1),
+        lineitem.filter(F.col("l_orderkey") % 4 == 2),
+        lineitem.filter(F.col("l_orderkey") % 4 == 3),
+    ]
+    kw = dict(
+        key_cols=["l_suppkey"],
+        sum_cols=["l_quantity", "l_extendedprice"],
+        min_cols=["l_shipdate"],
+        max_cols=["l_shipdate"],
+        scale=2,
+    )
+    states = [partial_aggregate(b, **kw) for b in batches]
+    return merge_partial_aggregates(states, **kw).orderBy("l_suppkey")
+
+
+_INCR_AGG_SQL = f"""
+SELECT l_suppkey,
+       count(*) AS n_rows,
+       {_dsum('l_quantity', 2)} AS sum_l_quantity,
+       {_dsum('l_extendedprice', 2)} AS sum_l_extendedprice,
+       min(l_shipdate) AS min_l_shipdate,
+       max(l_shipdate) AS max_l_shipdate
+FROM lineitem
+GROUP BY l_suppkey
+ORDER BY l_suppkey
+"""
+
+
 QUERIES: dict = {
+    "rel_incr_agg_merge": (incr_agg_merge, _INCR_AGG_SQL),
     "rel_dq_audit": (dq_audit_battery, _DQ_AUDIT_SQL),
     "rel_cdc_apply": (cdc_apply_changes, _CDC_APPLY_SQL),
     "rel_q2_min_cost_supplier": (q2, _Q2_SQL),

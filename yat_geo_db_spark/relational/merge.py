@@ -15,6 +15,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import Window
 import pyspark.sql.functions as F
 
+from yat_geo_db_spark.relational.queries import dsum
+
 
 def _latest_rows(
     base: DataFrame,
@@ -100,3 +102,55 @@ def cdc_apply(
         [F.desc(version_col), F.desc("_src"), F.asc(op_col)],
     )
     return kept.filter(F.col(op_col) != "D").drop(op_col)
+
+
+def partial_aggregate(
+    df: DataFrame,
+    key_cols: list[str],
+    sum_cols: list[str] = (),
+    min_cols: list[str] = (),
+    max_cols: list[str] = (),
+    scale: int = 4,
+) -> DataFrame:
+    """Per-key MERGEABLE aggregate state: (keys, n_rows, sum_<c>…,
+    min_<c>…, max_<c>…) — the partial-aggregation representation an
+    incrementally-maintained rollup table stores instead of raw rows.
+
+    The sums go through `dsum` fixed-point accumulation, which makes the
+    state EXACTLY associative: merging per-batch states (see
+    merge_partial_aggregates) reproduces a one-shot aggregation of all
+    rows bit-for-bit, for ANY split of the data into batches — the
+    property that lets a 100 TB rollup be maintained by aggregating only
+    each day's increment (O(batch)) and merging O(keys) state, never
+    rescanning history. Plain float sums lose this (addition order
+    drifts); count/min/max are natively associative."""
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    aggs += [dsum(F.col(c), scale).alias(f"sum_{c}") for c in sum_cols]
+    aggs += [F.min(c).alias(f"min_{c}") for c in min_cols]
+    aggs += [F.max(c).alias(f"max_{c}") for c in max_cols]
+    return df.groupBy(*key_cols).agg(*aggs)
+
+
+def merge_partial_aggregates(
+    states: list[DataFrame],
+    key_cols: list[str],
+    sum_cols: list[str] = (),
+    min_cols: list[str] = (),
+    max_cols: list[str] = (),
+    scale: int = 4,
+) -> DataFrame:
+    """Merge partial_aggregate states (the base rollup table + one or
+    more batch states) into one: counts add, fixed-point sums re-add
+    exactly (each stored sum is a multiple of 10^-scale, so the dsum
+    round-trip is lossless), mins/maxs fold. ONE hash shuffle on the
+    key over O(keys_per_state) rows — the whole point: the merge never
+    touches raw history. Keys new to a batch appear, existing keys
+    update; the result is itself a valid state for the next merge."""
+    from functools import reduce
+
+    merged = reduce(lambda a, b: a.unionByName(b), states)
+    aggs = [F.sum("n_rows").alias("n_rows")]
+    aggs += [dsum(F.col(f"sum_{c}"), scale).alias(f"sum_{c}") for c in sum_cols]
+    aggs += [F.min(f"min_{c}").alias(f"min_{c}") for c in min_cols]
+    aggs += [F.max(f"max_{c}").alias(f"max_{c}") for c in max_cols]
+    return merged.groupBy(*key_cols).agg(*aggs)
