@@ -343,3 +343,45 @@ def test_pagerank_random_graphs_match_numpy(spark):
             f"trial {trial}: n={n} iter={n_iter}"
         )
         assert abs(sum(got.values()) - 1.0) < 1e-9
+
+
+def test_triangle_counts_match_brute_force(spark):
+    """Degree-oriented wedge counting must equal brute-force per-node
+    triangle counts on arbitrary graphs — random graphs plus the shapes
+    the orientation exists for (a hub/star: many wedges, no triangles;
+    K5: every node in C(4,2)=6)."""
+    import itertools
+    import random
+
+    from yat_geo_db_spark.pipelines.graph import triangle_counts
+
+    def brute(edge_list):
+        und = {tuple(sorted(e)) for e in edge_list if e[0] != e[1]}
+        nodes = {v for e in und for v in e}
+        nbr = {v: set() for v in nodes}
+        for a, b in und:
+            nbr[a].add(b)
+            nbr[b].add(a)
+        out = {}
+        for trio in itertools.combinations(sorted(nodes), 3):
+            x, y, z = trio
+            if y in nbr[x] and z in nbr[x] and z in nbr[y]:
+                for v in trio:
+                    out[v] = out.get(v, 0) + 1
+        return out
+
+    rng = random.Random(11)
+    cases = [
+        [(0, i) for i in range(1, 12)],                     # star: 0 triangles
+        [(i, j) for i in range(5) for j in range(5) if i < j],  # K5
+    ]
+    for _ in range(4):
+        n = rng.randint(6, 18)
+        cases.append([
+            (rng.randrange(n), rng.randrange(n))
+            for _ in range(rng.randint(5, 3 * n))
+        ])
+    for edge_list in cases:
+        df = spark.createDataFrame(edge_list, "src long, dst long")
+        got = {r["node"]: r["n_tri"] for r in triangle_counts(df).collect()}
+        assert got == brute(edge_list)

@@ -119,3 +119,65 @@ def pagerank(
     return ranks.select(
         F.col("_node").alias(node_col), F.col("_r").alias("rank")
     )
+
+
+def triangle_counts(
+    edges: DataFrame, src: str = "src", dst: str = "dst",
+) -> DataFrame:
+    """Per-node triangle participation counts (node, n_tri) over an
+    undirected view of the edge list — the clustering-structure signal
+    link-graph quality scoring uses next to PageRank (spam farms are
+    triangle-poor; organic communities triangle-rich).
+
+    Degree-oriented wedge join (the MapReduce-classic answer to 'the
+    curse of the last reducer'): canonicalize to undirected (a<b)
+    edges, orient every edge from its lower-(degree, id) endpoint to
+    the higher, generate wedges only at each node's oriented
+    out-neighbors, and close them against the canonical edge set. Each
+    triangle is found EXACTLY once (at its minimum-(degree, id) apex).
+    Orientation bounds oriented out-degree by O(sqrt(m)), so the wedge
+    self-join is O(m^1.5) total work spread evenly across keys — a
+    power-law hub with degree d contributes O(d) oriented wedges, not
+    O(d^2), which is what makes this survive a web-scale graph where
+    the naive neighbor-pair join dies on the top hub. Every step is an
+    equi-join or hash aggregate; integer-only arithmetic → the DuckDB
+    oracle matches exactly.
+    """
+    und = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("a").alias("v"))
+        .unionAll(und.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    da = deg.select(F.col("v").alias("a"), F.col("deg").alias("da"))
+    db = deg.select(F.col("v").alias("b"), F.col("deg").alias("db"))
+    # a < b, so on a degree tie the id order keeps orientation acyclic
+    low_first = F.col("da") <= F.col("db")
+    oriented = (
+        und.join(da, "a").join(db, "b")
+        .select(
+            F.when(low_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+            F.when(low_first, F.col("b")).otherwise(F.col("a")).alias("w"),
+        )
+    )
+    o1 = oriented.select(F.col("u"), F.col("w").alias("v1"))
+    o2 = oriented.select(F.col("u"), F.col("w").alias("v2"))
+    wedges = o1.join(o2, "u").filter(F.col("v1") < F.col("v2"))
+    tris = wedges.join(
+        und,
+        (wedges["v1"] == und["a"]) & (wedges["v2"] == und["b"]),
+    ).select("u", "v1", "v2")
+    members = (
+        tris.select(F.col("u").alias("node"))
+        .unionAll(tris.select(F.col("v1").alias("node")))
+        .unionAll(tris.select(F.col("v2").alias("node")))
+    )
+    return members.groupBy("node").agg(F.count(F.lit(1)).alias("n_tri"))

@@ -3472,6 +3472,91 @@ def q_source_pagerank(spark, sf_dir):
     )
 
 
+def q_graph_triangles(spark, sf_dir):
+    """Per-source triangle participation (pipelines.graph.triangle_counts
+    — the clustering-structure complement to the PageRank quality prior)
+    over a deterministic synthetic source graph: a double ring
+    (i→i+1, i→i+2 mod n, so every i closes triangle {i, i+1, i+2}) plus
+    a congruence family (i→7i+3 mod n) for irregular extra closures.
+    Output keyed by source name, ordered."""
+    from pyspark.sql import Window
+
+    from yat_geo_db_spark.pipelines.graph import triangle_counts
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.orderBy("source")
+    idx = (
+        docs.select("source")
+        .distinct()
+        .select(
+            "source", (F.row_number().over(w) - 1).cast("long").alias("i")
+        )
+    )
+    n_frame = F.broadcast(idx.agg(F.count(F.lit(1)).alias("n")))
+    base = idx.crossJoin(n_frame)
+    fams = [
+        ((F.col("i") + 1) % F.col("n")),
+        ((F.col("i") + 2) % F.col("n")),
+        ((F.col("i") * 7 + 3) % F.col("n")),
+    ]
+    edges = None
+    for fam in fams:
+        e = base.select(F.col("i").alias("src"), fam.alias("dst"))
+        edges = e if edges is None else edges.union(e)
+    tri = triangle_counts(edges)
+    return (
+        idx.join(tri, idx["i"] == tri["node"])
+        .select("source", "n_tri")
+        .orderBy("source")
+    )
+
+
+_TRIANGLES_SQL = """
+WITH srcs AS (SELECT DISTINCT source FROM documents),
+idx AS (SELECT source, CAST(row_number() OVER (ORDER BY source) - 1
+        AS BIGINT) AS i FROM srcs),
+ns AS (SELECT count(*) AS n FROM idx),
+raw AS (
+  SELECT i AS x, (i+1) % n AS y FROM idx, ns
+  UNION ALL
+  SELECT i, (i+2) % n FROM idx, ns
+  UNION ALL
+  SELECT i, (i*7+3) % n FROM idx, ns
+),
+und AS (
+  SELECT DISTINCT least(x, y) AS a, greatest(x, y) AS b
+  FROM raw WHERE x <> y
+),
+deg AS (
+  SELECT v, count(*) AS deg FROM (
+    SELECT a AS v FROM und UNION ALL SELECT b FROM und
+  ) GROUP BY v
+),
+oriented AS (
+  SELECT CASE WHEN da.deg <= db.deg THEN und.a ELSE und.b END AS u,
+         CASE WHEN da.deg <= db.deg THEN und.b ELSE und.a END AS w
+  FROM und
+  JOIN deg da ON und.a = da.v
+  JOIN deg db ON und.b = db.v
+),
+tris AS (
+  SELECT o1.u, o1.w AS v1, o2.w AS v2
+  FROM oriented o1
+  JOIN oriented o2 ON o1.u = o2.u AND o1.w < o2.w
+  JOIN und ON und.a = o1.w AND und.b = o2.w
+),
+members AS (
+  SELECT u AS node FROM tris
+  UNION ALL SELECT v1 FROM tris
+  UNION ALL SELECT v2 FROM tris
+)
+SELECT idx.source, count(*) AS n_tri
+FROM members JOIN idx ON members.node = idx.i
+GROUP BY idx.source
+ORDER BY idx.source
+"""
+
+
 def _pagerank_sql(n_iter: int = PAGERANK_ITERS,
                   damping: float = PAGERANK_DAMPING) -> str:
     from yat_geo_db_spark.queries.relational_queries import _dsum
@@ -3884,6 +3969,7 @@ QUERIES: dict = {
     "pipe_sample_weighted_topk": (q_sample_weighted_topk, _WEIGHTED_TOPK_SQL),
     "pipe_epoch_shuffle": (q_epoch_shuffle, _EPOCH_SHUFFLE_SQL),
     "pipe_source_pagerank": (q_source_pagerank, _pagerank_sql()),
+    "pipe_graph_triangles": (q_graph_triangles, _TRIANGLES_SQL),
     "pipe_text_blocklist": (q_text_blocklist, _TEXT_BLOCKLIST_SQL),
     "pipe_sim_hard_negatives": (q_sim_hard_negatives, _HARD_NEGATIVES_SQL),
     "pipe_pii_report": (q_pii_report, _pii_report_sql()),
