@@ -1,0 +1,84 @@
+"""Z-order layout (relational.layout): the written files must carry
+tight min/max stats on ALL indexed columns — the property parquet
+stats-pruning feeds on — where a single-column sort leaves every other
+column's per-file span at ~the full range."""
+
+from __future__ import annotations
+
+import glob
+
+import duckdb
+import pyspark.sql.functions as F
+
+from yat_geo_db_spark.relational.layout import zorder_key, zorder_write
+from yat_geo_db_spark.testdata import load_table
+
+SF = "/root/testdata/sf0.01"
+
+
+def _avg_file_spans(path: str, cols: list[str]) -> dict[str, float]:
+    """Per-column average of (file max − file min) / global span over
+    the layout's parquet files — 1.0 means a file tells the pruner
+    nothing, near 0 means near-perfect pruning for point/range filters."""
+    files = sorted(glob.glob(f"{path}/part-*.parquet"))
+    assert len(files) >= 4, f"expected a multi-file layout, got {files}"
+    con = duckdb.connect()
+    sel = ", ".join(f"min({c}), max({c})" for c in cols)
+    glb = con.sql(
+        f"SELECT {sel} FROM parquet_scan({files!r})"
+    ).fetchone()
+    spans = {c: 0.0 for c in cols}
+    for f in files:
+        row = con.sql(f"SELECT {sel} FROM '{f}'").fetchone()
+        for j, c in enumerate(cols):
+            gmin, gmax = glb[2 * j], glb[2 * j + 1]
+            spans[c] += (row[2 * j + 1] - row[2 * j]) / float(gmax - gmin)
+    return {c: s / len(files) for c, s in spans.items()}
+
+
+def test_zorder_write_tightens_stats_on_all_columns(spark, tmp_path):
+    events = load_table(spark, SF, "events")
+    cols = ["user_id", "value"]
+
+    zpath = str(tmp_path / "zorder")
+    zorder_write(events, cols, zpath, n_files=16, bits=12)
+
+    spath = str(tmp_path / "single")
+    (
+        events.repartitionByRange(16, "user_id")
+        .sortWithinPartitions("user_id")
+        .write.mode("overwrite").parquet(spath)
+    )
+
+    z = _avg_file_spans(zpath, cols)
+    s = _avg_file_spans(spath, cols)
+
+    # single-column sort: tight on its own key, loose on the other
+    assert s["user_id"] < 0.35
+    assert s["value"] > 0.5
+    # z-order: BOTH columns usefully tighter than the full range
+    assert z["user_id"] < 0.45 and z["value"] < 0.45
+    # and its worst column beats the single-sort's worst column by a lot
+    assert max(z.values()) < 0.65 * max(s.values())
+
+    # no rows lost or duplicated by the re-layout
+    assert (
+        spark.read.parquet(zpath).count() == events.count()
+    )
+
+
+def test_zorder_key_locality(spark):
+    """Nearby z-values must mean nearby points: among the 200 smallest
+    keys, bucket coordinates stay in the low quadrant of both dims
+    (the curve never jumps to a far corner early)."""
+    events = load_table(spark, SF, "events")
+    keyed = zorder_key(events, ["user_id", "value"], bits=8, out_col="z")
+    head = keyed.orderBy("z").limit(200)
+    stats = head.agg(
+        F.max("user_id").alias("mu"), F.max("value").alias("mv")
+    ).first()
+    full = events.agg(
+        F.max("user_id").alias("mu"), F.max("value").alias("mv")
+    ).first()
+    assert stats["mu"] <= full["mu"] / 2
+    assert stats["mv"] <= full["mv"] / 2

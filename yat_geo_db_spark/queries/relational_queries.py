@@ -2059,8 +2059,68 @@ ORDER BY l_suppkey
 """
 
 
+ZORDER_BITS = 8
+
+
+def zorder_key_events(spark, sf_dir):
+    """Z-order (Morton) clustering key over events(user_id, value) —
+    the multi-column layout key relational.layout.zorder_write
+    range-partitions on (the Delta OPTIMIZE ZORDER layout primitive).
+    Returns the first 200 events in curve order; the oracle re-derives
+    the same bucketing + bit interleave, so the hash match pins the
+    exact key arithmetic both engines compute."""
+    from yat_geo_db_spark.relational.layout import zorder_key
+
+    (events,) = _t(spark, sf_dir, "events")
+    keyed = zorder_key(
+        events, ["user_id", "value"], bits=ZORDER_BITS, out_col="zval"
+    )
+    return (
+        keyed.select("event_id", "user_id", "value", "zval")
+        .orderBy("zval", "event_id")
+        .limit(200)
+    )
+
+
+def _zorder_sql(bits: int = ZORDER_BITS) -> str:
+    n = 1 << bits
+
+    def bucket(col, mn, mx):
+        span = f"(CAST({mx} AS DOUBLE) - CAST({mn} AS DOUBLE))"
+        raw = (
+            f"least(CAST(floor((CAST({col} AS DOUBLE) - CAST({mn} AS DOUBLE))"
+            f" / {span} * CAST({n} AS DOUBLE)) AS BIGINT),"
+            f" CAST({n - 1} AS BIGINT))"
+        )
+        return f"CASE WHEN {span} > 0 THEN {raw} ELSE CAST(0 AS BIGINT) END"
+
+    interleave = " + ".join(
+        f"((({b} >> {i}) & 1) << {i * 2 + j})"
+        for j, b in enumerate(("bu", "bv"))
+        for i in range(bits)
+    )
+    return f"""
+WITH stats AS (
+  SELECT min(user_id) AS mnu, max(user_id) AS mxu,
+         min(value) AS mnv, max(value) AS mxv
+  FROM events
+),
+b AS (
+  SELECT event_id, user_id, value,
+         {bucket('user_id', 'mnu', 'mxu')} AS bu,
+         {bucket('value', 'mnv', 'mxv')} AS bv
+  FROM events, stats
+)
+SELECT event_id, user_id, value, CAST({interleave} AS BIGINT) AS zval
+FROM b
+ORDER BY zval, event_id
+LIMIT 200
+"""
+
+
 QUERIES: dict = {
     "rel_incr_agg_merge": (incr_agg_merge, _INCR_AGG_SQL),
+    "rel_zorder_key": (zorder_key_events, _zorder_sql()),
     "rel_dq_audit": (dq_audit_battery, _DQ_AUDIT_SQL),
     "rel_cdc_apply": (cdc_apply_changes, _CDC_APPLY_SQL),
     "rel_q2_min_cost_supplier": (q2, _Q2_SQL),

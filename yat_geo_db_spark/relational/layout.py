@@ -1,0 +1,101 @@
+"""Multi-dimensional data layout — z-order (Morton-curve) clustering.
+
+At 100 TB the scan IS the query cost, and parquet prunes files and row
+groups by min/max column statistics. A single-column sort gives perfect
+stats-pruning on that column and NONE on any other; interleaving the
+bits of several range-bucketed columns — the z-order curve, the same
+layout Delta's OPTIMIZE ZORDER BY and Iceberg sort orders use — gives
+every indexed column partial locality, so a selective filter on ANY of
+them skips most files. The write costs one extra range shuffle once;
+every subsequent scan pays less forever.
+
+Everything here is integer/IEEE arithmetic in pure Column expressions
+(whole-stage codegen, no UDF), so the key computation has an exact
+DuckDB mirror (queries.relational_queries rel_zorder_key).
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame
+import pyspark.sql.functions as F
+
+
+def linear_bucket(
+    col: Column, cmin: Column, cmax: Column, bits: int
+) -> Column:
+    """Map a numeric column into [0, 2^bits) by linear range bucketing
+    over [cmin, cmax] (the min/max come from ONE tiny agg row broadcast
+    back — no per-row window). Constant columns (span 0) bucket to 0;
+    the max value is clamped into the top bucket."""
+    n = 1 << bits
+    span = cmax.cast("double") - cmin.cast("double")
+    raw = F.floor(
+        (col.cast("double") - cmin.cast("double")) / span * F.lit(float(n))
+    )
+    return F.when(span > 0, F.least(raw, F.lit(n - 1))).otherwise(
+        F.lit(0)
+    ).cast("long")
+
+
+def zvalue_col(bucket_cols: list[Column], bits: int) -> Column:
+    """Interleave the low `bits` bits of k bucket columns into one
+    Morton key: bit i of column j lands at position i*k + j. The terms
+    occupy disjoint bit positions, so plain addition assembles the key
+    (stays in int64 while bits*k <= 62). Pure shift/mask expression
+    tree — codegen'd, engine-portable."""
+    k = len(bucket_cols)
+    assert bits * k <= 62, f"zvalue needs bits*k <= 62, got {bits}*{k}"
+    terms = [
+        F.shiftleft(F.shiftright(c, i).bitwiseAND(F.lit(1)), i * k + j)
+        for j, c in enumerate(bucket_cols)
+        for i in range(bits)
+    ]
+    return reduce(lambda a, b: a + b, terms)
+
+
+def zorder_key(
+    df: DataFrame, cols: list[str], bits: int = 12, out_col: str = "_zval"
+) -> DataFrame:
+    """Add the z-order key over `cols`: one min/max aggregate of the
+    indexed columns (a 1-row frame, broadcast back — the only job
+    besides the scan), then per-row bucketing + bit interleave as a
+    pure projection."""
+    aggs = []
+    for c in cols:
+        aggs += [F.min(c).alias(f"_min_{c}"), F.max(c).alias(f"_max_{c}")]
+    stats = F.broadcast(df.agg(*aggs))
+    buckets = [
+        linear_bucket(
+            F.col(c), F.col(f"_min_{c}"), F.col(f"_max_{c}"), bits
+        )
+        for c in cols
+    ]
+    keyed = df.crossJoin(stats).withColumn(
+        out_col, zvalue_col(buckets, bits)
+    )
+    drop = [f"_min_{c}" for c in cols] + [f"_max_{c}" for c in cols]
+    return keyed.drop(*drop)
+
+
+def zorder_write(
+    df: DataFrame, cols: list[str], path: str,
+    n_files: int = 16, bits: int = 12,
+) -> str:
+    """Write `df` z-ordered by `cols`: range-partition on the Morton key
+    into ~n_files files, sort within each file, drop the key. Each
+    output file then covers a compact hyper-rectangle of the indexed
+    columns, so its parquet min/max stats are tight on ALL of them —
+    the pruning property a single-column sort only gives one column.
+    One range shuffle (plus Spark's boundary-sampling pass) at write
+    time; no state beyond the files themselves."""
+    keyed = zorder_key(df, cols, bits=bits)
+    (
+        keyed.repartitionByRange(n_files, "_zval")
+        .sortWithinPartitions("_zval")
+        .drop("_zval")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    return path
