@@ -345,3 +345,53 @@ def test_dq_audit_hostile_column_names(spark):
     assert r["column"] == "it's a col"
     assert r["rule"] == "not_null"
     assert r["n_violations"] == 1 and r["n_rows"] == 2 and not r["ok"]
+
+
+def test_snapshot_diff_round_trips_through_cdc_apply(spark):
+    """snapshot_diff(old, new) must be exactly the change stream that
+    rebuilds `new` from `old` via cdc_apply — inserts, deletes, updates,
+    NULL transitions in both directions, and unchanged keys emitting
+    nothing."""
+    from yat_geo_db_spark.relational.merge import cdc_apply, snapshot_diff
+
+    old = spark.createDataFrame(
+        [
+            (1, 10.0, "a"),     # unchanged
+            (2, 20.0, "b"),     # value update
+            (3, 30.0, None),    # NULL -> value update
+            (4, None, "d"),     # value -> NULL update
+            (5, 50.0, "e"),     # deleted
+        ],
+        "k long, x double, s string",
+    )
+    new = spark.createDataFrame(
+        [
+            (1, 10.0, "a"),
+            (2, 21.0, "b"),
+            (3, 30.0, "c"),
+            (4, None, None),
+            (6, 60.0, "f"),     # inserted
+        ],
+        "k long, x double, s string",
+    )
+    diff = snapshot_diff(old, new, ["k"])
+    got = {r["k"]: (r["op"], r["changed"]) for r in diff.collect()}
+    assert got == {
+        2: ("U", "x"),
+        3: ("U", "s"),
+        4: ("U", "s"),
+        5: ("D", ""),
+        6: ("I", ""),
+    }
+
+    # round trip: applying the diff onto old reproduces new exactly
+    changes = diff.drop("changed").withColumn("version", F.lit(1))
+    rebuilt = cdc_apply(
+        old.withColumn("version", F.lit(0)), changes, ["k"], "version"
+    ).drop("version")
+    assert sorted(map(tuple, rebuilt.collect())) == sorted(
+        map(tuple, new.collect())
+    )
+
+    # identical snapshots diff to nothing
+    assert snapshot_diff(old, old, ["k"]).count() == 0

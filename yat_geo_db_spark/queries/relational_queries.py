@@ -2118,9 +2118,87 @@ LIMIT 200
 """
 
 
+def snapshot_diff_orders(spark, sf_dir):
+    """Change-feed backfill (relational.merge.snapshot_diff — the
+    inverse of cdc_apply): two versions of an orders-derived table
+    (every 10th key repriced, every 15th dropped, every 7th key cloned
+    to a brand-new id) are diffed into the I/U/D stream that would have
+    produced version 2 from version 1. One full-outer key join."""
+    from yat_geo_db_spark.relational.merge import snapshot_diff
+
+    (orders,) = _t(spark, sf_dir, "orders")
+
+    def cents(col):
+        return F.floor(col * 100 + F.lit(0.5)) / F.lit(100.0)
+
+    old = orders.select(
+        "o_orderkey",
+        cents(F.col("o_totalprice")).alias("price"),
+        F.col("o_orderpriority").alias("prio"),
+    )
+    survivors = old.filter(F.col("o_orderkey") % 15 != 0).select(
+        "o_orderkey",
+        F.when(
+            F.col("o_orderkey") % 10 == 0,
+            cents(F.col("price") * 1.1),
+        ).otherwise(F.col("price")).alias("price"),
+        "prio",
+    )
+    inserts = old.filter(F.col("o_orderkey") % 7 == 0).select(
+        (F.col("o_orderkey") + 10_000_000).alias("o_orderkey"),
+        "price",
+        "prio",
+    )
+    new = survivors.unionByName(inserts)
+    return snapshot_diff(old, new, ["o_orderkey"]).orderBy("o_orderkey")
+
+
+_SNAPSHOT_DIFF_SQL = """
+WITH old AS (
+  SELECT o_orderkey,
+         floor(o_totalprice * 100 + CAST(0.5 AS DOUBLE)) / 100.0 AS price,
+         o_orderpriority AS prio
+  FROM orders
+),
+new AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 10 = 0
+              THEN floor(price * CAST(1.1 AS DOUBLE) * 100
+                         + CAST(0.5 AS DOUBLE)) / 100.0
+              ELSE price END AS price,
+         prio
+  FROM old WHERE o_orderkey % 15 <> 0
+  UNION ALL
+  SELECT o_orderkey + 10000000, price, prio FROM old WHERE o_orderkey % 7 = 0
+),
+j AS (
+  SELECT coalesce(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+         n.price AS price, n.prio AS prio,
+         o.price AS old_price, o.prio AS old_prio,
+         o.o_orderkey IS NOT NULL AS in_old,
+         n.o_orderkey IS NOT NULL AS in_new
+  FROM old o FULL OUTER JOIN new n ON o.o_orderkey = n.o_orderkey
+)
+SELECT o_orderkey, price, prio,
+       CASE WHEN NOT in_old THEN 'I'
+            WHEN NOT in_new THEN 'D'
+            ELSE 'U' END AS op,
+       CASE WHEN in_old AND in_new
+            THEN concat_ws(',',
+                 CASE WHEN price IS DISTINCT FROM old_price THEN 'price' END,
+                 CASE WHEN prio IS DISTINCT FROM old_prio THEN 'prio' END)
+            ELSE '' END AS changed
+FROM j
+WHERE NOT in_old OR NOT in_new
+      OR price IS DISTINCT FROM old_price OR prio IS DISTINCT FROM old_prio
+ORDER BY o_orderkey
+"""
+
+
 QUERIES: dict = {
     "rel_incr_agg_merge": (incr_agg_merge, _INCR_AGG_SQL),
     "rel_zorder_key": (zorder_key_events, _zorder_sql()),
+    "rel_snapshot_diff": (snapshot_diff_orders, _SNAPSHOT_DIFF_SQL),
     "rel_dq_audit": (dq_audit_battery, _DQ_AUDIT_SQL),
     "rel_cdc_apply": (cdc_apply_changes, _CDC_APPLY_SQL),
     "rel_q2_min_cost_supplier": (q2, _Q2_SQL),

@@ -154,3 +154,61 @@ def merge_partial_aggregates(
     aggs += [F.min(f"min_{c}").alias(f"min_{c}") for c in min_cols]
     aggs += [F.max(f"max_{c}").alias(f"max_{c}") for c in max_cols]
     return merged.groupBy(*key_cols).agg(*aggs)
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: list[str],
+    compare_cols: list[str] | None = None,
+) -> DataFrame:
+    """Derive the CDC change stream BETWEEN two table versions — the
+    inverse of cdc_apply, and the standard way a lakehouse backfills a
+    change feed when the upstream never emitted one: op='I' for keys
+    only in `new`, 'D' for keys only in `old`, 'U' for keys whose
+    compared columns differ (null-safely); unchanged keys are dropped.
+    `changed` lists the differing columns for 'U' rows (comma-joined,
+    deterministic column order) — the audit trail schema-drift reviews
+    read. Payload columns carry the NEW values ('D' rows keep the old
+    key only).
+
+    ONE full-outer hash join on the key — O(|old|+|new|) with no
+    other shuffle; applying the result back onto `old` via cdc_apply
+    reproduces `new` exactly (property-tested)."""
+    compare_cols = (
+        [c for c in new.columns if c not in key_cols]
+        if compare_cols is None else list(compare_cols)
+    )
+    o = old.select(
+        *key_cols, *[F.col(c).alias(f"_old_{c}") for c in compare_cols]
+    ).withColumn("_in_old", F.lit(True))
+    n = new.select(*key_cols, *compare_cols).withColumn(
+        "_in_new", F.lit(True)
+    )
+    j = o.join(n, key_cols, "full_outer")
+    any_diff = None
+    for c in compare_cols:
+        d = ~F.col(c).eqNullSafe(F.col(f"_old_{c}"))
+        any_diff = d if any_diff is None else (any_diff | d)
+    op = (
+        F.when(F.col("_in_old").isNull(), F.lit("I"))
+        .when(F.col("_in_new").isNull(), F.lit("D"))
+        .when(any_diff, F.lit("U"))
+    )
+    changed = F.when(
+        op == "U",
+        F.concat_ws(
+            ",",
+            *[
+                F.when(
+                    ~F.col(c).eqNullSafe(F.col(f"_old_{c}")), F.lit(c)
+                )
+                for c in compare_cols
+            ],
+        ),
+    ).otherwise(F.lit(""))
+    return (
+        j.withColumn("op", op)
+        .filter(F.col("op").isNotNull())
+        .select(*key_cols, *compare_cols, "op", changed.alias("changed"))
+    )
