@@ -85,6 +85,13 @@ HEADLINE = [
     "rel_cdc_apply",
     "pipe_mix_pipeline",
     "pipe_html_extract",
+    # round-6 additions (tail): this round's new operator families —
+    # mergeable rollup state, wedge-join triangles, the z-order layout
+    # key, and the change-feed backfill diff
+    "rel_incr_agg_merge",
+    "pipe_graph_triangles",
+    "rel_zorder_key",
+    "rel_snapshot_diff",
 ]
 
 

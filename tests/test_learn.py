@@ -66,3 +66,50 @@ def test_logreg_score_matches_training_probabilities(spark):
         ).collect()[0]["acc"]
     )
     assert acc == hist3[-1]["acc"]
+
+
+def test_grouped_ols_matches_numpy(spark):
+    """grouped_ols per-group parameters must match a NumPy least-squares
+    fit of the same points (to rounding), with degenerate groups mapped
+    to NULLs, not division artifacts: single-point and zero-x-variance
+    groups have no slope; constant-y groups fit slope 0 with undefined
+    (NULL) r2."""
+    import random
+
+    import numpy as np
+
+    from yat_geo_db_spark.pipelines.learn import grouped_ols
+
+    rng = random.Random(3)
+    rows = []
+    for g in range(4):
+        for i in range(50):
+            x = float(i)
+            y = 2.5 * g * x - 7.0 + rng.uniform(-5, 5)
+            rows.append((g, x, round(y, 3)))
+    rows.append((90, 1.0, 5.0))                # n == 1
+    rows += [(91, 2.0, float(v)) for v in (1, 9, 4)]   # zero x-variance
+    rows += [(92, float(i), 3.0) for i in range(5)]    # constant y
+
+    df = spark.createDataFrame(rows, "g long, x double, y double")
+    got = {
+        r["g"]: (r["n"], r["slope"], r["intercept"], r["r2"])
+        for r in grouped_ols(df, ["g"], "x", "y").collect()
+    }
+
+    for g in range(4):
+        pts = [(x, y) for gg, x, y in rows if gg == g]
+        xs = np.array([p[0] for p in pts])
+        ys = np.array([p[1] for p in pts])
+        m, b = np.polyfit(xs, ys, 1)
+        r = np.corrcoef(xs, ys)[0, 1] ** 2
+        n, slope, intercept, r2 = got[g]
+        assert n == 50
+        assert abs(slope - m) < 1e-4
+        assert abs(intercept - b) < 1e-3
+        assert abs(r2 - r) < 1e-4
+
+    assert got[90] == (1, None, None, None)
+    assert got[91] == (3, None, None, None)
+    n, slope, intercept, r2 = got[92]
+    assert (n, slope, intercept, r2) == (5, 0.0, 3.0, None)

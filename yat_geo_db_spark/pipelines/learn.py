@@ -112,3 +112,54 @@ def logreg_score(
     for wj, c in zip(weights[1:], feature_cols[1:]):
         margin = margin + F.lit(wj) * F.col(c)
     return features.withColumn(out_col, sigmoid6(margin))
+
+
+def grouped_ols(
+    df: DataFrame,
+    key_cols: list[str],
+    x_col: str,
+    y_col: str,
+    scale: int = 4,
+) -> DataFrame:
+    """Per-group closed-form simple linear regression — (keys, n, slope,
+    intercept, r2) from the five sufficient statistics (Σx, Σy, Σxy,
+    Σx², Σy²). The drift monitor of a corpus pipeline: fit quality or
+    length against arrival order PER SOURCE in one aggregation pass and
+    alert on trending-down sources.
+
+    Scale shape: ONE hash aggregate with map-side partial combine
+    reducing each group to six numbers; the regression arithmetic is a
+    pure projection on the aggregate row. No iteration, no per-group
+    sort, no UDF. The sums run through dsum fixed-point, so the fitted
+    parameters are bit-stable across partitionings and the DuckDB
+    oracle reproduces them exactly. Degenerate groups (n == 1 or zero
+    x-variance) return NULL slope/intercept/r2 rather than a division
+    artifact; zero y-variance (a perfectly constant y) fits slope 0
+    with r2 NULL (0/0 — correlation undefined)."""
+    x = F.col(x_col).cast("double")
+    y = F.col(y_col).cast("double")
+    agg = df.groupBy(*key_cols).agg(
+        F.count(F.lit(1)).cast("double").alias("_n"),
+        dsum(x, scale).alias("_sx"),
+        dsum(y, scale).alias("_sy"),
+        dsum(x * y, scale).alias("_sxy"),
+        dsum(x * x, scale).alias("_sxx"),
+        dsum(y * y, scale).alias("_syy"),
+    )
+    var_x = F.col("_n") * F.col("_sxx") - F.col("_sx") * F.col("_sx")
+    var_y = F.col("_n") * F.col("_syy") - F.col("_sy") * F.col("_sy")
+    cov = F.col("_n") * F.col("_sxy") - F.col("_sx") * F.col("_sy")
+    slope = F.when(var_x > 0, cov / var_x)
+    intercept = F.when(
+        var_x > 0, (F.col("_sy") - (cov / var_x) * F.col("_sx")) / F.col("_n")
+    )
+    r2 = F.when(
+        (var_x > 0) & (var_y > 0), (cov * cov) / (var_x * var_y)
+    )
+    return agg.select(
+        *key_cols,
+        F.col("_n").cast("long").alias("n"),
+        F.round(slope, 6).alias("slope"),
+        F.round(intercept, 6).alias("intercept"),
+        F.round(r2, 6).alias("r2"),
+    )

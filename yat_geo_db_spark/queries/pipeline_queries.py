@@ -3557,6 +3557,57 @@ ORDER BY idx.source
 """
 
 
+def q_source_trend(spark, sf_dir):
+    """Per-source drift monitor (pipelines.learn.grouped_ols): closed-
+    form OLS of document length against arrival order (doc_id) for each
+    source — the one-pass 'is this source trending shorter/longer'
+    health check. ONE hash aggregate to six sufficient statistics per
+    source; the regression arithmetic is a projection."""
+    from yat_geo_db_spark.pipelines.learn import grouped_ols
+
+    docs = load_table(spark, sf_dir, "documents")
+    return grouped_ols(
+        docs, ["source"], x_col="doc_id", y_col="n_chars", scale=4
+    ).orderBy("source")
+
+
+def _source_trend_sql() -> str:
+    from yat_geo_db_spark.queries.relational_queries import _dsum
+
+    return f"""
+WITH agg AS (
+  SELECT source,
+         CAST(count(*) AS DOUBLE) AS n,
+         {_dsum('CAST(doc_id AS DOUBLE)', 4)} AS sx,
+         {_dsum('CAST(n_chars AS DOUBLE)', 4)} AS sy,
+         {_dsum('CAST(doc_id AS DOUBLE) * CAST(n_chars AS DOUBLE)', 4)} AS sxy,
+         {_dsum('CAST(doc_id AS DOUBLE) * CAST(doc_id AS DOUBLE)', 4)} AS sxx,
+         {_dsum('CAST(n_chars AS DOUBLE) * CAST(n_chars AS DOUBLE)', 4)} AS syy
+  FROM documents
+  GROUP BY source
+),
+d AS (
+  SELECT *,
+         n * sxx - sx * sx AS vx,
+         n * syy - sy * sy AS vy,
+         n * sxy - sx * sy AS cov
+  FROM agg
+)
+SELECT source,
+       CAST(n AS BIGINT) AS n,
+       round(CASE WHEN vx > 0 THEN cov / vx END, 6) AS slope,
+       round(CASE WHEN vx > 0 THEN (sy - (cov / vx) * sx) / n END, 6)
+         AS intercept,
+       round(CASE WHEN vx > 0 AND vy > 0 THEN (cov * cov) / (vx * vy) END, 6)
+         AS r2
+FROM d
+ORDER BY source
+"""
+
+
+_SOURCE_TREND_SQL = _source_trend_sql()
+
+
 def _pagerank_sql(n_iter: int = PAGERANK_ITERS,
                   damping: float = PAGERANK_DAMPING) -> str:
     from yat_geo_db_spark.queries.relational_queries import _dsum
@@ -4001,6 +4052,7 @@ QUERIES: dict = {
     "pipe_sim_filtered_topk": (q_sim_filtered_topk, _FILTERED_TOPK_SQL),
     "pipe_emb_pca": (q_emb_pca, None),
     "pipe_quality_logreg": (q_quality_logreg, _logreg_sql()),
+    "pipe_source_trend": (q_source_trend, _SOURCE_TREND_SQL),
     "pipe_sim_topk_ivf": (q_topk_ivf, _TOPK_IVF_SQL),
     "pipe_sim_topk_ivf_multiprobe": (q_topk_ivf_multiprobe, _TOPK_IVF_MULTIPROBE_SQL),
     "pipe_sim_cosine_near_dup": (q_cosine_near_dup, _COSINE_NEAR_DUP_SQL),
