@@ -23,3 +23,29 @@ def test_salted_join_equals_plain_join(spark):
     ).select("o_orderkey", "o_custkey", "c_name")
     assert sorted(map(tuple, salted.collect())) == sorted(map(tuple, plain.collect()))
     assert plain.count() > 0
+
+
+def test_skew_report_shares_and_ranks(spark):
+    """skew_report must surface the hot key first with its fair-share
+    multiple, and cum_share must reach 1.0 when top_k covers all keys."""
+    import pyspark.sql.functions as F
+
+    from yat_geo_db_spark.relational.skew import skew_report
+
+    rows = [("hot",)] * 60 + [("warm",)] * 30 + [("cold",)] * 10
+    df = spark.createDataFrame(rows, "k string")
+    rep = skew_report(df, ["k"], top_k=10).collect()
+    assert [r["k"] for r in rep] == ["hot", "warm", "cold"]
+    hot = rep[0]
+    assert hot["n_rows"] == 60 and hot["share"] == 0.6
+    # 3 keys, 100 rows -> uniform is 33.33; hot is 1.8x uniform
+    assert abs(hot["x_uniform"] - 1.8) < 1e-9
+    assert rep[-1]["cum_share"] == 1.0
+    assert [r["rank"] for r in rep] == [1, 2, 3]
+
+    # top_k truncates deterministically (count desc, key asc tiebreak)
+    tied = spark.createDataFrame(
+        [("a",), ("b",), ("c",), ("c",)], "k string"
+    )
+    top2 = skew_report(tied, ["k"], top_k=2).collect()
+    assert [r["k"] for r in top2] == ["c", "a"]

@@ -395,3 +395,37 @@ def test_snapshot_diff_round_trips_through_cdc_apply(spark):
 
     # identical snapshots diff to nothing
     assert snapshot_diff(old, old, ["k"]).count() == 0
+
+
+def test_coalesce_intervals_islands(spark):
+    """Overlap, containment, exact touch (start == prior end → same
+    island), gaps, and per-key isolation — checked against the obvious
+    local merge."""
+    from yat_geo_db_spark.relational.temporal import coalesce_intervals
+
+    rows = [
+        ("a", 1, 5), ("a", 4, 8),      # overlap -> [1,8]
+        ("a", 8, 9),                   # touches  -> [1,9]
+        ("a", 2, 3),                   # contained
+        ("a", 15, 20),                 # gap -> new island
+        ("b", 1, 2), ("b", 10, 11),    # other key: own islands
+    ]
+    df = spark.createDataFrame(rows, "k string, s long, e long")
+    got = sorted(
+        (r["k"], r["s"], r["e"], r["n_merged"])
+        for r in coalesce_intervals(df, ["k"], "s", "e").collect()
+    )
+    assert got == [
+        ("a", 1, 9, 4),
+        ("a", 15, 20, 1),
+        ("b", 1, 2, 1),
+        ("b", 10, 11, 1),
+    ]
+
+    # an interval whose end extends a PRIOR short one must still chain:
+    # [1,10], [2,3], [4,20] is ONE island even though 4 > 3
+    chain = spark.createDataFrame(
+        [("x", 1, 10), ("x", 2, 3), ("x", 4, 20)], "k string, s long, e long"
+    )
+    out = coalesce_intervals(chain, ["k"], "s", "e").collect()
+    assert [(r["s"], r["e"], r["n_merged"]) for r in out] == [(1, 20, 3)]

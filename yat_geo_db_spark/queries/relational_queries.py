@@ -2195,10 +2195,111 @@ ORDER BY o_orderkey
 """
 
 
+def interval_coalesce_shipping(spark, sf_dir):
+    """Gaps-and-islands interval compaction (relational.temporal.
+    coalesce_intervals): merge each supplier's overlapping shipping
+    windows [shipdate, shipdate + 1..30 days] (deterministic duration
+    from l_partkey; sparse l_partkey slice so real gaps survive) into
+    maximal covered islands — the validity-interval compaction every
+    SCD/timeline table eventually needs. One key-local window sort +
+    one groupBy."""
+    from yat_geo_db_spark.relational.temporal import coalesce_intervals
+
+    (lineitem,) = _t(spark, sf_dir, "lineitem")
+    iv = lineitem.filter(F.col("l_partkey") % 50 == 0).select(
+        "l_suppkey",
+        F.to_date("l_shipdate").cast("timestamp").alias("ship_start"),
+        F.date_add(
+            F.to_date("l_shipdate"),
+            (F.lit(1) + F.col("l_partkey") % 30).cast("int"),
+        ).cast("timestamp").alias("ship_end"),
+    )
+    return coalesce_intervals(
+        iv, ["l_suppkey"], "ship_start", "ship_end"
+    ).orderBy("l_suppkey", "ship_start")
+
+
+_INTERVAL_COALESCE_SQL = """
+WITH iv AS (
+  SELECT l_suppkey,
+         CAST(CAST(l_shipdate AS DATE) AS TIMESTAMP) AS ship_start,
+         CAST(CAST(l_shipdate AS DATE)
+           + CAST(1 + l_partkey % 30 AS INTEGER) AS TIMESTAMP) AS ship_end
+  FROM lineitem WHERE l_partkey % 50 = 0
+),
+m AS (
+  SELECT *,
+         max(ship_end) OVER (
+           PARTITION BY l_suppkey ORDER BY ship_start, ship_end
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ) AS pme
+  FROM iv
+),
+f AS (
+  SELECT *,
+         CASE WHEN pme IS NULL OR ship_start > pme THEN 1 ELSE 0 END AS ni
+  FROM m
+),
+g AS (
+  SELECT *,
+         sum(ni) OVER (
+           PARTITION BY l_suppkey ORDER BY ship_start, ship_end
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS isl
+  FROM f
+)
+SELECT l_suppkey,
+       min(ship_start) AS ship_start,
+       max(ship_end) AS ship_end,
+       count(*) AS n_merged
+FROM g
+GROUP BY l_suppkey, isl
+ORDER BY l_suppkey, ship_start
+"""
+
+
+def skew_report_orders(spark, sf_dir):
+    """Heavy-key diagnostic (relational.skew.skew_report): the top-10
+    customers by order count with table share, ratio-to-uniform, and
+    cumulative share — the profiling read that decides whether a join
+    key needs salting. Top-k via TakeOrderedAndProject; the ranking
+    window touches only the k survivors."""
+    from yat_geo_db_spark.relational.skew import skew_report
+
+    (orders,) = _t(spark, sf_dir, "orders")
+    return skew_report(orders, ["o_custkey"], top_k=10)
+
+
+_SKEW_REPORT_SQL = """
+WITH c AS (
+  SELECT o_custkey, count(*) AS n_rows FROM orders GROUP BY o_custkey
+),
+t AS (SELECT sum(n_rows) AS total, count(*) AS n_keys FROM c),
+e AS (
+  SELECT o_custkey, n_rows,
+         round(n_rows / total, 6) AS share,
+         round(n_rows / (total / CAST(n_keys AS DOUBLE)), 4) AS x_uniform
+  FROM c, t
+),
+top AS (SELECT * FROM e ORDER BY n_rows DESC, o_custkey LIMIT 10)
+SELECT o_custkey, n_rows, share, x_uniform,
+       CAST(row_number() OVER (ORDER BY n_rows DESC, o_custkey) AS INT)
+         AS rank,
+       round(sum(share) OVER (
+         ORDER BY n_rows DESC, o_custkey
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ), 6) AS cum_share
+FROM top
+ORDER BY rank
+"""
+
+
 QUERIES: dict = {
     "rel_incr_agg_merge": (incr_agg_merge, _INCR_AGG_SQL),
     "rel_zorder_key": (zorder_key_events, _zorder_sql()),
     "rel_snapshot_diff": (snapshot_diff_orders, _SNAPSHOT_DIFF_SQL),
+    "rel_interval_coalesce": (interval_coalesce_shipping, _INTERVAL_COALESCE_SQL),
+    "rel_skew_report": (skew_report_orders, _SKEW_REPORT_SQL),
     "rel_dq_audit": (dq_audit_battery, _DQ_AUDIT_SQL),
     "rel_cdc_apply": (cdc_apply_changes, _CDC_APPLY_SQL),
     "rel_q2_min_cost_supplier": (q2, _Q2_SQL),

@@ -13,7 +13,7 @@ Result is row-identical to the unsalted join.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 import pyspark.sql.functions as F
 
 
@@ -38,3 +38,48 @@ def salted_join(
     )
     out = large_s.join(small_s, [on, "_salt"], how)
     return out.drop("_salt")
+
+
+def skew_report(
+    df: DataFrame, key_cols: list[str], top_k: int = 10
+) -> DataFrame:
+    """Heavy-hitter key diagnostic — the profiling step that DECIDES
+    whether a join needs salting/AQE skew handling: per-key row counts,
+    each key's share of the table, its ratio to a perfectly uniform
+    key, and the cumulative share of the top keys. Read it as 'key X
+    holds N× its fair share; the top 3 keys are 40% of the table'.
+
+    Scale shape: one map-side-combinable groupBy(key) count, a 2-column
+    1-row totals aggregate broadcast back, and a top_k TakeOrdered — no
+    global sort of the key distribution, no collect."""
+    counts = df.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("n_rows"))
+    totals = F.broadcast(
+        counts.agg(
+            F.sum("n_rows").alias("_total"),
+            F.count(F.lit(1)).alias("_n_keys"),
+        )
+    )
+    enriched = counts.crossJoin(totals).select(
+        *key_cols,
+        "n_rows",
+        F.round(F.col("n_rows") / F.col("_total"), 6).alias("share"),
+        F.round(
+            F.col("n_rows")
+            / (F.col("_total") / F.col("_n_keys").cast("double")),
+            4,
+        ).alias("x_uniform"),
+    )
+    # top-k selection is a TakeOrderedAndProject (distributed partial
+    # top-k, never a global sort of the key distribution); the ranking
+    # window then runs over <= top_k rows only
+    top = enriched.orderBy(F.desc("n_rows"), *key_cols).limit(top_k)
+    w = Window.orderBy(F.desc("n_rows"), *key_cols)
+    return top.withColumn("rank", F.row_number().over(w)).withColumn(
+        "cum_share",
+        F.round(
+            F.sum("share").over(
+                w.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+            6,
+        ),
+    )

@@ -244,3 +244,44 @@ def scd2_apply_increment(
     )
     rebuilt = scd2_intervals(evts, key_col, attr_col, ts_col, id_col)
     return untouched.unionByName(rebuilt)
+
+
+def coalesce_intervals(
+    df: DataFrame,
+    key_cols: list[str],
+    start_col: str,
+    end_col: str,
+) -> DataFrame:
+    """Merge overlapping/touching [start, end] intervals per key into
+    maximal islands — the gaps-and-islands coalesce (validity-interval
+    compaction, covered-timeline computation, span merging). Returns
+    (keys, start, end, n_merged) with island extents.
+
+    Scale shape: ONE key-partitioned window ordered by (start, end) — a
+    key-LOCAL sort, never global — computing the running max of prior
+    ends (an island starts where start > that cummax), then a running
+    sum of the starts-island flags as the island id, then one
+    groupBy(key, island). Deterministic on ties: identical intervals
+    fold into the same island regardless of sort-tie order."""
+    w = Window.partitionBy(*key_cols).orderBy(start_col, end_col)
+    prev_max_end = F.max(end_col).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    new_island = F.when(
+        prev_max_end.isNull() | (F.col(start_col) > prev_max_end), 1
+    ).otherwise(0)
+    islands = df.withColumn(
+        "_isl",
+        F.sum(new_island).over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    return (
+        islands.groupBy(*key_cols, "_isl")
+        .agg(
+            F.min(start_col).alias(start_col),
+            F.max(end_col).alias(end_col),
+            F.count(F.lit(1)).alias("n_merged"),
+        )
+        .drop("_isl")
+    )
