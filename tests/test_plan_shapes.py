@@ -484,3 +484,46 @@ def test_token_budget_single_group_window(spark):
     # wrappers but no second data shuffle and no global range sort
     assert plan.count("Exchange hashpartitioning") == 1
     assert "rangepartitioning" not in plan
+
+
+def test_triangle_counts_no_cartesian(spark):
+    """The wedge join must stay an equi-join on the apex (and the
+    closing check an equi-join on the pair) — a CartesianProduct or
+    BroadcastNestedLoopJoin here means the degree orientation fell out
+    of the plan and the operator dies on any hub at scale."""
+    from yat_geo_db_spark.pipelines.graph import triangle_counts
+
+    edges = spark.range(200).selectExpr(
+        "id AS src", "(id * 7 + 3) % 200 AS dst"
+    )
+    plan = _plan(triangle_counts(edges))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_zorder_key_is_one_agg_plus_projection(spark):
+    """zorder_key = one min/max aggregate broadcast back + a pure
+    shift/mask projection: the per-row key math must add NO exchange
+    beyond the 1-row stats aggregate, and no UDF (stays codegen'd)."""
+    from yat_geo_db_spark.relational.layout import zorder_key
+    from yat_geo_db_spark.testdata import load_table
+
+    events = load_table(spark, "/root/testdata/sf0.001", "events")
+    plan = _plan(zorder_key(events, ["user_id", "value"], bits=8))
+    # the only hash exchange allowed is the single-partition stats agg
+    assert plan.count("Exchange hashpartitioning") == 0, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "BroadcastExchange" in plan, plan
+
+
+def test_skew_report_topk_no_global_sort(spark):
+    """The heavy-key selection must be TakeOrderedAndProject (partial
+    per-partition top-k), never a full Sort+Exchange(range) of the key
+    distribution."""
+    from yat_geo_db_spark.relational.skew import skew_report
+    from yat_geo_db_spark.testdata import load_table
+
+    orders = load_table(spark, "/root/testdata/sf0.001", "orders")
+    plan = _plan(skew_report(orders, ["o_custkey"], top_k=10))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "rangepartitioning" not in plan, plan
