@@ -117,3 +117,59 @@ def test_cms_rollup_bounds_and_merge_equivalence(spark):
     sk = jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(bytes(whole))
     for t in exact:
         assert out[t] == int(sk.estimateCount(t)), t
+
+
+def test_histogram_quantile_state_merge_and_bounds(spark):
+    """The histogram quantile leg of the rollup family: (1) merged
+    per-batch states equal the one-shot histogram exactly (integer
+    counts), (2) estimates from the merged state sit within one bin
+    width of the exact quantile, (3) out-of-domain values clamp into
+    edge bins instead of vanishing, (4) q=1.0 lands in the last
+    occupied bin."""
+    import random
+
+    import pyspark.sql.functions as F
+
+    from yat_geo_db_spark.relational.merge import (
+        histogram_state, merge_histogram_states, quantile_from_histogram,
+    )
+
+    rng = random.Random(5)
+    rows = [(i % 3, round(rng.uniform(0, 1000), 2)) for i in range(3000)]
+    df = spark.createDataFrame(rows, "k long, v double")
+    lo, hi, bins = 0.0, 1000.0, 100
+    width = (hi - lo) / bins
+
+    # (1) merge associativity
+    cls = (F.col("v") * 100).cast("long") % 4
+    parts = [df.filter(cls <= 1), df.filter(cls == 2), df.filter(cls == 3)]
+    states = [histogram_state(p, ["k"], "v", lo, hi, bins) for p in parts]
+    merged = merge_histogram_states(states, ["k"])
+    oneshot = histogram_state(df, ["k"], "v", lo, hi, bins)
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, oneshot.collect())
+    )
+
+    # (2) accuracy bound vs exact quantiles
+    qs = [0.1, 0.5, 0.9, 1.0]
+    est = {
+        (r["k"], r["q"]): r["quantile_est"]
+        for r in quantile_from_histogram(
+            merged, ["k"], qs, lo, hi, bins
+        ).collect()
+    }
+    for k in range(3):
+        vals = sorted(v for kk, v in rows if kk == k)
+        for q in qs:
+            exact = vals[min(len(vals) - 1, int(q * len(vals)))]
+            assert abs(est[(k, q)] - exact) <= width + 1e-9, (k, q)
+    assert est[(0, 1.0)] <= hi
+
+    # (3) clamping: values beyond the declared domain survive in edge bins
+    wild = spark.createDataFrame(
+        [(0, -50.0), (0, 2000.0), (0, 500.0)], "k long, v double"
+    )
+    hs = histogram_state(wild, ["k"], "v", lo, hi, bins)
+    got = {r["bin"]: r["n"] for r in hs.collect()}
+    assert got == {0: 1, bins - 1: 1, 50: 1}
+    assert sum(got.values()) == 3

@@ -2294,12 +2294,83 @@ ORDER BY rank
 """
 
 
+HIST_LO, HIST_HI, HIST_BINS = 900.0, 105000.0, 128
+HIST_QS = (0.5, 0.95, 0.99)
+
+
+def hist_quantile_merge(spark, sf_dir):
+    """Mergeable quantile state (relational.merge.histogram_state →
+    merge_histogram_states → quantile_from_histogram): lineitem arrives
+    as three disjoint batches; each reduces to a per-returnflag
+    fixed-bin price histogram, the integer states merge exactly, and
+    p50/p95/p99 come from the MERGED state — the quantile leg of the
+    incremental rollup family (sums/min/max = partial_aggregate,
+    distinct = HLL, quantiles = this). The oracle recomputes the
+    one-shot histogram, so the hash match proves merge associativity."""
+    from yat_geo_db_spark.relational.merge import (
+        histogram_state, merge_histogram_states, quantile_from_histogram,
+    )
+
+    (lineitem,) = _t(spark, sf_dir, "lineitem")
+    batches = [
+        lineitem.filter(F.col("l_orderkey") % 4 <= 1),
+        lineitem.filter(F.col("l_orderkey") % 4 == 2),
+        lineitem.filter(F.col("l_orderkey") % 4 == 3),
+    ]
+    states = [
+        histogram_state(
+            b, ["l_returnflag"], "l_extendedprice",
+            HIST_LO, HIST_HI, HIST_BINS,
+        )
+        for b in batches
+    ]
+    merged = merge_histogram_states(states, ["l_returnflag"])
+    return quantile_from_histogram(
+        merged, ["l_returnflag"], list(HIST_QS), HIST_LO, HIST_HI, HIST_BINS
+    ).orderBy("l_returnflag", "q")
+
+
+def _hist_quantile_sql() -> str:
+    width = (HIST_HI - HIST_LO) / float(HIST_BINS)
+    vals = ", ".join(f"({q!r})" for q in HIST_QS)
+    return f"""
+WITH h AS (
+  SELECT l_returnflag,
+         CAST(least(greatest(floor(
+           (CAST(l_extendedprice AS DOUBLE) - {HIST_LO!r}) / {width!r}
+         ), 0), {HIST_BINS - 1}) AS INTEGER) AS bin,
+         count(*) AS n
+  FROM lineitem
+  GROUP BY l_returnflag, 2
+),
+c AS (
+  SELECT *,
+         sum(n) OVER (PARTITION BY l_returnflag ORDER BY bin
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         sum(n) OVER (PARTITION BY l_returnflag) AS total
+  FROM h
+),
+qs AS (SELECT q FROM (VALUES {vals}) AS t(q)),
+j AS (
+  SELECT *, q * CAST(total AS DOUBLE) AS target FROM c, qs
+)
+SELECT l_returnflag, q,
+       round({HIST_LO!r} + {width!r} * (CAST(bin AS DOUBLE)
+             + (target - CAST(cum - n AS DOUBLE)) / CAST(n AS DOUBLE)), 6)
+         AS quantile_est
+FROM j
+WHERE CAST(cum AS DOUBLE) >= target AND CAST(cum - n AS DOUBLE) < target
+ORDER BY l_returnflag, q
+"""
+
+
 QUERIES: dict = {
     "rel_incr_agg_merge": (incr_agg_merge, _INCR_AGG_SQL),
     "rel_zorder_key": (zorder_key_events, _zorder_sql()),
     "rel_snapshot_diff": (snapshot_diff_orders, _SNAPSHOT_DIFF_SQL),
     "rel_interval_coalesce": (interval_coalesce_shipping, _INTERVAL_COALESCE_SQL),
     "rel_skew_report": (skew_report_orders, _SKEW_REPORT_SQL),
+    "rel_hist_quantile_merge": (hist_quantile_merge, _hist_quantile_sql()),
     "rel_dq_audit": (dq_audit_battery, _DQ_AUDIT_SQL),
     "rel_cdc_apply": (cdc_apply_changes, _CDC_APPLY_SQL),
     "rel_q2_min_cost_supplier": (q2, _Q2_SQL),

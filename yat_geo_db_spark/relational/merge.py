@@ -212,3 +212,94 @@ def snapshot_diff(
         .filter(F.col("op").isNotNull())
         .select(*key_cols, *compare_cols, "op", changed.alias("changed"))
     )
+
+
+def histogram_state(
+    df: DataFrame,
+    key_cols: list[str],
+    value_col: str,
+    lo: float,
+    hi: float,
+    n_bins: int = 256,
+) -> DataFrame:
+    """Per-key MERGEABLE quantile state: a fixed-bin histogram
+    (keys, bin, n) over the declared domain [lo, hi] — the piece
+    partial_aggregate cannot give an incrementally-maintained rollup
+    (quantiles don't decompose into sums). Out-of-domain values clamp
+    into the edge bins, so no row is ever dropped; the bin domain is a
+    CONTRACT — states merge only with identically-binned states, which
+    is why lo/hi are explicit arguments and not data-derived.
+
+    Integer counts ⇒ exactly associative: merging per-batch states
+    (merge_histogram_states) equals the one-shot histogram for any
+    split. One map-side-combinable groupBy; O(keys × n_bins) state."""
+    width = (hi - lo) / float(n_bins)
+    raw = F.floor((F.col(value_col).cast("double") - F.lit(lo)) / F.lit(width))
+    b = F.least(F.greatest(raw, F.lit(0)), F.lit(n_bins - 1)).cast("int")
+    return (
+        df.withColumn("bin", b)
+        .groupBy(*key_cols, "bin")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def merge_histogram_states(
+    states: list[DataFrame], key_cols: list[str]
+) -> DataFrame:
+    """Fold per-batch histogram states (same key/bin domain) into one —
+    integer count adds, one hash shuffle over O(keys × n_bins) rows."""
+    from functools import reduce
+
+    merged = reduce(lambda a, b: a.unionByName(b), states)
+    return merged.groupBy(*key_cols, "bin").agg(F.sum("n").alias("n"))
+
+
+def quantile_from_histogram(
+    state: DataFrame,
+    key_cols: list[str],
+    qs: list[float],
+    lo: float,
+    hi: float,
+    n_bins: int = 256,
+) -> DataFrame:
+    """Per-key quantile estimates from a (merged) histogram state:
+    linear interpolation inside the covering bin, error bounded by one
+    bin width ((hi-lo)/n_bins) by construction. qs must lie in (0, 1].
+
+    Scale shape: one key-local cumulative window over n_bins rows per
+    key, a broadcast cross join against the tiny qs frame, and a filter
+    selecting the single covering bin per (key, q) — no sort of the
+    underlying data, which never has to exist again once its state is
+    folded in."""
+    spark = state.sparkSession
+    width = (hi - lo) / float(n_bins)
+    qf = F.broadcast(
+        spark.createDataFrame([(float(q),) for q in qs], "q double")
+    )
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wt = Window.partitionBy(*key_cols)
+    cum = state.withColumn("cum", F.sum("n").over(w)).withColumn(
+        "total", F.sum("n").over(wt)
+    )
+    j = cum.crossJoin(qf)
+    target = F.col("q") * F.col("total").cast("double")
+    covering = j.filter(
+        (F.col("cum").cast("double") >= target)
+        & ((F.col("cum") - F.col("n")).cast("double") < target)
+    )
+    est = (
+        F.lit(lo)
+        + F.lit(width)
+        * (
+            F.col("bin").cast("double")
+            + (target - (F.col("cum") - F.col("n")).cast("double"))
+            / F.col("n").cast("double")
+        )
+    )
+    return covering.select(
+        *key_cols, "q", F.round(est, 6).alias("quantile_est")
+    )
