@@ -531,3 +531,66 @@ def test_streaming_ann_index_append_matches_batch(spark, tmp_path):
     run_stream("ckpt2")
     n_after = spark.read.parquet(f"{root}/codes").count()
     assert n_after == len(want)
+
+
+def test_streaming_rollup_maintenance_equals_batch(spark, tmp_path):
+    """rollup_maintenance_sink: stream the orders table file-by-file,
+    fold the per-batch states with read_rollup — the result must equal
+    a one-shot batch aggregation BIT-FOR-BIT (associative fixed-point
+    state). A full replay (fresh checkpoint) must change nothing
+    (overwrite-by-batch_id), and compact_rollup must preserve the
+    merged value while folding the state dirs down to one."""
+    import glob
+
+    from yat_geo_db_spark.relational.merge import partial_aggregate
+    from yat_geo_db_spark.streaming.sinks import (
+        compact_rollup, read_rollup, rollup_maintenance_sink,
+    )
+
+    orders = load_table(spark, SF, "orders")
+    src = str(tmp_path / "orders_src")
+    # several input files -> several micro-batches with maxFilesPerTrigger
+    orders.repartition(4).write.mode("overwrite").parquet(src)
+    schema = spark.read.parquet(src).schema
+    src_df = spark.read.parquet(src)
+
+    kw = dict(
+        key_cols=["o_orderpriority"],
+        sum_cols=["o_totalprice"],
+        min_cols=["o_orderdate"],
+        max_cols=["o_orderdate"],
+        scale=2,
+    )
+    root = str(tmp_path / "rollup")
+
+    def run_stream(ckpt: str) -> None:
+        q = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+            .writeStream.foreachBatch(rollup_maintenance_sink(root, **kw))
+            .option("checkpointLocation", str(tmp_path / ckpt))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    run_stream("ckpt1")
+    n_state_dirs = len(glob.glob(f"{root}/batch_id=*"))
+    assert n_state_dirs >= 2, "expected multiple micro-batch states"
+
+    def snap(frame):
+        return sorted(map(tuple, frame.collect()))
+
+    want = snap(partial_aggregate(src_df, **kw))
+    assert snap(read_rollup(spark, root, **kw)) == want
+
+    # replay everything on a fresh checkpoint: batch_id dirs are
+    # overwritten in place, the merged value is unchanged
+    run_stream("ckpt2")
+    assert snap(read_rollup(spark, root, **kw)) == want
+
+    # compaction folds the state to one dir and preserves the value
+    compact_rollup(spark, root, **kw)
+    assert glob.glob(f"{root}/batch_id=*") == [f"{root}/batch_id=-1"]
+    assert snap(read_rollup(spark, root, **kw)) == want

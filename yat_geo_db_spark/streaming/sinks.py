@@ -121,3 +121,92 @@ def ann_index_append_sink(root: str, kind: str = "ivfpq", m: int = 4,
                                     vec_col=vec_col, skip_existing=True)
 
     return write_batch
+
+
+def rollup_maintenance_sink(
+    root: str,
+    key_cols: list[str],
+    sum_cols: list[str] = (),
+    min_cols: list[str] = (),
+    max_cols: list[str] = (),
+    scale: int = 4,
+):
+    """foreachBatch maintenance of an incrementally-updated rollup
+    table: each micro-batch is reduced to its mergeable
+    partial_aggregate state and written to its own ``batch_id=N``
+    partition with overwrite — so a replayed batch REPLACES its own
+    state instead of double-counting (the merge-twice hazard that makes
+    naive read-merge-overwrite sinks wrong under at-least-once
+    foreachBatch). Readers fold all batch states with
+    read_rollup / compact_rollup; because the state is exactly
+    associative (fixed-point sums), stream-then-merge equals a batch
+    aggregation of everything ever streamed, bit-for-bit.
+
+    Scale shape per batch: one map-side-combinable groupBy of the
+    batch only — O(batch) work, state O(keys). The batch_id dirs grow
+    with stream lifetime; compact_rollup folds them back to one
+    (run it on whatever cadence keeps reader-side merge cheap)."""
+    from yat_geo_db_spark.relational.merge import partial_aggregate
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        state = partial_aggregate(
+            batch_df, key_cols, sum_cols=sum_cols, min_cols=min_cols,
+            max_cols=max_cols, scale=scale,
+        )
+        out = os.path.join(root, f"batch_id={batch_id}")
+        state.write.mode("overwrite").parquet(out)
+
+    return write_batch
+
+
+def read_rollup(
+    spark,
+    root: str,
+    key_cols: list[str],
+    sum_cols: list[str] = (),
+    min_cols: list[str] = (),
+    max_cols: list[str] = (),
+    scale: int = 4,
+) -> DataFrame:
+    """Merge-on-read of a rollup_maintenance_sink target: fold every
+    batch state into the current per-key aggregates (ONE hash shuffle
+    over O(batches × keys) state rows — never the raw stream)."""
+    from yat_geo_db_spark.relational.merge import merge_partial_aggregates
+
+    states = spark.read.option("basePath", root).parquet(
+        os.path.join(root, "batch_id=*")
+    ).drop("batch_id")
+    return merge_partial_aggregates(
+        [states], key_cols, sum_cols=sum_cols, min_cols=min_cols,
+        max_cols=max_cols, scale=scale,
+    )
+
+
+def compact_rollup(
+    spark,
+    root: str,
+    key_cols: list[str],
+    sum_cols: list[str] = (),
+    min_cols: list[str] = (),
+    max_cols: list[str] = (),
+    scale: int = 4,
+) -> None:
+    """Fold all batch states into a single state dir (batch_id=-1,
+    below any real micro-batch id) and remove the originals — bounds
+    merge-on-read cost for long-lived streams. The compacted dir is
+    itself a valid batch state, so the sink keeps appending after."""
+    import shutil
+
+    merged = read_rollup(
+        spark, root, key_cols, sum_cols=sum_cols, min_cols=min_cols,
+        max_cols=max_cols, scale=scale,
+    ).localCheckpoint()
+    old = [
+        d for d in os.listdir(root)
+        if d.startswith("batch_id=") and d != "batch_id=-1"
+    ]
+    merged.write.mode("overwrite").parquet(
+        os.path.join(root, "batch_id=-1")
+    )
+    for d in old:
+        shutil.rmtree(os.path.join(root, d), ignore_errors=True)
