@@ -594,3 +594,37 @@ def test_streaming_rollup_maintenance_equals_batch(spark, tmp_path):
     compact_rollup(spark, root, **kw)
     assert glob.glob(f"{root}/batch_id=*") == [f"{root}/batch_id=-1"]
     assert snap(read_rollup(spark, root, **kw)) == want
+
+
+def test_watermarked_dedup_drops_in_horizon_duplicates(spark, tmp_path):
+    """watermarked_dedup: a stream carrying every event twice (same id,
+    same event time — the producer-retry shape) must emit each id once;
+    the surviving rows equal the batch dropDuplicates twin."""
+    from yat_geo_db_spark.streaming.windows import watermarked_dedup
+
+    events = load_table(spark, SF, "events").select(
+        "event_id", "ts", "user_id", "value"
+    )
+    doubled = events.unionByName(events)
+    src = str(tmp_path / "dup_src")
+    doubled.write.mode("overwrite").parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    q = (
+        watermarked_dedup(
+            spark.readStream.schema(schema).parquet(src),
+            ["event_id"], ts_col="ts", delay="30 days",
+        )
+        .writeStream.format("memory")
+        .queryName("wm_dedup")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT event_id, ts, user_id, value FROM wm_dedup")
+    want = events.dropDuplicates(["event_id"])
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )
+    assert got.count() == events.count()

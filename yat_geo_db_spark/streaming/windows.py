@@ -101,3 +101,22 @@ def batch_sessionize(events: DataFrame, gap_minutes: int = 15) -> DataFrame:
             F.max("ts").alias("session_end"),
         )
     )
+
+
+def watermarked_dedup(
+    events: DataFrame,
+    id_cols: list[str],
+    ts_col: str = "ts",
+    delay: str = "10 minutes",
+) -> DataFrame:
+    """Streaming exactly-once-per-id within a bounded horizon:
+    dropDuplicatesWithinWatermark keeps ONE row per id among arrivals
+    whose event times fall within the watermark delay of each other —
+    the at-least-once-source dedup whose state actually EXPIRES (plain
+    streaming dropDuplicates grows its id set forever; here ids older
+    than the watermark are evicted, so state is O(ids per horizon), not
+    O(ids ever)). The horizon is the contract: a duplicate arriving
+    later than `delay` after the original's event time may pass."""
+    return events.withWatermark(ts_col, delay).dropDuplicatesWithinWatermark(
+        id_cols
+    )
