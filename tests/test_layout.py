@@ -82,3 +82,18 @@ def test_zorder_key_locality(spark):
     ).first()
     assert stats["mu"] <= full["mu"] / 2
     assert stats["mv"] <= full["mv"] / 2
+
+
+def test_zorder_null_rows_get_null_key(spark):
+    """NULL indexed values must produce a NULL z-value (their own range
+    group) — not silently co-locate with max-value rows, which would
+    widen the high-end files' stats on every other column."""
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, None), (3, 500.0), (None, 20.0)],
+        "a bigint, b double",
+    )
+    keyed = zorder_key(df, ["a", "b"], bits=4, out_col="z")
+    rows = {(r["a"], r["b"]): r["z"] for r in keyed.collect()}
+    assert rows[(2, None)] is None
+    assert rows[(None, 20.0)] is None
+    assert rows[(1, 10.0)] is not None and rows[(3, 500.0)] is not None

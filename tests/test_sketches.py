@@ -165,9 +165,11 @@ def test_histogram_quantile_state_merge_and_bounds(spark):
             assert abs(est[(k, q)] - exact) <= width + 1e-9, (k, q)
     assert est[(0, 1.0)] <= hi
 
-    # (3) clamping: values beyond the declared domain survive in edge bins
+    # (3) clamping: values beyond the declared domain survive in edge
+    # bins, and NULL measurements are EXCLUDED (not bin-0 artifacts)
     wild = spark.createDataFrame(
-        [(0, -50.0), (0, 2000.0), (0, 500.0)], "k long, v double"
+        [(0, -50.0), (0, 2000.0), (0, 500.0), (0, None)],
+        "k long, v double",
     )
     hs = histogram_state(wild, ["k"], "v", lo, hi, bins)
     got = {r["bin"]: r["n"] for r in hs.collect()}

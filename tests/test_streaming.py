@@ -595,6 +595,18 @@ def test_streaming_rollup_maintenance_equals_batch(spark, tmp_path):
     assert glob.glob(f"{root}/batch_id=*") == [f"{root}/batch_id=-1"]
     assert snap(read_rollup(spark, root, **kw)) == want
 
+    # replay AFTER compaction: the _compacted_through marker makes
+    # already-folded batches no-op instead of double-counting (their
+    # rows live in batch_id=-1 and recreating their dirs would add
+    # them twice)
+    run_stream("ckpt3")
+    assert glob.glob(f"{root}/batch_id=*") == [f"{root}/batch_id=-1"]
+    assert snap(read_rollup(spark, root, **kw)) == want
+
+    # a second compaction of an already-compacted root is a no-op
+    compact_rollup(spark, root, **kw)
+    assert snap(read_rollup(spark, root, **kw)) == want
+
 
 def test_watermarked_dedup_drops_in_horizon_duplicates(spark, tmp_path):
     """watermarked_dedup: a stream carrying every event twice (same id,

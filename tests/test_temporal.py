@@ -429,3 +429,14 @@ def test_coalesce_intervals_islands(spark):
     )
     out = coalesce_intervals(chain, ["k"], "s", "e").collect()
     assert [(r["s"], r["e"], r["n_merged"]) for r in out] == [(1, 20, 3)]
+
+
+def test_snapshot_diff_key_only_tables(spark):
+    """A membership diff (no payload columns) must work: only I and D
+    ops, never U, never a crash from the empty compare set."""
+    from yat_geo_db_spark.relational.merge import snapshot_diff
+
+    old = spark.createDataFrame([(1,), (2,), (3,)], "k long")
+    new = spark.createDataFrame([(2,), (3,), (4,)], "k long")
+    got = {r["k"]: r["op"] for r in snapshot_diff(old, new, ["k"]).collect()}
+    assert got == {1: "D", 4: "I"}

@@ -28,14 +28,19 @@ def linear_bucket(
     """Map a numeric column into [0, 2^bits) by linear range bucketing
     over [cmin, cmax] (the min/max come from ONE tiny agg row broadcast
     back — no per-row window). Constant columns (span 0) bucket to 0;
-    the max value is clamped into the top bucket."""
+    the max value is clamped into the top bucket. NULL values bucket to
+    NULL (propagating to a NULL z-value, which repartitionByRange
+    groups into its own files) — without the explicit guard, Spark's
+    null-skipping least() would co-locate NULL rows with MAX-value
+    rows and widen those files' stats on every other column."""
     n = 1 << bits
     span = cmax.cast("double") - cmin.cast("double")
     raw = F.floor(
         (col.cast("double") - cmin.cast("double")) / span * F.lit(float(n))
     )
-    return F.when(span > 0, F.least(raw, F.lit(n - 1))).otherwise(
-        F.lit(0)
+    return F.when(
+        col.isNotNull(),
+        F.when(span > 0, F.least(raw, F.lit(n - 1))).otherwise(F.lit(0)),
     ).cast("long")
 
 

@@ -186,10 +186,11 @@ def snapshot_diff(
         "_in_new", F.lit(True)
     )
     j = o.join(n, key_cols, "full_outer")
-    any_diff = None
+    # key-only tables are a legitimate membership diff: no payload to
+    # compare, so no key can ever be 'U'
+    any_diff = F.lit(False)
     for c in compare_cols:
-        d = ~F.col(c).eqNullSafe(F.col(f"_old_{c}"))
-        any_diff = d if any_diff is None else (any_diff | d)
+        any_diff = any_diff | ~F.col(c).eqNullSafe(F.col(f"_old_{c}"))
     op = (
         F.when(F.col("_in_old").isNull(), F.lit("I"))
         .when(F.col("_in_new").isNull(), F.lit("D"))
@@ -232,12 +233,18 @@ def histogram_state(
 
     Integer counts ⇒ exactly associative: merging per-batch states
     (merge_histogram_states) equals the one-shot histogram for any
-    split. One map-side-combinable groupBy; O(keys × n_bins) state."""
+    split. One map-side-combinable groupBy; O(keys × n_bins) state.
+
+    NULL measurements are EXCLUDED (count them upstream if they
+    matter): without the filter, Spark's null-skipping greatest() would
+    silently count a NULL as a bin-0 (minimum-value) observation and
+    bias every quantile toward lo."""
     width = (hi - lo) / float(n_bins)
     raw = F.floor((F.col(value_col).cast("double") - F.lit(lo)) / F.lit(width))
     b = F.least(F.greatest(raw, F.lit(0)), F.lit(n_bins - 1)).cast("int")
     return (
-        df.withColumn("bin", b)
+        df.filter(F.col(value_col).isNotNull())
+        .withColumn("bin", b)
         .groupBy(*key_cols, "bin")
         .agg(F.count(F.lit(1)).alias("n"))
     )

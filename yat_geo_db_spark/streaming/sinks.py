@@ -123,6 +123,20 @@ def ann_index_append_sink(root: str, kind: str = "ivfpq", m: int = 4,
     return write_batch
 
 
+def _compacted_through(root: str) -> int:
+    """Highest batch_id whose state has been folded into the compacted
+    dir (persisted marker; -1 = never compacted). The marker is what
+    keeps compaction and at-least-once replay compatible: a replayed
+    batch at or below it must NOT rewrite its dir — its rows already
+    live in batch_id=-1, and recreating the dir would double-count."""
+    marker = os.path.join(root, "_compacted_through")
+    try:
+        with open(marker) as fh:
+            return int(fh.read().strip())
+    except (OSError, ValueError):
+        return -1
+
+
 def rollup_maintenance_sink(
     root: str,
     key_cols: list[str],
@@ -133,14 +147,16 @@ def rollup_maintenance_sink(
 ):
     """foreachBatch maintenance of an incrementally-updated rollup
     table: each micro-batch is reduced to its mergeable
-    partial_aggregate state and written to its own ``batch_id=N``
-    partition with overwrite — so a replayed batch REPLACES its own
-    state instead of double-counting (the merge-twice hazard that makes
-    naive read-merge-overwrite sinks wrong under at-least-once
-    foreachBatch). Readers fold all batch states with
-    read_rollup / compact_rollup; because the state is exactly
-    associative (fixed-point sums), stream-then-merge equals a batch
-    aggregation of everything ever streamed, bit-for-bit.
+    partial_aggregate state and handed to the shared batch_id=N
+    overwrite writer (batch_partitioned_parquet_sink) — so a replayed
+    batch REPLACES its own state instead of double-counting (the
+    merge-twice hazard that makes naive read-merge-overwrite sinks
+    wrong under at-least-once foreachBatch). Batches already folded by
+    compact_rollup (id <= the _compacted_through marker) are skipped on
+    replay for the same reason: their rows live in the compacted dir.
+    Readers fold all batch states with read_rollup; because the state
+    is exactly associative (fixed-point sums), stream-then-merge equals
+    a batch aggregation of everything ever streamed, bit-for-bit.
 
     Scale shape per batch: one map-side-combinable groupBy of the
     batch only — O(batch) work, state O(keys). The batch_id dirs grow
@@ -148,13 +164,16 @@ def rollup_maintenance_sink(
     (run it on whatever cadence keeps reader-side merge cheap)."""
     from yat_geo_db_spark.relational.merge import partial_aggregate
 
+    inner = batch_partitioned_parquet_sink(root)
+
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_id <= _compacted_through(root):
+            return
         state = partial_aggregate(
             batch_df, key_cols, sum_cols=sum_cols, min_cols=min_cols,
             max_cols=max_cols, scale=scale,
         )
-        out = os.path.join(root, f"batch_id={batch_id}")
-        state.write.mode("overwrite").parquet(out)
+        inner(state, batch_id)
 
     return write_batch
 
@@ -191,22 +210,50 @@ def compact_rollup(
     max_cols: list[str] = (),
     scale: int = 4,
 ) -> None:
-    """Fold all batch states into a single state dir (batch_id=-1,
-    below any real micro-batch id) and remove the originals — bounds
-    merge-on-read cost for long-lived streams. The compacted dir is
-    itself a valid batch state, so the sink keeps appending after."""
+    """Fold batch states into a single compacted dir (batch_id=-1,
+    below any real micro-batch id) and remove the folded originals —
+    bounds merge-on-read cost for long-lived streams. The compacted dir
+    is itself a valid batch state, so the sink keeps appending after.
+
+    Safe against a LIVE stream: the set of dirs to fold is snapshotted
+    FIRST and the merge reads exactly those paths, so a micro-batch
+    landing mid-compaction is neither folded nor deleted — it survives
+    as its own dir. Safe against replay: the max folded batch id is
+    persisted to the _compacted_through marker, which the sink checks
+    before writing (a replayed already-folded batch becomes a no-op
+    instead of a double count)."""
     import shutil
 
-    merged = read_rollup(
-        spark, root, key_cols, sum_cols=sum_cols, min_cols=min_cols,
-        max_cols=max_cols, scale=scale,
-    ).localCheckpoint()
-    old = [
-        d for d in os.listdir(root)
+    from yat_geo_db_spark.relational.merge import merge_partial_aggregates
+
+    compacted = os.path.join(root, "batch_id=-1")
+    dirs = [
+        os.path.join(root, d)
+        for d in os.listdir(root)
         if d.startswith("batch_id=") and d != "batch_id=-1"
     ]
-    merged.write.mode("overwrite").parquet(
-        os.path.join(root, "batch_id=-1")
+    if os.path.isdir(compacted):
+        dirs.append(compacted)
+    if not dirs:
+        return
+    states = spark.read.option("basePath", root).parquet(*dirs).drop(
+        "batch_id"
     )
-    for d in old:
-        shutil.rmtree(os.path.join(root, d), ignore_errors=True)
+    merged = merge_partial_aggregates(
+        [states], key_cols, sum_cols=sum_cols, min_cols=min_cols,
+        max_cols=max_cols, scale=scale,
+    ).localCheckpoint()
+    through = max(
+        (
+            int(os.path.basename(d).split("=", 1)[1])
+            for d in dirs
+            if not d.endswith("=-1")
+        ),
+        default=_compacted_through(root),
+    )
+    merged.write.mode("overwrite").parquet(compacted)
+    with open(os.path.join(root, "_compacted_through"), "w") as fh:
+        fh.write(str(max(through, _compacted_through(root))))
+    for d in dirs:
+        if not d.endswith("=-1"):
+            shutil.rmtree(d, ignore_errors=True)
