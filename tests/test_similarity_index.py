@@ -798,3 +798,47 @@ def test_group_centroid_stats_cohesion(spark):
     assert out[3]["n_vecs"] == 3 and out[3]["n_missing"] == 2
     assert out[4]["n_vecs"] == 1 and out[4]["n_missing"] == 1
     assert out[4]["mean_cos"] is None and out[4]["centroid_norm"] is None
+
+
+def test_mmr_trades_relevance_for_diversity(spark):
+    """On a corpus with one tight cluster near the query plus spread-out
+    alternatives, lam=1.0 MMR degenerates to pure relevance top-k (picks
+    the whole cluster first), while a diversity-weighted lam must break
+    out of the cluster after one member."""
+    import math
+
+    from yat_geo_db_spark.pipelines.similarity import mmr_select
+
+    dim = 5
+    s = 1.0 / math.sqrt(2.0)
+
+    def unit(theta):
+        # rotations in the (0,1) plane: the query and its near-dup cluster
+        v = [0.0] * dim
+        v[0], v[1] = math.cos(theta), math.sin(theta)
+        return v
+
+    def alt(axis):
+        # (q + e_axis)/sqrt(2): relevance ~0.707 to the query, mutual
+        # similarity 0.5 — relevant but ORTHOGONALLY diverse
+        v = [0.0] * dim
+        v[0], v[axis] = s, s
+        return v
+
+    rows = [(0, unit(0.0))]                      # query
+    for i, t in enumerate((0.03, 0.035, 0.04)):  # near-dup cluster
+        rows.append((10 + i, unit(t)))
+    for i, axis in enumerate((2, 3, 4)):         # diverse alternatives
+        rows.append((20 + i, alt(axis)))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    pure = mmr_select(df, 0, k=3, lam=1.0)
+    assert [r["vec_id"] for r in pure.collect()] == [10, 11, 12]
+
+    div = mmr_select(df, 0, k=3, lam=0.5)
+    picked = [r["vec_id"] for r in div.collect()]
+    assert picked[0] == 10                        # most relevant first
+    assert len([p for p in picked if p >= 20]) >= 2, picked
+    # ranks are dense and scores non-increasing is NOT required (MMR
+    # scores can rise as the candidate pool changes), but ranks must be
+    assert [r["rank"] for r in div.collect()] == [1, 2, 3]

@@ -1595,3 +1595,81 @@ def group_centroid_stats(
         F.col("_g").alias(group_col), "n_vecs", "n_missing",
         "centroid_norm", "mean_cos",
     )
+
+
+def mmr_select(
+    embeddings: DataFrame,
+    query_id: int,
+    k: int = 8,
+    lam: float = 0.7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Maximal-marginal-relevance selection (Carbonell & Goldstein '98):
+    greedily pick k items maximizing lam·cos(q, x) − (1−lam)·max_{s∈S}
+    cos(x, s) — relevance WITH diversity, the selection rule for
+    diverse few-shot pools, eval-set curation, and dedup-aware
+    retrieval (pure top-k returns k copies of the same cluster).
+
+    Scale shape: ONE corpus pass computes the relevance column (cached
+    via localCheckpoint); each of the k rounds is a single
+    TakeOrdered(1) argmax over a pure projection — the max-sim-to-
+    selected term is a greatest() over at most k broadcast literal
+    vectors, never a join against a growing set. Driver state is the k
+    selected vectors (the ≤k-row probe pattern). Deterministic:
+    relevance and similarity round to 6 dp before the score arithmetic
+    and ties break by id, so an unrolled-CTE oracle replays the greedy
+    loop exactly."""
+    rel = (
+        embeddings.filter(F.col(id_col) != query_id)
+        .crossJoin(
+            F.broadcast(
+                embeddings.filter(F.col(id_col) == query_id)
+                .select(F.col(vec_col).alias("_qv"))
+            )
+        )
+        .select(
+            id_col,
+            vec_col,
+            F.round(cosine_col(F.col(vec_col), F.col("_qv")), 6).alias("_rel"),
+        )
+        .localCheckpoint()
+    )
+    selected: list = []   # (id, vector) driver state, ≤ k entries
+    out_rows = []
+    for rank in range(1, k + 1):
+        if selected:
+            sims = [
+                F.round(
+                    cosine_col(
+                        F.col(vec_col),
+                        F.array(*[F.lit(float(x)) for x in svec]),
+                    ),
+                    6,
+                )
+                for _, svec in selected
+            ]
+            maxsim = sims[0] if len(sims) == 1 else F.greatest(*sims)
+        else:
+            maxsim = F.lit(0.0)
+        cand = rel.filter(
+            ~F.col(id_col).isin([sid for sid, _ in selected])
+        ).select(
+            id_col,
+            vec_col,
+            "_rel",
+            (F.lit(lam) * F.col("_rel") - F.lit(1.0 - lam) * maxsim).alias(
+                "_score"
+            ),
+        )
+        row = cand.orderBy(F.desc("_score"), F.asc(id_col)).first()
+        if row is None:
+            break
+        selected.append((row[id_col], list(row[vec_col])))
+        out_rows.append(
+            (rank, row[id_col], float(row["_rel"]), float(row["_score"]))
+        )
+    spark = embeddings.sparkSession
+    return spark.createDataFrame(
+        out_rows, f"rank int, {id_col} long, rel double, score double"
+    )

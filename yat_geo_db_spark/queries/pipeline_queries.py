@@ -1090,6 +1090,60 @@ SELECT id1, id2, cosine FROM (
 """
 
 
+MMR_K = 8
+MMR_LAM = 0.7
+
+
+def q_sim_mmr(spark, sf_dir):
+    """Maximal-marginal-relevance selection (similarity.mmr_select):
+    the k most relevant-yet-diverse neighbors of the probe vector —
+    pure top-k returns k copies of the densest cluster; MMR penalizes
+    similarity to what's already picked. Greedy k-round argmax, each
+    round one TakeOrdered(1) over a projection."""
+    return similarity.mmr_select(
+        load_table(spark, sf_dir, "embeddings"),
+        TOPK_QUERY_ID,
+        k=MMR_K,
+        lam=MMR_LAM,
+    )
+
+
+def _mmr_sql(k: int = MMR_K, lam: float = MMR_LAM) -> str:
+    l1, l2 = repr(float(lam)), repr(1.0 - float(lam))
+    ctes = [
+        f"q AS (SELECT embedding AS qv FROM embeddings"
+        f" WHERE vec_id = {TOPK_QUERY_ID})",
+        f"r AS (SELECT vec_id, embedding,"
+        f" round({_cos('embedding', 'qv')}, 6) AS rel"
+        f" FROM embeddings, q WHERE vec_id != {TOPK_QUERY_ID})",
+    ]
+    for i in range(1, k + 1):
+        prev = [f"s{j}" for j in range(1, i)]
+        if not prev:
+            maxsim = "0.0"
+        elif len(prev) == 1:
+            maxsim = f"round({_cos('r.embedding', 's1.embedding')}, 6)"
+        else:
+            sims = ", ".join(
+                f"round({_cos('r.embedding', f'{p}.embedding')}, 6)"
+                for p in prev
+            )
+            maxsim = f"greatest({sims})"
+        frm = ", ".join(["r"] + prev)
+        excl = " AND ".join([f"r.vec_id != {p}.vec_id" for p in prev]) or "TRUE"
+        ctes.append(
+            f"s{i} AS (SELECT r.vec_id, r.embedding, r.rel,"
+            f" ({l1} * r.rel - {l2} * {maxsim}) AS score"
+            f" FROM {frm} WHERE {excl}"
+            f" ORDER BY score DESC, r.vec_id LIMIT 1)"
+        )
+    sel = "\nUNION ALL\n".join(
+        f"SELECT CAST({i} AS INT) AS rank, vec_id, rel, score FROM s{i}"
+        for i in range(1, k + 1)
+    )
+    return "WITH " + ",\n".join(ctes) + "\n" + sel + "\nORDER BY rank"
+
+
 # --------------------------------------------------------------------------
 # text analysis
 # --------------------------------------------------------------------------
@@ -4056,6 +4110,7 @@ QUERIES: dict = {
     "pipe_sim_topk_ivf": (q_topk_ivf, _TOPK_IVF_SQL),
     "pipe_sim_topk_ivf_multiprobe": (q_topk_ivf_multiprobe, _TOPK_IVF_MULTIPROBE_SQL),
     "pipe_sim_cosine_near_dup": (q_cosine_near_dup, _COSINE_NEAR_DUP_SQL),
+    "pipe_sim_mmr": (q_sim_mmr, _mmr_sql()),
     "pipe_sim_kmeans": (q_sim_kmeans, _kmeans_sql()),
     "pipe_sim_pq_topk": (q_sim_pq_topk, _pq_topk_sql()),
     "pipe_sim_ivfpq_topk": (q_sim_ivfpq_topk, _ivfpq_topk_sql()),
