@@ -385,3 +385,36 @@ def test_triangle_counts_match_brute_force(spark):
         df = spark.createDataFrame(edge_list, "src long, dst long")
         got = {r["node"]: r["n_tri"] for r in triangle_counts(df).collect()}
         assert got == brute(edge_list)
+
+
+def test_personalized_pagerank_seed_locality(spark):
+    """PPR invariants: mass conserves to ~1 through teleport AND
+    dangling re-injection; a component disconnected from the seed set
+    gets EXACTLY zero rank (its nodes have p=0 and no in-paths); and
+    the seed itself outranks every non-seed in a symmetric ring where
+    uniform PageRank would be flat."""
+    from yat_geo_db_spark.pipelines.graph import pagerank, personalized_pagerank
+
+    # component A: ring 0-4; component B: ring 10-12 (disconnected)
+    ring_a = [(i, (i + 1) % 5) for i in range(5)]
+    ring_b = [(10 + i, 10 + (i + 1) % 3) for i in range(3)]
+    edges = spark.createDataFrame(ring_a + ring_b, "src long, dst long")
+    seeds = spark.createDataFrame([(0,)], "node long")
+
+    ppr = {
+        r["node"]: r["rank"]
+        for r in personalized_pagerank(edges, seeds, n_iter=25).collect()
+    }
+    assert abs(sum(ppr.values()) - 1.0) < 1e-6
+    assert all(ppr[n] == 0.0 for n in (10, 11, 12)), ppr
+    # converged: rank decays geometrically with ring distance from the
+    # seed (early iterations instead show the rank pulse mid-transit)
+    assert ppr[0] > ppr[1] > ppr[2] > ppr[3] > ppr[4] > 0.0
+
+    # uniform PageRank on the same graph is flat within each ring —
+    # the seed preference is purely the teleport's doing
+    flat = {
+        r["node"]: round(r["rank"], 9)
+        for r in pagerank(edges, n_iter=4).collect()
+    }
+    assert len({flat[n] for n in range(5)}) == 1

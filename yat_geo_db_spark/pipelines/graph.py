@@ -181,3 +181,98 @@ def triangle_counts(
         .unionAll(tris.select(F.col("v2").alias("node")))
     )
     return members.groupBy("node").agg(F.count(F.lit(1)).alias("n_tri"))
+
+
+def personalized_pagerank(
+    edges: DataFrame,
+    seeds: DataFrame,
+    nodes: DataFrame | None = None,
+    n_iter: int = 3,
+    damping: float = 0.85,
+    src: str = "src",
+    dst: str = "dst",
+    node_col: str = "node",
+    scale: int = PAGERANK_SCALE,
+    checkpoint: bool = True,
+) -> DataFrame:
+    """Personalized (topic-sensitive) PageRank: the teleport lands on
+    the SEED set instead of uniformly — rank_{k+1}(v) = (1−d)·p(v) +
+    d·(Σ_{u→v} rank_k(u)/outdeg(u) + dangling_mass_k·p(v)), with
+    p(v) = 1/|S| for seeds, 0 otherwise, starting from p. The
+    authority-relative-to-a-trusted-set scorer (TrustRank-style seed
+    quality propagation: score every source by its link proximity to a
+    hand-vetted allowlist).
+
+    Same per-iteration scale shape as pagerank (one equi-join + one
+    groupBy(dst) dsum + a broadcast 1-row dangling mass); the seed flag
+    and p(v) are resolved ONCE into carried columns (one broadcast
+    semi-join total). Deterministic and engine-portable for the same
+    reasons — every p(v) use is a multiplication by the same carried
+    double, mirrored in the unrolled-CTE oracle. Mass conserves:
+    teleport + dangling both re-inject through p, so seed-relative
+    scores sum to 1 (up to fixed-point resolution)."""
+    e = edges.select(F.col(src).alias("_src"), F.col(dst).alias("_dst"))
+    if nodes is None:
+        nodes = (
+            e.select(F.col("_src").alias(node_col))
+            .union(e.select(F.col("_dst").alias(node_col)))
+            .distinct()
+        )
+    nd = nodes.select(F.col(node_col).alias("_node"))
+    sd = seeds.select(F.col(node_col).alias("_seed")).distinct()
+    s_frame = F.broadcast(sd.agg(F.count(F.lit(1)).alias("_ns")))
+    outdeg = e.groupBy("_src").agg(F.count(F.lit(1)).alias("_deg"))
+    ranks = (
+        nd.join(outdeg, nd["_node"] == outdeg["_src"], "left")
+        .join(
+            F.broadcast(sd.withColumn("_is_seed", F.lit(True))),
+            nd["_node"] == sd["_seed"],
+            "left",
+        )
+        .crossJoin(s_frame)
+        .select(
+            "_node",
+            F.col("_deg").isNull().alias("_dangling"),
+            F.when(
+                F.coalesce(F.col("_is_seed"), F.lit(False)),
+                F.lit(1.0) / F.col("_ns").cast("double"),
+            ).otherwise(F.lit(0.0)).alias("_p"),
+        )
+        .withColumn("_r", F.col("_p"))
+    )
+
+    for _ in range(n_iter):
+        contrib = (
+            e.join(ranks.select("_node", "_r"), e["_src"] == F.col("_node"))
+            .join(outdeg, "_src")
+            .groupBy("_dst")
+            .agg(dsum(F.col("_r") / F.col("_deg").cast("double"), scale)
+                 .alias("_c"))
+        )
+        dangling = F.broadcast(
+            ranks.filter(F.col("_dangling"))
+            .agg(F.coalesce(dsum(F.col("_r"), scale), F.lit(0.0)).alias("_dm"))
+        )
+        ranks = (
+            ranks.select("_node", "_dangling", "_p")
+            .join(contrib, ranks["_node"] == contrib["_dst"], "left")
+            .crossJoin(dangling)
+            .select(
+                "_node",
+                "_dangling",
+                "_p",
+                (
+                    F.lit(1.0 - damping) * F.col("_p")
+                    + F.lit(damping)
+                    * (
+                        F.coalesce(F.col("_c"), F.lit(0.0))
+                        + F.col("_dm") * F.col("_p")
+                    )
+                ).alias("_r"),
+            )
+        )
+        if checkpoint:
+            ranks = ranks.localCheckpoint(eager=False)
+    return ranks.select(
+        F.col("_node").alias(node_col), F.col("_r").alias("rank")
+    )

@@ -3526,6 +3526,103 @@ def q_source_pagerank(spark, sf_dir):
     )
 
 
+def q_source_ppr(spark, sf_dir):
+    """Personalized PageRank (pipelines.graph.personalized_pagerank):
+    TrustRank-style seed-relative authority over the same synthetic
+    source graph as pipe_source_pagerank — the teleport lands only on
+    the every-5th-source seed set, so scores read as 'link proximity to
+    the vetted list'. The edge-less last source exercises dangling
+    redistribution through p(v)."""
+    from pyspark.sql import Window
+
+    from yat_geo_db_spark.pipelines.graph import personalized_pagerank
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.orderBy("source")
+    idx = (
+        docs.select("source")
+        .distinct()
+        .select(
+            "source", (F.row_number().over(w) - 1).cast("long").alias("i")
+        )
+    )
+    n_frame = F.broadcast(idx.agg(F.count(F.lit(1)).alias("n")))
+    base = idx.crossJoin(n_frame).filter(F.col("i") < F.col("n") - 1)
+    e1 = base.select(
+        F.col("i").alias("src"), ((F.col("i") * 7 + 3) % F.col("n")).alias("dst")
+    )
+    e2 = base.select(
+        F.col("i").alias("src"), ((F.col("i") * 13 + 1) % F.col("n")).alias("dst")
+    )
+    edges = e1.union(e2).filter(F.col("src") != F.col("dst")).distinct()
+    seeds = idx.filter(F.col("i") % 5 == 0).select(F.col("i").alias("node"))
+    pr = personalized_pagerank(
+        edges,
+        seeds,
+        nodes=idx.select(F.col("i").alias("node")),
+        n_iter=PAGERANK_ITERS,
+        damping=PAGERANK_DAMPING,
+    )
+    return idx.join(pr, idx["i"] == pr["node"]).select(
+        "source", F.round("rank", 9).alias("rank")
+    )
+
+
+def _ppr_sql(n_iter: int = PAGERANK_ITERS,
+             damping: float = PAGERANK_DAMPING) -> str:
+    from yat_geo_db_spark.queries.relational_queries import _dsum
+    from yat_geo_db_spark.pipelines.graph import PAGERANK_SCALE
+
+    s = PAGERANK_SCALE
+    ctes = [
+        "srcs AS (SELECT DISTINCT source FROM documents)",
+        "idx AS (SELECT source, CAST(row_number() OVER (ORDER BY source) - 1"
+        " AS BIGINT) AS i FROM srcs)",
+        "ns AS (SELECT count(*) AS n FROM idx)",
+        "base AS (SELECT i, n FROM idx, ns WHERE i < n - 1)",
+        """edges AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT i AS src, (i*7+3) % n AS dst FROM base
+    UNION ALL
+    SELECT i AS src, (i*13+1) % n AS dst FROM base
+  ) WHERE src <> dst
+)""",
+        "outdeg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src)",
+        "seeds AS (SELECT i FROM idx WHERE i % 5 = 0)",
+        "nss AS (SELECT count(*) AS cnt FROM seeds)",
+        "p0 AS (SELECT idx.i,"
+        " CASE WHEN se.i IS NOT NULL THEN 1.0 / CAST(nss.cnt AS DOUBLE)"
+        " ELSE 0.0 END AS p"
+        " FROM idx CROSS JOIN nss LEFT JOIN seeds se ON idx.i = se.i)",
+        "r0 AS (SELECT i, p, p AS r FROM p0)",
+    ]
+    prev = "r0"
+    for k in range(1, n_iter + 1):
+        ctes.append(
+            f"c{k} AS (SELECT e.dst, {_dsum('r.r / CAST(o.deg AS DOUBLE)', s)}"
+            f" AS c FROM edges e JOIN {prev} r ON e.src = r.i"
+            f" JOIN outdeg o ON e.src = o.src GROUP BY e.dst)"
+        )
+        ctes.append(
+            f"d{k} AS (SELECT coalesce({_dsum('r.r', s)}, 0.0) AS dm"
+            f" FROM {prev} r LEFT JOIN outdeg o ON r.i = o.src"
+            f" WHERE o.src IS NULL)"
+        )
+        ctes.append(
+            f"r{k} AS (SELECT p0.i, p0.p,"
+            f" ({1.0 - damping!r} * p0.p"
+            f" + {damping} * (coalesce(c.c, 0.0) + d{k}.dm * p0.p)) AS r"
+            f" FROM p0 CROSS JOIN d{k}"
+            f" LEFT JOIN c{k} c ON p0.i = c.dst)"
+        )
+        prev = f"r{k}"
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT idx.source, round(r.r, 9) AS rank"
+        f" FROM idx JOIN {prev} r ON idx.i = r.i"
+    )
+
+
 def q_graph_triangles(spark, sf_dir):
     """Per-source triangle participation (pipelines.graph.triangle_counts
     — the clustering-structure complement to the PageRank quality prior)
@@ -4075,6 +4172,7 @@ QUERIES: dict = {
     "pipe_epoch_shuffle": (q_epoch_shuffle, _EPOCH_SHUFFLE_SQL),
     "pipe_source_pagerank": (q_source_pagerank, _pagerank_sql()),
     "pipe_graph_triangles": (q_graph_triangles, _TRIANGLES_SQL),
+    "pipe_source_ppr": (q_source_ppr, _ppr_sql()),
     "pipe_text_blocklist": (q_text_blocklist, _TEXT_BLOCKLIST_SQL),
     "pipe_sim_hard_negatives": (q_sim_hard_negatives, _HARD_NEGATIVES_SQL),
     "pipe_pii_report": (q_pii_report, _pii_report_sql()),
