@@ -418,3 +418,31 @@ def test_personalized_pagerank_seed_locality(spark):
         for r in pagerank(edges, n_iter=4).collect()
     }
     assert len({flat[n] for n in range(5)}) == 1
+
+
+def test_k_core_peels_to_fixpoint(spark):
+    """k_core must equal the classic peel on known shapes: pendant
+    chains cascade away (multi-round), cliques survive with their full
+    degree, and a k above the graph's degeneracy leaves nothing."""
+    from yat_geo_db_spark.pipelines.graph import k_core
+
+    # K4 with a 3-link pendant chain off node 3 (peels over 3 rounds)
+    k4 = [(i, j) for i in range(4) for j in range(4) if i < j]
+    chain = [(3, 10), (10, 11), (11, 12)]
+    df = spark.createDataFrame(k4 + chain, "src long, dst long")
+
+    core2 = {r["node"]: r["deg"] for r in k_core(df, k=2).collect()}
+    assert core2 == {0: 3, 1: 3, 2: 3, 3: 3}
+    core3 = {r["node"]: r["deg"] for r in k_core(df, k=3).collect()}
+    assert core3 == {0: 3, 1: 3, 2: 3, 3: 3}
+    assert k_core(df, k=4).count() == 0          # above the degeneracy
+
+    # two cliques joined by one bridge edge: both survive, bridge
+    # endpoints keep their clique degree + the bridge never rescues
+    # a low-degree node
+    k3b = [(20 + i, 20 + j) for i in range(4) for j in range(4) if i < j]
+    bridge = [(0, 20)]
+    two = spark.createDataFrame(k4 + k3b + bridge, "src long, dst long")
+    got = {r["node"]: r["deg"] for r in k_core(two, k=3).collect()}
+    assert set(got) == set(range(4)) | set(range(20, 24))
+    assert got[0] == 4 and got[20] == 4          # bridge adds a degree

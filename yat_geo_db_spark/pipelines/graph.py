@@ -276,3 +276,64 @@ def personalized_pagerank(
     return ranks.select(
         F.col("_node").alias(node_col), F.col("_r").alias("rank")
     )
+
+
+def k_core(
+    edges: DataFrame,
+    k: int = 2,
+    src: str = "src",
+    dst: str = "dst",
+    max_rounds: int = 8,
+) -> DataFrame:
+    """The k-core of the undirected graph: the maximal subgraph where
+    every node keeps degree ≥ k — the degeneracy peel that separates a
+    link graph's dense communities from its tendrils (spam chains and
+    scraped-nav link tails peel away; organically-linked cores stay).
+    Returns (node, deg) with each survivor's degree INSIDE the core.
+
+    Iterative peel: each round computes degrees in the remaining
+    subgraph (one explode + map-side-combinable count), drops nodes
+    under k, and keeps only edges with both endpoints alive (two
+    semi-joins). Early-stops at the fixpoint (a one-count driver probe
+    per round, same cadence as pagerank's checkpoint); `max_rounds`
+    bounds pathological peel cascades (a path graph peels one layer
+    per round) and is part of the result's CONTRACT — the oracle
+    unrolls exactly max_rounds, and post-fixpoint rounds are no-ops,
+    so early-stopped and fully-unrolled agree whenever the peel
+    converges within the bound."""
+    und = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint()
+    )
+    alive = und
+    n_edges = alive.count()
+    for _ in range(max_rounds):
+        deg = (
+            alive.select(F.col("a").alias("v"))
+            .unionAll(alive.select(F.col("b").alias("v")))
+            .groupBy("v")
+            .agg(F.count(F.lit(1)).alias("deg"))
+        )
+        keep = deg.filter(F.col("deg") >= k).select("v").localCheckpoint()
+        alive = (
+            alive.join(keep, alive["a"] == keep["v"], "left_semi")
+            .join(keep, alive["b"] == keep["v"], "left_semi")
+            .localCheckpoint()
+        )
+        n_now = alive.count()
+        if n_now == n_edges:
+            break
+        n_edges = n_now
+    return (
+        alive.select(F.col("a").alias("v"))
+        .unionAll(alive.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("deg"))
+        .filter(F.col("deg") >= k)
+        .select(F.col("v").alias("node"), "deg")
+    )

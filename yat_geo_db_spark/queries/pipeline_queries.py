@@ -3759,6 +3759,96 @@ ORDER BY source
 _SOURCE_TREND_SQL = _source_trend_sql()
 
 
+KCORE_K = 5
+KCORE_ROUNDS = 8
+
+
+def q_graph_kcore(spark, sf_dir):
+    """k-core peel (pipelines.graph.k_core) over the triangle query's
+    synthetic source graph: tendrils and low-degree sources peel away
+    round by round; what survives is the densely-linked core — the
+    degeneracy view of source authority. Bounded at KCORE_ROUNDS peel
+    rounds (the oracle unrolls the same bound; post-fixpoint rounds are
+    no-ops)."""
+    from pyspark.sql import Window
+
+    from yat_geo_db_spark.pipelines.graph import k_core
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.orderBy("source")
+    idx = (
+        docs.select("source")
+        .distinct()
+        .select(
+            "source", (F.row_number().over(w) - 1).cast("long").alias("i")
+        )
+    )
+    n_frame = F.broadcast(idx.agg(F.count(F.lit(1)).alias("n")))
+    base = idx.crossJoin(n_frame)
+    fams = [
+        ((F.col("i") + 1) % F.col("n")),
+        ((F.col("i") + 2) % F.col("n")),
+        ((F.col("i") * 7 + 3) % F.col("n")),
+    ]
+    edges = None
+    for fam in fams:
+        e = base.select(F.col("i").alias("src"), fam.alias("dst"))
+        edges = e if edges is None else edges.union(e)
+    core = k_core(edges, k=KCORE_K, max_rounds=KCORE_ROUNDS)
+    return (
+        idx.join(core, idx["i"] == core["node"])
+        .select("source", "deg")
+        .orderBy("source")
+    )
+
+
+def _kcore_sql(k: int = KCORE_K, rounds: int = KCORE_ROUNDS) -> str:
+    ctes = [
+        "srcs AS (SELECT DISTINCT source FROM documents)",
+        "idx AS (SELECT source, CAST(row_number() OVER (ORDER BY source) - 1"
+        " AS BIGINT) AS i FROM srcs)",
+        "ns AS (SELECT count(*) AS n FROM idx)",
+        """raw AS (
+  SELECT i AS x, (i+1) % n AS y FROM idx, ns
+  UNION ALL
+  SELECT i, (i+2) % n FROM idx, ns
+  UNION ALL
+  SELECT i, (i*7+3) % n FROM idx, ns
+)""",
+        # MATERIALIZED: each round references its predecessor several
+        # times; inlined CTEs would expand the chain exponentially
+        # (~5^rounds scans of the parquet)
+        "e0 AS MATERIALIZED (SELECT DISTINCT least(x, y) AS a,"
+        " greatest(x, y) AS b FROM raw WHERE x <> y)",
+    ]
+    prev = "e0"
+    for r in range(1, rounds + 1):
+        ctes.append(
+            f"d{r} AS MATERIALIZED (SELECT v, count(*) AS deg FROM ("
+            f"SELECT a AS v FROM {prev} UNION ALL SELECT b FROM {prev}"
+            f") GROUP BY v)"
+        )
+        ctes.append(
+            f"k{r} AS MATERIALIZED (SELECT v FROM d{r} WHERE deg >= {k})"
+        )
+        ctes.append(
+            f"e{r} AS MATERIALIZED (SELECT e.a, e.b FROM {prev} e"
+            f" JOIN k{r} x ON e.a = x.v JOIN k{r} y ON e.b = y.v)"
+        )
+        prev = f"e{r}"
+    ctes.append(
+        f"fin AS (SELECT v, count(*) AS deg FROM ("
+        f"SELECT a AS v FROM {prev} UNION ALL SELECT b FROM {prev}"
+        f") GROUP BY v)"
+    )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT idx.source, fin.deg FROM fin"
+        f" JOIN idx ON fin.v = idx.i WHERE fin.deg >= {k}"
+        f" ORDER BY idx.source"
+    )
+
+
 def _pagerank_sql(n_iter: int = PAGERANK_ITERS,
                   damping: float = PAGERANK_DAMPING) -> str:
     from yat_geo_db_spark.queries.relational_queries import _dsum
@@ -4173,6 +4263,7 @@ QUERIES: dict = {
     "pipe_source_pagerank": (q_source_pagerank, _pagerank_sql()),
     "pipe_graph_triangles": (q_graph_triangles, _TRIANGLES_SQL),
     "pipe_source_ppr": (q_source_ppr, _ppr_sql()),
+    "pipe_graph_kcore": (q_graph_kcore, _kcore_sql()),
     "pipe_text_blocklist": (q_text_blocklist, _TEXT_BLOCKLIST_SQL),
     "pipe_sim_hard_negatives": (q_sim_hard_negatives, _HARD_NEGATIVES_SQL),
     "pipe_pii_report": (q_pii_report, _pii_report_sql()),
