@@ -92,6 +92,11 @@ HEADLINE = [
     "pipe_graph_triangles",
     "rel_zorder_key",
     "rel_snapshot_diff",
+    # round-6 continued: greedy MMR (k driver-probe rounds), seed-
+    # relative PPR, and the bounded k-core peel
+    "pipe_sim_mmr",
+    "pipe_source_ppr",
+    "pipe_graph_kcore",
 ]
 
 
