@@ -252,3 +252,44 @@ def test_radius_join_agrees_with_single_origin_search(shapes):
             ).select("id").collect()
         }
         assert by_o.get(o["origin_id"], set()) == want, o["origin_id"]
+
+
+def test_fuzzy_join_resolves_corrupted_names(spark):
+    """Batch entity resolution: names with their first character dropped
+    must overwhelmingly resolve back to their own record as the top
+    match in one job; every probe gets at most num_results rows and
+    dense ranks."""
+    import pyspark.sql.functions as F
+
+    from yat_geo_db_spark.geo import fuzzy
+    from yat_geo_db_spark.geo.fixture import shapes_df
+    from yat_geo_db_spark.testdata import register_views
+
+    register_views(spark, "/root/testdata/sf0.001", tables=("customer",))
+    shapes = shapes_df(spark).cache()
+    probes = shapes.filter(F.col("id") % 3 == 0).select(
+        F.col("id").alias("probe_id"),
+        F.expr("substring(value, 2)").alias("probe_value"),
+    )
+    out = fuzzy.fuzzy_join(shapes, probes, num_results=1).cache()
+    rows = out.collect()
+    n_probes = probes.count()
+    assert len(rows) == n_probes                      # every probe matched
+    assert all(r["rank"] == 1 for r in rows)
+    self_hits = sum(1 for r in rows if r["id"] == r["probe_id"])
+    # near-dup city names can legitimately outscore the source record;
+    # the overwhelming majority must still self-resolve
+    assert self_hits / n_probes >= 0.8, f"{self_hits}/{n_probes}"
+
+    # top-3 mode: ranks dense per probe, similarity non-increasing
+    top3 = fuzzy.fuzzy_join(shapes, probes.limit(5), num_results=3)
+    by_probe: dict = {}
+    for r in top3.collect():
+        by_probe.setdefault(r["probe_id"], []).append(
+            (r["rank"], r["similarity"])
+        )
+    for pid, rs in by_probe.items():
+        rs.sort()
+        assert [x[0] for x in rs] == list(range(1, len(rs) + 1))
+        sims = [x[1] for x in rs]
+        assert sims == sorted(sims, reverse=True)

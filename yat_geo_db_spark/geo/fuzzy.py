@@ -328,3 +328,101 @@ def best_fuzzy_search(
         shapes, search_entity, num_results=1, filters=filters,
         postings=postings, partition=partition,
     ).filter(F.col("score") >= F.lit(score_threshold))
+
+
+def tversky_join_col(q_grams_distinct: Column, source: Column,
+                     a: float = 0.85, b: float = 0.15) -> Column:
+    """Column-vs-column Tversky — the join form of tversky_index_col
+    (which takes the query as a Python literal): distinct query grams
+    against the source's trigrams, same weights, same empty/zero
+    guards. Needed when the 'query' is a COLUMN of a probe table."""
+    s_grams = ngrams_col(source)
+    inter = F.size(F.array_intersect(q_grams_distinct, s_grams)).cast("double")
+    v1 = F.size(q_grams_distinct).cast("double") - inter
+    v2 = F.size(F.array_distinct(s_grams)).cast("double") - inter
+    score = inter / (inter + F.lit(a) * v1 + F.lit(b) * v2)
+    return F.when(
+        (F.length(source) > 0) & (inter > 0), score
+    ).otherwise(F.lit(0.0))
+
+
+def fuzzy_join(
+    shapes: DataFrame,
+    probes: DataFrame,
+    probe_id_col: str = "probe_id",
+    probe_col: str = "probe_value",
+    num_results: int = 1,
+    candidate_cap: int = 50,
+    threshold: float = 0.0,
+    postings: DataFrame | None = None,
+) -> DataFrame:
+    """Batch entity resolution: match EVERY probe row against the
+    trigram index in ONE job — the join generalization of fuzzy_search
+    (the reference answers one query per call, geo_manager.py:525-619;
+    a production pipeline resolves a whole dirty-name table per day).
+    Returns (probe_id, probe_clean, id, value, clean_value, similarity,
+    rank) for the per-probe top `num_results` above `threshold`.
+
+    Stage shape — every step an equi-join or key-LOCAL window:
+    explode probe grams (duplicates preserved: multiplicity drives the
+    candidate count exactly like the single-query DAG) → equi-join the
+    postings on gram → count per (probe, entity) → per-PROBE candidate
+    cap via a probe-local row_number (never a global sort) → join
+    shapes once for scoring → column-column Tversky + prefix boost →
+    per-probe top-k. Candidate generation is the only corpus-sized
+    shuffle; scoring touches at most candidate_cap rows per probe."""
+    from pyspark.sql import Window
+
+    cleaned = probes.select(
+        F.col(probe_id_col),
+        clean_entity_col(F.col(probe_col)).alias("probe_clean"),
+    )
+    if postings is None:
+        postings = build_postings(shapes)
+    q_ex = cleaned.select(
+        probe_id_col,
+        F.explode(ngrams_col(F.col("probe_clean"))).alias("ngram"),
+    )
+    cand = (
+        q_ex.join(postings, "ngram")
+        .groupBy(probe_id_col, "entity_id")
+        .agg(F.count(F.lit(1)).alias("gram_hits"))
+    )
+    w_cap = Window.partitionBy(probe_id_col).orderBy(
+        F.desc("gram_hits"), F.asc("entity_id")
+    )
+    capped = (
+        cand.withColumn("_rn", F.row_number().over(w_cap))
+        .filter(F.col("_rn") <= candidate_cap)
+        .drop("_rn", "gram_hits")
+    )
+    qd = F.array_distinct(ngrams_col(F.col("probe_clean")))
+    scored = (
+        capped.join(cleaned, probe_id_col)
+        .join(
+            shapes.select("id", "value", "clean_value"),
+            F.col("entity_id") == F.col("id"),
+        )
+        .withColumn(
+            "similarity",
+            F.round(
+                F.when(
+                    F.col("clean_value").startswith(F.col("probe_clean")),
+                    tversky_join_col(qd, F.col("clean_value")) * 1.15,
+                ).otherwise(tversky_join_col(qd, F.col("clean_value"))),
+                6,
+            ),
+        )
+        .filter(F.col("similarity") > threshold)
+    )
+    w_out = Window.partitionBy(probe_id_col).orderBy(
+        F.desc("similarity"), F.asc("id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w_out))
+        .filter(F.col("rank") <= num_results)
+        .select(
+            probe_id_col, "probe_clean", "id", "value", "clean_value",
+            "similarity", "rank",
+        )
+    )

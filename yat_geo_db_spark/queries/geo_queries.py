@@ -341,7 +341,85 @@ def _radius_join_oracle(radius_mi: float = 100.0) -> str:
     )
 
 
+FUZZY_JOIN_CAP = 50
+
+
+def q_fuzzy_join(spark, sf_dir):
+    """Batch entity resolution (fuzzy.fuzzy_join): every 3rd shape's
+    name, corrupted by dropping its first character, is matched back
+    against the full trigram index IN ONE JOB — the join
+    generalization of the reference's one-query-per-call fuzzy_search.
+    Output: each probe's best match with its Tversky similarity."""
+    shapes = _shapes(spark, sf_dir)
+    probes = shapes.filter(F.col("id") % 3 == 0).select(
+        F.col("id").alias("probe_id"),
+        F.expr("substring(value, 2)").alias("probe_value"),
+    )
+    return fuzzy.fuzzy_join(
+        shapes, probes, num_results=1, candidate_cap=FUZZY_JOIN_CAP
+    ).orderBy("probe_id")
+
+
+def _fuzzy_join_oracle(cap: int = FUZZY_JOIN_CAP) -> str:
+    g = ducksql.grams_sql
+    tv = (
+        "CASE WHEN length(clean_value) > 0 AND i > 0 "
+        "THEN CAST(i AS DOUBLE) / (CAST(i AS DOUBLE) "
+        "+ 0.85 * (CAST(qn AS DOUBLE) - CAST(i AS DOUBLE)) "
+        "+ 0.15 * (CAST(sd AS DOUBLE) - CAST(i AS DOUBLE))) ELSE 0.0 END"
+    )
+    return f"""
+WITH {SHAPES_CTE},
+probes AS (
+  SELECT id AS probe_id, lower(replace(substr(value, 2), ',', '')) AS pq
+  FROM shapes WHERE id % 3 = 0
+),
+qg AS (
+  SELECT probe_id, unnest({g('pq', distinct=False)}) AS ngram FROM probes
+),
+postings AS (
+  SELECT id AS entity_id, unnest({g('clean_value', distinct=False)}) AS ngram
+  FROM shapes
+),
+cand AS (
+  SELECT probe_id, entity_id, count(*) AS cnt
+  FROM qg JOIN postings USING (ngram)
+  GROUP BY probe_id, entity_id
+),
+capped AS (
+  SELECT probe_id, entity_id FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY probe_id ORDER BY cnt DESC, entity_id) AS rn
+    FROM cand
+  ) WHERE rn <= {cap}
+),
+feat AS (
+  SELECT c.probe_id, p.pq, s.id, s.value, s.clean_value,
+         len(list_intersect({g('p.pq')}, {g('s.clean_value')})) AS i,
+         len({g('p.pq')}) AS qn,
+         len(list_distinct({g('s.clean_value')})) AS sd
+  FROM capped c
+  JOIN probes p USING (probe_id)
+  JOIN shapes s ON c.entity_id = s.id
+),
+sim AS (
+  SELECT *, round(CASE WHEN starts_with(clean_value, pq)
+                       THEN ({tv}) * 1.15 ELSE ({tv}) END, 6) AS similarity
+  FROM feat
+),
+ranked AS (
+  SELECT *, CAST(row_number() OVER (
+      PARTITION BY probe_id ORDER BY similarity DESC, id) AS INT) AS rank
+  FROM sim WHERE similarity > 0.0
+)
+SELECT probe_id, pq AS probe_clean, id, value, clean_value, similarity, rank
+FROM ranked WHERE rank <= 1
+ORDER BY probe_id
+"""
+
+
 QUERIES: dict = {
+    "geo_fuzzy_join": (q_fuzzy_join, _fuzzy_join_oracle()),
     "geo_fuzzy_city": (
         q_fuzzy_city,
         ducksql.fuzzy_search_oracle(QUERY_CITY, 10),
