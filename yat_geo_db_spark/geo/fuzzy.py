@@ -355,6 +355,7 @@ def fuzzy_join(
     candidate_cap: int = 50,
     threshold: float = 0.0,
     postings: DataFrame | None = None,
+    max_gram_df: float | None = 0.1,
 ) -> DataFrame:
     """Batch entity resolution: match EVERY probe row against the
     trigram index in ONE job — the join generalization of fuzzy_search

@@ -381,9 +381,17 @@ postings AS (
   SELECT id AS entity_id, unnest({g('clean_value', distinct=False)}) AS ngram
   FROM shapes
 ),
+nsh AS (SELECT count(*) AS n FROM shapes),
+keep AS (
+  SELECT ngram FROM (
+    SELECT ngram, count(DISTINCT entity_id) AS df FROM postings GROUP BY ngram
+  ), nsh
+  WHERE CAST(df AS DOUBLE) <= 0.1 * CAST(n AS DOUBLE)
+),
 cand AS (
   SELECT probe_id, entity_id, count(*) AS cnt
-  FROM qg JOIN postings USING (ngram)
+  FROM qg
+  JOIN (SELECT p.* FROM postings p JOIN keep USING (ngram)) cp USING (ngram)
   GROUP BY probe_id, entity_id
 ),
 capped AS (
