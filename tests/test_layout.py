@@ -97,3 +97,31 @@ def test_zorder_null_rows_get_null_key(spark):
     assert rows[(2, None)] is None
     assert rows[(None, 20.0)] is None
     assert rows[(1, 10.0)] is not None and rows[(3, 500.0)] is not None
+
+
+def test_manifest_pruned_read_matches_full_filter(spark, tmp_path):
+    """build_manifest + pruned_read over a z-ordered layout: the pruned
+    read must return exactly the rows of a full-scan filter while
+    planning to read a strict subset of the files — on BOTH indexed
+    columns (the z-order promise a single sort can't make)."""
+    from yat_geo_db_spark.relational.layout import build_manifest, pruned_read
+
+    events = load_table(spark, SF, "events")
+    path = str(tmp_path / "z")
+    zorder_write(events, ["user_id", "value"], path, n_files=16, bits=12)
+    manifest = build_manifest(spark, path, ["user_id", "value"]).cache()
+    assert manifest.count() >= 8
+
+    for col, lo, hi in (("user_id", 10, 20), ("value", 100.0, 120.0)):
+        got = pruned_read(spark, path, manifest, col, lo, hi)
+        want = spark.read.parquet(path).filter(F.col(col).between(lo, hi))
+        assert sorted(map(tuple, got.collect())) == sorted(
+            map(tuple, want.collect())
+        )
+        n_hit = manifest.filter(
+            (F.col(f"min_{col}") <= hi) & (F.col(f"max_{col}") >= lo)
+        ).count()
+        assert n_hit < manifest.count(), (col, n_hit)
+
+    # empty selection: range outside the domain plans zero files
+    assert pruned_read(spark, path, manifest, "user_id", 10**6, 10**7).count() == 0

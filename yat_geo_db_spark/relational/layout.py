@@ -104,3 +104,46 @@ def zorder_write(
         .parquet(path)
     )
     return path
+
+
+def build_manifest(
+    spark, path: str, cols: list[str]
+) -> DataFrame:
+    """File-level min/max statistics table for a parquet directory —
+    the table-format-free data-skipping index (the information a
+    Delta/Iceberg manifest stores): one scan grouped by
+    input_file_name(), output O(files) rows of
+    (file, n_rows, min_<c>, max_<c> …). Pair with zorder_write, whose
+    layout makes these ranges tight on every indexed column."""
+    df = spark.read.parquet(path)
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in cols:
+        aggs += [F.min(c).alias(f"min_{c}"), F.max(c).alias(f"max_{c}")]
+    return (
+        df.withColumn("file", F.input_file_name())
+        .groupBy("file")
+        .agg(*aggs)
+    )
+
+
+def pruned_read(
+    spark, path: str, manifest: DataFrame, col: str, lo, hi
+) -> DataFrame:
+    """Read only the files whose [min, max] range intersects [lo, hi],
+    then apply the residual filter — exactly what a table-format
+    planner does with its manifest, expressed over plain parquet. The
+    manifest is O(files); collecting the surviving file list is a
+    driver-side planning step, not a data read. Row-identical to
+    filtering the full scan (test-pinned); the win is the files never
+    opened."""
+    hits = manifest.filter(
+        (F.col(f"min_{col}") <= F.lit(hi)) & (F.col(f"max_{col}") >= F.lit(lo))
+    )
+    files = [r["file"] for r in hits.select("file").collect()]
+    full = spark.read.parquet(path)
+    if not files:
+        return full.filter(F.lit(False))
+    return (
+        spark.read.parquet(*files)
+        .filter(F.col(col).between(F.lit(lo), F.lit(hi)))
+    )
