@@ -49,3 +49,30 @@ def test_skew_report_shares_and_ranks(spark):
     )
     top2 = skew_report(tied, ["k"], top_k=2).collect()
     assert [r["k"] for r in top2] == ["c", "a"]
+
+
+def test_skewed_count_distinct_equals_single_phase(spark):
+    """Two-phase distinct counting must be row-identical to the
+    single-phase count_distinct, including NULL exclusion and a
+    pathological hot key."""
+    import pyspark.sql.functions as F
+
+    from yat_geo_db_spark.relational.skew import skewed_count_distinct
+
+    rows = (
+        [("hot", i % 7) for i in range(500)]      # hot key, 7 distinct
+        + [("cold", i) for i in range(3)]
+        + [("nulls", None), ("nulls", 1), ("nulls", 1)]
+    )
+    df = spark.createDataFrame(rows, "k string, v int")
+    got = {
+        r["k"]: r["n_distinct"]
+        for r in skewed_count_distinct(df, ["k"], "v").collect()
+    }
+    want = {
+        r["k"]: r["n"]
+        for r in df.groupBy("k").agg(
+            F.count_distinct("v").alias("n")
+        ).collect()
+    }
+    assert got == want == {"hot": 7, "cold": 3, "nulls": 1}

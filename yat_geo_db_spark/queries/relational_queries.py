@@ -2294,6 +2294,29 @@ ORDER BY rank
 """
 
 
+def skew_count_distinct_parts(spark, sf_dir):
+    """Two-phase skew-spread COUNT(DISTINCT) (relational.skew.
+    skewed_count_distinct): distinct parts per supplier, with the
+    distinct pass spread by part rather than landing every hot
+    supplier's rows on one reducer. Must be row-identical to the
+    single-phase count_distinct — the oracle IS the single-phase
+    form."""
+    from yat_geo_db_spark.relational.skew import skewed_count_distinct
+
+    (lineitem,) = _t(spark, sf_dir, "lineitem")
+    return skewed_count_distinct(
+        lineitem, ["l_suppkey"], "l_partkey"
+    ).orderBy("l_suppkey")
+
+
+_SKEW_CD_SQL = """
+SELECT l_suppkey, count(DISTINCT l_partkey) AS n_distinct
+FROM lineitem
+GROUP BY l_suppkey
+ORDER BY l_suppkey
+"""
+
+
 HIST_LO, HIST_HI, HIST_BINS = 900.0, 105000.0, 128
 HIST_QS = (0.5, 0.95, 0.99)
 
@@ -2370,6 +2393,7 @@ QUERIES: dict = {
     "rel_snapshot_diff": (snapshot_diff_orders, _SNAPSHOT_DIFF_SQL),
     "rel_interval_coalesce": (interval_coalesce_shipping, _INTERVAL_COALESCE_SQL),
     "rel_skew_report": (skew_report_orders, _SKEW_REPORT_SQL),
+    "rel_skew_count_distinct": (skew_count_distinct_parts, _SKEW_CD_SQL),
     "rel_hist_quantile_merge": (hist_quantile_merge, _hist_quantile_sql()),
     "rel_dq_audit": (dq_audit_battery, _DQ_AUDIT_SQL),
     "rel_cdc_apply": (cdc_apply_changes, _CDC_APPLY_SQL),

@@ -83,3 +83,26 @@ def skew_report(
             6,
         ),
     )
+
+
+def skewed_count_distinct(
+    df: DataFrame, key_cols: list[str], value_col: str
+) -> DataFrame:
+    """COUNT(DISTINCT v) per key in two shuffle-spread phases: first a
+    distinct over (key, value) — spread across reducers by the VALUE,
+    so a hot key's millions of rows fan out instead of landing on one
+    task — then a plain count per key over the already-distinct pairs.
+    Row-identical to groupBy(key).agg(count_distinct(v)) (oracle-
+    checked); the difference is purely where the hot key's work
+    happens. This is the aggregation sibling of salted_join: use it
+    when one key holds a double-digit share of the table and the
+    single-phase distinct stalls on its reducer. NULL values are not
+    counted (count_distinct semantics)."""
+    pairs = (
+        df.filter(F.col(value_col).isNotNull())
+        .select(*key_cols, value_col)
+        .distinct()
+    )
+    return pairs.groupBy(*key_cols).agg(
+        F.count(F.lit(1)).alias("n_distinct")
+    )
