@@ -527,3 +527,27 @@ def test_skew_report_topk_no_global_sort(spark):
     plan = _plan(skew_report(orders, ["o_custkey"], top_k=10))
     assert "TakeOrderedAndProject" in plan, plan
     assert "rangepartitioning" not in plan, plan
+
+
+def test_fuzzy_join_no_cartesian_probe_local_windows(spark):
+    """fuzzy_join's candidate generation must stay an equi-join on the
+    gram key with probe-LOCAL windows (partitionBy probe_id) — a
+    cartesian/nested-loop or a global window here dies at the first
+    real probe table."""
+    from yat_geo_db_spark.geo import fuzzy
+    from yat_geo_db_spark.geo.fixture import shapes_df
+    from yat_geo_db_spark.testdata import register_views
+
+    register_views(spark, "/root/testdata/sf0.001", tables=("customer",))
+    shapes = shapes_df(spark)
+    probes = shapes.limit(20).select(
+        F.col("id").alias("probe_id"),
+        F.col("value").alias("probe_value"),
+    )
+    plan = _plan(fuzzy.fuzzy_join(shapes, probes))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    # every window partitions by the probe key — no global ordering
+    import re
+    for frag in re.findall(r"Window \[[^\]]*\], \[([^\]]*)\]", plan):
+        assert "probe_id" in frag, plan

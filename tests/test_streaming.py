@@ -640,3 +640,35 @@ def test_watermarked_dedup_drops_in_horizon_duplicates(spark, tmp_path):
         map(tuple, want.collect())
     )
     assert got.count() == events.count()
+
+
+def test_streaming_multimodal_features_equal_batch(spark, tmp_path):
+    """The Arrow-batched multimodal feature extractor is stateless, so
+    it must run unchanged on a stream (unified batch/stream model) and
+    emit exactly the batch result — the streaming half of the media
+    ingest path."""
+    from yat_geo_db_spark.pipelines import multimodal
+
+    docs = load_table(spark, SF, "documents").limit(200)
+    media = multimodal.synthesize_media(docs)
+    src = str(tmp_path / "media_src")
+    media.write.mode("overwrite").parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    q = (
+        multimodal.extract_features(
+            spark.readStream.schema(schema).parquet(src)
+        )
+        .writeStream.format("memory")
+        .queryName("mm_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT * FROM mm_stream")
+    want = multimodal.extract_features(spark.read.parquet(src))
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )
+    assert got.count() == 200
