@@ -76,3 +76,67 @@ def test_skewed_count_distinct_equals_single_phase(spark):
         ).collect()
     }
     assert got == want == {"hot": 7, "cold": 3, "nulls": 1}
+
+
+def test_bloom_pruned_join_identity_and_pruning(spark):
+    """Bloom pruning must be row-identical to the plain inner join
+    (no false negatives; join removes false positives), and the
+    pre-join filter must actually drop a meaningful share of the
+    large side before the shuffle."""
+    from yat_geo_db_spark.relational.skew import (
+        bloom_build,
+        bloom_might_contain,
+        bloom_pruned_join,
+    )
+
+    lineitem = load_table(spark, SF, "lineitem")
+    orders = load_table(spark, SF, "orders").where(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    keys = orders.select(F.col("o_orderkey").alias("l_orderkey"))
+    plain = lineitem.join(keys, "l_orderkey").select(
+        "l_orderkey", "l_linenumber"
+    )
+    bloomed = bloom_pruned_join(lineitem, keys, "l_orderkey").select(
+        "l_orderkey", "l_linenumber"
+    )
+    assert sorted(map(tuple, bloomed.collect())) == sorted(
+        map(tuple, plain.collect())
+    )
+    # pruning is real: the filtered scan is a strict subset of the table
+    words = bloom_build(keys, "l_orderkey")
+    pruned_n = lineitem.where(
+        bloom_might_contain(F.col("l_orderkey"), words, 1 << 16, 4)
+    ).count()
+    total_n = lineitem.count()
+    match_n = plain.count()
+    assert match_n <= pruned_n < total_n
+
+
+def test_bloom_false_positive_rate_bounded(spark):
+    """Probing keys DISJOINT from the built set must pass at well under
+    the theoretical fp ceiling (k=4, n=1500, m=2^16 → ~0.2%)."""
+    from yat_geo_db_spark.relational.skew import (
+        bloom_build,
+        bloom_might_contain,
+    )
+
+    build = spark.range(0, 1500).withColumnRenamed("id", "k")
+    words = bloom_build(build, "k", m_bits=1 << 16, k_hashes=4)
+    probe = spark.range(1_000_000, 1_020_000).withColumnRenamed("id", "k")
+    fp = probe.where(
+        bloom_might_contain(F.col("k"), words, 1 << 16, 4)
+    ).count()
+    assert fp / 20_000 < 0.01
+
+
+def test_bloom_pruned_join_rejects_outer(spark):
+    import pytest
+    from yat_geo_db_spark.relational.skew import bloom_pruned_join
+
+    lineitem = load_table(spark, SF, "lineitem")
+    keys = load_table(spark, SF, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey")
+    )
+    with pytest.raises(ValueError):
+        bloom_pruned_join(lineitem, keys, "l_orderkey", how="left")

@@ -2317,6 +2317,48 @@ ORDER BY l_suppkey
 """
 
 
+def bloom_prune_join_q(spark, sf_dir):
+    """Bloom-pruned equi-join (relational.skew.bloom_pruned_join):
+    lineitem is pre-filtered by an 8 KiB Bloom sketch of the urgent
+    orders' key set BEFORE the shuffle join — the explicit form of
+    Spark's runtime bloom filter, for dims too big to broadcast.
+    Bloom filters have no false negatives and the join removes false
+    positives, so the result must be row-identical to the plain join
+    — the oracle IS the plain join + aggregate."""
+    from yat_geo_db_spark.relational.skew import bloom_pruned_join
+    from yat_geo_db_spark.relational.queries import dsum
+
+    lineitem, orders = _t(spark, sf_dir, "lineitem", "orders")
+    urgent = orders.where(
+        F.col("o_orderpriority") == "1-URGENT"
+    ).select(F.col("o_orderkey").alias("l_orderkey"))
+    joined = bloom_pruned_join(lineitem, urgent, "l_orderkey")
+    return (
+        joined.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            dsum(F.col("l_quantity"), 4).alias("sum_qty"),
+            dsum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), 4
+            ).alias("sum_disc_price"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+_BLOOM_PRUNE_SQL = f"""
+SELECT l_returnflag,
+       count(*) AS n_rows,
+       {_dsum('l_quantity', 4)} AS sum_qty,
+       {_dsum('l_extendedprice * (1 - l_discount)', 4)} AS sum_disc_price
+FROM lineitem
+JOIN (SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT') o
+  ON l_orderkey = o.o_orderkey
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
 HIST_LO, HIST_HI, HIST_BINS = 900.0, 105000.0, 128
 HIST_QS = (0.5, 0.95, 0.99)
 
@@ -2394,6 +2436,7 @@ QUERIES: dict = {
     "rel_interval_coalesce": (interval_coalesce_shipping, _INTERVAL_COALESCE_SQL),
     "rel_skew_report": (skew_report_orders, _SKEW_REPORT_SQL),
     "rel_skew_count_distinct": (skew_count_distinct_parts, _SKEW_CD_SQL),
+    "rel_bloom_prune_join": (bloom_prune_join_q, _BLOOM_PRUNE_SQL),
     "rel_hist_quantile_merge": (hist_quantile_merge, _hist_quantile_sql()),
     "rel_dq_audit": (dq_audit_battery, _DQ_AUDIT_SQL),
     "rel_cdc_apply": (cdc_apply_changes, _CDC_APPLY_SQL),

@@ -106,3 +106,105 @@ def skewed_count_distinct(
     return pairs.groupBy(*key_cols).agg(
         F.count(F.lit(1)).alias("n_distinct")
     )
+
+
+def _bloom_positions(key: Column, m_bits: int, k_hashes: int) -> Column:
+    """Array of k bit positions in [0, m_bits) for a join key — Murmur3
+    with k distinct literal seeds mixed in as an extra hash argument, so
+    build and probe sides derive identical positions from identical
+    expressions."""
+    return F.array(
+        *[
+            F.pmod(F.hash(key, F.lit(h)), F.lit(m_bits))
+            for h in range(k_hashes)
+        ]
+    )
+
+
+def _bit_mask(pos: Column) -> Column:
+    # variable-distance shift: the SQL shiftleft accepts a column count
+    return F.call_function(
+        "shiftleft", F.lit(1).cast("long"), F.pmod(pos, F.lit(64)).cast("int")
+    )
+
+
+def bloom_build(
+    keys: DataFrame, key_col: str, m_bits: int = 1 << 16, k_hashes: int = 4
+) -> list[int]:
+    """Fold a key set into an m_bits Bloom bitmap, returned as the dense
+    list of m_bits/64 longs (8 KiB at the default — a sketch, not data).
+
+    Scale shape: positions explode to k rows per DISTINCT key, a
+    map-side-combinable groupBy(word) bit_or reduces to <= m_bits/64
+    state rows, and only that tiny word table is collected. The key
+    table itself never moves beyond its distinct pass."""
+    n_words = m_bits // 64
+    words = (
+        keys.select(F.col(key_col).alias("_k"))
+        .where(F.col("_k").isNotNull())
+        .distinct()
+        .select(
+            F.explode(
+                _bloom_positions(F.col("_k"), m_bits, k_hashes)
+            ).alias("_pos")
+        )
+        .select(
+            (F.col("_pos") / 64).cast("int").alias("_word"),
+            _bit_mask(F.col("_pos")).alias("_mask"),
+        )
+        .groupBy("_word")
+        .agg(F.bit_or("_mask").alias("_bits"))
+        .collect()
+    )
+    dense = [0] * n_words
+    for row in words:
+        dense[row["_word"]] = row["_bits"]
+    return dense
+
+
+def bloom_might_contain(
+    key: Column, words: list[int], m_bits: int, k_hashes: int
+) -> Column:
+    """Membership test as a pure codegen'd Column expression over the
+    literal word array — every one of the k probed bits must be set.
+    No false negatives; false-positive rate ~ (1 - e^(-kn/m))^k."""
+    arr = F.array(*[F.lit(w) for w in words])
+    out = None
+    for h in range(k_hashes):
+        pos = F.pmod(F.hash(key, F.lit(h)), F.lit(m_bits))
+        word = F.element_at(arr, (pos / 64).cast("int") + F.lit(1))
+        check = word.bitwiseAND(_bit_mask(pos)) != F.lit(0)
+        out = check if out is None else (out & check)
+    return out
+
+
+def bloom_pruned_join(
+    large: DataFrame,
+    small: DataFrame,
+    on: str,
+    m_bits: int = 1 << 16,
+    k_hashes: int = 4,
+    how: str = "inner",
+) -> DataFrame:
+    """Inner/semi equi-join where the LARGE side is pre-filtered by a
+    Bloom sketch of the small side's (already filtered) key set — the
+    explicit form of Spark's runtime bloom filter
+    (spark.sql.optimizer.runtime.bloomFilter.enabled), for when the
+    planner's stats won't trigger it or the probe side comes from a
+    stream. The sketch pass costs one distinct over the SMALL side;
+    the payoff at 100 TB is that non-matching fact rows die at the
+    scan, BEFORE the shuffle for the join — the shuffle moves only
+    probable matches (plus the bounded false-positive mass). The
+    join itself then removes false positives, so the result is
+    row-identical to the plain join (oracle-checked).
+
+    Use when the small side is too big to broadcast (so the join is
+    shuffle-bound) but its key set still fits a sketch: 1M keys at
+    m=2^23 is 1 MiB of literal array for ~2% fp."""
+    if how not in ("inner", "left_semi", "semi", "leftsemi"):
+        raise ValueError(f"bloom pruning preserves semantics only for inner/semi joins, got {how!r}")
+    words = bloom_build(small, on, m_bits=m_bits, k_hashes=k_hashes)
+    pruned = large.where(
+        bloom_might_contain(F.col(on), words, m_bits, k_hashes)
+    )
+    return pruned.join(small, on, how)
