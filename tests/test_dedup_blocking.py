@@ -683,3 +683,52 @@ def test_url_dedup_null_and_empty_keys_pass_through(spark):
     # newline stripped → 4 and 5 canonicalize identically and merge
     assert kept[4]["url_canonical"] == "example.com/a"
     assert kept[4]["url_group_size"] == 2 and 5 not in kept
+
+
+def test_global_rank_matches_single_window(spark):
+    """Distributed rank (range shuffle + local row_number + offsets) must
+    equal the single-window global row_number for a total order, at a
+    partition count that actually splits the data."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+    from yat_geo_db_spark.pipelines.dedup import global_rank
+
+    df = spark.range(0, 997).select(
+        F.col("id"),
+        F.concat(F.lit("k"), F.pmod(F.col("id") * 7919, F.lit(97))).alias("k"),
+    )
+    got = {
+        (r["id"], r["rank"])
+        for r in global_rank(df, ["k", "id"], n_parts=8).collect()
+    }
+    want = {
+        (r["id"], r["rank"])
+        for r in df.withColumn(
+            "rank", F.row_number().over(Window.orderBy("k", "id"))
+        ).collect()
+    }
+    assert got == want
+
+
+def test_sorted_neighborhood_finds_prefix_sorted_dups(spark):
+    """Docs identical up to a trailing tweak sort adjacently and must be
+    paired; docs with unrelated text must not pair. Window bound respected:
+    no pair's ranks can differ by >= window."""
+    import pyspark.sql.functions as F
+    from yat_geo_db_spark.pipelines.dedup import sorted_neighborhood_pairs
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog near the river"),
+        (2, "the quick brown fox jumps over the lazy dog near the creek"),
+        (3, "completely different content about spark shuffle planning"),
+        (4, "zzz unrelated tail entry about parquet row group statistics"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in sorted_neighborhood_pairs(
+            docs, window=4, threshold=0.5, n_parts=2
+        ).collect()
+    }
+    assert (1, 2) in pairs
+    assert all(p in {(1, 2)} for p in pairs)

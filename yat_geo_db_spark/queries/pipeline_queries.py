@@ -144,6 +144,50 @@ p AS (
 """
 
 
+def q_dedup_sorted_neighborhood(spark, sf_dir):
+    """Sorted-neighborhood blocking (dedup.sorted_neighborhood_pairs):
+    global rank by a normalized 16-char key WITHOUT a single-partition
+    window (range shuffle + partition-local row_number + broadcast
+    offsets), then an EQUI-join of rank+d vs rank over the w=8
+    neighborhood, verified with exact 3-gram Jaccard. The oracle ranks
+    with a plain window (fine at oracle scale) — hash equality proves
+    the distributed rank IS the total-order rank."""
+    return dedup.sorted_neighborhood_pairs(
+        load_table(spark, sf_dir, "documents"), threshold=JACCARD_T
+    ).orderBy("id_a", "id_b")
+
+
+_DEDUP_SNM_SQL = f"""
+WITH base AS (
+  SELECT doc_id AS id,
+         substr(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'), 1, 16)
+           AS key,
+         list_distinct({grams_sql('lower(text)', distinct=False)}) AS grams
+  FROM documents
+),
+ranked AS (
+  SELECT id, grams, row_number() OVER (ORDER BY key, id) AS rnk FROM base
+),
+p AS (
+  SELECT a.id AS id_a, b.id AS id_b, a.grams AS g1, b.grams AS g2
+  FROM ranked a JOIN ranked b
+    ON b.rnk >= a.rnk + 1 AND b.rnk <= a.rnk + 7
+)
+SELECT id_a, id_b, jaccard FROM (
+  SELECT id_a, id_b,
+    round(CASE WHEN la + lb - i > 0 THEN i / (la + lb - i) ELSE 0.0 END, 6)
+      AS jaccard
+  FROM (
+    SELECT id_a, id_b,
+      CAST(len(list_intersect(g1, g2)) AS DOUBLE) AS i,
+      CAST(len(g1) AS DOUBLE) AS la, CAST(len(g2) AS DOUBLE) AS lb
+    FROM p
+  )
+) WHERE jaccard >= {JACCARD_T}
+ORDER BY id_a, id_b
+"""
+
+
 def q_dedup_clusters(spark, sf_dir):
     """Near-dup pairs → connected components (doc_id, cluster_id). The
     oracle closes the same pair graph with a recursive CTE — feasible at
@@ -4271,6 +4315,10 @@ QUERIES: dict = {
     "pipe_curate_leakage": (q_curate_leakage, _CURATE_LEAKAGE_SQL),
     "pipe_dedup_exact": (q_dedup_exact, _DEDUP_EXACT_SQL),
     "pipe_dedup_ngram_jaccard": (q_dedup_jaccard, _DEDUP_JACCARD_SQL),
+    "pipe_dedup_sorted_neighborhood": (
+        q_dedup_sorted_neighborhood,
+        _DEDUP_SNM_SQL,
+    ),
     "pipe_dedup_clusters": (q_dedup_clusters, _DEDUP_CLUSTERS_SQL),
     "pipe_dedup_canonical": (q_dedup_canonical, _DEDUP_CANONICAL_SQL),
     "pipe_dedup_keep_best": (q_dedup_keep_best, _DEDUP_KEEP_BEST_SQL),
