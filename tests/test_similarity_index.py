@@ -842,3 +842,36 @@ def test_mmr_trades_relevance_for_diversity(spark):
     # ranks are dense and scores non-increasing is NOT required (MMR
     # scores can rise as the candidate pool changes), but ranks must be
     assert [r["rank"] for r in div.collect()] == [1, 2, 3]
+
+
+def test_sq8_codes_in_range_and_recall(spark):
+    """SQ8 codes must be valid int8 range; asymmetric scoring must
+    rank near-identically to exact search on this corpus (8-bit per
+    dim is a tight quantizer: recall@10 >= 0.8), and a constant
+    dimension must encode to 0 without dividing by a zero step."""
+    import pyspark.sql.functions as F
+    from yat_geo_db_spark.pipelines import similarity
+
+    emb = load_table(spark, SF, "embeddings")
+    bounds = similarity.sq8_fit(emb)
+    codes = similarity.sq8_encode(emb, bounds)
+    mm = codes.select(
+        F.min(F.array_min("codes")).alias("lo"),
+        F.max(F.array_max("codes")).alias("hi"),
+    ).collect()[0]
+    assert 0 <= mm["lo"] and mm["hi"] <= 255
+    approx = similarity.sq8_topk(emb, 3, k=10)
+    exact = similarity.brute_force_topk(emb, 3, k=10)
+    a = {r["vec_id"] for r in approx.collect()}
+    b = {r["vec_id"] for r in exact.collect()}
+    assert len(a & b) / 10 >= 0.8
+
+    # constant dimension → step 0 → code 0 (no NaN/div-zero artifacts)
+    const = spark.createDataFrame(
+        [(1, [1.0, 0.5]), (2, [1.0, 0.25])], "vec_id long, embedding array<float>"
+    )
+    cb = similarity.sq8_fit(const)
+    assert cb[0][1] == 0.0
+    cc = {r["vec_id"]: r["codes"] for r in similarity.sq8_encode(const, cb).collect()}
+    assert cc[1][0] == 0 and cc[2][0] == 0
+    assert cc[1][1] == 255 and cc[2][1] == 0

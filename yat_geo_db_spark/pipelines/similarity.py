@@ -1673,3 +1673,133 @@ def mmr_select(
     return spark.createDataFrame(
         out_rows, f"rank int, {id_col} long, rel double, score double"
     )
+
+
+# --------------------------------------------------------------------------
+# scalar quantization (int8): 4× smaller corpus vectors, asymmetric scoring
+# --------------------------------------------------------------------------
+
+def sq8_fit(
+    embeddings: DataFrame, vec_col: str = "embedding"
+) -> list[tuple[float, float]]:
+    """Per-dimension (lo, step) bounds for 8-bit scalar quantization:
+    one posexplode → groupBy(pos) min/max pass over the corpus, a
+    dim-row collect (a few dozen floats — a sketch, not data).
+    step = (hi - lo) / 255; a constant dimension gets step 0 and
+    always encodes to code 0."""
+    rows = (
+        embeddings.select(F.posexplode(F.col(vec_col)).alias("pos", "val"))
+        .select("pos", F.col("val").cast("double").alias("val"))
+        .groupBy("pos")
+        .agg(F.min("val").alias("lo"), F.max("val").alias("hi"))
+        .collect()
+    )
+    by_pos = {r["pos"]: (r["lo"], (r["hi"] - r["lo"]) / 255.0) for r in rows}
+    return [by_pos[p] for p in sorted(by_pos)]
+
+
+def sq8_encode(
+    embeddings: DataFrame,
+    bounds: list[tuple[float, float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Quantize each vector to an array<int> of codes in [0, 255]:
+    code_i = clamp(floor((x_i - lo_i)/step_i + 0.5), 0, 255). Pure
+    codegen'd projection over literal bound arrays — the corpus never
+    shuffles, and the encoded table is ~4× smaller than float32 (the
+    payload you'd persist and scan at serving time). Embedding cells
+    are non-null by schema (float arrays), so the greatest/least clamp
+    never sees a NULL to skip."""
+    lo_arr = F.array(*[F.lit(float(lo)) for lo, _ in bounds])
+    st_arr = F.array(*[F.lit(float(st)) for _, st in bounds])
+    idx1 = lambda i: (i + F.lit(1)).cast("int")  # noqa: E731
+    codes = F.transform(
+        F.col(vec_col),
+        lambda x, i: F.when(
+            F.element_at(st_arr, idx1(i)) == 0.0, F.lit(0)
+        ).otherwise(
+            F.least(
+                F.greatest(
+                    F.floor(
+                        (x.cast("double") - F.element_at(lo_arr, idx1(i)))
+                        / F.element_at(st_arr, idx1(i))
+                        + F.lit(0.5)
+                    ),
+                    F.lit(0).cast("bigint"),
+                ),
+                F.lit(255).cast("bigint"),
+            ).cast("int")
+        ),
+    )
+    return embeddings.select(F.col(id_col), codes.alias("codes"))
+
+
+def sq8_scores(
+    codes_df: DataFrame,
+    query_vec: Column,
+    bounds: list[tuple[float, float]],
+    id_col: str = "vec_id",
+    scale: int = 9,
+) -> DataFrame:
+    """Asymmetric dot product of the FULL-precision query against each
+    dequantized corpus code array: sum_i q_i * (lo_i + step_i * c_i).
+    Each term snaps to fixed-point (floor(t*1e9 + 0.5) as long) before
+    the fold, so the sum is associative — partition-order-independent
+    on the engine side and bit-identical to the oracle's grouped sum."""
+    lo_arr = F.array(*[F.lit(float(lo)) for lo, _ in bounds])
+    st_arr = F.array(*[F.lit(float(st)) for _, st in bounds])
+    m = float(10 ** scale)
+    idx1 = lambda i: (i + F.lit(1)).cast("int")  # noqa: E731
+    terms = F.transform(
+        F.col("codes"),
+        lambda c, i: F.floor(
+            F.element_at(query_vec, idx1(i))
+            * (
+                F.element_at(lo_arr, idx1(i))
+                + F.element_at(st_arr, idx1(i)) * c.cast("double")
+            )
+            * F.lit(m)
+            + F.lit(0.5)
+        ).cast("long"),
+    )
+    score = (
+        F.aggregate(
+            terms, F.lit(0).cast("long"), lambda acc, v: acc + v
+        ).cast("double")
+        / F.lit(m)
+    )
+    return codes_df.select(F.col(id_col), F.round(score, 6).alias("score"))
+
+
+def sq8_topk(
+    embeddings: DataFrame,
+    query_id: int,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """8-bit scalar-quantized approximate top-k: fit per-dim bounds,
+    encode the corpus to int8 codes (4× smaller scans than float32 —
+    at 100 TB THE lever when vectors dominate storage), score the
+    full-precision query against dequantized codes, TakeOrdered k.
+    Max per-dim dequantization error is step/2 ⇒ score error is
+    bounded by ||q||_1 · max(step)/2 — on unit-ish embeddings recall
+    vs exact search stays near 1 (test-asserted). The query row is a
+    broadcast one-row dim; self-match excluded like brute_force_topk."""
+    bounds = sq8_fit(embeddings, vec_col)
+    codes = sq8_encode(embeddings, bounds, id_col, vec_col)
+    q = F.broadcast(
+        embeddings.filter(F.col(id_col) == query_id).select(
+            F.transform(F.col(vec_col), lambda x: x.cast("double")).alias(
+                "q_vec"
+            )
+        )
+    )
+    scored = sq8_scores(
+        codes.filter(F.col(id_col) != query_id).crossJoin(q),
+        F.col("q_vec"),
+        bounds,
+        id_col,
+    )
+    return scored.orderBy(F.desc("score"), F.asc(id_col)).limit(k)

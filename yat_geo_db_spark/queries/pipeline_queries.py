@@ -1004,6 +1004,55 @@ LIMIT 20
 """
 
 
+def q_sim_sq8_topk(spark, sf_dir):
+    """8-bit scalar-quantized ANN (similarity.sq8_topk): per-dim
+    min/max fit, int8 corpus codes (4× smaller scans), asymmetric
+    full-precision-query × dequantized-code scoring with per-term
+    fixed-point snapping so the fold is associative and the oracle's
+    grouped sum lands bit-identical."""
+    return similarity.sq8_topk(
+        load_table(spark, sf_dir, "embeddings"), TOPK_QUERY_ID, k=20
+    )
+
+
+_SQ8_TOPK_SQL = f"""
+WITH v AS (
+  SELECT vec_id, u.i AS pos, CAST(embedding[u.i] AS DOUBLE) AS val
+  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS u(i)
+),
+b AS (
+  SELECT pos, min(val) AS lo, (max(val) - min(val)) / 255.0 AS step
+  FROM v GROUP BY pos
+),
+c AS (
+  SELECT vec_id, pos,
+         CASE WHEN step = 0 THEN 0
+              ELSE CAST(least(greatest(floor((val - lo) / step + 0.5),
+                                       0.0), 255.0) AS BIGINT)
+         END AS code,
+         lo, step
+  FROM v JOIN b USING (pos)
+),
+q AS (
+  SELECT u.i AS pos, CAST(embedding[u.i] AS DOUBLE) AS qval
+  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS u(i)
+  WHERE vec_id = {TOPK_QUERY_ID}
+),
+s AS (
+  SELECT c.vec_id,
+         CAST(sum(CAST(floor(q.qval * (c.lo + c.step * CAST(c.code AS DOUBLE))
+                             * 1e9 + 0.5) AS BIGINT)) AS DOUBLE) / 1e9 AS raw
+  FROM c JOIN q ON c.pos = q.pos
+  WHERE c.vec_id != {TOPK_QUERY_ID}
+  GROUP BY c.vec_id
+)
+SELECT vec_id, round(raw, 6) AS score
+FROM s
+ORDER BY score DESC, vec_id
+LIMIT 20
+"""
+
+
 def q_sim_filtered_topk(spark, sf_dir):
     """Attribute-filtered vector search: exact top-15 cosine neighbors
     among vectors whose document row is English and >= 200 chars
@@ -4340,6 +4389,7 @@ QUERIES: dict = {
     ),
     "pipe_dedup_simhash": (q_dedup_simhash, _simhash_sql()),
     "pipe_sim_topk_brute": (q_topk_brute, _TOPK_BRUTE_SQL),
+    "pipe_sim_sq8_topk": (q_sim_sq8_topk, _SQ8_TOPK_SQL),
     "pipe_sim_filtered_topk": (q_sim_filtered_topk, _FILTERED_TOPK_SQL),
     "pipe_emb_pca": (q_emb_pca, None),
     "pipe_quality_logreg": (q_quality_logreg, _logreg_sql()),
