@@ -440,3 +440,54 @@ def test_snapshot_diff_key_only_tables(spark):
     new = spark.createDataFrame([(2,), (3,), (4,)], "k long")
     got = {r["k"]: r["op"] for r in snapshot_diff(old, new, ["k"]).collect()}
     assert got == {1: "D", 4: "I"}
+
+
+def test_event_transitions_golden(spark):
+    """Hand-built two-user stream: counts and conditional probabilities
+    must match the by-hand matrix; ts ties break by event id."""
+    import pyspark.sql.functions as F
+    from yat_geo_db_spark.relational.queries import event_transitions
+
+    rows = [
+        # user 1: view -> click -> view
+        (1, 1, "2024-01-01 00:00:00", "view"),
+        (2, 1, "2024-01-01 00:01:00", "click"),
+        (3, 1, "2024-01-01 00:02:00", "view"),
+        # user 2: view -> view  (tie on ts: event 5 before 6 by id)
+        (4, 2, "2024-01-01 00:00:00", "view"),
+        (5, 2, "2024-01-01 00:01:00", "view"),
+        (6, 2, "2024-01-01 00:01:00", "click"),
+    ]
+    events = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts string, event_type string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    got = {
+        (r["cur_type"], r["next_type"]): (r["n"], r["p_next"])
+        for r in event_transitions(events).collect()
+    }
+    # user 1: view->click, click->view; user 2: view->view, view->click
+    assert got[("view", "click")] == (2, 0.666667)
+    assert got[("view", "view")] == (1, 0.333333)
+    assert got[("click", "view")] == (1, 1.0)
+    assert ("click", "click") not in got
+
+
+def test_robust_outliers_flags_and_degenerate_group(spark):
+    """A planted far point must flag; the bulk must not; a group where
+    >50% of values are identical (MAD = 0) must yield NULL z and flag
+    nothing — never a divide-by-zero artifact."""
+    import pyspark.sql.functions as F
+    from yat_geo_db_spark.relational.dq import robust_outliers
+
+    rows = [("a", float(v)) for v in [10, 11, 12, 13, 14, 1000]] + [
+        ("b", 5.0),
+        ("b", 5.0),
+        ("b", 5.0),
+        ("b", 99.0),
+    ]
+    df = spark.createDataFrame(rows, "grp string, x double")
+    out = robust_outliers(df, ["grp"], "x").collect()
+    flagged = {(r["grp"], r["x"]) for r in out if r["is_outlier"]}
+    assert flagged == {("a", 1000.0)}
+    b_rows = [r for r in out if r["grp"] == "b"]
+    assert all(r["robust_z"] is None for r in b_rows)

@@ -158,6 +158,38 @@ def sessionize(spark, sf_dir):
     )
 
 
+def event_transitions_q(spark, sf_dir):
+    """First-order Markov transition matrix (relational.queries.
+    event_transitions): per-user lead() sequences → (current, next)
+    counts and P(next|current). One user shuffle + one tiny pair agg;
+    the oracle is the same lead window in SQL."""
+    from yat_geo_db_spark.relational.queries import event_transitions
+
+    (events,) = _t(spark, sf_dir, "events")
+    return event_transitions(events).orderBy("cur_type", "next_type")
+
+
+_EVENT_TRANSITIONS_SQL = """
+WITH seq AS (
+  SELECT user_id, event_type AS cur_type,
+         lead(event_type) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+         ) AS next_type
+  FROM events
+),
+pairs AS (
+  SELECT cur_type, next_type, count(*) AS n
+  FROM seq WHERE next_type IS NOT NULL
+  GROUP BY cur_type, next_type
+)
+SELECT cur_type, next_type, n,
+       round(CAST(n AS DOUBLE) /
+             sum(n) OVER (PARTITION BY cur_type), 6) AS p_next
+FROM pairs
+ORDER BY cur_type, next_type
+"""
+
+
 def scd2(spark, sf_dir):
     """Type-2 SCD build: each user's consecutive runs of the same
     event_type collapse to one validity-interval row (valid_to = next
@@ -871,6 +903,56 @@ SELECT vec_id,
   CAST(len(list_filter(embedding, x -> x > 2.0)) > 0 AS BOOLEAN) AS any_big
 FROM embeddings
 """
+
+def robust_outliers_q(spark, sf_dir):
+    """Median/MAD modified-z anomaly gate (relational.dq.robust_outliers)
+    over event values per type — robust statistics resist the outliers
+    they hunt, unlike a mean/stddev gate. Returns flagged rows only."""
+    from yat_geo_db_spark.relational.dq import robust_outliers
+
+    (events,) = _t(spark, sf_dir, "events")
+    out = robust_outliers(events, ["event_type"], "value")
+    return (
+        out.where(F.col("is_outlier"))
+        .select(
+            "event_id",
+            "event_type",
+            "value",
+            F.round("med", 6).alias("med"),
+            F.round("mad", 6).alias("mad"),
+            "robust_z",
+        )
+        .orderBy("event_id")
+    )
+
+
+_ROBUST_OUTLIERS_SQL = """
+WITH med AS (
+  SELECT event_type, quantile_cont(value, 0.5) AS med
+  FROM events GROUP BY event_type
+),
+d AS (
+  SELECT event_id, e.event_type, value, med
+  FROM events e JOIN med ON e.event_type = med.event_type
+),
+mad AS (
+  SELECT event_type, quantile_cont(abs(value - med), 0.5) AS mad
+  FROM d GROUP BY event_type
+),
+z AS (
+  SELECT event_id, d.event_type, value,
+         round(med, 6) AS med, round(mad.mad, 6) AS mad,
+         CASE WHEN mad.mad > 0
+              THEN round(0.6745 * (value - d.med) / mad.mad, 6) END
+           AS robust_z
+  FROM d JOIN mad ON d.event_type = mad.event_type
+)
+SELECT event_id, event_type, value, med, mad, robust_z
+FROM z
+WHERE coalesce(abs(robust_z) > 3.5, FALSE)
+ORDER BY event_id
+"""
+
 
 _EXACT_PCTL_SQL = """
 SELECT event_type,
@@ -2477,6 +2559,7 @@ QUERIES: dict = {
     "rel_session_window_native": (session_window_native, _SESSION_WINDOW_SQL),
     "rel_approx_stats": (approx_stats, None),
     "rel_exact_percentiles": (exact_percentiles, _EXACT_PCTL_SQL),
+    "rel_robust_outliers": (robust_outliers_q, _ROBUST_OUTLIERS_SQL),
     "rel_array_funcs": (array_funcs, _ARRAY_FUNCS_SQL),
     "rel_map_funcs": (map_funcs, _MAP_FUNCS_SQL),
     "rel_q1_pricing_summary": (q1, _Q1_SQL),
@@ -2498,6 +2581,7 @@ QUERIES: dict = {
     "rel_lineitem_math_funcs": (math_funcs, _MATH_FUNCS_SQL),
     "rel_join_flavors": (join_flavors, _JOIN_FLAVORS_SQL),
     "rel_sessionize": (sessionize, _SESSIONIZE_SQL),
+    "rel_event_transitions": (event_transitions_q, _EVENT_TRANSITIONS_SQL),
     "rel_scd2_intervals": (scd2, _SCD2_SQL),
     "rel_scd2_upsert": (scd2_upsert, _SCD2_SQL),
     "rel_gap_fill": (gap_fill, _GAP_FILL_SQL),

@@ -136,3 +136,53 @@ def dq_audit(
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def robust_outliers(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    z_threshold: float = 3.5,
+) -> DataFrame:
+    """Per-group robust anomaly detection via the modified z-score
+    (Iglewicz–Hoaglin): z = 0.6745·(x − median) / MAD, flagging
+    |z| > z_threshold. Median/MAD resist the very outliers they hunt
+    (a mean/stddev gate moves with the contamination — the classic
+    failure on long-tailed quality metrics like doc length).
+
+    Scale shape: two groupBy-percentile passes (median, then median of
+    absolute deviations) — each an exact per-group sort, fine while
+    groups fit a partition; the sketch-percentile path is the
+    whole-table fallback — and two joins of the tiny per-group stats
+    back to the rows (broadcast: one row per group). A group with
+    MAD = 0 (over half its rows identical) yields NULL z and never
+    flags — degenerate groups must not divide by zero."""
+    med = df.groupBy(*group_cols).agg(
+        F.expr(f"percentile({value_col}, 0.5)").alias("med")
+    )
+    with_med = df.join(F.broadcast(med), group_cols)
+    mad = (
+        with_med.withColumn(
+            "_absdev", F.abs(F.col(value_col) - F.col("med"))
+        )
+        .groupBy(*group_cols)
+        .agg(F.expr("percentile(_absdev, 0.5)").alias("mad"))
+    )
+    scored = with_med.join(F.broadcast(mad), group_cols).withColumn(
+        "robust_z",
+        F.when(
+            F.col("mad") > 0,
+            F.round(
+                F.lit(0.6745)
+                * (F.col(value_col) - F.col("med"))
+                / F.col("mad"),
+                6,
+            ),
+        ),
+    )
+    return scored.withColumn(
+        "is_outlier",
+        F.coalesce(
+            F.abs(F.col("robust_z")) > F.lit(z_threshold), F.lit(False)
+        ),
+    )

@@ -15,7 +15,7 @@ DuckDB oracle):
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 import pyspark.sql.functions as F
 
 
@@ -1228,4 +1228,42 @@ def q20_excess_stock(
         )
         .select("s_name", "s_acctbal")
         .orderBy("s_name")
+    )
+
+
+def event_transitions(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """First-order Markov transition matrix over per-user event streams:
+    for each (current, next) event-type pair, the transition count and
+    P(next | current) — the journey-mining read behind funnel design and
+    next-event prediction. Ties on timestamp break by event id so the
+    sequence (and therefore the matrix) is deterministic.
+
+    Scale shape: ONE user-keyed shuffle for the lead() sequence window
+    (partition-local sort), a map-side-combinable groupBy on the
+    (current, next) pair — cardinality |types|², tiny — and the per-row
+    denominator comes from a window over that tiny aggregate. The raw
+    event stream is touched exactly once."""
+    w = Window.partitionBy(user_col).orderBy(ts_col, id_col)
+    pairs = (
+        events.select(
+            F.col(user_col),
+            F.col(type_col).alias("cur_type"),
+            F.lead(type_col).over(w).alias("next_type"),
+        )
+        .where(F.col("next_type").isNotNull())
+        .groupBy("cur_type", "next_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    wc = Window.partitionBy("cur_type")
+    return pairs.select(
+        "cur_type",
+        "next_type",
+        "n",
+        F.round(F.col("n") / F.sum("n").over(wc), 6).alias("p_next"),
     )
