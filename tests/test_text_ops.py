@@ -576,3 +576,35 @@ def test_html_to_text_extraction(spark):
     row2 = html_to_text(commented).collect()[0]
     assert row2["extracted"] == "hi"
     assert row2["n_dropped_blocks"] == 1  # the <script>x</script> stage hit
+
+
+def test_pmi_cooccurrence_ranks_true_collocation(spark):
+    """A planted always-together pair must outscore an independent pair;
+    stop terms (df > max_df_frac·N) and hapax terms must be cut from
+    candidate generation entirely."""
+    import pyspark.sql.functions as F
+    from yat_geo_db_spark.pipelines.text import pmi_cooccurrence
+
+    # 20 docs: 'alpha beta' always co-occur (10 docs); 'gamma' floats
+    # independently; 'the' is in every doc (stop); 'rare' appears once.
+    rows = []
+    for i in range(10):
+        rows.append((i, "the alpha beta filler%d" % (i % 3)))
+    for i in range(10, 20):
+        extra = " rare" if i == 10 else ""
+        rows.append((i, "the gamma filler%d%s" % (i % 3, extra)))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = pmi_cooccurrence(
+        docs, min_df=2, max_df_frac=0.8, top_k=100
+    ).collect()
+    pairs = {(r["term_a"], r["term_b"]): r["pmi"] for r in out}
+    terms = {t for p in pairs for t in p}
+    assert "the" not in terms and "rare" not in terms
+    # alpha+beta: c_ab=10, c_a=c_b=10, N=20 -> pmi = ln(2)
+    assert abs(pairs[("alpha", "beta")] - 0.693147) < 1e-6
+    # alpha vs gamma never co-occur -> absent
+    assert ("alpha", "gamma") not in pairs
+    # collocation outscores a filler pairing
+    assert all(
+        pairs[("alpha", "beta")] >= v for v in pairs.values()
+    )

@@ -1679,3 +1679,80 @@ def html_to_text(
         (counts["script"] + counts["style"]).cast("int")
         .alias("n_dropped_blocks"),
     )
+
+
+def pmi_cooccurrence(
+    documents: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_df: int = 5,
+    max_df_frac: float = 0.3,
+    top_k: int = 50,
+) -> DataFrame:
+    """Pointwise mutual information over within-document term
+    co-occurrence: PMI(a,b) = ln(c_ab·N / (c_a·c_b)) for terms that
+    appear together more than independence predicts — the collocation /
+    related-phrase signal behind phrase mining and topic seeding.
+
+    Scale shape: one tokenize → distinct (doc, term) pass; a DF filter
+    (min_df ≤ df ≤ max_df_frac·N) prunes both hapax noise AND stop
+    terms BEFORE the co-occurrence self-join — the stop-term cut is
+    what bounds the per-doc pair fan-out (a term in 30% of docs would
+    otherwise emit O(N·vocab) pairs). Candidates come from an EQUI
+    self-join on doc_id restricted to the filtered vocabulary, counts
+    are map-side-combinable, and marginals join back via broadcast
+    (vocab-bounded). Final top_k is a TakeOrderedAndProject on
+    (pmi desc, a, b). Counts are presence-based (distinct per doc)."""
+    terms = (
+        documents.select(
+            F.col(id_col).alias("_doc"),
+            F.explode(
+                F.array_distinct(F.split(F.col(text_col), " "))
+            ).alias("_t"),
+        )
+        .where(F.col("_t") != "")
+    )
+    n_docs_row = documents.select(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    df_counts = terms.groupBy("_t").agg(F.count(F.lit(1)).alias("df"))
+    vocab = (
+        df_counts.crossJoin(F.broadcast(n_docs_row))
+        .where(
+            (F.col("df") >= min_df)
+            & (F.col("df") <= F.col("n_docs") * max_df_frac)
+        )
+        .select("_t", "df")
+    )
+    kept = terms.join(F.broadcast(vocab), "_t").select("_doc", "_t", "df")
+    a = kept.select(
+        F.col("_doc"),
+        F.col("_t").alias("term_a"),
+        F.col("df").alias("c_a"),
+    )
+    b = kept.select(
+        F.col("_doc"),
+        F.col("_t").alias("term_b"),
+        F.col("df").alias("c_b"),
+    )
+    pairs = (
+        a.join(b, "_doc")
+        .where(F.col("term_a") < F.col("term_b"))
+        .groupBy("term_a", "term_b", "c_a", "c_b")
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+    )
+    scored = pairs.crossJoin(F.broadcast(n_docs_row)).select(
+        "term_a",
+        "term_b",
+        "c_ab",
+        F.round(
+            F.log(
+                (F.col("c_ab") * F.col("n_docs")).cast("double")
+                / (F.col("c_a") * F.col("c_b")).cast("double")
+            ),
+            6,
+        ).alias("pmi"),
+    )
+    return scored.orderBy(
+        F.desc("pmi"), "term_a", "term_b"
+    ).limit(top_k)

@@ -144,6 +144,51 @@ p AS (
 """
 
 
+def q_text_pmi(spark, sf_dir):
+    """PMI collocations (text.pmi_cooccurrence): presence-based term
+    co-occurrence vs independence, ln-scored and 6-dp rounded. The
+    fixture vocabulary is ~31 shared terms, so max_df_frac is opened
+    to 0.95 here (the 0.3 stop-term default would empty the vocab);
+    the stop-cut's fan-out bound is exercised by the unit test."""
+    return text.pmi_cooccurrence(
+        load_table(spark, sf_dir, "documents"),
+        min_df=5,
+        max_df_frac=0.95,
+        top_k=50,
+    )
+
+
+_TEXT_PMI_SQL = """
+WITH t AS (
+  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS term
+  FROM documents
+),
+tt AS (SELECT doc_id, term FROM t WHERE term != ''),
+n AS (SELECT count(*) AS n_docs FROM documents),
+dfs AS (SELECT term, count(*) AS df FROM tt GROUP BY term),
+vocab AS (
+  SELECT term, df FROM dfs, n
+  WHERE df >= 5 AND df <= n_docs * 0.95
+),
+kept AS (
+  SELECT tt.doc_id, tt.term, v.df FROM tt JOIN vocab v USING (term)
+),
+pairs AS (
+  SELECT a.term AS term_a, b.term AS term_b,
+         a.df AS c_a, b.df AS c_b, count(*) AS c_ab
+  FROM kept a JOIN kept b
+    ON a.doc_id = b.doc_id AND a.term < b.term
+  GROUP BY 1, 2, 3, 4
+)
+SELECT term_a, term_b, c_ab,
+       round(ln(CAST(c_ab * n_docs AS DOUBLE)
+                / CAST(c_a * c_b AS DOUBLE)), 6) AS pmi
+FROM pairs, n
+ORDER BY pmi DESC, term_a, term_b
+LIMIT 50
+"""
+
+
 def q_dedup_sorted_neighborhood(spark, sf_dir):
     """Sorted-neighborhood blocking (dedup.sorted_neighborhood_pairs):
     global rank by a normalized 16-char key WITHOUT a single-partition
@@ -4364,6 +4409,7 @@ QUERIES: dict = {
     "pipe_curate_leakage": (q_curate_leakage, _CURATE_LEAKAGE_SQL),
     "pipe_dedup_exact": (q_dedup_exact, _DEDUP_EXACT_SQL),
     "pipe_dedup_ngram_jaccard": (q_dedup_jaccard, _DEDUP_JACCARD_SQL),
+    "pipe_text_pmi": (q_text_pmi, _TEXT_PMI_SQL),
     "pipe_dedup_sorted_neighborhood": (
         q_dedup_sorted_neighborhood,
         _DEDUP_SNM_SQL,
