@@ -113,3 +113,32 @@ def test_grouped_ols_matches_numpy(spark):
     assert got[91] == (3, None, None, None)
     n, slope, intercept, r2 = got[92]
     assert (n, slope, intercept, r2) == (5, 0.0, 3.0, None)
+
+
+def test_calibration_curve_perfect_and_biased(spark):
+    """A perfectly calibrated synthetic score (pos_rate == score in each
+    bin) must show ~zero gap; an always-overconfident score must show a
+    negative gap; score=1.0 clamps into the top bin."""
+    import pyspark.sql.functions as F
+    from yat_geo_db_spark.pipelines.learn import calibration_curve
+
+    # bin k holds 20 rows with score k/10 + 0.05 and exactly
+    # round(20 * (k/10 + 0.05)) positives → observed == predicted
+    rows = []
+    for k in range(10):
+        s = k / 10 + 0.05
+        n_pos = round(20 * s)
+        for i in range(20):
+            rows.append((s, 1 if i < n_pos else 0))
+    rows.append((1.0, 1))  # exact 1.0 must land in bin 9
+    df = spark.createDataFrame(rows, "score double, label int")
+    out = {r["bin"]: r for r in calibration_curve(df, "score", "label").collect()}
+    assert set(out) == set(range(10))
+    assert out[9]["n"] == 21
+    for k in range(9):
+        assert abs(out[k]["gap"]) <= 0.05  # exact-count rounding only
+    over = spark.createDataFrame(
+        [(0.95, 0)] * 50, "score double, label int"
+    )
+    g = calibration_curve(over, "score", "label").collect()[0]
+    assert g["bin"] == 9 and g["pos_rate"] == 0.0 and g["gap"] == -0.95

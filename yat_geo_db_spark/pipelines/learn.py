@@ -163,3 +163,47 @@ def grouped_ols(
         F.round(intercept, 6).alias("intercept"),
         F.round(r2, 6).alias("r2"),
     )
+
+
+def calibration_curve(
+    scored: DataFrame,
+    score_col: str,
+    label_col: str,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Reliability diagram for a [0,1] classifier score: bucket rows into
+    n_bins equal-width score bins and report, per bin, the row count,
+    mean predicted score, observed positive rate, and the signed
+    calibration gap (observed − predicted) — the one-table read that
+    says whether a quality classifier's 0.9 means 90%.
+
+    Scale shape: a single map-side-combinable groupBy(bin) pass —
+    conditional count + dsum fixed-point score sum — over one scan;
+    n_bins output rows. score == 1.0 clamps into the top bin (inputs
+    are non-null scores; the least() clamp never sees a NULL to skip)."""
+    b = F.least(
+        F.floor(F.col(score_col) * n_bins).cast("int"),
+        F.lit(n_bins - 1),
+    )
+    agg = (
+        scored.select(
+            b.alias("bin"),
+            F.col(score_col).alias("_s"),
+            F.col(label_col).cast("int").alias("_y"),
+        )
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dsum(F.col("_s"), 9).alias("_ss"),
+            F.sum("_y").alias("_pos"),
+        )
+    )
+    return agg.select(
+        "bin",
+        "n",
+        F.round(F.col("_ss") / F.col("n"), 6).alias("mean_score"),
+        F.round(F.col("_pos") / F.col("n"), 6).alias("pos_rate"),
+        F.round(
+            F.col("_pos") / F.col("n") - F.col("_ss") / F.col("n"), 6
+        ).alias("gap"),
+    )

@@ -1542,6 +1542,54 @@ FROM (
 """
 
 
+def q_quality_calibration(spark, sf_dir):
+    """Reliability diagram (learn.calibration_curve): min-max-normalized
+    doc length as the [0,1] score, lang=='en' as the label, 10 bins.
+    The score's min/max come from a broadcast 1-row aggregate — no
+    collect; the curve itself is one conditional-count + dsum pass."""
+    from yat_geo_db_spark.pipelines.learn import calibration_curve
+
+    docs = load_table(spark, sf_dir, "documents")
+    stats = docs.agg(
+        F.min("n_chars").alias("mn"), F.max("n_chars").alias("mx")
+    )
+    scored = docs.crossJoin(F.broadcast(stats)).select(
+        (
+            (F.col("n_chars") - F.col("mn")).cast("double")
+            / (F.col("mx") - F.col("mn")).cast("double")
+        ).alias("score"),
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("label"),
+    )
+    return calibration_curve(scored, "score", "label", n_bins=10).orderBy(
+        "bin"
+    )
+
+
+def _calibration_sql() -> str:
+    from yat_geo_db_spark.queries.relational_queries import _dsum
+
+    return f"""
+WITH s AS (SELECT min(n_chars) AS mn, max(n_chars) AS mx FROM documents),
+r AS (
+  SELECT CAST(n_chars - mn AS DOUBLE) / CAST(mx - mn AS DOUBLE) AS score,
+         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+  FROM documents, s
+),
+b AS (
+  SELECT least(CAST(floor(score * 10) AS INT), 9) AS bin,
+         count(*) AS n, {_dsum('score', 9)} AS ss, sum(y) AS pos
+  FROM r GROUP BY 1
+)
+SELECT bin, n,
+       round(ss / CAST(n AS DOUBLE), 6) AS mean_score,
+       round(CAST(pos AS DOUBLE) / CAST(n AS DOUBLE), 6) AS pos_rate,
+       round(CAST(pos AS DOUBLE) / CAST(n AS DOUBLE)
+             - ss / CAST(n AS DOUBLE), 6) AS gap
+FROM b
+ORDER BY bin
+"""
+
+
 def q_quality_logreg(spark, sf_dir):
     """Distributed logistic-regression quality classifier (predict
     long-form docs, n_chars >= 300, from a capped length feature +
@@ -4439,6 +4487,7 @@ QUERIES: dict = {
     "pipe_sim_filtered_topk": (q_sim_filtered_topk, _FILTERED_TOPK_SQL),
     "pipe_emb_pca": (q_emb_pca, None),
     "pipe_quality_logreg": (q_quality_logreg, _logreg_sql()),
+    "pipe_quality_calibration": (q_quality_calibration, _calibration_sql()),
     "pipe_source_trend": (q_source_trend, _SOURCE_TREND_SQL),
     "pipe_sim_topk_ivf": (q_topk_ivf, _TOPK_IVF_SQL),
     "pipe_sim_topk_ivf_multiprobe": (q_topk_ivf_multiprobe, _TOPK_IVF_MULTIPROBE_SQL),
