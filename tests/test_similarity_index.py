@@ -875,3 +875,19 @@ def test_sq8_codes_in_range_and_recall(spark):
     cc = {r["vec_id"]: r["codes"] for r in similarity.sq8_encode(const, cb).collect()}
     assert cc[1][0] == 0 and cc[2][0] == 0
     assert cc[1][1] == 255 and cc[2][1] == 0
+
+
+def test_dim_truncation_full_prefix_is_perfect(spark):
+    """Truncating to the FULL dimension must reproduce ground truth
+    exactly (recall 1.0) — the eval harness itself adds no noise — and
+    recall must be monotone-nondecreasing... (not guaranteed pointwise
+    on random data, so assert the d=64 anchor plus bounds)."""
+    from yat_geo_db_spark.pipelines.similarity import dim_truncation_eval
+
+    emb = load_table(spark, SF, "embeddings")
+    out = {
+        r["dim"]: r["recall"]
+        for r in dim_truncation_eval(emb, dims=(8, 64), k=5).collect()
+    }
+    assert out[64] == 1.0
+    assert 0.0 <= out[8] <= 1.0

@@ -1803,3 +1803,79 @@ def sq8_topk(
         id_col,
     )
     return scored.orderBy(F.desc("score"), F.asc(id_col)).limit(k)
+
+
+# --------------------------------------------------------------------------
+# Matryoshka truncation eval: can we serve at d' < d?
+# --------------------------------------------------------------------------
+
+def dim_truncation_eval(
+    embeddings: DataFrame,
+    dims: tuple = (8, 16, 32),
+    k: int = 10,
+    sample_mod: int = 100,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Recall@k of truncated-dimension cosine search against the
+    full-dimension ground truth, per candidate prefix length — the
+    measurement behind the Matryoshka serving decision ("can we score
+    at d=16 and keep 95% of d=64's neighbors?"). Queries are a
+    deterministic corpus sample (id % sample_mod == 0 — no RNG, so
+    the eval is replayable); self-matches are excluded on both sides.
+
+    Scale shape: per dim one broadcast-query corpus scan + the
+    two-phase per-query top-k (never a Q-partition full sort); the
+    recall join is (query, neighbor)-keyed over ≤ Q·k rows per side.
+    Output: one row per dim — (dim, n_queries, k, recall)."""
+    queries = embeddings.where(
+        F.pmod(F.col(id_col), F.lit(sample_mod)) == 0
+    ).select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qfull"))
+    n_queries = queries.select(
+        F.count(F.lit(1)).alias("n_queries")
+    )
+
+    def topk_at(d: int | None):
+        if d is None:
+            emb, q = embeddings, queries.select(
+                "query_id", F.col("_qfull").alias("query_vec")
+            )
+        else:
+            emb = embeddings.select(
+                F.col(id_col), F.slice(F.col(vec_col), 1, d).alias(vec_col)
+            )
+            q = queries.select(
+                "query_id", F.slice(F.col("_qfull"), 1, d).alias("query_vec")
+            )
+        scored = _score_query_batch(
+            emb, q, id_col, vec_col, "query_id", "query_vec"
+        ).where(F.col(id_col) != F.col("query_id"))
+        return _two_phase_topk(scored, k, "query_id", id_col)
+
+    exact = topk_at(None).select(
+        "query_id", F.col(id_col).alias("_nb")
+    )
+    per_dim = []
+    for d in dims:
+        approx = topk_at(d).select(
+            "query_id", F.col(id_col).alias("_nb")
+        )
+        matches = approx.join(exact, ["query_id", "_nb"]).agg(
+            F.count(F.lit(1)).alias("n_matched")
+        )
+        per_dim.append(
+            matches.crossJoin(F.broadcast(n_queries)).select(
+                F.lit(d).alias("dim"),
+                F.col("n_queries"),
+                F.lit(k).alias("k"),
+                F.round(
+                    F.col("n_matched")
+                    / (F.col("n_queries") * F.lit(k)).cast("double"),
+                    6,
+                ).alias("recall"),
+            )
+        )
+    out = per_dim[0]
+    for p in per_dim[1:]:
+        out = out.unionByName(p)
+    return out

@@ -1098,6 +1098,57 @@ LIMIT 20
 """
 
 
+def q_sim_dim_truncation(spark, sf_dir):
+    """Matryoshka truncation eval (similarity.dim_truncation_eval):
+    recall@10 of prefix-dim cosine search vs full-dim ground truth for
+    d ∈ {8,16,32}, over the deterministic id%100 query sample. The
+    oracle replays the same ranked windows per dim in SQL."""
+    return similarity.dim_truncation_eval(
+        load_table(spark, sf_dir, "embeddings")
+    ).orderBy("dim")
+
+
+def _dim_trunc_sql(dims=(8, 16, 32), k=10, mod=100) -> str:
+    def ranked(name: str, a: str, qv: str) -> str:
+        return f"""
+{name} AS (
+  SELECT query_id, nb FROM (
+    SELECT q.query_id, e.vec_id AS nb,
+           row_number() OVER (
+             PARTITION BY q.query_id
+             ORDER BY round({_cos(a, qv)}, 6) DESC, e.vec_id
+           ) AS rnk
+    FROM embeddings e, q
+    WHERE e.vec_id != q.query_id
+  ) WHERE rnk <= {k}
+)"""
+
+    ctes = [
+        f"q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id % {mod} = 0)",
+        f"nq AS (SELECT count(*) AS n_queries FROM q)",
+        ranked("ex", "e.embedding", "q.qv").strip(),
+    ]
+    selects = []
+    for d in dims:
+        ctes.append(
+            ranked(f"t{d}", f"(e.embedding[1:{d}])", f"(q.qv[1:{d}])").strip()
+        )
+        ctes.append(
+            f"m{d} AS (SELECT count(*) AS n_matched FROM t{d} "
+            f"JOIN ex USING (query_id, nb))"
+        )
+        selects.append(
+            f"SELECT {d} AS dim, n_queries, {k} AS k, "
+            f"round(n_matched / CAST(n_queries * {k} AS DOUBLE), 6) AS recall "
+            f"FROM m{d}, nq"
+        )
+    return (
+        "WITH " + ",\n".join(ctes) + "\n"
+        + "\nUNION ALL\n".join(selects)
+        + "\nORDER BY dim"
+    )
+
+
 def q_sim_filtered_topk(spark, sf_dir):
     """Attribute-filtered vector search: exact top-15 cosine neighbors
     among vectors whose document row is English and >= 200 chars
@@ -4484,6 +4535,7 @@ QUERIES: dict = {
     "pipe_dedup_simhash": (q_dedup_simhash, _simhash_sql()),
     "pipe_sim_topk_brute": (q_topk_brute, _TOPK_BRUTE_SQL),
     "pipe_sim_sq8_topk": (q_sim_sq8_topk, _SQ8_TOPK_SQL),
+    "pipe_sim_dim_truncation": (q_sim_dim_truncation, _dim_trunc_sql()),
     "pipe_sim_filtered_topk": (q_sim_filtered_topk, _FILTERED_TOPK_SQL),
     "pipe_emb_pca": (q_emb_pca, None),
     "pipe_quality_logreg": (q_quality_logreg, _logreg_sql()),
