@@ -672,3 +672,80 @@ def test_streaming_multimodal_features_equal_batch(spark, tmp_path):
         map(tuple, want.collect())
     )
     assert got.count() == 200
+
+
+def test_streaming_heavy_hitters_bounds_and_replay(spark, tmp_path):
+    """heavy_hitter_sink: stream events file-by-file; the merged CMS
+    must respect exact <= est <= exact + eps*N for every event type,
+    equal the one-shot whole-table sketch (commutative counters), and
+    a full replay on a fresh checkpoint must change nothing."""
+    import glob
+
+    from yat_geo_db_spark.streaming.sinks import (
+        heavy_hitter_sink,
+        read_heavy_hitters,
+    )
+
+    events = load_table(spark, SF, "events").select("event_id", "event_type")
+    src = str(tmp_path / "hh_src")
+    events.repartition(4).write.mode("overwrite").parquet(src)
+    schema = spark.read.parquet(src).schema
+    root = str(tmp_path / "hh")
+    eps = 0.001
+
+    def run_stream(ckpt: str) -> None:
+        q = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+            .writeStream.foreachBatch(
+                heavy_hitter_sink(root, "event_type", eps=eps)
+            )
+            .option("checkpointLocation", str(tmp_path / ckpt))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    run_stream("ckpt1")
+    assert len(glob.glob(f"{root}/batch_id=*")) >= 2
+
+    got = {
+        r["key"]: r["approx_count"]
+        for r in read_heavy_hitters(spark, root).collect()
+    }
+    src_df = spark.read.parquet(src)
+    exact = {
+        r["event_type"]: r["n"]
+        for r in src_df.groupBy("event_type").count().withColumnRenamed(
+            "count", "n"
+        ).collect()
+    }
+    n_total = src_df.count()
+    assert set(got) == set(exact)
+    for k, est in got.items():
+        assert exact[k] <= est <= exact[k] + eps * n_total
+
+    # merge-of-batches == one-shot sketch of the whole table
+    jvm = spark._jvm
+    import pyspark.sql.functions as F
+    blob = bytes(
+        src_df.groupBy()
+        .agg(
+            F.expr("count_min_sketch(event_type, 0.001d, 0.99d, 42)").alias(
+                "sk"
+            )
+        )
+        .collect()[0]["sk"]
+    )
+    whole = jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(blob)
+    for k in exact:
+        assert got[k] == int(whole.estimateCount(k))
+
+    # replay: overwrite-by-batch_id keeps the merged view identical
+    run_stream("ckpt2")
+    got2 = {
+        r["key"]: r["approx_count"]
+        for r in read_heavy_hitters(spark, root).collect()
+    }
+    assert got2 == got

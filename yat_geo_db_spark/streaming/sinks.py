@@ -14,6 +14,7 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame
+import pyspark.sql.functions as F
 
 
 def batch_partitioned_parquet_sink(target_dir: str):
@@ -257,3 +258,83 @@ def compact_rollup(
     for d in dirs:
         if not d.endswith("=-1"):
             shutil.rmtree(d, ignore_errors=True)
+
+
+def heavy_hitter_sink(
+    root: str,
+    key_col: str,
+    eps: float = 0.001,
+    confidence: float = 0.99,
+    seed: int = 42,
+):
+    """foreachBatch maintenance of a streaming frequency monitor: each
+    micro-batch reduces to ONE count-min sketch row (Spark's built-in
+    count_min_sketch aggregate — scan-side fully distributed) plus the
+    batch's distinct keys as candidate probes, written through the
+    shared batch_id=N overwrite writer so at-least-once replay REPLACES
+    a batch's contribution instead of double-counting. CMS counters add
+    commutatively, so merge-of-batch-sketches is BIT-equal to one
+    sketch of everything ever streamed (test-asserted), with the usual
+    guarantee exact ≤ est ≤ exact + ε·N.
+
+    State per batch: one blob (width ⌈e/ε⌉ × depth ⌈ln(1/(1−conf))⌉
+    longs) + O(distinct keys in batch) candidate rows — the key column
+    must be low-cardinality-probe-able (event types, domains), which is
+    exactly the heavy-hitter use case."""
+    inner = batch_partitioned_parquet_sink(root)
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_id <= _compacted_through(root):
+            return
+        sk = batch_df.groupBy().agg(
+            F.expr(
+                f"count_min_sketch({key_col}, {eps}d, {confidence}d, {seed})"
+            ).alias("sk")
+        ).select(F.lit(None).cast("string").alias("key"), "sk")
+        keys = (
+            batch_df.select(F.col(key_col).cast("string").alias("key"))
+            .where(F.col("key").isNotNull())
+            .distinct()
+            .select("key", F.lit(None).cast("binary").alias("sk"))
+        )
+        inner(sk.unionByName(keys), batch_id)
+
+    return write_batch
+
+
+def read_heavy_hitters(spark, root: str, min_count: int = 0) -> DataFrame:
+    """Merge-on-read of a heavy_hitter_sink target: fold every batch's
+    sketch blob (driver-side JVM merge over O(batches) small blobs —
+    the metrics-store serving read) and probe the union of candidate
+    keys. Returns (key, approx_count) for estimates >= min_count."""
+    states = spark.read.option("basePath", root).parquet(
+        os.path.join(root, "batch_id=*")
+    )
+    blobs = [
+        bytes(r["sk"])
+        for r in states.where(F.col("sk").isNotNull()).select("sk").collect()
+    ]
+    keys = sorted(
+        r["key"]
+        for r in states.where(F.col("key").isNotNull())
+        .select("key")
+        .distinct()
+        .collect()
+    )
+    jvm = spark._jvm
+    merged = None
+    for b in blobs:
+        sk = jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(b)
+        if merged is None:
+            merged = sk
+        else:
+            merged.mergeInPlace(sk)
+    rows = [
+        (k, int(merged.estimateCount(k)))
+        for k in keys
+        if merged is not None
+    ]
+    out = spark.createDataFrame(
+        rows or [], "key string, approx_count long"
+    )
+    return out.where(F.col("approx_count") >= min_count)
