@@ -97,6 +97,13 @@ HEADLINE = [
     "pipe_sim_mmr",
     "pipe_source_ppr",
     "pipe_graph_kcore",
+    # round-6 session-3 additions (tail): bloom-pruned join, sorted-
+    # neighborhood blocking (range-shuffle global rank), int8 SQ ANN,
+    # and the PMI co-occurrence self-join
+    "rel_bloom_prune_join",
+    "pipe_dedup_sorted_neighborhood",
+    "pipe_sim_sq8_topk",
+    "pipe_text_pmi",
 ]
 
 

@@ -446,3 +446,41 @@ def test_k_core_peels_to_fixpoint(spark):
     got = {r["node"]: r["deg"] for r in k_core(two, k=3).collect()}
     assert set(got) == set(range(4)) | set(range(20, 24))
     assert got[0] == 4 and got[20] == 4          # bridge adds a degree
+
+
+def test_label_propagation_two_cliques_bridge(spark):
+    """Two 4-cliques joined by one bridge edge must settle into two
+    communities (each labeled by its min member); the bridge must not
+    merge them. A NumPy-free python replay of the same deterministic
+    rule must agree exactly."""
+    from yat_geo_db_spark.pipelines.graph import label_propagation
+
+    edges = []
+    for block, base in ((0, 0), (1, 10)):
+        ids = [base + j for j in range(4)]
+        edges += [(a, b) for a in ids for b in ids if a < b]
+    edges.append((3, 10))  # bridge
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r["node"]: r["label"]
+        for r in label_propagation(df, n_iter=4).collect()
+    }
+
+    # python replay of the synchronous min-label rule
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    lbl = {v: v for v in adj}
+    for _ in range(4):
+        lbl = {
+            v: max(
+                ((sum(1 for u in adj[v] if lbl[u] == c), -c)
+                 for c in {lbl[u] for u in adj[v]}),
+            )[1] * -1
+            for v in adj
+        }
+    assert got == lbl
+    # the two blocks hold distinct labels
+    assert {got[v] for v in range(4)} == {0}
+    assert {got[v] for v in range(10, 14)} == {10}

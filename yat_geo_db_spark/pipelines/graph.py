@@ -337,3 +337,60 @@ def k_core(
         .filter(F.col("deg") >= k)
         .select(F.col("v").alias("node"), "deg")
     )
+
+
+def label_propagation(
+    edges: DataFrame,
+    n_iter: int = 4,
+    src: str = "src",
+    dst: str = "dst",
+    checkpoint: bool = True,
+) -> DataFrame:
+    """Deterministic synchronous label propagation (Raghavan et al. '07)
+    over the undirected edge set: every node starts labeled with its own
+    id; each round it adopts the label most frequent among its
+    neighbors, ties broken by MIN label — no RNG, no asynchronous visit
+    order, so the community assignment is replayable and
+    oracle-unrollable. Densely-linked groups converge onto one label in
+    a few rounds; the synchronous variant can oscillate on bipartite
+    structures (the classic LPA caveat), which bounded n_iter turns
+    into a deterministic fixed cost rather than a hang.
+
+    Scale shape per round: one equi-join of the O(m) adjacency against
+    the O(n) label frame, a map-side-combinable (node, label) count,
+    and an argmax via ONE max(struct(cnt, -label)) aggregate — never a
+    per-node sort. localCheckpoint per round cuts the iterative
+    lineage. Self-loops are dropped; isolated nodes never appear in
+    the adjacency and keep no row (community of one — join them back
+    from your node universe if you need them listed)."""
+    und = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).where(
+        F.col(src) != F.col(dst)
+    )
+    adj = (
+        und.select(F.col("a").alias("v"), F.col("b").alias("u"))
+        .union(und.select(F.col("b").alias("v"), F.col("a").alias("u")))
+        .distinct()
+    )
+    labels = adj.select("v").distinct().select(
+        "v", F.col("v").alias("lbl")
+    )
+    for _ in range(n_iter):
+        nbr = adj.join(
+            labels.withColumnRenamed("v", "u"), "u"
+        ).select("v", "lbl")
+        counts = nbr.groupBy("v", "lbl").agg(
+            F.count(F.lit(1)).alias("cnt")
+        )
+        labels = counts.groupBy("v").agg(
+            F.max(
+                F.struct(
+                    F.col("cnt").alias("cnt"),
+                    (-F.col("lbl")).alias("neg"),
+                )
+            ).alias("m")
+        ).select("v", (-F.col("m.neg")).alias("lbl"))
+        if checkpoint:
+            labels = labels.localCheckpoint(eager=False)
+    return labels.select(
+        F.col("v").alias("node"), F.col("lbl").alias("label")
+    )

@@ -3945,6 +3945,92 @@ ORDER BY idx.source
 """
 
 
+def q_graph_lpa(spark, sf_dir):
+    """Deterministic label-propagation communities (pipelines.graph.
+    label_propagation) over a synthetic 4-blocks-of-5 source graph
+    (dense intra-block chains i→i+1, i→i+2; sparse i→i+5 bridges at
+    i%10==0). Min-label tie-break + fixed 4 rounds make the assignment
+    replayable; the oracle unrolls the same rounds in MATERIALIZED
+    CTEs. Output: (source, label)."""
+    from pyspark.sql import Window
+
+    from yat_geo_db_spark.pipelines.graph import label_propagation
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.orderBy("source")
+    idx = (
+        docs.select("source")
+        .distinct()
+        .select(
+            "source", (F.row_number().over(w) - 1).cast("long").alias("i")
+        )
+    )
+    n_frame = F.broadcast(idx.agg(F.count(F.lit(1)).alias("n")))
+    base = idx.crossJoin(n_frame)
+    fams = [
+        (F.col("i") % 5 < 4, (F.col("i") + 1) % F.col("n")),
+        (F.col("i") % 5 < 3, (F.col("i") + 2) % F.col("n")),
+        (F.col("i") % 10 == 0, (F.col("i") + 5) % F.col("n")),
+    ]
+    edges = None
+    for cond, fam in fams:
+        e = base.where(cond).select(
+            F.col("i").alias("src"), fam.alias("dst")
+        )
+        edges = e if edges is None else edges.union(e)
+    labels = label_propagation(edges, n_iter=4)
+    return (
+        idx.join(labels, idx["i"] == labels["node"])
+        .select("source", "label")
+        .orderBy("source")
+    )
+
+
+def _graph_lpa_sql(n_iter: int = 4) -> str:
+    ctes = [
+        "srcs AS (SELECT DISTINCT source FROM documents)",
+        "idx AS (SELECT source, CAST(row_number() OVER (ORDER BY source) - 1"
+        " AS BIGINT) AS i FROM srcs)",
+        "ns AS (SELECT count(*) AS n FROM idx)",
+        """raw AS (
+  SELECT i AS a, (i+1) % n AS b FROM idx, ns WHERE i % 5 < 4
+  UNION ALL SELECT i, (i+2) % n FROM idx, ns WHERE i % 5 < 3
+  UNION ALL SELECT i, (i+5) % n FROM idx, ns WHERE i % 10 = 0
+)""",
+        """adj AS MATERIALIZED (
+  SELECT DISTINCT v, u FROM (
+    SELECT a AS v, b AS u FROM raw WHERE a <> b
+    UNION ALL
+    SELECT b AS v, a AS u FROM raw WHERE a <> b
+  )
+)""",
+        "l0 AS (SELECT DISTINCT v, v AS lbl FROM adj)",
+    ]
+    for k in range(1, n_iter + 1):
+        ctes.append(
+            f"""c{k} AS MATERIALIZED (
+  SELECT a.v, l.lbl, count(*) AS cnt
+  FROM adj a JOIN l{k - 1} l ON a.u = l.v
+  GROUP BY a.v, l.lbl
+)"""
+        )
+        ctes.append(
+            f"""l{k} AS MATERIALIZED (
+  SELECT v, lbl FROM (
+    SELECT v, lbl, row_number() OVER (
+      PARTITION BY v ORDER BY cnt DESC, lbl ASC) AS rn
+    FROM c{k}
+  ) WHERE rn = 1
+)"""
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT idx.source, l{n_iter}.lbl AS label"
+        + f"\nFROM l{n_iter} JOIN idx ON l{n_iter}.v = idx.i"
+        + "\nORDER BY idx.source"
+    )
+
+
 def q_source_trend(spark, sf_dir):
     """Per-source drift monitor (pipelines.learn.grouped_ols): closed-
     form OLS of document length against arrival order (doc_id) for each
@@ -4499,6 +4585,7 @@ QUERIES: dict = {
     "pipe_epoch_shuffle": (q_epoch_shuffle, _EPOCH_SHUFFLE_SQL),
     "pipe_source_pagerank": (q_source_pagerank, _pagerank_sql()),
     "pipe_graph_triangles": (q_graph_triangles, _TRIANGLES_SQL),
+    "pipe_graph_lpa": (q_graph_lpa, _graph_lpa_sql()),
     "pipe_source_ppr": (q_source_ppr, _ppr_sql()),
     "pipe_graph_kcore": (q_graph_kcore, _kcore_sql()),
     "pipe_text_blocklist": (q_text_blocklist, _TEXT_BLOCKLIST_SQL),
