@@ -142,3 +142,28 @@ def test_calibration_curve_perfect_and_biased(spark):
     )
     g = calibration_curve(over, "score", "label").collect()[0]
     assert g["bin"] == 9 and g["pos_rate"] == 0.0 and g["gap"] == -0.95
+
+
+def test_auc_golden_cases(spark):
+    """Perfect separation -> 1.0; reversed -> 0.0; all tied -> 0.5;
+    sklearn-style tie case computed by hand; empty class -> NULL."""
+    from yat_geo_db_spark.pipelines.learn import auc_score
+
+    def auc_of(rows):
+        df = spark.createDataFrame(rows, "score double, label int")
+        return auc_score(df, "score", "label").collect()[0]
+
+    perfect = [(0.9, 1), (0.8, 1), (0.2, 0), (0.1, 0)]
+    assert auc_of(perfect)["auc"] == 1.0
+    reversed_ = [(s, 1 - y) for s, y in perfect]
+    assert auc_of(reversed_)["auc"] == 0.0
+    tied = [(0.5, 1), (0.5, 0), (0.5, 1), (0.5, 0)]
+    assert auc_of(tied)["auc"] == 0.5
+    # hand case: pos scores {0.8, 0.5}, neg {0.5, 0.3}
+    # pairs: (0.8 vs 0.5)=1, (0.8 vs 0.3)=1, (0.5 vs 0.5)=0.5,
+    # (0.5 vs 0.3)=1 -> 3.5/4
+    mixed = [(0.8, 1), (0.5, 1), (0.5, 0), (0.3, 0)]
+    assert auc_of(mixed)["auc"] == 0.875
+    one_class = [(0.8, 1), (0.5, 1)]
+    row = auc_of(one_class)
+    assert row["auc"] is None and row["n_neg"] == 0

@@ -17,7 +17,7 @@ rows, no N×k explosion; iterations stream over the cached feature table.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 import pyspark.sql.functions as F
 
 from yat_geo_db_spark.relational.queries import dsum
@@ -206,4 +206,57 @@ def calibration_curve(
         F.round(
             F.col("_pos") / F.col("n") - F.col("_ss") / F.col("n"), 6
         ).alias("gap"),
+    )
+
+
+def auc_score(
+    scored: DataFrame, score_col: str, label_col: str
+) -> DataFrame:
+    """Exact ROC AUC by rank-sum (Mann–Whitney), tie-aware: group rows
+    by distinct score into (pos_n, neg_n) counts, order score groups
+    ascending, and credit each positive with the negatives strictly
+    below it plus half the negatives tied with it —
+    AUC = Σ pos_n·(2·neg_below + neg_tied) / (2·P·N). All-integer
+    until the single final division, so the value is exact and
+    engine-portable with no float accumulation.
+
+    Scale shape: one map-side-combinable groupBy(score) over the scan,
+    then a running-sum window over the DISTINCT-SCORE table — fine
+    while distinct scores are bounded (classifier outputs rounded to
+    fixed precision); an unbounded-score input should be rounded or
+    routed through dedup.global_rank first. Returns one row:
+    (n_pos, n_neg, auc); AUC is NULL when either class is empty."""
+    g = (
+        scored.select(
+            F.col(score_col).alias("_s"),
+            F.col(label_col).cast("int").alias("_y"),
+        )
+        .groupBy("_s")
+        .agg(
+            F.sum("_y").alias("pos_n"),
+            F.sum(1 - F.col("_y")).alias("neg_n"),
+        )
+    )
+    w = Window.orderBy("_s").rowsBetween(Window.unboundedPreceding, -1)
+    credited = g.select(
+        "pos_n",
+        "neg_n",
+        F.coalesce(F.sum("neg_n").over(w), F.lit(0)).alias("neg_below"),
+    )
+    return credited.agg(
+        F.sum("pos_n").alias("n_pos"),
+        F.sum("neg_n").alias("n_neg"),
+        F.round(
+            F.when(
+                (F.sum("pos_n") > 0) & (F.sum("neg_n") > 0),
+                F.sum(
+                    F.col("pos_n")
+                    * (F.lit(2) * F.col("neg_below") + F.col("neg_n"))
+                )
+                / (
+                    F.lit(2) * F.sum("pos_n") * F.sum("neg_n")
+                ).cast("double"),
+            ),
+            6,
+        ).alias("auc"),
     )

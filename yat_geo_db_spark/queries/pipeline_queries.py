@@ -1641,6 +1641,54 @@ ORDER BY bin
 """
 
 
+def q_quality_auc(spark, sf_dir):
+    """Exact tie-aware ROC AUC (learn.auc_score) of the normalized
+    length score against the lang=='en' label — all-integer rank-sum
+    credit until one final division, so the value is engine-exact."""
+    from yat_geo_db_spark.pipelines.learn import auc_score
+
+    docs = load_table(spark, sf_dir, "documents")
+    stats = docs.agg(
+        F.min("n_chars").alias("mn"), F.max("n_chars").alias("mx")
+    )
+    scored = docs.crossJoin(F.broadcast(stats)).select(
+        (
+            (F.col("n_chars") - F.col("mn")).cast("double")
+            / (F.col("mx") - F.col("mn")).cast("double")
+        ).alias("score"),
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("label"),
+    )
+    return auc_score(scored, "score", "label")
+
+
+_QUALITY_AUC_SQL = """
+WITH s AS (SELECT min(n_chars) AS mn, max(n_chars) AS mx FROM documents),
+r AS (
+  SELECT CAST(n_chars - mn AS DOUBLE) / CAST(mx - mn AS DOUBLE) AS score,
+         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+  FROM documents, s
+),
+g AS (
+  SELECT score, sum(y) AS pos_n, sum(1 - y) AS neg_n
+  FROM r GROUP BY score
+),
+c AS (
+  SELECT pos_n, neg_n,
+         coalesce(sum(neg_n) OVER (
+           ORDER BY score
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) AS neg_below
+  FROM g
+)
+SELECT CAST(sum(pos_n) AS BIGINT) AS n_pos,
+       CAST(sum(neg_n) AS BIGINT) AS n_neg,
+       round(CASE WHEN sum(pos_n) > 0 AND sum(neg_n) > 0 THEN
+         CAST(sum(pos_n * (2 * neg_below + neg_n)) AS DOUBLE)
+         / CAST(2 * sum(pos_n) * sum(neg_n) AS DOUBLE) END, 6) AS auc
+FROM c
+"""
+
+
 def q_quality_logreg(spark, sf_dir):
     """Distributed logistic-regression quality classifier (predict
     long-form docs, n_chars >= 300, from a capped length feature +
@@ -4627,6 +4675,7 @@ QUERIES: dict = {
     "pipe_emb_pca": (q_emb_pca, None),
     "pipe_quality_logreg": (q_quality_logreg, _logreg_sql()),
     "pipe_quality_calibration": (q_quality_calibration, _calibration_sql()),
+    "pipe_quality_auc": (q_quality_auc, _QUALITY_AUC_SQL),
     "pipe_source_trend": (q_source_trend, _SOURCE_TREND_SQL),
     "pipe_sim_topk_ivf": (q_topk_ivf, _TOPK_IVF_SQL),
     "pipe_sim_topk_ivf_multiprobe": (q_topk_ivf_multiprobe, _TOPK_IVF_MULTIPROBE_SQL),
