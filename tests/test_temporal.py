@@ -491,3 +491,26 @@ def test_robust_outliers_flags_and_degenerate_group(spark):
     assert flagged == {("a", 1000.0)}
     b_rows = [r for r in out if r["grp"] == "b"]
     assert all(r["robust_z"] is None for r in b_rows)
+
+
+def test_table_stats_profile_golden(spark):
+    """Nulls, ndv, numeric bounds, timestamp epoch bounds, and string
+    avg length must all be exact on a hand-built frame."""
+    import pyspark.sql.functions as F
+    from yat_geo_db_spark.relational.dq import table_stats
+
+    df = spark.createDataFrame(
+        [
+            (1, 2.5, "ab", "2024-01-01 00:00:00"),
+            (2, None, "abcd", "2024-01-02 00:00:00"),
+            (2, 7.5, None, None),
+        ],
+        "k long, x double, s string, t string",
+    ).withColumn("t", F.to_timestamp("t"))
+    got = {r["column_name"]: r for r in table_stats(df).collect()}
+    assert got["k"]["n_rows"] == 3 and got["k"]["n_distinct"] == 2
+    assert got["x"]["n_null"] == 1 and got["x"]["null_frac"] == 0.333333
+    assert got["x"]["min_num"] == 2.5 and got["x"]["max_num"] == 7.5
+    assert got["s"]["avg_len"] == 3.0 and got["s"]["min_num"] is None
+    assert got["t"]["min_num"] == 1704067200000000.0
+    assert got["t"]["n_null"] == 1

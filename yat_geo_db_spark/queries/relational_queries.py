@@ -904,6 +904,50 @@ SELECT vec_id,
 FROM embeddings
 """
 
+def table_stats_q(spark, sf_dir):
+    """ANALYZE-style column profile (relational.dq.table_stats) over
+    orders: ONE scan, ONE aggregate (multi-count_distinct expand),
+    stack() unpivot to the per-column report. Exact ndv keeps the
+    oracle aligned; the approx tier is a documented swap."""
+    from yat_geo_db_spark.relational.dq import table_stats
+
+    (orders,) = _t(spark, sf_dir, "orders")
+    return table_stats(orders).orderBy("column_name")
+
+
+def _table_stats_sql() -> str:
+    cols = [
+        ("o_orderkey", "num"),
+        ("o_custkey", "num"),
+        ("o_orderstatus", "str"),
+        ("o_totalprice", "num"),
+        ("o_orderdate", "ts"),
+        ("o_orderpriority", "str"),
+    ]
+    parts = []
+    for c, kind in cols:
+        if kind == "num":
+            mn, mx = f"round(min(CAST({c} AS DOUBLE)), 6)", f"round(max(CAST({c} AS DOUBLE)), 6)"
+            al = "CAST(NULL AS DOUBLE)"
+        elif kind == "ts":
+            mn = f"round(min(CAST(epoch_us(CAST({c} AS TIMESTAMP)) AS DOUBLE)), 6)"
+            mx = f"round(max(CAST(epoch_us(CAST({c} AS TIMESTAMP)) AS DOUBLE)), 6)"
+            al = "CAST(NULL AS DOUBLE)"
+        else:
+            mn = mx = "CAST(NULL AS DOUBLE)"
+            al = f"round(avg(length({c})), 6)"
+        parts.append(
+            f"""SELECT '{c}' AS column_name, count(*) AS n_rows,
+       CAST(count(*) - count({c}) AS BIGINT) AS n_null,
+       round(CAST(count(*) - count({c}) AS DOUBLE) / count(*), 6)
+         AS null_frac,
+       CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct,
+       {mn} AS min_num, {mx} AS max_num, {al} AS avg_len
+FROM orders"""
+        )
+    return "\nUNION ALL\n".join(parts) + "\nORDER BY column_name"
+
+
 def robust_outliers_q(spark, sf_dir):
     """Median/MAD modified-z anomaly gate (relational.dq.robust_outliers)
     over event values per type — robust statistics resist the outliers
@@ -2560,6 +2604,7 @@ QUERIES: dict = {
     "rel_approx_stats": (approx_stats, None),
     "rel_exact_percentiles": (exact_percentiles, _EXACT_PCTL_SQL),
     "rel_robust_outliers": (robust_outliers_q, _ROBUST_OUTLIERS_SQL),
+    "rel_table_stats": (table_stats_q, _table_stats_sql()),
     "rel_array_funcs": (array_funcs, _ARRAY_FUNCS_SQL),
     "rel_map_funcs": (map_funcs, _MAP_FUNCS_SQL),
     "rel_q1_pricing_summary": (q1, _Q1_SQL),

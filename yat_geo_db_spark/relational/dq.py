@@ -186,3 +186,74 @@ def robust_outliers(
             F.abs(F.col("robust_z")) > F.lit(z_threshold), F.lit(False)
         ),
     )
+
+
+#: dtypes table_stats treats as numeric (profiled into min_num/max_num)
+_NUMERIC_PREFIXES = ("int", "bigint", "double", "float", "smallint", "tinyint", "decimal")
+
+
+def table_stats(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
+    """ANALYZE-style column profile: one row per column with row count,
+    null count/fraction, EXACT distinct count, numeric min/max (numeric
+    and timestamp columns; timestamps as epoch microseconds), and mean
+    string length — the stats a planner (or a data engineer deciding
+    bucketing/partition keys) reads first.
+
+    Scale shape: ONE aggregate over ONE scan computes every per-column
+    statistic (the multi-count_distinct expands map-side, never
+    rescans), then a driver-free stack() unpivots the single stats row
+    into the per-column report. Exact distinct is what makes the oracle
+    line up; swap in approx_count_distinct at the 100 TB interactive
+    tier if a 2% ndv error is acceptable."""
+    dtypes = dict(df.dtypes)
+    cols = columns or list(dtypes)
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    labels: list[tuple[str, str]] = []  # (prefix, column)
+    for j, c in enumerate(cols):
+        p = f"_c{j}"
+        t = dtypes[c]
+        if t.startswith(_NUMERIC_PREFIXES):
+            num = F.col(c).cast("double")
+        elif t.startswith("timestamp"):
+            num = F.unix_micros(F.col(c).cast("timestamp")).cast("double")
+        else:
+            num = F.lit(None).cast("double")
+        alen = (
+            F.avg(F.length(F.col(c)))
+            if t == "string"
+            else F.lit(None).cast("double")
+        )
+        aggs += [
+            F.count(F.when(F.col(c).isNull(), 1)).alias(f"{p}_nul"),
+            F.count_distinct(F.col(c)).alias(f"{p}_nd"),
+            F.min(num).alias(f"{p}_mn"),
+            F.max(num).alias(f"{p}_mx"),
+            alen.alias(f"{p}_al") if t == "string" else F.first(alen).alias(f"{p}_al"),
+        ]
+        labels.append((p, c))
+
+    def lit_str(s: str) -> str:
+        return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+    row = df.agg(*aggs)
+    stack_args = ", ".join(
+        f"{lit_str(c)}, {p}_nul, {p}_nd, {p}_mn, {p}_mx, {p}_al"
+        for p, c in labels
+    )
+    out = row.select(
+        F.col("_n").alias("n_rows"),
+        F.expr(
+            f"stack({len(labels)}, {stack_args}) AS "
+            "(column_name, n_null, n_distinct, min_num, max_num, avg_len)"
+        ),
+    )
+    return out.select(
+        "column_name",
+        "n_rows",
+        "n_null",
+        F.round(F.col("n_null") / F.col("n_rows"), 6).alias("null_frac"),
+        "n_distinct",
+        F.round("min_num", 6).alias("min_num"),
+        F.round("max_num", 6).alias("max_num"),
+        F.round("avg_len", 6).alias("avg_len"),
+    )
