@@ -125,3 +125,43 @@ def test_manifest_pruned_read_matches_full_filter(spark, tmp_path):
 
     # empty selection: range outside the domain plans zero files
     assert pruned_read(spark, path, manifest, "user_id", 10**6, 10**7).count() == 0
+
+
+def test_bloom_manifest_point_read_identity_and_skipping(spark, tmp_path):
+    """Point lookup through the per-file bloom manifest must return
+    exactly the full-scan filter's rows while opening a strict subset
+    of files; a value absent from the table must plan ~zero files
+    (bounded false positives only)."""
+    import pyspark.sql.functions as F
+    from yat_geo_db_spark.relational.layout import (
+        bloom_pruned_point_read,
+        build_bloom_manifest,
+    )
+    from yat_geo_db_spark.testdata import load_table
+
+    path = str(tmp_path / "orders_files")
+    orders = load_table(spark, "/root/testdata/sf0.001", "orders")
+    orders.repartition(8).write.mode("overwrite").parquet(path)
+    man = build_bloom_manifest(spark, path, "o_orderkey").cache()
+    n_files = man.select("file").distinct().count()
+    assert n_files == 8
+
+    probe_key = 777
+    got = bloom_pruned_point_read(
+        spark, path, man, "o_orderkey", probe_key
+    )
+    want = spark.read.parquet(path).filter(F.col("o_orderkey") == probe_key)
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )
+    assert want.count() > 0
+    # the key lives in exactly one file; bloom may add a few fp files
+    opened = len(got.inputFiles())
+    assert 1 <= opened < n_files
+
+    # absent key: no false negatives concern, near-zero files opened
+    missing = bloom_pruned_point_read(
+        spark, path, man, "o_orderkey", 10_000_000
+    )
+    assert missing.count() == 0
+    assert len(missing.inputFiles()) <= 2

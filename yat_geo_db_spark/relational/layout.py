@@ -147,3 +147,98 @@ def pruned_read(
         spark.read.parquet(*files)
         .filter(F.col(col).between(F.lit(lo), F.lit(hi)))
     )
+
+
+def build_bloom_manifest(
+    spark, path: str, col: str, m_bits: int = 1 << 13, k_hashes: int = 4
+) -> DataFrame:
+    """Per-FILE Bloom filters for a high-cardinality column — the
+    point-lookup complement to build_manifest's min/max ranges (ranges
+    skip nothing for an equality probe on an unsorted high-card key;
+    a 1 KiB-per-file bloom skips every file that cannot contain it).
+    One scan grouped by (input_file_name, word): output
+    O(files × m_bits/64) long rows — the manifest stays a sketch.
+    Same position derivation as relational.skew's bloom (Murmur3 +
+    literal seeds), so probe expressions line up by construction."""
+    from yat_geo_db_spark.relational.skew import _bit_mask, _bloom_positions
+
+    df = spark.read.parquet(path)
+    return (
+        df.withColumn("file", F.input_file_name())
+        .where(F.col(col).isNotNull())
+        .select(
+            "file",
+            F.explode(
+                _bloom_positions(F.col(col), m_bits, k_hashes)
+            ).alias("_pos"),
+        )
+        .select(
+            "file",
+            (F.col("_pos") / 64).cast("int").alias("word"),
+            _bit_mask(F.col("_pos")).alias("_mask"),
+        )
+        .groupBy("file", "word")
+        .agg(F.bit_or("_mask").alias("bits"))
+    )
+
+
+def bloom_pruned_point_read(
+    spark,
+    path: str,
+    bloom_manifest: DataFrame,
+    col: str,
+    value,
+    m_bits: int = 1 << 13,
+    k_hashes: int = 4,
+) -> DataFrame:
+    """Equality-probe read that opens only the files whose Bloom filter
+    might contain `value`: derive the probe's (word, required-bits)
+    pairs with the SAME hash expressions the builder used (a 1-row
+    engine job — never a Python reimplementation of Murmur3 that could
+    drift), keep files satisfying EVERY probe word, and apply the exact
+    residual filter. No false negatives ⇒ row-identical to filtering
+    the full scan (test-pinned); false positives only cost extra file
+    opens, bounded by the m/n ratio."""
+    from yat_geo_db_spark.relational.skew import _bit_mask, _bloom_positions
+
+    full = spark.read.parquet(path)
+    # Murmur3 hashes by PHYSICAL width: lit(777) is INT while the column
+    # may be BIGINT — hash(int 777) != hash(bigint 777). Cast the probe
+    # to the column's own type so builder and probe hash identical bytes.
+    col_type = dict(full.dtypes)[col]
+    probe = (
+        spark.range(1)
+        .select(
+            F.explode(
+                _bloom_positions(
+                    F.lit(value).cast(col_type), m_bits, k_hashes
+                )
+            ).alias("_pos")
+        )
+        .select(
+            (F.col("_pos") / 64).cast("int").alias("word"),
+            _bit_mask(F.col("_pos")).alias("_mask"),
+        )
+        .groupBy("word")
+        .agg(F.bit_or("_mask").alias("req"))
+    )
+    req_rows = probe.collect()
+    n_req = len(req_rows)
+    req_df = F.broadcast(
+        spark.createDataFrame(
+            [(r["word"], r["req"]) for r in req_rows], "word int, req long"
+        )
+    )
+    sat = (
+        bloom_manifest.join(req_df, "word")
+        .where(
+            F.col("bits").bitwiseAND(F.col("req")) == F.col("req")
+        )
+        .groupBy("file")
+        .agg(F.count(F.lit(1)).alias("n_ok"))
+        .where(F.col("n_ok") == n_req)
+    )
+    files = [r["file"] for r in sat.select("file").collect()]
+    if not files:
+        return full.filter(F.lit(False))
+    return spark.read.parquet(*files).filter(F.col(col) == F.lit(value))
