@@ -167,3 +167,22 @@ def test_auc_golden_cases(spark):
     one_class = [(0.8, 1), (0.5, 1)]
     row = auc_of(one_class)
     assert row["auc"] is None and row["n_neg"] == 0
+
+
+def test_cusum_changepoint_localizes_shift(spark):
+    """A mid-stream mean shift must peak at (or adjacent to) the shift
+    boundary; a constant series must score exactly 0."""
+    from yat_geo_db_spark.pipelines.learn import cusum_changepoint
+
+    rows = [("shift", i, 10.0 if i < 50 else 20.0) for i in range(100)]
+    rows += [("flat", i, 7.0) for i in range(100)]
+    df = spark.createDataFrame(rows, "src string, i long, x double")
+    got = {
+        r["src"]: r
+        for r in cusum_changepoint(df, ["src"], "i", "x").collect()
+    }
+    # CUSUM of a clean step peaks exactly at the last pre-shift index
+    assert got["shift"]["peak_at"] == 49
+    assert got["shift"]["peak_cusum"] == 250.0  # 50 * |10 - 15|
+    assert got["flat"]["peak_cusum"] == 0.0
+    assert got["flat"]["n"] == 100

@@ -608,3 +608,42 @@ def test_pmi_cooccurrence_ranks_true_collocation(spark):
     assert all(
         pairs[("alpha", "beta")] >= v for v in pairs.values()
     )
+
+
+def test_weighted_sample_per_group_exact_k_and_short_groups(spark):
+    """Each group keeps exactly k rows (or all when smaller); weights
+    <= 0 are excluded; ranks are dense 1..k."""
+    import pyspark.sql.functions as F
+    from yat_geo_db_spark.pipelines.text import weighted_sample_per_group
+
+    rows = [(i, "big", float(1 + i % 7)) for i in range(40)]
+    rows += [(100 + i, "small", 2.0) for i in range(3)]
+    rows += [(200, "small", 0.0), (201, "small", -1.0)]
+    df = spark.createDataFrame(rows, "doc_id long, src string, w double")
+    out = weighted_sample_per_group(df, ["src"], F.col("w"), k=5).collect()
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r["src"], []).append(r["rank"])
+    assert sorted(by_src["big"]) == [1, 2, 3, 4, 5]
+    assert sorted(by_src["small"]) == [1, 2, 3]  # zero/neg weights excluded
+    assert {r["doc_id"] for r in out if r["src"] == "small"} == {100, 101, 102}
+
+
+def test_quantile_normalize_bounds_and_order(spark):
+    """pctl must be 0 at the min, 1 at the max, monotone with value,
+    tie-broken by id; single-row input maps to 0.5."""
+    from yat_geo_db_spark.pipelines.text import quantile_normalize
+
+    df = spark.createDataFrame(
+        [(1, 10), (2, 20), (3, 20), (4, 40), (5, None)],
+        "doc_id long, n_chars long",
+    )
+    got = {
+        r["doc_id"]: r["pctl"]
+        for r in quantile_normalize(df, "n_chars").collect()
+    }
+    assert got[1] == 0.0 and got[4] == 1.0
+    assert got[2] == 0.333333 and got[3] == 0.666667  # id tie-break
+    assert 5 not in got
+    one = spark.createDataFrame([(1, 9)], "doc_id long, n_chars long")
+    assert quantile_normalize(one, "n_chars").collect()[0]["pctl"] == 0.5

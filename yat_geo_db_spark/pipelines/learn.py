@@ -260,3 +260,58 @@ def auc_score(
             6,
         ).alias("auc"),
     )
+
+
+def cusum_changepoint(
+    df: DataFrame,
+    group_cols: list[str],
+    order_col: str,
+    value_col: str,
+    scale: int = 4,
+) -> DataFrame:
+    """Per-group CUSUM change-point scan: the running sum of
+    (x − group mean) in arrival order peaks (in absolute value) at the
+    most likely mean-shift point — the classic drift LOCALIZER next to
+    grouped_ols' trend direction. Returns per group: n, the peak
+    |CUSUM| (a stable source scores ≈ 0; a mid-stream shift scores
+    ~n·shift/2), and the order key where the peak occurs.
+
+    Scale shape: one groupBy for the per-group mean (dsum fixed-point ⇒
+    associative), one broadcast join back, ONE group-keyed window sort
+    for the running sum (dsum_over — fixed-point, so the running values
+    are exact 10^-s multiples and the argmax is engine-exact), and a
+    max(struct) argmax aggregate — never a per-group collect."""
+    from yat_geo_db_spark.relational.queries import dsum, dsum_over
+
+    means = df.groupBy(*group_cols).agg(
+        (dsum(F.col(value_col), scale) / F.count(F.lit(1))).alias("_mean"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    joined = df.join(F.broadcast(means), group_cols)
+    w = (
+        Window.partitionBy(*group_cols)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cusum = joined.select(
+        *group_cols,
+        F.col("n"),
+        F.col(order_col).alias("_ord"),
+        F.abs(
+            dsum_over(F.col(value_col) - F.col("_mean"), w, scale)
+        ).alias("_abs_cusum"),
+    )
+    return cusum.groupBy(*group_cols).agg(
+        F.first("n").alias("n"),
+        F.max(
+            F.struct(
+                F.col("_abs_cusum").alias("peak"),
+                (-F.col("_ord")).alias("neg_ord"),
+            )
+        ).alias("_m"),
+    ).select(
+        *group_cols,
+        "n",
+        F.round(F.col("_m.peak"), scale).alias("peak_cusum"),
+        (-F.col("_m.neg_ord")).alias("peak_at"),
+    )

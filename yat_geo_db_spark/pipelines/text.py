@@ -1756,3 +1756,83 @@ def pmi_cooccurrence(
     return scored.orderBy(
         F.desc("pmi"), "term_a", "term_b"
     ).limit(top_k)
+
+
+def weighted_sample_per_group(
+    documents: DataFrame,
+    group_cols: list[str],
+    weight_col: Column,
+    k: int,
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Exactly-k-PER-GROUP weighted sampling without replacement — the
+    grouped sibling of weighted_sample_exact_k (same A-ES es_key =
+    ln(u)/w on the deterministic per-key uniform, same 12-dp rounding
+    and id tie-break; see that docstring for the resolution math).
+    The per-source shape every mixture builder actually needs: "keep
+    the best-weighted k docs from EACH source, reproducibly".
+
+    Scale shape: one projection + ONE group-keyed window (rank within
+    group by es_key desc) — a sort-based window that spills, never a
+    global top-k per group via collect. Groups with fewer than k
+    eligible rows keep them all. Returns group cols + (key, weight,
+    es_key, rank)."""
+    u = F.greatest(
+        sample_hash_col(F.col(key_col), ES_SAMPLE_PRIME),
+        F.lit(0.5 / ES_SAMPLE_PRIME),
+    )
+    w = weight_col.cast("double")
+    keyed = documents.filter(w.isNotNull() & (w > 0)).select(
+        *group_cols,
+        F.col(key_col),
+        w.alias("weight"),
+        F.round(F.log(u) / w, 12).alias("es_key"),
+    )
+    win = Window.partitionBy(*group_cols).orderBy(
+        F.desc("es_key"), F.asc(key_col)
+    )
+    return keyed.withColumn("rank", F.row_number().over(win)).filter(
+        F.col("rank") <= k
+    )
+
+
+def quantile_normalize(
+    documents: DataFrame,
+    value_col: str,
+    key_col: str = "doc_id",
+    out_col: str = "pctl",
+    n_parts: int = 32,
+) -> DataFrame:
+    """Rank-based quantile normalization to [0, 1]: pctl =
+    (rank − 1)/(n − 1) under the (value, key) total order — the
+    scale-free transform that makes heterogeneous quality scores
+    mixable (a 0.9 from model A and a 0.9 from model B mean the same
+    corpus position afterwards). Ties take distinct adjacent
+    percentiles via the id tie-break (keeps the map invertible and the
+    oracle exact — NOT percent_rank's shared-rank convention).
+
+    Scale shape: the rank comes from dedup.global_rank (range shuffle +
+    partition-local row_number + broadcast offsets — never a
+    single-partition window); n arrives as a broadcast 1-row count.
+    NULL values are dropped; a 1-row input maps to 0.5."""
+    from yat_geo_db_spark.pipelines.dedup import global_rank
+
+    base = documents.select(
+        F.col(key_col), F.col(value_col)
+    ).where(F.col(value_col).isNotNull())
+    ranked = global_rank(
+        base, [value_col, key_col], rank_col="_rank", n_parts=n_parts
+    )
+    n_frame = F.broadcast(base.agg(F.count(F.lit(1)).alias("_n")))
+    return ranked.crossJoin(n_frame).select(
+        key_col,
+        value_col,
+        F.when(F.col("_n") > 1,
+               F.round(
+                   (F.col("_rank") - 1).cast("double")
+                   / (F.col("_n") - 1).cast("double"),
+                   6,
+               ))
+        .otherwise(F.lit(0.5))
+        .alias(out_col),
+    )

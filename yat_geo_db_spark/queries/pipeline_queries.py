@@ -1689,6 +1689,82 @@ FROM c
 """
 
 
+def q_quality_quantile_norm(spark, sf_dir):
+    """Rank-based quantile normalization (text.quantile_normalize) of
+    doc length to [0,1] — distributed rank via global_rank (range
+    shuffle + local row_number), broadcast n; oracle is the plain
+    window rank with the identical (value, id) total order."""
+    return text.quantile_normalize(
+        load_table(spark, sf_dir, "documents"), "n_chars"
+    ).orderBy("doc_id")
+
+
+_QUANTILE_NORM_SQL = """
+WITH b AS (SELECT doc_id, n_chars FROM documents WHERE n_chars IS NOT NULL),
+n AS (SELECT count(*) AS n FROM b),
+r AS (
+  SELECT doc_id, n_chars,
+         row_number() OVER (ORDER BY n_chars, doc_id) AS rnk
+  FROM b
+)
+SELECT doc_id, n_chars,
+       CASE WHEN n > 1
+            THEN round(CAST(rnk - 1 AS DOUBLE) / CAST(n - 1 AS DOUBLE), 6)
+            ELSE 0.5 END AS pctl
+FROM r, n
+ORDER BY doc_id
+"""
+
+
+def q_source_changepoint(spark, sf_dir):
+    """Per-source CUSUM change-point scan (learn.cusum_changepoint):
+    running fixed-point sum of (length − source mean) in doc_id order;
+    the |CUSUM| peak localizes the most likely mean shift. One mean
+    aggregate + broadcast join + ONE group-keyed running-sum window +
+    a struct argmax."""
+    from yat_geo_db_spark.pipelines.learn import cusum_changepoint
+
+    return cusum_changepoint(
+        load_table(spark, sf_dir, "documents"),
+        ["source"],
+        order_col="doc_id",
+        value_col="n_chars",
+        scale=4,
+    ).orderBy("source")
+
+
+def _changepoint_sql() -> str:
+    from yat_geo_db_spark.queries.relational_queries import _dsum
+
+    return f"""
+WITH m AS (
+  SELECT source,
+         {_dsum('CAST(n_chars AS DOUBLE)', 4)} / count(*) AS mean,
+         count(*) AS n
+  FROM documents GROUP BY source
+),
+c AS (
+  SELECT d.source, m.n, d.doc_id,
+         abs(CAST(sum(CAST(floor((CAST(n_chars AS DOUBLE) - m.mean) * 1e4
+                                 + CAST(0.5 AS DOUBLE)) AS BIGINT))
+                  OVER (PARTITION BY d.source ORDER BY d.doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS DOUBLE) / 1e4) AS ac
+  FROM documents d JOIN m USING (source)
+),
+p AS (
+  SELECT source, n, doc_id, ac,
+         row_number() OVER (
+           PARTITION BY source ORDER BY ac DESC, doc_id
+         ) AS rn
+  FROM c
+)
+SELECT source, n, round(ac, 4) AS peak_cusum, doc_id AS peak_at
+FROM p WHERE rn = 1
+ORDER BY source
+"""
+
+
 def q_quality_logreg(spark, sf_dir):
     """Distributed logistic-regression quality classifier (predict
     long-form docs, n_chars >= 300, from a capped length feature +
@@ -4298,6 +4374,45 @@ SELECT doc_id, weight, es_key FROM s
 ORDER BY es_key DESC, doc_id LIMIT {WEIGHTED_SAMPLE_K}
 """
 
+PER_GROUP_SAMPLE_K = 25
+
+
+def q_sample_weighted_per_group(spark, sf_dir):
+    """Exactly-k-per-SOURCE weighted sampling (text.
+    weighted_sample_per_group): same A-ES key as the global twin, but
+    ranked inside each source by one group-keyed window — the
+    per-source mixture-building shape."""
+    return text.weighted_sample_per_group(
+        load_table(spark, sf_dir, "documents"),
+        ["source"],
+        F.col("n_chars"),
+        k=PER_GROUP_SAMPLE_K,
+    ).orderBy("source", "rank")
+
+
+_WEIGHTED_PER_GROUP_SQL = f"""
+WITH s AS (
+  SELECT source, doc_id, CAST(n_chars AS DOUBLE) AS weight,
+         round(ln(greatest(
+                 CAST({mix_sql("doc_id", text.ES_SAMPLE_PRIME)} AS DOUBLE)
+                   / {float(text.ES_SAMPLE_PRIME)},
+                 0.5 / {text.ES_SAMPLE_PRIME}))
+               / CAST(n_chars AS DOUBLE), 12) AS es_key
+  FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0
+),
+r AS (
+  SELECT source, doc_id, weight, es_key,
+         row_number() OVER (
+           PARTITION BY source ORDER BY es_key DESC, doc_id
+         ) AS rank
+  FROM s
+)
+SELECT source, doc_id, weight, es_key, CAST(rank AS INT) AS rank
+FROM r WHERE rank <= {PER_GROUP_SAMPLE_K}
+ORDER BY source, rank
+"""
+
+
 EPOCH_SHUFFLE_EPOCHS = 2
 EPOCH_SHUFFLE_SHARDS = 8
 
@@ -4630,6 +4745,10 @@ QUERIES: dict = {
     "pipe_sample_token_budget": (q_sample_token_budget, _token_budget_sql()),
     "pipe_curate_forget": (q_curate_forget, _CURATE_FORGET_SQL),
     "pipe_sample_weighted_topk": (q_sample_weighted_topk, _WEIGHTED_TOPK_SQL),
+    "pipe_sample_weighted_per_group": (
+        q_sample_weighted_per_group,
+        _WEIGHTED_PER_GROUP_SQL,
+    ),
     "pipe_epoch_shuffle": (q_epoch_shuffle, _EPOCH_SHUFFLE_SQL),
     "pipe_source_pagerank": (q_source_pagerank, _pagerank_sql()),
     "pipe_graph_triangles": (q_graph_triangles, _TRIANGLES_SQL),
@@ -4676,6 +4795,8 @@ QUERIES: dict = {
     "pipe_quality_logreg": (q_quality_logreg, _logreg_sql()),
     "pipe_quality_calibration": (q_quality_calibration, _calibration_sql()),
     "pipe_quality_auc": (q_quality_auc, _QUALITY_AUC_SQL),
+    "pipe_quality_quantile_norm": (q_quality_quantile_norm, _QUANTILE_NORM_SQL),
+    "pipe_source_changepoint": (q_source_changepoint, _changepoint_sql()),
     "pipe_source_trend": (q_source_trend, _SOURCE_TREND_SQL),
     "pipe_sim_topk_ivf": (q_topk_ivf, _TOPK_IVF_SQL),
     "pipe_sim_topk_ivf_multiprobe": (q_topk_ivf_multiprobe, _TOPK_IVF_MULTIPROBE_SQL),
