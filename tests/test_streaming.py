@@ -749,3 +749,75 @@ def test_streaming_heavy_hitters_bounds_and_replay(spark, tmp_path):
         for r in read_heavy_hitters(spark, root).collect()
     }
     assert got2 == got
+
+
+def test_streaming_histogram_quantiles_equal_batch(spark, tmp_path):
+    """histogram_rollup_sink: streaming per-batch histogram states,
+    folded on read, must produce EXACTLY the quantile estimates of the
+    one-shot batch histogram (integer bin adds are associative); a
+    full replay must change nothing."""
+    from yat_geo_db_spark.relational.merge import (
+        histogram_state,
+        quantile_from_histogram,
+    )
+    from yat_geo_db_spark.streaming.sinks import (
+        histogram_rollup_sink,
+        read_histogram_quantiles,
+    )
+
+    lo, hi, bins, qs = 0.0, 1000.0, 64, [0.5, 0.95]
+    events = load_table(spark, SF, "events").select("event_type", "value")
+    src = str(tmp_path / "hist_src")
+    events.repartition(3).write.mode("overwrite").parquet(src)
+    schema = spark.read.parquet(src).schema
+    root = str(tmp_path / "hist")
+
+    def run_stream(ckpt: str) -> None:
+        q = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+            .writeStream.foreachBatch(
+                histogram_rollup_sink(
+                    root, ["event_type"], "value", lo, hi, bins
+                )
+            )
+            .option("checkpointLocation", str(tmp_path / ckpt))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    run_stream("ckpt1")
+    got = sorted(
+        map(
+            tuple,
+            read_histogram_quantiles(
+                spark, root, ["event_type"], qs, lo, hi, bins
+            ).collect(),
+        )
+    )
+    want = sorted(
+        map(
+            tuple,
+            quantile_from_histogram(
+                histogram_state(
+                    spark.read.parquet(src), ["event_type"], "value",
+                    lo, hi, bins,
+                ),
+                ["event_type"], qs, lo, hi, bins,
+            ).collect(),
+        )
+    )
+    assert got == want and got
+
+    run_stream("ckpt2")
+    again = sorted(
+        map(
+            tuple,
+            read_histogram_quantiles(
+                spark, root, ["event_type"], qs, lo, hi, bins
+            ).collect(),
+        )
+    )
+    assert again == got

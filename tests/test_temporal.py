@@ -514,3 +514,20 @@ def test_table_stats_profile_golden(spark):
     assert got["s"]["avg_len"] == 3.0 and got["s"]["min_num"] is None
     assert got["t"]["min_num"] == 1704067200000000.0
     assert got["t"]["n_null"] == 1
+
+
+def test_winsorize_clips_tails_only(spark):
+    """Values inside the [p_lo, p_hi] band pass through unchanged; the
+    tails clamp to the bounds; NULLs stay NULL (never clamped to a
+    bound by least/greatest null-skipping)."""
+    from yat_geo_db_spark.relational.dq import winsorize
+
+    vals = [float(v) for v in range(1, 101)]  # 1..100
+    rows = [("a", i, v) for i, v in enumerate(vals)] + [("a", 999, None)]
+    df = spark.createDataFrame(rows, "g string, i long, x double")
+    out = {r["i"]: r["x_w"] for r in winsorize(df, ["g"], "x", 0.1, 0.9).collect()}
+    # p10 of 1..100 (quantile_cont) = 10.9; p90 = 90.1
+    assert abs(out[0] - 10.9) < 1e-9 and out[0] == out[4]  # low tail clamps up
+    assert abs(out[99] - 90.1) < 1e-9  # high tail clamps down
+    assert out[49] == 50.0  # interior untouched
+    assert out[999] is None

@@ -998,6 +998,35 @@ ORDER BY event_id
 """
 
 
+def winsorize_q(spark, sf_dir):
+    """Per-type percentile clipping (relational.dq.winsorize) of event
+    values at [p05, p95] — one percentile pass + broadcast bounds +
+    pure projection; NULLs stay NULL (guarded out of the clamp)."""
+    from yat_geo_db_spark.relational.dq import winsorize
+
+    (events,) = _t(spark, sf_dir, "events")
+    return (
+        winsorize(events, ["event_type"], "value", 0.05, 0.95)
+        .select("event_id", "event_type", "value", "value_w")
+        .orderBy("event_id")
+    )
+
+
+_WINSORIZE_SQL = """
+WITH q AS (
+  SELECT event_type,
+         quantile_cont(value, 0.05) AS qlo,
+         quantile_cont(value, 0.95) AS qhi
+  FROM events GROUP BY event_type
+)
+SELECT event_id, e.event_type, value,
+       CASE WHEN value IS NOT NULL
+            THEN least(greatest(value, qlo), qhi) END AS value_w
+FROM events e JOIN q ON e.event_type = q.event_type
+ORDER BY event_id
+"""
+
+
 _EXACT_PCTL_SQL = """
 SELECT event_type,
        round(quantile_cont(value, 0.25), 6) AS p25,
@@ -2605,6 +2634,7 @@ QUERIES: dict = {
     "rel_exact_percentiles": (exact_percentiles, _EXACT_PCTL_SQL),
     "rel_robust_outliers": (robust_outliers_q, _ROBUST_OUTLIERS_SQL),
     "rel_table_stats": (table_stats_q, _table_stats_sql()),
+    "rel_winsorize": (winsorize_q, _WINSORIZE_SQL),
     "rel_array_funcs": (array_funcs, _ARRAY_FUNCS_SQL),
     "rel_map_funcs": (map_funcs, _MAP_FUNCS_SQL),
     "rel_q1_pricing_summary": (q1, _Q1_SQL),

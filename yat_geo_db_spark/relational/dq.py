@@ -257,3 +257,43 @@ def table_stats(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
         F.round("max_num", 6).alias("max_num"),
         F.round("avg_len", 6).alias("avg_len"),
     )
+
+
+def winsorize(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    p_lo: float = 0.01,
+    p_hi: float = 0.99,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Per-group percentile clipping (winsorization): values below the
+    group's p_lo quantile raise to it, above p_hi lower to it — the
+    standard tail-taming transform before means/regressions on
+    long-tailed metrics (a raw mean of doc lengths is whatever the top
+    0.1% says it is). NULL values stay NULL (the when-guard keeps them
+    out of the least/greatest clamp, which would otherwise null-skip
+    to a bound).
+
+    Scale shape: one groupBy-percentile pass to the per-group (lo, hi)
+    bounds, one broadcast join back, and a pure projection — the data
+    moves zero times beyond its scan."""
+    q = df.groupBy(*group_cols).agg(
+        F.expr(
+            f"percentile({value_col}, array({p_lo}d, {p_hi}d))"
+        ).alias("_q")
+    ).select(
+        *group_cols,
+        F.col("_q")[0].alias("_qlo"),
+        F.col("_q")[1].alias("_qhi"),
+    )
+    out = out_col or f"{value_col}_w"
+    return df.join(F.broadcast(q), group_cols).withColumn(
+        out,
+        F.when(
+            F.col(value_col).isNotNull(),
+            F.least(
+                F.greatest(F.col(value_col), F.col("_qlo")), F.col("_qhi")
+            ),
+        ),
+    ).drop("_qlo", "_qhi")

@@ -338,3 +338,63 @@ def read_heavy_hitters(spark, root: str, min_count: int = 0) -> DataFrame:
         rows or [], "key string, approx_count long"
     )
     return out.where(F.col("approx_count") >= min_count)
+
+
+def histogram_rollup_sink(
+    root: str,
+    key_cols: list[str],
+    value_col: str,
+    lo: float,
+    hi: float,
+    n_bins: int = 256,
+):
+    """foreachBatch maintenance of the QUANTILE leg of the rollup
+    family: each micro-batch reduces to its per-key histogram_state
+    (integer bin counts over the declared [lo, hi] domain — the domain
+    is a contract, so every batch bins identically and states merge
+    exactly) and is handed to the shared batch_id=N overwrite writer.
+    At-least-once replay REPLACES a batch's counts; merge-on-read
+    equals one-shot batch binning bit-for-bit (integer adds are
+    associative). Compaction via _compacted_through as in
+    rollup_maintenance_sink."""
+    from yat_geo_db_spark.relational.merge import histogram_state
+
+    inner = batch_partitioned_parquet_sink(root)
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_id <= _compacted_through(root):
+            return
+        inner(
+            histogram_state(
+                batch_df, key_cols, value_col, lo, hi, n_bins
+            ),
+            batch_id,
+        )
+
+    return write_batch
+
+
+def read_histogram_quantiles(
+    spark,
+    root: str,
+    key_cols: list[str],
+    qs: list[float],
+    lo: float,
+    hi: float,
+    n_bins: int = 256,
+) -> DataFrame:
+    """Merge-on-read of a histogram_rollup_sink target straight to
+    per-key quantile estimates: fold every batch state (one hash
+    shuffle over O(batches × keys × occupied-bins) count rows — never
+    the raw stream) and interpolate. Error ≤ one bin width, exactly as
+    in the batch path."""
+    from yat_geo_db_spark.relational.merge import (
+        merge_histogram_states,
+        quantile_from_histogram,
+    )
+
+    states = spark.read.option("basePath", root).parquet(
+        os.path.join(root, "batch_id=*")
+    ).drop("batch_id")
+    merged = merge_histogram_states([states], key_cols)
+    return quantile_from_histogram(merged, key_cols, qs, lo, hi, n_bins)
