@@ -551,3 +551,53 @@ def test_fuzzy_join_no_cartesian_probe_local_windows(spark):
     import re
     for frag in re.findall(r"Window \[[^\]]*\], \[([^\]]*)\]", plan):
         assert "probe_id" in frag, plan
+
+
+def test_bloom_pruned_join_filters_before_exchange(spark):
+    """The bloom membership test must run as a plain Filter on the large
+    side's scan stage — BEFORE its Exchange — so non-matching fact rows
+    never shuffle. The filter is recognizable by the bitmap
+    element_at/shiftleft expressions."""
+    import pyspark.sql.functions as F
+    from yat_geo_db_spark.relational.skew import bloom_pruned_join
+    from yat_geo_db_spark.testdata import load_table
+
+    lineitem = load_table(spark, "/root/testdata/sf0.001", "lineitem")
+    keys = (
+        load_table(spark, "/root/testdata/sf0.001", "orders")
+        .where(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_orderkey").alias("l_orderkey"))
+    )
+    plan = _plan(bloom_pruned_join(lineitem, keys, "l_orderkey"))
+    assert "shiftleft" in plan, plan
+    # the filter must appear upstream of (textually before, in Spark's
+    # child-last tree print: deeper = later lines) — assert it's attached
+    # to the lineitem scan side by checking a Filter with shiftleft exists
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan, plan
+
+
+def test_sorted_neighborhood_equi_join_no_single_partition(spark):
+    """SNM candidates must come from an equi-join on the rank key (no
+    cartesian/BNLJ), and the global rank must be built from a RANGE
+    repartition + partition-local window — never a SinglePartition
+    exchange over the data."""
+    from yat_geo_db_spark.pipelines.dedup import sorted_neighborhood_pairs
+    from yat_geo_db_spark.testdata import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    plan = _plan(sorted_neighborhood_pairs(docs, n_parts=8, checkpoint=False))
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan, plan
+    assert "rangepartitioning" in plan, plan
+    assert "Exchange SinglePartition" not in plan, plan
+
+
+def test_pmi_candidates_equi_join_on_doc(spark):
+    """PMI pair generation must be an equi self-join on doc_id with the
+    DF-filtered vocabulary broadcast — no cartesian anywhere."""
+    from yat_geo_db_spark.pipelines.text import pmi_cooccurrence
+    from yat_geo_db_spark.testdata import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    plan = _plan(pmi_cooccurrence(docs, max_df_frac=0.95))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan

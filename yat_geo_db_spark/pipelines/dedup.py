@@ -1495,6 +1495,7 @@ def global_rank(
     sort_cols: list[str],
     rank_col: str = "rank",
     n_parts: int = 32,
+    checkpoint: bool = True,
 ) -> DataFrame:
     """Dense 1-based global rank by `sort_cols` WITHOUT a single-partition
     window: range-partition on the sort key, count rows per partition (a
@@ -1511,7 +1512,11 @@ def global_rank(
     ranged = df.repartitionByRange(n_parts, *sort_cols).withColumn(
         "_pid", F.spark_partition_id()
     )
-    ranged = ranged.localCheckpoint(eager=False)
+    if checkpoint:
+        # checkpoint=False is the plan-shape-test escape (pagerank
+        # precedent): results identical, but the range exchange stays
+        # visible in the executed plan instead of an ExistingRDD stub.
+        ranged = ranged.localCheckpoint(eager=False)
     counts = {
         r["_pid"]: r["n"]
         for r in ranged.groupBy("_pid").agg(F.count(F.lit(1)).alias("n")).collect()
@@ -1540,6 +1545,7 @@ def sorted_neighborhood_pairs(
     key_len: int = 16,
     threshold: float = 0.5,
     n_parts: int = 32,
+    checkpoint: bool = True,
 ) -> DataFrame:
     """Sorted-neighborhood entity-resolution blocking: sort the corpus by
     a cheap normalized key (first `key_len` alphanumerics), slide a
@@ -1564,7 +1570,10 @@ def sorted_neighborhood_pairs(
         key.alias("_key"),
         F.array_distinct(char_ngrams(F.lower(F.col(text_col)))).alias("_grams"),
     )
-    ranked = global_rank(base, ["_key", "_id"], rank_col="_rank", n_parts=n_parts)
+    ranked = global_rank(
+        base, ["_key", "_id"], rank_col="_rank", n_parts=n_parts,
+        checkpoint=checkpoint,
+    )
     probes = ranked.select(
         F.col("_id").alias("id_a"),
         F.col("_grams").alias("_ga"),
