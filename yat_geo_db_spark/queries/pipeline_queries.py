@@ -207,7 +207,9 @@ WITH base AS (
   SELECT doc_id AS id,
          substr(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'), 1, 16)
            AS key,
-         list_distinct({grams_sql('lower(text)', distinct=False)}) AS grams
+         list_distinct(list_transform(
+           {grams_sql('lower(text)', distinct=False)},
+           g -> {_sh('g')})) AS grams
   FROM documents
 ),
 ranked AS (
