@@ -647,3 +647,44 @@ def test_quantile_normalize_bounds_and_order(spark):
     assert 5 not in got
     one = spark.createDataFrame([(1, 9)], "doc_id long, n_chars long")
     assert quantile_normalize(one, "n_chars").collect()[0]["pctl"] == 0.5
+
+
+def test_zipf_fit_recovers_planted_exponent(spark):
+    """A synthetic corpus built with count(rank) = C·rank^(-0.8) must fit
+    slope ≈ −0.8 with r² ≈ 1; NumPy polyfit on the same rounded points
+    must agree to 6 dp."""
+    import math
+
+    import numpy as np
+
+    from yat_geo_db_spark.pipelines.text import zipf_fit
+
+    # build docs whose token counts follow an exact power law
+    rows, doc_id = [], 0
+    toks = []
+    for rank in range(1, 41):
+        cnt = max(2, int(round(1000 * rank ** -0.8)))
+        toks += [f"w{rank:03d}"] * cnt
+    # pack tokens into docs of 50
+    for i in range(0, len(toks), 50):
+        rows.append((doc_id, " ".join(toks[i : i + 50])))
+        doc_id += 1
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = zipf_fit(docs).collect()[0]
+    assert -0.85 < got["slope"] < -0.75
+    assert got["r2"] > 0.98
+
+    # exact agreement with a local fit on the same rounded points
+    from collections import Counter
+
+    counts = Counter(toks)
+    ordered = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+    pts = [
+        (round(math.log(r + 1), 6), round(math.log(c), 6))
+        for r, (_, c) in enumerate(ordered)
+        if c >= 2
+    ]
+    x = np.array([p[0] for p in pts]); y = np.array([p[1] for p in pts])
+    slope, intercept = np.polyfit(x, y, 1)
+    assert abs(got["slope"] - round(slope, 6)) < 2e-6
+    assert abs(got["intercept"] - round(intercept, 6)) < 2e-6

@@ -1836,3 +1836,36 @@ def quantile_normalize(
         .otherwise(F.lit(0.5))
         .alias(out_col),
     )
+
+
+def zipf_fit(
+    documents: DataFrame,
+    text_col: str = "text",
+    min_count: int = 2,
+) -> DataFrame:
+    """Zipf's-law fit of the token frequency distribution: OLS of
+    ln(count) against ln(rank) over the vocabulary table — natural text
+    sits near slope −1; a flat slope flags synthetic/templated corpora
+    and a cliff flags boilerplate floods. Returns ONE row
+    (n_types, slope, intercept, r2) from learn.grouped_ols' closed-form
+    sufficient statistics.
+
+    Scale shape: the regression runs over the VOCABULARY-bounded count
+    table (Heaps' law), never the corpus; ln values are 6-dp rounded
+    before the fixed-point sufficient-statistic sums so the fit is
+    engine-exact. Hapax legomena (count < min_count) are excluded — they
+    flatten the tail and double the vocab size for zero signal."""
+    from yat_geo_db_spark.pipelines.learn import grouped_ols
+
+    vocab = vocab_coverage(documents, text_col=text_col).where(
+        F.col("cnt") >= min_count
+    )
+    pts = vocab.select(
+        F.lit(1).alias("_g"),
+        F.round(F.log(F.col("rank").cast("double")), 6).alias("ln_rank"),
+        F.round(F.log(F.col("cnt").cast("double")), 6).alias("ln_cnt"),
+    )
+    fitted = grouped_ols(pts, ["_g"], x_col="ln_rank", y_col="ln_cnt", scale=6)
+    return fitted.select(
+        F.col("n").alias("n_types"), "slope", "intercept", "r2"
+    )

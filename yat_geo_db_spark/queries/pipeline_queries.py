@@ -3733,6 +3733,55 @@ FROM c
 """
 
 
+def q_text_zipf(spark, sf_dir):
+    """Zipf fit (text.zipf_fit): OLS of ln(count) on ln(rank) over the
+    vocabulary table (hapax excluded) — one row of corpus-shape
+    diagnostics. The oracle repeats the rank window, the 6-dp ln
+    rounds, and the closed-form sufficient statistics."""
+    return text.zipf_fit(load_table(spark, sf_dir, "documents"))
+
+
+def _zipf_sql() -> str:
+    from yat_geo_db_spark.queries.relational_queries import _dsum
+
+    return f"""
+WITH t AS (
+  SELECT unnest(string_split(text, ' ')) AS token FROM documents
+),
+c AS (SELECT token, count(*) AS cnt FROM t GROUP BY token),
+r AS (
+  SELECT cnt,
+         CAST(row_number() OVER (ORDER BY cnt DESC, token ASC) AS INT)
+           AS rank
+  FROM c
+),
+pts AS (
+  SELECT round(ln(CAST(rank AS DOUBLE)), 6) AS x,
+         round(ln(CAST(cnt AS DOUBLE)), 6) AS y
+  FROM r WHERE cnt >= 2
+),
+agg AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n,
+         {_dsum('x', 6)} AS sx, {_dsum('y', 6)} AS sy,
+         {_dsum('x * y', 6)} AS sxy,
+         {_dsum('x * x', 6)} AS sxx, {_dsum('y * y', 6)} AS syy
+  FROM pts
+),
+d AS (
+  SELECT *, n * sxx - sx * sx AS vx, n * syy - sy * sy AS vy,
+         n * sxy - sx * sy AS cov
+  FROM agg
+)
+SELECT CAST(n AS BIGINT) AS n_types,
+       round(CASE WHEN vx > 0 THEN cov / vx END, 6) AS slope,
+       round(CASE WHEN vx > 0 THEN (sy - (cov / vx) * sx) / n END, 6)
+         AS intercept,
+       round(CASE WHEN vx > 0 AND vy > 0 THEN (cov * cov) / (vx * vy) END, 6)
+         AS r2
+FROM d
+"""
+
+
 def q_curate_leakage(spark, sf_dir):
     """Train/val/test contamination audit: distinct 13-gram overlap of
     each held-out split against train, over the SAME cluster-keyed split
@@ -4761,6 +4810,7 @@ QUERIES: dict = {
     "pipe_sim_hard_negatives": (q_sim_hard_negatives, _HARD_NEGATIVES_SQL),
     "pipe_pii_report": (q_pii_report, _pii_report_sql()),
     "pipe_text_vocab_coverage": (q_text_vocab_coverage, _VOCAB_COVERAGE_SQL),
+    "pipe_text_zipf": (q_text_zipf, _zipf_sql()),
     "pipe_curate_leakage": (q_curate_leakage, _CURATE_LEAKAGE_SQL),
     "pipe_dedup_exact": (q_dedup_exact, _DEDUP_EXACT_SQL),
     "pipe_dedup_ngram_jaccard": (q_dedup_jaccard, _DEDUP_JACCARD_SQL),
