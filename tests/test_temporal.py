@@ -531,3 +531,20 @@ def test_winsorize_clips_tails_only(spark):
     assert abs(out[99] - 90.1) < 1e-9  # high tail clamps down
     assert out[49] == 50.0  # interior untouched
     assert out[999] is None
+
+
+def test_impute_median_group_and_global_fallback(spark):
+    """NULLs fill with the group median; an all-NULL group falls back to
+    the global median; non-null values pass through untouched."""
+    from yat_geo_db_spark.relational.dq import impute_median
+
+    rows = [
+        ("a", 1, 10.0), ("a", 2, 20.0), ("a", 3, None),
+        ("b", 4, None), ("b", 5, None),
+        ("c", 6, 100.0),
+    ]
+    df = spark.createDataFrame(rows, "g string, i long, x double")
+    got = {r["i"]: r["x_filled"] for r in impute_median(df, ["g"], "x").collect()}
+    assert got[3] == 15.0          # group median of a
+    assert got[4] == got[5] == 20.0  # global median of {10,20,100}
+    assert got[1] == 10.0 and got[6] == 100.0

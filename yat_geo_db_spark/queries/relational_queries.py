@@ -1027,6 +1027,43 @@ ORDER BY event_id
 """
 
 
+def impute_median_q(spark, sf_dir):
+    """Robust NULL repair (relational.dq.impute_median): the fixture's
+    events carry no NULLs, so the query plants a deterministic dropout
+    (value NULLed where event_id % 7 == 0 — both engines express the
+    same corruption) and repairs it with the per-type median."""
+    from yat_geo_db_spark.relational.dq import impute_median
+
+    (events,) = _t(spark, sf_dir, "events")
+    holey = events.withColumn(
+        "value",
+        F.when(F.col("event_id") % 7 != 0, F.col("value")),
+    )
+    return (
+        impute_median(holey, ["event_type"], "value")
+        .select("event_id", "event_type", "value", "value_filled")
+        .orderBy("event_id")
+    )
+
+
+_IMPUTE_MEDIAN_SQL = """
+WITH holey AS (
+  SELECT event_id, event_type,
+         CASE WHEN event_id % 7 != 0 THEN value END AS value
+  FROM events
+),
+m AS (
+  SELECT event_type, quantile_cont(value, 0.5) AS gmed
+  FROM holey GROUP BY event_type
+),
+g AS (SELECT quantile_cont(value, 0.5) AS allmed FROM holey)
+SELECT event_id, h.event_type, value,
+       coalesce(value, gmed, allmed) AS value_filled
+FROM holey h JOIN m ON h.event_type = m.event_type, g
+ORDER BY event_id
+"""
+
+
 _EXACT_PCTL_SQL = """
 SELECT event_type,
        round(quantile_cont(value, 0.25), 6) AS p25,
@@ -2635,6 +2672,7 @@ QUERIES: dict = {
     "rel_robust_outliers": (robust_outliers_q, _ROBUST_OUTLIERS_SQL),
     "rel_table_stats": (table_stats_q, _table_stats_sql()),
     "rel_winsorize": (winsorize_q, _WINSORIZE_SQL),
+    "rel_impute_median": (impute_median_q, _IMPUTE_MEDIAN_SQL),
     "rel_array_funcs": (array_funcs, _ARRAY_FUNCS_SQL),
     "rel_map_funcs": (map_funcs, _MAP_FUNCS_SQL),
     "rel_q1_pricing_summary": (q1, _Q1_SQL),

@@ -297,3 +297,36 @@ def winsorize(
             ),
         ),
     ).drop("_qlo", "_qhi")
+
+
+def impute_median(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    out_col: str | None = None,
+) -> DataFrame:
+    """NULL repair by per-group median with a global-median fallback
+    (for groups that are entirely NULL) — the robust imputation default
+    for long-tailed metrics where a mean-fill drags toward outliers.
+    Non-null values pass through untouched.
+
+    Scale shape: one groupBy-percentile pass (percentile ignores
+    NULLs), one 1-row global percentile aggregate, one broadcast join +
+    pure coalesce projection — the data moves zero times beyond its
+    scan."""
+    med = df.groupBy(*group_cols).agg(
+        F.expr(f"percentile({value_col}, 0.5)").alias("_gmed")
+    )
+    glob = df.agg(
+        F.expr(f"percentile({value_col}, 0.5)").alias("_allmed")
+    )
+    out = out_col or f"{value_col}_filled"
+    return (
+        df.join(F.broadcast(med), group_cols)
+        .crossJoin(F.broadcast(glob))
+        .withColumn(
+            out,
+            F.coalesce(F.col(value_col), F.col("_gmed"), F.col("_allmed")),
+        )
+        .drop("_gmed", "_allmed")
+    )
