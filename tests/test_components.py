@@ -484,3 +484,14 @@ def test_label_propagation_two_cliques_bridge(spark):
     # the two blocks hold distinct labels
     assert {got[v] for v in range(4)} == {0}
     assert {got[v] for v in range(10, 14)} == {10}
+
+
+def test_label_propagation_rejects_string_ids(spark):
+    import pytest
+    from yat_geo_db_spark.pipelines.graph import label_propagation
+
+    df = spark.createDataFrame(
+        [("a.com", "b.com")], "src string, dst string"
+    )
+    with pytest.raises(ValueError, match="NUMERIC node ids"):
+        label_propagation(df)

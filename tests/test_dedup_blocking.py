@@ -732,3 +732,12 @@ def test_sorted_neighborhood_finds_prefix_sorted_dups(spark):
     }
     assert (1, 2) in pairs
     assert all(p in {(1, 2)} for p in pairs)
+
+
+def test_sorted_neighborhood_rejects_window_one(spark):
+    import pytest
+    from yat_geo_db_spark.pipelines.dedup import sorted_neighborhood_pairs
+
+    docs = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="window"):
+        sorted_neighborhood_pairs(docs, window=1)

@@ -186,3 +186,29 @@ def test_cusum_changepoint_localizes_shift(spark):
     assert got["shift"]["peak_cusum"] == 250.0  # 50 * |10 - 15|
     assert got["flat"]["peak_cusum"] == 0.0
     assert got["flat"]["n"] == 100
+
+
+def test_cusum_timestamp_order_and_auc_null_scores(spark):
+    """Review regressions: cusum_changepoint must accept a TIMESTAMP
+    order column (the natural arrival order); auc_score must exclude
+    NULL scores rather than inherit engine-defined NULL ordering."""
+    import datetime as dt
+
+    import pyspark.sql.functions as F
+    from yat_geo_db_spark.pipelines.learn import auc_score, cusum_changepoint
+
+    rows = [
+        ("s", dt.datetime(2024, 1, 1, 0, 0, i), 10.0 if i < 5 else 20.0)
+        for i in range(10)
+    ]
+    df = spark.createDataFrame(rows, "src string, ts timestamp, x double")
+    got = cusum_changepoint(df, ["src"], "ts", "x").collect()[0]
+    assert got["peak_at"] == dt.datetime(2024, 1, 1, 0, 0, 4)
+    assert got["peak_cusum"] == 25.0
+
+    scored = spark.createDataFrame(
+        [(0.9, 1), (0.1, 0), (None, 1), (None, 0)],
+        "score double, label int",
+    )
+    row = auc_score(scored, "score", "label").collect()[0]
+    assert (row["n_pos"], row["n_neg"], row["auc"]) == (1, 1, 1.0)

@@ -821,3 +821,26 @@ def test_streaming_histogram_quantiles_equal_batch(spark, tmp_path):
         )
     )
     assert again == got
+
+
+def test_heavy_hitter_sink_integer_keys(spark, tmp_path):
+    """Review regression: an INTEGER key column must still estimate
+    correctly — the sketch adds string-cast keys to match the reader's
+    string probes (an addLong/string-probe split returns ~0 for every
+    key). The sink callable is exercised directly (no stream needed)."""
+    from yat_geo_db_spark.streaming.sinks import (
+        heavy_hitter_sink,
+        read_heavy_hitters,
+    )
+
+    root = str(tmp_path / "hh_int")
+    df = spark.createDataFrame(
+        [(i, i % 3) for i in range(300)], "event_id long, code int"
+    )
+    sink = heavy_hitter_sink(root, "code")
+    sink(df, 0)
+    got = {
+        r["key"]: r["approx_count"]
+        for r in read_heavy_hitters(spark, root).collect()
+    }
+    assert got == {"0": 100, "1": 100, "2": 100}

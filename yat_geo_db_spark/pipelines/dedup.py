@@ -1513,9 +1513,13 @@ def global_rank(
         "_pid", F.spark_partition_id()
     )
     if checkpoint:
-        # checkpoint=False is the plan-shape-test escape (pagerank
-        # precedent): results identical, but the range exchange stays
-        # visible in the executed plan instead of an ExistingRDD stub.
+        # The checkpoint is LOAD-BEARING for correctness, not a lineage
+        # nicety: the counts job and the ranking job would otherwise each
+        # re-execute repartitionByRange, whose boundary sampling can
+        # differ between jobs — offsets then mismatch actual partition
+        # contents and ranks duplicate/skip. checkpoint=False exists ONLY
+        # for plan-shape inspection (the executed plan otherwise starts at
+        # an ExistingRDD stub); never use it for real results.
         ranged = ranged.localCheckpoint(eager=False)
     counts = {
         r["_pid"]: r["n"]
@@ -1564,6 +1568,12 @@ def sorted_neighborhood_pairs(
     shuffle and being duplicated window-1× through the explode (measured
     2.3× on the sf0.1 bench). Output: (id_a, id_b, jaccard) with id_a's
     rank below id_b's."""
+    if window < 2:
+        raise ValueError(
+            f"window must be >= 2 (got {window}): window=1 has no "
+            "neighbors, and the rank+1..rank+window-1 probe sequence "
+            "would run BACKWARDS and emit self-pairs"
+        )
     key = F.substring(
         F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9]", ""),
         1,

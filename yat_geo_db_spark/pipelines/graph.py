@@ -363,6 +363,16 @@ def label_propagation(
     lineage. Self-loops are dropped; isolated nodes never appear in
     the adjacency and keep no row (community of one — join them back
     from your node universe if you need them listed)."""
+    numeric = ("int", "bigint", "smallint", "tinyint", "long", "double", "float")
+    dtypes = dict(edges.dtypes)
+    for c in (src, dst):
+        if not dtypes[c].startswith(numeric):
+            raise ValueError(
+                f"label_propagation needs NUMERIC node ids (the min-label "
+                f"tie-break uses arithmetic negation inside max(struct)); "
+                f"column {c!r} is {dtypes[c]!r} — dictionary-encode string "
+                f"ids first (e.g. via a row_number index)"
+            )
     und = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).where(
         F.col(src) != F.col(dst)
     )

@@ -225,9 +225,13 @@ def auc_score(
     while distinct scores are bounded (classifier outputs rounded to
     fixed precision); an unbounded-score input should be rounded or
     routed through dedup.global_rank first. Returns one row:
-    (n_pos, n_neg, auc); AUC is NULL when either class is empty."""
+    (n_pos, n_neg, auc); AUC is NULL when either class is empty. Rows
+    with NULL scores are excluded (they have no rank; keeping them would
+    also leave the running-sum window's NULL placement engine-defined —
+    Spark sorts NULLS FIRST, most SQL engines NULLS LAST)."""
     g = (
-        scored.select(
+        scored.where(F.col(score_col).isNotNull())
+        .select(
             F.col(score_col).alias("_s"),
             F.col(label_col).cast("int").alias("_y"),
         )
@@ -301,17 +305,21 @@ def cusum_changepoint(
             dsum_over(F.col(value_col) - F.col("_mean"), w, scale)
         ).alias("_abs_cusum"),
     )
-    return cusum.groupBy(*group_cols).agg(
-        F.first("n").alias("n"),
-        F.max(
-            F.struct(
-                F.col("_abs_cusum").alias("peak"),
-                (-F.col("_ord")).alias("neg_ord"),
-            )
-        ).alias("_m"),
-    ).select(
-        *group_cols,
-        "n",
-        F.round(F.col("_m.peak"), scale).alias("peak_cusum"),
-        (-F.col("_m.neg_ord")).alias("peak_at"),
+    # argmax via a group-keyed ranking window (peak desc, order asc):
+    # works for ANY orderable order column — timestamps included — where
+    # a max(struct(peak, -ord)) negation trick would fail analysis; it
+    # shares the running-sum window's group partitioning, so no extra
+    # shuffle
+    pick = Window.partitionBy(*group_cols).orderBy(
+        F.desc("_abs_cusum"), F.asc("_ord")
+    )
+    return (
+        cusum.withColumn("_rn", F.row_number().over(pick))
+        .filter(F.col("_rn") == 1)
+        .select(
+            *group_cols,
+            "n",
+            F.round(F.col("_abs_cusum"), scale).alias("peak_cusum"),
+            F.col("_ord").alias("peak_at"),
+        )
     )

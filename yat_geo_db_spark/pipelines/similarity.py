@@ -1830,7 +1830,9 @@ def dim_truncation_eval(
     Output: one row per dim — (dim, n_queries, k, recall)."""
     queries = embeddings.where(
         F.pmod(F.col(id_col), F.lit(sample_mod)) == 0
-    ).select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qfull"))
+    ).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qfull")
+    ).localCheckpoint(eager=False)
     n_queries = queries.select(
         F.count(F.lit(1)).alias("n_queries")
     )
@@ -1852,9 +1854,12 @@ def dim_truncation_eval(
         ).where(F.col(id_col) != F.col("query_id"))
         return _two_phase_topk(scored, k, "query_id", id_col)
 
+    # materialize the full-dim ground truth ONCE: it is the most
+    # expensive subplan and is referenced by every per-dim join branch
+    # of the final union — uncached it would re-execute len(dims) times
     exact = topk_at(None).select(
         "query_id", F.col(id_col).alias("_nb")
-    )
+    ).localCheckpoint(eager=False)
     per_dim = []
     for d in dims:
         approx = topk_at(d).select(

@@ -1707,7 +1707,7 @@ def pmi_cooccurrence(
         documents.select(
             F.col(id_col).alias("_doc"),
             F.explode(
-                F.array_distinct(F.split(F.col(text_col), " "))
+                F.array_distinct(tokens_col(F.col(text_col)))
             ).alias("_t"),
         )
         .where(F.col("_t") != "")

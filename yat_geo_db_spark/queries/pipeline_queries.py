@@ -1672,7 +1672,7 @@ r AS (
 ),
 g AS (
   SELECT score, sum(y) AS pos_n, sum(1 - y) AS neg_n
-  FROM r GROUP BY score
+  FROM r WHERE score IS NOT NULL GROUP BY score
 ),
 c AS (
   SELECT pos_n, neg_n,

@@ -188,8 +188,10 @@ def robust_outliers(
     )
 
 
-#: dtypes table_stats treats as numeric (profiled into min_num/max_num)
-_NUMERIC_PREFIXES = ("int", "bigint", "double", "float", "smallint", "tinyint", "decimal")
+#: dtypes table_stats treats as numeric (profiled into min_num/max_num).
+#: Exact names + the parameterized decimal — a bare "int" PREFIX would
+#: also match "interval ..." types and crash the cast.
+_NUMERIC_TYPES = ("int", "bigint", "double", "float", "smallint", "tinyint")
 
 
 def table_stats(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
@@ -212,7 +214,7 @@ def table_stats(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
     for j, c in enumerate(cols):
         p = f"_c{j}"
         t = dtypes[c]
-        if t.startswith(_NUMERIC_PREFIXES):
+        if t in _NUMERIC_TYPES or t.startswith("decimal"):
             num = F.col(c).cast("double")
         elif t.startswith("timestamp"):
             num = F.unix_micros(F.col(c).cast("timestamp")).cast("double")
@@ -223,9 +225,15 @@ def table_stats(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
             if t == "string"
             else F.lit(None).cast("double")
         )
+        # maps aren't comparable: count_distinct on them fails analysis
+        nd = (
+            F.first(F.lit(None).cast("bigint"))
+            if t.startswith("map")
+            else F.count_distinct(F.col(c))
+        )
         aggs += [
             F.count(F.when(F.col(c).isNull(), 1)).alias(f"{p}_nul"),
-            F.count_distinct(F.col(c)).alias(f"{p}_nd"),
+            nd.alias(f"{p}_nd"),
             F.min(num).alias(f"{p}_mn"),
             F.max(num).alias(f"{p}_mx"),
             alen.alias(f"{p}_al") if t == "string" else F.first(alen).alias(f"{p}_al"),

@@ -286,9 +286,13 @@ def heavy_hitter_sink(
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_id <= _compacted_through(root):
             return
+        # sketch over the STRING-cast key: the reader probes with Python
+        # strings (UTF-8 byte hashing) — an integer-typed key would add
+        # via addLong and never match a string probe
         sk = batch_df.groupBy().agg(
             F.expr(
-                f"count_min_sketch({key_col}, {eps}d, {confidence}d, {seed})"
+                f"count_min_sketch(CAST({key_col} AS STRING), "
+                f"{eps}d, {confidence}d, {seed})"
             ).alias("sk")
         ).select(F.lit(None).cast("string").alias("key"), "sk")
         keys = (
@@ -307,9 +311,7 @@ def read_heavy_hitters(spark, root: str, min_count: int = 0) -> DataFrame:
     sketch blob (driver-side JVM merge over O(batches) small blobs —
     the metrics-store serving read) and probe the union of candidate
     keys. Returns (key, approx_count) for estimates >= min_count."""
-    states = spark.read.option("basePath", root).parquet(
-        os.path.join(root, "batch_id=*")
-    )
+    states = read_sink(spark, root)
     blobs = [
         bytes(r["sk"])
         for r in states.where(F.col("sk").isNotNull()).select("sk").collect()
@@ -393,8 +395,6 @@ def read_histogram_quantiles(
         quantile_from_histogram,
     )
 
-    states = spark.read.option("basePath", root).parquet(
-        os.path.join(root, "batch_id=*")
-    ).drop("batch_id")
+    states = read_sink(spark, root).drop("batch_id")
     merged = merge_histogram_states([states], key_cols)
     return quantile_from_histogram(merged, key_cols, qs, lo, hi, n_bins)
