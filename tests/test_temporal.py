@@ -548,3 +548,33 @@ def test_impute_median_group_and_global_fallback(spark):
     assert got[3] == 15.0          # group median of a
     assert got[4] == got[5] == 20.0  # global median of {10,20,100}
     assert got[1] == 10.0 and got[6] == 100.0
+
+
+def test_association_rules_golden_basket(spark):
+    """Hand-built baskets: a rule that always fires gets confidence 1
+    and lift N/n_b; a never-co-occurring pair is absent; min_pair_n
+    prunes."""
+    import datetime as dt
+
+    from yat_geo_db_spark.relational.queries import association_rules
+
+    rows = []
+    eid = 0
+    # 4 sessions (distinct users, far-apart times): {a,b} x3, {c} x1
+    for u in range(3):
+        for t in ("a", "b"):
+            rows.append((eid, u, dt.datetime(2024, 1, 1, 0, 0, eid), t))
+            eid += 1
+    rows.append((eid, 99, dt.datetime(2024, 1, 1, 0, 0, 59), "c"))
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, event_type string"
+    )
+    got = {
+        (r["antecedent"], r["consequent"]): r
+        for r in association_rules(df, min_pair_n=2, top_k=10).collect()
+    }
+    ab = got[("a", "b")]
+    assert ab["n_ab"] == 3 and ab["confidence"] == 1.0
+    assert ab["support"] == 0.75  # 3 of 4 sessions
+    assert ab["lift"] == round(1.0 / (3 / 4), 6)  # 1.333333
+    assert ("a", "c") not in got

@@ -821,6 +821,70 @@ SELECT 'left_null',
         WHERE b.o_custkey IS NULL)
 """
 
+def association_rules_q(spark, sf_dir):
+    """Directional association rules over 15-min session baskets
+    (relational.queries.association_rules): support/confidence/lift per
+    ordered event-type pair — all-integer counts, engine-exact ratios.
+    The oracle replays sessionization + basket self-join in SQL."""
+    from yat_geo_db_spark.relational.queries import association_rules
+
+    (events,) = _t(spark, sf_dir, "events")
+    return association_rules(events, min_pair_n=5, top_k=50)
+
+
+_ASSOC_RULES_SQL = """
+WITH secs AS (
+  SELECT user_id, event_id, event_type, ts,
+         epoch_us(CAST(ts AS TIMESTAMP)) AS us
+  FROM events
+),
+marked AS (
+  SELECT user_id, event_type, ts, event_id,
+         CASE WHEN lag(us) OVER w IS NULL
+              OR us - lag(us) OVER w > 15 * 60 * 1000000
+              THEN 1 ELSE 0 END AS new_session
+  FROM secs
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT user_id, event_type,
+         CAST(sum(new_session) OVER (
+              PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS session_id
+  FROM marked
+),
+baskets AS (SELECT DISTINCT user_id, session_id, event_type FROM sess),
+ns AS (
+  SELECT count(*) AS n_sessions
+  FROM (SELECT DISTINCT user_id, session_id FROM baskets)
+),
+items AS (
+  SELECT event_type, count(*) AS n_item FROM baskets GROUP BY event_type
+),
+pairs AS (
+  SELECT a.event_type AS antecedent, b.event_type AS consequent,
+         count(*) AS n_ab
+  FROM baskets a
+  JOIN baskets b
+    ON a.user_id = b.user_id AND a.session_id = b.session_id
+   AND a.event_type != b.event_type
+  GROUP BY 1, 2
+  HAVING count(*) >= 5
+)
+SELECT antecedent, consequent, CAST(n_ab AS BIGINT) AS n_ab,
+       round(CAST(n_ab AS DOUBLE) / n_sessions, 6) AS support,
+       round(CAST(n_ab AS DOUBLE) / ia.n_item, 6) AS confidence,
+       round((CAST(n_ab AS DOUBLE) / ia.n_item)
+             / (CAST(ib.n_item AS DOUBLE) / n_sessions), 6) AS lift
+FROM pairs
+JOIN items ia ON pairs.antecedent = ia.event_type
+JOIN items ib ON pairs.consequent = ib.event_type, ns
+ORDER BY lift DESC, antecedent, consequent
+LIMIT 50
+"""
+
+
 _SESSIONIZE_SQL = """
 WITH secs AS (
   -- exact microsecond gaps (the engine compares unix_micros, not
@@ -2694,6 +2758,7 @@ QUERIES: dict = {
     "rel_lineitem_math_funcs": (math_funcs, _MATH_FUNCS_SQL),
     "rel_join_flavors": (join_flavors, _JOIN_FLAVORS_SQL),
     "rel_sessionize": (sessionize, _SESSIONIZE_SQL),
+    "rel_assoc_rules": (association_rules_q, _ASSOC_RULES_SQL),
     "rel_event_transitions": (event_transitions_q, _EVENT_TRANSITIONS_SQL),
     "rel_scd2_intervals": (scd2, _SCD2_SQL),
     "rel_scd2_upsert": (scd2_upsert, _SCD2_SQL),

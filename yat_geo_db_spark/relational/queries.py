@@ -1267,3 +1267,88 @@ def event_transitions(
         "n",
         F.round(F.col("n") / F.sum("n").over(wc), 6).alias("p_next"),
     )
+
+
+def association_rules(
+    events: DataFrame,
+    gap_minutes: int = 15,
+    min_pair_n: int = 5,
+    top_k: int = 50,
+) -> DataFrame:
+    """Directional association rules over session baskets (market-basket
+    mining on the event stream): for each ordered pair of event types
+    co-occurring in a session, support = n_ab/N_sessions, confidence =
+    n_ab/n_a, lift = confidence/(n_b/N). Lift > 1 means "sessions with a
+    see b more than base rate" — the next-action/recommendation read the
+    transition matrix (strictly sequential) can't give.
+
+    Scale shape: one user-keyed shuffle to assign sessions
+    (streaming.windows.assign_sessions), a distinct over (session, type)
+    baskets, an equi self-join on the session key (per-session fan-out
+    bounded by the type count, not the event count), a map-side
+    combinable pair aggregate, and broadcast joins of the |types|-row
+    marginals. All counts integer ⇒ the ratio arithmetic is engine-exact;
+    min_pair_n prunes noise rules; top_k = TakeOrdered on (lift desc,
+    antecedent, consequent)."""
+    from yat_geo_db_spark.streaming.windows import assign_sessions
+
+    baskets = (
+        assign_sessions(events, gap_minutes)
+        .select("user_id", "session_id", "event_type")
+        .distinct()
+    )
+    n_sessions_frame = F.broadcast(
+        baskets.select("user_id", "session_id")
+        .distinct()
+        .agg(F.count(F.lit(1)).alias("_ns"))
+    )
+    item_counts = baskets.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("_n_item")
+    )
+    a = baskets.select(
+        "user_id", "session_id", F.col("event_type").alias("antecedent")
+    )
+    b = baskets.select(
+        "user_id", "session_id", F.col("event_type").alias("consequent")
+    )
+    pairs = (
+        a.join(b, ["user_id", "session_id"])
+        .where(F.col("antecedent") != F.col("consequent"))
+        .groupBy("antecedent", "consequent")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .where(F.col("n_ab") >= min_pair_n)
+    )
+    enriched = (
+        pairs.join(
+            F.broadcast(
+                item_counts.select(
+                    F.col("event_type").alias("antecedent"),
+                    F.col("_n_item").alias("_n_a"),
+                )
+            ),
+            "antecedent",
+        )
+        .join(
+            F.broadcast(
+                item_counts.select(
+                    F.col("event_type").alias("consequent"),
+                    F.col("_n_item").alias("_n_b"),
+                )
+            ),
+            "consequent",
+        )
+        .crossJoin(n_sessions_frame)
+    )
+    conf = F.col("n_ab") / F.col("_n_a")
+    base = F.col("_n_b") / F.col("_ns")
+    out = enriched.select(
+        "antecedent",
+        "consequent",
+        "n_ab",
+        F.round(F.col("n_ab") / F.col("_ns"), 6).alias("support"),
+        F.round(conf, 6).alias("confidence"),
+        F.round(conf / base, 6).alias("lift"),
+    )
+    return out.orderBy(
+        F.desc("lift"), "antecedent", "consequent"
+    ).limit(top_k)

@@ -72,11 +72,11 @@ def session_windows(events: DataFrame, gap: str = "15 minutes",
     )
 
 
-def batch_sessionize(events: DataFrame, gap_minutes: int = 15) -> DataFrame:
-    """Batch-mode sessionization (same semantics as session_windows, computed
-    with window functions): a new session starts when the gap to the previous
-    event of the same user exceeds `gap_minutes`. Deterministic → used as the
-    oracle-checkable twin of the streaming path."""
+def assign_sessions(events: DataFrame, gap_minutes: int = 15) -> DataFrame:
+    """Per-EVENT session assignment (the building block batch_sessionize
+    aggregates and association_rules baskets on): adds `session_id`,
+    a per-user running count of gap-breaks. One user-keyed shuffle; the
+    lag and running-sum windows share the same (ts, event_id) sort."""
     from pyspark.sql import Window
 
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
@@ -92,8 +92,16 @@ def batch_sessionize(events: DataFrame, gap_minutes: int = 15) -> DataFrame:
         Window.partitionBy("user_id").orderBy("ts", "event_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    return events.withColumn("session_id", sess)
+
+
+def batch_sessionize(events: DataFrame, gap_minutes: int = 15) -> DataFrame:
+    """Batch-mode sessionization (same semantics as session_windows, computed
+    with window functions): a new session starts when the gap to the previous
+    event of the same user exceeds `gap_minutes`. Deterministic → used as the
+    oracle-checkable twin of the streaming path."""
     return (
-        events.withColumn("session_id", sess)
+        assign_sessions(events, gap_minutes)
         .groupBy("user_id", "session_id")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
