@@ -655,3 +655,25 @@ def test_jpeg_standalone_markers_refused_by_name():
         patched = base[:2] + stray + base[2:]  # right after SOI
         with pytest.raises(ValueError, match=name):
             decode_jpeg_baseline(patched)
+
+
+def test_image_dedup_keep_collapses_perturbation_family(spark):
+    """A planted family of near-identical images must collapse to ONE
+    surviving row (the min doc_id) carrying the family size; a visually
+    unrelated image survives as its own singleton with cluster_size 1."""
+    from yat_geo_db_spark.pipelines import multimodal
+
+    base = "the quick brown fox jumps over the lazy dog " * 6
+    rows = [(1, base), (2, base + "x"), (3, base + "yy")]
+    rows.append((50, "".join(chr(65 + (i * 13) % 26) for i in range(260))))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    media = multimodal.synthesize_png(docs)
+    out = {
+        r["doc_id"]: r
+        for r in multimodal.image_dedup_keep(media, max_hamming=10)
+        .select("doc_id", "component", "cluster_size")
+        .collect()
+    }
+    assert 1 in out and out[1]["cluster_size"] == 3
+    assert 2 not in out and 3 not in out
+    assert out[50]["cluster_size"] == 1

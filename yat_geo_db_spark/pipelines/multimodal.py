@@ -1521,3 +1521,40 @@ def jpeg_features(media: DataFrame) -> DataFrame:
     return media.select("doc_id", "media_bytes").mapInPandas(
         _extract, PNG_FEATURE_SCHEMA
     )
+
+
+def image_dedup_keep(
+    media: DataFrame, max_hamming: int = 10
+) -> DataFrame:
+    """End-to-end image dedup: pHash near-dup pairs (lossless pigeonhole
+    blocking) → connected components → keep the min-id image per visual
+    cluster. The multimodal twin of the text pipeline's
+    pairs→clusters→canonical chain, composed from the SAME operators —
+    so every stage keeps its own scale shape (segment equi-join, min-
+    label propagation, anti-join keep). Returns the surviving media rows
+    plus their cluster id and cluster size."""
+    from yat_geo_db_spark.pipelines.dedup import connected_components
+
+    pairs = phash_near_dup_pairs(media, max_hamming=max_hamming).select(
+        "id1", "id2"
+    )
+    comp = connected_components(pairs)  # (node, component)
+    sized = comp.join(
+        comp.groupBy("component").agg(F.count(F.lit(1)).alias("cluster_size")),
+        "component",
+    )
+    keep = sized.groupBy("component").agg(
+        F.min("node").alias("doc_id"),
+        F.first("cluster_size").alias("cluster_size"),
+    )
+    kept_dups = media.join(
+        keep.select("doc_id", "component", "cluster_size"), "doc_id"
+    )
+    singletons = media.join(
+        comp.select(F.col("node").alias("doc_id")), "doc_id", "left_anti"
+    ).select(
+        "*",
+        F.col("doc_id").alias("component"),
+        F.lit(1).cast("bigint").alias("cluster_size"),
+    )
+    return kept_dups.unionByName(singletons)

@@ -2711,6 +2711,19 @@ def q_mm_phash_pairs(spark, sf_dir):
     return multimodal.phash_near_dup_pairs(media, max_hamming=10)
 
 
+def q_mm_dedup_keep(spark, sf_dir):
+    """End-to-end image dedup (multimodal.image_dedup_keep): pHash
+    pairs → connected components → min-id canonical keep, the
+    multimodal twin of the text dedup chain. Rows-only (no SQL DCT);
+    the component losslessness and keep rule are pytest-pinned."""
+    media = multimodal.synthesize_png(load_table(spark, sf_dir, "documents"))
+    return (
+        multimodal.image_dedup_keep(media)
+        .select("doc_id", "component", "cluster_size")
+        .orderBy("doc_id")
+    )
+
+
 def q_mm_png_decode(spark, sf_dir):
     """REAL image codec path: synthesize genuine PNGs (8-bit greyscale,
     pure stdlib zlib encoder - pixels are the text's byte codes), decode
@@ -4903,6 +4916,7 @@ QUERIES: dict = {
     "pipe_mm_resize": (q_mm_resize, _MM_RESIZE_SQL),
     "pipe_mm_phash": (q_mm_phash, None),
     "pipe_mm_phash_pairs": (q_mm_phash_pairs, None),
+    "pipe_mm_dedup_keep": (q_mm_dedup_keep, None),
     "pipe_mm_audio_fingerprint": (q_mm_audio_fingerprint, None),
     "pipe_mm_audio_energy": (q_mm_audio_energy, _MM_AUDIO_SQL),
     "pipe_mm_wav_decode": (q_mm_wav_decode, _MM_WAV_SQL),
