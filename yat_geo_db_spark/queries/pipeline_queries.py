@@ -4592,6 +4592,95 @@ FROM c WHERE cum_tokens - n_tokens < budget
 """
 
 
+def q_curate_rank_mix(spark, sf_dir):
+    """END-TO-END rank-blended mix: quantile-normalize TWO heterogeneous
+    signals (doc length and token entropy) onto the same [0,1] scale,
+    blend them 50/50, and fill per-source token budgets in the
+    quality-WEIGHTED A-ES order. Composes quantile_normalize ×2,
+    token_entropy, and sample_to_token_budget(weight_col=...) — the
+    oracle replays every stage, so a rank drift, blend rounding slip,
+    or es-key mismatch anywhere in the chain breaks the hash."""
+    docs = load_table(spark, sf_dir, "documents")
+    p_len = text.quantile_normalize(
+        docs, "n_chars", out_col="p_len"
+    ).select("doc_id", "p_len")
+    ent = text.token_entropy(docs).select("doc_id", "token_entropy")
+    p_ent = text.quantile_normalize(
+        ent, "token_entropy", out_col="p_ent"
+    ).select("doc_id", "p_ent")
+    blended = p_len.join(p_ent, "doc_id").select(
+        "doc_id",
+        F.round((F.col("p_len") + F.col("p_ent")) / 2, 6).alias("w"),
+    )
+    docs_w = docs.join(blended, "doc_id")
+    return text.sample_to_token_budget(
+        docs_w, TOKEN_BUDGETS, weight_col=F.col("w")
+    ).orderBy("source", "doc_id")
+
+
+def _rank_mix_sql() -> str:
+    vals = ", ".join(
+        f"('{k}', {v})" for k, v in sorted(TOKEN_BUDGETS.items())
+    )
+    u = (
+        f"greatest(CAST({mix_sql('d.doc_id', text.ES_SAMPLE_PRIME)} AS DOUBLE)"
+        f" / {float(text.ES_SAMPLE_PRIME)}, 0.5 / {text.ES_SAMPLE_PRIME})"
+    )
+    return f"""
+WITH b(source, budget) AS (VALUES {vals}),
+pl_base AS (SELECT doc_id, n_chars FROM documents WHERE n_chars IS NOT NULL),
+pl_n AS (SELECT count(*) AS n FROM pl_base),
+pl AS (
+  SELECT doc_id,
+         CASE WHEN n > 1 THEN round(
+           CAST(row_number() OVER (ORDER BY n_chars, doc_id) - 1 AS DOUBLE)
+           / CAST(n - 1 AS DOUBLE), 6) ELSE 0.5 END AS p_len
+  FROM pl_base, pl_n
+),
+tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+),
+tc AS (SELECT doc_id, token, count(*) AS c FROM tok GROUP BY 1, 2),
+ent AS (
+  SELECT doc_id,
+         round(ln(CAST(sum(c) AS DOUBLE))
+               - sum(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))) / sum(c), 6)
+           AS token_entropy
+  FROM tc GROUP BY doc_id
+),
+pe_n AS (SELECT count(*) AS n FROM ent),
+pe AS (
+  SELECT doc_id,
+         CASE WHEN n > 1 THEN round(
+           CAST(row_number() OVER (ORDER BY token_entropy, doc_id) - 1
+                AS DOUBLE) / CAST(n - 1 AS DOUBLE), 6) ELSE 0.5 END AS p_ent
+  FROM ent, pe_n
+),
+blend AS (
+  SELECT pl.doc_id, round((p_len + p_ent) / 2, 6) AS w
+  FROM pl JOIN pe ON pl.doc_id = pe.doc_id
+),
+keyed AS (
+  SELECT d.doc_id AS doc_id, d.source AS source, budget,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         round(ln({u}) / w, 12) AS k
+  FROM documents d
+  JOIN blend ON d.doc_id = blend.doc_id
+  JOIN b ON d.source = b.source
+  WHERE w IS NOT NULL AND w > 0
+),
+c AS (
+  SELECT doc_id, source, budget, n_tokens,
+         sum(n_tokens) OVER (PARTITION BY source ORDER BY k DESC, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+  FROM keyed
+)
+SELECT doc_id, source, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens
+FROM c WHERE cum_tokens - n_tokens < budget
+ORDER BY source, doc_id
+"""
+
+
 #: total token budget for the end-to-end mix pipeline: sized so every SF
 #: selects a strict subset per source (sf0.001 has ~1.3k tokens/source,
 #: sf0.01 ~13.5k — a ~1k/source budget exercises the cut at both)
@@ -4806,6 +4895,7 @@ QUERIES: dict = {
     "pipe_html_extract": (q_html_extract, _html_extract_sql()),
     "pipe_curriculum_order": (q_curriculum_order, _curriculum_sql()),
     "pipe_mix_pipeline": (q_mix_pipeline, _mix_pipeline_sql()),
+    "pipe_curate_rank_mix": (q_curate_rank_mix, _rank_mix_sql()),
     "pipe_sample_token_budget": (q_sample_token_budget, _token_budget_sql()),
     "pipe_curate_forget": (q_curate_forget, _CURATE_FORGET_SQL),
     "pipe_sample_weighted_topk": (q_sample_weighted_topk, _WEIGHTED_TOPK_SQL),
