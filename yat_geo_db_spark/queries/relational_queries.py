@@ -1573,6 +1573,58 @@ def hll_mergeable_rollup(spark, sf_dir):
 
 
 
+def cms_rollup_error(spark, sf_dir):
+    """Hash-checkable twin of cms_heavy_hitters (the HLL-error-twin
+    pattern): the merged daily count-min estimates are reduced to the
+    CMS GUARANTEE booleans — exact ≤ est ≤ exact + ⌈ε·N⌉ — alongside
+    the exact counts. The oracle computes the exact side and asserts
+    TRUE, so the hash match demonstrates the sketch build + merge +
+    probe honored the bound without pretending DuckDB has a CMS."""
+    (events,) = _t(spark, sf_dir, "events")
+    daily = events.groupBy(F.to_date("ts").alias("day")).agg(
+        F.expr(
+            "count_min_sketch(event_type, 0.001d, 0.99d, 42)"
+        ).alias("sk")
+    )
+    blobs = [bytes(r["sk"]) for r in daily.collect()]
+    jvm = spark._jvm
+    merged = None
+    for b in blobs:
+        sk = jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(b)
+        if merged is None:
+            merged = sk
+        else:
+            merged.mergeInPlace(sk)
+    exact = {
+        r["event_type"]: (r["n"], r["N"])
+        for r in events.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .crossJoin(
+            F.broadcast(events.agg(F.count(F.lit(1)).alias("N")))
+        )
+        .collect()
+    }
+    import math
+
+    rows = []
+    for t in sorted(exact):
+        n, total = exact[t]
+        est = int(merged.estimateCount(t))
+        rows.append(
+            (t, n, est >= n and est <= n + math.ceil(0.001 * total))
+        )
+    return spark.createDataFrame(
+        rows, "event_type string, exact_n long, within_bounds boolean"
+    ).orderBy("event_type")
+
+
+_CMS_ERROR_SQL = """
+SELECT event_type, count(*) AS exact_n, TRUE AS within_bounds
+FROM events GROUP BY event_type
+ORDER BY event_type
+"""
+
+
 def hll_rollup_error(spark, sf_dir):
     """Hash-checkable twin of hll_mergeable_rollup: the merged per-type
     HLL estimate is joined against the exact count(DISTINCT user_id) and
@@ -2712,6 +2764,7 @@ QUERIES: dict = {
     "rel_hll_mergeable_rollup": (hll_mergeable_rollup, None),
     "rel_hll_rollup_error": (hll_rollup_error, _HLL_ERROR_SQL),
     "rel_cms_heavy_hitters": (cms_heavy_hitters, None),
+    "rel_cms_rollup_error": (cms_rollup_error, _CMS_ERROR_SQL),
     "rel_hypertable_rollup": (hypertable_rollup, _HYPERTABLE_SQL),
     "rel_time_decay_totals": (time_decay_totals, _TIME_DECAY_SQL),
     "rel_variant_extract": (variant_extract, _VARIANT_SQL),
