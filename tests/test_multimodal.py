@@ -677,3 +677,54 @@ def test_image_dedup_keep_collapses_perturbation_family(spark):
     assert 1 in out and out[1]["cluster_size"] == 3
     assert 2 not in out and 3 not in out
     assert out[50]["cluster_size"] == 1
+
+
+def test_cdc_chunking_tiling_and_edit_stability(spark):
+    """Chunks must tile the payload exactly; an insertion near the FRONT
+    must leave most downstream chunk digests intact (the content-defined
+    property a fixed-width chunker lacks); and the dedup report must
+    price duplicated payload bytes."""
+    import hashlib
+
+    from yat_geo_db_spark.pipelines.multimodal import (
+        cdc_chunk_bytes,
+        cdc_chunk_payloads,
+        cdc_dedup_report,
+    )
+
+    rng_bytes = bytes((i * 7919 + (i >> 3)) % 256 for i in range(20_000))
+    chunks = cdc_chunk_bytes(rng_bytes)
+    # exact tiling
+    assert chunks[0][0] == 0
+    assert sum(c[1] for c in chunks) == len(rng_bytes)
+    for (o1, l1), (o2, _) in zip(chunks, chunks[1:]):
+        assert o1 + l1 == o2
+    assert all(ln <= 4096 for _, ln in chunks)
+    assert len(chunks) > 10
+
+    def digests(data):
+        return {
+            hashlib.md5(data[o : o + ln]).hexdigest()
+            for o, ln in cdc_chunk_bytes(data)
+        }
+
+    edited = rng_bytes[:100] + b"INSERTED" + rng_bytes[100:]
+    base_d, edit_d = digests(rng_bytes), digests(edited)
+    assert len(base_d & edit_d) / len(base_d) >= 0.5
+
+    # distributed path + dedup report: two identical payloads share all
+    # digests, so every chunk shows bytes_saved = length
+    media = spark.createDataFrame(
+        [(1, rng_bytes), (2, rng_bytes), (3, edited)],
+        "doc_id long, media_bytes binary",
+    )
+    tbl = cdc_chunk_payloads(media)
+    got = {
+        (r["doc_id"], r["chunk_idx"]): (r["offset"], r["length"], r["digest"])
+        for r in tbl.collect()
+    }
+    local = cdc_chunk_bytes(rng_bytes)
+    assert [(got[(1, j)][0], got[(1, j)][1]) for j in range(len(local))] == local
+    report = cdc_dedup_report(tbl)
+    saved = sum(r["bytes_saved"] for r in report.collect())
+    assert saved >= len(rng_bytes)  # full second copy + shared edit regions

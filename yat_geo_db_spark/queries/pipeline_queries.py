@@ -2724,6 +2724,18 @@ def q_mm_dedup_keep(spark, sf_dir):
     )
 
 
+def q_mm_cdc_dedup(spark, sf_dir):
+    """Content-defined chunking dedup readout (multimodal.
+    cdc_chunk_payloads → cdc_dedup_report) over the synthetic PNG
+    payloads: per shared chunk digest, reference count and bytes a
+    content-addressed store saves. Rows-only: the Gear rolling-hash
+    boundary scan is not SQL-expressible; tiling/edit-stability/dedup
+    accounting are pytest-pinned."""
+    media = multimodal.synthesize_png(load_table(spark, sf_dir, "documents"))
+    chunks = multimodal.cdc_chunk_payloads(media)
+    return multimodal.cdc_dedup_report(chunks).orderBy("digest")
+
+
 def q_mm_png_decode(spark, sf_dir):
     """REAL image codec path: synthesize genuine PNGs (8-bit greyscale,
     pure stdlib zlib encoder - pixels are the text's byte codes), decode
@@ -5007,6 +5019,7 @@ QUERIES: dict = {
     "pipe_mm_phash": (q_mm_phash, None),
     "pipe_mm_phash_pairs": (q_mm_phash_pairs, None),
     "pipe_mm_dedup_keep": (q_mm_dedup_keep, None),
+    "pipe_mm_cdc_dedup": (q_mm_cdc_dedup, None),
     "pipe_mm_audio_fingerprint": (q_mm_audio_fingerprint, None),
     "pipe_mm_audio_energy": (q_mm_audio_energy, _MM_AUDIO_SQL),
     "pipe_mm_wav_decode": (q_mm_wav_decode, _MM_WAV_SQL),
