@@ -59,3 +59,25 @@ def test_facade_without_embeddings_raises(spark):
     cm2 = CorpusManager(load_table(spark, SF, "documents"))
     with pytest.raises(RuntimeError, match="without embeddings"):
         cm2.topk_similar(1)
+
+
+def test_facade_session3_surface(cm, spark):
+    """New analytics facade methods delegate to the module functions."""
+    from yat_geo_db_spark.pipelines.text import quantile_normalize, zipf_fit
+
+    docs = cm.documents
+    assert _ids(cm.quantile_normalize("n_chars"), "doc_id", "pctl") == _ids(
+        quantile_normalize(docs, "n_chars"), "doc_id", "pctl"
+    )
+    assert (
+        cm.zipf_fit().collect()[0]["slope"]
+        == zipf_fit(docs).collect()[0]["slope"]
+    )
+    snm = cm.sorted_neighborhood_pairs(window=4)
+    assert snm.columns == ["id_a", "id_b", "jaccard"]
+    scored = docs.select(
+        (F.col("n_chars") / 1000.0).alias("s"),
+        (F.col("lang") == "en").cast("int").alias("y"),
+    )
+    assert 0.0 <= cm.auc(scored, "s", "y").collect()[0]["auc"] <= 1.0
+    assert cm.sq8_topk(1, k=5).count() == 5

@@ -391,3 +391,64 @@ class CorpusManager:
         from yat_geo_db_spark.pipelines.learn import logreg_fit_history
 
         return logreg_fit_history(self.documents, feature_cols, label_col, **kw)
+
+    # -- round-6 session-3 analytics surface ----------------------------
+    def quantile_normalize(self, value_col: str, out_col: str = "pctl") -> DataFrame:
+        from yat_geo_db_spark.pipelines.text import quantile_normalize
+
+        return quantile_normalize(
+            self.documents, value_col, key_col=self.id_col, out_col=out_col
+        )
+
+    def weighted_sample_per_group(
+        self, group_cols: list[str], weight_col, k: int
+    ) -> DataFrame:
+        from yat_geo_db_spark.pipelines.text import weighted_sample_per_group
+
+        return weighted_sample_per_group(
+            self.documents, group_cols, weight_col, k, key_col=self.id_col
+        )
+
+    def sorted_neighborhood_pairs(self, **kw) -> DataFrame:
+        from yat_geo_db_spark.pipelines.dedup import sorted_neighborhood_pairs
+
+        return sorted_neighborhood_pairs(
+            self.documents, id_col=self.id_col, text_col=self.text_col, **kw
+        )
+
+    def pmi_collocations(self, **kw) -> DataFrame:
+        from yat_geo_db_spark.pipelines.text import pmi_cooccurrence
+
+        return pmi_cooccurrence(
+            self.documents, id_col=self.id_col, text_col=self.text_col, **kw
+        )
+
+    def zipf_fit(self, min_count: int = 2) -> DataFrame:
+        from yat_geo_db_spark.pipelines.text import zipf_fit
+
+        return zipf_fit(
+            self.documents, text_col=self.text_col, min_count=min_count
+        )
+
+    def calibration_curve(
+        self, scored: DataFrame, score_col: str, label_col: str,
+        n_bins: int = 10,
+    ) -> DataFrame:
+        from yat_geo_db_spark.pipelines.learn import calibration_curve
+
+        return calibration_curve(scored, score_col, label_col, n_bins)
+
+    def auc(self, scored: DataFrame, score_col: str, label_col: str) -> DataFrame:
+        from yat_geo_db_spark.pipelines.learn import auc_score
+
+        return auc_score(scored, score_col, label_col)
+
+    def sq8_topk(self, query_id: int, k: int = 10) -> DataFrame:
+        from yat_geo_db_spark.pipelines.similarity import sq8_topk
+
+        return sq8_topk(self.embeddings, query_id, k=k)
+
+    def dim_truncation_eval(self, dims: tuple = (8, 16, 32), k: int = 10) -> DataFrame:
+        from yat_geo_db_spark.pipelines.similarity import dim_truncation_eval
+
+        return dim_truncation_eval(self.embeddings, dims=dims, k=k)
