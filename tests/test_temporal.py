@@ -578,3 +578,44 @@ def test_association_rules_golden_basket(spark):
     assert ab["support"] == 0.75  # 3 of 4 sessions
     assert ab["lift"] == round(1.0 / (3 / 4), 6)  # 1.333333
     assert ("a", "c") not in got
+
+
+def test_scd2_lookup_join_golden(spark):
+    """Point-in-time lookup: boundary instant belongs to the NEW version
+    (valid_from <= ts < valid_to), validity gaps and pre-first-version
+    facts yield NULL, current (open) versions match any later ts."""
+    import datetime as dt
+
+    from yat_geo_db_spark.relational.temporal import scd2_lookup_join
+
+    def ts(s):
+        return dt.datetime(2024, 1, 1) + dt.timedelta(seconds=s)
+
+    dim = spark.createDataFrame(
+        [
+            (1, 1, "a", ts(0), ts(10)),
+            (1, 2, "b", ts(10), ts(20)),
+            (1, 3, "c", ts(30), None),  # gap 20..30, then current
+            (2, 1, "x", ts(5), None),
+        ],
+        "user_id long, version int, event_type string,"
+        " valid_from timestamp, valid_to timestamp",
+    )
+    facts = spark.createDataFrame(
+        [
+            (100, 1, ts(0)), (101, 1, ts(9)), (102, 1, ts(10)),
+            (103, 1, ts(25)), (104, 1, ts(31)),
+            (105, 2, ts(4)), (106, 2, ts(99)),
+        ],
+        "fact_id long, user_id long, ts timestamp",
+    )
+    got = {
+        r["fact_id"]: r["dim_event_type"]
+        for r in scd2_lookup_join(
+            facts, dim, ["user_id"], payload=("event_type",)
+        ).collect()
+    }
+    assert got == {
+        100: "a", 101: "a", 102: "b", 103: None,
+        104: "c", 105: None, 106: "x",
+    }

@@ -208,6 +208,64 @@ def scd2(spark, sf_dir):
     )
 
 
+def scd2_lookup_q(spark, sf_dir):
+    """Point-in-time SCD2 lookup (relational.temporal.scd2_lookup_join):
+    build the event-type validity intervals, then look up, for each
+    event shifted +7 minutes, the version valid AT that instant —
+    boundary crossings, still-current versions, and past-the-last-run
+    lookups all exercised. Rides asof_join: one key shuffle, no range
+    join."""
+    from yat_geo_db_spark.relational.temporal import (
+        scd2_intervals,
+        scd2_lookup_join,
+    )
+
+    (events,) = _t(spark, sf_dir, "events")
+    dim = scd2_intervals(events)
+    facts = events.select(
+        "event_id",
+        "user_id",
+        (F.col("ts") + F.expr("INTERVAL 7 MINUTES")).alias("ts"),
+    )
+    out = scd2_lookup_join(facts, dim, ["user_id"], payload=("event_type",))
+    return out.select(
+        "event_id", "user_id", F.col("dim_event_type")
+    ).orderBy("event_id")
+
+
+_SCD2_LOOKUP_SQL = """
+WITH ordered AS (
+  SELECT user_id, event_type, ts, event_id,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev
+  FROM events
+),
+starts AS (
+  SELECT user_id, event_type, ts, event_id FROM ordered
+  WHERE prev IS NULL OR prev IS DISTINCT FROM event_type
+),
+dim AS (
+  SELECT user_id, event_type,
+         ts AS valid_from,
+         lead(ts) OVER w AS valid_to
+  FROM starts
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+facts AS (
+  SELECT event_id, user_id,
+         CAST(ts AS TIMESTAMP) + INTERVAL 7 MINUTE AS fts
+  FROM events
+)
+SELECT f.event_id, f.user_id, d.event_type AS dim_event_type
+FROM facts f
+LEFT JOIN dim d
+  ON f.user_id = d.user_id
+ AND f.fts >= d.valid_from
+ AND (d.valid_to IS NULL OR f.fts < CAST(d.valid_to AS TIMESTAMP))
+ORDER BY f.event_id
+"""
+
+
 _SCD2_SQL = """
 WITH ordered AS (
   SELECT user_id, event_type, ts, event_id,
@@ -2815,6 +2873,7 @@ QUERIES: dict = {
     "rel_event_transitions": (event_transitions_q, _EVENT_TRANSITIONS_SQL),
     "rel_scd2_intervals": (scd2, _SCD2_SQL),
     "rel_scd2_upsert": (scd2_upsert, _SCD2_SQL),
+    "rel_scd2_lookup": (scd2_lookup_q, _SCD2_LOOKUP_SQL),
     "rel_gap_fill": (gap_fill, _GAP_FILL_SQL),
     "rel_tumbling_hour": (tumbling, _TUMBLING_SQL),
     "rel_sliding_10min": (sliding, _SLIDING_SQL),

@@ -285,3 +285,54 @@ def coalesce_intervals(
         )
         .drop("_isl")
     )
+
+
+def scd2_lookup_join(
+    facts: DataFrame,
+    dim: DataFrame,
+    on: list[str],
+    fact_ts: str = "ts",
+    payload: tuple[str, ...] = ("event_type",),
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+    version_col: str = "version",
+    prefix: str = "dim_",
+) -> DataFrame:
+    """Point-in-time dimension lookup: attach to every fact the SCD2
+    dimension version that was valid AT the fact's timestamp — the join
+    every star schema with slowly-changing dimensions runs on every
+    query. Matches valid_from <= ts < valid_to (valid_to NULL = still
+    current); facts before the key's first version, or landing in a
+    validity GAP (key deleted then re-created), get NULLs rather than a
+    stale neighbor.
+
+    Scale shape: rides asof_join — ONE hash shuffle on the key + one
+    in-partition sort over facts ∪ versions; never a range-join
+    explosion against the interval table. The covering check is a pure
+    post-projection (the as-of row is the only candidate: intervals
+    per key are disjoint)."""
+    dimr = dim.select(
+        *on,
+        F.col(valid_from).alias("_vf"),
+        F.col(version_col),
+        *[F.col(c) for c in payload],
+        F.col(valid_to).alias("_vt"),
+    )
+    joined = asof_join(
+        facts.withColumnRenamed(fact_ts, "_scd_ts"),
+        dimr.withColumnRenamed("_vf", "_scd_ts"),
+        on=on,
+        ts_col="_scd_ts",
+        right_payload=tuple(payload) + ("_vt",),
+        right_id_col=version_col,
+        prefix=prefix,
+    )
+    covered = F.col(f"{prefix}_vt").isNull() | (
+        F.col("_scd_ts") < F.col(f"{prefix}_vt")
+    )
+    out = joined
+    for c in payload:
+        out = out.withColumn(
+            f"{prefix}{c}", F.when(covered, F.col(f"{prefix}{c}"))
+        )
+    return out.drop(f"{prefix}_vt").withColumnRenamed("_scd_ts", fact_ts)
