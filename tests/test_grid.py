@@ -146,3 +146,32 @@ def test_cover_cells_col_matches_driver_side_twin(spark):
         }
         for i, la, ln in rows_:
             assert got[i] == cover_cells(la, ln, rad), (la, ln, rad)
+
+
+def test_density_hotspots_neighborhood_mass(spark):
+    """A planted dense cluster must rank first; its neighborhood mass
+    must include adjacent-cell points; aggregates and null coordinates
+    are excluded."""
+    import pyspark.sql.functions as F
+    from yat_geo_db_spark.geo.grid import density_hotspots
+
+    rows = []
+    # 10 points in cell (10, 20); 3 in the adjacent cell (11, 20)
+    for i in range(10):
+        rows.append((i, 20.5, 10.5, False))
+    for i in range(10, 13):
+        rows.append((i, 20.5, 11.5, False))
+    # far singleton + an aggregate + a null-coord row (both excluded)
+    rows.append((50, -40.5, -100.5, False))
+    rows.append((51, 20.5, 10.5, True))
+    rows.append((52, None, 10.5, False))
+    df = spark.createDataFrame(
+        rows, "id long, latitude double, longitude double, is_aggregate boolean"
+    )
+    out = density_hotspots(df, cell_deg=1.0, top_k=5).collect()
+    top = out[0]
+    assert (top["cx"], top["cy"]) == (10, 20)
+    assert top["n_cell"] == 10 and top["n_neighborhood"] == 13
+    cells = {(r["cx"], r["cy"]): r for r in out}
+    assert cells[(11, 20)]["n_neighborhood"] == 13
+    assert cells[(-101, -41)]["n_neighborhood"] == 1

@@ -254,3 +254,56 @@ def radius_join_gridded(
     return hits.select(
         origin_id_col, "id", "reference_code", dist.alias("distance")
     )
+
+
+def density_hotspots(
+    shapes: DataFrame,
+    cell_deg: float = 1.0,
+    top_k: int = 20,
+) -> DataFrame:
+    """Grid-density hotspot detection over point shapes: bucket
+    non-aggregate points into cell_deg×cell_deg lat/lng cells, score
+    every OCCUPIED cell by its 3×3-neighborhood point mass (smoothing
+    absorbs the arbitrary cell-boundary split of a real cluster), and
+    return the top_k. The density read behind 'where do we place
+    service regions' — no pairwise distances anywhere.
+
+    Scale shape: one groupBy((cx,cy)) count over the scan, a 9-row
+    offset explode over the OCCUPIED-CELL table (not the points), one
+    equi-join + re-aggregate on the shifted key, and a
+    TakeOrderedAndProject. Ties break on (cy, cx) so the ranking is
+    total."""
+    pts = shapes.where(
+        F.col("latitude").isNotNull()
+        & F.col("longitude").isNotNull()
+        & ~F.col("is_aggregate")
+    )
+    counts = (
+        pts.select(
+            F.floor(F.col("longitude") / F.lit(cell_deg)).cast("long").alias("cx"),
+            F.floor(F.col("latitude") / F.lit(cell_deg)).cast("long").alias("cy"),
+        )
+        .groupBy("cx", "cy")
+        .agg(F.count(F.lit(1)).alias("n_cell"))
+    )
+    offsets = F.expr(
+        "explode(flatten(transform(sequence(-1, 1), dx -> "
+        "transform(sequence(-1, 1), dy -> struct(dx, dy)))))"
+    )
+    spread = counts.select(
+        "cx", "cy", "n_cell", offsets.alias("_o")
+    ).select(
+        (F.col("cx") + F.col("_o.dx")).alias("tx"),
+        (F.col("cy") + F.col("_o.dy")).alias("ty"),
+        F.col("n_cell").alias("_contrib"),
+    )
+    hood = spread.groupBy("tx", "ty").agg(
+        F.sum("_contrib").alias("n_neighborhood")
+    )
+    scored = counts.join(
+        hood,
+        (F.col("cx") == F.col("tx")) & (F.col("cy") == F.col("ty")),
+    ).select("cx", "cy", "n_cell", "n_neighborhood")
+    return scored.orderBy(
+        F.desc("n_neighborhood"), "cy", "cx"
+    ).limit(top_k)

@@ -426,6 +426,44 @@ ORDER BY probe_id
 """
 
 
+
+def q_density_hotspots(spark, sf_dir):
+    """Grid-density hotspots (geo.grid.density_hotspots): occupied
+    1°×1° cells scored by 3×3-neighborhood point mass, top 20. The
+    geo complement to radius search — a density read with no pairwise
+    distances; the oracle repeats the bucketing and the 9-offset
+    spread."""
+    from yat_geo_db_spark.geo.grid import density_hotspots
+
+    return density_hotspots(_shapes(spark, sf_dir), cell_deg=1.0, top_k=20)
+
+
+_DENSITY_HOTSPOTS_SQL = f"""
+WITH {SHAPES_CTE},
+pts AS (
+  SELECT CAST(floor(longitude / 1.0) AS BIGINT) AS cx,
+         CAST(floor(latitude / 1.0) AS BIGINT) AS cy
+  FROM shapes
+  WHERE latitude IS NOT NULL AND longitude IS NOT NULL
+    AND NOT is_aggregate
+),
+counts AS (SELECT cx, cy, count(*) AS n_cell FROM pts GROUP BY cx, cy),
+offs(dx, dy) AS (
+  VALUES (-1,-1),(-1,0),(-1,1),(0,-1),(0,0),(0,1),(1,-1),(1,0),(1,1)
+),
+hood AS (
+  SELECT cx + dx AS tx, cy + dy AS ty, sum(n_cell) AS n_neighborhood
+  FROM counts, offs
+  GROUP BY 1, 2
+)
+SELECT c.cx, c.cy, c.n_cell,
+       CAST(n_neighborhood AS BIGINT) AS n_neighborhood
+FROM counts c JOIN hood ON c.cx = hood.tx AND c.cy = hood.ty
+ORDER BY n_neighborhood DESC, c.cy, c.cx
+LIMIT 20
+"""
+
+
 QUERIES: dict = {
     "geo_fuzzy_join": (q_fuzzy_join, _fuzzy_join_oracle()),
     "geo_fuzzy_city": (
@@ -474,6 +512,7 @@ QUERIES: dict = {
     ),
     "geo_pair_distances": (q_pair_distances, ducksql.pair_distance_oracle(24)),
     "geo_radius_join": (q_radius_join, _radius_join_oracle()),
+    "geo_density_hotspots": (q_density_hotspots, _DENSITY_HOTSPOTS_SQL),
     "geo_point_lookup": (q_point_lookup, _POINT_LOOKUP_SQL),
     "geo_id_ref_map": (
         q_id_ref_map,
