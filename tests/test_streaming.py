@@ -844,3 +844,50 @@ def test_heavy_hitter_sink_integer_keys(spark, tmp_path):
         for r in read_heavy_hitters(spark, root).collect()
     }
     assert got == {"0": 100, "1": 100, "2": 100}
+
+
+def test_streaming_transition_counts_match_batch(spark, tmp_path):
+    """streaming_transition_counts folded over a time-range-split
+    stream must equal the batch event_transitions counts — including
+    the CROSS-BATCH edges the per-user state exists to keep."""
+    import pyspark.sql.functions as F
+    from yat_geo_db_spark.relational.queries import event_transitions
+    from yat_geo_db_spark.streaming.stateful import (
+        streaming_transition_counts,
+    )
+
+    events = load_table(spark, SF, "events").select(
+        "event_id", "user_id", "ts", "event_type"
+    )
+    src = str(tmp_path / "tr_src")
+    # time-range-partitioned files: micro-batches arrive per-user
+    # time-ordered, the contract the delta fold needs
+    events.repartitionByRange(3, "ts", "event_id").write.mode("overwrite").parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    q = (
+        streaming_transition_counts(
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        .writeStream.format("memory")
+        .queryName("tr_counts")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    got = {
+        (r["cur_type"], r["next_type"]): r["total"]
+        for r in spark.sql(
+            "SELECT cur_type, next_type, sum(n) AS total FROM tr_counts "
+            "GROUP BY 1, 2"
+        ).collect()
+    }
+    want = {
+        (r["cur_type"], r["next_type"]): r["n"]
+        for r in event_transitions(events).collect()
+    }
+    assert got == want and want

@@ -15,6 +15,7 @@ from __future__ import annotations
 from collections.abc import Iterator
 
 from pyspark.sql import DataFrame
+import pyspark.sql.functions as F
 import pyspark.sql.types as T
 
 OUTPUT_SCHEMA = T.StructType(
@@ -155,5 +156,91 @@ def running_user_profile_tws(events: DataFrame) -> DataFrame:
             outputStructType=TWS_OUTPUT_SCHEMA,
             outputMode="append",
             timeMode="none",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# streaming transition counts — cross-batch sequence state
+# --------------------------------------------------------------------------
+
+TRANSITION_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("cur_type", T.StringType()),
+        T.StructField("next_type", T.StringType()),
+        T.StructField("n", T.LongType()),
+    ]
+)
+
+#: last event seen per user: (event-time micros, event id, event type)
+TRANSITION_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("last_us", T.LongType()),
+        T.StructField("last_id", T.LongType()),
+        T.StructField("last_type", T.StringType()),
+    ]
+)
+
+
+def streaming_transition_counts(events: DataFrame) -> DataFrame:
+    """Streaming twin of relational.queries.event_transitions: per-user
+    (current, next) event-type transition counts maintained ACROSS
+    micro-batches — the state carries each user's last event, so the
+    first event of a new batch pairs with the last event of the
+    previous one (the cross-batch edge a per-batch window would drop).
+    Emits per-batch transition DELTAS; counts are mergeable, so the
+    reader folds them with a plain groupBy-sum and the folded stream
+    equals the batch matrix whenever batches arrive per-user
+    time-ordered (a time-range-split source; test-pinned).
+
+    State is O(1) per user (one last-event tuple); per batch each
+    user's rows sort locally inside applyInPandasWithState."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs: Iterator, state: GroupState) -> Iterator:
+        import pandas as pd
+
+        (user_id,) = key
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        if rows.empty:
+            return
+        rows = rows.sort_values(["us", "event_id"])
+        prev = state.get if state.exists else None
+        prev_type = prev[2] if prev is not None else None
+        counts: dict = {}
+        last = None
+        for _, r in rows.iterrows():
+            cur = r["event_type"]
+            if prev_type is not None:
+                k = (prev_type, cur)
+                counts[k] = counts.get(k, 0) + 1
+            prev_type = cur
+            last = (int(r["us"]), int(r["event_id"]), cur)
+        state.update(last)
+        if counts:
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id] * len(counts),
+                    "cur_type": [k[0] for k in counts],
+                    "next_type": [k[1] for k in counts],
+                    "n": list(counts.values()),
+                }
+            )
+
+    return (
+        events.select(
+            "user_id",
+            "event_id",
+            "event_type",
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        )
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            TRANSITION_OUTPUT_SCHEMA,
+            TRANSITION_STATE_SCHEMA,
+            "update",
+            GroupStateTimeout.NoTimeout,
         )
     )
