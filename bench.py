@@ -104,6 +104,15 @@ HEADLINE = [
     "pipe_dedup_sorted_neighborhood",
     "pipe_sim_sq8_topk",
     "pipe_text_pmi",
+    # round-6 session-3 continued: session-basket rules, the rank-blend
+    # mix composition, SCD2 point-in-time lookup, LPA communities, and
+    # the pHash→CC image dedup chain
+    "rel_assoc_rules",
+    "pipe_curate_rank_mix",
+    "rel_scd2_lookup",
+    "pipe_graph_lpa",
+    "pipe_mm_dedup_keep",
+    "geo_density_hotspots",
 ]
 
 

@@ -891,3 +891,34 @@ def test_dim_truncation_full_prefix_is_perfect(spark):
     }
     assert out[64] == 1.0
     assert 0.0 <= out[8] <= 1.0
+
+
+def test_centroid_drift_identity_and_planted_shift(spark):
+    """Identical snapshots must score cosine 1.0 / ratio 1.0 in every
+    group; a planted shift in ONE group must move only that group's
+    cosine; one-sided groups drop."""
+    import pyspark.sql.functions as F
+    from yat_geo_db_spark.pipelines.similarity import centroid_drift
+
+    emb = load_table(spark, SF, "embeddings")
+    same = {
+        r["label"]: r for r in centroid_drift(emb, emb).collect()
+    }
+    assert same and all(
+        r["centroid_cosine"] == 1.0 and r["norm_ratio"] == 1.0
+        for r in same.values()
+    )
+
+    a = spark.createDataFrame(
+        [(1, [1.0, 0.0], 0), (2, [1.0, 0.0], 0), (3, [0.0, 2.0], 1)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    b = spark.createDataFrame(
+        [(1, [0.0, 1.0], 0), (2, [0.0, 1.0], 0), (3, [0.0, 2.0], 1),
+         (9, [5.0, 5.0], 7)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    got = {r["label"]: r for r in centroid_drift(a, b).collect()}
+    assert got[0]["centroid_cosine"] == 0.0  # orthogonal shift
+    assert got[1]["centroid_cosine"] == 1.0
+    assert 7 not in got  # present only in B

@@ -1884,3 +1884,72 @@ def dim_truncation_eval(
     for p in per_dim[1:]:
         out = out.unionByName(p)
     return out
+
+
+def centroid_drift(
+    emb_a: DataFrame,
+    emb_b: DataFrame,
+    group_col: str = "label",
+    vec_col: str = "embedding",
+    scale: int = 12,
+) -> DataFrame:
+    """Per-group embedding drift between two corpus snapshots: the
+    cosine between each group's centroid in A and in B, plus the
+    centroid-norm ratio — the observability read that catches a source
+    whose embedding distribution moved (new scraper, model swap,
+    contamination) before any downstream metric does. Near-1 cosine =
+    stable; a dropping cosine localizes WHICH group moved.
+
+    Scale shape: per side one posexplode → (group, pos) dsum mean
+    (dimension-bounded state), one (group, pos) equi-join, and a
+    per-group fold to dot/norms — fixed-point all the way, so both
+    engines land bit-identical. Groups present in only one snapshot
+    drop (inner join): drift needs both sides."""
+    from yat_geo_db_spark.relational.queries import dsum
+
+    def cent(df, side):
+        return (
+            df.select(
+                F.col(group_col),
+                F.posexplode(F.col(vec_col)).alias("pos", "val"),
+            )
+            .select(group_col, "pos", F.col("val").cast("double").alias("val"))
+            .groupBy(group_col, "pos")
+            .agg(
+                (dsum(F.col("val"), scale) / F.count(F.lit(1))).alias(
+                    f"c_{side}"
+                )
+            )
+        )
+    n_a = emb_a.groupBy(group_col).agg(F.count(F.lit(1)).alias("n_a"))
+    n_b = emb_b.groupBy(group_col).agg(F.count(F.lit(1)).alias("n_b"))
+    joined = cent(emb_a, "a").join(cent(emb_b, "b"), [group_col, "pos"])
+    stats = joined.groupBy(group_col).agg(
+        dsum(F.col("c_a") * F.col("c_b"), scale).alias("_dot"),
+        dsum(F.col("c_a") * F.col("c_a"), scale).alias("_na2"),
+        dsum(F.col("c_b") * F.col("c_b"), scale).alias("_nb2"),
+    )
+    return (
+        stats.join(F.broadcast(n_a), group_col)
+        .join(F.broadcast(n_b), group_col)
+        .select(
+            group_col,
+            "n_a",
+            "n_b",
+            F.round(
+                F.when(
+                    (F.col("_na2") > 0) & (F.col("_nb2") > 0),
+                    F.col("_dot")
+                    / (F.sqrt(F.col("_na2")) * F.sqrt(F.col("_nb2"))),
+                ),
+                6,
+            ).alias("centroid_cosine"),
+            F.round(
+                F.when(
+                    F.col("_na2") > 0,
+                    F.sqrt(F.col("_nb2")) / F.sqrt(F.col("_na2")),
+                ),
+                6,
+            ).alias("norm_ratio"),
+        )
+    )

@@ -1151,6 +1151,60 @@ def _dim_trunc_sql(dims=(8, 16, 32), k=10, mod=100) -> str:
     )
 
 
+def q_emb_drift(spark, sf_dir):
+    """Per-label centroid drift (similarity.centroid_drift) between the
+    full embedding table and its deterministic even-id half — the
+    'yesterday's snapshot' stand-in. Fixed-point means/dots ⇒
+    bit-identical oracle."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    half = emb.where(F.pmod(F.col("vec_id"), F.lit(2)) == 0)
+    return similarity.centroid_drift(emb, half).orderBy("label")
+
+
+def _emb_drift_sql() -> str:
+    from yat_geo_db_spark.queries.relational_queries import _dsum
+
+    s = 12
+
+    def cent(pred: str, side: str) -> str:
+        return f"""
+c_{side} AS (
+  SELECT label, u.i AS pos,
+         {_dsum('CAST(embedding[u.i] AS DOUBLE)', s)} / count(*) AS c
+  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS u(i)
+  WHERE {pred}
+  GROUP BY label, u.i
+),
+n_{side} AS (SELECT label, count(*) AS n_{side} FROM embeddings
+             WHERE {pred} GROUP BY label)"""
+
+    return f"""
+WITH {cent('TRUE', 'a').strip()},
+{cent('vec_id % 2 = 0', 'b').strip()},
+j AS (
+  SELECT a.label, a.c AS ca, b.c AS cb
+  FROM c_a a JOIN c_b b ON a.label = b.label AND a.pos = b.pos
+),
+st AS (
+  SELECT label,
+         {_dsum('ca * cb', s)} AS dot,
+         {_dsum('ca * ca', s)} AS na2,
+         {_dsum('cb * cb', s)} AS nb2
+  FROM j GROUP BY label
+)
+SELECT st.label, n_a, n_b,
+       round(CASE WHEN na2 > 0 AND nb2 > 0
+                  THEN dot / (sqrt(na2) * sqrt(nb2)) END, 6)
+         AS centroid_cosine,
+       round(CASE WHEN na2 > 0 THEN sqrt(nb2) / sqrt(na2) END, 6)
+         AS norm_ratio
+FROM st
+JOIN n_a ON st.label = n_a.label
+JOIN n_b ON st.label = n_b.label
+ORDER BY st.label
+"""
+
+
 def q_sim_filtered_topk(spark, sf_dir):
     """Attribute-filtered vector search: exact top-15 cosine neighbors
     among vectors whose document row is English and >= 200 chars
@@ -4904,6 +4958,7 @@ FROM base b LEFT JOIN stats st ON b.label = st.label
 QUERIES: dict = {
     "pipe_pii_scrub": (q_pii_scrub, _pii_scrub_sql()),
     "pipe_emb_centroids": (q_emb_centroids, _emb_centroids_sql()),
+    "pipe_emb_drift": (q_emb_drift, _emb_drift_sql()),
     "pipe_html_extract": (q_html_extract, _html_extract_sql()),
     "pipe_curriculum_order": (q_curriculum_order, _curriculum_sql()),
     "pipe_mix_pipeline": (q_mix_pipeline, _mix_pipeline_sql()),
