@@ -140,3 +140,24 @@ def test_bloom_pruned_join_rejects_outer(spark):
     )
     with pytest.raises(ValueError):
         bloom_pruned_join(lineitem, keys, "l_orderkey", how="left")
+
+
+def test_join_explosion_report_exact_products(spark):
+    """The per-key out_rows must equal the true join output per key,
+    and the report's total share must account for the whole join."""
+    left = spark.createDataFrame(
+        [("hot", i) for i in range(10)] + [("cold", 0), ("only_l", 1)],
+        "k string, x long",
+    )
+    right = spark.createDataFrame(
+        [("hot", i) for i in range(20)] + [("cold", 0), ("only_r", 2)],
+        "k string, y long",
+    )
+    from yat_geo_db_spark.relational.skew import join_explosion_report
+
+    rep = {r["k"]: r for r in join_explosion_report(left, right, "k").collect()}
+    assert rep["hot"]["out_rows"] == 200 and rep["cold"]["out_rows"] == 1
+    assert "only_l" not in rep and "only_r" not in rep
+    true_join = left.join(right, "k").count()
+    assert sum(r["out_rows"] for r in rep.values()) == true_join
+    assert abs(sum(r["share_of_join"] for r in rep.values()) - 1.0) < 1e-6

@@ -2683,6 +2683,41 @@ ORDER BY l_suppkey
 """
 
 
+def join_explosion_q(spark, sf_dir):
+    """Pre-join blowup report (relational.skew.join_explosion_report):
+    top customer keys by orders×orders-self output contribution — the
+    exact n_l×n_r per-key arithmetic a planner estimates, as a
+    diagnostic table. Key-count tables join, never the facts."""
+    from yat_geo_db_spark.relational.skew import join_explosion_report
+
+    (orders,) = _t(spark, sf_dir, "orders")
+    lineitem = _t(spark, sf_dir, "lineitem")[0].select(
+        F.col("l_orderkey").alias("o_custkey")
+    )
+    return join_explosion_report(
+        orders, lineitem, "o_custkey", top_k=15
+    )
+
+
+_JOIN_EXPLOSION_SQL = """
+WITH lc AS (SELECT o_custkey, count(*) AS n_left FROM orders GROUP BY 1),
+rc AS (SELECT l_orderkey AS o_custkey, count(*) AS n_right
+       FROM lineitem GROUP BY 1),
+prod AS (
+  SELECT o_custkey, n_left, n_right,
+         CAST(n_left * n_right AS BIGINT) AS out_rows
+  FROM lc JOIN rc USING (o_custkey)
+),
+t AS (SELECT sum(out_rows) AS total FROM prod)
+SELECT o_custkey, CAST(n_left AS BIGINT) AS n_left,
+       CAST(n_right AS BIGINT) AS n_right, out_rows,
+       round(CAST(out_rows AS DOUBLE) / total, 6) AS share_of_join
+FROM prod, t
+ORDER BY out_rows DESC, o_custkey
+LIMIT 15
+"""
+
+
 def bloom_prune_join_q(spark, sf_dir):
     """Bloom-pruned equi-join (relational.skew.bloom_pruned_join):
     lineitem is pre-filtered by an 8 KiB Bloom sketch of the urgent
@@ -2803,6 +2838,7 @@ QUERIES: dict = {
     "rel_skew_report": (skew_report_orders, _SKEW_REPORT_SQL),
     "rel_skew_count_distinct": (skew_count_distinct_parts, _SKEW_CD_SQL),
     "rel_bloom_prune_join": (bloom_prune_join_q, _BLOOM_PRUNE_SQL),
+    "rel_join_explosion": (join_explosion_q, _JOIN_EXPLOSION_SQL),
     "rel_hist_quantile_merge": (hist_quantile_merge, _hist_quantile_sql()),
     "rel_dq_audit": (dq_audit_battery, _DQ_AUDIT_SQL),
     "rel_cdc_apply": (cdc_apply_changes, _CDC_APPLY_SQL),

@@ -208,3 +208,46 @@ def bloom_pruned_join(
         bloom_might_contain(F.col(on), words, m_bits, k_hashes)
     )
     return pruned.join(small, on, how)
+
+
+def join_explosion_report(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    top_k: int = 10,
+) -> DataFrame:
+    """Pre-join blowup diagnostic: for an equi-join on `on`, the exact
+    output-row contribution of each key is n_left(k) × n_right(k) — a
+    single hot key on BOTH sides multiplies, and this report names the
+    keys that would dominate the output BEFORE you pay for the join
+    (the check that catches the accidental many-to-many). Returns the
+    top_k keys by produced rows with both side counts, the product,
+    and its share of the total join output.
+
+    Scale shape: one groupBy(key) count per side, an equi-join of the
+    two KEY-COUNT tables (key-cardinality-bounded, not row-bounded), a
+    1-row total broadcast back, TakeOrdered top_k. The fact tables
+    themselves are scanned once each and never joined."""
+    lc = left.groupBy(F.col(on)).agg(F.count(F.lit(1)).alias("n_left"))
+    rc = right.groupBy(F.col(on)).agg(F.count(F.lit(1)).alias("n_right"))
+    prod = lc.join(rc, on).select(
+        on,
+        "n_left",
+        "n_right",
+        (F.col("n_left") * F.col("n_right")).alias("out_rows"),
+    )
+    total = F.broadcast(prod.agg(F.sum("out_rows").alias("_total")))
+    return (
+        prod.crossJoin(total)
+        .select(
+            on,
+            "n_left",
+            "n_right",
+            "out_rows",
+            F.round(F.col("out_rows") / F.col("_total"), 6).alias(
+                "share_of_join"
+            ),
+        )
+        .orderBy(F.desc("out_rows"), on)
+        .limit(top_k)
+    )
