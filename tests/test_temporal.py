@@ -619,3 +619,50 @@ def test_scd2_lookup_join_golden(spark):
         100: "a", 101: "a", 102: "b", 103: None,
         104: "c", 105: None, 106: "x",
     }
+
+
+def test_next_after_join_and_funnel_timeout(spark):
+    """next_after_join must pick the EARLIEST following right row
+    (>= semantics, same-instant matches); funnel_with_timeout must
+    count chains per depth with the per-hop gap enforced."""
+    import datetime as dt
+
+    from yat_geo_db_spark.relational.temporal import (
+        funnel_with_timeout,
+        next_after_join,
+    )
+
+    def ts(m):
+        return dt.datetime(2024, 1, 1) + dt.timedelta(minutes=m)
+
+    rows = [
+        # user 1: view(0) -> click(5) -> purchase(8): full chain
+        (1, 1, "view", ts(0)), (2, 1, "click", ts(5)),
+        (3, 1, "purchase", ts(8)),
+        # user 2: view(0) -> click(40): click too late (gap 30)
+        (4, 2, "view", ts(0)), (5, 2, "click", ts(40)),
+        # user 3: view(0) -> click(10) -> purchase(50): last hop too late
+        (6, 3, "view", ts(0)), (7, 3, "click", ts(10)),
+        (8, 3, "purchase", ts(50)),
+        # user 4: click before the view only — not a following event
+        (9, 4, "click", ts(0)), (10, 4, "view", ts(5)),
+    ]
+    events = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts timestamp"
+    )
+
+    views = events.where("event_type = 'view'")
+    clicks = events.where("event_type = 'click'")
+    nxt = {
+        r["event_id"]: r["next_event_id"]
+        for r in next_after_join(views, clicks, ["user_id"]).collect()
+    }
+    assert nxt == {1: 2, 4: 5, 6: 7, 10: None}
+
+    funnel = {
+        r["step_idx"]: r["n"]
+        for r in funnel_with_timeout(
+            events, ["view", "click", "purchase"], max_gap_minutes=30
+        ).collect()
+    }
+    assert funnel == {0: 4, 1: 2, 2: 1}

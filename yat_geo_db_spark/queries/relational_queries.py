@@ -208,6 +208,59 @@ def scd2(spark, sf_dir):
     )
 
 
+def funnel_timeout_q(spark, sf_dir):
+    """Multi-step timeout funnel (relational.temporal.funnel_with_timeout
+    over next_after_join, the forward as-of): view → click → purchase
+    with a 1-day per-hop gap; one key shuffle per hop, no event-level
+    self-join explosion. The oracle replays each hop as an
+    earliest-following window with the engine's (ts asc, id desc) tie
+    rule and the same gap filter."""
+    from yat_geo_db_spark.relational.temporal import funnel_with_timeout
+
+    (events,) = _t(spark, sf_dir, "events")
+    return funnel_with_timeout(
+        events, ["view", "click", "purchase"], max_gap_minutes=1440
+    ).orderBy("step_idx")
+
+
+_FUNNEL_TIMEOUT_SQL = """
+WITH v AS (
+  SELECT event_id AS sid, user_id, ts AS t0
+  FROM events WHERE event_type = 'view'
+),
+c AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'click'),
+p AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase'),
+h1 AS (
+  SELECT sid, user_id, cts FROM (
+    SELECT v.sid, v.user_id, v.t0, c.ts AS cts,
+           row_number() OVER (
+             PARTITION BY v.sid ORDER BY c.ts ASC, c.event_id DESC
+           ) AS rn
+    FROM v JOIN c ON v.user_id = c.user_id AND c.ts >= v.t0
+  ) WHERE rn = 1
+    AND epoch_us(CAST(cts AS TIMESTAMP)) - epoch_us(CAST(t0 AS TIMESTAMP))
+        <= CAST(1440 AS BIGINT) * 60 * 1000000
+),
+h2 AS (
+  SELECT sid FROM (
+    SELECT h1.sid, h1.cts, p.ts AS pts,
+           row_number() OVER (
+             PARTITION BY h1.sid ORDER BY p.ts ASC, p.event_id DESC
+           ) AS rn
+    FROM h1 JOIN p ON h1.user_id = p.user_id AND p.ts >= h1.cts
+  ) WHERE rn = 1
+    AND epoch_us(CAST(pts AS TIMESTAMP)) - epoch_us(CAST(cts AS TIMESTAMP))
+        <= CAST(1440 AS BIGINT) * 60 * 1000000
+)
+SELECT 0 AS step_idx, 'view' AS step, (SELECT count(*) FROM v) AS n
+UNION ALL
+SELECT 1, 'click', (SELECT count(*) FROM h1)
+UNION ALL
+SELECT 2, 'purchase', (SELECT count(*) FROM h2)
+ORDER BY step_idx
+"""
+
+
 def scd2_lookup_q(spark, sf_dir):
     """Point-in-time SCD2 lookup (relational.temporal.scd2_lookup_join):
     build the event-type validity intervals, then look up, for each
@@ -2910,6 +2963,7 @@ QUERIES: dict = {
     "rel_scd2_intervals": (scd2, _SCD2_SQL),
     "rel_scd2_upsert": (scd2_upsert, _SCD2_SQL),
     "rel_scd2_lookup": (scd2_lookup_q, _SCD2_LOOKUP_SQL),
+    "rel_funnel_timeout": (funnel_timeout_q, _FUNNEL_TIMEOUT_SQL),
     "rel_gap_fill": (gap_fill, _GAP_FILL_SQL),
     "rel_tumbling_hour": (tumbling, _TUMBLING_SQL),
     "rel_sliding_10min": (sliding, _SLIDING_SQL),

@@ -336,3 +336,108 @@ def scd2_lookup_join(
             f"{prefix}{c}", F.when(covered, F.col(f"{prefix}{c}"))
         )
     return out.drop(f"{prefix}_vt").withColumnRenamed("_scd_ts", fact_ts)
+
+
+def next_after_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    ts_col: str = "ts",
+    right_payload: tuple[str, ...] = ("event_id", "ts"),
+    right_id_col: str = "event_id",
+    prefix: str = "next_",
+) -> DataFrame:
+    """Forward-looking as-of: for every left row, the EARLIEST right row
+    with right.ts >= left.ts for the same keys — the attribution /
+    funnel primitive ("first conversion after this touch"). Exactly
+    asof_join run on NEGATED event-time micros (earliest-following under
+    t is latest-prior under −t), so it inherits the one-shuffle
+    union+window plan and its determinism: ties at the same instant
+    resolve to the largest right id. Left rows with no following right
+    row get NULLs."""
+    def negts(df: DataFrame) -> DataFrame:
+        return df.withColumn(
+            "_nts", -F.unix_micros(F.col(ts_col).cast("timestamp"))
+        )
+
+    out = asof_join(
+        negts(left),
+        negts(right),
+        on=on,
+        ts_col="_nts",
+        right_payload=right_payload,
+        right_id_col=right_id_col,
+        prefix=prefix,
+    )
+    return out.drop("_nts")
+
+
+def funnel_with_timeout(
+    events: DataFrame,
+    steps: list[str],
+    max_gap_minutes: int,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Multi-step funnel with per-step timeout: for each step-1 event,
+    chain the earliest following step-2 event within the gap, then the
+    earliest step-3 after THAT, etc. Returns one row per funnel depth:
+    (step index, step name, n_reached) where n_reached counts step-1
+    events whose chain got at least that far — the standard conversion
+    readout, computed without any event-level self-join explosion
+    (each hop is ONE next_after_join = one key shuffle).
+
+    Each hop matches the earliest FOLLOWING event (>= semantics), so a
+    same-instant next step counts; a hop only survives if its gap to
+    the PREVIOUS hop's time is <= max_gap_minutes."""
+    gap_us = max_gap_minutes * 60 * 1_000_000
+    base = events.where(F.col(type_col) == steps[0]).select(
+        F.col(user_col),
+        F.col(id_col).alias("_sid"),
+        F.col(ts_col).alias("_t0"),
+    )
+    counts = [base.agg(F.count(F.lit(1)).alias("n")).select(
+        F.lit(0).alias("step_idx"), F.lit(steps[0]).alias("step"), "n"
+    )]
+    cur = base.withColumn("_prev_ts", F.col("_t0"))
+    for i, step in enumerate(steps[1:], start=1):
+        nxt = events.where(F.col(type_col) == step).select(
+            F.col(user_col),
+            F.col(id_col),
+            F.col(ts_col),
+        )
+        hopped = next_after_join(
+            cur.withColumn(ts_col, F.col("_prev_ts")),
+            nxt,
+            on=[user_col],
+            ts_col=ts_col,
+            right_payload=(id_col, ts_col),
+            right_id_col=id_col,
+        )
+        cur = (
+            hopped.where(
+                F.col(f"next_{ts_col}").isNotNull()
+                & (
+                    F.unix_micros(F.col(f"next_{ts_col}").cast("timestamp"))
+                    - F.unix_micros(F.col("_prev_ts").cast("timestamp"))
+                    <= gap_us
+                )
+            )
+            .select(
+                user_col,
+                "_sid",
+                "_t0",
+                F.col(f"next_{ts_col}").alias("_prev_ts"),
+            )
+        )
+        counts.append(
+            cur.agg(F.count(F.lit(1)).alias("n")).select(
+                F.lit(i).alias("step_idx"), F.lit(step).alias("step"), "n"
+            )
+        )
+    out = counts[0]
+    for c in counts[1:]:
+        out = out.unionByName(c)
+    return out
