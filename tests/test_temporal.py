@@ -666,3 +666,33 @@ def test_next_after_join_and_funnel_timeout(spark):
         ).collect()
     }
     assert funnel == {0: 4, 1: 2, 2: 1}
+
+
+def test_dau_mau_window_semantics(spark):
+    """A user active on day 0 supports the trailing window of days
+    0..29 but not day 30; stickiness is exact DAU/window-actives;
+    multi-event days count each user once."""
+    import datetime as dt
+
+    import pyspark.sql.functions as F
+    from yat_geo_db_spark.relational.queries import dau_mau_stickiness
+
+    def ts(d):
+        return dt.datetime(2024, 1, 1) + dt.timedelta(days=d)
+
+    rows = [
+        (1, ts(0)), (1, ts(0)),          # dup same day
+        (2, ts(0)),
+        (1, ts(29)),
+        (3, ts(30)),
+    ]
+    events = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    got = {
+        str(r["day"]): (r["dau"], r["window_active"], r["stickiness"])
+        for r in dau_mau_stickiness(events, window_days=30).collect()
+    }
+    assert got["2024-01-01"] == (2, 2, 1.0)
+    # day 29: dau = {1}; window covers day0 users {1,2} + day29 {1} = {1,2}
+    assert got["2024-01-30"] == (1, 2, 0.5)
+    # day 30: day-0 users aged out; active = day29 {1} + day30 {3}
+    assert got["2024-01-31"] == (1, 2, 0.5)

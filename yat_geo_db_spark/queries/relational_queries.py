@@ -208,6 +208,41 @@ def scd2(spark, sf_dir):
     )
 
 
+def dau_mau_q(spark, sf_dir):
+    """DAU / trailing-30-day actives / stickiness per day
+    (relational.queries.dau_mau_stickiness) — exact via the bounded
+    (day,user)-pair explode, never a per-day rescan. Day cast to
+    TIMESTAMP on both sides (driver date-canonicalization contract)."""
+    from yat_geo_db_spark.relational.queries import dau_mau_stickiness
+
+    (events,) = _t(spark, sf_dir, "events")
+    out = dau_mau_stickiness(events, window_days=30)
+    return out.select(
+        F.col("day").cast("timestamp").alias("day"),
+        "dau",
+        "window_active",
+        "stickiness",
+    ).orderBy("day")
+
+
+_DAU_MAU_SQL = """
+WITH pairs AS (
+  SELECT DISTINCT CAST(ts AS DATE) AS day, user_id AS u FROM events
+),
+dau AS (SELECT day, count(*) AS dau FROM pairs GROUP BY day),
+spread AS (
+  SELECT day + CAST(o.off AS INT) AS day, u
+  FROM pairs, unnest(range(0, 30)) AS o(off)
+),
+mau AS (SELECT day, count(DISTINCT u) AS window_active FROM spread GROUP BY day)
+SELECT CAST(d.day AS TIMESTAMP) AS day, d.dau,
+       CAST(m.window_active AS BIGINT) AS window_active,
+       round(CAST(d.dau AS DOUBLE) / m.window_active, 6) AS stickiness
+FROM dau d JOIN mau m ON d.day = m.day
+ORDER BY day
+"""
+
+
 def funnel_timeout_q(spark, sf_dir):
     """Multi-step timeout funnel (relational.temporal.funnel_with_timeout
     over next_after_join, the forward as-of): view → click → purchase
@@ -2964,6 +2999,7 @@ QUERIES: dict = {
     "rel_scd2_upsert": (scd2_upsert, _SCD2_SQL),
     "rel_scd2_lookup": (scd2_lookup_q, _SCD2_LOOKUP_SQL),
     "rel_funnel_timeout": (funnel_timeout_q, _FUNNEL_TIMEOUT_SQL),
+    "rel_dau_mau": (dau_mau_q, _DAU_MAU_SQL),
     "rel_gap_fill": (gap_fill, _GAP_FILL_SQL),
     "rel_tumbling_hour": (tumbling, _TUMBLING_SQL),
     "rel_sliding_10min": (sliding, _SLIDING_SQL),

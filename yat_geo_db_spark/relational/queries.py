@@ -1352,3 +1352,42 @@ def association_rules(
     return out.orderBy(
         F.desc("lift"), "antecedent", "consequent"
     ).limit(top_k)
+
+
+def dau_mau_stickiness(
+    events: DataFrame,
+    window_days: int = 30,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Daily active users, trailing-window active users (MAU for
+    window_days=30), and the DAU/MAU stickiness ratio per day — the
+    engagement read every product dashboard opens with. Exact, not
+    sketched: the trailing distinct comes from exploding each DISTINCT
+    (day, user) pair onto the window_days target days it supports, then
+    one count_distinct per target day — O(active-pairs × window) rows,
+    bounded by the DAILY-distinct table (tiny next to raw events),
+    never a per-day rescan or a range self-join of the event log.
+    Only days observed in the data are reported."""
+    pairs = events.select(
+        F.to_date(F.col(ts_col)).alias("day"),
+        F.col(user_col).alias("u"),
+    ).distinct()
+    dau = pairs.groupBy("day").agg(F.count(F.lit(1)).alias("dau"))
+    spread = pairs.select(
+        F.explode(
+            F.sequence(F.lit(0), F.lit(window_days - 1))
+        ).alias("_off"),
+        "day",
+        "u",
+    ).select(F.date_add(F.col("day"), F.col("_off")).alias("day"), "u")
+    mau = spread.groupBy("day").agg(F.count_distinct("u").alias("wau"))
+    return (
+        dau.join(mau, "day")
+        .select(
+            "day",
+            "dau",
+            F.col("wau").alias("window_active"),
+            F.round(F.col("dau") / F.col("wau"), 6).alias("stickiness"),
+        )
+    )
