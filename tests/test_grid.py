@@ -175,3 +175,50 @@ def test_density_hotspots_neighborhood_mass(spark):
     cells = {(r["cx"], r["cy"]): r for r in out}
     assert cells[(11, 20)]["n_neighborhood"] == 13
     assert cells[(-101, -41)]["n_neighborhood"] == 1
+
+
+def test_geohash_matches_textbook_bisection(spark):
+    """The codegen'd bit-interleave geohash must equal the classic
+    bisection algorithm character-for-character on random points and
+    the canonical landmark cases, at several precisions."""
+    import random
+
+    import pyspark.sql.functions as F
+    from yat_geo_db_spark.geo.grid import GEOHASH_ALPHABET, geohash_col
+
+    def ref(lat, lon, precision):
+        lat_r, lon_r = [-90.0, 90.0], [-180.0, 180.0]
+        bits, ch, out, even = 0, 0, "", True
+        while len(out) < precision:
+            rng = lon_r if even else lat_r
+            v = lon if even else lat
+            mid = sum(rng) / 2
+            if v >= mid:
+                ch = ch * 2 + 1
+                rng[0] = mid
+            else:
+                ch = ch * 2
+                rng[1] = mid
+            even = not even
+            bits += 1
+            if bits == 5:
+                out += GEOHASH_ALPHABET[ch]
+                bits, ch = 0, 0
+        return out
+
+    rng = random.Random(42)
+    pts = [(57.64911, 10.40744), (40.689247, -74.044502),
+           (-33.8568, 151.2153), (0.0, 0.0), (-89.9, -179.9)]
+    pts += [
+        (rng.uniform(-90, 90), rng.uniform(-180, 180)) for _ in range(40)
+    ]
+    df = spark.createDataFrame(pts, "lat double, lng double")
+    for p in (1, 4, 6):
+        got = [
+            r["gh"]
+            for r in df.select(
+                geohash_col(F.col("lat"), F.col("lng"), p).alias("gh")
+            ).collect()
+        ]
+        want = [ref(lat, lon, p) for lat, lon in pts]
+        assert got == want, p

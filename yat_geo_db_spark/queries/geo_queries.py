@@ -464,6 +464,45 @@ LIMIT 20
 """
 
 
+
+def q_geohash_cells(spark, sf_dir):
+    """Base32 geohash bucketing (geo.grid.geohash_col, precision 4 ≈
+    39 km × 19 km): shapes per geohash cell — the interoperable
+    join-key form of the grid layout. Pure-projection hash, one cell
+    count; the oracle runs the generated SQL twin of the same bit
+    interleave."""
+    from yat_geo_db_spark.geo.grid import geohash_col
+
+    shapes = _shapes(spark, sf_dir)
+    return (
+        shapes.where(
+            F.col("latitude").isNotNull() & F.col("longitude").isNotNull()
+        )
+        .select(
+            geohash_col(F.col("latitude"), F.col("longitude"), 4).alias(
+                "geohash"
+            )
+        )
+        .groupBy("geohash")
+        .agg(F.count(F.lit(1)).alias("n_shapes"))
+        .orderBy("geohash")
+    )
+
+
+def _geohash_cells_sql() -> str:
+    from yat_geo_db_spark.geo.grid import geohash_sql
+
+    gh = geohash_sql("latitude", "longitude", 4)
+    return f"""
+WITH {SHAPES_CTE}
+SELECT {gh} AS geohash, count(*) AS n_shapes
+FROM shapes
+WHERE latitude IS NOT NULL AND longitude IS NOT NULL
+GROUP BY 1
+ORDER BY geohash
+"""
+
+
 QUERIES: dict = {
     "geo_fuzzy_join": (q_fuzzy_join, _fuzzy_join_oracle()),
     "geo_fuzzy_city": (
@@ -513,6 +552,7 @@ QUERIES: dict = {
     "geo_pair_distances": (q_pair_distances, ducksql.pair_distance_oracle(24)),
     "geo_radius_join": (q_radius_join, _radius_join_oracle()),
     "geo_density_hotspots": (q_density_hotspots, _DENSITY_HOTSPOTS_SQL),
+    "geo_geohash_cells": (q_geohash_cells, _geohash_cells_sql()),
     "geo_point_lookup": (q_point_lookup, _POINT_LOOKUP_SQL),
     "geo_id_ref_map": (
         q_id_ref_map,
