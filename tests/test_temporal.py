@@ -696,3 +696,32 @@ def test_dau_mau_window_semantics(spark):
     assert got["2024-01-30"] == (1, 2, 0.5)
     # day 30: day-0 users aged out; active = day29 {1} + day30 {3}
     assert got["2024-01-31"] == (1, 2, 0.5)
+
+
+def test_time_weighted_avg_density_bias(spark):
+    """A value sampled densely must NOT dominate the TWAP the way it
+    dominates a plain mean: value 10 held for 90 s then value 100
+    sampled 9× in the last 10 s → TWAP ≈ 19, plain mean ≈ 73. Single
+    sample keys → NULL; trailing sample carries no weight."""
+    import datetime as dt
+
+    from yat_geo_db_spark.relational.temporal import time_weighted_avg
+
+    def ts(s):
+        return dt.datetime(2024, 1, 1) + dt.timedelta(seconds=s)
+
+    rows = [(1, "k", ts(0), 10.0)]
+    rows += [(i + 2, "k", ts(90 + i), 100.0) for i in range(10)]
+    rows += [(50, "lone", ts(0), 5.0)]
+    df = spark.createDataFrame(
+        rows, "event_id long, event_type string, ts timestamp, value double"
+    )
+    got = {
+        r["event_type"]: r
+        for r in time_weighted_avg(df, ["event_type"]).collect()
+    }
+    k = got["k"]
+    # 10*90 + 100*9 = 1800 over 99 s
+    assert k["twap"] == round(1800 / 99, 6) and k["span_s"] == 99.0
+    assert k["n_samples"] == 11
+    assert "lone" not in got  # no second sample → no duration → no row

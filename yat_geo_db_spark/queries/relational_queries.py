@@ -208,6 +208,45 @@ def scd2(spark, sf_dir):
     )
 
 
+def twap_q(spark, sf_dir):
+    """Per-type time-weighted average of event values (relational.
+    temporal.time_weighted_avg): each sample holds until the next —
+    the mean a density-biased plain avg gets wrong. Span sums as exact
+    integer micros; the weighted sum is dsum fixed-point."""
+    from yat_geo_db_spark.relational.temporal import time_weighted_avg
+
+    (events,) = _t(spark, sf_dir, "events")
+    return time_weighted_avg(
+        events, ["event_type"], "ts", "value", "event_id"
+    ).orderBy("event_type")
+
+
+_TWAP_SQL = f"""
+WITH seg AS (
+  SELECT event_type,
+         value AS v,
+         lead(epoch_us(CAST(ts AS TIMESTAMP))) OVER w
+           - epoch_us(CAST(ts AS TIMESTAMP)) AS dur_us
+  FROM events
+  WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)
+),
+kept AS (
+  SELECT event_type, v, dur_us,
+         CAST(dur_us AS DOUBLE) / 1000000.0 AS dur_s
+  FROM seg WHERE dur_us IS NOT NULL
+)
+SELECT event_type,
+       count(*) + 1 AS n_samples,
+       round(CAST(sum(dur_us) AS DOUBLE) / 1000000.0, 6) AS span_s,
+       round(CASE WHEN sum(dur_us) > 0 THEN
+         {_dsum('CASE WHEN v IS NOT NULL THEN v * dur_s ELSE 0.0 END', 4)}
+         / (CAST(sum(dur_us) AS DOUBLE) / 1000000.0) END, 6) AS twap
+FROM kept
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
 def dau_mau_q(spark, sf_dir):
     """DAU / trailing-30-day actives / stickiness per day
     (relational.queries.dau_mau_stickiness) — exact via the bounded
@@ -3000,6 +3039,7 @@ QUERIES: dict = {
     "rel_scd2_lookup": (scd2_lookup_q, _SCD2_LOOKUP_SQL),
     "rel_funnel_timeout": (funnel_timeout_q, _FUNNEL_TIMEOUT_SQL),
     "rel_dau_mau": (dau_mau_q, _DAU_MAU_SQL),
+    "rel_twap": (twap_q, _TWAP_SQL),
     "rel_gap_fill": (gap_fill, _GAP_FILL_SQL),
     "rel_tumbling_hour": (tumbling, _TUMBLING_SQL),
     "rel_sliding_10min": (sliding, _SLIDING_SQL),

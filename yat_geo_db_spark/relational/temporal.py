@@ -441,3 +441,61 @@ def funnel_with_timeout(
     for c in counts[1:]:
         out = out.unionByName(c)
     return out
+
+
+def time_weighted_avg(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str = "ts",
+    value_col: str = "value",
+    id_col: str = "event_id",
+    scale: int = 4,
+) -> DataFrame:
+    """Per-key time-weighted average over IRREGULAR samples: each value
+    holds until the next observation, so TWAP = Σ vᵢ·(tᵢ₊₁−tᵢ) /
+    (t_last − t_first) — the metric a plain mean silently gets wrong
+    whenever sampling density correlates with the value (the classic
+    metrics/pricing bias). The last sample carries no duration; keys
+    with fewer than two samples return NULL.
+
+    Scale shape: ONE key shuffle for the lead() window (ties broken by
+    id), then a map-side-combinable aggregate; the duration-weighted
+    sum runs through dsum fixed-point so the result is engine-exact.
+    NULL values contribute their duration to the span but not to the
+    weighted sum — mirroring avg()'s null-skip would instead require
+    carrying forward the previous value (a gap-fill concern, not
+    TWAP's)."""
+    from yat_geo_db_spark.relational.queries import dsum
+
+    w = Window.partitionBy(*key_cols).orderBy(ts_col, id_col)
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    dur_us = F.lead(us).over(w) - us
+    seg = df.select(
+        *key_cols,
+        F.col(value_col).alias("_v"),
+        dur_us.alias("_dur_us"),
+        # per-row double division is deterministic; only SUMS need the
+        # fixed-point treatment (span sums as exact integer micros)
+        (dur_us.cast("double") / F.lit(1_000_000.0)).alias("_dur_s"),
+    ).where(F.col("_dur_us").isNotNull())
+    span_us = F.sum("_dur_us")
+    return seg.groupBy(*key_cols).agg(
+        (F.count(F.lit(1)) + 1).alias("n_samples"),
+        F.round(span_us.cast("double") / F.lit(1_000_000.0), 6).alias(
+            "span_s"
+        ),
+        F.round(
+            F.when(
+                span_us > 0,
+                dsum(
+                    F.when(
+                        F.col("_v").isNotNull(),
+                        F.col("_v") * F.col("_dur_s"),
+                    ).otherwise(F.lit(0.0)),
+                    scale,
+                )
+                / (span_us.cast("double") / F.lit(1_000_000.0)),
+            ),
+            6,
+        ).alias("twap"),
+    )
