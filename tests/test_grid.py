@@ -212,6 +212,17 @@ def test_geohash_matches_textbook_bisection(spark):
     pts += [
         (rng.uniform(-90, 90), rng.uniform(-180, 180)) for _ in range(40)
     ]
+    # adversarial near-boundary coordinates (review regression: the bare
+    # multiply-quantization rounds these across a cell edge)
+    pts += [(29.707031249999993, 0.0), (3.5156249999999996, 0.0),
+            (-4.108886718750001, 0.0)]
+    # randomized boundary-adjacent points: a hair below exact cell edges
+    import math
+    for _ in range(30):
+        q = rng.randrange(1, 1 << 10)
+        lat_edge = -90.0 + q * (180.0 / (1 << 10))
+        pts.append((math.nextafter(lat_edge, -math.inf),
+                    rng.uniform(-180, 180)))
     df = spark.createDataFrame(pts, "lat double, lng double")
     for p in (1, 4, 6):
         got = [

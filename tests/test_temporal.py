@@ -725,3 +725,29 @@ def test_time_weighted_avg_density_bias(spark):
     assert k["twap"] == round(1800 / 99, 6) and k["span_s"] == 99.0
     assert k["n_samples"] == 11
     assert "lone" not in got  # no second sample → no duration → no row
+
+
+def test_funnel_repeated_step_no_self_match(spark):
+    """Review regression: a repeated step type must not match the
+    standing event — one view per user means zero view→view
+    conversions; a genuine second view still counts."""
+    import datetime as dt
+
+    from yat_geo_db_spark.relational.temporal import funnel_with_timeout
+
+    def ts(m):
+        return dt.datetime(2024, 1, 1) + dt.timedelta(minutes=m)
+
+    events = spark.createDataFrame(
+        [(1, 1, "view", ts(0)), (2, 2, "view", ts(0)),
+         (3, 2, "view", ts(5))],
+        "event_id long, user_id long, event_type string, ts timestamp",
+    )
+    got = {
+        r["step_idx"]: r["n"]
+        for r in funnel_with_timeout(
+            events, ["view", "view"], max_gap_minutes=30
+        ).collect()
+    }
+    # 3 view starts; only user 2's first view has a LATER second view
+    assert got == {0: 3, 1: 1}

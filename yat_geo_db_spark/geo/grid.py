@@ -324,17 +324,45 @@ def geohash_col(
     codegen, so geohash bucketing costs a projection.
 
     Precision 6 ≈ 1.2 km × 0.6 km cells — the join-key granularity for
-    city-scale co-location."""
+    city-scale co-location. Precision is capped at 12 (5·12 = 60 bits —
+    beyond that the interleave accumulator would silently wrap a
+    64-bit long).
+
+    Quantization is BOUNDARY-EXACT, not just floor((v−lo)/span·2^bits):
+    the single-multiply form rounds across a cell edge for coordinates
+    a few ULP below a boundary and would disagree with the spec's
+    bisection (and with every external system) on exactly those points.
+    Every true cell boundary lo + q·span/2^bits is exactly
+    representable (span and 2^bits are powers-of-two-scaled integers),
+    so the multiply's candidate is corrected by comparing v against the
+    EXACT boundaries of q and q+1 — bit-for-bit the bisection result
+    (test-pinned on adversarial near-boundary inputs)."""
+    if not 1 <= precision <= 12:
+        raise ValueError(
+            f"precision must be in [1, 12] (got {precision}): 5·p bits "
+            "must fit the 64-bit interleave accumulator"
+        )
     total_bits = 5 * precision
     lon_bits = (total_bits + 1) // 2
     lat_bits = total_bits // 2
 
     def quant(v: Column, lo: float, hi: float, bits: int) -> Column:
-        scaled = F.floor(
+        step = (hi - lo) / float(1 << bits)  # exact: power-of-two scale
+        q0 = F.floor(
             (v - F.lit(lo)) / F.lit(hi - lo) * F.lit(float(1 << bits))
         ).cast("long")
+        # exact-boundary correction: b(q) = lo + q*step is computed
+        # EXACTLY (see docstring), so these comparisons reproduce the
+        # spec bisection even when the multiply rounded across an edge
+        b_q = F.lit(lo) + q0.cast("double") * F.lit(step)
+        b_q1 = F.lit(lo) + (q0 + 1).cast("double") * F.lit(step)
+        q = (
+            F.when(v >= b_q1, q0 + 1)
+            .when(v >= b_q, q0)
+            .otherwise(q0 - 1)
+        )
         return F.least(
-            F.greatest(scaled, F.lit(0).cast("long")),
+            F.greatest(q, F.lit(0).cast("long")),
             F.lit((1 << bits) - 1).cast("long"),
         )
 
@@ -370,15 +398,27 @@ def geohash_col(
 def geohash_sql(lat: str, lng: str, precision: int = 6) -> str:
     """DuckDB mirror of geohash_col — same quantization, interleave,
     and base32 slicing, generated from the same constants."""
+    if not 1 <= precision <= 12:
+        raise ValueError(
+            f"precision must be in [1, 12] (got {precision})"
+        )
     total_bits = 5 * precision
     lon_bits = (total_bits + 1) // 2
     lat_bits = total_bits // 2
 
     def quant(v: str, lo: float, hi: float, bits: int) -> str:
-        return (
-            f"least(greatest(CAST(floor((({v}) - ({lo})) / {hi - lo} "
-            f"* {float(1 << bits)}) AS BIGINT), 0), {(1 << bits) - 1})"
+        step = (hi - lo) / float(1 << bits)
+        q0 = (
+            f"CAST(floor((({v}) - ({lo})) / {hi - lo} "
+            f"* {float(1 << bits)}) AS BIGINT)"
         )
+        b = lambda q: f"(({lo}) + CAST({q} AS DOUBLE) * {step!r})"  # noqa: E731
+        q = (
+            f"(CASE WHEN ({v}) >= {b(f'({q0} + 1)')} THEN {q0} + 1 "
+            f"WHEN ({v}) >= {b(q0)} THEN {q0} "
+            f"ELSE {q0} - 1 END)"
+        )
+        return f"least(greatest({q}, 0), {(1 << bits) - 1})"
 
     qlon = quant(lng, -180.0, 180.0, lon_bits)
     qlat = quant(lat, -90.0, 90.0, lat_bits)

@@ -1539,13 +1539,9 @@ def image_dedup_keep(
         "id1", "id2"
     )
     comp = connected_components(pairs)  # (node, component)
-    sized = comp.join(
-        comp.groupBy("component").agg(F.count(F.lit(1)).alias("cluster_size")),
-        "component",
-    )
-    keep = sized.groupBy("component").agg(
+    keep = comp.groupBy("component").agg(
         F.min("node").alias("doc_id"),
-        F.first("cluster_size").alias("cluster_size"),
+        F.count(F.lit(1)).alias("cluster_size"),
     )
     kept_dups = media.join(
         keep.select("doc_id", "component", "cluster_size"), "doc_id"

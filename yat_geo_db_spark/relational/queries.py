@@ -1292,11 +1292,16 @@ def association_rules(
     antecedent, consequent)."""
     from yat_geo_db_spark.streaming.windows import assign_sessions
 
+    # baskets feed FOUR subtrees (both self-join sides, item marginals,
+    # session total) — persist+materialize like every shared band table
+    # (ReusedExchange can't dedup aliased sides; see ngram_jaccard_pairs)
     baskets = (
         assign_sessions(events, gap_minutes)
         .select("user_id", "session_id", "event_type")
         .distinct()
+        .persist()
     )
+    baskets.count()
     n_sessions_frame = F.broadcast(
         baskets.select("user_id", "session_id")
         .distinct()

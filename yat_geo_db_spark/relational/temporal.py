@@ -391,7 +391,11 @@ def funnel_with_timeout(
 
     Each hop matches the earliest FOLLOWING event (>= semantics), so a
     same-instant next step counts; a hop only survives if its gap to
-    the PREVIOUS hop's time is <= max_gap_minutes."""
+    the PREVIOUS hop's time is <= max_gap_minutes. When a step REPEATS
+    the previous step's type, the hop searches strictly AFTER the
+    previous hop's instant (+1 µs) — otherwise the standing event would
+    match itself and a re-engagement funnel would report 100%
+    conversion (review regression)."""
     gap_us = max_gap_minutes * 60 * 1_000_000
     base = events.where(F.col(type_col) == steps[0]).select(
         F.col(user_col),
@@ -408,8 +412,13 @@ def funnel_with_timeout(
             F.col(id_col),
             F.col(ts_col),
         )
+        search_from = (
+            F.col("_prev_ts") + F.expr("INTERVAL 1 MICROSECOND")
+            if step == steps[i - 1]
+            else F.col("_prev_ts")
+        )
         hopped = next_after_join(
-            cur.withColumn(ts_col, F.col("_prev_ts")),
+            cur.withColumn(ts_col, search_from),
             nxt,
             on=[user_col],
             ts_col=ts_col,

@@ -207,6 +207,20 @@ def streaming_transition_counts(events: DataFrame) -> DataFrame:
             return
         rows = rows.sort_values(["us", "event_id"])
         prev = state.get if state.exists else None
+        if prev is not None:
+            first = rows.iloc[0]
+            if (int(first["us"]), int(first["event_id"])) <= (
+                prev[0],
+                prev[1],
+            ):
+                raise ValueError(
+                    "streaming_transition_counts: batch delivered events "
+                    f"at or before the stored last event for user {key[0]} "
+                    f"(got ({int(first['us'])}, {int(first['event_id'])}) "
+                    f"<= state ({prev[0]}, {prev[1]})). The fold contract "
+                    "requires per-user time-ordered micro-batches — "
+                    "time-range-partition the source."
+                )
         prev_type = prev[2] if prev is not None else None
         counts: dict = {}
         last = None
