@@ -165,3 +165,33 @@ def test_bloom_manifest_point_read_identity_and_skipping(spark, tmp_path):
     )
     assert missing.count() == 0
     assert len(missing.inputFiles()) <= 2
+
+
+def test_small_file_report_and_advice(spark, tmp_path):
+    """A deliberately fragmented table must report every file with
+    exact row counts and trip the 'compact' verdict; a single-file
+    rewrite of the same data must read 'ok'."""
+    import pyspark.sql.functions as F
+    from yat_geo_db_spark.relational.layout import (
+        compaction_advice,
+        small_file_report,
+    )
+
+    frag = str(tmp_path / "frag")
+    df = spark.range(0, 50_000).withColumn("pad", F.lpad(F.col("id"), 64, "x"))
+    df.repartition(32).write.mode("overwrite").parquet(frag)
+    rep = small_file_report(spark, frag, target_mb=128).cache()
+    rows = rep.collect()
+    assert len(rows) == 32
+    assert sum(r["n_rows"] for r in rows) == 50_000
+    assert all(r["size_bytes"] > 0 for r in rows)
+    verdict = compaction_advice(rep, target_mb=128).collect()[0]
+    assert verdict["n_files"] == 32 and verdict["advice"] == "compact"
+    assert verdict["recommended_files"] == 1
+
+    solid = str(tmp_path / "solid")
+    df.coalesce(1).write.mode("overwrite").parquet(solid)
+    ok = compaction_advice(
+        small_file_report(spark, solid, target_mb=1)
+    ).collect()[0]
+    assert ok["n_files"] == 1 and ok["advice"] == "ok"

@@ -242,3 +242,84 @@ def bloom_pruned_point_read(
     if not files:
         return full.filter(F.lit(False))
     return spark.read.parquet(*files).filter(F.col(col) == F.lit(value))
+
+
+def small_file_report(spark, path: str, target_mb: int = 128) -> DataFrame:
+    """Small-file health check for a parquet directory — the scan-cost
+    diagnostic behind every compaction decision (a 100 TB table in 4 MB
+    files pays ~32× the open/footer/seek overhead of 128 MB files and
+    floods the driver with splits). One scan groups row counts per
+    input_file_name; sizes come from the Hadoop FileSystem API (works
+    on any FS the session can read, not just local). Returns one row
+    per file: (file, n_rows, size_bytes, under_quarter_target) plus
+    the derived rows/MB — feed it to compaction_advice for the
+    summary verdict."""
+    rows = (
+        spark.read.parquet(path)
+        .withColumn(
+            # join key is the BASENAME: input_file_name() and the
+            # FileSystem API print the same path with different URI
+            # normalization (file:/// vs file:/) — basenames are unique
+            # within a parquet dir by construction (part-NNNNN-uuid)
+            "file",
+            F.element_at(F.split(F.input_file_name(), "/"), -1),
+        )
+        .groupBy("file")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    fs_path = jvm.org.apache.hadoop.fs.Path(path)
+    fs = fs_path.getFileSystem(conf)
+    sizes = {}
+    it = fs.listFiles(fs_path, True)
+    while it.hasNext():
+        st = it.next()
+        p = st.getPath().toString()
+        if p.endswith(".parquet"):
+            sizes[p.rsplit("/", 1)[-1]] = st.getLen()
+    size_df = F.broadcast(
+        spark.createDataFrame(
+            list(sizes.items()), "file string, size_bytes long"
+        )
+    )
+    quarter = target_mb * 1024 * 1024 // 4
+    return rows.join(size_df, "file").select(
+        "file",
+        "n_rows",
+        "size_bytes",
+        (F.col("size_bytes") < F.lit(quarter)).alias("under_quarter_target"),
+        F.round(
+            F.col("n_rows")
+            / (F.col("size_bytes") / F.lit(1024.0 * 1024.0)),
+            2,
+        ).alias("rows_per_mb"),
+    )
+
+
+def compaction_advice(report: DataFrame, target_mb: int = 128) -> DataFrame:
+    """One-row verdict over a small_file_report: file count, total
+    bytes, median file size, the share of files under target/4, and
+    the file count a target_mb compaction would produce. Advice is
+    'compact' when over half the files are under a quarter of the
+    target — the point where open/footer overhead dominates scans."""
+    mb = 1024.0 * 1024.0
+    return report.agg(
+        F.count(F.lit(1)).alias("n_files"),
+        F.sum("size_bytes").alias("total_bytes"),
+        F.round(
+            F.expr("percentile(size_bytes, 0.5)") / mb, 3
+        ).alias("median_mb"),
+        F.round(
+            F.avg(F.col("under_quarter_target").cast("double")), 6
+        ).alias("small_share"),
+        F.greatest(
+            F.ceil(F.sum("size_bytes") / F.lit(target_mb * mb)),
+            F.lit(1).cast("long"),
+        ).alias("recommended_files"),
+    ).withColumn(
+        "advice",
+        F.when(F.col("small_share") > 0.5, F.lit("compact")).otherwise(
+            F.lit("ok")
+        ),
+    )
