@@ -751,3 +751,26 @@ def test_funnel_repeated_step_no_self_match(spark):
     }
     # 3 view starts; only user 2's first view has a LATER second view
     assert got == {0: 3, 1: 1}
+
+
+def test_evolve_union_widening_and_conflicts(spark):
+    """Missing columns fill NULL, ints widen to the widest observed
+    type, column order follows first appearance, and a string/long
+    conflict refuses instead of silently casting."""
+    import pytest
+
+    from yat_geo_db_spark.relational.merge import evolve_union
+
+    a = spark.createDataFrame([(1, 10)], "id int, v int")
+    b = spark.createDataFrame([(2, 3.5, "x")], "id long, w double, tag string")
+    out = evolve_union([a, b])
+    assert [f.name for f in out.schema.fields] == ["id", "v", "w", "tag"]
+    types = {f.name: f.dataType.simpleString() for f in out.schema.fields}
+    assert types["id"] == "bigint" and types["v"] == "int"
+    rows = {r["id"]: r for r in out.collect()}
+    assert rows[1]["v"] == 10 and rows[1]["w"] is None
+    assert rows[2]["tag"] == "x" and rows[2]["v"] is None
+
+    c = spark.createDataFrame([("oops",)], "id string")
+    with pytest.raises(ValueError, match="incompatible"):
+        evolve_union([a, c])

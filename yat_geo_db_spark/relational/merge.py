@@ -310,3 +310,57 @@ def quantile_from_histogram(
     return covering.select(
         *key_cols, "q", F.round(est, 6).alias("quantile_est")
     )
+
+
+#: numeric widening ladder for schema evolution (index = rank)
+_WIDEN_LADDER = ["tinyint", "smallint", "int", "bigint", "float", "double"]
+
+
+def evolve_union(dfs: list[DataFrame]) -> DataFrame:
+    """Union frames whose schemas EVOLVED across ingestion batches: the
+    output carries the union of all columns, each at the WIDEST numeric
+    type seen (tinyint→…→double ladder), with missing columns NULL —
+    the read-side half of schema evolution a table format would give
+    you, expressed over plain frames. Non-numeric type conflicts
+    (string vs long, timestamp vs date) raise instead of silently
+    casting: an ingestion pipeline must decide those, not a union.
+
+    Column order follows first appearance across the batch list, so
+    the result is deterministic regardless of which batch happens to
+    carry the widest type."""
+    if not dfs:
+        raise ValueError("evolve_union needs at least one frame")
+    order: list[str] = []
+    widest: dict[str, str] = {}
+    for df in dfs:
+        for name, dtype in df.dtypes:
+            if name not in widest:
+                order.append(name)
+                widest[name] = dtype
+                continue
+            cur = widest[name]
+            if dtype == cur:
+                continue
+            if dtype in _WIDEN_LADDER and cur in _WIDEN_LADDER:
+                if _WIDEN_LADDER.index(dtype) > _WIDEN_LADDER.index(cur):
+                    widest[name] = dtype
+            else:
+                raise ValueError(
+                    f"evolve_union: column {name!r} has incompatible types "
+                    f"{cur!r} and {dtype!r} — only the numeric widening "
+                    "ladder is auto-reconciled"
+                )
+    out = None
+    for df in dfs:
+        have = dict(df.dtypes)
+        cols = [
+            (
+                F.col(c).cast(widest[c])
+                if c in have
+                else F.lit(None).cast(widest[c])
+            ).alias(c)
+            for c in order
+        ]
+        part = df.select(*cols)
+        out = part if out is None else out.unionByName(part)
+    return out
