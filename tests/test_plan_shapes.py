@@ -601,3 +601,38 @@ def test_pmi_candidates_equi_join_on_doc(spark):
     plan = _plan(pmi_cooccurrence(docs, max_df_frac=0.95))
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_scd2_lookup_single_exchange_no_range_join(spark):
+    """The point-in-time lookup must ride the as-of union+window plan:
+    ONE hash exchange on the key, no BroadcastNestedLoop/cartesian
+    range join against the interval table."""
+    import pyspark.sql.functions as F
+    from yat_geo_db_spark.relational.temporal import (
+        scd2_intervals,
+        scd2_lookup_join,
+    )
+    from yat_geo_db_spark.testdata import load_table
+
+    events = load_table(spark, "/root/testdata/sf0.001", "events")
+    dim = scd2_intervals(events)
+    facts = events.select(
+        "event_id", "user_id",
+        (F.col("ts") + F.expr("INTERVAL 7 MINUTES")).alias("ts"),
+    )
+    out = scd2_lookup_join(facts, dim, ["user_id"], payload=("event_type",))
+    plan = _plan(out).split("== Initial Plan ==")[0]
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan, plan
+
+
+def test_dau_mau_no_range_self_join(spark):
+    """The trailing-window distinct must come from the bounded pair
+    spread (explode + hash agg), never a range self-join of the event
+    log."""
+    from yat_geo_db_spark.relational.queries import dau_mau_stickiness
+    from yat_geo_db_spark.testdata import load_table
+
+    events = load_table(spark, "/root/testdata/sf0.001", "events")
+    plan = _plan(dau_mau_stickiness(events))
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan, plan
+    assert "Generate explode" in plan, plan
