@@ -774,3 +774,26 @@ def test_evolve_union_widening_and_conflicts(spark):
     c = spark.createDataFrame([("oops",)], "id string")
     with pytest.raises(ValueError, match="incompatible"):
         evolve_union([a, c])
+
+
+def test_corr_matrix_known_correlations(spark):
+    """Perfectly correlated, anti-correlated, and independent planted
+    columns must land at 1, -1, and ~0; a constant column yields NULL;
+    a row with any NULL is excluded everywhere (complete-case)."""
+    from yat_geo_db_spark.relational.dq import corr_matrix
+
+    rows = []
+    for i in range(40):
+        x = float(i)
+        rows.append((x, 2 * x + 3, -x, float((i * 7919) % 13), 5.0))
+    rows.append((None, 1.0, 1.0, 1.0, 5.0))  # complete-case drop
+    df = spark.createDataFrame(rows, "x double, y double, z double, r double, c double")
+    got = {
+        (r["col_a"], r["col_b"]): r
+        for r in corr_matrix(df, ["x", "y", "z", "r", "c"]).collect()
+    }
+    assert all(r["n"] == 40 for r in got.values())
+    assert got[("x", "y")]["corr"] == 1.0
+    assert got[("x", "z")]["corr"] == -1.0
+    assert abs(got[("x", "r")]["corr"]) < 0.4
+    assert got[("x", "c")]["corr"] is None  # zero variance

@@ -1197,6 +1197,47 @@ FROM orders"""
     return "\nUNION ALL\n".join(parts) + "\nORDER BY column_name"
 
 
+def corr_matrix_q(spark, sf_dir):
+    """One-pass Pearson matrix (relational.dq.corr_matrix) over four
+    lineitem measures — k·(k+1)/2 fixed-point sums in one aggregate,
+    stack-unpivoted; the oracle repeats the sums per pair."""
+    from yat_geo_db_spark.relational.dq import corr_matrix
+
+    (lineitem,) = _t(spark, sf_dir, "lineitem")
+    return corr_matrix(
+        lineitem,
+        ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+    ).orderBy("col_a", "col_b")
+
+
+def _corr_matrix_sql() -> str:
+    cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    pairs = [(a, b) for i, a in enumerate(cols) for b in cols[i + 1 :]]
+    parts = []
+    for a, b in pairs:
+        sa, sb = _dsum(a, 4), _dsum(b, 4)
+        ssa, ssb = _dsum(f"{a} * {a}", 4), _dsum(f"{b} * {b}", 4)
+        sp = _dsum(f"{a} * {b}", 4)
+        parts.append(
+            f"""SELECT '{a}' AS col_a, '{b}' AS col_b,
+       CAST(count(*) AS BIGINT) AS n,
+       round(CASE WHEN CAST(count(*) AS DOUBLE) * {ssa} - {sa} * {sa} > 0
+                   AND CAST(count(*) AS DOUBLE) * {ssb} - {sb} * {sb} > 0
+             THEN (CAST(count(*) AS DOUBLE) * {sp} - {sa} * {sb})
+                  / (sqrt(CAST(count(*) AS DOUBLE) * {ssa} - {sa} * {sa})
+                     * sqrt(CAST(count(*) AS DOUBLE) * {ssb} - {sb} * {sb}))
+             END, 6) AS corr
+FROM base"""
+        )
+    sel = "\nUNION ALL\n".join(parts)
+    where = " AND ".join(f"{c} IS NOT NULL" for c in cols)
+    return (
+        f"WITH base AS (SELECT * FROM lineitem WHERE {where})\n"
+        + sel
+        + "\nORDER BY col_a, col_b"
+    )
+
+
 def robust_outliers_q(spark, sf_dir):
     """Median/MAD modified-z anomaly gate (relational.dq.robust_outliers)
     over event values per type — robust statistics resist the outliers
@@ -3009,6 +3050,7 @@ QUERIES: dict = {
     "rel_exact_percentiles": (exact_percentiles, _EXACT_PCTL_SQL),
     "rel_robust_outliers": (robust_outliers_q, _ROBUST_OUTLIERS_SQL),
     "rel_table_stats": (table_stats_q, _table_stats_sql()),
+    "rel_corr_matrix": (corr_matrix_q, _corr_matrix_sql()),
     "rel_winsorize": (winsorize_q, _WINSORIZE_SQL),
     "rel_impute_median": (impute_median_q, _IMPUTE_MEDIAN_SQL),
     "rel_array_funcs": (array_funcs, _ARRAY_FUNCS_SQL),
