@@ -113,6 +113,13 @@ HEADLINE = [
     "pipe_graph_lpa",
     "pipe_mm_dedup_keep",
     "geo_density_hotspots",
+    # round-6 session-3 final wave: timeout funnel (2 as-of hops),
+    # exact DAU/MAU pair spread, the one-pass correlation matrix, and
+    # geohash cell bucketing
+    "rel_funnel_timeout",
+    "rel_dau_mau",
+    "rel_corr_matrix",
+    "geo_geohash_cells",
 ]
 
 
