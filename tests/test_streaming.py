@@ -860,9 +860,23 @@ def test_streaming_transition_counts_match_batch(spark, tmp_path):
         "event_id", "user_id", "ts", "event_type"
     )
     src = str(tmp_path / "tr_src")
-    # time-range-partitioned files: micro-batches arrive per-user
-    # time-ordered, the contract the delta fold needs
-    events.repartitionByRange(3, "ts", "event_id").write.mode("overwrite").parquet(src)
+    # time-range-split files written SEQUENTIALLY with distinct mtimes:
+    # FileStreamSource orders equal-mtime files unpredictably, so a
+    # single range-partitioned write can stream a later time range
+    # first and (correctly) trip the operator's ordering guard
+    import time
+
+    from pyspark.sql import Window
+
+    ranked = events.withColumn(
+        "_b",
+        F.ntile(3).over(Window.orderBy("ts", "event_id")),
+    )
+    for b in (1, 2, 3):
+        ranked.where(F.col("_b") == b).drop("_b").coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        time.sleep(1.2)
     schema = spark.read.parquet(src).schema
 
     q = (
