@@ -195,3 +195,52 @@ def test_small_file_report_and_advice(spark, tmp_path):
         small_file_report(spark, solid, target_mb=1)
     ).collect()[0]
     assert ok["n_files"] == 1 and ok["advice"] == "ok"
+
+
+def test_versioned_table_time_travel_and_diff(spark, tmp_path):
+    """Versions are immutable and individually readable; the committed
+    _latest marker governs the default read; version_diff round-trips
+    through cdc_apply to reproduce the newer version exactly."""
+    import pyspark.sql.functions as F
+    from yat_geo_db_spark.relational.layout import (
+        latest_version,
+        read_version,
+        version_diff,
+        versioned_write,
+    )
+    from yat_geo_db_spark.relational.merge import cdc_apply
+
+    root = str(tmp_path / "vt")
+    v0_data = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0)], "k long, s string, x double"
+    )
+    assert versioned_write(v0_data, root) == 0
+    v1_data = spark.createDataFrame(
+        [(1, "a", 11.0), (3, "c", 30.0)], "k long, s string, x double"
+    )
+    assert versioned_write(v1_data, root) == 1
+    assert latest_version(root) == 1
+
+    assert sorted(map(tuple, read_version(spark, root, 0).collect())) == sorted(
+        map(tuple, v0_data.collect())
+    )
+    assert sorted(map(tuple, read_version(spark, root).collect())) == sorted(
+        map(tuple, v1_data.collect())
+    )
+
+    diff = version_diff(spark, root, 0, 1, ["k"])
+    ops = {r["k"]: r["op"] for r in diff.collect()}
+    assert ops == {1: "U", 2: "D", 3: "I"}
+
+    # applying the diff to v0 reproduces v1 (snapshot_diff's contract,
+    # exercised end-to-end through the version store)
+    changes = diff.drop("changed").withColumn("version", F.lit(1))
+    rebuilt = cdc_apply(
+        read_version(spark, root, 0).withColumn("version", F.lit(0)),
+        changes,
+        ["k"],
+        "version",
+    )
+    assert sorted(map(tuple, rebuilt.select("k", "s", "x").collect())) == sorted(
+        map(tuple, v1_data.collect())
+    )

@@ -323,3 +323,81 @@ def compaction_advice(report: DataFrame, target_mb: int = 128) -> DataFrame:
             F.lit("ok")
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# versioned tables: time travel over plain parquet
+# --------------------------------------------------------------------------
+
+def _version_dirs(root: str) -> list[int]:
+    import os as _os
+    import re as _re
+
+    if not _os.path.isdir(root):
+        return []
+    out = []
+    for d in _os.listdir(root):
+        m = _re.fullmatch(r"v=(\d+)", d)
+        if m and _os.path.isdir(_os.path.join(root, d)):
+            out.append(int(m.group(1)))
+    return sorted(out)
+
+
+def versioned_write(df: DataFrame, root: str) -> int:
+    """Append a new immutable VERSION of a table: the frame lands in
+    root/v=N (N = latest+1) and a _latest marker is committed by
+    write-temp-then-rename AFTER the data write succeeds — readers
+    pointed at the marker never see a half-written version (the
+    poor-man's snapshot isolation a table format gives you; same
+    marker discipline as the rollup sink's _compacted_through).
+    Old versions stay readable for time travel until you prune them."""
+    import os as _os
+
+    versions = _version_dirs(root)
+    v = (versions[-1] + 1) if versions else 0
+    df.write.mode("errorifexists").parquet(
+        _os.path.join(root, f"v={v}")
+    )
+    tmp = _os.path.join(root, "_latest.tmp")
+    with open(tmp, "w") as fh:
+        fh.write(str(v))
+    _os.replace(tmp, _os.path.join(root, "_latest"))
+    return v
+
+
+def latest_version(root: str) -> int:
+    """Committed latest version per the marker (NOT the max dir: a
+    crashed writer may have left a data dir without committing)."""
+    import os as _os
+
+    try:
+        with open(_os.path.join(root, "_latest")) as fh:
+            return int(fh.read().strip())
+    except (OSError, ValueError):
+        return -1
+
+
+def read_version(spark, root: str, version: int | None = None) -> DataFrame:
+    """Time-travel read: the given version, or the committed latest."""
+    import os as _os
+
+    v = latest_version(root) if version is None else version
+    if v < 0:
+        raise ValueError(f"no committed version under {root!r}")
+    return spark.read.parquet(_os.path.join(root, f"v={v}"))
+
+
+def version_diff(
+    spark, root: str, v_old: int, v_new: int, key_cols: list[str]
+) -> DataFrame:
+    """Change feed between two committed versions — relational.merge.
+    snapshot_diff over the two time-travel reads, so applying the
+    result to v_old via cdc_apply reproduces v_new exactly (the
+    round-trip snapshot_diff already proves)."""
+    from yat_geo_db_spark.relational.merge import snapshot_diff
+
+    return snapshot_diff(
+        read_version(spark, root, v_old),
+        read_version(spark, root, v_new),
+        key_cols,
+    )
