@@ -905,3 +905,53 @@ def test_streaming_transition_counts_match_batch(spark, tmp_path):
         for r in event_transitions(events).collect()
     }
     assert got == want and want
+
+
+def test_versioned_enrichment_sink_picks_up_dim_refresh(spark, tmp_path):
+    """Rows streamed BEFORE a dimension refresh carry the old version's
+    payload; rows streamed after carry the new one — the committed
+    _latest marker decides per micro-batch."""
+    import pyspark.sql.functions as F
+    from yat_geo_db_spark.relational.layout import versioned_write
+    from yat_geo_db_spark.streaming.sinks import (
+        read_sink,
+        versioned_enrichment_sink,
+    )
+
+    dim_root = str(tmp_path / "dim")
+    versioned_write(
+        spark.createDataFrame([(1, "old")], "k long, tag string"), dim_root
+    )
+
+    src = str(tmp_path / "src")
+    target = str(tmp_path / "enriched")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "event_id long, k long"
+    sink = versioned_enrichment_sink(dim_root, ["k"], target, ["tag"])
+
+    def run(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        q = (
+            spark.readStream.schema(
+                spark.read.parquet(src).schema
+            )
+            .parquet(src)
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run([(100, 1)])
+    versioned_write(
+        spark.createDataFrame([(1, "new")], "k long, tag string"), dim_root
+    )
+    run([(200, 1)])
+
+    got = {
+        r["event_id"]: r["tag"] for r in read_sink(spark, target).collect()
+    }
+    assert got == {100: "old", 200: "new"}

@@ -398,3 +398,34 @@ def read_histogram_quantiles(
     states = read_sink(spark, root).drop("batch_id")
     merged = merge_histogram_states([states], key_cols)
     return quantile_from_histogram(merged, key_cols, qs, lo, hi, n_bins)
+
+
+def versioned_enrichment_sink(
+    dim_root: str,
+    on: list[str],
+    target_dir: str,
+    payload_cols: list[str] | None = None,
+):
+    """foreachBatch stream enrichment against a SLOWLY-REFRESHING
+    dimension: every micro-batch re-reads the dimension's latest
+    COMMITTED version (relational.layout.read_version — the _latest
+    marker guarantees it never sees a half-written refresh) and
+    broadcast-left-joins it in, so a dimension update published
+    mid-stream applies from the next batch on. This is the pattern for
+    stream⋈dim when the dim updates too often to bake into the query
+    plan but too rarely for a stream-stream join. Output rides the
+    batch_id=N overwrite writer: replays re-enrich with the CURRENT
+    dimension (document this — at-least-once replay after a dim
+    refresh is a re-enrichment, which is precisely what you want for
+    corrections)."""
+    inner = batch_partitioned_parquet_sink(target_dir)
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        from yat_geo_db_spark.relational.layout import read_version
+
+        dim = read_version(batch_df.sparkSession, dim_root)
+        if payload_cols is not None:
+            dim = dim.select(*on, *payload_cols)
+        inner(batch_df.join(F.broadcast(dim), on, "left"), batch_id)
+
+    return write_batch
