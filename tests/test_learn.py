@@ -212,3 +212,33 @@ def test_cusum_timestamp_order_and_auc_null_scores(spark):
     )
     row = auc_score(scored, "score", "label").collect()[0]
     assert (row["n_pos"], row["n_neg"], row["auc"]) == (1, 1, 1.0)
+
+
+def test_cuped_reduces_variance_preserves_effect(spark):
+    """With a covariate that strongly predicts the metric, CUPED must
+    cut variance substantially while leaving the between-variant mean
+    GAP essentially unchanged (the whole point: tighter CIs, unbiased
+    effect); with a useless covariate theta ≈ 0 and nothing changes."""
+    import random
+
+    from yat_geo_db_spark.pipelines.learn import cuped_adjusted_means
+
+    rng = random.Random(7)
+    rows = []
+    for u in range(400):
+        variant = u % 2
+        x = rng.gauss(50, 10)            # pre-period covariate
+        noise = rng.gauss(0, 2)
+        y = x + (1.0 if variant else 0.0) + noise  # true lift = 1.0
+        rows.append((variant, x, y))
+    df = spark.createDataFrame(rows, "variant int, x double, y double")
+    got = {r["variant"]: r for r in cuped_adjusted_means(df, "variant", "x", "y").collect()}
+    raw_gap = got[1]["mean_raw"] - got[0]["mean_raw"]
+    adj_gap = got[1]["mean_adj"] - got[0]["mean_adj"]
+    assert abs(adj_gap - 1.0) < 0.5
+    assert abs(adj_gap - raw_gap) < 1.5
+    assert got[0]["var_reduction"] > 0.9  # x explains ~96% of var(y)
+
+    useless = df.withColumn("x", F.lit(7.0))
+    g2 = cuped_adjusted_means(useless, "variant", "x", "y").collect()[0]
+    assert g2["theta"] == 0.0 and abs(g2["var_reduction"]) < 1e-6

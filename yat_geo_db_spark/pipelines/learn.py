@@ -323,3 +323,77 @@ def cusum_changepoint(
             F.col("_ord").alias("peak_at"),
         )
     )
+
+
+def cuped_adjusted_means(
+    df: DataFrame,
+    variant_col: str,
+    x_col: str,
+    y_col: str,
+    scale: int = 6,
+) -> DataFrame:
+    """CUPED variance reduction for experiment readouts (Deng et al.
+    WSDM'13): adjust each unit's metric with its PRE-period covariate,
+    y' = y − θ·(x − x̄) with θ = cov(x,y)/var(x) pooled across variants
+    — the industry-standard way to tighten A/B confidence intervals
+    without waiting for more traffic. Returns one row per variant
+    (n, mean_raw, mean_adj) plus the pooled θ and the achieved global
+    variance-reduction ratio 1 − var(y')/var(y) on every row.
+
+    Scale shape: one sufficient-statistics aggregate (dsum fixed-point
+    ⇒ engine-exact θ/x̄), a broadcast of that 1-row frame, a pure
+    adjusted-metric projection, one per-variant aggregate and one 1-row
+    variance aggregate — three passes over the UNIT table (already
+    aggregated from events), nothing over raw rows. Degenerate var(x)=0
+    ⇒ θ=0 (no adjustment), never a division artifact."""
+    x, y = F.col(x_col).cast("double"), F.col(y_col).cast("double")
+    stats = F.broadcast(
+        df.agg(
+            F.count(F.lit(1)).cast("double").alias("_n"),
+            dsum(x, scale).alias("_sx"),
+            dsum(y, scale).alias("_sy"),
+            dsum(x * y, scale).alias("_sxy"),
+            dsum(x * x, scale).alias("_sxx"),
+        )
+    )
+    var_x = F.col("_n") * F.col("_sxx") - F.col("_sx") * F.col("_sx")
+    cov = F.col("_n") * F.col("_sxy") - F.col("_sx") * F.col("_sy")
+    theta = F.when(var_x > 0, cov / var_x).otherwise(F.lit(0.0))
+    xbar = F.col("_sx") / F.col("_n")
+    adjusted = df.crossJoin(stats).select(
+        F.col(variant_col),
+        y.alias("_y"),
+        (y - theta * (x - xbar)).alias("_adj"),
+        theta.alias("_theta"),
+    )
+    per_variant = adjusted.groupBy(variant_col).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(dsum(F.col("_y"), scale) / F.count(F.lit(1)), 6).alias(
+            "mean_raw"
+        ),
+        F.round(dsum(F.col("_adj"), scale) / F.count(F.lit(1)), 6).alias(
+            "mean_adj"
+        ),
+        F.round(F.first("_theta"), 6).alias("theta"),
+    )
+    var_frame = F.broadcast(
+        adjusted.agg(
+            F.count(F.lit(1)).cast("double").alias("_vn"),
+            dsum(F.col("_y"), scale).alias("_vy"),
+            dsum(F.col("_y") * F.col("_y"), scale).alias("_vyy"),
+            dsum(F.col("_adj"), scale).alias("_va"),
+            dsum(F.col("_adj") * F.col("_adj"), scale).alias("_vaa"),
+        )
+    )
+    var_y = F.col("_vn") * F.col("_vyy") - F.col("_vy") * F.col("_vy")
+    var_a = F.col("_vn") * F.col("_vaa") - F.col("_va") * F.col("_va")
+    return per_variant.crossJoin(var_frame).select(
+        variant_col,
+        "n",
+        "mean_raw",
+        "mean_adj",
+        "theta",
+        F.round(
+            F.when(var_y > 0, F.lit(1.0) - var_a / var_y), 6
+        ).alias("var_reduction"),
+    )

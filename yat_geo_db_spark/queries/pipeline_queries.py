@@ -1821,6 +1821,95 @@ ORDER BY source
 """
 
 
+def q_cuped_experiment(spark, sf_dir):
+    """CUPED experiment readout (learn.cuped_adjusted_means): per-user
+    pre-period (Jan 1–15) value sums as the covariate, post-period as
+    the metric, deterministic variant = user_id % 2. Pooled θ and
+    per-variant raw vs adjusted means, all dsum fixed-point — the
+    oracle replays every stage."""
+    from yat_geo_db_spark.pipelines.learn import cuped_adjusted_means
+    from yat_geo_db_spark.relational.queries import dsum
+
+    events = load_table(spark, sf_dir, "events")
+    split = "2024-01-16 00:00:00"
+    per_user = events.groupBy("user_id").agg(
+        dsum(
+            F.when(
+                F.col("ts") < F.lit(split).cast("timestamp"),
+                F.coalesce(F.col("value"), F.lit(0.0)),
+            ).otherwise(F.lit(0.0)),
+            4,
+        ).alias("x_pre"),
+        dsum(
+            F.when(
+                F.col("ts") >= F.lit(split).cast("timestamp"),
+                F.coalesce(F.col("value"), F.lit(0.0)),
+            ).otherwise(F.lit(0.0)),
+            4,
+        ).alias("y_post"),
+    ).select(
+        (F.pmod(F.col("user_id"), F.lit(2))).cast("int").alias("variant"),
+        "x_pre",
+        "y_post",
+    )
+    return cuped_adjusted_means(
+        per_user, "variant", "x_pre", "y_post"
+    ).orderBy("variant")
+
+
+def _cuped_sql() -> str:
+    from yat_geo_db_spark.queries.relational_queries import _dsum
+
+    s = 6
+    pre = ("CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00' "
+           "THEN coalesce(value, 0.0) ELSE 0.0 END")
+    post = ("CASE WHEN ts >= TIMESTAMP '2024-01-16 00:00:00' "
+            "THEN coalesce(value, 0.0) ELSE 0.0 END")
+    return f"""
+WITH per_user AS (
+  SELECT CAST(user_id % 2 AS INT) AS variant,
+         {_dsum(pre, 4)} AS x, {_dsum(post, 4)} AS y
+  FROM events GROUP BY user_id
+),
+st AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n,
+         {_dsum('x', s)} AS sx, {_dsum('y', s)} AS sy,
+         {_dsum('x * y', s)} AS sxy, {_dsum('x * x', s)} AS sxx
+  FROM per_user
+),
+th AS (
+  SELECT n, sx / n AS xbar,
+         CASE WHEN n * sxx - sx * sx > 0
+              THEN (n * sxy - sx * sy) / (n * sxx - sx * sx)
+              ELSE 0.0 END AS theta
+  FROM st
+),
+adj AS (
+  SELECT variant, y AS yy, y - theta * (x - xbar) AS a, theta
+  FROM per_user, th
+),
+pv AS (
+  SELECT variant, CAST(count(*) AS BIGINT) AS n,
+         round({_dsum('yy', s)} / count(*), 6) AS mean_raw,
+         round({_dsum('a', s)} / count(*), 6) AS mean_adj,
+         round(any_value(theta), 6) AS theta
+  FROM adj GROUP BY variant
+),
+vr AS (
+  SELECT CAST(count(*) AS DOUBLE) AS vn,
+         {_dsum('yy', s)} AS vy, {_dsum('yy * yy', s)} AS vyy,
+         {_dsum('a', s)} AS va, {_dsum('a * a', s)} AS vaa
+  FROM adj
+)
+SELECT variant, n, mean_raw, mean_adj, theta,
+       round(CASE WHEN vn * vyy - vy * vy > 0
+             THEN 1.0 - (vn * vaa - va * va) / (vn * vyy - vy * vy) END, 6)
+         AS var_reduction
+FROM pv, vr
+ORDER BY variant
+"""
+
+
 def q_quality_logreg(spark, sf_dir):
     """Distributed logistic-regression quality classifier (predict
     long-form docs, n_chars >= 300, from a capped length feature +
@@ -5019,6 +5108,7 @@ QUERIES: dict = {
     "pipe_quality_auc": (q_quality_auc, _QUALITY_AUC_SQL),
     "pipe_quality_quantile_norm": (q_quality_quantile_norm, _QUANTILE_NORM_SQL),
     "pipe_source_changepoint": (q_source_changepoint, _changepoint_sql()),
+    "pipe_cuped_experiment": (q_cuped_experiment, _cuped_sql()),
     "pipe_source_trend": (q_source_trend, _SOURCE_TREND_SQL),
     "pipe_sim_topk_ivf": (q_topk_ivf, _TOPK_IVF_SQL),
     "pipe_sim_topk_ivf_multiprobe": (q_topk_ivf_multiprobe, _TOPK_IVF_MULTIPROBE_SQL),
