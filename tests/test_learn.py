@@ -242,3 +242,25 @@ def test_cuped_reduces_variance_preserves_effect(spark):
     useless = df.withColumn("x", F.lit(7.0))
     g2 = cuped_adjusted_means(useless, "variant", "x", "y").collect()[0]
     assert g2["theta"] == 0.0 and abs(g2["var_reduction"]) < 1e-6
+
+
+def test_kaplan_meier_textbook_example(spark):
+    """Classic KM hand case: durations (event) = 1(d),2(c),3(d),4(d),5(c)
+    → S(1)=4/5, S(3)=4/5·2/3, S(4)=4/5·2/3·1/2; censored rows shrink the
+    risk set but emit no curve step; an everyone-dies final time pins
+    survival to exactly 0."""
+    from yat_geo_db_spark.pipelines.learn import kaplan_meier
+
+    df = spark.createDataFrame(
+        [(1, 1), (2, 0), (3, 1), (4, 1), (5, 0)], "t long, e int"
+    )
+    got = {r["t"]: r for r in kaplan_meier(df, "t", "e").collect()}
+    assert set(got) == {1, 3, 4}
+    assert abs(got[1]["survival"] - 0.8) < 1e-5
+    assert abs(got[3]["survival"] - 0.8 * (2 / 3)) < 1e-5
+    assert abs(got[4]["survival"] - 0.8 * (2 / 3) * 0.5) < 1e-5
+    assert got[1]["n_risk"] == 5 and got[3]["n_risk"] == 3
+
+    total = spark.createDataFrame([(1, 1), (2, 1)], "t long, e int")
+    g2 = {r["t"]: r["survival"] for r in kaplan_meier(total, "t", "e").collect()}
+    assert g2[2] == 0.0 and abs(g2[1] - 0.5) < 1e-5

@@ -397,3 +397,76 @@ def cuped_adjusted_means(
             F.when(var_y > 0, F.lit(1.0) - var_a / var_y), 6
         ).alias("var_reduction"),
     )
+
+
+def kaplan_meier(
+    df: DataFrame,
+    duration_col: str,
+    event_col: str,
+    scale: int = 6,
+) -> DataFrame:
+    """Kaplan–Meier survival curve with right-censoring: at each
+    distinct event time t, S(t) = Π_{tᵢ≤t} (1 − dᵢ/nᵢ) with dᵢ deaths
+    at tᵢ and nᵢ the at-risk count (units with duration ≥ tᵢ) — the
+    retention/churn curve that uses censored units (still alive at
+    observation end) correctly instead of dropping them.
+
+    Engine-exact product: each factor's ln is 6-dp rounded, the running
+    sum goes through fixed-point dsum_over, and S = exp(·) is rounded —
+    so the curve matches the SQL oracle bit-for-bit (a naive running
+    float product is order-fragile). Scale shape: one groupBy(duration)
+    for the death/censor counts, one descending cumulative window for
+    the at-risk set, one ordered window over the DISTINCT-DURATION
+    table (bounded like a vocabulary, not the unit count)."""
+    from yat_geo_db_spark.relational.queries import dsum_over
+
+    per_t = (
+        df.select(
+            F.col(duration_col).alias("t"),
+            F.col(event_col).cast("int").alias("_e"),
+        )
+        .groupBy("t")
+        .agg(
+            F.sum("_e").alias("d"),
+            F.count(F.lit(1)).alias("c"),
+        )
+    )
+    w_desc = (
+        Window.orderBy(F.desc("t"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    at_risk = per_t.withColumn("n_risk", F.sum("c").over(w_desc))
+    # a time where EVERYONE at risk dies (d == n) sends ln(1-d/n) to
+    # -inf; factor it out as an explicit zero: survival is 0 from the
+    # first such time onward, and that row contributes no log term
+    factored = at_risk.where(F.col("d") > 0).withColumn(
+        "_lnf",
+        F.when(
+            F.col("d") < F.col("n_risk"),
+            F.round(
+                F.log(
+                    F.lit(1.0)
+                    - F.col("d").cast("double")
+                    / F.col("n_risk").cast("double")
+                ),
+                6,
+            ),
+        ),
+    )
+    w_asc = (
+        Window.orderBy("t")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    zero_from = F.min(
+        F.when(F.col("d") == F.col("n_risk"), F.col("t"))
+    ).over(w_asc)
+    return factored.select(
+        "t",
+        F.col("d").alias("n_events"),
+        F.col("n_risk"),
+        F.when(zero_from.isNotNull(), F.lit(0.0))
+        .otherwise(
+            F.round(F.exp(dsum_over(F.col("_lnf"), w_asc, scale)), 6)
+        )
+        .alias("survival"),
+    )

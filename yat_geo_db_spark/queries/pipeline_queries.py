@@ -1821,6 +1821,88 @@ ORDER BY source
 """
 
 
+def q_user_survival(spark, sf_dir):
+    """User-retention Kaplan–Meier (learn.kaplan_meier): duration =
+    whole days between a user's first and last event; churned (event=1)
+    if their last activity predates the corpus edge by >3 days,
+    otherwise censored. The log-space fixed-point product makes the
+    curve hash-exact."""
+    from yat_geo_db_spark.pipelines.learn import kaplan_meier
+
+    events = load_table(spark, sf_dir, "events")
+    edge = events.agg(F.max("ts").alias("_max_ts"))
+    spans = events.groupBy("user_id").agg(
+        F.min("ts").alias("_first"),
+        F.max("ts").alias("_last"),
+    )
+    units = spans.crossJoin(F.broadcast(edge)).select(
+        F.floor(
+            (F.unix_micros(F.col("_last").cast("timestamp"))
+             - F.unix_micros(F.col("_first").cast("timestamp")))
+            / F.lit(86_400_000_000.0)
+        ).cast("long").alias("duration_days"),
+        (
+            F.unix_micros(F.col("_max_ts").cast("timestamp"))
+            - F.unix_micros(F.col("_last").cast("timestamp"))
+            > F.lit(3 * 86_400_000_000)
+        ).cast("int").alias("churned"),
+    )
+    return kaplan_meier(units, "duration_days", "churned").orderBy("t")
+
+
+def _survival_sql() -> str:
+    from yat_geo_db_spark.queries.relational_queries import _dsum
+
+    return f"""
+WITH edge AS (SELECT max(ts) AS max_ts FROM events),
+spans AS (
+  SELECT user_id, min(ts) AS f, max(ts) AS l FROM events GROUP BY user_id
+),
+units AS (
+  SELECT CAST(floor((epoch_us(CAST(l AS TIMESTAMP))
+                     - epoch_us(CAST(f AS TIMESTAMP)))
+                    / 86400000000.0) AS BIGINT) AS t,
+         CASE WHEN epoch_us(CAST(max_ts AS TIMESTAMP))
+                   - epoch_us(CAST(l AS TIMESTAMP)) > 259200000000
+              THEN 1 ELSE 0 END AS e
+  FROM spans, edge
+),
+per_t AS (
+  SELECT t, sum(e) AS d, count(*) AS c FROM units GROUP BY t
+),
+risk AS (
+  SELECT t, d, CAST(sum(c) OVER (ORDER BY t DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS n_risk
+  FROM per_t
+),
+fac AS (
+  SELECT t, d, n_risk,
+         CASE WHEN d < n_risk THEN
+           round(ln(1.0 - CAST(d AS DOUBLE) / CAST(n_risk AS DOUBLE)), 6)
+         END AS lnf
+  FROM risk WHERE d > 0
+),
+curve AS (
+  SELECT t, d, n_risk,
+         CASE WHEN min(CASE WHEN d = n_risk THEN t END) OVER (
+                ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+              ) IS NOT NULL
+         THEN 0.0
+         ELSE round(exp(
+           CAST(sum(CAST(floor(lnf * 1e6 + CAST(0.5 AS DOUBLE)) AS BIGINT))
+                OVER (ORDER BY t
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS DOUBLE) / 1e6), 6)
+         END AS survival
+  FROM fac
+)
+SELECT t, CAST(d AS BIGINT) AS n_events, n_risk, survival
+FROM curve
+ORDER BY t
+"""
+
+
 def q_cuped_experiment(spark, sf_dir):
     """CUPED experiment readout (learn.cuped_adjusted_means): per-user
     pre-period (Jan 1–15) value sums as the covariate, post-period as
@@ -5109,6 +5191,7 @@ QUERIES: dict = {
     "pipe_quality_quantile_norm": (q_quality_quantile_norm, _QUANTILE_NORM_SQL),
     "pipe_source_changepoint": (q_source_changepoint, _changepoint_sql()),
     "pipe_cuped_experiment": (q_cuped_experiment, _cuped_sql()),
+    "pipe_user_survival": (q_user_survival, _survival_sql()),
     "pipe_source_trend": (q_source_trend, _SOURCE_TREND_SQL),
     "pipe_sim_topk_ivf": (q_topk_ivf, _TOPK_IVF_SQL),
     "pipe_sim_topk_ivf_multiprobe": (q_topk_ivf_multiprobe, _TOPK_IVF_MULTIPROBE_SQL),
