@@ -120,6 +120,10 @@ HEADLINE = [
     "rel_dau_mau",
     "rel_corr_matrix",
     "geo_geohash_cells",
+    # experimentation/survival analytics + the multi-distinct profiler
+    "pipe_cuped_experiment",
+    "pipe_user_survival",
+    "rel_table_stats",
 ]
 
 
