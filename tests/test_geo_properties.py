@@ -293,3 +293,25 @@ def test_fuzzy_join_resolves_corrupted_names(spark):
         assert [x[0] for x in rs] == list(range(1, len(rs) + 1))
         sims = [x[1] for x in rs]
         assert sims == sorted(sims, reverse=True)
+
+
+def test_nearest_facility_argmin_and_ties(spark):
+    """Each point lands on its true nearest facility; equidistant
+    facilities tie to the lower id; null-coordinate rows drop."""
+    import pyspark.sql.functions as F
+    from yat_geo_db_spark.geo.radius import nearest_facility
+
+    points = spark.createDataFrame(
+        [(1, 0.0, 0.0), (2, 0.0, 10.0), (3, 0.0, 5.0), (4, None, 1.0)],
+        "id long, latitude double, longitude double",
+    )
+    facilities = spark.createDataFrame(
+        [(100, 0.0, 1.0), (200, 0.0, 9.0)],
+        "id long, latitude double, longitude double",
+    )
+    got = {
+        r["point_id"]: r["facility_id"]
+        for r in nearest_facility(points, facilities).collect()
+    }
+    # point 3 at lng 5 is equidistant (4° each way) → lower id wins
+    assert got == {1: 100, 2: 200, 3: 100}

@@ -435,3 +435,55 @@ def radius_join(
     return hits.select(
         origin_id_col, "id", "reference_code", dist.alias("distance")
     )
+
+
+def nearest_facility(
+    points: DataFrame,
+    facilities: DataFrame,
+    point_id: str = "id",
+    facility_id: str = "id",
+) -> DataFrame:
+    """Assign every point to its nearest facility (the Voronoi /
+    service-territory partition): broadcast the facility table, score
+    every (point, facility) haversine pair inside a BNLJ — points
+    stream once, nothing shuffles — and keep the per-point argmin via
+    ONE min(struct(distance, facility)) aggregate, ties to the lower
+    facility id. Facility tables are small by nature (stores, DCs,
+    metros); a corpus-scale right side needs the gridded join instead
+    (grid.radius_join_gridded)."""
+    from yat_geo_db_spark.geo.geometry import haversine_miles
+
+    p = points.select(
+        F.col(point_id).alias("point_id"),
+        F.col("latitude").alias("_plat"),
+        F.col("longitude").alias("_plng"),
+    ).where(F.col("_plat").isNotNull() & F.col("_plng").isNotNull())
+    f = facilities.select(
+        F.col(facility_id).alias("facility_id"),
+        F.col("latitude").alias("_flat"),
+        F.col("longitude").alias("_flng"),
+    ).where(F.col("_flat").isNotNull() & F.col("_flng").isNotNull())
+    scored = p.crossJoin(F.broadcast(f)).select(
+        "point_id",
+        "facility_id",
+        F.round(
+            haversine_miles(
+                F.col("_plat"), F.col("_plng"),
+                F.col("_flat"), F.col("_flng"),
+            ),
+            4,
+        ).alias("distance"),
+    )
+    best = scored.groupBy("point_id").agg(
+        F.min(
+            F.struct(
+                F.col("distance").alias("distance"),
+                F.col("facility_id").alias("facility_id"),
+            )
+        ).alias("_m")
+    )
+    return best.select(
+        "point_id",
+        F.col("_m.facility_id").alias("facility_id"),
+        F.col("_m.distance").alias("distance"),
+    )

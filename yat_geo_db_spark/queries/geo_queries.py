@@ -503,6 +503,50 @@ ORDER BY geohash
 """
 
 
+
+def q_nearest_facility(spark, sf_dir):
+    """Voronoi assignment (geo.radius.nearest_facility): every
+    non-aggregate shape assigned to its nearest AGGREGATE shape (metro
+    areas as facilities) by haversine argmin — broadcast BNLJ, points
+    stream once; min(struct) ties to the lower facility id."""
+    from yat_geo_db_spark.geo.radius import nearest_facility
+
+    shapes = _shapes(spark, sf_dir)
+    return nearest_facility(
+        shapes.where(~F.col("is_aggregate")),
+        shapes.where(F.col("is_aggregate")),
+    ).orderBy("point_id")
+
+
+def _nearest_facility_sql() -> str:
+    from yat_geo_db_spark.geo.geometry import haversine_sql
+
+    d = haversine_sql("p.latitude", "p.longitude", "f.latitude", "f.longitude")
+    return f"""
+WITH {SHAPES_CTE},
+p AS (SELECT id, latitude, longitude FROM shapes
+      WHERE NOT is_aggregate
+        AND latitude IS NOT NULL AND longitude IS NOT NULL),
+f AS (SELECT id, latitude, longitude FROM shapes
+      WHERE is_aggregate
+        AND latitude IS NOT NULL AND longitude IS NOT NULL),
+scored AS (
+  SELECT p.id AS point_id, f.id AS facility_id,
+         round({d}, 4) AS distance
+  FROM p, f
+),
+best AS (
+  SELECT point_id, facility_id, distance,
+         row_number() OVER (
+           PARTITION BY point_id ORDER BY distance, facility_id
+         ) AS rn
+  FROM scored
+)
+SELECT point_id, facility_id, distance FROM best WHERE rn = 1
+ORDER BY point_id
+"""
+
+
 QUERIES: dict = {
     "geo_fuzzy_join": (q_fuzzy_join, _fuzzy_join_oracle()),
     "geo_fuzzy_city": (
@@ -553,6 +597,7 @@ QUERIES: dict = {
     "geo_radius_join": (q_radius_join, _radius_join_oracle()),
     "geo_density_hotspots": (q_density_hotspots, _DENSITY_HOTSPOTS_SQL),
     "geo_geohash_cells": (q_geohash_cells, _geohash_cells_sql()),
+    "geo_nearest_facility": (q_nearest_facility, _nearest_facility_sql()),
     "geo_point_lookup": (q_point_lookup, _POINT_LOOKUP_SQL),
     "geo_id_ref_map": (
         q_id_ref_map,
