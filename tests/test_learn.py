@@ -264,3 +264,26 @@ def test_kaplan_meier_textbook_example(spark):
     total = spark.createDataFrame([(1, 1), (2, 1)], "t long, e int")
     g2 = {r["t"]: r["survival"] for r in kaplan_meier(total, "t", "e").collect()}
     assert g2[2] == 0.0 and abs(g2[1] - 0.5) < 1e-5
+
+
+def test_bootstrap_ci_covers_and_narrows(spark):
+    """The bootstrap CI must straddle both the sample mean and (on a
+    well-behaved sample) the true mean; quadrupling the data must
+    NARROW the interval (the 1/√n contract); the draw is replayable
+    (identical CI on a second call)."""
+    from yat_geo_db_spark.pipelines.learn import bootstrap_mean_ci
+
+    rows = [(i, float(100 + (i * 7919) % 41)) for i in range(500)]
+    small = spark.createDataFrame(rows, "doc_id long, x double")
+    big = spark.createDataFrame(
+        [(i, float(100 + (i * 7919) % 41)) for i in range(2000)],
+        "doc_id long, x double",
+    )
+    s1 = bootstrap_mean_ci(small, "x", "doc_id").collect()[0]
+    s2 = bootstrap_mean_ci(small, "x", "doc_id").collect()[0]
+    assert s1 == s2  # deterministic
+    assert s1["ci_lo"] < s1["mean"] < s1["ci_hi"]
+    # the congruence makes the true mean ~120; CI must cover it
+    assert s1["ci_lo"] < 120.5 and s1["ci_hi"] > 119.5
+    b = bootstrap_mean_ci(big, "x", "doc_id").collect()[0]
+    assert (b["ci_hi"] - b["ci_lo"]) < (s1["ci_hi"] - s1["ci_lo"])

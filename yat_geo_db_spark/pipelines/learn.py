@@ -470,3 +470,89 @@ def kaplan_meier(
         )
         .alias("survival"),
     )
+
+
+#: Poisson(1) inverse-CDF breakpoints (cumulative, 6-dp fixed literals so
+#: both engines compare the SAME constants): P(X<=k) for k = 0..4
+POISSON1_CDF = (0.367879, 0.735759, 0.919699, 0.981012, 0.996340)
+
+
+def bootstrap_mean_ci(
+    df: DataFrame,
+    value_col: str,
+    key_col: str,
+    n_replicas: int = 64,
+    alpha: float = 0.05,
+    scale: int = 6,
+) -> DataFrame:
+    """Percentile-bootstrap confidence interval for a mean via the
+    POISSON bootstrap (Chamandy et al., Google 2012) — the resampling
+    scheme that actually distributes: instead of drawing n rows with
+    replacement (which needs global coordination), every row
+    contributes an independent Poisson(1) count to each replica, so
+    replica construction is a pure per-row projection. Deterministic:
+    the Poisson draw inverts a fixed 6-dp CDF ladder on the per-(key,
+    replica) uniform hash — no RNG state, replayable, oracle-exact.
+
+    Scale shape: one n_replicas-way explode of the scan (the honest
+    cost — B passes of weighted sums fused into one shuffle-free
+    aggregate per replica), per-replica fixed-point weighted means,
+    then exact percentiles over the B-row replica-mean table. Returns
+    one row: (n_rows, n_replicas, mean, ci_lo, ci_hi)."""
+    from yat_geo_db_spark.pipelines.text import MIX_MULT, MIX_PRIME
+
+    r = F.explode(
+        F.sequence(F.lit(0), F.lit(n_replicas - 1))
+    ).alias("_rep")
+    seeded = df.select(
+        F.col(value_col).alias("_v"), F.col(key_col).alias("_k")
+    ).where(F.col("_v").isNotNull()).select("_v", "_k", r)
+    u = (
+        (
+            F.pmod(
+                F.col("_k") * F.lit(n_replicas) + F.col("_rep"),
+                F.lit(MIX_PRIME),
+            )
+            * F.lit(MIX_MULT)
+        )
+        % F.lit(MIX_PRIME)
+    ).cast("double") / F.lit(float(MIX_PRIME))
+    k = (
+        F.when(u < POISSON1_CDF[0], 0)
+        .when(u < POISSON1_CDF[1], 1)
+        .when(u < POISSON1_CDF[2], 2)
+        .when(u < POISSON1_CDF[3], 3)
+        .when(u < POISSON1_CDF[4], 4)
+        .otherwise(5)
+    )
+    weighted = seeded.select(
+        "_rep", F.col("_v"), k.cast("double").alias("_w")
+    )
+    per_rep = weighted.groupBy("_rep").agg(
+        F.round(
+            F.when(
+                F.sum("_w") > 0,
+                dsum(F.col("_v") * F.col("_w"), scale) / F.sum("_w"),
+            ),
+            6,
+        ).alias("_mean")
+    )
+    lo_q, hi_q = alpha / 2, 1 - alpha / 2
+    base = df.where(F.col(value_col).isNotNull())
+    stats = base.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(
+            dsum(F.col(value_col), scale) / F.count(F.lit(1)), 6
+        ).alias("mean"),
+    )
+    ci = per_rep.agg(
+        F.round(F.expr(f"percentile(_mean, {lo_q}d)"), 6).alias("ci_lo"),
+        F.round(F.expr(f"percentile(_mean, {hi_q}d)"), 6).alias("ci_hi"),
+    )
+    return stats.crossJoin(F.broadcast(ci)).select(
+        "n_rows",
+        F.lit(n_replicas).alias("n_replicas"),
+        "mean",
+        "ci_lo",
+        "ci_hi",
+    )

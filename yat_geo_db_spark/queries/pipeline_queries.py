@@ -1821,6 +1821,67 @@ ORDER BY source
 """
 
 
+BOOTSTRAP_REPLICAS = 64
+
+
+def q_quality_bootstrap_ci(spark, sf_dir):
+    """Poisson-bootstrap 95% CI for mean doc length (learn.
+    bootstrap_mean_ci): per-(doc, replica) deterministic Poisson(1)
+    weights from the hash uniform, per-replica fixed-point weighted
+    means, exact percentiles over the replica table."""
+    from yat_geo_db_spark.pipelines.learn import bootstrap_mean_ci
+
+    return bootstrap_mean_ci(
+        load_table(spark, sf_dir, "documents"),
+        "n_chars",
+        "doc_id",
+        n_replicas=BOOTSTRAP_REPLICAS,
+    )
+
+
+def _bootstrap_ci_sql() -> str:
+    from yat_geo_db_spark.pipelines.learn import POISSON1_CDF
+    from yat_geo_db_spark.queries.relational_queries import _dsum
+
+    B = BOOTSTRAP_REPLICAS
+    u = (
+        f"CAST((((doc_id * {B} + rep) % {text.MIX_PRIME}) "
+        f"* {text.MIX_MULT}) % {text.MIX_PRIME} AS DOUBLE) "
+        f"/ {float(text.MIX_PRIME)}"
+    )
+    c = POISSON1_CDF
+    k = (
+        f"CASE WHEN {u} < {c[0]} THEN 0 WHEN {u} < {c[1]} THEN 1 "
+        f"WHEN {u} < {c[2]} THEN 2 WHEN {u} < {c[3]} THEN 3 "
+        f"WHEN {u} < {c[4]} THEN 4 ELSE 5 END"
+    )
+    return f"""
+WITH seeded AS (
+  SELECT CAST(n_chars AS DOUBLE) AS v,
+         CAST({k} AS DOUBLE) AS w, rep
+  FROM documents, unnest(range(0, {B})) AS r(rep)
+  WHERE n_chars IS NOT NULL
+),
+per_rep AS (
+  SELECT rep,
+         round(CASE WHEN sum(w) > 0
+               THEN {_dsum('v * w', 6)} / sum(w) END, 6) AS m
+  FROM seeded GROUP BY rep
+),
+ci AS (
+  SELECT round(quantile_cont(m, 0.025), 6) AS ci_lo,
+         round(quantile_cont(m, 0.975), 6) AS ci_hi
+  FROM per_rep
+),
+st AS (
+  SELECT count(*) AS n_rows,
+         round({_dsum('CAST(n_chars AS DOUBLE)', 6)} / count(*), 6) AS mean
+  FROM documents WHERE n_chars IS NOT NULL
+)
+SELECT n_rows, {B} AS n_replicas, mean, ci_lo, ci_hi FROM st, ci
+"""
+
+
 def q_user_survival(spark, sf_dir):
     """User-retention Kaplan–Meier (learn.kaplan_meier): duration =
     whole days between a user's first and last event; churned (event=1)
@@ -5192,6 +5253,7 @@ QUERIES: dict = {
     "pipe_source_changepoint": (q_source_changepoint, _changepoint_sql()),
     "pipe_cuped_experiment": (q_cuped_experiment, _cuped_sql()),
     "pipe_user_survival": (q_user_survival, _survival_sql()),
+    "pipe_quality_bootstrap_ci": (q_quality_bootstrap_ci, _bootstrap_ci_sql()),
     "pipe_source_trend": (q_source_trend, _SOURCE_TREND_SQL),
     "pipe_sim_topk_ivf": (q_topk_ivf, _TOPK_IVF_SQL),
     "pipe_sim_topk_ivf_multiprobe": (q_topk_ivf_multiprobe, _TOPK_IVF_MULTIPROBE_SQL),
