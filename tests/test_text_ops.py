@@ -688,3 +688,28 @@ def test_zipf_fit_recovers_planted_exponent(spark):
     slope, intercept = np.polyfit(x, y, 1)
     assert abs(got["slope"] - round(slope, 6)) < 2e-6
     assert abs(got["intercept"] - round(intercept, 6)) < 2e-6
+
+
+def test_neyman_allocation_favors_high_variance(spark):
+    """A high-variance stratum must receive more budget than an
+    equal-sized low-variance one; a CONSTANT stratum draws nothing;
+    allocations never exceed stratum size; the draw is replayable."""
+    from yat_geo_db_spark.pipelines.text import neyman_allocation_sample
+
+    rows = []
+    for i in range(100):
+        rows.append((i, "wild", float((i * 7919) % 1000)))      # sd ~ 290
+        rows.append((1000 + i, "tame", 500.0 + (i % 3)))        # sd ~ 0.8
+        rows.append((2000 + i, "flat", 42.0))                   # sd = 0
+    df = spark.createDataFrame(rows, "doc_id long, src string, x double")
+    out = neyman_allocation_sample(df, ["src"], "x", total_n=60).collect()
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r["src"], []).append(r)
+    assert "flat" not in by_src
+    assert len(by_src["wild"]) > len(by_src.get("tame", [])) * 10
+    assert all(len(v) <= 100 for v in by_src.values())
+    alloc = {s: v[0]["n_alloc"] for s, v in by_src.items()}
+    assert all(len(v) == alloc[s] for s, v in by_src.items())
+    again = neyman_allocation_sample(df, ["src"], "x", total_n=60).collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, out))

@@ -1869,3 +1869,74 @@ def zipf_fit(
     return fitted.select(
         F.col("n").alias("n_types"), "slope", "intercept", "r2"
     )
+
+
+def neyman_allocation_sample(
+    documents: DataFrame,
+    stratum_cols: list[str],
+    value_col: str,
+    total_n: int,
+    key_col: str = "doc_id",
+    scale: int = 6,
+) -> DataFrame:
+    """Variance-optimal stratified sampling (Neyman allocation): split a
+    global sample budget across strata proportional to N_h·S_h (stratum
+    size × stratum std) — the allocation that minimizes the variance of
+    the stratified mean estimate, vs proportional allocation's
+    size-only split (which wastes budget on large LOW-variance strata).
+    Rows are then drawn per stratum in the deterministic per-key
+    uniform-hash order, so membership is a pure function of
+    (key, allocation) — replayable, engine-exact.
+
+    Scale shape: one sufficient-statistics aggregate per stratum
+    (dsum ⇒ exact variance numerators), broadcast allocations, one
+    group-keyed rank window for the draw. Zero-variance strata get
+    weight 0 and draw nothing (the pure Neyman formula: a constant
+    stratum contributes no variance); allocations round with
+    floor(x+0.5), so the realized total can drift from total_n by at
+    most one per stratum. Returns (stratum cols, key, rank, n_alloc)."""
+    from yat_geo_db_spark.relational.queries import dsum
+
+    x = F.col(value_col).cast("double")
+    stats = documents.groupBy(*stratum_cols).agg(
+        F.count(F.lit(1)).alias("_n"),
+        dsum(x, scale).alias("_s"),
+        dsum(x * x, scale).alias("_ss"),
+    )
+    # N_h * S_h = sqrt(N_h/(N_h-1)) * sqrt(N_h*ss - s^2)... keep the
+    # engine-exact core: w_h = sqrt(max(n*ss - s*s, 0)) equals
+    # N_h * S_h * sqrt(N_h-1)/1 up to a per-stratum factor — use the
+    # TEXTBOOK population-sd form instead: S_h = sqrt((n*ss - s*s))/n,
+    # so N_h*S_h = sqrt(n*ss - s*s) exactly (population sd, ddof=0)
+    w = F.sqrt(
+        F.greatest(
+            F.col("_n") * F.col("_ss") - F.col("_s") * F.col("_s"),
+            F.lit(0.0),
+        )
+    )
+    weighted = stats.select(*stratum_cols, F.col("_n"), w.alias("_w"))
+    totals = F.broadcast(
+        weighted.agg(F.sum(F.floor(F.col("_w") * 1e6 + F.lit(0.5)).cast("long")).alias("_tw_fp"))
+    )
+    alloc = weighted.crossJoin(totals).select(
+        *stratum_cols,
+        F.least(
+            F.floor(
+                F.lit(float(total_n))
+                * F.floor(F.col("_w") * 1e6 + F.lit(0.5)).cast("double")
+                / F.col("_tw_fp").cast("double")
+                + F.lit(0.5)
+            ).cast("long"),
+            F.col("_n"),
+        ).alias("n_alloc"),
+    )
+    win = Window.partitionBy(*stratum_cols).orderBy(
+        sample_hash_col(F.col(key_col)), F.col(key_col)
+    )
+    ranked = documents.join(F.broadcast(alloc), stratum_cols).select(
+        *stratum_cols,
+        F.col(key_col),
+        F.row_number().over(win).alias("rank"),
+        "n_alloc",
+    )
+    return ranked.where(F.col("rank") <= F.col("n_alloc"))

@@ -1821,6 +1821,63 @@ ORDER BY source
 """
 
 
+NEYMAN_TOTAL_N = 200
+
+
+def q_sample_neyman(spark, sf_dir):
+    """Neyman-allocation stratified sample (text.
+    neyman_allocation_sample): a 200-row budget split across sources
+    ∝ N_h·S_h of doc length, drawn in the deterministic hash order."""
+    return text.neyman_allocation_sample(
+        load_table(spark, sf_dir, "documents"),
+        ["source"],
+        "n_chars",
+        total_n=NEYMAN_TOTAL_N,
+    ).orderBy("source", "rank")
+
+
+def _neyman_sql() -> str:
+    from yat_geo_db_spark.queries.relational_queries import _dsum
+
+    u = (
+        f"CAST({mix_sql('doc_id', text.MIX_PRIME)} AS DOUBLE)"
+        f" / {float(text.MIX_PRIME)}"
+    )
+    return f"""
+WITH st AS (
+  SELECT source, count(*) AS n,
+         {_dsum('CAST(n_chars AS DOUBLE)', 6)} AS s,
+         {_dsum('CAST(n_chars AS DOUBLE) * CAST(n_chars AS DOUBLE)', 6)} AS ss
+  FROM documents GROUP BY source
+),
+fp AS (
+  SELECT source, n,
+         CAST(floor(sqrt(greatest(n * ss - s * s, 0.0)) * 1e6
+                    + CAST(0.5 AS DOUBLE)) AS BIGINT) AS wfp
+  FROM st
+),
+tw AS (SELECT sum(wfp) AS twfp FROM fp),
+alloc AS (
+  SELECT source,
+         least(CAST(floor({float(NEYMAN_TOTAL_N)} * CAST(wfp AS DOUBLE)
+                          / CAST(twfp AS DOUBLE)
+                          + CAST(0.5 AS DOUBLE)) AS BIGINT), n) AS n_alloc
+  FROM fp, tw
+),
+ranked AS (
+  SELECT d.source, doc_id,
+         row_number() OVER (
+           PARTITION BY d.source ORDER BY {u}, doc_id
+         ) AS rank,
+         n_alloc
+  FROM documents d JOIN alloc USING (source)
+)
+SELECT source, doc_id, CAST(rank AS INT) AS rank, n_alloc
+FROM ranked WHERE rank <= n_alloc
+ORDER BY source, rank
+"""
+
+
 BOOTSTRAP_REPLICAS = 64
 
 
@@ -5198,6 +5255,7 @@ QUERIES: dict = {
     "pipe_sample_token_budget": (q_sample_token_budget, _token_budget_sql()),
     "pipe_curate_forget": (q_curate_forget, _CURATE_FORGET_SQL),
     "pipe_sample_weighted_topk": (q_sample_weighted_topk, _WEIGHTED_TOPK_SQL),
+    "pipe_sample_neyman": (q_sample_neyman, _neyman_sql()),
     "pipe_sample_weighted_per_group": (
         q_sample_weighted_per_group,
         _WEIGHTED_PER_GROUP_SQL,
