@@ -797,3 +797,24 @@ def test_corr_matrix_known_correlations(spark):
     assert got[("x", "z")]["corr"] == -1.0
     assert abs(got[("x", "r")]["corr"]) < 0.4
     assert got[("x", "c")]["corr"] is None  # zero variance
+
+
+def test_chi_square_independence_golden(spark):
+    """A perfectly independent 2×2 table scores chi2 = 0; a fully
+    dependent one scores chi2 = n; dof is (ka−1)(kb−1); NULLs drop."""
+    from yat_geo_db_spark.relational.dq import chi_square_independence
+
+    indep = spark.createDataFrame(
+        [("a", "x")] * 10 + [("a", "y")] * 10
+        + [("b", "x")] * 10 + [("b", "y")] * 10,
+        "u string, v string",
+    )
+    r = chi_square_independence(indep, "u", "v").collect()[0]
+    assert (r["n"], r["dof"], r["chi2"]) == (40, 1, 0.0)
+
+    dep = spark.createDataFrame(
+        [("a", "x")] * 20 + [("b", "y")] * 20 + [(None, "x")],
+        "u string, v string",
+    )
+    r2 = chi_square_independence(dep, "u", "v").collect()[0]
+    assert (r2["n"], r2["dof"], r2["chi2"]) == (40, 1, 40.0)

@@ -1197,6 +1197,50 @@ FROM orders"""
     return "\nUNION ALL\n".join(parts) + "\nORDER BY column_name"
 
 
+def chi_square_q(spark, sf_dir):
+    """Chi-square independence screen (relational.dq.
+    chi_square_independence) of event_type × day-of-week — 'does event
+    mix vary by weekday'. One contingency aggregate; marginals derive
+    from the cell table; fixed-point term sum."""
+    from yat_geo_db_spark.relational.dq import chi_square_independence
+
+    (events,) = _t(spark, sf_dir, "events")
+    typed = events.select(
+        "event_type", F.dayofweek(F.col("ts")).alias("dow")
+    )
+    return chi_square_independence(typed, "event_type", "dow")
+
+
+def _chi_square_sql() -> str:
+    return f"""
+WITH typed AS (
+  SELECT event_type, dayofweek(CAST(ts AS TIMESTAMP)) + 1 AS dow
+  FROM events
+  WHERE event_type IS NOT NULL AND ts IS NOT NULL
+),
+cells AS (
+  SELECT event_type, dow, count(*) AS o FROM typed GROUP BY 1, 2
+),
+rm AS (SELECT event_type, sum(o) AS ra FROM cells GROUP BY 1),
+cm AS (SELECT dow, sum(o) AS cb FROM cells GROUP BY 1),
+nn AS (SELECT sum(o) AS n FROM cells),
+terms AS (
+  SELECT CAST(o AS DOUBLE) AS o,
+         CAST(ra AS DOUBLE) * CAST(cb AS DOUBLE) / CAST(n AS DOUBLE) AS e
+  FROM cells JOIN rm USING (event_type) JOIN cm USING (dow), nn
+),
+dims AS (
+  SELECT count(DISTINCT event_type) AS ka, count(DISTINCT dow) AS kb
+  FROM cells
+)
+SELECT CAST(any_value(n) AS BIGINT) AS n,
+       CAST((ka - 1) * (kb - 1) AS BIGINT) AS dof,
+       round({_dsum('(o - e) * (o - e) / e', 6)}, 6) AS chi2
+FROM terms, nn, dims
+GROUP BY ka, kb
+"""
+
+
 def corr_matrix_q(spark, sf_dir):
     """One-pass Pearson matrix (relational.dq.corr_matrix) over four
     lineitem measures — k·(k+1)/2 fixed-point sums in one aggregate,
@@ -3051,6 +3095,7 @@ QUERIES: dict = {
     "rel_robust_outliers": (robust_outliers_q, _ROBUST_OUTLIERS_SQL),
     "rel_table_stats": (table_stats_q, _table_stats_sql()),
     "rel_corr_matrix": (corr_matrix_q, _corr_matrix_sql()),
+    "rel_chi_square": (chi_square_q, _chi_square_sql()),
     "rel_winsorize": (winsorize_q, _WINSORIZE_SQL),
     "rel_impute_median": (impute_median_q, _IMPUTE_MEDIAN_SQL),
     "rel_array_funcs": (array_funcs, _ARRAY_FUNCS_SQL),

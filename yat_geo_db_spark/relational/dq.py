@@ -394,3 +394,64 @@ def corr_matrix(
             f"stack({len(pairs)}, {stack_args}) AS (col_a, col_b, corr)"
         ),
     ).select("col_a", "col_b", "n", "corr")
+
+
+def chi_square_independence(
+    df: DataFrame, col_a: str, col_b: str, scale: int = 6
+) -> DataFrame:
+    """Pearson chi-square independence statistic for two categorical
+    columns: X² = Σ (observed − expected)²/expected over the
+    contingency table, expected = row_total·col_total/N — the
+    first-line "are these two labels related" screen (lang × source,
+    variant × outcome). Returns one row: (n, dof, chi2). Compare chi2
+    against the χ²(dof) critical value client-side — the CDF is not a
+    SQL-portable closed form, and shipping the statistic exactly
+    matters more than baking in one significance level.
+
+    Scale shape: one groupBy(a,b) count (contingency cells), the two
+    marginal tables derived FROM the cell table (never a rescan),
+    broadcast joins back, one fixed-point sum of the per-cell terms.
+    Rows with NULL in either column are excluded (no category)."""
+    from yat_geo_db_spark.relational.queries import dsum
+
+    cells = (
+        df.where(F.col(col_a).isNotNull() & F.col(col_b).isNotNull())
+        .groupBy(col_a, col_b)
+        .agg(F.count(F.lit(1)).alias("_o"))
+    )
+    row_m = cells.groupBy(col_a).agg(F.sum("_o").alias("_ra"))
+    col_m = cells.groupBy(col_b).agg(F.sum("_o").alias("_cb"))
+    n_frame = F.broadcast(cells.agg(F.sum("_o").alias("_n")))
+    enriched = (
+        cells.join(F.broadcast(row_m), col_a)
+        .join(F.broadcast(col_m), col_b)
+        .crossJoin(n_frame)
+    )
+    expected = (
+        F.col("_ra").cast("double")
+        * F.col("_cb").cast("double")
+        / F.col("_n").cast("double")
+    )
+    term = (
+        (F.col("_o").cast("double") - expected)
+        * (F.col("_o").cast("double") - expected)
+        / expected
+    )
+    dims = F.broadcast(
+        cells.agg(
+            F.count_distinct(F.col(col_a)).alias("_ka"),
+            F.count_distinct(F.col(col_b)).alias("_kb"),
+        )
+    )
+    return (
+        enriched.agg(
+            F.first(F.col("_n")).alias("n"),
+            F.round(dsum(term, scale), 6).alias("chi2"),
+        )
+        .crossJoin(dims)
+        .select(
+            "n",
+            ((F.col("_ka") - 1) * (F.col("_kb") - 1)).alias("dof"),
+            "chi2",
+        )
+    )
