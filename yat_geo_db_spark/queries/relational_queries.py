@@ -1218,20 +1218,25 @@ WITH typed AS (
   FROM events
   WHERE event_type IS NOT NULL AND ts IS NOT NULL
 ),
-cells AS (
+observed AS (
   SELECT event_type, dow, count(*) AS o FROM typed GROUP BY 1, 2
 ),
-rm AS (SELECT event_type, sum(o) AS ra FROM cells GROUP BY 1),
-cm AS (SELECT dow, sum(o) AS cb FROM cells GROUP BY 1),
-nn AS (SELECT sum(o) AS n FROM cells),
+rm AS (SELECT event_type, sum(o) AS ra FROM observed GROUP BY 1),
+cm AS (SELECT dow, sum(o) AS cb FROM observed GROUP BY 1),
+nn AS (SELECT sum(o) AS n FROM observed),
+cells AS (
+  SELECT rm.event_type, cm.dow, ra, cb, coalesce(o, 0) AS o
+  FROM rm CROSS JOIN cm
+  LEFT JOIN observed USING (event_type, dow)
+),
 terms AS (
   SELECT CAST(o AS DOUBLE) AS o,
          CAST(ra AS DOUBLE) * CAST(cb AS DOUBLE) / CAST(n AS DOUBLE) AS e
-  FROM cells JOIN rm USING (event_type) JOIN cm USING (dow), nn
+  FROM cells, nn
 ),
 dims AS (
   SELECT count(DISTINCT event_type) AS ka, count(DISTINCT dow) AS kb
-  FROM cells
+  FROM observed
 )
 SELECT CAST(any_value(n) AS BIGINT) AS n,
        CAST((ka - 1) * (kb - 1) AS BIGINT) AS dof,

@@ -414,19 +414,24 @@ def chi_square_independence(
     Rows with NULL in either column are excluded (no category)."""
     from yat_geo_db_spark.relational.queries import dsum
 
-    cells = (
+    observed = (
         df.where(F.col(col_a).isNotNull() & F.col(col_b).isNotNull())
         .groupBy(col_a, col_b)
         .agg(F.count(F.lit(1)).alias("_o"))
     )
-    row_m = cells.groupBy(col_a).agg(F.sum("_o").alias("_ra"))
-    col_m = cells.groupBy(col_b).agg(F.sum("_o").alias("_cb"))
-    n_frame = F.broadcast(cells.agg(F.sum("_o").alias("_n")))
-    enriched = (
-        cells.join(F.broadcast(row_m), col_a)
-        .join(F.broadcast(col_m), col_b)
-        .crossJoin(n_frame)
+    row_m = observed.groupBy(col_a).agg(F.sum("_o").alias("_ra"))
+    col_m = observed.groupBy(col_b).agg(F.sum("_o").alias("_cb"))
+    # the statistic runs over the FULL ka×kb grid: an EMPTY cell still
+    # contributes (0 − E)²/E — dropping unobserved cells (the natural
+    # groupBy output) understates X² exactly when dependence is
+    # strongest (test-pinned: a fully dependent 2×2 is n, not n/2)
+    cells = (
+        row_m.crossJoin(F.broadcast(col_m))
+        .join(observed, [col_a, col_b], "left")
+        .withColumn("_o", F.coalesce(F.col("_o"), F.lit(0)))
     )
+    n_frame = F.broadcast(observed.agg(F.sum("_o").alias("_n")))
+    enriched = cells.crossJoin(n_frame)
     expected = (
         F.col("_ra").cast("double")
         * F.col("_cb").cast("double")
