@@ -713,3 +713,25 @@ def test_neyman_allocation_favors_high_variance(spark):
     assert all(len(v) == alloc[s] for s, v in by_src.items())
     again = neyman_allocation_sample(df, ["src"], "x", total_n=60).collect()
     assert sorted(map(tuple, again)) == sorted(map(tuple, out))
+
+
+def test_source_vocab_overlap_golden(spark):
+    """Identical-vocab sources score 1; disjoint score absent (no
+    common token row); a half-overlap pair computes the exact
+    Jaccard; presence-based (token multiplicity irrelevant)."""
+    from yat_geo_db_spark.pipelines.text import source_vocab_overlap
+
+    rows = [
+        (1, "sa", "alpha beta gamma"),
+        (2, "sb", "alpha alpha beta gamma"),      # same vocab as sa
+        (3, "sc", "alpha beta delta epsilon"),    # 2 of 4 shared with sa
+        (4, "sd", "zeta eta"),                    # disjoint
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    got = {
+        (r["source_a"], r["source_b"]): r["jaccard"]
+        for r in source_vocab_overlap(docs).collect()
+    }
+    assert got[("sa", "sb")] == 1.0
+    assert got[("sa", "sc")] == 0.4  # |{alpha,beta}| / |{a,b,g,d,e}|
+    assert ("sa", "sd") not in got

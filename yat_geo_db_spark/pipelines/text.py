@@ -1940,3 +1940,60 @@ def neyman_allocation_sample(
         "n_alloc",
     )
     return ranked.where(F.col("rank") <= F.col("n_alloc"))
+
+
+def source_vocab_overlap(
+    documents: DataFrame,
+    source_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Pairwise vocabulary Jaccard between SOURCES — the redundancy map
+    of a mixture ("are these two crawls the same corpus wearing
+    different names?"); near-1 pairs are merge candidates, near-0 pairs
+    add diversity. One distinct (source, token) pass, then an equi
+    self-join on TOKEN (per-token fan-out bounded by the source count,
+    never doc-scale), plus broadcast per-source vocabulary sizes.
+    Output (source_a, source_b, n_common, jaccard) for a < b."""
+    st = (
+        documents.select(
+            F.col(source_col).alias("_s"),
+            F.explode(F.array_distinct(tokens_col(F.col(text_col)))).alias(
+                "_t"
+            ),
+        )
+        .where(F.col("_t") != "")
+        .distinct()
+    )
+    sizes = st.groupBy("_s").agg(F.count(F.lit(1)).alias("_sz"))
+    a = st.select(F.col("_s").alias("source_a"), "_t")
+    b = st.select(F.col("_s").alias("source_b"), "_t")
+    common = (
+        a.join(b, "_t")
+        .where(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return (
+        common.join(
+            F.broadcast(sizes.select(F.col("_s").alias("source_a"),
+                                     F.col("_sz").alias("_za"))),
+            "source_a",
+        )
+        .join(
+            F.broadcast(sizes.select(F.col("_s").alias("source_b"),
+                                     F.col("_sz").alias("_zb"))),
+            "source_b",
+        )
+        .select(
+            "source_a",
+            "source_b",
+            "n_common",
+            F.round(
+                F.col("n_common").cast("double")
+                / (F.col("_za") + F.col("_zb") - F.col("n_common")).cast(
+                    "double"
+                ),
+                6,
+            ).alias("jaccard"),
+        )
+    )

@@ -1821,6 +1821,38 @@ ORDER BY source
 """
 
 
+def q_source_overlap(spark, sf_dir):
+    """Source-pair vocabulary Jaccard (text.source_vocab_overlap) — the
+    mixture redundancy map. Token-keyed equi self-join over the
+    distinct (source, token) table; fan-out bounded by source count."""
+    return text.source_vocab_overlap(
+        load_table(spark, sf_dir, "documents")
+    ).orderBy("source_a", "source_b")
+
+
+_SOURCE_OVERLAP_SQL = """
+WITH st AS (
+  SELECT DISTINCT source AS s, t FROM (
+    SELECT source, unnest(list_distinct(string_split(text, ' '))) AS t
+    FROM documents
+  ) WHERE t != ''
+),
+sz AS (SELECT s, count(*) AS z FROM st GROUP BY s),
+common AS (
+  SELECT a.s AS source_a, b.s AS source_b, count(*) AS n_common
+  FROM st a JOIN st b ON a.t = b.t AND a.s < b.s
+  GROUP BY 1, 2
+)
+SELECT source_a, source_b, n_common,
+       round(CAST(n_common AS DOUBLE)
+             / CAST(za.z + zb.z - n_common AS DOUBLE), 6) AS jaccard
+FROM common
+JOIN sz za ON common.source_a = za.s
+JOIN sz zb ON common.source_b = zb.s
+ORDER BY source_a, source_b
+"""
+
+
 NEYMAN_TOTAL_N = 200
 
 
@@ -5256,6 +5288,7 @@ QUERIES: dict = {
     "pipe_curate_forget": (q_curate_forget, _CURATE_FORGET_SQL),
     "pipe_sample_weighted_topk": (q_sample_weighted_topk, _WEIGHTED_TOPK_SQL),
     "pipe_sample_neyman": (q_sample_neyman, _neyman_sql()),
+    "pipe_source_overlap": (q_source_overlap, _SOURCE_OVERLAP_SQL),
     "pipe_sample_weighted_per_group": (
         q_sample_weighted_per_group,
         _WEIGHTED_PER_GROUP_SQL,
