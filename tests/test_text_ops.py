@@ -735,3 +735,27 @@ def test_source_vocab_overlap_golden(spark):
     assert got[("sa", "sb")] == 1.0
     assert got[("sa", "sc")] == 0.4  # |{alpha,beta}| / |{a,b,g,d,e}|
     assert ("sa", "sd") not in got
+
+
+def test_burstiness_separates_topical_from_function_words(spark):
+    """A term concentrated in few docs must out-VMR an evenly-spread
+    term of the SAME total count — the separation raw frequency can't
+    make; exact VMR checked by hand."""
+    from yat_geo_db_spark.pipelines.text import term_burstiness
+
+    rows = []
+    # 20 docs; 'the' once per doc (even); 'llama' 20× in one doc (burst)
+    for i in range(20):
+        body = "the filler"
+        if i == 0:
+            body += " " + " ".join(["llama"] * 20)
+        rows.append((i, body))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["token"]: r for r in term_burstiness(docs, min_total=10, top_k=10).collect()
+    }
+    # llama: S=20, Q=400, N=20 -> mean 1, E[c^2] 20, var 19, vmr 19
+    assert got["llama"]["vmr"] == 19.0 and got["llama"]["df"] == 1
+    # the: S=20, Q=20 -> var 0, vmr 0 (perfectly even)
+    assert got["the"]["vmr"] == 0.0 and got["the"]["df"] == 20
+    assert got["llama"]["total_count"] == got["the"]["total_count"] == 20

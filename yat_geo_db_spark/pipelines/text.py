@@ -1997,3 +1997,54 @@ def source_vocab_overlap(
             ).alias("jaccard"),
         )
     )
+
+
+def term_burstiness(
+    documents: DataFrame,
+    text_col: str = "text",
+    min_total: int = 10,
+    top_k: int = 50,
+) -> DataFrame:
+    """Term burstiness (Church & Gale): variance-to-mean ratio of a
+    term's per-document count, zeros included — function words spread
+    evenly (VMR ≈ 1, Poisson-like) while topical terms BURST (VMR ≫ 1:
+    absent almost everywhere, dense where they appear). The signal
+    behind keyword extraction and stop-word induction that raw
+    frequency can't give (the most frequent and the most bursty terms
+    are different lists).
+
+    All-integer sufficient statistics: S = Σc and Q = Σc² over docs
+    containing the term (zero-count docs contribute nothing to either),
+    then mean = S/N, var = Q/N − mean² over ALL N docs — exact longs
+    until two final divisions, engine-portable with no fixed-point
+    machinery. One (doc, token) count pass + one token aggregate +
+    broadcast N; min_total prunes rare-term noise; top_k by (vmr desc,
+    token)."""
+    tok = documents.select(
+        "doc_id", F.explode(tokens_col(F.col(text_col))).alias("token")
+    ).where(F.col("token") != "")
+    per_doc = tok.groupBy("doc_id", "token").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    stats = per_doc.groupBy("token").agg(
+        F.sum("c").alias("_s"),
+        F.sum(F.col("c") * F.col("c")).alias("_q"),
+        F.count(F.lit(1)).alias("df"),
+    ).where(F.col("_s") >= min_total)
+    n_frame = F.broadcast(
+        documents.agg(F.count(F.lit(1)).alias("_n"))
+    )
+    mean = F.col("_s").cast("double") / F.col("_n").cast("double")
+    ex2 = F.col("_q").cast("double") / F.col("_n").cast("double")
+    vmr = (ex2 - mean * mean) / mean
+    return (
+        stats.crossJoin(n_frame)
+        .select(
+            "token",
+            F.col("_s").alias("total_count"),
+            "df",
+            F.round(vmr, 6).alias("vmr"),
+        )
+        .orderBy(F.desc("vmr"), "token")
+        .limit(top_k)
+    )

@@ -1821,6 +1821,40 @@ ORDER BY source
 """
 
 
+def q_text_burstiness(spark, sf_dir):
+    """Term burstiness top-50 (text.term_burstiness): variance-to-mean
+    of per-doc counts with zeros included — all-integer sufficient
+    statistics, two final divisions, engine-exact."""
+    return text.term_burstiness(load_table(spark, sf_dir, "documents"))
+
+
+_BURSTINESS_SQL = """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+),
+per_doc AS (
+  SELECT doc_id, token, count(*) AS c
+  FROM tok WHERE token != '' GROUP BY 1, 2
+),
+st AS (
+  SELECT token, CAST(sum(c) AS BIGINT) AS s,
+         CAST(sum(c * c) AS BIGINT) AS q,
+         count(*) AS df
+  FROM per_doc GROUP BY token
+  HAVING sum(c) >= 10
+),
+nn AS (SELECT count(*) AS n FROM documents)
+SELECT token, s AS total_count, df,
+       round((CAST(q AS DOUBLE) / CAST(n AS DOUBLE)
+              - (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)))
+             / (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)), 6) AS vmr
+FROM st, nn
+ORDER BY vmr DESC, token
+LIMIT 50
+"""
+
+
 def q_source_overlap(spark, sf_dir):
     """Source-pair vocabulary Jaccard (text.source_vocab_overlap) — the
     mixture redundancy map. Token-keyed equi self-join over the
@@ -5289,6 +5323,7 @@ QUERIES: dict = {
     "pipe_sample_weighted_topk": (q_sample_weighted_topk, _WEIGHTED_TOPK_SQL),
     "pipe_sample_neyman": (q_sample_neyman, _neyman_sql()),
     "pipe_source_overlap": (q_source_overlap, _SOURCE_OVERLAP_SQL),
+    "pipe_text_burstiness": (q_text_burstiness, _BURSTINESS_SQL),
     "pipe_sample_weighted_per_group": (
         q_sample_weighted_per_group,
         _WEIGHTED_PER_GROUP_SQL,
