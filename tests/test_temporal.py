@@ -818,3 +818,39 @@ def test_chi_square_independence_golden(spark):
     )
     r2 = chi_square_independence(dep, "u", "v").collect()[0]
     assert (r2["n"], r2["dof"], r2["chi2"]) == (40, 1, 40.0)
+
+
+def test_funnel_completion_times_agree_with_counts(spark):
+    """Completed-chain count must equal funnel_with_timeout's deepest
+    step, and the conversion seconds are the exact end-to-end deltas."""
+    import datetime as dt
+
+    from yat_geo_db_spark.relational.temporal import (
+        funnel_completion_times,
+        funnel_with_timeout,
+    )
+
+    def ts(m):
+        return dt.datetime(2024, 1, 1) + dt.timedelta(minutes=m)
+
+    rows = [
+        (1, 1, "view", ts(0)), (2, 1, "click", ts(5)),
+        (3, 1, "purchase", ts(8)),
+        (4, 2, "view", ts(0)), (5, 2, "click", ts(10)),
+        (6, 2, "purchase", ts(50)),  # last hop too late at gap 30
+    ]
+    events = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts timestamp"
+    )
+    chains = funnel_completion_times(
+        events, ["view", "click", "purchase"], max_gap_minutes=30
+    ).collect()
+    deepest = {
+        r["step_idx"]: r["n"]
+        for r in funnel_with_timeout(
+            events, ["view", "click", "purchase"], max_gap_minutes=30
+        ).collect()
+    }[2]
+    assert len(chains) == deepest == 1
+    assert chains[0]["start_event_id"] == 1
+    assert chains[0]["conversion_s"] == 8 * 60.0

@@ -247,6 +247,66 @@ ORDER BY event_type
 """
 
 
+def funnel_times_q(spark, sf_dir):
+    """Time-to-convert distribution (relational.temporal.
+    funnel_completion_times): conversion seconds for completed
+    view→click→purchase chains (1-day per-hop gap) reduced to
+    count + exact p50/p90 — where-a-funnel-is-slow in one row."""
+    from yat_geo_db_spark.relational.temporal import funnel_completion_times
+
+    (events,) = _t(spark, sf_dir, "events")
+    chains = funnel_completion_times(
+        events, ["view", "click", "purchase"], max_gap_minutes=1440
+    )
+    return chains.agg(
+        F.count(F.lit(1)).alias("n_converted"),
+        F.round(F.expr("percentile(conversion_s, 0.5)"), 6).alias("p50_s"),
+        F.round(F.expr("percentile(conversion_s, 0.9)"), 6).alias("p90_s"),
+    )
+
+
+_FUNNEL_TIMES_SQL = """
+WITH v AS (
+  SELECT event_id AS sid, user_id, ts AS t0
+  FROM events WHERE event_type = 'view'
+),
+c AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'click'),
+p AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase'),
+h1 AS (
+  SELECT sid, user_id, t0, cts FROM (
+    SELECT v.sid, v.user_id, v.t0, c.ts AS cts,
+           row_number() OVER (
+             PARTITION BY v.sid ORDER BY c.ts ASC, c.event_id DESC
+           ) AS rn
+    FROM v JOIN c ON v.user_id = c.user_id AND c.ts >= v.t0
+  ) WHERE rn = 1
+    AND epoch_us(CAST(cts AS TIMESTAMP)) - epoch_us(CAST(t0 AS TIMESTAMP))
+        <= CAST(1440 AS BIGINT) * 60 * 1000000
+),
+h2 AS (
+  SELECT sid, t0, pts FROM (
+    SELECT h1.sid, h1.t0, h1.cts, p.ts AS pts,
+           row_number() OVER (
+             PARTITION BY h1.sid ORDER BY p.ts ASC, p.event_id DESC
+           ) AS rn
+    FROM h1 JOIN p ON h1.user_id = p.user_id AND p.ts >= h1.cts
+  ) WHERE rn = 1
+    AND epoch_us(CAST(pts AS TIMESTAMP)) - epoch_us(CAST(cts AS TIMESTAMP))
+        <= CAST(1440 AS BIGINT) * 60 * 1000000
+),
+secs AS (
+  SELECT CAST(epoch_us(CAST(pts AS TIMESTAMP))
+              - epoch_us(CAST(t0 AS TIMESTAMP)) AS DOUBLE) / 1000000.0
+           AS conversion_s
+  FROM h2
+)
+SELECT count(*) AS n_converted,
+       round(quantile_cont(conversion_s, 0.5), 6) AS p50_s,
+       round(quantile_cont(conversion_s, 0.9), 6) AS p90_s
+FROM secs
+"""
+
+
 def dau_mau_q(spark, sf_dir):
     """DAU / trailing-30-day actives / stickiness per day
     (relational.queries.dau_mau_stickiness) — exact via the bounded
@@ -3130,6 +3190,7 @@ QUERIES: dict = {
     "rel_scd2_upsert": (scd2_upsert, _SCD2_SQL),
     "rel_scd2_lookup": (scd2_lookup_q, _SCD2_LOOKUP_SQL),
     "rel_funnel_timeout": (funnel_timeout_q, _FUNNEL_TIMEOUT_SQL),
+    "rel_funnel_times": (funnel_times_q, _FUNNEL_TIMES_SQL),
     "rel_dau_mau": (dau_mau_q, _DAU_MAU_SQL),
     "rel_twap": (twap_q, _TWAP_SQL),
     "rel_gap_fill": (gap_fill, _GAP_FILL_SQL),

@@ -508,3 +508,69 @@ def time_weighted_avg(
             6,
         ).alias("twap"),
     )
+
+
+def funnel_completion_times(
+    events: DataFrame,
+    steps: list[str],
+    max_gap_minutes: int,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Completed-chain view of funnel_with_timeout: one row per step-1
+    event whose chain reached the LAST step within every per-hop gap,
+    with the end-to-end conversion time in seconds — the input to
+    time-to-convert percentiles (the read that tells you whether a slow
+    funnel is slow at acquisition or slow at checkout). Same hop
+    machinery (next_after_join per hop), so counts agree with
+    funnel_with_timeout's deepest step by construction."""
+    gap_us = max_gap_minutes * 60 * 1_000_000
+    base = events.where(F.col(type_col) == steps[0]).select(
+        F.col(user_col),
+        F.col(id_col).alias("start_event_id"),
+        F.col(ts_col).alias("_t0"),
+    )
+    cur = base.withColumn("_prev_ts", F.col("_t0"))
+    for i, step in enumerate(steps[1:], start=1):
+        nxt = events.where(F.col(type_col) == step).select(
+            F.col(user_col), F.col(id_col), F.col(ts_col)
+        )
+        search_from = (
+            F.col("_prev_ts") + F.expr("INTERVAL 1 MICROSECOND")
+            if step == steps[i - 1]
+            else F.col("_prev_ts")
+        )
+        hopped = next_after_join(
+            cur.withColumn(ts_col, search_from),
+            nxt,
+            on=[user_col],
+            ts_col=ts_col,
+            right_payload=(id_col, ts_col),
+            right_id_col=id_col,
+        )
+        cur = hopped.where(
+            F.col(f"next_{ts_col}").isNotNull()
+            & (
+                F.unix_micros(F.col(f"next_{ts_col}").cast("timestamp"))
+                - F.unix_micros(F.col("_prev_ts").cast("timestamp"))
+                <= gap_us
+            )
+        ).select(
+            user_col,
+            "start_event_id",
+            "_t0",
+            F.col(f"next_{ts_col}").alias("_prev_ts"),
+        )
+    return cur.select(
+        user_col,
+        "start_event_id",
+        (
+            (
+                F.unix_micros(F.col("_prev_ts").cast("timestamp"))
+                - F.unix_micros(F.col("_t0").cast("timestamp"))
+            ).cast("double")
+            / F.lit(1_000_000.0)
+        ).alias("conversion_s"),
+    )
