@@ -1,0 +1,120 @@
+"""Hadoop FileSystem-API primitives for commit markers and layout dirs.
+
+Commit markers (the ``_latest`` pointer of a versioned table, the
+``_compacted_through`` watermark of a maintenance sink) must live on
+the SAME filesystem as the data they describe. On the 100 TB target
+deployment that filesystem is HDFS or an object store, where the
+driver's POSIX ``open()``/``os.replace()`` never lands — a marker
+written to the driver's local disk is invisible to every executor and
+to the next driver. Everything here goes through the JVM Hadoop
+FileSystem API of the SparkSession, so these primitives work wherever
+``df.write.parquet`` works: local FS in tests, HDFS/S3A in production.
+
+Atomic publish: :func:`write_text_atomic` writes ``<path>.tmp`` and
+renames it over the target with FileContext ``Options.Rename.OVERWRITE``
+— the same single-RPC atomic-rename commit Structured Streaming's
+HDFSMetadataLog uses for its offset log. A plain ``FileSystem.rename``
+refuses existing destinations, and delete-then-rename would open a
+window in which a reader sees NO marker at all; FileContext closes it.
+(On stores without atomic rename — raw S3 — the window collapses to a
+single PUT, which is the best any marker scheme can do there.)
+"""
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+
+
+def _session(spark) -> SparkSession:
+    if spark is not None:
+        return spark
+    active = SparkSession.getActiveSession()
+    if active is None:
+        raise RuntimeError(
+            "no active SparkSession — pass spark explicitly for "
+            "filesystem marker access"
+        )
+    return active
+
+
+def _jfs(spark, path: str):
+    """(jvm, conf, fs, jpath) for the filesystem that owns `path`."""
+    spark = _session(spark)
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    return jvm, conf, jpath.getFileSystem(conf), jpath
+
+
+def exists(spark, path: str) -> bool:
+    _, _, fs, p = _jfs(spark, path)
+    return bool(fs.exists(p))
+
+
+def delete(spark, path: str, recursive: bool = True) -> bool:
+    _, _, fs, p = _jfs(spark, path)
+    return bool(fs.delete(p, recursive))
+
+
+def list_dir_names(spark, root: str) -> list[str]:
+    """Child DIRECTORY basenames under `root` ([] if root is absent).
+    One listStatus RPC — the layout-discovery primitive behind
+    versioned tables and sink compaction."""
+    _, _, fs, p = _jfs(spark, root)
+    if not fs.exists(p):
+        return []
+    return [
+        st.getPath().getName()
+        for st in fs.listStatus(p)
+        if st.isDirectory()
+    ]
+
+
+def read_text(spark, path: str) -> str | None:
+    """Full text of a (small) file, or None if it does not exist.
+    Marker files are a handful of bytes — one open + one read."""
+    jvm, _, fs, p = _jfs(spark, path)
+    if not fs.exists(p):
+        return None
+    stream = fs.open(p)
+    try:
+        reader = jvm.java.io.BufferedReader(
+            jvm.java.io.InputStreamReader(stream, "UTF-8")
+        )
+        lines = []
+        line = reader.readLine()
+        while line is not None:
+            lines.append(line)
+            line = reader.readLine()
+        return "\n".join(lines)
+    finally:
+        stream.close()
+
+
+def write_text_atomic(spark, path: str, text: str) -> None:
+    """Publish `text` at `path` atomically: write `<path>.tmp`, then
+    FileContext.rename(..., Rename.OVERWRITE) over the target. Readers
+    see either the previous committed content or the new one — never a
+    partial write and never a missing marker."""
+    spark = _session(spark)
+    jvm, conf, fs, dst = _jfs(spark, path)
+    tmp = jvm.org.apache.hadoop.fs.Path(path + ".tmp")
+    out = fs.create(tmp, True)
+    try:
+        out.write(bytearray(text.encode("utf-8")))
+    finally:
+        out.close()
+    try:
+        fc = jvm.org.apache.hadoop.fs.FileContext.getFileContext(
+            dst.toUri(), conf
+        )
+        gw = spark.sparkContext._gateway
+        rename_opts = gw.new_array(jvm.org.apache.hadoop.fs.Options.Rename, 1)
+        rename_opts[0] = jvm.org.apache.hadoop.fs.Options.Rename.OVERWRITE
+        fc.rename(tmp, dst, rename_opts)
+    except Exception:
+        # FileContext may be unsupported by exotic FS impls; fall back
+        # to delete+rename (non-atomic: a reader in the gap sees no
+        # marker and treats the table as uncommitted — safe, not wrong)
+        fs.delete(dst, False)
+        if not fs.rename(tmp, dst):
+            raise IOError(f"marker rename failed: {tmp} -> {dst}")

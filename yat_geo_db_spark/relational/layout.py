@@ -329,16 +329,15 @@ def compaction_advice(report: DataFrame, target_mb: int = 128) -> DataFrame:
 # versioned tables: time travel over plain parquet
 # --------------------------------------------------------------------------
 
-def _version_dirs(root: str) -> list[int]:
-    import os as _os
+def _version_dirs(root: str, spark=None) -> list[int]:
     import re as _re
 
-    if not _os.path.isdir(root):
-        return []
+    from yat_geo_db_spark import fsio
+
     out = []
-    for d in _os.listdir(root):
+    for d in fsio.list_dir_names(spark, root):
         m = _re.fullmatch(r"v=(\d+)", d)
-        if m and _os.path.isdir(_os.path.join(root, d)):
+        if m:
             out.append(int(m.group(1)))
     return sorted(out)
 
@@ -346,45 +345,44 @@ def _version_dirs(root: str) -> list[int]:
 def versioned_write(df: DataFrame, root: str) -> int:
     """Append a new immutable VERSION of a table: the frame lands in
     root/v=N (N = latest+1) and a _latest marker is committed by
-    write-temp-then-rename AFTER the data write succeeds — readers
-    pointed at the marker never see a half-written version (the
-    poor-man's snapshot isolation a table format gives you; same
-    marker discipline as the rollup sink's _compacted_through).
-    Old versions stay readable for time travel until you prune them."""
-    import os as _os
+    write-temp-then-atomic-rename AFTER the data write succeeds —
+    readers pointed at the marker never see a half-written version
+    (the poor-man's snapshot isolation a table format gives you; same
+    marker discipline as the rollup sink's _compacted_through). Marker
+    and directory listing go through the Hadoop FileSystem API (fsio),
+    so the commit works on HDFS/object storage, not just the driver's
+    local disk. Old versions stay readable for time travel until you
+    prune them."""
+    from yat_geo_db_spark import fsio
 
-    versions = _version_dirs(root)
+    spark = df.sparkSession
+    versions = _version_dirs(root, spark)
     v = (versions[-1] + 1) if versions else 0
-    df.write.mode("errorifexists").parquet(
-        _os.path.join(root, f"v={v}")
-    )
-    tmp = _os.path.join(root, "_latest.tmp")
-    with open(tmp, "w") as fh:
-        fh.write(str(v))
-    _os.replace(tmp, _os.path.join(root, "_latest"))
+    df.write.mode("errorifexists").parquet(f"{root}/v={v}")
+    fsio.write_text_atomic(spark, f"{root}/_latest", str(v))
     return v
 
 
-def latest_version(root: str) -> int:
+def latest_version(root: str, spark=None) -> int:
     """Committed latest version per the marker (NOT the max dir: a
-    crashed writer may have left a data dir without committing)."""
-    import os as _os
+    crashed writer may have left a data dir without committing). Reads
+    through the Hadoop FS API so the answer is the same on every
+    node/filesystem the session can see."""
+    from yat_geo_db_spark import fsio
 
+    txt = fsio.read_text(spark, f"{root}/_latest")
     try:
-        with open(_os.path.join(root, "_latest")) as fh:
-            return int(fh.read().strip())
-    except (OSError, ValueError):
+        return int(txt.strip()) if txt is not None else -1
+    except ValueError:
         return -1
 
 
 def read_version(spark, root: str, version: int | None = None) -> DataFrame:
     """Time-travel read: the given version, or the committed latest."""
-    import os as _os
-
-    v = latest_version(root) if version is None else version
+    v = latest_version(root, spark) if version is None else version
     if v < 0:
         raise ValueError(f"no committed version under {root!r}")
-    return spark.read.parquet(_os.path.join(root, f"v={v}"))
+    return spark.read.parquet(f"{root}/v={v}")
 
 
 def version_diff(
