@@ -420,6 +420,35 @@ def test_personalized_pagerank_seed_locality(spark):
     assert len({flat[n] for n in range(5)}) == 1
 
 
+def test_personalized_pagerank_unknown_seed_keeps_mass(spark):
+    """A seed id absent from the node universe must NOT dilute the
+    teleport: |S| counts only in-universe seeds, so Σrank stays ~1 and
+    the scores are identical to running without the phantom seed.
+    (Regression for the leak where _ns counted ALL distinct seeds but
+    p(v) was only assigned to matched ones — Σp < 1, every iteration's
+    teleport + dangling re-injection under-distributed.)"""
+    from yat_geo_db_spark.pipelines.graph import personalized_pagerank
+
+    ring = [(i, (i + 1) % 5) for i in range(5)]
+    edges = spark.createDataFrame(ring, "src long, dst long")
+    seeds_ok = spark.createDataFrame([(0,)], "node long")
+    seeds_phantom = spark.createDataFrame([(0,), (999,)], "node long")
+
+    base = {
+        r["node"]: r["rank"]
+        for r in personalized_pagerank(edges, seeds_ok, n_iter=10).collect()
+    }
+    got = {
+        r["node"]: r["rank"]
+        for r in personalized_pagerank(
+            edges, seeds_phantom, n_iter=10
+        ).collect()
+    }
+    assert abs(sum(got.values()) - 1.0) < 1e-6
+    assert got == base
+    assert 999 not in got
+
+
 def test_k_core_peels_to_fixpoint(spark):
     """k_core must equal the classic peel on known shapes: pendant
     chains cascade away (multi-round), cliques survive with their full

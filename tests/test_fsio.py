@@ -1,0 +1,140 @@
+"""Direct coverage for the Hadoop FileSystem marker primitives (fsio)
+and the crash behavior of the versioned-table commit protocol built on
+them: data landing without a marker commit is invisible, a restart
+publishes exactly once, and the enrichment sink always reads the
+COMMITTED dimension version."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from yat_geo_db_spark import fsio
+
+
+def test_write_text_atomic_roundtrip_and_overwrite(spark, tmp_path):
+    p = str(tmp_path / "marker")
+    fsio.write_text_atomic(spark, p, "7")
+    assert fsio.read_text(spark, p) == "7"
+    # overwrite publishes the new content and leaves no .tmp behind
+    fsio.write_text_atomic(spark, p, "through=9\ngen=2\npending=")
+    assert fsio.read_text(spark, p) == "through=9\ngen=2\npending="
+    assert not os.path.exists(p + ".tmp")
+    assert fsio.exists(spark, p)
+
+
+def test_read_text_missing_is_none(spark, tmp_path):
+    assert fsio.read_text(spark, str(tmp_path / "nope")) is None
+
+
+def test_list_dir_names_missing_root_is_empty(spark, tmp_path):
+    assert fsio.list_dir_names(spark, str(tmp_path / "absent")) == []
+
+
+def test_list_dir_names_dirs_only(spark, tmp_path):
+    (tmp_path / "d1").mkdir()
+    (tmp_path / "d2").mkdir()
+    (tmp_path / "f1").write_text("x")
+    got = sorted(fsio.list_dir_names(spark, str(tmp_path)))
+    assert got == ["d1", "d2"]
+
+
+def test_delete_recursive_and_exists(spark, tmp_path):
+    d = tmp_path / "tree" / "leaf"
+    d.mkdir(parents=True)
+    (d / "f").write_text("x")
+    root = str(tmp_path / "tree")
+    assert fsio.exists(spark, root)
+    assert fsio.delete(spark, root, recursive=True)
+    assert not fsio.exists(spark, root)
+    # deleting an absent path reports False, not an error
+    assert not fsio.delete(spark, root, recursive=True)
+
+
+def test_versioned_write_crash_leaves_orphan_invisible(spark, tmp_path):
+    """A writer that crashed AFTER landing its data dir but BEFORE the
+    marker commit must be invisible to readers (the marker is the
+    commit), and the next successful write must publish exactly once,
+    skipping over the orphan's slot rather than colliding with it."""
+    from yat_geo_db_spark.relational.layout import (
+        latest_version, read_version, versioned_write,
+    )
+
+    root = str(tmp_path / "dim")
+    d0 = spark.createDataFrame([(1, "a")], "k int, val string")
+    d1 = spark.createDataFrame([(1, "CRASHED")], "k int, val string")
+    d2 = spark.createDataFrame([(1, "b")], "k int, val string")
+
+    assert versioned_write(d0, root) == 0
+    # crashed writer: v=1 data lands, marker never commits
+    d1.write.parquet(f"{root}/v=1")
+    assert latest_version(root, spark) == 0
+    assert read_version(spark, root).collect() == d0.collect()
+    # restart: the new write claims the next free slot and commits it
+    v = versioned_write(d2, root)
+    assert v == 2
+    assert latest_version(root, spark) == 2
+    assert read_version(spark, root).collect() == d2.collect()
+    # time travel still serves the old committed version, not the orphan
+    assert read_version(spark, root, 0).collect() == d0.collect()
+
+
+def test_versioned_enrichment_sink_reads_committed_dim_only(
+    spark, tmp_path
+):
+    """The enrichment sink re-resolves the dimension's COMMITTED
+    version per batch: an uncommitted (crashed) dim refresh must not
+    leak into enrichment, a committed refresh applies from the next
+    batch, and a replayed batch re-enriches idempotently (overwrite by
+    batch_id) with the current committed dim."""
+    from yat_geo_db_spark.relational.layout import versioned_write
+    from yat_geo_db_spark.streaming.sinks import (
+        read_sink, versioned_enrichment_sink,
+    )
+
+    dim_root = str(tmp_path / "dim")
+    target = str(tmp_path / "enriched")
+    versioned_write(
+        spark.createDataFrame([(1, "v0")], "k int, label string"), dim_root
+    )
+    sink = versioned_enrichment_sink(dim_root, ["k"], target)
+    batch = spark.createDataFrame([(1, 10.0)], "k int, x double")
+
+    sink(batch, 0)
+    # crashed dim refresh: data dir lands, marker never moves
+    spark.createDataFrame(
+        [(1, "CRASHED")], "k int, label string"
+    ).write.parquet(f"{dim_root}/v=1")
+    sink(batch, 1)
+    labels = {
+        r["batch_id"]: r["label"]
+        for r in read_sink(spark, target).collect()
+    }
+    assert labels == {0: "v0", 1: "v0"}
+
+    # committed refresh applies from the next batch on
+    versioned_write(
+        spark.createDataFrame([(1, "v2")], "k int, label string"), dim_root
+    )
+    sink(batch, 2)
+    # replayed batch 1 re-enriches with the CURRENT committed dim
+    sink(batch, 1)
+    labels = {
+        r["batch_id"]: r["label"]
+        for r in read_sink(spark, target).collect()
+    }
+    assert labels == {0: "v0", 1: "v2", 2: "v2"}
+    # exactly one row per batch (replay overwrote, didn't append)
+    assert read_sink(spark, target).count() == 3
+
+
+def test_fsio_requires_classic_session():
+    """A session object without the JVM gateway (Spark Connect shape)
+    gets a clear error, not an AttributeError deep inside py4j."""
+
+    class FakeConnectSession:
+        _jvm = None
+
+    with pytest.raises(RuntimeError, match="classic"):
+        fsio.exists(FakeConnectSession(), "/tmp/x")

@@ -590,22 +590,166 @@ def test_streaming_rollup_maintenance_equals_batch(spark, tmp_path):
     run_stream("ckpt2")
     assert snap(read_rollup(spark, root, **kw)) == want
 
-    # compaction folds the state to one dir and preserves the value
+    # compaction folds the state into the generation-1 dir, deletes
+    # every batch dir, and preserves the value
     compact_rollup(spark, root, **kw)
-    assert glob.glob(f"{root}/batch_id=*") == [f"{root}/batch_id=-1"]
+    assert glob.glob(f"{root}/batch_id=*") == []
+    assert glob.glob(f"{root}/_compacted_g*") == [f"{root}/_compacted_g1"]
     assert snap(read_rollup(spark, root, **kw)) == want
 
     # replay AFTER compaction: the _compacted_through marker makes
     # already-folded batches no-op instead of double-counting (their
-    # rows live in batch_id=-1 and recreating their dirs would add
-    # them twice)
+    # rows live in the compacted generation and recreating their dirs
+    # would add them twice)
     run_stream("ckpt3")
-    assert glob.glob(f"{root}/batch_id=*") == [f"{root}/batch_id=-1"]
+    assert glob.glob(f"{root}/batch_id=*") == []
     assert snap(read_rollup(spark, root, **kw)) == want
 
     # a second compaction of an already-compacted root is a no-op
+    # (no batch dirs to fold — the generation stays put)
     compact_rollup(spark, root, **kw)
+    assert glob.glob(f"{root}/_compacted_g*") == [f"{root}/_compacted_g1"]
     assert snap(read_rollup(spark, root, **kw)) == want
+
+
+def test_compact_rollup_crash_windows_no_double_count(
+    spark, tmp_path, monkeypatch
+):
+    """The compaction marker is the single commit point. Simulated
+    crashes on either side of it must never double-count: (a) a crash
+    BEFORE the marker commit leaves readers on the old view (the
+    orphan generation dir is invisible) and a rerun folds cleanly;
+    (b) a crash AFTER the commit but BEFORE the folded dirs are
+    deleted leaves readers excluding the pending dirs (their content
+    lives in the committed generation) and a rerun resumes the
+    deletes; (c) a replayed already-folded batch is a no-op."""
+    import glob
+
+    from yat_geo_db_spark.streaming import sinks
+    from yat_geo_db_spark.streaming.sinks import (
+        compact_rollup, read_rollup, rollup_maintenance_sink,
+    )
+
+    kw = dict(key_cols=["k"], sum_cols=["v"], scale=2)
+    root = str(tmp_path / "rollup")
+    sink = rollup_maintenance_sink(root, **kw)
+    b0 = spark.createDataFrame([("a", 1.0), ("b", 2.0)], "k string, v double")
+    b1 = spark.createDataFrame([("a", 10.0)], "k string, v double")
+    b2 = spark.createDataFrame([("b", 5.0)], "k string, v double")
+    sink(b0, 0)
+    sink(b1, 1)
+
+    def snap():
+        return sorted(map(tuple, read_rollup(spark, root, **kw).collect()))
+
+    want = snap()
+
+    # (a) crash at the commit: the marker write that carries the fold
+    # list blows up AFTER the new generation dir has been written
+    real_write = sinks._write_marker
+
+    def crash_on_commit(spark_, root_, through, gen, pending):
+        if pending:
+            raise RuntimeError("injected crash before marker commit")
+        real_write(spark_, root_, through, gen, pending)
+
+    monkeypatch.setattr(sinks, "_write_marker", crash_on_commit)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        compact_rollup(spark, root, **kw)
+    monkeypatch.setattr(sinks, "_write_marker", real_write)
+    # orphan generation exists but is uncommitted: readers still fold
+    # the live batch dirs — same value, no double count
+    assert glob.glob(f"{root}/_compacted_g*") == [f"{root}/_compacted_g1"]
+    assert glob.glob(f"{root}/batch_id=*") != []
+    assert snap() == want
+
+    # rerun to completion: the orphan is overwritten and committed
+    compact_rollup(spark, root, **kw)
+    assert glob.glob(f"{root}/batch_id=*") == []
+    assert snap() == want
+
+    # (b) crash after the commit, before cleanup: deletes blow up
+    sink(b2, 2)
+    want2 = snap()
+
+    def crash_on_delete(spark_, path, recursive=True):
+        raise RuntimeError("injected crash before cleanup")
+
+    monkeypatch.setattr(sinks.fsio, "delete", crash_on_delete)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        compact_rollup(spark, root, **kw)
+    monkeypatch.undo()
+    # gen 2 is committed; the folded dirs are still on disk but the
+    # marker's pending list excludes them from reads — no double count
+    assert glob.glob(f"{root}/batch_id=*") != []
+    assert glob.glob(f"{root}/_compacted_g1") == [f"{root}/_compacted_g1"]
+    assert snap() == want2
+
+    # rerun resumes the crashed cleanup, then has nothing to fold
+    compact_rollup(spark, root, **kw)
+    assert glob.glob(f"{root}/batch_id=*") == []
+    assert glob.glob(f"{root}/_compacted_g*") == [f"{root}/_compacted_g2"]
+    assert snap() == want2
+
+    # (c) replay of an already-folded batch id: no-op (no dir reborn)
+    sink(b1, 1)
+    assert glob.glob(f"{root}/batch_id=*") == []
+    assert snap() == want2
+    # a genuinely new batch still lands
+    sink(b1, 3)
+    assert glob.glob(f"{root}/batch_id=*") == [f"{root}/batch_id=3"]
+
+
+def test_rollup_marker_legacy_and_corrupt(spark, tmp_path):
+    """Marker compatibility: a legacy single-int marker still gates
+    replay (and a legacy batch_id=-1 compacted dir still folds); a
+    corrupt marker RAISES instead of being read as 'never compacted'
+    (silent -1 would let a replayed folded batch double-count)."""
+    from yat_geo_db_spark.streaming.sinks import (
+        _read_marker, compact_rollup, read_rollup, rollup_maintenance_sink,
+    )
+
+    kw = dict(key_cols=["k"], sum_cols=["v"], scale=2)
+    root = str(tmp_path / "legacy")
+    b0 = spark.createDataFrame([("a", 1.0), ("b", 2.0)], "k string, v double")
+    b1 = spark.createDataFrame([("a", 4.0)], "k string, v double")
+    sink = rollup_maintenance_sink(root, **kw)
+    sink(b0, 0)
+
+    def snap():
+        return sorted(map(tuple, read_rollup(spark, root, **kw).collect()))
+
+    want = snap()
+    # fake the OLD layout: state folded into batch_id=-1 through id 0,
+    # marker is the legacy bare int
+    import shutil
+
+    shutil.move(f"{root}/batch_id=0", f"{root}/batch_id=-1")
+    with open(f"{root}/_compacted_through", "w") as fh:
+        fh.write("0")
+    assert _read_marker(spark, root) == (0, 0, [])
+    assert snap() == want
+    sink(b0, 0)  # replay of folded batch: gated by the legacy marker
+    assert snap() == want
+    sink(b1, 1)  # new batch lands
+    want2 = snap()
+    # compaction migrates the legacy dir into generation 1
+    compact_rollup(spark, root, **kw)
+    import glob
+
+    assert glob.glob(f"{root}/batch_id=*") == []
+    assert glob.glob(f"{root}/_compacted_g*") == [f"{root}/_compacted_g1"]
+    assert snap() == want2
+
+    # corrupt marker CONTENT: loud failure, not silent -1 (written via
+    # fsio so the checksum is valid and the parse is what's exercised)
+    from yat_geo_db_spark import fsio
+
+    fsio.write_text_atomic(
+        spark, f"{root}/_compacted_through", "through=oops\ngen=1\npending="
+    )
+    with pytest.raises(ValueError, match="corrupt compaction marker"):
+        _read_marker(spark, root)
 
 
 def test_watermarked_dedup_drops_in_horizon_duplicates(spark, tmp_path):

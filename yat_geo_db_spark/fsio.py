@@ -18,10 +18,31 @@ refuses existing destinations, and delete-then-rename would open a
 window in which a reader sees NO marker at all; FileContext closes it.
 (On stores without atomic rename — raw S3 — the window collapses to a
 single PUT, which is the best any marker scheme can do there.)
+
+Requires a CLASSIC (JVM-backed) SparkSession: these primitives reach
+the Hadoop FileSystem through ``spark._jvm``, which a Spark Connect
+session does not expose. :func:`_jfs` raises a clear error on Connect
+rather than failing deep inside py4j.
 """
 from __future__ import annotations
 
 from pyspark.sql import SparkSession
+
+
+def _is_file_not_found(exc: Exception) -> bool:
+    """True if a py4j-wrapped Java exception is (caused by) a
+    FileNotFoundException — the listStatus/open race where the path
+    vanishes between our call and the RPC. Callers translate it to the
+    documented absent-path result instead of leaking a Py4JJavaError."""
+    je = getattr(exc, "java_exception", None)
+    while je is not None:
+        try:
+            if je.getClass().getName().endswith("FileNotFoundException"):
+                return True
+            je = je.getCause()
+        except Exception:
+            return False
+    return False
 
 
 def _session(spark) -> SparkSession:
@@ -39,6 +60,11 @@ def _session(spark) -> SparkSession:
 def _jfs(spark, path: str):
     """(jvm, conf, fs, jpath) for the filesystem that owns `path`."""
     spark = _session(spark)
+    if not hasattr(spark, "_jvm") or spark._jvm is None:
+        raise RuntimeError(
+            "fsio needs a classic (JVM-backed) SparkSession; Spark "
+            "Connect sessions do not expose the Hadoop FileSystem API"
+        )
     jvm = spark._jvm
     conf = spark._jsc.hadoopConfiguration()
     jpath = jvm.org.apache.hadoop.fs.Path(path)
@@ -60,11 +86,17 @@ def list_dir_names(spark, root: str) -> list[str]:
     One listStatus RPC — the layout-discovery primitive behind
     versioned tables and sink compaction."""
     _, _, fs, p = _jfs(spark, root)
-    if not fs.exists(p):
-        return []
+    try:
+        statuses = fs.listStatus(p)
+    except Exception as e:  # direct call, no exists() pre-check: the
+        # path can vanish between exists and listStatus — treat a
+        # FileNotFoundException as the documented absent-root []
+        if _is_file_not_found(e):
+            return []
+        raise
     return [
         st.getPath().getName()
-        for st in fs.listStatus(p)
+        for st in statuses
         if st.isDirectory()
     ]
 
@@ -73,9 +105,13 @@ def read_text(spark, path: str) -> str | None:
     """Full text of a (small) file, or None if it does not exist.
     Marker files are a handful of bytes — one open + one read."""
     jvm, _, fs, p = _jfs(spark, path)
-    if not fs.exists(p):
-        return None
-    stream = fs.open(p)
+    try:
+        stream = fs.open(p)
+    except Exception as e:  # no exists() pre-check (same race as
+        # list_dir_names): missing file is the documented None
+        if _is_file_not_found(e):
+            return None
+        raise
     try:
         reader = jvm.java.io.BufferedReader(
             jvm.java.io.InputStreamReader(stream, "UTF-8")
@@ -111,10 +147,17 @@ def write_text_atomic(spark, path: str, text: str) -> None:
         rename_opts = gw.new_array(jvm.org.apache.hadoop.fs.Options.Rename, 1)
         rename_opts[0] = jvm.org.apache.hadoop.fs.Options.Rename.OVERWRITE
         fc.rename(tmp, dst, rename_opts)
-    except Exception:
+    except Exception as fc_err:
         # FileContext may be unsupported by exotic FS impls; fall back
-        # to delete+rename (non-atomic: a reader in the gap sees no
-        # marker and treats the table as uncommitted — safe, not wrong)
-        fs.delete(dst, False)
+        # to rename-first: only if the rename is refused (existing
+        # destination) do we delete the old marker and retry, so a
+        # total failure leaves the PREVIOUS committed marker intact
+        # instead of destroying the commit pointer. The delete+retry
+        # leg is non-atomic (a reader in the gap sees no marker and
+        # treats the table as uncommitted — safe, not wrong).
         if not fs.rename(tmp, dst):
-            raise IOError(f"marker rename failed: {tmp} -> {dst}")
+            fs.delete(dst, False)
+            if not fs.rename(tmp, dst):
+                raise IOError(
+                    f"marker rename failed: {tmp} -> {dst}"
+                ) from fc_err

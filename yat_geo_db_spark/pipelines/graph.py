@@ -219,7 +219,17 @@ def personalized_pagerank(
             .distinct()
         )
     nd = nodes.select(F.col(node_col).alias("_node"))
+    # Restrict seeds to the node universe BEFORE counting |S|: a seed id
+    # absent from the graph would otherwise inflate the 1/|S| divisor
+    # while its teleport share is never assigned to any node, deflating
+    # Σrank below 1. Broadcast the (tiny) seed set into a streamed pass
+    # over the universe — no shuffle of nd.
     sd = seeds.select(F.col(node_col).alias("_seed")).distinct()
+    sd = (
+        nd.join(F.broadcast(sd), nd["_node"] == sd["_seed"], "inner")
+        .select("_seed")
+        .distinct()
+    )
     s_frame = F.broadcast(sd.agg(F.count(F.lit(1)).alias("_ns")))
     outdeg = e.groupBy("_src").agg(F.count(F.lit(1)).alias("_deg"))
     ranks = (

@@ -11,20 +11,23 @@ duplicating it. Readers see the target as one partitioned dataset.
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame
 import pyspark.sql.functions as F
+
+from yat_geo_db_spark import fsio
 
 
 def batch_partitioned_parquet_sink(target_dir: str):
     """Return a foreachBatch function writing each micro-batch to
     ``<target>/batch_id=N`` (overwrite → replay-idempotent). Compose with
-    any per-batch transformation before `.writeStream.foreachBatch(...)`."""
+    any per-batch transformation before `.writeStream.foreachBatch(...)`.
+    Paths are joined with '/' (URI form), so the target may live on any
+    Hadoop filesystem — local in tests, HDFS/S3A in production."""
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
-        out = os.path.join(target_dir, f"batch_id={batch_id}")
-        batch_df.write.mode("overwrite").parquet(out)
+        batch_df.write.mode("overwrite").parquet(
+            f"{target_dir}/batch_id={batch_id}"
+        )
 
     return write_batch
 
@@ -32,7 +35,7 @@ def batch_partitioned_parquet_sink(target_dir: str):
 def read_sink(spark, target_dir: str) -> DataFrame:
     """Read the sink back as one dataset (partition column = batch_id)."""
     return spark.read.option("basePath", target_dir).parquet(
-        os.path.join(target_dir, "batch_id=*")
+        f"{target_dir}/batch_id=*"
     )
 
 
@@ -55,8 +58,9 @@ def decontaminating_sink(corpus_bands: DataFrame, target_dir: str,
         survivors = near_dup_filter(
             batch_df, corpus_bands, threshold=threshold, w=w
         )
-        out = os.path.join(target_dir, f"batch_id={batch_id}")
-        survivors.write.mode("overwrite").parquet(out)
+        survivors.write.mode("overwrite").parquet(
+            f"{target_dir}/batch_id={batch_id}"
+        )
 
     return write_batch
 
@@ -74,8 +78,9 @@ def exact_decontaminating_sink(benchmark: DataFrame, target_dir: str,
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         survivors = exact_ngram_decontaminate(batch_df, benchmark, w=w)
-        out = os.path.join(target_dir, f"batch_id={batch_id}")
-        survivors.write.mode("overwrite").parquet(out)
+        survivors.write.mode("overwrite").parquet(
+            f"{target_dir}/batch_id={batch_id}"
+        )
 
     return write_batch
 
@@ -124,18 +129,85 @@ def ann_index_append_sink(root: str, kind: str = "ivfpq", m: int = 4,
     return write_batch
 
 
-def _compacted_through(root: str) -> int:
-    """Highest batch_id whose state has been folded into the compacted
-    dir (persisted marker; -1 = never compacted). The marker is what
-    keeps compaction and at-least-once replay compatible: a replayed
-    batch at or below it must NOT rewrite its dir — its rows already
-    live in batch_id=-1, and recreating the dir would double-count."""
-    marker = os.path.join(root, "_compacted_through")
+_MARKER = "_compacted_through"
+_GEN_PREFIX = "_compacted_g"
+
+
+def _read_marker(spark, root: str) -> tuple[int, int, list[str]]:
+    """Parse the ``_compacted_through`` marker → (through, gen, pending).
+
+    - ``through``: highest batch_id folded into the committed
+      generation (-1 = never compacted). A replayed batch at or below
+      it must NOT rewrite its dir — its rows already live in the
+      compacted generation, and recreating the dir would double-count.
+    - ``gen``: the committed compacted-generation number (state lives
+      in ``_compacted_g<gen>``; 0 = none yet).
+    - ``pending``: dir basenames whose content IS folded into the
+      committed generation but whose deletion may not have finished —
+      readers must exclude them, compaction deletes them on resume.
+
+    All marker I/O goes through :mod:`yat_geo_db_spark.fsio` (Hadoop
+    FileSystem API + atomic rename publish), so the marker lives on
+    the SAME filesystem as the data and a crash mid-write can never
+    leave a truncated marker. A marker that still fails to parse is
+    therefore real corruption and raises rather than being silently
+    read as 'never compacted' (which would replay-double-count)."""
+    txt = fsio.read_text(spark, f"{root}/{_MARKER}")
+    if txt is None:
+        return -1, 0, []
+    lines = [ln.strip() for ln in txt.strip().splitlines() if ln.strip()]
     try:
-        with open(marker) as fh:
-            return int(fh.read().strip())
-    except (OSError, ValueError):
-        return -1
+        if len(lines) == 1 and "=" not in lines[0]:
+            # legacy single-int marker (pre-generational layout, state
+            # in batch_id=-1 — folded on the next compact_rollup)
+            return int(lines[0]), 0, []
+        fields = dict(ln.partition("=")[::2] for ln in lines)
+        return (
+            int(fields["through"]),
+            int(fields.get("gen", "0")),
+            [p for p in fields.get("pending", "").split(",") if p],
+        )
+    except (KeyError, ValueError) as e:
+        raise ValueError(
+            f"corrupt compaction marker at {root}/{_MARKER}: {txt!r}"
+        ) from e
+
+
+def _write_marker(
+    spark, root: str, through: int, gen: int, pending: list[str]
+) -> None:
+    fsio.write_text_atomic(
+        spark,
+        f"{root}/{_MARKER}",
+        f"through={through}\ngen={gen}\npending={','.join(pending)}",
+    )
+
+
+def _compacted_through(spark, root: str) -> int:
+    return _read_marker(spark, root)[0]
+
+
+def _rollup_state_paths(spark, root: str) -> list[str]:
+    """Every directory holding live rollup state: the committed
+    compacted generation (if any), the legacy batch_id=-1 dir, and all
+    batch_id=N dirs EXCEPT those the marker lists as pending-delete
+    (already folded into the committed generation — reading them too
+    would double-count). One listStatus + one marker read."""
+    through, gen, pending = _read_marker(spark, root)
+    pend = set(pending)
+    names = fsio.list_dir_names(spark, root)
+    paths = []
+    gen_name = f"{_GEN_PREFIX}{gen}"
+    if gen >= 1 and gen_name in names:
+        paths.append(f"{root}/{gen_name}")
+    paths.extend(
+        f"{root}/{n}"
+        for n in sorted(names)
+        if n.startswith("batch_id=") and n not in pend
+    )
+    if not paths:
+        raise FileNotFoundError(f"no rollup state under {root}")
+    return paths
 
 
 def rollup_maintenance_sink(
@@ -168,7 +240,7 @@ def rollup_maintenance_sink(
     inner = batch_partitioned_parquet_sink(root)
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_id <= _compacted_through(root):
+        if batch_id <= _compacted_through(batch_df.sparkSession, root):
             return
         state = partial_aggregate(
             batch_df, key_cols, sum_cols=sum_cols, min_cols=min_cols,
@@ -189,13 +261,13 @@ def read_rollup(
     scale: int = 4,
 ) -> DataFrame:
     """Merge-on-read of a rollup_maintenance_sink target: fold every
-    batch state into the current per-key aggregates (ONE hash shuffle
-    over O(batches × keys) state rows — never the raw stream)."""
+    live state dir — the committed compacted generation plus the
+    batch_id=N dirs the marker doesn't exclude — into the current
+    per-key aggregates (ONE hash shuffle over O(batches × keys) state
+    rows — never the raw stream)."""
     from yat_geo_db_spark.relational.merge import merge_partial_aggregates
 
-    states = spark.read.option("basePath", root).parquet(
-        os.path.join(root, "batch_id=*")
-    ).drop("batch_id")
+    states = spark.read.parquet(*_rollup_state_paths(spark, root))
     return merge_partial_aggregates(
         [states], key_cols, sum_cols=sum_cols, min_cols=min_cols,
         max_cols=max_cols, scale=scale,
@@ -211,53 +283,74 @@ def compact_rollup(
     max_cols: list[str] = (),
     scale: int = 4,
 ) -> None:
-    """Fold batch states into a single compacted dir (batch_id=-1,
-    below any real micro-batch id) and remove the folded originals —
-    bounds merge-on-read cost for long-lived streams. The compacted dir
-    is itself a valid batch state, so the sink keeps appending after.
+    """Fold batch states into the NEXT compacted generation dir
+    (``_compacted_g<gen+1>``) and remove the folded originals — bounds
+    merge-on-read cost for long-lived streams. The compacted dir is
+    itself a valid partial-aggregate state, so the sink keeps
+    appending after.
 
-    Safe against a LIVE stream: the set of dirs to fold is snapshotted
-    FIRST and the merge reads exactly those paths, so a micro-batch
-    landing mid-compaction is neither folded nor deleted — it survives
-    as its own dir. Safe against replay: the max folded batch id is
-    persisted to the _compacted_through marker, which the sink checks
-    before writing (a replayed already-folded batch becomes a no-op
-    instead of a double count)."""
-    import shutil
+    Crash-safe by construction — the atomic marker write is the single
+    commit point:
+    - the new generation is written to a dir NO reader looks at until
+      the marker names it, so a crash before the marker commit leaves
+      readers on the old generation + live batch dirs (complete, no
+      double count; the orphan gen dir is overwritten by the next run);
+    - the marker commit atomically switches readers to the new
+      generation AND lists the folded dirs as ``pending`` so readers
+      exclude them until they are actually deleted (a crash mid-delete
+      re-resumes the deletes on the next run — never a re-fold);
+    - a batch dir landing mid-compaction from a LIVE stream is neither
+      folded nor deleted (the fold set is snapshotted first) and stays
+      visible to readers throughout.
 
+    Replay-safe: the max folded batch id is committed as ``through``,
+    which the sink checks before writing (a replayed already-folded
+    batch becomes a no-op instead of a double count). All marker and
+    directory I/O goes through the Hadoop FileSystem API (fsio), so
+    the protocol holds on HDFS/S3A, not just the driver's local disk.
+
+    Unlike the old single-dir scheme, the merge never reads a dir it
+    is about to overwrite, so no mid-plan materialization
+    (localCheckpoint) is needed."""
     from yat_geo_db_spark.relational.merge import merge_partial_aggregates
 
-    compacted = os.path.join(root, "batch_id=-1")
-    dirs = [
-        os.path.join(root, d)
-        for d in os.listdir(root)
-        if d.startswith("batch_id=") and d != "batch_id=-1"
-    ]
-    if os.path.isdir(compacted):
-        dirs.append(compacted)
-    if not dirs:
-        return
-    states = spark.read.option("basePath", root).parquet(*dirs).drop(
-        "batch_id"
+    through, gen, pending = _read_marker(spark, root)
+    if pending:
+        # resume a crashed cleanup: these dirs are fully folded into
+        # the committed generation — finish deleting, then clear
+        for n in pending:
+            fsio.delete(spark, f"{root}/{n}", recursive=True)
+        _write_marker(spark, root, through, gen, [])
+    names = sorted(
+        n
+        for n in fsio.list_dir_names(spark, root)
+        if n.startswith("batch_id=")
     )
+    if not names:
+        return
+    fold_names = list(names)
+    gen_name = f"{_GEN_PREFIX}{gen}"
+    if gen >= 1 and fsio.exists(spark, f"{root}/{gen_name}"):
+        fold_names.append(gen_name)
+    new_through = max(
+        [
+            int(n.split("=", 1)[1])
+            for n in names
+            if n != "batch_id=-1"  # legacy compacted dir, not a batch
+        ]
+        + [through]
+    )
+    states = spark.read.parquet(*(f"{root}/{n}" for n in fold_names))
     merged = merge_partial_aggregates(
         [states], key_cols, sum_cols=sum_cols, min_cols=min_cols,
         max_cols=max_cols, scale=scale,
-    ).localCheckpoint()
-    through = max(
-        (
-            int(os.path.basename(d).split("=", 1)[1])
-            for d in dirs
-            if not d.endswith("=-1")
-        ),
-        default=_compacted_through(root),
     )
-    merged.write.mode("overwrite").parquet(compacted)
-    with open(os.path.join(root, "_compacted_through"), "w") as fh:
-        fh.write(str(max(through, _compacted_through(root))))
-    for d in dirs:
-        if not d.endswith("=-1"):
-            shutil.rmtree(d, ignore_errors=True)
+    merged.write.mode("overwrite").parquet(f"{root}/{_GEN_PREFIX}{gen + 1}")
+    # COMMIT: readers atomically switch to gen+1 and exclude fold_names
+    _write_marker(spark, root, new_through, gen + 1, fold_names)
+    for n in fold_names:
+        fsio.delete(spark, f"{root}/{n}", recursive=True)
+    _write_marker(spark, root, new_through, gen + 1, [])
 
 
 def heavy_hitter_sink(
@@ -284,7 +377,7 @@ def heavy_hitter_sink(
     inner = batch_partitioned_parquet_sink(root)
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_id <= _compacted_through(root):
+        if batch_id <= _compacted_through(batch_df.sparkSession, root):
             return
         # sketch over the STRING-cast key: the reader probes with Python
         # strings (UTF-8 byte hashing) — an integer-typed key would add
@@ -364,7 +457,7 @@ def histogram_rollup_sink(
     inner = batch_partitioned_parquet_sink(root)
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_id <= _compacted_through(root):
+        if batch_id <= _compacted_through(batch_df.sparkSession, root):
             return
         inner(
             histogram_state(
