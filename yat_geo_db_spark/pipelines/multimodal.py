@@ -714,34 +714,62 @@ def resize_png(media: DataFrame, target_w: int, target_h: int) -> DataFrame:
     return media.mapInPandas(_resize, RESIZED_SCHEMA)
 
 
+#: fixed-point scale for the DCT basis — 14 bits, the H.264/HEVC-style
+#: integer-transform choice: the transform becomes exact int64 arithmetic,
+#: so the hash is bit-identical on every platform, BLAS build, and SQL
+#: engine (the DuckDB oracle twin replays it term-for-term)
+DCT_SCALE = 1 << 14
+
+
+def _dct_basis_int() -> tuple:
+    """First 8 rows of the 32-point orthonormal DCT-II basis quantized to
+    14-bit fixed point (row 0 carries the sqrt(1/2) DC normalization).
+    SINGLE SOURCE for phash64 and its SQL oracle — both sides inline these
+    exact integers, so there is no transcendental to disagree on."""
+    import math
+
+    rows = []
+    for k in range(8):
+        row = []
+        for m in range(32):
+            v = math.cos(math.pi * (2 * m + 1) * k / 64) * math.sqrt(2.0 / 32)
+            if k == 0:
+                v *= math.sqrt(0.5)
+            row.append(round(v * DCT_SCALE))
+        rows.append(tuple(row))
+    return tuple(rows)
+
+
+DCT_BASIS_INT = _dct_basis_int()
+
+
 def phash64(img) -> int:
-    """Classic 64-bit perceptual hash through a REAL 2-D DCT: nearest-
+    """Classic 64-bit perceptual hash through an INTEGER 2-D DCT: nearest-
     neighbor resample to 32×32 greyscale (same index-mapping kernel as
-    resize_png), orthonormal DCT-II via explicit basis matmul (NumPy
-    float64 — deterministic), keep the 8×8 low-frequency block, set each
-    bit by comparison against the block's median with the DC term
-    excluded from the median (the standard pHash recipe: DC is overall
-    brightness and would swamp the threshold). Perceptually-close images
-    land at small Hamming distance; brightness/scale shifts mostly
-    cancel."""
+    resize_png), then dct = B @ small @ B.T with B the 8×32 fixed-point
+    DCT-II rows (DCT_BASIS_INT) — all int64, exact (|coef| ≤ 32·2¹²·32·
+    2¹²·255 ≈ 2⁴³), so the hash is bit-identical across platforms and
+    replayable by the DuckDB oracle. Keep the 8×8 low-frequency block,
+    set each bit by comparison against the block's median with the DC
+    term excluded from the median (the standard pHash recipe: DC is
+    overall brightness and would swamp the threshold; 63 values → the
+    median IS the 32nd-smallest element, an integer — no interpolation).
+    Perceptually-close images land at small Hamming distance; the basis
+    quantization (relative error ~1e-4) is far below any perceptual
+    threshold."""
     import numpy as np
 
-    arr = np.asarray(img, dtype=np.float64)
+    arr = np.asarray(img)
     if arr.ndim == 3:
-        arr = arr.mean(axis=2)
+        arr = arr.astype(np.int64).sum(axis=2) // 3  # integer greyscale
+    arr = arr.astype(np.int64)
     h, w = arr.shape
     ys = (np.arange(32) * h) // 32
     xs = (np.arange(32) * w) // 32
     small = arr[np.ix_(ys, xs)]
-    n = 32
-    k = np.arange(n).reshape(-1, 1)
-    m = np.arange(n).reshape(1, -1)
-    basis = np.cos(np.pi * (2 * m + 1) * k / (2 * n))
-    basis[0] *= np.sqrt(0.5)
-    basis *= np.sqrt(2.0 / n)
-    dct = basis @ small @ basis.T
-    block = dct[:8, :8].ravel()
-    med = np.median(block[1:])  # exclude DC
+    basis = np.asarray(DCT_BASIS_INT, dtype=np.int64)  # 8×32
+    block = (basis @ small @ basis.T).ravel().tolist()
+    med = sorted(block[1:])[31]  # exclude DC; exact integer median
     bits = 0
     for i, v in enumerate(block):
         if v > med:
@@ -802,24 +830,75 @@ def phash_near_dup_pairs(media: DataFrame, max_hamming: int = 10) -> DataFrame:
     )
 
 
+#: fixed-point scale for the DFT tables — same integer-transform
+#: determinism choice as DCT_SCALE (see phash64)
+DFT_SCALE = 1 << 14
+
+
+_DFT_TABLE_CACHE: dict = {}
+
+
+def dft_tables_int(n_fft: int):
+    """(cos, sin) DFT tables for bins 0..n_fft/2, quantized to 14-bit
+    fixed point. SINGLE SOURCE for spectral_peaks and its SQL oracle —
+    both sides use these exact integers. Cached per n_fft (the tables
+    would be rebuilt per mapInPandas row otherwise)."""
+    import math
+
+    if n_fft not in _DFT_TABLE_CACHE:
+        nb = n_fft // 2 + 1
+        cos_t = tuple(
+            tuple(
+                round(math.cos(2 * math.pi * j * i / n_fft) * DFT_SCALE)
+                for i in range(n_fft)
+            )
+            for j in range(nb)
+        )
+        sin_t = tuple(
+            tuple(
+                round(math.sin(2 * math.pi * j * i / n_fft) * DFT_SCALE)
+                for i in range(n_fft)
+            )
+            for j in range(nb)
+        )
+        _DFT_TABLE_CACHE[n_fft] = (cos_t, sin_t)
+    return _DFT_TABLE_CACHE[n_fft]
+
+
 def spectral_peaks(samples, n_fft: int = 256, hop: int = 128):
     """REAL spectral analysis: frame the signal (length n_fft, stride
-    hop, tail dropped), rFFT each frame (NumPy float64 — deterministic),
-    return the per-frame dominant frequency bin with DC excluded. The
-    constellation-of-peaks primitive audio fingerprinting (Shazam-style)
-    builds on; a pure tone at frequency f lands every frame's peak at
+    hop, tail dropped), INTEGER DFT each frame (fixed-point tables,
+    dft_tables_int; re/im are exact int64 — |re| ≤ 256·32767·2¹⁴ ≈ 2⁴⁷;
+    magnitudes squared in arbitrary-precision Python ints since re²+im²
+    exceeds int64), return the per-frame dominant frequency bin with DC
+    excluded, ties to the LOWEST bin. Bit-identical on every platform
+    and replayable by the DuckDB oracle. The constellation-of-peaks
+    primitive audio fingerprinting (Shazam-style) builds on; a pure tone
+    at frequency f lands every frame's peak at
     round(f * n_fft / sample_rate)."""
     import numpy as np
 
-    x = np.asarray(samples, dtype=np.float64)
+    x = np.asarray(samples, dtype=np.int64)
     n_frames = max(0, (len(x) - n_fft) // hop + 1)
     if n_frames == 0:
         return np.zeros(0, dtype=np.int64)
+    cos_t, sin_t = dft_tables_int(n_fft)
+    ct = np.asarray(cos_t, dtype=np.int64)
+    st = np.asarray(sin_t, dtype=np.int64)
     idx = np.arange(n_fft)[None, :] + hop * np.arange(n_frames)[:, None]
     frames = x[idx]
-    mags = np.abs(np.fft.rfft(frames, axis=1))
-    mags[:, 0] = 0.0  # exclude DC
-    return mags.argmax(axis=1).astype(np.int64)
+    re = frames @ ct.T
+    im = frames @ st.T
+    out = []
+    for f in range(n_frames):
+        rr, ii = re[f].tolist(), im[f].tolist()
+        best, bj = -1, 0
+        for j in range(1, len(rr)):  # exclude DC
+            m = rr[j] * rr[j] + ii[j] * ii[j]
+            if m > best:
+                best, bj = m, j
+        out.append(bj)
+    return np.asarray(out, dtype=np.int64)
 
 
 def wav_spectral_fingerprint(

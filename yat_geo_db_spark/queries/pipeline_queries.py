@@ -3093,29 +3093,35 @@ FROM s
 
 
 def q_mm_phash(spark, sf_dir):
-    """Perceptual image hashes through the real PNG decode + 2-D DCT —
-    the image near-dup primitive. Rows-only (no SQL DCT exists); the
-    perceptual properties (identity, locality under perturbation,
-    separation, brightness invariance) and driver==executor value
-    equality are pinned in tests/test_multimodal.py."""
+    """Perceptual image hashes through the real PNG decode + the INTEGER
+    2-D DCT (multimodal.phash64, 14-bit fixed-point basis — bit-exact on
+    every platform, so the DuckDB oracle replays decode→resample→DCT→
+    median-threshold term-for-term from the text). The perceptual
+    properties (identity, locality under perturbation, separation) stay
+    pinned in tests/test_multimodal.py."""
     media = multimodal.synthesize_png(load_table(spark, sf_dir, "documents"))
     return multimodal.png_phash(media)
 
 
 def q_mm_audio_fingerprint(spark, sf_dir):
-    """Spectral audio fingerprints through the real WAV codec + FFT —
-    per-frame peak-bin sequence digested in order. Rows-only (no SQL
-    FFT); the physics golden (pure tones land at round(f*n_fft/sr)) and
-    order sensitivity are pinned in tests/test_multimodal.py."""
+    """Spectral audio fingerprints through the real WAV codec + the
+    INTEGER DFT (multimodal.spectral_peaks, fixed-point tables, exact
+    integer magnitudes — oracle-replayable). n_fft=64/hop=32 so the
+    ~300-char synthetic clips yield ~8 frames each and fp_digest folds a
+    real peak SEQUENCE (the defaults' 256-sample frames leave one frame
+    per clip); the physics golden (pure tones land at
+    round(f*n_fft/sr)) and order sensitivity stay pinned in
+    tests/test_multimodal.py."""
     media = multimodal.synthesize_wav(load_table(spark, sf_dir, "documents"))
-    return multimodal.wav_spectral_fingerprint(media)
+    return multimodal.wav_spectral_fingerprint(media, n_fft=64, hop=32)
 
 
 def q_mm_phash_pairs(spark, sf_dir):
     """Image near-dup pairs via pHash + the width-agnostic pigeonhole
     segment blocking (lossless for the Hamming band — asserted vs brute
-    force in test_multimodal). Rows-only (no SQL DCT). The synthetic
-    text-derived PNGs of near-identical docs land within the band."""
+    force in test_multimodal). The oracle recomputes the integer-DCT
+    hashes from the text and brute-forces every pair — so the blocking's
+    losslessness is hash-checked on real data, not just the fixture."""
     media = multimodal.synthesize_png(load_table(spark, sf_dir, "documents"))
     return multimodal.phash_near_dup_pairs(media, max_hamming=10)
 
@@ -3123,8 +3129,9 @@ def q_mm_phash_pairs(spark, sf_dir):
 def q_mm_dedup_keep(spark, sf_dir):
     """End-to-end image dedup (multimodal.image_dedup_keep): pHash
     pairs → connected components → min-id canonical keep, the
-    multimodal twin of the text dedup chain. Rows-only (no SQL DCT);
-    the component losslessness and keep rule are pytest-pinned."""
+    multimodal twin of the text dedup chain. Oracle: integer-DCT hashes
+    from text → brute-force pairs → recursive reachability closure
+    (the pipe_dedup_canonical precedent) → same keep rule."""
     media = multimodal.synthesize_png(load_table(spark, sf_dir, "documents"))
     return (
         multimodal.image_dedup_keep(media)
@@ -3135,14 +3142,283 @@ def q_mm_dedup_keep(spark, sf_dir):
 
 def q_mm_cdc_dedup(spark, sf_dir):
     """Content-defined chunking dedup readout (multimodal.
-    cdc_chunk_payloads → cdc_dedup_report) over the synthetic PNG
-    payloads: per shared chunk digest, reference count and bytes a
-    content-addressed store saves. Rows-only: the Gear rolling-hash
-    boundary scan is not SQL-expressible; tiling/edit-stability/dedup
-    accounting are pytest-pinned."""
-    media = multimodal.synthesize_png(load_table(spark, sf_dir, "documents"))
-    chunks = multimodal.cdc_chunk_payloads(media)
+    cdc_chunk_payloads → cdc_dedup_report) over the raw-text payloads of
+    synthesize_media (PNG payloads are zlib streams — not re-derivable
+    in SQL; the raw payloads keep every chunk digest oracle-checkable
+    with DuckDB's md5). avg_bits=6 so ~300-byte docs split into several
+    content-defined chunks and shared regions across near-dup docs
+    actually dedup. The oracle replays the Gear scan exactly: at every
+    eligible boundary position (size ≥ min_size=64) the rolling hash
+    equals the 64-byte-window hash, so boundaries are derivable from
+    position-local window hashes + the min/max-size jump rule."""
+    media = multimodal.synthesize_media(load_table(spark, sf_dir, "documents"))
+    chunks = multimodal.cdc_chunk_payloads(
+        media, min_size=64, avg_bits=6, max_size=4096
+    )
     return multimodal.cdc_dedup_report(chunks).orderBy("digest")
+
+
+def _mm_phash_ctes() -> str:
+    """Shared oracle CTE chain ending in ph(doc_id, phash): re-derive the
+    integer-DCT pHash from the text (pixels ARE the text's byte codes,
+    synthesize_png) — resample to 32×32, dct = B·S·Bᵀ via exact integer
+    dot products (every value < 2⁵³, so DuckDB's double-based
+    list_dot_product is exact), median-threshold, two's-complement into
+    the signed 64-bit column. The basis integers are inlined from
+    multimodal.DCT_BASIS_INT — the same constants the executors use."""
+    bb = (
+        "["
+        + ",".join(
+            "[" + ",".join(str(v) for v in row) + "]"
+            for row in multimodal.DCT_BASIS_INT
+        )
+        + "]"
+    )
+    return f"""
+b AS (SELECT {bb} AS bb),
+s AS (
+  SELECT doc_id,
+         list_transform(range(1, length(text) + 1),
+           i -> CAST(ascii(substr(text, CAST(i AS INT), 1)) AS BIGINT))
+           AS codes,
+         GREATEST(1, CAST(ceil(length(text) / 16.0) AS INT)) AS h
+  FROM documents
+),
+sm AS (
+  SELECT doc_id,
+    list_transform(range(0, 32), r ->
+      list_transform(range(0, 32), c ->
+        coalesce(codes[CAST(((r*h)//32)*16 + ((c*16)//32) + 1 AS INT)],
+                 CAST(0 AS BIGINT)))) AS small
+  FROM s
+),
+tc AS (
+  SELECT doc_id,
+    list_transform(range(0, 8), l ->
+      list_transform(range(0, 32), m ->
+        list_dot_product(small[CAST(m+1 AS INT)],
+                         bb[CAST(l+1 AS INT)]))) AS tcols
+  FROM sm CROSS JOIN b
+),
+d AS (
+  SELECT doc_id,
+    flatten(list_transform(range(0, 8), k ->
+      list_transform(range(0, 8), l ->
+        CAST(list_dot_product(
+          list_transform(bb[CAST(k+1 AS INT)], v -> CAST(v AS DOUBLE)),
+          tcols[CAST(l+1 AS INT)]) AS BIGINT)))) AS block
+  FROM tc CROSS JOIN b
+),
+md AS (SELECT doc_id, block, list_sort(block[2:])[32] AS med FROM d),
+ph AS (
+  SELECT doc_id,
+    CAST(
+      list_reduce(list_prepend(CAST(0 AS HUGEINT),
+        list_transform(range(0, 64), i ->
+          CASE WHEN block[CAST(64 - i AS INT)] > med
+               THEN CAST(1 AS HUGEINT) ELSE CAST(0 AS HUGEINT) END)),
+        (a, x) -> a * 2 + x)
+      - CASE WHEN block[64] > med
+             THEN CAST('18446744073709551616' AS HUGEINT) ELSE 0 END
+    AS BIGINT) AS phash
+  FROM md
+)"""
+
+
+def _mm_phash_sql() -> str:
+    return f"WITH {_mm_phash_ctes()}\nSELECT doc_id, phash FROM ph"
+
+
+def _mm_phash_pairs_sql(max_hamming: int = 10) -> str:
+    #: brute force over all pairs — the oracle-scale check that the
+    #: pigeonhole segment blocking is lossless for the Hamming band
+    return f"""WITH {_mm_phash_ctes()}
+SELECT a.doc_id AS id1, b.doc_id AS id2,
+       CAST(bit_count(xor(a.phash, b.phash)) AS INT) AS hamming
+FROM ph a JOIN ph b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.phash, b.phash)) <= {max_hamming}"""
+
+
+def _mm_dedup_keep_sql(max_hamming: int = 10) -> str:
+    #: pairs → symmetric edges → recursive reachability closure →
+    #: min-reachable-id component (the pipe_dedup_canonical precedent)
+    #: → min-id keep + component size, plus untouched singletons
+    return f"""WITH RECURSIVE {_mm_phash_ctes()},
+jp AS (
+  SELECT a.doc_id AS id1, b.doc_id AS id2
+  FROM ph a JOIN ph b ON a.doc_id < b.doc_id
+  WHERE bit_count(xor(a.phash, b.phash)) <= {max_hamming}
+),
+edges AS (
+  SELECT id1 AS s, id2 AS d FROM jp
+  UNION
+  SELECT id2, id1 FROM jp
+),
+reach(n, r) AS (
+  SELECT s, s FROM (SELECT DISTINCT s FROM edges)
+  UNION
+  SELECT e.d, reach.r FROM edges e JOIN reach ON e.s = reach.n
+),
+comp AS (SELECT n, min(r) AS component FROM reach GROUP BY n),
+kept AS (
+  SELECT min(n) AS doc_id, component,
+         CAST(count(*) AS BIGINT) AS cluster_size
+  FROM comp GROUP BY component
+)
+SELECT doc_id, component, cluster_size FROM kept
+UNION ALL
+SELECT doc_id, doc_id AS component, CAST(1 AS BIGINT) AS cluster_size
+FROM documents WHERE doc_id NOT IN (SELECT n FROM comp)"""
+
+
+def _mm_audio_fp_sql(n_fft: int = 64, hop: int = 32) -> str:
+    """Replay the integer DFT: samples are the text's code points mod
+    2^15 (synthesize_wav), re/im via exact dot products against the SAME
+    fixed-point tables the executors use (multimodal.dft_tables_int),
+    magnitudes squared in HUGEINT, argmax with first-max (= lowest bin)
+    ties, FNV fold of the peak sequence."""
+    from yat_geo_db_spark.pipelines.text import FNV_BASE, FNV_MOD
+
+    nb = n_fft // 2 + 1
+    cos_t, sin_t = multimodal.dft_tables_int(n_fft)
+    cl = "[" + ",".join("[" + ",".join(map(str, r)) + "]" for r in cos_t) + "]"
+    sl = "[" + ",".join("[" + ",".join(map(str, r)) + "]" for r in sin_t) + "]"
+    return f"""
+WITH tabs AS (SELECT {cl} AS ct, {sl} AS st),
+s AS (
+  SELECT doc_id,
+         list_transform(range(1, length(text) + 1),
+           i -> CAST(ascii(substr(text, CAST(i AS INT), 1)) % 32768
+                AS BIGINT)) AS x,
+         length(text) AS n
+  FROM documents
+),
+f AS (
+  SELECT doc_id,
+    CASE WHEN n >= {n_fft} THEN (n - {n_fft}) // {hop} + 1 ELSE 0 END AS nf,
+    x FROM s
+),
+re_im AS (
+  SELECT doc_id, nf,
+    list_transform(range(0, nf), fr ->
+      list_transform(range(1, {nb}), j ->
+        CAST(list_dot_product(
+          x[CAST(fr*{hop}+1 AS INT):CAST(fr*{hop}+{n_fft} AS INT)],
+          ct[CAST(j+1 AS INT)]) AS BIGINT))) AS res,
+    list_transform(range(0, nf), fr ->
+      list_transform(range(1, {nb}), j ->
+        CAST(list_dot_product(
+          x[CAST(fr*{hop}+1 AS INT):CAST(fr*{hop}+{n_fft} AS INT)],
+          st[CAST(j+1 AS INT)]) AS BIGINT))) AS ims
+  FROM f CROSS JOIN tabs
+),
+mg AS (
+  SELECT doc_id, nf,
+    list_transform(range(0, nf), fr ->
+      list_transform(range(1, {nb}), j ->
+        CAST(res[CAST(fr+1 AS INT)][CAST(j AS INT)] AS HUGEINT)
+          * res[CAST(fr+1 AS INT)][CAST(j AS INT)]
+        + CAST(ims[CAST(fr+1 AS INT)][CAST(j AS INT)] AS HUGEINT)
+          * ims[CAST(fr+1 AS INT)][CAST(j AS INT)])) AS mags
+  FROM re_im
+),
+pk AS (
+  SELECT doc_id, nf,
+    list_transform(mags, m -> list_position(m, list_max(m))) AS peaks
+  FROM mg
+)
+SELECT doc_id, CAST(nf AS INT) AS n_frames,
+  CAST(CASE WHEN nf = 0 THEN -1 ELSE (
+    SELECT p FROM (SELECT unnest(peaks) AS p) t
+    GROUP BY p ORDER BY count(*) DESC, p LIMIT 1) END AS INT)
+    AS dominant_bin,
+  list_reduce(list_prepend(CAST(0 AS BIGINT), peaks),
+    (a, p) -> (a * {FNV_BASE} + p) % {FNV_MOD}) AS fp_digest
+FROM pk"""
+
+
+def _mm_cdc_dedup_sql(
+    min_size: int = 64, avg_bits: int = 6, max_size: int = 4096
+) -> str:
+    """Replay the Gear CDC scan (multimodal.cdc_chunk_bytes): the rolling
+    hash h = (h<<1 + GEAR[b]) mod 2^64 depends on at most the last 64
+    bytes (older terms carry a 2^64 factor), and the min_size=64 rule
+    means every ELIGIBLE boundary position has its full 64-byte window
+    inside the current chunk — so h there equals the position-local
+    window hash. Window hashes are computed vectorized (explode byte
+    positions × 64 shifts, join a per-(shift, byte) term table split
+    into 32-bit hi/lo BIGINT limbs, group-by position), then the
+    boundary chain is the candidate-jump recursion with the max_size
+    clamp. Digests are DuckDB md5 over the same substrings."""
+    assert min_size == 64, "window-local equivalence needs min_size = 64"
+    gear = "[" + ",".join(f"CAST('{g}' AS HUGEINT)" for g in multimodal.GEAR) + "]"
+    hi_thr = 1 << (32 - avg_bits)
+    return f"""
+WITH RECURSIVE
+s AS (
+  SELECT doc_id, text, length(text) AS n,
+         list_transform(range(1, length(text) + 1),
+           i -> CAST(ascii(substr(text, CAST(i AS INT), 1)) AS INT)) AS b
+  FROM documents
+),
+gt AS (
+  SELECT k.k, v.v,
+    CAST(((g.gear[v.v + 1] % (CAST(1 AS HUGEINT) << (64 - k.k)))
+          << k.k) >> 32 AS BIGINT) AS hi,
+    CAST(((g.gear[v.v + 1] % (CAST(1 AS HUGEINT) << (64 - k.k)))
+          << k.k) % 4294967296 AS BIGINT) AS lo
+  FROM (SELECT unnest(range(0, 64)) AS k) k
+  CROSS JOIN (SELECT unnest(range(0, 256)) AS v) v
+  CROSS JOIN (SELECT {gear} AS gear) g
+),
+by_pos AS (
+  SELECT doc_id, n, unnest(range(0, n)) AS j, unnest(b) AS byte FROM s
+),
+w AS (
+  SELECT t.doc_id, t.i, sum(gt.lo) AS slo, sum(gt.hi) AS shi
+  FROM (
+    SELECT doc_id, n, j + k.k AS i, k.k AS k, byte
+    FROM by_pos CROSS JOIN (SELECT unnest(range(0, 64)) AS k) k
+    WHERE j + k.k < n AND j + k.k >= 63
+  ) t JOIN gt ON t.k = gt.k AND t.byte = gt.v
+  GROUP BY t.doc_id, t.i
+),
+cand AS (
+  SELECT s.doc_id, s.n, s.text, coalesce(cl.cands, []) AS cands
+  FROM s LEFT JOIN (
+    SELECT doc_id, list_sort(list(i)) AS cands
+    FROM w
+    WHERE ((shi + slo // 4294967296) % 4294967296) < {hi_thr}
+    GROUP BY doc_id
+  ) cl ON s.doc_id = cl.doc_id
+),
+bounds(doc_id, s, e) AS (
+  SELECT doc_id, CAST(0 AS BIGINT),
+    CAST(coalesce(
+      list_min(list_filter(cands, i -> i BETWEEN 63 AND {max_size - 1})),
+      CASE WHEN {max_size} <= n THEN {max_size - 1} ELSE n - 1 END)
+      AS BIGINT)
+  FROM cand WHERE n > 0
+  UNION ALL
+  SELECT c.doc_id, b.e + 1,
+    CAST(coalesce(
+      list_min(list_filter(c.cands,
+        i -> i BETWEEN b.e + 1 + 63 AND b.e + {max_size})),
+      CASE WHEN b.e + 1 + {max_size} <= c.n THEN b.e + {max_size}
+           ELSE c.n - 1 END) AS BIGINT)
+  FROM bounds b JOIN cand c ON b.doc_id = c.doc_id
+  WHERE b.e + 1 < c.n
+),
+chunks AS (
+  SELECT b.doc_id, b.e - b.s + 1 AS length,
+         md5(substr(c.text, CAST(b.s + 1 AS INT),
+                    CAST(b.e - b.s + 1 AS INT))) AS digest
+  FROM bounds b JOIN cand c ON b.doc_id = c.doc_id
+)
+SELECT digest, CAST(first(length) AS INT) AS length,
+       count(*) AS n_refs,
+       (count(*) - 1) * CAST(first(length) AS BIGINT) AS bytes_saved
+FROM chunks GROUP BY digest HAVING count(*) > 1"""
 
 
 def q_mm_png_decode(spark, sf_dir):
@@ -5432,11 +5708,13 @@ QUERIES: dict = {
     "pipe_mm_features": (q_mm_features, _MM_FEATURES_SQL),
     "pipe_mm_frame_sample": (q_mm_frame_sample, _MM_FRAME_SAMPLE_SQL),
     "pipe_mm_resize": (q_mm_resize, _MM_RESIZE_SQL),
-    "pipe_mm_phash": (q_mm_phash, None),
-    "pipe_mm_phash_pairs": (q_mm_phash_pairs, None),
-    "pipe_mm_dedup_keep": (q_mm_dedup_keep, None),
-    "pipe_mm_cdc_dedup": (q_mm_cdc_dedup, None),
-    "pipe_mm_audio_fingerprint": (q_mm_audio_fingerprint, None),
+    "pipe_mm_phash": (q_mm_phash, _mm_phash_sql()),
+    "pipe_mm_phash_pairs": (q_mm_phash_pairs, _mm_phash_pairs_sql()),
+    "pipe_mm_dedup_keep": (q_mm_dedup_keep, _mm_dedup_keep_sql()),
+    "pipe_mm_cdc_dedup": (q_mm_cdc_dedup, _mm_cdc_dedup_sql()),
+    "pipe_mm_audio_fingerprint": (
+        q_mm_audio_fingerprint, _mm_audio_fp_sql(),
+    ),
     "pipe_mm_audio_energy": (q_mm_audio_energy, _MM_AUDIO_SQL),
     "pipe_mm_wav_decode": (q_mm_wav_decode, _MM_WAV_SQL),
     "pipe_mm_png_decode": (q_mm_png_decode, _MM_PNG_SQL),
