@@ -636,3 +636,15 @@ def test_dau_mau_no_range_self_join(spark):
     plan = _plan(dau_mau_stickiness(events))
     assert "NestedLoop" not in plan and "CartesianProduct" not in plan, plan
     assert "Generate explode" in plan, plan
+    # the explode's DIRECT child must be the distinct (day, user)
+    # aggregate — spreading raw events would be O(events × window)
+    # instead of O(daily-distinct pairs × window); a refactor that
+    # detaches the .distinct() must fail here, not in a 100 TB run
+    lines = plan.splitlines()
+    gen_idx = next(
+        i for i, ln in enumerate(lines) if "Generate explode" in ln
+    )
+    child = lines[gen_idx + 1]
+    assert "HashAggregate" in child, plan
+    assert "functions=[]" in child, plan  # a DISTINCT, not some other agg
+    assert "day" in child and "u#" in child, plan

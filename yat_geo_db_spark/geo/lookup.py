@@ -90,6 +90,24 @@ def shape_local_time(shapes: DataFrame) -> DataFrame:
     )
 
 
+def shape_local_time_asof(shapes: DataFrame, as_of_utc: str) -> DataFrame:
+    """P10 twin with a PINNED UTC instant: the same tz ladder as
+    shape_local_time (get_shape_time_by_ref_code, geo_manager.py:151-158)
+    evaluated at a fixed time instead of now() — deterministic, so the
+    IANA-tz conversion itself is value-checked against DuckDB's ICU
+    `timezone()`; the wall-clock variant stays rows-only by nature."""
+    return shapes.select(
+        "reference_code",
+        "primary_timezone",
+        F.from_utc_timestamp(
+            # session tz is pinned UTC (apply_runtime_conf), so this
+            # literal parses as the intended UTC instant
+            F.to_timestamp(F.lit(as_of_utc)),
+            F.coalesce(F.col("primary_timezone"), F.lit("UTC")),
+        ).alias("local_time"),
+    )
+
+
 def num_shapes(shapes: DataFrame) -> int:
     """S6 (geo_manager.py:667-669)."""
     return shapes.count()

@@ -246,6 +246,40 @@ def q_local_time(spark, sf_dir):
     return lookup.shape_local_time(_shapes(spark, sf_dir)).filter(F.col("id") < 50)
 
 
+#: pinned UTC instants for the deterministic local-time twin — one under
+#: northern DST, one under standard time, so both offsets of every
+#: fixture zone are value-checked
+AS_OF_SUMMER = "2026-07-01 12:00:00"
+AS_OF_WINTER = "2026-01-15 12:00:00"
+
+
+def q_local_time_asof(spark, sf_dir):
+    """P10 deterministic twin: the tz conversion at two pinned instants
+    (DST + standard), hash-checked against DuckDB's ICU timezone()."""
+    shapes = _shapes(spark, sf_dir).filter(F.col("id") < 200)
+    s = lookup.shape_local_time_asof(shapes, AS_OF_SUMMER).withColumn(
+        "as_of", F.lit("summer")
+    )
+    w = lookup.shape_local_time_asof(shapes, AS_OF_WINTER).withColumn(
+        "as_of", F.lit("winter")
+    )
+    return s.unionByName(w)
+
+
+def _local_time_asof_sql() -> str:
+    return f"""WITH {SHAPES_CTE},
+base AS (SELECT reference_code, primary_timezone FROM shapes WHERE id < 200),
+inst AS (
+  SELECT 'summer' AS as_of, TIMESTAMPTZ '{AS_OF_SUMMER}+00' AS t
+  UNION ALL
+  SELECT 'winter' AS as_of, TIMESTAMPTZ '{AS_OF_WINTER}+00' AS t
+)
+SELECT reference_code, primary_timezone,
+       timezone(coalesce(primary_timezone, 'UTC'), t) AS local_time,
+       as_of
+FROM base CROSS JOIN inst"""
+
+
 def q_num_shapes(spark, sf_dir):
     """S6: corpus cardinality."""
     shapes = _shapes(spark, sf_dir)
@@ -614,6 +648,7 @@ QUERIES: dict = {
         f"WITH {SHAPES_CTE} SELECT reference_code, geo_type FROM shapes WHERE id < 100",
     ),
     "geo_local_time": (q_local_time, None),  # wall-clock ⇒ rows-only
+    "geo_local_time_asof": (q_local_time_asof, _local_time_asof_sql()),
     "geo_num_shapes": (
         q_num_shapes,
         f"WITH {SHAPES_CTE} SELECT count(*) AS n_shapes FROM shapes",
