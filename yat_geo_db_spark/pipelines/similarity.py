@@ -1458,6 +1458,136 @@ def pca_fit(
     return mean, comps, evals_top / total_var
 
 
+def pca_power_fit(
+    embeddings: DataFrame,
+    n_components: int = 2,
+    n_iter: int = 16,
+    vec_col: str = "embedding",
+    quant: int = 1_000_000,
+):
+    """ENGINE-REPLAYABLE PCA twin of pca_fit: fixed-count power iteration
+    with deflation over a QUANTIZED Gram matrix. Returns
+    ``(mean, comps)`` as plain Python lists.
+
+    Why this exists next to pca_fit: `eigh` is not replayable by any SQL
+    engine, so pipe_emb_pca is rows-only. This variant is bit-exact
+    cross-engine by construction —
+    - the distributed pass accumulates INTEGER sufficient statistics
+      (per-element floor(x_i*x_j*quant + 0.5), summed in int64), so the
+      Gram is independent of partitioning and row order;
+    - everything after the collect is pure sequential Python float64
+      (ascending-index folds, IEEE division/sqrt — both exactly
+      rounded), which DuckDB's list_reduce replays operation-for-
+      operation — no tolerance, no rounding tricks needed.
+    Same O(partitions · d²) collect shape as pca_fit; the iteration is
+    O(n_iter · d²) driver work on a d×d matrix. The iterate after
+    `n_iter` rounds IS the defined result (no convergence test), so the
+    oracle checks the computation, not an eigen-gap."""
+    import numpy as np
+    import pandas as pd
+
+    def _partials(batches):
+        n = 0
+        s = None
+        g = None
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+            n += x.shape[0]
+            sq = np.floor(x * float(quant) + 0.5).astype(np.int64).sum(0)
+            s = sq if s is None else s + sq
+            p = x[:, :, None] * x[:, None, :]
+            gq = np.floor(p * float(quant) + 0.5).astype(np.int64).sum(0)
+            g = gq if g is None else g + gq
+        if n:
+            yield pd.DataFrame(
+                {"n": [n], "s": [s.tolist()], "g": [g.ravel().tolist()]}
+            )
+
+    parts = (
+        embeddings.select(vec_col)
+        .mapInPandas(_partials, "n long, s array<long>, g array<long>")
+        .collect()
+    )
+    n = sum(r["n"] for r in parts)
+    if n < 2:
+        raise ValueError("pca_power_fit needs at least 2 vectors")
+    d = len(parts[0]["s"])
+    s_int = [sum(r["s"][i] for r in parts) for i in range(d)]
+    g_int = [
+        [sum(r["g"][i * d + j] for r in parts) for j in range(d)]
+        for i in range(d)
+    ]
+    q = float(quant)
+    mu = [(s_int[i] / q) / n for i in range(d)]
+    cov = [
+        [(g_int[i][j] / q - n * mu[i] * mu[j]) / (n - 1.0) for j in range(d)]
+        for i in range(d)
+    ]
+
+    def _matvec(c, v):
+        out = []
+        for i in range(d):
+            acc = 0.0
+            for j in range(d):
+                acc = acc + c[i][j] * v[j]
+            out.append(acc)
+        return out
+
+    import math
+
+    comps = []
+    for _r in range(n_components):
+        v = [1.0 / math.sqrt(d)] * d
+        for _t in range(n_iter):
+            w = _matvec(cov, v)
+            acc = 0.0
+            for i in range(d):
+                acc = acc + w[i] * w[i]
+            nrm = math.sqrt(acc)
+            v = [w[i] / nrm for i in range(d)]
+        # sign pin: largest-|coordinate| entry positive (first max wins)
+        av = [abs(x) for x in v]
+        if v[av.index(max(av))] < 0:
+            v = [-x for x in v]
+        w = _matvec(cov, v)
+        lam = 0.0
+        for i in range(d):
+            lam = lam + v[i] * w[i]
+        cov = [
+            [cov[i][j] - lam * v[i] * v[j] for j in range(d)]
+            for i in range(d)
+        ]
+        comps.append(v)
+    return mu, comps
+
+
+def pca_power_project(
+    embeddings: DataFrame,
+    mean,
+    components,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Project onto pca_power_fit axes with SEQUENTIAL JVM folds
+    (zip_with + aggregate) instead of a NumPy matmul: the fold order is
+    ascending-index, exactly what the SQL oracle's list_reduce does, so
+    the projections are bit-identical cross-engine (numpy's pairwise
+    dot-product summation would differ at ~1e-16 and could straddle a
+    rounding boundary). One scan, no shuffle, whole-stage codegen."""
+    x = F.col(vec_col).cast("array<double>")
+    cols = [F.col(id_col)]
+    mu_arr = F.array(*[F.lit(float(m)) for m in mean])
+    centered = F.zip_with(x, mu_arr, lambda a, b: a - b)
+    for k, comp in enumerate(components):
+        c_arr = F.array(*[F.lit(float(c)) for c in comp])
+        terms = F.zip_with(centered, c_arr, lambda a, b: a * b)
+        proj = F.aggregate(terms, F.lit(0.0), lambda acc, t: acc + t)
+        cols.append(F.round(proj, 6).alias(f"proj{k + 1}"))
+    return embeddings.select(*cols)
+
+
 def pca_project(
     embeddings: DataFrame,
     mean,

@@ -1260,6 +1260,153 @@ def q_emb_pca(spark, sf_dir):
     )
 
 
+def q_emb_pca_power(spark, sf_dir):
+    """ENGINE-REPLAYABLE PCA (similarity.pca_power_fit + _project): a
+    fixed-count power iteration with deflation over the integer-
+    quantized Gram — every float op after the integer sufficient
+    statistics is a sequential ascending-index fold (or an IEEE
+    exactly-rounded sqrt/divide), so the DuckDB oracle replays the
+    whole fit AND the projection bit-for-bit. This is the value-checked
+    twin of pipe_emb_pca (eigh-based, rows-only: no SQL eigensolve);
+    both share the one-collect O(partitions·d²) distributed shape."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    mean, comps = similarity.pca_power_fit(emb, n_components=2, n_iter=16)
+    return similarity.pca_power_project(emb, mean, comps)
+
+
+def _emb_pca_power_sql(d: int = 64, n_iter: int = 16, r: int = 2) -> str:
+    """Replay pca_power_fit + pca_power_project: integer Gram/mean sums
+    (floor(x·quant + 0.5), partitioning-free), covariance in the exact
+    expression order the driver uses, power iteration as a recursive CTE
+    whose matvec/norm are ascending list_reduce folds (= the driver's
+    ascending loops), first-max sign pin, scalar-λ deflation, and a
+    final per-row centered-dot projection matching Spark's
+    zip_with + aggregate fold."""
+    import math
+
+    v0 = repr(1.0 / math.sqrt(d))
+
+    def matvec(c, v):
+        return (
+            f"list_transform(range({d}), mvi -> "
+            f"list_reduce(list_prepend(0.0, list_transform(range({d}), "
+            f"mvj -> {c}[CAST(mvi+1 AS INT)][CAST(mvj+1 AS INT)]"
+            f" * {v}[CAST(mvj+1 AS INT)])), (mva, mvz) -> mva + mvz))"
+        )
+
+    def sumsq(w):
+        return (
+            f"list_reduce(list_prepend(0.0, "
+            f"list_transform({w}, squ -> squ * squ)), "
+            f"(sqa, sqz) -> sqa + sqz)"
+        )
+
+    def vdot(a, b):
+        return (
+            f"list_reduce(list_prepend(0.0, list_transform(range({d}), "
+            f"vdi -> {a}[CAST(vdi+1 AS INT)] * {b}[CAST(vdi+1 AS INT)])), "
+            f"(vda, vdz) -> vda + vdz)"
+        )
+
+    ctes = [
+        "e AS (SELECT vec_id, list_transform(embedding, "
+        "fv -> CAST(fv AS DOUBLE)) AS x FROM embeddings)",
+        "nn AS (SELECT count(*) AS n FROM e)",
+        f"""sums AS (
+  SELECT ii.i AS i, jj.j AS j,
+         sum(CAST(floor(x[CAST(ii.i+1 AS INT)] * x[CAST(jj.j+1 AS INT)]
+                        * 1000000.0 + 0.5) AS BIGINT)) AS g
+  FROM e
+  CROSS JOIN (SELECT unnest(range({d})) AS i) ii
+  CROSS JOIN (SELECT unnest(range({d})) AS j) jj
+  GROUP BY ii.i, jj.j
+)""",
+        f"""svec AS (
+  SELECT ii.i AS i,
+         sum(CAST(floor(x[CAST(ii.i+1 AS INT)] * 1000000.0 + 0.5)
+             AS BIGINT)) AS s
+  FROM e CROSS JOIN (SELECT unnest(range({d})) AS i) ii
+  GROUP BY ii.i
+)""",
+        "mus AS MATERIALIZED (SELECT list((s / 1000000.0) / (SELECT n FROM nn)"
+        " ORDER BY i) AS mu FROM svec)",
+        "grows AS (SELECT i, list(g ORDER BY j) AS row FROM sums"
+        " GROUP BY i)",
+        "gmat AS MATERIALIZED (SELECT list(row ORDER BY i) AS gm FROM grows)",
+        f"""cov0 AS MATERIALIZED (
+  SELECT list_transform(range({d}), ci -> list_transform(range({d}),
+    cj -> (gm[CAST(ci+1 AS INT)][CAST(cj+1 AS INT)] / 1000000.0
+           - n * mu[CAST(ci+1 AS INT)] * mu[CAST(cj+1 AS INT)])
+          / (n - 1.0))) AS c
+  FROM gmat CROSS JOIN mus CROSS JOIN nn
+)""",
+    ]
+    prev_cov = "cov0"
+    comp_names = []
+    for k in range(1, r + 1):
+        # materialize w, then the norm, in nested subqueries — inlining
+        # the matvec inside the normalize lambda would re-evaluate it
+        # per ELEMENT (O(d³) interpreted-lambda calls per step)
+        ctes.append(
+            f"""p{k}(t, v) AS (
+  SELECT 0 AS t, list_transform(range({d}),
+                                zi -> CAST({v0} AS DOUBLE)) AS v
+  UNION ALL
+  SELECT t + 1, list_transform(w, nwi -> nwi / nrm)
+  FROM (
+    SELECT t, w, sqrt({sumsq('w')}) AS nrm
+    FROM (
+      SELECT t, {matvec('c', 'v')} AS w
+      FROM p{k} CROSS JOIN {prev_cov} WHERE t < {n_iter}
+    )
+  )
+)"""
+        )
+        ctes.append(
+            f"""v{k}s AS MATERIALIZED (
+  SELECT CASE WHEN v[list_position(av, list_max(av))] < 0
+              THEN list_transform(v, ng -> -ng) ELSE v END AS v
+  FROM (SELECT v, list_transform(v, ab -> abs(ab)) AS av
+        FROM p{k} WHERE t = {n_iter})
+)"""
+        )
+        comp_names.append(f"v{k}s")
+        if k < r:
+            ctes.append(
+                f"w{k} AS MATERIALIZED (SELECT {matvec('c', 'v')} AS w"
+                f" FROM {prev_cov} CROSS JOIN v{k}s)"
+            )
+            ctes.append(
+                f"l{k} AS MATERIALIZED (SELECT {vdot('v', 'w')} AS lam"
+                f" FROM v{k}s CROSS JOIN w{k})"
+            )
+            ctes.append(
+                f"""cov{k} AS MATERIALIZED (
+  SELECT list_transform(range({d}), di -> list_transform(range({d}),
+    dj -> c[CAST(di+1 AS INT)][CAST(dj+1 AS INT)]
+          - lam * v[CAST(di+1 AS INT)] * v[CAST(dj+1 AS INT)])) AS c
+  FROM {prev_cov} CROSS JOIN v{k}s CROSS JOIN l{k}
+)"""
+            )
+            prev_cov = f"cov{k}"
+    proj_cols = ",\n  ".join(
+        f"round(list_reduce(list_prepend(0.0, list_transform(range({d}), "
+        f"pj -> (x[CAST(pj+1 AS INT)] - mu[CAST(pj+1 AS INT)])"
+        f" * c{k}.v[CAST(pj+1 AS INT)])), (pa, pz) -> pa + pz), 6)"
+        f" AS proj{k}"
+        for k in range(1, r + 1)
+    )
+    froms = " ".join(
+        f"CROSS JOIN {name} c{k}"
+        for k, name in enumerate(comp_names, start=1)
+    )
+    return (
+        "WITH RECURSIVE "
+        + ",\n".join(ctes)
+        + f"\nSELECT e.vec_id,\n  {proj_cols}\nFROM e CROSS JOIN mus {froms}"
+    )
+
+
 def q_topk_ivf(spark, sf_dir):
     return similarity.ivf_topk(
         load_table(spark, sf_dir, "embeddings"), TOPK_QUERY_ID, k=10, bits=IVF_BITS
@@ -5648,6 +5795,7 @@ QUERIES: dict = {
     "pipe_sim_dim_truncation": (q_sim_dim_truncation, _dim_trunc_sql()),
     "pipe_sim_filtered_topk": (q_sim_filtered_topk, _FILTERED_TOPK_SQL),
     "pipe_emb_pca": (q_emb_pca, None),
+    "pipe_emb_pca_power": (q_emb_pca_power, _emb_pca_power_sql()),
     "pipe_quality_logreg": (q_quality_logreg, _logreg_sql()),
     "pipe_quality_calibration": (q_quality_calibration, _calibration_sql()),
     "pipe_quality_auc": (q_quality_auc, _QUALITY_AUC_SQL),
