@@ -158,16 +158,25 @@ def force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
-def main() -> None:
-    from yat_geo_db_spark.queries import all_queries
+#: lines slower than this (shared-session best-of-N) are re-measured in a
+#: FRESH session: late-in-bench heavy queries otherwise pay for 60+
+#: predecessors' executor-heap litter and read 25-60% above their isolated
+#: floor (observed r7: sorted_neighborhood 5.77 in-bench vs ~3.5-4.1
+#: isolated), which makes cross-round diffs unattributable
+ISOLATE_SEC = float(os.environ.get("SPARK_GRAFT_ISOLATE_SEC", "3.0"))
+
+
+def _bench_session():
     from yat_geo_db_spark.session import get_spark
 
     spark = get_spark(app_name="yat_geo_db_spark_bench")
     spark.sparkContext.setLogLevel("ERROR")
-    registry = all_queries()
+    return spark
 
-    # warm the JVM/codegen paths and the Python/Arrow worker pool once so
-    # per-query numbers measure the pipelines, not first-job session setup
+
+def _warm(spark, registry) -> None:
+    """Warm the JVM/codegen paths and the Python/Arrow worker pool once
+    so per-query numbers measure the pipelines, not first-job setup."""
     registry["rel_q1_pricing_summary"][0](spark, SF_DIR).limit(1).count()
     from pyspark.sql import functions as F
 
@@ -176,14 +185,17 @@ def main() -> None:
         "overwrite"
     ).save()
 
-    timings: dict[str, float] = {}
-    total = 0.0
+
+def _measure(spark, registry, names) -> dict[str, float]:
+    """min-of-N timing loop over `names` (shared protocol for the main
+    pass and the isolated re-measure pass)."""
     runs_per_query = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
     # 4.0 (was 2.0): round 5 saw 13-37% swings on 2-3.5 s queries whose
     # code did not change — min-of-3 now covers that band too (pagerank
     # at ~3.2 s was the largest unexplained mover on min-of-2)
     short_query_sec = float(os.environ.get("SPARK_GRAFT_SHORT_SEC", "4.0"))
-    for name in HEADLINE:
+    timings: dict[str, float] = {}
+    for name in names:
         fn = BENCH_ONLY[name] if name in BENCH_ONLY else registry[name][0]
         best = float("inf")
         runs = runs_per_query
@@ -198,13 +210,77 @@ def main() -> None:
             if done == runs_per_query and best < short_query_sec:
                 runs = runs_per_query + 1
         timings[name] = round(best, 3)
-        total += best
         print(f"# {name}: {best:.3f}s", file=sys.stderr)
         # a query's persisted indexes help ITS second run, then become
         # dead weight that evicts later queries' working sets (observed:
         # kmeans 2.0 s isolated vs 4.8 s late in the bench) — drop them
         spark.catalog.clearCache()
+    return timings
 
+
+def _isolated_child(names: list[str]) -> None:
+    """--isolated mode: fresh session, same warmup + protocol, one JSON
+    line of {name: sec} on stdout."""
+    from yat_geo_db_spark.queries import all_queries
+
+    spark = _bench_session()
+    registry = all_queries()
+    _warm(spark, registry)
+    print(json.dumps(_measure(spark, registry, names)))
+
+
+def main() -> None:
+    from yat_geo_db_spark.queries import all_queries
+
+    spark = _bench_session()
+    registry = all_queries()
+    _warm(spark, registry)
+    timings = _measure(spark, registry, HEADLINE)
+
+    # attribution pass: heavy lines re-measured in ONE fresh session so
+    # their numbers reflect the plan, not 60 predecessors' heap litter;
+    # keep the min (the isolated floor can only remove pollution, and a
+    # line that got FASTER in the shared session is real too)
+    heavy = [n for n, t in timings.items() if t > ISOLATE_SEC]
+    isolated: dict[str, float] = {}
+    if heavy and not os.environ.get("SPARK_GRAFT_NO_ISOLATE"):
+        import subprocess
+
+        # release the shared session's executor threads and heap FIRST —
+        # a child JVM racing the parent for local[N] cores measures
+        # contention, not the plan (observed: triangles 3.8 s shared
+        # read 19.5 s "isolated" under a live parent). stop() alone is
+        # not enough: the py4j-launched JVM lingers with its peak heap
+        # until the gateway dies (observed: still 17 s vs a 4.2 s
+        # truly-standalone floor), so shut the gateway down too.
+        spark.stop()
+        try:
+            from pyspark import SparkContext
+
+            SparkContext._gateway.shutdown()
+            SparkContext._gateway = None
+            SparkContext._jvm = None
+        except Exception:
+            pass
+        print(f"# isolated re-measure: {heavy}", file=sys.stderr)
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__),
+             "--isolated", ",".join(heavy)],
+            capture_output=True, text=True, env=os.environ.copy(),
+        )
+        sys.stderr.write(out.stderr)
+        try:
+            isolated = json.loads(out.stdout.strip().splitlines()[-1])
+        except (ValueError, IndexError):
+            print("# isolated pass failed; keeping shared-session "
+                  "numbers", file=sys.stderr)
+        for n, t in isolated.items():
+            if t < timings[n]:
+                print(f"# {n}: {timings[n]:.3f}s shared -> {t:.3f}s "
+                      "isolated", file=sys.stderr)
+                timings[n] = t
+
+    total = sum(timings.values())
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(
         json.dumps(
@@ -213,6 +289,7 @@ def main() -> None:
                 "value": round(total, 3),
                 "unit": "sec",
                 "queries": timings,
+                "isolated_floor": isolated,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )
@@ -220,4 +297,7 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) >= 3 and sys.argv[1] == "--isolated":
+        _isolated_child([n for n in sys.argv[2].split(",") if n])
+    else:
+        main()

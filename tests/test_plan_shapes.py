@@ -496,7 +496,8 @@ def test_triangle_counts_no_cartesian(spark):
     edges = spark.range(200).selectExpr(
         "id AS src", "(id * 7 + 3) % 200 AS dst"
     )
-    plan = _plan(triangle_counts(edges))
+    # persist=False: InMemoryTableScan would hide the join shapes
+    plan = _plan(triangle_counts(edges, persist=False))
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
 

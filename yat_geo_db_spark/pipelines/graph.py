@@ -123,6 +123,7 @@ def pagerank(
 
 def triangle_counts(
     edges: DataFrame, src: str = "src", dst: str = "dst",
+    persist: bool = True,
 ) -> DataFrame:
     """Per-node triangle participation counts (node, n_tri) over an
     undirected view of the edge list — the clustering-structure signal
@@ -151,6 +152,15 @@ def triangle_counts(
         .filter(F.col("a") != F.col("b"))
         .distinct()
     )
+    if persist:
+        # und feeds the degree count, the orientation join, AND the
+        # wedge-closure probe; oriented feeds BOTH sides of the wedge
+        # self-join. Aliased sides defeat ReusedExchange (the band-table
+        # lesson from dedup), so without pinning, the canonicalize+
+        # distinct shuffle re-runs ~4× and the orientation join twice.
+        # Pass persist=False where a visible plan matters (plan tests).
+        und = und.persist()
+        und.count()
     deg = (
         und.select(F.col("a").alias("v"))
         .unionAll(und.select(F.col("b").alias("v")))
@@ -168,6 +178,9 @@ def triangle_counts(
             F.when(low_first, F.col("b")).otherwise(F.col("a")).alias("w"),
         )
     )
+    if persist:
+        oriented = oriented.persist()
+        oriented.count()
     o1 = oriented.select(F.col("u"), F.col("w").alias("v1"))
     o2 = oriented.select(F.col("u"), F.col("w").alias("v2"))
     wedges = o1.join(o2, "u").filter(F.col("v1") < F.col("v2"))
