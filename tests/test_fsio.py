@@ -138,3 +138,36 @@ def test_fsio_requires_classic_session():
 
     with pytest.raises(RuntimeError, match="classic"):
         fsio.exists(FakeConnectSession(), "/tmp/x")
+
+
+def test_vacuum_versions_prunes_committed_history_only(spark, tmp_path):
+    """vacuum keeps the newest keep_last committed versions, never the
+    latest or anything above the marker (orphan/in-flight dirs), and a
+    rerun after partial progress is a no-op."""
+    from yat_geo_db_spark.relational.layout import (
+        latest_version, read_version, vacuum_versions, versioned_write,
+    )
+
+    root = str(tmp_path / "dim")
+    for i in range(4):  # v0..v3 committed
+        versioned_write(
+            spark.createDataFrame([(i,)], "val int"), root
+        )
+    # orphan above the marker: a crashed/concurrent writer's dir
+    spark.createDataFrame([(99,)], "val int").write.parquet(f"{root}/v=4")
+
+    assert vacuum_versions(spark, root, keep_last=2) == [0, 1]
+    assert latest_version(root, spark) == 3
+    assert read_version(spark, root).collect()[0]["val"] == 3
+    assert read_version(spark, root, 2).collect()[0]["val"] == 2
+    with pytest.raises(Exception):
+        read_version(spark, root, 0).collect()
+    # the orphan survived (not committed -> not vacuum's to delete)
+    assert fsio.exists(spark, f"{root}/v=4")
+    # idempotent: nothing further to prune
+    assert vacuum_versions(spark, root, keep_last=2) == []
+    # keep_last is clamped: the committed latest can never be deleted
+    assert vacuum_versions(spark, root, keep_last=0) == [2]
+    assert read_version(spark, root).collect()[0]["val"] == 3
+    # empty root: no marker, no-op
+    assert vacuum_versions(spark, str(tmp_path / "none")) == []

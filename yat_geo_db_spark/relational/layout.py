@@ -385,6 +385,38 @@ def read_version(spark, root: str, version: int | None = None) -> DataFrame:
     return spark.read.parquet(f"{root}/v={v}")
 
 
+def vacuum_versions(spark, root: str, keep_last: int = 2) -> list[int]:
+    """Prune old versions of a versioned table: delete every COMMITTED
+    version older than the newest `keep_last`, and return the deleted
+    version numbers. Completes the lifecycle versioned_write's
+    docstring promises ('old versions stay readable until you prune').
+
+    Safety invariants:
+    - the committed latest is never deleted (keep_last is clamped ≥ 1);
+    - versions ABOVE the marker are never touched — a dir without a
+      marker commit is either a crashed writer's orphan (harmless, its
+      slot is skipped) or a concurrent writer mid-commit (deleting it
+      would race the rename);
+    - deletion runs oldest-first and never moves the marker, so a crash
+      mid-vacuum leaves a valid table (a contiguous-suffix of history
+      survives, latest untouched) — re-run to finish;
+    - all listing/deletes go through the Hadoop FS API (fsio), same as
+      the commit path.
+    Time travel to a vacuumed version fails on read, which is the
+    contract (same as VACUUM on any table format)."""
+    from yat_geo_db_spark import fsio
+
+    keep_last = max(1, keep_last)
+    latest = latest_version(root, spark)
+    if latest < 0:
+        return []
+    committed = [v for v in _version_dirs(root, spark) if v <= latest]
+    doomed = committed[: max(0, len(committed) - keep_last)]
+    for v in doomed:
+        fsio.delete(spark, f"{root}/v={v}", recursive=True)
+    return doomed
+
+
 def version_diff(
     spark, root: str, v_old: int, v_new: int, key_cols: list[str]
 ) -> DataFrame:
