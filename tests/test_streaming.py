@@ -1099,3 +1099,79 @@ def test_versioned_enrichment_sink_picks_up_dim_refresh(spark, tmp_path):
         r["event_id"]: r["tag"] for r in read_sink(spark, target).collect()
     }
     assert got == {100: "old", 200: "new"}
+
+
+def test_compact_rollup_skips_in_flight_batch_dirs(spark, tmp_path):
+    """A batch dir that exists but has not committed (_SUCCESS absent —
+    a foreachBatch write still in flight) must not fold, and nothing
+    ABOVE it may fold either (through is a single watermark); both fold
+    on the next run once complete. Readers likewise skip it."""
+    import glob
+    import os
+
+    from yat_geo_db_spark.streaming.sinks import (
+        _read_marker, compact_rollup, read_rollup, rollup_maintenance_sink,
+    )
+
+    kw = dict(key_cols=["k"], sum_cols=["v"], scale=2)
+    root = str(tmp_path / "rollup")
+    sink = rollup_maintenance_sink(root, **kw)
+    sink(spark.createDataFrame([("a", 1.0)], "k string, v double"), 0)
+    sink(spark.createDataFrame([("b", 2.0)], "k string, v double"), 1)
+    # batch 3 lands COMPLETE while batch 2 is still in flight
+    sink(spark.createDataFrame([("a", 8.0)], "k string, v double"), 3)
+    os.makedirs(f"{root}/batch_id=2/_temporary")
+
+    def snap():
+        return sorted(map(tuple, read_rollup(spark, root, **kw).collect()))
+
+    want_visible = snap()  # folds 0, 1, 3 — not the in-flight 2
+
+    compact_rollup(spark, root, **kw)
+    # only 0 and 1 folded: through stops below the in-flight id
+    assert _read_marker(spark, root)[0] == 1
+    left = sorted(os.path.basename(d) for d in glob.glob(f"{root}/batch_id=*"))
+    assert left == ["batch_id=2", "batch_id=3"]
+    assert snap() == want_visible
+
+    # the in-flight batch completes (replay path writes it for real)
+    sink(spark.createDataFrame([("b", 5.0)], "k string, v double"), 2)
+    want_all = snap()
+    compact_rollup(spark, root, **kw)
+    assert _read_marker(spark, root)[0] == 3
+    assert glob.glob(f"{root}/batch_id=*") == []
+    assert snap() == want_all
+
+
+def test_rollup_reader_retries_on_marker_movement(spark, tmp_path, monkeypatch):
+    """_rollup_state_paths must take a marker-list-marker snapshot: if
+    the marker moves between the two reads (a concurrent compaction
+    committed), it retries with the NEW marker instead of pairing the
+    old generation number with the new directory contents."""
+    from yat_geo_db_spark.streaming import sinks
+    from yat_geo_db_spark.streaming.sinks import (
+        compact_rollup, read_rollup, rollup_maintenance_sink,
+    )
+
+    kw = dict(key_cols=["k"], sum_cols=["v"], scale=2)
+    root = str(tmp_path / "rollup")
+    sink = rollup_maintenance_sink(root, **kw)
+    sink(spark.createDataFrame([("a", 1.0), ("b", 2.0)], "k string, v double"), 0)
+    want = sorted(map(tuple, read_rollup(spark, root, **kw).collect()))
+
+    real_read = sinks._read_marker
+    calls = {"n": 0}
+
+    def racy_read(spark_, root_):
+        calls["n"] += 1
+        if calls["n"] == 2:
+            # compaction commits BETWEEN the reader's first marker read
+            # and its post-listing confirmation read
+            compact_rollup(spark_, root_, **kw)
+        return real_read(spark_, root_)
+
+    monkeypatch.setattr(sinks, "_read_marker", racy_read)
+    got = sorted(map(tuple, read_rollup(spark, root, **kw).collect()))
+    monkeypatch.undo()
+    assert got == want
+    assert calls["n"] >= 3  # first snapshot rejected, retried

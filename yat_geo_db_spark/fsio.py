@@ -156,6 +156,18 @@ def write_text_atomic(spark, path: str, text: str) -> None:
         # leg is non-atomic (a reader in the gap sees no marker and
         # treats the table as uncommitted — safe, not wrong).
         if not fs.rename(tmp, dst):
+            if not fs.exists(tmp):
+                # the FileContext rename may have APPLIED server-side
+                # with the error raised client-side (timeout /
+                # interrupt): tmp is gone, so deleting dst here could
+                # destroy the marker we just committed. Verify by
+                # content instead of touching anything.
+                if read_text(spark, path) == text:
+                    return
+                raise IOError(
+                    f"marker commit state unknown: {tmp} vanished but "
+                    f"{dst} does not carry the new content"
+                ) from fc_err
             fs.delete(dst, False)
             if not fs.rename(tmp, dst):
                 raise IOError(

@@ -143,6 +143,13 @@ def triangle_counts(
     the naive neighbor-pair join dies on the top hub. Every step is an
     equi-join or hash aggregate; integer-only arithmetic → the DuckDB
     oracle matches exactly.
+
+    With ``persist=True`` (default) the canonical and oriented edge
+    lists stay pinned in executor storage AFTER the result is consumed
+    (Spark offers no consume-then-unpersist hook on a lazy frame) —
+    long-lived sessions calling this repeatedly should
+    ``spark.catalog.clearCache()`` between calls (bench.py does), or
+    pass ``persist=False`` and accept the recomputation.
     """
     und = (
         edges.select(

@@ -878,7 +878,21 @@ def spectral_peaks(samples, n_fft: int = 256, hop: int = 128):
     round(f * n_fft / sample_rate)."""
     import numpy as np
 
-    x = np.asarray(samples, dtype=np.int64)
+    raw = np.asarray(samples)
+    if raw.dtype.kind == "f":
+        # the old float-rFFT path accepted normalized [-1, 1] floats;
+        # silently truncating them to int64 would zero every frame and
+        # collide all fingerprints — refuse loudly instead
+        raise TypeError(
+            "spectral_peaks expects integer PCM samples (int16 range); "
+            f"got float dtype {raw.dtype} — scale to integer PCM first"
+        )
+    x = raw.astype(np.int64)
+    if len(x) and int(np.abs(x).max()) > 32767:
+        raise ValueError(
+            "spectral_peaks expects int16-range samples (|x| <= 32767); "
+            "wider samples would overflow the exact int64 DFT bound"
+        )
     n_frames = max(0, (len(x) - n_fft) // hop + 1)
     if n_frames == 0:
         return np.zeros(0, dtype=np.int64)

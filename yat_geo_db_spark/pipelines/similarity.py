@@ -1497,9 +1497,16 @@ def pca_power_fit(
             n += x.shape[0]
             sq = np.floor(x * float(quant) + 0.5).astype(np.int64).sum(0)
             s = sq if s is None else s + sq
-            p = x[:, :, None] * x[:, None, :]
-            gq = np.floor(p * float(quant) + 0.5).astype(np.int64).sum(0)
-            g = gq if g is None else g + gq
+            # chunk the outer-product tensor: rows×d×d float64 for a
+            # full 10k-row Arrow batch is ~0.3 GB at d=64 and ~5 GB at
+            # d=256 — an executor OOM at exactly the scale this module
+            # targets. Integer sums are associative-exact, so chunking
+            # changes nothing downstream.
+            for lo in range(0, x.shape[0], 256):
+                xb = x[lo : lo + 256]
+                p = xb[:, :, None] * xb[:, None, :]
+                gq = np.floor(p * float(quant) + 0.5).astype(np.int64).sum(0)
+                g = gq if g is None else g + gq
         if n:
             yield pd.DataFrame(
                 {"n": [n], "s": [s.tolist()], "g": [g.ravel().tolist()]}

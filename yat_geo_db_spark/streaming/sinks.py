@@ -193,9 +193,23 @@ def _rollup_state_paths(spark, root: str) -> list[str]:
     batch_id=N dirs EXCEPT those the marker lists as pending-delete
     (already folded into the committed generation — reading them too
     would double-count). One listStatus + one marker read."""
-    through, gen, pending = _read_marker(spark, root)
+    # marker-list-marker snapshot loop: the marker is read BEFORE and
+    # AFTER the listing, and the listing only counts if the marker did
+    # not move — otherwise a compaction committing between the two
+    # reads could leave us holding gen N's view of gen N+1's directory
+    # contents (old generation gone, folded dirs gone → silent
+    # undercount). Deletes happen strictly AFTER the marker commit, so
+    # an unchanged marker brackets a consistent view.
+    for _ in range(8):
+        through, gen, pending = _read_marker(spark, root)
+        names = fsio.list_dir_names(spark, root)
+        if _read_marker(spark, root) == (through, gen, pending):
+            break
+    else:
+        raise RuntimeError(
+            f"rollup marker at {root} kept changing — compaction storm?"
+        )
     pend = set(pending)
-    names = fsio.list_dir_names(spark, root)
     paths = []
     gen_name = f"{_GEN_PREFIX}{gen}"
     if gen >= 1 and gen_name in names:
@@ -203,7 +217,13 @@ def _rollup_state_paths(spark, root: str) -> list[str]:
     paths.extend(
         f"{root}/{n}"
         for n in sorted(names)
-        if n.startswith("batch_id=") and n not in pend
+        if n.startswith("batch_id=")
+        and n not in pend
+        # skip dirs whose write is still in flight (no _SUCCESS yet):
+        # reading one would fail on schema inference or see a partial
+        # batch; it becomes visible on the next read, like any batch
+        # that had not landed yet
+        and fsio.exists(spark, f"{root}/{n}/_SUCCESS")
     )
     if not paths:
         raise FileNotFoundError(f"no rollup state under {root}")
@@ -301,7 +321,10 @@ def compact_rollup(
       re-resumes the deletes on the next run — never a re-fold);
     - a batch dir landing mid-compaction from a LIVE stream is neither
       folded nor deleted (the fold set is snapshotted first) and stays
-      visible to readers throughout.
+      visible to readers throughout; a dir whose write is STILL IN
+      FLIGHT at snapshot time (no _SUCCESS marker yet) is skipped —
+      and so is everything above it, because `through` is a single
+      watermark — both fold on the next run.
 
     Replay-safe: the max folded batch id is committed as ``through``,
     which the sink checks before writing (a replayed already-folded
@@ -321,11 +344,24 @@ def compact_rollup(
         for n in pending:
             fsio.delete(spark, f"{root}/{n}", recursive=True)
         _write_marker(spark, root, through, gen, [])
-    names = sorted(
-        n
+    listed = sorted(
+        (int(n.split("=", 1)[1]), n)
         for n in fsio.list_dir_names(spark, root)
         if n.startswith("batch_id=")
     )
+    # fold ONLY completed writes (dir has _SUCCESS): a dir can exist
+    # while its foreachBatch job is still committing part-files, and
+    # folding it would read a partial (or empty) batch, delete it, and
+    # advance `through` past it — silent permanent loss. And because
+    # `through` is a single watermark, nothing ABOVE the first
+    # in-flight id may fold either (folding {0,1,3} while 2 is in
+    # flight would set through=3 and make 2's replay a no-op). Skipped
+    # dirs simply fold next time.
+    names = []
+    for _bid, n in listed:
+        if not fsio.exists(spark, f"{root}/{n}/_SUCCESS"):
+            break
+        names.append(n)
     if not names:
         return
     fold_names = list(names)
