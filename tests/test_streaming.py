@@ -1175,3 +1175,86 @@ def test_rollup_reader_retries_on_marker_movement(spark, tmp_path, monkeypatch):
     monkeypatch.undo()
     assert got == want
     assert calls["n"] >= 3  # first snapshot rejected, retried
+
+
+def test_compact_heavy_hitters_preserves_estimates(spark, tmp_path):
+    """CMS compaction: folding batch sketches into one generation blob
+    preserves every estimate bit-for-bit (counter adds commute), the
+    batch dirs disappear, replay of a folded batch is a no-op, and the
+    sink keeps appending afterwards."""
+    import glob
+
+    from yat_geo_db_spark.streaming.sinks import (
+        compact_heavy_hitters, heavy_hitter_sink, read_heavy_hitters,
+    )
+
+    root = str(tmp_path / "hh")
+    sink = heavy_hitter_sink(root, "k", eps=0.01)
+    b0 = spark.createDataFrame([("a",)] * 5 + [("b",)] * 2, "k string")
+    b1 = spark.createDataFrame([("a",)] * 3 + [("c",)] * 7, "k string")
+    sink(b0, 0)
+    sink(b1, 1)
+
+    def snap():
+        return sorted(
+            map(tuple, read_heavy_hitters(spark, root).collect())
+        )
+
+    want = snap()
+    assert dict(want)["c"] >= 7  # sanity: estimates are real counts+
+
+    compact_heavy_hitters(spark, root)
+    assert glob.glob(f"{root}/batch_id=*") == []
+    assert glob.glob(f"{root}/_compacted_g*") == [f"{root}/_compacted_g1"]
+    assert snap() == want
+
+    sink(b1, 1)  # replay of a folded batch: gated, no double count
+    assert glob.glob(f"{root}/batch_id=*") == []
+    assert snap() == want
+
+    sink(b1, 2)  # genuinely new batch still lands and reads merged
+    got = dict(snap())
+    assert got["c"] >= 14
+    # second compaction folds the new batch into generation 2
+    compact_heavy_hitters(spark, root)
+    assert glob.glob(f"{root}/_compacted_g*") == [f"{root}/_compacted_g2"]
+    assert dict(snap()) == got
+
+
+def test_compact_histogram_rollup_preserves_quantiles(spark, tmp_path):
+    """Histogram compaction: integer bin counts add exactly, so the
+    folded generation yields identical quantiles; replay of folded
+    batches is a no-op."""
+    import glob
+
+    from yat_geo_db_spark.streaming.sinks import (
+        compact_histogram_rollup, histogram_rollup_sink,
+        read_histogram_quantiles,
+    )
+
+    kw = dict(key_cols=["g"], value_col="v", lo=0.0, hi=100.0, n_bins=50)
+    root = str(tmp_path / "hist")
+    sink = histogram_rollup_sink(root, **kw)
+    rows0 = [("x", float(v)) for v in range(0, 60)]
+    rows1 = [("x", float(v)) for v in range(40, 100)] + [("y", 5.0)]
+    sink(spark.createDataFrame(rows0, "g string, v double"), 0)
+    sink(spark.createDataFrame(rows1, "g string, v double"), 1)
+
+    def snap():
+        return sorted(
+            map(
+                tuple,
+                read_histogram_quantiles(
+                    spark, root, ["g"], [0.5, 0.9],
+                    lo=0.0, hi=100.0, n_bins=50,
+                ).collect(),
+            )
+        )
+
+    want = snap()
+    compact_histogram_rollup(spark, root, ["g"])
+    assert glob.glob(f"{root}/batch_id=*") == []
+    assert snap() == want
+    sink(spark.createDataFrame(rows1, "g string, v double"), 1)  # replay
+    assert glob.glob(f"{root}/batch_id=*") == []
+    assert snap() == want

@@ -337,6 +337,26 @@ def compact_rollup(
     (localCheckpoint) is needed."""
     from yat_geo_db_spark.relational.merge import merge_partial_aggregates
 
+    _compact_generational(
+        spark,
+        root,
+        lambda states: merge_partial_aggregates(
+            [states], key_cols, sum_cols=sum_cols, min_cols=min_cols,
+            max_cols=max_cols, scale=scale,
+        ),
+    )
+
+
+def _compact_generational(spark, root: str, fold) -> None:
+    """The generational fold-and-commit protocol shared by every
+    maintenance sink whose per-batch state is MERGEABLE (partial
+    aggregates, CMS blobs, histogram counts): snapshot the completed
+    batch dirs, `fold` them (+ the current generation) into
+    ``_compacted_g<gen+1>``, commit with one atomic marker write, then
+    delete the folded originals. All the crash/replay/live-stream
+    guarantees documented on compact_rollup live HERE; `fold` only
+    defines the state algebra (states DataFrame in, merged DataFrame
+    out — the output must be a valid per-batch state itself)."""
     through, gen, pending = _read_marker(spark, root)
     if pending:
         # resume a crashed cleanup: these dirs are fully folded into
@@ -377,10 +397,7 @@ def compact_rollup(
         + [through]
     )
     states = spark.read.parquet(*(f"{root}/{n}" for n in fold_names))
-    merged = merge_partial_aggregates(
-        [states], key_cols, sum_cols=sum_cols, min_cols=min_cols,
-        max_cols=max_cols, scale=scale,
-    )
+    merged = fold(states)
     merged.write.mode("overwrite").parquet(f"{root}/{_GEN_PREFIX}{gen + 1}")
     # COMMIT: readers atomically switch to gen+1 and exclude fold_names
     _write_marker(spark, root, new_through, gen + 1, fold_names)
@@ -435,12 +452,62 @@ def heavy_hitter_sink(
     return write_batch
 
 
+def compact_heavy_hitters(spark, root: str) -> None:
+    """Generational compaction for a heavy_hitter_sink target (the full
+    compact_rollup crash/replay protocol via _compact_generational):
+    CMS counters add commutatively, so the fold is one JVM mergeInPlace
+    over the O(batches) blobs plus a distinct over the candidate keys —
+    the folded output (one sketch row + one row per key) is itself a
+    valid batch state, so sink and readers continue unchanged."""
+
+    def fold(states: DataFrame) -> DataFrame:
+        blobs = [
+            bytes(r["sk"])
+            for r in states.where(F.col("sk").isNotNull())
+            .select("sk")
+            .collect()
+        ]
+        keys = (
+            states.where(F.col("key").isNotNull())
+            .select("key")
+            .distinct()
+            .select("key", F.lit(None).cast("binary").alias("sk"))
+        )
+        merged = _merge_cms_blobs(spark, blobs)
+        if merged is None:
+            return keys
+        out = spark._jvm.java.io.ByteArrayOutputStream()
+        merged.writeTo(out)
+        one = spark.createDataFrame(
+            [(None, bytearray(bytes(out.toByteArray())))],
+            "key string, sk binary",
+        )
+        return one.unionByName(keys)
+
+    _compact_generational(spark, root, fold)
+
+
+def _merge_cms_blobs(spark, blobs: list[bytes]):
+    """JVM-side mergeInPlace over serialized CountMinSketch blobs (all
+    from the same (eps, confidence, seed) sink → merge-compatible)."""
+    jvm = spark._jvm
+    merged = None
+    for b in blobs:
+        sk = jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(b)
+        if merged is None:
+            merged = sk
+        else:
+            merged.mergeInPlace(sk)
+    return merged
+
+
 def read_heavy_hitters(spark, root: str, min_count: int = 0) -> DataFrame:
-    """Merge-on-read of a heavy_hitter_sink target: fold every batch's
-    sketch blob (driver-side JVM merge over O(batches) small blobs —
-    the metrics-store serving read) and probe the union of candidate
-    keys. Returns (key, approx_count) for estimates >= min_count."""
-    states = read_sink(spark, root)
+    """Merge-on-read of a heavy_hitter_sink target: fold every live
+    state dir's sketch blob (driver-side JVM merge over O(batches)
+    small blobs — the metrics-store serving read; O(1) after
+    compact_heavy_hitters) and probe the union of candidate keys.
+    Returns (key, approx_count) for estimates >= min_count."""
+    states = spark.read.parquet(*_rollup_state_paths(spark, root))
     blobs = [
         bytes(r["sk"])
         for r in states.where(F.col("sk").isNotNull()).select("sk").collect()
@@ -452,14 +519,7 @@ def read_heavy_hitters(spark, root: str, min_count: int = 0) -> DataFrame:
         .distinct()
         .collect()
     )
-    jvm = spark._jvm
-    merged = None
-    for b in blobs:
-        sk = jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(b)
-        if merged is None:
-            merged = sk
-        else:
-            merged.mergeInPlace(sk)
+    merged = _merge_cms_blobs(spark, blobs)
     rows = [
         (k, int(merged.estimateCount(k)))
         for k in keys
@@ -524,9 +584,22 @@ def read_histogram_quantiles(
         quantile_from_histogram,
     )
 
-    states = read_sink(spark, root).drop("batch_id")
+    states = spark.read.parquet(*_rollup_state_paths(spark, root))
     merged = merge_histogram_states([states], key_cols)
     return quantile_from_histogram(merged, key_cols, qs, lo, hi, n_bins)
+
+
+def compact_histogram_rollup(spark, root: str, key_cols: list[str]) -> None:
+    """Generational compaction for a histogram_rollup_sink target:
+    integer bin counts add exactly, so the fold is one hash aggregate
+    over the folded states (merge_histogram_states) — the output is
+    itself a valid per-batch state. Full compact_rollup crash/replay
+    protocol via _compact_generational."""
+    from yat_geo_db_spark.relational.merge import merge_histogram_states
+
+    _compact_generational(
+        spark, root, lambda states: merge_histogram_states([states], key_cols)
+    )
 
 
 def versioned_enrichment_sink(
