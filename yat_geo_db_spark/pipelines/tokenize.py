@@ -13,11 +13,14 @@ cut the growing lineage (the kmeans/logreg pattern). The corpus is never
 re-scanned during training.
 
 Determinism: ties in pair frequency break on (count desc, left asc,
-right asc); training is therefore a pure function of the corpus and is
-pinned against a pure-Python reference in tests/test_tokenize.py. No SQL
-oracle exists (the merge loop rewrites nested lists, which DuckDB's list
-ops can't fold) — registry entries are rows-only with the golden tests as
-the correctness evidence.
+right asc — binary string order, identical on Spark and DuckDB);
+training is therefore a pure function of the corpus and is pinned
+against a pure-Python reference in tests/test_tokenize.py AND replayed
+end-to-end by a DuckDB oracle (queries.pipeline_queries._text_bpe_sql:
+unrolled MATERIALIZED training rounds; the greedy within-word merge is
+a left fold — equal to the scan-and-skip reference because a
+just-merged symbol is strictly longer than `left` and cannot
+re-trigger within its round).
 """
 
 from __future__ import annotations

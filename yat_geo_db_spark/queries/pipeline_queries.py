@@ -2840,14 +2840,95 @@ def q_text_bpe(spark, sf_dir):
     corpus-scale word-freq pass, then vocabulary-bounded iterations),
     encode every doc with them. Output (doc_id, n_bpe_tokens,
     token_digest) — the digest folds the full subword sequence, so any
-    tokenization drift shows. Rows-only: DuckDB's list ops can't replay
-    the nested merge loop; the trainer and encoder are instead pinned
-    against a pure-Python reference in tests/test_tokenize.py."""
+    tokenization drift shows. Oracle-checked: the DuckDB twin replays
+    training (8 unrolled MATERIALIZED rounds: zip-unnest pair counts,
+    (cnt desc, l, r) argmax — binary string order on both engines —
+    and the greedy within-word merge as a left fold, which equals the
+    scan-and-skip semantics because a just-merged symbol is strictly
+    longer than `left` and can't re-trigger) AND encoding (per-word
+    final symbols via a vocab map, then the FNV token/char digest
+    fold). The trainer/encoder stay pinned against the pure-Python
+    reference in tests/test_tokenize.py."""
     from yat_geo_db_spark.pipelines import tokenize
 
     docs = load_table(spark, sf_dir, "documents")
     merges = tokenize.bpe_train(docs, n_merges=8)
     return tokenize.bpe_encode(docs, merges)
+
+
+def _text_bpe_sql(n_merges: int = 8) -> str:
+    """Replay bpe_train + bpe_encode (see q_text_bpe docstring).
+    list_reduce needs uniform element/accumulator types, so the merge
+    fold carries the symbol array and wraps each symbol as [s], and
+    the digest fold carries [d] (BIGINT) over per-token char-code
+    lists."""
+    from yat_geo_db_spark.pipelines.text import FNV_BASE, FNV_MOD
+    from yat_geo_db_spark.pipelines.tokenize import EOW
+
+    fold = """list_reduce(
+      list_prepend(CAST([] AS VARCHAR[]), list_transform(syms, t0 -> [t0])),
+      (acc, xl) -> CASE WHEN len(acc) > 0 AND acc[-1] = pl AND xl[1] = pr
+                   THEN list_append(acc[1:len(acc)-1], pl || pr)
+                   ELSE list_append(acc, xl[1]) END)"""
+    ctes = [
+        """w0 AS MATERIALIZED (
+  SELECT w, count(*) AS freq FROM (
+    SELECT unnest(string_split(coalesce(text, ''), ' ')) AS w
+    FROM documents
+  ) GROUP BY w
+)""",
+        f"""s0 AS MATERIALIZED (
+  SELECT w, freq,
+    CASE WHEN length(w) = 0 THEN ['{EOW}']
+         ELSE list_append(list_transform(range(1, length(w) + 1),
+                i -> substr(w, CAST(i AS INT), 1)), '{EOW}')
+    END AS syms
+  FROM w0
+)""",
+    ]
+    prev = "s0"
+    for k in range(1, n_merges + 1):
+        ctes.append(
+            f"""p{k} AS MATERIALIZED (
+  SELECT pl, pr FROM (
+    SELECT l AS pl, r AS pr, sum(freq) AS cnt FROM (
+      SELECT freq, unnest(syms[1:len(syms)-1]) AS l,
+             unnest(syms[2:len(syms)]) AS r
+      FROM {prev} WHERE len(syms) > 1
+    ) GROUP BY l, r
+  ) ORDER BY cnt DESC, pl, pr LIMIT 1
+)"""
+        )
+        ctes.append(
+            f"""s{k} AS MATERIALIZED (
+  SELECT w, freq, {fold} AS syms FROM {prev} CROSS JOIN p{k}
+)"""
+        )
+        prev = f"s{k}"
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f""",
+vocab AS (SELECT map(list(w), list(syms)) AS mp FROM {prev}),
+seq AS (
+  SELECT doc_id,
+    flatten(list_transform(string_split(coalesce(text, ''), ' '),
+                           wd -> mp[wd][1])) AS toks
+  FROM documents CROSS JOIN vocab
+)
+SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_bpe_tokens,
+  list_reduce(
+    list_prepend([CAST(0 AS BIGINT)],
+      list_transform(toks, s ->
+        list_transform(range(1, length(s) + 1),
+          ci -> CAST(ascii(substr(s, CAST(ci AS INT), 1)) AS BIGINT)))),
+    (dl, cl) -> [
+      (list_reduce(list_prepend(dl[1], cl),
+         (a, c) -> (a * {FNV_BASE} + c) % {FNV_MOD})
+       * {FNV_BASE} + 1) % {FNV_MOD}
+    ])[1] AS token_digest
+FROM seq"""
+    )
 
 
 def q_text_lang_id(spark, sf_dir):
@@ -5841,7 +5922,7 @@ QUERIES: dict = {
     "pipe_text_winnowing_pairs": (q_text_winnowing_pairs, _winnowing_pairs_sql()),
     "pipe_text_bm25": (q_text_bm25, _bm25_sql()),
     "pipe_text_phrase_search": (q_text_phrase_search, _PHRASE_SEARCH_SQL),
-    "pipe_text_bpe": (q_text_bpe, None),
+    "pipe_text_bpe": (q_text_bpe, _text_bpe_sql()),
     "pipe_text_fingerprint": (q_text_fingerprint, _TEXT_FINGERPRINT_SQL),
     "pipe_text_novelty": (q_text_novelty, _TEXT_NOVELTY_SQL),
     "pipe_text_tfidf": (q_text_tfidf, _TEXT_TFIDF_SQL),
