@@ -502,6 +502,28 @@ def test_triangle_counts_no_cartesian(spark):
     assert "BroadcastNestedLoopJoin" not in plan, plan
 
 
+def test_pca_power_project_is_one_codegen_projection(spark):
+    """The oracle-exact projection must stay a single JVM projection
+    over the scan: no Exchange (no shuffle), no ArrowEval/BatchEval
+    (no Python in the hot path — the whole point of the zip_with +
+    aggregate fold), components inlined as literals."""
+    from yat_geo_db_spark.pipelines.similarity import pca_power_project
+    from yat_geo_db_spark.testdata import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    out = pca_power_project(emb, [0.0] * 64, [[0.1] * 64, [0.2] * 64])
+    plan = _plan(out)
+    # the only exchange allowed is load_table's round-robin scan-
+    # parallelism compensator — the projection itself must add none
+    for line in plan.splitlines():
+        if "Exchange" in line:
+            assert "RoundRobinPartitioning" in line, plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan, (
+        plan
+    )
+    assert "zip_with" in plan and "aggregate(" in plan, plan
+
+
 def test_zorder_key_is_one_agg_plus_projection(spark):
     """zorder_key = one min/max aggregate broadcast back + a pure
     shift/mask projection: the per-row key math must add NO exchange
