@@ -171,3 +171,38 @@ def test_vacuum_versions_prunes_committed_history_only(spark, tmp_path):
     assert read_version(spark, root).collect()[0]["val"] == 3
     # empty root: no marker, no-op
     assert vacuum_versions(spark, str(tmp_path / "none")) == []
+
+
+def test_compact_small_files_republishes_versioned(spark, tmp_path):
+    """compact_small_files: many tiny files -> few size-targeted files
+    committed as a new version; rows identical; the source directory is
+    untouched; a second compaction appends the next version (old ones
+    retire via vacuum_versions)."""
+    import glob
+
+    from yat_geo_db_spark.relational.layout import (
+        compact_small_files, read_version, small_file_report,
+    )
+
+    src = str(tmp_path / "messy")
+    # ~tens of tiny files (hash repartition leaves some of the 64
+    # partitions empty; empty partitions write no file)
+    spark.range(64).repartition(64).write.parquet(src)
+    n_src_files = small_file_report(spark, src).count()
+    assert n_src_files > 20
+    dest = str(tmp_path / "tidy")
+
+    v = compact_small_files(spark, src, dest, target_mb=128)
+    assert v == 0
+    got = sorted(r["id"] for r in read_version(spark, dest).collect())
+    assert got == list(range(64))
+    # total bytes << 128 MB -> exactly one output file
+    out_files = [
+        f for f in glob.glob(f"{dest}/v=0/*") if f.endswith(".parquet")
+    ]
+    assert len(out_files) == 1
+    # source untouched
+    assert small_file_report(spark, src).count() == n_src_files
+    # recompaction publishes the NEXT version, never mutates v=0
+    assert compact_small_files(spark, src, dest) == 1
+    assert read_version(spark, dest, 0).count() == 64

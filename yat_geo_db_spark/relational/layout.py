@@ -325,6 +325,38 @@ def compaction_advice(report: DataFrame, target_mb: int = 128) -> DataFrame:
     )
 
 
+def compact_small_files(
+    spark, path: str, dest_root: str, target_mb: int = 128
+) -> int:
+    """ACT on a 'compact' verdict: rewrite a small-file parquet
+    directory into `recommended_files` size-targeted files, published
+    as a new committed VERSION under `dest_root` (versioned_write — the
+    atomic _latest marker means readers never see a half-written
+    rewrite, and the original directory is never touched, so a crash
+    mid-compaction costs nothing). Returns the committed version.
+
+    The file count comes from the same total-bytes/target math as
+    compaction_advice (never from n_rows — row width varies), and the
+    rewrite is one repartition(n): a full shuffle, which is the point —
+    it rebalances pathological file-size skew instead of coalescing
+    neighbors into whatever uneven partitions the scan produced.
+    Retire old versions afterwards with vacuum_versions."""
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    fs_path = jvm.org.apache.hadoop.fs.Path(path)
+    fs = fs_path.getFileSystem(conf)
+    total = 0
+    it = fs.listFiles(fs_path, True)
+    while it.hasNext():
+        st = it.next()
+        if st.getPath().toString().endswith(".parquet"):
+            total += st.getLen()
+    n_files = max(1, -(-total // (target_mb * 1024 * 1024)))
+    return versioned_write(
+        spark.read.parquet(path).repartition(int(n_files)), dest_root
+    )
+
+
 # --------------------------------------------------------------------------
 # versioned tables: time travel over plain parquet
 # --------------------------------------------------------------------------
