@@ -1,0 +1,69 @@
+"""Dead-letter-split source readers (yat_geo_db_spark.sources): good
+rows parse schema-clean, bad rows keep their raw text for replay, and
+nothing is ever silently dropped."""
+
+from __future__ import annotations
+
+import pyspark.sql.types as T
+
+from yat_geo_db_spark import sources
+
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType()),
+        T.StructField("name", T.StringType()),
+        T.StructField("score", T.DoubleType()),
+    ]
+)
+
+
+def test_read_json_dlq_splits_and_preserves_everything(spark, tmp_path):
+    lines = [
+        '{"id": 1, "name": "a", "score": 0.5}',
+        'this is not json at all',
+        '{"id": 2, "name": "b", "score": 1.5}',
+        '{"id": "NOT_A_NUMBER", "name": "c", "score": 2.5}',  # schema drift
+        '{"id": 3, "name": "d"',  # truncated upload
+    ]
+    p = tmp_path / "in.jsonl"
+    p.write_text("\n".join(lines) + "\n")
+
+    good, bad, hint = sources.read_json_dlq(spark, str(p), SCHEMA)
+    g = sorted(map(tuple, good.collect()))
+    assert g == [(1, "a", 0.5), (2, "b", 1.5)]
+    assert good.columns == ["id", "name", "score"]
+    b = sorted(r["raw"] for r in bad.collect())
+    assert b == sorted([lines[1], lines[3], lines[4]])
+    # raw text round-trips verbatim -> replayable after a producer fix
+    assert all(r["source"].endswith("in.jsonl") for r in bad.collect())
+
+    rep = sources.dlq_ingest_report(good, bad).collect()[0]
+    assert (rep["n_good"], rep["n_bad"]) == (2, 3)
+    assert rep["bad_share"] == 0.6
+    hint.unpersist()
+
+
+def test_read_json_dlq_clean_file_has_empty_dlq(spark, tmp_path):
+    p = tmp_path / "ok.jsonl"
+    p.write_text('{"id": 9, "name": "z", "score": 0.0}\n')
+    good, bad, hint = sources.read_json_dlq(spark, str(p), SCHEMA)
+    assert good.count() == 1 and bad.count() == 0
+    hint.unpersist()
+
+
+def test_read_csv_dlq_wrong_arity_and_bad_types(spark, tmp_path):
+    p = tmp_path / "in.csv"
+    p.write_text(
+        "id,name,score\n"
+        "1,a,0.5\n"
+        "2,b\n"            # missing column
+        "x,c,1.0\n"        # bad id type
+        "3,d,2.0\n"
+    )
+    good, bad, hint = sources.read_csv_dlq(spark, str(p), SCHEMA)
+    assert sorted(map(tuple, good.collect())) == [
+        (1, "a", 0.5), (3, "d", 2.0),
+    ]
+    assert sorted(r["raw"] for r in bad.collect()) == ["2,b", "x,c,1.0"]
+    hint.unpersist()

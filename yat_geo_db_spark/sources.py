@@ -1,0 +1,110 @@
+"""Robust file sources: schema-enforced reads with a dead-letter split.
+
+Real ingestion at 100 TB meets malformed records — truncated uploads,
+mixed schemas, stray log lines. Spark's FAILFAST kills the job on the
+first bad row and DROPMALFORMED silently loses data; the production
+pattern is PERMISSIVE + ``columnNameOfCorruptRecord``: parse what
+parses, capture the raw text of what doesn't, and route it to a
+dead-letter sink for replay after the producer is fixed. These helpers
+package that split so every pipeline gets the same semantics.
+
+Implementation notes (the gotchas these helpers absorb):
+- the corrupt-record column must be APPENDED to the user schema before
+  the read — Spark only populates a corrupt column that exists in the
+  schema;
+- Spark refuses a filter that references ONLY the internal corrupt
+  column on a lazily-parsed frame (SPARK-38523: the parser would have
+  to re-run per subtree and could disagree with itself); the documented
+  fix is to materialize first, so the split caches the parsed frame —
+  call ``unpersist_hint.unpersist()`` (returned) when both sides have
+  been consumed;
+- a JSON line that parses but MISMATCHES the schema type-wise is also
+  corrupt under PERMISSIVE (the mis-typed field nulls out and the raw
+  line lands in the corrupt column) — the split therefore catches
+  schema drift, not just syntax errors.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+import pyspark.sql.functions as F
+import pyspark.sql.types as T
+
+#: name for the captured raw text of unparseable rows
+CORRUPT_COL = "_corrupt_record"
+
+
+def _dlq_split(parsed: DataFrame, data_cols: list[str]):
+    """(good, bad, unpersist_hint) from a PERMISSIVE parse carrying
+    CORRUPT_COL. input_file_name() is captured BEFORE the cache — on a
+    cached frame the scan is an InMemoryTableScan and the function
+    returns ''."""
+    parsed = parsed.withColumn("_src", F.input_file_name()).cache()
+    good = parsed.where(F.col(CORRUPT_COL).isNull()).select(*data_cols)
+    bad = parsed.where(F.col(CORRUPT_COL).isNotNull()).select(
+        F.col(CORRUPT_COL).alias("raw"), F.col("_src").alias("source")
+    )
+    return good, bad, parsed
+
+
+def read_json_dlq(
+    spark: SparkSession, path: str, schema: T.StructType
+):
+    """Schema-enforced JSONL read with a dead-letter split. Returns
+    ``(good, bad, unpersist_hint)``: `good` carries exactly the schema's
+    columns for rows that parsed AND type-checked; `bad` carries
+    (raw, source) for every line that didn't — syntactically broken or
+    schema-drifted — ready for a dead-letter sink and later replay."""
+    full = T.StructType(
+        list(schema.fields) + [T.StructField(CORRUPT_COL, T.StringType())]
+    )
+    parsed = (
+        spark.read.schema(full)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", CORRUPT_COL)
+        .json(path)
+    )
+    return _dlq_split(parsed, [f.name for f in schema.fields])
+
+
+def read_csv_dlq(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+    header: bool = True,
+    sep: str = ",",
+):
+    """The CSV twin of read_json_dlq: malformed lines (wrong arity,
+    unparseable types) land in `bad` with their raw text; `good` is
+    schema-clean."""
+    full = T.StructType(
+        list(schema.fields) + [T.StructField(CORRUPT_COL, T.StringType())]
+    )
+    parsed = (
+        spark.read.schema(full)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", CORRUPT_COL)
+        .option("header", str(header).lower())
+        .option("sep", sep)
+        .csv(path)
+    )
+    return _dlq_split(parsed, [f.name for f in schema.fields])
+
+
+def dlq_ingest_report(good: DataFrame, bad: DataFrame) -> DataFrame:
+    """One-row ingestion health verdict: row counts on both sides and
+    the bad share — the number an ingestion SLO alerts on."""
+    n_good = good.count()
+    n_bad = bad.count()
+    total = n_good + n_bad
+    spark = good.sparkSession
+    return spark.createDataFrame(
+        [
+            (
+                n_good,
+                n_bad,
+                round(n_bad / total, 6) if total else 0.0,
+            )
+        ],
+        "n_good long, n_bad long, bad_share double",
+    )
