@@ -67,3 +67,47 @@ def test_read_csv_dlq_wrong_arity_and_bad_types(spark, tmp_path):
     ]
     assert sorted(r["raw"] for r in bad.collect()) == ["2,b", "x,c,1.0"]
     hint.unpersist()
+
+
+def test_parse_json_dlq_cols_batch_and_stream(spark, tmp_path):
+    """Columnar split: typed rows parse, broken/drifted/null payloads
+    land in bad with their raw text — and the same expression runs
+    unchanged inside a Structured Streaming plan (foreachBatch sink)."""
+    rows = [
+        ('{"id": 1, "name": "a", "score": 0.5}',),
+        ("garbage",),
+        ('{"id": "x", "name": "c", "score": 1.0}',),
+        (None,),
+        ('{"id": 2, "name": "b", "score": 2.0}',),
+    ]
+    df = spark.createDataFrame(rows, "payload string")
+    good, bad = sources.parse_json_dlq_cols(df, "payload", SCHEMA)
+    assert sorted(map(tuple, good.collect())) == [
+        (1, "a", 0.5), (2, "b", 2.0),
+    ]
+    assert bad.count() == 3
+
+    # streaming: the same split inside readStream -> foreachBatch
+    src = tmp_path / "stream_in"
+    src.mkdir()
+    (src / "f1.jsonl").write_text(
+        '{"payload": "{\\"id\\": 7, \\"name\\": \\"s\\", \\"score\\": 9.0}"}\n'
+        '{"payload": "broken"}\n'
+    )
+    stream = (
+        spark.readStream.schema("payload string")
+        .json(str(src))
+    )
+    seen = {}
+
+    def sink(batch_df, batch_id):
+        g, b = sources.parse_json_dlq_cols(batch_df, "payload", SCHEMA)
+        seen["good"] = sorted(map(tuple, g.collect()))
+        seen["bad"] = b.count()
+
+    q = stream.writeStream.foreachBatch(sink).option(
+        "checkpointLocation", str(tmp_path / "ckpt")
+    ).trigger(availableNow=True).start()
+    q.awaitTermination(120)
+    assert seen["good"] == [(7, "s", 9.0)]
+    assert seen["bad"] == 1

@@ -91,6 +91,38 @@ def read_csv_dlq(
     return _dlq_split(parsed, [f.name for f in schema.fields])
 
 
+def parse_json_dlq_cols(
+    df: DataFrame, raw_col: str, schema: T.StructType
+):
+    """The COLUMNAR twin of read_json_dlq, for payloads that arrive as a
+    string column — Kafka values, event-log bodies, readStream frames.
+    Returns (good, bad): `good` carries the schema's columns for rows
+    whose payload parsed and type-checked, `bad` carries (raw,) for the
+    rest. Built on from_json in PERMISSIVE mode, which is a plain
+    expression: it composes into Structured Streaming plans unchanged
+    and carries none of the file-source corrupt-column caveats (no
+    cache needed — SPARK-38523 is specific to file-source parsing)."""
+    full = T.StructType(
+        list(schema.fields) + [T.StructField(CORRUPT_COL, T.StringType())]
+    )
+    parsed = df.withColumn(
+        "_p",
+        F.from_json(
+            F.col(raw_col),
+            full,
+            {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": CORRUPT_COL},
+        ),
+    )
+    # a NULL struct means the payload was so broken from_json bailed
+    # entirely (or the input was NULL) — that is a bad row too
+    is_bad = F.col(f"_p.{CORRUPT_COL}").isNotNull() | F.col("_p").isNull()
+    good = parsed.where(~is_bad).select(
+        *[F.col(f"_p.{f.name}").alias(f.name) for f in schema.fields]
+    )
+    bad = parsed.where(is_bad).select(F.col(raw_col).alias("raw"))
+    return good, bad
+
+
 def dlq_ingest_report(good: DataFrame, bad: DataFrame) -> DataFrame:
     """One-row ingestion health verdict: row counts on both sides and
     the bad share — the number an ingestion SLO alerts on."""
