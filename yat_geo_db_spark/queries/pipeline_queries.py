@@ -4584,6 +4584,63 @@ _PII_NOISY_EXPR = (
 )
 
 
+def q_src_json_dlq(spark, sf_dir):
+    """Dead-letter split on a deterministically-corrupted JSON payload
+    column (sources.parse_json_dlq_cols — the Kafka-value/readStream
+    ingestion shape): every doc becomes a to_json payload, every 7th is
+    truncated mid-payload and every 11th gets a mistyped id (schema
+    drift), then the PERMISSIVE split routes them. Output: per-source
+    good/bad counts plus the sum of parsed ids — so the oracle checks
+    WHICH rows parsed, not just how many. The corruption is planted
+    because the fixture corpus is clean (the pii_scrub precedent)."""
+    import pyspark.sql.types as T
+
+    from yat_geo_db_spark import sources
+
+    docs = load_table(spark, sf_dir, "documents")
+    payload = F.when(
+        F.col("doc_id") % 7 == 0,
+        # truncated upload: chop the closing brace and beyond
+        F.expr("substring(to_json(struct(doc_id, lang)), 1, 12)"),
+    ).when(
+        F.col("doc_id") % 11 == 0,
+        # schema drift: id arrives as a non-numeric string
+        F.concat(
+            F.lit('{"doc_id": "x'),
+            F.col("doc_id").cast("string"),
+            F.lit('", "lang": "zz"}'),
+        ),
+    ).otherwise(F.expr("to_json(struct(doc_id, lang))"))
+    frame = docs.select("source", payload.alias("payload"))
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("lang", T.StringType()),
+        ]
+    )
+    good, bad = sources.parse_json_dlq_cols(frame, "payload", schema)
+    g = good.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_good"),
+        F.sum("doc_id").alias("id_sum"),
+    )
+    b = F.broadcast(bad.agg(F.count(F.lit(1)).alias("n_bad")))
+    return g.crossJoin(b).select("lang", "n_good", "id_sum", "n_bad")
+
+
+_SRC_JSON_DLQ_SQL = """
+WITH flags AS (
+  SELECT doc_id, lang,
+         (doc_id % 7 = 0 OR doc_id % 11 = 0) AS is_bad
+  FROM documents
+),
+b AS (SELECT count(*) AS n_bad FROM flags WHERE is_bad)
+SELECT lang, count(*) AS n_good,
+       CAST(sum(doc_id) AS BIGINT) AS id_sum,
+       (SELECT n_bad FROM b) AS n_bad
+FROM flags WHERE NOT is_bad GROUP BY lang
+"""
+
+
 def q_pii_scrub(spark, sf_dir):
     """Typed PII scrub (email/card/SSN/IP/phone → placeholders, per-type
     counts) over deterministically-injected PII — same synthesis trick as
@@ -5816,6 +5873,7 @@ FROM base b LEFT JOIN stats st ON b.label = st.label
 
 QUERIES: dict = {
     "pipe_pii_scrub": (q_pii_scrub, _pii_scrub_sql()),
+    "pipe_src_json_dlq": (q_src_json_dlq, _SRC_JSON_DLQ_SQL),
     "pipe_emb_centroids": (q_emb_centroids, _emb_centroids_sql()),
     "pipe_emb_drift": (q_emb_drift, _emb_drift_sql()),
     "pipe_html_extract": (q_html_extract, _html_extract_sql()),
