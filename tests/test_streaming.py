@@ -1258,3 +1258,62 @@ def test_compact_histogram_rollup_preserves_quantiles(spark, tmp_path):
     sink(spark.createDataFrame(rows1, "g string, v double"), 1)  # replay
     assert glob.glob(f"{root}/batch_id=*") == []
     assert snap() == want
+
+
+def test_sink_replay_losing_race_to_compaction_self_deletes(
+    spark, tmp_path, monkeypatch
+):
+    """TOCTOU closure: a replayed batch whose marker gate passed BEFORE
+    a concurrent compaction committed must not double-count — its
+    post-write re-check self-deletes the recreated dir, and in the
+    window before that delete, readers and the next compaction both
+    ignore dirs at or below `through`."""
+    import glob
+
+    from yat_geo_db_spark.streaming import sinks
+    from yat_geo_db_spark.streaming.sinks import (
+        batch_partitioned_parquet_sink, compact_rollup, read_rollup,
+        rollup_maintenance_sink,
+    )
+
+    kw = dict(key_cols=["k"], sum_cols=["v"], scale=2)
+    root = str(tmp_path / "rollup")
+    sink = rollup_maintenance_sink(root, **kw)
+    b0 = spark.createDataFrame([("a", 1.0)], "k string, v double")
+    b1 = spark.createDataFrame([("b", 2.0)], "k string, v double")
+    sink(b0, 0)
+    sink(b1, 1)
+
+    def snap():
+        return sorted(map(tuple, read_rollup(spark, root, **kw).collect()))
+
+    want = snap()
+    compact_rollup(spark, root, **kw)  # through = 1
+
+    # replay of batch 1 that read the marker BEFORE the commit: first
+    # _compacted_through call (the gate) sees the stale pre-commit
+    # value, the second (the post-write re-check) sees the real one
+    real = sinks._compacted_through
+    calls = {"n": 0}
+
+    def stale_then_real(spark_, root_):
+        calls["n"] += 1
+        return -1 if calls["n"] == 1 else real(spark_, root_)
+
+    monkeypatch.setattr(sinks, "_compacted_through", stale_then_real)
+    sink(b1, 1)
+    monkeypatch.undo()
+    assert calls["n"] >= 2  # gate passed, re-check fired
+    assert glob.glob(f"{root}/batch_id=*") == []  # self-deleted
+    assert snap() == want
+
+    # reader/compactor exclusion in the pre-delete window: plant a
+    # stale dir (id <= through) and assert it is invisible and never
+    # re-folded
+    batch_partitioned_parquet_sink(root)(b1, 1)
+    assert glob.glob(f"{root}/batch_id=*") != []
+    assert snap() == want
+    compact_rollup(spark, root, **kw)
+    assert snap() == want
+    # the stale dir was not folded (same generation, no re-fold)
+    assert glob.glob(f"{root}/_compacted_g*") == [f"{root}/_compacted_g1"]

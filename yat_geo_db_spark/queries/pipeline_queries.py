@@ -2889,14 +2889,23 @@ def _text_bpe_sql(n_merges: int = 8) -> str:
     prev = "s0"
     for k in range(1, n_merges + 1):
         ctes.append(
+            # always exactly ONE row: if the vocabulary fully collapses
+            # before round k (no adjacent pairs left — Spark's
+            # bpe_train breaks early), fall back to a sentinel ('','')
+            # that can never match a symbol, so s{k} = s{k-1} and the
+            # remaining rounds are no-ops exactly like the early break.
+            # A bare LIMIT 1 over zero rows would make p{k} EMPTY and
+            # the CROSS JOIN in s{k} would silently wipe the state.
             f"""p{k} AS MATERIALIZED (
-  SELECT pl, pr FROM (
-    SELECT l AS pl, r AS pr, sum(freq) AS cnt FROM (
-      SELECT freq, unnest(syms[1:len(syms)-1]) AS l,
-             unnest(syms[2:len(syms)]) AS r
-      FROM {prev} WHERE len(syms) > 1
-    ) GROUP BY l, r
-  ) ORDER BY cnt DESC, pl, pr LIMIT 1
+  SELECT coalesce(max(pl), '') AS pl, coalesce(max(pr), '') AS pr FROM (
+    SELECT pl, pr FROM (
+      SELECT l AS pl, r AS pr, sum(freq) AS cnt FROM (
+        SELECT freq, unnest(syms[1:len(syms)-1]) AS l,
+               unnest(syms[2:len(syms)]) AS r
+        FROM {prev} WHERE len(syms) > 1
+      ) GROUP BY l, r
+    ) ORDER BY cnt DESC, pl, pr LIMIT 1
+  )
 )"""
         )
         ctes.append(
@@ -4589,10 +4598,11 @@ def q_src_json_dlq(spark, sf_dir):
     column (sources.parse_json_dlq_cols — the Kafka-value/readStream
     ingestion shape): every doc becomes a to_json payload, every 7th is
     truncated mid-payload and every 11th gets a mistyped id (schema
-    drift), then the PERMISSIVE split routes them. Output: per-source
-    good/bad counts plus the sum of parsed ids — so the oracle checks
-    WHICH rows parsed, not just how many. The corruption is planted
-    because the fixture corpus is clean (the pii_scrub precedent)."""
+    drift), then the PERMISSIVE split routes them. Output: per-LANG
+    good counts plus the sum of parsed ids and the bad total — so the
+    oracle checks WHICH rows parsed, not just how many. The corruption
+    is planted because the fixture corpus is clean (the pii_scrub
+    precedent)."""
     import pyspark.sql.types as T
 
     from yat_geo_db_spark import sources
@@ -4611,7 +4621,7 @@ def q_src_json_dlq(spark, sf_dir):
             F.lit('", "lang": "zz"}'),
         ),
     ).otherwise(F.expr("to_json(struct(doc_id, lang))"))
-    frame = docs.select("source", payload.alias("payload"))
+    frame = docs.select(payload.alias("payload"))
     schema = T.StructType(
         [
             T.StructField("doc_id", T.LongType()),

@@ -244,6 +244,25 @@ def bloom_pruned_point_read(
     return spark.read.parquet(*files).filter(F.col(col) == F.lit(value))
 
 
+def _parquet_file_sizes(spark, path: str) -> dict[str, int]:
+    """{basename: size_bytes} for every .parquet file under `path`
+    (recursive, Hadoop FileSystem API) — the single listing shared by
+    small_file_report and compact_small_files so suffix handling can
+    never diverge between the diagnostic and the action."""
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    fs_path = jvm.org.apache.hadoop.fs.Path(path)
+    fs = fs_path.getFileSystem(conf)
+    sizes: dict[str, int] = {}
+    it = fs.listFiles(fs_path, True)
+    while it.hasNext():
+        st = it.next()
+        p = st.getPath().toString()
+        if p.endswith(".parquet"):
+            sizes[p.rsplit("/", 1)[-1]] = st.getLen()
+    return sizes
+
+
 def small_file_report(spark, path: str, target_mb: int = 128) -> DataFrame:
     """Small-file health check for a parquet directory — the scan-cost
     diagnostic behind every compaction decision (a 100 TB table in 4 MB
@@ -267,17 +286,7 @@ def small_file_report(spark, path: str, target_mb: int = 128) -> DataFrame:
         .groupBy("file")
         .agg(F.count(F.lit(1)).alias("n_rows"))
     )
-    jvm = spark._jvm
-    conf = spark._jsc.hadoopConfiguration()
-    fs_path = jvm.org.apache.hadoop.fs.Path(path)
-    fs = fs_path.getFileSystem(conf)
-    sizes = {}
-    it = fs.listFiles(fs_path, True)
-    while it.hasNext():
-        st = it.next()
-        p = st.getPath().toString()
-        if p.endswith(".parquet"):
-            sizes[p.rsplit("/", 1)[-1]] = st.getLen()
+    sizes = _parquet_file_sizes(spark, path)
     size_df = F.broadcast(
         spark.createDataFrame(
             list(sizes.items()), "file string, size_bytes long"
@@ -341,16 +350,8 @@ def compact_small_files(
     it rebalances pathological file-size skew instead of coalescing
     neighbors into whatever uneven partitions the scan produced.
     Retire old versions afterwards with vacuum_versions."""
-    jvm = spark._jvm
-    conf = spark._jsc.hadoopConfiguration()
-    fs_path = jvm.org.apache.hadoop.fs.Path(path)
-    fs = fs_path.getFileSystem(conf)
-    total = 0
-    it = fs.listFiles(fs_path, True)
-    while it.hasNext():
-        st = it.next()
-        if st.getPath().toString().endswith(".parquet"):
-            total += st.getLen()
+    total = sum(_parquet_file_sizes(spark, path).values())
+    # same ceil(total / target) as compaction_advice's recommended_files
     n_files = max(1, -(-total // (target_mb * 1024 * 1024)))
     return versioned_write(
         spark.read.parquet(path).repartition(int(n_files)), dest_root

@@ -219,6 +219,15 @@ def _rollup_state_paths(spark, root: str) -> list[str]:
         for n in sorted(names)
         if n.startswith("batch_id=")
         and n not in pend
+        # a batch dir at or below `through` is a STALE REPLAY — a sink
+        # that passed its marker gate just before a compaction commit
+        # and recreated a dir whose rows already live in the committed
+        # generation (the sink self-deletes it right after; see
+        # _gated_batch_writer). Counting it would double. Exempt the
+        # legacy batch_id=-1 compacted dir: it IS prior state, not a
+        # batch.
+        and (int(n.split("=", 1)[1]) == -1
+             or int(n.split("=", 1)[1]) > through)
         # skip dirs whose write is still in flight (no _SUCCESS yet):
         # reading one would fail on schema inference or see a partial
         # batch; it becomes visible on the next read, like any batch
@@ -228,6 +237,35 @@ def _rollup_state_paths(spark, root: str) -> list[str]:
     if not paths:
         raise FileNotFoundError(f"no rollup state under {root}")
     return paths
+
+
+def _gated_batch_writer(root: str, build):
+    """The replay-safe per-batch write protocol shared by the
+    maintenance sinks: gate on the marker, write the state dir, then
+    RE-CHECK the marker and self-delete if a compaction committed this
+    batch id in between. The pre-write gate alone has a TOCTOU hole —
+    a replayed batch can read `through = id-1`, a concurrent
+    compaction then commits `through = id` (having folded the OLD
+    dir), and the late write recreates a dir whose rows already live
+    in the committed generation. The post-write re-check closes it:
+    whichever order the marker commit and this write land in, a dir at
+    or below `through` is ignored by readers and by the next
+    compaction (both filter `id <= through`) and is deleted HERE.
+    `build(batch_df)` maps the micro-batch to its state frame."""
+    inner = batch_partitioned_parquet_sink(root)
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        if batch_id <= _compacted_through(spark, root):
+            return
+        inner(build(batch_df), batch_id)
+        if batch_id <= _compacted_through(spark, root):
+            # lost the race against a concurrent compaction: this
+            # batch's rows are already in the committed generation
+            fsio.delete(spark, f"{root}/batch_id={batch_id}",
+                        recursive=True)
+
+    return write_batch
 
 
 def rollup_maintenance_sink(
@@ -257,18 +295,13 @@ def rollup_maintenance_sink(
     (run it on whatever cadence keeps reader-side merge cheap)."""
     from yat_geo_db_spark.relational.merge import partial_aggregate
 
-    inner = batch_partitioned_parquet_sink(root)
-
-    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_id <= _compacted_through(batch_df.sparkSession, root):
-            return
-        state = partial_aggregate(
+    return _gated_batch_writer(
+        root,
+        lambda batch_df: partial_aggregate(
             batch_df, key_cols, sum_cols=sum_cols, min_cols=min_cols,
             max_cols=max_cols, scale=scale,
-        )
-        inner(state, batch_id)
-
-    return write_batch
+        ),
+    )
 
 
 def read_rollup(
@@ -378,7 +411,14 @@ def _compact_generational(spark, root: str, fold) -> None:
     # flight would set through=3 and make 2's replay a no-op). Skipped
     # dirs simply fold next time.
     names = []
-    for _bid, n in listed:
+    for bid, n in listed:
+        if bid != -1 and bid <= through:
+            # stale replay of an already-folded batch id (the sink's
+            # post-write re-check self-deletes it; see
+            # _gated_batch_writer): its rows already live in the
+            # generation — never fold it, never let it stall the
+            # watermark. (-1 is the legacy compacted dir, real state.)
+            continue
         if not fsio.exists(spark, f"{root}/{n}/_SUCCESS"):
             break
         names.append(n)
@@ -427,11 +467,7 @@ def heavy_hitter_sink(
     longs) + O(distinct keys in batch) candidate rows — the key column
     must be low-cardinality-probe-able (event types, domains), which is
     exactly the heavy-hitter use case."""
-    inner = batch_partitioned_parquet_sink(root)
-
-    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_id <= _compacted_through(batch_df.sparkSession, root):
-            return
+    def build(batch_df: DataFrame) -> DataFrame:
         # sketch over the STRING-cast key: the reader probes with Python
         # strings (UTF-8 byte hashing) — an integer-typed key would add
         # via addLong and never match a string probe
@@ -447,9 +483,9 @@ def heavy_hitter_sink(
             .distinct()
             .select("key", F.lit(None).cast("binary").alias("sk"))
         )
-        inner(sk.unionByName(keys), batch_id)
+        return sk.unionByName(keys)
 
-    return write_batch
+    return _gated_batch_writer(root, build)
 
 
 def compact_heavy_hitters(spark, root: str) -> None:
@@ -550,19 +586,12 @@ def histogram_rollup_sink(
     rollup_maintenance_sink."""
     from yat_geo_db_spark.relational.merge import histogram_state
 
-    inner = batch_partitioned_parquet_sink(root)
-
-    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_id <= _compacted_through(batch_df.sparkSession, root):
-            return
-        inner(
-            histogram_state(
-                batch_df, key_cols, value_col, lo, hi, n_bins
-            ),
-            batch_id,
-        )
-
-    return write_batch
+    return _gated_batch_writer(
+        root,
+        lambda batch_df: histogram_state(
+            batch_df, key_cols, value_col, lo, hi, n_bins
+        ),
+    )
 
 
 def read_histogram_quantiles(
