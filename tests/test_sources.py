@@ -108,6 +108,6 @@ def test_parse_json_dlq_cols_batch_and_stream(spark, tmp_path):
     q = stream.writeStream.foreachBatch(sink).option(
         "checkpointLocation", str(tmp_path / "ckpt")
     ).trigger(availableNow=True).start()
-    q.awaitTermination(120)
+    assert q.awaitTermination(120)  # False = timeout, not an exception
     assert seen["good"] == [(7, "s", 9.0)]
     assert seen["bad"] == 1

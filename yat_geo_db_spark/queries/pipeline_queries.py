@@ -4610,8 +4610,10 @@ def q_src_json_dlq(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     payload = F.when(
         F.col("doc_id") % 7 == 0,
-        # truncated upload: chop the closing brace and beyond
-        F.expr("substring(to_json(struct(doc_id, lang)), 1, 12)"),
+        # truncated upload: 11 chars is ALWAYS mid-object (the shortest
+        # complete to_json output is 12 chars even when null fields are
+        # omitted), so the payload can never accidentally be valid JSON
+        F.expr("substring(to_json(struct(doc_id, lang)), 1, 11)"),
     ).when(
         F.col("doc_id") % 11 == 0,
         # schema drift: id arrives as a non-numeric string
@@ -4640,7 +4642,10 @@ def q_src_json_dlq(spark, sf_dir):
 _SRC_JSON_DLQ_SQL = """
 WITH flags AS (
   SELECT doc_id, lang,
-         (doc_id % 7 = 0 OR doc_id % 11 = 0) AS is_bad
+         -- coalesce: a NULL doc_id takes neither corruption branch on
+         -- the Spark side (both when() predicates are NULL) and parses
+         -- good — NULL here must mean good too, not row-dropped
+         coalesce(doc_id % 7 = 0 OR doc_id % 11 = 0, false) AS is_bad
   FROM documents
 ),
 b AS (SELECT count(*) AS n_bad FROM flags WHERE is_bad)

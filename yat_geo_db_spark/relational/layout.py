@@ -245,10 +245,12 @@ def bloom_pruned_point_read(
 
 
 def _parquet_file_sizes(spark, path: str) -> dict[str, int]:
-    """{basename: size_bytes} for every .parquet file under `path`
+    """{full_path: size_bytes} for every .parquet file under `path`
     (recursive, Hadoop FileSystem API) — the single listing shared by
     small_file_report and compact_small_files so suffix handling can
-    never diverge between the diagnostic and the action."""
+    never diverge between the diagnostic and the action. Keys are FULL
+    paths: basenames can collide across nested subdirectories, which
+    would silently undercount totals."""
     jvm = spark._jvm
     conf = spark._jsc.hadoopConfiguration()
     fs_path = jvm.org.apache.hadoop.fs.Path(path)
@@ -259,7 +261,7 @@ def _parquet_file_sizes(spark, path: str) -> dict[str, int]:
         st = it.next()
         p = st.getPath().toString()
         if p.endswith(".parquet"):
-            sizes[p.rsplit("/", 1)[-1]] = st.getLen()
+            sizes[p] = st.getLen()
     return sizes
 
 
@@ -286,7 +288,10 @@ def small_file_report(spark, path: str, target_mb: int = 128) -> DataFrame:
         .groupBy("file")
         .agg(F.count(F.lit(1)).alias("n_rows"))
     )
-    sizes = _parquet_file_sizes(spark, path)
+    sizes = {
+        p.rsplit("/", 1)[-1]: n
+        for p, n in _parquet_file_sizes(spark, path).items()
+    }
     size_df = F.broadcast(
         spark.createDataFrame(
             list(sizes.items()), "file string, size_bytes long"
@@ -351,6 +356,8 @@ def compact_small_files(
     neighbors into whatever uneven partitions the scan produced.
     Retire old versions afterwards with vacuum_versions."""
     total = sum(_parquet_file_sizes(spark, path).values())
+    if total == 0:
+        raise ValueError(f"nothing to compact: no parquet files under {path!r}")
     # same ceil(total / target) as compaction_advice's recommended_files
     n_files = max(1, -(-total // (target_mb * 1024 * 1024)))
     return versioned_write(

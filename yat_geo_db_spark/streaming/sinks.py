@@ -214,26 +214,25 @@ def _rollup_state_paths(spark, root: str) -> list[str]:
     gen_name = f"{_GEN_PREFIX}{gen}"
     if gen >= 1 and gen_name in names:
         paths.append(f"{root}/{gen_name}")
-    paths.extend(
-        f"{root}/{n}"
-        for n in sorted(names)
-        if n.startswith("batch_id=")
-        and n not in pend
+    for n in sorted(names):
+        if not n.startswith("batch_id=") or n in pend:
+            continue
+        bid = _batch_dir_id(n)
         # a batch dir at or below `through` is a STALE REPLAY — a sink
         # that passed its marker gate just before a compaction commit
         # and recreated a dir whose rows already live in the committed
         # generation (the sink self-deletes it right after; see
         # _gated_batch_writer). Counting it would double. Exempt the
         # legacy batch_id=-1 compacted dir: it IS prior state, not a
-        # batch.
-        and (int(n.split("=", 1)[1]) == -1
-             or int(n.split("=", 1)[1]) > through)
+        # batch. Non-numeric suffixes (manual backups) are ignored.
+        if bid is None or (bid != -1 and bid <= through):
+            continue
         # skip dirs whose write is still in flight (no _SUCCESS yet):
         # reading one would fail on schema inference or see a partial
         # batch; it becomes visible on the next read, like any batch
         # that had not landed yet
-        and fsio.exists(spark, f"{root}/{n}/_SUCCESS")
-    )
+        if fsio.exists(spark, f"{root}/{n}/_SUCCESS"):
+            paths.append(f"{root}/{n}")
     if not paths:
         raise FileNotFoundError(f"no rollup state under {root}")
     return paths
@@ -251,12 +250,27 @@ def _gated_batch_writer(root: str, build):
     whichever order the marker commit and this write land in, a dir at
     or below `through` is ignored by readers and by the next
     compaction (both filter `id <= through`) and is deleted HERE.
-    `build(batch_df)` maps the micro-batch to its state frame."""
+    `build(batch_df)` maps the micro-batch to its state frame.
+
+    Residual caveat (documented, not fully closed): the protocol
+    serializes ORDERINGS of marker commit vs write, but a replayed
+    write physically OVERLAPPING a compaction's file listing of the
+    same dir (the replay re-overwrites a completed dir the fold just
+    snapshotted) can still expose a mid-commit directory to the fold's
+    read. Run compaction from the stream's own maintenance cadence
+    (the foreachBatch thread — the standard deployment), where batch
+    writes and compaction naturally serialize; a fully external
+    compactor should pause the stream or accept that window."""
     inner = batch_partitioned_parquet_sink(root)
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         if batch_id <= _compacted_through(spark, root):
+            # also resume a CRASHED self-delete (below): a leftover
+            # stale dir is invisible to readers/compaction and nothing
+            # else would ever reclaim it
+            fsio.delete(spark, f"{root}/batch_id={batch_id}",
+                        recursive=True)
             return
         inner(build(batch_df), batch_id)
         if batch_id <= _compacted_through(spark, root):
@@ -266,6 +280,16 @@ def _gated_batch_writer(root: str, build):
                         recursive=True)
 
     return write_batch
+
+
+def _batch_dir_id(name: str) -> int | None:
+    """batch_id= dir name → its integer id, or None for non-batch dirs
+    (manual backups like 'batch_id=3.bak' must degrade to 'ignored',
+    not crash every reader)."""
+    try:
+        return int(name.split("=", 1)[1])
+    except ValueError:
+        return None
 
 
 def rollup_maintenance_sink(
@@ -398,9 +422,11 @@ def _compact_generational(spark, root: str, fold) -> None:
             fsio.delete(spark, f"{root}/{n}", recursive=True)
         _write_marker(spark, root, through, gen, [])
     listed = sorted(
-        (int(n.split("=", 1)[1]), n)
+        (bid, n)
         for n in fsio.list_dir_names(spark, root)
         if n.startswith("batch_id=")
+        # non-numeric suffixes (manual backups) are not batch dirs
+        and (bid := _batch_dir_id(n)) is not None
     )
     # fold ONLY completed writes (dir has _SUCCESS): a dir can exist
     # while its foreachBatch job is still committing part-files, and
