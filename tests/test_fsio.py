@@ -206,3 +206,36 @@ def test_compact_small_files_republishes_versioned(spark, tmp_path):
     # recompaction publishes the NEXT version, never mutates v=0
     assert compact_small_files(spark, src, dest) == 1
     assert read_version(spark, dest, 0).count() == 64
+
+
+def test_read_bytes_raw_and_trailing_newline(spark, tmp_path):
+    """read_bytes is byte-exact (no line-join normalization): a payload
+    ending in a newline round-trips — the ADVICE r8 latent bug where
+    write_text_atomic's fallback verify compared via read_text (which
+    drops a trailing newline) and would spuriously report an
+    already-committed marker as unknown."""
+    p = str(tmp_path / "m")
+    fsio.write_text_atomic(spark, p, "a=1\nb=2\n")
+    assert fsio.read_bytes(spark, p) == b"a=1\nb=2\n"
+    # read_text still normalizes (documented) — the verify must NOT
+    assert fsio.read_text(spark, p) == "a=1\nb=2"
+    assert fsio.read_bytes(spark, str(tmp_path / "nope")) is None
+
+
+def test_list_data_files_snapshot(spark, tmp_path):
+    """list_data_files: data files + _SUCCESS from ONE listing; hidden
+    names and subdirectories excluded; absent dir -> ([], False)."""
+    import os
+
+    d = str(tmp_path / "t")
+    spark.range(4).coalesce(2).write.parquet(d)
+    files, ok = fsio.list_data_files(spark, d)
+    assert ok and len(files) >= 1
+    assert all(f.endswith(".parquet") for f in files)
+    assert all(not f.startswith(("_", ".")) for f in files)
+    assert files == sorted(files)
+    # in-flight shape: no _SUCCESS, _temporary subdir only
+    d2 = str(tmp_path / "inflight")
+    os.makedirs(f"{d2}/_temporary")
+    assert fsio.list_data_files(spark, d2) == ([], False)
+    assert fsio.list_data_files(spark, str(tmp_path / "nope")) == ([], False)

@@ -19,6 +19,25 @@ from yat_geo_db_spark.testdata import load_table
 SF = "/root/testdata/sf0.001"
 
 
+def _gen_dirs(root: str) -> list[str]:
+    """Basenames of the compacted-generation dirs under a sink root.
+    Generation dirs carry a unique per-run suffix
+    (``_compacted_g<gen>-<token>``), so tests assert on the
+    ``_compacted_g<gen>-`` prefix instead of exact names."""
+    import glob
+    import os
+
+    return sorted(
+        os.path.basename(d) for d in glob.glob(f"{root}/_compacted_g*")
+    )
+
+
+def _assert_single_gen(root: str, gen: int) -> str:
+    dirs = _gen_dirs(root)
+    assert len(dirs) == 1 and dirs[0].startswith(f"_compacted_g{gen}-"), dirs
+    return dirs[0]
+
+
 def _events_source(spark, tmp_path):
     events = load_table(spark, SF, "events")
     src = str(tmp_path / "events_src")
@@ -594,7 +613,7 @@ def test_streaming_rollup_maintenance_equals_batch(spark, tmp_path):
     # every batch dir, and preserves the value
     compact_rollup(spark, root, **kw)
     assert glob.glob(f"{root}/batch_id=*") == []
-    assert glob.glob(f"{root}/_compacted_g*") == [f"{root}/_compacted_g1"]
+    _assert_single_gen(root, 1)
     assert snap(read_rollup(spark, root, **kw)) == want
 
     # replay AFTER compaction: the _compacted_through marker makes
@@ -608,7 +627,7 @@ def test_streaming_rollup_maintenance_equals_batch(spark, tmp_path):
     # a second compaction of an already-compacted root is a no-op
     # (no batch dirs to fold — the generation stays put)
     compact_rollup(spark, root, **kw)
-    assert glob.glob(f"{root}/_compacted_g*") == [f"{root}/_compacted_g1"]
+    _assert_single_gen(root, 1)
     assert snap(read_rollup(spark, root, **kw)) == want
 
 
@@ -648,10 +667,10 @@ def test_compact_rollup_crash_windows_no_double_count(
     # list blows up AFTER the new generation dir has been written
     real_write = sinks._write_marker
 
-    def crash_on_commit(spark_, root_, through, gen, pending):
+    def crash_on_commit(spark_, root_, through, gen, pending, gendir=None):
         if pending:
             raise RuntimeError("injected crash before marker commit")
-        real_write(spark_, root_, through, gen, pending)
+        real_write(spark_, root_, through, gen, pending, gendir)
 
     monkeypatch.setattr(sinks, "_write_marker", crash_on_commit)
     with pytest.raises(RuntimeError, match="injected crash"):
@@ -659,7 +678,7 @@ def test_compact_rollup_crash_windows_no_double_count(
     monkeypatch.setattr(sinks, "_write_marker", real_write)
     # orphan generation exists but is uncommitted: readers still fold
     # the live batch dirs — same value, no double count
-    assert glob.glob(f"{root}/_compacted_g*") == [f"{root}/_compacted_g1"]
+    _assert_single_gen(root, 1)
     assert glob.glob(f"{root}/batch_id=*") != []
     assert snap() == want
 
@@ -682,13 +701,13 @@ def test_compact_rollup_crash_windows_no_double_count(
     # gen 2 is committed; the folded dirs are still on disk but the
     # marker's pending list excludes them from reads — no double count
     assert glob.glob(f"{root}/batch_id=*") != []
-    assert glob.glob(f"{root}/_compacted_g1") == [f"{root}/_compacted_g1"]
+    assert any(d.startswith("_compacted_g1-") for d in _gen_dirs(root))
     assert snap() == want2
 
     # rerun resumes the crashed cleanup, then has nothing to fold
     compact_rollup(spark, root, **kw)
     assert glob.glob(f"{root}/batch_id=*") == []
-    assert glob.glob(f"{root}/_compacted_g*") == [f"{root}/_compacted_g2"]
+    _assert_single_gen(root, 2)
     assert snap() == want2
 
     # (c) replay of an already-folded batch id: no-op (no dir reborn)
@@ -727,7 +746,7 @@ def test_rollup_marker_legacy_and_corrupt(spark, tmp_path):
     shutil.move(f"{root}/batch_id=0", f"{root}/batch_id=-1")
     with open(f"{root}/_compacted_through", "w") as fh:
         fh.write("0")
-    assert _read_marker(spark, root) == (0, 0, [])
+    assert _read_marker(spark, root) == (0, 0, [], "_compacted_g0")
     assert snap() == want
     sink(b0, 0)  # replay of folded batch: gated by the legacy marker
     assert snap() == want
@@ -738,7 +757,7 @@ def test_rollup_marker_legacy_and_corrupt(spark, tmp_path):
     import glob
 
     assert glob.glob(f"{root}/batch_id=*") == []
-    assert glob.glob(f"{root}/_compacted_g*") == [f"{root}/_compacted_g1"]
+    _assert_single_gen(root, 1)
     assert snap() == want2
 
     # corrupt marker CONTENT: loud failure, not silent -1 (written via
@@ -1205,7 +1224,7 @@ def test_compact_heavy_hitters_preserves_estimates(spark, tmp_path):
 
     compact_heavy_hitters(spark, root)
     assert glob.glob(f"{root}/batch_id=*") == []
-    assert glob.glob(f"{root}/_compacted_g*") == [f"{root}/_compacted_g1"]
+    _assert_single_gen(root, 1)
     assert snap() == want
 
     sink(b1, 1)  # replay of a folded batch: gated, no double count
@@ -1217,7 +1236,7 @@ def test_compact_heavy_hitters_preserves_estimates(spark, tmp_path):
     assert got["c"] >= 14
     # second compaction folds the new batch into generation 2
     compact_heavy_hitters(spark, root)
-    assert glob.glob(f"{root}/_compacted_g*") == [f"{root}/_compacted_g2"]
+    _assert_single_gen(root, 2)
     assert dict(snap()) == got
 
 
@@ -1316,4 +1335,209 @@ def test_sink_replay_losing_race_to_compaction_self_deletes(
     compact_rollup(spark, root, **kw)
     assert snap() == want
     # the stale dir was not folded (same generation, no re-fold)
-    assert glob.glob(f"{root}/_compacted_g*") == [f"{root}/_compacted_g1"]
+    _assert_single_gen(root, 1)
+
+
+def test_compaction_interleaved_with_replay_stress(spark, tmp_path):
+    """VERDICT r8 task 1: a replayed batch write physically overlapping
+    an externally-driven compaction must never corrupt counts. The fold
+    reads a concrete part-file snapshot and re-validates it before the
+    marker commit, so an overlapping overwrite makes THAT compaction
+    abort/fail loudly and retry — the merged value stays exact through
+    any interleaving. A replayer thread hammers the highest batch id
+    while the main thread compacts in a loop; after quiescence the
+    rollup equals the one-shot batch aggregate bit-for-bit."""
+    import threading
+    import time
+
+    from yat_geo_db_spark.relational.merge import partial_aggregate
+    from yat_geo_db_spark.streaming.sinks import (
+        compact_rollup, read_rollup, rollup_maintenance_sink,
+    )
+
+    kw = dict(key_cols=["k"], sum_cols=["v"], scale=2)
+    root = str(tmp_path / "rollup")
+    sink = rollup_maintenance_sink(root, **kw)
+    batches = {
+        bid: spark.createDataFrame(
+            [(f"k{i % 3}", float(bid * 10 + i)) for i in range(12)],
+            "k string, v double",
+        )
+        for bid in range(6)
+    }
+    for bid, df in batches.items():
+        sink(df, bid)
+
+    union = batches[0]
+    for bid in range(1, 6):
+        union = union.unionByName(batches[bid])
+    want = sorted(map(tuple, partial_aggregate(union, **kw).collect()))
+
+    stop = threading.Event()
+    replays = {"n": 0, "errs": 0}
+
+    def replayer():
+        # an at-least-once source redelivering batch 5 over and over;
+        # a write that loses a physical race (its dir deleted under it
+        # by compaction cleanup) is retried by the engine — modeled by
+        # swallowing the error and looping
+        while not stop.is_set():
+            try:
+                sink(batches[5], 5)
+                replays["n"] += 1
+            except Exception:
+                replays["errs"] += 1
+
+    t = threading.Thread(target=replayer)
+    t.start()
+    aborted = 0
+    try:
+        deadline = time.time() + 60
+        compactions = 0
+        while compactions < 4 and time.time() < deadline:
+            try:
+                compact_rollup(spark, root, **kw)
+                compactions += 1
+            except Exception:
+                # the documented loud-abort path (snapshot invalidated
+                # by the replayed overwrite) — retry, never corrupt
+                aborted += 1
+    finally:
+        stop.set()
+        t.join()
+
+    assert replays["n"] >= 1
+    # quiesce: replay once more (no-op if folded), then compact cleanly
+    sink(batches[5], 5)
+    compact_rollup(spark, root, **kw)
+    got = sorted(map(tuple, read_rollup(spark, root, **kw).collect()))
+    assert got == want
+
+
+def test_concurrent_compactor_loses_and_aborts(spark, tmp_path, monkeypatch):
+    """Two compactors racing from the same generation: the slower one
+    must detect the moved marker at its pre-commit re-check, delete its
+    own (uniquely-named, never-published) output dir, and raise —
+    leaving exactly the faster one's committed generation and exact
+    counts."""
+    from yat_geo_db_spark.streaming import sinks
+    from yat_geo_db_spark.streaming.sinks import (
+        compact_rollup, read_rollup, rollup_maintenance_sink,
+    )
+
+    kw = dict(key_cols=["k"], sum_cols=["v"], scale=2)
+    root = str(tmp_path / "rollup")
+    sink = rollup_maintenance_sink(root, **kw)
+    sink(spark.createDataFrame([("a", 1.0)], "k string, v double"), 0)
+    sink(spark.createDataFrame([("b", 2.0)], "k string, v double"), 1)
+
+    def snap():
+        return sorted(map(tuple, read_rollup(spark, root, **kw).collect()))
+
+    want = snap()
+
+    # the "slower" compactor: a faster one commits right after this
+    # one snapshots the marker (injected on its SECOND marker read,
+    # i.e. the pre-commit re-check)
+    real_read = sinks._read_marker
+    state = {"n": 0, "raced": False}
+
+    def racing_read(spark_, root_):
+        state["n"] += 1
+        if state["n"] == 2 and not state["raced"]:
+            state["raced"] = True
+            monkeypatch.setattr(sinks, "_read_marker", real_read)
+            compact_rollup(spark_, root_, **kw)  # the fast compactor
+            monkeypatch.setattr(sinks, "_read_marker", racing_read)
+        return real_read(spark_, root_)
+
+    monkeypatch.setattr(sinks, "_read_marker", racing_read)
+    with pytest.raises(RuntimeError, match="concurrent compaction"):
+        compact_rollup(spark, root, **kw)
+    monkeypatch.undo()
+
+    # exactly the winner's generation survives; the loser's orphan is
+    # gone; counts exact
+    _assert_single_gen(root, 1)
+    assert snap() == want
+
+
+def test_fold_input_overwritten_mid_fold_aborts(spark, tmp_path, monkeypatch):
+    """A replayed overwrite that completes entirely inside the fold
+    window swaps the dir's part files (job-unique names) — the
+    pre-commit snapshot re-validation must catch it and abort without
+    committing, leaving state exact."""
+    from yat_geo_db_spark.streaming import sinks
+    from yat_geo_db_spark.streaming.sinks import (
+        compact_rollup, read_rollup, rollup_maintenance_sink,
+    )
+
+    kw = dict(key_cols=["k"], sum_cols=["v"], scale=2)
+    root = str(tmp_path / "rollup")
+    sink = rollup_maintenance_sink(root, **kw)
+    b1 = spark.createDataFrame([("a", 1.0)], "k string, v double")
+    sink(b1, 0)
+    sink(b1, 1)
+
+    def snap():
+        return sorted(map(tuple, read_rollup(spark, root, **kw).collect()))
+
+    want = snap()
+
+    # inject the replayed overwrite between the fold's snapshot and its
+    # commit: the fold's SECOND _read_marker call is the pre-commit
+    # re-check, which runs after the generation dir was written — fire
+    # there, so the marker itself is unmoved and only the file
+    # re-validation can catch the swap
+    real_read = sinks._read_marker
+    calls = {"n": 0}
+    from yat_geo_db_spark.relational.merge import partial_aggregate
+
+    def read_then_replay(spark_, root_):
+        calls["n"] += 1
+        out = real_read(spark_, root_)
+        if calls["n"] == 2:
+            # between snapshot and commit: rewrite batch_id=1 in place
+            partial_aggregate(b1, **kw).write.mode("overwrite").parquet(
+                f"{root_}/batch_id=1"
+            )
+        return out
+
+    monkeypatch.setattr(sinks, "_read_marker", read_then_replay)
+    with pytest.raises(RuntimeError, match="changed during the fold"):
+        compact_rollup(spark, root, **kw)
+    monkeypatch.undo()
+    assert snap() == want  # nothing committed, counts exact
+    # and a clean rerun folds fine
+    compact_rollup(spark, root, **kw)
+    _assert_single_gen(root, 1)
+    assert snap() == want
+
+
+def test_reader_raises_on_missing_committed_generation(spark, tmp_path):
+    """ADVICE r8: if the marker names generation N but the dir is gone
+    (manual deletion / partial restore), readers must RAISE — silently
+    folding only the recent batch dirs would be a large undercount,
+    the exact failure mode the corrupt-marker path already refuses."""
+    import glob
+    import shutil
+
+    from yat_geo_db_spark.streaming.sinks import (
+        compact_rollup, read_rollup, rollup_maintenance_sink,
+    )
+
+    kw = dict(key_cols=["k"], sum_cols=["v"], scale=2)
+    root = str(tmp_path / "rollup")
+    sink = rollup_maintenance_sink(root, **kw)
+    sink(spark.createDataFrame([("a", 1.0)], "k string, v double"), 0)
+    compact_rollup(spark, root, **kw)
+    sink(spark.createDataFrame([("b", 2.0)], "k string, v double"), 1)
+
+    gen_dir = glob.glob(f"{root}/_compacted_g1-*")[0]
+    shutil.rmtree(gen_dir)
+    with pytest.raises(FileNotFoundError, match="names generation dir"):
+        read_rollup(spark, root, **kw).collect()
+    # compaction refuses too (it would otherwise fold without the
+    # committed state and commit a permanent undercount)
+    with pytest.raises(FileNotFoundError):
+        compact_rollup(spark, root, **kw)

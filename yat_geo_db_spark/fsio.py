@@ -101,6 +101,54 @@ def list_dir_names(spark, root: str) -> list[str]:
     ]
 
 
+def list_data_files(spark, dirpath: str) -> tuple[list[str], bool]:
+    """ONE listStatus over `dirpath` → (sorted data-FILE basenames,
+    ``_SUCCESS`` present). Hidden names (leading ``_`` or ``.`` —
+    commit markers, CRC sidecars) and subdirectories (``_temporary``)
+    are not data. An absent dir is ``([], False)``.
+
+    Because both answers come from the SAME listStatus RPC, a caller
+    that sees ``_SUCCESS`` in the snapshot also sees every part file
+    of that commit (Spark's committer moves part files into place
+    BEFORE writing ``_SUCCESS``) — the primitive behind snapshot-
+    stable compaction folds and reads in :mod:`streaming.sinks`."""
+    _, _, fs, p = _jfs(spark, dirpath)
+    try:
+        statuses = fs.listStatus(p)
+    except Exception as e:
+        if _is_file_not_found(e):
+            return [], False
+        raise
+    names, success = [], False
+    for st in statuses:
+        n = st.getPath().getName()
+        if n == "_SUCCESS":
+            success = True
+        elif st.isFile() and not n.startswith(("_", ".")):
+            names.append(n)
+    return sorted(names), success
+
+
+def read_bytes(spark, path: str) -> bytes | None:
+    """Raw bytes of a (small) file, or None if it does not exist.
+    Unlike :func:`read_text` this performs NO newline normalization —
+    it is the comparison primitive for commit verification, where a
+    payload ending in a newline must not spuriously mismatch."""
+    jvm, _, fs, p = _jfs(spark, path)
+    try:
+        stream = fs.open(p)
+    except Exception as e:
+        if _is_file_not_found(e):
+            return None
+        raise
+    try:
+        return bytes(
+            jvm.org.apache.commons.io.IOUtils.toByteArray(stream)
+        )
+    finally:
+        stream.close()
+
+
 def read_text(spark, path: str) -> str | None:
     """Full text of a (small) file, or None if it does not exist.
     Marker files are a handful of bytes — one open + one read."""
@@ -161,8 +209,11 @@ def write_text_atomic(spark, path: str, text: str) -> None:
                 # with the error raised client-side (timeout /
                 # interrupt): tmp is gone, so deleting dst here could
                 # destroy the marker we just committed. Verify by
-                # content instead of touching anything.
-                if read_text(spark, path) == text:
+                # RAW content (read_bytes — read_text's line-join would
+                # drop a trailing newline and fail the verify on a
+                # payload that actually committed) without touching
+                # anything.
+                if read_bytes(spark, path) == text.encode("utf-8"):
                     return
                 raise IOError(
                     f"marker commit state unknown: {tmp} vanished but "

@@ -133,18 +133,24 @@ _MARKER = "_compacted_through"
 _GEN_PREFIX = "_compacted_g"
 
 
-def _read_marker(spark, root: str) -> tuple[int, int, list[str]]:
-    """Parse the ``_compacted_through`` marker → (through, gen, pending).
+def _read_marker(spark, root: str) -> tuple[int, int, list[str], str]:
+    """Parse the ``_compacted_through`` marker
+    → (through, gen, pending, gendir).
 
     - ``through``: highest batch_id folded into the committed
       generation (-1 = never compacted). A replayed batch at or below
       it must NOT rewrite its dir — its rows already live in the
       compacted generation, and recreating the dir would double-count.
-    - ``gen``: the committed compacted-generation number (state lives
-      in ``_compacted_g<gen>``; 0 = none yet).
+    - ``gen``: the committed compacted-generation number (0 = none).
     - ``pending``: dir basenames whose content IS folded into the
       committed generation but whose deletion may not have finished —
       readers must exclude them, compaction deletes them on resume.
+    - ``gendir``: the basename of the committed generation dir.
+      Generation dirs carry a per-run unique suffix
+      (``_compacted_g<gen>-<token>``) so two compactors that both read
+      gen=g can never overwrite each other's output path — only the
+      marker decides which one committed. Markers written before the
+      suffix scheme name the fixed ``_compacted_g<gen>``.
 
     All marker I/O goes through :mod:`yat_geo_db_spark.fsio` (Hadoop
     FileSystem API + atomic rename publish), so the marker lives on
@@ -154,18 +160,20 @@ def _read_marker(spark, root: str) -> tuple[int, int, list[str]]:
     read as 'never compacted' (which would replay-double-count)."""
     txt = fsio.read_text(spark, f"{root}/{_MARKER}")
     if txt is None:
-        return -1, 0, []
+        return -1, 0, [], f"{_GEN_PREFIX}0"
     lines = [ln.strip() for ln in txt.strip().splitlines() if ln.strip()]
     try:
         if len(lines) == 1 and "=" not in lines[0]:
             # legacy single-int marker (pre-generational layout, state
             # in batch_id=-1 — folded on the next compact_rollup)
-            return int(lines[0]), 0, []
+            return int(lines[0]), 0, [], f"{_GEN_PREFIX}0"
         fields = dict(ln.partition("=")[::2] for ln in lines)
+        gen = int(fields.get("gen", "0"))
         return (
             int(fields["through"]),
-            int(fields.get("gen", "0")),
+            gen,
             [p for p in fields.get("pending", "").split(",") if p],
+            fields.get("gendir", f"{_GEN_PREFIX}{gen}"),
         )
     except (KeyError, ValueError) as e:
         raise ValueError(
@@ -174,12 +182,15 @@ def _read_marker(spark, root: str) -> tuple[int, int, list[str]]:
 
 
 def _write_marker(
-    spark, root: str, through: int, gen: int, pending: list[str]
+    spark, root: str, through: int, gen: int, pending: list[str],
+    gendir: str | None = None,
 ) -> None:
+    gendir = gendir if gendir is not None else f"{_GEN_PREFIX}{gen}"
     fsio.write_text_atomic(
         spark,
         f"{root}/{_MARKER}",
-        f"through={through}\ngen={gen}\npending={','.join(pending)}",
+        f"through={through}\ngen={gen}\npending={','.join(pending)}"
+        f"\ngendir={gendir}",
     )
 
 
@@ -188,11 +199,20 @@ def _compacted_through(spark, root: str) -> int:
 
 
 def _rollup_state_paths(spark, root: str) -> list[str]:
-    """Every directory holding live rollup state: the committed
-    compacted generation (if any), the legacy batch_id=-1 dir, and all
-    batch_id=N dirs EXCEPT those the marker lists as pending-delete
-    (already folded into the committed generation — reading them too
-    would double-count). One listStatus + one marker read."""
+    """Concrete parquet FILE paths of every live rollup state: the
+    committed compacted generation (if any), the legacy batch_id=-1
+    dir, and all batch_id=N dirs EXCEPT those the marker lists as
+    pending-delete (already folded into the committed generation —
+    reading them too would double-count).
+
+    File paths, not dir paths: a replayed ``mode=overwrite`` of a
+    batch dir between this snapshot and the downstream read then makes
+    the read FAIL LOUDLY (the snapshotted part files are gone — Spark
+    part-file names are job-unique, so an overwrite never reuses them)
+    instead of silently scanning a half-rewritten directory. Per-dir
+    files and the ``_SUCCESS`` commit flag come from the SAME
+    listStatus (fsio.list_data_files), so a dir observed committed is
+    observed with its complete part-file set."""
     # marker-list-marker snapshot loop: the marker is read BEFORE and
     # AFTER the listing, and the listing only counts if the marker did
     # not move — otherwise a compaction committing between the two
@@ -201,38 +221,59 @@ def _rollup_state_paths(spark, root: str) -> list[str]:
     # undercount). Deletes happen strictly AFTER the marker commit, so
     # an unchanged marker brackets a consistent view.
     for _ in range(8):
-        through, gen, pending = _read_marker(spark, root)
+        marker = through, gen, pending, gendir = _read_marker(spark, root)
         names = fsio.list_dir_names(spark, root)
-        if _read_marker(spark, root) == (through, gen, pending):
+        if _read_marker(spark, root) != marker:
+            continue
+        if gen >= 1 and gendir not in names:
+            # the marker names a committed generation that is not on
+            # disk (manual deletion, partial restore): reading without
+            # it would return a large silent undercount — fail loudly,
+            # exactly like the corrupt-marker path.
+            raise FileNotFoundError(
+                f"compaction marker at {root} names generation dir "
+                f"{gendir!r} but it does not exist — state corrupted "
+                "(manual deletion / partial restore?)"
+            )
+        pend = set(pending)
+        paths: list[str] = []
+        state_dirs: list[str] = []
+        if gen >= 1:
+            state_dirs.append(gendir)
+        for n in sorted(names):
+            if not n.startswith("batch_id=") or n in pend:
+                continue
+            bid = _batch_dir_id(n)
+            # a batch dir at or below `through` is a STALE REPLAY — a
+            # sink that passed its marker gate just before a compaction
+            # commit and recreated a dir whose rows already live in the
+            # committed generation (the sink self-deletes it right
+            # after; see _gated_batch_writer). Counting it would
+            # double. Exempt the legacy batch_id=-1 compacted dir: it
+            # IS prior state, not a batch. Non-numeric suffixes (manual
+            # backups) are ignored.
+            if bid is None or (bid != -1 and bid <= through):
+                continue
+            state_dirs.append(n)
+        for n in state_dirs:
+            files, committed = fsio.list_data_files(spark, f"{root}/{n}")
+            if n == gendir and not committed:
+                raise FileNotFoundError(
+                    f"committed generation dir {root}/{n} has no "
+                    "_SUCCESS — state corrupted"
+                )
+            # skip batch dirs whose write is still in flight (no
+            # _SUCCESS in the same listing as the files): reading one
+            # would see a partial batch; it becomes visible on the
+            # next read, like any batch that had not landed yet
+            if committed:
+                paths.extend(f"{root}/{n}/{f}" for f in files)
+        if _read_marker(spark, root) == marker:
             break
     else:
         raise RuntimeError(
             f"rollup marker at {root} kept changing — compaction storm?"
         )
-    pend = set(pending)
-    paths = []
-    gen_name = f"{_GEN_PREFIX}{gen}"
-    if gen >= 1 and gen_name in names:
-        paths.append(f"{root}/{gen_name}")
-    for n in sorted(names):
-        if not n.startswith("batch_id=") or n in pend:
-            continue
-        bid = _batch_dir_id(n)
-        # a batch dir at or below `through` is a STALE REPLAY — a sink
-        # that passed its marker gate just before a compaction commit
-        # and recreated a dir whose rows already live in the committed
-        # generation (the sink self-deletes it right after; see
-        # _gated_batch_writer). Counting it would double. Exempt the
-        # legacy batch_id=-1 compacted dir: it IS prior state, not a
-        # batch. Non-numeric suffixes (manual backups) are ignored.
-        if bid is None or (bid != -1 and bid <= through):
-            continue
-        # skip dirs whose write is still in flight (no _SUCCESS yet):
-        # reading one would fail on schema inference or see a partial
-        # batch; it becomes visible on the next read, like any batch
-        # that had not landed yet
-        if fsio.exists(spark, f"{root}/{n}/_SUCCESS"):
-            paths.append(f"{root}/{n}")
     if not paths:
         raise FileNotFoundError(f"no rollup state under {root}")
     return paths
@@ -252,15 +293,13 @@ def _gated_batch_writer(root: str, build):
     compaction (both filter `id <= through`) and is deleted HERE.
     `build(batch_df)` maps the micro-batch to its state frame.
 
-    Residual caveat (documented, not fully closed): the protocol
-    serializes ORDERINGS of marker commit vs write, but a replayed
-    write physically OVERLAPPING a compaction's file listing of the
-    same dir (the replay re-overwrites a completed dir the fold just
-    snapshotted) can still expose a mid-commit directory to the fold's
-    read. Run compaction from the stream's own maintenance cadence
-    (the foreachBatch thread — the standard deployment), where batch
-    writes and compaction naturally serialize; a fully external
-    compactor should pause the stream or accept that window."""
+    A replayed write physically OVERLAPPING an external compactor's
+    fold of the same dir is also safe: the fold reads a concrete
+    part-FILE snapshot and re-validates it before its commit
+    (_compact_generational), so the overlap makes the COMPACTION abort
+    or fail loudly and retry — never silently fold a half-rewritten
+    dir. Running compaction from the stream's own foreachBatch cadence
+    (where writes and folds serialize) avoids even those retries."""
     inner = batch_partitioned_parquet_sink(root)
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
@@ -361,17 +400,18 @@ def compact_rollup(
     scale: int = 4,
 ) -> None:
     """Fold batch states into the NEXT compacted generation dir
-    (``_compacted_g<gen+1>``) and remove the folded originals — bounds
-    merge-on-read cost for long-lived streams. The compacted dir is
-    itself a valid partial-aggregate state, so the sink keeps
-    appending after.
+    (``_compacted_g<gen+1>-<token>``, unique per run) and remove the
+    folded originals — bounds merge-on-read cost for long-lived
+    streams. The compacted dir is itself a valid partial-aggregate
+    state, so the sink keeps appending after.
 
     Crash-safe by construction — the atomic marker write is the single
     commit point:
-    - the new generation is written to a dir NO reader looks at until
-      the marker names it, so a crash before the marker commit leaves
-      readers on the old generation + live batch dirs (complete, no
-      double count; the orphan gen dir is overwritten by the next run);
+    - the new generation is written to a uniquely-named dir NO reader
+      looks at until the marker names it, so a crash before the marker
+      commit leaves readers on the old generation + live batch dirs
+      (complete, no double count; the orphan dir is swept by the next
+      run);
     - the marker commit atomically switches readers to the new
       generation AND lists the folded dirs as ``pending`` so readers
       exclude them until they are actually deleted (a crash mid-delete
@@ -408,19 +448,51 @@ def _compact_generational(spark, root: str, fold) -> None:
     """The generational fold-and-commit protocol shared by every
     maintenance sink whose per-batch state is MERGEABLE (partial
     aggregates, CMS blobs, histogram counts): snapshot the completed
-    batch dirs, `fold` them (+ the current generation) into
-    ``_compacted_g<gen+1>``, commit with one atomic marker write, then
-    delete the folded originals. All the crash/replay/live-stream
-    guarantees documented on compact_rollup live HERE; `fold` only
-    defines the state algebra (states DataFrame in, merged DataFrame
-    out — the output must be a valid per-batch state itself)."""
-    through, gen, pending = _read_marker(spark, root)
+    batch dirs down to their concrete part FILES, `fold` them (+ the
+    current generation) into a fresh uniquely-named generation dir
+    (``_compacted_g<gen+1>-<token>``), validate the snapshot is still
+    exactly on disk, commit with one atomic marker write, then delete
+    the folded originals. All the crash/replay/live-stream guarantees
+    documented on compact_rollup live HERE; `fold` only defines the
+    state algebra (states DataFrame in, merged DataFrame out — the
+    output must be a valid per-batch state itself).
+
+    Concurrency closure (no silent double/under-count in ANY
+    interleaving; worst case is a loud abort-and-retry):
+
+    - The fold reads the snapshotted FILE paths, not dir paths. Spark
+      part-file names are job-unique, so a replayed batch overwrite
+      concurrent with the fold either leaves the snapshotted files
+      untouched (the fold reads the complete, content-identical old
+      commit) or deletes them mid-read — which FAILS the fold job
+      (``ignoreMissingFiles`` defaults off) before any commit.
+    - Pre-commit validation re-lists every fold dir and aborts unless
+      its (files, _SUCCESS) snapshot is bit-identical — an overwrite
+      that completed entirely inside the fold window (new unique file
+      names) cannot slip through.
+    - Pre-commit validation also re-reads the marker and aborts if
+      (through, gen, gendir) moved — a concurrent compactor that
+      committed first wins; this one deletes its own orphan dir and
+      raises. Unique generation-dir names mean the loser can never
+      have overwritten the winner's committed output path.
+    - Orphan generation dirs (a compactor that crashed or lost the
+      race after writing) are invisible to readers (the marker never
+      named them) and are swept at the start of the next run."""
+    import uuid
+
+    through, gen, pending, gendir = _read_marker(spark, root)
     if pending:
         # resume a crashed cleanup: these dirs are fully folded into
         # the committed generation — finish deleting, then clear
         for n in pending:
             fsio.delete(spark, f"{root}/{n}", recursive=True)
-        _write_marker(spark, root, through, gen, [])
+        _write_marker(spark, root, through, gen, [], gendir)
+    # sweep orphan generation dirs: any _compacted_g* the marker does
+    # not name was written by a run that crashed (or aborted) before
+    # its commit — never visible to readers, safe to reclaim
+    for n in fsio.list_dir_names(spark, root):
+        if n.startswith(_GEN_PREFIX) and n != gendir:
+            fsio.delete(spark, f"{root}/{n}", recursive=True)
     listed = sorted(
         (bid, n)
         for n in fsio.list_dir_names(spark, root)
@@ -428,15 +500,17 @@ def _compact_generational(spark, root: str, fold) -> None:
         # non-numeric suffixes (manual backups) are not batch dirs
         and (bid := _batch_dir_id(n)) is not None
     )
-    # fold ONLY completed writes (dir has _SUCCESS): a dir can exist
-    # while its foreachBatch job is still committing part-files, and
+    # fold ONLY completed writes (dir has _SUCCESS *in the same
+    # listing as its part files* — fsio.list_data_files): a dir can
+    # exist while its foreachBatch job is still committing, and
     # folding it would read a partial (or empty) batch, delete it, and
     # advance `through` past it — silent permanent loss. And because
     # `through` is a single watermark, nothing ABOVE the first
     # in-flight id may fold either (folding {0,1,3} while 2 is in
     # flight would set through=3 and make 2's replay a no-op). Skipped
     # dirs simply fold next time.
-    names = []
+    names: list[str] = []
+    snap: dict[str, list[str]] = {}
     for bid, n in listed:
         if bid != -1 and bid <= through:
             # stale replay of an already-folded batch id (the sink's
@@ -445,15 +519,24 @@ def _compact_generational(spark, root: str, fold) -> None:
             # generation — never fold it, never let it stall the
             # watermark. (-1 is the legacy compacted dir, real state.)
             continue
-        if not fsio.exists(spark, f"{root}/{n}/_SUCCESS"):
+        files, committed = fsio.list_data_files(spark, f"{root}/{n}")
+        if not committed:
             break
         names.append(n)
+        snap[n] = files
     if not names:
         return
     fold_names = list(names)
-    gen_name = f"{_GEN_PREFIX}{gen}"
-    if gen >= 1 and fsio.exists(spark, f"{root}/{gen_name}"):
-        fold_names.append(gen_name)
+    if gen >= 1:
+        files, committed = fsio.list_data_files(spark, f"{root}/{gendir}")
+        if not committed:
+            raise FileNotFoundError(
+                f"compaction marker at {root} names generation dir "
+                f"{gendir!r} but it is absent or uncommitted — state "
+                "corrupted (manual deletion / partial restore?)"
+            )
+        fold_names.append(gendir)
+        snap[gendir] = files
     new_through = max(
         [
             int(n.split("=", 1)[1])
@@ -462,14 +545,38 @@ def _compact_generational(spark, root: str, fold) -> None:
         ]
         + [through]
     )
-    states = spark.read.parquet(*(f"{root}/{n}" for n in fold_names))
+    fold_files = [
+        f"{root}/{n}/{f}" for n in fold_names for f in snap[n]
+    ]
+    if not fold_files:
+        return
+    states = spark.read.parquet(*fold_files)
     merged = fold(states)
-    merged.write.mode("overwrite").parquet(f"{root}/{_GEN_PREFIX}{gen + 1}")
-    # COMMIT: readers atomically switch to gen+1 and exclude fold_names
-    _write_marker(spark, root, new_through, gen + 1, fold_names)
+    new_gendir = f"{_GEN_PREFIX}{gen + 1}-{uuid.uuid4().hex[:8]}"
+    merged.write.mode("overwrite").parquet(f"{root}/{new_gendir}")
+
+    def _abort(reason: str) -> None:
+        fsio.delete(spark, f"{root}/{new_gendir}", recursive=True)
+        raise RuntimeError(
+            f"compaction of {root} aborted before commit ({reason}) — "
+            "state unchanged; rerun"
+        )
+
+    m2 = _read_marker(spark, root)
+    if (m2[0], m2[1], m2[3]) != (through, gen, gendir):
+        _abort("a concurrent compaction committed first")
+    for n in fold_names:
+        if fsio.list_data_files(spark, f"{root}/{n}") != (snap[n], True):
+            _abort(
+                f"fold input {n} changed during the fold — a replayed "
+                "batch overwrite raced this run"
+            )
+    # COMMIT: readers atomically switch to the new generation and
+    # exclude fold_names
+    _write_marker(spark, root, new_through, gen + 1, fold_names, new_gendir)
     for n in fold_names:
         fsio.delete(spark, f"{root}/{n}", recursive=True)
-    _write_marker(spark, root, new_through, gen + 1, [])
+    _write_marker(spark, root, new_through, gen + 1, [], new_gendir)
 
 
 def heavy_hitter_sink(
