@@ -220,12 +220,25 @@ def _measure(spark, registry, names) -> dict[str, float]:
 
 def _isolated_child(names: list[str]) -> None:
     """--isolated mode: fresh session, same warmup + protocol, one JSON
-    line of {name: sec} on stdout."""
+    line of {name: sec} on stdout.
+
+    Each target runs ONCE untimed before the measured min-of-N: a
+    fresh JVM pays first-touch codegen/JIT/Arrow-worker costs that the
+    shared session amortized long before these late heavy lines ran,
+    and without the throwaway the child's "floor" came out ABOVE the
+    shared number on half the lines (r8 driver run: ppr 7.14 vs 3.59)
+    — a ceiling masquerading as a floor. With it, the measured runs
+    start from the same warmed state as any shared-session re-run, so
+    min(shared, isolated) is attribution-meaningful."""
     from yat_geo_db_spark.queries import all_queries
 
     spark = _bench_session()
     registry = all_queries()
     _warm(spark, registry)
+    for name in names:
+        fn = BENCH_ONLY[name] if name in BENCH_ONLY else registry[name][0]
+        force(fn(spark, SF_DIR))
+        spark.catalog.clearCache()
     print(json.dumps(_measure(spark, registry, names)))
 
 
@@ -289,6 +302,11 @@ def main() -> None:
                 "value": round(total, 3),
                 "unit": "sec",
                 "queries": timings,
+                # raw fresh-JVM re-measurements (post-throwaway-warmup
+                # min-of-N). "queries" already carries
+                # min(shared, isolated) for these lines; this key
+                # exists so cross-round diffs can attribute a move to
+                # plan change vs shared-session heap pollution.
                 "isolated_floor": isolated,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }

@@ -111,3 +111,75 @@ def test_parse_json_dlq_cols_batch_and_stream(spark, tmp_path):
     assert q.awaitTermination(120)  # False = timeout, not an exception
     assert seen["good"] == [(7, "s", 9.0)]
     assert seen["bad"] == 1
+
+
+def test_quarantine_write_replay_roundtrip(spark, tmp_path):
+    """VERDICT r8 task 5: the operational half of the DLQ split. Bad
+    rows are persisted as an immutable quarantine VERSION; after the
+    schema fix a replay recovers every recoverable row (byte-exact raw
+    round-trip), and the still-bad remainder re-quarantines as a NEW
+    version — iterate until empty, never double-replay."""
+    from yat_geo_db_spark.relational.layout import latest_version
+
+    lines = [
+        '{"id": 1, "name": "a", "score": 0.5}',
+        '{"id": "A-17", "name": "b", "score": 1.5}',   # drifted id type
+        '{"id": "B-9", "name": "c", "score": 2.5}',    # drifted id type
+        "utter garbage",                               # unrecoverable
+    ]
+    p = tmp_path / "in.jsonl"
+    p.write_text("\n".join(lines) + "\n")
+
+    good, bad, hint = sources.read_json_dlq(spark, str(p), SCHEMA)
+    qroot = str(tmp_path / "quarantine")
+    v = sources.quarantine_write(bad, qroot, reason="id type drift")
+    assert v == 0 and latest_version(qroot, spark) == 0
+    rep = sources.dlq_ingest_report(good, bad, quarantine_version=v)
+    assert rep.collect()[0]["quarantine_version"] == 0
+    hint.unpersist()
+
+    # producer won: the fix is a STRING id schema
+    fixed = T.StructType(
+        [
+            T.StructField("id", T.StringType()),
+            T.StructField("name", T.StringType()),
+            T.StructField("score", T.DoubleType()),
+        ]
+    )
+    recovered, still_bad = sources.quarantine_replay(spark, qroot, fixed)
+    got = sorted(map(tuple, recovered.select("id", "name", "score").collect()))
+    assert got == [("A-17", "b", 1.5), ("B-9", "c", 2.5)]
+    # provenance survives the round-trip
+    assert all(
+        r["source"].endswith("in.jsonl") for r in recovered.collect()
+    )
+    sb = still_bad.collect()
+    assert [r["raw"] for r in sb] == ["utter garbage"]
+    assert sb[0]["reason"] == "id type drift"
+
+    # the remainder re-quarantines as the NEXT version; replaying THAT
+    # yields nothing recoverable and the loop terminates
+    v2 = sources.quarantine_write(still_bad, qroot, reason="unparseable")
+    assert v2 == 1 and latest_version(qroot, spark) == 1
+    rec2, sb2 = sources.quarantine_replay(spark, qroot, fixed)  # latest
+    assert rec2.count() == 0 and sb2.count() == 1
+    # time travel: version 0 still replays identically (immutable)
+    rec0, _ = sources.quarantine_replay(spark, qroot, fixed, version=0)
+    assert rec0.count() == 2
+
+
+def test_quarantine_write_columnar_bad_has_null_source(spark, tmp_path):
+    """The columnar split (parse_json_dlq_cols) has no file provenance;
+    quarantine_write must still accept its (raw,)-shaped bad frame."""
+    df = spark.createDataFrame(
+        [('{"id": 1, "name": "x", "score": 0.0}',), ("nope",)], "payload string"
+    )
+    good, bad = sources.parse_json_dlq_cols(df, "payload", SCHEMA)
+    qroot = str(tmp_path / "q")
+    v = sources.quarantine_write(bad, qroot)
+    from yat_geo_db_spark.relational.layout import read_version
+
+    rows = read_version(spark, qroot, v).collect()
+    assert [(r["raw"], r["source"], r["reason"]) for r in rows] == [
+        ("nope", None, "parse")
+    ]

@@ -123,9 +123,14 @@ def parse_json_dlq_cols(
     return good, bad
 
 
-def dlq_ingest_report(good: DataFrame, bad: DataFrame) -> DataFrame:
+def dlq_ingest_report(
+    good: DataFrame, bad: DataFrame, quarantine_version: int | None = None
+) -> DataFrame:
     """One-row ingestion health verdict: row counts on both sides and
-    the bad share — the number an ingestion SLO alerts on."""
+    the bad share — the number an ingestion SLO alerts on. When the bad
+    side was persisted with quarantine_write, pass the returned version
+    so the report points at the replayable quarantine snapshot
+    (quarantine_version is NULL otherwise)."""
     n_good = good.count()
     n_bad = bad.count()
     total = n_good + n_bad
@@ -136,7 +141,81 @@ def dlq_ingest_report(good: DataFrame, bad: DataFrame) -> DataFrame:
                 n_good,
                 n_bad,
                 round(n_bad / total, 6) if total else 0.0,
+                quarantine_version,
             )
         ],
-        "n_good long, n_bad long, bad_share double",
+        "n_good long, n_bad long, bad_share double, "
+        "quarantine_version long",
     )
+
+
+def quarantine_write(bad: DataFrame, root: str, reason: str = "parse") -> int:
+    """Persist a dead-letter side as a new immutable VERSION of a
+    quarantine table (relational.layout.versioned_write: root/v=N plus
+    an atomic _latest marker — the same commit discipline as every
+    versioned table, so a crash mid-write never publishes a partial
+    quarantine). Rows are (raw, source, reason); `source` is NULL when
+    the bad frame carries none (the columnar parse_json_dlq_cols path).
+    Returns the committed version — hand it to dlq_ingest_report and to
+    quarantine_replay.
+
+    Versioned rather than appended: each ingestion run's failures are
+    one immutable snapshot, so a replay after a producer fix targets
+    exactly one run's rows, re-quarantines the still-bad remainder as a
+    NEW version, and never double-replays (time travel + vacuum come
+    for free from the layout machinery)."""
+    from yat_geo_db_spark.relational.layout import versioned_write
+
+    cols = set(bad.columns)
+    out = bad.select(
+        F.col("raw").cast("string").alias("raw"),
+        (
+            F.col("source") if "source" in cols
+            else F.lit(None).cast("string")
+        ).alias("source"),
+        F.lit(reason).alias("reason"),
+    )
+    return versioned_write(out, root)
+
+
+def quarantine_replay(
+    spark: SparkSession, root: str, schema: T.StructType,
+    version: int | None = None,
+):
+    """Re-parse one quarantined version's raw JSON payloads under a
+    FIXED schema — the operational second half of the dead-letter
+    split: the producer (or the schema) gets fixed, the quarantined
+    run is replayed, and only the still-unparseable remainder stays
+    bad. Returns ``(good, still_bad)``:
+
+    - `good`: the fixed schema's columns + the original `source` —
+      ready to union into the main table;
+    - `still_bad`: (raw, source, reason) rows that STILL fail under
+      the new schema — feed straight back into quarantine_write (it
+      becomes a new, smaller version; iterate until empty).
+
+    Parsing is the columnar PERMISSIVE from_json split
+    (parse_json_dlq_cols semantics) — a plain expression, no
+    file-source corrupt-column caveats, works identically if the
+    quarantine is read as a stream."""
+    from yat_geo_db_spark.relational.layout import read_version
+
+    q = read_version(spark, root, version)
+    full = T.StructType(
+        list(schema.fields) + [T.StructField(CORRUPT_COL, T.StringType())]
+    )
+    parsed = q.withColumn(
+        "_p",
+        F.from_json(
+            F.col("raw"),
+            full,
+            {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": CORRUPT_COL},
+        ),
+    )
+    is_bad = F.col(f"_p.{CORRUPT_COL}").isNotNull() | F.col("_p").isNull()
+    good = parsed.where(~is_bad).select(
+        *[F.col(f"_p.{f.name}").alias(f.name) for f in schema.fields],
+        F.col("source"),
+    )
+    still_bad = parsed.where(is_bad).select("raw", "source", "reason")
+    return good, still_bad
