@@ -919,7 +919,16 @@ def semdedup_pairs(
 
     Recall is bounded by the clustering, like every SemDeDup deployment;
     raise k for smaller cells or fall back to the multi-probe bucket
-    blocking for recall-critical passes."""
+    blocking for recall-critical passes.
+
+    Scale shape (two-point measured, BENCHLOG.md round 9): in the
+    target-cell regime the end-to-end cost is ~linear in n (1.62× at
+    2× input). The eventual asymptote is the dense assignment — n×k
+    distances with k ∝ n is Θ(n²/target) — which dominates only far
+    above any bench size here; when it does, route assignment
+    two-level (coarse √k cells, then per-cell refinement: n·2√k) or
+    use the IVF/LSH blocking operators in this module, which already
+    bound per-probe work."""
     # the normalized table feeds every kmeans iteration AND both sides of
     # the pair self-join — materialize it once (each consumer would
     # otherwise re-run the per-element norm-divide transform)
