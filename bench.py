@@ -144,13 +144,35 @@ def _semdedup_autok(spark, sf_dir):
     )
 
 
+def _semdedup_scaled(spark, sf_dir):
+    """Bench-only: semdedup on the TWO-LEVEL k-means routing
+    (similarity.semdedup_pairs_scaled) — the n·2√k assignment path that
+    replaces the flat fit's n·k term when k grows with the corpus.
+    Same auto-k cell sizing as _semdedup_autok, so the two lines
+    isolate the routing cost."""
+    from yat_geo_db_spark.pipelines import similarity
+    from yat_geo_db_spark.queries.pipeline_queries import (
+        COSINE_T, KMEANS_ITERS,
+    )
+    from yat_geo_db_spark.testdata import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.semdedup_pairs_scaled(
+        emb, threshold=COSINE_T, n_iter=KMEANS_ITERS
+    )
+
+
 #: bench-only callables (not registry queries — no oracle needed; they
 #: measure production-default paths the oracled twins pin for parity)
 BENCH_ONLY = {
     "pipe_sim_semdedup_autok": _semdedup_autok,
+    "pipe_sim_semdedup_scaled": _semdedup_scaled,
 }
 
 HEADLINE.append("pipe_sim_semdedup_autok")
+# round-9 addition (tail, same comparability rule): the two-level
+# routing twin of the autok line
+HEADLINE.append("pipe_sim_semdedup_scaled")
 
 
 def force(df) -> None:

@@ -52,6 +52,9 @@ HEAVY = [
     "pipe_source_ppr",
 ]
 
+#: bench-only twins measured alongside HEAVY (appended in main)
+EXTRA = ["pipe_sim_semdedup_autok", "pipe_sim_semdedup_scaled"]
+
 _ID_STRIDE = 100_000_000
 
 
@@ -128,7 +131,7 @@ def main() -> None:
     _warm(spark, registry)
     build_fixture(spark)
 
-    names = HEAVY + ["pipe_sim_semdedup_autok"]
+    names = HEAVY + EXTRA
     out = {}
     for name in names:
         fn = BENCH_ONLY.get(name) or registry[name][0]

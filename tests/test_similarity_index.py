@@ -958,3 +958,89 @@ def test_centroid_drift_identity_and_planted_shift(spark):
     assert got[0]["centroid_cosine"] == 0.0  # orthogonal shift
     assert got[1]["centroid_cosine"] == 1.0
     assert 7 not in got  # present only in B
+
+
+def test_two_level_kmeans_partitions_ids_deterministically(spark):
+    """kmeans_two_level_fit_assign: every id lands in exactly one
+    composite cell, cells are within range, and two invocations agree
+    bit-for-bit (no RNG anywhere in the routing)."""
+    from yat_geo_db_spark.pipelines.similarity import (
+        kmeans_two_level_fit_assign,
+    )
+
+    emb = load_table(spark, SF, "embeddings")
+    n = emb.count()
+    k = 9  # k1 = 3, k2 = 3
+    a1 = kmeans_two_level_fit_assign(emb, k=k, n_iter=2)
+    rows = a1.collect()
+    assert len(rows) == n                      # every vector assigned
+    assert len({r["vec_id"] for r in rows}) == n  # exactly once
+    assert all(0 <= r["cid"] < 9 for r in rows)
+    a2 = kmeans_two_level_fit_assign(emb, k=k, n_iter=2)
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, a2.collect()))
+    # the routing actually splits (more than one occupied cell)
+    assert len({r["cid"] for r in rows}) > 1
+
+
+def test_two_level_sub_assign_is_equi_join_not_cross(spark):
+    """The scale claim: the sub-level never expands n x k — its
+    assignment is a broadcast HASH join on the coarse cell id (each
+    vector meets only its own cell's k2 candidates), not the
+    broadcast nested-loop of the flat path."""
+    import io
+    from contextlib import redirect_stdout
+
+    from yat_geo_db_spark.pipelines.similarity import (
+        kmeans_two_level_fit_assign,
+    )
+
+    emb = load_table(spark, SF, "embeddings")
+    plan_buf = io.StringIO()
+    with redirect_stdout(plan_buf):
+        kmeans_two_level_fit_assign(emb, k=9, n_iter=1).explain("formatted")
+    plan = plan_buf.getvalue()
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_semdedup_scaled_pairs_exact_and_find_planted_dups(spark):
+    """semdedup_pairs_scaled: every emitted pair is an exact
+    thresholded cosine (subset of the brute-force pair set, values
+    equal), and planted exact duplicates are found (identical vectors
+    can never be routed to different cells — both levels assign by
+    argmin over the same candidates)."""
+    import pyspark.sql.functions as F2
+
+    from yat_geo_db_spark.pipelines.similarity import (
+        dot_col, l2_normalized, semdedup_pairs_scaled,
+    )
+
+    emb = load_table(spark, SF, "embeddings")
+    # plant exact duplicates of three vectors under new ids
+    planted = emb.filter(F2.col("vec_id").isin(3, 17, 42)).select(
+        (F2.col("vec_id") + 100000).alias("vec_id"), "embedding", "label"
+    )
+    corpus = emb.unionByName(planted)
+    got = semdedup_pairs_scaled(corpus, threshold=0.9, target_cell=64)
+    rows = {(r["id1"], r["id2"]): r["cosine"] for r in got.collect()}
+    for vid in (3, 17, 42):
+        assert (vid, vid + 100000) in rows
+        assert rows[(vid, vid + 100000)] == 1.0
+
+    # exactness: emitted pairs are a subset of the brute-force
+    # thresholded pair set with identical rounded cosines
+    unit = l2_normalized(corpus)
+    a = unit.select(F2.col("vec_id").alias("id1"), F2.col("embedding").alias("v1"))
+    b = unit.select(F2.col("vec_id").alias("id2"), F2.col("embedding").alias("v2"))
+    brute = (
+        a.join(b, F2.col("id1") < F2.col("id2"))
+        .select(
+            "id1", "id2",
+            F2.round(dot_col(F2.col("v1"), F2.col("v2")), 6).alias("cosine"),
+        )
+        .filter(F2.col("cosine") >= 0.9)
+    )
+    brute_rows = {(r["id1"], r["id2"]): r["cosine"] for r in brute.collect()}
+    assert set(rows).issubset(set(brute_rows))
+    assert all(brute_rows[p] == c for p, c in rows.items())
+    assert len(rows) > 0

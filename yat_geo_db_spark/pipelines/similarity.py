@@ -394,6 +394,133 @@ def kmeans_fit_assign(embeddings: DataFrame, k: int = 4, n_iter: int = 2,
     )
 
 
+def _sub_assign(vecs: DataFrame, sub: DataFrame,
+                id_col: str, vec_col: str) -> DataFrame:
+    """Within-coarse-cell assignment: vectors carrying their coarse cell
+    (cid1) EQUI-join the (small, broadcast) sub-centroid table on cid1 —
+    each vector meets only ITS cell's k2 candidates, never all k. Same
+    struct-min argmin as kmeans_assign (map-side partial aggregate, N
+    rows out before any shuffle). Returns (id, cid1, cid2, dist)."""
+    joined = vecs.join(F.broadcast(sub), "cid1")
+    return (
+        joined.select(
+            id_col,
+            "cid1",
+            F.struct(
+                sq_dist_col(F.col(vec_col), F.col("cvec")).alias("dist"),
+                F.col("cid2"),
+            ).alias("dc"),
+        )
+        .groupBy(id_col, "cid1")
+        .agg(F.min("dc").alias("m"))
+        .select(
+            id_col,
+            "cid1",
+            F.col("m.cid2").alias("cid2"),
+            F.round(F.col("m.dist"), 6).alias("dist"),
+        )
+    )
+
+
+def _sub_update(assign: DataFrame, vecs: DataFrame,
+                id_col: str, vec_col: str) -> DataFrame:
+    """_kmeans_update keyed by the composite (cid1, cid2): per-cell
+    fixed-point-exact element-wise mean (same dsum discipline — bit-
+    stable across engines and partitionings)."""
+    from yat_geo_db_spark.relational.queries import dsum
+
+    pts = (
+        assign.select(id_col, "cid1", "cid2")
+        .join(vecs.select(id_col, vec_col), id_col)
+        .select(
+            "cid1", "cid2", F.posexplode(F.col(vec_col)).alias("pos", "x")
+        )
+    )
+    comp = pts.groupBy("cid1", "cid2", "pos").agg(
+        (dsum(F.col("x").cast("double"), 9) / F.count(F.lit(1))).alias("v")
+    )
+    return comp.groupBy("cid1", "cid2").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "v"))),
+            lambda s: s["v"],
+        ).alias("cvec")
+    )
+
+
+def kmeans_two_level_fit_assign(
+    embeddings: DataFrame, k: int, n_iter: int = 2,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """Two-level Lloyd routing — the scale path when k grows with the
+    corpus (SemDeDup auto-k, IVF coarse quantizers): a coarse fit with
+    k1 = ceil(√k) cells routes every vector, then k2 = ceil(k/k1)
+    sub-centroids are fitted WITHIN each coarse cell via an equi-join
+    on the cell id. Per-vector distance evaluations drop from n·k
+    (flat kmeans_fit_assign: every vector against every centroid,
+    Θ(n²/target) when k ∝ n) to n·(k1+k2) ≈ n·2√k, and no stage ever
+    materializes an n×k expansion — the sub-centroid table (≤ k rows)
+    broadcasts, the argmin partial-aggregates map-side.
+
+    Same determinism guarantees as kmeans_fit: no RNG (coarse init =
+    k1 smallest ids; sub init = the k2 smallest ids per coarse cell),
+    fixed iteration budget, fixed-point-exact centroid means, empty
+    sub-cells keep their previous centroid. A coarse cell with fewer
+    than k2 members simply gets fewer sub-cells.
+
+    Returns (id, cid, dist) with cid = cid1·k2 + cid2 — disjoint
+    composite cells, drop-in for kmeans_fit_assign's output contract.
+    The clustering itself differs from the flat fit (hierarchical
+    routing is a different quantizer — standard IVF/IMI trade-off:
+    same cost model as the paper's two-level indexes, recall bounded
+    by the coarse routing)."""
+    from pyspark.sql import Window
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    k1 = int(-(-(k ** 0.5) // 1))
+    k2 = -(-k // k1)
+    coarse = kmeans_fit(embeddings, k=k1, n_iter=n_iter,
+                        id_col=id_col, vec_col=vec_col)
+    ca = kmeans_assign(embeddings, coarse, id_col, vec_col).select(
+        id_col, F.col("cid").alias("cid1")
+    )
+    # (id, cid1, vec) feeds every sub-iteration AND the final assign —
+    # materialize once (the coarse fit+assign upstream is iterative)
+    vecs = embeddings.select(id_col, vec_col).join(
+        ca, id_col
+    ).localCheckpoint()
+    w = Window.partitionBy("cid1").orderBy(F.asc(id_col))
+    sub = (
+        vecs.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= k2)
+        .select(
+            "cid1",
+            (F.col("_rn") - 1).cast("long").alias("cid2"),
+            F.transform(
+                F.col(vec_col), lambda x: x.cast("double")
+            ).alias("cvec"),
+        )
+        .localCheckpoint()
+    )
+    for _ in range(n_iter):
+        assign = _sub_assign(vecs, sub, id_col, vec_col)
+        updated = _sub_update(assign, vecs, id_col, vec_col)
+        sub = (
+            sub.select("cid1", "cid2", F.col("cvec").alias("_prev"))
+            .join(updated, ["cid1", "cid2"], "left")
+            .select(
+                "cid1", "cid2", F.coalesce("cvec", "_prev").alias("cvec")
+            )
+            .localCheckpoint()
+        )
+    final = _sub_assign(vecs, sub, id_col, vec_col)
+    return final.select(
+        id_col,
+        (F.col("cid1") * k2 + F.col("cid2")).alias("cid"),
+        "dist",
+    )
+
+
 # --------------------------------------------------------------------------
 # Learned IVF: k-means centroids as the coarse quantizer
 # --------------------------------------------------------------------------
@@ -938,6 +1065,20 @@ def semdedup_pairs(
     assign = kmeans_fit_assign(
         unit, k=k, n_iter=n_iter, id_col=id_col, vec_col=vec_col
     ).select(id_col, "cid")
+    return _cell_blocked_pairs(unit, assign, threshold, id_col, vec_col)
+
+
+def _cell_blocked_pairs(
+    unit: DataFrame, assign: DataFrame, threshold: float,
+    id_col: str, vec_col: str,
+) -> DataFrame:
+    """The SemDeDup pair join shared by the flat and two-level routes:
+    within-cell self-join of the UNIT vectors, id1 < id2, thresholded
+    dot product. On the unit sphere cosine IS the dot product — skip
+    the two norm folds cosine_col would recompute per pair (≈3× the
+    per-pair work across the within-cell candidate set; measured
+    16.8 s → 6.5 s at sf0.1). The oracle mirrors the same dot over the
+    same normalized vectors, so parity is exact."""
     vecs = unit.join(assign, id_col)
     a = vecs.select(
         F.col("cid"), F.col(id_col).alias("id1"), F.col(vec_col).alias("v1")
@@ -946,11 +1087,6 @@ def semdedup_pairs(
         F.col("cid").alias("cid_r"), F.col(id_col).alias("id2"),
         F.col(vec_col).alias("v2"),
     )
-    # on the unit sphere cosine IS the dot product — skip the two norm
-    # folds cosine_col would recompute per pair (≈3× the per-pair work
-    # across the within-cell candidate set; measured 16.8 s → 6.5 s at
-    # sf0.1). The oracle mirrors the same dot over the same normalized
-    # vectors, so parity is exact.
     return (
         a.join(
             b,
@@ -962,6 +1098,29 @@ def semdedup_pairs(
         )
         .filter(F.col("cosine") >= threshold)
     )
+
+
+def semdedup_pairs_scaled(
+    embeddings: DataFrame, threshold: float = 0.8, n_iter: int = 2,
+    target_cell: int = SEMDEDUP_TARGET_CELL,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """semdedup_pairs on the TWO-LEVEL routing
+    (kmeans_two_level_fit_assign) with auto-sized k — the 100 TB shape
+    of the operator: cell sizes stay ≈target_cell (so the within-cell
+    pair join stays linear-in-n at fixed per-cell work, exactly like
+    the flat auto-k path), while the clustering cost drops from n·k to
+    n·2√k distance evaluations — the flat path's only superlinear term
+    once k grows with the corpus (BENCHLOG.md round 9). Same pair
+    semantics: every emitted pair is an exact thresholded cosine;
+    recall is bounded by the (hierarchical) clustering, the standard
+    IVF trade-off."""
+    unit = l2_normalized(embeddings, id_col, vec_col).localCheckpoint()
+    k = semdedup_auto_k(unit.count(), target_cell)
+    assign = kmeans_two_level_fit_assign(
+        unit, k=k, n_iter=n_iter, id_col=id_col, vec_col=vec_col
+    ).select(id_col, "cid")
+    return _cell_blocked_pairs(unit, assign, threshold, id_col, vec_col)
 
 
 def semdedup_keep(
