@@ -4427,6 +4427,98 @@ WHERE round({_dot('a.embedding', 'b.embedding')}, 6) >= {threshold}
     )
 
 
+#: two-level routing demo size: k1 = ceil(sqrt(12)) = 4 coarse cells,
+#: k2 = ceil(12/4) = 3 sub-cells — both levels multi-cell at sf0.01
+TWOLEVEL_K = 12
+
+
+def q_sim_two_level_cells(spark, sf_dir):
+    """Two-level k-means routing (similarity.kmeans_two_level_fit_assign):
+    coarse ceil(sqrt(k)) Lloyd cells route every vector, then k2 sub-
+    centroids are fitted WITHIN each coarse cell via a broadcast
+    equi-join — n*2*sqrt(k) distance evals vs the flat fit's n*k, the
+    scale path when auto-k ties k to corpus size (BENCHLOG round 9
+    measured the crossover at 20x input). Output: (vec_id, cid, dist)
+    with cid = cid1*k2 + cid2; the oracle unrolls BOTH levels' Lloyd
+    chains (coarse = the proven _kmeans_sql CTEs; sub = the same
+    fixed-point means and (dist, cid) argmin keyed by the coarse
+    cell), so routing, tie-breaks, empty-cell guards and the composite
+    cell id are all bit-checked."""
+    return similarity.kmeans_two_level_fit_assign(
+        load_table(spark, sf_dir, "embeddings"),
+        k=TWOLEVEL_K, n_iter=KMEANS_ITERS,
+    ).orderBy("vec_id")
+
+
+def _two_level_sql(k: int = TWOLEVEL_K, n_iter: int = KMEANS_ITERS) -> str:
+    """Unrolled two-level Lloyd: the coarse chain is _kmeans_sql(k1)
+    verbatim (bit-exactness inherited), re-published as a MATERIALIZED
+    `ca` (every sub-round re-reads it); each sub-round is an equi-join
+    assignment + the same fixed-point centroid mean keyed by
+    (cid1, cid2), with the Lloyd empty-cell guard."""
+    k1 = int(-(-(k ** 0.5) // 1))
+    k2 = -(-k // k1)
+    fsum = (
+        "CAST(sum(CAST(floor(CAST(x AS DOUBLE) * 1e9 + CAST(0.5 AS DOUBLE)) "
+        "AS BIGINT)) AS DOUBLE) / 1e9"
+    )
+    base = _kmeans_sql(k1, n_iter)
+    marker = "SELECT vec_id, cid, round(dist, 6) AS dist "
+    assert marker in base
+    head = base[: base.index(marker)]
+    tail_from = base[base.index(marker) + len(marker):]
+    ctes = [
+        "ca AS MATERIALIZED (SELECT vec_id, embedding, cid AS cid1 "
+        + tail_from
+        + ")",
+        f"""s0 AS (
+  SELECT cid1, CAST(rn - 1 AS BIGINT) AS cid2,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cvec
+  FROM (SELECT cid1, embedding,
+               row_number() OVER (PARTITION BY cid1 ORDER BY vec_id) AS rn
+        FROM ca)
+  WHERE rn <= {k2}
+)""",
+    ]
+    for t in range(n_iter + 1):
+        ctes.append(f"""sa{t} AS (
+  SELECT vec_id, cid1, embedding, cid2, dist,
+         row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid2) AS rn
+  FROM (
+    SELECT v.vec_id, v.cid1, v.embedding, s.cid2,
+           {_sqdist_sql('v.embedding', 's.cvec')} AS dist
+    FROM ca v JOIN s{t} s ON v.cid1 = s.cid1
+  )
+)""")
+        if t == n_iter:
+            break
+        ctes.append(f"""sm{t} AS (
+  SELECT cid1, cid2, u.i AS pos, {fsum} / count(*) AS v
+  FROM (SELECT cid1, cid2, embedding FROM sa{t} WHERE rn = 1) s,
+       unnest(range(1, len(embedding) + 1)) AS u(i),
+       LATERAL (SELECT s.embedding[u.i] AS x) q
+  GROUP BY cid1, cid2, u.i
+)""")
+        ctes.append(
+            f"s{t + 1} AS (SELECT s.cid1, s.cid2, "
+            f"coalesce(m.cvec, s.cvec) AS cvec "
+            f"FROM s{t} s LEFT JOIN (SELECT cid1, cid2, "
+            f"list(v ORDER BY pos) AS cvec FROM sm{t} "
+            f"GROUP BY cid1, cid2) m "
+            f"ON s.cid1 = m.cid1 AND s.cid2 = m.cid2)"
+        )
+    return (
+        head
+        + ",\n"
+        + ",\n".join(ctes)
+        + f"""
+SELECT vec_id, cid1 * {k2} + cid2 AS cid, round(dist, 6) AS dist
+FROM sa{n_iter} WHERE rn = 1
+ORDER BY vec_id
+"""
+    )
+
+
 def q_curate_pretrain(spark, sf_dir):
     """The composed PRE-TRAINING curation pipeline over the round-3
     operator set, in canonical order: quality gate -> repeated-span
@@ -5971,6 +6063,7 @@ QUERIES: dict = {
         _ivfpq_topk_sql(train_pred="vec_id % 4 != 0"),
     ),
     "pipe_sim_semdedup": (q_sim_semdedup, _semdedup_sql(k=16)),
+    "pipe_sim_two_level_cells": (q_sim_two_level_cells, _two_level_sql()),
     "pipe_sim_topk_batch": (q_sim_topk_batch, _TOPK_BATCH_SQL),
     "pipe_curate_corpus": (q_curate_corpus, _curate_sql()),
     "pipe_shard_assignment": (q_shard_assignment, _SHARD_SQL),
