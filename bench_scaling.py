@@ -63,8 +63,15 @@ def build_fixture(spark) -> None:
 
     from yat_geo_db_spark.testdata import load_table
 
-    if os.path.exists(f"{SCALE_DIR}/_FIXTURE_OK"):
-        return
+    stamp = f"scale={SCALE} base={BASE_DIR}\n"
+    marker = f"{SCALE_DIR}/_FIXTURE_OK"
+    if os.path.exists(marker):
+        # the marker records what the fixture IS — a changed
+        # SPARK_GRAFT_SCALE/SF_DIR against the same dir must rebuild,
+        # not silently measure stale data under a fresh label
+        with open(marker) as fh:
+            if fh.read() == stamp:
+                return
     docs = load_table(spark, BASE_DIR, "documents")
     emb = load_table(spark, BASE_DIR, "embeddings")
 
@@ -104,8 +111,8 @@ def build_fixture(spark) -> None:
         all_emb = all_emb.unionByName(emb_copy(c))
     all_docs.write.mode("overwrite").parquet(f"{SCALE_DIR}/documents.parquet")
     all_emb.write.mode("overwrite").parquet(f"{SCALE_DIR}/embeddings.parquet")
-    with open(f"{SCALE_DIR}/_FIXTURE_OK", "w") as fh:
-        fh.write(f"scale={SCALE} base={BASE_DIR}\n")
+    with open(marker, "w") as fh:
+        fh.write(stamp)
 
 
 def _force(df) -> None:

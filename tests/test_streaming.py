@@ -682,9 +682,16 @@ def test_compact_rollup_crash_windows_no_double_count(
     assert glob.glob(f"{root}/batch_id=*") != []
     assert snap() == want
 
-    # rerun to completion: the orphan is overwritten and committed
+    # rerun to completion: a fresh generation dir is committed; the
+    # crashed run's orphan is SPARED by the sweep's grace period (it
+    # could belong to a live concurrent compactor) and reclaimed once
+    # aged — modeled by a zero-grace sweep
     compact_rollup(spark, root, **kw)
     assert glob.glob(f"{root}/batch_id=*") == []
+    assert snap() == want
+    assert len(_gen_dirs(root)) == 2  # committed + young orphan
+    sinks._sweep_orphan_generations(spark, root, grace_ms=0)
+    _assert_single_gen(root, 1)
     assert snap() == want
 
     # (b) crash after the commit, before cleanup: deletes blow up
@@ -1541,3 +1548,87 @@ def test_reader_raises_on_missing_committed_generation(spark, tmp_path):
     # committed state and commit a permanent undercount)
     with pytest.raises(FileNotFoundError):
         compact_rollup(spark, root, **kw)
+
+
+def test_orphan_sweep_grace_and_marker_guards(spark, tmp_path):
+    """The orphan janitor must reclaim ONLY aged, unnamed generation
+    dirs: a young orphan may belong to a concurrent compactor that is
+    about to commit it, and the marker-named generation (plus anything
+    still on the pending list) is live state at any age."""
+    import glob
+    import os
+    import time
+
+    from yat_geo_db_spark.streaming import sinks
+    from yat_geo_db_spark.streaming.sinks import (
+        compact_rollup, read_rollup, rollup_maintenance_sink,
+    )
+
+    kw = dict(key_cols=["k"], sum_cols=["v"], scale=2)
+    root = str(tmp_path / "rollup")
+    sink = rollup_maintenance_sink(root, **kw)
+    sink(spark.createDataFrame([("a", 1.0)], "k string, v double"), 0)
+    compact_rollup(spark, root, **kw)
+    committed = _assert_single_gen(root, 1)
+
+    # plant two orphans: one young, one aged past the grace
+    young = f"{root}/_compacted_g1-youngorphan"
+    old = f"{root}/_compacted_g1-agedorphan"
+    for d in (young, old):
+        os.makedirs(d)
+        open(f"{d}/_SUCCESS", "w").close()
+    aged = time.time() - 7200
+    os.utime(old, (aged, aged))
+
+    sinks._sweep_orphan_generations(spark, root)
+    left = set(_gen_dirs(root))
+    assert "_compacted_g1-agedorphan" not in left      # reclaimed
+    assert "_compacted_g1-youngorphan" in left         # grace-spared
+    assert committed in left                           # marker-named
+
+    # the committed generation survives the sweep at ANY age
+    os.utime(f"{root}/{committed}", (aged, aged))
+    sinks._sweep_orphan_generations(spark, root, grace_ms=0)
+    assert _gen_dirs(root) == [committed]
+    got = sorted(map(tuple, read_rollup(spark, root, **kw).collect()))
+    assert got == [("a", 1, 1.0)] or len(got) == 1
+
+
+def test_reader_retries_when_generation_swaps_mid_listing(
+    spark, tmp_path, monkeypatch
+):
+    """A compaction committing (and deleting the old generation)
+    between the reader's bracketed dir listing and its per-dir FILE
+    listing must cause a RETRY with the new marker — not the
+    'state corrupted' raise reserved for a genuinely missing
+    generation under an unchanged marker."""
+    from yat_geo_db_spark.streaming import sinks
+    from yat_geo_db_spark.streaming.sinks import (
+        compact_rollup, read_rollup, rollup_maintenance_sink,
+    )
+
+    kw = dict(key_cols=["k"], sum_cols=["v"], scale=2)
+    root = str(tmp_path / "rollup")
+    sink = rollup_maintenance_sink(root, **kw)
+    sink(spark.createDataFrame([("a", 1.0)], "k string, v double"), 0)
+    compact_rollup(spark, root, **kw)  # gen 1 committed
+    sink(spark.createDataFrame([("b", 2.0)], "k string, v double"), 1)
+    want = sorted(map(tuple, read_rollup(spark, root, **kw).collect()))
+
+    # inject a full compaction inside the reader's per-dir file
+    # listing of the OLD generation dir: the first list_data_files
+    # call that targets a generation dir triggers it
+    real_list = sinks.fsio.list_data_files
+    state = {"fired": False}
+
+    def racing_list(spark_, dirpath):
+        if "/_compacted_g1-" in dirpath and not state["fired"]:
+            state["fired"] = True
+            compact_rollup(spark_, dirpath.rsplit("/", 1)[0], **kw)
+        return real_list(spark_, dirpath)
+
+    monkeypatch.setattr(sinks.fsio, "list_data_files", racing_list)
+    got = sorted(map(tuple, read_rollup(spark, root, **kw).collect()))
+    monkeypatch.undo()
+    assert state["fired"]
+    assert got == want  # retried onto gen 2, exact counts

@@ -129,6 +129,20 @@ def list_data_files(spark, dirpath: str) -> tuple[list[str], bool]:
     return sorted(names), success
 
 
+def modification_time_ms(spark, path: str) -> int | None:
+    """Modification time of `path` in epoch millis (one getFileStatus),
+    or None if it does not exist — the age signal behind grace-guarded
+    janitor deletes (a dir younger than the grace period may belong to
+    an in-flight writer and must not be reclaimed)."""
+    _, _, fs, p = _jfs(spark, path)
+    try:
+        return int(fs.getFileStatus(p).getModificationTime())
+    except Exception as e:
+        if _is_file_not_found(e):
+            return None
+        raise
+
+
 def read_bytes(spark, path: str) -> bytes | None:
     """Raw bytes of a (small) file, or None if it does not exist.
     Unlike :func:`read_text` this performs NO newline normalization —

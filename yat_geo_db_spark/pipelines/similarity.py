@@ -395,13 +395,16 @@ def kmeans_fit_assign(embeddings: DataFrame, k: int = 4, n_iter: int = 2,
 
 
 def _sub_assign(vecs: DataFrame, sub: DataFrame,
-                id_col: str, vec_col: str) -> DataFrame:
+                id_col: str, vec_col: str,
+                broadcast_sub: bool = True) -> DataFrame:
     """Within-coarse-cell assignment: vectors carrying their coarse cell
-    (cid1) EQUI-join the (small, broadcast) sub-centroid table on cid1 —
-    each vector meets only ITS cell's k2 candidates, never all k. Same
-    struct-min argmin as kmeans_assign (map-side partial aggregate, N
-    rows out before any shuffle). Returns (id, cid1, cid2, dist)."""
-    joined = vecs.join(F.broadcast(sub), "cid1")
+    (cid1) EQUI-join the sub-centroid table on cid1 — each vector meets
+    only ITS cell's k2 candidates, never all k. Same struct-min argmin
+    as kmeans_assign (map-side partial aggregate, N rows out before any
+    shuffle). Returns (id, cid1, cid2, dist)."""
+    joined = vecs.join(
+        F.broadcast(sub) if broadcast_sub else sub, "cid1"
+    )
     return (
         joined.select(
             id_col,
@@ -450,6 +453,7 @@ def _sub_update(assign: DataFrame, vecs: DataFrame,
 def kmeans_two_level_fit_assign(
     embeddings: DataFrame, k: int, n_iter: int = 2,
     id_col: str = "vec_id", vec_col: str = "embedding",
+    broadcast_sub: bool = True,
 ) -> DataFrame:
     """Two-level Lloyd routing — the scale path when k grows with the
     corpus (SemDeDup auto-k, IVF coarse quantizers): a coarse fit with
@@ -467,12 +471,20 @@ def kmeans_two_level_fit_assign(
     sub-cells keep their previous centroid. A coarse cell with fewer
     than k2 members simply gets fewer sub-cells.
 
-    Returns (id, cid, dist) with cid = cid1·k2 + cid2 — disjoint
-    composite cells, drop-in for kmeans_fit_assign's output contract.
-    The clustering itself differs from the flat fit (hierarchical
-    routing is a different quantizer — standard IVF/IMI trade-off:
-    same cost model as the paper's two-level indexes, recall bounded
-    by the coarse routing)."""
+    Returns (id, cid, dist) with cid = rank(cid1)·k2 + cid2 — disjoint
+    composite cells strictly inside [0, k1·k2), drop-in for
+    kmeans_fit_assign's output contract. The clustering itself differs
+    from the flat fit (hierarchical routing is a different quantizer —
+    standard IVF/IMI trade-off: same cost model as the paper's
+    two-level indexes, recall bounded by the coarse routing).
+
+    `broadcast_sub` (default True) broadcasts the full sub-centroid
+    table into the per-cell equi-join — ~k·d·8 bytes per executor and
+    per iteration. That is the right plan up to a few hundred MB
+    (k·d ≲ 3e7); past it (k ≈ 1e6 cells of d = 768 is ~6 GB, at
+    Spark's broadcast ceiling) pass False and let the join shuffle on
+    cid1 — the n·2√k distance-evaluation count is unchanged, only the
+    candidate-shipping strategy moves."""
     from pyspark.sql import Window
 
     if k < 1:
@@ -482,8 +494,24 @@ def kmeans_two_level_fit_assign(
     coarse = kmeans_fit(embeddings, k=k1, n_iter=n_iter,
                         id_col=id_col, vec_col=vec_col)
     ca = kmeans_assign(embeddings, coarse, id_col, vec_col).select(
-        id_col, F.col("cid").alias("cid1")
+        id_col, F.col("cid").alias("cid1raw")
     )
+    # dense-rank the coarse cell ids to 0..k1-1 BEFORE compositing:
+    # kmeans cids are seed VECTOR ids (deliberately 64-bit — they can
+    # be hash-derived), so cid1raw·k2 + cid2 could overflow long or
+    # collide; the rank keeps the composite strictly inside [0, k1·k2)
+    # (the window runs over ≤ k1 distinct rows — driver-trivial)
+    rank = (
+        ca.select("cid1raw")
+        .distinct()
+        .select(
+            "cid1raw",
+            (
+                F.row_number().over(Window.orderBy("cid1raw")) - 1
+            ).cast("long").alias("cid1"),
+        )
+    )
+    ca = ca.join(F.broadcast(rank), "cid1raw").select(id_col, "cid1")
     # (id, cid1, vec) feeds every sub-iteration AND the final assign —
     # materialize once (the coarse fit+assign upstream is iterative)
     vecs = embeddings.select(id_col, vec_col).join(
@@ -503,7 +531,7 @@ def kmeans_two_level_fit_assign(
         .localCheckpoint()
     )
     for _ in range(n_iter):
-        assign = _sub_assign(vecs, sub, id_col, vec_col)
+        assign = _sub_assign(vecs, sub, id_col, vec_col, broadcast_sub)
         updated = _sub_update(assign, vecs, id_col, vec_col)
         sub = (
             sub.select("cid1", "cid2", F.col("cvec").alias("_prev"))
@@ -513,7 +541,7 @@ def kmeans_two_level_fit_assign(
             )
             .localCheckpoint()
         )
-    final = _sub_assign(vecs, sub, id_col, vec_col)
+    final = _sub_assign(vecs, sub, id_col, vec_col, broadcast_sub)
     return final.select(
         id_col,
         (F.col("cid1") * k2 + F.col("cid2")).alias("cid"),

@@ -4342,14 +4342,22 @@ def _sqdist_sql(a: str, b: str) -> str:
     )
 
 
+#: the fixed-point 1e-9 centroid-mean numerator shared by every Lloyd
+#: oracle (_kmeans_sql and _two_level_sql) — this fragment encodes the
+#: exact dsum(x, 9) contract bit-for-bit parity depends on; keep it in
+#: ONE place so a precision change can never drift between oracles.
+#: (The PQ oracles use a different integer-LUT variant on purpose.)
+_FSUM_SQL = (
+    "CAST(sum(CAST(floor(CAST(x AS DOUBLE) * 1e9 + CAST(0.5 AS DOUBLE)) "
+    "AS BIGINT)) AS DOUBLE) / 1e9"
+)
+
+
 def _kmeans_sql(k: int = KMEANS_K, n_iter: int = KMEANS_ITERS) -> str:
     """Unrolled Lloyd iterations as chained CTEs — mirrors
     similarity.kmeans_fit_assign round for round (same init, same
     fixed-point centroid means, same (dist, cid) argmin)."""
-    fsum = (
-        "CAST(sum(CAST(floor(CAST(x AS DOUBLE) * 1e9 + CAST(0.5 AS DOUBLE)) "
-        "AS BIGINT)) AS DOUBLE) / 1e9"
-    )
+    fsum = _FSUM_SQL
     ctes = [
         f"""c0 AS (
   SELECT CAST(vec_id AS BIGINT) AS cid,
@@ -4458,19 +4466,23 @@ def _two_level_sql(k: int = TWOLEVEL_K, n_iter: int = KMEANS_ITERS) -> str:
     (cid1, cid2), with the Lloyd empty-cell guard."""
     k1 = int(-(-(k ** 0.5) // 1))
     k2 = -(-k // k1)
-    fsum = (
-        "CAST(sum(CAST(floor(CAST(x AS DOUBLE) * 1e9 + CAST(0.5 AS DOUBLE)) "
-        "AS BIGINT)) AS DOUBLE) / 1e9"
-    )
+    fsum = _FSUM_SQL
     base = _kmeans_sql(k1, n_iter)
     marker = "SELECT vec_id, cid, round(dist, 6) AS dist "
     assert marker in base
     head = base[: base.index(marker)]
     tail_from = base[base.index(marker) + len(marker):]
     ctes = [
-        "ca AS MATERIALIZED (SELECT vec_id, embedding, cid AS cid1 "
+        "car AS (SELECT vec_id, embedding, cid AS c_raw "
         + tail_from
         + ")",
+        # dense-rank the coarse cell ids to 0..k1-1 before compositing
+        # — mirror of the Spark side's overflow/collision guard (cids
+        # are seed vector ids, potentially 64-bit)
+        "cr AS (SELECT c_raw, row_number() OVER (ORDER BY c_raw) - 1 "
+        "AS cid1 FROM (SELECT DISTINCT c_raw FROM car))",
+        "ca AS MATERIALIZED (SELECT car.vec_id, car.embedding, cr.cid1 "
+        "FROM car JOIN cr ON car.c_raw = cr.c_raw)",
         f"""s0 AS (
   SELECT cid1, CAST(rn - 1 AS BIGINT) AS cid2,
          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cvec

@@ -92,16 +92,19 @@ def read_csv_dlq(
 
 
 def parse_json_dlq_cols(
-    df: DataFrame, raw_col: str, schema: T.StructType
+    df: DataFrame, raw_col: str, schema: T.StructType,
+    passthrough: tuple[str, ...] = (),
 ):
     """The COLUMNAR twin of read_json_dlq, for payloads that arrive as a
     string column — Kafka values, event-log bodies, readStream frames.
     Returns (good, bad): `good` carries the schema's columns for rows
     whose payload parsed and type-checked, `bad` carries (raw,) for the
-    rest. Built on from_json in PERMISSIVE mode, which is a plain
-    expression: it composes into Structured Streaming plans unchanged
-    and carries none of the file-source corrupt-column caveats (no
-    cache needed — SPARK-38523 is specific to file-source parsing)."""
+    rest; `passthrough` names input columns copied onto BOTH sides
+    (provenance like a source path riding along the split). Built on
+    from_json in PERMISSIVE mode, which is a plain expression: it
+    composes into Structured Streaming plans unchanged and carries none
+    of the file-source corrupt-column caveats (no cache needed —
+    SPARK-38523 is specific to file-source parsing)."""
     full = T.StructType(
         list(schema.fields) + [T.StructField(CORRUPT_COL, T.StringType())]
     )
@@ -116,10 +119,12 @@ def parse_json_dlq_cols(
     # a NULL struct means the payload was so broken from_json bailed
     # entirely (or the input was NULL) — that is a bad row too
     is_bad = F.col(f"_p.{CORRUPT_COL}").isNotNull() | F.col("_p").isNull()
+    extra = [F.col(c) for c in passthrough]
     good = parsed.where(~is_bad).select(
-        *[F.col(f"_p.{f.name}").alias(f.name) for f in schema.fields]
+        *[F.col(f"_p.{f.name}").alias(f.name) for f in schema.fields],
+        *extra,
     )
-    bad = parsed.where(is_bad).select(F.col(raw_col).alias("raw"))
+    bad = parsed.where(is_bad).select(F.col(raw_col).alias("raw"), *extra)
     return good, bad
 
 
@@ -194,28 +199,15 @@ def quarantine_replay(
       the new schema — feed straight back into quarantine_write (it
       becomes a new, smaller version; iterate until empty).
 
-    Parsing is the columnar PERMISSIVE from_json split
-    (parse_json_dlq_cols semantics) — a plain expression, no
-    file-source corrupt-column caveats, works identically if the
-    quarantine is read as a stream."""
+    Parsing IS parse_json_dlq_cols (one splitter, one set of PERMISSIVE
+    corner-case fixes) with the quarantine's provenance columns riding
+    through the split — a plain expression, no file-source
+    corrupt-column caveats, works identically if the quarantine is
+    read as a stream."""
     from yat_geo_db_spark.relational.layout import read_version
 
     q = read_version(spark, root, version)
-    full = T.StructType(
-        list(schema.fields) + [T.StructField(CORRUPT_COL, T.StringType())]
+    good, still_bad = parse_json_dlq_cols(
+        q, "raw", schema, passthrough=("source", "reason")
     )
-    parsed = q.withColumn(
-        "_p",
-        F.from_json(
-            F.col("raw"),
-            full,
-            {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": CORRUPT_COL},
-        ),
-    )
-    is_bad = F.col(f"_p.{CORRUPT_COL}").isNotNull() | F.col("_p").isNull()
-    good = parsed.where(~is_bad).select(
-        *[F.col(f"_p.{f.name}").alias(f.name) for f in schema.fields],
-        F.col("source"),
-    )
-    still_bad = parsed.where(is_bad).select("raw", "source", "reason")
-    return good, still_bad
+    return good.drop("reason"), still_bad.select("raw", "source", "reason")

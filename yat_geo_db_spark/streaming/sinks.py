@@ -255,21 +255,34 @@ def _rollup_state_paths(spark, root: str) -> list[str]:
             if bid is None or (bid != -1 and bid <= through):
                 continue
             state_dirs.append(n)
+        gen_uncommitted = False
         for n in state_dirs:
             files, committed = fsio.list_data_files(spark, f"{root}/{n}")
             if n == gendir and not committed:
-                raise FileNotFoundError(
-                    f"committed generation dir {root}/{n} has no "
-                    "_SUCCESS — state corrupted"
-                )
+                # the marker-named generation is absent or mid-delete
+                # HERE (after the bracketed dir listing): either a
+                # compaction just committed gen+1 and is deleting the
+                # old one — the final marker re-check below will catch
+                # that and retry — or the dir is genuinely gone, which
+                # only the unchanged marker can prove. Defer the
+                # verdict; never raise on a healthy racing compaction.
+                gen_uncommitted = True
+                break
             # skip batch dirs whose write is still in flight (no
             # _SUCCESS in the same listing as the files): reading one
             # would see a partial batch; it becomes visible on the
             # next read, like any batch that had not landed yet
             if committed:
                 paths.extend(f"{root}/{n}/{f}" for f in files)
-        if _read_marker(spark, root) == marker:
-            break
+        if _read_marker(spark, root) != marker:
+            continue
+        if gen_uncommitted:
+            raise FileNotFoundError(
+                f"committed generation dir {root}/{gendir} is absent "
+                "or has no _SUCCESS while the marker still names it — "
+                "state corrupted (manual deletion / partial restore?)"
+            )
+        break
     else:
         raise RuntimeError(
             f"rollup marker at {root} kept changing — compaction storm?"
@@ -319,6 +332,44 @@ def _gated_batch_writer(root: str, build):
                         recursive=True)
 
     return write_batch
+
+
+#: a generation dir younger than this is never swept as an orphan —
+#: it may belong to a compactor that is about to commit it
+ORPHAN_GRACE_MS = 3_600_000
+
+
+def _sweep_orphan_generations(
+    spark, root: str, grace_ms: int = ORPHAN_GRACE_MS
+) -> None:
+    """Reclaim generation dirs left by compactors that crashed between
+    their fold write and their marker commit. Two guards make this
+    safe against CONCURRENT compactors (whose output this janitor must
+    never destroy):
+
+    - age: a dir modified within `grace_ms` is skipped — a live run
+      commits its marker within moments of finishing its write, so a
+      fresh unnamed dir is presumed in-flight, while a crashed run's
+      orphan only ever ages;
+    - per-candidate marker re-read: the marker is re-read immediately
+      before EACH delete, so a generation committed after this run's
+      snapshot is recognized and spared (the remaining window — a
+      commit landing between that re-read and the delete RPC — also
+      requires the dir to be older than the grace period, i.e. a
+      compactor that stalled for the full grace between write and
+      commit; pick grace accordingly)."""
+    import time
+
+    now_ms = int(time.time() * 1000)
+    for n in fsio.list_dir_names(spark, root):
+        if not n.startswith(_GEN_PREFIX):
+            continue
+        mt = fsio.modification_time_ms(spark, f"{root}/{n}")
+        if mt is None or now_ms - mt < grace_ms:
+            continue
+        _, _, pend, cur_gendir = _read_marker(spark, root)
+        if n != cur_gendir and n not in pend:
+            fsio.delete(spark, f"{root}/{n}", recursive=True)
 
 
 def _batch_dir_id(name: str) -> int | None:
@@ -477,7 +528,14 @@ def _compact_generational(spark, root: str, fold) -> None:
       have overwritten the winner's committed output path.
     - Orphan generation dirs (a compactor that crashed or lost the
       race after writing) are invisible to readers (the marker never
-      named them) and are swept at the start of the next run."""
+      named them) and are swept at the start of the next run — but
+      ONLY past a modification-time grace period and only after
+      re-reading the marker per candidate: without both guards a
+      compactor holding a stale marker snapshot could delete a
+      CONCURRENT run's just-written (or even just-committed)
+      generation dir. A dir younger than `orphan_grace_ms` (default
+      1 h, the janitor-lease pattern) is never touched; a genuinely
+      crashed run's orphan ages past it and is reclaimed."""
     import uuid
 
     through, gen, pending, gendir = _read_marker(spark, root)
@@ -487,12 +545,7 @@ def _compact_generational(spark, root: str, fold) -> None:
         for n in pending:
             fsio.delete(spark, f"{root}/{n}", recursive=True)
         _write_marker(spark, root, through, gen, [], gendir)
-    # sweep orphan generation dirs: any _compacted_g* the marker does
-    # not name was written by a run that crashed (or aborted) before
-    # its commit — never visible to readers, safe to reclaim
-    for n in fsio.list_dir_names(spark, root):
-        if n.startswith(_GEN_PREFIX) and n != gendir:
-            fsio.delete(spark, f"{root}/{n}", recursive=True)
+    _sweep_orphan_generations(spark, root)
     listed = sorted(
         (bid, n)
         for n in fsio.list_dir_names(spark, root)
@@ -571,6 +624,11 @@ def _compact_generational(spark, root: str, fold) -> None:
                 f"fold input {n} changed during the fold — a replayed "
                 "batch overwrite raced this run"
             )
+    if not fsio.list_data_files(spark, f"{root}/{new_gendir}")[1]:
+        # own output vanished or lost its _SUCCESS (an external janitor
+        # or concurrent run interfered) — committing a marker that
+        # names it would poison every reader
+        _abort("this run's generation dir is no longer committed on disk")
     # COMMIT: readers atomically switch to the new generation and
     # exclude fold_names
     _write_marker(spark, root, new_through, gen + 1, fold_names, new_gendir)
