@@ -4743,6 +4743,74 @@ def q_src_json_dlq(spark, sf_dir):
     return g.crossJoin(b).select("lang", "n_good", "id_sum", "n_bad")
 
 
+def q_src_dlq_replay(spark, sf_dir):
+    """Fix-and-replay over the dead-letter side (the quarantine_replay
+    semantics, run columnar so it is a pure query): the SAME planted
+    corruption as pipe_src_json_dlq is split under the STRICT schema,
+    then the bad side is re-parsed under the RELAXED (producer-won)
+    schema — doc_id as string. Schema-drifted rows (id = 'x<n>')
+    recover; truncated uploads stay bad. Output: one row of
+    (n_recovered, recovered id-suffix sum, n_still_bad) — the suffix
+    sum pins WHICH rows recovered, not just how many."""
+    import pyspark.sql.types as T
+
+    from yat_geo_db_spark import sources
+
+    docs = load_table(spark, sf_dir, "documents")
+    payload = F.when(
+        F.col("doc_id") % 7 == 0,
+        F.expr("substring(to_json(struct(doc_id, lang)), 1, 11)"),
+    ).when(
+        F.col("doc_id") % 11 == 0,
+        F.concat(
+            F.lit('{"doc_id": "x'),
+            F.col("doc_id").cast("string"),
+            F.lit('", "lang": "zz"}'),
+        ),
+    ).otherwise(F.expr("to_json(struct(doc_id, lang))"))
+    frame = docs.select(payload.alias("payload"))
+    strict = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("lang", T.StringType()),
+        ]
+    )
+    relaxed = T.StructType(
+        [
+            T.StructField("doc_id", T.StringType()),
+            T.StructField("lang", T.StringType()),
+        ]
+    )
+    _, bad = sources.parse_json_dlq_cols(frame, "payload", strict)
+    recovered, still_bad = sources.parse_json_dlq_cols(
+        bad, "raw", relaxed
+    )
+    r = F.broadcast(
+        recovered.agg(
+            F.count(F.lit(1)).alias("n_recovered"),
+            F.sum(
+                F.substring(F.col("doc_id"), 2, 32).cast("long")
+            ).alias("suffix_sum"),
+        )
+    )
+    s = still_bad.agg(F.count(F.lit(1)).alias("n_still_bad"))
+    return r.crossJoin(s)
+
+
+_SRC_DLQ_REPLAY_SQL = """
+WITH flags AS (
+  SELECT doc_id,
+         coalesce(doc_id % 7 = 0, false) AS truncated,
+         coalesce(doc_id % 7 != 0 AND doc_id % 11 = 0, false) AS drifted
+  FROM documents
+)
+SELECT (SELECT count(*) FROM flags WHERE drifted) AS n_recovered,
+       (SELECT CAST(sum(doc_id) AS BIGINT) FROM flags WHERE drifted)
+         AS suffix_sum,
+       (SELECT count(*) FROM flags WHERE truncated) AS n_still_bad
+"""
+
+
 _SRC_JSON_DLQ_SQL = """
 WITH flags AS (
   SELECT doc_id, lang,
@@ -5993,6 +6061,7 @@ FROM base b LEFT JOIN stats st ON b.label = st.label
 QUERIES: dict = {
     "pipe_pii_scrub": (q_pii_scrub, _pii_scrub_sql()),
     "pipe_src_json_dlq": (q_src_json_dlq, _SRC_JSON_DLQ_SQL),
+    "pipe_src_dlq_replay": (q_src_dlq_replay, _SRC_DLQ_REPLAY_SQL),
     "pipe_emb_centroids": (q_emb_centroids, _emb_centroids_sql()),
     "pipe_emb_drift": (q_emb_drift, _emb_drift_sql()),
     "pipe_html_extract": (q_html_extract, _html_extract_sql()),
