@@ -72,6 +72,9 @@ def build_fixture(spark) -> None:
         with open(marker) as fh:
             if fh.read() == stamp:
                 return
+        # stale stamp: drop it BEFORE rebuilding, so a crash mid-
+        # rebuild can never leave the old stamp over half-new data
+        os.remove(marker)
     docs = load_table(spark, BASE_DIR, "documents")
     emb = load_table(spark, BASE_DIR, "embeddings")
 

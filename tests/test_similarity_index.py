@@ -1044,3 +1044,17 @@ def test_semdedup_scaled_pairs_exact_and_find_planted_dups(spark):
     assert set(rows).issubset(set(brute_rows))
     assert all(brute_rows[p] == c for p, c in rows.items())
     assert len(rows) > 0
+
+
+def test_two_level_shuffle_join_path_equals_broadcast(spark):
+    """broadcast_sub=False (the escape hatch past the broadcast size
+    ceiling) must produce the IDENTICAL assignment — only the
+    candidate-shipping strategy changes, never the math."""
+    from yat_geo_db_spark.pipelines.similarity import (
+        kmeans_two_level_fit_assign,
+    )
+
+    emb = load_table(spark, SF, "embeddings")
+    a = kmeans_two_level_fit_assign(emb, k=9, n_iter=2)
+    b = kmeans_two_level_fit_assign(emb, k=9, n_iter=2, broadcast_sub=False)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))

@@ -183,3 +183,52 @@ def test_quarantine_write_columnar_bad_has_null_source(spark, tmp_path):
     assert [(r["raw"], r["source"], r["reason"]) for r in rows] == [
         ("nope", None, "parse")
     ]
+
+
+def test_quarantine_replay_schema_owning_provenance_names(spark, tmp_path):
+    """A payload schema that itself defines `reason` (or `source`) must
+    keep its own parsed fields — the quarantine's provenance rides
+    under reserved names and publishes as quarantine_source only when
+    the payload claims `source`."""
+    df = spark.createDataFrame(
+        [('{"id": 1, "reason": "payload-reason", "source": "payload-src"}',),
+         ("badline",)],
+        "payload string",
+    )
+    schema_rs = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("reason", T.StringType()),
+            T.StructField("source", T.StringType()),
+        ]
+    )
+    good, bad = sources.parse_json_dlq_cols(df, "payload", schema_rs)
+    qroot = str(tmp_path / "q")
+    sources.quarantine_write(bad, qroot, reason="quarantine-reason")
+    rec, sb = sources.quarantine_replay(spark, qroot, schema_rs)
+    # 'badline' stays bad; provenance keeps ITS reason, not the payload's
+    assert rec.count() == 0
+    row = sb.collect()[0]
+    assert (row["raw"], row["reason"]) == ("badline", "quarantine-reason")
+
+    # now a RECOVERABLE payload that owns both names: its fields win,
+    # provenance publishes as quarantine_source
+    df3 = spark.createDataFrame(
+        [('{"id": 2, "reason": "r2", "source": "s2"}',)], "payload string"
+    )
+    g3, b3 = sources.parse_json_dlq_cols(
+        df3.selectExpr("substr(payload, 1, 10) as payload"), "payload",
+        schema_rs,
+    )
+    v = sources.quarantine_write(b3, qroot, reason="trunc")
+    # fix: replay under a RELAXED all-string schema that still owns both
+    relaxed = T.StructType(
+        [
+            T.StructField("id", T.StringType()),
+            T.StructField("reason", T.StringType()),
+            T.StructField("source", T.StringType()),
+        ]
+    )
+    rec3, _ = sources.quarantine_replay(spark, qroot, relaxed, version=v)
+    assert "quarantine_source" in rec3.columns
+    assert set(relaxed.fieldNames()).issubset(set(rec3.columns))

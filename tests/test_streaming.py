@@ -1578,7 +1578,10 @@ def test_orphan_sweep_grace_and_marker_guards(spark, tmp_path):
         os.makedirs(d)
         open(f"{d}/_SUCCESS", "w").close()
     aged = time.time() - 7200
+    # age the dir AND its children: the janitor ages against the
+    # LATEST activity in the dir (a fresh child means a live writer)
     os.utime(old, (aged, aged))
+    os.utime(f"{old}/_SUCCESS", (aged, aged))
 
     sinks._sweep_orphan_generations(spark, root)
     left = set(_gen_dirs(root))
@@ -1588,10 +1591,12 @@ def test_orphan_sweep_grace_and_marker_guards(spark, tmp_path):
 
     # the committed generation survives the sweep at ANY age
     os.utime(f"{root}/{committed}", (aged, aged))
+    for child in os.listdir(f"{root}/{committed}"):
+        os.utime(f"{root}/{committed}/{child}", (aged, aged))
     sinks._sweep_orphan_generations(spark, root, grace_ms=0)
     assert _gen_dirs(root) == [committed]
     got = sorted(map(tuple, read_rollup(spark, root, **kw).collect()))
-    assert got == [("a", 1, 1.0)] or len(got) == 1
+    assert got == [("a", 1, 1.0)]  # values survive the sweep exactly
 
 
 def test_reader_retries_when_generation_swaps_mid_listing(

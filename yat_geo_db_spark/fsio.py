@@ -143,6 +143,26 @@ def modification_time_ms(spark, path: str) -> int | None:
         raise
 
 
+def activity_time_ms(spark, dirpath: str) -> int | None:
+    """Latest modification time across `dirpath` AND its direct
+    children, in epoch millis (one getFileStatus + one listStatus), or
+    None if absent. A directory being written by a committer shows a
+    static root mtime for the whole job (part files land only at job
+    commit), but its ``_temporary`` child's mtime advances as task
+    attempts are created and committed — so this is the liveness
+    signal a janitor must age against, not the root mtime alone."""
+    _, _, fs, p = _jfs(spark, dirpath)
+    try:
+        latest = int(fs.getFileStatus(p).getModificationTime())
+        for st in fs.listStatus(p):
+            latest = max(latest, int(st.getModificationTime()))
+        return latest
+    except Exception as e:
+        if _is_file_not_found(e):
+            return None
+        raise
+
+
 def read_bytes(spark, path: str) -> bytes | None:
     """Raw bytes of a (small) file, or None if it does not exist.
     Unlike :func:`read_text` this performs NO newline normalization —

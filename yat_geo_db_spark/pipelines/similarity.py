@@ -493,9 +493,12 @@ def kmeans_two_level_fit_assign(
     k2 = -(-k // k1)
     coarse = kmeans_fit(embeddings, k=k1, n_iter=n_iter,
                         id_col=id_col, vec_col=vec_col)
+    # materialize the coarse assignment ONCE (id + cid1raw — narrow):
+    # both the rank's distinct and the main branch read it, and without
+    # the checkpoint the n·k1 assignment subtree would execute twice
     ca = kmeans_assign(embeddings, coarse, id_col, vec_col).select(
         id_col, F.col("cid").alias("cid1raw")
-    )
+    ).localCheckpoint()
     # dense-rank the coarse cell ids to 0..k1-1 BEFORE compositing:
     # kmeans cids are seed VECTOR ids (deliberately 64-bit — they can
     # be hash-derived), so cid1raw·k2 + cid2 could overflow long or

@@ -4697,43 +4697,50 @@ _PII_NOISY_EXPR = (
 )
 
 
-def q_src_json_dlq(spark, sf_dir):
-    """Dead-letter split on a deterministically-corrupted JSON payload
-    column (sources.parse_json_dlq_cols — the Kafka-value/readStream
-    ingestion shape): every doc becomes a to_json payload, every 7th is
-    truncated mid-payload and every 11th gets a mistyped id (schema
-    drift), then the PERMISSIVE split routes them. Output: per-LANG
-    good counts plus the sum of parsed ids and the bad total — so the
-    oracle checks WHICH rows parsed, not just how many. The corruption
-    is planted because the fixture corpus is clean (the pii_scrub
-    precedent)."""
+def _dlq_planted_payload():
+    """The shared planted-corruption recipe of the DLQ registry twins
+    (pipe_src_json_dlq and pipe_src_dlq_replay): every 7th doc's
+    to_json payload is truncated mid-object (11 chars — the shortest
+    complete output is 12, so it can never accidentally be valid
+    JSON), every 11th gets a mistyped string id (schema drift). ONE
+    definition so the two oracle-checked twins can never drift apart.
+    Returns (payload Column over a documents frame, strict schema)."""
     import pyspark.sql.types as T
 
-    from yat_geo_db_spark import sources
-
-    docs = load_table(spark, sf_dir, "documents")
     payload = F.when(
         F.col("doc_id") % 7 == 0,
-        # truncated upload: 11 chars is ALWAYS mid-object (the shortest
-        # complete to_json output is 12 chars even when null fields are
-        # omitted), so the payload can never accidentally be valid JSON
         F.expr("substring(to_json(struct(doc_id, lang)), 1, 11)"),
     ).when(
         F.col("doc_id") % 11 == 0,
-        # schema drift: id arrives as a non-numeric string
         F.concat(
             F.lit('{"doc_id": "x'),
             F.col("doc_id").cast("string"),
             F.lit('", "lang": "zz"}'),
         ),
     ).otherwise(F.expr("to_json(struct(doc_id, lang))"))
-    frame = docs.select(payload.alias("payload"))
-    schema = T.StructType(
+    strict = T.StructType(
         [
             T.StructField("doc_id", T.LongType()),
             T.StructField("lang", T.StringType()),
         ]
     )
+    return payload, strict
+
+
+def q_src_json_dlq(spark, sf_dir):
+    """Dead-letter split on a deterministically-corrupted JSON payload
+    column (sources.parse_json_dlq_cols — the Kafka-value/readStream
+    ingestion shape): the shared _dlq_planted_payload corruption, then
+    the PERMISSIVE split routes rows. Output: per-LANG good counts
+    plus the sum of parsed ids and the bad total — so the oracle
+    checks WHICH rows parsed, not just how many. The corruption is
+    planted because the fixture corpus is clean (the pii_scrub
+    precedent)."""
+    from yat_geo_db_spark import sources
+
+    docs = load_table(spark, sf_dir, "documents")
+    payload, schema = _dlq_planted_payload()
+    frame = docs.select(payload.alias("payload"))
     good, bad = sources.parse_json_dlq_cols(frame, "payload", schema)
     g = good.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_good"),
@@ -4757,24 +4764,8 @@ def q_src_dlq_replay(spark, sf_dir):
     from yat_geo_db_spark import sources
 
     docs = load_table(spark, sf_dir, "documents")
-    payload = F.when(
-        F.col("doc_id") % 7 == 0,
-        F.expr("substring(to_json(struct(doc_id, lang)), 1, 11)"),
-    ).when(
-        F.col("doc_id") % 11 == 0,
-        F.concat(
-            F.lit('{"doc_id": "x'),
-            F.col("doc_id").cast("string"),
-            F.lit('", "lang": "zz"}'),
-        ),
-    ).otherwise(F.expr("to_json(struct(doc_id, lang))"))
+    payload, strict = _dlq_planted_payload()
     frame = docs.select(payload.alias("payload"))
-    strict = T.StructType(
-        [
-            T.StructField("doc_id", T.LongType()),
-            T.StructField("lang", T.StringType()),
-        ]
-    )
     relaxed = T.StructType(
         [
             T.StructField("doc_id", T.StringType()),

@@ -201,13 +201,30 @@ def quarantine_replay(
 
     Parsing IS parse_json_dlq_cols (one splitter, one set of PERMISSIVE
     corner-case fixes) with the quarantine's provenance columns riding
-    through the split — a plain expression, no file-source
-    corrupt-column caveats, works identically if the quarantine is
-    read as a stream."""
+    through the split under reserved internal names — so a payload
+    schema that itself defines `source` or `reason` keeps its own
+    parsed fields intact (the provenance column is then published as
+    `quarantine_source` instead of shadowing the payload's). A plain
+    expression, no file-source corrupt-column caveats, works
+    identically if the quarantine is read as a stream."""
     from yat_geo_db_spark.relational.layout import read_version
 
-    q = read_version(spark, root, version)
-    good, still_bad = parse_json_dlq_cols(
-        q, "raw", schema, passthrough=("source", "reason")
+    q = read_version(spark, root, version).select(
+        "raw",
+        F.col("source").alias("_prov_source"),
+        F.col("reason").alias("_prov_reason"),
     )
-    return good.drop("reason"), still_bad.select("raw", "source", "reason")
+    good, still_bad = parse_json_dlq_cols(
+        q, "raw", schema, passthrough=("_prov_source", "_prov_reason")
+    )
+    fields = [f.name for f in schema.fields]
+    prov = "source" if "source" not in fields else "quarantine_source"
+    good = good.select(
+        *fields, F.col("_prov_source").alias(prov)
+    )
+    still_bad = still_bad.select(
+        "raw",
+        F.col("_prov_source").alias("source"),
+        F.col("_prov_reason").alias("reason"),
+    )
+    return good, still_bad

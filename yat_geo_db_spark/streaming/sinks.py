@@ -340,31 +340,41 @@ ORPHAN_GRACE_MS = 3_600_000
 
 
 def _sweep_orphan_generations(
-    spark, root: str, grace_ms: int = ORPHAN_GRACE_MS
+    spark, root: str, grace_ms: int | None = None
 ) -> None:
     """Reclaim generation dirs left by compactors that crashed between
     their fold write and their marker commit. Two guards make this
     safe against CONCURRENT compactors (whose output this janitor must
     never destroy):
 
-    - age: a dir modified within `grace_ms` is skipped — a live run
-      commits its marker within moments of finishing its write, so a
-      fresh unnamed dir is presumed in-flight, while a crashed run's
-      orphan only ever ages;
+    - age: a dir with filesystem ACTIVITY within `grace_ms` is skipped
+      (fsio.activity_time_ms — the root mtime is static for the whole
+      fold job because part files land only at job commit, but the
+      ``_temporary`` child's mtime advances as tasks run, so an
+      in-flight fold reads as live). A live run commits its marker
+      within moments of finishing, so a quiet unnamed dir older than
+      the grace is presumed crashed;
     - per-candidate marker re-read: the marker is re-read immediately
       before EACH delete, so a generation committed after this run's
-      snapshot is recognized and spared (the remaining window — a
-      commit landing between that re-read and the delete RPC — also
-      requires the dir to be older than the grace period, i.e. a
-      compactor that stalled for the full grace between write and
-      commit; pick grace accordingly)."""
+      snapshot is recognized and spared. (And even a mistimed delete
+      cannot poison the marker: the owning compactor re-verifies its
+      own output dir right before its commit and aborts if it is
+      gone.)
+
+    The remaining window needs a fold with NO filesystem activity for
+    the entire grace that then wakes up and commits within the
+    check-to-delete RPC gap — pass a `grace_ms` sized to the slowest
+    plausible task when folds run long (compact_* functions expose
+    it)."""
     import time
 
+    if grace_ms is None:
+        grace_ms = ORPHAN_GRACE_MS
     now_ms = int(time.time() * 1000)
     for n in fsio.list_dir_names(spark, root):
         if not n.startswith(_GEN_PREFIX):
             continue
-        mt = fsio.modification_time_ms(spark, f"{root}/{n}")
+        mt = fsio.activity_time_ms(spark, f"{root}/{n}")
         if mt is None or now_ms - mt < grace_ms:
             continue
         _, _, pend, cur_gendir = _read_marker(spark, root)
@@ -449,6 +459,7 @@ def compact_rollup(
     min_cols: list[str] = (),
     max_cols: list[str] = (),
     scale: int = 4,
+    orphan_grace_ms: int | None = None,
 ) -> None:
     """Fold batch states into the NEXT compacted generation dir
     (``_compacted_g<gen+1>-<token>``, unique per run) and remove the
@@ -492,10 +503,12 @@ def compact_rollup(
             [states], key_cols, sum_cols=sum_cols, min_cols=min_cols,
             max_cols=max_cols, scale=scale,
         ),
+        orphan_grace_ms=orphan_grace_ms,
     )
 
 
-def _compact_generational(spark, root: str, fold) -> None:
+def _compact_generational(spark, root: str, fold,
+                          orphan_grace_ms: int | None = None) -> None:
     """The generational fold-and-commit protocol shared by every
     maintenance sink whose per-batch state is MERGEABLE (partial
     aggregates, CMS blobs, histogram counts): snapshot the completed
@@ -545,7 +558,7 @@ def _compact_generational(spark, root: str, fold) -> None:
         for n in pending:
             fsio.delete(spark, f"{root}/{n}", recursive=True)
         _write_marker(spark, root, through, gen, [], gendir)
-    _sweep_orphan_generations(spark, root)
+    _sweep_orphan_generations(spark, root, orphan_grace_ms)
     listed = sorted(
         (bid, n)
         for n in fsio.list_dir_names(spark, root)
@@ -679,7 +692,8 @@ def heavy_hitter_sink(
     return _gated_batch_writer(root, build)
 
 
-def compact_heavy_hitters(spark, root: str) -> None:
+def compact_heavy_hitters(spark, root: str,
+                          orphan_grace_ms: int | None = None) -> None:
     """Generational compaction for a heavy_hitter_sink target (the full
     compact_rollup crash/replay protocol via _compact_generational):
     CMS counters add commutatively, so the fold is one JVM mergeInPlace
@@ -711,7 +725,7 @@ def compact_heavy_hitters(spark, root: str) -> None:
         )
         return one.unionByName(keys)
 
-    _compact_generational(spark, root, fold)
+    _compact_generational(spark, root, fold, orphan_grace_ms=orphan_grace_ms)
 
 
 def _merge_cms_blobs(spark, blobs: list[bytes]):
@@ -809,7 +823,8 @@ def read_histogram_quantiles(
     return quantile_from_histogram(merged, key_cols, qs, lo, hi, n_bins)
 
 
-def compact_histogram_rollup(spark, root: str, key_cols: list[str]) -> None:
+def compact_histogram_rollup(spark, root: str, key_cols: list[str],
+                             orphan_grace_ms: int | None = None) -> None:
     """Generational compaction for a histogram_rollup_sink target:
     integer bin counts add exactly, so the fold is one hash aggregate
     over the folded states (merge_histogram_states) — the output is
@@ -818,7 +833,9 @@ def compact_histogram_rollup(spark, root: str, key_cols: list[str]) -> None:
     from yat_geo_db_spark.relational.merge import merge_histogram_states
 
     _compact_generational(
-        spark, root, lambda states: merge_histogram_states([states], key_cols)
+        spark, root,
+        lambda states: merge_histogram_states([states], key_cols),
+        orphan_grace_ms=orphan_grace_ms,
     )
 
 
