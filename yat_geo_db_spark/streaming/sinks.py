@@ -365,7 +365,13 @@ def _sweep_orphan_generations(
     the entire grace that then wakes up and commits within the
     check-to-delete RPC gap — pass a `grace_ms` sized to the slowest
     plausible task when folds run long (compact_* functions expose
-    it)."""
+    it). Object-store caveat: S3A reports fake-directory mtimes as 0,
+    so a mid-fold dir whose only direct child is the ``_temporary``
+    fake dir can read as ancient — on S3A size the grace to the whole
+    fold duration (or run the janitor only from the compaction cadence
+    itself, where no concurrent fold exists). Even a mistimed sweep
+    cannot poison the marker: the owning compactor re-verifies its own
+    output immediately before its commit and aborts loudly."""
     import time
 
     if grace_ms is None:
