@@ -1058,3 +1058,40 @@ def test_two_level_shuffle_join_path_equals_broadcast(spark):
     a = kmeans_two_level_fit_assign(emb, k=9, n_iter=2)
     b = kmeans_two_level_fit_assign(emb, k=9, n_iter=2, broadcast_sub=False)
     assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_embedding_dim_stats_flags_dead_dimension(spark):
+    """embedding_dim_stats: a planted constant dimension reads
+    var_x = 0 / is_dead = 1; live dimensions read is_dead = 0; mean
+    and variance agree with numpy within rounding."""
+    import numpy as np
+    import pyspark.sql.functions as F2
+
+    from yat_geo_db_spark.pipelines.similarity import embedding_dim_stats
+
+    emb = load_table(spark, SF, "embeddings")
+    # plant: dimension 0 forced to the constant 0.25
+    planted = emb.select(
+        "vec_id",
+        F2.concat(
+            F2.array(F2.lit(0.25).cast("float")),
+            F2.slice(F2.col("embedding"), 2, 10_000),
+        ).alias("embedding"),
+    )
+    rows = {r["pos"]: r for r in embedding_dim_stats(planted).collect()}
+    d = len(emb.first()["embedding"])
+    assert set(rows) == set(range(d))
+    assert rows[0]["is_dead"] == 1 and rows[0]["var_x"] == 0.0
+    assert rows[0]["mean_x"] == 0.25
+    assert all(rows[p]["is_dead"] == 0 for p in range(1, d))
+
+    # numpy agreement on a live dimension
+    xs = np.array(
+        [float(r["embedding"][1]) for r in planted.select("embedding").collect()],
+        dtype=np.float64,
+    )
+    assert rows[1]["n"] == len(xs)
+    assert abs(rows[1]["mean_x"] - xs.mean()) < 1e-5
+    assert abs(rows[1]["var_x"] - xs.var()) < 1e-5
+    assert rows[1]["min_x"] == round(float(xs.min()), 6)
+    assert rows[1]["max_x"] == round(float(xs.max()), 6)

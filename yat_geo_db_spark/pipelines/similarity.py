@@ -1154,6 +1154,52 @@ def semdedup_pairs_scaled(
     return _cell_blocked_pairs(unit, assign, threshold, id_col, vec_col)
 
 
+def embedding_dim_stats(
+    embeddings: DataFrame, id_col: str = "vec_id",
+    vec_col: str = "embedding", scale: int = 9,
+) -> DataFrame:
+    """Per-DIMENSION health profile of an embedding column — the
+    vector-pipeline QA pass that catches dead dimensions (an encoder
+    head that collapsed to a constant), variance drift after a model
+    swap, and range blow-ups before they poison every downstream
+    cosine. Output per dimension: (pos, n, mean_x, var_x, min_x,
+    max_x, is_dead), is_dead = rounded variance exactly 0.
+
+    One posexplode scan + ONE hash aggregate keyed by position (d
+    keys — trivially small state at any corpus size; the scan is the
+    cost, and it is a single pass). Sums are fixed-point exact
+    (relational dsum discipline), so the profile is bit-stable across
+    partitionings and engines — the oracle replays the same scaled-
+    long sums and the same IEEE mean/variance arithmetic."""
+    from yat_geo_db_spark.relational.queries import dsum
+
+    pts = embeddings.select(
+        F.posexplode(F.col(vec_col)).alias("pos", "_raw")
+    ).select("pos", F.col("_raw").cast("double").alias("x"))
+    agg = pts.groupBy("pos").agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum(F.col("x"), scale).alias("_sx"),
+        dsum(F.col("x") * F.col("x"), scale).alias("_sx2"),
+        F.min("x").alias("_mn"),
+        F.max("x").alias("_mx"),
+    )
+    out = agg.select(
+        "pos",
+        "n",
+        F.round(F.col("_sx") / F.col("n"), 6).alias("mean_x"),
+        F.round(
+            (F.col("_sx2") - F.col("_sx") * F.col("_sx") / F.col("n"))
+            / F.col("n"),
+            6,
+        ).alias("var_x"),
+        F.round("_mn", 6).alias("min_x"),
+        F.round("_mx", 6).alias("max_x"),
+    )
+    return out.select(
+        "*", (F.col("var_x") == 0.0).cast("int").alias("is_dead")
+    )
+
+
 def semdedup_keep(
     embeddings: DataFrame, k: int | None = None, threshold: float = 0.8,
     n_iter: int = 2, id_col: str = "vec_id", vec_col: str = "embedding",

@@ -4531,6 +4531,47 @@ ORDER BY vec_id
     )
 
 
+def q_emb_dim_stats(spark, sf_dir):
+    """Per-dimension embedding health profile
+    (similarity.embedding_dim_stats): n / fixed-point-exact mean and
+    variance / min / max / dead-dimension flag for every position —
+    the QA pass run before an embedding table feeds dedup or ANN.
+    One posexplode scan, one d-key hash aggregate."""
+    return similarity.embedding_dim_stats(
+        load_table(spark, sf_dir, "embeddings")
+    ).orderBy("pos")
+
+
+def _emb_dim_stats_sql(scale: int = 9) -> str:
+    from yat_geo_db_spark.queries.relational_queries import _dsum
+
+    sx = _dsum("x", scale)
+    sx2 = _dsum("x * x", scale)
+    return f"""
+WITH pts AS (
+  SELECT CAST(u.i - 1 AS INT) AS pos, CAST(embedding[u.i] AS DOUBLE) AS x
+  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS u(i)
+),
+agg AS (
+  SELECT pos, count(*) AS n, {sx} AS sx, {sx2} AS sx2,
+         min(x) AS mn, max(x) AS mx
+  FROM pts GROUP BY pos
+),
+stats AS (
+  SELECT pos, n,
+         round(sx / n, 6) AS mean_x,
+         round((sx2 - sx * sx / n) / n, 6) AS var_x,
+         round(mn, 6) AS min_x,
+         round(mx, 6) AS max_x
+  FROM agg
+)
+SELECT pos, n, mean_x, var_x, min_x, max_x,
+       CAST(var_x = CAST(0.0 AS DOUBLE) AS INT) AS is_dead
+FROM stats
+ORDER BY pos
+"""
+
+
 def q_curate_pretrain(spark, sf_dir):
     """The composed PRE-TRAINING curation pipeline over the round-3
     operator set, in canonical order: quality gate -> repeated-span
@@ -6136,6 +6177,7 @@ QUERIES: dict = {
     ),
     "pipe_sim_semdedup": (q_sim_semdedup, _semdedup_sql(k=16)),
     "pipe_sim_two_level_cells": (q_sim_two_level_cells, _two_level_sql()),
+    "pipe_emb_dim_stats": (q_emb_dim_stats, _emb_dim_stats_sql()),
     "pipe_sim_topk_batch": (q_sim_topk_batch, _TOPK_BATCH_SQL),
     "pipe_curate_corpus": (q_curate_corpus, _curate_sql()),
     "pipe_shard_assignment": (q_shard_assignment, _SHARD_SQL),
