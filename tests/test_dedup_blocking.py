@@ -741,3 +741,40 @@ def test_sorted_neighborhood_rejects_window_one(spark):
     docs = spark.createDataFrame([(1, "x")], "doc_id long, text string")
     with pytest.raises(ValueError, match="window"):
         sorted_neighborhood_pairs(docs, window=1)
+
+
+def test_containment_one_sided_prefix_filter_is_exact(spark):
+    """containment_pairs must equal the brute-force directed containment
+    over all ordered within-block pairs (the one-sided prefix filter is
+    lossless), and must catch the asymmetric case symmetric Jaccard
+    misses: a short snippet embedded verbatim in a long document."""
+    docs = _corpus(spark, n=60).select("doc_id", "text", "lang")
+    # plant: doc 9000 = a verbatim slice of doc 0's text (C(snip->0)=~1,
+    # while Jaccard(snip, 0) is far below any useful threshold)
+    base = docs.filter(F.col("doc_id") == 0).first()["text"]
+    snip = spark.createDataFrame(
+        [(9000, base[: len(base) // 4], "en")], "doc_id long, text string, lang string"
+    )
+    corpus = docs.unionByName(snip)
+
+    t = 0.9
+    got = {
+        (r["id_in"], r["id_out"]): r["containment"]
+        for r in dedup.containment_pairs(corpus, threshold=t).collect()
+    }
+    assert (9000, 0) in got and got[(9000, 0)] >= 0.99
+    assert (0, 9000) not in got  # directed: the long doc is NOT contained
+
+    # brute force over all ordered pairs (block = single language here)
+    g = dedup.distinct_grams_table(corpus, block_cols=("lang",))
+    a = g.select(F.col("doc_id").alias("id_in"), F.col("grams").alias("gi"), "lang")
+    b = g.select(F.col("doc_id").alias("id_out"), F.col("grams").alias("go"),
+                 F.col("lang").alias("lang_r"))
+    brute = (
+        a.join(b, (F.col("lang") == F.col("lang_r"))
+               & (F.col("id_in") != F.col("id_out")))
+        .withColumn("c", dedup.containment_col(F.col("gi"), F.col("go")))
+        .filter(F.col("c") >= t)
+    )
+    want = {(r["id_in"], r["id_out"]): r["c"] for r in brute.collect()}
+    assert got == want

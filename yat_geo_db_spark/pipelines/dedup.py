@@ -310,6 +310,110 @@ def ngram_jaccard_pairs(
     )
 
 
+def containment_col(g_in: Column, g_out: Column) -> Column:
+    """Exact DIRECTED containment of gram array `g_in` in `g_out`
+    (|∩| / |g_in|), 6-dp rounded — one definition shared by the
+    operator and its oracle, like jaccard_col."""
+    inter = F.size(F.array_intersect(g_in, g_out)).cast("double")
+    denom = F.size(g_in).cast("double")
+    return F.round(
+        F.when(denom > 0, inter / denom).otherwise(F.lit(0.0)), 6
+    )
+
+
+def containment_pairs(
+    documents: DataFrame,
+    threshold: float = 0.8,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    block_cols: tuple[str, ...] = ("lang",),
+) -> DataFrame:
+    """DIRECTED containment near-dup pairs — 'A lives inside B':
+    C(A→B) = |S(A) ∩ S(B)| / |S(A)| over distinct char n-gram sets,
+    EXACT (every ordered pair with C ≥ threshold, id_in ≠ id_out).
+    The asymmetric complement of ngram_jaccard_pairs: symmetric
+    Jaccard misses a short document embedded verbatim in a much longer
+    one (J = |A|/|B| can be arbitrarily small while C(A→B) = 1) — the
+    quote/subset leak mode in corpus dedup and benchmark
+    decontamination.
+
+    Candidate generation is the ONE-SIDED prefix filter: a qualifying
+    pair must share at least one of A's first |A| − ⌈t·|A|⌉ + 1
+    rarest grams (pigeonhole on the required overlap ⌈t·|A|⌉ — the
+    same prefix length jaccard_prefix_table already builds), so the
+    contained side's prefix table equi-joins the container side's FULL
+    posting list. Containment puts no upper bound on |B|, so the
+    two-sided PPJoin length filter does not apply; the lossless prunes
+    that do are |B| ≥ t·|A| (overlap ≤ |B|) and the A-side positional
+    bound (overlap ≤ |A| − rank + 1), both FP-epsilon-relaxed so a
+    pair sitting exactly at C = t is never dropped — candidates are
+    exact-verified anyway.
+
+    Scale shape: one shingle pass (shared grams table), one broadcast
+    df-rank, candidates = Σ_g prefix_df(g)·df(g) — rare-first prefixes
+    keep the probe side thin, the posting side is the full corpus
+    index (the classic asymmetric containment join; AQE's skew split
+    handles a hot gram). Output: (id_in, id_out, containment)."""
+    grams_tbl = distinct_grams_table(
+        documents, n=n, text_col=text_col, id_col=id_col,
+        block_cols=block_cols,
+    ).persist()
+    grams_tbl.count()  # materialize before prefix + postings derive
+    prefix = jaccard_prefix_table(
+        documents, threshold, n=n, text_col=text_col, id_col=id_col,
+        block_cols=block_cols, grams_tbl=grams_tbl,
+    )
+    a = prefix.select(
+        F.col("g"),
+        *[F.col(c).alias(f"b1_{c}") for c in block_cols],
+        F.col(id_col).alias("id_in"),
+        F.col("rnk").alias("p1"),
+        F.col("sz").alias("sz_in"),
+    )
+    postings = grams_tbl.select(
+        F.col(id_col).alias("id_out"),
+        *[F.col(c).alias(f"b2_{c}") for c in block_cols],
+        F.size("grams").alias("sz_out"),
+        F.explode("grams").alias("g_r"),
+    )
+    t = float(threshold)
+    cond = (
+        (F.col("g") == F.col("g_r"))
+        & (F.col("id_in") != F.col("id_out"))
+        & (F.col("sz_out") >= F.lit(t) * F.col("sz_in") - F.lit(_FP_EPS))
+        & (
+            F.col("sz_in") - F.col("p1") + 1
+            >= F.lit(t) * F.col("sz_in") - F.lit(_FP_EPS)
+        )
+    )
+    for c in block_cols:
+        cond = cond & (F.col(f"b1_{c}") == F.col(f"b2_{c}"))
+    cand = (
+        a.join(postings, cond)
+        .select("id_in", "id_out")
+        .dropDuplicates(["id_in", "id_out"])
+    )
+    paired = cand.join(
+        grams_tbl.select(
+            F.col(id_col).alias("id_in"), F.col("grams").alias("g_in")
+        ),
+        "id_in",
+    ).join(
+        grams_tbl.select(
+            F.col(id_col).alias("id_out"), F.col("grams").alias("g_out")
+        ),
+        "id_out",
+    )
+    return (
+        paired.withColumn(
+            "containment", containment_col(F.col("g_in"), F.col("g_out"))
+        )
+        .filter(F.col("containment") >= threshold)
+        .select("id_in", "id_out", "containment")
+    )
+
+
 # --------------------------------------------------------------------------
 # MinHash + LSH
 # --------------------------------------------------------------------------

@@ -122,6 +122,59 @@ SELECT doc_id, canonical_id, group_size FROM d JOIN c USING (digest)
 """
 
 
+#: directed-containment threshold (C(A→B) = |∩|/|S(A)|)
+CONTAIN_T = 0.8
+
+
+def q_dedup_containment(spark, sf_dir):
+    """Directed containment pairs (dedup.containment_pairs): 'A lives
+    inside B' — the quote/subset leak mode symmetric Jaccard misses
+    (J = |A|/|B| is tiny when a snippet sits verbatim in a long doc,
+    C(A→B) = 1). The fixture corpus has no planted subsets, so every
+    5th doc contributes a half-length snippet under id+1e6 (the
+    pii_scrub planting precedent); the one-sided prefix filter must
+    then find snippet→source (and any natural) containments exactly."""
+    docs = load_table(spark, sf_dir, "documents")
+    snip = docs.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.expr(
+            "substring(text, 1, CAST(floor(length(text) / 2) AS INT))"
+        ).alias("text"),
+        "lang",
+    )
+    corpus = docs.select("doc_id", "text", "lang").unionByName(snip)
+    return dedup.containment_pairs(
+        corpus, threshold=CONTAIN_T, n=3, block_cols=("lang",)
+    ).orderBy("id_in", "id_out")
+
+
+_DEDUP_CONTAINMENT_SQL = f"""
+WITH corpus AS (
+  SELECT doc_id, text, lang FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id,
+         substring(text, 1, CAST(floor(length(text) / 2) AS INT)) AS text,
+         lang
+  FROM documents WHERE doc_id % 5 = 0
+),
+g AS (
+  SELECT doc_id, lang,
+         list_distinct({grams_sql('text', distinct=False)}) AS grams
+  FROM corpus
+),
+gg AS (SELECT * FROM g WHERE len(grams) > 0),
+pairs AS (
+  SELECT a.doc_id AS id_in, b.doc_id AS id_out,
+         round(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+               / CAST(len(a.grams) AS DOUBLE), 6) AS containment
+  FROM gg a JOIN gg b ON a.lang = b.lang AND a.doc_id != b.doc_id
+)
+SELECT id_in, id_out, containment FROM pairs
+WHERE containment >= {CONTAIN_T}
+ORDER BY id_in, id_out
+"""
+
+
 def q_dedup_jaccard(spark, sf_dir):
     return dedup.ngram_jaccard_pairs(
         load_table(spark, sf_dir, "documents"),
@@ -6123,6 +6176,7 @@ QUERIES: dict = {
     "pipe_text_zipf": (q_text_zipf, _zipf_sql()),
     "pipe_curate_leakage": (q_curate_leakage, _CURATE_LEAKAGE_SQL),
     "pipe_dedup_exact": (q_dedup_exact, _DEDUP_EXACT_SQL),
+    "pipe_dedup_containment": (q_dedup_containment, _DEDUP_CONTAINMENT_SQL),
     "pipe_dedup_ngram_jaccard": (q_dedup_jaccard, _DEDUP_JACCARD_SQL),
     "pipe_text_pmi": (q_text_pmi, _TEXT_PMI_SQL),
     "pipe_dedup_sorted_neighborhood": (
