@@ -1084,6 +1084,39 @@ def test_embedding_dim_stats_flags_dead_dimension(spark):
     assert rows[0]["is_dead"] == 1 and rows[0]["var_x"] == 0.0
     assert rows[0]["mean_x"] == 0.25
     assert all(rows[p]["is_dead"] == 0 for p in range(1, d))
+    assert all(rows[p]["out_of_range"] == 0 for p in range(d))
+
+    # range blow-up: a huge-magnitude dimension is REPORTED, not
+    # silently mis-measured through the fixed-point sums (whose
+    # dynamic range it exceeds) — mean/var/is_dead NULL, flag set,
+    # exact min/max still present
+    blown = emb.select(
+        "vec_id",
+        F2.concat(
+            F2.array((F2.lit(1e6) + F2.col("vec_id")).cast("float")),
+            F2.slice(F2.col("embedding"), 2, 10_000),
+        ).alias("embedding"),
+    )
+    b0 = {r["pos"]: r for r in embedding_dim_stats(blown).collect()}[0]
+    assert b0["out_of_range"] == 1
+    assert b0["mean_x"] is None and b0["var_x"] is None
+    assert b0["is_dead"] is None
+    assert b0["min_x"] >= 1e6 and b0["max_x"] >= 1e6
+
+    # near-dead tiny dimension: quantization can drive the raw
+    # variance residual NEGATIVE; the +0.0 normalization must report
+    # +0.0 (not -0.0) and flag it dead
+    tiny = emb.select(
+        "vec_id",
+        F2.concat(
+            F2.array(F2.lit(5e-10).cast("float")),
+            F2.slice(F2.col("embedding"), 2, 10_000),
+        ).alias("embedding"),
+    )
+    t0 = {r["pos"]: r for r in embedding_dim_stats(tiny).collect()}[0]
+    import math
+    assert t0["var_x"] == 0.0 and not math.copysign(1.0, t0["var_x"]) < 0
+    assert t0["is_dead"] == 1 and t0["out_of_range"] == 0
 
     # numpy agreement on a live dimension
     xs = np.array(

@@ -1157,20 +1157,33 @@ def semdedup_pairs_scaled(
 def embedding_dim_stats(
     embeddings: DataFrame, id_col: str = "vec_id",
     vec_col: str = "embedding", scale: int = 9,
+    max_abs: float = 100.0,
 ) -> DataFrame:
     """Per-DIMENSION health profile of an embedding column — the
     vector-pipeline QA pass that catches dead dimensions (an encoder
     head that collapsed to a constant), variance drift after a model
     swap, and range blow-ups before they poison every downstream
     cosine. Output per dimension: (pos, n, mean_x, var_x, min_x,
-    max_x, is_dead), is_dead = rounded variance exactly 0.
+    max_x, is_dead, out_of_range); is_dead = rounded variance exactly
+    0 (NULL when the range check failed).
+
+    Range blow-ups are REPORTED, never silently mis-measured: the
+    scale-9 fixed-point sums that make mean/variance bit-stable have
+    a dynamic range (x²·10⁹ must stay inside exact-long territory —
+    past |x| ≈ 3e3 the quantization degrades, past ≈ 9.6e4 the
+    scaled long saturates), so a dimension whose min/max (exact at
+    ANY magnitude) exceed ±max_abs gets out_of_range = 1 with
+    mean_x / var_x / is_dead NULL instead of garbage — which is the
+    correct QA verdict for such a dimension anyway.
 
     One posexplode scan + ONE hash aggregate keyed by position (d
     keys — trivially small state at any corpus size; the scan is the
     cost, and it is a single pass). Sums are fixed-point exact
     (relational dsum discipline), so the profile is bit-stable across
     partitionings and engines — the oracle replays the same scaled-
-    long sums and the same IEEE mean/variance arithmetic."""
+    long sums and the same IEEE mean/variance arithmetic (the final
+    ``+ 0.0`` folds the -0.0 a quantization-negative residual can
+    produce into +0.0 on both engines)."""
     from yat_geo_db_spark.relational.queries import dsum
 
     pts = embeddings.select(
@@ -1183,20 +1196,30 @@ def embedding_dim_stats(
         F.min("x").alias("_mn"),
         F.max("x").alias("_mx"),
     )
+    ok = (F.col("_mn") >= -max_abs) & (F.col("_mx") <= max_abs)
     out = agg.select(
         "pos",
         "n",
-        F.round(F.col("_sx") / F.col("n"), 6).alias("mean_x"),
-        F.round(
-            (F.col("_sx2") - F.col("_sx") * F.col("_sx") / F.col("n"))
-            / F.col("n"),
-            6,
+        F.when(
+            ok, F.round(F.col("_sx") / F.col("n"), 6) + F.lit(0.0)
+        ).alias("mean_x"),
+        F.when(
+            ok,
+            F.round(
+                (F.col("_sx2") - F.col("_sx") * F.col("_sx") / F.col("n"))
+                / F.col("n"),
+                6,
+            )
+            + F.lit(0.0),
         ).alias("var_x"),
         F.round("_mn", 6).alias("min_x"),
         F.round("_mx", 6).alias("max_x"),
+        (~ok).cast("int").alias("out_of_range"),
     )
     return out.select(
-        "*", (F.col("var_x") == 0.0).cast("int").alias("is_dead")
+        "pos", "n", "mean_x", "var_x", "min_x", "max_x",
+        (F.col("var_x") == 0.0).cast("int").alias("is_dead"),
+        "out_of_range",
     )
 
 

@@ -4595,11 +4595,17 @@ def q_emb_dim_stats(spark, sf_dir):
     ).orderBy("pos")
 
 
-def _emb_dim_stats_sql(scale: int = 9) -> str:
+def _emb_dim_stats_sql(scale: int = 9, max_abs: float = 100.0) -> str:
     from yat_geo_db_spark.queries.relational_queries import _dsum
 
-    sx = _dsum("x", scale)
-    sx2 = _dsum("x * x", scale)
+    # clamp INSIDE the scaled-long sums: DuckDB's CAST(... AS BIGINT)
+    # raises on out-of-range products where Spark's long merely
+    # saturates — for a dimension that fails the range check both
+    # engines DISCARD the sums (NULL outputs), so the clamp only makes
+    # the oracle evaluable; in-range dimensions see the identity
+    xc = f"least(greatest(x, {-max_abs!r}), {max_abs!r})"
+    sx = _dsum(xc, scale)
+    sx2 = _dsum(f"({xc}) * ({xc})", scale)
     return f"""
 WITH pts AS (
   SELECT CAST(u.i - 1 AS INT) AS pos, CAST(embedding[u.i] AS DOUBLE) AS x
@@ -4612,14 +4618,18 @@ agg AS (
 ),
 stats AS (
   SELECT pos, n,
-         round(sx / n, 6) AS mean_x,
-         round((sx2 - sx * sx / n) / n, 6) AS var_x,
+         (mn >= {-max_abs!r} AND mx <= {max_abs!r}) AS ok,
+         CASE WHEN mn >= {-max_abs!r} AND mx <= {max_abs!r}
+              THEN round(sx / n, 6) + 0.0 END AS mean_x,
+         CASE WHEN mn >= {-max_abs!r} AND mx <= {max_abs!r}
+              THEN round((sx2 - sx * sx / n) / n, 6) + 0.0 END AS var_x,
          round(mn, 6) AS min_x,
          round(mx, 6) AS max_x
   FROM agg
 )
 SELECT pos, n, mean_x, var_x, min_x, max_x,
-       CAST(var_x = CAST(0.0 AS DOUBLE) AS INT) AS is_dead
+       CAST(var_x = CAST(0.0 AS DOUBLE) AS INT) AS is_dead,
+       CAST(NOT ok AS INT) AS out_of_range
 FROM stats
 ORDER BY pos
 """
