@@ -354,7 +354,15 @@ def containment_pairs(
     df-rank, candidates = Σ_g prefix_df(g)·df(g) — rare-first prefixes
     keep the probe side thin, the posting side is the full corpus
     index (the classic asymmetric containment join; AQE's skew split
-    handles a hot gram). Output: (id_in, id_out, containment)."""
+    handles a hot gram). Output: (id_in, id_out, containment).
+
+    Selectivity caveat: the prefix filter's near-linearity rests on a
+    HEAVY-TAILED gram-frequency distribution (real text is Zipfian —
+    every doc owns some rare grams). On an adversarially uniform
+    small-vocabulary corpus no gram is rare and candidate volume
+    degrades toward the true-pair count (which is itself large there);
+    raise `n` until grams individuate (measured on the synthetic
+    ~40-word-pool fixture at sf0.1: n=3 → 179 s, n=7 → 30 s)."""
     grams_tbl = distinct_grams_table(
         documents, n=n, text_col=text_col, id_col=id_col,
         block_cols=block_cols,

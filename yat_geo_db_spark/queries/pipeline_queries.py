@@ -133,7 +133,12 @@ def q_dedup_containment(spark, sf_dir):
     C(A→B) = 1). The fixture corpus has no planted subsets, so every
     5th doc contributes a half-length snippet under id+1e6 (the
     pii_scrub planting precedent); the one-sided prefix filter must
-    then find snippet→source (and any natural) containments exactly."""
+    then find snippet→source (and any natural) containments exactly.
+    n=7 grams: the synthetic corpus draws every doc from one ~40-word
+    pool, so short grams are corpus-wide-common and prefix selectivity
+    collapses (measured sf0.1: n=3 → 179 s / 11k+ true pairs; n=7 →
+    30 s / 1.2k pairs) — the adversarial-uniform-vocabulary case the
+    operator docstring documents."""
     docs = load_table(spark, sf_dir, "documents")
     snip = docs.filter(F.col("doc_id") % 5 == 0).select(
         (F.col("doc_id") + 1000000).alias("doc_id"),
@@ -144,7 +149,7 @@ def q_dedup_containment(spark, sf_dir):
     )
     corpus = docs.select("doc_id", "text", "lang").unionByName(snip)
     return dedup.containment_pairs(
-        corpus, threshold=CONTAIN_T, n=3, block_cols=("lang",)
+        corpus, threshold=CONTAIN_T, n=7, block_cols=("lang",)
     ).orderBy("id_in", "id_out")
 
 
@@ -159,7 +164,7 @@ WITH corpus AS (
 ),
 g AS (
   SELECT doc_id, lang,
-         list_distinct({grams_sql('text', distinct=False)}) AS grams
+         list_distinct({grams_sql('text', distinct=False, n=7)}) AS grams
   FROM corpus
 ),
 gg AS (SELECT * FROM g WHERE len(grams) > 0),
