@@ -239,3 +239,45 @@ def test_list_data_files_snapshot(spark, tmp_path):
     os.makedirs(f"{d2}/_temporary")
     assert fsio.list_data_files(spark, d2) == ([], False)
     assert fsio.list_data_files(spark, str(tmp_path / "nope")) == ([], False)
+
+
+def test_create_exclusive_wins_once(spark, tmp_path):
+    """The lease primitive: exactly one creator wins, the loser sees
+    False, and the winner's content is what lands."""
+    from yat_geo_db_spark import fsio
+
+    path = f"{tmp_path}/lease"
+    assert fsio.create_exclusive(spark, path, "tok-a") is True
+    assert fsio.create_exclusive(spark, path, "tok-b") is False
+    assert fsio.read_bytes(spark, path) == b"tok-a"
+    fsio.delete(spark, path, recursive=False)
+    assert fsio.create_exclusive(spark, path, "tok-b") is True
+    assert fsio.read_bytes(spark, path) == b"tok-b"
+
+
+def test_activity_time_ms_sees_deep_committer_activity(spark, tmp_path):
+    """ADVICE r9: FileOutputCommitter task activity lands TWO levels
+    under the scratch dir (_temporary/<appAttempt>/_temporary/<task>),
+    where the root's and the direct _temporary child's mtimes never
+    move mid-job — the liveness scan must descend the hidden tree or a
+    long fold reads as quiet and gets janitor-swept mid-flight."""
+    import os
+    import time
+
+    from yat_geo_db_spark import fsio
+
+    root = str(tmp_path / "gendir")
+    inner = f"{root}/_temporary/0/_temporary"
+    os.makedirs(f"{inner}/attempt_001")
+    aged = time.time() - 7200
+    aged_ms = int(aged * 1000)
+    # everything a direct-children-only scan can see is ancient ...
+    for p in (root, f"{root}/_temporary"):
+        os.utime(p, (aged, aged))
+    # ... but the task-attempt level (appAttempt's children) is fresh:
+    # `inner`'s mtime moved when attempt_001 was created just now
+    assert fsio.modification_time_ms(spark, root) <= aged_ms + 1000
+    act = fsio.activity_time_ms(spark, root)
+    assert act is not None and act > aged_ms + 3_000_000  # sees depth
+    # absent dir stays None; a plain aged dir stays aged
+    assert fsio.activity_time_ms(spark, f"{tmp_path}/nope") is None

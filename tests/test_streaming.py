@@ -711,8 +711,15 @@ def test_compact_rollup_crash_windows_no_double_count(
     assert any(d.startswith("_compacted_g1-") for d in _gen_dirs(root))
     assert snap() == want2
 
-    # rerun resumes the crashed cleanup, then has nothing to fold
-    compact_rollup(spark, root, **kw)
+    # the crash also left the dead holder's LEASE behind: a rerun
+    # inside the lease window refuses loudly (it cannot tell a dead
+    # holder from a stalled one) ...
+    with pytest.raises(RuntimeError, match="holds the lease"):
+        compact_rollup(spark, root, **kw)
+    assert snap() == want2
+    # ... until the operator breaks it (or it ages past lease_ms);
+    # the rerun then resumes the crashed cleanup, with nothing to fold
+    compact_rollup(spark, root, lease_ms=0, **kw)
     assert glob.glob(f"{root}/batch_id=*") == []
     _assert_single_gen(root, 2)
     assert snap() == want2
@@ -1426,7 +1433,10 @@ def test_concurrent_compactor_loses_and_aborts(spark, tmp_path, monkeypatch):
     must detect the moved marker at its pre-commit re-check, delete its
     own (uniquely-named, never-published) output dir, and raise —
     leaving exactly the faster one's committed generation and exact
-    counts."""
+    counts. (The fast compactor models a lease-breaker — a displacer
+    that judged this run's lease stale — so it runs with lease_ms=0;
+    a displacer that RESPECTS the lease never gets this far, see
+    test_compact_lease_excludes_second_compactor.)"""
     from yat_geo_db_spark.streaming import sinks
     from yat_geo_db_spark.streaming.sinks import (
         compact_rollup, read_rollup, rollup_maintenance_sink,
@@ -1454,7 +1464,8 @@ def test_concurrent_compactor_loses_and_aborts(spark, tmp_path, monkeypatch):
         if state["n"] == 2 and not state["raced"]:
             state["raced"] = True
             monkeypatch.setattr(sinks, "_read_marker", real_read)
-            compact_rollup(spark_, root_, **kw)  # the fast compactor
+            compact_rollup(spark_, root_, lease_ms=0, **kw)  # the
+            # fast compactor, breaking this run's "stale" lease
             monkeypatch.setattr(sinks, "_read_marker", racing_read)
         return real_read(spark_, root_)
 
@@ -1637,3 +1648,186 @@ def test_reader_retries_when_generation_swaps_mid_listing(
     monkeypatch.undo()
     assert state["fired"]
     assert got == want  # retried onto gen 2, exact counts
+
+
+def test_compact_lease_excludes_second_compactor(spark, tmp_path):
+    """ADVICE r9 (medium): marker writes are last-writer-wins, so two
+    overlapping external compactors needed real mutual exclusion. A
+    live lease file must make the second compactor REFUSE loudly with
+    state untouched; a stale lease (presumed-crashed holder) is broken
+    and compaction proceeds, leaving no lease behind."""
+    import os
+    import time
+
+    from yat_geo_db_spark import fsio
+    from yat_geo_db_spark.streaming.sinks import (
+        _LEASE_NAME, compact_rollup, read_rollup, rollup_maintenance_sink,
+    )
+
+    kw = dict(key_cols=["k"], sum_cols=["v"], scale=2)
+    root = str(tmp_path / "rollup")
+    sink = rollup_maintenance_sink(root, **kw)
+    sink(spark.createDataFrame([("a", 1.0)], "k string, v double"), 0)
+    want = sorted(map(tuple, read_rollup(spark, root, **kw).collect()))
+
+    lease = f"{root}/{_LEASE_NAME}"
+    assert fsio.create_exclusive(spark, lease, "other-compactor")
+    with pytest.raises(RuntimeError, match="holds the lease"):
+        compact_rollup(spark, root, **kw)
+    assert _gen_dirs(root) == []                    # state untouched
+    assert fsio.read_bytes(spark, lease) == b"other-compactor"  # kept
+
+    aged = time.time() - 7200
+    os.utime(lease, (aged, aged))                   # holder presumed dead
+    compact_rollup(spark, root, **kw)               # breaks + proceeds
+    _assert_single_gen(root, 1)
+    assert not fsio.exists(spark, lease)            # released
+    got = sorted(map(tuple, read_rollup(spark, root, **kw).collect()))
+    assert got == want
+
+
+def test_lease_stolen_mid_run_aborts_before_commit(spark, tmp_path,
+                                                   monkeypatch):
+    """A compactor that stalls past its lease and is displaced must
+    abort at the pre-commit token re-verify — never commit over the
+    displacer. Modeled by swapping the lease content right before the
+    pre-commit marker re-read."""
+    from yat_geo_db_spark import fsio
+    from yat_geo_db_spark.streaming import sinks
+    from yat_geo_db_spark.streaming.sinks import (
+        _LEASE_NAME, compact_rollup, read_rollup, rollup_maintenance_sink,
+    )
+
+    kw = dict(key_cols=["k"], sum_cols=["v"], scale=2)
+    root = str(tmp_path / "rollup")
+    sink = rollup_maintenance_sink(root, **kw)
+    sink(spark.createDataFrame([("a", 1.0)], "k string, v double"), 0)
+    want = sorted(map(tuple, read_rollup(spark, root, **kw).collect()))
+
+    real_read = sinks._read_marker
+    state = {"n": 0}
+
+    def stealing_read(spark_, root_):
+        state["n"] += 1
+        if state["n"] == 2:  # the pre-commit re-check
+            fsio.delete(spark_, f"{root_}/{_LEASE_NAME}", recursive=False)
+            fsio.create_exclusive(spark_, f"{root_}/{_LEASE_NAME}", "thief")
+        return real_read(spark_, root_)
+
+    monkeypatch.setattr(sinks, "_read_marker", stealing_read)
+    with pytest.raises(RuntimeError, match="stale lease"):
+        compact_rollup(spark, root, **kw)
+    monkeypatch.undo()
+
+    assert _gen_dirs(root) == []      # own orphan deleted, no commit
+    got = sorted(map(tuple, read_rollup(spark, root, **kw).collect()))
+    assert got == want                # batch dirs intact, counts exact
+    # the thief's lease is NOT ours to release
+    assert fsio.read_bytes(spark, f"{root}/{_LEASE_NAME}") == b"thief"
+
+
+def test_displaced_after_commit_skips_deletes_no_loss(spark, tmp_path,
+                                                      monkeypatch):
+    """ADVICE r9 mitigation: if a displacing compactor's marker lands
+    right after ours, deleting our fold dirs could orphan rows the
+    surviving marker does not cover — the post-commit marker re-read
+    must SKIP the deletes and raise. Every batch dir stays on disk,
+    counts stay exact, and the next (clean) compaction resumes the
+    pending deletes."""
+    from yat_geo_db_spark.streaming import sinks
+    from yat_geo_db_spark.streaming.sinks import (
+        compact_rollup, read_rollup, rollup_maintenance_sink,
+    )
+
+    kw = dict(key_cols=["k"], sum_cols=["v"], scale=2)
+    root = str(tmp_path / "rollup")
+    sink = rollup_maintenance_sink(root, **kw)
+    sink(spark.createDataFrame([("a", 1.0)], "k string, v double"), 0)
+    sink(spark.createDataFrame([("b", 2.0)], "k string, v double"), 1)
+    want = sorted(map(tuple, read_rollup(spark, root, **kw).collect()))
+
+    real_read = sinks._read_marker
+    state = {"n": 0}
+
+    def displaced_read(spark_, root_):
+        state["n"] += 1
+        got = real_read(spark_, root_)
+        if state["n"] == 3:  # the post-commit re-read: fake a
+            # displacer's marker naming a different generation dir
+            return got[0], got[1], got[2], "_compacted_g1-displacer"
+        return got
+
+    monkeypatch.setattr(sinks, "_read_marker", displaced_read)
+    with pytest.raises(RuntimeError, match="displaced after its commit"):
+        compact_rollup(spark, root, **kw)
+    monkeypatch.undo()
+
+    import os
+
+    # fold dirs RETAINED (the guard skipped the deletes) ...
+    assert sorted(
+        n for n in os.listdir(root) if n.startswith("batch_id=")
+    ) == ["batch_id=0", "batch_id=1"]
+    # ... and reads stay exact throughout (our real marker lists them
+    # as pending, so readers use the committed generation)
+    got = sorted(map(tuple, read_rollup(spark, root, **kw).collect()))
+    assert got == want
+    compact_rollup(spark, root, **kw)  # clean run resumes the deletes
+    got = sorted(map(tuple, read_rollup(spark, root, **kw).collect()))
+    assert got == want
+    assert not any(n.startswith("batch_id=") for n in os.listdir(root))
+
+
+def test_orphan_sweep_s3a_degenerate_mtime_forces_abort_not_loss(
+    spark, tmp_path, monkeypatch
+):
+    """VERDICT r9 task 4: S3A reports fake-directory mtimes as 0, so a
+    janitor can misread a MID-FLIGHT fold's output dir as ancient and
+    sweep it. That mistimed sweep must cost a loud abort-and-retry —
+    the compactor's own-output pre-commit verify — never a committed
+    marker naming a swept dir, never a wrong count."""
+    from yat_geo_db_spark import fsio
+    from yat_geo_db_spark.streaming import sinks
+    from yat_geo_db_spark.streaming.sinks import (
+        compact_rollup, read_rollup, rollup_maintenance_sink,
+    )
+
+    kw = dict(key_cols=["k"], sum_cols=["v"], scale=2)
+    root = str(tmp_path / "rollup")
+    sink = rollup_maintenance_sink(root, **kw)
+    sink(spark.createDataFrame([("a", 1.0)], "k string, v double"), 0)
+    want = sorted(map(tuple, read_rollup(spark, root, **kw).collect()))
+
+    real_read = sinks._read_marker
+    state = {"n": 0, "fired": False}
+
+    def arming_read(spark_, root_):
+        # fire at the pre-commit re-check (2nd top-level marker read):
+        # the fold output dir exists but no marker names it yet
+        state["n"] += 1
+        if state["n"] == 2 and not state["fired"]:
+            state["fired"] = True
+            real_act = fsio.activity_time_ms
+            # an external janitor fires while THIS run's fold output
+            # sits uncommitted, on a store whose dir mtimes read 0
+            fsio.activity_time_ms = lambda s, p: 0
+            try:
+                sinks._sweep_orphan_generations(
+                    spark_, root_, grace_ms=60_000
+                )
+            finally:
+                fsio.activity_time_ms = real_act
+        return real_read(spark_, root_)
+
+    monkeypatch.setattr(sinks, "_read_marker", arming_read)
+    with pytest.raises(RuntimeError, match="no longer committed"):
+        compact_rollup(spark, root, **kw)
+    monkeypatch.undo()
+
+    assert _gen_dirs(root) == []   # the swept orphan never published
+    got = sorted(map(tuple, read_rollup(spark, root, **kw).collect()))
+    assert got == want             # batch dirs intact
+    compact_rollup(spark, root, **kw)  # retry succeeds
+    _assert_single_gen(root, 1)
+    got = sorted(map(tuple, read_rollup(spark, root, **kw).collect()))
+    assert got == want

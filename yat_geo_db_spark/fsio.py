@@ -29,20 +29,25 @@ from __future__ import annotations
 from pyspark.sql import SparkSession
 
 
-def _is_file_not_found(exc: Exception) -> bool:
-    """True if a py4j-wrapped Java exception is (caused by) a
-    FileNotFoundException — the listStatus/open race where the path
-    vanishes between our call and the RPC. Callers translate it to the
-    documented absent-path result instead of leaking a Py4JJavaError."""
+def _exc_is(exc: Exception, *suffixes: str) -> bool:
+    """True if a py4j-wrapped Java exception is (caused by) one of the
+    named exception classes — the listStatus/open race where the path
+    vanishes between our call and the RPC, or the create-if-absent
+    race where it appears. Callers translate these to the documented
+    result instead of leaking a Py4JJavaError."""
     je = getattr(exc, "java_exception", None)
     while je is not None:
         try:
-            if je.getClass().getName().endswith("FileNotFoundException"):
+            if je.getClass().getName().endswith(suffixes):
                 return True
             je = je.getCause()
         except Exception:
             return False
     return False
+
+
+def _is_file_not_found(exc: Exception) -> bool:
+    return _exc_is(exc, "FileNotFoundException")
 
 
 def _session(spark) -> SparkSession:
@@ -144,23 +149,92 @@ def modification_time_ms(spark, path: str) -> int | None:
 
 
 def activity_time_ms(spark, dirpath: str) -> int | None:
-    """Latest modification time across `dirpath` AND its direct
-    children, in epoch millis (one getFileStatus + one listStatus), or
-    None if absent. A directory being written by a committer shows a
-    static root mtime for the whole job (part files land only at job
-    commit), but its ``_temporary`` child's mtime advances as task
-    attempts are created and committed — so this is the liveness
-    signal a janitor must age against, not the root mtime alone."""
+    """Latest modification time across `dirpath`, its direct children,
+    and the committer scratch tree, in epoch millis — or None if
+    absent. The liveness signal a janitor must age against: a
+    directory being written by a committer shows a static root mtime
+    for the whole job (part files land only at job commit), and task
+    activity lands TWO levels under the hidden scratch dir
+    (``_temporary/<appAttempt>/_temporary/<taskAttempt>``), so the
+    direct ``_temporary`` child's mtime moves only at job setup. This
+    therefore descends two listing levels under each hidden
+    (``_``/``.``-prefixed) child dir — reaching the ``<appAttempt>``
+    dir (mtime advances on each task commit) and the inner
+    ``_temporary`` dir (mtime advances as task attempts are created).
+    Cost is bounded: 1 getFileStatus + 1 listStatus at the root, plus
+    one listStatus per hidden child and per ITS child dirs (normally
+    2 extra RPCs total: ``_temporary`` and the single app attempt);
+    data subdirectories (partition layouts) are never descended.
+
+    Object-store caveat (S3A): fake directories report mtime 0, so a
+    scratch tree whose listings are all fake dirs can still read as
+    ancient — consumers must treat a mistimed sweep as survivable
+    (sinks._compact_generational re-verifies its own output before
+    commit and aborts loudly; test-pinned in test_streaming)."""
     _, _, fs, p = _jfs(spark, dirpath)
+
+    def scan(jpath, depth: int, hidden_tree: bool) -> int | None:
+        try:
+            statuses = fs.listStatus(jpath)
+        except Exception as e:
+            if _is_file_not_found(e):  # vanished mid-scan (task
+                # attempt committed/cleaned) — activity, but its
+                # parent's mtime already moved, so just skip
+                return None
+            raise
+        latest = None
+        for st in statuses:
+            mt = int(st.getModificationTime())
+            latest = mt if latest is None else max(latest, mt)
+            name = st.getPath().getName()
+            if (
+                depth > 0
+                and st.isDirectory()
+                and (hidden_tree or name.startswith(("_", ".")))
+            ):
+                sub = scan(st.getPath(), depth - 1, True)
+                if sub is not None:
+                    latest = max(latest, sub)
+        return latest
+
     try:
         latest = int(fs.getFileStatus(p).getModificationTime())
-        for st in fs.listStatus(p):
-            latest = max(latest, int(st.getModificationTime()))
-        return latest
     except Exception as e:
         if _is_file_not_found(e):
             return None
         raise
+    deep = scan(p, 2, False)
+    return max(latest, deep) if deep is not None else latest
+
+
+def create_exclusive(spark, path: str, text: str) -> bool:
+    """Atomically create `path` with `text` IFF it does not already
+    exist — ``FileSystem.create(path, overwrite=false)``, the
+    create-if-absent primitive behind lease files. Returns True on
+    success, False if the path already exists (someone else holds it).
+
+    On HDFS and local filesystems the no-overwrite create is a single
+    atomic namespace operation — exactly one of N racing callers wins.
+    Object-store caveat: classic S3A implements the existence check
+    client-side (HEAD then PUT), so two racers can BOTH see success;
+    lease consumers must pair this with a content re-read before any
+    irreversible step (sinks._compact_generational re-verifies its
+    token pre-commit), which degrades a lost S3A race to a loud abort,
+    never a silent double-commit."""
+    _, _, fs, p = _jfs(spark, path)
+    try:
+        out = fs.create(p, False)
+    except Exception as e:
+        if _exc_is(
+            e, "FileAlreadyExistsException", "PathExistsException"
+        ) or (not _is_file_not_found(e) and bool(fs.exists(p))):
+            return False
+        raise
+    try:
+        out.write(bytearray(text.encode("utf-8")))
+    finally:
+        out.close()
+    return True
 
 
 def read_bytes(spark, path: str) -> bytes | None:

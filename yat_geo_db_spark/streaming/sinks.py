@@ -338,6 +338,63 @@ def _gated_batch_writer(root: str, build):
 #: it may belong to a compactor that is about to commit it
 ORPHAN_GRACE_MS = 3_600_000
 
+#: a compaction lease file younger than this is live — a second
+#: compactor refuses to start; older, it is presumed crashed and broken
+COMPACT_LEASE_MS = 3_600_000
+
+_LEASE_NAME = "_compact_lease"
+
+
+def _acquire_compact_lease(spark, root: str, lease_ms: int) -> str:
+    """Take the per-root compaction lease: atomically create
+    ``<root>/_compact_lease`` holding a unique token (fsio.
+    create_exclusive). If the file exists and is younger than
+    `lease_ms` a live compactor holds it — raise (loud refusal, state
+    untouched). Older, it belongs to a crashed run: break it (delete)
+    and retry the create ONCE; losing that second race also raises.
+
+    Lease-breaking is itself racy (two breakers can interleave
+    delete/create so the eventual file holds only one token) — which
+    is why every holder re-verifies its token via _verify_compact_lease
+    immediately before the marker commit and before the fold-dir
+    deletes: a broken-and-stolen lease turns into a loud abort there,
+    never a silent double-commit."""
+    import time
+    import uuid
+
+    token = uuid.uuid4().hex
+    path = f"{root}/{_LEASE_NAME}"
+    for _ in range(2):
+        if fsio.create_exclusive(spark, path, token):
+            return token
+        mt = fsio.modification_time_ms(spark, path)
+        if mt is not None and int(time.time() * 1000) - mt < lease_ms:
+            raise RuntimeError(
+                f"compaction of {root} refused: a concurrent compaction "
+                f"holds the lease ({_LEASE_NAME} is "
+                f"{int(time.time() * 1000) - mt} ms old, lease window "
+                f"{lease_ms} ms) — state unchanged; rerun later or pass "
+                "a smaller lease_ms to break a known-dead holder"
+            )
+        fsio.delete(spark, path, recursive=False)
+    raise RuntimeError(
+        f"compaction of {root} refused: lost the lease-break race to a "
+        "concurrent compaction — state unchanged; rerun"
+    )
+
+
+def _verify_compact_lease(spark, root: str, token: str) -> bool:
+    got = fsio.read_bytes(spark, f"{root}/{_LEASE_NAME}")
+    return got == token.encode("utf-8")
+
+
+def _release_compact_lease(spark, root: str, token: str) -> None:
+    """Drop the lease iff it still carries our token — a broken-and-
+    stolen lease belongs to the thief and must not be deleted under
+    them."""
+    if _verify_compact_lease(spark, root, token):
+        fsio.delete(spark, f"{root}/{_LEASE_NAME}", recursive=False)
+
 
 def _sweep_orphan_generations(
     spark, root: str, grace_ms: int | None = None
@@ -466,6 +523,7 @@ def compact_rollup(
     max_cols: list[str] = (),
     scale: int = 4,
     orphan_grace_ms: int | None = None,
+    lease_ms: int | None = None,
 ) -> None:
     """Fold batch states into the NEXT compacted generation dir
     (``_compacted_g<gen+1>-<token>``, unique per run) and remove the
@@ -510,25 +568,32 @@ def compact_rollup(
             max_cols=max_cols, scale=scale,
         ),
         orphan_grace_ms=orphan_grace_ms,
+        lease_ms=lease_ms,
     )
 
 
 def _compact_generational(spark, root: str, fold,
-                          orphan_grace_ms: int | None = None) -> None:
+                          orphan_grace_ms: int | None = None,
+                          lease_ms: int | None = None) -> None:
     """The generational fold-and-commit protocol shared by every
     maintenance sink whose per-batch state is MERGEABLE (partial
-    aggregates, CMS blobs, histogram counts): snapshot the completed
-    batch dirs down to their concrete part FILES, `fold` them (+ the
-    current generation) into a fresh uniquely-named generation dir
-    (``_compacted_g<gen+1>-<token>``), validate the snapshot is still
-    exactly on disk, commit with one atomic marker write, then delete
-    the folded originals. All the crash/replay/live-stream guarantees
-    documented on compact_rollup live HERE; `fold` only defines the
-    state algebra (states DataFrame in, merged DataFrame out — the
-    output must be a valid per-batch state itself).
+    aggregates, CMS blobs, histogram counts): take the per-root
+    compaction lease, snapshot the completed batch dirs down to their
+    concrete part FILES, `fold` them (+ the current generation) into a
+    fresh uniquely-named generation dir (``_compacted_g<gen+1>-
+    <token>``), validate the snapshot is still exactly on disk, commit
+    with one atomic marker write, then delete the folded originals.
+    All the crash/replay/live-stream guarantees documented on
+    compact_rollup live HERE; `fold` only defines the state algebra
+    (states DataFrame in, merged DataFrame out — the output must be a
+    valid per-batch state itself).
 
-    Concurrency closure (no silent double/under-count in ANY
-    interleaving; worst case is a loud abort-and-retry):
+    Concurrency guarantees — compaction racing REPLAYED WRITES is
+    closed (no silent double/under-count in any interleaving; worst
+    case is a loud abort-and-retry); compaction racing ANOTHER
+    COMPACTOR is excluded by the lease, with a narrow, documented
+    residual because the marker write itself is last-writer-wins, not
+    compare-and-swap:
 
     - The fold reads the snapshotted FILE paths, not dir paths. Spark
       part-file names are job-unique, so a replayed batch overwrite
@@ -540,11 +605,34 @@ def _compact_generational(spark, root: str, fold,
       its (files, _SUCCESS) snapshot is bit-identical — an overwrite
       that completed entirely inside the fold window (new unique file
       names) cannot slip through.
+    - Mutual exclusion of compactors: the run holds
+      ``<root>/_compact_lease`` (atomic create-if-absent, unique
+      token) for its whole duration; a second compactor refuses to
+      start while the lease is younger than `lease_ms` (default 1 h),
+      and may break only an older (presumed-crashed) one. The token is
+      re-verified immediately before the marker commit AND before the
+      fold-dir deletes, so a holder that stalled past its lease and
+      was displaced aborts loudly instead of committing over the
+      displacer.
     - Pre-commit validation also re-reads the marker and aborts if
-      (through, gen, gendir) moved — a concurrent compactor that
-      committed first wins; this one deletes its own orphan dir and
-      raises. Unique generation-dir names mean the loser can never
-      have overwritten the winner's committed output path.
+      (through, gen, gendir) moved — a compactor that committed first
+      wins; this one deletes its own orphan dir and raises. Unique
+      generation-dir names mean the loser can never have overwritten
+      the winner's committed output path.
+    - Post-commit, the marker is re-read before the fold-dir deletes:
+      if it no longer names this run's generation (a displacing
+      compactor's commit landed after ours), the deletes are SKIPPED
+      and the run raises — every batch dir the other marker does not
+      cover is still on disk and still read, so the interleaving costs
+      an orphaned generation dir (swept later), never rows.
+    - Residual (requires BOTH a stall past the full lease window and a
+      commit landing inside the displacer's validate→commit RPC gap):
+      two markers written back-to-back by runs that each passed
+      validation. The skip-deletes guard keeps every un-covered batch
+      dir alive through it, so the known cost is duplicate fold work,
+      not data; full closure needs a filesystem compare-and-swap,
+      which the Hadoop FileSystem API does not offer. Size `lease_ms`
+      (and `orphan_grace_ms`) above the slowest plausible fold.
     - Orphan generation dirs (a compactor that crashed or lost the
       race after writing) are invisible to readers (the marker never
       named them) and are swept at the start of the next run — but
@@ -555,6 +643,19 @@ def _compact_generational(spark, root: str, fold,
       generation dir. A dir younger than `orphan_grace_ms` (default
       1 h, the janitor-lease pattern) is never touched; a genuinely
       crashed run's orphan ages past it and is reclaimed."""
+    token = _acquire_compact_lease(
+        spark, root, COMPACT_LEASE_MS if lease_ms is None else lease_ms
+    )
+    try:
+        _compact_generational_locked(spark, root, fold, orphan_grace_ms,
+                                     token)
+    finally:
+        _release_compact_lease(spark, root, token)
+
+
+def _compact_generational_locked(spark, root: str, fold,
+                                 orphan_grace_ms: int | None,
+                                 token: str) -> None:
     import uuid
 
     through, gen, pending, gendir = _read_marker(spark, root)
@@ -648,9 +749,28 @@ def _compact_generational(spark, root: str, fold,
         # or concurrent run interfered) — committing a marker that
         # names it would poison every reader
         _abort("this run's generation dir is no longer committed on disk")
+    if not _verify_compact_lease(spark, root, token):
+        # stalled past the lease and was displaced — the thief may
+        # have folded a DIFFERENT dir set; committing over them could
+        # orphan rows
+        _abort("a concurrent compaction broke this run's stale lease")
     # COMMIT: readers atomically switch to the new generation and
     # exclude fold_names
     _write_marker(spark, root, new_through, gen + 1, fold_names, new_gendir)
+    m3 = _read_marker(spark, root)
+    if (m3[1], m3[3]) != (gen + 1, new_gendir) or not \
+            _verify_compact_lease(spark, root, token):
+        # a displacing compactor's commit landed after ours (the
+        # last-writer-wins residual). Deleting our fold dirs now could
+        # orphan rows the surviving marker does not cover — leave
+        # EVERYTHING on disk (readers stay exact: batch dirs above the
+        # surviving marker's watermark are still read; our generation
+        # dir is an unnamed orphan the janitor reclaims) and raise.
+        raise RuntimeError(
+            f"compaction of {root} was displaced after its commit by a "
+            "concurrent compaction — fold dirs retained, no rows lost; "
+            "rerun"
+        )
     for n in fold_names:
         fsio.delete(spark, f"{root}/{n}", recursive=True)
     _write_marker(spark, root, new_through, gen + 1, [], new_gendir)
@@ -699,7 +819,8 @@ def heavy_hitter_sink(
 
 
 def compact_heavy_hitters(spark, root: str,
-                          orphan_grace_ms: int | None = None) -> None:
+                          orphan_grace_ms: int | None = None,
+                          lease_ms: int | None = None) -> None:
     """Generational compaction for a heavy_hitter_sink target (the full
     compact_rollup crash/replay protocol via _compact_generational):
     CMS counters add commutatively, so the fold is one JVM mergeInPlace
@@ -731,7 +852,8 @@ def compact_heavy_hitters(spark, root: str,
         )
         return one.unionByName(keys)
 
-    _compact_generational(spark, root, fold, orphan_grace_ms=orphan_grace_ms)
+    _compact_generational(spark, root, fold, orphan_grace_ms=orphan_grace_ms,
+                          lease_ms=lease_ms)
 
 
 def _merge_cms_blobs(spark, blobs: list[bytes]):
@@ -830,7 +952,8 @@ def read_histogram_quantiles(
 
 
 def compact_histogram_rollup(spark, root: str, key_cols: list[str],
-                             orphan_grace_ms: int | None = None) -> None:
+                             orphan_grace_ms: int | None = None,
+                             lease_ms: int | None = None) -> None:
     """Generational compaction for a histogram_rollup_sink target:
     integer bin counts add exactly, so the fold is one hash aggregate
     over the folded states (merge_histogram_states) — the output is
@@ -842,6 +965,7 @@ def compact_histogram_rollup(spark, root: str, key_cols: list[str],
         spark, root,
         lambda states: merge_histogram_states([states], key_cols),
         orphan_grace_ms=orphan_grace_ms,
+        lease_ms=lease_ms,
     )
 
 
