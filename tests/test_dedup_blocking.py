@@ -778,3 +778,39 @@ def test_containment_one_sided_prefix_filter_is_exact(spark):
     )
     want = {(r["id_in"], r["id_out"]): r["c"] for r in brute.collect()}
     assert got == want
+
+
+def test_materialize_releases_index_caches(spark):
+    """ADVICE r9: the pair builders persist index frames the returned
+    lazy plan references, leaking storage in long-lived sessions.
+    materialize=True must return the SAME pairs with every cache
+    released before the call returns."""
+    from yat_geo_db_spark.pipelines import dedup
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog", "en"),
+            (2, "the quick brown fox jumped over the lazy dog", "en"),
+            (3, "a completely different sentence about xylophones", "en"),
+            (4, "the quick brown fox", "en"),
+        ],
+        "doc_id long, text string, lang string",
+    )
+
+    def cached_tables() -> bool:
+        return bool(
+            spark._jsparkSession.sharedState().cacheManager().isEmpty()
+        )
+
+    spark.catalog.clearCache()
+    for fn, kw in (
+        (dedup.ngram_jaccard_pairs, dict(threshold=0.5)),
+        (dedup.containment_pairs, dict(threshold=0.8)),
+        (dedup.minhash_lsh_pairs, dict(threshold=0.5)),
+        (dedup.simhash_pairs, dict(max_hamming=10)),
+    ):
+        lazy = sorted(map(tuple, fn(docs, **kw).collect()))
+        spark.catalog.clearCache()  # release the lazy call's caches
+        eager = sorted(map(tuple, fn(docs, materialize=True, **kw).collect()))
+        assert eager == lazy, fn.__name__
+        assert cached_tables(), f"{fn.__name__} leaked a cached table"

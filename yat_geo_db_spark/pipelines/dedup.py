@@ -92,6 +92,32 @@ def jaccard_col(g1: Column, g2: Column) -> Column:
     )
 
 
+def _finish_index_plan(result: DataFrame, *index_frames: DataFrame,
+                       materialize: bool) -> DataFrame:
+    """The caching contract shared by every pair-join builder here
+    (ADVICE r9): builders persist + eagerly materialize their index
+    frames (grams / prefix / band / signature tables) because the
+    candidate self-join's concurrent map stages would otherwise race a
+    cold cache and each recompute the index (~2x, measured — see
+    ngram_jaccard_pairs). With ``materialize=False`` (the default) the
+    returned frame is LAZY and its lineage references those caches, so
+    the CALLER owns the storage: consume the result, then release with
+    ``spark.catalog.clearCache()`` (or keep it — repeated calls in one
+    session reuse nothing across calls, so a long-lived session that
+    loops over corpora should pass ``materialize=True``). With
+    ``materialize=True`` the result — a bounded near-dup pair list —
+    is computed NOW (localCheckpoint, executor-local storage that the
+    ContextCleaner reclaims when the frame is garbage-collected) and
+    every index cache is unpersisted before returning: nothing outlives
+    the returned frame."""
+    if not materialize:
+        return result
+    out = result.localCheckpoint(eager=True)
+    for f in index_frames:
+        f.unpersist()
+    return out
+
+
 # --------------------------------------------------------------------------
 # exact dedup
 # --------------------------------------------------------------------------
@@ -219,6 +245,7 @@ def ngram_jaccard_pairs(
     n: int = 3,
     text_col: str = "text",
     block_cols: tuple[str, ...] = ("lang",),
+    materialize: bool = False,
 ) -> DataFrame:
     """Near-duplicate pairs by character-n-gram Jaccard — EXACT (all pairs
     with J ≥ threshold, nothing lossy), via the prefix-filter
@@ -245,6 +272,8 @@ def ngram_jaccard_pairs(
     aliases. The eager counts are deliberate lazy-API exceptions,
     documented here: this function builds an INDEX (like an ML fit step),
     and materializing it once is what makes the downstream plan cheap.
+    The caches outlive the call unless ``materialize=True`` — the
+    caching contract is on _finish_index_plan.
     """
     grams_tbl = distinct_grams_table(
         documents, n=n, text_col=text_col, block_cols=block_cols
@@ -303,10 +332,11 @@ def ngram_jaccard_pairs(
         grams_tbl.select(F.col("doc_id").alias("id2"), F.col("grams").alias("g2")),
         "id2",
     )
-    return (
+    return _finish_index_plan(
         paired.withColumn("jaccard", jaccard_col(F.col("g1"), F.col("g2")))
         .filter(F.col("jaccard") >= threshold)
-        .select("id1", "id2", "jaccard")
+        .select("id1", "id2", "jaccard"),
+        grams_tbl, prefix, materialize=materialize,
     )
 
 
@@ -328,6 +358,7 @@ def containment_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     block_cols: tuple[str, ...] = ("lang",),
+    materialize: bool = False,
 ) -> DataFrame:
     """DIRECTED containment near-dup pairs — 'A lives inside B':
     C(A→B) = |S(A) ∩ S(B)| / |S(A)| over distinct char n-gram sets,
@@ -362,7 +393,10 @@ def containment_pairs(
     small-vocabulary corpus no gram is rare and candidate volume
     degrades toward the true-pair count (which is itself large there);
     raise `n` until grams individuate (measured on the synthetic
-    ~40-word-pool fixture at sf0.1: n=3 → 179 s, n=7 → 30 s)."""
+    ~40-word-pool fixture at sf0.1: n=3 → 179 s, n=7 → 30 s).
+
+    The grams cache outlives the call unless ``materialize=True`` —
+    the caching contract is on _finish_index_plan."""
     grams_tbl = distinct_grams_table(
         documents, n=n, text_col=text_col, id_col=id_col,
         block_cols=block_cols,
@@ -413,12 +447,13 @@ def containment_pairs(
         ),
         "id_out",
     )
-    return (
+    return _finish_index_plan(
         paired.withColumn(
             "containment", containment_col(F.col("g_in"), F.col("g_out"))
         )
         .filter(F.col("containment") >= threshold)
-        .select("id_in", "id_out", "containment")
+        .select("id_in", "id_out", "containment"),
+        grams_tbl, materialize=materialize,
     )
 
 
@@ -567,6 +602,7 @@ def minhash_lsh_pairs(
     w: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
+    materialize: bool = False,
 ) -> DataFrame:
     """Candidate pairs via LSH banding + exact-Jaccard verification, over
     w-token shingles.
@@ -601,10 +637,11 @@ def minhash_lsh_pairs(
         .select("id1", "id2", "g1", "g2")
         .dropDuplicates(["id1", "id2"])
     )
-    return (
+    return _finish_index_plan(
         cand.withColumn("jaccard", jaccard_col(F.col("g1"), F.col("g2")))
         .filter(F.col("jaccard") >= threshold)
-        .select("id1", "id2", "jaccard")
+        .select("id1", "id2", "jaccard"),
+        banded, materialize=materialize,
     )
 
 
@@ -748,6 +785,7 @@ def simhash_pairs(
     max_hamming: int = 6,
     text_col: str = "text",
     block_cols: tuple[str, ...] = ("lang",),
+    materialize: bool = False,
 ) -> DataFrame:
     """Near-dup pairs with SimHash Hamming distance ≤ max_hamming.
 
@@ -763,10 +801,11 @@ def simhash_pairs(
     sigs.count()
     cand = simhash_candidates(sigs, max_hamming, block_cols)
     hamming = F.bit_count(F.col("s1").bitwiseXOR(F.col("s2")))
-    return (
+    return _finish_index_plan(
         cand.withColumn("hamming", hamming)
         .filter(F.col("hamming") <= max_hamming)
-        .select("id1", "id2", "hamming")
+        .select("id1", "id2", "hamming"),
+        sigs, materialize=materialize,
     )
 
 
