@@ -26,9 +26,31 @@ cardinality is fixed by the upstream generator across scale factors
 their scaling measures the distinct-scan, not graph growth — see
 BENCHLOG.md for the per-query interpretation.
 
-Usage:  python bench_scaling.py
+Round 10 adds the SALTED fixture family (VERDICT r9 task 1): the
+word-rotation copies above share every char n-gram with their base, so
+scaled copies are MUTUAL near-duplicates — fine for stressing scan
+volume, wrong for claiming "representative 10× corpus" on any dedup
+ratio (round 9's pipe_dedup_clusters 28× needed a 925×-edge-growth
+adjudication). The salted transform interleaves per-COPY salt tokens
+(a copy-specific letter alphabet encodes the word position) into every
+other word gap:
+
+- cross-copy char-3-gram Jaccard of the same base doc drops to ~0.35
+  (below the 0.5 near-dup threshold) and cross-copy word-shingle
+  Jaccard to ~0 — copies are NOT near-dups, so pair/edge counts grow
+  ~linearly with copies;
+- within a copy every doc gets the SAME tokens at the same cadence, so
+  planted near-dup pairs keep their similarity (measured: char-3 J of
+  planted pairs moves 0.55→0.63-0.77) and exact dups stay exact;
+- the 1× fixture is copy 0 of the SAME transform, so the two-point
+  ratio measures pure scale on a fixed distribution.
+
+Usage:  python bench_scaling.py [rotation|salted|recall ...]
+        (no args = all three panels)
 Env:    SPARK_GRAFT_SF_DIR    base dir   (default /root/testdata/sf0.1)
         SPARK_GRAFT_SCALE_DIR fixture dir (default /tmp/sf_scaled_10x)
+        SPARK_GRAFT_SALT_DIR  salted fixture dir prefix
+                              (default /tmp/sf_salted)
         SPARK_GRAFT_SCALE     copies      (default 10)
 """
 from __future__ import annotations
@@ -40,6 +62,7 @@ import time
 
 BASE_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 SCALE_DIR = os.environ.get("SPARK_GRAFT_SCALE_DIR", "/tmp/sf_scaled_10x")
+SALT_DIR = os.environ.get("SPARK_GRAFT_SALT_DIR", "/tmp/sf_salted")
 SCALE = int(os.environ.get("SPARK_GRAFT_SCALE", "10"))
 
 #: the heavy family the round-8 verdict asked for, plus the autok
@@ -118,6 +141,68 @@ def build_fixture(spark) -> None:
         fh.write(stamp)
 
 
+_SALT_ALPHA = "abcdefghijklmnopqrstuvwxyz"
+
+
+def _salted_doc_copy(docs, c: int):
+    """Copy `c` of the documents table with per-copy salt tokens
+    interleaved into every other word gap. The token encodes the word
+    position in a COPY-SPECIFIC 10-letter alphabet (digits translated
+    to _SALT_ALPHA[c..c+10]), so two copies share ~no salt grams while
+    every doc WITHIN a copy gets identical tokens at identical
+    positions (near-dup pairs survive salting, copies do not become
+    near-dups of each other — validated numbers in the module
+    docstring). Pure Column expressions: the fixture build stays one
+    distributed pass."""
+    import pyspark.sql.functions as F
+
+    alpha = _SALT_ALPHA[c % 17:c % 17 + 10]
+
+    def emit(w, i):
+        body = F.translate(
+            F.lpad(i.cast("string"), 3, "0"), "0123456789", alpha
+        )
+        tok = F.concat(F.lit("z"), body, F.reverse(body))
+        return F.when(
+            i % 2 == 1, F.concat(tok, F.lit(" "), w)
+        ).otherwise(w)
+
+    text = F.array_join(
+        F.transform(F.split(F.col("text"), " "), emit), " "
+    )
+    return docs.select(
+        (F.col("doc_id") + F.lit(c * _ID_STRIDE)).alias("doc_id"),
+        text.alias("text"),
+        "lang",
+        "source",
+        F.length(text).cast(
+            docs.schema["n_chars"].dataType
+        ).alias("n_chars"),
+    )
+
+
+def build_salted_fixture(spark, scale: int, out_dir: str) -> None:
+    """documents-only fixture: `scale` salted copies with disjoint id
+    ranges (1× = copy 0 of the SAME transform, so 1×-vs-10× isolates
+    scale from distribution)."""
+    from yat_geo_db_spark.testdata import load_table
+
+    stamp = f"salt-v1 scale={scale} base={BASE_DIR}\n"
+    marker = f"{out_dir}/_FIXTURE_OK"
+    if os.path.exists(marker):
+        with open(marker) as fh:
+            if fh.read() == stamp:
+                return
+        os.remove(marker)
+    docs = load_table(spark, BASE_DIR, "documents")
+    out = _salted_doc_copy(docs, 0)
+    for c in range(1, scale):
+        out = out.unionByName(_salted_doc_copy(docs, c))
+    out.write.mode("overwrite").parquet(f"{out_dir}/documents.parquet")
+    with open(marker, "w") as fh:
+        fh.write(stamp)
+
+
 def _force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
@@ -132,34 +217,171 @@ def _time_query(spark, fn, sf_dir: str, runs: int = 2) -> float:
     return best
 
 
-def main() -> None:
-    from bench import BENCH_ONLY, _bench_session, _warm
-    from yat_geo_db_spark.queries import all_queries
+def _timed_pair(spark, fn, d_base: str, d_scaled: str):
+    base = _time_query(spark, fn, d_base)
+    scaled = _time_query(spark, fn, d_scaled)
+    return {
+        "base_sec": round(base, 3),
+        "scaled_sec": round(scaled, 3),
+        "ratio": round(scaled / base, 2),
+    }
 
-    spark = _bench_session()
-    registry = all_queries()
-    _warm(spark, registry)
+
+def _panel_rotation(spark, registry) -> None:
+    from bench import BENCH_ONLY
+
     build_fixture(spark)
-
-    names = HEAVY + EXTRA
     out = {}
-    for name in names:
+    for name in HEAVY + EXTRA:
         fn = BENCH_ONLY.get(name) or registry[name][0]
-        base = _time_query(spark, fn, BASE_DIR)
-        scaled = _time_query(spark, fn, SCALE_DIR)
-        out[name] = {
-            "base_sec": round(base, 3),
-            "scaled_sec": round(scaled, 3),
-            "ratio": round(scaled / base, 2),
-        }
-        print(f"# {name}: {base:.2f}s -> {scaled:.2f}s "
-              f"({scaled / base:.2f}x at {SCALE}x input)", file=sys.stderr)
+        out[name] = r = _timed_pair(spark, fn, BASE_DIR, SCALE_DIR)
+        print(f"# {name}: {r['base_sec']}s -> {r['scaled_sec']}s "
+              f"({r['ratio']}x at {SCALE}x input)", file=sys.stderr)
     print(json.dumps({
         "metric": "scaling_ratio_10x",
         "scale": SCALE,
         "base": BASE_DIR,
         "queries": out,
-    }))
+    }), flush=True)
+
+
+#: payability gate for actually RUNNING the n=3 containment join: past
+#: this many candidate rows the measurement is pure pain with no new
+#: information (the estimate already is the measurement)
+_N3_RUN_CAP = 150_000_000
+
+
+def _panel_salted(spark, registry) -> None:
+    """VERDICT r9 task 1: dedup ratios on a fixture whose copies are
+    NOT mutual near-dups, plus the two-point containment evidence at
+    n=3 (candidate estimates at both scales; wall-clock only where the
+    estimate says the join is payable) and the auto-n fix."""
+    from yat_geo_db_spark.pipelines import dedup
+    from yat_geo_db_spark.testdata import load_table
+
+    d1, d10 = f"{SALT_DIR}_1x", f"{SALT_DIR}_{SCALE}x"
+    build_salted_fixture(spark, 1, d1)
+    build_salted_fixture(spark, SCALE, d10)
+
+    def containment_n(n):
+        def fn(spark_, sf):
+            return dedup.containment_pairs(
+                load_table(spark_, sf, "documents"),
+                threshold=0.8, n=n, block_cols=("lang",),
+            )
+        return fn
+
+    out = {}
+    for name, fn in (
+        ("pipe_dedup_clusters", registry["pipe_dedup_clusters"][0]),
+        ("pipe_dedup_minhash_lsh", registry["pipe_dedup_minhash_lsh"][0]),
+        ("pipe_dedup_containment", registry["pipe_dedup_containment"][0]),
+    ):
+        out[name] = r = _timed_pair(spark, fn, d1, d10)
+        print(f"# salted {name}: {r['base_sec']}s -> {r['scaled_sec']}s "
+              f"({r['ratio']}x at {SCALE}x input)", file=sys.stderr)
+
+    est = {}
+    for label, d in (("1x", d1), (f"{SCALE}x", d10)):
+        docs = load_table(spark, d, "documents")
+        e3 = dedup.containment_candidate_estimate(
+            docs, 0.8, n=3, block_cols=("lang",)
+        )
+        n_auto, e_auto = dedup.containment_auto_n(
+            docs, 0.8, block_cols=("lang",)
+        )
+        est[label] = {"est_n3": e3, "auto_n": n_auto, "auto_est": e_auto}
+        print(f"# salted containment estimates {label}: n=3 -> {e3:,} "
+              f"candidates; auto picks n={n_auto} ({e_auto:,})",
+              file=sys.stderr)
+
+    for label, d in (("1x", d1), (f"{SCALE}x", d10)):
+        if est[label]["est_n3"] <= _N3_RUN_CAP:
+            sec = _time_query(spark, containment_n(3), d, runs=1)
+            est[label]["n3_sec"] = round(sec, 3)
+        else:
+            est[label]["n3_sec"] = None  # not payable — see est_n3
+            print(f"# salted containment n=3 at {label}: SKIPPED "
+                  f"(estimate {est[label]['est_n3']:,} > cap "
+                  f"{_N3_RUN_CAP:,})", file=sys.stderr)
+    auto_line = _timed_pair(spark, containment_n(None), d1, d10)
+    print(json.dumps({
+        "metric": "scaling_salted",
+        "scale": SCALE,
+        "base": BASE_DIR,
+        "queries": out,
+        "containment": est,
+        "containment_auto": auto_line,
+    }), flush=True)
+
+
+def _panel_recall(spark, registry) -> None:
+    """VERDICT r9 task 3: quantify the IVF trade-off — emitted-pair
+    recall of the flat auto-k and two-level semdedup routes against the
+    brute-force thresholded cosine ground truth (emitted pairs are
+    exact-verified, so emitted ⊆ truth and recall = count ratio)."""
+    import pyspark.sql.functions as F
+
+    from yat_geo_db_spark.pipelines import similarity as sim
+    from yat_geo_db_spark.queries.pipeline_queries import COSINE_T
+    from yat_geo_db_spark.testdata import load_table
+
+    build_fixture(spark)
+    t = COSINE_T  # the registry's semdedup threshold — ~p88 of the
+    # synthetic cosine distribution, so the truth set is non-trivial
+    out = {}
+    for label, d in (("1x", BASE_DIR), (f"{SCALE}x", SCALE_DIR)):
+        emb = load_table(spark, d, "embeddings")
+        flat = sim.semdedup_pairs(emb, threshold=t).count()
+        two = sim.semdedup_pairs_scaled(emb, threshold=t).count()
+        row = {"flat_pairs": flat, "two_level_pairs": two}
+        do_brute = emb.count() <= 25_000  # N² ground truth payable
+        if do_brute:
+            unit = sim.l2_normalized(
+                emb, "vec_id", "embedding"
+            ).localCheckpoint()
+            a = unit.select(F.col("vec_id").alias("id1"),
+                            F.col("embedding").alias("v1"))
+            b = unit.select(F.col("vec_id").alias("id2"),
+                            F.col("embedding").alias("v2"))
+            # deliberate O(N²) ground-truth job, 1× only — mirrors
+            # _cell_blocked_pairs' round(dot, 6) >= t exactly
+            truth = (
+                a.join(b, F.col("id1") < F.col("id2"))
+                .select(F.round(
+                    sim.dot_col(F.col("v1"), F.col("v2")), 6
+                ).alias("cosine"))
+                .filter(F.col("cosine") >= t)
+                .count()
+            )
+            row["brute_pairs"] = truth
+            row["recall_flat"] = round(flat / truth, 4) if truth else None
+            row["recall_two_level"] = (
+                round(two / truth, 4) if truth else None
+            )
+        out[label] = row
+        print(f"# recall {label}: {row}", file=sys.stderr)
+    print(json.dumps({
+        "metric": "semdedup_recall",
+        "threshold": t,
+        "scale": SCALE,
+        "base": BASE_DIR,
+        "panels": out,
+    }), flush=True)
+
+
+def main() -> None:
+    from bench import _bench_session, _warm
+    from yat_geo_db_spark.queries import all_queries
+
+    panels = sys.argv[1:] or ["rotation", "salted", "recall"]
+    spark = _bench_session()
+    registry = all_queries()
+    _warm(spark, registry)
+    for p in panels:
+        {"rotation": _panel_rotation,
+         "salted": _panel_salted,
+         "recall": _panel_recall}[p](spark, registry)
 
 
 if __name__ == "__main__":

@@ -814,3 +814,90 @@ def test_materialize_releases_index_caches(spark):
         eager = sorted(map(tuple, fn(docs, materialize=True, **kw).collect()))
         assert eager == lazy, fn.__name__
         assert cached_tables(), f"{fn.__name__} leaked a cached table"
+
+
+def test_containment_candidate_estimate_exact(spark):
+    """The estimator must equal an independent brute-force computation
+    of Σ over prefix entries (doc, g) of (df_block(g) − 1), mirroring
+    the rarest-first (global df, then gram) prefix ordering."""
+    import math
+
+    from yat_geo_db_spark.pipelines import dedup
+
+    rows = [
+        (1, "abcabcxyz", "en"),
+        (2, "abcabcdef", "en"),
+        (3, "xyzdefabc", "en"),
+        (4, "abcabcxyz", "de"),
+        (5, "zzzzzzzzz", "en"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    t, n = 0.8, 3
+
+    def grams(txt):
+        return sorted({txt[i:i + n] for i in range(len(txt) - n + 1)})
+
+    df_global, df_block = {}, {}
+    for _, txt, lang in rows:
+        for g in grams(txt):
+            df_global[g] = df_global.get(g, 0) + 1
+            df_block[(lang, g)] = df_block.get((lang, g), 0) + 1
+    want = 0
+    eps = 1e-9
+    for _, txt, lang in rows:
+        gs = sorted(grams(txt), key=lambda g: (df_global[g], g))
+        sz = len(gs)
+        plen = sz - math.ceil(t * sz - eps) + 1
+        for g in gs[:plen]:
+            want += df_block[(lang, g)] - 1
+
+    got = dedup.containment_candidate_estimate(docs, threshold=t, n=n)
+    assert got == want
+    # the estimate upper-bounds the verified pair volume
+    pairs = dedup.containment_pairs(docs, threshold=t, n=n).count()
+    assert got >= pairs
+
+
+def test_containment_auto_n_scales_gram_size_with_density(spark):
+    """containment_auto_n must pick a LARGER gram size on a corpus that
+    saturates the small-gram space (tiny vocabulary, many docs) than on
+    a sparse one — and containment_pairs(n=None) must equal the fixed-n
+    call at the chosen size."""
+    import itertools
+
+    from yat_geo_db_spark.pipelines import dedup
+
+    # dense: 60 docs over a 6-word pool — every 3-gram is corpus-common
+    pool = ["alpha", "bravo", "carol", "delta", "echos", "fotox"]
+    dense_rows = [
+        (i, " ".join(pool[(i + j) % 6] for j in range(12)), "en")
+        for i in range(60)
+    ]
+    dense = spark.createDataFrame(
+        dense_rows, "doc_id long, text string, lang string"
+    )
+    # sparse: 8 docs with doc-unique words — 3-grams individuate
+    sparse = spark.createDataFrame(
+        [
+            (i, " ".join(f"w{i}q{j}xk{i * 31 + j}" for j in range(12)), "en")
+            for i in range(8)
+        ],
+        "doc_id long, text string, lang string",
+    )
+
+    n_dense, est_dense = dedup.containment_auto_n(
+        dense, threshold=0.8, per_doc_budget=8.0
+    )
+    n_sparse, est_sparse = dedup.containment_auto_n(
+        sparse, threshold=0.8, per_doc_budget=8.0
+    )
+    assert n_sparse == 3
+    assert n_dense > n_sparse
+
+    auto = sorted(map(tuple, dedup.containment_pairs(
+        dense, threshold=0.8, n=None,
+    ).collect()))
+    fixed = sorted(map(tuple, dedup.containment_pairs(
+        dense, threshold=0.8, n=n_dense,
+    ).collect()))
+    assert auto == fixed

@@ -354,7 +354,7 @@ def containment_col(g_in: Column, g_out: Column) -> Column:
 def containment_pairs(
     documents: DataFrame,
     threshold: float = 0.8,
-    n: int = 3,
+    n: int | None = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
     block_cols: tuple[str, ...] = ("lang",),
@@ -396,7 +396,16 @@ def containment_pairs(
     ~40-word-pool fixture at sf0.1: n=3 → 179 s, n=7 → 30 s).
 
     The grams cache outlives the call unless ``materialize=True`` —
-    the caching contract is on _finish_index_plan."""
+    the caching contract is on _finish_index_plan. Pass ``n=None`` to
+    size the gram length from the corpus itself (containment_auto_n) —
+    the fixed default n=3 is only safe while the corpus has NOT
+    saturated the 3-gram space (containment_candidate_estimate
+    documents why that fails at scale)."""
+    if n is None:
+        n, _ = containment_auto_n(
+            documents, threshold, text_col=text_col, id_col=id_col,
+            block_cols=block_cols,
+        )
     grams_tbl = distinct_grams_table(
         documents, n=n, text_col=text_col, id_col=id_col,
         block_cols=block_cols,
@@ -455,6 +464,86 @@ def containment_pairs(
         .select("id_in", "id_out", "containment"),
         grams_tbl, materialize=materialize,
     )
+
+
+def containment_candidate_estimate(
+    documents: DataFrame,
+    threshold: float = 0.8,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    block_cols: tuple[str, ...] = ("lang",),
+    grams_tbl: DataFrame | None = None,
+) -> int:
+    """EXACT row count of containment_pairs' one-sided prefix-filter
+    candidate join at gram size `n`, BEFORE the sz/positional prunes,
+    the pair dedup, and the verify: Σ over prefix entries (doc, g) of
+    (df_block(g) − 1). One shingle pass + one df aggregate + one
+    equi-join onto the df table — NO pair materialization, so it stays
+    linear in input even when the answer says the pair join would be
+    quadratic. That is the point: measure the blow-up without paying
+    it.
+
+    This is the cost model behind containment_auto_n. With a BOUNDED
+    gram space (small `n` over a bounded alphabet) every gram's df
+    grows linearly with corpus size, so this estimate grows
+    ~quadratically — no rarest-first ordering can save a gram size
+    whose vocabulary the corpus has saturated. Raising `n` grows the
+    gram space combinatorially until documents own corpus-rare grams
+    again and the estimate flattens toward O(N). Two-point measurement
+    on the salted sf0.1 fixture: BENCHLOG.md round 10."""
+    if grams_tbl is None:
+        grams_tbl = distinct_grams_table(
+            documents, n=n, text_col=text_col, id_col=id_col,
+            block_cols=block_cols,
+        )
+    prefix = jaccard_prefix_table(
+        documents, threshold, n=n, text_col=text_col, id_col=id_col,
+        block_cols=block_cols, grams_tbl=grams_tbl,
+    )
+    df_tbl = (
+        grams_tbl.select(*block_cols, F.explode("grams").alias("g"))
+        .groupBy(*block_cols, "g")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    row = (
+        prefix.join(df_tbl, on=[*block_cols, "g"])
+        .agg(F.coalesce(F.sum(F.col("df") - 1), F.lit(0)).alias("est"))
+        .collect()[0]  # bounded collect: one scalar
+    )
+    return int(row["est"])
+
+
+def containment_auto_n(
+    documents: DataFrame,
+    threshold: float = 0.8,
+    per_doc_budget: float = 32.0,
+    n_grid: tuple[int, ...] = (3, 4, 5, 7, 9, 11),
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    block_cols: tuple[str, ...] = ("lang",),
+) -> tuple[int, int]:
+    """Smallest gram size whose candidate-join estimate fits
+    ``per_doc_budget × N`` → (n, estimate). The scale-safety valve for
+    containment_pairs: gram-size selectivity is a property of the
+    CORPUS (vocabulary breadth, doc length, skew), not of the operator,
+    and a fixed small `n` silently goes quadratic once the corpus
+    saturates the gram space (see containment_candidate_estimate).
+    Each probe is one linear pass over the corpus; on very large
+    corpora run the probes on a block-stratified sample and scale the
+    budget by the sample fraction squared (prefix counts and df both
+    shrink ~linearly in the fraction), then build pairs at the chosen
+    `n` on the full corpus."""
+    n_docs = max(int(documents.count()), 1)
+    est = 0
+    for n in n_grid:
+        est = containment_candidate_estimate(
+            documents, threshold, n=n, text_col=text_col, id_col=id_col,
+            block_cols=block_cols,
+        )
+        if est <= per_doc_budget * n_docs:
+            return n, est
+    return n_grid[-1], est
 
 
 # --------------------------------------------------------------------------
