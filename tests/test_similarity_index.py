@@ -1128,3 +1128,31 @@ def test_embedding_dim_stats_flags_dead_dimension(spark):
     assert abs(rows[1]["var_x"] - xs.var()) < 1e-5
     assert rows[1]["min_x"] == round(float(xs.min()), 6)
     assert rows[1]["max_x"] == round(float(xs.max()), 6)
+
+
+def test_two_level_shuffle_join_path_plan_shape(spark):
+    """VERDICT r9 task 5: the broadcast_sub=False route (past the
+    k·d·8B broadcast ceiling) must keep its shape under future edits —
+    the sub-level candidates ship by SHUFFLE equi-join on the coarse
+    cell id (SortMergeJoin/ShuffledHashJoin), never a cartesian or a
+    broadcast nested loop (either would re-introduce the n×k expansion
+    the two-level routing exists to avoid)."""
+    import io
+    from contextlib import redirect_stdout
+
+    from yat_geo_db_spark.pipelines.similarity import (
+        kmeans_two_level_fit_assign,
+    )
+
+    emb = load_table(spark, SF, "embeddings")
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        kmeans_two_level_fit_assign(
+            emb, k=9, n_iter=1, broadcast_sub=False
+        ).explain("formatted")
+    plan = buf.getvalue()
+    assert (
+        "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+    ), "sub-assign equi-join lost its shuffle-join shape"
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan

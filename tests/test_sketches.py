@@ -27,12 +27,14 @@ def test_approx_stats_within_tolerance(spark):
     assert got.keys() == exact.keys() and len(got) > 0
     for et, e in exact.items():
         g = got[et]
-        # HLL++ at default rsd=5%: allow 3x margin
-        assert abs(g["approx_users"] - e["users"]) <= max(2, 0.15 * e["users"])
+        # HLL++ at default rsd=5% is deterministic on fixed data;
+        # measured error at sf0.01 is 0.67% per type (VERDICT r9 task
+        # 7: tightened from the old 15% ceiling, 3x headroom kept)
+        assert abs(g["approx_users"] - e["users"]) <= max(2, 0.02 * e["users"])
         # percentile_approx with accuracy=10000 on ~thousands of rows is
-        # near-exact; exact interpolates between points, so allow a neighbor
-        # gap of tolerance
-        assert abs(g["p50"] - e["vp"][0]) < 1.0
+        # near-exact; exact interpolates between points, so allow a
+        # neighbor gap (measured: p50 within 0.03, p95 within 0.80)
+        assert abs(g["p50"] - e["vp"][0]) < 0.1
         assert abs(g["p95"] - e["vp"][1]) < 1.0
 
 
@@ -85,7 +87,10 @@ def test_hll_mergeable_rollup_accuracy(spark):
         .collect()
     }
     for t, n in exact.items():
-        assert abs(got[t] - n) / n < 0.05          # default lgK=12: ~1.6% rse
+        # default lgK=12: ~1.6% rse; measured at sf0.01 the estimate is
+        # EXACT per type (150 distinct users ≪ 2^12 registers) — keep a
+        # 2% band so a testdata regeneration cannot flake it
+        assert abs(got[t] - n) / n < 0.02
         assert got[t] == direct[t]                 # rollup ≡ direct sketch
 
 
@@ -97,7 +102,7 @@ def test_cms_rollup_bounds_and_merge_equivalence(spark):
     from yat_geo_db_spark.testdata import load_table
     import pyspark.sql.functions as F
 
-    sf = "/root/testdata/sf0.001"
+    sf = SF  # sf0.01 — the driver's correctness grain (r9 task 7)
     out = {r["event_type"]: r["approx_count"]
            for r in cms_heavy_hitters(spark, sf).collect()}
     events = load_table(spark, sf, "events")
@@ -108,6 +113,10 @@ def test_cms_rollup_bounds_and_merge_equivalence(spark):
     for t, e in exact.items():
         assert out[t] >= e, (t, out[t], e)
         assert out[t] <= e + 0.001 * n_total + 1, (t, out[t], e)
+        # measured at sf0.01: zero collision slack (5 probe keys in a
+        # width-2719 sketch) — pin a tight band on top of the formal
+        # eps*N guarantee so a width/seed regression is loud
+        assert out[t] <= e + 5, (t, out[t], e)
 
     # merge-of-daily == whole-table sketch (same seed/params)
     whole = events.agg(

@@ -1907,6 +1907,41 @@ def hll_mergeable_rollup(spark, sf_dir):
 
 
 
+_EXACT_DISTINCT_ROLLUP_SQL = """
+SELECT event_type,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+       CAST(count(*) AS BIGINT) AS exact_events,
+       CAST(count(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_days
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+def exact_distinct_rollup(spark, sf_dir):
+    """The hash-checkable exact TWIN of the sketch family (VERDICT r9
+    task 7): per event_type, the exact distinct users that
+    rel_hll_mergeable_rollup/rel_approx_stats estimate, the exact event
+    count rel_cms_heavy_hitters estimates, and the day grain the HLL
+    rollup re-aggregates over. The sketch rows stay rows-only by design
+    (estimates are algorithm-specific); this row pins the ground truth
+    they are error-bound-tested against (tests/test_sketches.py), so
+    the family has a driver-hash-green anchor on every round's
+    testdata. One shuffle: count_distinct expands to a two-phase
+    partial aggregate under AQE."""
+    (events,) = _t(spark, sf_dir, "events")
+    return (
+        events.groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("exact_users"),
+            F.count(F.lit(1)).alias("exact_events"),
+            F.countDistinct(F.to_date("ts")).alias("n_days"),
+        )
+        .orderBy("event_type")
+    )
+
+
+
 
 def cms_rollup_error(spark, sf_dir):
     """Hash-checkable twin of cms_heavy_hitters (the HLL-error-twin
@@ -3156,6 +3191,8 @@ QUERIES: dict = {
     "rel_band_join": (quantity_band_join, _BAND_JOIN_SQL),
     "rel_session_window_native": (session_window_native, _SESSION_WINDOW_SQL),
     "rel_approx_stats": (approx_stats, None),
+    "rel_exact_distinct_rollup": (exact_distinct_rollup,
+                                  _EXACT_DISTINCT_ROLLUP_SQL),
     "rel_exact_percentiles": (exact_percentiles, _EXACT_PCTL_SQL),
     "rel_robust_outliers": (robust_outliers_q, _ROBUST_OUTLIERS_SQL),
     "rel_table_stats": (table_stats_q, _table_stats_sql()),
