@@ -156,7 +156,14 @@ def _salted_doc_copy(docs, c: int):
     distributed pass."""
     import pyspark.sql.functions as F
 
-    alpha = _SALT_ALPHA[c % 17:c % 17 + 10]
+    if c > 16:
+        raise ValueError(
+            "salted fixture supports at most 17 copies (c in [0, 16]): "
+            "the 26-letter alphabet admits 17 distinct 10-letter "
+            "windows; copy 17 would reuse copy 0's salts and reintroduce "
+            "exact cross-copy duplicates"
+        )
+    alpha = _SALT_ALPHA[c:c + 10]
 
     def emit(w, i):
         body = F.translate(
@@ -245,17 +252,26 @@ def _panel_rotation(spark, registry) -> None:
     }), flush=True)
 
 
-#: payability gate for actually RUNNING the n=3 containment join: past
-#: this many candidate rows the measurement is pure pain with no new
-#: information (the estimate already is the measurement)
-_N3_RUN_CAP = 150_000_000
+#: payability gate for actually RUNNING a containment join: past this
+#: many candidate rows the measurement is pure pain with no new
+#: information (the estimate already is the measurement). Calibration
+#: note from this round: candidate COUNT alone under-gates once the
+#: grams table outgrows AQE's broadcast ceiling — the verify join then
+#: SHUFFLES every candidate with its attached gram array (measured:
+#: 132M candidates x ~6 KB arrays at n=7/10x spilled >80 GB before
+#: being killed), while 110M candidates at 1x verified in 110 s
+#: because the 27 MB grams table broadcast. 30M candidates is safe on
+#: either plan shape at this box's disk.
+_RUN_CAP = int(os.environ.get("SPARK_GRAFT_CONTAIN_CAP", "30000000"))
 
 
 def _panel_salted(spark, registry) -> None:
     """VERDICT r9 task 1: dedup ratios on a fixture whose copies are
-    NOT mutual near-dups, plus the two-point containment evidence at
-    n=3 (candidate estimates at both scales; wall-clock only where the
-    estimate says the join is payable) and the auto-n fix."""
+    NOT mutual near-dups, plus two-point containment evidence driven by
+    the operator's own cost model: candidate estimates at n in
+    {3, 7, auto} at both scales, wall-clock ONLY where the estimate
+    fits _RUN_CAP (the estimate IS the measurement past it — this
+    panel's first ungated attempt at n=7/10x spilled the disk full)."""
     from yat_geo_db_spark.pipelines import dedup
     from yat_geo_db_spark.testdata import load_table
 
@@ -275,43 +291,63 @@ def _panel_salted(spark, registry) -> None:
     for name, fn in (
         ("pipe_dedup_clusters", registry["pipe_dedup_clusters"][0]),
         ("pipe_dedup_minhash_lsh", registry["pipe_dedup_minhash_lsh"][0]),
-        ("pipe_dedup_containment", registry["pipe_dedup_containment"][0]),
     ):
         out[name] = r = _timed_pair(spark, fn, d1, d10)
         print(f"# salted {name}: {r['base_sec']}s -> {r['scaled_sec']}s "
               f"({r['ratio']}x at {SCALE}x input)", file=sys.stderr)
 
+    # containment: estimates FIRST, wall-clock only where the operator's
+    # own cost model says the join is payable (the first attempt at this
+    # panel timed n=7 ungated and the 10x join spilled the disk full —
+    # the estimator exists precisely so nobody launches that job)
     est = {}
     for label, d in (("1x", d1), (f"{SCALE}x", d10)):
         docs = load_table(spark, d, "documents")
-        e3 = dedup.containment_candidate_estimate(
-            docs, 0.8, n=3, block_cols=("lang",)
-        )
         n_auto, e_auto = dedup.containment_auto_n(
             docs, 0.8, block_cols=("lang",)
         )
-        est[label] = {"est_n3": e3, "auto_n": n_auto, "auto_est": e_auto}
-        print(f"# salted containment estimates {label}: n=3 -> {e3:,} "
-              f"candidates; auto picks n={n_auto} ({e_auto:,})",
-              file=sys.stderr)
+        est[label] = {"auto_n": n_auto, "auto_est": e_auto}
+        for n in (3, 7, n_auto):
+            key = f"est_n{n}"
+            if key not in est[label]:
+                est[label][key] = dedup.containment_candidate_estimate(
+                    docs, 0.8, n=n, block_cols=("lang",)
+                ) if n != n_auto else e_auto
+        print(f"# salted containment estimates {label}: "
+              + ", ".join(f"n={k[5:]} -> {v:,}" for k, v in
+                          sorted(est[label].items()) if k.startswith("est"))
+              + f"; auto picks n={n_auto}", file=sys.stderr)
 
     for label, d in (("1x", d1), (f"{SCALE}x", d10)):
-        if est[label]["est_n3"] <= _N3_RUN_CAP:
-            sec = _time_query(spark, containment_n(3), d, runs=1)
-            est[label]["n3_sec"] = round(sec, 3)
-        else:
-            est[label]["n3_sec"] = None  # not payable — see est_n3
-            print(f"# salted containment n=3 at {label}: SKIPPED "
-                  f"(estimate {est[label]['est_n3']:,} > cap "
-                  f"{_N3_RUN_CAP:,})", file=sys.stderr)
-    auto_line = _timed_pair(spark, containment_n(None), d1, d10)
+        for n in (3, 7, est[label]["auto_n"]):
+            key = f"n{n}_sec"
+            if key in est[label]:
+                continue
+            e = est[label][f"est_n{n}"]
+            if e <= _RUN_CAP:
+                try:
+                    sec = _time_query(spark, containment_n(n), d, runs=1)
+                except Exception as exc:  # a mis-gated run must not
+                    # take the rest of the panel down with it
+                    est[label][key] = f"failed: {type(exc).__name__}"
+                    print(f"# salted containment n={n} at {label}: "
+                          f"FAILED ({exc})", file=sys.stderr)
+                    continue
+                est[label][key] = round(sec, 3)
+                print(f"# salted containment n={n} at {label}: {sec:.2f}s "
+                      f"({e:,} candidates)", file=sys.stderr)
+            else:
+                est[label][key] = None  # not payable — the estimate IS
+                # the measurement at this point
+                print(f"# salted containment n={n} at {label}: SKIPPED "
+                      f"(estimate {e:,} > cap {_RUN_CAP:,})",
+                      file=sys.stderr)
     print(json.dumps({
         "metric": "scaling_salted",
         "scale": SCALE,
         "base": BASE_DIR,
         "queries": out,
         "containment": est,
-        "containment_auto": auto_line,
     }), flush=True)
 
 
@@ -374,14 +410,18 @@ def main() -> None:
     from bench import _bench_session, _warm
     from yat_geo_db_spark.queries import all_queries
 
-    panels = sys.argv[1:] or ["rotation", "salted", "recall"]
+    dispatch = {"rotation": _panel_rotation,
+                "salted": _panel_salted,
+                "recall": _panel_recall}
+    panels = sys.argv[1:] or list(dispatch)
+    unknown = [p for p in panels if p not in dispatch]
+    if unknown:
+        sys.exit(f"unknown panel(s) {unknown}; valid: {sorted(dispatch)}")
     spark = _bench_session()
     registry = all_queries()
     _warm(spark, registry)
     for p in panels:
-        {"rotation": _panel_rotation,
-         "salted": _panel_salted,
-         "recall": _panel_recall}[p](spark, registry)
+        dispatch[p](spark, registry)
 
 
 if __name__ == "__main__":

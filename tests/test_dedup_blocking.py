@@ -797,7 +797,7 @@ def test_materialize_releases_index_caches(spark):
         "doc_id long, text string, lang string",
     )
 
-    def cached_tables() -> bool:
+    def cache_is_empty() -> bool:
         return bool(
             spark._jsparkSession.sharedState().cacheManager().isEmpty()
         )
@@ -813,7 +813,7 @@ def test_materialize_releases_index_caches(spark):
         spark.catalog.clearCache()  # release the lazy call's caches
         eager = sorted(map(tuple, fn(docs, materialize=True, **kw).collect()))
         assert eager == lazy, fn.__name__
-        assert cached_tables(), f"{fn.__name__} leaked a cached table"
+        assert cache_is_empty(), f"{fn.__name__} leaked a cached table"
 
 
 def test_containment_candidate_estimate_exact(spark):
@@ -899,5 +899,71 @@ def test_containment_auto_n_scales_gram_size_with_density(spark):
     ).collect()))
     fixed = sorted(map(tuple, dedup.containment_pairs(
         dense, threshold=0.8, n=n_dense,
+    ).collect()))
+    assert auto == fixed
+
+
+def test_ngram_jaccard_candidate_estimate_exact(spark):
+    """The symmetric estimator must equal the brute-force sum of
+    C(prefix_count, 2) over (block, prefix gram), with the same
+    rarest-first prefix ordering as jaccard_prefix_table."""
+    import math
+
+    from yat_geo_db_spark.pipelines import dedup
+
+    rows = [
+        (1, "abcabcxyz", "en"),
+        (2, "abcabcdef", "en"),
+        (3, "xyzdefabc", "en"),
+        (4, "abcabcxyz", "de"),
+        (5, "abcabcxyq", "en"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    t, n = 0.5, 3
+
+    def grams(txt):
+        return sorted({txt[i:i + n] for i in range(len(txt) - n + 1)})
+
+    df_global = {}
+    for _, txt, _lang in rows:
+        for g in grams(txt):
+            df_global[g] = df_global.get(g, 0) + 1
+    pc = {}
+    eps = 1e-9
+    for _, txt, lang in rows:
+        gs = sorted(grams(txt), key=lambda g: (df_global[g], g))
+        sz = len(gs)
+        plen = sz - math.ceil(t * sz - eps) + 1
+        for g in gs[:plen]:
+            pc[(lang, g)] = pc.get((lang, g), 0) + 1
+    want = sum(c * (c - 1) // 2 for c in pc.values())
+
+    got = dedup.ngram_jaccard_candidate_estimate(docs, threshold=t, n=n)
+    assert got == want
+    assert got >= dedup.ngram_jaccard_pairs(docs, threshold=t, n=n).count()
+
+
+def test_ngram_jaccard_auto_n_and_none_wiring(spark):
+    """Auto gram sizing for the symmetric join: a gram-space-saturating
+    corpus pushes n up; n=None equals the fixed-n call at the chosen
+    size."""
+    from yat_geo_db_spark.pipelines import dedup
+
+    pool = ["alpha", "bravo", "carol", "delta", "echos", "fotox"]
+    dense = spark.createDataFrame(
+        [(i, " ".join(pool[(i + j) % 6] for j in range(12)), "en")
+         for i in range(60)],
+        "doc_id long, text string, lang string",
+    )
+    n_dense, _ = dedup.ngram_jaccard_auto_n(
+        dense, threshold=0.5, per_doc_budget=8.0
+    )
+    assert n_dense > 3
+
+    auto = sorted(map(tuple, dedup.ngram_jaccard_pairs(
+        dense, threshold=0.5, n=None,
+    ).collect()))
+    fixed = sorted(map(tuple, dedup.ngram_jaccard_pairs(
+        dense, threshold=0.5, n=n_dense,
     ).collect()))
     assert auto == fixed

@@ -231,9 +231,19 @@ def create_exclusive(spark, path: str, text: str) -> bool:
             return False
         raise
     try:
-        out.write(bytearray(text.encode("utf-8")))
-    finally:
-        out.close()
+        try:
+            out.write(bytearray(text.encode("utf-8")))
+        finally:
+            out.close()
+    except Exception:
+        # the create WON but the token write failed: a zero-byte file
+        # left behind would be a lease nobody holds (every verify
+        # mismatches) — reclaim best-effort before propagating
+        try:
+            fs.delete(p, False)
+        except Exception:
+            pass
+        raise
     return True
 
 

@@ -242,7 +242,7 @@ def jaccard_prefix_table(
 def ngram_jaccard_pairs(
     documents: DataFrame,
     threshold: float = 0.5,
-    n: int = 3,
+    n: int | None = 3,
     text_col: str = "text",
     block_cols: tuple[str, ...] = ("lang",),
     materialize: bool = False,
@@ -273,8 +273,17 @@ def ngram_jaccard_pairs(
     documented here: this function builds an INDEX (like an ML fit step),
     and materializing it once is what makes the downstream plan cheap.
     The caches outlive the call unless ``materialize=True`` — the
-    caching contract is on _finish_index_plan.
+    caching contract is on _finish_index_plan. Pass ``n=None`` to size
+    the gram length from the corpus (ngram_jaccard_auto_n): the fixed
+    n=3 default saturates on large corpora — candidate volume goes
+    ~quadratic once every 3-gram is corpus-common (measured: BENCHLOG
+    round 10) — and auto-n is the scale valve.
     """
+    if n is None:
+        n, _ = ngram_jaccard_auto_n(
+            documents, threshold, text_col=text_col,
+            block_cols=block_cols,
+        )
     grams_tbl = distinct_grams_table(
         documents, n=n, text_col=text_col, block_cols=block_cols
     ).persist()
@@ -338,6 +347,76 @@ def ngram_jaccard_pairs(
         .select("id1", "id2", "jaccard"),
         grams_tbl, prefix, materialize=materialize,
     )
+
+
+def ngram_jaccard_candidate_estimate(
+    documents: DataFrame,
+    threshold: float = 0.5,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    block_cols: tuple[str, ...] = ("lang",),
+) -> int:
+    """EXACT row count of ngram_jaccard_pairs' symmetric prefix-filter
+    candidate self-join at gram size `n` BEFORE the length/positional
+    prunes, pair dedup, and verify: Σ over (block, prefix gram) of
+    C(prefix_count, 2). The symmetric twin of
+    containment_candidate_estimate — one shingle pass + one (block, g)
+    aggregate, no pair materialization. Same saturation physics: a
+    bounded gram space makes prefix counts grow linearly with the
+    corpus, so candidates grow ~quadratically at fixed small `n`
+    (measured on the salted sf0.1 fixture: pipe_dedup_clusters'
+    end-to-end 19.7x at 10x input traces exactly to this term —
+    BENCHLOG.md round 10)."""
+    grams_tbl = distinct_grams_table(
+        documents, n=n, text_col=text_col, id_col=id_col,
+        block_cols=block_cols,
+    ).persist()  # the prefix build reads it twice (df + window rows)
+    try:
+        prefix = jaccard_prefix_table(
+            documents, threshold, n=n, text_col=text_col, id_col=id_col,
+            block_cols=block_cols, grams_tbl=grams_tbl,
+        )
+        row = (
+            prefix.groupBy(*block_cols, "g")
+            .agg(F.count(F.lit(1)).alias("pc"))
+            .agg(F.coalesce(
+                F.sum(F.col("pc") * (F.col("pc") - 1) / 2), F.lit(0.0)
+            ).alias("est"))
+            .collect()[0]  # bounded collect: one scalar
+        )
+    finally:
+        grams_tbl.unpersist()
+    return int(row["est"])
+
+
+def ngram_jaccard_auto_n(
+    documents: DataFrame,
+    threshold: float = 0.5,
+    per_doc_budget: float = 32.0,
+    n_grid: tuple[int, ...] = (3, 4, 5, 7, 9, 11),
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    block_cols: tuple[str, ...] = ("lang",),
+) -> tuple[int, int]:
+    """Smallest gram size whose symmetric candidate estimate fits
+    ``per_doc_budget × N`` → (n, estimate) — containment_auto_n's
+    twin for the Jaccard self-join. Note the semantic trade-off the
+    containment variant does not have: raising `n` changes WHICH pairs
+    count as near-dups (longer grams are stricter), so auto-n here is
+    the scale valve for corpus-level dedup (where "J ≥ t at a gram
+    size that still individuates" is the intent), not for workloads
+    pinned to a specific gram length."""
+    n_docs = max(int(documents.count()), 1)
+    est = 0
+    for n in n_grid:
+        est = ngram_jaccard_candidate_estimate(
+            documents, threshold, n=n, text_col=text_col, id_col=id_col,
+            block_cols=block_cols,
+        )
+        if est <= per_doc_budget * n_docs:
+            return n, est
+    return n_grid[-1], est
 
 
 def containment_col(g_in: Column, g_out: Column) -> Column:
@@ -492,25 +571,34 @@ def containment_candidate_estimate(
     gram space combinatorially until documents own corpus-rare grams
     again and the estimate flattens toward O(N). Two-point measurement
     on the salted sf0.1 fixture: BENCHLOG.md round 10."""
-    if grams_tbl is None:
+    own_grams = grams_tbl is None
+    if own_grams:
+        # the plan consumes the grams table in THREE branches (prefix
+        # window, global-df broadcast, block-df aggregate) — persist
+        # for the duration of the scalar collect or the shingle HOF
+        # (the pipeline's most expensive per-row expression) runs 3x
         grams_tbl = distinct_grams_table(
             documents, n=n, text_col=text_col, id_col=id_col,
             block_cols=block_cols,
+        ).persist()
+    try:
+        prefix = jaccard_prefix_table(
+            documents, threshold, n=n, text_col=text_col, id_col=id_col,
+            block_cols=block_cols, grams_tbl=grams_tbl,
         )
-    prefix = jaccard_prefix_table(
-        documents, threshold, n=n, text_col=text_col, id_col=id_col,
-        block_cols=block_cols, grams_tbl=grams_tbl,
-    )
-    df_tbl = (
-        grams_tbl.select(*block_cols, F.explode("grams").alias("g"))
-        .groupBy(*block_cols, "g")
-        .agg(F.count(F.lit(1)).alias("df"))
-    )
-    row = (
-        prefix.join(df_tbl, on=[*block_cols, "g"])
-        .agg(F.coalesce(F.sum(F.col("df") - 1), F.lit(0)).alias("est"))
-        .collect()[0]  # bounded collect: one scalar
-    )
+        df_tbl = (
+            grams_tbl.select(*block_cols, F.explode("grams").alias("g"))
+            .groupBy(*block_cols, "g")
+            .agg(F.count(F.lit(1)).alias("df"))
+        )
+        row = (
+            prefix.join(df_tbl, on=[*block_cols, "g"])
+            .agg(F.coalesce(F.sum(F.col("df") - 1), F.lit(0)).alias("est"))
+            .collect()[0]  # bounded collect: one scalar
+        )
+    finally:
+        if own_grams:
+            grams_tbl.unpersist()
     return int(row["est"])
 
 

@@ -1077,7 +1077,12 @@ def semdedup_pairs(
 
     Recall is bounded by the clustering, like every SemDeDup deployment;
     raise k for smaller cells or fall back to the multi-probe bucket
-    blocking for recall-critical passes.
+    blocking for recall-critical passes. Measured (BENCHLOG round 10,
+    rotation fixture, t=0.12): 11.9% of the brute-force thresholded
+    pairs at 1×, 9.2% at 10× — pessimistic by construction on the
+    synthetic space, where threshold-passing pairs are diffuse rather
+    than clustered; planted exact/near dups are always found
+    (test-pinned).
 
     Scale shape (two-point measured, BENCHLOG.md round 9): in the
     target-cell regime the end-to-end cost is ~linear in n (1.62× at
