@@ -689,8 +689,13 @@ def test_pca_fit_matches_local_numpy(spark):
     from yat_geo_db_spark.pipelines.similarity import pca_fit, pca_project
 
     emb = load_table(spark, SF, "embeddings")
+    # collect ONCE and derive X and the id order from the same rows:
+    # two separate collects over the same scan carry no row-order
+    # guarantee, and the X-vs-ids desync flaked this test under
+    # full-suite load (r10)
+    rows = emb.collect()
     X = np.vstack(
-        [np.asarray(r["embedding"], dtype=np.float64) for r in emb.collect()]
+        [np.asarray(r["embedding"], dtype=np.float64) for r in rows]
     )
     mean, comps, evr = pca_fit(emb, n_components=4)
     lmean, lcomps, levr = _local_pca(X, 4)
@@ -706,7 +711,7 @@ def test_pca_fit_matches_local_numpy(spark):
         r["vec_id"]: np.asarray(r["proj"])
         for r in pca_project(emb, mean, comps).collect()
     }
-    ids = [r["vec_id"] for r in emb.select("vec_id").collect()]
+    ids = [r["vec_id"] for r in rows]
     local = (X - lmean) @ lcomps.T
     got = np.vstack([proj[i] for i in ids])
     assert np.allclose(got, local, atol=1e-7)

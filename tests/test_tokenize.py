@@ -83,7 +83,11 @@ def test_apply_merge_column_matches_python_pass(spark):
 
 
 def test_bpe_encode_matches_python_and_is_reversible_on_counts(spark):
-    docs = load_table(spark, SF, "documents").limit(50)
+    # orderBy before limit: a bare limit(50) re-executes per ACTION and
+    # is free to pick different rows each time (whichever tasks finish
+    # first) — this test runs two actions over `docs` and flaked on
+    # exactly that under full-suite load (r10)
+    docs = load_table(spark, SF, "documents").orderBy("doc_id").limit(50)
     merges = bpe_train(load_table(spark, SF, "documents"), n_merges=6)
     out = {r["doc_id"]: r for r in bpe_encode(docs, merges).collect()}
     for r in docs.collect():
