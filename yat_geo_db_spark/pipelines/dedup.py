@@ -381,13 +381,17 @@ def ngram_jaccard_candidate_estimate(
             prefix.groupBy(*block_cols, "g")
             .agg(F.count(F.lit(1)).alias("pc"))
             .agg(F.coalesce(
-                F.sum(F.col("pc") * (F.col("pc") - 1) / 2), F.lit(0.0)
-            ).alias("est"))
+                # long arithmetic end-to-end (halved driver-side):
+                # a double sum would round past 2^53 on corpus-scale
+                # estimates, and the whole point of the number is that
+                # it is exact
+                F.sum(F.col("pc") * (F.col("pc") - 1)), F.lit(0)
+            ).alias("est2"))
             .collect()[0]  # bounded collect: one scalar
         )
     finally:
         grams_tbl.unpersist()
-    return int(row["est"])
+    return int(row["est2"]) // 2
 
 
 def ngram_jaccard_auto_n(
