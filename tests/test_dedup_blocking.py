@@ -967,3 +967,69 @@ def test_ngram_jaccard_auto_n_and_none_wiring(spark):
         dense, threshold=0.5, n=n_dense,
     ).collect()))
     assert auto == fixed
+
+
+def test_candidate_estimate_sampled_extrapolation(spark):
+    """sample_fraction=f probes a seeded doc sample and extrapolates by
+    1/f²: identity at f=1.0, same order of magnitude as the exact
+    estimate at f=0.5 on a homogeneous corpus (the pair term's
+    extrapolation is exactly unbiased given the prefix), and the
+    guard rails reject a caller-supplied grams_tbl or an out-of-range
+    fraction."""
+    import pytest
+
+    from yat_geo_db_spark.pipelines import dedup
+
+    pool = ["alpha", "bravo", "carol", "delta", "echos", "fotox",
+            "golfy", "hotel"]
+    docs = spark.createDataFrame(
+        [(i, " ".join(pool[(i + j) % 8] for j in range(12)), "en")
+         for i in range(200)],
+        "doc_id long, text string, lang string",
+    )
+
+    for fn in (dedup.containment_candidate_estimate,
+               dedup.ngram_jaccard_candidate_estimate):
+        exact = fn(docs, threshold=0.8, n=3)
+        assert fn(docs, threshold=0.8, n=3, sample_fraction=1.0) == exact
+        sampled = fn(docs, threshold=0.8, n=3, sample_fraction=0.5, seed=7)
+        # deterministic (seeded); the band is loose on purpose — the
+        # claim is "prices the join", not "reproduces it to the row"
+        assert exact / 4 <= sampled <= exact * 4
+        with pytest.raises(ValueError):
+            fn(docs, threshold=0.8, n=3, sample_fraction=1.5)
+
+    grams = dedup.distinct_grams_table(docs, n=3, block_cols=("lang",))
+    with pytest.raises(ValueError):
+        dedup.containment_candidate_estimate(
+            docs, threshold=0.8, n=3, grams_tbl=grams, sample_fraction=0.5
+        )
+
+
+def test_auto_n_sampled_matches_full_direction(spark):
+    """auto-n driven by sampled probes still lands past the saturated
+    gram sizes on a dense corpus (budget compares against the FULL doc
+    count, estimates extrapolate by 1/f²)."""
+    from yat_geo_db_spark.pipelines import dedup
+
+    pool = ["alpha", "bravo", "carol", "delta", "echos", "fotox"]
+    dense = spark.createDataFrame(
+        [(i, " ".join(pool[(i + j) % 6] for j in range(12)), "en")
+         for i in range(60)],
+        "doc_id long, text string, lang string",
+    )
+    n_full, _ = dedup.containment_auto_n(
+        dense, threshold=0.8, per_doc_budget=8.0
+    )
+    n_samp, est_samp = dedup.containment_auto_n(
+        dense, threshold=0.8, per_doc_budget=8.0, sample_fraction=0.5,
+        seed=7,
+    )
+    assert n_full > 3
+    assert n_samp > 3  # the sampled probe sees the same saturation
+    assert est_samp >= 0
+    nj_samp, _ = dedup.ngram_jaccard_auto_n(
+        dense, threshold=0.5, per_doc_budget=8.0, sample_fraction=0.5,
+        seed=7,
+    )
+    assert nj_samp > 3

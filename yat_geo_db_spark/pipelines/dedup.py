@@ -356,6 +356,8 @@ def ngram_jaccard_candidate_estimate(
     text_col: str = "text",
     id_col: str = "doc_id",
     block_cols: tuple[str, ...] = ("lang",),
+    sample_fraction: float | None = None,
+    seed: int = 7,
 ) -> int:
     """EXACT row count of ngram_jaccard_pairs' symmetric prefix-filter
     candidate self-join at gram size `n` BEFORE the length/positional
@@ -367,7 +369,25 @@ def ngram_jaccard_candidate_estimate(
     corpus, so candidates grow ~quadratically at fixed small `n`
     (measured on the salted sf0.1 fixture: pipe_dedup_clusters'
     end-to-end 19.7x at 10x input traces exactly to this term —
-    BENCHLOG.md round 10)."""
+    BENCHLOG.md round 10).
+
+    With ``sample_fraction=f`` the probe runs on a seeded Bernoulli
+    doc sample and the result is extrapolated by 1/f² — each unordered
+    doc pair survives doc sampling with probability f², so the pair
+    term's extrapolation is exactly unbiased GIVEN the prefix; the
+    prefix itself re-ranks under sampled dfs, which is stable exactly
+    in the heavy-tailed regime the probe targets (block proportions
+    are preserved in expectation by the uniform sample). Use it to
+    price a corpus too large to shingle in full: the probe cost drops
+    to one pass over N·f docs."""
+    if sample_fraction is not None:
+        if not 0.0 < sample_fraction <= 1.0:
+            raise ValueError(
+                f"sample_fraction must be in (0, 1], got {sample_fraction}"
+            )
+        documents = documents.sample(
+            withReplacement=False, fraction=sample_fraction, seed=seed
+        )
     grams_tbl = distinct_grams_table(
         documents, n=n, text_col=text_col, id_col=id_col,
         block_cols=block_cols,
@@ -391,7 +411,10 @@ def ngram_jaccard_candidate_estimate(
         )
     finally:
         grams_tbl.unpersist()
-    return int(row["est2"]) // 2
+    est = int(row["est2"]) // 2
+    if sample_fraction is not None and sample_fraction < 1.0:
+        est = int(est / (sample_fraction * sample_fraction))
+    return est
 
 
 def ngram_jaccard_auto_n(
@@ -402,6 +425,8 @@ def ngram_jaccard_auto_n(
     text_col: str = "text",
     id_col: str = "doc_id",
     block_cols: tuple[str, ...] = ("lang",),
+    sample_fraction: float | None = None,
+    seed: int = 7,
 ) -> tuple[int, int]:
     """Smallest gram size whose symmetric candidate estimate fits
     ``per_doc_budget × N`` → (n, estimate) — containment_auto_n's
@@ -410,13 +435,17 @@ def ngram_jaccard_auto_n(
     count as near-dups (longer grams are stricter), so auto-n here is
     the scale valve for corpus-level dedup (where "J ≥ t at a gram
     size that still individuates" is the intent), not for workloads
-    pinned to a specific gram length."""
+    pinned to a specific gram length. ``sample_fraction`` runs every
+    probe on a seeded doc sample with exact 1/f² pair-term
+    extrapolation (see ngram_jaccard_candidate_estimate); the budget
+    comparison always uses the FULL corpus doc count."""
     n_docs = max(int(documents.count()), 1)
     est = 0
     for n in n_grid:
         est = ngram_jaccard_candidate_estimate(
             documents, threshold, n=n, text_col=text_col, id_col=id_col,
-            block_cols=block_cols,
+            block_cols=block_cols, sample_fraction=sample_fraction,
+            seed=seed,
         )
         if est <= per_doc_budget * n_docs:
             return n, est
@@ -557,6 +586,8 @@ def containment_candidate_estimate(
     id_col: str = "doc_id",
     block_cols: tuple[str, ...] = ("lang",),
     grams_tbl: DataFrame | None = None,
+    sample_fraction: float | None = None,
+    seed: int = 7,
 ) -> int:
     """EXACT row count of containment_pairs' one-sided prefix-filter
     candidate join at gram size `n`, BEFORE the sz/positional prunes,
@@ -574,7 +605,29 @@ def containment_candidate_estimate(
     whose vocabulary the corpus has saturated. Raising `n` grows the
     gram space combinatorially until documents own corpus-rare grams
     again and the estimate flattens toward O(N). Two-point measurement
-    on the salted sf0.1 fixture: BENCHLOG.md round 10."""
+    on the salted sf0.1 fixture: BENCHLOG.md round 10.
+
+    With ``sample_fraction=f`` (incompatible with a caller-supplied
+    `grams_tbl`) the probe runs on a seeded Bernoulli doc sample and
+    extrapolates by 1/f² — each (prefix entry, other doc) pair
+    survives doc sampling with probability f², so the sum's
+    extrapolation is exactly unbiased GIVEN the prefix; the prefix
+    re-ranks under sampled dfs, which is stable exactly in the
+    heavy-tailed regime the probe targets. The linear probe then costs
+    one pass over N·f docs — price a 100 TB corpus from a 1% sample."""
+    if sample_fraction is not None:
+        if grams_tbl is not None:
+            raise ValueError(
+                "sample_fraction requires the estimator to build its own "
+                "grams table — pass one or the other, not both"
+            )
+        if not 0.0 < sample_fraction <= 1.0:
+            raise ValueError(
+                f"sample_fraction must be in (0, 1], got {sample_fraction}"
+            )
+        documents = documents.sample(
+            withReplacement=False, fraction=sample_fraction, seed=seed
+        )
     own_grams = grams_tbl is None
     if own_grams:
         # the plan consumes the grams table in THREE branches (prefix
@@ -603,7 +656,10 @@ def containment_candidate_estimate(
     finally:
         if own_grams:
             grams_tbl.unpersist()
-    return int(row["est"])
+    est = int(row["est"])
+    if sample_fraction is not None and sample_fraction < 1.0:
+        est = int(est / (sample_fraction * sample_fraction))
+    return est
 
 
 def containment_auto_n(
@@ -614,6 +670,8 @@ def containment_auto_n(
     text_col: str = "text",
     id_col: str = "doc_id",
     block_cols: tuple[str, ...] = ("lang",),
+    sample_fraction: float | None = None,
+    seed: int = 7,
 ) -> tuple[int, int]:
     """Smallest gram size whose candidate-join estimate fits
     ``per_doc_budget × N`` → (n, estimate). The scale-safety valve for
@@ -622,16 +680,18 @@ def containment_auto_n(
     and a fixed small `n` silently goes quadratic once the corpus
     saturates the gram space (see containment_candidate_estimate).
     Each probe is one linear pass over the corpus; on very large
-    corpora run the probes on a block-stratified sample and scale the
-    budget by the sample fraction squared (prefix counts and df both
-    shrink ~linearly in the fraction), then build pairs at the chosen
-    `n` on the full corpus."""
+    corpora pass ``sample_fraction`` — every probe runs on a seeded
+    doc sample with exact 1/f² pair-term extrapolation (uniform doc
+    sampling preserves block proportions in expectation), the budget
+    comparison uses the FULL corpus doc count, and pairs are then
+    built at the chosen `n` on the full corpus."""
     n_docs = max(int(documents.count()), 1)
     est = 0
     for n in n_grid:
         est = containment_candidate_estimate(
             documents, threshold, n=n, text_col=text_col, id_col=id_col,
-            block_cols=block_cols,
+            block_cols=block_cols, sample_fraction=sample_fraction,
+            seed=seed,
         )
         if est <= per_doc_budget * n_docs:
             return n, est

@@ -180,6 +180,97 @@ ORDER BY id_in, id_out
 """
 
 
+#: gram sizes the cost-model registry row prices (small → saturated,
+#: large → individuating on the synthetic corpus)
+COST_MODEL_NS = (3, 5, 7)
+
+
+def q_dedup_cost_model(spark, sf_dir):
+    """The pair-join cost model as a driver-checkable row (round 10's
+    headline mechanism): for each gram size, the EXACT pre-prune
+    candidate volume of the directed containment join
+    (dedup.containment_candidate_estimate — Σ over prefix entries of
+    (df_block − 1)) and of the symmetric Jaccard self-join
+    (dedup.ngram_jaccard_candidate_estimate — Σ over (block, prefix
+    gram) of C(prefix_count, 2)). These numbers gate whether anyone
+    LAUNCHES the joins (containment_auto_n / ngram_jaccard_auto_n pick
+    the smallest payable n; bench_scaling.py prices every containment
+    run with them), so they deserve the same cross-engine hash check
+    as the operators they protect: the oracle replays the rarest-first
+    (global df, then gram) prefix construction — FP-safe ceil epsilon
+    included — in DuckDB SQL. Each estimate is one linear pass (shingle
+    → df aggregate → windowed prefix → one scalar); the collects are
+    the estimators' documented bounded-scalar contract."""
+    docs = load_table(spark, sf_dir, "documents")
+    rows = []
+    for n in COST_MODEL_NS:
+        rows.append((
+            "containment", n,
+            dedup.containment_candidate_estimate(
+                docs, threshold=CONTAIN_T, n=n, block_cols=("lang",)
+            ),
+        ))
+        rows.append((
+            "jaccard", n,
+            dedup.ngram_jaccard_candidate_estimate(
+                docs, threshold=JACCARD_T, n=n, block_cols=("lang",)
+            ),
+        ))
+    return spark.createDataFrame(
+        rows, "kind string, n int, candidates long"
+    ).orderBy("kind", "n")
+
+
+def _cost_model_block_sql(kind: str, n: int, t: float) -> str:
+    """One (kind, n) scalar of the cost-model oracle: the prefix table
+    rebuilt from scratch in DuckDB (global rarest-first df order, tie
+    on gram, FP-epsilon ceil — mirroring dedup.jaccard_prefix_table),
+    then the containment Σ(df_block − 1) or the symmetric Σ C(pc, 2)."""
+    tail = (
+        """bdf AS (SELECT lang, gr, count(*) AS bdf FROM e GROUP BY lang, gr)
+SELECT '{kind}' AS kind, {n} AS n,
+       CAST(coalesce(sum(bdf - 1), 0) AS BIGINT) AS candidates
+FROM prefix JOIN bdf USING (lang, gr)"""
+        if kind == "containment" else
+        """pc AS (SELECT lang, gr, count(*) AS pc FROM prefix
+      GROUP BY lang, gr)
+SELECT '{kind}' AS kind, {n} AS n,
+       CAST(coalesce(sum(pc * (pc - 1)), 0) // 2 AS BIGINT) AS candidates
+FROM pc"""
+    ).format(kind=kind, n=n)
+    return f"""
+WITH gt AS (
+  SELECT doc_id, lang,
+         list_distinct({grams_sql('text', distinct=False, n=n)}) AS grams
+  FROM documents
+),
+g AS (SELECT * FROM gt WHERE len(grams) > 0),
+e AS (SELECT doc_id, lang, len(grams) AS sz, unnest(grams) AS gr FROM g),
+freq AS (SELECT gr, count(*) AS df FROM e GROUP BY gr),
+ranked AS (
+  SELECT e.doc_id, e.lang, e.gr, e.sz, f.df,
+         row_number() OVER (
+           PARTITION BY e.doc_id ORDER BY f.df, e.gr
+         ) AS rnk
+  FROM e JOIN freq f USING (gr)
+),
+prefix AS (
+  SELECT * FROM ranked WHERE rnk <= sz - ceil({t} * sz - 0.000001) + 1
+),
+{tail}"""
+
+
+_DEDUP_COST_MODEL_SQL = (
+    "SELECT * FROM (\n"
+    + "\nUNION ALL\n".join(
+        f"({_cost_model_block_sql(kind, n, t)})"
+        for n in COST_MODEL_NS
+        for kind, t in (("containment", CONTAIN_T), ("jaccard", JACCARD_T))
+    )
+    + "\n) ORDER BY kind, n"
+)
+
+
 def q_dedup_jaccard(spark, sf_dir):
     return dedup.ngram_jaccard_pairs(
         load_table(spark, sf_dir, "documents"),
@@ -6192,6 +6283,7 @@ QUERIES: dict = {
     "pipe_curate_leakage": (q_curate_leakage, _CURATE_LEAKAGE_SQL),
     "pipe_dedup_exact": (q_dedup_exact, _DEDUP_EXACT_SQL),
     "pipe_dedup_containment": (q_dedup_containment, _DEDUP_CONTAINMENT_SQL),
+    "pipe_dedup_cost_model": (q_dedup_cost_model, _DEDUP_COST_MODEL_SQL),
     "pipe_dedup_ngram_jaccard": (q_dedup_jaccard, _DEDUP_JACCARD_SQL),
     "pipe_text_pmi": (q_text_pmi, _TEXT_PMI_SQL),
     "pipe_dedup_sorted_neighborhood": (

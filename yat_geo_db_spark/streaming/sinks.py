@@ -630,9 +630,19 @@ def _compact_generational(spark, root: str, fold,
       two markers written back-to-back by runs that each passed
       validation. The skip-deletes guard keeps every un-covered batch
       dir alive through it, so the known cost is duplicate fold work,
-      not data; full closure needs a filesystem compare-and-swap,
-      which the Hadoop FileSystem API does not offer. Size `lease_ms`
-      (and `orphan_grace_ms`) above the slowest plausible fold.
+      not data. Full closure is possible with the same atomic
+      create-if-absent primitive the lease uses (fsio.create_exclusive)
+      by making the COMMIT itself the created file — versioned markers
+      ``_compacted_through_g<gen+1>``, reader discovers the max-gen
+      marker via listing: exactly one of two displaced runs can then
+      create gen+1, on any FS with atomic namespace creates. Deferred
+      deliberately: it rewrites every reader's marker-discovery path
+      (one read → list-and-max, more RPCs in the bracketed snapshot
+      loop) to convert a bounded duplicate-work residual into zero,
+      and still degrades on classic S3A (client-side existence check)
+      to exactly the abort-on-verify behavior the lease already has.
+      Size `lease_ms` (and `orphan_grace_ms`) above the slowest
+      plausible fold.
     - Orphan generation dirs (a compactor that crashed or lost the
       race after writing) are invisible to readers (the marker never
       named them) and are swept at the start of the next run — but
