@@ -45,8 +45,8 @@ other word gap:
 - the 1× fixture is copy 0 of the SAME transform, so the two-point
   ratio measures pure scale on a fixed distribution.
 
-Usage:  python bench_scaling.py [rotation|salted|recall ...]
-        (no args = all three panels)
+Usage:  python bench_scaling.py [rotation|salted|recall|sampled ...]
+        (no args = all panels)
 Env:    SPARK_GRAFT_SF_DIR    base dir   (default /root/testdata/sf0.1)
         SPARK_GRAFT_SCALE_DIR fixture dir (default /tmp/sf_scaled_10x)
         SPARK_GRAFT_SALT_DIR  salted fixture dir prefix
@@ -406,13 +406,65 @@ def _panel_recall(spark, registry) -> None:
     }), flush=True)
 
 
+def _panel_sampled(spark, registry) -> None:
+    """Accuracy + cost of the SAMPLED cost-model probes
+    (sample_fraction + 1/f² extrapolation): for each estimator, gram
+    size, and scale, the exact estimate vs the f=0.25 extrapolation,
+    each with its wall-clock. The claim under test: the sampled probe
+    prices the join to within a small relative error at a fraction of
+    the probe cost — the regime that matters is the LARGE corpus
+    (10×), where the probe pass itself starts to cost real time."""
+    from yat_geo_db_spark.pipelines import dedup
+    from yat_geo_db_spark.testdata import load_table
+
+    d1, d10 = f"{SALT_DIR}_1x", f"{SALT_DIR}_{SCALE}x"
+    build_salted_fixture(spark, 1, d1)
+    build_salted_fixture(spark, SCALE, d10)
+    frac = float(os.environ.get("SPARK_GRAFT_SAMPLE_FRAC", "0.25"))
+
+    def timed(fn, *args, **kw):
+        t0 = time.perf_counter()
+        v = fn(*args, **kw)
+        return v, round(time.perf_counter() - t0, 3)
+
+    out = {}
+    for label, d in (("1x", d1), (f"{SCALE}x", d10)):
+        docs = load_table(spark, d, "documents")
+        out[label] = {}
+        for kind, fn, t in (
+            ("containment", dedup.containment_candidate_estimate, 0.8),
+            ("jaccard", dedup.ngram_jaccard_candidate_estimate, 0.5),
+        ):
+            for n in (3, 11):
+                exact, s_e = timed(fn, docs, t, n=n, block_cols=("lang",))
+                samp, s_s = timed(fn, docs, t, n=n, block_cols=("lang",),
+                                  sample_fraction=frac, seed=7)
+                rel = round(samp / exact, 3) if exact else None
+                out[label][f"{kind}_n{n}"] = {
+                    "exact": exact, "exact_sec": s_e,
+                    "sampled": samp, "sampled_sec": s_s,
+                    "sampled_over_exact": rel,
+                }
+                print(f"# sampled probe {label} {kind} n={n}: exact "
+                      f"{exact:,} in {s_e}s; f={frac} -> {samp:,} in "
+                      f"{s_s}s (ratio {rel})", file=sys.stderr)
+    print(json.dumps({
+        "metric": "cost_model_sampled_probe",
+        "fraction": frac,
+        "scale": SCALE,
+        "base": BASE_DIR,
+        "panels": out,
+    }), flush=True)
+
+
 def main() -> None:
     from bench import _bench_session, _warm
     from yat_geo_db_spark.queries import all_queries
 
     dispatch = {"rotation": _panel_rotation,
                 "salted": _panel_salted,
-                "recall": _panel_recall}
+                "recall": _panel_recall,
+                "sampled": _panel_sampled}
     panels = sys.argv[1:] or list(dispatch)
     unknown = [p for p in panels if p not in dispatch]
     if unknown:
