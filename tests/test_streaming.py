@@ -1831,3 +1831,37 @@ def test_orphan_sweep_s3a_degenerate_mtime_forces_abort_not_loss(
     _assert_single_gen(root, 1)
     got = sorted(map(tuple, read_rollup(spark, root, **kw).collect()))
     assert got == want
+
+
+def test_zero_byte_lease_debris_broken_past_short_grace(spark, tmp_path):
+    """A create that wins the namespace entry but never writes its
+    token (transient failure; reclaim delete also failed) leaves a
+    ZERO-BYTE lease nobody holds. It must not wedge compaction for a
+    full lease window: older than the short empty-lease grace it is
+    broken immediately; younger (a healthy racer mid-write) it is
+    still honored."""
+    import os
+    import time
+
+    from yat_geo_db_spark import fsio
+    from yat_geo_db_spark.streaming.sinks import (
+        _LEASE_NAME, compact_rollup, read_rollup, rollup_maintenance_sink,
+    )
+
+    kw = dict(key_cols=["k"], sum_cols=["v"], scale=2)
+    root = str(tmp_path / "rollup")
+    sink = rollup_maintenance_sink(root, **kw)
+    sink(spark.createDataFrame([("a", 1.0)], "k string, v double"), 0)
+    want = sorted(map(tuple, read_rollup(spark, root, **kw).collect()))
+
+    lease = f"{root}/{_LEASE_NAME}"
+    open(lease, "w").close()                       # zero-byte phantom
+    with pytest.raises(RuntimeError, match="holds the lease"):
+        compact_rollup(spark, root, **kw)          # fresh ⇒ honored
+    aged = time.time() - 120                       # past 60 s grace,
+    os.utime(lease, (aged, aged))                  # far inside lease_ms
+    compact_rollup(spark, root, **kw)              # debris broken
+    _assert_single_gen(root, 1)
+    assert not fsio.exists(spark, lease)
+    got = sorted(map(tuple, read_rollup(spark, root, **kw).collect()))
+    assert got == want

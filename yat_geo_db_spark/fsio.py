@@ -208,19 +208,28 @@ def activity_time_ms(spark, dirpath: str) -> int | None:
 
 
 def create_exclusive(spark, path: str, text: str) -> bool:
-    """Atomically create `path` with `text` IFF it does not already
-    exist — ``FileSystem.create(path, overwrite=false)``, the
-    create-if-absent primitive behind lease files. Returns True on
-    success, False if the path already exists (someone else holds it).
+    """Create `path` with `text` IFF it does not already exist —
+    ``FileSystem.create(path, overwrite=false)``, the create-if-absent
+    primitive behind lease files. Returns True on success, False if
+    the path already exists (someone else holds it).
 
-    On HDFS and local filesystems the no-overwrite create is a single
-    atomic namespace operation — exactly one of N racing callers wins.
-    Object-store caveat: classic S3A implements the existence check
-    client-side (HEAD then PUT), so two racers can BOTH see success;
-    lease consumers must pair this with a content re-read before any
-    irreversible step (sinks._compact_generational re-verifies its
-    token pre-commit), which degrades a lost S3A race to a loud abort,
-    never a silent double-commit."""
+    Atomicity is filesystem-dependent. On HDFS the no-overwrite create
+    is a single atomic NameNode operation — exactly one of N racing
+    callers wins. On the LOCAL filesystem (RawLocalFileSystem) and on
+    classic S3A the existence check is CLIENT-SIDE (exists-then-create
+    / HEAD-then-PUT), so two racers in the same instant can BOTH see
+    success. Lease consumers must therefore pair this with a content
+    re-read before any irreversible step (sinks._compact_generational
+    re-verifies its token pre-commit AND pre-delete), which degrades a
+    lost race on those filesystems to a loud abort-and-retry, never a
+    silent double-commit.
+
+    Failure residue: if the create RPC itself fails transiently AFTER
+    the namespace entry lands (no stream to write the token), the
+    fallback 'exists ⇒ held' classification returns False against the
+    caller's own zero-byte debris — sinks._acquire_compact_lease
+    breaks empty lease files past a short grace so that phantom can
+    never wedge compaction for a full lease window."""
     _, _, fs, p = _jfs(spark, path)
     try:
         out = fs.create(p, False)

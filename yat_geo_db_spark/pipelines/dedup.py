@@ -400,21 +400,49 @@ def ngram_jaccard_candidate_estimate(
         row = (
             prefix.groupBy(*block_cols, "g")
             .agg(F.count(F.lit(1)).alias("pc"))
-            .agg(F.coalesce(
-                # long arithmetic end-to-end (halved driver-side):
-                # a double sum would round past 2^53 on corpus-scale
-                # estimates, and the whole point of the number is that
-                # it is exact
-                F.sum(F.col("pc") * (F.col("pc") - 1)), F.lit(0)
-            ).alias("est2"))
+            # decimal(38,0) end-to-end (halved driver-side): a double
+            # sum rounds past 2^53 and a LONG sum silently WRAPS past
+            # 2^63 in exactly the saturated-gram regime this number
+            # exists to detect — a wrapped (negative) estimate would
+            # pass every downstream budget gate. pc ≤ 9.2e18 fits
+            # decimal(19,0); pc² ≤ 8.5e37 fits the (38,0) product; a
+            # sum past 38 digits nulls out and is raised below instead
+            # of masquerading as payable.
+            .agg(
+                F.sum(
+                    F.col("pc").cast("decimal(19,0)")
+                    * (F.col("pc") - 1).cast("decimal(19,0)")
+                ).alias("est2"),
+                F.count(F.lit(1)).alias("n_groups"),
+            )
             .collect()[0]  # bounded collect: one scalar
         )
     finally:
         grams_tbl.unpersist()
+    if row["n_groups"] == 0:
+        return 0
+    if row["est2"] is None:
+        raise OverflowError(
+            "jaccard candidate estimate exceeds 10^38 — the gram space "
+            f"at n={n} is catastrophically saturated; no budget can pay "
+            "this join, raise n"
+        )
     est = int(row["est2"]) // 2
-    if sample_fraction is not None and sample_fraction < 1.0:
-        est = int(est / (sample_fraction * sample_fraction))
-    return est
+    return _extrapolate_sampled(est, sample_fraction)
+
+
+def _extrapolate_sampled(est: int, sample_fraction: float | None) -> int:
+    """1/f² extrapolation in EXACT integer arithmetic: routing the
+    long-exact sum through float division would lose low bits past
+    2^53 (the precise failure mode the decimal sums eliminate).
+    Fraction(f) is the exact rational value of the binary float, so
+    the scaling is exact for any f."""
+    if sample_fraction is None or sample_fraction >= 1.0:
+        return est
+    from fractions import Fraction
+
+    fr = Fraction(sample_fraction)
+    return est * fr.denominator ** 2 // fr.numerator ** 2
 
 
 def ngram_jaccard_auto_n(
@@ -650,16 +678,30 @@ def containment_candidate_estimate(
         )
         row = (
             prefix.join(df_tbl, on=[*block_cols, "g"])
-            .agg(F.coalesce(F.sum(F.col("df") - 1), F.lit(0)).alias("est"))
+            # decimal(38,0): a long sum would silently wrap past 2^63
+            # in the saturated regime the estimate exists to flag (see
+            # the sibling note in ngram_jaccard_candidate_estimate);
+            # each term ≤ 9.2e18 fits (19,0), the sum widens to (38,0)
+            .agg(
+                F.sum(
+                    (F.col("df") - 1).cast("decimal(19,0)")
+                ).alias("est"),
+                F.count(F.lit(1)).alias("n_entries"),
+            )
             .collect()[0]  # bounded collect: one scalar
         )
     finally:
         if own_grams:
             grams_tbl.unpersist()
-    est = int(row["est"])
-    if sample_fraction is not None and sample_fraction < 1.0:
-        est = int(est / (sample_fraction * sample_fraction))
-    return est
+    if row["n_entries"] == 0:
+        return 0
+    if row["est"] is None:
+        raise OverflowError(
+            "containment candidate estimate exceeds 10^38 — the gram "
+            f"space at n={n} is catastrophically saturated; no budget "
+            "can pay this join, raise n"
+        )
+    return _extrapolate_sampled(int(row["est"]), sample_fraction)
 
 
 def containment_auto_n(

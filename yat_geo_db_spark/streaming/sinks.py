@@ -344,6 +344,13 @@ COMPACT_LEASE_MS = 3_600_000
 
 _LEASE_NAME = "_compact_lease"
 
+#: a ZERO-BYTE lease file older than this is debris (created but the
+#: token write failed and the reclaim delete also failed) — a live
+#: holder writes its token immediately after the create, so an empty
+#: file this old has no holder and may be broken without waiting the
+#: full lease window
+_EMPTY_LEASE_GRACE_MS = 60_000
+
 
 def _acquire_compact_lease(spark, root: str, lease_ms: int) -> str:
     """Take the per-root compaction lease: atomically create
@@ -368,6 +375,22 @@ def _acquire_compact_lease(spark, root: str, lease_ms: int) -> str:
         if fsio.create_exclusive(spark, path, token):
             return token
         mt = fsio.modification_time_ms(spark, path)
+        if (
+            mt is not None
+            and int(time.time() * 1000) - mt >= _EMPTY_LEASE_GRACE_MS
+            and fsio.read_bytes(spark, path) == b""
+        ):
+            # ZERO-BYTE lease older than the short grace: debris from a
+            # create that won the namespace entry but never wrote its
+            # token (a transient failure between create and write — a
+            # live holder writes the token immediately after creating).
+            # Without this, the phantom wedges compaction for a full
+            # lease window. Breaking a just-created healthy lease is
+            # excluded by the grace; a holder that stalled >grace
+            # between create and write fails its pre-commit verify and
+            # aborts loudly — the standard safety net.
+            fsio.delete(spark, path, recursive=False)
+            continue
         if mt is not None and int(time.time() * 1000) - mt < lease_ms:
             raise RuntimeError(
                 f"compaction of {root} refused: a concurrent compaction "
@@ -391,9 +414,15 @@ def _verify_compact_lease(spark, root: str, token: str) -> bool:
 def _release_compact_lease(spark, root: str, token: str) -> None:
     """Drop the lease iff it still carries our token — a broken-and-
     stolen lease belongs to the thief and must not be deleted under
-    them."""
-    if _verify_compact_lease(spark, root, token):
-        fsio.delete(spark, f"{root}/{_LEASE_NAME}", recursive=False)
+    them. Best-effort: a transient FS error here must not replace the
+    run's real outcome (a committed compaction reporting failure, or a
+    meaningful abort's diagnostic being swallowed) — an unreleased
+    lease self-heals when it ages past the lease window."""
+    try:
+        if _verify_compact_lease(spark, root, token):
+            fsio.delete(spark, f"{root}/{_LEASE_NAME}", recursive=False)
+    except Exception:
+        pass
 
 
 def _sweep_orphan_generations(
@@ -606,13 +635,17 @@ def _compact_generational(spark, root: str, fold,
       that completed entirely inside the fold window (new unique file
       names) cannot slip through.
     - Mutual exclusion of compactors: the run holds
-      ``<root>/_compact_lease`` (atomic create-if-absent, unique
-      token) for its whole duration; a second compactor refuses to
-      start while the lease is younger than `lease_ms` (default 1 h),
-      and may break only an older (presumed-crashed) one. The token is
-      re-verified immediately before the marker commit AND before the
-      fold-dir deletes, so a holder that stalled past its lease and
-      was displaced aborts loudly instead of committing over the
+      ``<root>/_compact_lease`` (create-if-absent, unique token —
+      atomic on HDFS; on local-FS/S3A the existence check is
+      client-side and a lost create race degrades to the verify-abort
+      below, see fsio.create_exclusive) for its whole duration; a
+      second compactor refuses to start while the lease is younger
+      than `lease_ms` (default 1 h), and may break only an older
+      (presumed-crashed) one — or a zero-byte debris lease past a
+      short grace. The token is re-verified immediately before the
+      marker commit AND before the fold-dir deletes, so a holder that
+      stalled past its lease and was displaced (or lost a client-side
+      create race) aborts loudly instead of committing over the
       displacer.
     - Pre-commit validation also re-reads the marker and aborts if
       (through, gen, gendir) moved — a compactor that committed first
