@@ -458,12 +458,17 @@ def ngram_jaccard_auto_n(
 ) -> tuple[int, int]:
     """Smallest gram size whose symmetric candidate estimate fits
     ``per_doc_budget × N`` → (n, estimate) — containment_auto_n's
-    twin for the Jaccard self-join. Note the semantic trade-off the
-    containment variant does not have: raising `n` changes WHICH pairs
-    count as near-dups (longer grams are stricter), so auto-n here is
-    the scale valve for corpus-level dedup (where "J ≥ t at a gram
-    size that still individuates" is the intent), not for workloads
-    pinned to a specific gram length. ``sample_fraction`` runs every
+    twin for the Jaccard self-join. Semantic note: raising `n` changes
+    WHICH pairs count as near-dups (longer grams are stricter), so
+    auto-n is the scale valve for corpus-level dedup (where "≥ t at a
+    gram size that still individuates" is the intent), not for
+    workloads pinned to a specific gram length. The containment
+    variant is only PARTIALLY exempt: a verbatim substring has C=1 at
+    every n (all of A's grams appear in B), so exact containments are
+    n-invariant, but sub-1.0 thresholds admit near-containments that
+    do shift (measured on the sf0.1 registry corpus at t=0.8: 1218
+    pairs at n=7 vs 1197 at auto's n=11 — all planted verbatim
+    snippets found by both; BENCHLOG round 10). ``sample_fraction`` runs every
     probe on a seeded doc sample with exact 1/f² pair-term
     extrapolation (see ngram_jaccard_candidate_estimate); the budget
     comparison always uses the FULL corpus doc count."""
