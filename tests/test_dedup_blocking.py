@@ -1033,3 +1033,18 @@ def test_auto_n_sampled_matches_full_direction(spark):
         seed=7,
     )
     assert nj_samp > 3
+
+
+def test_candidate_estimates_empty_and_short_corpus(spark):
+    """The n_groups==0 branch (decimal-sum rewrite): a corpus whose
+    texts are all shorter than the gram size yields zero prefix
+    entries — both estimators must return 0, not raise and not
+    misread the NULL decimal sum as overflow."""
+    from yat_geo_db_spark.pipelines import dedup
+
+    docs = spark.createDataFrame(
+        [(1, "ab", "en"), (2, "x", "en")],
+        "doc_id long, text string, lang string",
+    )
+    assert dedup.containment_candidate_estimate(docs, 0.8, n=3) == 0
+    assert dedup.ngram_jaccard_candidate_estimate(docs, 0.5, n=3) == 0
