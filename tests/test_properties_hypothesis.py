@@ -201,3 +201,73 @@ def test_bpe_apply_merge_fold_matches_python(spark, words, merge):
     }
     for i, w in enumerate(words):
         assert got[i] == bpe_apply_py(w, [(left, right, 0)]), (w, merge)
+
+
+# ---------------------------------------------------------------------------
+# Candidate-estimate law: the distributed cost model == the Python twin
+# ---------------------------------------------------------------------------
+
+_est_doc = st.text(alphabet="abcx", min_size=0, max_size=14)
+
+
+def _py_prefix_entries(rows, t, n):
+    """Pure-Python twin of jaccard_prefix_table over (id, text, block)
+    rows: rarest-first (global df, gram) order, FP-epsilon ceil —
+    returns [(block, gram)] with one entry per kept (doc, gram)."""
+    import math
+
+    def grams(txt):
+        return sorted({txt[i:i + n] for i in range(len(txt) - n + 1)})
+
+    df_global = {}
+    for _, txt, _b in rows:
+        for g in grams(txt):
+            df_global[g] = df_global.get(g, 0) + 1
+    entries = []
+    for _, txt, b in rows:
+        gs = sorted(grams(txt), key=lambda g: (df_global[g], g))
+        sz = len(gs)
+        if sz == 0:
+            continue
+        plen = sz - math.ceil(t * sz - 1e-6) + 1
+        entries.extend((b, g) for g in gs[:plen])
+    return entries
+
+
+@given(
+    st.lists(_est_doc, min_size=1, max_size=7),
+    st.sampled_from([0.5, 0.7, 0.8]),
+    st.sampled_from([2, 3]),
+)
+@settings(max_examples=12, deadline=None)
+def test_candidate_estimates_match_python_twin(spark, texts, t, n):
+    """Randomized over small-alphabet corpora (shared grams, empty and
+    sub-n texts included): both distributed cost models must equal the
+    independent pure-Python computation of their definitions —
+    Σ C(prefix_count, 2) over (block, gram) for the symmetric join,
+    Σ (df_block − 1) over prefix entries for the directed one."""
+    from collections import Counter
+
+    from yat_geo_db_spark.pipelines import dedup
+
+    rows = [(i, txt, "en" if i % 2 else "de")
+            for i, txt in enumerate(texts)]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string")
+
+    entries = _py_prefix_entries(rows, t, n)
+    pc = Counter(entries)
+    want_j = sum(c * (c - 1) // 2 for c in pc.values())
+
+    df_block = Counter()
+    for _, txt, b in rows:
+        for g in {txt[i:i + n] for i in range(len(txt) - n + 1)}:
+            df_block[(b, g)] += 1
+    want_c = sum(df_block[e] - 1 for e in entries)
+
+    got_j = dedup.ngram_jaccard_candidate_estimate(
+        docs, threshold=t, n=n, block_cols=("lang",))
+    got_c = dedup.containment_candidate_estimate(
+        docs, threshold=t, n=n, block_cols=("lang",))
+    assert got_j == want_j, (texts, t, n)
+    assert got_c == want_c, (texts, t, n)
