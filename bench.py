@@ -317,6 +317,16 @@ def main() -> None:
 
     total = sum(timings.values())
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    # raw fresh-JVM re-measurements (post-throwaway-warmup min-of-N) go
+    # to STDERR: "queries" already carries min(shared, isolated) for
+    # those lines; this record only exists so cross-round diffs can
+    # attribute a move to plan change vs shared-session heap pollution.
+    # It must NOT ride on the stdout result line — the driver captures
+    # a bounded TAIL of stdout and parses the last line as JSON, and
+    # round 10's line (isolated_floor inline, default separators) grew
+    # past the capture window, truncating the FRONT of the one line
+    # that matters (BENCH_r10.json "parsed": null).
+    print(f"# isolated_floor: {json.dumps(isolated)}", file=sys.stderr)
     print(
         json.dumps(
             {
@@ -324,15 +334,11 @@ def main() -> None:
                 "value": round(total, 3),
                 "unit": "sec",
                 "queries": timings,
-                # raw fresh-JVM re-measurements (post-throwaway-warmup
-                # min-of-N). "queries" already carries
-                # min(shared, isolated) for these lines; this key
-                # exists so cross-round diffs can attribute a move to
-                # plan change vs shared-session heap pollution.
-                "isolated_floor": isolated,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
+            },
+            separators=(",", ":"),
+        ),
+        flush=True,
     )
 
 

@@ -1006,6 +1006,41 @@ def test_candidate_estimate_sampled_extrapolation(spark):
         )
 
 
+def test_sampled_probe_that_saw_nothing_raises_not_zero(spark):
+    """ADVICE r10 (dedup.py:383): a sampled probe whose Bernoulli
+    sample produced NO grams must raise instead of returning an
+    extrapolated 0 — auto-n would read that 0 as 'payable' and
+    green-light a possibly saturated gram size off a probe that saw
+    nothing. A genuinely unshingleable corpus (empty, or every text
+    shorter than n) still returns a true 0 under sampling, and the
+    exact (unsampled) probe's 0 stays a plain 0."""
+    from yat_geo_db_spark.pipelines import dedup
+
+    docs = spark.createDataFrame(
+        [(i, "alpha bravo carol delta echos fotox golfy hotel", "en")
+         for i in range(6)],
+        "doc_id long, text string, lang string",
+    )
+    for fn in (dedup.containment_candidate_estimate,
+               dedup.ngram_jaccard_candidate_estimate):
+        # fraction so small the seeded sample is empty -> blind probe
+        with pytest.raises(ValueError, match="saw no grams"):
+            fn(docs, threshold=0.8, n=3, sample_fraction=1e-9, seed=7)
+        # all texts shorter than n: 0 is TRUE at any fraction
+        short = docs.select(
+            "doc_id", F.substring("text", 1, 4).alias("text"), "lang"
+        )
+        assert fn(short, threshold=0.8, n=7, sample_fraction=0.5) == 0
+        assert fn(short, threshold=0.8, n=7) == 0
+        empty = docs.filter(F.lit(False))
+        assert fn(empty, threshold=0.8, n=3, sample_fraction=0.5) == 0
+    # auto-n surfaces the blind-probe error instead of green-lighting
+    with pytest.raises(ValueError, match="saw no grams"):
+        dedup.containment_auto_n(
+            docs, threshold=0.8, sample_fraction=1e-9, seed=7
+        )
+
+
 def test_auto_n_sampled_matches_full_direction(spark):
     """auto-n driven by sampled probes still lands past the saturated
     gram sizes on a dense corpus (budget compares against the FULL doc

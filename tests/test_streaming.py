@@ -1833,6 +1833,109 @@ def test_orphan_sweep_s3a_degenerate_mtime_forces_abort_not_loss(
     assert got == want
 
 
+def test_vanished_lease_mid_acquire_retries_create(spark, tmp_path,
+                                                   monkeypatch):
+    """ADVICE r10 (sinks.py:388): a lease that VANISHES between the
+    failed create's mtime read and the content read (holder released /
+    debris swept by a concurrent breaker) must lead to a create RETRY,
+    not a spurious age-based 'holds the lease' refusal computed from
+    the stale mtime."""
+    import os
+    import time
+
+    from yat_geo_db_spark import fsio
+    from yat_geo_db_spark.streaming import sinks
+
+    root = str(tmp_path / "rollup")
+    os.makedirs(root)
+    lease = f"{root}/{sinks._LEASE_NAME}"
+    open(lease, "w").close()
+    aged = time.time() - 120  # past the empty-lease grace
+    os.utime(lease, (aged, aged))
+
+    real_read = fsio.read_bytes
+
+    def vanishing_read(spark_, path_):
+        if path_ == lease and os.path.exists(lease):
+            os.remove(lease)  # simulate: swept between mtime and read
+            return None
+        return real_read(spark_, path_)
+
+    monkeypatch.setattr(fsio, "read_bytes", vanishing_read)
+    token = sinks._acquire_compact_lease(spark, root, 3_600_000)
+    monkeypatch.setattr(fsio, "read_bytes", real_read)
+    assert fsio.read_bytes(spark, lease) == token.encode()
+    sinks._release_compact_lease(spark, root, token)
+
+
+def test_debris_break_recheck_spares_new_healthy_lease(spark, tmp_path,
+                                                       monkeypatch):
+    """ADVICE r10 (sinks.py:392): between the first emptiness read and
+    the debris delete, another breaker may sweep the debris and a NEW
+    holder create a healthy lease — the immediate pre-delete re-check
+    (mtime unchanged AND still empty) must then SPARE the new holder's
+    lease: this waiter refuses loudly instead of deleting it."""
+    import os
+    import time
+
+    from yat_geo_db_spark import fsio
+    from yat_geo_db_spark.streaming import sinks
+
+    root = str(tmp_path / "rollup")
+    os.makedirs(root)
+    lease = f"{root}/{sinks._LEASE_NAME}"
+    open(lease, "w").close()
+    aged = time.time() - 120
+    os.utime(lease, (aged, aged))
+
+    real_read = fsio.read_bytes
+    state = {"first": True}
+
+    def racing_read(spark_, path_):
+        if path_ == lease and state["first"]:
+            state["first"] = False
+            # report the debris empty, then lose the race: a new
+            # holder replaces the file with a fresh healthy lease
+            os.remove(lease)
+            with open(lease, "w") as fh:
+                fh.write("new-holder-token")
+            return b""
+        return real_read(spark_, path_)
+
+    monkeypatch.setattr(fsio, "read_bytes", racing_read)
+    with pytest.raises(RuntimeError, match="holds the lease"):
+        sinks._acquire_compact_lease(spark, root, 3_600_000)
+    monkeypatch.setattr(fsio, "read_bytes", real_read)
+    assert fsio.read_bytes(spark, lease) == b"new-holder-token"
+
+
+def test_release_lease_failure_warns_not_silent(spark, tmp_path,
+                                                monkeypatch):
+    """ADVICE r10 (sinks.py:425): a swallowed lease-release failure
+    must leave a diagnosable trace — the release stays best-effort
+    (no exception escapes; the lease self-heals past the window), but
+    a RuntimeWarning names the root and the swallowed error."""
+    import os
+
+    from yat_geo_db_spark import fsio
+    from yat_geo_db_spark.streaming import sinks
+
+    root = str(tmp_path / "rollup")
+    os.makedirs(root)
+    token = "tok-123"
+    with open(f"{root}/{sinks._LEASE_NAME}", "w") as fh:
+        fh.write(token)
+
+    def broken_delete(*a, **kw):
+        raise OSError("simulated transient FS failure")
+
+    monkeypatch.setattr(fsio, "delete", broken_delete)
+    with pytest.warns(RuntimeWarning, match="lease release"):
+        sinks._release_compact_lease(spark, root, token)
+    # monkeypatch restores fsio.delete on teardown; the lease file is
+    # intentionally left behind (that IS the failure mode under test)
+
+
 def test_zero_byte_lease_debris_broken_past_short_grace(spark, tmp_path):
     """A create that wins the namespace entry but never writes its
     token (transient failure; reclaim delete also failed) leaves a

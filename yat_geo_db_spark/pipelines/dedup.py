@@ -380,6 +380,7 @@ def ngram_jaccard_candidate_estimate(
     are preserved in expectation by the uniform sample). Use it to
     price a corpus too large to shingle in full: the probe cost drops
     to one pass over N·f docs."""
+    full_docs = documents
     if sample_fraction is not None:
         if not 0.0 < sample_fraction <= 1.0:
             raise ValueError(
@@ -420,6 +421,7 @@ def ngram_jaccard_candidate_estimate(
     finally:
         grams_tbl.unpersist()
     if row["n_groups"] == 0:
+        _raise_if_probe_blind(full_docs, sample_fraction, n, text_col)
         return 0
     if row["est2"] is None:
         raise OverflowError(
@@ -429,6 +431,33 @@ def ngram_jaccard_candidate_estimate(
         )
     est = int(row["est2"]) // 2
     return _extrapolate_sampled(est, sample_fraction)
+
+
+def _raise_if_probe_blind(
+    full_docs: DataFrame, sample_fraction: float | None, n: int,
+    text_col: str,
+) -> None:
+    """ADVICE r10: a SAMPLED probe whose Bernoulli sample produced no
+    grams must not return 0 — auto-n would read the extrapolated 0 as
+    'payable' and green-light a possibly saturated gram size off a
+    probe that saw NOTHING. Raise iff the full corpus demonstrably has
+    shingleable text (∃ doc with length ≥ n ⟺ the full grams table is
+    non-empty — char_ngrams yields ≥ 1 gram exactly then), so a
+    genuinely empty / all-sub-n corpus still reports a true 0. The
+    check is a filter + limit(1) early-exit scan — no shingle HOF, and
+    it only runs on the rare empty-probe path."""
+    if sample_fraction is None:
+        return  # an exact probe's 0 is a true 0
+    if (
+        full_docs.filter(F.length(F.col(text_col)) >= n).limit(1).count()
+        > 0
+    ):
+        raise ValueError(
+            f"sampled cost-model probe (sample_fraction={sample_fraction}) "
+            f"saw no grams at n={n} while the full corpus has shingleable "
+            "documents — the sample is too small to price this join; "
+            "raise sample_fraction instead of trusting an extrapolated 0"
+        )
 
 
 def _extrapolate_sampled(est: int, sample_fraction: float | None) -> int:
@@ -658,6 +687,7 @@ def containment_candidate_estimate(
             raise ValueError(
                 f"sample_fraction must be in (0, 1], got {sample_fraction}"
             )
+        full_docs = documents
         documents = documents.sample(
             withReplacement=False, fraction=sample_fraction, seed=seed
         )
@@ -699,6 +729,8 @@ def containment_candidate_estimate(
         if own_grams:
             grams_tbl.unpersist()
     if row["n_entries"] == 0:
+        if sample_fraction is not None:
+            _raise_if_probe_blind(full_docs, sample_fraction, n, text_col)
         return 0
     if row["est"] is None:
         raise OverflowError(

@@ -375,22 +375,39 @@ def _acquire_compact_lease(spark, root: str, lease_ms: int) -> str:
         if fsio.create_exclusive(spark, path, token):
             return token
         mt = fsio.modification_time_ms(spark, path)
-        if (
-            mt is not None
-            and int(time.time() * 1000) - mt >= _EMPTY_LEASE_GRACE_MS
-            and fsio.read_bytes(spark, path) == b""
+        if mt is not None and (
+            int(time.time() * 1000) - mt >= _EMPTY_LEASE_GRACE_MS
         ):
-            # ZERO-BYTE lease older than the short grace: debris from a
-            # create that won the namespace entry but never wrote its
-            # token (a transient failure between create and write — a
-            # live holder writes the token immediately after creating).
-            # Without this, the phantom wedges compaction for a full
-            # lease window. Breaking a just-created healthy lease is
-            # excluded by the grace; a holder that stalled >grace
-            # between create and write fails its pre-commit verify and
-            # aborts loudly — the standard safety net.
-            fsio.delete(spark, path, recursive=False)
-            continue
+            content = fsio.read_bytes(spark, path)
+            if content is None:
+                # the lease vanished between the mtime read and the
+                # content read (its holder released, or a concurrent
+                # breaker removed debris) — the stale `mt` says nothing
+                # about any CURRENT lease, so retry the create instead
+                # of falling through to a spurious age-based refusal
+                continue
+            if content == b"":
+                # ZERO-BYTE lease older than the short grace: debris
+                # from a create that won the namespace entry but never
+                # wrote its token (a transient failure between create
+                # and write — a live holder writes the token
+                # immediately after creating). Without this, the
+                # phantom wedges compaction for a full lease window.
+                # Re-check IMMEDIATELY before the delete: between the
+                # first emptiness read and here, another breaker may
+                # have deleted the debris and a NEW holder created a
+                # healthy lease — deleting that would strand the new
+                # holder into its pre-commit verify-abort. The re-check
+                # narrows that window to one RPC gap; the RESIDUAL
+                # (delete landing on a lease created inside the gap) is
+                # not excluded, and degrades to the standard loud
+                # abort: the displaced holder fails its token verify
+                # before commit and before any delete — wasteful
+                # (a paid fold discarded), never wrong.
+                mt2 = fsio.modification_time_ms(spark, path)
+                if mt2 == mt and fsio.read_bytes(spark, path) == b"":
+                    fsio.delete(spark, path, recursive=False)
+                continue
         if mt is not None and int(time.time() * 1000) - mt < lease_ms:
             raise RuntimeError(
                 f"compaction of {root} refused: a concurrent compaction "
@@ -417,12 +434,25 @@ def _release_compact_lease(spark, root: str, token: str) -> None:
     them. Best-effort: a transient FS error here must not replace the
     run's real outcome (a committed compaction reporting failure, or a
     meaningful abort's diagnostic being swallowed) — an unreleased
-    lease self-heals when it ages past the lease window."""
+    lease self-heals when it ages past the lease window. The swallowed
+    exception is WARNED, not silent (ADVICE r10): an unreleased lease
+    wedges every compaction of this root for a full lease window, and
+    with no trace the wedge is undiagnosable (and a programming error
+    in the fsio path would hide behind the same blanket except)."""
     try:
         if _verify_compact_lease(spark, root, token):
             fsio.delete(spark, f"{root}/{_LEASE_NAME}", recursive=False)
-    except Exception:
-        pass
+    except Exception as exc:
+        import warnings
+
+        warnings.warn(
+            f"best-effort compaction-lease release at {root} failed "
+            f"({type(exc).__name__}: {exc}); the lease self-heals after "
+            "the lease window, but compactions of this root are wedged "
+            "until then",
+            RuntimeWarning,
+            stacklevel=2,
+        )
 
 
 def _sweep_orphan_generations(
