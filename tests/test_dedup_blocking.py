@@ -969,6 +969,96 @@ def test_ngram_jaccard_auto_n_and_none_wiring(spark):
     assert auto == fixed
 
 
+def _array_carrying_exchanges(df) -> list[tuple[str, str, str]]:
+    """(node, attr, type) for every Exchange output attribute of array
+    type in the physical plan — the exploded verify must produce NONE
+    (its whole point is a fixed-width narrow shuffle)."""
+    out: list[tuple[str, str, str]] = []
+
+    def walk(node):
+        name = node.nodeName()
+        if name == "AdaptiveSparkPlan":
+            walk(node.initialPlan())
+            return
+        if "Exchange" in name:
+            attrs = node.output()
+            for i in range(attrs.size()):
+                a = attrs.apply(i)
+                dt = a.dataType().simpleString()
+                if dt.startswith("array"):
+                    out.append((name, a.name(), dt))
+        ch = node.children()
+        for i in range(ch.size()):
+            walk(ch.apply(i))
+
+    walk(df._jdf.queryExecution().executedPlan())
+    return out
+
+
+def test_exploded_verify_matches_broadcast_and_ships_no_arrays(spark):
+    """VERDICT r10 task 1: past the broadcast ceiling the gram verify
+    must ship narrow (pair, gram-hash) rows, never the full gram
+    arrays (the measured 21×-on-10×-candidates cliff / >80 GB spill
+    regime). Three pins: (a) both routes emit IDENTICAL pairs and
+    scores for Jaccard and containment; (b) the exploded plan has NO
+    Exchange whose output carries an array column; (c) verify='auto'
+    flips to the exploded route when the session broadcast threshold
+    says the grams table does not fit."""
+    from yat_geo_db_spark.pipelines import dedup
+
+    random.seed(31)
+    pool = [f"w{i:02d}" for i in range(40)]
+    rows = []
+    for i in range(80):
+        words = [pool[random.randrange(40)] for _ in range(24)]
+        rows.append((i, " ".join(words), "en"))
+        if i % 4 == 0:  # planted near-dup: one word changed
+            dup = list(words)
+            dup[3] = pool[(i + 1) % 40]
+            rows.append((i + 10_000, " ".join(dup), "en"))
+        if i % 5 == 0:  # planted containment: half-length snippet
+            rows.append((i + 20_000, " ".join(words[:12]), "en"))
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string"
+    )
+
+    jb = dedup.ngram_jaccard_pairs(docs, 0.5, n=7, verify="broadcast")
+    je = dedup.ngram_jaccard_pairs(docs, 0.5, n=7, verify="exploded")
+    got_b = sorted(map(tuple, jb.collect()))
+    got_e = sorted(map(tuple, je.collect()))
+    assert got_b and got_b == got_e
+    assert _array_carrying_exchanges(je) == []
+
+    cb = dedup.containment_pairs(docs, 0.8, n=7, verify="broadcast")
+    ce = dedup.containment_pairs(docs, 0.8, n=7, verify="exploded")
+    cgot_b = sorted(map(tuple, cb.collect()))
+    cgot_e = sorted(map(tuple, ce.collect()))
+    assert cgot_b and cgot_b == cgot_e
+    assert _array_carrying_exchanges(ce) == []
+    # the broadcast route, by contrast, does carry arrays — through
+    # BroadcastExchange only (each executor holds ONE copy; no
+    # per-pair shuffle of arrays there either)
+    assert all(
+        node.startswith("BroadcastExchange")
+        for node, _, _ in _array_carrying_exchanges(cb)
+    )
+
+    # auto-routing: with the ceiling floored to 1 byte the grams table
+    # cannot broadcast and 'auto' must produce the narrow plan
+    thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "1")
+        ja = dedup.ngram_jaccard_pairs(docs, 0.5, n=7, verify="auto")
+        assert _array_carrying_exchanges(ja) == []
+        assert sorted(map(tuple, ja.collect())) == got_b
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
+    spark.catalog.clearCache()
+
+    with pytest.raises(ValueError, match="verify must be"):
+        dedup.containment_pairs(docs, 0.8, n=7, verify="nope")
+
+
 def test_candidate_estimate_sampled_extrapolation(spark):
     """sample_fraction=f probes a seeded doc sample and extrapolates by
     1/f²: identity at f=1.0, same order of magnitude as the exact

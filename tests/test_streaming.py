@@ -663,19 +663,17 @@ def test_compact_rollup_crash_windows_no_double_count(
 
     want = snap()
 
-    # (a) crash at the commit: the marker write that carries the fold
-    # list blows up AFTER the new generation dir has been written
-    real_write = sinks._write_marker
+    # (a) crash at the commit: the exclusive marker create blows up
+    # AFTER the new generation dir has been written
+    real_commit = sinks._commit_marker_exclusive
 
-    def crash_on_commit(spark_, root_, through, gen, pending, gendir=None):
-        if pending:
-            raise RuntimeError("injected crash before marker commit")
-        real_write(spark_, root_, through, gen, pending, gendir)
+    def crash_on_commit(*a, **kwargs):
+        raise RuntimeError("injected crash before marker commit")
 
-    monkeypatch.setattr(sinks, "_write_marker", crash_on_commit)
+    monkeypatch.setattr(sinks, "_commit_marker_exclusive", crash_on_commit)
     with pytest.raises(RuntimeError, match="injected crash"):
         compact_rollup(spark, root, **kw)
-    monkeypatch.setattr(sinks, "_write_marker", real_write)
+    monkeypatch.setattr(sinks, "_commit_marker_exclusive", real_commit)
     # orphan generation exists but is uncommitted: readers still fold
     # the live batch dirs — same value, no double count
     _assert_single_gen(root, 1)
@@ -775,11 +773,20 @@ def test_rollup_marker_legacy_and_corrupt(spark, tmp_path):
     assert snap() == want2
 
     # corrupt marker CONTENT: loud failure, not silent -1 (written via
-    # fsio so the checksum is valid and the parse is what's exercised)
+    # fsio so the checksum is valid and the parse is what's exercised).
+    # The live pointer is now the VERSIONED gen-1 marker — corrupt
+    # that; and a resurrected STALE legacy file must stay invisible
+    # while any versioned marker exists (versioned discovery wins).
     from yat_geo_db_spark import fsio
+    from yat_geo_db_spark.streaming.sinks import _marker_name
 
+    committed = _read_marker(spark, root)
     fsio.write_text_atomic(
-        spark, f"{root}/_compacted_through", "through=oops\ngen=1\npending="
+        spark, f"{root}/_compacted_through", "0"
+    )
+    assert _read_marker(spark, root) == committed  # legacy ignored
+    fsio.write_text_atomic(
+        spark, f"{root}/{_marker_name(1)}", "through=oops\ngen=1\npending="
     )
     with pytest.raises(ValueError, match="corrupt compaction marker"):
         _read_marker(spark, root)
@@ -1726,14 +1733,19 @@ def test_lease_stolen_mid_run_aborts_before_commit(spark, tmp_path,
     assert fsio.read_bytes(spark, f"{root}/{_LEASE_NAME}") == b"thief"
 
 
-def test_displaced_after_commit_skips_deletes_no_loss(spark, tmp_path,
-                                                      monkeypatch):
-    """ADVICE r9 mitigation: if a displacing compactor's marker lands
-    right after ours, deleting our fold dirs could orphan rows the
-    surviving marker does not cover — the post-commit marker re-read
-    must SKIP the deletes and raise. Every batch dir stays on disk,
-    counts stay exact, and the next (clean) compaction resumes the
-    pending deletes."""
+def test_displacer_commit_in_validate_commit_gap_loses_cleanly(
+    spark, tmp_path, monkeypatch
+):
+    """VERDICT r10 task 5 — the residual the versioned-marker commit
+    closes: a compactor that stalls between its validation and its
+    commit while a DISPLACER runs an entire compaction in the gap.
+    Both runs passed validation; under the old last-writer-wins
+    marker write both could believe they committed. Now the stalled
+    run's create-if-absent of the gen-1 marker is REFUSED, it aborts
+    before any delete, reclaims its own generation dir (no orphan to
+    adjudicate), and reads reflect exactly the displacer's commit."""
+    import os
+
     from yat_geo_db_spark.streaming import sinks
     from yat_geo_db_spark.streaming.sinks import (
         compact_rollup, read_rollup, rollup_maintenance_sink,
@@ -1746,36 +1758,105 @@ def test_displaced_after_commit_skips_deletes_no_loss(spark, tmp_path,
     sink(spark.createDataFrame([("b", 2.0)], "k string, v double"), 1)
     want = sorted(map(tuple, read_rollup(spark, root, **kw).collect()))
 
-    real_read = sinks._read_marker
-    state = {"n": 0}
+    real_commit = sinks._commit_marker_exclusive
+    state = {"stalled_once": False}
 
-    def displaced_read(spark_, root_):
-        state["n"] += 1
-        got = real_read(spark_, root_)
-        if state["n"] == 3:  # the post-commit re-read: fake a
-            # displacer's marker naming a different generation dir
-            return got[0], got[1], got[2], "_compacted_g1-displacer"
-        return got
+    def stall_then_commit(spark_, root_, *args):
+        if not state["stalled_once"]:
+            state["stalled_once"] = True
+            # the stall: a full displacer compaction runs in the
+            # validate→commit gap (lease_ms=0 models the stalled
+            # holder's lease having aged out and been broken)
+            compact_rollup(spark_, root_, lease_ms=0, **kw)
+        return real_commit(spark_, root_, *args)
 
-    monkeypatch.setattr(sinks, "_read_marker", displaced_read)
-    with pytest.raises(RuntimeError, match="displaced after its commit"):
+    monkeypatch.setattr(sinks, "_commit_marker_exclusive", stall_then_commit)
+    with pytest.raises(
+        RuntimeError, match="committed generation 1 first"
+    ):
         compact_rollup(spark, root, **kw)
     monkeypatch.undo()
 
-    import os
-
-    # fold dirs RETAINED (the guard skipped the deletes) ...
-    assert sorted(
-        n for n in os.listdir(root) if n.startswith("batch_id=")
-    ) == ["batch_id=0", "batch_id=1"]
-    # ... and reads stay exact throughout (our real marker lists them
-    # as pending, so readers use the committed generation)
-    got = sorted(map(tuple, read_rollup(spark, root, **kw).collect()))
-    assert got == want
-    compact_rollup(spark, root, **kw)  # clean run resumes the deletes
+    # the displacer's commit is the ONLY one: exact counts, fold dirs
+    # deleted by the winner, and the loser's generation dir reclaimed
+    # by its own abort — nothing orphaned
     got = sorted(map(tuple, read_rollup(spark, root, **kw).collect()))
     assert got == want
     assert not any(n.startswith("batch_id=") for n in os.listdir(root))
+    _assert_single_gen(root, 1)
+
+
+def test_threaded_two_compactor_stress_exact_counts(spark, tmp_path):
+    """Two compactors hammering the same root from threads, every
+    mutual-exclusion courtesy disabled (lease_ms=0 lets each break the
+    other's lease): the versioned-marker commit must keep exactly one
+    committed lineage — every interleaving ends in a clean commit or a
+    loud abort, reader counts stay exact after every round, and no
+    unreferenced generation dir outlives the sweep."""
+    import os
+    import threading
+
+    from yat_geo_db_spark.streaming import sinks
+    from yat_geo_db_spark.streaming.sinks import (
+        compact_rollup, read_rollup, rollup_maintenance_sink,
+    )
+
+    kw = dict(key_cols=["k"], sum_cols=["v"], scale=2)
+    root = str(tmp_path / "rollup")
+    sink = rollup_maintenance_sink(root, **kw)
+
+    expected: dict[str, float] = {}
+
+    def feed(batch_id: int, rows: list[tuple[str, float]]) -> None:
+        sink(
+            spark.createDataFrame(rows, "k string, v double"), batch_id
+        )
+        for k, v in rows:
+            expected[k] = expected.get(k, 0.0) + v
+
+    def snap():
+        return {
+            r["k"]: float(r["sum_v"])
+            for r in read_rollup(spark, root, **kw).collect()
+        }
+
+    outcomes: list[str] = []
+    lock = threading.Lock()
+
+    def compactor():
+        try:
+            compact_rollup(spark, root, lease_ms=0, **kw)
+            res = "committed"
+        except Exception:
+            # loud loss of a race — never silent (RuntimeError aborts,
+            # or a fold job failing on a mid-read deleted snapshot)
+            res = "aborted"
+        with lock:
+            outcomes.append(res)
+
+    bid = 0
+    for rnd in range(3):
+        feed(bid, [("a", 1.0), ("b", float(rnd + 1))])
+        feed(bid + 1, [("a", 0.5), ("c", 2.0)])
+        bid += 2
+        ts = [threading.Thread(target=compactor) for _ in range(2)]
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join()
+        assert snap() == expected  # exact after every round
+
+    # at least one thread committed over the stress run, every other
+    # outcome was a loud abort, and a zero-grace sweep leaves exactly
+    # the one committed generation — no orphan survives
+    assert "committed" in outcomes
+    assert len(outcomes) == 6
+    sinks._sweep_orphan_generations(spark, root, grace_ms=0)
+    gens = [
+        n for n in os.listdir(root) if n.startswith("_compacted_g")
+    ]
+    assert len(gens) == 1, gens
+    assert snap() == expected
 
 
 def test_orphan_sweep_s3a_degenerate_mtime_forces_abort_not_loss(

@@ -106,6 +106,24 @@ def list_dir_names(spark, root: str) -> list[str]:
     ]
 
 
+def list_file_names(spark, root: str) -> list[str]:
+    """Child FILE basenames under `root` ([] if root is absent) — the
+    sibling of list_dir_names for marker-file discovery (versioned
+    compaction markers are found by listing, not by a fixed name)."""
+    _, _, fs, p = _jfs(spark, root)
+    try:
+        statuses = fs.listStatus(p)
+    except Exception as e:
+        if _is_file_not_found(e):
+            return []
+        raise
+    return [
+        st.getPath().getName()
+        for st in statuses
+        if st.isFile()
+    ]
+
+
 def list_data_files(spark, dirpath: str) -> tuple[list[str], bool]:
     """ONE listStatus over `dirpath` → (sorted data-FILE basenames,
     ``_SUCCESS`` present). Hidden names (leading ``_`` or ``.`` —

@@ -118,6 +118,162 @@ def _finish_index_plan(result: DataFrame, *index_frames: DataFrame,
     return out
 
 
+def _parse_size_bytes(v: str) -> int:
+    """Spark size-conf string → bytes ('67108864', '64MB', '10m', '-1').
+    A bare number in spark.sql.autoBroadcastJoinThreshold is bytes."""
+    s = str(v).strip().lower()
+    for suf, mult in (
+        ("kb", 1 << 10), ("mb", 1 << 20), ("gb", 1 << 30), ("tb", 1 << 40),
+        ("k", 1 << 10), ("m", 1 << 20), ("g", 1 << 30), ("t", 1 << 40),
+        ("b", 1),
+    ):
+        if s.endswith(suf):
+            return int(float(s[: -len(suf)]) * mult)
+    return int(float(s))
+
+
+def _materialize_grams_stats(grams_tbl: DataFrame, n: int) -> int:
+    """Materialize a persisted grams table (the one eager job the index
+    builders already paid as a bare count(); see ngram_jaccard_pairs)
+    and return the estimated broadcast-side bytes of its (id, grams)
+    projection: per gram the n UTF8 bytes + per-element array overhead,
+    per doc the row/key overhead. The estimate prices the VERIFY
+    join-back's build side so the broadcast-vs-exploded route can be
+    decided deterministically instead of left to a runtime size guess
+    over a not-yet-materialized cache."""
+    row = grams_tbl.agg(
+        F.count(F.lit(1)).alias("docs"),
+        F.coalesce(F.sum(F.size("grams")), F.lit(0)).alias("grams"),
+    ).collect()[0]  # bounded collect: two scalars
+    return int(row["grams"]) * (n + 16) + int(row["docs"]) * 32
+
+
+def _verify_route(spark, verify: str, est_bytes: int) -> str:
+    """Resolve verify='auto' against the session's broadcast ceiling:
+    at or under spark.sql.autoBroadcastJoinThreshold the array
+    join-back broadcasts (cheapest by far); past it — or with
+    broadcasting disabled (-1) — the exploded narrow verify takes
+    over. 'broadcast'/'exploded' force the route (tests, callers who
+    know their corpus)."""
+    if verify in ("broadcast", "exploded"):
+        return verify
+    if verify != "auto":
+        raise ValueError(
+            f"verify must be 'auto', 'broadcast' or 'exploded', got "
+            f"{verify!r}"
+        )
+    try:
+        thr = _parse_size_bytes(
+            spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        )
+    except Exception:
+        thr = 10 << 20  # Spark's stock default
+    return "broadcast" if thr > 0 and est_bytes <= thr else "exploded"
+
+
+def _pair_verify(
+    cand: DataFrame,
+    grams_tbl: DataFrame,
+    route: str,
+    left_id: str,
+    right_id: str,
+    left_sz: str,
+    right_sz: str | None,
+    metric: str,
+    threshold: float,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact-verify the candidate pairs and emit
+    (left_id, right_id, metric) for pairs at or above `threshold`.
+    `cand` must carry the pre-computed distinct-gram set sizes
+    (`left_sz`, and `right_sz` for the symmetric Jaccard metric) —
+    they ride the narrow pair rows so neither route pays a join back
+    to the grams table just for a size.
+
+    Two plan shapes, one semantics:
+
+    - ``broadcast``: join both full gram arrays onto each pair with the
+      grams table as an EXPLICIT broadcast build side, then evaluate
+      jaccard_col / containment_col. Optimal while the grams table
+      fits the broadcast ceiling — each executor holds one copy and no
+      exchange ever carries an array.
+    - ``exploded``: past the ceiling the array join-back degrades to a
+      shuffle that attaches a multi-KB gram array to EVERY candidate
+      pair row (measured: 21× wall-clock on 10.0× candidates at n=11,
+      >80 GB spill ungated at n=7 — BENCHLOG round 10; VERDICT r10
+      task 1). Instead, ship NARROW rows: explode the grams table to
+      (doc, 64-bit gram hash), equi-join candidates with the left
+      side's hashes, inner-join on (right id, hash) so only SHARED
+      grams survive into the aggregation, and count them with a
+      map-side-combinable groupBy on the pair key. No exchange in this
+      plan carries an array column (plan-pinned:
+      tests/test_dedup_blocking.py); every row is three longs, so the
+      shuffle stays fixed-width, sort/spill-friendly, and linear in
+      candidates × gram count at ANY corpus size. |∩| via xxhash64 is
+      exact up to a 64-bit collision between two distinct grams of a
+      candidate pair (probability ≈ pairs·|g1|·|g2|/2^64 — negligible
+      against the corpus sizes that force this route; the broadcast
+      route stays bit-exact).
+
+    Candidates share ≥ 1 prefix gram by construction, so the inner
+    join never drops a real pair (|∩| ≥ 1 for every candidate)."""
+    if route == "broadcast":
+        paired = cand.join(
+            F.broadcast(grams_tbl.select(
+                F.col(id_col).alias(left_id), F.col("grams").alias("_gl")
+            )),
+            left_id,
+        ).join(
+            F.broadcast(grams_tbl.select(
+                F.col(id_col).alias(right_id), F.col("grams").alias("_gr")
+            )),
+            right_id,
+        )
+        expr = (
+            jaccard_col(F.col("_gl"), F.col("_gr"))
+            if metric == "jaccard"
+            else containment_col(F.col("_gl"), F.col("_gr"))
+        )
+        return (
+            paired.withColumn(metric, expr)
+            .filter(F.col(metric) >= threshold)
+            .select(left_id, right_id, metric)
+        )
+    e = grams_tbl.select(
+        F.col(id_col).alias("_eid"), F.explode("grams").alias("_g")
+    ).select("_eid", F.xxhash64("_g").alias("_gh"))
+    group_keys = [left_id, right_id, left_sz] + (
+        [right_sz] if right_sz else []
+    )
+    inter = (
+        cand
+        .join(e.withColumnRenamed("_eid", left_id), left_id)
+        .join(e.withColumnRenamed("_eid", right_id), [right_id, "_gh"])
+        .groupBy(*group_keys)
+        .agg(F.count(F.lit(1)).alias("_inter"))
+    )
+    i = F.col("_inter").cast("double")
+    if metric == "jaccard":
+        # identical arithmetic to jaccard_col: double casts per term,
+        # then one division, 6-dp round (grams are distinct, so
+        # |union| = sz1 + sz2 − |∩|)
+        denom = (
+            F.col(left_sz).cast("double")
+            + F.col(right_sz).cast("double")
+            - i
+        )
+    else:
+        denom = F.col(left_sz).cast("double")
+    expr = F.round(
+        F.when(denom > 0, i / denom).otherwise(F.lit(0.0)), 6
+    )
+    return (
+        inter.withColumn(metric, expr)
+        .filter(F.col(metric) >= threshold)
+        .select(left_id, right_id, metric)
+    )
+
+
 # --------------------------------------------------------------------------
 # exact dedup
 # --------------------------------------------------------------------------
@@ -246,6 +402,7 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     block_cols: tuple[str, ...] = ("lang",),
     materialize: bool = False,
+    verify: str = "auto",
 ) -> DataFrame:
     """Near-duplicate pairs by character-n-gram Jaccard — EXACT (all pairs
     with J ≥ threshold, nothing lossy), via the prefix-filter
@@ -278,6 +435,12 @@ def ngram_jaccard_pairs(
     n=3 default saturates on large corpora — candidate volume goes
     ~quadratic once every 3-gram is corpus-common (measured: BENCHLOG
     round 10) — and auto-n is the scale valve.
+
+    ``verify`` picks the exact-verify plan shape (see _pair_verify):
+    'auto' broadcasts the gram arrays while the grams table fits the
+    session broadcast ceiling and switches to the narrow exploded
+    (pair, gram-hash) verify past it — the route whose shuffle never
+    carries an array and stays linear at any corpus size.
     """
     if n is None:
         n, _ = ngram_jaccard_auto_n(
@@ -287,7 +450,12 @@ def ngram_jaccard_pairs(
     grams_tbl = distinct_grams_table(
         documents, n=n, text_col=text_col, block_cols=block_cols
     ).persist()
-    grams_tbl.count()  # materialize before prefix derives from it
+    # one eager job: materialize before prefix derives from it, AND
+    # price the verify build side for the broadcast/exploded routing
+    route = _verify_route(
+        documents.sparkSession, verify,
+        _materialize_grams_stats(grams_tbl, n),
+    )
     prefix = jaccard_prefix_table(
         documents, threshold, n=n, text_col=text_col, block_cols=block_cols,
         grams_tbl=grams_tbl,
@@ -333,18 +501,19 @@ def ngram_jaccard_pairs(
     )
     for c in block_cols:
         cond = cond & (F.col(f"b1_{c}") == F.col(f"b2_{c}"))
-    cand = a.join(b, cond).select("id1", "id2").dropDuplicates(["id1", "id2"])
-    paired = cand.join(
-        grams_tbl.select(F.col("doc_id").alias("id1"), F.col("grams").alias("g1")),
-        "id1",
-    ).join(
-        grams_tbl.select(F.col("doc_id").alias("id2"), F.col("grams").alias("g2")),
-        "id2",
+    cand = (
+        a.join(b, cond)
+        # sz1/sz2 ride the pair rows (functionally dependent on the
+        # ids, so dropDuplicates keeps consistent values) — the verify
+        # then never joins back just for a set size
+        .select("id1", "id2", "sz1", "sz2")
+        .dropDuplicates(["id1", "id2"])
     )
     return _finish_index_plan(
-        paired.withColumn("jaccard", jaccard_col(F.col("g1"), F.col("g2")))
-        .filter(F.col("jaccard") >= threshold)
-        .select("id1", "id2", "jaccard"),
+        _pair_verify(
+            cand, grams_tbl, route, "id1", "id2", "sz1", "sz2",
+            "jaccard", threshold,
+        ),
         grams_tbl, prefix, materialize=materialize,
     )
 
@@ -533,6 +702,8 @@ def containment_pairs(
     id_col: str = "doc_id",
     block_cols: tuple[str, ...] = ("lang",),
     materialize: bool = False,
+    verify: str = "auto",
+    n_grid: tuple[int, ...] | None = None,
 ) -> DataFrame:
     """DIRECTED containment near-dup pairs — 'A lives inside B':
     C(A→B) = |S(A) ∩ S(B)| / |S(A)| over distinct char n-gram sets,
@@ -571,20 +742,31 @@ def containment_pairs(
 
     The grams cache outlives the call unless ``materialize=True`` —
     the caching contract is on _finish_index_plan. Pass ``n=None`` to
-    size the gram length from the corpus itself (containment_auto_n) —
-    the fixed default n=3 is only safe while the corpus has NOT
-    saturated the 3-gram space (containment_candidate_estimate
-    documents why that fails at scale)."""
+    size the gram length from the corpus itself (containment_auto_n;
+    ``n_grid`` narrows the sweep's candidate gram sizes) — the fixed
+    default n=3 is only safe while the corpus has NOT saturated the
+    3-gram space (containment_candidate_estimate documents why that
+    fails at scale). ``verify`` picks the exact-verify plan shape
+    (_pair_verify): 'auto' broadcasts the gram arrays under the
+    session broadcast ceiling, and past it ships narrow
+    (pair, gram-hash) rows of the CONTAINED side — the smaller gram
+    set of each pair — so the shuffle never carries an array."""
     if n is None:
+        auto_kw = {} if n_grid is None else {"n_grid": tuple(n_grid)}
         n, _ = containment_auto_n(
             documents, threshold, text_col=text_col, id_col=id_col,
-            block_cols=block_cols,
+            block_cols=block_cols, **auto_kw,
         )
     grams_tbl = distinct_grams_table(
         documents, n=n, text_col=text_col, id_col=id_col,
         block_cols=block_cols,
     ).persist()
-    grams_tbl.count()  # materialize before prefix + postings derive
+    # one eager job: materialize before prefix + postings derive, AND
+    # price the verify build side for the broadcast/exploded routing
+    route = _verify_route(
+        documents.sparkSession, verify,
+        _materialize_grams_stats(grams_tbl, n),
+    )
     prefix = jaccard_prefix_table(
         documents, threshold, n=n, text_col=text_col, id_col=id_col,
         block_cols=block_cols, grams_tbl=grams_tbl,
@@ -616,26 +798,16 @@ def containment_pairs(
         cond = cond & (F.col(f"b1_{c}") == F.col(f"b2_{c}"))
     cand = (
         a.join(postings, cond)
-        .select("id_in", "id_out")
+        # sz_in rides the pair rows (functionally dependent on id_in)
+        # — the verify never joins back just for the denominator
+        .select("id_in", "id_out", "sz_in")
         .dropDuplicates(["id_in", "id_out"])
     )
-    paired = cand.join(
-        grams_tbl.select(
-            F.col(id_col).alias("id_in"), F.col("grams").alias("g_in")
-        ),
-        "id_in",
-    ).join(
-        grams_tbl.select(
-            F.col(id_col).alias("id_out"), F.col("grams").alias("g_out")
-        ),
-        "id_out",
-    )
     return _finish_index_plan(
-        paired.withColumn(
-            "containment", containment_col(F.col("g_in"), F.col("g_out"))
-        )
-        .filter(F.col("containment") >= threshold)
-        .select("id_in", "id_out", "containment"),
+        _pair_verify(
+            cand, grams_tbl, route, "id_in", "id_out", "sz_in", None,
+            "containment", threshold, id_col=id_col,
+        ),
         grams_tbl, materialize=materialize,
     )
 

@@ -271,6 +271,128 @@ _DEDUP_COST_MODEL_SQL = (
 )
 
 
+#: the auto-sweep grid for the driver-checked auto-n row: three gram
+#: sizes spanning saturated → individuating on the synthetic corpus,
+#: narrowed from the production default grid (3,4,5,7,9,11) so the
+#: DuckDB oracle can replay the pick AND the pair join at every grid
+#: point it might choose (the oracle cannot prune the un-picked
+#: branches, so each grid entry costs one blocked self-join there)
+AUTO_N_GRID = (3, 7, 11)
+
+
+def q_dedup_containment_auto(spark, sf_dir):
+    """The production-recommended containment path END-TO-END under the
+    oracle: ``containment_pairs(n=None)`` — the cost-model sweep
+    (containment_auto_n over AUTO_N_GRID) picks the smallest payable
+    gram size on THIS corpus, then builds the exact directed pairs at
+    that n. VERDICT r10 task 2: auto-n was bench-measured and its
+    estimator hash-checked (pipe_dedup_cost_model), but the auto
+    path's OUTPUT had never been driver-hashed; the pinned n=7 row
+    (pipe_dedup_containment) stays as the documented adversarial
+    case. Same snippet-planted corpus as that row. The oracle replays
+    the ENTIRE decision — per-n rarest-first prefix estimates, the
+    integer budget comparison est ≤ 32·N (32.0·N is exactly 32·N:
+    the budget is integral and N < 2^48, so the double product is
+    exact and the SQL can compare in integers), the
+    first-payable-else-last pick — and then evaluates the pairs at
+    every grid n, selecting the picked one: a divergent PICK
+    hash-mismatches, not just divergent pairs."""
+    docs = load_table(spark, sf_dir, "documents")
+    snip = docs.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.expr(
+            "substring(text, 1, CAST(floor(length(text) / 2) AS INT))"
+        ).alias("text"),
+        "lang",
+    )
+    corpus = docs.select("doc_id", "text", "lang").unionByName(snip)
+    return dedup.containment_pairs(
+        corpus, threshold=CONTAIN_T, n=None, n_grid=AUTO_N_GRID,
+        block_cols=("lang",),
+    ).orderBy("id_in", "id_out")
+
+
+def _containment_auto_sql() -> str:
+    """DuckDB replay of q_dedup_containment_auto: the per-n estimate
+    chains mirror _cost_model_block_sql (global rarest-first df order,
+    tie on gram, FP-epsilon ceil) over the snippet-planted corpus; the
+    pick mirrors containment_auto_n (smallest n with est ≤ 32·N, else
+    the last grid entry); the pair join at each grid n mirrors
+    _DEDUP_CONTAINMENT_SQL. All grid branches are evaluated (the pick
+    is data-dependent, so SQL cannot prune) — AUTO_N_GRID is kept to
+    three entries for exactly this reason."""
+    blocks = ["""corpus AS (
+  SELECT doc_id, text, lang FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id,
+         substring(text, 1, CAST(floor(length(text) / 2) AS INT)) AS text,
+         lang
+  FROM documents WHERE doc_id % 5 = 0
+)"""]
+    for n in AUTO_N_GRID:
+        blocks.append(f"""gt_{n} AS (
+  SELECT doc_id, lang,
+         list_distinct({grams_sql('text', distinct=False, n=n)}) AS grams
+  FROM corpus
+),
+g_{n} AS (SELECT * FROM gt_{n} WHERE len(grams) > 0),
+e_{n} AS (SELECT doc_id, lang, len(grams) AS sz, unnest(grams) AS gr
+          FROM g_{n}),
+freq_{n} AS (SELECT gr, count(*) AS df FROM e_{n} GROUP BY gr),
+ranked_{n} AS (
+  SELECT e.doc_id, e.lang, e.gr, e.sz, f.df,
+         row_number() OVER (
+           PARTITION BY e.doc_id ORDER BY f.df, e.gr
+         ) AS rnk
+  FROM e_{n} e JOIN freq_{n} f USING (gr)
+),
+prefix_{n} AS (
+  SELECT * FROM ranked_{n}
+  WHERE rnk <= sz - ceil({CONTAIN_T} * sz - 0.000001) + 1
+),
+bdf_{n} AS (SELECT lang, gr, count(*) AS bdf FROM e_{n}
+            GROUP BY lang, gr),
+est_{n} AS (
+  SELECT CAST(coalesce(sum(bdf - 1), 0) AS BIGINT) AS est
+  FROM prefix_{n} JOIN bdf_{n} USING (lang, gr)
+),
+p_{n} AS (
+  SELECT a.doc_id AS id_in, b.doc_id AS id_out,
+         round(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+               / CAST(len(a.grams) AS DOUBLE), 6) AS containment
+  FROM g_{n} a JOIN g_{n} b ON a.lang = b.lang AND a.doc_id != b.doc_id
+)""")
+    ests = "\n  UNION ALL ".join(
+        f"SELECT {n} AS n, (SELECT est FROM est_{n}) AS est"
+        for n in AUTO_N_GRID
+    )
+    union_pairs = "\n  UNION ALL ".join(
+        f"SELECT {n} AS pn, id_in, id_out, containment FROM p_{n}"
+        for n in AUTO_N_GRID
+    )
+    blocks.append(f"""ests AS (
+  {ests}
+),
+chosen AS (
+  SELECT coalesce(
+    min(n) FILTER (WHERE est <= 32 * (SELECT count(*) FROM corpus)),
+    {AUTO_N_GRID[-1]}
+  ) AS n
+  FROM ests
+)""")
+    return (
+        "WITH " + ",\n".join(blocks)
+        + f"""
+SELECT id_in, id_out, containment FROM (
+  {union_pairs}
+) WHERE pn = (SELECT n FROM chosen) AND containment >= {CONTAIN_T}
+ORDER BY id_in, id_out"""
+    )
+
+
+_DEDUP_CONTAINMENT_AUTO_SQL = _containment_auto_sql()
+
+
 def q_dedup_jaccard(spark, sf_dir):
     return dedup.ngram_jaccard_pairs(
         load_table(spark, sf_dir, "documents"),
@@ -6283,6 +6405,9 @@ QUERIES: dict = {
     "pipe_curate_leakage": (q_curate_leakage, _CURATE_LEAKAGE_SQL),
     "pipe_dedup_exact": (q_dedup_exact, _DEDUP_EXACT_SQL),
     "pipe_dedup_containment": (q_dedup_containment, _DEDUP_CONTAINMENT_SQL),
+    "pipe_dedup_containment_auto": (
+        q_dedup_containment_auto, _DEDUP_CONTAINMENT_AUTO_SQL,
+    ),
     "pipe_dedup_cost_model": (q_dedup_cost_model, _DEDUP_COST_MODEL_SQL),
     "pipe_dedup_ngram_jaccard": (q_dedup_jaccard, _DEDUP_JACCARD_SQL),
     "pipe_text_pmi": (q_text_pmi, _TEXT_PMI_SQL),

@@ -130,12 +130,31 @@ def ann_index_append_sink(root: str, kind: str = "ivfpq", m: int = 4,
 
 
 _MARKER = "_compacted_through"
+_MARKER_V_PREFIX = "_compacted_through_g"
 _GEN_PREFIX = "_compacted_g"
 
 
+def _marker_name(gen: int) -> str:
+    return f"{_MARKER_V_PREFIX}{gen}"
+
+
 def _read_marker(spark, root: str) -> tuple[int, int, list[str], str]:
-    """Parse the ``_compacted_through`` marker
+    """Read the compaction commit pointer
     → (through, gen, pending, gendir).
+
+    Discovery is VERSIONED (round 11, closing the recorded deferral):
+    each committed generation has its own marker file
+    ``_compacted_through_g<gen>`` created atomically-if-absent
+    (fsio.create_exclusive — see _commit_marker_exclusive), and the
+    reader takes the HIGHEST generation found in one listStatus. A
+    ZERO-BYTE versioned marker is a failed commit's debris (the create
+    won the namespace entry but the content write failed; that run
+    propagated its error and its fold dirs are intact) — it is
+    SKIPPED, falling back to the next-lower generation, which is
+    exactly the pre-commit state. A marker that vanishes between the
+    listing and its read was superseded-and-swept — re-list. The
+    legacy single-file ``_compacted_through`` (pre-versioned layout)
+    is honored when no versioned marker exists.
 
     - ``through``: highest batch_id folded into the committed
       generation (-1 = never compacted). A replayed batch at or below
@@ -153,14 +172,44 @@ def _read_marker(spark, root: str) -> tuple[int, int, list[str], str]:
       suffix scheme name the fixed ``_compacted_g<gen>``.
 
     All marker I/O goes through :mod:`yat_geo_db_spark.fsio` (Hadoop
-    FileSystem API + atomic rename publish), so the marker lives on
-    the SAME filesystem as the data and a crash mid-write can never
-    leave a truncated marker. A marker that still fails to parse is
-    therefore real corruption and raises rather than being silently
-    read as 'never compacted' (which would replay-double-count)."""
-    txt = fsio.read_text(spark, f"{root}/{_MARKER}")
-    if txt is None:
-        return -1, 0, [], f"{_GEN_PREFIX}0"
+    FileSystem API; same-generation updates publish by atomic rename),
+    so the marker lives on the SAME filesystem as the data and a crash
+    mid-update can never leave a truncated marker. A NON-empty marker
+    that fails to parse is therefore real corruption and raises rather
+    than being silently read as 'never compacted' (which would
+    replay-double-count)."""
+    for _ in range(8):
+        gens: list[int] = []
+        for nm in fsio.list_file_names(spark, root):
+            if nm.startswith(_MARKER_V_PREFIX):
+                try:
+                    gens.append(int(nm[len(_MARKER_V_PREFIX):]))
+                except ValueError:
+                    continue  # .tmp of an atomic update, foreign file
+        retry = False
+        for g in sorted(gens, reverse=True):
+            txt = fsio.read_text(spark, f"{root}/{_marker_name(g)}")
+            if txt is None:
+                retry = True  # superseded & swept mid-read — re-list
+                break
+            if txt.strip() == "":
+                continue  # failed-commit debris: fall to gen below
+            return _parse_marker(root, _marker_name(g), txt, expect=g)
+        if retry:
+            continue
+        txt = fsio.read_text(spark, f"{root}/{_MARKER}")
+        if txt is None:
+            return -1, 0, [], f"{_GEN_PREFIX}0"
+        return _parse_marker(root, _MARKER, txt, expect=None)
+    raise RuntimeError(
+        f"compaction markers at {root} kept vanishing between listing "
+        "and read — compaction storm?"
+    )
+
+
+def _parse_marker(
+    root: str, name: str, txt: str, expect: int | None,
+) -> tuple[int, int, list[str], str]:
     lines = [ln.strip() for ln in txt.strip().splitlines() if ln.strip()]
     try:
         if len(lines) == 1 and "=" not in lines[0]:
@@ -169,6 +218,8 @@ def _read_marker(spark, root: str) -> tuple[int, int, list[str], str]:
             return int(lines[0]), 0, [], f"{_GEN_PREFIX}0"
         fields = dict(ln.partition("=")[::2] for ln in lines)
         gen = int(fields.get("gen", "0"))
+        if expect is not None and gen != expect:
+            raise ValueError(f"marker names gen={gen}, filename says {expect}")
         return (
             int(fields["through"]),
             gen,
@@ -177,21 +228,106 @@ def _read_marker(spark, root: str) -> tuple[int, int, list[str], str]:
         )
     except (KeyError, ValueError) as e:
         raise ValueError(
-            f"corrupt compaction marker at {root}/{_MARKER}: {txt!r}"
+            f"corrupt compaction marker at {root}/{name}: {txt!r}"
         ) from e
+
+
+def _marker_text(
+    through: int, gen: int, pending: list[str], gendir: str,
+) -> str:
+    return (
+        f"through={through}\ngen={gen}\npending={','.join(pending)}"
+        f"\ngendir={gendir}"
+    )
 
 
 def _write_marker(
     spark, root: str, through: int, gen: int, pending: list[str],
     gendir: str | None = None,
 ) -> None:
+    """SAME-GENERATION marker update (pending-clear after the fold-dir
+    deletes, resume of a crashed cleanup) — an atomic-rename overwrite
+    of that generation's own file. Never used to COMMIT a new
+    generation: that is _commit_marker_exclusive's create-if-absent,
+    and exactly one racing compactor can win it. gen=0 only arises for
+    legacy layouts, whose pointer is the legacy file."""
     gendir = gendir if gendir is not None else f"{_GEN_PREFIX}{gen}"
-    fsio.write_text_atomic(
-        spark,
-        f"{root}/{_MARKER}",
-        f"through={through}\ngen={gen}\npending={','.join(pending)}"
-        f"\ngendir={gendir}",
+    path = (
+        f"{root}/{_marker_name(gen)}" if gen >= 1 else f"{root}/{_MARKER}"
     )
+    fsio.write_text_atomic(
+        spark, path, _marker_text(through, gen, pending, gendir)
+    )
+
+
+#: a ZERO-BYTE versioned marker older than this is failed-commit
+#: debris (namespace create won, content write failed, reclaim delete
+#: failed too) — a later commit to that generation may break it; a
+#: younger one may be a commit mid-write on an FS without atomic
+#: create+content visibility
+_EMPTY_MARKER_GRACE_MS = 60_000
+
+
+def _commit_marker_exclusive(
+    spark, root: str, through: int, gen: int, pending: list[str],
+    gendir: str,
+) -> bool:
+    """COMMIT generation `gen`: create ``_compacted_through_g<gen>``
+    with the full marker text IFF it does not exist
+    (fsio.create_exclusive). This is the compare-and-swap the old
+    last-writer-wins marker write lacked: of two compactors that both
+    survived validation (one having stalled past the lease), exactly
+    one can create the gen file — the loser gets False and aborts
+    before any delete, so two compactors can never BOTH believe they
+    committed. On filesystems whose no-overwrite create is client-side
+    (classic S3A) this degrades to the lease verify-abort, exactly as
+    the lease itself does (see fsio.create_exclusive).
+
+    A zero-byte gen file past _EMPTY_MARKER_GRACE_MS is a FAILED
+    commit's residue (that run raised; readers skip empty markers) —
+    it must not wedge this generation forever, so it is broken and the
+    create retried once, mirroring _acquire_compact_lease's debris
+    rule."""
+    import time
+
+    path = f"{root}/{_marker_name(gen)}"
+    text = _marker_text(through, gen, pending, gendir)
+    for _ in range(2):
+        if fsio.create_exclusive(spark, path, text):
+            return True
+        mt = fsio.modification_time_ms(spark, path)
+        if mt is None:
+            continue  # vanished (debris swept elsewhere) — retry
+        if int(time.time() * 1000) - mt < _EMPTY_MARKER_GRACE_MS:
+            return False
+        if fsio.read_bytes(spark, path) == b"":
+            mt2 = fsio.modification_time_ms(spark, path)
+            if mt2 == mt and fsio.read_bytes(spark, path) == b"":
+                fsio.delete(spark, path, recursive=False)
+            continue
+        return False
+    return False
+
+
+def _cleanup_superseded_markers(spark, root: str, gen: int) -> None:
+    """Best-effort removal of marker files below the committed `gen`
+    (and the legacy single-file marker): readers always take the MAX
+    generation, so stale lower markers are harmless — this only keeps
+    the root from accumulating one small file per generation. A reader
+    holding a pre-cleanup listing re-lists when the swept file reads
+    as None (see _read_marker)."""
+    for nm in fsio.list_file_names(spark, root):
+        drop = nm == _MARKER
+        if nm.startswith(_MARKER_V_PREFIX):
+            try:
+                drop = int(nm[len(_MARKER_V_PREFIX):]) < gen
+            except ValueError:
+                drop = False
+        if drop:
+            try:
+                fsio.delete(spark, f"{root}/{nm}", recursive=False)
+            except Exception:
+                pass  # hygiene only; never outranks the committed state
 
 
 def _compacted_through(spark, root: str) -> int:
@@ -650,9 +786,11 @@ def _compact_generational(spark, root: str, fold,
     Concurrency guarantees — compaction racing REPLAYED WRITES is
     closed (no silent double/under-count in any interleaving; worst
     case is a loud abort-and-retry); compaction racing ANOTHER
-    COMPACTOR is excluded by the lease, with a narrow, documented
-    residual because the marker write itself is last-writer-wins, not
-    compare-and-swap:
+    COMPACTOR is excluded by the lease for duplicate WORK, and closed
+    for duplicate COMMITS by the commit itself: the marker for
+    generation N+1 is a versioned file created atomically-if-absent,
+    so the commit is a compare-and-swap, not a last-writer-wins
+    write:
 
     - The fold reads the snapshotted FILE paths, not dir paths. Spark
       part-file names are job-unique, so a replayed batch overwrite
@@ -682,30 +820,23 @@ def _compact_generational(spark, root: str, fold,
       wins; this one deletes its own orphan dir and raises. Unique
       generation-dir names mean the loser can never have overwritten
       the winner's committed output path.
-    - Post-commit, the marker is re-read before the fold-dir deletes:
-      if it no longer names this run's generation (a displacing
-      compactor's commit landed after ours), the deletes are SKIPPED
-      and the run raises — every batch dir the other marker does not
-      cover is still on disk and still read, so the interleaving costs
-      an orphaned generation dir (swept later), never rows.
-    - Residual (requires BOTH a stall past the full lease window and a
-      commit landing inside the displacer's validate→commit RPC gap):
-      two markers written back-to-back by runs that each passed
-      validation. The skip-deletes guard keeps every un-covered batch
-      dir alive through it, so the known cost is duplicate fold work,
-      not data. Full closure is possible with the same atomic
-      create-if-absent primitive the lease uses (fsio.create_exclusive)
-      by making the COMMIT itself the created file — versioned markers
-      ``_compacted_through_g<gen+1>``, reader discovers the max-gen
-      marker via listing: exactly one of two displaced runs can then
-      create gen+1, on any FS with atomic namespace creates. Deferred
-      deliberately: it rewrites every reader's marker-discovery path
-      (one read → list-and-max, more RPCs in the bracketed snapshot
-      loop) to convert a bounded duplicate-work residual into zero,
-      and still degrades on classic S3A (client-side existence check)
-      to exactly the abort-on-verify behavior the lease already has.
+    - The COMMIT is ``fsio.create_exclusive`` of the versioned marker
+      ``_compacted_through_g<gen+1>`` (round 11 — the closure the
+      round-10 protocol recorded as a deferral): readers discover the
+      max-generation marker by listing (_read_marker), so the file's
+      creation IS the atomic switch, and two compactors that both
+      survived validation — one having stalled past the full lease
+      window — can NEVER both believe they committed: exactly one
+      create of gen+1 succeeds on any FS with atomic namespace
+      creates (HDFS); the loser aborts BEFORE any delete and reclaims
+      its own generation dir, so the interleaving costs duplicate
+      fold work, never rows and never an orphan. The trade the
+      deferral predicted is paid knowingly: marker reads are now
+      list-and-max (one extra listStatus per read), and classic S3A's
+      client-side existence check degrades the create race to exactly
+      the lease's verify-abort behavior (see fsio.create_exclusive).
       Size `lease_ms` (and `orphan_grace_ms`) above the slowest
-      plausible fold.
+      plausible fold to avoid paying duplicate folds at all.
     - Orphan generation dirs (a compactor that crashed or lost the
       race after writing) are invisible to readers (the marker never
       named them) and are swept at the start of the next run — but
@@ -825,28 +956,46 @@ def _compact_generational_locked(spark, root: str, fold,
     if not _verify_compact_lease(spark, root, token):
         # stalled past the lease and was displaced — the thief may
         # have folded a DIFFERENT dir set; committing over them could
-        # orphan rows
+        # orphan rows. (With the exclusive commit below this is now
+        # belt-and-braces: a displacer that already committed gen+1
+        # makes our create fail; one that has NOT yet committed cannot
+        # double-commit either way. The early check just turns the
+        # common case into a cheaper, better-named abort.)
         _abort("a concurrent compaction broke this run's stale lease")
-    # COMMIT: readers atomically switch to the new generation and
-    # exclude fold_names
-    _write_marker(spark, root, new_through, gen + 1, fold_names, new_gendir)
-    m3 = _read_marker(spark, root)
-    if (m3[1], m3[3]) != (gen + 1, new_gendir) or not \
-            _verify_compact_lease(spark, root, token):
-        # a displacing compactor's commit landed after ours (the
-        # last-writer-wins residual). Deleting our fold dirs now could
-        # orphan rows the surviving marker does not cover — leave
-        # EVERYTHING on disk (readers stay exact: batch dirs above the
-        # surviving marker's watermark are still read; our generation
-        # dir is an unnamed orphan the janitor reclaims) and raise.
-        raise RuntimeError(
-            f"compaction of {root} was displaced after its commit by a "
-            "concurrent compaction — fold dirs retained, no rows lost; "
-            "rerun"
+    # COMMIT — atomically CREATE the gen+1 marker (never overwrite):
+    # readers switch to the new generation and exclude fold_names the
+    # instant the file exists; of two racing compactors exactly one
+    # can create it, so losing the race is discovered HERE, before any
+    # delete, and costs only this run's own (self-reclaimed) fold dir.
+    if not _commit_marker_exclusive(
+        spark, root, new_through, gen + 1, fold_names, new_gendir
+    ):
+        _abort(
+            f"a concurrent compaction committed generation {gen + 1} "
+            "first (exclusive marker create refused)"
+        )
+    # Degenerate-filesystem fallback: where the no-overwrite create is
+    # only a client-side existence check (local FS, classic S3A — see
+    # fsio.create_exclusive), two simultaneous creators can BOTH get
+    # True and the file holds one winner's content. Re-read and verify
+    # OUR text survived (generation dirs carry a per-run uuid, so two
+    # runs' texts can never collide): the loser aborts here, before
+    # any delete, and reclaims its own unreferenced generation dir —
+    # the same degradation the lease documents, never a double-commit.
+    # On HDFS the create is an atomic NameNode op and this read always
+    # verifies.
+    committed = _marker_text(new_through, gen + 1, fold_names, new_gendir)
+    if fsio.read_bytes(
+        spark, f"{root}/{_marker_name(gen + 1)}"
+    ) != committed.encode("utf-8"):
+        _abort(
+            "a simultaneous commit displaced this run's marker content "
+            "(degenerate no-overwrite create on this filesystem)"
         )
     for n in fold_names:
         fsio.delete(spark, f"{root}/{n}", recursive=True)
     _write_marker(spark, root, new_through, gen + 1, [], new_gendir)
+    _cleanup_superseded_markers(spark, root, gen + 1)
 
 
 def heavy_hitter_sink(
