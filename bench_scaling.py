@@ -45,7 +45,13 @@ other word gap:
 - the 1× fixture is copy 0 of the SAME transform, so the two-point
   ratio measures pure scale on a fixed distribution.
 
-Usage:  python bench_scaling.py [rotation|salted|recall|sampled ...]
+Round 11 adds the CLUSTERED recall fixture (VERDICT r10 task 4):
+planted Gaussian clusters on the unit sphere + isotropic background,
+so SemDeDup recall is measured at a realistic t=0.8 where the absolute
+number is meaningful (see build_clustered_fixture).
+
+Usage:  python bench_scaling.py
+        [rotation|salted|recall|recall_clustered|sampled ...]
         (no args = all panels)
 Env:    SPARK_GRAFT_SF_DIR    base dir   (default /root/testdata/sf0.1)
         SPARK_GRAFT_SCALE_DIR fixture dir (default /tmp/sf_scaled_10x)
@@ -291,6 +297,10 @@ def _panel_salted(spark, registry) -> None:
     for name, fn in (
         ("pipe_dedup_clusters", registry["pipe_dedup_clusters"][0]),
         ("pipe_dedup_minhash_lsh", registry["pipe_dedup_minhash_lsh"][0]),
+        # VERDICT r10 task 6: the slowest bench line's O(n·w) claim
+        # gets its two-point ratio on the non-near-dup fixture
+        ("pipe_dedup_sorted_neighborhood",
+         registry["pipe_dedup_sorted_neighborhood"][0]),
     ):
         out[name] = r = _timed_pair(spark, fn, d1, d10)
         print(f"# salted {name}: {r['base_sec']}s -> {r['scaled_sec']}s "
@@ -406,6 +416,125 @@ def _panel_recall(spark, registry) -> None:
     }), flush=True)
 
 
+def build_clustered_fixture(
+    spark, out_dir: str, n_clusters: int = 40, per_cluster: int = 100,
+    n_background: int = 10_000, dim: int = 32, sigma: float = 0.07,
+    seed: int = 1234,
+) -> None:
+    """Embeddings fixture with PLANTED GAUSSIAN CLUSTERS on the unit
+    sphere plus an isotropic background (VERDICT r10 task 4): the
+    diffuse rotation fixture's cosine distribution made t=0.12 (p88)
+    the only non-trivial threshold, so its absolute recall numbers
+    (9-12%) measured threshold geometry, not the operator. Here each
+    cluster is a unit center + N(0, sigma²) per-dim noise — expected
+    within-cluster cosine ≈ 1/(1+sigma²·dim) ≈ 0.87, so a REALISTIC
+    t=0.8 separates planted near-dup pairs from the background (whose
+    pairwise cosines concentrate in ±few/√dim). Generation is
+    distributed Column expressions end-to-end: per-dim F.randn columns
+    for the noise, a broadcast join onto the n_clusters×dim seeded
+    center table, zip_with for the sum."""
+    import numpy as np
+    import pyspark.sql.functions as F
+
+    stamp = (
+        f"clustered-v1 k={n_clusters} per={per_cluster} bg={n_background} "
+        f"dim={dim} sigma={sigma} seed={seed}\n"
+    )
+    marker = f"{out_dir}/_FIXTURE_OK"
+    if os.path.exists(marker):
+        with open(marker) as fh:
+            if fh.read() == stamp:
+                return
+        os.remove(marker)
+    rng = np.random.default_rng(seed)
+    centers = rng.normal(size=(n_clusters, dim))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    cdf = spark.createDataFrame(
+        [(i, [float(x) for x in centers[i]]) for i in range(n_clusters)],
+        "cl int, center array<double>",
+    )
+    n_cl = n_clusters * per_cluster
+    clustered = (
+        spark.range(n_cl)
+        .select(
+            F.col("id").alias("vec_id"),
+            (F.col("id") % n_clusters).cast("int").alias("cl"),
+            F.array(
+                *[F.randn(seed + 7 * i) for i in range(dim)]
+            ).alias("noise"),
+        )
+        .join(F.broadcast(cdf), "cl")
+        .select(
+            "vec_id",
+            F.zip_with(
+                "center", "noise",
+                lambda c, x: c + F.lit(float(sigma)) * x,
+            ).cast("array<float>").alias("embedding"),
+            F.lit("cluster").alias("label"),
+        )
+    )
+    background = spark.range(n_cl, n_cl + n_background).select(
+        F.col("id").alias("vec_id"),
+        F.array(
+            *[F.randn(seed + 1009 + 7 * i) for i in range(dim)]
+        ).cast("array<float>").alias("embedding"),
+        F.lit("background").alias("label"),
+    )
+    clustered.unionByName(background).write.mode("overwrite").parquet(
+        f"{out_dir}/embeddings.parquet"
+    )
+    with open(marker, "w") as fh:
+        fh.write(stamp)
+
+
+def _panel_recall_clustered(spark, registry) -> None:
+    """VERDICT r10 task 4: SemDeDup / two-level recall where the
+    ABSOLUTE number is meaningful — planted clusters, realistic t=0.8
+    on normalized vectors. Emitted pairs are exact-verified cosines
+    (emitted ⊆ truth), so recall = count ratio against the brute N²
+    ground truth."""
+    import pyspark.sql.functions as F
+
+    from yat_geo_db_spark.pipelines import similarity as sim
+    from yat_geo_db_spark.testdata import load_table
+
+    d = os.environ.get("SPARK_GRAFT_CLUSTERED_DIR", "/tmp/sf_clustered")
+    build_clustered_fixture(spark, d)
+    emb = load_table(spark, d, "embeddings")
+    t = 0.8
+    flat = sim.semdedup_pairs(emb, threshold=t).count()
+    two = sim.semdedup_pairs_scaled(emb, threshold=t).count()
+    unit = sim.l2_normalized(emb, "vec_id", "embedding").localCheckpoint()
+    a = unit.select(F.col("vec_id").alias("id1"),
+                    F.col("embedding").alias("v1"))
+    b = unit.select(F.col("vec_id").alias("id2"),
+                    F.col("embedding").alias("v2"))
+    # deliberate O(N²) ground-truth job (N = 14k here) — mirrors
+    # _cell_blocked_pairs' round(dot, 6) >= t exactly
+    truth = (
+        a.join(b, F.col("id1") < F.col("id2"))
+        .select(F.round(
+            sim.dot_col(F.col("v1"), F.col("v2")), 6
+        ).alias("cosine"))
+        .filter(F.col("cosine") >= t)
+        .count()
+    )
+    out = {
+        "brute_pairs": truth,
+        "flat_pairs": flat,
+        "two_level_pairs": two,
+        "recall_flat": round(flat / truth, 4) if truth else None,
+        "recall_two_level": round(two / truth, 4) if truth else None,
+    }
+    print(f"# clustered recall (t={t}): {out}", file=sys.stderr)
+    print(json.dumps({
+        "metric": "semdedup_recall_clustered",
+        "threshold": t,
+        "fixture": d,
+        **out,
+    }), flush=True)
+
+
 def _panel_sampled(spark, registry) -> None:
     """Accuracy + cost of the SAMPLED cost-model probes
     (sample_fraction + 1/f² extrapolation): for each estimator, gram
@@ -464,6 +593,7 @@ def main() -> None:
     dispatch = {"rotation": _panel_rotation,
                 "salted": _panel_salted,
                 "recall": _panel_recall,
+                "recall_clustered": _panel_recall_clustered,
                 "sampled": _panel_sampled}
     panels = sys.argv[1:] or list(dispatch)
     unknown = [p for p in panels if p not in dispatch]

@@ -1059,6 +1059,56 @@ def test_exploded_verify_matches_broadcast_and_ships_no_arrays(spark):
         dedup.containment_pairs(docs, 0.8, n=7, verify="nope")
 
 
+def test_gram_bloom_miss_bound_is_lossless(spark):
+    """The shuffle-route verify's bloom prefilter rests on ONE
+    invariant: popcount(bloom_A & ~bloom_B) ≤ |grams(A) \\ grams(B)|
+    for EVERY pair (each gram sets exactly one bit; a bit set by A and
+    clear in B is witnessed by ≥1 distinct A-gram absent from B).
+    Check it against exact set differences on random pairs, and the
+    exact-containment corner: A ⊆ B ⇒ the bound is exactly 0, so a
+    verbatim-substring pair can never be pruned."""
+    import itertools
+
+    from yat_geo_db_spark.pipelines import dedup
+
+    random.seed(97)
+    pool = [f"t{i:02d}" for i in range(30)]
+    rows = []
+    texts = {}
+    for i in range(24):
+        words = [pool[random.randrange(30)] for _ in range(18)]
+        texts[i] = " ".join(words)
+        rows.append((i, texts[i]))
+        if i % 6 == 0:  # A ⊆ B by construction (verbatim prefix)
+            texts[i + 100] = texts[i][: len(texts[i]) // 2]
+            rows.append((i + 100, texts[i + 100]))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    grams_tbl = dedup.distinct_grams_table(docs, n=5)
+    blooms = {
+        r["_bid"]: [r[f"_w{i}"] for i in range(dedup._BLOOM_WORDS)]
+        for r in dedup._gram_bloom_table(grams_tbl, "doc_id").collect()
+    }
+    gsets = {
+        r["doc_id"]: set(r["grams"]) for r in grams_tbl.collect()
+    }
+
+    def miss_lb(a, b):
+        return sum(
+            bin(x & ~y & 0xFFFFFFFFFFFFFFFF).count("1")
+            for x, y in zip(blooms[a], blooms[b])
+        )
+
+    checked = 0
+    for a, b in itertools.permutations(sorted(gsets), 2):
+        true_misses = len(gsets[a] - gsets[b])
+        assert miss_lb(a, b) <= true_misses, (a, b)
+        checked += 1
+    assert checked > 100
+    for i in range(0, 24, 6):  # verbatim containment: bound exactly 0
+        assert gsets[i + 100] <= gsets[i]
+        assert miss_lb(i + 100, i) == 0
+
+
 def test_candidate_estimate_sampled_extrapolation(spark):
     """sample_fraction=f probes a seeded doc sample and extrapolates by
     1/f²: identity at f=1.0, same order of magnitude as the exact

@@ -171,6 +171,66 @@ def _verify_route(spark, verify: str, est_bytes: int) -> str:
     return "broadcast" if thr > 0 and est_bytes <= thr else "exploded"
 
 
+#: gram-bloom width for the shuffle-route verify prefilter: 2048 bits
+#: as 32 flat long columns (flat, not an array — the shuffle-route
+#: plan contract is that NO exchange carries an array column). Sizing:
+#: the lossless prune needs E[set-only-in-A ∧ clear-in-B bits] to
+#: exceed the allowed miss budget (1−t)·|A| on FALSE candidates; at
+#: 2048 bits a 640-gram doc fills 27% and a 1300-gram doc 47%, giving
+#: ≈ 2048·0.27·0.53 ≈ 290 prunable bits against a t=0.8 budget of
+#: 128 — comfortable, while staying 256 B/row through the pair
+#: exchange.
+_BLOOM_WORDS = 32
+
+
+def _gram_bloom_table(grams_tbl: DataFrame, id_col: str) -> DataFrame:
+    """(_bid, _w0.._w31): per-doc 2048-bit bloom of the distinct gram
+    set — each gram sets exactly ONE bit (pmod(xxhash64, 2048)), which
+    is what makes the verify prune LOSSLESS: every bit set in A's
+    bloom but clear in B's is witnessed by ≥ 1 distinct gram of A that
+    CANNOT be in B (any B gram on that bit would have set it), and
+    distinct bits witness distinct grams, so
+    popcount(bloom_A & ~bloom_B) lower-bounds |A \\ B|. One linear
+    explode + one map-side-combinable 32-buffer bit_or aggregate."""
+    pos = F.pmod(F.xxhash64("_g"), F.lit(64 * _BLOOM_WORDS))
+    e = grams_tbl.select(
+        F.col(id_col).alias("_bid"), F.explode("grams").alias("_g")
+    ).select(
+        "_bid",
+        F.shiftright(pos, 6).cast("int").alias("_w"),
+        # F.shiftleft only takes a literal bit count — build the
+        # column-shifted mask as an expression
+        F.expr(
+            f"shiftleft(CAST(1 AS BIGINT), CAST(pmod(pmod("
+            f"xxhash64(_g), {64 * _BLOOM_WORDS}), 64) AS INT))"
+        ).alias("_b"),
+    )
+    return e.groupBy("_bid").agg(*[
+        F.coalesce(
+            F.bit_or(F.when(F.col("_w") == i, F.col("_b"))),
+            F.lit(0).cast("long"),
+        ).alias(f"_w{i}")
+        for i in range(_BLOOM_WORDS)
+    ])
+
+
+def _bloom_miss_lower_bound(a_prefix: str, b_prefix: str):
+    """Column: Σ_i popcount(a_i & ~b_i) — a LOWER bound on how many of
+    A's distinct grams are absent from B (see _gram_bloom_table)."""
+    terms = [
+        F.bit_count(
+            F.col(f"{a_prefix}{i}").bitwiseAND(
+                F.bitwise_not(F.col(f"{b_prefix}{i}"))
+            )
+        )
+        for i in range(_BLOOM_WORDS)
+    ]
+    out = terms[0]
+    for t in terms[1:]:
+        out = out + t
+    return out
+
+
 def _pair_verify(
     cand: DataFrame,
     grams_tbl: DataFrame,
@@ -201,19 +261,36 @@ def _pair_verify(
       shuffle that attaches a multi-KB gram array to EVERY candidate
       pair row (measured: 21× wall-clock on 10.0× candidates at n=11,
       >80 GB spill ungated at n=7 — BENCHLOG round 10; VERDICT r10
-      task 1). Instead, ship NARROW rows: explode the grams table to
-      (doc, 64-bit gram hash), equi-join candidates with the left
-      side's hashes, inner-join on (right id, hash) so only SHARED
-      grams survive into the aggregation, and count them with a
-      map-side-combinable groupBy on the pair key. No exchange in this
-      plan carries an array column (plan-pinned:
-      tests/test_dedup_blocking.py); every row is three longs, so the
-      shuffle stays fixed-width, sort/spill-friendly, and linear in
-      candidates × gram count at ANY corpus size. |∩| via xxhash64 is
-      exact up to a 64-bit collision between two distinct grams of a
-      candidate pair (probability ≈ pairs·|g1|·|g2|/2^64 — negligible
-      against the corpus sizes that force this route; the broadcast
-      route stays bit-exact).
+      task 1). The verify must move pair × gram information through
+      SOME exchange, so the fix is two-staged — kill the false
+      candidates while they are still narrow, then count only what
+      survives:
+
+      1. BLOOM PREFILTER (lossless): each doc's distinct gram set is
+         summarized as a 2048-bit bloom carried as 32 flat longs
+         (_gram_bloom_table). For a pair, popcount(bloom_A & ~bloom_B)
+         lower-bounds |A \\ B|, and metric ≥ t upper-bounds the
+         allowed misses ((1−t)·|A| for containment; |X| − α with
+         α = t/(1+t)·(|A|+|B|) per side for Jaccard) — candidates
+         whose PROVEN misses exceed the budget cannot reach t and are
+         dropped. The bound is conservative (≤ the true miss count,
+         FP-epsilon-relaxed), so no true pair is ever pruned. On the
+         adversarial corpora that force this route, almost every
+         candidate is false and dies here, having crossed the
+         exchanges as a fixed 256 B row.
+      2. EXPLODED COUNT on the survivors: explode the grams table to
+         (doc, 64-bit gram hash), equi-join survivors with the left
+         side's hashes, inner-join on (right id, hash) so only SHARED
+         grams reach the aggregation, and count them with a map-side-
+         combinable groupBy on the pair key. |∩| via xxhash64 is exact
+         up to a 64-bit collision between two distinct grams of a
+         candidate pair (probability ≈ pairs·|g1|·|g2|/2^64 —
+         negligible at the corpus sizes that force this route; the
+         broadcast route stays bit-exact).
+
+      NO exchange in this route carries an array column (plan-pinned:
+      tests/test_dedup_blocking.py) — every shuffled row is fixed-
+      width longs, so sorts and spills stay cheap at any corpus size.
 
     Candidates share ≥ 1 prefix gram by construction, so the inner
     join never drops a real pair (|∩| ≥ 1 for every candidate)."""
@@ -239,17 +316,47 @@ def _pair_verify(
             .filter(F.col(metric) >= threshold)
             .select(left_id, right_id, metric)
         )
+    t = float(threshold)
+    bloom = _gram_bloom_table(grams_tbl, id_col)
+    ba = bloom.select(
+        F.col("_bid").alias(left_id),
+        *[F.col(f"_w{i}").alias(f"_a{i}") for i in range(_BLOOM_WORDS)],
+    )
+    bb = bloom.select(
+        F.col("_bid").alias(right_id),
+        *[F.col(f"_w{i}").alias(f"_b{i}") for i in range(_BLOOM_WORDS)],
+    )
+    miss_l = _bloom_miss_lower_bound("_a", "_b")  # grams of left ∉ right
+    if metric == "jaccard":
+        alpha = F.lit(t / (1.0 + t)) * (F.col(left_sz) + F.col(right_sz))
+        keep = (
+            (miss_l <= F.col(left_sz) - alpha + F.lit(_FP_EPS))
+            & (
+                _bloom_miss_lower_bound("_b", "_a")
+                <= F.col(right_sz) - alpha + F.lit(_FP_EPS)
+            )
+        )
+    else:
+        keep = miss_l <= (
+            F.lit(1.0 - t) * F.col(left_sz) + F.lit(_FP_EPS)
+        )
+    pair_cols = [left_id, right_id, left_sz] + (
+        [right_sz] if right_sz else []
+    )
+    survivors = (
+        cand.join(ba, left_id)
+        .join(bb, right_id)
+        .filter(keep)
+        .select(*pair_cols)
+    )
     e = grams_tbl.select(
         F.col(id_col).alias("_eid"), F.explode("grams").alias("_g")
     ).select("_eid", F.xxhash64("_g").alias("_gh"))
-    group_keys = [left_id, right_id, left_sz] + (
-        [right_sz] if right_sz else []
-    )
     inter = (
-        cand
+        survivors
         .join(e.withColumnRenamed("_eid", left_id), left_id)
         .join(e.withColumnRenamed("_eid", right_id), [right_id, "_gh"])
-        .groupBy(*group_keys)
+        .groupBy(*pair_cols)
         .agg(F.count(F.lit(1)).alias("_inter"))
     )
     i = F.col("_inter").cast("double")
