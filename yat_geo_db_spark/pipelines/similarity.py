@@ -1077,12 +1077,15 @@ def semdedup_pairs(
 
     Recall is bounded by the clustering, like every SemDeDup deployment;
     raise k for smaller cells or fall back to the multi-probe bucket
-    blocking for recall-critical passes. Measured (BENCHLOG round 10,
-    rotation fixture, t=0.12): 11.9% of the brute-force thresholded
-    pairs at 1×, 9.2% at 10× — pessimistic by construction on the
-    synthetic space, where threshold-passing pairs are diffuse rather
-    than clustered; planted exact/near dups are always found
-    (test-pinned).
+    blocking for recall-critical passes. Measured on the CLUSTERED
+    fixture (BENCHLOG round 11: planted Gaussian clusters on the unit
+    sphere + isotropic background, realistic t=0.8): **90.1%** of the
+    brute-force thresholded pairs — the regime the operator is built
+    for, where near-dups co-locate. The diffuse rotation fixture
+    (BENCHLOG round 10, t=0.12 = p88 of its cosine distribution) gave
+    11.9%/9.2% at 1×/10× — pessimistic by construction, measuring
+    threshold geometry on a space with no cluster structure; planted
+    exact/near dups are always found (test-pinned).
 
     Scale shape (two-point measured, BENCHLOG.md round 9): in the
     target-cell regime the end-to-end cost is ~linear in n (1.62× at
@@ -1150,7 +1153,12 @@ def semdedup_pairs_scaled(
     once k grows with the corpus (BENCHLOG.md round 9). Same pair
     semantics: every emitted pair is an exact thresholded cosine;
     recall is bounded by the (hierarchical) clustering, the standard
-    IVF trade-off."""
+    IVF trade-off. Measured: on the CLUSTERED fixture (BENCHLOG round
+    11, planted Gaussian clusters, realistic t=0.8) absolute recall vs
+    brute is **82.9%** against the flat path's 90.1% — the two-level
+    routing costs ~7 recall points for the n·2√k assignment; on the
+    diffuse rotation fixture (round 10) the routing kept 97.9%/95.7%
+    of the flat path's pairs at 1×/10×."""
     unit = l2_normalized(embeddings, id_col, vec_col).localCheckpoint()
     k = semdedup_auto_k(unit.count(), target_cell)
     assign = kmeans_two_level_fit_assign(
