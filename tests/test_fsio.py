@@ -40,6 +40,15 @@ def test_list_dir_names_dirs_only(spark, tmp_path):
     assert got == ["d1", "d2"]
 
 
+def test_list_file_names_files_only_and_missing_root(spark, tmp_path):
+    (tmp_path / "d1").mkdir()
+    (tmp_path / "f1").write_text("x")
+    (tmp_path / "_marker_g2").write_text("y")
+    got = sorted(fsio.list_file_names(spark, str(tmp_path)))
+    assert got == ["_marker_g2", "f1"]
+    assert fsio.list_file_names(spark, str(tmp_path / "absent")) == []
+
+
 def test_delete_recursive_and_exists(spark, tmp_path):
     d = tmp_path / "tree" / "leaf"
     d.mkdir(parents=True)

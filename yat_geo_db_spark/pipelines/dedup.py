@@ -145,7 +145,13 @@ def _materialize_grams_stats(grams_tbl: DataFrame, n: int) -> int:
         F.count(F.lit(1)).alias("docs"),
         F.coalesce(F.sum(F.size("grams")), F.lit(0)).alias("grams"),
     ).collect()[0]  # bounded collect: two scalars
-    return int(row["grams"]) * (n + 16) + int(row["docs"]) * 32
+    # raw payload bytes (gram UTF8 data + a small per-doc overhead),
+    # deliberately NOT counting per-element representation overhead:
+    # the gate should err toward the broadcast fast-path, which the
+    # cached columnar relation compresses well below raw anyway — the
+    # exploded route's advantage only materializes when the table is
+    # decisively past the ceiling (measured crossover: BENCHLOG r11)
+    return int(row["grams"]) * n + int(row["docs"]) * 16
 
 
 def _verify_route(spark, verify: str, est_bytes: int) -> str:
@@ -171,21 +177,26 @@ def _verify_route(spark, verify: str, est_bytes: int) -> str:
     return "broadcast" if thr > 0 and est_bytes <= thr else "exploded"
 
 
-#: gram-bloom width for the shuffle-route verify prefilter: 2048 bits
-#: as 32 flat long columns (flat, not an array — the shuffle-route
+#: gram-bloom width for the shuffle-route verify prefilter: 4096 bits
+#: as 64 flat long columns (flat, not an array — the shuffle-route
 #: plan contract is that NO exchange carries an array column). Sizing:
 #: the lossless prune needs E[set-only-in-A ∧ clear-in-B bits] to
-#: exceed the allowed miss budget (1−t)·|A| on FALSE candidates; at
-#: 2048 bits a 640-gram doc fills 27% and a 1300-gram doc 47%, giving
-#: ≈ 2048·0.27·0.53 ≈ 290 prunable bits against a t=0.8 budget of
-#: 128 — comfortable, while staying 256 B/row through the pair
-#: exchange.
-_BLOOM_WORDS = 32
+#: exceed the allowed miss budget ((1−t)·|A| containment, |A|−α
+#: Jaccard) on FALSE candidates; at 4096 bits a 640-gram doc fills 14%
+#: and a 1300-gram doc 27%, giving ≈ 4096·0.14·0.73 ≈ 420 prunable
+#: bits against a t=0.8 budget of 128 — comfortable even for
+#: ~2000-gram documents, at 512 B/row through the pair exchange (vs
+#: the multi-KB arrays the prefilter exists to avoid). For documents
+#: far beyond ~3000 distinct grams the bloom saturates and the prune
+#: degrades GRACEFULLY (keeps everything; the exploded count stays
+#: linear) — at those sizes raise the gram length instead (auto-n).
+_BLOOM_WORDS = 64
 
 
 def _gram_bloom_table(grams_tbl: DataFrame, id_col: str) -> DataFrame:
-    """(_bid, _w0.._w31): per-doc 2048-bit bloom of the distinct gram
-    set — each gram sets exactly ONE bit (pmod(xxhash64, 2048)), which
+    """(_bid, _w0.._wN): per-doc 64·_BLOOM_WORDS-bit bloom of the
+    distinct gram set — each gram sets exactly ONE bit
+    (pmod(xxhash64, bits)), which
     is what makes the verify prune LOSSLESS: every bit set in A's
     bloom but clear in B's is witnessed by ≥ 1 distinct gram of A that
     CANNOT be in B (any B gram on that bit would have set it), and
@@ -267,7 +278,7 @@ def _pair_verify(
       survives:
 
       1. BLOOM PREFILTER (lossless): each doc's distinct gram set is
-         summarized as a 2048-bit bloom carried as 32 flat longs
+         summarized as a 4096-bit bloom carried as 64 flat longs
          (_gram_bloom_table). For a pair, popcount(bloom_A & ~bloom_B)
          lower-bounds |A \\ B|, and metric ≥ t upper-bounds the
          allowed misses ((1−t)·|A| for containment; |X| − α with
@@ -277,7 +288,7 @@ def _pair_verify(
          FP-epsilon-relaxed), so no true pair is ever pruned. On the
          adversarial corpora that force this route, almost every
          candidate is false and dies here, having crossed the
-         exchanges as a fixed 256 B row.
+         exchanges as a fixed 512 B row.
       2. EXPLODED COUNT on the survivors: explode the grams table to
          (doc, 64-bit gram hash), equi-join survivors with the left
          side's hashes, inner-join on (right id, hash) so only SHARED
