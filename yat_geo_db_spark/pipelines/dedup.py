@@ -521,6 +521,7 @@ def ngram_jaccard_pairs(
     block_cols: tuple[str, ...] = ("lang",),
     materialize: bool = False,
     verify: str = "auto",
+    n_grid: tuple[int, ...] | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs by character-n-gram Jaccard — EXACT (all pairs
     with J ≥ threshold, nothing lossy), via the prefix-filter
@@ -561,9 +562,10 @@ def ngram_jaccard_pairs(
     carries an array and stays linear at any corpus size.
     """
     if n is None:
+        auto_kw = {} if n_grid is None else {"n_grid": tuple(n_grid)}
         n, _ = ngram_jaccard_auto_n(
             documents, threshold, text_col=text_col,
-            block_cols=block_cols,
+            block_cols=block_cols, **auto_kw,
         )
     grams_tbl = distinct_grams_table(
         documents, n=n, text_col=text_col, block_cols=block_cols

@@ -393,6 +393,97 @@ ORDER BY id_in, id_out"""
 _DEDUP_CONTAINMENT_AUTO_SQL = _containment_auto_sql()
 
 
+def q_dedup_jaccard_auto(spark, sf_dir):
+    """The symmetric twin of pipe_dedup_containment_auto:
+    ``ngram_jaccard_pairs(n=None)`` end-to-end — ngram_jaccard_auto_n
+    sweeps AUTO_N_GRID with the Σ C(prefix_count, 2) estimator and the
+    pairs are built at the first payable gram size. Runs on the plain
+    documents corpus with the same (lang, source) blocking as
+    pipe_dedup_ngram_jaccard (which stays pinned at n=3 as the fixed-n
+    baseline). Oracle: per-n symmetric estimates (rarest-first prefix
+    replay, grouped by block), integer budget pick, pairs at every
+    grid n, picked one selected — a divergent pick hash-mismatches."""
+    return dedup.ngram_jaccard_pairs(
+        load_table(spark, sf_dir, "documents"),
+        threshold=JACCARD_T, n=None, n_grid=AUTO_N_GRID,
+        block_cols=("lang", "source"),
+    ).orderBy("id1", "id2")
+
+
+def _jaccard_auto_sql() -> str:
+    """DuckDB replay of q_dedup_jaccard_auto — the symmetric sibling
+    of _containment_auto_sql: per-n prefix estimates Σ pc·(pc−1)/2
+    over (lang, source, gram) prefix groups, the containment machinery
+    otherwise unchanged (global rarest-first df order, FP-epsilon
+    ceil, est ≤ 32·N in integers, first-payable-else-last)."""
+    blocks = []
+    for n in AUTO_N_GRID:
+        blocks.append(f"""gt_{n} AS (
+  SELECT doc_id, lang, source,
+         list_distinct({grams_sql('text', distinct=False, n=n)}) AS grams
+  FROM documents
+),
+g_{n} AS (SELECT * FROM gt_{n} WHERE len(grams) > 0),
+e_{n} AS (SELECT doc_id, lang, source, len(grams) AS sz,
+                 unnest(grams) AS gr
+          FROM g_{n}),
+freq_{n} AS (SELECT gr, count(*) AS df FROM e_{n} GROUP BY gr),
+ranked_{n} AS (
+  SELECT e.doc_id, e.lang, e.source, e.gr, e.sz, f.df,
+         row_number() OVER (
+           PARTITION BY e.doc_id ORDER BY f.df, e.gr
+         ) AS rnk
+  FROM e_{n} e JOIN freq_{n} f USING (gr)
+),
+prefix_{n} AS (
+  SELECT * FROM ranked_{n}
+  WHERE rnk <= sz - ceil({JACCARD_T} * sz - 0.000001) + 1
+),
+pc_{n} AS (SELECT lang, source, gr, count(*) AS pc FROM prefix_{n}
+           GROUP BY lang, source, gr),
+est_{n} AS (
+  SELECT CAST(coalesce(sum(pc * (pc - 1)), 0) // 2 AS BIGINT) AS est
+  FROM pc_{n}
+),
+p_{n} AS (
+  SELECT a.doc_id AS id1, b.doc_id AS id2, a.grams AS g1, b.grams AS g2
+  FROM g_{n} a JOIN g_{n} b
+    ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+),
+pj_{n} AS ({_jaccard_select(f'p_{n}', JACCARD_T)})""")
+    ests = "\n  UNION ALL ".join(
+        f"SELECT {n} AS n, (SELECT est FROM est_{n}) AS est"
+        for n in AUTO_N_GRID
+    )
+    union_pairs = "\n  UNION ALL ".join(
+        f"SELECT {n} AS pn, id1, id2, jaccard FROM pj_{n}"
+        for n in AUTO_N_GRID
+    )
+    blocks.append(f"""ests AS (
+  {ests}
+),
+chosen AS (
+  SELECT coalesce(
+    min(n) FILTER (
+      WHERE est <= 32 * (SELECT count(*) FROM documents)
+    ),
+    {AUTO_N_GRID[-1]}
+  ) AS n
+  FROM ests
+)""")
+    return (
+        "WITH " + ",\n".join(blocks)
+        + f"""
+SELECT id1, id2, jaccard FROM (
+  {union_pairs}
+) WHERE pn = (SELECT n FROM chosen)
+ORDER BY id1, id2"""
+    )
+
+
+_DEDUP_JACCARD_AUTO_SQL = _jaccard_auto_sql()
+
+
 def q_dedup_jaccard(spark, sf_dir):
     return dedup.ngram_jaccard_pairs(
         load_table(spark, sf_dir, "documents"),
@@ -6409,6 +6500,7 @@ QUERIES: dict = {
         q_dedup_containment_auto, _DEDUP_CONTAINMENT_AUTO_SQL,
     ),
     "pipe_dedup_cost_model": (q_dedup_cost_model, _DEDUP_COST_MODEL_SQL),
+    "pipe_dedup_jaccard_auto": (q_dedup_jaccard_auto, _DEDUP_JACCARD_AUTO_SQL),
     "pipe_dedup_ngram_jaccard": (q_dedup_jaccard, _DEDUP_JACCARD_SQL),
     "pipe_text_pmi": (q_text_pmi, _TEXT_PMI_SQL),
     "pipe_dedup_sorted_neighborhood": (
