@@ -1786,6 +1786,55 @@ def test_displacer_commit_in_validate_commit_gap_loses_cleanly(
     _assert_single_gen(root, 1)
 
 
+def test_empty_marker_debris_escalates_generation(spark, tmp_path):
+    """A zero-byte versioned marker (failed commit: namespace create
+    won, content write and reclaim both failed) must not wedge the
+    root, and must NEVER be broken by delete — a delete/recreate race
+    on the commit pointer could destroy a concurrent winner's
+    committed marker. The commit instead ESCALATES past the dead slot:
+    aged debris at g1 → the next compaction commits g2, readers (who
+    skip empty markers) follow it, and the superseded-marker cleanup
+    removes the debris. Fresh (within-grace) debris is honored as a
+    possible commit-in-flight: the compactor aborts loudly."""
+    import os
+    import time
+
+    from yat_geo_db_spark import fsio
+    from yat_geo_db_spark.streaming import sinks
+    from yat_geo_db_spark.streaming.sinks import (
+        _marker_name, compact_rollup, read_rollup,
+        rollup_maintenance_sink,
+    )
+
+    kw = dict(key_cols=["k"], sum_cols=["v"], scale=2)
+    root = str(tmp_path / "rollup")
+    sink = rollup_maintenance_sink(root, **kw)
+    sink(spark.createDataFrame([("a", 1.0)], "k string, v double"), 0)
+    want = sorted(map(tuple, read_rollup(spark, root, **kw).collect()))
+
+    debris = f"{root}/{_marker_name(1)}"
+    open(debris, "w").close()  # zero-byte g1: a failed commit
+    # fresh debris: could be a commit mid-write — refuse loudly
+    with pytest.raises(RuntimeError, match="aborted before commit"):
+        compact_rollup(spark, root, **kw)
+    assert sorted(
+        map(tuple, read_rollup(spark, root, **kw).collect())
+    ) == want  # reader skips the empty marker throughout
+
+    aged = time.time() - 120  # past _EMPTY_MARKER_GRACE_MS
+    os.utime(debris, (aged, aged))
+    compact_rollup(spark, root, **kw)  # escalates: commits g2
+    through, gen, pending, gendir = sinks._read_marker(spark, root)
+    assert gen == 2 and pending == []
+    assert not fsio.exists(spark, debris)  # cleanup swept the debris
+    assert not any(
+        n.startswith("batch_id=") for n in os.listdir(root)
+    )
+    assert sorted(
+        map(tuple, read_rollup(spark, root, **kw).collect())
+    ) == want
+
+
 def test_threaded_two_compactor_stress_exact_counts(spark, tmp_path):
     """Two compactors hammering the same root from threads, every
     mutual-exclusion courtesy disabled (lease_ms=0 lets each break the

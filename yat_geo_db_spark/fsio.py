@@ -263,11 +263,18 @@ def create_exclusive(spark, path: str, text: str) -> bool:
         finally:
             out.close()
     except Exception:
-        # the create WON but the token write failed: a zero-byte file
-        # left behind would be a lease nobody holds (every verify
-        # mismatches) — reclaim best-effort before propagating
+        # the create WON but the content write failed: a zero-byte
+        # file left behind would be a lease nobody holds / a commit
+        # slot nobody owns — reclaim best-effort before propagating.
+        # Reclaim ONLY a still-empty file: between the failed write
+        # and this delete, a debris-breaker may have removed our
+        # zero-byte entry and a NEW holder created healthy content at
+        # the same path — deleting blindly would destroy their
+        # committed file (fatal when the created file IS a commit
+        # marker; see sinks._commit_marker_exclusive).
         try:
-            fs.delete(p, False)
+            if fs.getFileStatus(p).getLen() == 0:
+                fs.delete(p, False)
         except Exception:
             pass
         raise

@@ -154,6 +154,17 @@ def _materialize_grams_stats(grams_tbl: DataFrame, n: int) -> int:
     return int(row["grams"]) * n + int(row["docs"]) * 16
 
 
+def _validate_verify(verify: str) -> None:
+    """Reject an invalid ``verify`` BEFORE any cluster work: the pair
+    builders call this at entry, so a typo costs a ValueError, not a
+    full shingle pass + auto-n sweep + grams persist first."""
+    if verify not in ("auto", "broadcast", "exploded"):
+        raise ValueError(
+            f"verify must be 'auto', 'broadcast' or 'exploded', got "
+            f"{verify!r}"
+        )
+
+
 def _verify_route(spark, verify: str, est_bytes: int) -> str:
     """Resolve verify='auto' against the session's broadcast ceiling:
     at or under spark.sql.autoBroadcastJoinThreshold the array
@@ -161,13 +172,9 @@ def _verify_route(spark, verify: str, est_bytes: int) -> str:
     broadcasting disabled (-1) — the exploded narrow verify takes
     over. 'broadcast'/'exploded' force the route (tests, callers who
     know their corpus)."""
+    _validate_verify(verify)
     if verify in ("broadcast", "exploded"):
         return verify
-    if verify != "auto":
-        raise ValueError(
-            f"verify must be 'auto', 'broadcast' or 'exploded', got "
-            f"{verify!r}"
-        )
     try:
         thr = _parse_size_bytes(
             spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
@@ -202,7 +209,8 @@ def _gram_bloom_table(grams_tbl: DataFrame, id_col: str) -> DataFrame:
     CANNOT be in B (any B gram on that bit would have set it), and
     distinct bits witness distinct grams, so
     popcount(bloom_A & ~bloom_B) lower-bounds |A \\ B|. One linear
-    explode + one map-side-combinable 32-buffer bit_or aggregate."""
+    explode + one map-side-combinable _BLOOM_WORDS-buffer bit_or
+    aggregate."""
     pos = F.pmod(F.xxhash64("_g"), F.lit(64 * _BLOOM_WORDS))
     e = grams_tbl.select(
         F.col(id_col).alias("_bid"), F.explode("grams").alias("_g")
@@ -253,13 +261,15 @@ def _pair_verify(
     metric: str,
     threshold: float,
     id_col: str = "doc_id",
-) -> DataFrame:
-    """Exact-verify the candidate pairs and emit
-    (left_id, right_id, metric) for pairs at or above `threshold`.
-    `cand` must carry the pre-computed distinct-gram set sizes
-    (`left_sz`, and `right_sz` for the symmetric Jaccard metric) —
-    they ride the narrow pair rows so neither route pays a join back
-    to the grams table just for a size.
+) -> tuple[DataFrame, list[DataFrame]]:
+    """Exact-verify the candidate pairs → (result, verify_frames):
+    result emits (left_id, right_id, metric) for pairs at or above
+    `threshold`; verify_frames lists any persisted helper tables
+    (the exploded route's bloom) for _finish_index_plan's cache
+    contract. `cand` must carry the pre-computed distinct-gram set
+    sizes (`left_sz`, and `right_sz` for the symmetric Jaccard
+    metric) — they ride the narrow pair rows so neither route pays a
+    join back to the grams table just for a size.
 
     Two plan shapes, one semantics:
 
@@ -326,9 +336,16 @@ def _pair_verify(
             paired.withColumn(metric, expr)
             .filter(F.col(metric) >= threshold)
             .select(left_id, right_id, metric)
-        )
+        ), []
     t = float(threshold)
-    bloom = _gram_bloom_table(grams_tbl, id_col)
+    # persisted + eagerly materialized: BOTH pair-join sides read the
+    # bloom table, and its 64-buffer bit_or aggregate over the exploded
+    # grams is the route's most expensive linear pass — the same
+    # racing-cold-cache hazard the grams/prefix caching contract
+    # documents (ngram_jaccard_pairs). Returned to the caller so
+    # _finish_index_plan can release it under materialize=True.
+    bloom = _gram_bloom_table(grams_tbl, id_col).persist()
+    bloom.count()
     ba = bloom.select(
         F.col("_bid").alias(left_id),
         *[F.col(f"_w{i}").alias(f"_a{i}") for i in range(_BLOOM_WORDS)],
@@ -389,7 +406,7 @@ def _pair_verify(
         inter.withColumn(metric, expr)
         .filter(F.col(metric) >= threshold)
         .select(left_id, right_id, metric)
-    )
+    ), [bloom]
 
 
 # --------------------------------------------------------------------------
@@ -561,6 +578,7 @@ def ngram_jaccard_pairs(
     (pair, gram-hash) verify past it — the route whose shuffle never
     carries an array and stays linear at any corpus size.
     """
+    _validate_verify(verify)
     if n is None:
         auto_kw = {} if n_grid is None else {"n_grid": tuple(n_grid)}
         n, _ = ngram_jaccard_auto_n(
@@ -629,12 +647,12 @@ def ngram_jaccard_pairs(
         .select("id1", "id2", "sz1", "sz2")
         .dropDuplicates(["id1", "id2"])
     )
+    result, verify_frames = _pair_verify(
+        cand, grams_tbl, route, "id1", "id2", "sz1", "sz2",
+        "jaccard", threshold,
+    )
     return _finish_index_plan(
-        _pair_verify(
-            cand, grams_tbl, route, "id1", "id2", "sz1", "sz2",
-            "jaccard", threshold,
-        ),
-        grams_tbl, prefix, materialize=materialize,
+        result, grams_tbl, prefix, *verify_frames, materialize=materialize,
     )
 
 
@@ -871,6 +889,7 @@ def containment_pairs(
     session broadcast ceiling, and past it ships narrow
     (pair, gram-hash) rows of the CONTAINED side — the smaller gram
     set of each pair — so the shuffle never carries an array."""
+    _validate_verify(verify)
     if n is None:
         auto_kw = {} if n_grid is None else {"n_grid": tuple(n_grid)}
         n, _ = containment_auto_n(
@@ -923,12 +942,12 @@ def containment_pairs(
         .select("id_in", "id_out", "sz_in")
         .dropDuplicates(["id_in", "id_out"])
     )
+    result, verify_frames = _pair_verify(
+        cand, grams_tbl, route, "id_in", "id_out", "sz_in", None,
+        "containment", threshold, id_col=id_col,
+    )
     return _finish_index_plan(
-        _pair_verify(
-            cand, grams_tbl, route, "id_in", "id_out", "sz_in", None,
-            "containment", threshold, id_col=id_col,
-        ),
-        grams_tbl, materialize=materialize,
+        result, grams_tbl, *verify_frames, materialize=materialize,
     )
 
 

@@ -271,42 +271,56 @@ _EMPTY_MARKER_GRACE_MS = 60_000
 def _commit_marker_exclusive(
     spark, root: str, through: int, gen: int, pending: list[str],
     gendir: str,
-) -> bool:
-    """COMMIT generation `gen`: create ``_compacted_through_g<gen>``
-    with the full marker text IFF it does not exist
-    (fsio.create_exclusive). This is the compare-and-swap the old
-    last-writer-wins marker write lacked: of two compactors that both
-    survived validation (one having stalled past the lease), exactly
-    one can create the gen file — the loser gets False and aborts
-    before any delete, so two compactors can never BOTH believe they
-    committed. On filesystems whose no-overwrite create is client-side
-    (classic S3A) this degrades to the lease verify-abort, exactly as
-    the lease itself does (see fsio.create_exclusive).
+) -> int | None:
+    """COMMIT at generation `gen` (or the next free slot above it):
+    create ``_compacted_through_g<g>`` with the full marker text IFF
+    it does not exist (fsio.create_exclusive); returns the generation
+    actually committed, or None if a concurrent compaction won. This
+    is the compare-and-swap the old last-writer-wins marker write
+    lacked: of two compactors that both survived validation (one
+    having stalled past the lease), exactly one can create a given gen
+    file — the loser gets None and aborts before any delete, so two
+    compactors can never BOTH believe they committed. On filesystems
+    whose no-overwrite create is client-side (classic S3A) this
+    degrades to the post-create content verify in
+    _compact_generational_locked, exactly as the lease degrades to its
+    token verify (see fsio.create_exclusive).
 
     A zero-byte gen file past _EMPTY_MARKER_GRACE_MS is a FAILED
-    commit's residue (that run raised; readers skip empty markers) —
-    it must not wedge this generation forever, so it is broken and the
-    create retried once, mirroring _acquire_compact_lease's debris
-    rule."""
+    commit's residue (that run raised; readers skip empty markers). It
+    must not wedge the root forever — but unlike the lease, marker
+    debris is NEVER broken by delete: a delete-then-recreate race on
+    the commit pointer could destroy a concurrent winner's committed
+    marker (the stalled original creator's failed-write reclaim
+    deletes whatever sits at the path — fine for a lease, fatal for a
+    commit). Instead the commit ESCALATES to the next generation
+    number: readers take the highest NON-EMPTY marker, so an empty
+    slot below a healthy one is simply dead weight that a later
+    commit's cleanup removes — and if the slot's original creator ever
+    finishes its write, its marker is outranked and its run fails the
+    content verify before deleting anything."""
     import time
 
-    path = f"{root}/{_marker_name(gen)}"
-    text = _marker_text(through, gen, pending, gendir)
-    for _ in range(2):
-        if fsio.create_exclusive(spark, path, text):
-            return True
+    g = gen
+    for _ in range(8):  # bounded escalation past dead empty slots
+        path = f"{root}/{_marker_name(g)}"
+        if fsio.create_exclusive(
+            spark, path, _marker_text(through, g, pending, gendir)
+        ):
+            return g
         mt = fsio.modification_time_ms(spark, path)
         if mt is None:
-            continue  # vanished (debris swept elsewhere) — retry
+            continue  # vanished (cleaned by a later commit) — retry g
         if int(time.time() * 1000) - mt < _EMPTY_MARKER_GRACE_MS:
-            return False
-        if fsio.read_bytes(spark, path) == b"":
-            mt2 = fsio.modification_time_ms(spark, path)
-            if mt2 == mt and fsio.read_bytes(spark, path) == b"":
-                fsio.delete(spark, path, recursive=False)
+            return None  # fresh: a live commit (or one mid-write)
+        content = fsio.read_bytes(spark, path)
+        if content is None:
+            continue  # vanished between stat and read — retry g
+        if content == b"":
+            g += 1  # dead empty slot: escalate, never delete
             continue
-        return False
-    return False
+        return None  # a healthy commit occupies this slot — lost
+    return None
 
 
 def _cleanup_superseded_markers(spark, root: str, gen: int) -> None:
@@ -315,7 +329,16 @@ def _cleanup_superseded_markers(spark, root: str, gen: int) -> None:
     generation, so stale lower markers are harmless — this only keeps
     the root from accumulating one small file per generation. A reader
     holding a pre-cleanup listing re-lists when the swept file reads
-    as None (see _read_marker)."""
+    as None (see _read_marker). Deleting an EMPTY sub-gen slot is safe
+    even against its stalled original creator: if that run's content
+    write ever lands, its outranked marker fails the run's post-create
+    content verify before it deletes anything.
+
+    Operational note: removing the legacy ``_compacted_through`` file
+    means a PRE-versioned-layout reader pointed at this root would see
+    'never compacted' and silently undercount — upgrade compactors and
+    readers of a shared root together (single-version operation is
+    this repo's deployment model)."""
     for nm in fsio.list_file_names(spark, root):
         drop = nm == _MARKER
         if nm.startswith(_MARKER_V_PREFIX):
@@ -967,9 +990,10 @@ def _compact_generational_locked(spark, root: str, fold,
     # instant the file exists; of two racing compactors exactly one
     # can create it, so losing the race is discovered HERE, before any
     # delete, and costs only this run's own (self-reclaimed) fold dir.
-    if not _commit_marker_exclusive(
+    new_gen = _commit_marker_exclusive(
         spark, root, new_through, gen + 1, fold_names, new_gendir
-    ):
+    )
+    if new_gen is None:
         _abort(
             f"a concurrent compaction committed generation {gen + 1} "
             "first (exclusive marker create refused)"
@@ -984,9 +1008,9 @@ def _compact_generational_locked(spark, root: str, fold,
     # the same degradation the lease documents, never a double-commit.
     # On HDFS the create is an atomic NameNode op and this read always
     # verifies.
-    committed = _marker_text(new_through, gen + 1, fold_names, new_gendir)
+    committed = _marker_text(new_through, new_gen, fold_names, new_gendir)
     if fsio.read_bytes(
-        spark, f"{root}/{_marker_name(gen + 1)}"
+        spark, f"{root}/{_marker_name(new_gen)}"
     ) != committed.encode("utf-8"):
         _abort(
             "a simultaneous commit displaced this run's marker content "
@@ -994,8 +1018,8 @@ def _compact_generational_locked(spark, root: str, fold,
         )
     for n in fold_names:
         fsio.delete(spark, f"{root}/{n}", recursive=True)
-    _write_marker(spark, root, new_through, gen + 1, [], new_gendir)
-    _cleanup_superseded_markers(spark, root, gen + 1)
+    _write_marker(spark, root, new_through, new_gen, [], new_gendir)
+    _cleanup_superseded_markers(spark, root, new_gen)
 
 
 def heavy_hitter_sink(
