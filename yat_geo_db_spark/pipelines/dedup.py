@@ -264,9 +264,10 @@ def _pair_verify(
 ) -> tuple[DataFrame, list[DataFrame]]:
     """Exact-verify the candidate pairs → (result, verify_frames):
     result emits (left_id, right_id, metric) for pairs at or above
-    `threshold`; verify_frames lists any persisted helper tables
-    (the exploded route's bloom) for _finish_index_plan's cache
-    contract. `cand` must carry the pre-computed distinct-gram set
+    `threshold`; verify_frames lists any persisted helper tables for
+    _finish_index_plan's cache contract (currently none — the bloom is
+    deliberately lazy, see the route comment below).
+    `cand` must carry the pre-computed distinct-gram set
     sizes (`left_sz`, and `right_sz` for the symmetric Jaccard
     metric) — they ride the narrow pair rows so neither route pays a
     join back to the grams table just for a size.
@@ -338,14 +339,15 @@ def _pair_verify(
             .select(left_id, right_id, metric)
         ), []
     t = float(threshold)
-    # persisted + eagerly materialized: BOTH pair-join sides read the
-    # bloom table, and its 64-buffer bit_or aggregate over the exploded
-    # grams is the route's most expensive linear pass — the same
-    # racing-cold-cache hazard the grams/prefix caching contract
-    # documents (ngram_jaccard_pairs). Returned to the caller so
-    # _finish_index_plan can release it under materialize=True.
-    bloom = _gram_bloom_table(grams_tbl, id_col).persist()
-    bloom.count()
+    # deliberately NOT persisted, unlike the grams/prefix tables: both
+    # pair-join sides read the bloom, but they project it through
+    # different aliases ABOVE an identical aggregate whose input
+    # exchange Catalyst dedups via ReusedExchange — measured (salted
+    # fixture, n=11): an eager persist+count here cost a scheduling
+    # barrier and bought nothing (1× 6.78 s persisted vs 4.99 s lazy;
+    # 10× 22.5 vs 22.1 s) — the opposite of the grams table, whose two
+    # consumers sit under DIFFERENT expensive subtrees.
+    bloom = _gram_bloom_table(grams_tbl, id_col)
     ba = bloom.select(
         F.col("_bid").alias(left_id),
         *[F.col(f"_w{i}").alias(f"_a{i}") for i in range(_BLOOM_WORDS)],
@@ -406,7 +408,7 @@ def _pair_verify(
         inter.withColumn(metric, expr)
         .filter(F.col(metric) >= threshold)
         .select(left_id, right_id, metric)
-    ), [bloom]
+    ), []
 
 
 # --------------------------------------------------------------------------
