@@ -124,6 +124,35 @@ def _prefix_candidates(docs, t):
     return cands
 
 
+@given(
+    st.frozensets(_gram, max_size=18),
+    st.frozensets(_gram, max_size=18),
+    st.sampled_from([4, 8, 16, 64]),
+)
+@settings(max_examples=300, deadline=None)
+def test_bloom_miss_bound_lossless_any_bucketing(a, b, bits):
+    """The gram-bloom verify prefilter (dedup._gram_bloom_table /
+    _bloom_miss_lower_bound) rests on: for ANY map of grams to single
+    bit positions, popcount(bloom_A & ~bloom_B) ≤ |A \\ B| — each
+    A-only bit is witnessed by ≥1 distinct A-gram absent from B, and
+    distinct bits witness distinct grams. Deliberately tiny widths
+    (down to 4 bits) force heavy collisions, the regime where an
+    unsound bound would overcount; A ⊆ B must always bound to exactly
+    0 (a verbatim containment can never be pruned). The Spark-side
+    deterministic twin (test_dedup_blocking) ties the real
+    xxhash64/4096-bit implementation to exact set differences."""
+    def bloom(s):
+        out = 0
+        for g in s:
+            out |= 1 << (hash(g) % bits)
+        return out
+
+    bound = bin(bloom(a) & ~bloom(b) & ((1 << bits) - 1)).count("1")
+    assert bound <= len(a - b), (sorted(a), sorted(b), bits)
+    if a <= b:
+        assert bound == 0
+
+
 @given(_corpus, _threshold)
 @settings(max_examples=250, deadline=None)
 def test_prefix_filter_is_lossless(docs, t):

@@ -1786,6 +1786,52 @@ def test_displacer_commit_in_validate_commit_gap_loses_cleanly(
     _assert_single_gen(root, 1)
 
 
+def test_commit_marker_exclusive_branches(spark, tmp_path):
+    """Unit pins on the commit CAS: a healthy existing marker refuses
+    (regardless of age); stacked aged empty slots are escalated past
+    in one call (never deleted by the committer itself); a fresh empty
+    slot refuses (possible commit mid-write on a degenerate FS)."""
+    import os
+    import time
+
+    from yat_geo_db_spark import fsio
+    from yat_geo_db_spark.streaming import sinks
+
+    root = str(tmp_path / "r")
+    os.makedirs(root)
+    aged = time.time() - 120
+
+    # healthy occupant at g1 -> lost, even when old
+    with open(f"{root}/{sinks._marker_name(1)}", "w") as fh:
+        fh.write("through=0\ngen=1\npending=\ngendir=_compacted_g1-x")
+    os.utime(f"{root}/{sinks._marker_name(1)}", (aged, aged))
+    assert sinks._commit_marker_exclusive(
+        spark, root, 5, 1, [], "_compacted_g1-y"
+    ) is None
+
+    # two stacked aged empty slots at g2, g3 -> commits g4, debris kept
+    for g in (2, 3):
+        open(f"{root}/{sinks._marker_name(g)}", "w").close()
+        os.utime(f"{root}/{sinks._marker_name(g)}", (aged, aged))
+    got = sinks._commit_marker_exclusive(
+        spark, root, 7, 2, [], "_compacted_g2-z"
+    )
+    assert got == 4
+    assert fsio.read_bytes(spark, f"{root}/{sinks._marker_name(2)}") == b""
+    assert fsio.read_bytes(spark, f"{root}/{sinks._marker_name(3)}") == b""
+    # the committed marker parses with the escalated gen and the
+    # reader resolves THROUGH it (skipping the empty slots below)
+    assert sinks._read_marker(spark, root) == (7, 4, [], "_compacted_g2-z")
+
+    # fresh empty slot -> refused (commit possibly mid-write)
+    root2 = str(tmp_path / "r2")
+    os.makedirs(root2)
+    open(f"{root2}/{sinks._marker_name(1)}", "w").close()
+    assert sinks._commit_marker_exclusive(
+        spark, root2, 0, 1, [], "_compacted_g1-w"
+    ) is None
+
+
 def test_empty_marker_debris_escalates_generation(spark, tmp_path):
     """A zero-byte versioned marker (failed commit: namespace create
     won, content write and reclaim both failed) must not wedge the
