@@ -327,19 +327,40 @@ def main() -> None:
     # past the capture window, truncating the FRONT of the one line
     # that matters (BENCH_r10.json "parsed": null).
     print(f"# isolated_floor: {json.dumps(isolated)}", file=sys.stderr)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": round(total, 3),
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            },
-            separators=(",", ":"),
-        ),
-        flush=True,
-    )
+    # the FULL per-query map (3 dp, nothing elided) rides on stderr so
+    # BENCHLOG diffs keep their precision even when the stdout line
+    # drops fast rows to fit the capture window
+    print(f"# full_queries: {json.dumps(timings, separators=(',', ':'))}",
+          file=sys.stderr)
+
+    # The driver captures a bounded 2000-char TAIL of stdout and parses
+    # the LAST line as JSON. Rounds 10 and 11 both shipped a ~2.1 KB
+    # line, so the FRONT of the line fell outside the window and
+    # BENCH_r{10,11}.json recorded "parsed": null. The only robust fix
+    # is to keep the WHOLE line under the window: headline fields lead,
+    # per-query timings go to 2 dp, and if the line still exceeds the
+    # budget the FASTEST rows are elided (deterministically — slowest
+    # rows are the ones cross-round diffs care about), with the elision
+    # count recorded so a reader knows the map is partial.
+    line_budget = int(os.environ.get("SPARK_GRAFT_BENCH_LINE_BYTES", "1900"))
+    inline = {n: round(t, 2) for n, t in timings.items()}
+    elided = 0
+    payload = {
+        "metric": "headline_queries_total",
+        "value": round(total, 3),
+        "unit": "sec",
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "queries": inline,
+    }
+    line = json.dumps(payload, separators=(",", ":"))
+    for name in sorted(inline, key=lambda n: (inline[n], n)):
+        if len(line) <= line_budget:
+            break
+        del inline[name]
+        elided += 1
+        payload["queries_elided"] = elided
+        line = json.dumps(payload, separators=(",", ":"))
+    print(line, flush=True)
 
 
 if __name__ == "__main__":

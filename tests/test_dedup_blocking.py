@@ -1223,3 +1223,31 @@ def test_candidate_estimates_empty_and_short_corpus(spark):
     )
     assert dedup.containment_candidate_estimate(docs, 0.8, n=3) == 0
     assert dedup.ngram_jaccard_candidate_estimate(docs, 0.5, n=3) == 0
+
+
+def test_registry_shuffle_row_takes_exploded_route(spark):
+    """VERDICT r11 task 1: the new pipe_dedup_containment_shuffle
+    registry row must actually EXECUTE the exploded/bloom verify plan
+    (no array column through any Exchange) and emit byte-identical
+    pairs to the broadcast registry twin — the driver hashes its
+    output against the same oracle, this test pins the plan shape the
+    driver cannot see."""
+    from yat_geo_db_spark.queries.pipeline_queries import (
+        q_dedup_containment,
+        q_dedup_containment_shuffle,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    shuffle_df = q_dedup_containment_shuffle(spark, sf_dir)
+    broadcast_df = q_dedup_containment(spark, sf_dir)
+    got_s = sorted(map(tuple, shuffle_df.collect()))
+    got_b = sorted(map(tuple, broadcast_df.collect()))
+    assert got_s and got_s == got_b
+    assert _array_carrying_exchanges(shuffle_df) == []
+    # the broadcast twin carries its gram arrays only through
+    # BroadcastExchange (one copy per executor, never per-pair)
+    assert all(
+        node.startswith("BroadcastExchange")
+        for node, _, _ in _array_carrying_exchanges(broadcast_df)
+    )
+    spark.catalog.clearCache()

@@ -180,6 +180,39 @@ ORDER BY id_in, id_out
 """
 
 
+def q_dedup_containment_shuffle(spark, sf_dir):
+    """pipe_dedup_containment with ``verify='exploded'`` FORCED — the
+    post-broadcast-ceiling production plan (gram-bloom prefilter +
+    exploded shared-gram count, dedup._pair_verify), driver-hashed
+    against the SAME oracle as the broadcast row. The byte gate keeps
+    every sf0.01/sf0.1 registry corpus on the broadcast fast-path, so
+    without this row the shuffle route — the plan a 100 TB corpus
+    actually runs — would only ever be pytest-pinned (round-11 VERDICT
+    'What's missing' #1): here the driver hashes its OUTPUT directly.
+    Same corpus construction and threshold as q_dedup_containment; the
+    two rows differing only in `verify` makes any cross-route
+    divergence a hash mismatch on one of them."""
+    docs = load_table(spark, sf_dir, "documents")
+    snip = docs.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.expr(
+            "substring(text, 1, CAST(floor(length(text) / 2) AS INT))"
+        ).alias("text"),
+        "lang",
+    )
+    corpus = docs.select("doc_id", "text", "lang").unionByName(snip)
+    return dedup.containment_pairs(
+        corpus, threshold=CONTAIN_T, n=7, block_cols=("lang",),
+        verify="exploded",
+    ).orderBy("id_in", "id_out")
+
+
+#: same results as the broadcast route — byte-identical oracle: the
+#: verify plan shape must never change WHAT qualifies, only how the
+#: exact intersection is computed
+_DEDUP_CONTAINMENT_SHUFFLE_SQL = _DEDUP_CONTAINMENT_SQL
+
+
 #: gram sizes the cost-model registry row prices (small → saturated,
 #: large → individuating on the synthetic corpus)
 COST_MODEL_NS = (3, 5, 7)
@@ -2517,9 +2550,18 @@ SELECT n_rows, {B} AS n_replicas, mean, ci_lo, ci_hi FROM st, ci
 def q_user_survival(spark, sf_dir):
     """User-retention Kaplan–Meier (learn.kaplan_meier): duration =
     whole days between a user's first and last event; churned (event=1)
-    if their last activity predates the corpus edge by >3 days,
-    otherwise censored. The log-space fixed-point product makes the
-    curve hash-exact."""
+    if the user's inactivity gap (corpus edge − last event) is at least
+    the MEDIAN gap across users, otherwise censored. The horizon is
+    derived from the observed gap distribution — a fixed wall-clock
+    horizon (the r11 version's >3 days) went vacuous when regenerated
+    testdata compressed every gap under it (CORRECTNESS_r11: 0 rows
+    both engines, hash verified nothing); `gap >= median` marks at
+    least the max-gap user churned under ANY regeneration, so the
+    curve is never empty. Median via exact interpolated percentile
+    (Spark `percentile` ≡ DuckDB `quantile_cont`, both p·(n−1) linear
+    interpolation; gaps are int64 µs < 2^53, so the double arithmetic
+    is exact and the comparison is engine-identical). The log-space
+    fixed-point product makes the curve hash-exact."""
     from yat_geo_db_spark.pipelines.learn import kaplan_meier
 
     events = load_table(spark, sf_dir, "events")
@@ -2528,17 +2570,25 @@ def q_user_survival(spark, sf_dir):
         F.min("ts").alias("_first"),
         F.max("ts").alias("_last"),
     )
-    units = spans.crossJoin(F.broadcast(edge)).select(
+    gaps = spans.crossJoin(F.broadcast(edge)).select(
+        "_first",
+        "_last",
+        (
+            F.unix_micros(F.col("_max_ts").cast("timestamp"))
+            - F.unix_micros(F.col("_last").cast("timestamp"))
+        ).alias("_gap_us"),
+    )
+    horizon = gaps.agg(
+        F.expr("percentile(_gap_us, 0.5)").alias("_horizon_us")
+    )
+    units = gaps.crossJoin(F.broadcast(horizon)).select(
         F.floor(
             (F.unix_micros(F.col("_last").cast("timestamp"))
              - F.unix_micros(F.col("_first").cast("timestamp")))
             / F.lit(86_400_000_000.0)
         ).cast("long").alias("duration_days"),
-        (
-            F.unix_micros(F.col("_max_ts").cast("timestamp"))
-            - F.unix_micros(F.col("_last").cast("timestamp"))
-            > F.lit(3 * 86_400_000_000)
-        ).cast("int").alias("churned"),
+        (F.col("_gap_us") >= F.col("_horizon_us"))
+        .cast("int").alias("churned"),
     )
     return kaplan_meier(units, "duration_days", "churned").orderBy("t")
 
@@ -2551,14 +2601,20 @@ WITH edge AS (SELECT max(ts) AS max_ts FROM events),
 spans AS (
   SELECT user_id, min(ts) AS f, max(ts) AS l FROM events GROUP BY user_id
 ),
+gaps AS (
+  SELECT f, l,
+         epoch_us(CAST(max_ts AS TIMESTAMP))
+           - epoch_us(CAST(l AS TIMESTAMP)) AS gap_us
+  FROM spans, edge
+),
+h AS (SELECT quantile_cont(gap_us, 0.5) AS horizon_us FROM gaps),
 units AS (
   SELECT CAST(floor((epoch_us(CAST(l AS TIMESTAMP))
                      - epoch_us(CAST(f AS TIMESTAMP)))
                     / 86400000000.0) AS BIGINT) AS t,
-         CASE WHEN epoch_us(CAST(max_ts AS TIMESTAMP))
-                   - epoch_us(CAST(l AS TIMESTAMP)) > 259200000000
+         CASE WHEN CAST(gap_us AS DOUBLE) >= horizon_us
               THEN 1 ELSE 0 END AS e
-  FROM spans, edge
+  FROM gaps, h
 ),
 per_t AS (
   SELECT t, sum(e) AS d, count(*) AS c FROM units GROUP BY t
@@ -6496,6 +6552,9 @@ QUERIES: dict = {
     "pipe_curate_leakage": (q_curate_leakage, _CURATE_LEAKAGE_SQL),
     "pipe_dedup_exact": (q_dedup_exact, _DEDUP_EXACT_SQL),
     "pipe_dedup_containment": (q_dedup_containment, _DEDUP_CONTAINMENT_SQL),
+    "pipe_dedup_containment_shuffle": (
+        q_dedup_containment_shuffle, _DEDUP_CONTAINMENT_SHUFFLE_SQL,
+    ),
     "pipe_dedup_containment_auto": (
         q_dedup_containment_auto, _DEDUP_CONTAINMENT_AUTO_SQL,
     ),
