@@ -503,7 +503,17 @@ def _panel_recall_clustered(spark, registry) -> None:
     emb = load_table(spark, d, "embeddings")
     t = 0.8
     flat = sim.semdedup_pairs(emb, threshold=t).count()
+    t0 = time.perf_counter()
     two = sim.semdedup_pairs_scaled(emb, threshold=t).count()
+    sec_p1 = round(time.perf_counter() - t0, 2)
+    # the 3√k knob (VERDICT r11 task 6): top-2 coarse-cell routing —
+    # same pair-join volume, p·√k-heavier assignment, boundary pairs
+    # re-unite; recall/cost pair recorded next to p=1's
+    t0 = time.perf_counter()
+    two_p2 = sim.semdedup_pairs_scaled(
+        emb, threshold=t, coarse_probes=2
+    ).count()
+    sec_p2 = round(time.perf_counter() - t0, 2)
     unit = sim.l2_normalized(emb, "vec_id", "embedding").localCheckpoint()
     a = unit.select(F.col("vec_id").alias("id1"),
                     F.col("embedding").alias("v1"))
@@ -523,8 +533,12 @@ def _panel_recall_clustered(spark, registry) -> None:
         "brute_pairs": truth,
         "flat_pairs": flat,
         "two_level_pairs": two,
+        "two_level_p2_pairs": two_p2,
         "recall_flat": round(flat / truth, 4) if truth else None,
         "recall_two_level": round(two / truth, 4) if truth else None,
+        "recall_two_level_p2": round(two_p2 / truth, 4) if truth else None,
+        "sec_two_level": sec_p1,
+        "sec_two_level_p2": sec_p2,
     }
     print(f"# clustered recall (t={t}): {out}", file=sys.stderr)
     print(json.dumps({

@@ -1161,3 +1161,69 @@ def test_two_level_shuffle_join_path_plan_shape(spark):
     ), "sub-assign equi-join lost its shuffle-join shape"
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoop" not in plan
+
+
+def test_two_level_multi_probe_routing(spark):
+    """coarse_probes (the 3√k recall knob, VERDICT r11 task 6): still
+    exactly ONE composite cell per vector (the pair-join volume must
+    not grow with p), per-vector distance never worse than p=1 (the
+    p=1 candidate set — the primary cell's sub-centroids — is a
+    subset of p=2's), deterministic across invocations, and p capped
+    at k1 / rejected below 1."""
+    import pytest as _pytest
+
+    from yat_geo_db_spark.pipelines.similarity import (
+        kmeans_two_level_fit_assign,
+    )
+
+    emb = load_table(spark, SF, "embeddings")
+    n = emb.count()
+    k = 9
+    p1 = {r["vec_id"]: r for r in
+          kmeans_two_level_fit_assign(emb, k=k, n_iter=2).collect()}
+    a2 = kmeans_two_level_fit_assign(emb, k=k, n_iter=2, coarse_probes=2)
+    rows = a2.collect()
+    assert len(rows) == n
+    assert len({r["vec_id"] for r in rows}) == n
+    assert all(0 <= r["cid"] < 9 for r in rows)
+    # argmin over a candidate superset: dist can only improve or tie
+    assert all(r["dist"] <= p1[r["vec_id"]]["dist"] + 1e-9 for r in rows)
+    # some vector actually re-routes on this fixture (the knob bites)
+    assert any(r["cid"] != p1[r["vec_id"]]["cid"] for r in rows)
+    b2 = kmeans_two_level_fit_assign(emb, k=k, n_iter=2, coarse_probes=2)
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, b2.collect()))
+    # p >= k1 degrades to exhaustive sub-centroid search, still valid
+    a_all = kmeans_two_level_fit_assign(emb, k=k, n_iter=2,
+                                        coarse_probes=99)
+    assert a_all.count() == n
+    with _pytest.raises(ValueError, match="coarse_probes"):
+        kmeans_two_level_fit_assign(emb, k=k, coarse_probes=0)
+    spark.catalog.clearCache()
+
+
+def test_semdedup_scaled_multi_probe_pairs_are_exact(spark):
+    """semdedup_pairs_scaled(coarse_probes=2): every emitted pair is an
+    exact thresholded cosine (emitted ⊆ brute truth) and the pair set
+    is deterministic."""
+    from yat_geo_db_spark.pipelines import similarity as sim
+
+    emb = load_table(spark, SF, "embeddings").limit(300)
+    t = 0.8
+    got = sorted(map(tuple, sim.semdedup_pairs_scaled(
+        emb, threshold=t, coarse_probes=2).collect()))
+    unit = sim.l2_normalized(emb, "vec_id", "embedding")
+    a = unit.select(F.col("vec_id").alias("id1"),
+                    F.col("embedding").alias("v1"))
+    b = unit.select(F.col("vec_id").alias("id2"),
+                    F.col("embedding").alias("v2"))
+    truth = {
+        (r["id1"], r["id2"]): r["cosine"]
+        for r in a.join(b, F.col("id1") < F.col("id2"))
+        .select("id1", "id2",
+                F.round(sim.dot_col(F.col("v1"), F.col("v2")), 6)
+                .alias("cosine"))
+        .filter(F.col("cosine") >= t).collect()
+    }
+    assert all((i1, i2) in truth and truth[(i1, i2)] == c
+               for i1, i2, c in got)
+    spark.catalog.clearCache()

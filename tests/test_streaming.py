@@ -2144,3 +2144,114 @@ def test_zero_byte_lease_debris_broken_past_short_grace(spark, tmp_path):
     assert not fsio.exists(spark, lease)
     got = sorted(map(tuple, read_rollup(spark, root, **kw).collect()))
     assert got == want
+
+
+def test_read_marker_relists_when_legacy_swept_mid_read(
+    spark, tmp_path, monkeypatch
+):
+    """ADVICE r11: the first-ever versioned commit plus its legacy-file
+    sweep can land between _read_marker's (empty) versioned listing
+    and its legacy read — a bare _compacted_through caller must NOT
+    get a stale 'never compacted' (-1) view. Simulated by a
+    list_file_names wrapper that hides the versioned markers exactly
+    once AFTER the legacy file is already gone: the re-list must find
+    the committed generation. A genuinely empty root must still
+    return the sentinel (no spin, no storm error)."""
+    from yat_geo_db_spark import fsio
+    from yat_geo_db_spark.streaming import sinks
+    from yat_geo_db_spark.streaming.sinks import (
+        compact_rollup, rollup_maintenance_sink,
+    )
+
+    kw = dict(key_cols=["k"], sum_cols=["v"], scale=2)
+    root = str(tmp_path / "rollup")
+    sink = rollup_maintenance_sink(root, **kw)
+    sink(spark.createDataFrame([("a", 1.0)], "k string, v double"), 0)
+    compact_rollup(spark, root, **kw)  # first versioned commit (g1);
+    # the cleanup has already swept any legacy _compacted_through file
+
+    real = fsio.list_file_names
+    state = {"hidden": 0}
+
+    def racy_list(spark_, path):
+        names = real(spark_, path)
+        if state["hidden"] < 1:
+            state["hidden"] += 1
+            return [n for n in names
+                    if not n.startswith(sinks._MARKER_V_PREFIX)]
+        return names
+
+    monkeypatch.setattr(sinks.fsio, "list_file_names", racy_list)
+    assert sinks._compacted_through(spark, root) == 0  # batch 0 folded
+    assert state["hidden"] == 1  # the stale listing happened and was
+    # recovered by the one-shot re-list
+
+    # genuinely never-compacted root: sentinel, not a storm error
+    empty = str(tmp_path / "empty")
+    import os
+    os.makedirs(empty, exist_ok=True)
+    assert sinks._compacted_through(spark, empty) == -1
+
+
+def test_commit_outranked_by_displacer_aborts_before_deletes(
+    spark, tmp_path, monkeypatch
+):
+    """ADVICE r11: a creator stalled mid content-write past the grace
+    can finish AFTER a displacer escalated past its slot — its own
+    marker verifies (its text IS there) but a higher generation is
+    already committed. The run must abort BEFORE its fold-dir deletes
+    (false success was the residual). Simulated by a
+    create_exclusive wrapper that plants a healthy higher-generation
+    marker immediately after the real create succeeds."""
+    import pytest as _pytest
+
+    from yat_geo_db_spark import fsio
+    from yat_geo_db_spark.streaming import sinks
+    from yat_geo_db_spark.streaming.sinks import (
+        _marker_name, _marker_text, compact_rollup, read_rollup,
+        rollup_maintenance_sink,
+    )
+
+    kw = dict(key_cols=["k"], sum_cols=["v"], scale=2)
+    root = str(tmp_path / "rollup")
+    sink = rollup_maintenance_sink(root, **kw)
+    sink(spark.createDataFrame([("a", 1.0)], "k string, v double"), 0)
+    compact_rollup(spark, root, **kw)  # real g1 with a real gendir
+    g1_through, g1_gen, _, g1_dir = sinks._read_marker(spark, root)
+    assert g1_gen == 1
+    sink(spark.createDataFrame([("a", 2.0)], "k string, v double"), 1)
+    want = sorted(map(tuple, read_rollup(spark, root, **kw).collect()))
+
+    real_create = fsio.create_exclusive
+
+    def create_then_displace(spark_, path, text):
+        ok = real_create(spark_, path, text)
+        if ok and sinks._MARKER_V_PREFIX in path:
+            # the displacer's committed higher generation appears
+            # between this run's content verify and its deletes; it
+            # names a REAL committed generation dir (as a true
+            # displacer's would)
+            fsio.write_text_atomic(
+                spark_, f"{root}/{_marker_name(9)}",
+                _marker_text(g1_through, 9, [], g1_dir),
+            )
+        return ok
+
+    monkeypatch.setattr(sinks.fsio, "create_exclusive",
+                        create_then_displace)
+    with _pytest.raises(RuntimeError, match="higher generation"):
+        compact_rollup(spark, root, **kw)
+    # fold dirs intact: the abort fired before any delete
+    import os
+    assert any(n.startswith("batch_id=") for n in os.listdir(root))
+    # readers follow the max generation throughout — counts exact
+    assert sorted(
+        map(tuple, read_rollup(spark, root, **kw).collect())
+    ) == want
+    monkeypatch.undo()
+    # a rerun folds batch 1 into the displacer's lineage and converges
+    compact_rollup(spark, root, **kw)
+    assert sinks._read_marker(spark, root)[1] == 10
+    assert sorted(
+        map(tuple, read_rollup(spark, root, **kw).collect())
+    ) == want

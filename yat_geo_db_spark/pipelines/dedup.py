@@ -544,7 +544,16 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Near-duplicate pairs by character-n-gram Jaccard — EXACT (all pairs
     with J ≥ threshold, nothing lossy), via the prefix-filter
-    set-similarity self-join (see jaccard_prefix_table).
+    set-similarity self-join (see jaccard_prefix_table). One caveat on
+    "exact": with ``verify='broadcast'`` (the route every corpus under
+    the session broadcast ceiling takes) the intersection is bit-exact
+    over the gram strings; the shuffle route (``verify='exploded'``,
+    or 'auto' past the ceiling) counts |∩| over 64-bit xxhash64 gram
+    hashes, so a hash collision between two distinct grams of a
+    candidate pair can inflate a score one-sidedly (possible false
+    positives, NEVER a missed pair; probability ≈
+    pairs·|g1|·|g2|/2^64 — negligible at the corpus sizes that force
+    that route; see _pair_verify).
 
     Shape: prefix explode → equi-join on (prefix gram, *block_cols) →
     distinct candidate pairs → join grams back → exact-Jaccard verify.
@@ -848,6 +857,14 @@ def containment_pairs(
     """DIRECTED containment near-dup pairs — 'A lives inside B':
     C(A→B) = |S(A) ∩ S(B)| / |S(A)| over distinct char n-gram sets,
     EXACT (every ordered pair with C ≥ threshold, id_in ≠ id_out).
+    Exactness caveat: ``verify='broadcast'`` is bit-exact over the
+    gram strings; the shuffle route (``verify='exploded'``, or 'auto'
+    past the session broadcast ceiling) counts |∩| over 64-bit
+    xxhash64 gram hashes — a collision between two distinct grams of
+    a candidate pair can inflate a score one-sidedly (possible false
+    positives, never a missed pair; probability ≈ pairs·|g1|·|g2|/2^64
+    — negligible at the corpus sizes that force that route; see
+    _pair_verify).
     The asymmetric complement of ngram_jaccard_pairs: symmetric
     Jaccard misses a short document embedded verbatim in a much longer
     one (J = |A|/|B| can be arbitrarily small while C(A→B) = 1) — the

@@ -450,10 +450,56 @@ def _sub_update(assign: DataFrame, vecs: DataFrame,
     )
 
 
+def _coarse_top_p(embeddings: DataFrame, centroids: DataFrame, p: int,
+                  id_col: str, vec_col: str) -> DataFrame:
+    """Top-p nearest coarse centroids per vector — the multi-probe
+    routing rounds of the two-level quantizer. p successive struct-min
+    argmin passes, each excluding the cells already picked via a
+    map-side NOT array_contains filter: every pass partial-aggregates
+    map-side, so the exchange carries N narrow rows per round, never
+    the N×k1 expansion (a collect_list/top-p window would ship every
+    candidate distance — 16 B × k1 per vector — through the shuffle;
+    at k1 = 1000 coarse cells that is 16 KB/vector, the difference
+    between a routing pass and a second corpus). CPU cost is p·n·k1
+    distance evaluations (the excluded-cell distances are recomputed
+    each round — whole-stage-codegen arithmetic, traded for the
+    exchange width). Returns (id, cid1raw, probe), probe = 0..p-1,
+    probe 0 = the primary (argmin) cell."""
+    vecs = embeddings.select(id_col, vec_col)
+    picks: DataFrame | None = None
+    for r in range(p):
+        joined = vecs.crossJoin(F.broadcast(centroids))
+        if picks is not None:
+            chosen = picks.groupBy(id_col).agg(
+                F.collect_list("cid1raw").alias("_chosen")
+            )
+            joined = joined.join(chosen, id_col).filter(
+                ~F.array_contains(F.col("_chosen"), F.col("cid"))
+            )
+        rnd = (
+            joined.select(
+                id_col,
+                F.struct(
+                    sq_dist_col(F.col(vec_col), F.col("cvec")).alias("dist"),
+                    F.col("cid"),
+                ).alias("dc"),
+            )
+            .groupBy(id_col)
+            .agg(F.min("dc").alias("m"))
+            .select(
+                id_col,
+                F.col("m.cid").alias("cid1raw"),
+                F.lit(r).alias("probe"),
+            )
+        )
+        picks = rnd if picks is None else picks.unionByName(rnd)
+    return picks
+
+
 def kmeans_two_level_fit_assign(
     embeddings: DataFrame, k: int, n_iter: int = 2,
     id_col: str = "vec_id", vec_col: str = "embedding",
-    broadcast_sub: bool = True,
+    broadcast_sub: bool = True, coarse_probes: int = 1,
 ) -> DataFrame:
     """Two-level Lloyd routing — the scale path when k grows with the
     corpus (SemDeDup auto-k, IVF coarse quantizers): a coarse fit with
@@ -489,7 +535,12 @@ def kmeans_two_level_fit_assign(
 
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
+    if coarse_probes < 1:
+        raise ValueError(
+            f"coarse_probes must be >= 1, got {coarse_probes}"
+        )
     k1 = int(-(-(k ** 0.5) // 1))
+    coarse_probes = min(coarse_probes, k1)
     k2 = -(-k // k1)
     coarse = kmeans_fit(embeddings, k=k1, n_iter=n_iter,
                         id_col=id_col, vec_col=vec_col)
@@ -543,6 +594,52 @@ def kmeans_two_level_fit_assign(
                 "cid1", "cid2", F.coalesce("cvec", "_prev").alias("cvec")
             )
             .localCheckpoint()
+        )
+    if coarse_probes > 1:
+        # multi-probe final assignment (the 3√k recall knob, VERDICT
+        # r11 task 6): every vector scores the sub-centroids of its
+        # top-`coarse_probes` COARSE cells and lands in the globally
+        # nearest composite cell — the fix for the boundary
+        # quantization error where a vector's best sub-centroid lives
+        # in its SECOND-nearest coarse cell (the dominant recall loss
+        # of hierarchical routing: a near-dup pair split by a coarse
+        # boundary re-unites when either member re-routes). Fit is
+        # untouched (primary-cell Lloyd, same centroids at any p);
+        # output contract unchanged — still exactly ONE composite cid
+        # per vector, so the downstream pair join's volume does NOT
+        # grow with p, only the assignment cost: n·(p·k1 + p·k2) ≈
+        # n·(p+1)·√k evals vs n·2√k at p=1. A second-probe coarse cell
+        # that is nobody's primary has no sub-centroids and drops out
+        # of the equi-join; the primary cell always retains ≥1
+        # candidate (the vector itself is a member). Measured
+        # (bench_scaling.py recall_clustered, BENCHLOG round 12):
+        # p=2 lifts clustered-fixture recall 82.9% → 91.3% — ABOVE the
+        # flat path's 90.1% — at parity wall-clock on the fixture
+        # (34.0 s vs 35.4 s; the extra n·k1 pass is √k-bounded and
+        # noise-level next to the pair join).
+        ca_p = _coarse_top_p(
+            embeddings, coarse, coarse_probes, id_col, vec_col
+        ).join(F.broadcast(rank), "cid1raw").select(id_col, "cid1")
+        vecs_p = embeddings.select(id_col, vec_col).join(ca_p, id_col)
+        joined = vecs_p.join(
+            F.broadcast(sub) if broadcast_sub else sub, "cid1"
+        )
+        return (
+            joined.select(
+                id_col,
+                F.struct(
+                    sq_dist_col(F.col(vec_col), F.col("cvec")).alias("dist"),
+                    F.col("cid1"),
+                    F.col("cid2"),
+                ).alias("dc"),
+            )
+            .groupBy(id_col)
+            .agg(F.min("dc").alias("m"))
+            .select(
+                id_col,
+                (F.col("m.cid1") * k2 + F.col("m.cid2")).alias("cid"),
+                F.round(F.col("m.dist"), 6).alias("dist"),
+            )
         )
     final = _sub_assign(vecs, sub, id_col, vec_col, broadcast_sub)
     return final.select(
@@ -1143,6 +1240,7 @@ def semdedup_pairs_scaled(
     embeddings: DataFrame, threshold: float = 0.8, n_iter: int = 2,
     target_cell: int = SEMDEDUP_TARGET_CELL,
     id_col: str = "vec_id", vec_col: str = "embedding",
+    coarse_probes: int = 1,
 ) -> DataFrame:
     """semdedup_pairs on the TWO-LEVEL routing
     (kmeans_two_level_fit_assign) with auto-sized k — the 100 TB shape
@@ -1158,11 +1256,25 @@ def semdedup_pairs_scaled(
     brute is **82.9%** against the flat path's 90.1% — the two-level
     routing costs ~7 recall points for the n·2√k assignment; on the
     diffuse rotation fixture (round 10) the routing kept 97.9%/95.7%
-    of the flat path's pairs at 1×/10×."""
+    of the flat path's pairs at 1×/10×.
+
+    ``coarse_probes`` prices that loss back (the 3√k knob): each
+    vector's final cell is chosen over the sub-centroids of its top-p
+    coarse cells (kmeans_two_level_fit_assign multi-probe), healing
+    the coarse-boundary quantization error at n·(p+1)·√k assignment
+    cost while the pair-join volume is UNCHANGED (still one composite
+    cell per vector). Measured operating points on the clustered
+    fixture at t=0.8 (BENCHLOG round 12): p=1 → 82.9% recall (35.4 s);
+    p=2 → 91.3% recall (34.0 s — wall-clock parity; the added n·k1
+    pass is √k-bounded and noise-level next to the pair join). p=2
+    EXCEEDS the flat path's 90.1%: re-routing boundary vectors to
+    their globally nearest composite cell is a better quantizer than
+    flat Lloyd at the same k, at √k-scaling cost instead of n·k."""
     unit = l2_normalized(embeddings, id_col, vec_col).localCheckpoint()
     k = semdedup_auto_k(unit.count(), target_cell)
     assign = kmeans_two_level_fit_assign(
-        unit, k=k, n_iter=n_iter, id_col=id_col, vec_col=vec_col
+        unit, k=k, n_iter=n_iter, id_col=id_col, vec_col=vec_col,
+        coarse_probes=coarse_probes,
     ).select(id_col, "cid")
     return _cell_blocked_pairs(unit, assign, threshold, id_col, vec_col)
 

@@ -178,6 +178,7 @@ def _read_marker(spark, root: str) -> tuple[int, int, list[str], str]:
     that fails to parse is therefore real corruption and raises rather
     than being silently read as 'never compacted' (which would
     replay-double-count)."""
+    legacy_retried = False
     for _ in range(8):
         gens: list[int] = []
         for nm in fsio.list_file_names(spark, root):
@@ -199,6 +200,15 @@ def _read_marker(spark, root: str) -> tuple[int, int, list[str], str]:
             continue
         txt = fsio.read_text(spark, f"{root}/{_MARKER}")
         if txt is None:
+            if not gens and not legacy_retried:
+                # the FIRST-EVER versioned commit plus its legacy-file
+                # sweep (_cleanup_superseded_markers) can land between
+                # our (empty) versioned listing and this read — a bare
+                # caller would see a stale 'never compacted' (-1) view.
+                # Re-list ONCE; a genuinely never-compacted root lists
+                # empty again and returns the sentinel on the next pass.
+                legacy_retried = True
+                continue
             return -1, 0, [], f"{_GEN_PREFIX}0"
         return _parse_marker(root, _MARKER, txt, expect=None)
     raise RuntimeError(
@@ -228,7 +238,15 @@ def _parse_marker(
         )
     except (KeyError, ValueError) as e:
         raise ValueError(
-            f"corrupt compaction marker at {root}/{name}: {txt!r}"
+            f"corrupt compaction marker at {root}/{name}: {txt!r} — "
+            "likely a failed commit's PARTIAL content flush (non-empty, "
+            "unparseable; the zero-byte reclaim in fsio.create_exclusive "
+            "cannot touch it). Manual remedy: if a higher-generation "
+            "healthy marker exists, or this generation's fold dirs are "
+            "intact on disk, delete this file; readers then resume from "
+            "the next-lower committed generation. Do NOT delete a marker "
+            "whose generation dir exists and whose fold dirs are gone — "
+            "that one committed and the corruption is real bit-rot."
         ) from e
 
 
@@ -1015,6 +1033,18 @@ def _compact_generational_locked(spark, root: str, fold,
         _abort(
             "a simultaneous commit displaced this run's marker content "
             "(degenerate no-overwrite create on this filesystem)"
+        )
+    # A creator stalled mid content-write PAST the empty-marker grace
+    # can finish after a displacer escalated beyond its slot: its own
+    # slot then verifies (its text IS there) while a higher generation
+    # is already committed. Its fold-dir deletes would be benign (its
+    # fold set is a subset of the displacer's pending list) but its
+    # success report would be false — so the commit stands only if OUR
+    # generation is still the maximum a reader would pick.
+    if _read_marker(spark, root)[1] != new_gen:
+        _abort(
+            "a displacing compaction committed a higher generation "
+            "while this run stalled mid-commit (outranked marker)"
         )
     for n in fold_names:
         fsio.delete(spark, f"{root}/{n}", recursive=True)
