@@ -247,7 +247,16 @@ def create_exclusive(spark, path: str, text: str) -> bool:
     fallback 'exists ⇒ held' classification returns False against the
     caller's own zero-byte debris — sinks._acquire_compact_lease
     breaks empty lease files past a short grace so that phantom can
-    never wedge compaction for a full lease window."""
+    never wedge compaction for a full lease window.
+
+    The content-write failure path below reclaims ONLY a still-EMPTY
+    file (a blind delete could destroy a concurrent winner's healthy
+    content at the same path — fatal when the file is a commit
+    marker). The deliberate residue: a PARTIAL flush that leaves a
+    non-empty, unparseable file is NOT reclaimed here and needs the
+    manual remedy sinks._parse_marker's corrupt-marker error spells
+    out — a tiny window (single-packet payloads), traded against the
+    delete-recreate race."""
     _, _, fs, p = _jfs(spark, path)
     try:
         out = fs.create(p, False)

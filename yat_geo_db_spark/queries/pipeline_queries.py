@@ -4876,14 +4876,25 @@ def q_sim_two_level_cells(spark, sf_dir):
     ).orderBy("vec_id")
 
 
-def _two_level_sql(k: int = TWOLEVEL_K, n_iter: int = KMEANS_ITERS) -> str:
+def _two_level_sql(k: int = TWOLEVEL_K, n_iter: int = KMEANS_ITERS,
+                   coarse_probes: int = 1) -> str:
     """Unrolled two-level Lloyd: the coarse chain is _kmeans_sql(k1)
     verbatim (bit-exactness inherited), re-published as a MATERIALIZED
     `ca` (every sub-round re-reads it); each sub-round is an equi-join
     assignment + the same fixed-point centroid mean keyed by
-    (cid1, cid2), with the Lloyd empty-cell guard."""
+    (cid1, cid2), with the Lloyd empty-cell guard.
+
+    ``coarse_probes`` > 1 mirrors the multi-probe FINAL assignment
+    (kmeans_two_level_fit_assign coarse_probes): the fit chain is
+    untouched (primary-cell Lloyd — identical sub-centroids at any p);
+    only the final argmin runs over the sub-centroids of each vector's
+    top-p coarse cells (rn <= p of the SAME (dist, cid)-ordered coarse
+    distance relation the primary assignment reads — the same total
+    order _coarse_top_p's successive excluded argmins induce), with
+    the (dist, cid1, cid2) tie-break mirroring the Spark struct-min."""
     k1 = int(-(-(k ** 0.5) // 1))
     k2 = -(-k // k1)
+    p = min(coarse_probes, k1)
     fsum = _FSUM_SQL
     base = _kmeans_sql(k1, n_iter)
     marker = "SELECT vec_id, cid, round(dist, 6) AS dist "
@@ -4901,6 +4912,14 @@ def _two_level_sql(k: int = TWOLEVEL_K, n_iter: int = KMEANS_ITERS) -> str:
         "AS cid1 FROM (SELECT DISTINCT c_raw FROM car))",
         "ca AS MATERIALIZED (SELECT car.vec_id, car.embedding, cr.cid1 "
         "FROM car JOIN cr ON car.c_raw = cr.c_raw)",
+        # top-p coarse cells for the multi-probe FINAL assignment (rn
+        # of the same (dist, cid)-ordered relation; a second-probe
+        # cell that is nobody's primary is absent from cr and drops
+        # out of the join — mirror of the Spark broadcast(rank) join)
+        "cap AS (SELECT carp.vec_id, carp.embedding, cr.cid1 "
+        "FROM (SELECT vec_id, embedding, cid AS c_raw "
+        + tail_from.replace("WHERE rn = 1", f"WHERE rn <= {p}")
+        + ") carp JOIN cr ON carp.c_raw = cr.c_raw)",
         f"""s0 AS (
   SELECT cid1, CAST(rn - 1 AS BIGINT) AS cid2,
          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cvec
@@ -4911,13 +4930,19 @@ def _two_level_sql(k: int = TWOLEVEL_K, n_iter: int = KMEANS_ITERS) -> str:
 )""",
     ]
     for t in range(n_iter + 1):
+        # the FINAL assignment (t == n_iter) scans the top-p probed
+        # cells with the (dist, cid1, cid2) struct-min tie-break; the
+        # fit rounds stay primary-cell (p has no effect on them)
+        src = "cap" if (t == n_iter and p > 1) else "ca"
+        order = "dist, cid1, cid2" if (t == n_iter and p > 1) \
+            else "dist, cid2"
         ctes.append(f"""sa{t} AS (
   SELECT vec_id, cid1, embedding, cid2, dist,
-         row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid2) AS rn
+         row_number() OVER (PARTITION BY vec_id ORDER BY {order}) AS rn
   FROM (
     SELECT v.vec_id, v.cid1, v.embedding, s.cid2,
            {_sqdist_sql('v.embedding', 's.cvec')} AS dist
-    FROM ca v JOIN s{t} s ON v.cid1 = s.cid1
+    FROM {src} v JOIN s{t} s ON v.cid1 = s.cid1
   )
 )""")
         if t == n_iter:
@@ -4947,6 +4972,22 @@ FROM sa{n_iter} WHERE rn = 1
 ORDER BY vec_id
 """
     )
+
+
+def q_sim_two_level_cells_p2(spark, sf_dir):
+    """The multi-probe (coarse_probes=2) twin of
+    pipe_sim_two_level_cells — the 3√k recall knob (VERDICT r11 task
+    6) driver-hashed: same fit, but every vector's FINAL cell is the
+    argmin over the sub-centroids of its top-2 coarse cells
+    (kmeans_two_level_fit_assign coarse_probes; measured on the
+    clustered fixture: recall 82.9% → 91.3% at wall-clock parity,
+    BENCHLOG round 12). The oracle replays the top-2 coarse probe and
+    the (dist, cid1, cid2) struct-min, so a routing divergence
+    hash-mismatches."""
+    return similarity.kmeans_two_level_fit_assign(
+        load_table(spark, sf_dir, "embeddings"),
+        k=TWOLEVEL_K, n_iter=KMEANS_ITERS, coarse_probes=2,
+    ).orderBy("vec_id")
 
 
 def q_emb_dim_stats(spark, sf_dir):
@@ -6614,6 +6655,9 @@ QUERIES: dict = {
     ),
     "pipe_sim_semdedup": (q_sim_semdedup, _semdedup_sql(k=16)),
     "pipe_sim_two_level_cells": (q_sim_two_level_cells, _two_level_sql()),
+    "pipe_sim_two_level_cells_p2": (
+        q_sim_two_level_cells_p2, _two_level_sql(coarse_probes=2),
+    ),
     "pipe_emb_dim_stats": (q_emb_dim_stats, _emb_dim_stats_sql()),
     "pipe_sim_topk_batch": (q_sim_topk_batch, _TOPK_BATCH_SQL),
     "pipe_curate_corpus": (q_curate_corpus, _curate_sql()),
