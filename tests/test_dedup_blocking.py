@@ -1251,3 +1251,40 @@ def test_registry_shuffle_row_takes_exploded_route(spark):
         for node, _, _ in _array_carrying_exchanges(broadcast_df)
     )
     spark.catalog.clearCache()
+
+
+def test_prefix_df_dictionary_broadcast_gated_by_ceiling(spark):
+    """Round-12 extreme-panel finding: the prefix table's gram-df
+    dictionary is bounded by VOCABULARY, which a copy-unique-vocab
+    corpus grows with the corpus — the unconditional broadcast OOM'd
+    the driver at 100x. The dictionary must broadcast under the
+    session ceiling and shuffle-join past it (same gram key as the
+    candidate join), with identical output either way."""
+    random.seed(47)
+    pool = [f"w{i:02d}" for i in range(40)]
+    rows = [
+        (i, " ".join(pool[random.randrange(40)] for _ in range(20)), "en")
+        for i in range(60)
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string"
+    )
+
+    def df_join_is_broadcast(prefix_df) -> bool:
+        plan = prefix_df._jdf.queryExecution().executedPlan().toString()
+        # the df join is the only join in the prefix plan
+        return "BroadcastHashJoin" in plan
+
+    p_bc = dedup.jaccard_prefix_table(docs, 0.5, n=7)
+    assert df_join_is_broadcast(p_bc)
+    got_bc = sorted(map(tuple, p_bc.collect()))
+
+    thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "1")
+        p_sh = dedup.jaccard_prefix_table(docs, 0.5, n=7)
+        assert not df_join_is_broadcast(p_sh)
+        assert sorted(map(tuple, p_sh.collect())) == got_bc
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
+    spark.catalog.clearCache()

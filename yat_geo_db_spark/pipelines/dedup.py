@@ -477,6 +477,7 @@ def jaccard_prefix_table(
     id_col: str = "doc_id",
     block_cols: tuple[str, ...] = (),
     grams_tbl: DataFrame | None = None,
+    index_frames: list | None = None,
 ) -> DataFrame:
     """(id, *blocks, g): the PREFIX-FILTER index over distinct character
     n-grams — the lossless candidate generator for exact Jaccard ≥ t
@@ -495,9 +496,21 @@ def jaccard_prefix_table(
 
     Pass a (persisted) `grams_tbl` from distinct_grams_table to share the
     shingle computation with other consumers. The document-frequency table
-    is small (bounded by the gram vocabulary, not the corpus) and is
-    broadcast into the exploded rows, so the only shuffle here is the
-    per-doc ranking window."""
+    is bounded by the gram VOCABULARY, not the corpus — small for natural
+    text (shared vocabulary), so it broadcasts into the exploded rows and
+    the only shuffle here is the per-doc ranking window. But a corpus of
+    copy-unique vocabulary (the salted 100× fixture; any web-scale crawl
+    at large n) grows the vocabulary WITH the corpus, and round 12's
+    extreme panel measured the unconditional broadcast dying with a
+    driver OOM at 100× — so the dictionary is persisted, counted (one
+    bounded scalar over an aggregate the join needs anyway), and
+    broadcast only while its estimated bytes fit the session broadcast
+    ceiling; past it the df join shuffles on the gram key (same key the
+    candidate join shuffles on — co-partitioned, no extra exchange
+    shape). The persisted dictionary follows the shared caching
+    contract: pass ``index_frames`` (a list) and it is appended for the
+    caller's _finish_index_plan release; without it, the caller owns
+    the storage (clearCache), same as every other lazy-path index."""
     from pyspark.sql import Window
 
     if grams_tbl is None:
@@ -509,8 +522,26 @@ def jaccard_prefix_table(
         id_col, *block_cols, F.size("grams").alias("sz"),
         F.explode("grams").alias("g"),
     )
-    freq = F.broadcast(
-        exploded.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
+    freq_raw = exploded.groupBy("g").agg(
+        F.count(F.lit(1)).alias("df")
+    ).persist()
+    if index_frames is not None:
+        index_frames.append(freq_raw)
+    vocab = freq_raw.count()  # bounded collect: one scalar
+    try:
+        thr = _parse_size_bytes(
+            exploded.sparkSession.conf.get(
+                "spark.sql.autoBroadcastJoinThreshold"
+            )
+        )
+    except Exception:
+        thr = 10 << 20  # Spark's stock default
+    # raw payload estimate (gram UTF8 bytes + the long df), same
+    # err-toward-broadcast philosophy as _materialize_grams_stats
+    freq = (
+        F.broadcast(freq_raw)
+        if thr > 0 and vocab * (n + 8) <= thr
+        else freq_raw
     )
     w = Window.partitionBy(id_col).orderBy("df", "g")
     # FP-safe ceil: for thresholds with no exact binary representation
@@ -605,9 +636,10 @@ def ngram_jaccard_pairs(
         documents.sparkSession, verify,
         _materialize_grams_stats(grams_tbl, n),
     )
+    prefix_frames: list = []
     prefix = jaccard_prefix_table(
         documents, threshold, n=n, text_col=text_col, block_cols=block_cols,
-        grams_tbl=grams_tbl,
+        grams_tbl=grams_tbl, index_frames=prefix_frames,
     ).persist()
     prefix.count()  # materialize before both self-join sides read it
     a = prefix.select(
@@ -663,7 +695,8 @@ def ngram_jaccard_pairs(
         "jaccard", threshold,
     )
     return _finish_index_plan(
-        result, grams_tbl, prefix, *verify_frames, materialize=materialize,
+        result, grams_tbl, prefix, *prefix_frames, *verify_frames,
+        materialize=materialize,
     )
 
 
@@ -711,10 +744,12 @@ def ngram_jaccard_candidate_estimate(
         documents, n=n, text_col=text_col, id_col=id_col,
         block_cols=block_cols,
     ).persist()  # the prefix build reads it twice (df + window rows)
+    prefix_frames: list = []
     try:
         prefix = jaccard_prefix_table(
             documents, threshold, n=n, text_col=text_col, id_col=id_col,
             block_cols=block_cols, grams_tbl=grams_tbl,
+            index_frames=prefix_frames,
         )
         row = (
             prefix.groupBy(*block_cols, "g")
@@ -738,6 +773,8 @@ def ngram_jaccard_candidate_estimate(
         )
     finally:
         grams_tbl.unpersist()
+        for f in prefix_frames:
+            f.unpersist()
     if row["n_groups"] == 0:
         _raise_if_probe_blind(full_docs, sample_fraction, n, text_col)
         return 0
@@ -925,9 +962,11 @@ def containment_pairs(
         documents.sparkSession, verify,
         _materialize_grams_stats(grams_tbl, n),
     )
+    prefix_frames: list = []
     prefix = jaccard_prefix_table(
         documents, threshold, n=n, text_col=text_col, id_col=id_col,
         block_cols=block_cols, grams_tbl=grams_tbl,
+        index_frames=prefix_frames,
     )
     a = prefix.select(
         F.col("g"),
@@ -966,7 +1005,8 @@ def containment_pairs(
         "containment", threshold, id_col=id_col,
     )
     return _finish_index_plan(
-        result, grams_tbl, *verify_frames, materialize=materialize,
+        result, grams_tbl, *prefix_frames, *verify_frames,
+        materialize=materialize,
     )
 
 
@@ -1031,10 +1071,12 @@ def containment_candidate_estimate(
             documents, n=n, text_col=text_col, id_col=id_col,
             block_cols=block_cols,
         ).persist()
+    prefix_frames: list = []
     try:
         prefix = jaccard_prefix_table(
             documents, threshold, n=n, text_col=text_col, id_col=id_col,
             block_cols=block_cols, grams_tbl=grams_tbl,
+            index_frames=prefix_frames,
         )
         df_tbl = (
             grams_tbl.select(*block_cols, F.explode("grams").alias("g"))
@@ -1058,6 +1100,8 @@ def containment_candidate_estimate(
     finally:
         if own_grams:
             grams_tbl.unpersist()
+        for f in prefix_frames:
+            f.unpersist()
     if row["n_entries"] == 0:
         if sample_fraction is not None:
             _raise_if_probe_blind(full_docs, sample_fraction, n, text_col)
