@@ -417,12 +417,23 @@ def _panel_salted_extreme(spark, registry) -> None:
     n_auto1, e1 = dedup.containment_auto_n(
         base_docs, 0.8, block_cols=("lang",)
     )
+    spark.catalog.clearCache()
     out = {"1x": {"auto_n": n_auto1, "auto_est": e1}}
     for name in ("pipe_dedup_minhash_lsh", "pipe_dedup_sorted_neighborhood"):
         out["1x"][name + "_sec"] = round(
             _time_query(spark, registry[name][0], d1, runs=1), 3
         )
-    for scale in (32, 100):
+    # one JVM accumulates enough heap history over a full multi-scale
+    # pass that the 100x estimate sweep can die of execution-memory
+    # starvation it never sees in a fresh session (measured round 12:
+    # standalone 555 s vs UNABLE_TO_ACQUIRE_MEMORY in-panel) — run one
+    # scale per invocation when that matters
+    scales = tuple(
+        int(s) for s in os.environ.get(
+            "SPARK_GRAFT_EXTREME_SCALES", "32,100"
+        ).split(",") if s
+    )
+    for scale in scales:
         label = f"{scale}x"
         d = f"{SALT_DIR}_{scale}x"
         build_salted_fixture(spark, scale, d)
@@ -437,9 +448,11 @@ def _panel_salted_extreme(spark, registry) -> None:
             print(f"# extreme {name} at {label}: {sec:.2f}s "
                   f"({sec / base:.1f}x the 1x {base:.2f}s)",
                   file=sys.stderr)
+        spark.catalog.clearCache()
         n_auto, e_auto = dedup.containment_auto_n(
             docs, 0.8, block_cols=("lang",)
         )
+        spark.catalog.clearCache()
         rec["auto_n"] = n_auto
         rec["auto_est"] = e_auto
         rec["est_linearity"] = round(e_auto / (e1 * scale), 3)
