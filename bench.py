@@ -162,17 +162,39 @@ def _semdedup_scaled(spark, sf_dir):
     )
 
 
+def _semdedup_scaled_p2(spark, sf_dir):
+    """Bench-only: the two-level route with coarse_probes=2 — the 3√k
+    recall knob (round 12: clustered-fixture recall 82.9% → 91.3% at
+    wall-clock parity). Benched next to the p=1 line so the knob's
+    cost claim (parity: only the √k-bounded n·k1 coarse pass is added)
+    is re-priced every round."""
+    from yat_geo_db_spark.pipelines import similarity
+    from yat_geo_db_spark.queries.pipeline_queries import (
+        COSINE_T, KMEANS_ITERS,
+    )
+    from yat_geo_db_spark.testdata import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.semdedup_pairs_scaled(
+        emb, threshold=COSINE_T, n_iter=KMEANS_ITERS, coarse_probes=2
+    )
+
+
 #: bench-only callables (not registry queries — no oracle needed; they
 #: measure production-default paths the oracled twins pin for parity)
 BENCH_ONLY = {
     "pipe_sim_semdedup_autok": _semdedup_autok,
     "pipe_sim_semdedup_scaled": _semdedup_scaled,
+    "pipe_sim_semdedup_scaled_p2": _semdedup_scaled_p2,
 }
 
 HEADLINE.append("pipe_sim_semdedup_autok")
 # round-9 addition (tail, same comparability rule): the two-level
 # routing twin of the autok line
 HEADLINE.append("pipe_sim_semdedup_scaled")
+# round-12 addition (tail): the multi-probe recall knob next to its
+# p=1 twin
+HEADLINE.append("pipe_sim_semdedup_scaled_p2")
 
 
 def force(df) -> None:
