@@ -158,13 +158,13 @@ def _salt_alphabet(c: int) -> str:
     past the window alphabet's 16× maximum (VERDICT r11 'what's
     missing' #4) — draw a pseudorandom 10-of-26 permutation from a
     self-contained LCG Fisher-Yates seeded by c (no reliance on
-    random-module stability): two distinct copies then share a given
-    position token only if their alphabets agree on every digit of its
-    3-digit body (P ≈ 26^-distinct_digits ≤ 1/676 per token), so the
-    expected cross-copy shared-gram fraction is ~0.1% — three orders
-    of magnitude under any dedup threshold. build_salted_fixture
-    asserts all copies' alphabets are pairwise distinct, so exact
-    cross-copy duplicates can never silently reappear."""
+    random-module stability). Alphabet agreement between two copies ≥17
+    no longer matters for cross-copy gram sharing: _copy_suffix embeds
+    the copy INDEX into every token, so tokens are copy-unique by
+    construction (VERDICT r12 task 6 — the old ~(scale/26³)·N²
+    alphabet-collision term polluted the 100× candidate-estimate
+    linearity telemetry). The pairwise-distinct assertion in
+    build_salted_fixture stays as a belt-and-braces exactness guard."""
     if c <= 16:
         return _SALT_ALPHA[c:c + 10]
     letters = list(_SALT_ALPHA)
@@ -174,6 +174,20 @@ def _salt_alphabet(c: int) -> str:
         j = state % (i + 1)
         letters[i], letters[j] = letters[j], letters[i]
     return "".join(letters[:10])
+
+
+def _copy_suffix(c: int) -> str:
+    """Copy-unique token tail for copies ≥ 17: `q` + two base-26
+    letters encoding c (covers 676 copies). Distinct copies therefore
+    NEVER share a salt token — any shingle spanning a token gap differs
+    across copies deterministically, so the cross-copy shared-gram
+    count is exactly the salt-free residue (sub-n-char word runs), flat
+    in scale. Copies ≤ 16 keep the empty suffix: their disjoint
+    sliding-window alphabets already guarantee zero sharing AND
+    bit-identical fixtures to every prior round's ≤16× markers."""
+    if c <= 16:
+        return ""
+    return "q" + _SALT_ALPHA[(c // 26) % 26] + _SALT_ALPHA[c % 26]
 
 
 def _salted_doc_copy(docs, c: int):
@@ -189,12 +203,13 @@ def _salted_doc_copy(docs, c: int):
     import pyspark.sql.functions as F
 
     alpha = _salt_alphabet(c)
+    suffix = _copy_suffix(c)
 
     def emit(w, i):
         body = F.translate(
             F.lpad(i.cast("string"), 3, "0"), "0123456789", alpha
         )
-        tok = F.concat(F.lit("z"), body, F.reverse(body))
+        tok = F.concat(F.lit("z"), body, F.reverse(body), F.lit(suffix))
         return F.when(
             i % 2 == 1, F.concat(tok, F.lit(" "), w)
         ).otherwise(w)
@@ -219,7 +234,11 @@ def build_salted_fixture(spark, scale: int, out_dir: str) -> None:
     scale from distribution)."""
     from yat_geo_db_spark.testdata import load_table
 
-    stamp = f"salt-v1 scale={scale} base={BASE_DIR}\n"
+    # v2 only where suffixed copies (c ≥ 17) are included: smaller
+    # scales' outputs are bit-identical to v1, so their cached fixtures
+    # stay valid and no regeneration is paid
+    ver = "salt-v2" if scale > 17 else "salt-v1"
+    stamp = f"{ver} scale={scale} base={BASE_DIR}\n"
     marker = f"{out_dir}/_FIXTURE_OK"
     if os.path.exists(marker):
         with open(marker) as fh:
@@ -389,8 +408,12 @@ def _panel_salted(spark, registry) -> None:
 #: per-candidate bytes through the exploded verify's pair exchange
 #: (the 512 B bloom row) — prices the shuffle of a gated containment
 #: run; the extreme panel refuses a run whose projected shuffle would
-#: crowd this box's disk (the estimate IS the measurement past that)
-_VERIFY_BYTES_PER_CAND = 512
+#: crowd this box's disk (the estimate IS the measurement past that).
+#: Shared with the library's opt-in verify pre-flight (dedup.py), so
+#: the panel and a production caller price with the same constant.
+from yat_geo_db_spark.pipelines.dedup import (  # noqa: E402
+    VERIFY_BYTES_PER_CAND as _VERIFY_BYTES_PER_CAND,
+)
 _EXTREME_SHUFFLE_BUDGET = int(
     os.environ.get("SPARK_GRAFT_EXTREME_BUDGET_BYTES", str(25 << 30))
 )
@@ -474,10 +497,20 @@ def _panel_salted_extreme(spark, registry) -> None:
                   file=sys.stderr)
         else:
             rec["containment_sec"] = None
-            print(f"# extreme containment at {label}: REFUSED — "
-                  f"projected pair shuffle {shuffle_bytes >> 30} GiB > "
-                  f"budget {_EXTREME_SHUFFLE_BUDGET >> 30} GiB (the "
-                  "estimate is the measurement)", file=sys.stderr)
+            # the refusal now flows through the library's own priced
+            # error (VERDICT r12 task 5): reuse the sweep's estimate,
+            # record the message a production caller would see
+            try:
+                dedup._verify_preflight(
+                    docs, 0.8, n_auto, e_auto, _EXTREME_SHUFFLE_BUDGET,
+                    "containment", dedup.containment_auto_n,
+                    dedup._AUTO_N_GRID, "text", "doc_id", ("lang",),
+                    None,
+                )
+            except dedup.VerifyBudgetExceeded as e:
+                rec["refusal"] = str(e)
+                print(f"# extreme containment at {label}: REFUSED — {e}",
+                      file=sys.stderr)
     print(json.dumps({
         "metric": "scaling_salted_extreme",
         "base": BASE_DIR,

@@ -1288,3 +1288,138 @@ def test_prefix_df_dictionary_broadcast_gated_by_ceiling(spark):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
     spark.catalog.clearCache()
+
+
+def test_prefix_df_gate_measures_utf8_bytes_and_releases_cache(spark):
+    """ADVICE r12: (a) the gate must price MEASURED UTF-8 bytes, not
+    1 byte/char — a CJK corpus's grams are 3x the char count, and the
+    forced F.broadcast() hint bypasses Spark's own size check; (b) a
+    public-API call (no index_frames) must not leave persisted frames
+    behind."""
+    import random as _r
+    _r.seed(48)
+    # CJK-ish corpus: every char is 3 UTF-8 bytes
+    pool = [chr(0x4E00 + i) for i in range(200)]
+    rows = [
+        (i, "".join(_r.choice(pool) for _ in range(40)), "zh")
+        for i in range(50)
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string"
+    )
+
+    def df_join_is_broadcast(prefix_df) -> bool:
+        plan = prefix_df._jdf.queryExecution().executedPlan().toString()
+        return "BroadcastHashJoin" in plan
+
+    # vocabulary of 3-grams over 50x40 chars ≈ ~1.9k distinct grams →
+    # chars estimate vocab*(3+8) ≈ 21 KiB, measured 3-byte estimate
+    # vocab*(9+8) ≈ 33 KiB. A threshold BETWEEN the two must take the
+    # shuffle route under byte-measuring (old char math would broadcast).
+    jsc = spark.sparkContext._jsc.sc()
+    persisted_before = jsc.getPersistentRDDs().size()
+    grams = dedup.distinct_grams_table(docs, n=3)
+    from pyspark.sql import functions as F
+    vocab, bts = (
+        grams.select(F.explode("grams").alias("g")).distinct()
+        .agg(F.count(F.lit(1)), F.sum(F.octet_length("g"))).first()
+    )
+    assert bts == vocab * 9  # 3 chars x 3 bytes — the 3x regime
+    char_est = vocab * (3 + 8)
+    byte_est = bts + vocab * 8
+    assert char_est < byte_est
+    mid = (char_est + byte_est) // 2
+    thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(mid))
+        p = dedup.jaccard_prefix_table(docs, 0.5, n=3)
+        assert not df_join_is_broadcast(p), (
+            "gate admitted a broadcast the byte measure prices over "
+            f"the ceiling (chars {char_est} < {mid} < bytes {byte_est})"
+        )
+        # and with the ceiling above the MEASURED bytes it broadcasts
+        spark.conf.set(
+            "spark.sql.autoBroadcastJoinThreshold", str(byte_est + 1024)
+        )
+        p2 = dedup.jaccard_prefix_table(docs, 0.5, n=3)
+        assert df_join_is_broadcast(p2)
+        assert sorted(map(tuple, p.collect())) == sorted(
+            map(tuple, p2.collect())
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
+    # (b) no persisted frames linger for the public (no index_frames) path
+    assert jsc.getPersistentRDDs().size() <= persisted_before, (
+        "public jaccard_prefix_table call leaked persisted frames"
+    )
+    spark.catalog.clearCache()
+
+
+def test_verify_preflight_refusal_names_payable_alternative(spark):
+    """VERDICT r12 task 5: an unpayable verify must raise an error that
+    PRICES the refused join and names ≥1 payable alternative the
+    library ships — a higher gram size when one fits the budget, else
+    the MinHash-LSH route."""
+    import pytest as _pytest
+
+    # small-vocabulary corpus: 3-grams are saturated (every doc shares
+    # most grams → huge candidate estimate), longer grams individuate
+    rows = [
+        (i, " ".join(f"w{(i * 7 + j) % 9}" for j in range(30)), "en")
+        for i in range(80)
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string"
+    )
+    est3 = dedup.containment_candidate_estimate(docs, 0.8, n=3)
+    assert est3 > 0
+    # budget below the n=3 projection → refusal
+    budget = est3 * dedup.VERIFY_BYTES_PER_CAND // 2
+    with _pytest.raises(dedup.VerifyBudgetExceeded) as ei:
+        dedup.containment_pairs(
+            docs, threshold=0.8, n=3, shuffle_budget_bytes=budget
+        )
+    msg = str(ei.value)
+    assert "GiB" in msg and "refused" in msg
+    # must name a payable alternative: either a priced higher n or the
+    # minhash route; BOTH paths must mention minhash_lsh_pairs
+    assert "minhash_lsh_pairs" in msg
+    if "raise the gram size to n=" in msg:
+        import re as _re
+        n2 = int(_re.search(r"gram size to n=(\d+)", msg).group(1))
+        est2 = dedup.containment_candidate_estimate(docs, 0.8, n=n2)
+        assert est2 * dedup.VERIFY_BYTES_PER_CAND <= budget, (
+            "named alternative is not actually payable"
+        )
+    # a payable budget passes through with identical output
+    ok = dedup.containment_pairs(
+        docs, threshold=0.8, n=3,
+        shuffle_budget_bytes=est3 * dedup.VERIFY_BYTES_PER_CAND + 1,
+    )
+    plain = dedup.containment_pairs(docs, threshold=0.8, n=3)
+    assert sorted(map(tuple, ok.collect())) == sorted(
+        map(tuple, plain.collect())
+    )
+    spark.catalog.clearCache()
+
+
+def test_verify_preflight_jaccard_route(spark):
+    """The Jaccard twin refuses with the same priced-alternative
+    contract."""
+    import pytest as _pytest
+
+    rows = [
+        (i, " ".join(f"w{(i * 5 + j) % 8}" for j in range(25)), "en")
+        for i in range(60)
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string"
+    )
+    est3 = dedup.ngram_jaccard_candidate_estimate(docs, 0.5, n=3)
+    assert est3 > 0
+    with _pytest.raises(dedup.VerifyBudgetExceeded, match="minhash_lsh_pairs"):
+        dedup.ngram_jaccard_pairs(
+            docs, threshold=0.5, n=3,
+            shuffle_budget_bytes=est3 * dedup.VERIFY_BYTES_PER_CAND // 2,
+        )
+    spark.catalog.clearCache()

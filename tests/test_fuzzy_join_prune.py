@@ -120,3 +120,48 @@ def test_prune_noop_when_no_gram_crosses_cap(spark):
     b = sorted(map(tuple, fuzzy.fuzzy_join(
         shapes, probes, num_results=1, max_gram_df=None).collect()))
     assert a and a == b
+
+
+def test_supplied_postings_df_fraction_uses_postings_population(spark):
+    """ADVICE r12: with a caller-supplied `postings` built over MORE
+    entities than `shapes`, the df fraction must divide by the posting
+    population, not shapes.count(). Here a gram sits in 12 of 120
+    indexed entities (df 10%, at the 0.1 cap boundary → kept) but 12 of
+    12 shapes (df 100% → wrongly pruned under the old denominator,
+    which would strip the probe's every gram and return 0 rows)."""
+    # 120-entity corpus: 12 carry the 'shared plaza' tail, 108 don't
+    rows = [
+        (i, f"name{i:03d} shared plaza", f"name{i:03d} shared plaza")
+        for i in range(12)
+    ] + [
+        (i, f"other{i:03d} unique", f"other{i:03d} unique")
+        for i in range(12, 120)
+    ]
+    corpus = spark.createDataFrame(
+        rows, "id long, value string, clean_value string"
+    )
+    postings = fuzzy.build_postings(corpus)
+    # shapes = ONLY the 12 tail-carrying entities (a partition of the
+    # corpus, as a partitioned sub-index caller would pass)
+    shapes = corpus.filter(F.col("id") < 12)
+    probes = spark.createDataFrame(
+        [(0, "name005 shared plaza")], "probe_id long, probe_value string"
+    )
+    got = fuzzy.fuzzy_join(
+        shapes, probes, num_results=1, postings=postings, max_gram_df=0.2
+    ).collect()
+    assert len(got) == 1 and got[0]["id"] == 5, got
+    # sanity: the OLD denominator (shapes.count()=12) would have pruned
+    # the tail grams (df 12 > 0.2*12) AND the head grams (df 1 < 2.4 ok)
+    # — tail pruned, head kept, so top-1 still id=5; tighten: a probe of
+    # ONLY the shared tail individuates nothing under the old math but
+    # under the correct postings-population math (12/120 = 10% ≤ 20%)
+    # the tail grams survive and the probe matches.
+    tail_probe = spark.createDataFrame(
+        [(1, "shared plaza")], "probe_id long, probe_value string"
+    )
+    got_tail = fuzzy.fuzzy_join(
+        shapes, tail_probe, num_results=1, postings=postings,
+        max_gram_df=0.2,
+    ).count()
+    assert got_tail == 1

@@ -2255,3 +2255,137 @@ def test_commit_outranked_by_displacer_aborts_before_deletes(
     assert sorted(
         map(tuple, read_rollup(spark, root, **kw).collect())
     ) == want
+
+
+def test_commit_folded_forward_by_fast_follower_is_success(
+    spark, tmp_path, monkeypatch
+):
+    """ADVICE r12: a fast follower that read THIS run's committed gen+1
+    marker and folded it into gen+2 before the outranked re-read is NOT
+    a displacement — this run's commit stood and was folded forward, so
+    the run must report success (previously it aborted with a false
+    'state unchanged; rerun'). Simulated by a create_exclusive wrapper
+    that, after the real create, replays a follower: folds the new
+    generation dir forward, inherits-and-cleans the pending batch dirs,
+    and commits gen+2 listing our gendir pending."""
+    import os
+    import shutil
+
+    from yat_geo_db_spark import fsio
+    from yat_geo_db_spark.streaming import sinks
+    from yat_geo_db_spark.streaming.sinks import (
+        compact_rollup, read_rollup, rollup_maintenance_sink,
+    )
+
+    kw = dict(key_cols=["k"], sum_cols=["v"], scale=2)
+    root = str(tmp_path / "rollup")
+    sink = rollup_maintenance_sink(root, **kw)
+    sink(spark.createDataFrame([("a", 1.0)], "k string, v double"), 0)
+    sink(spark.createDataFrame([("a", 2.0), ("b", 1.0)],
+                               "k string, v double"), 1)
+    want = sorted(map(tuple, read_rollup(spark, root, **kw).collect()))
+
+    real_create = fsio.create_exclusive
+    seen = {}
+
+    def create_then_follow(spark_, path, text):
+        ok = real_create(spark_, path, text)
+        if ok and sinks._MARKER_V_PREFIX in os.path.basename(path):
+            fields = dict(
+                ln.partition("=")[::2] for ln in text.splitlines()
+            )
+            gen = int(fields["gen"])
+            gendir = fields["gendir"]
+            seen["gendir"] = gendir
+            pend = [p for p in fields["pending"].split(",") if p]
+            # the follower folds OUR committed generation forward …
+            fol_dir = f"{sinks._GEN_PREFIX}{gen + 1}-f0110wer"
+            shutil.copytree(os.path.join(root, gendir),
+                            os.path.join(root, fol_dir))
+            fsio.write_text_atomic(
+                spark_, f"{root}/{sinks._marker_name(gen + 1)}",
+                sinks._marker_text(
+                    int(fields["through"]), gen + 1, [gendir], fol_dir
+                ),
+            )
+            # … after having cleaned the pending dirs it inherited
+            for n in pend:
+                shutil.rmtree(os.path.join(root, n), ignore_errors=True)
+        return ok
+
+    monkeypatch.setattr(sinks.fsio, "create_exclusive",
+                        create_then_follow)
+    compact_rollup(spark, root, **kw)  # must NOT raise
+    monkeypatch.undo()
+    # our generation dir survives (the follower lists it pending — its
+    # cleanup, not ours)
+    assert os.path.isdir(os.path.join(root, seen["gendir"]))
+    assert sorted(
+        map(tuple, read_rollup(spark, root, **kw).collect())
+    ) == want
+    # the next compaction run resumes the follower's pending cleanup
+    compact_rollup(spark, root, **kw)
+    assert not os.path.isdir(os.path.join(root, seen["gendir"]))
+    assert sorted(
+        map(tuple, read_rollup(spark, root, **kw).collect())
+    ) == want
+
+
+def test_corrupt_higher_marker_after_commit_keeps_gendir(
+    spark, tmp_path, monkeypatch
+):
+    """ADVICE r12 (adjudicated differently): if the post-commit
+    outranked re-read hits a CORRUPT higher marker, this run's commit
+    already stood — its generation dir is committed state and must NOT
+    be reclaimed (the documented manual remedy deletes the corrupt file
+    and readers resume from exactly this generation). The raised error
+    must say the commit stood, not 'state unchanged'."""
+    import os
+
+    import pytest as _pytest
+
+    from yat_geo_db_spark import fsio
+    from yat_geo_db_spark.streaming import sinks
+    from yat_geo_db_spark.streaming.sinks import (
+        compact_rollup, read_rollup, rollup_maintenance_sink,
+    )
+
+    kw = dict(key_cols=["k"], sum_cols=["v"], scale=2)
+    root = str(tmp_path / "rollup")
+    sink = rollup_maintenance_sink(root, **kw)
+    sink(spark.createDataFrame([("a", 1.0)], "k string, v double"), 0)
+    want = sorted(map(tuple, read_rollup(spark, root, **kw).collect()))
+
+    real_create = fsio.create_exclusive
+    seen = {}
+
+    def create_then_corrupt(spark_, path, text):
+        ok = real_create(spark_, path, text)
+        if ok and sinks._MARKER_V_PREFIX in os.path.basename(path):
+            fields = dict(
+                ln.partition("=")[::2] for ln in text.splitlines()
+            )
+            seen["gendir"] = fields["gendir"]
+            seen["gen"] = int(fields["gen"])
+            # a gen+5 creator's partial content flush: non-empty,
+            # unparseable — _read_marker must raise on it
+            fsio.write_text_atomic(
+                spark_, f"{root}/{sinks._marker_name(9)}", "thr"
+            )
+        return ok
+
+    monkeypatch.setattr(sinks.fsio, "create_exclusive",
+                        create_then_corrupt)
+    with _pytest.raises(RuntimeError, match="COMMITTED generation"):
+        compact_rollup(spark, root, **kw)
+    monkeypatch.undo()
+    # committed state intact: gendir on disk, our marker parseable
+    assert os.path.isdir(os.path.join(root, seen["gendir"]))
+    # manual remedy: delete the corrupt higher file → readers resume
+    # from this run's committed generation
+    os.remove(os.path.join(root, sinks._marker_name(9)))
+    got = sinks._read_marker(spark, root)
+    assert got[1] == seen["gen"] and got[3] == seen["gendir"]
+    assert sorted(
+        map(tuple, read_rollup(spark, root, **kw).collect())
+    ) == want

@@ -397,6 +397,7 @@ def fuzzy_join(
         F.col(probe_id_col),
         clean_entity_col(F.col(probe_col)).alias("probe_clean"),
     )
+    postings_supplied = postings is not None
     if postings is None:
         postings = build_postings(shapes)
     q_ex = cleaned.select(
@@ -410,8 +411,18 @@ def fuzzy_join(
         # (a one-row broadcast join here plans as
         # BroadcastNestedLoopJoin, which the fuzzy_join plan guard
         # forbids wholesale; Catalyst folds any constant equi-key back
-        # into one)
-        n_entities = shapes.count()
+        # into one). The df FRACTION must be over the population the
+        # postings actually index: a caller-supplied index (incl. one
+        # grown by add_entities) can cover more entities than `shapes`,
+        # and dividing by shapes.count() would then over-prune — silent
+        # candidate recall loss (ADVICE r12) — so derive N from the
+        # postings themselves in that case.
+        if postings_supplied:
+            n_entities = (
+                postings.select("entity_id").distinct().count()
+            )
+        else:
+            n_entities = shapes.count()
         hot = (
             postings.groupBy("ngram")
             .agg(F.count_distinct("entity_id").alias("_df"))

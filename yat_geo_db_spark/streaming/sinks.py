@@ -1040,8 +1040,38 @@ def _compact_generational_locked(spark, root: str, fold,
     # is already committed. Its fold-dir deletes would be benign (its
     # fold set is a subset of the displacer's pending list) but its
     # success report would be false — so the commit stands only if OUR
-    # generation is still the maximum a reader would pick.
-    if _read_marker(spark, root)[1] != new_gen:
+    # generation is still the maximum a reader would pick, with one
+    # carve-out (ADVICE r12): a legitimate FAST FOLLOWER that read this
+    # run's committed gen+1 marker and folded it forward into gen+2
+    # before this re-read. That follower's marker lists OUR generation
+    # dir pending — our commit STOOD and was folded forward, so report
+    # success (the follower owns all remaining cleanup, including the
+    # fold dirs it inherited as pending). Aborting here used to delete
+    # new_gendir (benign — the follower folded it) but falsely report
+    # "state unchanged; rerun".
+    try:
+        m3 = _read_marker(spark, root)
+    except ValueError as e:
+        # a corrupt higher marker (e.g. a gen+2 creator's partial
+        # content flush). This run's OWN commit already stood — marker
+        # created exclusively and content verified above — so unlike
+        # the pre-commit aborts, new_gendir is COMMITTED state and must
+        # NOT be reclaimed (the documented manual remedy deletes the
+        # corrupt higher file and readers resume from exactly this
+        # generation). Propagate with an honest status instead of the
+        # pre-commit "state unchanged" wording.
+        raise RuntimeError(
+            f"compaction of {root} COMMITTED generation {new_gen} "
+            f"({new_gendir}), but a later marker is corrupt and blocks "
+            "readers — apply the manual remedy in the chained parse "
+            "error; this run's generation dir and its fold inputs "
+            "(pending in its marker) were left in place"
+        ) from e
+    if m3[1] != new_gen:
+        if m3[1] > new_gen and new_gendir in m3[2]:
+            # fast follower folded this run's generation forward and
+            # still lists it pending: success, nothing left to clean
+            return
         _abort(
             "a displacing compaction committed a higher generation "
             "while this run stalled mid-commit (outranked marker)"
