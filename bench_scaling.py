@@ -536,8 +536,24 @@ def _panel_recall(spark, registry) -> None:
     for label, d in (("1x", BASE_DIR), (f"{SCALE}x", SCALE_DIR)):
         emb = load_table(spark, d, "embeddings")
         flat = sim.semdedup_pairs(emb, threshold=t).count()
+        t0 = time.perf_counter()
         two = sim.semdedup_pairs_scaled(emb, threshold=t).count()
-        row = {"flat_pairs": flat, "two_level_pairs": two}
+        sec_p1 = round(time.perf_counter() - t0, 2)
+        # VERDICT r12 task 3: the DIFFUSE fixture is where multi-probe
+        # could lose (no planted structure to heal; the n·(p+1)√k
+        # assignment is pure overhead if boundary re-routing finds
+        # nothing) — price p=2 here, not just on the clustered fixture
+        # that flatters it
+        t0 = time.perf_counter()
+        two_p2 = sim.semdedup_pairs_scaled(
+            emb, threshold=t, coarse_probes=2
+        ).count()
+        sec_p2 = round(time.perf_counter() - t0, 2)
+        row = {
+            "flat_pairs": flat, "two_level_pairs": two,
+            "two_level_p2_pairs": two_p2,
+            "sec_two_level": sec_p1, "sec_two_level_p2": sec_p2,
+        }
         do_brute = emb.count() <= 25_000  # N² ground truth payable
         if do_brute:
             unit = sim.l2_normalized(
@@ -561,6 +577,9 @@ def _panel_recall(spark, registry) -> None:
             row["recall_flat"] = round(flat / truth, 4) if truth else None
             row["recall_two_level"] = (
                 round(two / truth, 4) if truth else None
+            )
+            row["recall_two_level_p2"] = (
+                round(two_p2 / truth, 4) if truth else None
             )
         out[label] = row
         print(f"# recall {label}: {row}", file=sys.stderr)
@@ -686,6 +705,21 @@ def _panel_recall_clustered(spark, registry) -> None:
         .filter(F.col("cosine") >= t)
         .count()
     )
+    # VERDICT r12 task 3: one LARGER-k point (target_cell 128 → k ≈
+    # n/128 vs the default 1024's floor-16) — more cells means more
+    # coarse boundaries, the regime where multi-probe's healing could
+    # either pay off more or drown in the heavier n·(p+1)·√k pass
+    tc_big = 128
+    t0 = time.perf_counter()
+    big_p1 = sim.semdedup_pairs_scaled(
+        emb, threshold=t, target_cell=tc_big
+    ).count()
+    sec_big_p1 = round(time.perf_counter() - t0, 2)
+    t0 = time.perf_counter()
+    big_p2 = sim.semdedup_pairs_scaled(
+        emb, threshold=t, target_cell=tc_big, coarse_probes=2
+    ).count()
+    sec_big_p2 = round(time.perf_counter() - t0, 2)
     out = {
         "brute_pairs": truth,
         "flat_pairs": flat,
@@ -696,6 +730,13 @@ def _panel_recall_clustered(spark, registry) -> None:
         "recall_two_level_p2": round(two_p2 / truth, 4) if truth else None,
         "sec_two_level": sec_p1,
         "sec_two_level_p2": sec_p2,
+        "bigk_target_cell": tc_big,
+        "bigk_pairs_p1": big_p1,
+        "bigk_pairs_p2": big_p2,
+        "recall_bigk_p1": round(big_p1 / truth, 4) if truth else None,
+        "recall_bigk_p2": round(big_p2 / truth, 4) if truth else None,
+        "sec_bigk_p1": sec_big_p1,
+        "sec_bigk_p2": sec_big_p2,
     }
     print(f"# clustered recall (t={t}): {out}", file=sys.stderr)
     print(json.dumps({

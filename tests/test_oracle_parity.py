@@ -19,8 +19,18 @@ from yat_geo_db_spark.testdata import TABLES
 SF_DIR = os.environ.get("PARITY_SF_DIR", "/root/testdata/sf0.001")
 
 REGISTRY = all_queries()
-ORACLE_CASES = sorted(n for n, (_f, sql) in REGISTRY.items() if sql is not None)
-ROWS_ONLY_CASES = sorted(n for n, (_f, sql) in REGISTRY.items() if sql is None)
+# PARITY_FIRST_N=<N> restricts the run to the FIRST N names in registry
+# order — all_queries() sorts stalest-first (driver-evidence age, with
+# fingerprint-invalidated rows in front), so this is the cohort selector
+# for the budgeted sf0.1 staleness sweeps (VERDICT r12 task 4).
+_FIRST_N = int(os.environ.get("PARITY_FIRST_N", "0"))
+_PICK = set(list(REGISTRY)[:_FIRST_N]) if _FIRST_N else set(REGISTRY)
+ORACLE_CASES = sorted(
+    n for n, (_f, sql) in REGISTRY.items() if sql is not None and n in _PICK
+)
+ROWS_ONLY_CASES = sorted(
+    n for n, (_f, sql) in REGISTRY.items() if sql is None and n in _PICK
+)
 
 
 @pytest.fixture(scope="module")
