@@ -157,17 +157,21 @@ def _semdedup_scaled(spark, sf_dir):
     from yat_geo_db_spark.testdata import load_table
 
     emb = load_table(spark, sf_dir, "embeddings")
+    # pinned p=1 since round 13 (when the library default flipped to
+    # p=2): this line keeps measuring the primary-cell routing it has
+    # measured since round 9, so its numbers stay comparable across
+    # rounds; the _p2 line below measures the production default
     return similarity.semdedup_pairs_scaled(
-        emb, threshold=COSINE_T, n_iter=KMEANS_ITERS
+        emb, threshold=COSINE_T, n_iter=KMEANS_ITERS, coarse_probes=1
     )
 
 
 def _semdedup_scaled_p2(spark, sf_dir):
-    """Bench-only: the two-level route with coarse_probes=2 — the 3√k
-    recall knob (round 12: clustered-fixture recall 82.9% → 91.3% at
-    wall-clock parity). Benched next to the p=1 line so the knob's
-    cost claim (parity: only the √k-bounded n·k1 coarse pass is added)
-    is re-priced every round."""
+    """Bench-only: the two-level route with coarse_probes=2 — the
+    LIBRARY DEFAULT since round 13 (strictly-better-or-tied recall at
+    wall parity on every panel fixture; BENCHLOG round 13). Benched
+    next to the p=1 line so the knob's cost claim (parity: only the
+    √k-bounded n·k1 coarse pass is added) is re-priced every round."""
     from yat_geo_db_spark.pipelines import similarity
     from yat_geo_db_spark.queries.pipeline_queries import (
         COSINE_T, KMEANS_ITERS,

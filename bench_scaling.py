@@ -537,7 +537,9 @@ def _panel_recall(spark, registry) -> None:
         emb = load_table(spark, d, "embeddings")
         flat = sim.semdedup_pairs(emb, threshold=t).count()
         t0 = time.perf_counter()
-        two = sim.semdedup_pairs_scaled(emb, threshold=t).count()
+        two = sim.semdedup_pairs_scaled(
+            emb, threshold=t, coarse_probes=1
+        ).count()
         sec_p1 = round(time.perf_counter() - t0, 2)
         # VERDICT r12 task 3: the DIFFUSE fixture is where multi-probe
         # could lose (no planted structure to heal; the n·(p+1)√k
@@ -680,7 +682,9 @@ def _panel_recall_clustered(spark, registry) -> None:
     t = 0.8
     flat = sim.semdedup_pairs(emb, threshold=t).count()
     t0 = time.perf_counter()
-    two = sim.semdedup_pairs_scaled(emb, threshold=t).count()
+    two = sim.semdedup_pairs_scaled(
+        emb, threshold=t, coarse_probes=1
+    ).count()
     sec_p1 = round(time.perf_counter() - t0, 2)
     # the 3√k knob (VERDICT r11 task 6): top-2 coarse-cell routing —
     # same pair-join volume, p·√k-heavier assignment, boundary pairs
@@ -712,7 +716,7 @@ def _panel_recall_clustered(spark, registry) -> None:
     tc_big = 128
     t0 = time.perf_counter()
     big_p1 = sim.semdedup_pairs_scaled(
-        emb, threshold=t, target_cell=tc_big
+        emb, threshold=t, target_cell=tc_big, coarse_probes=1
     ).count()
     sec_big_p1 = round(time.perf_counter() - t0, 2)
     t0 = time.perf_counter()

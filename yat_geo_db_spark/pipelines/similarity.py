@@ -499,7 +499,7 @@ def _coarse_top_p(embeddings: DataFrame, centroids: DataFrame, p: int,
 def kmeans_two_level_fit_assign(
     embeddings: DataFrame, k: int, n_iter: int = 2,
     id_col: str = "vec_id", vec_col: str = "embedding",
-    broadcast_sub: bool = True, coarse_probes: int = 1,
+    broadcast_sub: bool = True, coarse_probes: int = 2,
 ) -> DataFrame:
     """Two-level Lloyd routing — the scale path when k grows with the
     corpus (SemDeDup auto-k, IVF coarse quantizers): a coarse fit with
@@ -530,7 +530,18 @@ def kmeans_two_level_fit_assign(
     (k·d ≲ 3e7); past it (k ≈ 1e6 cells of d = 768 is ~6 GB, at
     Spark's broadcast ceiling) pass False and let the join shuffle on
     cid1 — the n·2√k distance-evaluation count is unchanged, only the
-    candidate-shipping strategy moves."""
+    candidate-shipping strategy moves.
+
+    ``coarse_probes`` DEFAULTS TO 2 (round 13): the final assignment
+    argmins over the sub-centroids of each vector's top-2 coarse cells
+    (n·3√k total distance evals instead of n·2√k), healing coarse-
+    boundary quantization. Measured on every fixture the panel has
+    (BENCHLOG round 13): clustered default-k recall 82.9% → 91.3%
+    (above the flat path's 90.1%), clustered larger-k (target_cell
+    128) 82.1% → 90.0%, diffuse 1× 11.67% → 11.81%, diffuse 10×
+    8.77% → 8.89% — p=2 never lost recall or wall (parity to faster)
+    at any point, so the better quantizer is the default; pass 1 to
+    pin the primary-cell routing (the p=1 registry twin does)."""
     from pyspark.sql import Window
 
     if k < 1:
@@ -617,9 +628,20 @@ def kmeans_two_level_fit_assign(
         # flat path's 90.1% — at parity wall-clock on the fixture
         # (34.0 s vs 35.4 s; the extra n·k1 pass is √k-bounded and
         # noise-level next to the pair join).
-        ca_p = _coarse_top_p(
-            embeddings, coarse, coarse_probes, id_col, vec_col
-        ).join(F.broadcast(rank), "cid1raw").select(id_col, "cid1")
+        ca_p = (
+            _coarse_top_p(
+                embeddings, coarse, coarse_probes, id_col, vec_col
+            )
+            .join(F.broadcast(rank), "cid1raw")
+            .select(id_col, "cid1")
+            # materialized once, like the p=1 path's `vecs`: the probe
+            # table is p·N NARROW rows, and checkpointing it keeps the
+            # final assignment plan free of the centroid cross-join —
+            # the shuffle route (broadcast_sub=False) must stay
+            # BroadcastNestedLoop-free end-to-end past the broadcast
+            # ceiling (test_two_level_shuffle_join_path_plan_shape)
+            .localCheckpoint()
+        )
         vecs_p = embeddings.select(id_col, vec_col).join(ca_p, id_col)
         joined = vecs_p.join(
             F.broadcast(sub) if broadcast_sub else sub, "cid1"
@@ -1240,7 +1262,7 @@ def semdedup_pairs_scaled(
     embeddings: DataFrame, threshold: float = 0.8, n_iter: int = 2,
     target_cell: int = SEMDEDUP_TARGET_CELL,
     id_col: str = "vec_id", vec_col: str = "embedding",
-    coarse_probes: int = 1,
+    coarse_probes: int = 2,
 ) -> DataFrame:
     """semdedup_pairs on the TWO-LEVEL routing
     (kmeans_two_level_fit_assign) with auto-sized k — the 100 TB shape
@@ -1263,13 +1285,17 @@ def semdedup_pairs_scaled(
     coarse cells (kmeans_two_level_fit_assign multi-probe), healing
     the coarse-boundary quantization error at n·(p+1)·√k assignment
     cost while the pair-join volume is UNCHANGED (still one composite
-    cell per vector). Measured operating points on the clustered
-    fixture at t=0.8 (BENCHLOG round 12): p=1 → 82.9% recall (35.4 s);
-    p=2 → 91.3% recall (34.0 s — wall-clock parity; the added n·k1
-    pass is √k-bounded and noise-level next to the pair join). p=2
-    EXCEEDS the flat path's 90.1%: re-routing boundary vectors to
-    their globally nearest composite cell is a better quantizer than
-    flat Lloyd at the same k, at √k-scaling cost instead of n·k."""
+    cell per vector). DEFAULT 2 since round 13: p=2 measured
+    strictly-better-or-tied recall at wall parity on every panel
+    fixture (BENCHLOG round 13) — clustered default-k 82.9% → 91.3%
+    (EXCEEDS the flat path's 90.1%), clustered larger-k (target_cell
+    128, k ≈ n/128) 82.1% → 90.0%, diffuse 1× 11.67% → 11.81%,
+    diffuse 10× 8.77% → 8.89% — the diffuse fixture being the one
+    multi-probe could plausibly have lost (no planted structure to
+    heal; it still gained). Re-routing boundary vectors to their
+    globally nearest composite cell is simply a better quantizer than
+    primary-cell routing at the same k, at √k-scaling cost instead of
+    the flat fit's n·k."""
     unit = l2_normalized(embeddings, id_col, vec_col).localCheckpoint()
     k = semdedup_auto_k(unit.count(), target_cell)
     assign = kmeans_two_level_fit_assign(

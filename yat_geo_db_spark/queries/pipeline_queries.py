@@ -4873,6 +4873,10 @@ def q_sim_two_level_cells(spark, sf_dir):
     return similarity.kmeans_two_level_fit_assign(
         load_table(spark, sf_dir, "embeddings"),
         k=TWOLEVEL_K, n_iter=KMEANS_ITERS,
+        # pinned: this row bit-checks the PRIMARY-CELL routing; its
+        # multi-probe twin (pipe_sim_two_level_cells_p2) pins p=2,
+        # which has been the library default since round 13
+        coarse_probes=1,
     ).orderBy("vec_id")
 
 
