@@ -159,7 +159,7 @@ def _salt_alphabet(c: int) -> str:
     missing' #4) — draw a pseudorandom 10-of-26 permutation from a
     self-contained LCG Fisher-Yates seeded by c (no reliance on
     random-module stability). Alphabet agreement between two copies ≥17
-    no longer matters for cross-copy gram sharing: _copy_suffix embeds
+    no longer matters for cross-copy gram sharing: _token_parts embeds
     the copy INDEX into every token, so tokens are copy-unique by
     construction (VERDICT r12 task 6 — the old ~(scale/26³)·N²
     alphabet-collision term polluted the 100× candidate-estimate
@@ -176,42 +176,65 @@ def _salt_alphabet(c: int) -> str:
     return "".join(letters[:10])
 
 
-def _copy_suffix(c: int) -> str:
-    """Copy-unique token tail for copies ≥ 17: `q` + two base-26
-    letters encoding c (covers 676 copies). Distinct copies therefore
-    NEVER share a salt token — any shingle spanning a token gap differs
-    across copies deterministically, so the cross-copy shared-gram
-    count is exactly the salt-free residue (sub-n-char word runs), flat
-    in scale. Copies ≤ 16 keep the empty suffix: their disjoint
-    sliding-window alphabets already guarantee zero sharing AND
-    bit-identical fixtures to every prior round's ≤16× markers."""
+def _token_parts(c: int) -> tuple[str, str | None]:
+    """(lead_char, constant_tail) of copy `c`'s salt tokens. Copies
+    ≤ 16 keep the legacy shape `z + body + reverse(body)` (tail None =
+    position-dependent reverse; bit-identical fixtures to every prior
+    round's ≤16× markers, zero sharing via disjoint window alphabets).
+    Copies ≥ 17 use `y + body + enc3(c)` — SAME 7-char token length
+    (the first salt-v2 attempt appended a suffix, and the +3 chars per
+    token inflated per-doc gram mass ~20%, lengthening every prefix and
+    admitting MORE cross-copy word-gap grams into the candidate join:
+    measured 6.6× of linear at 100× vs the old fixture's 2.0× — worse,
+    not better). The `y` lead makes a ≥17 token unequal to EVERY ≤16
+    token; enc3(c) (three base-26 letters of the copy index, 17,576
+    copies) makes two ≥17 copies' tokens unequal at every position.
+    Cross-copy shared SALT grams are therefore exactly zero by
+    construction — the ~(scale/26³)·N² alphabet-collision term is gone
+    and the 100× estimate isolates the residual the fixture's design
+    actually carries (word runs in the salt-free every-other gap)."""
     if c <= 16:
-        return ""
-    return "q" + _SALT_ALPHA[(c // 26) % 26] + _SALT_ALPHA[c % 26]
+        return "z", None
+    enc3 = (
+        _SALT_ALPHA[(c // 676) % 26]
+        + _SALT_ALPHA[(c // 26) % 26]
+        + _SALT_ALPHA[c % 26]
+    )
+    return "y", enc3
 
 
-def _salted_doc_copy(docs, c: int):
+def _salted_doc_copy(docs, c: int, gap_mod: int = 2):
     """Copy `c` of the documents table with per-copy salt tokens
-    interleaved into every other word gap. The token encodes the word
-    position in a COPY-SPECIFIC 10-letter alphabet (_salt_alphabet:
-    disjoint windows for c ≤ 16, seeded permutations beyond), so two
-    copies share ~no salt grams while every doc WITHIN a copy gets
-    identical tokens at identical positions (near-dup pairs survive
-    salting, copies do not become near-dups of each other — validated
-    numbers in the module docstring). Pure Column expressions: the
-    fixture build stays one distributed pass."""
+    interleaved into every other word gap (``gap_mod=2``, the legacy
+    cadence) or EVERY gap (``gap_mod=1``, the dense variant). The token
+    encodes the word position in a COPY-SPECIFIC 10-letter alphabet
+    (_salt_alphabet: disjoint windows for c ≤ 16, seeded permutations
+    beyond), so two copies share ~no salt grams while every doc WITHIN
+    a copy gets identical tokens at identical positions (near-dup pairs
+    survive salting, copies do not become near-dups of each other —
+    validated numbers in the module docstring). The dense cadence
+    exists for the linearity adjudication (round 13): at gap_mod=2 the
+    UNSALTED gaps carry word-run grams identical across ALL copies
+    (df ∝ copies), the residual super-linear candidate channel once the
+    salt tokens themselves are copy-unique; at gap_mod=1 every ≥2-word
+    gram spans a copy-unique token and the channel closes. Pure Column
+    expressions: the fixture build stays one distributed pass."""
     import pyspark.sql.functions as F
 
     alpha = _salt_alphabet(c)
-    suffix = _copy_suffix(c)
+    lead, tail = _token_parts(c)
 
     def emit(w, i):
         body = F.translate(
             F.lpad(i.cast("string"), 3, "0"), "0123456789", alpha
         )
-        tok = F.concat(F.lit("z"), body, F.reverse(body), F.lit(suffix))
+        tok = F.concat(
+            F.lit(lead), body,
+            F.reverse(body) if tail is None else F.lit(tail),
+        )
         return F.when(
-            i % 2 == 1, F.concat(tok, F.lit(" "), w)
+            (i % gap_mod == 1) if gap_mod > 1 else (i >= 1),
+            F.concat(tok, F.lit(" "), w),
         ).otherwise(w)
 
     text = F.array_join(
@@ -228,16 +251,21 @@ def _salted_doc_copy(docs, c: int):
     )
 
 
-def build_salted_fixture(spark, scale: int, out_dir: str) -> None:
+def build_salted_fixture(spark, scale: int, out_dir: str,
+                         gap_mod: int = 2) -> None:
     """documents-only fixture: `scale` salted copies with disjoint id
     ranges (1× = copy 0 of the SAME transform, so 1×-vs-10× isolates
-    scale from distribution)."""
+    scale from distribution). ``gap_mod=1`` builds the DENSE variant
+    (every gap salted — see _salted_doc_copy) under its own stamp."""
     from yat_geo_db_spark.testdata import load_table
 
-    # v2 only where suffixed copies (c ≥ 17) are included: smaller
+    # v3 only where re-tokenized copies (c ≥ 17) are included: smaller
     # scales' outputs are bit-identical to v1, so their cached fixtures
-    # stay valid and no regeneration is paid
-    ver = "salt-v2" if scale > 17 else "salt-v1"
+    # stay valid and no regeneration is paid (v2 — the abandoned
+    # suffix attempt — never shipped a committed number)
+    ver = "salt-v3" if scale > 17 else "salt-v1"
+    if gap_mod != 2:
+        ver += f"-dense{gap_mod}"
     stamp = f"{ver} scale={scale} base={BASE_DIR}\n"
     marker = f"{out_dir}/_FIXTURE_OK"
     if os.path.exists(marker):
@@ -252,9 +280,9 @@ def build_salted_fixture(spark, scale: int, out_dir: str) -> None:
             "cross-copy duplicates"
         )
     docs = load_table(spark, BASE_DIR, "documents")
-    out = _salted_doc_copy(docs, 0)
+    out = _salted_doc_copy(docs, 0, gap_mod=gap_mod)
     for c in range(1, scale):
-        out = out.unionByName(_salted_doc_copy(docs, c))
+        out = out.unionByName(_salted_doc_copy(docs, c, gap_mod=gap_mod))
     out.write.mode("overwrite").parquet(f"{out_dir}/documents.parquet")
     with open(marker, "w") as fh:
         fh.write(stamp)
@@ -434,6 +462,16 @@ def _panel_salted_extreme(spark, registry) -> None:
     from yat_geo_db_spark.pipelines import dedup
     from yat_geo_db_spark.testdata import load_table
 
+    # SPARK_GRAFT_EXTREME_ESTIMATES_ONLY=1 skips the wall-clock
+    # queries entirely: at 100x the two walls leave enough JVM heap
+    # history (cache fragmentation, humongous-region debris) that the
+    # estimate sweep can OOM in-panel while succeeding standalone
+    # (round 12 measured it; round 13 reproduced it after the walls
+    # moved first) — the estimates and the refusal are then the whole
+    # point of the invocation, run them in their own fresh JVM
+    est_only = os.environ.get(
+        "SPARK_GRAFT_EXTREME_ESTIMATES_ONLY"
+    ) == "1"
     d1 = f"{SALT_DIR}_1x"
     build_salted_fixture(spark, 1, d1)
     base_docs = load_table(spark, d1, "documents")
@@ -443,6 +481,8 @@ def _panel_salted_extreme(spark, registry) -> None:
     spark.catalog.clearCache()
     out = {"1x": {"auto_n": n_auto1, "auto_est": e1}}
     for name in ("pipe_dedup_minhash_lsh", "pipe_dedup_sorted_neighborhood"):
+        if est_only:
+            break
         out["1x"][name + "_sec"] = round(
             _time_query(spark, registry[name][0], d1, runs=1), 3
         )
@@ -465,6 +505,8 @@ def _panel_salted_extreme(spark, registry) -> None:
         for name in (
             "pipe_dedup_minhash_lsh", "pipe_dedup_sorted_neighborhood",
         ):
+            if est_only:
+                break
             sec = _time_query(spark, registry[name][0], d, runs=1)
             rec[name + "_sec"] = round(sec, 3)
             base = out["1x"][name + "_sec"]
@@ -472,16 +514,28 @@ def _panel_salted_extreme(spark, registry) -> None:
                   f"({sec / base:.1f}x the 1x {base:.2f}s)",
                   file=sys.stderr)
         spark.catalog.clearCache()
+        # ≥64×: the EXACT probe's per-n window sort is borderline in a
+        # 16 GiB/32-thread local JVM (one v2-fixture run squeaked
+        # through at 256 shuffle partitions, the next died of
+        # UNABLE_TO_ACQUIRE_MEMORY) — this is precisely the regime the
+        # library's sampled probe exists for (containment_auto_n
+        # sample_fraction, exact 1/f² extrapolation; accuracy ±~10%
+        # measured by the `sampled` panel), so the panel uses the same
+        # at-scale mechanism a production caller would
+        frac = 0.25 if scale >= 64 else None
         n_auto, e_auto = dedup.containment_auto_n(
-            docs, 0.8, block_cols=("lang",)
+            docs, 0.8, block_cols=("lang",), sample_fraction=frac,
         )
         spark.catalog.clearCache()
         rec["auto_n"] = n_auto
         rec["auto_est"] = e_auto
+        rec["sample_fraction"] = frac
         rec["est_linearity"] = round(e_auto / (e1 * scale), 3)
         print(f"# extreme containment estimates {label}: auto n={n_auto} "
               f"-> {e_auto:,} candidates "
-              f"({rec['est_linearity']}x of exact-linear)", file=sys.stderr)
+              f"({rec['est_linearity']}x of exact-linear"
+              f"{', sampled f=' + str(frac) if frac else ''})",
+              file=sys.stderr)
         shuffle_bytes = e_auto * _VERIFY_BYTES_PER_CAND
         if shuffle_bytes <= _EXTREME_SHUFFLE_BUDGET:
             def fn(spark_, sf, _n=n_auto):
