@@ -23,8 +23,13 @@ REGISTRY = all_queries()
 # order — all_queries() sorts stalest-first (driver-evidence age, with
 # fingerprint-invalidated rows in front), so this is the cohort selector
 # for the budgeted sf0.1 staleness sweeps (VERDICT r12 task 4).
+# PARITY_SKIP_N=<K> drops the first K names before applying FIRST_N —
+# the complement selector, so a round that already swept the K stalest
+# can sweep the remainder without re-running the freshest cohort.
 _FIRST_N = int(os.environ.get("PARITY_FIRST_N", "0"))
-_PICK = set(list(REGISTRY)[:_FIRST_N]) if _FIRST_N else set(REGISTRY)
+_SKIP_N = int(os.environ.get("PARITY_SKIP_N", "0"))
+_NAMES = list(REGISTRY)[_SKIP_N:]
+_PICK = set(_NAMES[:_FIRST_N] if _FIRST_N else _NAMES)
 ORACLE_CASES = sorted(
     n for n, (_f, sql) in REGISTRY.items() if sql is not None and n in _PICK
 )
