@@ -748,6 +748,16 @@ def _panel_recall_clustered(spark, registry) -> None:
         emb, threshold=t, coarse_probes=2
     ).count()
     sec_p2 = round(time.perf_counter() - t0, 2)
+    # round 13, after the default flipped 1 → 2: the p=3 point answers
+    # "why stop at 2?" with a measurement — if the boundary healing
+    # saturates (recall gain ≪ the p=1→2 step) while the assignment
+    # pass keeps growing n·(p+1)√k, the p=2 default is justified from
+    # BOTH sides of the knob
+    t0 = time.perf_counter()
+    two_p3 = sim.semdedup_pairs_scaled(
+        emb, threshold=t, coarse_probes=3
+    ).count()
+    sec_p3 = round(time.perf_counter() - t0, 2)
     unit = sim.l2_normalized(emb, "vec_id", "embedding").localCheckpoint()
     a = unit.select(F.col("vec_id").alias("id1"),
                     F.col("embedding").alias("v1"))
@@ -778,23 +788,34 @@ def _panel_recall_clustered(spark, registry) -> None:
         emb, threshold=t, target_cell=tc_big, coarse_probes=2
     ).count()
     sec_big_p2 = round(time.perf_counter() - t0, 2)
+    t0 = time.perf_counter()
+    big_p3 = sim.semdedup_pairs_scaled(
+        emb, threshold=t, target_cell=tc_big, coarse_probes=3
+    ).count()
+    sec_big_p3 = round(time.perf_counter() - t0, 2)
     out = {
         "brute_pairs": truth,
         "flat_pairs": flat,
         "two_level_pairs": two,
         "two_level_p2_pairs": two_p2,
+        "two_level_p3_pairs": two_p3,
         "recall_flat": round(flat / truth, 4) if truth else None,
         "recall_two_level": round(two / truth, 4) if truth else None,
         "recall_two_level_p2": round(two_p2 / truth, 4) if truth else None,
+        "recall_two_level_p3": round(two_p3 / truth, 4) if truth else None,
         "sec_two_level": sec_p1,
         "sec_two_level_p2": sec_p2,
+        "sec_two_level_p3": sec_p3,
         "bigk_target_cell": tc_big,
         "bigk_pairs_p1": big_p1,
         "bigk_pairs_p2": big_p2,
+        "bigk_pairs_p3": big_p3,
         "recall_bigk_p1": round(big_p1 / truth, 4) if truth else None,
         "recall_bigk_p2": round(big_p2 / truth, 4) if truth else None,
+        "recall_bigk_p3": round(big_p3 / truth, 4) if truth else None,
         "sec_bigk_p1": sec_big_p1,
         "sec_bigk_p2": sec_big_p2,
+        "sec_bigk_p3": sec_big_p3,
     }
     print(f"# clustered recall (t={t}): {out}", file=sys.stderr)
     print(json.dumps({
