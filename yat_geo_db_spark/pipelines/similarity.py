@@ -1295,7 +1295,10 @@ def semdedup_pairs_scaled(
     heal; it still gained). Re-routing boundary vectors to their
     globally nearest composite cell is simply a better quantizer than
     primary-cell routing at the same k, at √k-scaling cost instead of
-    the flat fit's n·k."""
+    the flat fit's n·k. And the knob SATURATES past 2: the p=3 point
+    buys only +1.4/+2.2 further recall points for +10% wall at
+    larger k (clustered 92.7%/92.2% — BENCHLOG round 13), so p=2 is
+    the knee; raise p only when recall is worth more than wall."""
     unit = l2_normalized(embeddings, id_col, vec_col).localCheckpoint()
     k = semdedup_auto_k(unit.count(), target_cell)
     assign = kmeans_two_level_fit_assign(
