@@ -1423,3 +1423,67 @@ def test_verify_preflight_jaccard_route(spark):
             shuffle_budget_bytes=est3 * dedup.VERIFY_BYTES_PER_CAND // 2,
         )
     spark.catalog.clearCache()
+
+
+def test_verify_preflight_sampled_probe_threads_through(spark):
+    """preflight_sample_fraction must reach BOTH estimate passes — the
+    initial pricing and the refusal path's higher-n repricing — because
+    the refusal regime (huge corpus) is exactly where the exact probe's
+    per-n window sort stops fitting executor memory and the sampled
+    cost model is the designed mechanism (the extreme panel's ≥64×
+    protocol). Seen fractions are recorded via monkeypatched estimate /
+    auto-n seams; the refusal contract itself must be unchanged."""
+    import pytest as _pytest
+
+    rows = [
+        (i, " ".join(f"w{(i * 7 + j) % 9}" for j in range(30)), "en")
+        for i in range(80)
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string"
+    )
+    seen = {"est": [], "auto": []}
+    real_est = dedup.containment_candidate_estimate
+    real_auto = dedup.containment_auto_n
+
+    def spy_est(*a, **kw):
+        seen["est"].append(kw.get("sample_fraction"))
+        return real_est(*a, **kw)
+
+    def spy_auto(*a, **kw):
+        seen["auto"].append(kw.get("sample_fraction"))
+        return real_auto(*a, **kw)
+
+    est3 = real_est(docs, 0.8, n=3)
+    budget = est3 * dedup.VERIFY_BYTES_PER_CAND // 2
+    orig = (dedup.containment_candidate_estimate, dedup.containment_auto_n)
+    dedup.containment_candidate_estimate = spy_est
+    dedup.containment_auto_n = spy_auto
+    try:
+        with _pytest.raises(dedup.VerifyBudgetExceeded):
+            dedup.containment_pairs(
+                docs, threshold=0.8, n=3, shuffle_budget_bytes=budget,
+                preflight_sample_fraction=0.5,
+            )
+    finally:
+        (dedup.containment_candidate_estimate,
+         dedup.containment_auto_n) = orig
+    # the spy sees the initial estimate AND every per-grid-step
+    # estimate the repricing's auto-n runs — ALL must carry the fraction
+    assert seen["est"] and set(seen["est"]) == {0.5}, seen
+    assert seen["auto"] == [0.5], seen
+    # default stays exact-probe (None) end to end
+    seen = {"est": [], "auto": []}
+    dedup.containment_candidate_estimate = spy_est
+    dedup.containment_auto_n = spy_auto
+    try:
+        with _pytest.raises(dedup.VerifyBudgetExceeded):
+            dedup.containment_pairs(
+                docs, threshold=0.8, n=3, shuffle_budget_bytes=budget,
+            )
+    finally:
+        (dedup.containment_candidate_estimate,
+         dedup.containment_auto_n) = orig
+    assert seen["est"] and set(seen["est"]) == {None}, seen
+    assert seen["auto"] == [None], seen
+    spark.catalog.clearCache()

@@ -588,6 +588,7 @@ def ngram_jaccard_pairs(
     verify: str = "auto",
     n_grid: tuple[int, ...] | None = None,
     shuffle_budget_bytes: int | None = None,
+    preflight_sample_fraction: float | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs by character-n-gram Jaccard — EXACT (all pairs
     with J ≥ threshold, nothing lossy), via the prefix-filter
@@ -648,15 +649,24 @@ def ngram_jaccard_pairs(
         # estimate pass prices the candidate join; an unpayable one
         # raises VerifyBudgetExceeded naming the payable alternatives
         # instead of launching a shuffle the cluster cannot absorb.
+        # preflight_sample_fraction routes the estimate (and the
+        # refusal path's higher-n repricing) through the SAMPLED cost
+        # model — the refusal regime is exactly where the exact
+        # probe's per-n window sort stops fitting executor memory
+        # (the extreme panel switches to f=0.25 at ≥64× for this
+        # reason), so a budget-guarded 100 TB caller should pass a
+        # fraction rather than pay an unpayable estimate to be told
+        # the join is unpayable.
         est = ngram_jaccard_candidate_estimate(
             documents, threshold, n=n, text_col=text_col,
             block_cols=block_cols,
+            sample_fraction=preflight_sample_fraction,
         )
         _verify_preflight(
             documents, threshold, n, est, shuffle_budget_bytes,
             "jaccard", ngram_jaccard_auto_n,
             tuple(n_grid) if n_grid is not None else _AUTO_N_GRID,
-            text_col, "doc_id", block_cols, None,
+            text_col, "doc_id", block_cols, preflight_sample_fraction,
         )
     grams_tbl = distinct_grams_table(
         documents, n=n, text_col=text_col, block_cols=block_cols
@@ -924,6 +934,7 @@ def containment_pairs(
     verify: str = "auto",
     n_grid: tuple[int, ...] | None = None,
     shuffle_budget_bytes: int | None = None,
+    preflight_sample_fraction: float | None = None,
 ) -> DataFrame:
     """DIRECTED containment near-dup pairs — 'A lives inside B':
     C(A→B) = |S(A) ∩ S(B)| / |S(A)| over distinct char n-gram sets,
@@ -987,16 +998,19 @@ def containment_pairs(
             block_cols=block_cols, **auto_kw,
         )
     if shuffle_budget_bytes is not None:
-        # opt-in verify pre-flight — see ngram_jaccard_pairs
+        # opt-in verify pre-flight — see ngram_jaccard_pairs (incl.
+        # why preflight_sample_fraction is the at-scale way to pay
+        # for the estimate itself)
         est = containment_candidate_estimate(
             documents, threshold, n=n, text_col=text_col, id_col=id_col,
             block_cols=block_cols,
+            sample_fraction=preflight_sample_fraction,
         )
         _verify_preflight(
             documents, threshold, n, est, shuffle_budget_bytes,
             "containment", containment_auto_n,
             tuple(n_grid) if n_grid is not None else _AUTO_N_GRID,
-            text_col, id_col, block_cols, None,
+            text_col, id_col, block_cols, preflight_sample_fraction,
         )
     grams_tbl = distinct_grams_table(
         documents, n=n, text_col=text_col, id_col=id_col,
