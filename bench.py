@@ -124,6 +124,10 @@ HEADLINE = [
     "pipe_cuped_experiment",
     "pipe_user_survival",
     "rel_table_stats",
+    # round-13 session-2 addition (tail): KMV audience overlap — the
+    # pairwise sketch join (per-type sketch → broadcast pair frame →
+    # union-k-min) plus its exact-Jaccard twin in one line
+    "pipe_sketch_kmv_overlap",
 ]
 
 

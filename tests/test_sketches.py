@@ -184,3 +184,121 @@ def test_histogram_quantile_state_merge_and_bounds(spark):
     got = {r["bin"]: r["n"] for r in hs.collect()}
     assert got == {0: 1, bins - 1: 1, 50: 1}
     assert sum(got.values()) == 3
+
+
+# --------------------------------------------------------------------------
+# KMV (k-minimum-values) — the oracle-replayable member of the family
+# --------------------------------------------------------------------------
+
+def _kmv_docs(spark, n_distinct, copies=2, group="a"):
+    rows = [(group, f"v{i:06d}") for i in range(n_distinct)] * copies
+    return spark.createDataFrame(rows, "g string, v string")
+
+
+def test_kmv_exact_when_under_k(spark):
+    """A group with fewer than k distinct values keeps its WHOLE set in
+    the sketch — the estimate must be the exact count, flagged kept<k."""
+    from yat_geo_db_spark.pipelines import sketch
+
+    df = _kmv_docs(spark, 17, copies=3)
+    out = sketch.kmv_distinct_estimate(df, "v", k=64, group_cols=("g",))
+    row = out.collect()[0]
+    assert row["kept"] == 17
+    assert row["est_distinct"] == 17.0
+    assert row["sketch_k"] == 64
+
+
+def test_kmv_estimator_accuracy_both_hash_widths(spark):
+    """n=5000 distinct values, k=64 → RSE ≈ 1/√62 ≈ 12.7%; assert the
+    one deterministic draw lands within ±4 RSE on BOTH the 30-bit
+    oracle-replayable fold and the 62-bit xxhash64 domain (the scramble
+    argument — no avalanche in the poly hash — is what this pins)."""
+    from yat_geo_db_spark.pipelines import sketch
+
+    n = 5000
+    df = _kmv_docs(spark, n)
+    for hash_col, rng in (
+        (None, None),  # defaults: kmv_hash_col / FNV_MOD
+        (sketch.kmv_hash64_col(F.col("v")), sketch.KMV_HASH64_RANGE),
+    ):
+        kw = {} if hash_col is None else {
+            "hash_col": hash_col, "hash_range": rng,
+        }
+        row = sketch.kmv_distinct_estimate(
+            df, "v", k=64, group_cols=("g",), **kw
+        ).collect()[0]
+        assert row["kept"] == 64
+        assert abs(row["est_distinct"] - n) / n < 0.51, row
+
+
+def test_kmv_merge_identity(spark):
+    """kmin_k(∪ shards) from the per-shard sketches alone must EQUAL the
+    sketch of the unioned data — the mergeable property as set identity,
+    not an error bound (this is what the registry's merge row hashes)."""
+    from yat_geo_db_spark.pipelines import sketch
+
+    shards = [
+        _kmv_docs(spark, 900, group=g).withColumn(
+            "v", F.concat(F.lit(g), F.col("v"))
+        )
+        for g in ("a", "b", "c")
+    ]
+    per_shard = [sketch.kmv_sketch(s, "v", k=32) for s in shards]
+    merged = sketch.kmv_merge_sketches(per_shard, k=32)
+    direct_input = shards[0]
+    for s in shards[1:]:
+        direct_input = direct_input.unionByName(s)
+    direct = sketch.kmv_sketch(direct_input, "v", k=32)
+    assert sorted(r["h"] for r in merged.collect()) == sorted(
+        r["h"] for r in direct.collect()
+    )
+
+
+def test_kmv_pairwise_jaccard(spark):
+    """Engineered overlaps: |A|=|B|=2000 with 1000 shared (J=1/3),
+    C disjoint from both (J=0). Sketch-side estimate must land within
+    ±4·RSE of the truth, and the disjoint pairs must estimate exactly 0
+    (no shared hash can enter the union sketch)."""
+    from yat_geo_db_spark.pipelines import sketch
+
+    rows = (
+        [("A", f"s{i}") for i in range(1000)]          # shared
+        + [("B", f"s{i}") for i in range(1000)]
+        + [("A", f"a{i}") for i in range(1000)]
+        + [("B", f"b{i}") for i in range(1000)]
+        + [("C", f"c{i}") for i in range(500)]
+    )
+    df = spark.createDataFrame(rows, "g string, v string")
+    out = {
+        (r["g1"], r["g2"]): r
+        for r in sketch.kmv_pairwise_jaccard(df, "v", "g", k=64).collect()
+    }
+    assert set(out) == {("A", "B"), ("A", "C"), ("B", "C")}
+    ab = out[("A", "B")]
+    assert ab["union_kept"] == 64
+    assert abs(ab["jaccard_est"] - 1 / 3) < 0.25, ab
+    for pair in (("A", "C"), ("B", "C")):
+        assert out[pair]["both_in"] == 0
+        assert out[pair]["jaccard_est"] == 0.0
+
+
+def test_kmv_plan_shapes(spark):
+    """Scale pins: the global sketch must plan as TakeOrderedAndProject
+    (per-partition k-min + one merge — the engine executing the
+    mergeable-sketch rollup), and the pairwise-overlap plan must not
+    SortMergeJoin anywhere — the only joins are the broadcast pair frame
+    (#groups² rows) against the sketches; the sole nested-loop join is
+    the inequality self-join ON THE DISTINCT GROUP LIST, which is
+    broadcast-tiny by construction."""
+    from yat_geo_db_spark.pipelines import sketch
+
+    df = spark.createDataFrame(
+        [(f"g{i % 3}", f"v{i}") for i in range(300)], "g string, v string"
+    )
+    global_plan = sketch.kmv_sketch(df, "v", k=16)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "TakeOrderedAndProject" in global_plan
+
+    pair_plan = sketch.kmv_pairwise_jaccard(df, "v", "g", k=16)._jdf \
+        .queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in pair_plan, pair_plan

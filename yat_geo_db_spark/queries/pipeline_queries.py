@@ -6563,6 +6563,274 @@ FROM base b LEFT JOIN stats st ON b.label = st.label
 """
 
 
+# --------------------------------------------------------------------------
+# KMV sketches — the oracle-REPLAYABLE member of the sketch family
+# --------------------------------------------------------------------------
+# The HLL/CMS rollup rows (relational_queries) are rows-only or bound-twin
+# checked because their estimates are algorithm-specific; KMV's estimate is
+# an order statistic over a deterministic cross-engine hash, so the driver
+# hashes the ESTIMATE ITSELF. sketch.py holds the math & plan-shape notes.
+
+def _kmv_hash_sql(v: str) -> str:
+    """DuckDB mirror of sketch.kmv_hash_col: scrambled polynomial fold."""
+    from yat_geo_db_spark.pipelines.sketch import KMV_SCRAMBLE_A, KMV_SCRAMBLE_B
+
+    return f"({_sh(v)} * {KMV_SCRAMBLE_A} + {KMV_SCRAMBLE_B}) % {FNV_MOD}"
+
+
+def q_sketch_kmv_distinct(spark, sf_dir):
+    """Distinct-users-per-event-type from a 512-byte KMV sketch next to
+    the exact count (sketch.kmv_distinct_estimate): the 100 TB shape is
+    ONE narrow distinct shuffle + a per-group top-64 — no full-width
+    count(DISTINCT) rescan per grain — and unlike the HLL rows the
+    estimator's own value is driver-hashed (estimate = (k-1)·M/h_(64),
+    exact when a group holds < 64 distinct hashes, as at sf0.001)."""
+    from yat_geo_db_spark.pipelines import sketch
+
+    events = load_table(spark, sf_dir, "events")
+    ev = events.select(
+        "event_type", F.col("user_id").cast("string").alias("v")
+    )
+    est = sketch.kmv_distinct_estimate(
+        ev, "v", k=64, group_cols=("event_type",)
+    )
+    exact = (
+        events.where(F.col("user_id").isNotNull())
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("exact_distinct"))
+    )
+    return (
+        est.join(exact, "event_type")
+        .select(
+            "event_type", "sketch_k", "kept", "kth_hash",
+            "est_distinct", "exact_distinct",
+        )
+        .orderBy("event_type")
+    )
+
+
+def _sketch_kmv_distinct_sql(k: int = 64) -> str:
+    h = _kmv_hash_sql("v")
+    return f"""
+WITH hv AS (
+  SELECT DISTINCT event_type, {h} AS h
+  FROM (SELECT event_type, CAST(user_id AS VARCHAR) AS v
+        FROM events WHERE user_id IS NOT NULL)
+),
+r AS (
+  SELECT event_type, h,
+         row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+  FROM hv
+),
+s AS (
+  SELECT event_type, COUNT(*) AS kept, MAX(h) AS kth_hash
+  FROM r WHERE rn <= {k} GROUP BY event_type
+),
+e AS (
+  SELECT event_type, COUNT(DISTINCT user_id) AS exact_distinct
+  FROM events WHERE user_id IS NOT NULL GROUP BY event_type
+)
+SELECT s.event_type, CAST({k} AS INTEGER) AS sketch_k, s.kept, s.kth_hash,
+       ROUND(CASE WHEN s.kept < {k} THEN CAST(s.kept AS DOUBLE)
+             ELSE {float(k - 1)!r} * {float(FNV_MOD)!r}
+                  / CAST(s.kth_hash AS DOUBLE) END, 6) AS est_distinct,
+       e.exact_distinct
+FROM s JOIN e USING (event_type)
+ORDER BY s.event_type
+"""
+
+
+def q_sketch_kmv_overlap(spark, sf_dir):
+    """Audience overlap (Jaccard of user sets) for every event-type pair,
+    estimated PURELY from the per-type KMV sketches
+    (sketch.kmv_pairwise_jaccard — the full sets never meet, only ≤ 2k
+    hashes per pair do), next to the exact Jaccard from the distinct
+    (type, user) frame. At 100 TB the exact twin is the unpayable side;
+    here it's the accuracy receipt the driver hashes alongside."""
+    from yat_geo_db_spark.pipelines import sketch
+
+    events = load_table(spark, sf_dir, "events")
+    ev = events.select(
+        "event_type", F.col("user_id").cast("string").alias("v")
+    )
+    est = sketch.kmv_pairwise_jaccard(ev, "v", "event_type", k=64)
+    du = (
+        events.where(F.col("user_id").isNotNull())
+        .select("event_type", "user_id")
+        .distinct()
+    )
+    sizes = du.groupBy("event_type").agg(F.count("*").alias("n"))
+    inter = (
+        du.alias("x")
+        .join(
+            du.alias("y"),
+            (F.col("x.user_id") == F.col("y.user_id"))
+            & (F.col("x.event_type") < F.col("y.event_type")),
+        )
+        .groupBy(
+            F.col("x.event_type").alias("g1"),
+            F.col("y.event_type").alias("g2"),
+        )
+        .agg(F.count("*").alias("c"))
+    )
+    return (
+        est.join(inter, ["g1", "g2"], "left")
+        .join(sizes.select(F.col("event_type").alias("g1"),
+                           F.col("n").alias("_na")), "g1")
+        .join(sizes.select(F.col("event_type").alias("g2"),
+                           F.col("n").alias("_nb")), "g2")
+        .select(
+            "g1", "g2", "sketch_k", "union_kept", "both_in", "jaccard_est",
+            F.round(
+                F.coalesce(F.col("c"), F.lit(0)).cast("double")
+                / (F.col("_na") + F.col("_nb")
+                   - F.coalesce(F.col("c"), F.lit(0))).cast("double"),
+                6,
+            ).alias("exact_jaccard"),
+        )
+        .orderBy("g1", "g2")
+    )
+
+
+def _sketch_kmv_overlap_sql(k: int = 64) -> str:
+    h = _kmv_hash_sql("v")
+    return f"""
+WITH hv AS (
+  SELECT DISTINCT event_type, {h} AS h
+  FROM (SELECT event_type, CAST(user_id AS VARCHAR) AS v
+        FROM events WHERE user_id IS NOT NULL)
+),
+r AS (
+  SELECT event_type, h,
+         row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+  FROM hv
+),
+sk AS (SELECT event_type, h FROM r WHERE rn <= {k}),
+gs AS (SELECT DISTINCT event_type FROM sk),
+pairs AS (
+  SELECT a.event_type AS g1, b.event_type AS g2
+  FROM gs a JOIN gs b ON a.event_type < b.event_type
+),
+u AS (
+  SELECT g1, g2, h, MAX(in_a) AS in_a, MAX(in_b) AS in_b FROM (
+    SELECT p.g1, p.g2, s.h, 1 AS in_a, 0 AS in_b
+    FROM pairs p JOIN sk s ON s.event_type = p.g1
+    UNION ALL
+    SELECT p.g1, p.g2, s.h, 0 AS in_a, 1 AS in_b
+    FROM pairs p JOIN sk s ON s.event_type = p.g2
+  ) GROUP BY g1, g2, h
+),
+t AS (
+  SELECT g1, g2, in_a, in_b,
+         row_number() OVER (PARTITION BY g1, g2 ORDER BY h) AS rn
+  FROM u
+),
+j AS (
+  SELECT g1, g2, CAST(COUNT(*) AS BIGINT) AS union_kept,
+         CAST(SUM(in_a * in_b) AS BIGINT) AS both_in
+  FROM t WHERE rn <= {k} GROUP BY g1, g2
+),
+du AS (
+  SELECT DISTINCT event_type, user_id FROM events WHERE user_id IS NOT NULL
+),
+sz AS (SELECT event_type, COUNT(*) AS n FROM du GROUP BY event_type),
+ix AS (
+  SELECT x.event_type AS g1, y.event_type AS g2, COUNT(*) AS c
+  FROM du x JOIN du y
+    ON x.user_id = y.user_id AND x.event_type < y.event_type
+  GROUP BY 1, 2
+)
+SELECT j.g1, j.g2, CAST({k} AS INTEGER) AS sketch_k, j.union_kept, j.both_in,
+       ROUND(CAST(j.both_in AS DOUBLE) / CAST(j.union_kept AS DOUBLE), 6)
+         AS jaccard_est,
+       ROUND(CAST(COALESCE(ix.c, 0) AS DOUBLE)
+             / CAST(sa.n + sb.n - COALESCE(ix.c, 0) AS DOUBLE), 6)
+         AS exact_jaccard
+FROM j
+LEFT JOIN ix ON ix.g1 = j.g1 AND ix.g2 = j.g2
+JOIN sz sa ON sa.event_type = j.g1
+JOIN sz sb ON sb.event_type = j.g2
+ORDER BY j.g1, j.g2
+"""
+
+
+def q_sketch_kmv_merge(spark, sf_dir):
+    """The mergeable property as a driver-hashed IDENTITY, not an error
+    bound: the k-min sketch of ALL users rolled up from the five
+    per-event-type sketches (sketch.kmv_merge_sketches — the data is
+    never revisited) must equal the directly-computed global sketch,
+    hash for hash. One output row: both kth hashes, the global estimate,
+    and the set-equality boolean both engines must agree is TRUE."""
+    from yat_geo_db_spark.pipelines import sketch
+
+    events = load_table(spark, sf_dir, "events")
+    ev = events.select(
+        "event_type", F.col("user_id").cast("string").alias("v")
+    )
+    k = 64
+    per_type = sketch.kmv_sketch(ev, "v", k=k, group_cols=("event_type",))
+    merged = sketch.kmv_merge_sketches([per_type], k=k)
+    direct = sketch.kmv_sketch(ev, "v", k=k)
+    m = merged.agg(
+        F.max("h").alias("kth_merged"),
+        F.sort_array(F.collect_list("h")).alias("_hm"),
+    )
+    d = direct.agg(
+        F.count("h").alias("kept"),
+        F.max("h").alias("kth_direct"),
+        F.sort_array(F.collect_list("h")).alias("_hd"),
+    )
+    return d.crossJoin(F.broadcast(m)).select(
+        F.lit(k).alias("sketch_k"),
+        "kept",
+        "kth_direct",
+        "kth_merged",
+        sketch.kmv_estimate_col(
+            F.col("kept"), F.col("kth_direct"), k
+        ).alias("est_distinct"),
+        (F.col("_hd") == F.col("_hm")).alias("merged_equals_direct"),
+    )
+
+
+def _sketch_kmv_merge_sql(k: int = 64) -> str:
+    h = _kmv_hash_sql("v")
+    return f"""
+WITH hv AS (
+  SELECT DISTINCT event_type, {h} AS h
+  FROM (SELECT event_type, CAST(user_id AS VARCHAR) AS v
+        FROM events WHERE user_id IS NOT NULL)
+),
+r AS (
+  SELECT event_type, h,
+         row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+  FROM hv
+),
+sk AS (SELECT event_type, h FROM r WHERE rn <= {k}),
+merged AS (
+  SELECT h FROM (
+    SELECT DISTINCT h, row_number() OVER (ORDER BY h) AS rn FROM
+      (SELECT DISTINCT h FROM sk)
+  ) WHERE rn <= {k}
+),
+direct AS (
+  SELECT h FROM (
+    SELECT h, row_number() OVER (ORDER BY h) AS rn
+    FROM (SELECT DISTINCT h FROM hv)
+  ) WHERE rn <= {k}
+),
+m AS (SELECT MAX(h) AS kth_merged, list_sort(list(h)) AS hm FROM merged),
+d AS (SELECT CAST(COUNT(*) AS BIGINT) AS kept, MAX(h) AS kth_direct,
+             list_sort(list(h)) AS hd
+      FROM direct)
+SELECT CAST({k} AS INTEGER) AS sketch_k, d.kept, d.kth_direct, m.kth_merged,
+       ROUND(CASE WHEN d.kept < {k} THEN CAST(d.kept AS DOUBLE)
+             ELSE {float(k - 1)!r} * {float(FNV_MOD)!r}
+                  / CAST(d.kth_direct AS DOUBLE) END, 6) AS est_distinct,
+       (d.hd = m.hm) AS merged_equals_direct
+FROM d, m
+"""
+
+
 QUERIES: dict = {
     "pipe_pii_scrub": (q_pii_scrub, _pii_scrub_sql()),
     "pipe_src_json_dlq": (q_src_json_dlq, _SRC_JSON_DLQ_SQL),
@@ -6713,4 +6981,9 @@ QUERIES: dict = {
     "pipe_mm_wav_decode": (q_mm_wav_decode, _MM_WAV_SQL),
     "pipe_mm_png_decode": (q_mm_png_decode, _MM_PNG_SQL),
     "pipe_mm_png_resize": (q_mm_png_resize, _MM_PNG_RESIZE_SQL),
+    "pipe_sketch_kmv_distinct": (
+        q_sketch_kmv_distinct, _sketch_kmv_distinct_sql(),
+    ),
+    "pipe_sketch_kmv_overlap": (q_sketch_kmv_overlap, _sketch_kmv_overlap_sql()),
+    "pipe_sketch_kmv_merge": (q_sketch_kmv_merge, _sketch_kmv_merge_sql()),
 }
