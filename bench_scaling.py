@@ -188,11 +188,20 @@ def _token_parts(c: int) -> tuple[str, str | None]:
     measured 6.6× of linear at 100× vs the old fixture's 2.0× — worse,
     not better). The `y` lead makes a ≥17 token unequal to EVERY ≤16
     token; enc3(c) (three base-26 letters of the copy index, 17,576
-    copies) makes two ≥17 copies' tokens unequal at every position.
-    Cross-copy shared SALT grams are therefore exactly zero by
-    construction — the ~(scale/26³)·N² alphabet-collision term is gone
-    and the 100× estimate isolates the residual the fixture's design
-    actually carries (word runs in the salt-free every-other gap)."""
+    copies) makes two ≥17 copies' WHOLE tokens unequal. Position-wise
+    the tokens are NOT everywhere-unequal — consecutive copies share
+    enc3 prefixes (enc3(17)='aar' vs enc3(18)='aas' agree on 2 of 3
+    chars) and two copies' permuted alphabets agree on any body
+    position with ~1/26 probability — so a gram that straddles a token
+    WITHOUT covering its distinguishing chars can still be shared
+    cross-copy. What the construction buys is ATTENUATION (each
+    overlapped salt char multiplies the collision odds by ~1/26, i.e.
+    ~26^-d for d salt chars in the gram), not exact zero: the
+    ~(scale/26³)·N² whole-token alphabet-collision term is gone, and
+    the measured 100× residual (2.8× of linear on gap_mod=2, 0.90× on
+    dense) is dominated by the salt-free every-other word gaps — with
+    a small attenuated straddling-gram term folded in, not assumed
+    away."""
     if c <= 16:
         return "z", None
     enc3 = (
@@ -555,11 +564,15 @@ def _panel_salted_extreme(spark, registry) -> None:
             # error (VERDICT r12 task 5): reuse the sweep's estimate,
             # record the message a production caller would see
             try:
+                # pass the SAME fraction the sweep priced e_auto with:
+                # the repricing inside the refusal otherwise runs exact
+                # per-n probes — the very window sorts the panel
+                # switched to sampling at ≥64× to avoid
                 dedup._verify_preflight(
                     docs, 0.8, n_auto, e_auto, _EXTREME_SHUFFLE_BUDGET,
                     "containment", dedup.containment_auto_n,
                     dedup._AUTO_N_GRID, "text", "doc_id", ("lang",),
-                    None,
+                    frac,
                 )
             except dedup.VerifyBudgetExceeded as e:
                 rec["refusal"] = str(e)

@@ -1487,3 +1487,54 @@ def test_verify_preflight_sampled_probe_threads_through(spark):
     assert seen["est"] and set(seen["est"]) == {None}, seen
     assert seen["auto"] == [None], seen
     spark.catalog.clearCache()
+
+
+def test_auto_n_path_threads_fraction_and_reuses_sweep_estimate(spark):
+    """Round-13 review: with n=None + a budget guard, (a) the auto-n
+    sweep's probes must honor preflight_sample_fraction — the at-scale
+    caller that can't afford exact estimate probes for the pre-flight
+    can't afford them for the sweep either — and (b) the pre-flight
+    must REUSE the estimate the sweep already produced for the selected
+    n instead of paying the same estimate pass twice (pinned: zero
+    calls to containment_candidate_estimate when the stubbed sweep
+    supplies one)."""
+    import pytest as _pytest
+
+    rows = [
+        (i, " ".join(f"w{(i * 7 + j) % 9}" for j in range(30)), "en")
+        for i in range(40)
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string"
+    )
+    calls = {"est": 0}
+    seen_auto = []
+    real_est = dedup.containment_candidate_estimate
+
+    def spy_est(*a, **kw):
+        calls["est"] += 1
+        return real_est(*a, **kw)
+
+    def fake_auto(*a, **kw):
+        seen_auto.append(kw.get("sample_fraction"))
+        return 7, 1234
+
+    orig = (dedup.containment_candidate_estimate, dedup.containment_auto_n)
+    dedup.containment_candidate_estimate = spy_est
+    dedup.containment_auto_n = fake_auto
+    try:
+        with _pytest.raises(dedup.VerifyBudgetExceeded):
+            dedup.containment_pairs(
+                docs, threshold=0.8, n=None,
+                shuffle_budget_bytes=1234 * dedup.VERIFY_BYTES_PER_CAND // 2,
+                preflight_sample_fraction=0.5,
+            )
+    finally:
+        (dedup.containment_candidate_estimate,
+         dedup.containment_auto_n) = orig
+    # every auto call — the initial sweep AND the refusal repricing —
+    # carried the fraction; the sweep's estimate was reused, never
+    # recomputed
+    assert seen_auto and set(seen_auto) == {0.5}, seen_auto
+    assert calls["est"] == 0, calls
+    spark.catalog.clearCache()

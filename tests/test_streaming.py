@@ -2389,3 +2389,69 @@ def test_corrupt_higher_marker_after_commit_keeps_gendir(
     assert sorted(
         map(tuple, read_rollup(spark, root, **kw).collect())
     ) == want
+
+
+def test_commit_consumed_by_finished_follower_is_success(
+    spark, tmp_path, monkeypatch
+):
+    """Round-13 review: the pending-list carve-out only covers a
+    follower caught MID-cleanup. A follower that already FINISHED —
+    folded our committed generation forward, deleted our gendir (its
+    fold input), wrote its final marker with pending=[] and swept our
+    superseded marker — leaves a higher marker that does NOT list us
+    pending. That is still a success (our commit stood and was rolled
+    forward), distinguished from a displacer by the gendir's absence:
+    only a consumer of our generation ever deletes it; a displacer
+    folds from the prior lineage and leaves it orphaned."""
+    import os
+    import shutil
+
+    from yat_geo_db_spark import fsio
+    from yat_geo_db_spark.streaming import sinks
+    from yat_geo_db_spark.streaming.sinks import (
+        compact_rollup, read_rollup, rollup_maintenance_sink,
+    )
+
+    kw = dict(key_cols=["k"], sum_cols=["v"], scale=2)
+    root = str(tmp_path / "rollup")
+    sink = rollup_maintenance_sink(root, **kw)
+    sink(spark.createDataFrame([("a", 1.0)], "k string, v double"), 0)
+    sink(spark.createDataFrame([("a", 2.0), ("b", 1.0)],
+                               "k string, v double"), 1)
+    want = sorted(map(tuple, read_rollup(spark, root, **kw).collect()))
+
+    real_create = fsio.create_exclusive
+
+    def create_then_finish_follow(spark_, path, text):
+        ok = real_create(spark_, path, text)
+        if ok and sinks._MARKER_V_PREFIX in os.path.basename(path):
+            fields = dict(
+                ln.partition("=")[::2] for ln in text.splitlines()
+            )
+            gen = int(fields["gen"])
+            gendir = fields["gendir"]
+            pend = [p for p in fields["pending"].split(",") if p]
+            fol_dir = f"{sinks._GEN_PREFIX}{gen + 1}-f0110wer"
+            shutil.copytree(os.path.join(root, gendir),
+                            os.path.join(root, fol_dir))
+            # the follower runs to COMPLETION: fold-input dirs deleted
+            # (ours included), final marker pending=[], our superseded
+            # marker swept
+            for n in pend + [gendir]:
+                shutil.rmtree(os.path.join(root, n), ignore_errors=True)
+            fsio.write_text_atomic(
+                spark_, f"{root}/{sinks._marker_name(gen + 1)}",
+                sinks._marker_text(
+                    int(fields["through"]), gen + 1, [], fol_dir
+                ),
+            )
+            os.remove(path)
+        return ok
+
+    monkeypatch.setattr(sinks.fsio, "create_exclusive",
+                        create_then_finish_follow)
+    compact_rollup(spark, root, **kw)  # must NOT raise
+    monkeypatch.undo()
+    assert sorted(
+        map(tuple, read_rollup(spark, root, **kw).collect())
+    ) == want

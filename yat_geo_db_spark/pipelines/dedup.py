@@ -638,11 +638,16 @@ def ngram_jaccard_pairs(
     carries an array and stays linear at any corpus size.
     """
     _validate_verify(verify)
+    auto_est = None
     if n is None:
         auto_kw = {} if n_grid is None else {"n_grid": tuple(n_grid)}
-        n, _ = ngram_jaccard_auto_n(
+        # the sweep's probes honor preflight_sample_fraction too — the
+        # at-scale caller that can't afford exact estimate probes for
+        # the pre-flight can't afford them for the sweep either
+        n, auto_est = ngram_jaccard_auto_n(
             documents, threshold, text_col=text_col,
-            block_cols=block_cols, **auto_kw,
+            block_cols=block_cols,
+            sample_fraction=preflight_sample_fraction, **auto_kw,
         )
     if shuffle_budget_bytes is not None:
         # opt-in verify pre-flight (VERDICT r12 task 5): one linear
@@ -657,10 +662,14 @@ def ngram_jaccard_pairs(
         # reason), so a budget-guarded 100 TB caller should pass a
         # fraction rather than pay an unpayable estimate to be told
         # the join is unpayable.
-        est = ngram_jaccard_candidate_estimate(
-            documents, threshold, n=n, text_col=text_col,
-            block_cols=block_cols,
-            sample_fraction=preflight_sample_fraction,
+        # the auto sweep already priced the selected n with the same
+        # sample fraction — don't pay the estimate pass twice
+        est = auto_est if auto_est is not None else (
+            ngram_jaccard_candidate_estimate(
+                documents, threshold, n=n, text_col=text_col,
+                block_cols=block_cols,
+                sample_fraction=preflight_sample_fraction,
+            )
         )
         _verify_preflight(
             documents, threshold, n, est, shuffle_budget_bytes,
@@ -872,11 +881,18 @@ def _extrapolate_sampled(est: int, sample_fraction: float | None) -> int:
     return est * fr.denominator ** 2 // fr.numerator ** 2
 
 
+#: the auto-n sweep's default gram sizes (the ONE definition — both auto
+#: fns default to it and the verify pre-flight's higher-n repricing uses
+#: it, so the refusal message can only ever name an n that n=None
+#: auto-selection would itself consider)
+_AUTO_N_GRID = (3, 4, 5, 7, 9, 11)
+
+
 def ngram_jaccard_auto_n(
     documents: DataFrame,
     threshold: float = 0.5,
     per_doc_budget: float = 32.0,
-    n_grid: tuple[int, ...] = (3, 4, 5, 7, 9, 11),
+    n_grid: tuple[int, ...] = _AUTO_N_GRID,
     text_col: str = "text",
     id_col: str = "doc_id",
     block_cols: tuple[str, ...] = ("lang",),
@@ -991,20 +1007,28 @@ def containment_pairs(
     (pair, gram-hash) rows of the CONTAINED side — the smaller gram
     set of each pair — so the shuffle never carries an array."""
     _validate_verify(verify)
+    auto_est = None
     if n is None:
         auto_kw = {} if n_grid is None else {"n_grid": tuple(n_grid)}
-        n, _ = containment_auto_n(
+        # sweep probes honor preflight_sample_fraction — see
+        # ngram_jaccard_pairs
+        n, auto_est = containment_auto_n(
             documents, threshold, text_col=text_col, id_col=id_col,
-            block_cols=block_cols, **auto_kw,
+            block_cols=block_cols,
+            sample_fraction=preflight_sample_fraction, **auto_kw,
         )
     if shuffle_budget_bytes is not None:
         # opt-in verify pre-flight — see ngram_jaccard_pairs (incl.
         # why preflight_sample_fraction is the at-scale way to pay
         # for the estimate itself)
-        est = containment_candidate_estimate(
-            documents, threshold, n=n, text_col=text_col, id_col=id_col,
-            block_cols=block_cols,
-            sample_fraction=preflight_sample_fraction,
+        # the auto sweep already priced the selected n with the same
+        # sample fraction — don't pay the estimate pass twice
+        est = auto_est if auto_est is not None else (
+            containment_candidate_estimate(
+                documents, threshold, n=n, text_col=text_col, id_col=id_col,
+                block_cols=block_cols,
+                sample_fraction=preflight_sample_fraction,
+            )
         )
         _verify_preflight(
             documents, threshold, n, est, shuffle_budget_bytes,
@@ -1181,7 +1205,7 @@ def containment_auto_n(
     documents: DataFrame,
     threshold: float = 0.8,
     per_doc_budget: float = 32.0,
-    n_grid: tuple[int, ...] = (3, 4, 5, 7, 9, 11),
+    n_grid: tuple[int, ...] = _AUTO_N_GRID,
     text_col: str = "text",
     id_col: str = "doc_id",
     block_cols: tuple[str, ...] = ("lang",),
@@ -1212,10 +1236,6 @@ def containment_auto_n(
             return n, est
     return n_grid[-1], est
 
-
-#: the auto-n sweep's default gram sizes (shared by both auto fns and
-#: the verify pre-flight's higher-n repricing)
-_AUTO_N_GRID = (3, 4, 5, 7, 9, 11)
 
 #: conservative per-candidate cost of the exploded/bloom verify's pair
 #: shuffle (two ids + gram-hash rows for the contained side, amortized) —

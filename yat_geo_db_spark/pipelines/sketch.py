@@ -200,7 +200,13 @@ def kmv_pairwise_jaccard(
     tiny (#groups² × k)-row pair frame via a broadcast join on the
     distinct group list → window top-k per pair → one aggregate row per
     pair. Nothing here scales with |A| or |B| — only with k."""
-    sk = kmv_sketch(df, value_col, k, (group_col,), hash_col)
+    # materialize the sketch ONCE: it is referenced three times below
+    # (group list + both pair sides), and Catalyst's ReusedExchange
+    # can't dedup the differently-aliased subtrees — without this the
+    # full scan + distinct shuffle would run ~3× (same contract as the
+    # dedup index builds). ≤ k narrow rows per group, so the eager
+    # checkpoint is tiny by construction.
+    sk = kmv_sketch(df, value_col, k, (group_col,), hash_col).localCheckpoint()
     groups = sk.select(F.col(group_col).alias("_g")).distinct()
     pairs = (
         groups.select(F.col("_g").alias("g1"))

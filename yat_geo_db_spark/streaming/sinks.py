@@ -1027,13 +1027,18 @@ def _compact_generational_locked(spark, root: str, fold,
     # On HDFS the create is an atomic NameNode op and this read always
     # verifies.
     committed = _marker_text(new_through, new_gen, fold_names, new_gendir)
-    if fsio.read_bytes(
-        spark, f"{root}/{_marker_name(new_gen)}"
-    ) != committed.encode("utf-8"):
+    got = fsio.read_bytes(spark, f"{root}/{_marker_name(new_gen)}")
+    if got is not None and got != committed.encode("utf-8"):
         _abort(
             "a simultaneous commit displaced this run's marker content "
             "(degenerate no-overwrite create on this filesystem)"
         )
+    # got is None — our marker file is GONE: the only code path that
+    # deletes a marker is a HIGHER-generation committer sweeping
+    # superseded ones, so this is not displaced content but a fast
+    # follower (or displacer) that already finished. Fall through to
+    # the outranked-marker adjudication below, which distinguishes the
+    # two by pending-list membership and gendir existence.
     # A creator stalled mid content-write PAST the empty-marker grace
     # can finish after a displacer escalated beyond its slot: its own
     # slot then verifies (its text IS there) while a higher generation
@@ -1071,6 +1076,20 @@ def _compact_generational_locked(spark, root: str, fold,
         if m3[1] > new_gen and new_gendir in m3[2]:
             # fast follower folded this run's generation forward and
             # still lists it pending: success, nothing left to clean
+            return
+        if m3[1] > new_gen and not fsio.exists(spark, f"{root}/{new_gendir}"):
+            # the follower (or a follower CHAIN) already FINISHED: it
+            # consumed this run's generation dir as a fold input and
+            # deleted it, and its final marker no longer lists it
+            # pending (two-step chains list only the previous link's
+            # dir). Only a consumer that folded our committed
+            # generation forward ever deletes our gendir — a DISPLACER
+            # that escalated past a stalled slot folds from the prior
+            # lineage and leaves our dir as orphan debris — so
+            # missing-dir + higher marker means our commit stood and
+            # was rolled forward: success. (If the dir still exists
+            # and isn't pending anywhere, it IS displacer-orphaned and
+            # the abort below correctly reclaims it.)
             return
         _abort(
             "a displacing compaction committed a higher generation "
