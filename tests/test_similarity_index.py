@@ -1247,3 +1247,46 @@ def test_coarse_probes_default_is_two():
 
     for fn in (kmeans_two_level_fit_assign, semdedup_pairs_scaled):
         assert inspect.signature(fn).parameters["coarse_probes"].default == 2
+
+
+def test_random_projection_jl_properties(spark):
+    """Sign-JL (Achlioptas) projection: (a) the sign matrix is a pure
+    function of (dim, m, seed) — replayable, ±1 only; (b) projecting
+    preserves norms in expectation (E[‖y‖²]=‖x‖² — chi²_m/m
+    concentration: with m=16 individual ratios live well inside
+    [0.2, 2.2] and the 500-vector mean within ±20%); (c) the map is
+    deterministic run-to-run (no execution-time RNG)."""
+    import pyspark.sql.functions as F
+
+    from yat_geo_db_spark.pipelines import similarity
+    from yat_geo_db_spark.testdata import load_table
+
+    signs = similarity.random_projection_signs(8, 3)
+    assert signs == similarity.random_projection_signs(8, 3)
+    assert len(signs) == 3 and all(len(r) == 8 for r in signs)
+    assert {v for r in signs for v in r} <= {1.0, -1.0}
+
+    emb = load_table(spark, SF, "embeddings")
+    proj = similarity.random_project(emb, dim=64, m=16)
+    base = emb.select(
+        "vec_id", similarity.norm_col(F.col("embedding")).alias("xn")
+    )
+    y2 = F.lit(0.0)
+    for j in range(16):
+        y2 = y2 + F.col(f"rp_{j}") * F.col(f"rp_{j}")
+    ratios = [
+        r["ratio"]
+        for r in proj.join(base, "vec_id")
+        .where(F.col("xn") > 0)
+        .select((F.sqrt(y2) / F.col("xn")).alias("ratio"))
+        .collect()
+    ]
+    assert ratios, "fixture has no nonzero vectors"
+    assert all(0.2 < r < 2.2 for r in ratios), (min(ratios), max(ratios))
+    mean = sum(ratios) / len(ratios)
+    assert 0.8 < mean < 1.2, mean
+
+    a = sorted(map(tuple, proj.collect()))
+    b = sorted(map(tuple, similarity.random_project(
+        emb, dim=64, m=16).collect()))
+    assert a == b

@@ -2512,3 +2512,61 @@ def centroid_drift(
             ).alias("norm_ratio"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Sign-JL random projection (Achlioptas 2003)
+# --------------------------------------------------------------------------
+
+#: fixed seed for the sign matrix — the projection is a pure function of
+#: (dim, m, seed), so Spark plan and SQL oracle embed the SAME constants
+RP_SEED = 13
+
+
+def random_projection_signs(
+    dim: int, m: int, seed: int = RP_SEED
+) -> list[list[float]]:
+    """Deterministic ±1 Achlioptas sign matrix (m rows × dim cols),
+    generated driver-side ONCE and embedded as plan literals: no RNG at
+    execution time, so the projection replays exactly in any engine that
+    can fold a dot product (the DuckDB oracle embeds the same rows)."""
+    import random as _random
+
+    rng = _random.Random(seed)
+    return [
+        [1.0 if rng.random() < 0.5 else -1.0 for _ in range(dim)]
+        for _ in range(m)
+    ]
+
+
+def random_project(
+    embeddings: DataFrame,
+    dim: int,
+    m: int = 16,
+    seed: int = RP_SEED,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    out_prefix: str = "rp_",
+) -> DataFrame:
+    """Johnson-Lindenstrauss sign projection: y_j = (1/√m)·Σᵢ s_ji·xᵢ
+    with s ∈ {±1} (Achlioptas 2003 — database-friendly random
+    projections: ±1 entries preserve pairwise distances in expectation
+    with relative error ~1/√m, no Gaussian sampling needed). The
+    at-scale role is a CHEAP m-dim prefilter space in front of exact
+    re-rank: distances cost m multiplies instead of dim, and the
+    projection itself is a PURE MAP — one scan, zero shuffle, every
+    fold inside whole-stage codegen (dot_col's zip_with/aggregate), no
+    UDF. Columns come back UNROUNDED (callers that hash them should
+    round; the registry row does both rounding and a norm-preservation
+    receipt)."""
+    if m < 1 or dim < 1:
+        raise ValueError(f"dim and m must be ≥ 1, got dim={dim} m={m}")
+    signs = random_projection_signs(dim, m, seed)
+    scale = 1.0 / (m ** 0.5)
+    x = F.col(vec_col)
+    outs = [
+        (dot_col(x, F.array(*[F.lit(s) for s in row])) * F.lit(scale))
+        .alias(f"{out_prefix}{j}")
+        for j, row in enumerate(signs)
+    ]
+    return embeddings.select(F.col(id_col), *outs)

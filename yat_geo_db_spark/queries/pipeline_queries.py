@@ -6831,6 +6831,76 @@ FROM d, m
 """
 
 
+# --------------------------------------------------------------------------
+# Sign-JL random projection — deterministic dim reduction, hash-replayable
+# --------------------------------------------------------------------------
+
+RP_DIM = 64   # the fixture embedding width
+RP_M = 16     # projected width: relative distance error ~1/√m ≈ 25%
+
+
+def q_emb_random_projection(spark, sf_dir):
+    """Johnson-Lindenstrauss sign projection of every embedding to
+    RP_M dims (similarity.random_project — pure scan-side map, zero
+    shuffle) plus a norm-preservation receipt ‖y‖/‖x‖ per vector. The
+    ±1 matrix is a pure function of (dim, m, seed) generated
+    driver-side, so the DuckDB oracle embeds the SAME literals and the
+    projected values hash-match exactly — unlike PCA (iterative,
+    rows-only) this dim-reducer is fully driver-hashed. At-scale role:
+    the cheap prefilter space in front of exact re-rank (distances cost
+    m multiplies instead of dim)."""
+    from yat_geo_db_spark.pipelines import similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    proj = similarity.random_project(emb, dim=RP_DIM, m=RP_M)
+    base = emb.select(
+        "vec_id", similarity.norm_col(F.col("embedding")).alias("_xn")
+    )
+    y2 = F.lit(0.0)
+    for j in range(RP_M):
+        y2 = y2 + F.col(f"rp_{j}") * F.col(f"rp_{j}")
+    return (
+        proj.join(base, "vec_id")
+        .select(
+            "vec_id",
+            *[
+                F.round(F.col(f"rp_{j}"), 6).alias(f"rp_{j}")
+                for j in range(RP_M)
+            ],
+            F.round(
+                F.when(F.col("_xn") > 0, F.sqrt(y2) / F.col("_xn")), 6
+            ).alias("norm_ratio"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+def _emb_random_projection_sql() -> str:
+    from yat_geo_db_spark.pipelines.similarity import random_projection_signs
+
+    signs = random_projection_signs(RP_DIM, RP_M)
+    scale = repr(1.0 / (RP_M ** 0.5))
+    y_defs = ",\n       ".join(
+        f"({_dot('embedding', '[' + ', '.join(repr(s) for s in row) + ']')})"
+        f" * {scale} AS y_{j}"
+        for j, row in enumerate(signs)
+    )
+    y2 = "0.0 + " + " + ".join(f"y_{j} * y_{j}" for j in range(RP_M))
+    y_round = ", ".join(f"ROUND(y_{j}, 6) AS rp_{j}" for j in range(RP_M))
+    return f"""
+WITH proj AS (
+  SELECT vec_id,
+       {y_defs},
+       {_norm('embedding')} AS xn
+  FROM embeddings
+)
+SELECT vec_id, {y_round},
+       ROUND(CASE WHEN xn > 0 THEN sqrt({y2}) / xn END, 6) AS norm_ratio
+FROM proj
+ORDER BY vec_id
+"""
+
+
 QUERIES: dict = {
     "pipe_pii_scrub": (q_pii_scrub, _pii_scrub_sql()),
     "pipe_src_json_dlq": (q_src_json_dlq, _SRC_JSON_DLQ_SQL),
@@ -6986,4 +7056,7 @@ QUERIES: dict = {
     ),
     "pipe_sketch_kmv_overlap": (q_sketch_kmv_overlap, _sketch_kmv_overlap_sql()),
     "pipe_sketch_kmv_merge": (q_sketch_kmv_merge, _sketch_kmv_merge_sql()),
+    "pipe_emb_random_projection": (
+        q_emb_random_projection, _emb_random_projection_sql(),
+    ),
 }
