@@ -70,6 +70,14 @@ def pagerank(
     nd = nodes.select(F.col(node_col).alias("_node"))
     n_frame = F.broadcast(nd.agg(F.count(F.lit(1)).alias("_n")))
     outdeg = e.groupBy("_src").agg(F.count(F.lit(1)).alias("_deg"))
+    # the edge⋈outdeg frame is static across rounds — resolve it once
+    # (lazily checkpointed) instead of re-scanning the edges and
+    # re-aggregating/joining the degree table inside every round: a
+    # round becomes ONE equi-join + one groupBy(dst), with the same
+    # per-row _r/_deg division through the same dsum (bit-identical)
+    e_deg = e.join(outdeg, "_src")
+    if checkpoint:
+        e_deg = e_deg.localCheckpoint(eager=False)
     # the dangling SET is static — resolve it once into a carried flag
     # (one anti-join total) so each round's dangling mass is a plain
     # filter + aggregate instead of a fresh anti-join of V against E
@@ -86,8 +94,10 @@ def pagerank(
 
     for _ in range(n_iter):
         contrib = (
-            e.join(ranks.select("_node", "_r"), e["_src"] == F.col("_node"))
-            .join(outdeg, "_src")
+            e_deg.join(
+                ranks.select("_node", "_r"),
+                F.col("_src") == F.col("_node"),
+            )
             .groupBy("_dst")
             .agg(dsum(F.col("_r") / F.col("_deg").cast("double"), scale)
                  .alias("_c"))
@@ -252,6 +262,10 @@ def personalized_pagerank(
     )
     s_frame = F.broadcast(sd.agg(F.count(F.lit(1)).alias("_ns")))
     outdeg = e.groupBy("_src").agg(F.count(F.lit(1)).alias("_deg"))
+    # static edge⋈outdeg frame, resolved once per call (see pagerank)
+    e_deg = e.join(outdeg, "_src")
+    if checkpoint:
+        e_deg = e_deg.localCheckpoint(eager=False)
     ranks = (
         nd.join(outdeg, nd["_node"] == outdeg["_src"], "left")
         .join(
@@ -273,8 +287,10 @@ def personalized_pagerank(
 
     for _ in range(n_iter):
         contrib = (
-            e.join(ranks.select("_node", "_r"), e["_src"] == F.col("_node"))
-            .join(outdeg, "_src")
+            e_deg.join(
+                ranks.select("_node", "_r"),
+                F.col("_src") == F.col("_node"),
+            )
             .groupBy("_dst")
             .agg(dsum(F.col("_r") / F.col("_deg").cast("double"), scale)
                  .alias("_c"))
@@ -411,6 +427,12 @@ def label_propagation(
         .union(und.select(F.col("b").alias("v"), F.col("a").alias("u")))
         .distinct()
     )
+    if checkpoint:
+        # the adjacency is static across rounds — cut its lineage once
+        # so each round reads the materialized table instead of
+        # re-running the union+distinct shuffles (2 exchanges/round on
+        # a frame the rounds never change); labels init shares it
+        adj = adj.localCheckpoint(eager=False)
     labels = adj.select("v").distinct().select(
         "v", F.col("v").alias("lbl")
     )

@@ -23,6 +23,19 @@ from pyspark.sql import Column, DataFrame
 import pyspark.sql.functions as F
 
 
+def _darr(values) -> Column:
+    """array<double> literal in ONE py4j call (F.expr over exact reprs).
+
+    F.lit(list) / F.array(*[F.lit(x) ...]) cost one py4j round trip PER
+    ELEMENT — ~0.2 ms each, which for a k·d centroid table in the
+    thousands of elements adds whole seconds of driver time to a plan
+    meant to be cheap. Python's repr() emits the shortest decimal that
+    round-trips the IEEE double, and Spark's literal parser is
+    correctly rounded, so the value is bit-exact either way."""
+    body = ", ".join(f"{float(v)!r}D" for v in values)
+    return F.expr(f"array({body})")
+
+
 def dot_col(a: Column, b: Column) -> Column:
     """Deterministic sequential-fold dot product over double-cast arrays."""
     prods = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
@@ -186,7 +199,7 @@ def ivf_topk_indexed(
     probes = {bucket}
     for _ in range(hamming_probe):
         probes |= {b ^ (1 << j) for b in probes for j in range(bits)}
-    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    q = _darr(query_vec)
     df = spark.read.parquet(root).filter(F.col("bucket").isin(sorted(probes)))
     return (
         df.select(
@@ -763,7 +776,7 @@ def kmeans_ivf_topk(
     probes = [
         r["cid"] for r in sorted(cents, key=lambda r: (sqd(r["cvec"]), r["cid"]))
     ][:nprobe]
-    qcol = F.array(*[F.lit(x) for x in q])
+    qcol = _darr(q)
     df = spark.read.parquet(f"{root}/vectors").filter(F.col("cid").isin(probes))
     return (
         df.select(
@@ -957,7 +970,7 @@ def pq_adc_topk(
         raise ValueError(f"query dim {dim} not divisible by m {m}")
     sub_dim = dim // m
     qsubs = [
-        F.array(*[F.lit(float(query_vec[j * sub_dim + t])) for t in range(sub_dim)])
+        _darr([query_vec[j * sub_dim + t] for t in range(sub_dim)])
         for j in range(m)
     ]
     qsub = F.element_at(
@@ -1218,17 +1231,19 @@ def semdedup_pairs(
     # the pair self-join — materialize it once (each consumer would
     # otherwise re-run the per-element norm-divide transform)
     unit = l2_normalized(embeddings, id_col, vec_col).localCheckpoint()
+    n = unit.count()
     if k is None:
-        k = semdedup_auto_k(unit.count())
+        k = semdedup_auto_k(n)
     assign = kmeans_fit_assign(
         unit, k=k, n_iter=n_iter, id_col=id_col, vec_col=vec_col
     ).select(id_col, "cid")
-    return _cell_blocked_pairs(unit, assign, threshold, id_col, vec_col)
+    return _cell_blocked_pairs(unit, assign, threshold, id_col, vec_col, n)
 
 
 def _cell_blocked_pairs(
     unit: DataFrame, assign: DataFrame, threshold: float,
-    id_col: str, vec_col: str,
+    id_col: str, vec_col: str, n_rows: int | None = None,
+    dim: int | None = None,
 ) -> DataFrame:
     """The SemDeDup pair join shared by the flat and two-level routes:
     within-cell self-join of the UNIT vectors, id1 < id2, thresholded
@@ -1236,8 +1251,26 @@ def _cell_blocked_pairs(
     the two norm folds cosine_col would recompute per pair (≈3× the
     per-pair work across the within-cell candidate set; measured
     16.8 s → 6.5 s at sf0.1). The oracle mirrors the same dot over the
-    same normalized vectors, so parity is exact."""
-    vecs = unit.join(assign, id_col)
+    same normalized vectors, so parity is exact.
+
+    Join strategy (round 13, guide §3.1): with no hints the pair join
+    planned as assign-side-streamed — the final stage read the argmin
+    aggregate's tiny (≈50 KB) AQE-coalesced shuffle, so the WHOLE
+    pair-verify compute (the dominant cost: |cell|²/2 dot folds per
+    cell) serialized onto one core (measured: a single 2.2-2.6 s save
+    task at sf0.1, every other core idle). When the caller-supplied
+    row count prices the corpus under the session broadcast threshold,
+    hint BOTH small sides: broadcast `assign` into the unit join (the
+    probe then streams the checkpointed unit table's scan partitions —
+    no exchange at all on the probe path) and broadcast the right pair
+    side. Past the threshold (the 100 TB corpus) the hints are
+    withheld and the shuffle join on `cid` stands — at auto-k scale
+    there are n/target_cell cells, so that route has the key
+    cardinality the local fixture lacks."""
+    small = n_rows is not None and _fits_session_broadcast(
+        unit.sparkSession, n_rows, dim if dim else 256
+    )
+    vecs = unit.join(F.broadcast(assign) if small else assign, id_col)
     a = vecs.select(
         F.col("cid"), F.col(id_col).alias("id1"), F.col(vec_col).alias("v1")
     )
@@ -1245,6 +1278,8 @@ def _cell_blocked_pairs(
         F.col("cid").alias("cid_r"), F.col(id_col).alias("id2"),
         F.col(vec_col).alias("v2"),
     )
+    if small:
+        b = F.broadcast(b)
     return (
         a.join(
             b,
@@ -1256,6 +1291,19 @@ def _cell_blocked_pairs(
         )
         .filter(F.col("cosine") >= threshold)
     )
+
+
+def _fits_session_broadcast(spark, n_rows: int, dim: int) -> bool:
+    """Price (id, vec, cid) rows against the session broadcast
+    threshold: n·(8·dim + 24) bytes with a 2× hash-relation factor.
+    Conservative on purpose — a miss only keeps the shuffle join."""
+    try:
+        thr = int(spark.conf.get(
+            "spark.sql.autoBroadcastJoinThreshold", "10485760"
+        ))
+    except (TypeError, ValueError):
+        return False
+    return thr > 0 and n_rows * (8 * dim + 24) * 2 <= thr
 
 
 def semdedup_pairs_scaled(
@@ -1300,12 +1348,13 @@ def semdedup_pairs_scaled(
     larger k (clustered 92.7%/92.2% — BENCHLOG round 13), so p=2 is
     the knee; raise p only when recall is worth more than wall."""
     unit = l2_normalized(embeddings, id_col, vec_col).localCheckpoint()
-    k = semdedup_auto_k(unit.count(), target_cell)
+    n = unit.count()
+    k = semdedup_auto_k(n, target_cell)
     assign = kmeans_two_level_fit_assign(
         unit, k=k, n_iter=n_iter, id_col=id_col, vec_col=vec_col,
         coarse_probes=coarse_probes,
     ).select(id_col, "cid")
-    return _cell_blocked_pairs(unit, assign, threshold, id_col, vec_col)
+    return _cell_blocked_pairs(unit, assign, threshold, id_col, vec_col, n)
 
 
 def embedding_dim_stats(
@@ -2007,10 +2056,10 @@ def pca_power_project(
     rounding boundary). One scan, no shuffle, whole-stage codegen."""
     x = F.col(vec_col).cast("array<double>")
     cols = [F.col(id_col)]
-    mu_arr = F.array(*[F.lit(float(m)) for m in mean])
+    mu_arr = _darr(mean)
     centered = F.zip_with(x, mu_arr, lambda a, b: a - b)
     for k, comp in enumerate(components):
-        c_arr = F.array(*[F.lit(float(c)) for c in comp])
+        c_arr = _darr(comp)
         terms = F.zip_with(centered, c_arr, lambda a, b: a * b)
         proj = F.aggregate(terms, F.lit(0.0), lambda acc, t: acc + t)
         cols.append(F.round(proj, 6).alias(f"proj{k + 1}"))
@@ -2202,7 +2251,7 @@ def mmr_select(
                 F.round(
                     cosine_col(
                         F.col(vec_col),
-                        F.array(*[F.lit(float(x)) for x in svec]),
+                        _darr(svec),
                     ),
                     6,
                 )
@@ -2270,8 +2319,8 @@ def sq8_encode(
     payload you'd persist and scan at serving time). Embedding cells
     are non-null by schema (float arrays), so the greatest/least clamp
     never sees a NULL to skip."""
-    lo_arr = F.array(*[F.lit(float(lo)) for lo, _ in bounds])
-    st_arr = F.array(*[F.lit(float(st)) for _, st in bounds])
+    lo_arr = _darr([lo for lo, _ in bounds])
+    st_arr = _darr([st for _, st in bounds])
     idx1 = lambda i: (i + F.lit(1)).cast("int")  # noqa: E731
     codes = F.transform(
         F.col(vec_col),
@@ -2306,8 +2355,8 @@ def sq8_scores(
     Each term snaps to fixed-point (floor(t*1e9 + 0.5) as long) before
     the fold, so the sum is associative — partition-order-independent
     on the engine side and bit-identical to the oracle's grouped sum."""
-    lo_arr = F.array(*[F.lit(float(lo)) for lo, _ in bounds])
-    st_arr = F.array(*[F.lit(float(st)) for _, st in bounds])
+    lo_arr = _darr([lo for lo, _ in bounds])
+    st_arr = _darr([st for _, st in bounds])
     m = float(10 ** scale)
     idx1 = lambda i: (i + F.lit(1)).cast("int")  # noqa: E731
     terms = F.transform(
@@ -2565,7 +2614,7 @@ def random_project(
     scale = 1.0 / (m ** 0.5)
     x = F.col(vec_col)
     outs = [
-        (dot_col(x, F.array(*[F.lit(s) for s in row])) * F.lit(scale))
+        (dot_col(x, _darr(row)) * F.lit(scale))
         .alias(f"{out_prefix}{j}")
         for j, row in enumerate(signs)
     ]

@@ -5753,6 +5753,13 @@ def q_graph_triangles(spark, sf_dir):
     for fam in fams:
         e = base.select(F.col("i").alias("src"), fam.alias("dst"))
         edges = e if edges is None else edges.union(e)
+    # cut the synthetic-edge lineage once: the window+distinct+crossJoin
+    # subtree above is referenced by every consumer inside
+    # triangle_counts (und feeds 3 branches, oriented 2), and the
+    # nested InMemoryRelations multiplied it into a ~3,500-Exchange
+    # printed plan the optimizer re-walked every run; the checkpointed
+    # edge list (|sources| · 3 rows) collapses it to a scan
+    edges = edges.localCheckpoint()
     tri = triangle_counts(edges)
     return (
         idx.join(tri, idx["i"] == tri["node"])
