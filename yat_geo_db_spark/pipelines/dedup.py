@@ -2603,6 +2603,17 @@ def sorted_neighborhood_pairs(
         ranked.select(F.col("_rank"), F.col("_id").alias("id_b")),
         "_rank",
     )
+    # pin the verify's parallelism while the pairs are still NARROW
+    # (id_a, id_b): at runtime AQE converts the rank equi-join to a
+    # broadcast join and coalesces the tiny range-shuffle partitions,
+    # which fused the whole downstream verify — O(n·w) array_intersect
+    # calls over multi-KB gram arrays — into ONE task (measured: a
+    # single ~2.9 s CPU task at sf0.1 while 31 cores idled). An
+    # explicit round-robin repartition of the candidate pairs (bytes:
+    # two longs per row) is AQE-stable, spreads the verify across the
+    # session's parallelism, and keeps the heavy gram arrays attaching
+    # AFTER the exchange (guide §8: shuffle the proxy, not the payload)
+    cand = cand.repartition(n_parts)
     # verify on HASHED shingles: the polynomial gram hash runs ONCE per
     # doc (O(chars)), so each of the O(n·w) pair intersections compares
     # longs instead of re-hashing strings — measured 1.7× on the sf0.1
@@ -2617,6 +2628,8 @@ def sorted_neighborhood_pairs(
             )
         ).alias("_g"),
     )
+    if checkpoint:
+        grams = grams.localCheckpoint()
     paired = cand.join(
         grams.select(F.col("_gid").alias("id_a"), F.col("_g").alias("_ga")),
         "id_a",

@@ -1628,6 +1628,16 @@ def image_dedup_keep(
     plus their cluster id and cluster size."""
     from yat_geo_db_spark.pipelines.dedup import connected_components
 
+    # media is consumed THREE times (the pHash pass, the kept-dup join,
+    # the singleton anti-join) and typically arrives as a synthesize/
+    # decode mapInPandas chain — without pinning, each consumer re-runs
+    # the whole Python encode pass (measured: 3× ~1.5-2 s per run at
+    # sf0.1). Persist + eager count, the same discipline as every index
+    # table (concurrent cold-cache stages would otherwise race and
+    # recompute); long-lived sessions clearCache between calls, as with
+    # the other persisted index frames.
+    media = media.persist()
+    media.count()
     pairs = phash_near_dup_pairs(media, max_hamming=max_hamming).select(
         "id1", "id2"
     )

@@ -2243,40 +2243,49 @@ def mmr_select(
         )
         .localCheckpoint()
     )
-    selected: list = []   # (id, vector) driver state, ≤ k entries
+    # the max-sim-to-selected term is carried INCREMENTALLY (round 13):
+    # `_ms` holds max over the picks so far — one new cosine per round
+    # folded in via greatest(_ms, cos(x, new_pick)), which equals the
+    # old greatest() over ALL picks exactly (max of 6-dp-rounded doubles
+    # is associative; NULL init + coalesce(_ms, 0.0) reproduces round
+    # 1's literal-0 maxsim without polluting later rounds' max with a 0
+    # floor — cosines can be negative). Rebuilding the full greatest()
+    # chain per round made round k's plan carry k cosine folds: ~3.3 s
+    # of driver-side plan construction/analysis at sf0.1 against ~1 s of
+    # actual job time; constant-size rounds remove that quadratic term.
+    state = rel.withColumn("_ms", F.lit(None).cast("double"))
+    selected: list = []   # picked ids, ≤ k entries (driver state)
     out_rows = []
     for rank in range(1, k + 1):
-        if selected:
-            sims = [
-                F.round(
-                    cosine_col(
-                        F.col(vec_col),
-                        _darr(svec),
-                    ),
-                    6,
-                )
-                for _, svec in selected
-            ]
-            maxsim = sims[0] if len(sims) == 1 else F.greatest(*sims)
-        else:
-            maxsim = F.lit(0.0)
-        cand = rel.filter(
-            ~F.col(id_col).isin([sid for sid, _ in selected])
-        ).select(
+        cand = state.filter(~F.col(id_col).isin(selected)).select(
             id_col,
             vec_col,
             "_rel",
-            (F.lit(lam) * F.col("_rel") - F.lit(1.0 - lam) * maxsim).alias(
-                "_score"
-            ),
+            (
+                F.lit(lam) * F.col("_rel")
+                - F.lit(1.0 - lam) * F.coalesce(F.col("_ms"), F.lit(0.0))
+            ).alias("_score"),
         )
         row = cand.orderBy(F.desc("_score"), F.asc(id_col)).first()
         if row is None:
             break
-        selected.append((row[id_col], list(row[vec_col])))
+        selected.append(row[id_col])
         out_rows.append(
             (rank, row[id_col], float(row["_rel"]), float(row["_score"]))
         )
+        if rank < k:
+            state = state.withColumn(
+                "_ms",
+                F.greatest(
+                    "_ms",
+                    F.round(
+                        cosine_col(
+                            F.col(vec_col), _darr(list(row[vec_col]))
+                        ),
+                        6,
+                    ),
+                ),
+            ).localCheckpoint(eager=False)
     spark = embeddings.sparkSession
     return spark.createDataFrame(
         out_rows, f"rank int, {id_col} long, rel double, score double"
