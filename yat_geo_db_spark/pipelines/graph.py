@@ -77,7 +77,11 @@ def pagerank(
     # per-row _r/_deg division through the same dsum (bit-identical)
     e_deg = e.join(outdeg, "_src")
     if checkpoint:
-        e_deg = e_deg.localCheckpoint(eager=False)
+        # EAGER: a lazily-checkpointed join materializing inside the
+        # first round's job measured 6-12x slower in a cold JVM
+        # (bench isolated re-measure) than paying one explicit
+        # materialization job here; eager is also the repo-wide default
+        e_deg = e_deg.localCheckpoint()
     # the dangling SET is static — resolve it once into a carried flag
     # (one anti-join total) so each round's dangling mass is a plain
     # filter + aggregate instead of a fresh anti-join of V against E
@@ -262,10 +266,11 @@ def personalized_pagerank(
     )
     s_frame = F.broadcast(sd.agg(F.count(F.lit(1)).alias("_ns")))
     outdeg = e.groupBy("_src").agg(F.count(F.lit(1)).alias("_deg"))
-    # static edge⋈outdeg frame, resolved once per call (see pagerank)
+    # static edge⋈outdeg frame, resolved once per call (see pagerank;
+    # eager for the same cold-JVM reason)
     e_deg = e.join(outdeg, "_src")
     if checkpoint:
-        e_deg = e_deg.localCheckpoint(eager=False)
+        e_deg = e_deg.localCheckpoint()
     ranks = (
         nd.join(outdeg, nd["_node"] == outdeg["_src"], "left")
         .join(
@@ -431,8 +436,10 @@ def label_propagation(
         # the adjacency is static across rounds — cut its lineage once
         # so each round reads the materialized table instead of
         # re-running the union+distinct shuffles (2 exchanges/round on
-        # a frame the rounds never change); labels init shares it
-        adj = adj.localCheckpoint(eager=False)
+        # a frame the rounds never change); labels init shares it.
+        # EAGER (repo default): lazy materialization inside the first
+        # round's job measured 6-12x slower in a cold JVM
+        adj = adj.localCheckpoint()
     labels = adj.select("v").distinct().select(
         "v", F.col("v").alias("lbl")
     )
