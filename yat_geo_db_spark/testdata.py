@@ -60,23 +60,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if _CACHE_ENABLED:
         cached = _TABLE_CACHE.get(key)
         if cached is not None:
-            try:
-                live = cached.storageLevel.useMemory or (
-                    cached.storageLevel.useDisk
-                )
-            except Exception:
-                live = True
-            if live:
-                return cached
-            # the bench's per-query clearCache() dropped this entry's
-            # InMemoryRelation; re-serving the STALE frame makes the
-            # next consumer re-materialize it through the old cached
-            # physical plan, which can collapse the repartitioned scan
-            # back to a single task (measured: the grams-stats
-            # aggregate of the jaccard index re-ran the whole corpus
-            # shingle pass in ONE 1.8 s task on warm bench runs).
-            # Rebuild — scan + repartition + fresh cache registration.
-            _TABLE_CACHE.pop(key, None)
+            return cached
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
         # events.ts has shipped as parquet TIMESTAMP(NANOS) in some driver
