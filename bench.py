@@ -205,6 +205,41 @@ HEADLINE.append("pipe_sim_semdedup_scaled")
 HEADLINE.append("pipe_sim_semdedup_scaled_p2")
 
 
+#: Stdout-elision priority (VERDICT r13 #1 — see the elision comment in
+#: main()). The first _ELIDE_ALWAYS names are ALWAYS dropped from the
+#: stdout JSON line: they are exactly the names the r13 line elided
+#: (every one <0.5 s on every round on record), so the driver's
+#: per-query map keeps the same 67 names round-over-round instead of
+#: re-deciding the set from each run's timing noise. The rest of the
+#: list is the committed OVERFLOW order (fastest-first as measured at
+#: the r14 baseline — committed once, never re-derived per run) used
+#: only if the line still exceeds the byte budget.
+_ELIDE_PRIORITY = [
+    "rel_interval_join",
+    "pipe_sim_topk_brute",
+    "pipe_text_quality",
+    "pipe_text_fingerprint",
+    "rel_q6_forecast_revenue",
+    "pipe_pii_scrub",
+    "pipe_html_extract",
+    # --- overflow order (not elided unless the line overflows) ---
+    "pipe_sim_filtered_topk",
+    "pipe_decon_exact_ngram",
+    "pipe_sim_hard_negatives",
+    "rel_zorder_key",
+    "pipe_dedup_exact",
+    "pipe_sample_stratified",
+    "pipe_mm_features",
+    "rel_sessionize",
+    "geo_knn",
+    "pipe_dedup_lines",
+    "geo_radius_full",
+    "pipe_text_bm25",
+    "rel_assoc_rules",
+]
+_ELIDE_ALWAYS = 7
+
+
 def force(df) -> None:
     """Materialize the full result distributed-side (no collect)."""
     df.write.format("noop").mode("overwrite").save()
@@ -368,10 +403,24 @@ def main() -> None:
     # line, so the FRONT of the line fell outside the window and
     # BENCH_r{10,11}.json recorded "parsed": null. The only robust fix
     # is to keep the WHOLE line under the window: headline fields lead,
-    # per-query timings go to 2 dp, and if the line still exceeds the
-    # budget the FASTEST rows are elided (deterministically — slowest
-    # rows are the ones cross-round diffs care about), with the elision
-    # count recorded so a reader knows the map is partial.
+    # per-query timings go to 2 dp, and rows are elided down to the
+    # budget, with the elision count recorded so a reader knows the map
+    # is partial.
+    #
+    # WHICH rows get elided is PINNED (VERDICT r13 #1): rounds 12-13
+    # re-decided the elided set from each run's own timings, so the set
+    # drifted with scheduler noise and the driver's round-over-round
+    # map diff manufactured phantom dropped/new queries
+    # (pipe_sim_topk_brute in r13 — ran, passed, got FASTER, and read
+    # as "dropped_from_bench" because it fell under that run's elision
+    # cutoff). The first _ELIDE_ALWAYS names of _ELIDE_PRIORITY are
+    # always elided — exactly the seven names the r13 stdout line
+    # elided, so the name set visible to the driver is unchanged and
+    # stable; should the line ever exceed the budget anyway, FURTHER
+    # names come from the same committed list in order (then any
+    # stragglers by name), never from this run's timings. The full
+    # 74-name map always rides on stderr (full_queries above).
+    # tests/test_bench_contract.py pins the budget arithmetic.
     line_budget = int(os.environ.get("SPARK_GRAFT_BENCH_LINE_BYTES", "1900"))
     inline = {n: round(t, 2) for n, t in timings.items()}
     elided = 0
@@ -382,8 +431,16 @@ def main() -> None:
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "queries": inline,
     }
+    for name in _ELIDE_PRIORITY[:_ELIDE_ALWAYS]:
+        if name in inline:
+            del inline[name]
+            elided += 1
+    payload["queries_elided"] = elided
     line = json.dumps(payload, separators=(",", ":"))
-    for name in sorted(inline, key=lambda n: (inline[n], n)):
+    overflow = [
+        n for n in _ELIDE_PRIORITY[_ELIDE_ALWAYS:] if n in inline
+    ] + sorted(n for n in inline if n not in _ELIDE_PRIORITY)
+    for name in overflow:
         if len(line) <= line_budget:
             break
         del inline[name]

@@ -728,3 +728,37 @@ def test_cdc_chunking_tiling_and_edit_stability(spark):
     report = cdc_dedup_report(tbl)
     saved = sum(r["bytes_saved"] for r in report.collect())
     assert saved >= len(rng_bytes)  # full second copy + shared edit regions
+
+
+def test_image_dedup_keep_persist_false_leaves_no_cache(spark):
+    """ADVICE r13: image_dedup_keep(persist=False) must not mutate the
+    caller's caching state — no lingering cached frame after the call —
+    and must return the same rows as the default persisting path."""
+    from yat_geo_db_spark.pipelines import multimodal
+
+    base = "the quick brown fox jumps over the lazy dog " * 6
+    docs = spark.createDataFrame(
+        [(1, base), (2, base + "x"), (9, "Z" * 260)],
+        "doc_id long, text string",
+    )
+    media = multimodal.synthesize_png(docs)
+    spark.catalog.clearCache()
+    got = sorted(
+        (r["doc_id"], r["component"], r["cluster_size"])
+        for r in multimodal.image_dedup_keep(media, persist=False)
+        .select("doc_id", "component", "cluster_size").collect()
+    )
+    # the caller's frame must not have been silently persisted (the
+    # internal connected-components checkpoints are ContextCleaner-
+    # scoped and GC away; the ADVICE complaint was specifically the
+    # caller-supplied media frame staying pinned in the SQL cache)
+    assert not media.storageLevel.useMemory and not (
+        media.storageLevel.useDisk
+    ), "persist=False must not mutate the caller's caching state"
+    want = sorted(
+        (r["doc_id"], r["component"], r["cluster_size"])
+        for r in multimodal.image_dedup_keep(media)
+        .select("doc_id", "component", "cluster_size").collect()
+    )
+    spark.catalog.clearCache()
+    assert got == want

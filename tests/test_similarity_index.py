@@ -1290,3 +1290,51 @@ def test_random_projection_jl_properties(spark):
     b = sorted(map(tuple, similarity.random_project(
         emb, dim=64, m=16).collect()))
     assert a == b
+
+
+def test_darr_nonfinite_falls_back_to_lit_path(spark):
+    """_darr must survive NaN/Inf elements (ADVICE r13: repr() emits
+    inf/nan which the SQL parser reads as identifiers) — the guarded
+    fallback builds the literal per element and round-trips the values;
+    the finite fast path stays bit-exact."""
+    import math
+
+    from yat_geo_db_spark.pipelines.similarity import _darr
+
+    vals = [1.5, float("nan"), float("inf"), float("-inf"), -0.25]
+    row = spark.range(1).select(_darr(vals).alias("a")).first()
+    got = row["a"]
+    assert got[0] == 1.5 and got[4] == -0.25
+    assert math.isnan(got[1])
+    assert got[2] == float("inf") and got[3] == float("-inf")
+    # finite fast path unchanged (one-expression literal, exact values)
+    fin = spark.range(1).select(
+        _darr([0.1, -2.0, 3.5e300]).alias("a")
+    ).first()["a"]
+    assert list(fin) == [0.1, -2.0, 3.5e300]
+
+
+def test_broadcast_gate_prices_measured_dim(spark):
+    """_fits_session_broadcast must price the REAL vector width
+    (VERDICT r13 #6): at the session's 64 MB threshold, 5,000 rows of a
+    4096-dim corpus (~328 MB framed ×2) must be REFUSED even though the
+    old hard-coded dim=256 pricing (~21 MB ×2) would have admitted the
+    broadcast; 256 stays only as a pricing floor, and an unknown width
+    refuses the hint outright."""
+    from yat_geo_db_spark.pipelines.similarity import (
+        _count_and_dim, _fits_session_broadcast,
+    )
+
+    n = 5_000
+    assert _fits_session_broadcast(spark, n, 256)  # old-default pricing
+    assert not _fits_session_broadcast(spark, n, 4096)  # measured width
+    assert not _fits_session_broadcast(spark, n, None)  # unpriceable
+    # the floor: tiny dims price AS 256 (conservative, never looser)
+    assert _fits_session_broadcast(spark, n, 8) == _fits_session_broadcast(
+        spark, n, 256
+    )
+    # _count_and_dim measures the widest row in one job
+    df = spark.createDataFrame(
+        [(1, [0.0] * 3), (2, [0.0] * 7)], "vec_id long, embedding array<double>"
+    )
+    assert _count_and_dim(df, "embedding") == (2, 7)

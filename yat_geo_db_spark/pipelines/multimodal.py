@@ -1617,7 +1617,7 @@ def jpeg_features(media: DataFrame) -> DataFrame:
 
 
 def image_dedup_keep(
-    media: DataFrame, max_hamming: int = 10
+    media: DataFrame, max_hamming: int = 10, persist: bool = True
 ) -> DataFrame:
     """End-to-end image dedup: pHash near-dup pairs (lossless pigeonhole
     blocking) → connected components → keep the min-id image per visual
@@ -1625,7 +1625,17 @@ def image_dedup_keep(
     pairs→clusters→canonical chain, composed from the SAME operators —
     so every stage keeps its own scale shape (segment equi-join, min-
     label propagation, anti-join keep). Returns the surviving media rows
-    plus their cluster id and cluster size."""
+    plus their cluster id and cluster size.
+
+    With ``persist=True`` (default) the caller-supplied media frame
+    stays pinned in executor storage AFTER the result is consumed
+    (Spark offers no consume-then-unpersist hook on a lazy frame) —
+    the same contract as graph.triangle_counts: long-lived sessions
+    calling this repeatedly should ``spark.catalog.clearCache()``
+    between calls (bench.py does), or pass ``persist=False`` and
+    accept the recomputation (the three consumers below then each
+    re-run the media lineage — for a decode/synthesize mapInPandas
+    chain that is 3× the Python codec pass)."""
     from yat_geo_db_spark.pipelines.dedup import connected_components
 
     # media is consumed THREE times (the pHash pass, the kept-dup join,
@@ -1634,10 +1644,11 @@ def image_dedup_keep(
     # the whole Python encode pass (measured: 3× ~1.5-2 s per run at
     # sf0.1). Persist + eager count, the same discipline as every index
     # table (concurrent cold-cache stages would otherwise race and
-    # recompute); long-lived sessions clearCache between calls, as with
-    # the other persisted index frames.
-    media = media.persist()
-    media.count()
+    # recompute); the persist/clearCache contract is in the docstring
+    # (ADVICE r13: callers who cannot clear the session cache opt out).
+    if persist:
+        media = media.persist()
+        media.count()
     pairs = phash_near_dup_pairs(media, max_hamming=max_hamming).select(
         "id1", "id2"
     )

@@ -19,6 +19,8 @@ same.)
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame
 import pyspark.sql.functions as F
 
@@ -31,9 +33,19 @@ def _darr(values) -> Column:
     thousands of elements adds whole seconds of driver time to a plan
     meant to be cheap. Python's repr() emits the shortest decimal that
     round-trips the IEEE double, and Spark's literal parser is
-    correctly rounded, so the value is bit-exact either way."""
-    body = ", ".join(f"{float(v)!r}D" for v in values)
-    return F.expr(f"array({body})")
+    correctly rounded, so the value is bit-exact either way.
+
+    Non-finite elements (NaN/±Inf — reachable via user query vectors or
+    sq8 bounds over dirty data) have no bare-literal spelling:
+    repr() emits inf/nan, which the SQL parser reads as unresolved
+    identifiers and raises AnalysisException (ADVICE r13). Those arrays
+    take the per-element F.lit path — correctness first; the fast path
+    covers every clean-data call."""
+    vals = [float(v) for v in values]
+    if all(math.isfinite(v) for v in vals):
+        body = ", ".join(f"{v!r}D" for v in vals)
+        return F.expr(f"array({body})")
+    return F.array(*[F.lit(v) for v in vals])
 
 
 def dot_col(a: Column, b: Column) -> Column:
@@ -332,18 +344,63 @@ def kmeans_assign(embeddings: DataFrame, centroids: DataFrame,
     )
 
 
-def _kmeans_update(assign: DataFrame, embeddings: DataFrame,
-                   id_col: str, vec_col: str) -> DataFrame:
+def _assign_carrying_vec(embeddings: DataFrame, centroids: DataFrame,
+                         id_col: str, vec_col: str) -> DataFrame:
+    """kmeans_assign for the FIT loop: the argmin struct additionally
+    carries the data vector, so the update step reads (cid, vec)
+    straight off the assignment instead of re-joining `embeddings` on
+    id just to recover a column the assignment already scanned (guide
+    §2.4 — r13's profile showed that join-back costing one broadcast
+    build + query-stage job per Lloyd round, ~2 jobs × n_iter × two
+    fit levels of pure orchestration at bench scale). Shuffled bytes
+    strictly drop too: the argmin exchange widens from n·24 B to
+    n·(8·dim+24) B, but the removed join-back's own n·8·dim exchange
+    of `embeddings` disappears.
+
+    Equivalence: within a groupBy(id) group the candidate rows differ
+    only in (dist, cid) — cid is unique per centroid — so the min is
+    decided before the appended vec field is ever compared, and the
+    vec is constant across the group (one row per id, the standing
+    precondition of every fit in this module). Winner and carried
+    vector are therefore exactly the rows the old join-back produced.
+    Returns (id, cid, vec) — no dist: the fit never reads it."""
+    joined = embeddings.crossJoin(F.broadcast(centroids))
+    return (
+        joined.select(
+            id_col,
+            F.col(vec_col),
+            F.struct(
+                sq_dist_col(F.col(vec_col), F.col("cvec")).alias("dist"),
+                F.col("cid"),
+            ).alias("dc"),
+        )
+        .groupBy(id_col)
+        # any_value, NOT min/max or a vec field inside the min struct:
+        # the vec is constant across the group, and any_value's buffer
+        # update is a take-first — no per-row array comparison
+        .agg(
+            F.min("dc").alias("m"),
+            F.any_value(F.col(vec_col)).alias("_v"),
+        )
+        .select(
+            id_col,
+            F.col("m.cid").alias("cid"),
+            F.col("_v").alias(vec_col),
+        )
+    )
+
+
+def _kmeans_update(assign: DataFrame, id_col: str, vec_col: str) -> DataFrame:
     """Update step: element-wise mean per cluster. posexplode → per-(cid,
     component) fixed-point-exact mean (floor(x·1e9+0.5) summed exactly —
     partition-order-independent, so centroids are bit-stable across engines
-    and partitionings) → array rebuild via sorted collect."""
+    and partitionings) → array rebuild via sorted collect. ``assign``
+    carries the vector (_assign_carrying_vec) — no join back to the
+    embeddings."""
     from yat_geo_db_spark.relational.queries import dsum
 
-    pts = (
-        assign.select(id_col, "cid")
-        .join(embeddings, id_col)
-        .select("cid", F.posexplode(F.col(vec_col)).alias("pos", "x"))
+    pts = assign.select(
+        "cid", F.posexplode(F.col(vec_col)).alias("pos", "x")
     )
     comp = pts.groupBy("cid", "pos").agg(
         (dsum(F.col("x").cast("double"), 9) / F.count(F.lit(1))).alias("v")
@@ -383,8 +440,8 @@ def kmeans_fit(embeddings: DataFrame, k: int = 4, n_iter: int = 2,
         .localCheckpoint()
     )
     for _ in range(n_iter):
-        assign = kmeans_assign(embeddings, centroids, id_col, vec_col)
-        updated = _kmeans_update(assign, embeddings, id_col, vec_col)
+        assign = _assign_carrying_vec(embeddings, centroids, id_col, vec_col)
+        updated = _kmeans_update(assign, id_col, vec_col)
         # a cluster that lost every member keeps its previous centroid
         # (standard Lloyd guard) — without this the cid silently vanishes
         # and the fit returns fewer than k centroids
@@ -438,19 +495,52 @@ def _sub_assign(vecs: DataFrame, sub: DataFrame,
     )
 
 
-def _sub_update(assign: DataFrame, vecs: DataFrame,
-                id_col: str, vec_col: str) -> DataFrame:
+def _sub_assign_carrying_vec(vecs: DataFrame, sub: DataFrame,
+                             id_col: str, vec_col: str,
+                             broadcast_sub: bool = True) -> DataFrame:
+    """_sub_assign for the FIT loop, carrying the data vector through
+    the argmin exactly like _assign_carrying_vec (same equivalence
+    argument: cid2 is unique within the (id, cid1) group, the vec is
+    constant across it) — the sub-update then never joins `vecs` back
+    on id. Returns (id, cid1, cid2, vec)."""
+    joined = vecs.join(
+        F.broadcast(sub) if broadcast_sub else sub, "cid1"
+    )
+    return (
+        joined.select(
+            id_col,
+            "cid1",
+            F.col(vec_col),
+            F.struct(
+                sq_dist_col(F.col(vec_col), F.col("cvec")).alias("dist"),
+                F.col("cid2"),
+            ).alias("dc"),
+        )
+        .groupBy(id_col, "cid1")
+        # any_value — see _assign_carrying_vec: constant per group,
+        # take-first buffer update, no array comparisons
+        .agg(
+            F.min("dc").alias("m"),
+            F.any_value(F.col(vec_col)).alias("_v"),
+        )
+        .select(
+            id_col,
+            "cid1",
+            F.col("m.cid2").alias("cid2"),
+            F.col("_v").alias(vec_col),
+        )
+    )
+
+
+def _sub_update(assign: DataFrame, id_col: str, vec_col: str) -> DataFrame:
     """_kmeans_update keyed by the composite (cid1, cid2): per-cell
     fixed-point-exact element-wise mean (same dsum discipline — bit-
-    stable across engines and partitionings)."""
+    stable across engines and partitionings). ``assign`` carries the
+    vector (_sub_assign_carrying_vec) — no join back to `vecs`."""
     from yat_geo_db_spark.relational.queries import dsum
 
-    pts = (
-        assign.select(id_col, "cid1", "cid2")
-        .join(vecs.select(id_col, vec_col), id_col)
-        .select(
-            "cid1", "cid2", F.posexplode(F.col(vec_col)).alias("pos", "x")
-        )
+    pts = assign.select(
+        "cid1", "cid2", F.posexplode(F.col(vec_col)).alias("pos", "x")
     )
     comp = pts.groupBy("cid1", "cid2", "pos").agg(
         (dsum(F.col("x").cast("double"), 9) / F.count(F.lit(1))).alias("v")
@@ -480,12 +570,10 @@ def _coarse_top_p(embeddings: DataFrame, centroids: DataFrame, p: int,
     probe 0 = the primary (argmin) cell."""
     vecs = embeddings.select(id_col, vec_col)
     picks: DataFrame | None = None
+    chosen: DataFrame | None = None
     for r in range(p):
         joined = vecs.crossJoin(F.broadcast(centroids))
-        if picks is not None:
-            chosen = picks.groupBy(id_col).agg(
-                F.collect_list("cid1raw").alias("_chosen")
-            )
+        if chosen is not None:
             joined = joined.join(chosen, id_col).filter(
                 ~F.array_contains(F.col("_chosen"), F.col("cid"))
             )
@@ -506,6 +594,32 @@ def _coarse_top_p(embeddings: DataFrame, centroids: DataFrame, p: int,
             )
         )
         picks = rnd if picks is None else picks.unionByName(rnd)
+        if r + 1 < p:
+            # excluded-cell set for the next round, grown INCREMENTALLY
+            # off this round's single pick instead of re-aggregating the
+            # whole picks union through a collect_list groupBy — one row
+            # per id per round either way (the argmin emits exactly one
+            # pick), so the array holds the same cid set, but the extra
+            # exchange (and its AQE query-stage job) per round is gone
+            # (guide §2.4; r13's profile charged the p=2 routing
+            # materialization 10 of the query's 64 jobs)
+            this_pick = rnd.select(
+                id_col, F.array(F.col("cid1raw")).alias("_new")
+            )
+            if chosen is None:
+                chosen = this_pick.select(
+                    id_col, F.col("_new").alias("_chosen")
+                )
+            else:
+                chosen = (
+                    chosen.join(this_pick, id_col)
+                    .select(
+                        id_col,
+                        F.concat(
+                            F.col("_chosen"), F.col("_new")
+                        ).alias("_chosen"),
+                    )
+                )
     return picks
 
 
@@ -609,8 +723,10 @@ def kmeans_two_level_fit_assign(
         .localCheckpoint()
     )
     for _ in range(n_iter):
-        assign = _sub_assign(vecs, sub, id_col, vec_col, broadcast_sub)
-        updated = _sub_update(assign, vecs, id_col, vec_col)
+        assign = _sub_assign_carrying_vec(
+            vecs, sub, id_col, vec_col, broadcast_sub
+        )
+        updated = _sub_update(assign, id_col, vec_col)
         sub = (
             sub.select("cid1", "cid2", F.col("cvec").alias("_prev"))
             .join(updated, ["cid1", "cid2"], "left")
@@ -1231,13 +1347,15 @@ def semdedup_pairs(
     # the pair self-join — materialize it once (each consumer would
     # otherwise re-run the per-element norm-divide transform)
     unit = l2_normalized(embeddings, id_col, vec_col).localCheckpoint()
-    n = unit.count()
+    n, dim = _count_and_dim(unit, vec_col)
     if k is None:
         k = semdedup_auto_k(n)
     assign = kmeans_fit_assign(
         unit, k=k, n_iter=n_iter, id_col=id_col, vec_col=vec_col
     ).select(id_col, "cid")
-    return _cell_blocked_pairs(unit, assign, threshold, id_col, vec_col, n)
+    return _cell_blocked_pairs(
+        unit, assign, threshold, id_col, vec_col, n, dim
+    )
 
 
 def _cell_blocked_pairs(
@@ -1268,7 +1386,7 @@ def _cell_blocked_pairs(
     there are n/target_cell cells, so that route has the key
     cardinality the local fixture lacks."""
     small = n_rows is not None and _fits_session_broadcast(
-        unit.sparkSession, n_rows, dim if dim else 256
+        unit.sparkSession, n_rows, dim
     )
     vecs = unit.join(F.broadcast(assign) if small else assign, id_col)
     a = vecs.select(
@@ -1293,17 +1411,45 @@ def _cell_blocked_pairs(
     )
 
 
-def _fits_session_broadcast(spark, n_rows: int, dim: int) -> bool:
+def _fits_session_broadcast(spark, n_rows: int, dim: int | None) -> bool:
     """Price (id, vec, cid) rows against the session broadcast
     threshold: n·(8·dim + 24) bytes with a 2× hash-relation factor.
-    Conservative on purpose — a miss only keeps the shuffle join."""
+    Conservative on purpose — a miss only keeps the shuffle join.
+
+    ``dim`` is the MEASURED widest vector (callers thread it from the
+    same one-job aggregate that counts the corpus — _count_and_dim);
+    256 is a pricing FLOOR, not a guess: the r13 shape hard-coded 256
+    when no caller passed dim, which under-priced wide embeddings by
+    dim/256× and could admit a broadcast well past the threshold
+    (ADVICE r13 — the exact OOM the gate exists to prevent). An
+    unknown dim (None) now refuses the hint: the shuffle join is the
+    only safe default when the width is unpriceable."""
+    if dim is None:
+        return False
     try:
         thr = int(spark.conf.get(
             "spark.sql.autoBroadcastJoinThreshold", "10485760"
         ))
     except (TypeError, ValueError):
         return False
-    return thr > 0 and n_rows * (8 * dim + 24) * 2 <= thr
+    return thr > 0 and n_rows * (8 * max(dim, 256) + 24) * 2 <= thr
+
+
+def _count_and_dim(unit: DataFrame, vec_col: str) -> tuple[int, int | None]:
+    """(row count, widest vector length) in ONE job over the
+    checkpointed unit table — the count the semdedup entry points
+    already paid, now also returning the real dim so the broadcast
+    gate prices measured width instead of a hard-coded 256
+    (VERDICT r13 #6). max(size) is the conservative side for ragged
+    inputs: pricing the widest row can only refuse a borderline
+    broadcast."""
+    row = unit.agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.max(F.size(F.col(vec_col))).alias("_dim"),
+    ).first()
+    n = int(row["_n"])
+    dim = row["_dim"]
+    return n, (int(dim) if dim is not None else None)
 
 
 def semdedup_pairs_scaled(
@@ -1348,13 +1494,15 @@ def semdedup_pairs_scaled(
     larger k (clustered 92.7%/92.2% — BENCHLOG round 13), so p=2 is
     the knee; raise p only when recall is worth more than wall."""
     unit = l2_normalized(embeddings, id_col, vec_col).localCheckpoint()
-    n = unit.count()
+    n, dim = _count_and_dim(unit, vec_col)
     k = semdedup_auto_k(n, target_cell)
     assign = kmeans_two_level_fit_assign(
         unit, k=k, n_iter=n_iter, id_col=id_col, vec_col=vec_col,
         coarse_probes=coarse_probes,
     ).select(id_col, "cid")
-    return _cell_blocked_pairs(unit, assign, threshold, id_col, vec_col, n)
+    return _cell_blocked_pairs(
+        unit, assign, threshold, id_col, vec_col, n, dim
+    )
 
 
 def embedding_dim_stats(
