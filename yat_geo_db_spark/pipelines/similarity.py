@@ -704,6 +704,48 @@ def kmeans_two_level_fit_assign(
         )
     )
     ca = ca.join(F.broadcast(rank), "cid1raw").select(id_col, "cid1")
+
+    # Multi-probe routing table, built CONCURRENTLY with the sub-fit
+    # (guide §2.6 — overlap independent jobs): ca_p depends only on the
+    # already-checkpointed coarse centroids and `rank`, not on the
+    # sub-centroids, while the sub-fit's 2·n_iter eager checkpoints are
+    # a serial chain of small jobs that leaves most cores idle. The
+    # r13 profile charged this routing pass ~10 of the query's ~60 jobs
+    # (the single most expensive phase); running it on a driver thread
+    # back-fills the sub-fit's scheduling gaps and takes the routing
+    # off the critical path entirely. Determinism is untouched — both
+    # chains read only checkpointed inputs and nothing here depends on
+    # job interleaving; the thread is joined before the final
+    # assignment consumes the table.
+    cap_thread = None
+    cap_result: dict = {}
+    if coarse_probes > 1:
+        def _build_cap() -> None:
+            try:
+                cap_result["df"] = (
+                    _coarse_top_p(
+                        embeddings, coarse, coarse_probes, id_col, vec_col
+                    )
+                    .join(F.broadcast(rank), "cid1raw")
+                    .select(id_col, "cid1")
+                    # materialized once, like the p=1 path's `vecs`: the
+                    # probe table is p·N NARROW rows, and checkpointing
+                    # it keeps the final assignment plan free of the
+                    # centroid cross-join — the shuffle route
+                    # (broadcast_sub=False) must stay
+                    # BroadcastNestedLoop-free end-to-end past the
+                    # broadcast ceiling
+                    # (test_two_level_shuffle_join_path_plan_shape)
+                    .localCheckpoint()
+                )
+            except BaseException as exc:  # propagate to the caller
+                cap_result["err"] = exc
+
+        from pyspark import InheritableThread
+
+        cap_thread = InheritableThread(target=_build_cap)
+        cap_thread.start()
+
     # (id, cid1, vec) feeds every sub-iteration AND the final assign —
     # materialize once (the coarse fit+assign upstream is iterative)
     vecs = embeddings.select(id_col, vec_col).join(
@@ -756,21 +798,12 @@ def kmeans_two_level_fit_assign(
         # p=2 lifts clustered-fixture recall 82.9% → 91.3% — ABOVE the
         # flat path's 90.1% — at parity wall-clock on the fixture
         # (34.0 s vs 35.4 s; the extra n·k1 pass is √k-bounded and
-        # noise-level next to the pair join).
-        ca_p = (
-            _coarse_top_p(
-                embeddings, coarse, coarse_probes, id_col, vec_col
-            )
-            .join(F.broadcast(rank), "cid1raw")
-            .select(id_col, "cid1")
-            # materialized once, like the p=1 path's `vecs`: the probe
-            # table is p·N NARROW rows, and checkpointing it keeps the
-            # final assignment plan free of the centroid cross-join —
-            # the shuffle route (broadcast_sub=False) must stay
-            # BroadcastNestedLoop-free end-to-end past the broadcast
-            # ceiling (test_two_level_shuffle_join_path_plan_shape)
-            .localCheckpoint()
-        )
+        # noise-level next to the pair join). The routing table itself
+        # was built concurrently with the sub-fit above.
+        cap_thread.join()
+        if "err" in cap_result:
+            raise cap_result["err"]
+        ca_p = cap_result["df"]
         vecs_p = embeddings.select(id_col, vec_col).join(ca_p, id_col)
         joined = vecs_p.join(
             F.broadcast(sub) if broadcast_sub else sub, "cid1"
