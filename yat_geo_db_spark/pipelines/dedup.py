@@ -2540,17 +2540,27 @@ def global_rank(
         # for plan-shape inspection (the executed plan otherwise starts at
         # an ExistingRDD stub); never use it for real results.
         ranged = ranged.localCheckpoint(eager=False)
-    counts = {
-        r["_pid"]: r["n"]
-        for r in ranged.groupBy("_pid").agg(F.count(F.lit(1)).alias("n")).collect()
-    }
-    offsets = []
-    acc = 0
-    for pid in sorted(counts):
-        offsets.append((pid, acc))
-        acc += counts[pid]
+    # cumulative offsets computed DISTRIBUTED-SIDE (VERDICT r13 #4): the
+    # former collect()-and-createDataFrame round trip ran the counting
+    # aggregate as its own blocking driver job per global_rank call
+    # (curate_rank_mix pays this twice); as a window over the tiny
+    # n_parts-row count table the offsets build fuses into the
+    # consumer's job as a broadcast-exchange stage instead. The window
+    # is single-partition by construction — over ≤ n_parts rows, never
+    # data — and both the counts subtree and the ranking read the SAME
+    # checkpointed frame, so the boundary-sampling determinism argument
+    # above is unchanged. Offsets are identical: sum of counts over
+    # lower pids, 0 for the first.
+    counts = ranged.groupBy("_pid").agg(F.count(F.lit(1)).alias("_n"))
+    off_w = (
+        Window.orderBy("_pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
     off_df = F.broadcast(
-        ranged.sparkSession.createDataFrame(offsets, "_pid INT, _off BIGINT")
+        counts.select(
+            "_pid",
+            F.coalesce(F.sum("_n").over(off_w), F.lit(0)).alias("_off"),
+        )
     )
     w = Window.partitionBy("_pid").orderBy(*sort_cols)
     return (
