@@ -602,8 +602,11 @@ def test_bloom_pruned_join_filters_before_exchange(spark):
 def test_sorted_neighborhood_equi_join_no_single_partition(spark):
     """SNM candidates must come from an equi-join on the rank key (no
     cartesian/BNLJ), and the global rank must be built from a RANGE
-    repartition + partition-local window — never a SinglePartition
-    exchange over the data."""
+    repartition + partition-local window — a SinglePartition exchange
+    may only ever carry global_rank's per-partition COUNT table
+    (≤ n_parts rows — the r14 offsets window, which replaced the
+    driver collect()), never document data: every SinglePartition
+    exchange's direct child must be the _pid-keyed count aggregate."""
     from yat_geo_db_spark.pipelines.dedup import sorted_neighborhood_pairs
     from yat_geo_db_spark.testdata import load_table
 
@@ -611,7 +614,15 @@ def test_sorted_neighborhood_equi_join_no_single_partition(spark):
     plan = _plan(sorted_neighborhood_pairs(docs, n_parts=8, checkpoint=False))
     assert "CartesianProduct" not in plan and "NestedLoop" not in plan, plan
     assert "rangepartitioning" in plan, plan
-    assert "Exchange SinglePartition" not in plan, plan
+    lines = plan.splitlines()
+    singles = [i for i, l in enumerate(lines) if "Exchange SinglePartition" in l]
+    assert singles, "offsets window missing from the plan"
+    for i in singles:
+        child = lines[i + 1]
+        assert "HashAggregate(keys=[_pid" in child and "count(1)" in child, (
+            "SinglePartition exchange over something other than the "
+            "bounded offsets count table:\n" + "\n".join(lines[i - 2: i + 3])
+        )
 
 
 def test_pmi_candidates_equi_join_on_doc(spark):
