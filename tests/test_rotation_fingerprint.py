@@ -65,12 +65,20 @@ def test_committed_sidecar_covers_registry():
         assert ent["round"] <= last[name]
 
 
-def test_devacuated_survival_enters_window():
-    """The concrete r13 deliverable: pipe_user_survival (fixed in r12
-    after its r11 vacuous green) must re-enter the driver's 50-row
-    window via the committed sidecar's invalidated fingerprint."""
-    order = list(all_queries().keys())
-    assert order.index("pipe_user_survival") < 50
+def test_devacuated_survival_resolved_by_driver_regreen():
+    """The r13 scenario this file was built for, now at its RESOLVED
+    fixpoint: pipe_user_survival (fixed in r12 after its r11 vacuous
+    green) re-entered the driver's 50-row window via the sidecar's
+    invalidated fingerprint and was re-greened in r13
+    (CORRECTNESS_r13: hash_match true). The sidecar must now vouch for
+    it at that round with a fingerprint matching the current source —
+    i.e. the row has legitimately LEFT the stale-first front and the
+    mechanism closed the loop."""
+    fps = _load_fingerprints()
+    ent = fps.get("pipe_user_survival")
+    assert ent is not None and ent["round"] >= 13
+    pair = all_queries(fingerprints={})["pipe_user_survival"]
+    assert ent["fp"] == query_fingerprint(*pair)
 
 
 def test_sync_never_downgrades_or_rewrites_same_round(tmp_path):
